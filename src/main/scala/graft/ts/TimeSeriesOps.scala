@@ -1,0 +1,239 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.util.Det
+
+/** Kenshin TSDB semantics re-expressed as Spark declarative plans.
+  *
+  * Reference semantics (zzl0/Kenshin-backup, [U] anchors per SURVEY §2.1):
+  *  - rollup/propagation: `kenshin/storage.py — propagate`, `kenshin/agg.py`
+  *  - fetch with dense gap-filled output: `kenshin/storage.py — Storage.fetch`
+  *  - xFilesFactor thresholding: `kenshin/storage.py — propagate`
+  *  - retention ring-expiry: `kenshin/storage.py — fetch` clamp
+  *  - cache/disk read-merge: `rurouni/protocols.py — CacheManagementHandler`
+  *
+  * Scale posture (100 TB): every query is a single declarative plan — scans
+  * prune columns, aggregations are partial (map-side combine) before the
+  * shuffle on (event_type, bucket), and the only joins are against tiny
+  * (grid / distinct-type / scalar-max) relations that Spark broadcasts.
+  * Nothing collects to the driver. At production scale the raw table is
+  * date-partitioned and old partitions are replaced by their rollups
+  * (Kenshin's retention economics, SURVEY §4).
+  */
+object TimeSeriesOps {
+
+  private val HourUs = 3600L * 1000000L
+  private val SixHourUs = 6L * HourUs
+
+  /** Epoch-aligned bucket (Kenshin R8: `ts - ts % step`), as µs TIMESTAMP. */
+  private def alignUs(stepUs: Long) =
+    timestamp_micros(expr(s"(unix_micros(ts) div ${stepUs}L) * ${stepUs}L"))
+
+  /** 1h tumbling average per series — the flagship rollup (R5/R6 `average`). */
+  def rollupAvg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  def rollupSum(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.sum4(col("value")).as("v"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** min+max in one aggregation pass (single shuffle, two measures). */
+  def rollupMinMax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(min("value"), 4).as("mn"), round(max("value"), 4).as("mx"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** Kenshin `last` agg (kenshin/agg.py [U]): value carrying the max ts.
+    * `max_by` keeps this a single-pass hash aggregate; raw nanos break
+    * sub-µs ties identically to the µs oracle (no µs ties in data). */
+  def rollupLast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(max_by(col("value"), col("ts_ns")), 4).as("v"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** R8 step alignment: pure epoch arithmetic (NOT calendar truncation) —
+    * 600 s buckets emitted as BIGINT epoch-seconds, immune to
+    * timestamp-type dialect drift. */
+  def align10m(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 600000000L) * 600").as("bucket_s"))
+      .agg(count(lit(1)).as("n"), Det.avg4(col("value")).as("v"))
+      .orderBy(col("event_type"), col("bucket_s"))
+
+  /** R4 `fetch`: dense step-aligned grid with explicit NULL gaps.
+    * grid = sequence(min_bucket, max_bucket, 6h) × distinct(event_type);
+    * both inputs are tiny aggregates, so the outer join broadcasts —
+    * at 100 TB the expensive side (the rollup) never re-shuffles. */
+  def gapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val rollup = e
+      .groupBy(col("event_type"), alignUs(SixHourUs).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"))
+    val grid = rollup
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 6 HOURS"))).as("bucket"))
+    val types = e.select(col("event_type")).distinct()
+    grid.crossJoin(types)
+      .join(rollup, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"), col("v"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** R5 xFilesFactor: a rollup bucket only materializes when enough
+    * higher-resolution points back it (here: count >= 10 per 1h bucket). */
+  def xff(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"), count(lit(1)).as("n"))
+      .where(col("n") >= 10)
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** R5 propagation, faithful avg-of-avgs: the 6h archive aggregates the
+    * stored (rounded) 1h archive values, not the raw points. */
+  def propagate(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b1"))
+      .agg(Det.avg4(col("value")).as("v1"))
+    h1.groupBy(col("event_type"),
+        timestamp_micros(expr(s"(unix_micros(b1) div ${SixHourUs}L) * ${SixHourUs}L")).as("bucket"))
+      .agg(Det.avg4(col("v1"), 4).as("v"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** R9 retention: only points within 7 days of the table max — the
+    * ring-buffer expiry window. The scalar max is a 1-row broadcast;
+    * at scale this becomes partition pruning on date partitions. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val mx = e.agg(max("ts").as("mx"))
+    e.crossJoin(mx)
+      .where(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** R15 cache/disk read-merge: rollup of flushed ("disk", ts < split)
+    * unioned with rollup of unflushed ("cache", ts >= split). */
+  def cacheMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val split = expr("TIMESTAMP '2024-01-25 00:00:00'")
+    def side(df: DataFrame, tag: String) = df
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"))
+      .select(lit(tag).as("src"), col("event_type"), col("bucket"), col("v"))
+    side(e.where(col("ts") < split), "disk")
+      .unionByName(side(e.where(col("ts") >= split), "cache"))
+      .orderBy(col("src"), col("event_type"), col("bucket"))
+  }
+
+  /** Graphite-layer topK (sits above Kenshin in the reference stack):
+    * top-10 series by total value, rank on the rounded measure so the
+    * limit boundary is engine-independent. */
+  def topkSeries(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(Det.sum4(col("value")).as("s"))
+      .orderBy(desc("s"), col("user_id"))
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_rollup_avg" -> rollupAvg _,
+    "q_ts_rollup_sum" -> rollupSum _,
+    "q_ts_rollup_minmax" -> rollupMinMax _,
+    "q_ts_rollup_last" -> rollupLast _,
+    "q_ts_align_10m" -> align10m _,
+    "q_ts_gapfill" -> gapfill _,
+    "q_ts_xff" -> xff _,
+    "q_ts_propagate" -> propagate _,
+    "q_ts_retention" -> retention _,
+    "q_ts_cache_merge" -> cacheMerge _,
+    "q_ts_topk_series" -> topkSeries _
+  )
+
+  /** DuckDB-dialect oracles (driver t2). Conventions (SURVEY §7.4): UTC,
+    * round(x,4) DOUBLE, explicit NULLS FIRST on ASC / NULLS LAST on DESC,
+    * identical column names, total ORDER BY. */
+  val oracleSql: Map[String, String] = Map(
+    "q_ts_rollup_avg" ->
+      s"""SELECT event_type, date_trunc('hour', ts) AS bucket, ${Det.avg4Sql("value")} AS v
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_rollup_sum" ->
+      s"""SELECT event_type, date_trunc('hour', ts) AS bucket, ${Det.sum4Sql("value")} AS v
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_rollup_minmax" ->
+      s"""SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |       round(min(value), 4) AS mn, round(max(value), 4) AS mx
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_rollup_last" ->
+      s"""SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |       round(arg_max(value, ts), 4) AS v
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_align_10m" ->
+      s"""SELECT event_type, (epoch_us(ts) // 600000000) * 600 AS bucket_s,
+        |       count(*) AS n, ${Det.avg4Sql("value")} AS v
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, bucket_s NULLS FIRST""".stripMargin,
+    "q_ts_gapfill" ->
+      s"""WITH r AS (
+        |  SELECT event_type,
+        |         TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 21600000000) * 21600) * INTERVAL '1 second' AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT unnest(generate_series((SELECT min(bucket) FROM r),
+        |                                    (SELECT max(bucket) FROM r),
+        |                                    INTERVAL '6 hour')) AS bucket),
+        |t AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, g.bucket, r.v
+        |FROM g CROSS JOIN t
+        |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
+        |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
+    "q_ts_xff" ->
+      s"""SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |       ${Det.avg4Sql("value")} AS v, count(*) AS n
+        |FROM events GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_propagate" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b1, ${Det.avg4Sql("value")} AS v1
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       TIMESTAMP '1970-01-01' + ((epoch_us(b1) // 21600000000) * 21600) * INTERVAL '1 second' AS bucket,
+        |       ${Det.avg4Sql("v1", 4)} AS v
+        |FROM h1 GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_retention" ->
+      s"""SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '7 days'
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
+    "q_ts_cache_merge" ->
+      s"""SELECT 'disk' AS src, event_type, date_trunc('hour', ts) AS bucket,
+        |       ${Det.avg4Sql("value")} AS v
+        |FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'cache' AS src, event_type, date_trunc('hour', ts) AS bucket,
+        |       ${Det.avg4Sql("value")} AS v
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1, 2, 3
+        |ORDER BY src NULLS FIRST, event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_topk_series" ->
+      s"""SELECT user_id, ${Det.sum4Sql("value")} AS s
+        |FROM events GROUP BY 1
+        |ORDER BY s DESC NULLS LAST, user_id NULLS FIRST LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic float aggregation (SURVEY §7.4).
+  *
+  * Two portability hazards are eliminated here:
+  *  1. Double sums are order-dependent (partial aggregation over shuffled
+  *     partitions) — fixed by summing as exact DECIMAL-scaled BIGINT.
+  *  2. `round(x, 4)` half-boundary semantics differ between engines (Spark
+  *     rounds the shortest-decimal rendering half-up; DuckDB rounds the
+  *     binary `x*1e4` product) — fixed by half-up rounding in exact integer
+  *     arithmetic: halfup(p/q) = (2p + q) // (2q), then one exact
+  *     `bigint / 10000.0` division that is bit-identical IEEE in any engine.
+  *
+  * Preconditions (hold for all testdata measures): values non-negative with
+  * ≤ `inScale` (default 4 — verified for every testdata measure) decimal digits, and |sum| * 10^inScale < 2^62 (at true 100 TB
+  * scale use inScale=4 or a two-level agg; the floor-of-double-division
+  * below is exact while numerator/denominator < 2^53).
+  *
+  * Keep the SQL emitters in lockstep with the Column emitters — the oracle
+  * text is generated from the same formulas.
+  */
+object Det {
+
+  /** Exact sum(x) * 10^scale as a BIGINT column (per-row decimal cast, so
+    * the only inexact step — binary double → decimal — is identical in both
+    * engines; after that everything is integer arithmetic). */
+  private def sumScaled(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale).toLong
+    sum((c.cast(s"decimal(18,$scale)") * lit(f)).cast("long"))
+  }
+
+  /** Exact half-up round(avg(x), 4) for x with ≤ inScale decimals. */
+  def avg4(c: Column, inScale: Int = 4): Column = {
+    val s = sumScaled(c, inScale)
+    val d = count(lit(1)) * lit(math.pow(10, inScale - 4).toLong)
+    floor((s * lit(2L) + d) / (d * lit(2L))) / lit(10000.0)
+  }
+
+  /** Exact half-up round(sum(x), 4) for x with ≤ inScale decimals. */
+  def sum4(c: Column, inScale: Int = 4): Column = {
+    val s = sumScaled(c, inScale)
+    val d = lit(math.pow(10, inScale - 4).toLong)
+    floor((s * lit(2L) + d) / (d * lit(2L))) / lit(10000.0)
+  }
+
+  /** DuckDB text for [[avg4]] — same exact integer formula. */
+  def avg4Sql(x: String, inScale: Int = 4): String = {
+    val f = math.pow(10, inScale).toLong
+    val g = math.pow(10, inScale - 4).toLong
+    s"(((2*CAST(sum(CAST($x AS DECIMAL(18,$inScale)) * $f) AS BIGINT) + $g*count(*))" +
+      s" // (2 * $g * count(*))) / 10000.0)"
+  }
+
+  /** DuckDB text for [[sum4]]. */
+  def sum4Sql(x: String, inScale: Int = 4): String = {
+    val f = math.pow(10, inScale).toLong
+    val g = math.pow(10, inScale - 4).toLong
+    s"(((2*CAST(sum(CAST($x AS DECIMAL(18,$inScale)) * $f) AS BIGINT) + $g)" +
+      s" // (2 * $g)) / 10000.0)"
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class TimeSeriesSpec extends AnyFunSuite {
+  import graft.ts.TimeSeriesOps
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is known no-oracle") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val known = Set("q_agg_hll", "q_llm_knn_label", "q_llm_minhash_dedup",
+      "q_llm_simhash", "q_llm_ann_ivf", "q_llm_langid", "q_llm_embed_neardup")
+    assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("gapfill emits a dense grid: rows = n_types * n_buckets") {
+    val rows = TimeSeriesOps.gapfill(spark, sf).collect()
+    val types = rows.map(_.getString(0)).distinct.length
+    val buckets = rows.map(_.getTimestamp(1)).distinct.length
+    assert(rows.length == types * buckets)
+  }
+
+  test("rollup_sum conserves the total sum of values") {
+    import org.apache.spark.sql.functions._
+    val total = graft.io.Tables.events(spark, sf)
+      .agg(sum(col("value").cast("decimal(18,4)"))).head.getDecimal(0)
+    val rolled = TimeSeriesOps.rollupSum(spark, sf)
+      .agg(sum(col("v").cast("decimal(18,4)"))).head.getDecimal(0)
+    // each v was half-up rounded at 4 decimals, so totals agree exactly
+    assert((total.doubleValue - rolled.doubleValue).abs < 1e-6)
+  }
+
+  test("xff keeps only buckets with count >= 10") {
+    import org.apache.spark.sql.functions._
+    val bad = TimeSeriesOps.xff(spark, sf).where(col("n") < 10).count()
+    assert(bad == 0)
+  }
+
+  test("retention keeps only the trailing 7 days") {
+    import org.apache.spark.sql.functions._
+    val r = TimeSeriesOps.retention(spark, sf)
+    val span = r.agg((max("ts").cast("long") - min("ts").cast("long")).as("s"))
+      .head.getLong(0)
+    assert(span <= 7L * 86400)
+  }
+
+  test("topk_series returns at most 10 rows, sorted desc") {
+    val s = TimeSeriesOps.topkSeries(spark, sf).collect().map(_.getDouble(1))
+    assert(s.length <= 10 && s.sameElements(s.sortBy(-_)))
+  }
+}
