@@ -1,0 +1,527 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.util.Det
+
+/** Relational surface of the engine (SURVEY §2.2): scans, predicates, the
+  * full join family, grouping sets, windows, set ops, and scalar-function
+  * coverage. The reference (a Graphite-compatible TSDB) has no relational
+  * layer; this is the north-star capability set, expressed as declarative
+  * Spark plans so Catalyst owns the physical strategy.
+  *
+  * Scale posture (100 TB):
+  *  - Scans select only needed columns before anything else → parquet
+  *    `ReadSchema` pruning; predicates sit directly on the scan →
+  *    `PushedFilters`.
+  *  - Dimension tables (region/nation/supplier/part at any realistic scale)
+  *    ride broadcast joins — explicit `broadcast()` where the statistics
+  *    might not prove it, AQE elsewhere.
+  *  - The as-of and interval joins bound their range condition by an
+  *    equi-key (user_id / week grid) so the shuffle keys stay joinable and
+  *    skew-manageable; nothing collects to the driver.
+  *  - Window queries partition by a real key; the single global-order
+  *    window (`q_window_running`) runs over an already-aggregated
+  *    ~thousands-row relation (days), never over raw rows.
+  *
+  * Determinism: every float aggregate uses [[Det]] exact decimal
+  * accumulation + the shared IEEE rounding formula; every query ends in a
+  * total-order `orderBy` (SURVEY §7.4).
+  */
+object RelationalOps {
+
+  /** Scan + projection + limit: column pruning must reach the scan. */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** Predicate coverage: IN + BETWEEN + LIKE + AND/OR, pushed to parquet. */
+  def filterPred(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus").isin("F", "P") &&
+        col("o_totalprice").between(10000.0, 200000.0) &&
+        (col("o_orderpriority").like("%URGENT") ||
+         col("o_orderpriority").like("2%")))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** 3-way equi join (fact ⋈ dims) + agg: revenue per nation. */
+  def joinInner(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum4(col("o_totalprice")).as("revenue"))
+      .orderBy("n_name")
+
+  /** Broadcast hash join: fact lineitem ⋈ small part dim, agg by brand. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), Det.dsum4(col("l_quantity")).as("qty"),
+        Det.dsum4(col("l_extendedprice")).as("rev"))
+      .orderBy("p_brand")
+
+  /** Left outer join preserving 0-order customers. */
+  def joinLeft(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      .join(Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_custkey")).as("n_orders"),
+        coalesce(Det.dsum4(col("o_totalprice")), lit(0.0)).as("spend"))
+      .orderBy("c_custkey")
+
+  /** Left semi: parts that have at least one lineitem. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir).select("p_partkey", "p_name")
+      .join(Tables.lineitem(spark, sfDir).select("l_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .orderBy("p_partkey")
+
+  /** Left anti: customers that never placed an URGENT order. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      .join(Tables.orders(spark, sfDir)
+          .where(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
+  /** As-of join (no native Spark op): for each purchase, the latest
+    * signup of the same user at-or-before it. Equi-key on user_id bounds
+    * the range condition, so this shuffles on user_id like a normal join;
+    * the aggregate collapses the bounded fan-out. At 100 TB the same plan
+    * holds with date-bucketed pre-partitioning on both sides. */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val s = e.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    p.join(s, p("user_id") === col("s_user") && col("s_ts") <= col("p_ts"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"), col("p_ts"))
+      .agg(max(col("s_ts")).as("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Interval join: events bucketed into a 7-day window grid. The grid is
+    * a handful of rows → broadcast; empty windows survive via left join. */
+  def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val weeks = spark.range(1)
+      .select(explode(sequence(
+        lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit("2024-01-29 00:00:00").cast("timestamp"),
+        expr("INTERVAL 7 DAYS"))).as("w_start"))
+    val e = Tables.events(spark, sfDir).select("event_id", "ts", "value")
+    broadcast(weeks)
+      .join(e, col("ts") >= col("w_start") &&
+        col("ts") < col("w_start") + expr("INTERVAL 7 DAYS"), "left")
+      .groupBy(col("w_start"))
+      .agg(count(col("event_id")).as("n"),
+        coalesce(Det.dsum4(col("value")), lit(0.0)).as("v"))
+      .orderBy("w_start")
+  }
+
+  /** Grouping sets via ROLLUP: per-(flag,status), per-flag, grand total. */
+  def aggRollupSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum4(col("l_quantity")).as("qty"),
+        Det.dsum4(col("l_extendedprice")).as("rev"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Distinct aggregate: distinct parts + suppliers per return flag. */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates with exact accumulation: engine-native
+    * stddev implementations differ in accumulation order (Welford vs
+    * pairwise), so the sample stddev is assembled from exact decimal
+    * Σx, Σx² and the identical IEEE formula on both sides. l_discount’s
+    * domain (≤0.1, ≤4 decimals) keeps Σx² exactly representable. */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val nd = count(lit(1)).cast("double")
+    val s1 = sum(col("l_discount").cast("decimal(18,8)")).cast("double")
+    val s2 = sum((col("l_discount") * col("l_discount"))
+      .cast("decimal(18,8)")).cast("double")
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        Det.davg4(col("l_extendedprice")).as("avg_price"),
+        Det.r4(sqrt((s2 - (s1 * s1) / nd) / (nd - lit(1.0)))).as("sd_disc"))
+      .orderBy("l_linestatus")
+  }
+
+  /** HLL++ sketch distinct (no oracle — approximate; bounds in spec). */
+  def aggHll(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_nd"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** rank + dense_rank per priority by price (ties share a rank). */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+  }
+
+  /** Running total + lag over DAILY revenue (pre-aggregated, so the
+    * global-order window sees thousands of rows, not raw orders; the
+    * running sum accumulates DECIMAL — exact, order-independent). */
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev_dec"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("run", sum(col("rev_dec"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", lag(col("rev_dec"), 1).over(w))
+      .select(col("day"), col("rev_dec").cast("double").as("rev"),
+        col("run").cast("double").as("run"),
+        col("prev").cast("double").as("prev"))
+      .orderBy("day")
+  }
+
+  /** 7-row moving average per priority (ROWS frame; decimal numerator and
+    * explicit double division keep both engines bit-identical). */
+  def windowMoving(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-6, 0)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("mov", Det.r4(
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+          / count(lit(1)).over(w)))
+      .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+  }
+
+  /** Top-3 orders per priority (keyed row_number — deterministic limit). */
+  def topkGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** Multi-key sort, mixed direction, total order before LIMIT. */
+  def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(50)
+
+  private def custNations(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+  private def suppNations(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey"))
+
+  def setUnion(spark: SparkSession, sfDir: String): DataFrame =
+    custNations(spark, sfDir).union(suppNations(spark, sfDir))
+      .distinct().orderBy("nationkey")
+
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    custNations(spark, sfDir).intersect(suppNations(spark, sfDir))
+      .orderBy("nationkey")
+
+  /** EXCEPT with a non-trivial result: parts ordered at least once minus
+    * the large-size catalog — exercises distinct-set difference. */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select(col("l_partkey").as("partkey"))
+      .except(Tables.part(spark, sfDir).where(col("p_size") > 10)
+        .select(col("p_partkey").as("partkey")))
+      .orderBy("partkey")
+
+  /** Scalar string functions (codegen'd builtins — no UDFs). */
+  def strFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        col("p_name").like("%a%").as("has_a"))
+      .orderBy("p_partkey")
+
+  /** Scalar date functions (types widened to BIGINT to match DuckDB). */
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** Scalar math functions; transcendentals rounded via the shared
+    * IEEE formula (1-ulp libm differences vanish at 4 decimals). */
+  def mathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - lit(25.0)).as("a"),
+        ceil(col("l_extendedprice")).as("c"),
+        floor(col("l_extendedprice")).as("f"),
+        Det.r4(col("l_extendedprice") / lit(7.0)).as("r"),
+        Det.r4(sqrt(col("l_extendedprice"))).as("sq"),
+        Det.r4(log(col("l_extendedprice"))).as("lg"),
+        Det.r4(exp(col("l_discount"))).as("ex"),
+        pmod(col("l_orderkey"), lit(7L)).as("pm"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON extraction (Kenshin tag analog): props.k stats per type. */
+  def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        Det.r4(sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  /** Generator/UDTF surface: token explosion, top-20 by frequency. */
+  def explodeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> scanProject _,
+    "q_filter_pred" -> filterPred _,
+    "q_join_inner" -> joinInner _,
+    "q_join_broadcast" -> joinBroadcast _,
+    "q_join_left" -> joinLeft _,
+    "q_join_semi" -> joinSemi _,
+    "q_join_anti" -> joinAnti _,
+    "q_join_asof" -> joinAsof _,
+    "q_join_interval" -> joinInterval _,
+    "q_agg_rollup_sets" -> aggRollupSets _,
+    "q_agg_distinct" -> aggDistinct _,
+    "q_agg_stats" -> aggStats _,
+    "q_agg_hll" -> aggHll _,
+    "q_window_rank" -> windowRank _,
+    "q_window_running" -> windowRunning _,
+    "q_window_moving" -> windowMoving _,
+    "q_topk_group" -> topkGroup _,
+    "q_sort_limit" -> sortLimit _,
+    "q_set_union" -> setUnion _,
+    "q_set_intersect" -> setIntersect _,
+    "q_set_except" -> setExcept _,
+    "q_str_funcs" -> strFuncs _,
+    "q_date_funcs" -> dateFuncs _,
+    "q_math_funcs" -> mathFuncs _,
+    "q_json_funcs" -> jsonFuncs _,
+    "q_explode_tokens" -> explodeTokens _
+  )
+
+  import Det.{dsum4Sql, davg4Sql, r4Sql}
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST LIMIT 100""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','P')
+        |  AND o_totalprice BETWEEN 10000.0 AND 200000.0
+        |  AND (o_orderpriority LIKE '%URGENT' OR o_orderpriority LIKE '2%')
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_inner" ->
+      s"""SELECT n_name, count(*) AS n_orders, ${dsum4Sql("o_totalprice")} AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY n_name
+        |ORDER BY n_name NULLS FIRST""".stripMargin,
+    "q_join_broadcast" ->
+      s"""SELECT p_brand, count(*) AS n, ${dsum4Sql("l_quantity")} AS qty,
+        |       ${dsum4Sql("l_extendedprice")} AS rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand NULLS FIRST""".stripMargin,
+    "q_join_left" ->
+      s"""SELECT c_custkey, c_name, count(o_custkey) AS n_orders,
+        |       coalesce(${dsum4Sql("o_totalprice")}, 0.0) AS spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, e.ts AS p_ts,
+        |       (SELECT max(s.ts) FROM events s
+        |        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |          AND s.ts <= e.ts) AS signup_ts
+        |FROM events e WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id NULLS FIRST""".stripMargin,
+    "q_join_interval" ->
+      s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |                   TIMESTAMP '2024-01-29', INTERVAL '7 days')) AS w_start)
+        |SELECT w_start, count(event_id) AS n,
+        |       coalesce(${dsum4Sql("value")}, 0.0) AS v
+        |FROM w LEFT JOIN events e
+        |  ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL '7 days'
+        |GROUP BY w_start
+        |ORDER BY w_start NULLS FIRST""".stripMargin,
+    "q_agg_rollup_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       ${dsum4Sql("l_quantity")} AS qty, ${dsum4Sql("l_extendedprice")} AS rev
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        |       count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q_agg_stats" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      val s1 = "CAST(sum(CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE)"
+      val s2 = "CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,8))) AS DOUBLE)"
+      s"""SELECT l_linestatus, count(*) AS n,
+        |       ${davg4Sql("l_extendedprice")} AS avg_price,
+        |       ${r4Sql(s"sqrt(($s2 - ($s1 * $s1) / $n) / ($n - 1.0))")} AS sd_disc
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus NULLS FIRST""".stripMargin
+    },
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+        |ORDER BY o_orderpriority NULLS FIRST, o_totalprice DESC NULLS LAST,
+        |         o_orderkey NULLS FIRST""".stripMargin,
+    "q_window_running" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev_dec AS DOUBLE) AS rev,
+        |       CAST(sum(rev_dec) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run,
+        |       CAST(lag(rev_dec, 1) OVER (ORDER BY day) AS DOUBLE) AS prev
+        |FROM d ORDER BY day NULLS FIRST""".stripMargin,
+    "q_window_moving" -> {
+      val mov = r4Sql(
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) / count(*) OVER w")
+      s"""SELECT o_orderpriority, o_orderdate, o_orderkey, o_totalprice,
+        |       $mov AS mov
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderdate NULLS FIRST,
+        |         o_orderkey NULLS FIRST""".stripMargin
+    },
+    "q_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority NULLS FIRST, rn NULLS FIRST""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderdate NULLS FIRST,
+        |         o_orderkey NULLS FIRST LIMIT 50""".stripMargin,
+    "q_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey NULLS FIRST""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey NULLS FIRST""".stripMargin,
+    "q_set_except" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+        |EXCEPT
+        |SELECT p_partkey FROM part WHERE p_size > 10
+        |ORDER BY partkey NULLS FIRST""".stripMargin,
+    "q_str_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+        |       substring(p_type, 1, 5) AS type5,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       replace(p_name, ' ', '_') AS snake,
+        |       concat(p_brand, ':', p_type) AS brand_type,
+        |       (p_name LIKE '%a%') AS has_a
+        |FROM part ORDER BY p_partkey NULLS FIRST""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS d,
+        |       date_trunc('month', o_orderdate) AS mon,
+        |       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+    "q_math_funcs" ->
+      s"""SELECT l_orderkey, l_linenumber, abs(l_quantity - 25.0) AS a,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS c,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS f,
+        |       ${r4Sql("l_extendedprice / 7.0")} AS r,
+        |       ${r4Sql("sqrt(l_extendedprice)")} AS sq,
+        |       ${r4Sql("ln(l_extendedprice)")} AS lg,
+        |       ${r4Sql("exp(l_discount)")} AS ex,
+        |       ((l_orderkey % 7) + 7) % 7 AS pm
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+    "q_json_funcs" ->
+      s"""SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS sum_k,
+        |       max(CAST(json_extract(props, '$$.k') AS BIGINT)) AS max_k,
+        |       ${r4Sql("CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*)")} AS avg_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC NULLS LAST, token NULLS FIRST LIMIT 20""".stripMargin
+  )
+}

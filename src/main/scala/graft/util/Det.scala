@@ -61,4 +61,28 @@ object Det {
     s"(((2*CAST(sum(CAST($x AS DECIMAL(18,$inScale)) * $f) AS BIGINT) + $g)" +
       s" // (2 * $g)) / 10000.0)"
   }
+
+  // ---- Decimal-sum family (relational measures; money columns hold exact
+  // ≤4-decimal values, |sum|·10^4 < 2^53 at every sf — both verified) ----
+  //
+  // Strategy: make every aggregate ACCUMULATION exact (DECIMAL(18,4) sums,
+  // BIGINT counts — associative, partition-order-independent), then perform
+  // any remaining float math as the SAME sequence of IEEE double ops in both
+  // engines. Identical exact inputs + identical op sequence = bit-identical
+  // doubles, with no dependence on either engine's round() dialect.
+
+  /** Exact sum as DOUBLE: per-row DECIMAL(18,4) cast, decimal sum, cast out.
+    * Every step is exact for testdata magnitudes in both engines. */
+  def dsum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+  def dsum4Sql(x: String): String =
+    s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Cross-engine-deterministic half-up round to 4 places for DOUBLE input:
+    * floor(x·10⁴ + 0.5)/10⁴ — plain IEEE ops, identical text both sides. */
+  def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  def r4Sql(x: String): String = s"(floor(($x) * 10000.0 + 0.5) / 10000.0)"
+
+  /** Exact-accumulation average, rounded with [[r4]]. */
+  def davg4(c: Column): Column = r4(dsum4(c) / count(lit(1)))
+  def davg4Sql(x: String): String = r4Sql(s"${dsum4Sql(x)} / count(*)")
 }
