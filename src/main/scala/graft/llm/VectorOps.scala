@@ -1,0 +1,188 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSim
+import graft.io.Tables
+import graft.util.Det
+
+/** Embedding-side operators: similarity search (brute-force and ANN) and
+  * centroid classification over `embeddings(vec_id, embedding: ARRAY<FLOAT>
+  * [64], label)`. The cosine kernel is the custom codegen expression
+  * [[graft.functions.CosineSim]] — one tight primitive loop per row.
+  *
+  * Scale posture (10^9+ vectors):
+  *  - Brute-force top-k broadcasts the single query vector; the scan is
+  *    embarrassingly parallel and the global top-k is TakeOrderedAndProject
+  *    (per-partition heaps + driver merge of k rows, not a global sort of
+  *    everything — visible in the physical plan).
+  *  - The IVF path is the scale answer: vectors are pre-assigned to coarse
+  *    cells (here: label centroids as the quantizer; k-means at production),
+  *    a query probes nprobe cells, so the exact scan touches nprobe/ncells
+  *    of the data. Cell assignment is itself one broadcast join + argmax.
+  *  - LSH near-dup hashes every vector to 4-bit band buckets (random
+  *    hyperplanes, fixed seed); candidate pairs come from bucket collisions
+  *    — the all-pairs comparison never materializes.
+  */
+object VectorOps {
+
+  /** Top-5 cosine neighbors of vec_id=0 — brute force, the correctness
+    * baseline for every ANN variant. */
+  def cosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Det.r4(CosineSim(col("embedding"), col("qe"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Per-label centroids (mean vector), exposed for reuse: posexplode →
+    * per-(label, dim) mean → re-assembled ordered array. */
+  private[llm] def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+        " s -> CAST(s.cx AS FLOAT))").as("cvec"))
+
+  /** Nearest-centroid assignment of every vector (label means as the
+    * coarse quantizer), plus per-label agreement counts — exercises
+    * array re-aggregation, broadcast argmax, and classification shape.
+    * No oracle: multi-stage float; property-tested. */
+  def knnLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val sims = e.crossJoin(broadcast(centroids(spark, sfDir)))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        CosineSim(col("embedding"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_label"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_label") === col("label"), 1L).otherwise(0L))
+          .as("n_match"))
+      .orderBy("label")
+  }
+
+  private val NProbe = 3
+
+  /** IVF-style ANN: every vector lives in its nearest-centroid cell; the
+    * query ranks cells by centroid similarity and probes the top
+    * [[NProbe]], brute-forcing only inside them. Returns the top-5 with
+    * the probed cell — compare with [[cosineTopk]] for recall.
+    * No oracle: hash/centroid-dependent; property-tested. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = centroids(spark, sfDir)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("c_label"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("c_label"),
+        CosineSim(col("embedding"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("c_label").as("cell"),
+        CosineSim(col("cvec"), col("qe")).as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(NProbe)
+    assigned.join(broadcast(probed), "cell")
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        Det.r4(CosineSim(col("embedding"), col("qe"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val NPlanes = 16
+  private val SigBands = 4 // 4 bands × 4 bits
+
+  /** Fixed-seed random hyperplanes for sign-LSH (deterministic across
+    * runs and executors — generated once on the driver, broadcast as
+    * literals in the plan). */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NPlanes, 64)(rnd.nextGaussian())
+  }
+
+  /** Embedding near-duplicate pairs via sign-LSH: 16-bit signatures from
+    * random hyperplanes, banded 4×4 for candidate generation, exact
+    * cosine verification at threshold 0.45. No oracle; property-tested
+    * against brute force.
+    *
+    * The signature is computed as `posexplode(embedding) ⋈ broadcast
+    * planes-table → per-(vec, plane) dot → per-(vec, band) bucket key`:
+    * linear in vectors × planes, codegen-friendly (no thousand-node
+    * expression tree), and the same plan shape scales to 10^9 vectors. */
+  def embedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val planesDf = broadcast(planes.zipWithIndex.flatMap { case (p, j) =>
+      p.zipWithIndex.map { case (w, i) => (i, j, w) }
+    }.toSeq.toDF("pos", "plane", "w"))
+    val buckets = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .join(planesDf, "pos")
+      .groupBy(col("vec_id"), (col("plane") / lit(4)).cast("int").as("band"))
+      .agg(sum(
+        when(col("plane") % 4 === 0, col("x").cast("double") * col("w"))
+          .otherwise(0.0)).as("d0"),
+        sum(when(col("plane") % 4 === 1, col("x").cast("double") * col("w"))
+          .otherwise(0.0)).as("d1"),
+        sum(when(col("plane") % 4 === 2, col("x").cast("double") * col("w"))
+          .otherwise(0.0)).as("d2"),
+        sum(when(col("plane") % 4 === 3, col("x").cast("double") * col("w"))
+          .otherwise(0.0)).as("d3"))
+      .select(col("vec_id"), col("band"),
+        (when(col("d0") > 0, 1).otherwise(0) +
+         when(col("d1") > 0, 2).otherwise(0) +
+         when(col("d2") > 0, 4).otherwise(0) +
+         when(col("d3") > 0, 8).otherwise(0)).as("bh"))
+    val emb = e.select(col("vec_id"), col("embedding"))
+    val cands = buckets.toDF("a_id", "band", "bh")
+      .join(buckets.toDF("b_id", "band_b", "bh_b"),
+        col("band") === col("band_b") && col("bh") === col("bh_b") &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(emb.toDF("a_id", "ea"), "a_id")
+      .join(emb.toDF("b_id", "eb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        Det.r4(CosineSim(col("ea"), col("eb"))).as("cos"))
+      .where(col("cos") >= 0.45)
+      .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_cosine_topk" -> cosineTopk _,
+    "q_llm_knn_label" -> knnLabel _,
+    "q_llm_ann_ivf" -> annIvf _,
+    "q_llm_embed_neardup" -> embedNeardup _
+  )
+
+  import Det.r4Sql
+
+  val oracleSql: Map[String, String] = Map(
+    "q_llm_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |z AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+        |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id,
+        |             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |             sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |             sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM z GROUP BY vec_id)
+        |SELECT vec_id, ${r4Sql("dot / (sqrt(na) * sqrt(nb))")} AS sim
+        |FROM s
+        |ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST LIMIT 5""".stripMargin
+  )
+}

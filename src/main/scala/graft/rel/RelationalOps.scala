@@ -83,10 +83,13 @@ object RelationalOps {
         coalesce(Det.dsum4(col("o_totalprice")), lit(0.0)).as("spend"))
       .orderBy("c_custkey")
 
-  /** Left semi: parts that have at least one lineitem. */
+  /** Left semi: parts that have at least one lineitem. Semi-join
+    * reduction: distinct the fact-side key first, so the shuffle carries
+    * ≤|part| keys instead of the whole fact table, and AQE can flip the
+    * now-tiny right side to a broadcast at runtime. */
   def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
     Tables.part(spark, sfDir).select("p_partkey", "p_name")
-      .join(Tables.lineitem(spark, sfDir).select("l_partkey"),
+      .join(Tables.lineitem(spark, sfDir).select("l_partkey").distinct(),
         col("l_partkey") === col("p_partkey"), "left_semi")
       .orderBy("p_partkey")
 
