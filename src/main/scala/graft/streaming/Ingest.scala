@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** A typed metric point — Kenshin's write-path payload
+  * (`rurouni/protocols.py — MetricLineReceiver` parses exactly this
+  * shape from the line protocol [U, SURVEY §2.1 R13]). */
+case class Point(metric: String, ts: java.sql.Timestamp, value: Double)
+
+/** Last-known value per metric — the live read-side state Kenshin keeps
+  * in `MetricCache` (R10/R15). */
+case class LastValue(metric: String, ts: java.sql.Timestamp, value: Double,
+    n_updates: Long)
+
+/** Kenshin's ingestion daemon (rurouni-cache) re-expressed as Structured
+  * Streaming: protocol parse → in-memory accumulation (micro-batch +
+  * state store replaces MetricCache) → batched rollup writes (foreachBatch
+  * replaces the writer thread) → live state queryable alongside storage
+  * (cache-merge read).
+  *
+  * Every builder takes/returns DataFrames or Datasets so the same
+  * transformations run on `MemoryStream` in tests, a socket/file source
+  * locally, and Kafka at production — the plan, watermarks and state
+  * semantics are source-agnostic.
+  *
+  * Scale posture: state is keyed by metric (hash-partitioned by the
+  * shuffle — Kenshin's consistent-hash sharding R16 for free); watermarks
+  * bound state size; at production scale the state store backend is
+  * RocksDB (`spark.sql.streaming.stateStore.providerClass`) and sinks are
+  * date-partitioned parquet appended per micro-batch. */
+object Ingest {
+
+  /** R13 line protocol: `"metric value epoch_seconds"` → typed points.
+    * Malformed lines (wrong arity / non-numeric) are dropped, matching
+    * the daemon's tolerant receiver; try_cast keeps ANSI mode safe. */
+  def parseLines(lines: DataFrame): DataFrame =
+    lines
+      .select(split(col("value"), " ").as("f"))
+      .select(try_element_at(col("f"), lit(1)).as("metric"),
+        expr("try_cast(try_element_at(f, 3) AS LONG)").as("epoch"),
+        expr("try_cast(try_element_at(f, 2) AS DOUBLE)").as("value"))
+      .where(col("metric").isNotNull && col("epoch").isNotNull &&
+        col("value").isNotNull)
+      .select(col("metric"), timestamp_seconds(col("epoch")).as("ts"),
+        col("value"))
+
+  /** R3+R5: tumbling-window rollup with bounded lateness — the streaming
+    * form of the batch `q_ts_rollup_*` family. */
+  def tumblingRollup(points: DataFrame, step: String = "1 minute",
+      lateness: String = "10 minutes"): DataFrame =
+    points
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), step), col("metric"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"),
+        max(col("value")).as("max_v"))
+      .select(col("window.start").as("bucket"), col("metric"),
+        col("n"), col("avg_v"), col("max_v"))
+
+  /** Graphite movingAverage analog: sliding windows (length, slide). */
+  def slidingRollup(points: DataFrame, length: String = "10 minutes",
+      slide: String = "1 minute", lateness: String = "10 minutes"): DataFrame =
+    points
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), length, slide), col("metric"))
+      .agg(avg(col("value")).as("avg_v"), count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("metric"), col("avg_v"), col("n"))
+
+  /** Session windows: activity bursts per metric separated by > gap.
+    * Note: Spark rejects Update output mode for session-window aggs —
+    * sinks must use Append (watermark-gated emission) or Complete. */
+  def sessionAgg(points: DataFrame, gap: String = "30 seconds",
+      lateness: String = "10 minutes"): DataFrame =
+    points
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("metric"), col("n"),
+        col("sum_v"))
+
+  /** Idempotent ingest: drop replayed points (same metric+ts) while their
+    * window is still inside the watermark. */
+  def dedupIngest(points: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    points
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("metric", "ts"))
+
+  /** R10/R15 live last-value cache per metric, as explicit state:
+    * arbitrary stateful op via mapGroupsWithState. The state store IS
+    * the MetricCache. */
+  def statefulLast(points: Dataset[Point]): Dataset[LastValue] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.metric)
+      .mapGroupsWithState[LastValue, LastValue](
+        GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Point], state: GroupState[LastValue]) =>
+          val prev = state.getOption
+          var best = prev.map(lv => Point(metric, lv.ts, lv.value))
+          var n = prev.map(_.n_updates).getOrElse(0L)
+          rows.foreach { p =>
+            n += 1
+            if (best.forall(b => p.ts.compareTo(b.ts) >= 0)) best = Some(p)
+          }
+          val out = LastValue(metric, best.get.ts, best.get.value, n)
+          state.update(out)
+          out
+      }
+  }
+
+  /** R11 writer loop: micro-batch → aligned rollup rows appended to a
+    * parquet table (the `update_many` analog; each batch is one
+    * sequential columnar write). Returns the DataStreamWriter-ready
+    * function for `.writeStream.foreachBatch(...)`. */
+  def rollupBatchWriter(outDir: String, stepSec: Long = 60L)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    batch
+      .groupBy(col("metric"),
+        timestamp_seconds(
+          (col("ts").cast("long") / stepSec).cast("long") * stepSec)
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(outDir)
+  }
+
+  /** R15 read-merge: the serving view = flushed storage UNION live
+    * not-yet-flushed state (here: the in-memory sink table of a running
+    * rollup query vs a batch table). */
+  def cacheMerge(disk: DataFrame, live: DataFrame): DataFrame =
+    disk.select(col("bucket"), col("metric"), col("n"))
+      .withColumn("src", lit("disk"))
+      .unionByName(
+        live.select(col("bucket"), col("metric"), col("n"))
+          .withColumn("src", lit("cache")))
+}

@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Ingest, Point}
+
+/** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
+  * §2.3). Each test runs a real StreamingQuery against the in-memory
+  * source/sink and asserts on observable results. */
+class StreamingSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode = OutputMode.Update()) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q
+  }
+
+  test("s_ingest_parse: line protocol parses, malformed lines dropped") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[String]
+    in.addData("cpu.load 0.75 1700000000", "mem.used 1234 1700000060",
+      "garbage", "cpu.load NaNope 1700000120", "a b c d")
+    val q = runToMemory(Ingest.parseLines(in.toDF()), "parsed",
+      OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql("SELECT * FROM parsed ORDER BY metric").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).sameElements(Array("cpu.load", "mem.used")))
+    assert(rows(0).getDouble(2) == 0.75)
+  }
+
+  test("s_tumbling_agg + s_watermark_late: rollup updates, late row dropped") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(Ingest.tumblingRollup(in.toDF(), "1 minute",
+      "10 minutes"), "rollup")
+    in.addData(Point("cpu", ts("2024-01-01 10:00:10"), 1.0),
+      Point("cpu", ts("2024-01-01 10:00:40"), 3.0))
+    q.processAllAvailable()
+    val v1 = sp.sql("SELECT n, avg_v FROM rollup WHERE metric='cpu'").collect()
+    assert(v1.head.getLong(0) == 2 && v1.head.getDouble(1) == 2.0)
+    // advance watermark far beyond 10:00 + 10m
+    in.addData(Point("cpu", ts("2024-01-01 11:00:00"), 5.0))
+    q.processAllAvailable()
+    // this point's window (10:00) is now < watermark → must be dropped
+    in.addData(Point("cpu", ts("2024-01-01 10:00:50"), 100.0))
+    q.processAllAvailable(); q.stop()
+    val v2 = sp.sql(
+      "SELECT n FROM rollup WHERE metric='cpu' AND bucket=timestamp'2024-01-01 10:00:00' ORDER BY n DESC").collect()
+    assert(v2.head.getLong(0) == 2, "late row must not update the old bucket")
+  }
+
+  test("s_sliding_agg: point lands in length/slide windows") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(Ingest.slidingRollup(in.toDF(), "10 minutes",
+      "5 minutes"), "sliding")
+    in.addData(Point("cpu", ts("2024-01-01 10:07:00"), 4.0))
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql("SELECT w_start FROM sliding").collect()
+    assert(rows.length == 2) // 10:00 and 10:05 windows
+  }
+
+  test("s_session_window: gap > 30s starts a new session") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(Ingest.sessionAgg(in.toDF(), "30 seconds"), "sessions",
+      OutputMode.Complete())
+    in.addData(Point("cpu", ts("2024-01-01 10:00:00"), 1.0),
+      Point("cpu", ts("2024-01-01 10:00:20"), 1.0), // same session
+      Point("cpu", ts("2024-01-01 10:05:00"), 1.0)) // new session
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql("SELECT n FROM sessions ORDER BY s_start").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).sameElements(Array(2L, 1L)))
+  }
+
+  test("s_dedup_ids: replayed (metric, ts) dropped within watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(Ingest.dedupIngest(in.toDF()), "deduped",
+      OutputMode.Append())
+    in.addData(Point("cpu", ts("2024-01-01 10:00:00"), 1.0),
+      Point("cpu", ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    in.addData(Point("cpu", ts("2024-01-01 10:00:00"), 99.0)) // replay again
+    q.processAllAvailable(); q.stop()
+    assert(sp.sql("SELECT * FROM deduped").count() == 1)
+  }
+
+  test("s_stateful_last: state tracks max-ts value and update count") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(Ingest.statefulLast(in.toDS()).toDF(), "lastv")
+    in.addData(Point("cpu", ts("2024-01-01 10:00:00"), 1.0),
+      Point("cpu", ts("2024-01-01 10:02:00"), 7.0),
+      Point("cpu", ts("2024-01-01 10:01:00"), 3.0)) // out of order
+    q.processAllAvailable()
+    in.addData(Point("cpu", ts("2024-01-01 10:03:00"), 9.0))
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql(
+      "SELECT value, n_updates FROM lastv WHERE metric='cpu' ORDER BY n_updates DESC").collect()
+    assert(rows.head.getDouble(0) == 9.0, "last = value at max ts")
+    assert(rows.head.getLong(1) == 4, "state must count all updates")
+  }
+
+  test("s_foreachbatch_rollup + s_cache_merge: batch writes + live union") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    val in = MemoryStream[Point]
+    val q = in.toDF().writeStream
+      .foreachBatch(Ingest.rollupBatchWriter(dir, 60L))
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Point("cpu", ts("2024-01-01 10:00:10"), 2.0),
+      Point("cpu", ts("2024-01-01 10:00:30"), 4.0))
+    q.processAllAvailable()
+    in.addData(Point("cpu", ts("2024-01-01 10:01:10"), 6.0))
+    q.processAllAvailable(); q.stop()
+    val disk = sp.read.parquet(dir)
+    assert(disk.count() == 2, "one rollup row per (batch, bucket)")
+    assert(disk.where(col("bucket") === ts("2024-01-01 10:00:00"))
+      .head.getLong(2) == 2)
+    // cache-merge: disk rollups union a live "cache" relation
+    val live = Seq((ts("2024-01-01 10:02:00"), "cpu", 1L))
+      .toDF("bucket", "metric", "n")
+    val merged = Ingest.cacheMerge(disk, live).collect()
+    assert(merged.length == 3)
+    assert(merged.count(_.getString(3) == "cache") == 1)
+  }
+}
