@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan properties — the 100 TB posture checked mechanically.
+  * These run analysis/planning only (no execution), so covering every
+  * declared query is cheap. */
+class PlanSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no query plans a CartesianProduct (all cross joins broadcast)") {
+    val offenders = SparkEntry.queries.keys.filter { q =>
+      plan(q).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    Seq("q_ts_rollup_avg", "q_ts_rollup_sum", "q_join_inner",
+      "q_agg_distinct", "q_llm_text_stats").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q has no partial aggregation:\n$p")
+    }
+  }
+
+  test("global top-k uses TakeOrderedAndProject, not a full sort") {
+    Seq("q_ts_topk_series", "q_sort_limit", "q_scan_project",
+      "q_llm_cosine_topk").foreach { q =>
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q does a full global sort for a limited result")
+    }
+  }
+
+  test("events scan prunes to the referenced columns only") {
+    val p = plan("q_ts_rollup_avg")
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.split(",").length == 3, s"expected 3 columns, got: $schema")
+  }
+
+  test("dimension joins broadcast (nation/part/grid side)") {
+    Seq("q_join_inner", "q_join_broadcast", "q_ts_gapfill").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q should broadcast its small side")
+    }
+  }
+}
