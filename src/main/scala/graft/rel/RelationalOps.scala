@@ -102,20 +102,27 @@ object RelationalOps {
       .orderBy("c_custkey")
 
   /** As-of join (no native Spark op): for each purchase, the latest
-    * signup of the same user at-or-before it. Equi-key on user_id bounds
-    * the range condition, so this shuffles on user_id like a normal join;
-    * the aggregate collapses the bounded fan-out. At 100 TB the same plan
-    * holds with date-bucketed pre-partitioning on both sides. */
+    * signup of the same user at-or-before it.
+    *
+    * Implemented as the scale-safe union + ordered-window form: tag both
+    * sides, sort within user by (ts, side) — signups before purchases at
+    * equal ts, making the bound inclusive — and carry the last non-null
+    * signup ts forward. ONE shuffle on user_id, O(n log n), zero join
+    * fan-out: at 100 TB this beats any range join, whose per-key
+    * candidate sets grow with history length. */
   def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
-    val p = e.where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
-    val s = e.where(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
-    p.join(s, p("user_id") === col("s_user") && col("s_ts") <= col("p_ts"),
-        "left")
-      .groupBy(col("event_id"), col("user_id"), col("p_ts"))
-      .agg(max(col("s_ts")).as("signup_ts"))
+      .where(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "signup", col("ts")).as("s_ts"),
+        (col("event_type") === "purchase").as("is_p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("signup_ts", last(col("s_ts"), ignoreNulls = true).over(w))
+      .where(col("is_p"))
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        col("signup_ts"))
       .orderBy("event_id")
   }
 
