@@ -118,4 +118,41 @@ object RollupRouter {
       .agg(v.as("v"), count(lit(1)).as("n"))
       .orderBy("bucket")
   }
+
+  /** Archive migration (kenshin-resize, R19 [U `bin/` tools]): re-aggregate
+    * an existing rollup table `(metric, bucket, v, n)` to a coarser step.
+    * Kenshin-faithful: aggregates the STORED archive values (avg-of-avgs
+    * for Average — same as propagation R5), weights counts additively.
+    * `newStep` must be a multiple of the table's step (checked by caller
+    * via the policy invariants). */
+  def resample(rollup: DataFrame, newStepSeconds: Long,
+      agg: AggMethod = AggMethod.Average): DataFrame = {
+    val bucket = timestamp_seconds(
+      (col("bucket").cast("long") / newStepSeconds).cast("long") *
+        lit(newStepSeconds))
+    val v = agg match {
+      case AggMethod.Average => avg(col("v"))
+      case AggMethod.Sum => sum(col("v"))
+      case AggMethod.Max => max(col("v"))
+      case AggMethod.Min => min(col("v"))
+      case AggMethod.Last => max_by(col("v"), col("bucket"))
+    }
+    rollup
+      .groupBy(col("metric"), bucket.as("bucket"))
+      .agg(v.as("v"), sum(col("n")).as("n"))
+      .orderBy("metric", "bucket")
+  }
+
+  /** `kenshin-info` analog (R7/R17): human-readable description of a
+    * policy — the header a packed Kenshin file would carry. */
+  def describe(policy: RetentionPolicy): String = {
+    val archives = policy.archives.map(a =>
+      s"  ${a.secondsPerPoint}s × ${a.points} pts " +
+        s"(retention ${a.retentionSeconds}s → ${tableFor(a)})").mkString("\n")
+    s"""policy: ${policy.name}
+       |pattern: ${policy.pattern}
+       |agg: ${policy.agg.name}  xFilesFactor: ${policy.xFilesFactor}
+       |archives (highest resolution first):
+       |$archives""".stripMargin
+  }
 }

@@ -63,6 +63,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum == total)
   }
 
+  test("resample: coarser archive conserves counts; avg-of-avgs semantics") {
+    val spark = TestSpark.spark
+    val pts = graft.io.Tables.events(spark, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    val p = RetentionPolicy("t", ".*".r, Seq(Archive(3600, 1000000)))
+    val h1 = RollupRouter.fetch(pts, p, col("metric") === "click", 3600)
+      .withColumn("metric", lit("click"))
+    val h6 = RollupRouter.resample(h1, 6 * 3600, AggMethod.Average).collect()
+    assert(h6.nonEmpty)
+    // counts conserve through migration
+    val n1 = h1.agg(sum("n")).head.getLong(0)
+    assert(h6.map(_.getLong(3)).sum == n1)
+    // buckets aligned to the new step
+    h6.foreach(r => assert(r.getTimestamp(1).getTime % (6 * 3600 * 1000L) == 0))
+  }
+
+  test("describe renders the policy header") {
+    val d = RollupRouter.describe(cat.policyFor("cpu.load"))
+    assert(d.contains("high_freq") && d.contains("rollup_10s") &&
+      d.contains("xFilesFactor"))
+  }
+
   test("property: gapfill density — rows == types × buckets (scalacheck'd on steps)") {
     val spark = TestSpark.spark
     // fixed corpus, varying conceptual step: reuse the 6h gapfill query
