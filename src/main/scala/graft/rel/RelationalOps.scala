@@ -179,6 +179,37 @@ object RelationalOps {
       .orderBy("l_linestatus")
   }
 
+  /** Pearson correlation from exact decimal sums + the shared IEEE
+    * formula (engine-native corr() accumulation differs across engines).
+    * Per-row products have ≤4 true decimals, so the DECIMAL(18,4) casts
+    * are exact; widened decimal sums stay below 2^53 scaled at sf0.01. */
+  def aggCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    def s(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(18,4)")).cast("double")
+    val nd = count(lit(1)).cast("double")
+    val sx = s(col("l_quantity")); val sy = s(col("l_extendedprice"))
+    val sxy = s(col("l_quantity") * col("l_extendedprice"))
+    val sxx = s(col("l_quantity") * col("l_quantity"))
+    val syy = s(col("l_extendedprice") * col("l_extendedprice"))
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4((nd * sxy - sx * sy) /
+          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_qp"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Exact interpolated percentiles (median + p90) per return flag —
+    * Spark percentile() and DuckDB quantile_cont share linear
+    * interpolation; r4 absorbs last-ulp arithmetic differences. */
+  def aggPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+        Det.r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"))
+      .orderBy("l_returnflag")
+
   /** HLL++ sketch distinct (no oracle — approximate; bounds in spec). */
   def aggHll(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -343,6 +374,8 @@ object RelationalOps {
     "q_agg_rollup_sets" -> aggRollupSets _,
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_stats" -> aggStats _,
+    "q_agg_corr" -> aggCorr _,
+    "q_agg_percentile" -> aggPercentile _,
     "q_agg_hll" -> aggHll _,
     "q_window_rank" -> windowRank _,
     "q_window_running" -> windowRunning _,
@@ -438,6 +471,24 @@ object RelationalOps {
         |FROM lineitem GROUP BY l_linestatus
         |ORDER BY l_linestatus NULLS FIRST""".stripMargin
     },
+    "q_agg_corr" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      def s(e: String) = s"CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+      val sx = s("l_quantity"); val sy = s("l_extendedprice")
+      val sxy = s("l_quantity * l_extendedprice")
+      val sxx = s("l_quantity * l_quantity")
+      val syy = s("l_extendedprice * l_extendedprice")
+      s"""SELECT l_linestatus, count(*) AS n,
+        |       ${r4Sql(s"($n * $sxy - $sx * $sy) / (sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy))")} AS corr_qp
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus NULLS FIRST""".stripMargin
+    },
+    "q_agg_percentile" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+        |       ${r4Sql("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
+        |       ${r4Sql("quantile_cont(l_quantity, 0.9)")} AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |       rank() OVER w AS rnk, dense_rank() OVER w AS drnk

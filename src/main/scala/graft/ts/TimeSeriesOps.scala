@@ -148,7 +148,21 @@ object TimeSeriesOps {
       .orderBy(desc("s"), col("user_id"))
       .limit(10)
 
+  /** Graphite-layer `derivative`: per-series delta between consecutive
+    * rollup buckets (the rate-of-change read on counters). Window over
+    * the already-aggregated hourly rollup — tiny relative to raw. */
+  def derivative(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    h1.withColumn("dv", Det.r4(col("v") - lag(col("v"), 1).over(w)))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_derivative" -> derivative _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
     "q_ts_rollup_minmax" -> rollupMinMax _,
@@ -166,6 +180,15 @@ object TimeSeriesOps {
     * round(x,4) DOUBLE, explicit NULLS FIRST on ASC / NULLS LAST on DESC,
     * identical column names, total ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    "q_ts_derivative" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, v,
+        |       ${Det.r4Sql("v - lag(v, 1) OVER (PARTITION BY event_type ORDER BY bucket)")} AS dv
+        |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_rollup_avg" ->
       s"""SELECT event_type, date_trunc('hour', ts) AS bucket, ${Det.avg4Sql("value")} AS v
         |FROM events GROUP BY 1, 2
