@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical layout at production scale — the part of the 100 TB story
+  * that is data placement, not query shape.
+  *
+  * Kenshin's packed ring files achieve (a) O(1) expiry by overwrite and
+  * (b) batched sequential IO. In a lake layout the same economics come
+  * from: date partitioning (expiry = partition drop, pruning = free
+  * range predicates), metric-hash bucketing inside each date (bounded
+  * file counts + co-located series reads), and rollup tables replacing
+  * raw beyond each archive's retention (RollupRouter).
+  */
+object Layout {
+
+  /** Write points date-partitioned: `.../date=YYYY-MM-DD/part-*.parquet`.
+    * Range predicates on `ts` prune partitions at read (PartitionFilters);
+    * retention expiry is `rm` of whole directories — Kenshin's ring
+    * overwrite, lake-style. */
+  def writeDatePartitioned(points: DataFrame, path: String,
+      tsCol: String = "ts"): Unit =
+    points
+      .withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("date")) // one shuffle → one writer set per day
+      .write.partitionBy("date").mode("overwrite").parquet(path)
+
+  /** Read back with pruning intact (`date` stays a partition column). */
+  def readDatePartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Two-phase (salted) aggregation for skewed keys: partial-aggregate on
+    * (key, salt) to spread a hot key over `salts` reducers, then combine.
+    * `merge` must be the algebraic combine of `partial` (sum/sum, etc.).
+    * Results are identical to a direct groupBy — this only reshapes the
+    * shuffle. Use when one key holds ≫ 1/partitions of the data. */
+  def saltedAgg(df: DataFrame, key: Column, salts: Int,
+      partial: Column => Column, merge: Column => Column,
+      valueCol: Column): DataFrame =
+    df.groupBy(key.as("k"), pmod(spark_hash(valueCol), lit(salts)).as("salt"))
+      .agg(partial(valueCol).as("pv"))
+      .groupBy(col("k"))
+      .agg(merge(col("pv")).as("v"))
+
+  // spark's hash under a stable local name (used as the salt source —
+  // any per-row value works; hashing the value itself avoids needing a
+  // random column and keeps the salt deterministic)
+  private def spark_hash(c: Column): Column = hash(c)
+}

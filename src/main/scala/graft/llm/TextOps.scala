@@ -182,7 +182,13 @@ object TextOps {
 
   /** SimHash near-dup: 64-bit signature from per-bit majority vote of
     * token hashes; near pairs = lowest hamming distance (≤ 16), found by
-    * signature comparison only. No oracle (engine-internal hash). */
+    * signature comparison only. No oracle (engine-internal hash).
+    *
+    * Scale note: signature computation is linear and shuffles 8 bytes/doc;
+    * the PAIRING below is an exact O(n²) scan over signatures (cheap per
+    * pair — one XOR+popcount — fine to ~10^5 docs). At 10^8+ docs swap the
+    * pairing stage for Charikar-style sorted multi-probe passes (rotate,
+    * sort by prefix, compare neighbors); the signature stage is unchanged. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(toks).as("t"))

@@ -161,8 +161,21 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Graphite `keepLastValue` / LOCF: the gap-filled fetch with forward
+    * fill — nulls carry the last observed rollup value within a series.
+    * One window over the dense grid; the grid itself broadcasts (R4). */
+  def locf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gapfill(spark, sfDir)
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_derivative" -> derivative _,
+    "q_ts_locf" -> locf _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
     "q_ts_rollup_minmax" -> rollupMinMax _,
@@ -226,6 +239,25 @@ object TimeSeriesOps {
         |FROM g CROSS JOIN t
         |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
         |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
+    "q_ts_locf" ->
+      s"""WITH r AS (
+        |  SELECT event_type,
+        |         TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 21600000000) * 21600) * INTERVAL '1 second' AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT unnest(generate_series((SELECT min(bucket) FROM r),
+        |                                    (SELECT max(bucket) FROM r),
+        |                                    INTERVAL '6 hour')) AS bucket),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |dense AS (
+        |  SELECT t.event_type, g.bucket, r.v
+        |  FROM g CROSS JOIN t
+        |  LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket)
+        |SELECT event_type, bucket, v,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM dense
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_xff" ->
       s"""SELECT event_type, date_trunc('hour', ts) AS bucket,
         |       ${Det.avg4Sql("value")} AS v, count(*) AS n
