@@ -50,6 +50,20 @@ object TextOps {
           .as("avg_tokens"))
       .orderBy("lang")
 
+  /** Regex (BPE-ish) token counting alongside whitespace tokens: the
+    * two token-count estimators a training pipeline budgets with. The
+    * pattern deliberately stays in the regex subset both engines share. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(toks)).as("ws_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))))
+          .as("re_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))))
+          .as("bpe4_tokens"))
+      .orderBy("lang")
+
   /** Per-document quality scoring: token counts, type-token ratio,
     * stopword ratio, and a composite score — the standard cheap filters
     * in front of LLM training ingestion. */
@@ -230,6 +244,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_exact_dedup" -> exactDedup _,
     "q_llm_text_stats" -> textStats _,
+    "q_llm_token_count" -> tokenCount _,
     "q_llm_quality" -> quality _,
     "q_llm_jaccard_pairs" -> jaccardPairs _,
     "q_llm_langid" -> langid _,
@@ -252,6 +267,13 @@ object TextOps {
       s"""SELECT lang, count(*) AS n,
         |       ${r4Sql("CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS avg_chars,
         |       ${r4Sql("CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)")} AS avg_tokens
+        |FROM documents GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_llm_token_count" ->
+      """SELECT lang, count(*) AS n,
+        |       sum(len(string_split(text, ' '))) AS ws_tokens,
+        |       sum(len(regexp_extract_all(text, '[a-z]+'))) AS re_tokens,
+        |       sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS bpe4_tokens
         |FROM documents GROUP BY lang
         |ORDER BY lang NULLS FIRST""".stripMargin,
     "q_llm_quality" -> {
