@@ -353,6 +353,45 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  /** Pivot: per-user event-type value matrix (wide rollup read). The
+    * pivot column list is explicit, so the plan is a single pass with
+    * conditional aggregates — no collect-distinct stage. */
+  def pivotEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(coalesce(Det.dsum4(col("value")), lit(0.0)))
+      .orderBy("user_id")
+
+  /** Scalar-subquery shape: orders pricier than their priority class
+    * average. The comparison is multiplied through (price·n > Σprice)
+    * so it stays in exact decimal arithmetic — no division, no float
+    * divergence between engines. */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("s", sum(col("o_totalprice").cast("decimal(18,4)")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("o_totalprice").cast("decimal(18,4)") * col("n") > col("s"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Array-function family over the embeddings table: length, endpoint
+    * access, min/max, ordered fold — the ARRAY<FLOAT> toolkit. */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        Det.r4(element_at(col("embedding"), 1).cast("double")).as("first"),
+        Det.r4(element_at(col("embedding"), -1).cast("double")).as("last"),
+        Det.r4(array_min(col("embedding")).cast("double")).as("mn"),
+        Det.r4(array_max(col("embedding")).cast("double")).as("mx"),
+        Det.r4(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double"))).as("s"))
+      .orderBy("vec_id")
+
   /** Generator/UDTF surface: token explosion, top-20 by frequency. */
   def explodeTokens(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -389,6 +428,9 @@ object RelationalOps {
     "q_date_funcs" -> dateFuncs _,
     "q_math_funcs" -> mathFuncs _,
     "q_json_funcs" -> jsonFuncs _,
+    "q_pivot_events" -> pivotEvents _,
+    "q_scalar_subquery" -> scalarSubquery _,
+    "q_array_funcs" -> arrayFuncs _,
     "q_explode_tokens" -> explodeTokens _
   )
 
@@ -579,6 +621,32 @@ object RelationalOps {
         |       ${r4Sql("CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*)")} AS avg_k
         |FROM events GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_pivot_events" -> {
+      def s(t: String) =
+        s"coalesce(CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = '$t') AS DOUBLE), 0.0) AS $t"
+      s"""SELECT user_id, ${s("click")}, ${s("error")}, ${s("purchase")},
+        |       ${s("signup")}, ${s("view")}
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin
+    },
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |           OVER (PARTITION BY o_orderpriority) AS s,
+        |         count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders) t
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * n > s
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+    "q_array_funcs" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |       ${r4Sql("CAST(embedding[1] AS DOUBLE)")} AS first,
+        |       ${r4Sql("CAST(embedding[-1] AS DOUBLE)")} AS last,
+        |       ${r4Sql("CAST(list_min(embedding) AS DOUBLE)")} AS mn,
+        |       ${r4Sql("CAST(list_max(embedding) AS DOUBLE)")} AS mx,
+        |       ${r4Sql("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))")} AS s
+        |FROM embeddings
+        |ORDER BY vec_id NULLS FIRST""".stripMargin,
     "q_explode_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

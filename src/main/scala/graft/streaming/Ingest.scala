@@ -14,6 +14,13 @@ case class Point(metric: String, ts: java.sql.Timestamp, value: Double)
 case class LastValue(metric: String, ts: java.sql.Timestamp, value: Double,
     n_updates: Long)
 
+/** A closed activity session for one metric. */
+case class SessionSummary(metric: String, start: java.sql.Timestamp,
+    end: java.sql.Timestamp, n: Long, sum_v: Double)
+
+/** Running session accumulator (epoch millis bounds). */
+case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
+
 /** Kenshin's ingestion daemon (rurouni-cache) re-expressed as Structured
   * Streaming: protocol parse → in-memory accumulation (micro-batch +
   * state store replaces MetricCache) → batched rollup writes (foreachBatch
@@ -108,6 +115,56 @@ object Ingest {
           val out = LastValue(metric, best.get.ts, best.get.value, n)
           state.update(out)
           out
+      }
+  }
+
+  /** Explicit sessionization with EVENT-TIME TIMEOUT — the MetricCache
+    * drain-by-age policy (R10) as arbitrary state: a session closes
+    * either when a later point arrives beyond the gap, or when the
+    * WATERMARK passes end+gap with no successor (flatMapGroupsWithState
+    * emits it from the timeout branch — something session_window's
+    * built-in agg also does, but here the state transition is ours). */
+  def sessionize(points: Dataset[Point], gapSeconds: Long = 30,
+      lateness: String = "10 minutes"): Dataset[SessionSummary] = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapMs = gapSeconds * 1000L
+    points
+      .withWatermark("ts", lateness)
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (metric: String, rows: Iterator[Point], state: GroupState[SessionState]) =>
+          def close(s: SessionState) = SessionSummary(metric,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
+            s.n, s.sum)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { p =>
+              val t = p.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
+                    s.n + 1, s.sum + p.value))
+                case Some(s) =>
+                  closed += close(s)
+                  cur = Some(SessionState(t, t, 1, p.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, p.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
       }
   }
 

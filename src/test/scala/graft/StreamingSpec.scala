@@ -122,6 +122,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) == 4, "state must count all updates")
   }
 
+  test("s_sessionize: gap closes in-batch; watermark timeout closes idle") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(Ingest.sessionize(in.toDS(), 30).toDF(), "szn",
+      OutputMode.Append())
+    // burst 1 then, same batch, a point past the gap → burst 1 closes inline
+    in.addData(Point("cpu", ts("2024-01-01 10:00:00"), 1.0),
+      Point("cpu", ts("2024-01-01 10:00:20"), 2.0),
+      Point("cpu", ts("2024-01-01 10:05:00"), 5.0))
+    q.processAllAvailable()
+    val inline = sp.sql("SELECT n, sum_v FROM szn").collect()
+    assert(inline.length == 1 && inline.head.getLong(0) == 2 &&
+      inline.head.getDouble(1) == 3.0)
+    // advance the GLOBAL watermark via another metric far in the future →
+    // cpu's idle session (ended 10:05) times out and is emitted
+    in.addData(Point("mem", ts("2024-01-01 11:00:00"), 0.0))
+    q.processAllAvailable()
+    in.addData(Point("mem", ts("2024-01-01 12:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val all = sp.sql("SELECT metric, n FROM szn ORDER BY metric, n").collect()
+    assert(all.exists(r => r.getString(0) == "cpu" && r.getLong(1) == 1),
+      s"timeout session missing: ${all.mkString(",")}")
+  }
+
   test("s_foreachbatch_rollup + s_cache_merge: batch writes + live union") {
     val sp = spark
     import sp.implicits._
