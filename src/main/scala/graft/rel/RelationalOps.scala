@@ -152,6 +152,36 @@ object RelationalOps {
         Det.dsum4(col("l_extendedprice")).as("rev"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** CUBE: all four grouping combinations of (flag, status) in one pass. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum4(col("l_quantity")).as("qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Unpivot (melt): the per-user pivoted matrix back to long form —
+    * wide→long reshaping without a generator UDF. */
+  def unpivotEvents(spark: SparkSession, sfDir: String): DataFrame =
+    pivotEvents(spark, sfDir)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"),
+          col("view")),
+        "event_type", "v")
+      .orderBy("user_id", "event_type")
+
+  /** Rank statistics: percent_rank, cume_dist, ntile — distribution
+    * position reads per priority class. */
+  def windowPctRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pr", Det.r4(percent_rank().over(w)))
+      .withColumn("cd", Det.r4(cume_dist().over(w)))
+      .withColumn("nt", ntile(4).over(w))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
   /** Distinct aggregate: distinct parts + suppliers per return flag. */
   def aggDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -411,6 +441,9 @@ object RelationalOps {
     "q_join_asof" -> joinAsof _,
     "q_join_interval" -> joinInterval _,
     "q_agg_rollup_sets" -> aggRollupSets _,
+    "q_agg_cube" -> aggCube _,
+    "q_unpivot_events" -> unpivotEvents _,
+    "q_window_pctrank" -> windowPctRank _,
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_stats" -> aggStats _,
     "q_agg_corr" -> aggCorr _,
@@ -498,6 +531,32 @@ object RelationalOps {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       ${dsum4Sql("l_quantity")} AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_unpivot_events" -> {
+      def s(t: String) =
+        s"""SELECT user_id, '$t' AS event_type,
+           |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = '$t') AS DOUBLE), 0.0) AS v
+           |FROM events GROUP BY user_id""".stripMargin
+      Seq("click", "error", "purchase", "signup", "view").map(s)
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY user_id NULLS FIRST, event_type NULLS FIRST")
+    },
+    "q_window_pctrank" -> {
+      s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       ${r4Sql("percent_rank() OVER w")} AS pr,
+        |       ${r4Sql("cume_dist() OVER w")} AS cd,
+        |       ntile(4) OVER w AS nt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority NULLS FIRST, o_totalprice NULLS FIRST,
+        |         o_orderkey NULLS FIRST""".stripMargin
+    },
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |       count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
