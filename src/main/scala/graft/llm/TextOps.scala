@@ -121,24 +121,26 @@ object TextOps {
   def langid(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("t"))
-    val langTot = tok.groupBy(col("lang").as("l_cand"))
-      .agg(count(lit(1)).as("tot"))
-    val vocab = tok.agg(countDistinct(col("t")).as("v"))
-    val model = tok.groupBy(col("lang").as("l_cand"), col("t"))
+    // one shuffle over tokens builds the term-frequency table; totals and
+    // vocabulary size derive from THAT tiny relation, not a token rescan
+    val tf = tok.groupBy(col("lang").as("l_cand"), col("t"))
       .agg(count(lit(1)).as("cnt"))
-      .join(langTot, "l_cand").crossJoin(vocab)
+    val langTot = tf.groupBy(col("l_cand")).agg(sum(col("cnt")).as("tot"))
+    val vocab = tf.agg(countDistinct(col("t")).as("v"))
+    val model = tf.join(langTot, "l_cand").crossJoin(vocab)
       .select(col("l_cand"), col("t"),
         log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
-    val scored = tok.select(col("doc_id"), col("lang"), col("t"))
+    // argmax folded into the aggregation (max of (score, lang) struct) —
+    // no extra window shuffle over the scored relation
+    tok.select(col("doc_id"), col("lang"), col("t"))
       .join(broadcast(model), "t")
       .groupBy(col("doc_id"), col("lang"), col("l_cand"))
       .agg(sum(col("lp")).as("score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("l_cand"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(struct(col("score"), col("l_cand"))).as("m"))
       .select(col("doc_id"), col("lang").as("true_lang"),
-        col("l_cand").as("pred_lang"),
-        (col("lang") === col("l_cand")).as("hit"))
+        col("m.l_cand").as("pred_lang"),
+        (col("lang") === col("m.l_cand")).as("hit"))
       .orderBy("doc_id")
   }
 
