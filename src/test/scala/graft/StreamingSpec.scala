@@ -148,6 +148,37 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout session missing: ${all.mkString(",")}")
   }
 
+  test("stateful rollup runs on the RocksDB state store (prod backend)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Point]
+      val q = runToMemory(Ingest.tumblingRollup(in.toDF(), "1 minute",
+        "10 minutes"), "rocks_rollup")
+      in.addData(Point("cpu", ts("2024-01-01 10:00:10"), 1.0),
+        Point("cpu", ts("2024-01-01 10:00:40"), 3.0))
+      q.processAllAvailable()
+      in.addData(Point("cpu", ts("2024-01-01 10:00:50"), 5.0))
+      q.processAllAvailable()
+      // state must merge across micro-batches through RocksDB
+      val n = sp.sql("SELECT max(n) FROM rocks_rollup WHERE metric='cpu'")
+        .head.getLong(0)
+      assert(n == 3, s"RocksDB-backed state lost rows: n=$n")
+      assert(q.lastProgress.stateOperators.nonEmpty)
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+  }
+
   test("s_foreachbatch_rollup + s_cache_merge: batch writes + live union") {
     val sp = spark
     import sp.implicits._
