@@ -79,6 +79,31 @@ class CatalogSpec extends AnyFunSuite {
     h6.foreach(r => assert(r.getTimestamp(1).getTime % (6 * 3600 * 1000L) == 0))
   }
 
+  test("incremental rollup maintenance equals full recompute") {
+    val spark = TestSpark.spark
+    import graft.ts.RollupMaintain
+    val pts = graft.io.Tables.events(spark, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    val split = "2024-01-20 00:00:00"
+    // state as of the split: rollup of everything seen so far (the last
+    // bucket is partial — exactly the frontier case)
+    val existing = RollupMaintain.full(
+      pts.where(col("ts") < lit(split).cast("timestamp")), 3600L)
+    val merged = RollupMaintain.incremental(pts, existing, 3600L)
+      .orderBy("metric", "bucket").collect()
+    val reference = RollupMaintain.full(pts, 3600L)
+      .orderBy("metric", "bucket").collect()
+    assert(merged.length == reference.length)
+    merged.zip(reference).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) &&
+        a.getTimestamp(1) == b.getTimestamp(1) && a.getLong(3) == b.getLong(3))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-9)
+    }
+    // bootstrap: empty existing state must yield the full recompute
+    val boot = RollupMaintain.incremental(pts, existing.limit(0), 3600L)
+    assert(boot.count() == reference.length)
+  }
+
   test("describe renders the policy header") {
     val d = RollupRouter.describe(cat.policyFor("cpu.load"))
     assert(d.contains("high_freq") && d.contains("rollup_10s") &&
