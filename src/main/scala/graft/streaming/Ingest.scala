@@ -184,6 +184,23 @@ object Ingest {
       .write.mode("append").parquet(outDir)
   }
 
+  /** Stream-stream interval join: purchases enriched with the same
+    * user's signups within [p.ts - window, p.ts]. Both sides carry
+    * watermarks so the join state is bounded — the streaming form of the
+    * as-of read (q_join_asof is the batch twin). */
+  def streamStreamAsof(purchases: DataFrame, signups: DataFrame,
+      windowSpec: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("metric").as("p_metric"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val s = signups.withWatermark("ts", lateness)
+      .select(col("metric").as("s_metric"), col("ts").as("s_ts"))
+    p.join(s,
+      col("p_metric") === col("s_metric") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $windowSpec"))
+  }
+
   /** R15 read-merge: the serving view = flushed storage UNION live
     * not-yet-flushed state (here: the in-memory sink table of a running
     * rollup query vs a batch table). */

@@ -148,6 +148,27 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout session missing: ${all.mkString(",")}")
   }
 
+  test("s_stream_stream_join: bounded interval join across two streams") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val purchases = MemoryStream[Point]
+    val signups = MemoryStream[Point]
+    val joined = Ingest.streamStreamAsof(purchases.toDF(), signups.toDF(),
+      "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    signups.addData(Point("u1", ts("2024-01-01 09:30:00"), 0.0), // in window
+      Point("u1", ts("2024-01-01 07:00:00"), 0.0)) // too old
+    purchases.addData(Point("u1", ts("2024-01-01 10:00:00"), 9.99),
+      Point("u2", ts("2024-01-01 10:00:00"), 1.0)) // no signup
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql("SELECT p_metric, s_ts FROM ssj").collect()
+    assert(rows.length == 1, s"expected 1 join row, got ${rows.mkString(",")}")
+    assert(rows.head.getString(0) == "u1" &&
+      rows.head.getTimestamp(1) == ts("2024-01-01 09:30:00"))
+  }
+
   test("stateful rollup runs on the RocksDB state store (prod backend)") {
     val sp = spark
     import sp.implicits._
