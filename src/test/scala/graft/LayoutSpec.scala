@@ -24,6 +24,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(sp, sf).write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
+      Tables.lineitem(sp, sf).select("l_orderkey", "l_quantity")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_b")
+      val j = sp.table("orders_b")
+        .join(sp.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      val joinKeyExchanges =
+        "Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
+          .findAllIn(plan).size
+      assert(joinKeyExchanges == 0,
+        s"bucketed join must not shuffle on the join key:\n$plan")
+      assert(j.collect().map(_.getLong(1)).sum ==
+        Tables.lineitem(sp, sf).count())
+    } finally {
+      sp.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      sp.sql("DROP TABLE IF EXISTS orders_b")
+      sp.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val e = Tables.events(spark, sf)
     val direct = e.groupBy(col("event_type").as("k"))
