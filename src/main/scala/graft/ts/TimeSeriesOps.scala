@@ -173,9 +173,40 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Z-score anomaly flagging over the hourly rollup: per-series mean/σ
+    * from exact decimal Σv, Σv² (the [[Det]] discipline), buckets beyond
+    * 2σ flagged. The Graphite alerting-read analog. */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type"))
+    val nd = count(lit(1)).over(w).cast("double")
+    val s1 = sum(col("v").cast("decimal(18,8)")).over(w).cast("double")
+    val s2 = sum((col("v") * col("v")).cast("decimal(18,8)")).over(w)
+      .cast("double")
+    val mean = s1 / nd
+    val sd = sqrt((s2 - (s1 * s1) / nd) / (nd - lit(1.0)))
+    h1.withColumn("z", Det.r4((col("v") - mean) / sd))
+      .where(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("bucket"), col("v"), col("z"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Seasonality profile: mean value per (series, hour-of-day) — the
+    * timeShift/seasonal baseline read. */
+  def hourOfDay(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), Det.avg4(col("value")).as("v"))
+      .orderBy("event_type", "hod")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_derivative" -> derivative _,
     "q_ts_locf" -> locf _,
+    "q_ts_anomaly" -> anomaly _,
+    "q_ts_hourofday" -> hourOfDay _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
     "q_ts_rollup_minmax" -> rollupMinMax _,
@@ -239,6 +270,28 @@ object TimeSeriesOps {
         |FROM g CROSS JOIN t
         |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
         |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
+    "q_ts_anomaly" -> {
+      val n = "CAST(count(*) OVER w AS DOUBLE)"
+      val s1 = "CAST(sum(CAST(v AS DECIMAL(18,8))) OVER w AS DOUBLE)"
+      val s2 = "CAST(sum(CAST(v * v AS DECIMAL(18,8))) OVER w AS DOUBLE)"
+      val z = Det.r4Sql(
+        s"(v - $s1 / $n) / sqrt(($s2 - ($s1 * $s1) / $n) / ($n - 1.0))")
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |zs AS (
+        |  SELECT event_type, bucket, v, $z AS z
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_type, bucket, v, z FROM zs WHERE abs(z) > 2.0
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin
+    },
+    "q_ts_hourofday" ->
+      s"""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |       count(*) AS n, ${Det.avg4Sql("value")} AS v
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, hod NULLS FIRST""".stripMargin,
     "q_ts_locf" ->
       s"""WITH r AS (
         |  SELECT event_type,
