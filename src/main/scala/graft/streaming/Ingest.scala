@@ -53,6 +53,42 @@ object Ingest {
       .select(col("metric"), timestamp_seconds(col("epoch")).as("ts"),
         col("value"))
 
+  /** R14 (batched binary protocol, the pickle-receiver analog): one frame
+    * carries many points — `[n:int32][n × (len:int32, metric:utf8,
+    * ts:int64 epoch-seconds, value:float64)]`, big-endian. Encoder for
+    * producers/tests; the decoder is map-side flatMap (a frame explodes
+    * into points with zero shuffle), malformed frames dropped like the
+    * daemon's tolerant receiver. */
+  def encodeFrame(points: Seq[(String, Long, Double)]): Array[Byte] = {
+    val metricBytes = points.map(_._1.getBytes("UTF-8"))
+    val size = 4 + points.zip(metricBytes)
+      .map { case (_, m) => 4 + m.length + 8 + 8 }.sum
+    val buf = java.nio.ByteBuffer.allocate(size)
+    buf.putInt(points.length)
+    points.zip(metricBytes).foreach { case ((_, ts, v), m) =>
+      buf.putInt(m.length); buf.put(m); buf.putLong(ts); buf.putDouble(v)
+    }
+    buf.array()
+  }
+
+  def parseFrames(frames: Dataset[Array[Byte]]): Dataset[Point] = {
+    import frames.sparkSession.implicits._
+    frames.flatMap { bytes =>
+      try {
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        val n = buf.getInt
+        require(n >= 0 && n < (1 << 20))
+        (0 until n).map { _ =>
+          val len = buf.getInt
+          require(len >= 0 && len <= buf.remaining())
+          val m = new Array[Byte](len); buf.get(m)
+          val ts = buf.getLong; val v = buf.getDouble
+          Point(new String(m, "UTF-8"), new java.sql.Timestamp(ts * 1000L), v)
+        }
+      } catch { case _: Exception => Seq.empty } // tolerant receiver
+    }
+  }
+
   /** R3+R5: tumbling-window rollup with bounded lateness — the streaming
     * form of the batch `q_ts_rollup_*` family. */
   def tumblingRollup(points: DataFrame, step: String = "1 minute",

@@ -202,11 +202,45 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("n"), Det.avg4(col("value")).as("v"))
       .orderBy("event_type", "hod")
 
+  /** Graphite `integral`: cumulative sum per series over the hourly
+    * rollup — exact DECIMAL accumulation inside the window frame. */
+  def integral(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h1.select(col("event_type"), col("bucket"),
+        col("sv").cast("double").as("v"),
+        sum(col("sv")).over(w).cast("double").as("cum"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `timeShift` comparison: each hourly bucket joined with the
+    * same series' bucket 24h earlier (gap-safe: a JOIN on the shifted
+    * key, not lag over a possibly-sparse sequence). */
+  def timeshift(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"))
+    val prev = h1.select(col("event_type").as("e2"),
+      (col("bucket") + expr("INTERVAL 24 HOURS")).as("b2"),
+      col("v").as("v_prev"))
+    h1.join(prev, col("event_type") === col("e2") &&
+        col("bucket") === col("b2"), "left")
+      .select(col("event_type"), col("bucket"), col("v"), col("v_prev"),
+        Det.r4(col("v") - col("v_prev")).as("delta"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_derivative" -> derivative _,
     "q_ts_locf" -> locf _,
     "q_ts_anomaly" -> anomaly _,
     "q_ts_hourofday" -> hourOfDay _,
+    "q_ts_integral" -> integral _,
+    "q_ts_timeshift" -> timeshift _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
     "q_ts_rollup_minmax" -> rollupMinMax _,
@@ -270,6 +304,28 @@ object TimeSeriesOps {
         |FROM g CROSS JOIN t
         |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
         |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
+    "q_ts_integral" ->
+      """WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, CAST(sv AS DOUBLE) AS v,
+        |       CAST(sum(sv) OVER (PARTITION BY event_type ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+        |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_timeshift" -> {
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, a.bucket, a.v, b.v AS v_prev,
+        |       ${Det.r4Sql("a.v - b.v")} AS delta
+        |FROM h1 a LEFT JOIN h1 b
+        |  ON b.event_type = a.event_type
+        | AND b.bucket + INTERVAL '24 hours' = a.bucket
+        |ORDER BY a.event_type NULLS FIRST, a.bucket NULLS FIRST""".stripMargin
+    },
     "q_ts_anomaly" -> {
       val n = "CAST(count(*) OVER w AS DOUBLE)"
       val s1 = "CAST(sum(CAST(v AS DECIMAL(18,8))) OVER w AS DOUBLE)"

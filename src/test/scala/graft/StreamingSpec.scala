@@ -148,6 +148,27 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout session missing: ${all.mkString(",")}")
   }
 
+  test("s_frame_protocol: binary batched frames decode; garbage dropped") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Array[Byte]]
+    val q = runToMemory(Ingest.parseFrames(in.toDS()).toDF(), "frames",
+      OutputMode.Append())
+    in.addData(
+      Ingest.encodeFrame(Seq(("cpu.load", 1700000000L, 0.5),
+        ("mem.used", 1700000060L, 42.0))),
+      Array[Byte](1, 2, 3), // garbage frame
+      Ingest.encodeFrame(Seq(("cpu.load", 1700000120L, 0.7))))
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql("SELECT metric, value FROM frames ORDER BY metric, value")
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).sameElements(
+      Array("cpu.load", "cpu.load", "mem.used")))
+    assert(rows.map(_.getDouble(1)).sameElements(Array(0.5, 0.7, 42.0)))
+  }
+
   test("s_stream_stream_join: bounded interval join across two streams") {
     val sp = spark
     import sp.implicits._
