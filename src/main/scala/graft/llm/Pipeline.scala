@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.util.Det
+
+/** The composed training-data preparation pipeline — the reason the LLM
+  * operators exist as one library: quality gate → exact dedup →
+  * near-dup removal → token accounting, each stage a pure DataFrame
+  * transformation of the previous one.
+  *
+  * Stage order matters at scale: the cheap per-row quality gate runs
+  * first (map-only, prunes before any shuffle), exact dedup second (one
+  * 16-byte-key shuffle), MinHash/LSH near-dup last (runs on the already
+  * thinned corpus). Token accounting is a single aggregation over the
+  * survivors.
+  */
+object Pipeline {
+
+  /** Per-doc survival report: every document with its gate outcomes —
+    * the audit trail a curation run keeps. */
+  def prepare(spark: SparkSession, sfDir: String,
+      minTokens: Long = 20, minScore: Double = 0.55): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => t === "the" || t === "a")).cast("long")
+    val score = (nUniq.cast("double") / nTok) * lit(0.5) +
+      (lit(1.0) - nStop.cast("double") / nTok) * lit(0.5)
+
+    // stage 1: map-side quality gate
+    val gated = docs.select(col("doc_id"), col("lang"), col("text"),
+      nTok.as("n_tok"), Det.r4(score).as("q_score"),
+      (nTok >= minTokens && score >= minScore).as("pass_quality"))
+
+    // stage 2: exact dedup — keep the smallest doc_id per normalized key
+    val keyed = gated.withColumn("exact_key",
+      md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " "))))))
+    val keeper = keyed.where(col("pass_quality"))
+      .groupBy(col("exact_key")).agg(min(col("doc_id")).as("keep_id"))
+    val afterExact = keyed.join(keeper, Seq("exact_key"), "left")
+      .withColumn("pass_exact",
+        col("pass_quality") && col("doc_id") === col("keep_id"))
+
+    // stage 3: near-dup removal — LSH candidates from the survivors;
+    // of each verified near-pair the larger doc_id is dropped
+    val nearDropIds = TextOps.minhashDedup(spark, sfDir)
+      .select(col("b_id").as("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+    afterExact.join(nearDropIds, Seq("doc_id"), "left")
+      .withColumn("kept", col("pass_exact") &&
+        coalesce(!col("near_dup"), lit(true)))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("q_score"),
+        col("pass_quality"), col("pass_exact"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level outcome: per lang, docs and tokens in vs out — the
+    * number a data-curation report leads with. */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    prepare(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tokens_in"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("lang")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_corpus_prep" -> corpusStats _
+  )
+}

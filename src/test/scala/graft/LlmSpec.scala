@@ -121,6 +121,24 @@ class LlmSpec extends AnyFunSuite {
     assert(gotPairs.subsetOf(brute), s"false positives: ${gotPairs -- brute}")
   }
 
+  test("corpus prep: kept ⊆ passed-exact ⊆ passed-quality; stats add up") {
+    import graft.llm.Pipeline
+    val rep = Pipeline.prepare(spark, sf).collect()
+    assert(rep.length == graft.io.Tables.documents(spark, sf).count())
+    rep.foreach { r =>
+      val (q, e, k) = (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+      assert(!e || q, "pass_exact implies pass_quality")
+      assert(!k || e, "kept implies pass_exact")
+    }
+    val stats = Pipeline.corpusStats(spark, sf).collect()
+    assert(stats.map(_.getLong(1)).sum == rep.length)
+    assert(stats.forall(r => r.getLong(2) <= r.getLong(1)), "kept <= in")
+    assert(stats.forall(r => r.getLong(4) <= r.getLong(3)), "tokens kept <= in")
+    val kept = rep.count(_.getBoolean(6))
+    assert(stats.map(_.getLong(2)).sum == kept)
+    assert(kept > 0 && kept < rep.length, "gates must actually gate")
+  }
+
   test("mm: features are unit-norm, frames cover every doc") {
     import graft.mm.MultimodalOps
     val feats = MultimodalOps.features(spark, sf).collect()
