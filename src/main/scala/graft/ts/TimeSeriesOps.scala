@@ -31,23 +31,26 @@ object TimeSeriesOps {
   private def alignUs(stepUs: Long) =
     timestamp_micros(expr(s"(unix_micros(ts) div ${stepUs}L) * ${stepUs}L"))
 
-  /** 1h tumbling average per series — the flagship rollup (R5/R6 `average`). */
-  def rollupAvg(spark: SparkSession, sfDir: String): DataFrame =
+  /** The highest-resolution archive grouping: per-series hourly buckets —
+    * shared by every rollup/fetch read in this module. */
+  private def hourly(spark: SparkSession, sfDir: String) =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+
+  /** 1h tumbling average per series — the flagship rollup (R5/R6 `average`). */
+  def rollupAvg(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
       .agg(Det.avg4(col("value")).as("v"))
       .orderBy(col("event_type"), col("bucket"))
 
   def rollupSum(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+    hourly(spark, sfDir)
       .agg(Det.sum4(col("value")).as("v"))
       .orderBy(col("event_type"), col("bucket"))
 
   /** min+max in one aggregation pass (single shuffle, two measures). */
   def rollupMinMax(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+    hourly(spark, sfDir)
       .agg(round(min("value"), 4).as("mn"), round(max("value"), 4).as("mx"))
       .orderBy(col("event_type"), col("bucket"))
 
@@ -55,8 +58,7 @@ object TimeSeriesOps {
     * `max_by` keeps this a single-pass hash aggregate; raw nanos break
     * sub-µs ties identically to the µs oracle (no µs ties in data). */
   def rollupLast(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+    hourly(spark, sfDir)
       .agg(round(max_by(col("value"), col("ts_ns")), 4).as("v"))
       .orderBy(col("event_type"), col("bucket"))
 
@@ -93,8 +95,7 @@ object TimeSeriesOps {
   /** R5 xFilesFactor: a rollup bucket only materializes when enough
     * higher-resolution points back it (here: count >= 10 per 1h bucket). */
   def xff(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+    hourly(spark, sfDir)
       .agg(Det.avg4(col("value")).as("v"), count(lit(1)).as("n"))
       .where(col("n") >= 10)
       .orderBy(col("event_type"), col("bucket"))
@@ -153,8 +154,7 @@ object TimeSeriesOps {
     * the already-aggregated hourly rollup — tiny relative to raw. */
   def derivative(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h1 = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+    val h1 = hourly(spark, sfDir)
       .agg(Det.avg4(col("value")).as("v"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
     h1.withColumn("dv", Det.r4(col("v") - lag(col("v"), 1).over(w)))
@@ -178,8 +178,7 @@ object TimeSeriesOps {
     * 2σ flagged. The Graphite alerting-read analog. */
   def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h1 = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+    val h1 = hourly(spark, sfDir)
       .agg(Det.avg4(col("value")).as("v"))
     val w = Window.partitionBy(col("event_type"))
     val nd = count(lit(1)).over(w).cast("double")
@@ -206,8 +205,7 @@ object TimeSeriesOps {
     * rollup — exact DECIMAL accumulation inside the window frame. */
   def integral(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h1 = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+    val h1 = hourly(spark, sfDir)
       .agg(sum(col("value").cast("decimal(18,4)")).as("sv"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -221,8 +219,7 @@ object TimeSeriesOps {
     * same series' bucket 24h earlier (gap-safe: a JOIN on the shifted
     * key, not lag over a possibly-sparse sequence). */
   def timeshift(spark: SparkSession, sfDir: String): DataFrame = {
-    val h1 = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+    val h1 = hourly(spark, sfDir)
       .agg(Det.avg4(col("value")).as("v"))
     val prev = h1.select(col("event_type").as("e2"),
       (col("bucket") + expr("INTERVAL 24 HOURS")).as("b2"),
