@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb JVM/codegen/session warmup so the first timed query isn't
+    // charged ~5s of one-time cost (it isn't query work)
+    import org.apache.spark.sql.functions.{count => cnt, sum}
+    spark.range(100000).agg(sum("id"), cnt("id")).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
