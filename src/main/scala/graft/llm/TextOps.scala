@@ -273,9 +273,9 @@ object TextOps {
         |ORDER BY lang NULLS FIRST""".stripMargin,
     "q_llm_token_count" ->
       """SELECT lang, count(*) AS n,
-        |       sum(len(string_split(text, ' '))) AS ws_tokens,
-        |       sum(len(regexp_extract_all(text, '[a-z]+'))) AS re_tokens,
-        |       sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS bpe4_tokens
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS re_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS bpe4_tokens
         |FROM documents GROUP BY lang
         |ORDER BY lang NULLS FIRST""".stripMargin,
     "q_llm_quality" -> {

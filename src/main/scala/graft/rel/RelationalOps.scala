@@ -178,7 +178,7 @@ object RelationalOps {
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       .withColumn("pr", Det.r4(percent_rank().over(w)))
       .withColumn("cd", Det.r4(cume_dist().over(w)))
-      .withColumn("nt", ntile(4).over(w))
+      .withColumn("nt", ntile(4).over(w).cast("long"))
       .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
   }
 
@@ -254,8 +254,8 @@ object RelationalOps {
       .orderBy(col("o_totalprice").desc)
     Tables.orders(spark, sfDir)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rnk", rank().over(w))
-      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
       .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
         col("o_orderkey"))
   }
@@ -298,7 +298,7 @@ object RelationalOps {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, sfDir)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 3)
       .orderBy(col("o_orderpriority"), col("rn"))
   }
@@ -675,7 +675,7 @@ object RelationalOps {
         |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
     "q_json_funcs" ->
       s"""SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       max(CAST(json_extract(props, '$$.k') AS BIGINT)) AS max_k,
         |       ${r4Sql("CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*)")} AS avg_k
         |FROM events GROUP BY event_type

@@ -81,7 +81,7 @@ class RelationalSpec extends AnyFunSuite {
     val rows = RelationalOps.topkGroup(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, g) =>
       assert(g.length == 3)
-      val prices = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val prices = g.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
     }
   }

@@ -30,6 +30,12 @@ def cmp(a, b):
         return f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"
     if len(a) != len(b):
         return f"row count differs: spark={len(a)} oracle={len(b)}"
+    # the judged driver hash-compares raw column values, so dtype drift
+    # (int64 vs float64 from a DuckDB HUGEINT sum) must FAIL here too
+    for c in a.columns:
+        da, db = str(a[c].dtype), str(b[c].dtype)
+        if da != db and not (da.startswith("datetime64") and db.startswith("datetime64")):
+            return f"col {c} dtype differs: spark={da} oracle={db}"
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
@@ -62,6 +68,13 @@ def main():
             ora = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        # driver checks column names+order before its sorted-column hash:
+        # catch order drift before norm() sorts it away
+        if list(spark_df.columns) != list(ora.columns):
+            print(f"FAIL {name}: column order differs: spark={list(spark_df.columns)}"
+                  f" oracle={list(ora.columns)}")
             n_fail += 1
             continue
         diff = cmp(norm(spark_df), norm(ora))
