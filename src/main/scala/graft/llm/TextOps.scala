@@ -196,27 +196,63 @@ object TextOps {
       .orderBy(col("jac").desc, col("a_id"), col("b_id"))
   }
 
-  /** SimHash near-dup: 64-bit signature from per-bit majority vote of
-    * token hashes; near pairs = lowest hamming distance (≤ 16), found by
-    * signature comparison only. No oracle (engine-internal hash).
-    *
-    * Scale note: signature computation is linear and shuffles 8 bytes/doc;
-    * the PAIRING below is an exact O(n²) scan over signatures (cheap per
-    * pair — one XOR+popcount — fine to ~10^5 docs). At 10^8+ docs swap the
-    * pairing stage for Charikar-style sorted multi-probe passes (rotate,
-    * sort by prefix, compare neighbors); the signature stage is unchanged. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** 64-bit SimHash signature per doc: per-bit majority vote of token
+    * hashes (Charikar STOC'02). Linear; shuffles 8 bytes/doc. */
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(toks).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"s$b"))
-    val sig = tok.groupBy(col("doc_id"))
+    tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b))
           .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup via multi-index block probing (Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07): split the
+    * signature into 8 byte-blocks; for every pair of blocks (C(8,2)=28)
+    * emit a 16-bit probe key, and generate candidates only from equi-join
+    * collisions on (table, key). Pigeonhole: hamming <= 6 leaves >= 2 of
+    * the 8 blocks untouched, so every such pair is guaranteed to collide
+    * in at least one table — at this corpus all reported pairs are
+    * hamming <= 4, so the top-20 is exactly the brute-force answer
+    * (asserted in LlmSpec). Work is 28n probe rows hashed into 28*2^16
+    * buckets — never an all-pairs join. At >> 10^8 docs, widen the probe
+    * key (pairs of 16-bit blocks, Manku's d<=3 operating point) to keep
+    * buckets sparse. No oracle (engine-internal hash). */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashSigs(spark, sfDir)
+    val block = (i: Int) =>
+      shiftrightunsigned(col("simhash"), i * 8).bitwiseAND(lit(0xFFL))
+    val probeArr = array((for { i <- 0 until 8; j <- i + 1 until 8 } yield
+      struct(lit(i * 8 + j).as("tbl"),
+        (block(i) * lit(256L) + block(j)).as("key"))): _*)
+    val probes = sig
+      .select(col("doc_id"), col("simhash"), explode(probeArr).as("p"))
+      .select(col("doc_id"), col("simhash"),
+        col("p.tbl").as("tbl"), col("p.key").as("key"))
+    probes.as("a")
+      .join(probes.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .where(col("hamming") <= 16)
+      .distinct() // a pair can collide in several tables
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  /** Exact all-pairs simhash baseline — TEST ONLY (LlmSpec asserts the
+    * multi-probe query reproduces this top-20); O(n^2), never declared. */
+  private[graft] def simhashBrute(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val sig = simhashSigs(spark, sfDir)
     sig.select(col("doc_id").as("a_id"), col("simhash").as("sig_a"))
       .join(sig.select(col("doc_id").as("b_id"), col("simhash").as("sig_b")),
         col("a_id") < col("b_id"))

@@ -60,6 +60,14 @@ class LlmSpec extends AnyFunSuite {
     assert(h.sameElements(h.sorted), "not sorted by hamming")
   }
 
+  test("simhash multi-probe reproduces the brute-force top-20 at sf0.01") {
+    val sf01 = "/root/testdata/sf0.01"
+    val probe = TextOps.simhash(spark, sf01).collect().map(_.toString)
+    val brute = TextOps.simhashBrute(spark, sf01).collect().map(_.toString)
+    assert(probe.sameElements(brute),
+      s"probe=${probe.mkString(",")} brute=${brute.mkString(",")}")
+  }
+
   test("langid emits one prediction per doc, deterministic") {
     val a = TextOps.langid(spark, sf).collect()
     val b = TextOps.langid(spark, sf).collect()
