@@ -1,0 +1,46 @@
+package graft.catalog
+
+import org.apache.spark.sql.Column
+
+/** Graphite-style metric glob resolution — the KenshinFinder analog
+  * (reference stage 1 of a fetch: resolve `stats.web.*.p95` against the
+  * `.idx` index; graphite-web finders [U, SURVEY §3.2]).
+  *
+  * Semantics (graphite-web node globbing):
+  *  - `*` / `?` match any run / single char WITHIN a dot-delimited node
+  *    (never across the `.` separator),
+  *  - `{a,b}` is alternation,
+  *  - `[...]` character classes pass through,
+  *  - everything else is literal.
+  *
+  * In the lake layout there is no `.idx` file: the glob compiles to an
+  * anchored regex predicate on the metric column, which Catalyst pushes
+  * into the scan as a filter. For pure-prefix globs (`a.b.*`) the
+  * compiled regex starts with a literal prefix, so at production scale a
+  * metric-bucketed layout still prunes on it.
+  */
+object MetricGlob {
+
+  /** Compile a glob to an anchored Java regex. */
+  def toRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var inBrace = false
+    glob.foreach {
+      case '*' => sb.append("[^.]*")
+      case '?' => sb.append("[^.]")
+      case '{' => inBrace = true; sb.append("(?:")
+      case '}' => inBrace = false; sb.append(')')
+      case ',' if inBrace => sb.append('|')
+      case '.' => sb.append("\\.")
+      case c @ ('[' | ']') => sb.append(c)
+      case c if "\\^$+()|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString
+  }
+
+  /** Predicate form: metric column matches the glob (Spark `rlike` is a
+    * substring match, hence the explicit anchors in [[toRegex]]). */
+  def predicate(metric: Column, glob: String): Column =
+    metric.rlike(toRegex(glob))
+}

@@ -3,6 +3,7 @@ package graft.catalog
 import scala.util.matching.Regex
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Det
 
 /** Rollup aggregation method (kenshin/agg.py [U, SURVEY §2.1 R6]). */
 sealed trait AggMethod { def name: String }
@@ -95,6 +96,21 @@ object RollupRouter {
     * (s_foreachbatch_rollup) maintains per resolution. */
   def tableFor(a: Archive): String = s"rollup_${a.secondsPerPoint}s"
 
+  /** The archive-value aggregate for a method, under the [[Det]]
+    * determinism discipline: exact decimal accumulation, stored values
+    * rounded to 4 decimals — the Spark analog of Kenshin's float32
+    * archive cells, and cross-engine-stable for the oracle gate.
+    * `last` breaks timestamp ties on the larger value (explicit
+    * tiebreak; raw points have no exact-timestamp duplicates). */
+  private[graft] def detAgg(m: AggMethod, v: Column, ts: Column): Column =
+    m match {
+      case AggMethod.Average => Det.avg4(v)
+      case AggMethod.Sum => Det.sum4(v)
+      case AggMethod.Max => round(max(v), 4)
+      case AggMethod.Min => round(min(v), 4)
+      case AggMethod.Last => round(max_by(v, struct(ts, v)), 4)
+    }
+
   /** Build the routed fetch plan over a points DataFrame: align to the
     * selected archive step and aggregate with the policy's method —
     * the batch form of `fetch(metric, from, until)` (R4+R8).
@@ -105,18 +121,31 @@ object RollupRouter {
     val step = a.secondsPerPoint
     val bucket = timestamp_seconds(
       (col("ts").cast("long") / step).cast("long") * lit(step))
-    val v = policy.agg match {
-      case AggMethod.Average => avg(col("value"))
-      case AggMethod.Sum => sum(col("value"))
-      case AggMethod.Max => max(col("value"))
-      case AggMethod.Min => min(col("value"))
-      case AggMethod.Last => max_by(col("value"), col("ts"))
-    }
     points
       .where(metric)
       .groupBy(bucket.as("bucket"))
-      .agg(v.as("v"), count(lit(1)).as("n"))
+      .agg(detAgg(policy.agg, col("value"), col("ts")).as("v"),
+        count(lit(1)).as("n"))
       .orderBy("bucket")
+  }
+
+  /** Multi-series routed fetch: glob-resolve metrics (KenshinFinder,
+    * [[MetricGlob]]) and aggregate per (metric, bucket) at the selected
+    * archive's step — the batch form of `fetch(glob, from, until)` over
+    * many series at once. One shuffle on (metric, bucket); the glob
+    * predicate is pushed into the scan. */
+  def fetchSeries(points: DataFrame, policy: RetentionPolicy, glob: String,
+      fromSecondsAgo: Long): DataFrame = {
+    val a = selectArchive(policy, fromSecondsAgo)
+    val step = a.secondsPerPoint
+    val bucket = timestamp_seconds(
+      (col("ts").cast("long") / step).cast("long") * lit(step))
+    points
+      .where(MetricGlob.predicate(col("metric"), glob))
+      .groupBy(col("metric"), bucket.as("bucket"))
+      .agg(detAgg(policy.agg, col("value"), col("ts")).as("v"),
+        count(lit(1)).as("n"))
+      .orderBy("metric", "bucket")
   }
 
   /** Archive migration (kenshin-resize, R19 [U `bin/` tools]): re-aggregate
@@ -130,16 +159,10 @@ object RollupRouter {
     val bucket = timestamp_seconds(
       (col("bucket").cast("long") / newStepSeconds).cast("long") *
         lit(newStepSeconds))
-    val v = agg match {
-      case AggMethod.Average => avg(col("v"))
-      case AggMethod.Sum => sum(col("v"))
-      case AggMethod.Max => max(col("v"))
-      case AggMethod.Min => min(col("v"))
-      case AggMethod.Last => max_by(col("v"), col("bucket"))
-    }
     rollup
       .groupBy(col("metric"), bucket.as("bucket"))
-      .agg(v.as("v"), sum(col("n")).as("n"))
+      .agg(detAgg(agg, col("v"), col("bucket")).as("v"),
+        sum(col("n")).as("n"))
       .orderBy("metric", "bucket")
   }
 

@@ -39,13 +39,13 @@ object Layout {
   def saltedAgg(df: DataFrame, key: Column, salts: Int,
       partial: Column => Column, merge: Column => Column,
       valueCol: Column): DataFrame =
-    df.groupBy(key.as("k"), pmod(spark_hash(valueCol), lit(salts)).as("salt"))
+    df.groupBy(key.as("k"),
+        pmod(spark_partition_id(), lit(salts)).as("salt"))
       .agg(partial(valueCol).as("pv"))
       .groupBy(col("k"))
       .agg(merge(col("pv")).as("v"))
-
-  // spark's hash under a stable local name (used as the salt source —
-  // any per-row value works; hashing the value itself avoids needing a
-  // random column and keeps the salt deterministic)
-  private def spark_hash(c: Column): Column = hash(c)
+  // salt = input partition id, NOT a hash of the value: a hot key whose
+  // values are constant (the common skew case — one counter hammered with
+  // the same reading) still spreads over min(salts, input partitions)
+  // reducers, and the salt needs no extra column or RNG.
 }

@@ -38,7 +38,12 @@ object Tables {
     * The raw nanos survive as `ts_ns` for sub-µs ordering/tiebreaks.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // prefer setting this once at session build (Verify/Bench/TestSpark
+    // do); the guarded set here keeps user-built sessions working without
+    // mutating session state on every call
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))

@@ -56,10 +56,13 @@ object TimeSeriesOps {
 
   /** Kenshin `last` agg (kenshin/agg.py [U]): value carrying the max ts.
     * `max_by` keeps this a single-pass hash aggregate; raw nanos break
-    * sub-µs ties identically to the µs oracle (no µs ties in data). */
+    * sub-µs ties identically to the µs oracle (no µs ties in data), and
+    * the value itself is the explicit final tiebreak so the result is
+    * well-defined even under exact-timestamp duplicates. */
   def rollupLast(spark: SparkSession, sfDir: String): DataFrame =
     hourly(spark, sfDir)
-      .agg(round(max_by(col("value"), col("ts_ns")), 4).as("v"))
+      .agg(round(max_by(col("value"), struct(col("ts_ns"), col("value"))), 4)
+        .as("v"))
       .orderBy(col("event_type"), col("bucket"))
 
   /** R8 step alignment: pure epoch arithmetic (NOT calendar truncation) —
@@ -161,6 +164,78 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Graphite `nonNegativeDerivative`: the counter-safe rate read — the
+    * per-series bucket delta, with negative deltas (a counter wrap or
+    * process restart) nulled out instead of emitting garbage spikes.
+    * This is the single most-used counter transform in any Graphite
+    * deployment (graphite-web functions layer [U, SURVEY §2.1]). */
+  def nonnegDerivative(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    h1.withColumn("d", col("v") - lag(col("v"), 1).over(w))
+      .select(col("event_type"), col("bucket"), col("v"),
+        when(col("d") < 0, lit(null)).otherwise(Det.r4(col("d"))).as("dv"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `perSecond`: nonNegativeDerivative normalized by the bucket
+    * step — the canonical requests-per-second read on counters. */
+  def perSecond(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    h1.withColumn("d", col("v") - lag(col("v"), 1).over(w))
+      .select(col("event_type"), col("bucket"), col("v"),
+        when(col("d") < 0, lit(null))
+          .otherwise(Det.r4(col("d") / lit(3600.0))).as("rate"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `summarize(series, "4h", "sum")`, surfaced through the
+    * archive-migration primitive [[graft.catalog.RollupRouter.resample]]:
+    * the stored hourly SUM archive re-aggregated to a 4h step (sum-of-sums
+    * is exact, so this equals a direct 4h rollup — asserted in
+    * CatalogSpec). */
+  def summarize(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.catalog.{AggMethod, RollupRouter}
+    val h1 = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("metric"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.sum4(col("value")).as("v"), count(lit(1)).as("n"))
+    RollupRouter.resample(h1, 4 * 3600, AggMethod.Sum)
+  }
+
+  /** Graphite series arithmetic (`divideSeries(sumSeries(errors),
+    * sumSeries(views))`): the error-rate read — computed as two
+    * conditional exact sums in ONE aggregation pass (no self-join, one
+    * shuffle on the bucket key). */
+  def seriesRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    def condSum(t: String) =
+      sum(when(col("event_type") === t, col("value"))
+        .cast("decimal(18,4)")).cast("double")
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(condSum("error").as("err"), condSum("view").as("req"))
+      .select(col("bucket"), col("err"), col("req"),
+        when(col("req") > 0, Det.r4(col("err") / col("req"))).as("ratio"))
+      .orderBy("bucket")
+  }
+
+  /** Glob-resolved multi-series fetch (KenshinFinder → routed read): the
+    * glob `*u*` resolves the metric set (purchase, signup), the router
+    * picks the 1h archive for a 20-day window, and one shuffle aggregates
+    * every matched series (R4 + SURVEY §3.2 stage 1). */
+  def globFetch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.catalog.{RollupRouter, SchemaCatalog}
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    RollupRouter.fetchSeries(pts, SchemaCatalog.Default, "*u*",
+      fromSecondsAgo = 20L * 86400)
+  }
+
   /** Graphite `keepLastValue` / LOCF: the gap-filled fetch with forward
     * fill — nulls carry the last observed rollup value within a series.
     * One window over the dense grid; the grid itself broadcasts (R4). */
@@ -248,7 +323,12 @@ object TimeSeriesOps {
     "q_ts_propagate" -> propagate _,
     "q_ts_retention" -> retention _,
     "q_ts_cache_merge" -> cacheMerge _,
-    "q_ts_topk_series" -> topkSeries _
+    "q_ts_topk_series" -> topkSeries _,
+    "q_ts_nonneg_derivative" -> nonnegDerivative _,
+    "q_ts_persecond" -> perSecond _,
+    "q_ts_summarize" -> summarize _,
+    "q_ts_series_ratio" -> seriesRatio _,
+    "q_ts_glob_fetch" -> globFetch _
   )
 
   /** DuckDB-dialect oracles (driver t2). Conventions (SURVEY §7.4): UTC,
@@ -395,6 +475,62 @@ object TimeSeriesOps {
     "q_ts_topk_series" ->
       s"""SELECT user_id, ${Det.sum4Sql("value")} AS s
         |FROM events GROUP BY 1
-        |ORDER BY s DESC NULLS LAST, user_id NULLS FIRST LIMIT 10""".stripMargin
+        |ORDER BY s DESC NULLS LAST, user_id NULLS FIRST LIMIT 10""".stripMargin,
+    "q_ts_nonneg_derivative" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, bucket, v,
+        |         v - lag(v, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS d
+        |  FROM h1)
+        |SELECT event_type, bucket, v,
+        |       CASE WHEN d < 0 THEN NULL ELSE ${Det.r4Sql("d")} END AS dv
+        |FROM d
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_persecond" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, bucket, v,
+        |         v - lag(v, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS d
+        |  FROM h1)
+        |SELECT event_type, bucket, v,
+        |       CASE WHEN d < 0 THEN NULL ELSE ${Det.r4Sql("d / 3600.0")} END AS rate
+        |FROM d
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_summarize" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type AS metric, date_trunc('hour', ts) AS bucket,
+        |         ${Det.sum4Sql("value")} AS v, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT metric,
+        |       TIMESTAMP '1970-01-01' + ((epoch_us(bucket) // 14400000000) * 14400) * INTERVAL '1 second' AS bucket,
+        |       ${Det.sum4Sql("v")} AS v, CAST(sum(n) AS BIGINT) AS n
+        |FROM h1 GROUP BY 1, 2
+        |ORDER BY metric NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_series_ratio" -> {
+      def condSum(t: String) =
+        s"CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END AS DECIMAL(18,4))) AS DOUBLE)"
+      s"""WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS bucket,
+        |         ${condSum("error")} AS err, ${condSum("view")} AS req
+        |  FROM events GROUP BY 1)
+        |SELECT bucket, err, req,
+        |       CASE WHEN req > 0 THEN ${Det.r4Sql("err / req")} END AS ratio
+        |FROM h
+        |ORDER BY bucket NULLS FIRST""".stripMargin
+    },
+    "q_ts_glob_fetch" ->
+      s"""SELECT event_type AS metric,
+        |       TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 3600000000) * 3600) * INTERVAL '1 second' AS bucket,
+        |       ${Det.avg4Sql("value")} AS v, count(*) AS n
+        |FROM events
+        |WHERE regexp_full_match(event_type, '[^.]*u[^.]*')
+        |GROUP BY 1, 2
+        |ORDER BY metric NULLS FIRST, bucket NULLS FIRST""".stripMargin
   )
 }

@@ -104,6 +104,53 @@ class CatalogSpec extends AnyFunSuite {
     assert(boot.count() == reference.length)
   }
 
+  test("metric glob translation: node-local wildcards, braces, classes") {
+    def m(glob: String, s: String) = s.matches(MetricGlob.toRegex(glob))
+    assert(m("stats.web.*.p95", "stats.web.host1.p95"))
+    assert(!m("stats.web.*.p95", "stats.web.host1.extra.p95")) // * stays in-node
+    assert(m("stats.web.?.p95", "stats.web.a.p95"))
+    assert(!m("stats.web.?.p95", "stats.web.ab.p95"))
+    assert(m("{click,view}.count", "click.count"))
+    assert(m("{click,view}.count", "view.count"))
+    assert(!m("{click,view}.count", "error.count"))
+    assert(m("host[12].cpu", "host1.cpu"))
+    assert(!m("host[12].cpu", "host3.cpu"))
+    assert(!m("a.b", "aXb")) // dot is literal, not regex any-char
+    assert(m("*u*", "purchase") && m("*u*", "signup") && !m("*u*", "click"))
+  }
+
+  test("fetchSeries: glob filters series, routes to the 1h archive") {
+    val spark = TestSpark.spark
+    val pts = graft.io.Tables.events(spark, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    val out = RollupRouter.fetchSeries(pts, SchemaCatalog.Default, "*u*",
+      20L * 86400).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).toSet == Set("purchase", "signup"))
+    out.foreach(r => assert(r.getTimestamp(1).getTime % (3600 * 1000) == 0))
+    val total = pts.where(col("metric").isin("purchase", "signup")).count()
+    assert(out.map(_.getLong(3)).sum == total)
+  }
+
+  test("summarize via resample equals a direct 4h sum rollup") {
+    val spark = TestSpark.spark
+    val viaResample = graft.ts.TimeSeriesOps.summarize(spark, TestSpark.sf)
+      .orderBy("metric", "bucket").collect()
+    val direct = graft.io.Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type").as("metric"),
+        timestamp_seconds((col("ts").cast("long") / (4 * 3600)).cast("long")
+          * lit(4 * 3600)).as("bucket"))
+      .agg(graft.util.Det.sum4(col("value")).as("v"),
+        count(lit(1)).as("n"))
+      .orderBy("metric", "bucket").collect()
+    assert(viaResample.length == direct.length)
+    viaResample.zip(direct).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) &&
+        a.getTimestamp(1) == b.getTimestamp(1) &&
+        a.getDouble(2) == b.getDouble(2) && a.getLong(3) == b.getLong(3))
+    }
+  }
+
   test("describe renders the policy header") {
     val d = RollupRouter.describe(cat.policyFor("cpu.load"))
     assert(d.contains("high_freq") && d.contains("rollup_10s") &&
