@@ -18,9 +18,10 @@ import graft.util.Det
   *    (per-partition heaps + driver merge of k rows, not a global sort of
   *    everything — visible in the physical plan).
   *  - The IVF path is the scale answer: vectors are pre-assigned to coarse
-  *    cells (here: label centroids as the quantizer; k-means at production),
-  *    a query probes nprobe cells, so the exact scan touches nprobe/ncells
-  *    of the data. Cell assignment is itself one broadcast join + argmax.
+  *    cells of a learned k-means quantizer (Lloyd's as DataFrame aggs),
+  *    a query probes nprobe cells, so the exact scan touches
+  *    ~replicas×nprobe/ncells of the data. Cell assignment is itself one
+  *    broadcast join + argmax.
   *  - LSH near-dup hashes every vector to 4-bit band buckets (random
   *    hyperplanes, fixed seed); candidate pairs come from bucket collisions
   *    — the all-pairs comparison never materializes.
@@ -42,7 +43,7 @@ object VectorOps {
 
   /** Per-label centroids (mean vector), exposed for reuse: posexplode →
     * per-(label, dim) mean → re-assembled ordered array. */
-  private[llm] def centroids(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def centroids(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
@@ -71,36 +72,118 @@ object VectorOps {
   }
 
   private val NProbe = 3
+  private val KCells = 10
+  private val KmeansIters = 5
 
-  /** IVF-style ANN: every vector lives in its nearest-centroid cell; the
-    * query ranks cells by centroid similarity and probes the top
-    * [[NProbe]], brute-forcing only inside them. Returns the top-5 with
+  /** Lloyd's k-means over the embedding column, expressed as DataFrame
+    * aggregations — the learned coarse quantizer for the IVF index
+    * (replacing label centroids, whose cell balance at scale is luck).
+    *
+    * Per iteration: broadcast the k×64 centroid model, argmax-assign every
+    * vector by cosine (one codegen'd [[CosineSim]] per (vector, cell)),
+    * re-average per (cell, dim). Only the k centroids (k×64 doubles — the
+    * MODEL, never data) come back to the driver between iterations, so
+    * each pass is one linear scan; the same loop runs unchanged at 10^9
+    * vectors. Seeding: the k vectors with the smallest seeded hash of
+    * vec_id — deterministic across runs and partitionings. */
+  private[graft] def kmeansCentroids(spark: SparkSession, sfDir: String,
+      k: Int = KCells, iters: Int = KmeansIters): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    var cents: Seq[(Int, Seq[Float])] = e
+      .orderBy(pmod(xxhash64(col("vec_id"), lit(42L)), lit(1000003L)),
+        col("vec_id"))
+      .limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
+    for (_ <- 1 to iters) {
+      val updated = cellAssignments(e, cents.toDF("cell", "cvec"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("cx"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+          " s -> CAST(s.cx AS FLOAT))").as("cvec"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      // a cell that lost every member keeps its previous centroid
+      cents = cents.map { case (c, old) => (c, updated.getOrElse(c, old)) }
+    }
+    cents.toDF("cell", "cvec")
+  }
+
+  private val IndexReplicas = 2
+
+  /** IVF-style ANN over the k-means quantizer ([[kmeansCentroids]]):
+    * every vector is indexed in its top-[[IndexReplicas]] cells
+    * (redundant assignment — the standard IVF recall lever when cluster
+    * structure is weak, as in this corpus where a query's true top-5
+    * spread over ~5 of 10 cells); the query ranks cells by centroid
+    * similarity and probes the top [[NProbe]], brute-forcing only
+    * inside them. Scan fraction ≈ replicas × nprobe / k — at production
+    * k grows with √n (thousands of cells), so the fraction keeps
+    * shrinking while this toy k=10 sits at 0.6. Returns the top-5 with
     * the probed cell — compare with [[cosineTopk]] for recall.
-    * No oracle: hash/centroid-dependent; property-tested. */
+    * No oracle: centroid-dependent; property-tested (recall + cell
+    * balance in LlmSpec). */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val cents = centroids(spark, sfDir)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("c_label"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("c_label"),
-        CosineSim(col("embedding"), col("cvec")).as("csim"))
-      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+    val cents = kmeansCentroids(spark, sfDir)
     val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
     val probed = cents.crossJoin(broadcast(q))
-      .select(col("c_label").as("cell"),
-        CosineSim(col("cvec"), col("qe")).as("cell_sim"))
+      .select(col("cell"), CosineSim(col("cvec"), col("qe")).as("cell_sim"))
       .orderBy(col("cell_sim").desc, col("cell"))
       .limit(NProbe)
-    assigned.join(broadcast(probed), "cell")
+    indexAssignments(e, cents, IndexReplicas)
+      .join(broadcast(probed), "cell")
       .where(col("vec_id") =!= 0)
+      // a vector can surface via several probed cells — keep the best cell
+      .groupBy(col("vec_id"))
+      .agg(min(col("cell")).as("cell"), first(col("embedding")).as("embedding"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
         Det.r4(CosineSim(col("embedding"), col("qe"))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(5)
   }
+
+  /** Inverted-list index with redundant assignment: each vector appears
+    * in its `replicas` nearest cells. Cell ranking is aggregated WITHOUT
+    * carrying the embedding (collect k (csim, cell) scalars per vector,
+    * sort, slice), then one equi-join rehydrates the vector payload —
+    * so the shuffled agg state stays tiny at any dimensionality. */
+  private[graft] def indexAssignments(e: DataFrame, cents: DataFrame,
+      replicas: Int): DataFrame = {
+    val ranked = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        CosineSim(col("embedding"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("csim"), (-col("cell")).as("nc")))
+        .as("cs"))
+      .select(col("vec_id"),
+        explode(expr(s"slice(reverse(array_sort(cs)), 1, $replicas)"))
+          .as("s"))
+      .select(col("vec_id"), (-col("s.nc")).cast("int").as("cell"))
+    ranked.join(e, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Nearest-centroid cell per vector (cosine argmax against the
+    * broadcast quantizer) — the IVF inverted-list assignment. `max_by`
+    * over struct(csim, -cell) keeps this a single-pass hash aggregate
+    * (map-side combine; ties break to the lowest cell), instead of a
+    * sorting window over the n×k expansion. */
+  private[graft] def cellAssignments(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        CosineSim(col("embedding"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("embedding")),
+        struct(col("csim"), -col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cell").as("cell"))
 
   private val NPlanes = 16
   private val SigBands = 4 // 4 bands × 4 bits

@@ -96,6 +96,27 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
   }
 
+  test("kmeans quantizer: recall@5 and cell balance at sf0.01") {
+    val sf01 = "/root/testdata/sf0.01"
+    val ann = VectorOps.annIvf(spark, sf01).collect()
+    val brute = VectorOps.cosineTopk(spark, sf01).collect()
+      .map(_.getLong(0)).toSet
+    // >= the label-centroid quantizer's 0.6 on this corpus (measured):
+    // the learned quantizer must not regress the heuristic it replaced
+    val recall = ann.map(_.getLong(0)).count(brute.contains) / 5.0
+    assert(recall >= 0.6, s"recall@5 = $recall")
+    val e = graft.io.Tables.embeddings(spark, sf01)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val sizes = VectorOps.cellAssignments(e,
+        VectorOps.kmeansCentroids(spark, sf01))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(sizes.length == 10, s"expected 10 non-empty cells, got ${sizes.length}")
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.max <= 3.0 * mean,
+      s"cells imbalanced: sizes=${sizes.sorted.mkString(",")}")
+  }
+
   test("ann_ivf returns correctly-computed sims in descending order") {
     val ann = VectorOps.annIvf(spark, sf).collect()
     assert(ann.length == 5)
