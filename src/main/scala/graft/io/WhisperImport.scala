@@ -1,0 +1,147 @@
+package graft.io
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{AggMethod, Archive, RetentionPolicy}
+
+/** A parsed Whisper archive descriptor: byte offset of the point ring,
+  * step, and slot count (`whisper.py — archiveInfoFormat` [U: public
+  * graphite-project/whisper format, same family as Kenshin's packed
+  * files per SURVEY §2.1 R19]). */
+final case class WhisperArchiveInfo(offset: Int, secondsPerPoint: Long,
+    points: Long)
+
+/** Parsed Whisper file header (`whisper.py — metadataFormat`). */
+final case class WhisperHeader(agg: AggMethod, maxRetention: Long,
+    xFilesFactor: Float, archives: Seq[WhisperArchiveInfo])
+
+/** Whisper (.wsp) file import — the file-level half of R19 migration
+  * (`kenshin-import`/`rurouni` migrate Whisper rings into Kenshin packed
+  * files; we migrate them into the lake layout instead).
+  *
+  * Format (public, graphite-project/whisper, all BIG-endian):
+  *   metadata  = aggregationType:u32, maxRetention:u32, xFilesFactor:f32,
+  *               archiveCount:u32
+  *   archive×N = offset:u32, secondsPerPoint:u32, points:u32
+  *   ring data = (timestamp:u32, value:f64) per slot; timestamp 0 marks
+  *               an empty slot.
+  *
+  * Scale posture: files load via Spark's `binaryFile` source (each .wsp
+  * is one row, parsed map-side into points — a ~100 KB–10 MB blob each,
+  * embarrassingly parallel over millions of metrics), then the points
+  * flow into the same RollupRouter/date-partitioned layout as live
+  * ingest. Nothing collects to the driver.
+  */
+object WhisperImport {
+
+  private val AggByCode: Map[Int, AggMethod] =
+    Map(1 -> AggMethod.Average, 2 -> AggMethod.Sum, 3 -> AggMethod.Last,
+      4 -> AggMethod.Max, 5 -> AggMethod.Min)
+  private val CodeByAgg = AggByCode.map(_.swap)
+
+  private val MetaLen = 16
+  private val ArchiveInfoLen = 12
+  private val PointLen = 12
+
+  def parseHeader(bytes: Array[Byte]): WhisperHeader = {
+    require(bytes.length >= MetaLen, s"truncated whisper file: ${bytes.length}")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val aggCode = buf.getInt
+    val agg = AggByCode.getOrElse(aggCode,
+      throw new IllegalArgumentException(s"bad aggregationType $aggCode"))
+    val maxRetention = Integer.toUnsignedLong(buf.getInt)
+    val xff = buf.getFloat
+    val n = buf.getInt
+    require(n > 0 && n < 1024, s"implausible archiveCount $n")
+    require(bytes.length >= MetaLen + n * ArchiveInfoLen,
+      "truncated archive table")
+    val archives = (0 until n).map { _ =>
+      WhisperArchiveInfo(buf.getInt, Integer.toUnsignedLong(buf.getInt),
+        Integer.toUnsignedLong(buf.getInt))
+    }
+    archives.foreach(a => require(
+      a.offset >= 0 && a.offset + a.points * PointLen <= bytes.length,
+      s"archive ring out of bounds: $a"))
+    WhisperHeader(agg, maxRetention, xff, archives)
+  }
+
+  /** All stored points of every archive: (archiveIdx, epochSeconds,
+    * value); empty slots (timestamp 0) are skipped. Slot order is ring
+    * order — consumers aggregate, so order is irrelevant. */
+  def parsePoints(bytes: Array[Byte],
+      header: WhisperHeader): Iterator[(Int, Long, Double)] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    header.archives.iterator.zipWithIndex.flatMap { case (a, idx) =>
+      (0L until a.points).iterator.flatMap { slot =>
+        buf.position(a.offset + (slot * PointLen).toInt)
+        val ts = Integer.toUnsignedLong(buf.getInt)
+        val v = buf.getDouble
+        if (ts == 0L) None else Some((idx, ts, v))
+      }
+    }
+  }
+
+  /** Encode a Whisper file — the write half used by the spec roundtrip
+    * and by exports back to a Graphite deployment. `archives` pairs each
+    * (step, slots) with its stored points (epochSeconds → value). */
+  def encode(agg: AggMethod, xff: Float,
+      archives: Seq[(Archive, Map[Long, Double])]): Array[Byte] = {
+    val headerLen = MetaLen + archives.length * ArchiveInfoLen
+    val total = headerLen + archives.map(_._1.points * PointLen).sum.toInt
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(CodeByAgg(agg))
+      .putInt(archives.map(_._1.retentionSeconds).max.toInt)
+      .putFloat(xff)
+      .putInt(archives.length)
+    var offset = headerLen
+    archives.foreach { case (a, _) =>
+      buf.putInt(offset).putInt(a.secondsPerPoint.toInt)
+        .putInt(a.points.toInt)
+      offset += (a.points * PointLen).toInt
+    }
+    archives.foreach { case (a, pts) =>
+      // slot = (ts / step) mod points — the ring placement
+      val slots = new Array[(Long, Double)](a.points.toInt)
+      pts.foreach { case (ts, v) =>
+        slots(((ts / a.secondsPerPoint) % a.points).toInt) = (ts, v)
+      }
+      slots.foreach {
+        case null => buf.putInt(0).putDouble(0.0)
+        case (ts, v) => buf.putInt(ts.toInt).putDouble(v)
+      }
+    }
+    buf.array()
+  }
+
+  /** Read a directory of .wsp files as a points DataFrame
+    * `(metric, archive, step_s, ts, value)` — metric from the file name,
+    * parsed map-side via the `binaryFile` source. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wsp")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val metric = p.split('/').last.stripSuffix(".wsp")
+        val header = parseHeader(bytes)
+        parsePoints(bytes, header).map { case (idx, ts, v) =>
+          (metric, idx, header.archives(idx).secondsPerPoint, ts, v)
+        }
+      }
+      .toDF("metric", "archive", "step_s", "ts_s", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .select(col("metric"), col("archive"), col("step_s"), col("ts"),
+        col("value"))
+  }
+
+  /** Bridge an imported header to the catalog: the file's archive set as
+    * a [[RetentionPolicy]] matching exactly its metric name. */
+  def toPolicy(metric: String, header: WhisperHeader): RetentionPolicy =
+    RetentionPolicy(metric,
+      ("^" + java.util.regex.Pattern.quote(metric) + "$").r,
+      header.archives.map(a => Archive(a.secondsPerPoint, a.points)),
+      header.agg, header.xFilesFactor)
+}

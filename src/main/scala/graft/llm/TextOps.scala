@@ -118,13 +118,22 @@ object TextOps {
     * operator is still the real pipeline shape (train → broadcast model →
     * score → argmax) and is property-tested for structure/determinism,
     * not accuracy. No oracle: multi-stage float scoring. */
+  private val VocabCap = 1 << 16
+
   def langid(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("t"))
     // one shuffle over tokens builds the term-frequency table; totals and
     // vocabulary size derive from THAT tiny relation, not a token rescan
-    val tf = tok.groupBy(col("lang").as("l_cand"), col("t"))
+    val rawTf = tok.groupBy(col("lang").as("l_cand"), col("t"))
       .agg(count(lit(1)).as("cnt"))
+    // bounded model vocabulary: keep the VocabCap most frequent tokens
+    // corpus-wide (deterministic tiebreak on the token) so the broadcast
+    // model is O(langs × cap) no matter how large the corpus vocabulary
+    // grows; out-of-model tokens simply don't score (inner join below)
+    val kept = rawTf.groupBy(col("t")).agg(sum(col("cnt")).as("ct"))
+      .orderBy(col("ct").desc, col("t")).limit(VocabCap).select(col("t"))
+    val tf = rawTf.join(kept, "t")
     val langTot = tf.groupBy(col("l_cand")).agg(sum(col("cnt")).as("tot"))
     val vocab = tf.agg(countDistinct(col("t")).as("v"))
     val model = tf.join(langTot, "l_cand").crossJoin(vocab)

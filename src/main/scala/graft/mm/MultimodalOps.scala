@@ -22,13 +22,14 @@ case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
   * columns with typed metadata, processed by per-partition batch
   * operators — the Spark-side shape of a decode/feature-extract stage.
   *
-  * The DECODE ITSELF IS A STUB — this container has no image/audio codec
-  * libraries, so [[decodeStub]] is a deterministic fake (byte histogram →
-  * unit-norm float vector). Everything around it is real and load-bearing:
+  * The decode is REAL: payloads are valid BMP (images) and WAV (audio)
+  * containers, and [[decode]] parses the actual container structure via
+  * [[MediaCodec]] (magic, chunk walk, header geometry, pixel/PCM
+  * payload) before computing features — no native codec libraries
+  * needed. The surrounding plumbing is the load-bearing part at scale:
   * the schema, the typed Dataset boundary, per-partition batching (one
   * codec init per partition, not per row), frame sampling, and the
-  * downstream aggregation. Swap [[decodeStub]] for a JNI/codec call and
-  * the pipeline is production-shaped.
+  * downstream aggregation.
   *
   * Scale posture: payloads stay columnar-binary end to end (never
   * stringified), decode is mapPartitions (amortized setup, no shuffle),
@@ -40,38 +41,69 @@ object MultimodalOps {
   private val FeatureDim = 16
   private val FrameBytes = 64
 
-  /** Deterministic synthetic media over `documents`: payload = utf-8 bytes
-    * of the text (a stand-in blob), kind/meta derived from doc_id. */
+  /** Deterministic synthetic media over `documents`: every payload is a
+    * REAL container — text bytes rendered as grayscale pixels in a
+    * 24-bpp BMP (even doc_id) or as 16-bit PCM samples in a mono WAV
+    * (odd doc_id); metadata mirrors the container header. */
   def media(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val payload = text.getBytes("UTF-8")
-        val kind = if (id % 2 == 0) "image" else "audio"
-        MediaRow(id, kind, payload,
-          width = 16 + (id % 16).toInt, height = 16 + (id % 9).toInt,
-          sample_rate = if (kind == "audio") 16000 else 0)
+        val bytes = text.getBytes("UTF-8")
+        val content = if (bytes.isEmpty) Array[Byte](0) else bytes
+        if (id % 2 == 0) {
+          val w = 16 + (id % 16).toInt
+          val h = 16 + (id % 9).toInt
+          val gray = Array.tabulate(w * h)(i => content(i % content.length))
+          MediaRow(id, "image", MediaCodec.encodeBmp(w, h, gray),
+            width = w, height = h, sample_rate = 0)
+        } else {
+          val rate = 16000
+          val n = math.max(256, content.length)
+          val samples = Array.tabulate(n)(i =>
+            ((content(i % content.length) - 64) * 256).toShort)
+          MediaRow(id, "audio", MediaCodec.encodeWav(rate, samples),
+            width = 0, height = 0, sample_rate = rate)
+        }
       }
   }
 
-  /** STUB decoder: byte-value histogram folded into [[FeatureDim]] bins,
-    * L2-normalized. Deterministic; replace with a real codec at prod. */
-  private def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](FeatureDim)
-    payload.foreach(b => hist((b & 0xff) % FeatureDim) += 1f)
-    val norm = math.sqrt(hist.map(x => x.toDouble * x).sum)
-    if (norm > 0) hist.map(x => (x / norm).toFloat) else hist
+  /** Real decode: parse the container, cross-check its header against
+    * the row metadata, and fold the decoded payload into a unit-norm
+    * [[FeatureDim]]-vector (luminance histogram for images, mean-abs
+    * band energy for audio). */
+  private def decode(m: MediaRow): Array[Float] = {
+    val raw = new Array[Float](FeatureDim)
+    m.kind match {
+      case "image" =>
+        val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+        require(w == m.width && h == m.height,
+          s"container geometry ${w}x$h != metadata ${m.width}x${m.height}")
+        gray.foreach(g => raw(((g & 0xff) * FeatureDim) >> 8) += 1f)
+      case "audio" =>
+        val (rate, samples) = MediaCodec.decodeWav(m.payload)
+        require(rate == m.sample_rate,
+          s"container rate $rate != metadata ${m.sample_rate}")
+        val band = math.max(1, samples.length / FeatureDim)
+        samples.zipWithIndex.foreach { case (s, i) =>
+          val b = math.min(i / band, FeatureDim - 1)
+          raw(b) += math.abs(s.toInt).toFloat
+        }
+      case k => throw new IllegalArgumentException(s"unknown kind $k")
+    }
+    val norm = math.sqrt(raw.map(x => x.toDouble * x).sum)
+    if (norm > 0) raw.map(x => (x / norm).toFloat) else raw
   }
 
-  /** Batch feature extraction: one pass per partition (codec init once
-    * per partition in the real version, not once per row). */
+  /** Batch feature extraction: one pass per partition (decoder state —
+    * buffers, a JNI codec in richer formats — amortized per partition,
+    * not per row). */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real version: val codec = Codec.open() — amortized here
-      rows.map(m => MediaFeatures(m.doc_id, m.kind, decodeStub(m.payload)))
+      rows.map(m => MediaFeatures(m.doc_id, m.kind, decode(m)))
     }
   }
 

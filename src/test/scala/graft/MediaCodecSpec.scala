@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mm.MediaCodec
+
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("WAV roundtrip: encode then decode is identity") {
+    val samples = Array.tabulate(1000)(i => ((i * 37 % 65536) - 32768).toShort)
+    val bytes = MediaCodec.encodeWav(16000, samples)
+    assert(bytes.length == 44 + 2000)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    val (rate, out) = MediaCodec.decodeWav(bytes)
+    assert(rate == 16000 && out.sameElements(samples))
+  }
+
+  test("WAV decode walks past unknown chunks") {
+    val samples = Array[Short](1, -2, 3)
+    val base = MediaCodec.encodeWav(8000, samples)
+    // splice a LIST chunk between fmt and data (after byte 36)
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    val spliced = base.take(36) ++ extra ++ base.drop(36)
+    val (rate, out) = MediaCodec.decodeWav(spliced)
+    assert(rate == 8000 && out.sameElements(samples))
+  }
+
+  test("WAV malformed inputs rejected") {
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(Array[Byte](1, 2)))
+    val good = MediaCodec.encodeWav(8000, Array[Short](1, 2, 3))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(badMagic))
+  }
+
+  test("BMP roundtrip: encode then decode preserves geometry and gray ramp") {
+    val (w, h) = (19, 7) // odd width forces row padding
+    val gray = Array.tabulate(w * h)(i => (i % 256).toByte)
+    val bytes = MediaCodec.encodeBmp(w, h, gray)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    val (dw, dh, out) = MediaCodec.decodeBmp(bytes)
+    assert(dw == w && dh == h)
+    // gray in == gray out up to the luminance formula on (g,g,g):
+    // (77g + 150g + 29g) >> 8 == g exactly
+    assert(out.sameElements(gray))
+  }
+
+  test("BMP malformed inputs rejected") {
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(Array[Byte](1)))
+    val good = MediaCodec.encodeBmp(4, 4, new Array[Byte](16))
+    val truncated = good.take(good.length - 8)
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(truncated))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog._
+import graft.io.{WhisperImport, WhisperArchiveInfo}
+
+class WhisperSpec extends AnyFunSuite {
+
+  private val arch1 = Archive(60, 100)    // 60s × 100 slots
+  private val arch2 = Archive(3600, 48)   // 1h × 48 slots
+  private val base = 1706140800L          // 2024-01-25 00:00:00 UTC
+
+  private def sampleFile(): Array[Byte] = {
+    val pts1 = (0 until 50).map(i => (base + i * 60L) -> (i * 1.5)).toMap
+    val pts2 = (0 until 10).map(i => (base + i * 3600L) -> (i * 10.0)).toMap
+    WhisperImport.encode(AggMethod.Average, 0.5f,
+      Seq(arch1 -> pts1, arch2 -> pts2))
+  }
+
+  test("header + points roundtrip, empty slots skipped") {
+    val bytes = sampleFile()
+    val h = WhisperImport.parseHeader(bytes)
+    assert(h.agg == AggMethod.Average && h.xFilesFactor == 0.5f)
+    assert(h.maxRetention == arch2.retentionSeconds)
+    assert(h.archives == Seq(
+      WhisperArchiveInfo(16 + 24, 60, 100),
+      WhisperArchiveInfo(16 + 24 + 100 * 12, 3600, 48)))
+    val pts = WhisperImport.parsePoints(bytes, h).toSeq
+    assert(pts.count(_._1 == 0) == 50 && pts.count(_._1 == 1) == 10)
+    val a0 = pts.filter(_._1 == 0).map(p => p._2 -> p._3).toMap
+    assert(a0(base) == 0.0 && a0(base + 49 * 60) == 49 * 1.5)
+  }
+
+  test("malformed whisper rejected") {
+    intercept[IllegalArgumentException](
+      WhisperImport.parseHeader(Array[Byte](1, 2, 3)))
+    val bad = sampleFile(); bad(3) = 99 // aggregationType 99
+    intercept[IllegalArgumentException](WhisperImport.parseHeader(bad))
+  }
+
+  test("spark read: .wsp directory to points, and into the router") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("wsp").toFile
+    dir.deleteOnExit()
+    Files.write(new java.io.File(dir, "cpu.load.wsp").toPath, sampleFile())
+    Files.write(new java.io.File(dir, "mem.used.wsp").toPath, sampleFile())
+    val df = WhisperImport.read(spark, dir.getAbsolutePath)
+    val rows = df.collect()
+    assert(rows.length == 120) // 2 files × (50 + 10) points
+    assert(df.select("metric").distinct().collect().map(_.getString(0))
+      .toSet == Set("cpu.load", "mem.used"))
+    // imported header drives the catalog: policy routes a 90-min window
+    // to the 60s archive, a 40h window clamps to the 1h archive
+    val h = WhisperImport.parseHeader(sampleFile())
+    val p = WhisperImport.toPolicy("cpu.load", h)
+    assert(p.matches("cpu.load") && !p.matches("cpu.loadX"))
+    assert(RollupRouter.selectArchive(p, 5400).secondsPerPoint == 60)
+    assert(RollupRouter.selectArchive(p, 40 * 3600).secondsPerPoint == 3600)
+    // and the points feed the routed fetch (archive 0 = high-res ring)
+    val fetched = RollupRouter.fetch(
+      df.where(col("archive") === 0), p, col("metric") === "cpu.load", 5400)
+      .collect()
+    assert(fetched.map(_.getLong(2)).sum == 50)
+  }
+}
