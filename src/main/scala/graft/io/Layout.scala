@@ -31,6 +31,21 @@ object Layout {
       path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed managed table: hash-bucket (and optionally sort) rows by
+    * the join key at WRITE time, so equi-joins between tables bucketed
+    * the same way read co-located buckets and skip the shuffle entirely
+    * (SortMergeJoin with zero Exchange — asserted in LayoutSpec). This
+    * is the lake answer to Kenshin's consistent-hash sharding (R16) for
+    * the JOIN path: pay the partitioning once at ingest, reuse it for
+    * every subsequent join/agg on that key. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
   /** Two-phase (salted) aggregation for skewed keys: partial-aggregate on
     * (key, salt) to spread a hot key over `salts` reducers, then combine.
     * `merge` must be the algebraic combine of `partial` (sum/sum, etc.).

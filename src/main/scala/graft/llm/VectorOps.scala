@@ -73,7 +73,7 @@ object VectorOps {
 
   private val NProbe = 3
   private val KCells = 10
-  private val KmeansIters = 5
+  private val KmeansIters = 3
 
   /** Lloyd's k-means over the embedding column, expressed as DataFrame
     * aggregations — the learned coarse quantizer for the IVF index

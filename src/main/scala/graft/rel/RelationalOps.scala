@@ -101,6 +101,55 @@ object RelationalOps {
         col("o_custkey") === col("c_custkey"), "left_anti")
       .orderBy("c_custkey")
 
+  /** Full outer join of two pre-aggregated sides: per-nation customer
+    * vs supplier counts — both inputs shrink to ≤|nation| rows BEFORE
+    * the join, so the full-outer shuffle is trivial at any scale. */
+  def joinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ck") === col("sk"), "full")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** EXISTS-in-select: per customer, whether any URGENT order exists —
+    * the correlated-EXISTS projection, decorrelated to a distinct
+    * key-set + left join + IS NOT NULL (one shuffle on the distinct'd
+    * order keys, never a per-row subquery). */
+  def existsSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+      .join(urgent, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        col("o_custkey").isNotNull.as("has_urgent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Time-RANGE window: per-series trailing-1h moving average over raw
+    * event times (value-based frame, so frame membership is identical in
+    * any engine regardless of tie order; exact decimal numerator). The
+    * Graphite movingAverage("1h") analog on irregular samples. */
+  def windowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        col("ts").cast("long").as("ts_s"), col("value"))
+      .withColumn("mavg", Det.r4(
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+          / count(lit(1)).over(w)))
+      .orderBy("event_id")
+  }
+
   /** As-of join (no native Spark op): for each purchase, the latest
     * signup of the same user at-or-before it.
     *
@@ -438,6 +487,9 @@ object RelationalOps {
     "q_join_left" -> joinLeft _,
     "q_join_semi" -> joinSemi _,
     "q_join_anti" -> joinAnti _,
+    "q_join_full" -> joinFull _,
+    "q_exists_select" -> existsSelect _,
+    "q_window_range" -> windowRange _,
     "q_join_asof" -> joinAsof _,
     "q_join_interval" -> joinInterval _,
     "q_agg_rollup_sets" -> aggRollupSets _,
@@ -509,6 +561,32 @@ object RelationalOps {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """WITH c AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_supp
+        |           FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.k, s.k) AS nationkey,
+        |       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.k = s.k
+        |ORDER BY nationkey NULLS FIRST""".stripMargin,
+    "q_exists_select" ->
+      """SELECT c_custkey, c_name,
+        |       EXISTS (SELECT 1 FROM orders
+        |               WHERE o_custkey = c_custkey
+        |                 AND o_orderpriority = '1-URGENT') AS has_urgent
+        |FROM customer
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+    "q_window_range" ->
+      s"""SELECT event_id, event_type, epoch_us(ts) // 1000000 AS ts_s, value,
+        |       ${Det.r4Sql(
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)" +
+          " / count(*) OVER w")} AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, e.ts AS p_ts,
         |       (SELECT max(s.ts) FROM events s

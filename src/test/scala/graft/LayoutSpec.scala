@@ -29,11 +29,11 @@ class LayoutSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Tables.orders(sp, sf).write.bucketBy(4, "o_orderkey")
-        .sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
-      Tables.lineitem(sp, sf).select("l_orderkey", "l_quantity")
-        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("lineitem_b")
+      Layout.writeBucketed(Tables.orders(sp, sf), "orders_b", 4,
+        "o_orderkey", Seq("o_orderkey"))
+      Layout.writeBucketed(
+        Tables.lineitem(sp, sf).select("l_orderkey", "l_quantity"),
+        "lineitem_b", 4, "l_orderkey", Seq("l_orderkey"))
       val j = sp.table("orders_b")
         .join(sp.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
@@ -49,6 +49,42 @@ class LayoutSpec extends AnyFunSuite {
       sp.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       sp.sql("DROP TABLE IF EXISTS orders_b")
       sp.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    val sp = spark
+    import sp.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> sp.conf.getOption(k) }
+    confs.foreach { case (k, v) => sp.conf.set(k, v) }
+    try {
+      // one hot key carrying ~97% of the left side
+      val left = sp.range(0, 200000)
+        .select(when(col("id") % 32 === 0, col("id") % 97).otherwise(lit(7L))
+          .as("k"), col("id").as("payload"))
+      val right = sp.range(0, 97).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("name"))
+      val j = left.join(right, "k")
+      // execute THIS dataset's own QueryExecution (count() would plan a
+      // separate aggregated query and leave j's adaptive plan unexecuted)
+      val n = j.collect().length
+      assert(n == 200000, s"join lost rows: $n")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => sp.conf.set(k, v)
+        case (k, None) => sp.conf.unset(k)
+      }
     }
   }
 
