@@ -11,4 +11,11 @@ package object functions {
     def apply(a: Column, b: Column): Column =
       org.apache.spark.sql.graft.CosineSimExpr(a, b)
   }
+
+  /** Native simhash aggregate: LONG hash column → 64-bit signature
+    * (per-bit majority vote in a single int[64] buffer). */
+  object SimHashAgg {
+    def apply(h: Column): Column =
+      org.apache.spark.sql.graft.SimHashAggExpr(h)
+  }
 }

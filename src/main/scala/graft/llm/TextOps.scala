@@ -206,8 +206,20 @@ object TextOps {
   }
 
   /** 64-bit SimHash signature per doc: per-bit majority vote of token
-    * hashes (Charikar STOC'02). Linear; shuffles 8 bytes/doc. */
-  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    * hashes (Charikar STOC'02), computed by the native aggregate
+    * [[graft.functions.SimHashAgg]] — one int[64] buffer per doc instead
+    * of 64 separate sum(when) accumulator columns. Linear; the shuffle
+    * carries one 256-byte partial per (doc × partition). */
+  private[graft] def simhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg(xxhash64(col("t"))).as("simhash"))
+
+  /** The 64-column sum(when) formulation of [[simhashSigs]] — TEST ONLY
+    * (LlmSpec asserts the native aggregate reproduces it bit-for-bit). */
+  private[graft] def simhashSigsColumnar(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(toks).as("t"))
       .withColumn("h", xxhash64(col("t")))
@@ -234,7 +246,10 @@ object TextOps {
     * key (pairs of 16-bit blocks, Manku's d<=3 operating point) to keep
     * buckets sparse. No oracle (engine-internal hash). */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhashSigs(spark, sfDir)
+    // materialize the 16-byte/doc signature index once — the self-join
+    // below would otherwise recompute the tokenize+64-bit-vote aggregation
+    // for BOTH sides (index-build-once is the semantic, too)
+    val sig = simhashSigs(spark, sfDir).localCheckpoint()
     val block = (i: Int) =>
       shiftrightunsigned(col("simhash"), i * 8).bitwiseAND(lit(0xFFL))
     val probeArr = array((for { i <- 0 until 8; j <- i + 1 until 8 } yield

@@ -90,8 +90,12 @@ object VectorOps {
       k: Int = KCells, iters: Int = KmeansIters): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
+    // the training set is scanned once per Lloyd pass + once for seeding:
+    // materialize it up front (at production this is the cached working
+    // set any iterative trainer holds)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
     var cents: Seq[(Int, Seq[Float])] = e
       .orderBy(pmod(xxhash64(col("vec_id"), lit(42L)), lit(1000003L)),
         col("vec_id"))

@@ -60,6 +60,14 @@ class LlmSpec extends AnyFunSuite {
     assert(h.sameElements(h.sorted), "not sorted by hamming")
   }
 
+  test("SimHashAgg native aggregate equals the 64-column sum(when) formula") {
+    val native = TextOps.simhashSigs(spark, sf)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val columnar = TextOps.simhashSigsColumnar(spark, sf)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(native.sameElements(columnar))
+  }
+
   test("simhash multi-probe reproduces the brute-force top-20 at sf0.01") {
     val sf01 = "/root/testdata/sf0.01"
     val probe = TextOps.simhash(spark, sf01).collect().map(_.toString)
