@@ -101,9 +101,11 @@ object WhisperImport {
       offset += (a.points * PointLen).toInt
     }
     archives.foreach { case (a, pts) =>
-      // slot = (ts / step) mod points — the ring placement
+      // slot = (ts / step) mod points — the ring placement; insert in ts
+      // order so a slot collision deterministically keeps the NEWEST
+      // point (the ring-overwrite semantic)
       val slots = new Array[(Long, Double)](a.points.toInt)
-      pts.foreach { case (ts, v) =>
+      pts.toSeq.sortBy(_._1).foreach { case (ts, v) =>
         slots(((ts / a.secondsPerPoint) % a.points).toInt) = (ts, v)
       }
       slots.foreach {
@@ -135,6 +137,29 @@ object WhisperImport {
       .withColumn("ts", timestamp_seconds(col("ts_s")))
       .select(col("metric"), col("archive"), col("step_s"), col("ts"),
         col("value"))
+  }
+
+  /** Export a points DataFrame back to per-metric .wsp files — the
+    * outbound half of the migration roundtrip (lake → Graphite), e.g.
+    * serving a rollup table to a legacy whisper-reading stack. Points
+    * must already be aligned to `archive.secondsPerPoint`; one file per
+    * metric, written by the executor holding that metric's partition
+    * (`dir` is shared storage at production; points beyond the ring's
+    * retention overwrite older slots, newest-wins). */
+  def export(points: DataFrame, dir: String, archive: Archive,
+      agg: AggMethod = AggMethod.Average, xff: Float = 0.5f): Unit = {
+    points
+      .select(col("metric"), col("ts").cast("long").as("ts_s"),
+        col("value").cast("double"))
+      .repartition(col("metric"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.toSeq.groupBy(_.getString(0)).foreach { case (metric, rs) =>
+          val pts = rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+          val bytes = encode(agg, xff, Seq(archive -> pts))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$metric.wsp"), bytes)
+        }
+      }
   }
 
   /** Bridge an imported header to the catalog: the file's archive set as

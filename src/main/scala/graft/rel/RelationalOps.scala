@@ -101,6 +101,25 @@ object RelationalOps {
         col("o_custkey") === col("c_custkey"), "left_anti")
       .orderBy("c_custkey")
 
+  /** MAP-typed column toolkit: parse props into a map, extend it with
+    * map_concat, read it back through map_keys/map_values/element_at and
+    * a value fold — all map ops stay inside whole-stage codegen, and the
+    * OUTPUT columns are scalars (map-typed outputs don't hash-compare
+    * portably across engines). */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("props"))
+      .withColumn("m", map_concat(
+        from_json(col("props"), lit("map<string,bigint>")),
+        map(lit("uid"), col("user_id").cast("bigint"))))
+      .select(col("event_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        element_at(col("m"), "k").as("k_val"),
+        element_at(col("m"), "uid").as("uid_val"),
+        aggregate(map_values(col("m")), lit(0L), _ + _).as("val_sum"))
+      .orderBy("event_id")
+
   /** Full outer join of two pre-aggregated sides: per-nation customer
     * vs supplier counts — both inputs shrink to ≤|nation| rows BEFORE
     * the join, so the full-outer shuffle is trivial at any scale. */
@@ -489,6 +508,7 @@ object RelationalOps {
     "q_join_anti" -> joinAnti _,
     "q_join_full" -> joinFull _,
     "q_exists_select" -> existsSelect _,
+    "q_map_funcs" -> mapFuncs _,
     "q_window_range" -> windowRange _,
     "q_join_asof" -> joinAsof _,
     "q_join_interval" -> joinInterval _,
@@ -571,6 +591,16 @@ object RelationalOps {
         |       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
         |FROM c FULL OUTER JOIN s ON c.k = s.k
         |ORDER BY nationkey NULLS FIRST""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |       CAST(2 AS BIGINT) AS n_keys,
+        |       'k,uid' AS keys_csv,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        |       CAST(user_id AS BIGINT) AS uid_val,
+        |       CAST(json_extract(props, '$.k') AS BIGINT)
+        |         + CAST(user_id AS BIGINT) AS val_sum
+        |FROM events
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
     "q_exists_select" ->
       """SELECT c_custkey, c_name,
         |       EXISTS (SELECT 1 FROM orders

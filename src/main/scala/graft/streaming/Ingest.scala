@@ -225,7 +225,8 @@ object Ingest {
     * watermarks so the join state is bounded — the streaming form of the
     * as-of read (q_join_asof is the batch twin). */
   def streamStreamAsof(purchases: DataFrame, signups: DataFrame,
-      windowSpec: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+      windowSpec: String = "1 hour", lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", lateness)
       .select(col("metric").as("p_metric"), col("ts").as("p_ts"),
         col("value").as("p_value"))
@@ -234,8 +235,20 @@ object Ingest {
     p.join(s,
       col("p_metric") === col("s_metric") &&
         col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $windowSpec"))
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $windowSpec"),
+      joinType)
   }
+
+  /** LEFT OUTER variant of [[streamStreamAsof]]: unmatched purchases are
+    * EMITTED with null signup columns — but only once the watermark has
+    * passed their join window, when the engine can prove no matching
+    * signup can still arrive (the state-expiry behavior that separates
+    * streaming outer joins from inner ones; state stays bounded by the
+    * same watermark). */
+  def streamStreamAsofOuter(purchases: DataFrame, signups: DataFrame,
+      windowSpec: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    streamStreamAsof(purchases, signups, windowSpec, lateness, "left_outer")
 
   /** R15 read-merge: the serving view = flushed storage UNION live
     * not-yet-flushed state (here: the in-memory sink table of a running

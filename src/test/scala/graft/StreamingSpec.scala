@@ -190,6 +190,37 @@ class StreamingSpec extends AnyFunSuite {
       rows.head.getTimestamp(1) == ts("2024-01-01 09:30:00"))
   }
 
+  test("s_stream_stream_outer: unmatched left rows emit nulls after watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val purchases = MemoryStream[Point]
+    val signups = MemoryStream[Point]
+    val joined = Ingest.streamStreamAsofOuter(purchases.toDF(), signups.toDF(),
+      "1 hour", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjo")
+      .outputMode(OutputMode.Append()).start()
+    signups.addData(Point("u1", ts("2024-01-01 09:30:00"), 0.0))
+    purchases.addData(Point("u1", ts("2024-01-01 10:00:00"), 9.99),
+      Point("u2", ts("2024-01-01 10:00:00"), 1.0)) // no signup ever
+    q.processAllAvailable()
+    // advance both watermarks far beyond u2's join window so the engine
+    // can prove no matching signup can arrive and emits the null row
+    purchases.addData(Point("wm", ts("2024-01-01 14:00:00"), 0.0))
+    signups.addData(Point("wm", ts("2024-01-01 14:00:00"), 0.0))
+    q.processAllAvailable()
+    purchases.addData(Point("wm2", ts("2024-01-01 18:00:00"), 0.0))
+    signups.addData(Point("wm2", ts("2024-01-01 18:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql("SELECT p_metric, s_ts FROM ssjo WHERE p_metric = 'u2'")
+      .collect()
+    assert(rows.length == 1, s"expected u2 null-emitted once: ${rows.mkString(",")}")
+    assert(rows.head.isNullAt(1), "u2 should carry a null signup ts")
+    val matched = sp.sql("SELECT s_ts FROM ssjo WHERE p_metric = 'u1'").collect()
+    assert(matched.length == 1 &&
+      matched.head.getTimestamp(0) == ts("2024-01-01 09:30:00"))
+  }
+
   test("stateful rollup runs on the RocksDB state store (prod backend)") {
     val sp = spark
     import sp.implicits._

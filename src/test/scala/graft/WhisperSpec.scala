@@ -40,6 +40,30 @@ class WhisperSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WhisperImport.parseHeader(bad))
   }
 
+  test("export roundtrip: rollup -> .wsp files -> re-import matches") {
+    val spark = TestSpark.spark
+    val outDir = Files.createTempDirectory("wsp_out").toFile
+    outDir.deleteOnExit()
+    // hourly rollup of two event types as the export source
+    val rollup = graft.io.Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("click", "error"))
+      .groupBy(col("event_type").as("metric"),
+        date_trunc("hour", col("ts")).as("ts"))
+      .agg(round(avg("value"), 4).as("value"))
+    WhisperImport.export(rollup, outDir.getAbsolutePath,
+      Archive(3600, 100000), AggMethod.Average)
+    val back = WhisperImport.read(spark, outDir.getAbsolutePath)
+      .select(col("metric"), col("ts"), col("value"))
+      .orderBy("metric", "ts").collect()
+    val src = rollup.orderBy("metric", "ts").collect()
+    assert(back.length == src.length && back.length > 0)
+    back.zip(src).foreach { case (b, s) =>
+      assert(b.getString(0) == s.getString(0) &&
+        b.getTimestamp(1) == s.getTimestamp(1) &&
+        b.getDouble(2) == s.getDouble(2))
+    }
+  }
+
   test("spark read: .wsp directory to points, and into the router") {
     val spark = TestSpark.spark
     val dir = Files.createTempDirectory("wsp").toFile
