@@ -39,8 +39,22 @@ object MetricGlob {
     sb.append("$").toString
   }
 
+  /** The literal prefix of a glob — the characters before the first
+    * metacharacter (`stats.web.` for `stats.web.*.p95`). */
+  def literalPrefix(glob: String): String =
+    glob.takeWhile(c => "*?{[".indexOf(c) < 0)
+
   /** Predicate form: metric column matches the glob (Spark `rlike` is a
-    * substring match, hence the explicit anchors in [[toRegex]]). */
-  def predicate(metric: Column, glob: String): Column =
-    metric.rlike(toRegex(glob))
+    * substring match, hence the explicit anchors in [[toRegex]]).
+    *
+    * Regex predicates cannot push into a parquet scan, so for globs with
+    * a literal prefix this ANDs a redundant `startsWith` conjunct —
+    * Catalyst pushes it as `StringStartsWith`, which prunes row groups
+    * (and, in a metric-sorted/bucketed layout, whole files) before the
+    * regex ever runs. Asserted in CatalogSpec. */
+  def predicate(metric: Column, glob: String): Column = {
+    val re = metric.rlike(toRegex(glob))
+    val prefix = literalPrefix(glob)
+    if (prefix.nonEmpty) metric.startsWith(prefix) && re else re
+  }
 }

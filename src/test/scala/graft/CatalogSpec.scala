@@ -119,6 +119,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(m("*u*", "purchase") && m("*u*", "signup") && !m("*u*", "click"))
   }
 
+  test("prefixed glob pushes StartsWith into the parquet scan") {
+    val spark = TestSpark.spark
+    val pts = graft.io.Tables.events(spark, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    // 'p*' and 'click' both carry literal prefixes -> pushable conjunct
+    val plan = pts.where(MetricGlob.predicate(col("metric"), "p*"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith(event_type,p)"),
+      s"expected pushed StartsWith filter:\n$plan")
+    // and semantics are unchanged by the redundant conjunct
+    val got = pts.where(MetricGlob.predicate(col("metric"), "p*"))
+      .select("metric").distinct().collect().map(_.getString(0)).toSet
+    assert(got == Set("purchase"))
+  }
+
   test("fetchSeries: glob filters series, routes to the 1h archive") {
     val spark = TestSpark.spark
     val pts = graft.io.Tables.events(spark, TestSpark.sf)

@@ -21,10 +21,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("aggregations are partial (map-side combine) before the shuffle") {
     Seq("q_ts_rollup_avg", "q_ts_rollup_sum", "q_join_inner",
-      "q_agg_distinct", "q_llm_text_stats").foreach { q =>
+      "q_agg_distinct", "q_llm_text_stats", "q_ts_summarize",
+      "q_ts_series_ratio", "q_ts_glob_fetch", "q_join_full").foreach { q =>
       val p = plan(q)
       assert(p.contains("partial_"), s"$q has no partial aggregation:\n$p")
     }
+  }
+
+  test("SimHashAgg partial-aggregates (map-side combine of vote buffers)") {
+    // the declared query checkpoints the signature index, so inspect the
+    // signature relation's own plan (what actually executes to build it)
+    val p = graft.llm.TextOps.simhashSigs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_simhash_agg"),
+      s"simhash signature agg should be partial:\n$p")
   }
 
   test("global top-k uses TakeOrderedAndProject, not a full sort") {
