@@ -44,9 +44,13 @@ object Pipeline {
       .withColumn("pass_exact",
         col("pass_quality") && col("doc_id") === col("keep_id"))
 
-    // stage 3: near-dup removal — LSH candidates from the survivors;
-    // of each verified near-pair the larger doc_id is dropped
-    val nearDropIds = TextOps.minhashDedup(spark, sfDir)
+    // stage 3: near-dup removal — LSH candidates computed over the
+    // SURVIVORS of stages 1–2 only (the corpus is already thinned, so
+    // shingling/minhashing never touches dropped docs); of each verified
+    // near-pair the larger doc_id is dropped
+    val survivors = afterExact.where(col("pass_exact"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val nearDropIds = TextOps.minhashDedupOver(survivors)
       .select(col("b_id").as("doc_id")).distinct()
         .withColumn("near_dup", lit(true))
     afterExact.join(nearDropIds, Seq("doc_id"), "left")

@@ -170,8 +170,14 @@ object TextOps {
     * bucket collisions only, then exact shingle-Jaccard verification at
     * threshold 0.5. No oracle (hash-based; property-tested against
     * brute-force Jaccard). */
-  def minhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def minhashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    minhashDedupOver(Tables.documents(spark, sfDir))
+
+  /** [[minhashDedup]] over an arbitrary `(doc_id, lang, text)` relation —
+    * lets the corpus-prep pipeline run near-dup detection on the docs
+    * that SURVIVED earlier stages instead of the whole corpus. */
+  def minhashDedupOver(input: DataFrame): DataFrame = {
+    val docs = input
       .select(col("doc_id"), col("lang"), toks.as("tk"))
     val sh = docs.select(col("doc_id"), col("lang"), explode(shingles).as("sh"))
     val sigCols = (0 until NumHashes)
