@@ -89,6 +89,19 @@ object Ingest {
     }
   }
 
+  /** R14 proper: the pickle batch protocol — each frame is a Python
+    * pickle of `[(metric, (ts, value)), ...]` exactly as carbon's pickle
+    * receiver takes it, decoded map-side by [[PickleCodec]] (tolerant:
+    * malformed frames drop). */
+  def parsePickleFrames(frames: Dataset[Array[Byte]]): Dataset[Point] = {
+    import frames.sparkSession.implicits._
+    frames.flatMap { bytes =>
+      PickleCodec.decode(bytes).map { case (m, ts, v) =>
+        Point(m, new java.sql.Timestamp(ts * 1000L), v)
+      }
+    }
+  }
+
   /** R3+R5: tumbling-window rollup with bounded lateness — the streaming
     * form of the batch `q_ts_rollup_*` family. */
   def tumblingRollup(points: DataFrame, step: String = "1 minute",

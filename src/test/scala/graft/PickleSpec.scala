@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.PickleCodec
+
+class PickleSpec extends AnyFunSuite {
+
+  private val payload = Seq(("cpu.load", 1700000000L, 0.75),
+    ("mem.used", 1700000060L, 1234.0))
+
+  /** `pickle.dumps(payload, protocol=2)` from CPython 3 — the
+    * cross-implementation fixture our encoder must match byte-for-byte
+    * and our decoder must parse. */
+  private val cpythonProto2: Array[Byte] = Array[Int](
+    -128, 2, 93, 113, 0, 40, 88, 8, 0, 0, 0, 99, 112, 117, 46, 108, 111,
+    97, 100, 113, 1, 74, 0, -15, 83, 101, 71, 63, -24, 0, 0, 0, 0, 0, 0,
+    -122, 113, 2, -122, 113, 3, 88, 8, 0, 0, 0, 109, 101, 109, 46, 117,
+    115, 101, 100, 113, 4, 74, 60, -15, 83, 101, 71, 64, -109, 72, 0, 0,
+    0, 0, 0, -122, 113, 5, -122, 113, 6, 101, 46).map(_.toByte)
+
+  /** Same payload at protocol 4 (FRAME/SHORT_BINUNICODE/MEMOIZE). */
+  private val cpythonProto4: Array[Byte] = Array[Int](
+    -128, 4, -107, 63, 0, 0, 0, 0, 0, 0, 0, 93, -108, 40, -116, 8, 99,
+    112, 117, 46, 108, 111, 97, 100, -108, 74, 0, -15, 83, 101, 71, 63,
+    -24, 0, 0, 0, 0, 0, 0, -122, -108, -122, -108, -116, 8, 109, 101,
+    109, 46, 117, 115, 101, 100, -108, 74, 60, -15, 83, 101, 71, 64,
+    -109, 72, 0, 0, 0, 0, 0, -122, -108, -122, -108, 101, 46).map(_.toByte)
+
+  test("encode matches CPython pickle.dumps(protocol=2) byte-for-byte") {
+    assert(PickleCodec.encode(payload).sameElements(cpythonProto2))
+  }
+
+  test("decode parses CPython protocol-2 and protocol-4 pickles") {
+    assert(PickleCodec.decode(cpythonProto2) == payload)
+    assert(PickleCodec.decode(cpythonProto4) == payload)
+  }
+
+  test("roundtrip: encode then decode, including empty and unicode") {
+    assert(PickleCodec.decode(PickleCodec.encode(payload)) == payload)
+    assert(PickleCodec.decode(PickleCodec.encode(Seq.empty)) == Seq.empty)
+    val uni = Seq(("métrique.中", 1700000123L, -2.5))
+    assert(PickleCodec.decode(PickleCodec.encode(uni)) == uni)
+  }
+
+  test("malformed or unsupported pickles decode to empty (tolerant)") {
+    assert(PickleCodec.decode(Array[Byte](1, 2, 3)) == Seq.empty)
+    assert(PickleCodec.decode(Array.empty[Byte]) == Seq.empty)
+    // a pickled dict (unsupported shape) must not throw
+    val dict = Array[Int](-128, 2, 125, 113, 0, 46).map(_.toByte) // {}
+    assert(PickleCodec.decode(dict) == Seq.empty)
+  }
+
+  test("streaming parse: pickle frames explode into typed points") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val ds = sp.createDataset(Seq(PickleCodec.encode(payload),
+      Array[Byte](9, 9, 9)))
+    val pts = graft.streaming.Ingest.parsePickleFrames(ds).collect()
+    assert(pts.length == 2)
+    assert(pts.map(_.metric).toSet == Set("cpu.load", "mem.used"))
+    assert(pts.find(_.metric == "cpu.load").get.value == 0.75)
+  }
+}
