@@ -1,0 +1,40 @@
+// Shim-package half of function registration: FunctionRegistry and
+// sessionState are private[sql] surface. Public entry points are
+// graft.functions.registerAll and graft.GraftExtensions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** graft's native expressions as SQL functions, so `spark.sql` users get
+  * the same codegen kernels as the Column API (`cosine_sim(a, b)`,
+  * `simhash_agg(h)`). */
+object GraftFunctionRegistry {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cosine_sim(arrayA, arrayB)")
+        CosineSimExpr(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAggExpr].getName, "simhash_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash_agg(hash)")
+        SimHashAggExpr(exprs.head)
+      }))
+
+  /** Register into a LIVE session (notebooks, tests). */
+  def register(spark: SparkSession): Unit = all.foreach {
+    case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  /** Inject at session build — wired by [[graft.GraftExtensions]] via
+    * `spark.sql.extensions=graft.GraftExtensions`. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach(ext.injectFunction)
+}

@@ -18,4 +18,10 @@ package object functions {
     def apply(h: Column): Column =
       org.apache.spark.sql.graft.SimHashAggExpr(h)
   }
+
+  /** Register graft's native expressions as SQL functions in a live
+    * session (`cosine_sim`, `simhash_agg`); for session-build wiring use
+    * `spark.sql.extensions=graft.GraftExtensions`. Idempotent. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
 }

@@ -41,6 +41,26 @@ object VectorOps {
       .limit(5)
   }
 
+  /** [[cosineTopk]] through the SQL SURFACE: a temp view + the
+    * registered `cosine_sim` SQL function (graft.functions.registerAll)
+    * — proves `spark.sql` users drive the same codegen kernel and plan
+    * as the Column API. Same oracle as q_llm_cosine_topk. */
+  def sqlCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    Tables.embeddings(spark, sfDir)
+      .createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """SELECT e.vec_id,
+        |       floor(cosine_sim(e.embedding, q.qe) * 10000.0D + 0.5D)
+        |         / 10000.0D AS sim
+        |FROM graft_embeddings e
+        |CROSS JOIN (SELECT embedding AS qe FROM graft_embeddings
+        |            WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 5""".stripMargin)
+  }
+
   /** Per-label centroids (mean vector), exposed for reuse: posexplode →
     * per-(label, dim) mean → re-assembled ordered array. */
   private[graft] def centroids(spark: SparkSession, sfDir: String): DataFrame =
@@ -251,6 +271,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_cosine_topk" -> cosineTopk _,
+    "q_sql_cosine_topk" -> sqlCosineTopk _,
     "q_llm_knn_label" -> knnLabel _,
     "q_llm_ann_ivf" -> annIvf _,
     "q_llm_embed_neardup" -> embedNeardup _
@@ -258,18 +279,23 @@ object VectorOps {
 
   import Det.r4Sql
 
+  /** Shared by q_llm_cosine_topk and its SQL-surface twin
+    * q_sql_cosine_topk (same result contract through both entries). */
+  private val cosineTopkOracle: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |z AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+      |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      |s AS (SELECT vec_id,
+      |             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+      |             sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+      |             sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      |      FROM z GROUP BY vec_id)
+      |SELECT vec_id, ${r4Sql("dot / (sqrt(na) * sqrt(nb))")} AS sim
+      |FROM s
+      |ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST LIMIT 5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "q_llm_cosine_topk" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |z AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
-        |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
-        |s AS (SELECT vec_id,
-        |             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |             sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-        |             sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-        |      FROM z GROUP BY vec_id)
-        |SELECT vec_id, ${r4Sql("dot / (sqrt(na) * sqrt(nb))")} AS sim
-        |FROM s
-        |ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST LIMIT 5""".stripMargin
+    "q_sql_cosine_topk" -> cosineTopkOracle,
+    "q_llm_cosine_topk" -> cosineTopkOracle
   )
 }
