@@ -224,6 +224,36 @@ object TimeSeriesOps {
       .orderBy("bucket")
   }
 
+  /** Graphite `movingMedian("7h")` over the hourly rollup, restricted to
+    * FULL 7-bucket frames: an odd-width ROWS frame makes the median pure
+    * element selection (no interpolation arithmetic), so it is exact and
+    * engine-independent. */
+  def movingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wFrame = wSeq.rowsBetween(-6, 0)
+    h1.withColumn("rn", row_number().over(wSeq))
+      .withColumn("med", expr("percentile(v, 0.5)").over(wFrame))
+      .where(col("rn") >= 7) // full frames only: 7 values, exact middle
+      .select(col("event_type"), col("bucket"), col("v"), col("med"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `highestCurrent(3)`: the 3 series whose LATEST rollup
+    * value is largest — one max_by pass per series, then a global top-3
+    * (TakeOrderedAndProject; never a full sort). */
+  def highestCurrent(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(max_by(struct(col("bucket"), col("v")), col("bucket")).as("m"))
+      .select(col("event_type"), col("m.bucket").as("last_bucket"),
+        col("m.v").as("current"))
+      .orderBy(col("current").desc, col("event_type"))
+      .limit(3)
+
   /** Glob-resolved multi-series fetch (KenshinFinder → routed read): the
     * glob `*u*` resolves the metric set (purchase, signup), the router
     * picks the 1h archive for a 20-day window, and one shuffle aggregates
@@ -328,7 +358,9 @@ object TimeSeriesOps {
     "q_ts_persecond" -> perSecond _,
     "q_ts_summarize" -> summarize _,
     "q_ts_series_ratio" -> seriesRatio _,
-    "q_ts_glob_fetch" -> globFetch _
+    "q_ts_glob_fetch" -> globFetch _,
+    "q_ts_moving_median" -> movingMedian _,
+    "q_ts_highest_current" -> highestCurrent _
   )
 
   /** DuckDB-dialect oracles (driver t2). Conventions (SURVEY §7.4): UTC,
@@ -524,6 +556,32 @@ object TimeSeriesOps {
         |FROM h
         |ORDER BY bucket NULLS FIRST""".stripMargin
     },
+    "q_ts_moving_median" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, bucket, v,
+        |         row_number() OVER w AS rn,
+        |         quantile_cont(v, 0.5) OVER (PARTITION BY event_type
+        |           ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT event_type, bucket, v, med FROM m WHERE rn >= 7
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_highest_current" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT event_type, arg_max(bucket, bucket) AS last_bucket,
+        |         arg_max(v, bucket) AS current
+        |  FROM h1 GROUP BY 1)
+        |SELECT event_type, last_bucket, current FROM cur
+        |ORDER BY current DESC NULLS LAST, event_type NULLS FIRST
+        |LIMIT 3""".stripMargin,
     "q_ts_glob_fetch" ->
       s"""SELECT event_type AS metric,
         |       TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 3600000000) * 3600) * INTERVAL '1 second' AS bucket,
