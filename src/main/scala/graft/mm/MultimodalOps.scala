@@ -107,6 +107,60 @@ object MultimodalOps {
     }
   }
 
+  /** Media resize/downsample — the normalization stage every multimodal
+    * training pipeline runs before feature extraction: images are
+    * nearest-neighbor resampled to `outW`×`outH` (decode → grid sample →
+    * re-encode, all inside the real BMP codec), audio is decimated by
+    * `audioFactor` (every k-th PCM sample, rate/k in the re-encoded
+    * header). Map-side only; payloads stay BINARY. */
+  def resize(media: Dataset[MediaRow], outW: Int = 16, outH: Int = 16,
+      audioFactor: Int = 2): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        m.kind match {
+          case "image" =>
+            val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+            val out = Array.tabulate(outW * outH) { i =>
+              val x = (i % outW) * w / outW
+              val y = (i / outW) * h / outH
+              gray(y * w + x)
+            }
+            MediaRow(m.doc_id, m.kind, MediaCodec.encodeBmp(outW, outH, out),
+              outW, outH, 0)
+          case _ =>
+            val (rate, samples) = MediaCodec.decodeWav(m.payload)
+            val out = samples.indices.collect {
+              case i if i % audioFactor == 0 => samples(i)
+            }.toArray
+            val newRate = rate / audioFactor
+            MediaRow(m.doc_id, m.kind, MediaCodec.encodeWav(newRate, out),
+              0, 0, newRate)
+        }
+      }
+    }
+  }
+
+  /** Declared query: resize normalization audit — byte/geometry movement
+    * per kind, end to end through decode → resample → re-encode. No
+    * oracle (binary path); spec asserts decoded geometry/rate. */
+  def resizeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val before = media(spark, sfDir).toDF()
+      .select(col("doc_id"), col("kind"),
+        length(col("payload")).as("bytes_in"))
+    val after = resize(media(spark, sfDir)).toDF()
+      .select(col("doc_id"), length(col("payload")).as("bytes_out"),
+        col("width"), col("height"), col("sample_rate"))
+    before.join(after, "doc_id")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bytes_in")).as("total_in"),
+        sum(col("bytes_out")).as("total_out"),
+        countDistinct(col("width"), col("height"), col("sample_rate"))
+          .as("n_shapes"))
+      .orderBy("kind")
+  }
+
   /** Frame sampling: fixed-size binary chunks with frame index — the
     * video/audio windowing primitive (map-side explode, no shuffle). */
   def frameSample(media: Dataset[MediaRow]): Dataset[MediaFrame] = {
@@ -148,7 +202,8 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> features _,
-    "q_mm_frames" -> frames _
+    "q_mm_frames" -> frames _,
+    "q_mm_resize" -> resizeStats _
   )
 
   /** No oracles: the binary decode path is engine-side by design. */

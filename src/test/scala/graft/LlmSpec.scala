@@ -190,4 +190,23 @@ class LlmSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(2)).sum ==
       graft.io.Tables.documents(spark, sf).count())
   }
+
+  test("mm resize: every image lands at 16x16, audio decimated to 8kHz") {
+    import graft.mm.{MediaCodec, MultimodalOps}
+    val resized = MultimodalOps.resize(
+      MultimodalOps.media(spark, sf)).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { m =>
+      if (m.kind == "image") {
+        val (w, h, _) = MediaCodec.decodeBmp(m.payload)
+        assert(w == 16 && h == 16 && m.width == 16 && m.height == 16)
+      } else {
+        val (rate, _) = MediaCodec.decodeWav(m.payload)
+        assert(rate == 8000 && m.sample_rate == 8000)
+      }
+    }
+    // one normalized shape per kind in the declared audit query
+    val stats = MultimodalOps.resizeStats(spark, sf).collect()
+    assert(stats.forall(_.getLong(4) == 1L))
+  }
 }
