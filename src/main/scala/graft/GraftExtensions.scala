@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * of the application; [[graft.functions.registerAll]] is the live-
   * session equivalent. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     org.apache.spark.sql.graft.GraftFunctionRegistry.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.RollupRouteRule)
+  }
 }

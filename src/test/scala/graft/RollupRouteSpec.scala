@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{RollupCatalog, RollupRouteRule}
+
+class RollupRouteSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("hourly agg over registered raw points is routed to the rollup") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_route").toString
+    val rawPath = s"$dir/points"
+    val rollupPath = s"$dir/rollup_1h"
+    // materialize raw points (metric, ts, value) and their hourly rollup
+    graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+      .write.parquet(rawPath)
+    sp.read.parquet(rawPath)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .write.parquet(rollupPath)
+
+    sp.experimental.extraOptimizations =
+      sp.experimental.extraOptimizations :+ RollupRouteRule
+    try {
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      def query() = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(avg(col("value")).as("avg_v"), sum(col("value")).as("sum_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+          count(lit(1)).as("n"))
+      val routed = query()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup_1h") && !plan.contains("/points"),
+        s"expected the rollup scan, not raw points:\n$plan")
+      // equivalence: routed reads merged archive values; n/min/max exact,
+      // avg/sum within float-accumulation error of the raw computation
+      RollupCatalog.clear() // so the reference query scans raw
+      val expect = query().orderBy("metric", "bucket").collect()
+      val got = routed.orderBy("metric", "bucket").collect()
+      assert(got.length == expect.length && got.nonEmpty)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1))
+        assert(math.abs(g.getDouble(2) - e.getDouble(2)) < 1e-9) // avg
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-6) // sum
+        assert(g.getDouble(4) == e.getDouble(4) &&
+          g.getDouble(5) == e.getDouble(5) && g.getLong(6) == e.getLong(6))
+      }
+      // non-matching shapes must NOT be rewritten: daily grain scans raw
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val daily = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      assert(daily.queryExecution.executedPlan.toString.contains("/points"))
+      // and a filtered query keeps the raw scan too (rule is conservative)
+      val filtered = sp.read.parquet(rawPath)
+        .where(col("value") > 50)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      assert(filtered.queryExecution.executedPlan.toString.contains("/points"))
+    } finally {
+      RollupCatalog.clear()
+      sp.experimental.extraOptimizations =
+        sp.experimental.extraOptimizations.filterNot(_ == RollupRouteRule)
+    }
+  }
+}
