@@ -224,6 +224,17 @@ object TimeSeriesOps {
       .orderBy("bucket")
   }
 
+  /** The routed single-series fetch (R4) as a declared query: the
+    * catalog's default policy routes a 20-day window to its 1h archive
+    * and aggregates one metric — `fetch("click", -20d, now)`. */
+  def fetchRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.catalog.{RollupRouter, SchemaCatalog}
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    RollupRouter.fetch(pts, SchemaCatalog.Default, col("metric") === "click",
+      fromSecondsAgo = 20L * 86400)
+  }
+
   /** Graphite `movingMedian("7h")` over the hourly rollup, restricted to
     * FULL 7-bucket frames: an odd-width ROWS frame makes the median pure
     * element selection (no interpolation arithmetic), so it is exact and
@@ -360,7 +371,8 @@ object TimeSeriesOps {
     "q_ts_series_ratio" -> seriesRatio _,
     "q_ts_glob_fetch" -> globFetch _,
     "q_ts_moving_median" -> movingMedian _,
-    "q_ts_highest_current" -> highestCurrent _
+    "q_ts_highest_current" -> highestCurrent _,
+    "q_ts_fetch_routed" -> fetchRouted _
   )
 
   /** DuckDB-dialect oracles (driver t2). Conventions (SURVEY §7.4): UTC,
@@ -556,6 +568,13 @@ object TimeSeriesOps {
         |FROM h
         |ORDER BY bucket NULLS FIRST""".stripMargin
     },
+    "q_ts_fetch_routed" ->
+      s"""SELECT TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 3600000000) * 3600) * INTERVAL '1 second' AS bucket,
+        |       ${Det.avg4Sql("value")} AS v, count(*) AS n
+        |FROM events
+        |WHERE event_type = 'click'
+        |GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
     "q_ts_moving_median" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
