@@ -57,27 +57,48 @@ object RollupRouteRule extends Rule[LogicalPlan] {
   /** Walk transparent Projects down to the scan, accumulating alias
     * definitions (the optimizer's PullOutGroupingExpressions hoists
     * `date_trunc` into a `_groupingexpression` alias below the
-    * Aggregate). Computed aliases are allowed; filters are not. */
+    * Aggregate) plus filters whose predicates reference ONLY the metric
+    * column — those are metric selection, which the rollup preserves
+    * exactly, so they push through. Any other filter aborts the match
+    * (a value/ts predicate changes what the rollup pre-aggregated). */
   private def scanPaths(plan: LogicalPlan,
-      aliases: Map[ExprId, Expression] = Map.empty)
-      : Option[(Seq[String], Map[ExprId, Expression])] =
+      aliases: Map[ExprId, Expression] = Map.empty,
+      metricFilters: Seq[Expression] = Nil)
+      : Option[(Seq[String], Map[ExprId, Expression], Seq[Expression])] =
     plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        Some((fs.location.rootPaths.map(_.toString), aliases))
+        Some((fs.location.rootPaths.map(_.toString), aliases, metricFilters))
       case Project(list, child) =>
         val newAliases = list.collect {
           case a @ Alias(e, _) => a.exprId -> e
         }.toMap
-        scanPaths(child, aliases ++ newAliases)
+        scanPaths(child, aliases ++ newAliases, metricFilters)
+      case Filter(cond, child)
+          if splitConjunctivePredicates(cond).forall(metricOnly) =>
+        scanPaths(child, aliases,
+          metricFilters ++ splitConjunctivePredicates(cond))
       case _ => None
     }
+
+  private def splitConjunctivePredicates(c: Expression): Seq[Expression] =
+    c match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+
+  private def metricOnly(e: Expression): Boolean = {
+    val refs = e.references.toSeq
+    refs.nonEmpty && refs.forall(_.name == "metric")
+  }
 
   private def rewrite(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     for {
-      (paths, aliases) <- scanPaths(child)
+      (paths, aliases, metricFilters) <- scanPaths(child)
       entry <- RollupCatalog.lookup(paths)
-      out <- buildProject(agg, groupings, aggExprs, entry.rollup, aliases)
+      out <- buildProject(agg, groupings, aggExprs, entry.rollup, aliases,
+        metricFilters)
     } yield out
   }
 
@@ -86,7 +107,8 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     * output exprIds so the surrounding plan stays resolved. */
   private def buildProject(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], rollup: LogicalPlan,
-      aliases: Map[ExprId, Expression]): Option[LogicalPlan] = {
+      aliases: Map[ExprId, Expression],
+      metricFilters: Seq[Expression]): Option[LogicalPlan] = {
     def rollupCol(name: String): Option[Attribute] =
       rollup.output.find(_.name == name)
 
@@ -142,6 +164,17 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       case _ => None
     }
     if (projected.exists(_.isEmpty)) None
-    else Some(Project(projected.flatten, rollup))
+    else {
+      // re-anchor pushed metric predicates onto the rollup's metric col
+      val base =
+        if (metricFilters.isEmpty) rollup
+        else {
+          val cond = metricFilters.map(_.transform {
+            case a: AttributeReference if a.name == "metric" => metricOut.get
+          }).reduce(And)
+          Filter(cond, rollup)
+        }
+      Some(Project(projected.flatten, base))
+    }
   }
 }

@@ -263,6 +263,15 @@ object Ingest {
       lateness: String = "10 minutes"): DataFrame =
     streamStreamAsof(purchases, signups, windowSpec, lateness, "left_outer")
 
+  /** FULL OUTER variant: unmatched rows from EITHER stream are emitted
+    * with nulls on the other side once the watermark proves no partner
+    * can arrive — the reconciliation read (every purchase AND every
+    * signup accounted for exactly once). */
+  def streamStreamAsofFull(purchases: DataFrame, signups: DataFrame,
+      windowSpec: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    streamStreamAsof(purchases, signups, windowSpec, lateness, "full_outer")
+
   /** R15 read-merge: the serving view = flushed storage UNION live
     * not-yet-flushed state (here: the in-memory sink table of a running
     * rollup query vs a batch table). */

@@ -57,12 +57,32 @@ class RollupRouteSpec extends AnyFunSuite {
         .groupBy(col("metric"), date_trunc("day", col("ts")).as("bucket"))
         .agg(count(lit(1)).as("n"))
       assert(daily.queryExecution.executedPlan.toString.contains("/points"))
-      // and a filtered query keeps the raw scan too (rule is conservative)
+      // a VALUE filter keeps the raw scan (rule is conservative) ...
       val filtered = sp.read.parquet(rawPath)
         .where(col("value") > 50)
         .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
         .agg(count(lit(1)).as("n"))
       assert(filtered.queryExecution.executedPlan.toString.contains("/points"))
+      // ... but a METRIC-only filter pushes through to the rollup
+      val metricFiltered = sp.read.parquet(rawPath)
+        .where(col("metric") === "click")
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+      val mfPlan = metricFiltered.queryExecution.executedPlan.toString
+      assert(mfPlan.contains("rollup_1h") && !mfPlan.contains("/points"),
+        s"metric filter should route to the rollup:\n$mfPlan")
+      RollupCatalog.clear()
+      val mfExpect = sp.read.parquet(rawPath)
+        .where(col("metric") === "click")
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+        .orderBy("bucket").collect()
+      val mfGot = metricFiltered.orderBy("bucket").collect()
+      assert(mfGot.length == mfExpect.length && mfGot.nonEmpty)
+      mfGot.zip(mfExpect).foreach { case (g, e) =>
+        assert(g.getString(0) == "click" && g.getLong(2) == e.getLong(2))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+      }
     } finally {
       RollupCatalog.clear()
       sp.experimental.extraOptimizations =

@@ -221,6 +221,35 @@ class StreamingSpec extends AnyFunSuite {
       matched.head.getTimestamp(0) == ts("2024-01-01 09:30:00"))
   }
 
+  test("s_stream_stream_full: both sides' unmatched rows emit after watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val purchases = MemoryStream[Point]
+    val signups = MemoryStream[Point]
+    val joined = Ingest.streamStreamAsofFull(purchases.toDF(), signups.toDF(),
+      "1 hour", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjf")
+      .outputMode(OutputMode.Append()).start()
+    signups.addData(Point("u1", ts("2024-01-01 09:30:00"), 0.0),
+      Point("u3", ts("2024-01-01 09:45:00"), 0.0)) // signup, never purchases
+    purchases.addData(Point("u1", ts("2024-01-01 10:00:00"), 9.99),
+      Point("u2", ts("2024-01-01 10:00:00"), 1.0)) // purchase, never signed up
+    q.processAllAvailable()
+    for (h <- Seq("14", "18")) { // push both watermarks past all windows
+      purchases.addData(Point("wm", ts(s"2024-01-01 $h:00:00"), 0.0))
+      signups.addData(Point("wm", ts(s"2024-01-01 $h:00:00"), 0.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val u2 = sp.sql("SELECT s_ts FROM ssjf WHERE p_metric = 'u2'").collect()
+    assert(u2.length == 1 && u2.head.isNullAt(0), "unmatched purchase emits")
+    val u3 = sp.sql("SELECT p_ts FROM ssjf WHERE s_metric = 'u3'").collect()
+    assert(u3.length == 1 && u3.head.isNullAt(0), "unmatched signup emits")
+    val m = sp.sql("SELECT s_ts FROM ssjf WHERE p_metric = 'u1'").collect()
+    assert(m.length == 1 && m.head.getTimestamp(0) == ts("2024-01-01 09:30:00"))
+  }
+
   test("stateful rollup runs on the RocksDB state store (prod backend)") {
     val sp = spark
     import sp.implicits._
