@@ -162,6 +162,44 @@ object WhisperImport {
       }
   }
 
+  /** Full-policy export: every archive of `policy` is populated by
+    * re-aggregating `points` to that archive's step (the policy's agg
+    * method, Det-exact), and each metric gets ONE .wsp file carrying the
+    * complete archive set — a faithful Kenshin/Whisper file a Graphite
+    * stack can serve directly. One shuffle per archive grain + one on
+    * metric for file assembly. */
+  def exportPolicy(points: DataFrame, dir: String,
+      policy: RetentionPolicy): Unit = {
+    import graft.catalog.RollupRouter
+    val perArchive = policy.archives.zipWithIndex.map { case (a, i) =>
+      val step = a.secondsPerPoint
+      points
+        .groupBy(col("metric"),
+          ((col("ts").cast("long") / step).cast("long") * lit(step))
+            .as("ts_s"))
+        .agg(RollupRouter.detAgg(policy.agg, col("value"), col("ts"))
+          .as("v"))
+        .select(col("metric"), lit(i).as("archive"), col("ts_s"), col("v"))
+    }
+    val archives = policy.archives
+    val agg = policy.agg
+    val xff = policy.xFilesFactor.toFloat
+    perArchive.reduce(_ unionByName _)
+      .repartition(col("metric"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.toSeq.groupBy(_.getString(0)).foreach { case (metric, rs) =>
+          val byArchive = rs.groupBy(_.getInt(1))
+          val payload = archives.zipWithIndex.map { case (a, i) =>
+            a -> byArchive.getOrElse(i, Seq.empty)
+              .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$metric.wsp"),
+            encode(agg, xff, payload))
+        }
+      }
+  }
+
   /** Bridge an imported header to the catalog: the file's archive set as
     * a [[RetentionPolicy]] matching exactly its metric name. */
   def toPolicy(metric: String, header: WhisperHeader): RetentionPolicy =

@@ -64,6 +64,42 @@ class WhisperSpec extends AnyFunSuite {
     }
   }
 
+  test("policy export: every archive populated, roundtrips through read") {
+    val spark = TestSpark.spark
+    val outDir = Files.createTempDirectory("wsp_policy").toFile
+    outDir.deleteOnExit()
+    val policy = RetentionPolicy("exp", ".*".r,
+      Seq(Archive(3600, 100000), Archive(6 * 3600, 100000)),
+      AggMethod.Average, 0.5)
+    val pts = graft.io.Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    WhisperImport.exportPolicy(pts, outDir.getAbsolutePath, policy)
+    val back = WhisperImport.read(spark, outDir.getAbsolutePath)
+    // both archives present at their declared steps, for both metrics
+    val steps = back.select("metric", "archive", "step_s").distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(steps == Set(("click", 0, 3600L), ("click", 1, 21600L),
+      ("view", 0, 3600L), ("view", 1, 21600L)))
+    // the header carries the full policy (agg, xff, archive geometry)
+    val bytes = Files.readAllBytes(
+      new java.io.File(outDir, "click.wsp").toPath)
+    val h = WhisperImport.parseHeader(bytes)
+    assert(h.agg == AggMethod.Average && h.xFilesFactor == 0.5f)
+    assert(h.archives.map(a => (a.secondsPerPoint, a.points)) ==
+      Seq((3600L, 100000L), (21600L, 100000L)))
+    // archive 0 values equal a direct hourly Det rollup of the raw points
+    val expect = pts.where(col("metric") === "click")
+      .groupBy(((col("ts").cast("long") / 3600).cast("long") * 3600)
+        .as("ts_s"))
+      .agg(graft.util.Det.avg4(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = back.where(col("metric") === "click" && col("archive") === 0)
+      .select(col("ts").cast("long"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+  }
+
   test("spark read: .wsp directory to points, and into the router") {
     val spark = TestSpark.spark
     val dir = Files.createTempDirectory("wsp").toFile
