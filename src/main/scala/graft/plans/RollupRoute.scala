@@ -117,20 +117,28 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       case a: AttributeReference => aliases.getOrElse(a.exprId, a)
       case other => other
     }
-    def isHourTrunc(e: Expression): Boolean = deref(e) match {
-      case TruncTimestamp(Literal(fmt, _), _: AttributeReference, _) =>
-        String.valueOf(fmt).equalsIgnoreCase("hour")
-      case Alias(c, _) => isHourTrunc(c)
-      case _ => false
+    // grains the hourly rollup can serve: its own, plus any calendar
+    // grain no hour boundary straddles (re-aggregated below)
+    val coarser = Set("day", "week", "month", "quarter", "year")
+    def truncOf(e: Expression): Option[TruncTimestamp] = deref(e) match {
+      case t @ TruncTimestamp(Literal(fmt, _), _: AttributeReference, _)
+          if String.valueOf(fmt).equalsIgnoreCase("hour") ||
+            coarser(String.valueOf(fmt).toLowerCase) => Some(t)
+      case Alias(c, _) => truncOf(c)
+      case _ => None
     }
     def isMetric(e: Expression): Boolean = deref(e) match {
       case a: AttributeReference => a.name == "metric"
       case Alias(c, _) => isMetric(c)
       case _ => false
     }
+    val trunc = groupings.flatMap(truncOf).headOption
     val groupable = groupings.length == 2 &&
-      groupings.exists(isMetric) && groupings.exists(isHourTrunc)
+      groupings.exists(isMetric) && trunc.isDefined
     if (!groupable) return None
+    val grain = String.valueOf(
+      trunc.get.format.asInstanceOf[Literal].value).toLowerCase
+    def isHourTrunc(e: Expression): Boolean = truncOf(e).isDefined
 
     val (metricOut, bucketOut, sumOut, nOut, minOut, maxOut) =
       (rollupCol("metric"), rollupCol("bucket"), rollupCol("sum_v"),
@@ -143,38 +151,73 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       case Cast(c, _, _, _) => overValue(c)
       case _ => false
     }
-    val projected: Seq[Option[NamedExpression]] = aggExprs.map {
-      case ne if isMetric(ne) =>
-        Some(Alias(metricOut.get, ne.name)(exprId = ne.exprId))
-      case ne if isHourTrunc(ne) =>
-        Some(Alias(bucketOut.get, ne.name)(exprId = ne.exprId))
-      case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
-        val repl: Option[Expression] = fn match {
-          case Average(v, _) if overValue(v) =>
-            Some(Divide(Cast(sumOut.get, DoubleType),
-              Cast(nOut.get, DoubleType)))
-          case Sum(v, _) if overValue(v) =>
-            Some(Cast(sumOut.get, DoubleType))
-          case Min(v) if overValue(v) => Some(minOut.get)
-          case Max(v) if overValue(v) => Some(maxOut.get)
-          case Count(Seq(Literal(_, _))) => Some(nOut.get)
-          case _ => None
-        }
-        repl.map(e => Alias(e, name)(exprId = ne.exprId))
-      case _ => None
-    }
-    if (projected.exists(_.isEmpty)) None
-    else {
-      // re-anchor pushed metric predicates onto the rollup's metric col
-      val base =
-        if (metricFilters.isEmpty) rollup
-        else {
-          val cond = metricFilters.map(_.transform {
-            case a: AttributeReference if a.name == "metric" => metricOut.get
-          }).reduce(And)
-          Filter(cond, rollup)
-        }
-      Some(Project(projected.flatten, base))
+
+    // re-anchor pushed metric predicates onto the rollup's metric col
+    val base =
+      if (metricFilters.isEmpty) rollup
+      else {
+        val cond = metricFilters.map(_.transform {
+          case a: AttributeReference if a.name == "metric" => metricOut.get
+        }).reduce(And)
+        Filter(cond, rollup)
+      }
+
+    if (grain == "hour") {
+      // same grain: pure column remapping over the stored archive
+      val projected: Seq[Option[NamedExpression]] = aggExprs.map {
+        case ne if isMetric(ne) =>
+          Some(Alias(metricOut.get, ne.name)(exprId = ne.exprId))
+        case ne if isHourTrunc(ne) =>
+          Some(Alias(bucketOut.get, ne.name)(exprId = ne.exprId))
+        case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+          val repl: Option[Expression] = fn match {
+            case Average(v, _) if overValue(v) =>
+              Some(Divide(Cast(sumOut.get, DoubleType),
+                Cast(nOut.get, DoubleType)))
+            case Sum(v, _) if overValue(v) =>
+              Some(Cast(sumOut.get, DoubleType))
+            case Min(v) if overValue(v) => Some(minOut.get)
+            case Max(v) if overValue(v) => Some(maxOut.get)
+            case Count(Seq(Literal(_, _))) => Some(nOut.get)
+            case _ => None
+          }
+          repl.map(e => Alias(e, name)(exprId = ne.exprId))
+        case _ => None
+      }
+      if (projected.exists(_.isEmpty)) None
+      else Some(Project(projected.flatten, base))
+    } else {
+      // coarser grain: re-aggregate the archive — exact, because the
+      // rollup stores decimal partial sums and counts (avg-of-raw ==
+      // sum(sum_v)/sum(n), never avg-of-avgs)
+      val coarseBucket = trunc.get.copy(timestamp = bucketOut.get)
+      def aggOf(fn: AggregateFunction): Expression =
+        fn.toAggregateExpression()
+      val results: Seq[Option[NamedExpression]] = aggExprs.map {
+        case ne if isMetric(ne) =>
+          Some(Alias(metricOut.get, ne.name)(exprId = ne.exprId))
+        case ne if isHourTrunc(ne) =>
+          Some(Alias(coarseBucket, ne.name)(exprId = ne.exprId))
+        case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+          val repl: Option[Expression] = fn match {
+            case Average(v, _) if overValue(v) =>
+              Some(Divide(Cast(aggOf(Sum(sumOut.get)), DoubleType),
+                Cast(aggOf(Sum(nOut.get)), DoubleType)))
+            case Sum(v, _) if overValue(v) =>
+              Some(Cast(aggOf(Sum(sumOut.get)), DoubleType))
+            case Min(v) if overValue(v) => Some(aggOf(Min(minOut.get)))
+            case Max(v) if overValue(v) => Some(aggOf(Max(maxOut.get)))
+            case Count(Seq(Literal(_, _))) =>
+              Some(Cast(aggOf(Sum(nOut.get)),
+                org.apache.spark.sql.types.LongType))
+            case _ => None
+          }
+          repl.map(e => Alias(e, name)(exprId = ne.exprId))
+        case _ => None
+      }
+      if (results.exists(_.isEmpty)) None
+      else Some(Aggregate(Seq(metricOut.get, coarseBucket),
+        results.flatten, base, None))
     }
   }
 }

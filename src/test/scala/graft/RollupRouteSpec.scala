@@ -51,12 +51,33 @@ class RollupRouteSpec extends AnyFunSuite {
         assert(g.getDouble(4) == e.getDouble(4) &&
           g.getDouble(5) == e.getDouble(5) && g.getLong(6) == e.getLong(6))
       }
-      // non-matching shapes must NOT be rewritten: daily grain scans raw
+      // DAILY grain routes too: the rule re-aggregates the hourly archive
+      // (sum of partial sums — exact, never avg-of-avgs)
       RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
-      val daily = sp.read.parquet(rawPath)
+      def dailyQ() = sp.read.parquet(rawPath)
         .groupBy(col("metric"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"),
+          max(col("value")).as("max_v"))
+      val daily = dailyQ()
+      val dPlan = daily.queryExecution.executedPlan.toString
+      assert(dPlan.contains("rollup_1h") && !dPlan.contains("/points"),
+        s"daily grain should re-aggregate the rollup:\n$dPlan")
+      RollupCatalog.clear()
+      val dExpect = dailyQ().orderBy("metric", "bucket").collect()
+      val dGot = daily.orderBy("metric", "bucket").collect()
+      assert(dGot.length == dExpect.length && dGot.nonEmpty)
+      dGot.zip(dExpect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2) && g.getDouble(4) == e.getDouble(4))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+      }
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      // a FINER grain than the archive must NOT route
+      val minute = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("minute", col("ts")).as("bucket"))
         .agg(count(lit(1)).as("n"))
-      assert(daily.queryExecution.executedPlan.toString.contains("/points"))
+      assert(minute.queryExecution.executedPlan.toString.contains("/points"))
       // a VALUE filter keeps the raw scan (rule is conservative) ...
       val filtered = sp.read.parquet(rawPath)
         .where(col("value") > 50)
