@@ -44,6 +44,19 @@ object MetricGlob {
   def literalPrefix(glob: String): String =
     glob.takeWhile(c => "*?{[".indexOf(c) < 0)
 
+  /** Graphite `aliasByNode(series, n)`: rename each series to its n-th
+    * dot-delimited node (negative n counts from the end) — the rename
+    * every dashboard applies after a glob fetch. Pure column expression
+    * (codegen'd element_at over split). */
+  def aliasByNode(metric: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, split}
+    // element_at is 1-based positive / -1-based negative; try_ keeps
+    // out-of-range node indexes null instead of throwing under ANSI
+    val idx = if (n >= 0) n + 1 else n
+    org.apache.spark.sql.functions.try_element_at(
+      split(metric, "\\."), org.apache.spark.sql.functions.lit(idx))
+  }
+
   /** Predicate form: metric column matches the glob (Spark `rlike` is a
     * substring match, hence the explicit anchors in [[toRegex]]).
     *

@@ -119,6 +119,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(m("*u*", "purchase") && m("*u*", "signup") && !m("*u*", "click"))
   }
 
+  test("aliasByNode picks the n-th dot node, null when out of range") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq("stats.web.host1.p95", "cpu").toDF("metric")
+      .select(col("metric"),
+        MetricGlob.aliasByNode(col("metric"), 2).as("n2"),
+        MetricGlob.aliasByNode(col("metric"), -1).as("last"),
+        MetricGlob.aliasByNode(col("metric"), 7).as("oob"))
+      .orderBy("metric").collect()
+    assert(df(1).getString(1) == "host1" && df(1).getString(2) == "p95" &&
+      df(1).isNullAt(3))
+    assert(df(0).getString(2) == "cpu" && df(0).isNullAt(1))
+  }
+
   test("prefixed glob pushes StartsWith into the parquet scan") {
     val spark = TestSpark.spark
     val pts = graft.io.Tables.events(spark, TestSpark.sf)
