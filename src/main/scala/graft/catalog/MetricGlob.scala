@@ -21,19 +21,31 @@ import org.apache.spark.sql.Column
   */
 object MetricGlob {
 
-  /** Compile a glob to an anchored Java regex. */
+  /** Compile a glob to an anchored Java regex. Unbalanced braces are
+    * treated as literal characters (graphite's behavior) instead of
+    * emitting an uncompilable group. */
   def toRegex(glob: String): String = {
+    // brace metachars only apply when the glob's braces balance
+    val balanced = {
+      var depth = 0; var ok = true
+      glob.foreach {
+        case '{' => depth += 1
+        case '}' => if (depth == 0) ok = false else depth -= 1
+        case _ =>
+      }
+      ok && depth == 0
+    }
     val sb = new StringBuilder("^")
     var inBrace = false
     glob.foreach {
       case '*' => sb.append("[^.]*")
       case '?' => sb.append("[^.]")
-      case '{' => inBrace = true; sb.append("(?:")
-      case '}' => inBrace = false; sb.append(')')
+      case '{' if balanced => inBrace = true; sb.append("(?:")
+      case '}' if balanced => inBrace = false; sb.append(')')
       case ',' if inBrace => sb.append('|')
       case '.' => sb.append("\\.")
       case c @ ('[' | ']') => sb.append(c)
-      case c if "\\^$+()|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c if "\\^$+()|{}".indexOf(c) >= 0 => sb.append('\\').append(c)
       case c => sb.append(c)
     }
     sb.append("$").toString

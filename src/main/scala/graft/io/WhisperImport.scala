@@ -1,7 +1,7 @@
 package graft.io
 
 import java.nio.{ByteBuffer, ByteOrder}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.{AggMethod, Archive, RetentionPolicy}
 
@@ -101,12 +101,18 @@ object WhisperImport {
       offset += (a.points * PointLen).toInt
     }
     archives.foreach { case (a, pts) =>
-      // slot = (ts / step) mod points — the ring placement; insert in ts
-      // order so a slot collision deterministically keeps the NEWEST
-      // point (the ring-overwrite semantic)
+      // whisper ring placement is BASE-RELATIVE: the archive's first
+      // point sits at slot 0 and defines the base timestamp; every other
+      // point lands at ((ts - base) / step) mod points. whisper.py's
+      // fetch anchors on slot 0's timestamp, so an absolute (ts/step)
+      // placement would read as an EMPTY archive in a real Graphite
+      // stack. Insert in ts order so slot collisions deterministically
+      // keep the NEWEST point (the ring-overwrite semantic).
       val slots = new Array[(Long, Double)](a.points.toInt)
+      val base = if (pts.isEmpty) 0L
+        else pts.keys.min / a.secondsPerPoint * a.secondsPerPoint
       pts.toSeq.sortBy(_._1).foreach { case (ts, v) =>
-        slots(((ts / a.secondsPerPoint) % a.points).toInt) = (ts, v)
+        slots((((ts - base) / a.secondsPerPoint) % a.points).toInt) = (ts, v)
       }
       slots.foreach {
         case null => buf.putInt(0).putDouble(0.0)
@@ -162,29 +168,45 @@ object WhisperImport {
       }
   }
 
-  /** Full-policy export: every archive of `policy` is populated by
-    * re-aggregating `points` to that archive's step (the policy's agg
-    * method, Det-exact), and each metric gets ONE .wsp file carrying the
-    * complete archive set — a faithful Kenshin/Whisper file a Graphite
-    * stack can serve directly. One shuffle per archive grain + one on
-    * metric for file assembly. */
+  /** Full-policy export: archive 0 is aggregated from the raw points;
+    * each coarser archive PROPAGATES from the previous one (aggregate
+    * the stored archive values, materialize a bucket only when the
+    * fraction of backing higher-res points reaches xFilesFactor) —
+    * Kenshin's propagate semantics (R5), not independent re-rollups of
+    * raw. Each metric gets ONE .wsp carrying the complete archive set.
+    * One shuffle per archive grain + one on metric for file assembly. */
   def exportPolicy(points: DataFrame, dir: String,
       policy: RetentionPolicy): Unit = {
     import graft.catalog.RollupRouter
-    val perArchive = policy.archives.zipWithIndex.map { case (a, i) =>
-      val step = a.secondsPerPoint
-      points
-        .groupBy(col("metric"),
-          ((col("ts").cast("long") / step).cast("long") * lit(step))
-            .as("ts_s"))
-        .agg(RollupRouter.detAgg(policy.agg, col("value"), col("ts"))
-          .as("v"))
-        .select(col("metric"), lit(i).as("archive"), col("ts_s"), col("v"))
+    def align(ts: Column, step: Long): Column =
+      ((ts.cast("long") / step).cast("long") * lit(step))
+    val a0 = policy.archives.head
+    var prev = points
+      .groupBy(col("metric"), align(col("ts"), a0.secondsPerPoint).as("ts_s"))
+      .agg(RollupRouter.detAgg(policy.agg, col("value"), col("ts")).as("v"))
+      .select(col("metric"), col("ts_s"), col("v"))
+    val perArchive = Seq.newBuilder[DataFrame]
+    perArchive += prev.select(col("metric"), lit(0).as("archive"),
+      col("ts_s"), col("v"))
+    policy.archives.zipWithIndex.tail.foreach { case (a, i) =>
+      val ratio = a.secondsPerPoint / policy.archives(i - 1).secondsPerPoint
+      val cur = prev
+        .groupBy(col("metric"), align(col("ts_s"), a.secondsPerPoint)
+          .as("ts_c"))
+        .agg(RollupRouter.detAgg(policy.agg, col("v"),
+          timestamp_seconds(col("ts_s"))).as("v"),
+          count(lit(1)).as("np"))
+        .where(col("np").cast("double") / lit(ratio.toDouble) >=
+          lit(policy.xFilesFactor)) // the xff gate (R5)
+        .select(col("metric"), col("ts_c").as("ts_s"), col("v"))
+      perArchive += cur.select(col("metric"), lit(i).as("archive"),
+        col("ts_s"), col("v"))
+      prev = cur
     }
     val archives = policy.archives
     val agg = policy.agg
     val xff = policy.xFilesFactor.toFloat
-    perArchive.reduce(_ unionByName _)
+    perArchive.result().reduce(_ unionByName _)
       .repartition(col("metric"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.toSeq.groupBy(_.getString(0)).foreach { case (metric, rs) =>

@@ -245,12 +245,18 @@ object TextOps {
     * emit a 16-bit probe key, and generate candidates only from equi-join
     * collisions on (table, key). Pigeonhole: hamming <= 6 leaves >= 2 of
     * the 8 blocks untouched, so every such pair is guaranteed to collide
-    * in at least one table — at this corpus all reported pairs are
-    * hamming <= 4, so the top-20 is exactly the brute-force answer
-    * (asserted in LlmSpec). Work is 28n probe rows hashed into 28*2^16
-    * buckets — never an all-pairs join. At >> 10^8 docs, widen the probe
-    * key (pairs of 16-bit blocks, Manku's d<=3 operating point) to keep
-    * buckets sparse. No oracle (engine-internal hash). */
+    * in at least one table. The REPORTED threshold is hamming <= 6 —
+    * the same bound the index guarantees, so the query's contract and
+    * its recall are identical by construction (no silent misses in the
+    * 7..16 band a looser filter would imply); Manku's production
+    * operating point is d <= 3 on 64 bits for the same reason. On this
+    * corpus every near pair is hamming <= 4, so the top-20 equals the
+    * brute-force answer (asserted in LlmSpec). Work is 28n probe rows
+    * hashed into 28*2^16 buckets — never an all-pairs join. At >> 10^8
+    * docs, widen the probe key (pairs of 16-bit blocks) to keep buckets
+    * sparse. No oracle (engine-internal hash). */
+  private val MaxHamming = 6 // == the 8-block pigeonhole guarantee
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     // materialize the 16-byte/doc signature index once — the self-join
     // below would otherwise recompute the tokenize+64-bit-vote aggregation
@@ -272,7 +278,7 @@ object TextOps {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
-      .where(col("hamming") <= 16)
+      .where(col("hamming") <= MaxHamming)
       .distinct() // a pair can collide in several tables
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
       .limit(20)
@@ -288,7 +294,7 @@ object TextOps {
         col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .where(col("hamming") <= 16)
+      .where(col("hamming") <= MaxHamming)
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
       .limit(20)
   }

@@ -33,7 +33,12 @@ object RollupCatalog {
   @volatile private var entries: List[Entry] = Nil
 
   /** Declare `rollupDf` (schema: metric, bucket, sum_v DECIMAL, n, min_v,
-    * max_v) as the hourly rollup of the parquet table at `rawPath`. */
+    * max_v) as the hourly rollup of the parquet table at `rawPath`.
+    *
+    * CONTRACT: the raw table's `value` column must contain no nulls (true
+    * of everything the ingest path writes — parseLines/parseFrames drop
+    * null values). With nulls, `avg(value)` (null-skipping) and the
+    * rewrite's `sum_v / n` (n = all rows) would diverge. */
   def register(rawPath: String, rollupDf: DataFrame): Unit =
     entries = Entry(normalize(rawPath),
       rollupDf.queryExecution.analyzed) :: entries
@@ -121,9 +126,10 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     // grain no hour boundary straddles (re-aggregated below)
     val coarser = Set("day", "week", "month", "quarter", "year")
     def truncOf(e: Expression): Option[TruncTimestamp] = deref(e) match {
-      case t @ TruncTimestamp(Literal(fmt, _), _: AttributeReference, _)
-          if String.valueOf(fmt).equalsIgnoreCase("hour") ||
-            coarser(String.valueOf(fmt).toLowerCase) => Some(t)
+      case t @ TruncTimestamp(Literal(fmt, _), tsAttr: AttributeReference, _)
+          if tsAttr.name == "ts" && // the rollup bucketed THIS column
+            (String.valueOf(fmt).equalsIgnoreCase("hour") ||
+              coarser(String.valueOf(fmt).toLowerCase)) => Some(t)
       case Alias(c, _) => truncOf(c)
       case _ => None
     }

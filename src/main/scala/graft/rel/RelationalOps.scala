@@ -115,8 +115,10 @@ object RelationalOps {
       .select(col("event_id"),
         size(col("m")).cast("long").as("n_keys"),
         array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
-        element_at(col("m"), "k").as("k_val"),
-        element_at(col("m"), "uid").as("uid_val"),
+        // try_: a props row without 'k' must yield NULL (as the oracle's
+        // json_extract does), not an ANSI MAP_KEY_DOES_NOT_EXIST error
+        try_element_at(col("m"), lit("k")).as("k_val"),
+        try_element_at(col("m"), lit("uid")).as("uid_val"),
         aggregate(map_values(col("m")), lit(0L), _ + _).as("val_sum"))
       .orderBy("event_id")
 

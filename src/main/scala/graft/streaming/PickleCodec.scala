@@ -119,9 +119,18 @@ object PickleCodec {
         }
       }
       require(done && stack.length == 1, "bad pickle shape")
+      // carbon clients commonly send time.time() FLOATS as timestamps —
+      // accept any int/float combination and truncate ts to seconds
+      def toTs(x: Any): Long = x match {
+        case l: Long => l
+        case d: Double => d.toLong
+      }
+      def toV(x: Any): Double = x match {
+        case d: Double => d
+        case l: Long => l.toDouble
+      }
       stack.head.asInstanceOf[ArrayBuffer[Any]].toSeq.map {
-        case Vector(m: String, Vector(ts: Long, v: Double)) => (m, ts, v)
-        case Vector(m: String, Vector(ts: Long, v: Long)) => (m, ts, v.toDouble)
+        case Vector(m: String, Vector(ts, v)) => (m, toTs(ts), toV(v))
       }
     } catch { case _: Exception => Seq.empty } // tolerant receiver
   }

@@ -117,6 +117,9 @@ class CatalogSpec extends AnyFunSuite {
     assert(!m("host[12].cpu", "host3.cpu"))
     assert(!m("a.b", "aXb")) // dot is literal, not regex any-char
     assert(m("*u*", "purchase") && m("*u*", "signup") && !m("*u*", "click"))
+    // unbalanced braces are literals, never a broken regex group
+    assert(m("host}1", "host}1") && !m("host}1", "host1"))
+    assert(m("a{b.c", "a{b.c"))
   }
 
   test("aliasByNode picks the n-th dot node, null when out of range") {

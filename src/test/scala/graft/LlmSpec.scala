@@ -55,7 +55,7 @@ class LlmSpec extends AnyFunSuite {
 
   test("simhash: identical docs would collide; near pairs have low hamming") {
     val rows = TextOps.simhash(spark, sf).collect()
-    assert(rows.nonEmpty && rows.forall(_.getInt(2) <= 16))
+    assert(rows.nonEmpty && rows.forall(_.getInt(2) <= 6))
     val h = rows.map(_.getInt(2))
     assert(h.sameElements(h.sorted), "not sorted by hamming")
   }

@@ -35,6 +35,16 @@ class PickleSpec extends AnyFunSuite {
     assert(PickleCodec.decode(cpythonProto4) == payload)
   }
 
+  test("float timestamps (time.time() clients) decode with second truncation") {
+    // pickle.dumps([('cpu.load', (1700000000.25, 0.75))], protocol=2)
+    // (single-element list: CPython emits APPEND, exercising that opcode)
+    val floatTs: Array[Byte] = Array[Int](
+      -128, 2, 93, 113, 0, 88, 8, 0, 0, 0, 99, 112, 117, 46, 108, 111, 97,
+      100, 113, 1, 71, 65, -39, 84, -4, 64, 16, 0, 0, 71, 63, -24, 0, 0,
+      0, 0, 0, 0, -122, 113, 2, -122, 113, 3, 97, 46).map(_.toByte)
+    assert(PickleCodec.decode(floatTs) == Seq(("cpu.load", 1700000000L, 0.75)))
+  }
+
   test("roundtrip: encode then decode, including empty and unicode") {
     assert(PickleCodec.decode(PickleCodec.encode(payload)) == payload)
     assert(PickleCodec.decode(PickleCodec.encode(Seq.empty)) == Seq.empty)

@@ -88,6 +88,16 @@ class WhisperSpec extends AnyFunSuite {
     assert(h.agg == AggMethod.Average && h.xFilesFactor == 0.5f)
     assert(h.archives.map(a => (a.secondsPerPoint, a.points)) ==
       Seq((3600L, 100000L), (21600L, 100000L)))
+    // base-point invariant: slot 0 of archive 0 holds the EARLIEST point
+    // (whisper fetch anchors on it; an empty slot 0 reads as no data)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.position(h.archives.head.offset)
+    val baseTs = Integer.toUnsignedLong(bb.getInt)
+    val clickTs = back.where(col("metric") === "click" && col("archive") === 0)
+      .agg(org.apache.spark.sql.functions.min(col("ts").cast("long")))
+      .head.getLong(0)
+    assert(baseTs == clickTs, s"slot 0 must be the base point, got $baseTs")
     // archive 0 values equal a direct hourly Det rollup of the raw points
     val expect = pts.where(col("metric") === "click")
       .groupBy(((col("ts").cast("long") / 3600).cast("long") * 3600)
@@ -98,6 +108,21 @@ class WhisperSpec extends AnyFunSuite {
       .select(col("ts").cast("long"), col("value"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == expect)
+    // archive 1 PROPAGATES archive 0 (avg of stored values) and applies
+    // the xff gate: a 6h bucket needs >= 0.5 * 6 = 3 hourly points
+    val a0 = got.toSeq.groupBy { case (ts, _) => ts / 21600 * 21600 }
+    val expect1 = a0.collect { case (b, vs) if vs.size * 2 >= 6 =>
+      val scaled = vs.map { case (_, v) => math.round(v * 10000.0) }.sum
+      b -> (math.floorDiv(2 * scaled + vs.size, 2L * vs.size) / 10000.0)
+    }.toMap
+    val got1 = back.where(col("metric") === "click" && col("archive") === 1)
+      .select(col("ts").cast("long"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got1.keySet == expect1.keySet,
+      s"xff gate mismatch: got=${got1.keySet.size} expect=${expect1.keySet.size}")
+    got1.foreach { case (b, v) =>
+      assert(math.abs(v - expect1(b)) < 1e-9, s"bucket $b: $v vs ${expect1(b)}")
+    }
   }
 
   test("spark read: .wsp directory to points, and into the router") {
