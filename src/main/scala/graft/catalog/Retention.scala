@@ -111,18 +111,43 @@ object RollupRouter {
       case AggMethod.Last => round(max_by(v, struct(ts, v)), 4)
     }
 
-  /** Build the routed fetch plan over a points DataFrame: align to the
-    * selected archive step and aggregate with the policy's method —
-    * the batch form of `fetch(metric, from, until)` (R4+R8).
+  /** The [from, until] clamp shared by both fetch forms — Kenshin's
+    * `Storage.fetch` clamps the read to the requested window
+    * (`kenshin/storage.py — Storage.fetch` [U]); without it a "fetch"
+    * aggregates the entire history, which is wrong (and unprunable) at
+    * any real retention. Bounds are anchored to the table's max ts (the
+    * reproducible analog of wall-clock "now" — same anchor as
+    * q_ts_retention); the window is the closed interval
+    * [now − from, now − until]. The scalar max is a 1-row broadcast; at
+    * production scale absolute bounds become date-partition pruning. */
+  private def clampWindow(points: DataFrame, selected: DataFrame,
+      fromSecondsAgo: Long, untilSecondsAgo: Long): DataFrame = {
+    require(untilSecondsAgo >= 0 && untilSecondsAgo < fromSecondsAgo,
+      s"bad window: from=-${fromSecondsAgo}s until=-${untilSecondsAgo}s")
+    // "now" is the TABLE max, not the matched series' max — one shared
+    // clock for every series, like Kenshin's wall-clock anchor
+    val now = broadcast(points.agg(max("ts").as("_now")))
+    selected.crossJoin(now)
+      .where(col("ts") >= col("_now") -
+          expr(s"INTERVAL $fromSecondsAgo SECONDS") &&
+        col("ts") <= col("_now") -
+          expr(s"INTERVAL $untilSecondsAgo SECONDS"))
+      .drop("_now")
+  }
+
+  /** Build the routed fetch plan over a points DataFrame: clamp to the
+    * [from, until] window, align to the selected archive step and
+    * aggregate with the policy's method — the batch form of
+    * `fetch(metric, from, until)` (R4+R8).
     * `last` uses max_by(value, ts) per R6. */
   def fetch(points: DataFrame, policy: RetentionPolicy, metric: Column,
-      fromSecondsAgo: Long): DataFrame = {
+      fromSecondsAgo: Long, untilSecondsAgo: Long = 0L): DataFrame = {
     val a = selectArchive(policy, fromSecondsAgo)
     val step = a.secondsPerPoint
     val bucket = timestamp_seconds(
       (col("ts").cast("long") / step).cast("long") * lit(step))
-    points
-      .where(metric)
+    clampWindow(points, points.where(metric), fromSecondsAgo,
+        untilSecondsAgo)
       .groupBy(bucket.as("bucket"))
       .agg(detAgg(policy.agg, col("value"), col("ts")).as("v"),
         count(lit(1)).as("n"))
@@ -130,18 +155,19 @@ object RollupRouter {
   }
 
   /** Multi-series routed fetch: glob-resolve metrics (KenshinFinder,
-    * [[MetricGlob]]) and aggregate per (metric, bucket) at the selected
-    * archive's step — the batch form of `fetch(glob, from, until)` over
-    * many series at once. One shuffle on (metric, bucket); the glob
-    * predicate is pushed into the scan. */
+    * [[MetricGlob]]), clamp to the window, and aggregate per
+    * (metric, bucket) at the selected archive's step — the batch form of
+    * `fetch(glob, from, until)` over many series at once. One shuffle on
+    * (metric, bucket); the glob predicate is pushed into the scan. */
   def fetchSeries(points: DataFrame, policy: RetentionPolicy, glob: String,
-      fromSecondsAgo: Long): DataFrame = {
+      fromSecondsAgo: Long, untilSecondsAgo: Long = 0L): DataFrame = {
     val a = selectArchive(policy, fromSecondsAgo)
     val step = a.secondsPerPoint
     val bucket = timestamp_seconds(
       (col("ts").cast("long") / step).cast("long") * lit(step))
-    points
-      .where(MetricGlob.predicate(col("metric"), glob))
+    clampWindow(points,
+        points.where(MetricGlob.predicate(col("metric"), glob)),
+        fromSecondsAgo, untilSecondsAgo)
       .groupBy(col("metric"), bucket.as("bucket"))
       .agg(detAgg(policy.agg, col("value"), col("ts")).as("v"),
         count(lit(1)).as("n"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, TimestampType}
 
 /** Plan-level rollup routing — the one piece of Kenshin's read path that
   * Catalyst cannot learn on its own (SURVEY §4.1): that `rollup_1h` is
@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.DoubleType
   * headline read economy.
   *
   * The rule is deliberately conservative: it fires only on the exact
-  * supported shape (no residual filters, supported aggregates over the
-  * value column, hourly truncation of the scan's own ts column) and
-  * leaves every other plan untouched. Enable per session with
+  * supported shape (metric-only and hour-aligned ts-range filters,
+  * supported aggregates over the value column, hourly truncation of the
+  * scan's own ts column) and leaves every other plan untouched. Every
+  * matched metric/ts/value reference is resolved through the collected
+  * Project aliases down to an attribute OF THE SCAN ITSELF, so a Project
+  * that redefines a column under the same name (`withColumn("value",
+  * col("value") * 2)`) aborts the rewrite instead of silently routing to
+  * pre-aggregates of the original values. Enable per session with
   * `spark.experimental.extraOptimizations ++= Seq(RollupRouteRule)` (or
   * graft.GraftExtensions at session build).
   */
@@ -45,14 +50,19 @@ object RollupCatalog {
 
   def clear(): Unit = entries = Nil
 
+  /** A scan is routable only when it reads EXACTLY the registered path:
+    * a multi-path read (`spark.read.parquet(raw, other)`) unions other
+    * rows the rollup never saw, so it must keep the raw scan. */
   private[plans] def lookup(paths: Seq[String]): Option[Entry] =
-    entries.find(e => paths.map(normalize).contains(e.rawPath))
+    entries.find(e => paths.map(normalize) == Seq(e.rawPath))
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 }
 
 object RollupRouteRule extends Rule[LogicalPlan] {
+
+  private val HourMicros = 3600L * 1000000L
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, aggExprs, child, _) =>
@@ -62,26 +72,24 @@ object RollupRouteRule extends Rule[LogicalPlan] {
   /** Walk transparent Projects down to the scan, accumulating alias
     * definitions (the optimizer's PullOutGroupingExpressions hoists
     * `date_trunc` into a `_groupingexpression` alias below the
-    * Aggregate) plus filters whose predicates reference ONLY the metric
-    * column — those are metric selection, which the rollup preserves
-    * exactly, so they push through. Any other filter aborts the match
-    * (a value/ts predicate changes what the rollup pre-aggregated). */
-  private def scanPaths(plan: LogicalPlan,
+    * Aggregate) and every filter conjunct on the way. Classification of
+    * the conjuncts (metric selection / aligned ts range / anything else
+    * → abort) happens in [[buildProject]], once the full alias map and
+    * the scan's own output are known. */
+  private def scanDown(plan: LogicalPlan,
       aliases: Map[ExprId, Expression] = Map.empty,
-      metricFilters: Seq[Expression] = Nil)
-      : Option[(Seq[String], Map[ExprId, Expression], Seq[Expression])] =
+      filters: Seq[Expression] = Nil)
+      : Option[(LogicalRelation, Map[ExprId, Expression], Seq[Expression])] =
     plan match {
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        Some((fs.location.rootPaths.map(_.toString), aliases, metricFilters))
+      case lr @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) =>
+        Some((lr, aliases, filters))
       case Project(list, child) =>
         val newAliases = list.collect {
           case a @ Alias(e, _) => a.exprId -> e
         }.toMap
-        scanPaths(child, aliases ++ newAliases, metricFilters)
-      case Filter(cond, child)
-          if splitConjunctivePredicates(cond).forall(metricOnly) =>
-        scanPaths(child, aliases,
-          metricFilters ++ splitConjunctivePredicates(cond))
+        scanDown(child, aliases ++ newAliases, filters)
+      case Filter(cond, child) =>
+        scanDown(child, aliases, filters ++ splitConjunctivePredicates(cond))
       case _ => None
     }
 
@@ -92,52 +100,61 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       case other => Seq(other)
     }
 
-  private def metricOnly(e: Expression): Boolean = {
-    val refs = e.references.toSeq
-    refs.nonEmpty && refs.forall(_.name == "metric")
-  }
-
   private def rewrite(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     for {
-      (paths, aliases, metricFilters) <- scanPaths(child)
+      (relation, aliases, filters) <- scanDown(child)
+      paths = relation.relation.asInstanceOf[HadoopFsRelation]
+        .location.rootPaths.map(_.toString)
       entry <- RollupCatalog.lookup(paths)
-      out <- buildProject(agg, groupings, aggExprs, entry.rollup, aliases,
-        metricFilters)
+      out <- buildProject(agg, groupings, aggExprs, entry.rollup, relation,
+        aliases, filters)
     } yield out
   }
 
-  /** Match groupings = {metric, date_trunc('hour', ts)} and aggregates
-    * over `value`; emit a Project over the rollup with the ORIGINAL
-    * output exprIds so the surrounding plan stays resolved. */
+  /** Match groupings = {metric, date_trunc('hour'+, ts)} and aggregates
+    * over `value`; emit a Project (or re-aggregation for coarser grains)
+    * over the rollup with the ORIGINAL output exprIds so the surrounding
+    * plan stays resolved. */
   private def buildProject(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], rollup: LogicalPlan,
+      relation: LogicalRelation,
       aliases: Map[ExprId, Expression],
-      metricFilters: Seq[Expression]): Option[LogicalPlan] = {
+      filters: Seq[Expression]): Option[LogicalPlan] = {
+    val scanIds = relation.output.map(_.exprId).toSet
     def rollupCol(name: String): Option[Attribute] =
       rollup.output.find(_.name == name)
 
-    // resolve attribute refs through the hoisted-alias map
-    def deref(e: Expression): Expression = e match {
-      case a: AttributeReference => aliases.getOrElse(a.exprId, a)
+    // Resolve an expression through the alias chain until it is no longer
+    // a reference to a Project-defined alias — chains strictly descend
+    // the plan, so this terminates.
+    @annotation.tailrec
+    def resolve(e: Expression): Expression = e match {
+      case a: AttributeReference if aliases.contains(a.exprId) =>
+        resolve(aliases(a.exprId))
+      case Alias(c, _) => resolve(c)
       case other => other
     }
+    // The load-bearing check: a matched column must resolve to an
+    // attribute OF THE SCAN with the expected name — never name-only
+    // (a shadowing Project alias resolves to its defining expression
+    // instead and the rewrite aborts).
+    def scanAttr(e: Expression, name: String): Boolean = resolve(e) match {
+      case a: AttributeReference => a.name == name && scanIds(a.exprId)
+      case _ => false
+    }
+
     // grains the hourly rollup can serve: its own, plus any calendar
     // grain no hour boundary straddles (re-aggregated below)
     val coarser = Set("day", "week", "month", "quarter", "year")
-    def truncOf(e: Expression): Option[TruncTimestamp] = deref(e) match {
-      case t @ TruncTimestamp(Literal(fmt, _), tsAttr: AttributeReference, _)
-          if tsAttr.name == "ts" && // the rollup bucketed THIS column
+    def truncOf(e: Expression): Option[TruncTimestamp] = resolve(e) match {
+      case t @ TruncTimestamp(Literal(fmt, _), tsExpr, _)
+          if scanAttr(tsExpr, "ts") && // the rollup bucketed THIS column
             (String.valueOf(fmt).equalsIgnoreCase("hour") ||
               coarser(String.valueOf(fmt).toLowerCase)) => Some(t)
-      case Alias(c, _) => truncOf(c)
       case _ => None
     }
-    def isMetric(e: Expression): Boolean = deref(e) match {
-      case a: AttributeReference => a.name == "metric"
-      case Alias(c, _) => isMetric(c)
-      case _ => false
-    }
+    def isMetric(e: Expression): Boolean = scanAttr(e, "metric")
     val trunc = groupings.flatMap(truncOf).headOption
     val groupable = groupings.length == 2 &&
       groupings.exists(isMetric) && trunc.isDefined
@@ -152,21 +169,60 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     if (Seq(metricOut, bucketOut, sumOut, nOut, minOut, maxOut)
         .exists(_.isEmpty)) return None
 
-    def overValue(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name == "value"
+    def overValue(e: Expression): Boolean = resolve(e) match {
       case Cast(c, _, _, _) => overValue(c)
-      case _ => false
+      case other => scanAttr(other, "value")
     }
 
-    // re-anchor pushed metric predicates onto the rollup's metric col
+    // ---- filter classification -----------------------------------------
+    // metric-only predicates push through unchanged (the rollup preserves
+    // metric exactly); ts-range predicates whose bound lands on an hour
+    // boundary are EXACTLY representable against the rollup's bucket
+    // column, because bucket B covers the raw half-open range [B, B+1h):
+    //   ts >= L (L aligned)  ⟺  bucket >= L   (bucket-complete)
+    //   ts <  U (U aligned)  ⟺  bucket <  U   (bucket-complete)
+    // while `ts > L` / `ts <= U` split a bucket and abort, as does any
+    // non-aligned bound (a raw-scan fringe union would be needed).
+    // This holds for coarser grains too: the filter selects raw rows, the
+    // rewrite selects exactly the hour buckets covering them, and the
+    // coarse re-aggregation groups the same rows either way.
+    def alignedTs(l: Literal): Boolean =
+      l.dataType == TimestampType && l.value != null &&
+        l.value.asInstanceOf[Long] % HourMicros == 0
+    def tsRange(e: Expression): Option[Expression] = e match {
+      case GreaterThanOrEqual(t, l: Literal)
+          if scanAttr(t, "ts") && alignedTs(l) =>
+        Some(GreaterThanOrEqual(bucketOut.get, l))
+      case LessThanOrEqual(l: Literal, t)
+          if scanAttr(t, "ts") && alignedTs(l) =>
+        Some(GreaterThanOrEqual(bucketOut.get, l))
+      case LessThan(t, l: Literal) if scanAttr(t, "ts") && alignedTs(l) =>
+        Some(LessThan(bucketOut.get, l))
+      case GreaterThan(l: Literal, t) if scanAttr(t, "ts") && alignedTs(l) =>
+        Some(LessThan(bucketOut.get, l))
+      // null ts rows land in the rollup's null bucket (date_trunc(null)),
+      // so the optimizer-injected null guard maps exactly
+      case IsNotNull(t) if scanAttr(t, "ts") =>
+        Some(IsNotNull(bucketOut.get))
+      case _ => None
+    }
+    def metricOnly(e: Expression): Boolean = {
+      val refs = e.references.toSeq
+      refs.nonEmpty && refs.forall(a => scanAttr(a, "metric"))
+    }
+    val classified: Seq[Option[Expression]] = filters.map { f =>
+      if (metricOnly(f))
+        // re-anchor onto the rollup's metric column
+        Some(f.transform {
+          case a: AttributeReference if scanAttr(a, "metric") => metricOut.get
+        })
+      else tsRange(f)
+    }
+    if (classified.exists(_.isEmpty)) return None // unsupported predicate
+
     val base =
-      if (metricFilters.isEmpty) rollup
-      else {
-        val cond = metricFilters.map(_.transform {
-          case a: AttributeReference if a.name == "metric" => metricOut.get
-        }).reduce(And)
-        Filter(cond, rollup)
-      }
+      if (classified.isEmpty) rollup
+      else Filter(classified.flatten.reduce(And), rollup)
 
     if (grain == "hour") {
       // same grain: pure column remapping over the stored archive

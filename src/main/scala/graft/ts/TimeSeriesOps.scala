@@ -235,6 +235,41 @@ object TimeSeriesOps {
       fromSecondsAgo = 20L * 86400)
   }
 
+  /** The BOUNDED routed fetch (R4): `fetch("click", -10d, -2d)` — both
+    * window edges clamp the data read, Kenshin's `Storage.fetch`
+    * semantics ([U]). Proves the router's [from, until] clamp against a
+    * `WHERE ts BETWEEN` oracle. */
+  def fetchBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.catalog.{RollupRouter, SchemaCatalog}
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    RollupRouter.fetch(pts, SchemaCatalog.Default, col("metric") === "click",
+      fromSecondsAgo = 10L * 86400, untilSecondsAgo = 2L * 86400)
+  }
+
+  /** [[fetchRouted]] through the SQL SURFACE: the points table as a temp
+    * view, the router supplying the archive step, and the fetch itself as
+    * `spark.sql` text (exact [[Det]] accumulation in Spark-SQL dialect) —
+    * what a BI tool driving the routed read path would run. Same oracle
+    * as q_ts_fetch_routed, mirroring the q_sql_cosine_topk pattern. */
+  def sqlFetchRouted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.catalog.{RollupRouter, SchemaCatalog}
+    Tables.events(spark, sfDir)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+      .createOrReplaceTempView("graft_points")
+    val a = RollupRouter.selectArchive(SchemaCatalog.Default, 20L * 86400)
+    val step = a.secondsPerPoint
+    spark.sql(
+      s"""WITH mx AS (SELECT max(ts) AS now_ts FROM graft_points)
+        |SELECT timestamp_seconds((CAST(p.ts AS LONG) div ${step}L) * ${step}L) AS bucket,
+        |       ${graft.util.Det.avg4SparkSql("p.value")} AS v, count(*) AS n
+        |FROM graft_points p CROSS JOIN mx
+        |WHERE p.metric = 'click'
+        |  AND p.ts >= mx.now_ts - INTERVAL 20 DAYS AND p.ts <= mx.now_ts
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin)
+  }
+
   /** Graphite `movingMedian("7h")` over the hourly rollup, restricted to
     * FULL 7-bucket frames: an odd-width ROWS frame makes the median pure
     * element selection (no interpolation arithmetic), so it is exact and
@@ -347,7 +382,91 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Graphite `asPercent(series, sumSeries(*))`: each series' share of
+    * the per-bucket total, in percent — the composition read on every
+    * capacity dashboard. The total is an exact DECIMAL window sum over
+    * the already-rounded rollup values (5 series per bucket — a window
+    * over the tiny rollup, never over raw). */
+  def asPercent(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+    val w = Window.partitionBy(col("bucket"))
+    h1.withColumn("total",
+        sum(col("v").cast("decimal(18,4)")).over(w).cast("double"))
+      .select(col("event_type"), col("bucket"), col("v"),
+        Det.r4(col("v") * lit(100.0) / col("total")).as("pct"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `groupByNode(series, n, 'sum')`: aggregate series by one
+    * dot-delimited node of the metric name (collapse per-host series to
+    * per-service) — the fan-in read over a dotted namespace. The events
+    * table has flat series names, so the dotted name is constructed
+    * (`app.<type>.host<k>`) and then split/grouped exactly as
+    * graphite-web does over real metric paths. */
+  def groupByNode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("metric", concat_ws(".", lit("app"), col("event_type"),
+        concat(lit("host"), pmod(col("user_id"), lit(3)).cast("string"))))
+      .groupBy(element_at(split(col("metric"), "\\."), 2).as("node"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.sum4(col("value")).as("v"), count(lit(1)).as("n"))
+      .orderBy("node", "bucket")
+
+  /** Graphite `currentAbove(series, 40)`: series whose LATEST rollup
+    * value exceeds the threshold — the live-alert filter read. Same
+    * per-series max_by pass as [[highestCurrent]], filtered instead of
+    * top-k'd. */
+  def currentAbove(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(max_by(struct(col("bucket"), col("v")), col("bucket")).as("m"))
+      .select(col("event_type"), col("m.bucket").as("last_bucket"),
+        col("m.v").as("current"))
+      .where(col("current") > 40.0)
+      .orderBy("event_type")
+
+  /** Graphite `sortByMaxima`: series ordered by their peak rollup value
+    * — "which series ever spiked highest". max over already-rounded
+    * values is exact cross-engine. */
+  def sortByMaxima(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(max(col("v")).as("peak"))
+      .orderBy(col("peak").desc, col("event_type"))
+
+  /** Graphite `stddevSeries(*)`: per-bucket stddev ACROSS series — the
+    * fleet-spread read (is one host diverging?). Exact decimal Σv, Σv²
+    * accumulation, then the same IEEE double formula both engines
+    * (identical to [[anomaly]]'s discipline); buckets backed by a single
+    * series are dropped (spread of one point is undefined). */
+  def stddevSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+    val nd = col("n").cast("double")
+    val s1 = col("s1d").cast("double")
+    val s2 = col("s2d").cast("double")
+    h1.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,8)")).as("s1d"),
+        sum((col("v") * col("v")).cast("decimal(18,8)")).as("s2d"))
+      .where(col("n") >= 2)
+      .select(col("bucket"), col("n"),
+        Det.r4(sqrt((s2 - (s1 * s1) / nd) / (nd - lit(1.0)))).as("sd"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_fetch_bounded" -> fetchBounded _,
+    "q_sql_fetch_routed" -> sqlFetchRouted _,
+    "q_ts_aspercent" -> asPercent _,
+    "q_ts_groupbynode" -> groupByNode _,
+    "q_ts_current_above" -> currentAbove _,
+    "q_ts_sort_maxima" -> sortByMaxima _,
+    "q_ts_stddev_series" -> stddevSeries _,
     "q_ts_derivative" -> derivative _,
     "q_ts_locf" -> locf _,
     "q_ts_anomaly" -> anomaly _,
@@ -374,6 +493,18 @@ object TimeSeriesOps {
     "q_ts_highest_current" -> highestCurrent _,
     "q_ts_fetch_routed" -> fetchRouted _
   )
+
+  /** Shared by q_ts_fetch_routed and its SQL-surface twin
+    * q_sql_fetch_routed — the clamped (R4) routed read. */
+  private val fetchRoutedOracle: String =
+    s"""SELECT TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 3600000000) * 3600) * INTERVAL '1 second' AS bucket,
+      |       ${Det.avg4Sql("value")} AS v, count(*) AS n
+      |FROM events
+      |WHERE event_type = 'click'
+      |  AND ts >= (SELECT max(ts) FROM events) - INTERVAL '20 days'
+      |  AND ts <= (SELECT max(ts) FROM events)
+      |GROUP BY 1
+      |ORDER BY bucket NULLS FIRST""".stripMargin
 
   /** DuckDB-dialect oracles (driver t2). Conventions (SURVEY §7.4): UTC,
     * round(x,4) DOUBLE, explicit NULLS FIRST on ASC / NULLS LAST on DESC,
@@ -568,13 +699,73 @@ object TimeSeriesOps {
         |FROM h
         |ORDER BY bucket NULLS FIRST""".stripMargin
     },
-    "q_ts_fetch_routed" ->
+    "q_ts_fetch_routed" -> fetchRoutedOracle,
+    "q_sql_fetch_routed" -> fetchRoutedOracle,
+    "q_ts_fetch_bounded" ->
       s"""SELECT TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 3600000000) * 3600) * INTERVAL '1 second' AS bucket,
         |       ${Det.avg4Sql("value")} AS v, count(*) AS n
         |FROM events
         |WHERE event_type = 'click'
+        |  AND ts >= (SELECT max(ts) FROM events) - INTERVAL '10 days'
+        |  AND ts <= (SELECT max(ts) FROM events) - INTERVAL '2 days'
         |GROUP BY 1
         |ORDER BY bucket NULLS FIRST""".stripMargin,
+    "q_ts_aspercent" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, v,
+        |       ${Det.r4Sql("v * 100.0 / CAST(sum(CAST(v AS DECIMAL(18,4))) OVER (PARTITION BY bucket) AS DOUBLE)")} AS pct
+        |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_groupbynode" ->
+      s"""WITH m AS (
+        |  SELECT 'app.' || event_type || '.host' || CAST(user_id % 3 AS VARCHAR) AS metric,
+        |         ts, value
+        |  FROM events)
+        |SELECT split_part(metric, '.', 2) AS node,
+        |       date_trunc('hour', ts) AS bucket,
+        |       ${Det.sum4Sql("value")} AS v, count(*) AS n
+        |FROM m GROUP BY 1, 2
+        |ORDER BY node NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_current_above" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT event_type, arg_max(bucket, bucket) AS last_bucket,
+        |         arg_max(v, bucket) AS current
+        |  FROM h1 GROUP BY 1)
+        |SELECT event_type, last_bucket, current FROM cur
+        |WHERE current > 40.0
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_ts_sort_maxima" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, max(v) AS peak FROM h1 GROUP BY 1
+        |ORDER BY peak DESC NULLS LAST, event_type NULLS FIRST""".stripMargin,
+    "q_ts_stddev_series" -> {
+      val n = "CAST(n AS DOUBLE)"
+      val s1 = "CAST(s1d AS DOUBLE)"
+      val s2 = "CAST(s2d AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(v AS DECIMAL(18,8))) AS s1d,
+        |         sum(CAST(v * v AS DECIMAL(18,8))) AS s2d
+        |  FROM h1 GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT bucket, n,
+        |       ${Det.r4Sql(s"sqrt(($s2 - ($s1 * $s1) / $n) / ($n - 1.0))")} AS sd
+        |FROM g
+        |ORDER BY bucket NULLS FIRST""".stripMargin
+    },
     "q_ts_moving_median" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -607,6 +798,8 @@ object TimeSeriesOps {
         |       ${Det.avg4Sql("value")} AS v, count(*) AS n
         |FROM events
         |WHERE regexp_full_match(event_type, '[^.]*u[^.]*')
+        |  AND ts >= (SELECT max(ts) FROM events) - INTERVAL '20 days'
+        |  AND ts <= (SELECT max(ts) FROM events)
         |GROUP BY 1, 2
         |ORDER BY metric NULLS FIRST, bucket NULLS FIRST""".stripMargin
   )

@@ -54,6 +54,19 @@ object Det {
       s" // (2 * $g * count(*))) / 10000.0)"
   }
 
+  /** Spark-SQL text for [[avg4]] — the same exact integer formula for
+    * `spark.sql` surfaces. Literal dialect notes: `NL` long suffix and a
+    * `D` double suffix (bare `10000.0` parses as DECIMAL in Spark SQL
+    * TEXT — the CLAUDE.md dtype hazard); BIGINT `/` BIGINT is double
+    * division in Spark, matching DuckDB's `x // y / 10000.0` exactly
+    * while numerator < 2^53 (the [[Det]] precondition). */
+  def avg4SparkSql(x: String, inScale: Int = 4): String = {
+    val f = math.pow(10, inScale).toLong
+    val g = math.pow(10, inScale - 4).toLong
+    s"(FLOOR((2 * sum(CAST(CAST($x AS DECIMAL(18,$inScale)) * ${f}L AS BIGINT)) + ${g}L * count(*))" +
+      s" / (2 * ${g}L * count(*))) / 10000.0D)"
+  }
+
   /** DuckDB text for [[sum4]]. */
   def sum4Sql(x: String, inScale: Int = 4): String = {
     val f = math.pow(10, inScale).toLong

@@ -52,8 +52,8 @@ class CatalogSpec extends AnyFunSuite {
     val pts = graft.io.Tables.events(spark, TestSpark.sf)
       .select(col("event_type").as("metric"), col("ts"), col("value"))
     val p = RetentionPolicy("t", "^click$".r, Seq(Archive(600, 1000000)))
-    val out = RollupRouter.fetch(pts, p, col("metric") === "click", 3600)
-      .collect()
+    val out = RollupRouter.fetch(pts, p, col("metric") === "click",
+        100L * 86400).collect()
     assert(out.nonEmpty)
     // buckets step-aligned to 600s
     out.foreach(r =>
@@ -63,12 +63,49 @@ class CatalogSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum == total)
   }
 
+  test("fetch clamps to the [from, until] window (table-max anchored)") {
+    val spark = TestSpark.spark
+    val pts = graft.io.Tables.events(spark, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    val p = RetentionPolicy("t", ".*".r, Seq(Archive(3600, 1000000)))
+    val out = RollupRouter.fetch(pts, p, col("metric") === "click",
+      fromSecondsAgo = 10L * 86400, untilSecondsAgo = 2L * 86400).collect()
+    assert(out.nonEmpty)
+    val mx = pts.agg(max("ts")).head.getTimestamp(0).getTime
+    val (lo, hi) = (mx - 10L * 86400 * 1000, mx - 2L * 86400 * 1000)
+    // every bucket inside the window (bucket start may floor below lo by
+    // less than one step; its POINTS are in-window, checked by count)
+    out.foreach { r =>
+      val b = r.getTimestamp(0).getTime
+      assert(b >= lo - 3600 * 1000 && b <= hi + 1000,
+        s"bucket $b outside window")
+    }
+    // conservation: exactly the in-window click points were aggregated
+    // (same µs-exact window arithmetic as the clamp itself)
+    val expected = pts
+      .crossJoin(broadcast(pts.agg(max("ts").as("mxts"))))
+      .where(col("metric") === "click" &&
+        col("ts") >= col("mxts") - expr("INTERVAL 10 DAYS") &&
+        col("ts") <= col("mxts") - expr("INTERVAL 2 DAYS"))
+      .count()
+    assert(out.map(_.getLong(2)).sum == expected && expected > 0)
+    // and the window is a strict subset of the full history
+    val full = RollupRouter.fetch(pts, p, col("metric") === "click",
+      100L * 86400).collect()
+    assert(out.length < full.length)
+    // degenerate windows rejected
+    intercept[IllegalArgumentException] {
+      RollupRouter.fetch(pts, p, col("metric") === "click", 3600, 7200)
+    }
+  }
+
   test("resample: coarser archive conserves counts; avg-of-avgs semantics") {
     val spark = TestSpark.spark
     val pts = graft.io.Tables.events(spark, TestSpark.sf)
       .select(col("event_type").as("metric"), col("ts"), col("value"))
     val p = RetentionPolicy("t", ".*".r, Seq(Archive(3600, 1000000)))
-    val h1 = RollupRouter.fetch(pts, p, col("metric") === "click", 3600)
+    val h1 = RollupRouter.fetch(pts, p, col("metric") === "click",
+        100L * 86400)
       .withColumn("metric", lit("click"))
     val h6 = RollupRouter.resample(h1, 6 * 3600, AggMethod.Average).collect()
     assert(h6.nonEmpty)
@@ -156,7 +193,7 @@ class CatalogSpec extends AnyFunSuite {
     val pts = graft.io.Tables.events(spark, TestSpark.sf)
       .select(col("event_type").as("metric"), col("ts"), col("value"))
     val out = RollupRouter.fetchSeries(pts, SchemaCatalog.Default, "*u*",
-      20L * 86400).collect()
+      100L * 86400).collect()
     assert(out.nonEmpty)
     assert(out.map(_.getString(0)).toSet == Set("purchase", "signup"))
     out.foreach(r => assert(r.getTimestamp(1).getTime % (3600 * 1000) == 0))

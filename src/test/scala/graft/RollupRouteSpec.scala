@@ -87,7 +87,83 @@ class RollupRouteSpec extends AnyFunSuite {
         assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
       }
 
+      // HOUR-ALIGNED ts-range predicates route WITH the filter applied
+      // (every real dashboard query is `WHERE ts >= X` + hourly agg)
+      val lo = "2024-01-08 00:00:00"
+      val hi = "2024-01-20 00:00:00"
+      val (tGot, tExpect) = routedVsRaw(() => sp.read.parquet(rawPath)
+        .where(col("ts") >= expr(s"TIMESTAMP '$lo'") &&
+          col("ts") < expr(s"TIMESTAMP '$hi'"))
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v")),
+        Seq("metric", "bucket"))
+      tGot.zip(tExpect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+      }
+      // the routed result really is windowed (fewer buckets than the full
+      // history) — guards against a rewrite that drops the filter
       RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val full = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n")).count()
+      assert(tGot.length < full, "ts-range must restrict the bucket set")
+
+      // ts-range + DAILY grain routes too (filter applies to hour buckets
+      // before the coarse re-aggregation — same raw rows either way)
+      RollupCatalog.clear()
+      val (tdGot, tdExpect) = routedVsRaw(() => sp.read.parquet(rawPath)
+        .where(col("ts") >= expr(s"TIMESTAMP '$lo'"))
+        .groupBy(col("metric"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v")),
+        Seq("metric", "bucket"))
+      tdGot.zip(tdExpect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+      }
+
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      // a NON-ALIGNED ts bound must NOT route (a bucket would be split)
+      val nonAligned = sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'"))
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      assert(nonAligned.queryExecution.executedPlan.toString
+        .contains("/points"))
+      // `ts <= aligned` splits the boundary bucket → no route either
+      val closedUpper = sp.read.parquet(rawPath)
+        .where(col("ts") <= expr(s"TIMESTAMP '$hi'"))
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      assert(closedUpper.queryExecution.executedPlan.toString
+        .contains("/points"))
+      // a Project REDEFINING value under the same name must NOT route —
+      // the rollup pre-aggregated the ORIGINAL values
+      val shadowed = sp.read.parquet(rawPath)
+        .withColumn("value", col("value") * 2)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(col("value")).as("sum_v"))
+      assert(shadowed.queryExecution.executedPlan.toString
+        .contains("/points"))
+      // same for a shadowed ts (shifting ts changes every bucket)
+      val shadowedTs = sp.read.parquet(rawPath)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      assert(shadowedTs.queryExecution.executedPlan.toString
+        .contains("/points"))
+      // a MULTI-PATH read must NOT route: the second path's rows are not
+      // in the rollup
+      val otherPath = s"$dir/other_points"
+      sp.read.parquet(rawPath).limit(10).write.parquet(otherPath)
+      val multi = sp.read.parquet(rawPath, otherPath)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      assert(multi.queryExecution.executedPlan.toString.contains("/points"))
       // a FINER grain than the archive must NOT route
       val minute = sp.read.parquet(rawPath)
         .groupBy(col("metric"), date_trunc("minute", col("ts")).as("bucket"))
