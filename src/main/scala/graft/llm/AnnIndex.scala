@@ -1,0 +1,164 @@
+package graft.llm
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSim
+import graft.io.Tables
+
+/** Session-scoped IVF index registry — the "build once, probe per query"
+  * lifecycle a real ANN deployment needs (SURVEY §8.3). Rebuilding the
+  * quantizer inside every query is a non-starter at 10^9 vectors; here
+  * the index is materialized exactly once per (session, corpus) and every
+  * probe reuses it, with a parquet persist/load path for cross-session
+  * reuse (the offline-build / online-serve split).
+  *
+  * Scale posture:
+  *  - The QUANTIZER is trained on a deterministic bounded sample
+  *    (`SampleCap` vectors — k·256-ish, independent of corpus size),
+  *    with Lloyd's iterations on the driver. This is standard IVF
+  *    practice (FAISS trains its coarse quantizer on a subset): the
+  *    training working set is MODEL-sized, never data-sized, so the same
+  *    build runs unchanged against 10^9 vectors while the expensive part
+  *    — assigning every vector to its cells — stays fully distributed.
+  *  - The INVERTED LISTS (vector → top-`replicas` cells) are one
+  *    broadcast-join + argmax pass over the corpus, localCheckpointed so
+  *    repeated probes never recompute them (at production: a bucketed
+  *    parquet table via [[save]]).
+  */
+object AnnIndex {
+
+  /** A materialized IVF index: `cells(cell, cvec)` is the k×dim coarse
+    * quantizer; `lists(vec_id, embedding, cell)` the redundant inverted
+    * lists. */
+  final case class Index(cells: DataFrame, lists: DataFrame)
+
+  private val registry = TrieMap.empty[String, Index]
+
+  /** Deterministic sample bound for quantizer training (see class doc). */
+  private val SampleCap = 4096
+  private val LloydIters = 5
+
+  /** Build the index for a corpus once per session; subsequent calls are
+    * a map lookup. Keyed by (Spark app, corpus, k, replicas) so a fresh
+    * session never sees another session's cached plans. */
+  def buildOrGet(spark: SparkSession, sfDir: String, k: Int,
+      replicas: Int): Index = {
+    val key = s"${spark.sparkContext.applicationId}|$sfDir|k=$k|r=$replicas"
+    registry.getOrElseUpdate(key, build(spark, sfDir, k, replicas))
+  }
+
+  /** For specs: drop every cached index. */
+  private[graft] def clear(): Unit = registry.clear()
+
+  private[llm] def build(spark: SparkSession, sfDir: String, k: Int,
+      replicas: Int): Index = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val cells = trainQuantizer(spark, e, k)
+    // one distributed pass builds the inverted lists; checkpoint so every
+    // probe starts from the materialized table, not the build lineage
+    val lists = VectorOps.indexAssignments(e, cells, replicas)
+      .localCheckpoint()
+    Index(cells, lists)
+  }
+
+  /** Train the k-means coarse quantizer on a deterministic bounded
+    * sample: the [[SampleCap]] vectors with the smallest seeded hash of
+    * vec_id (stable across runs and partitionings), Lloyd's on the
+    * driver. Only the sample (≤ SampleCap×dim floats) ever collects —
+    * the model-training working set, not the data. */
+  private[llm] def trainQuantizer(spark: SparkSession, e: DataFrame,
+      k: Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val sample: Array[Array[Float]] = e
+      .orderBy(pmod(xxhash64(col("vec_id"), lit(42L)), lit(1000003L)),
+        col("vec_id"))
+      .limit(SampleCap)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k, s"corpus smaller than k=$k")
+    lloyd(sample, k, LloydIters).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+  }
+
+  /** Plain Lloyd's with cosine assignment over the in-memory sample.
+    * Seeds are the first k sample vectors (the sample order is already a
+    * deterministic hash order); a cell that loses every member keeps its
+    * previous centroid — same rule as the distributed formulation it
+    * replaces. Ties break to the lowest cell, matching
+    * [[VectorOps.cellAssignments]]'s max_by tiebreak. */
+  private def lloyd(vecs: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    val dim = vecs.head.length
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents = Array.tabulate(k)(i => vecs(i).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      vecs.foreach { v =>
+        var best = 0; var bestSim = cosine(cents(0), v); var c = 1
+        while (c < k) {
+          val s = cosine(cents(c), v)
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** Persist a built index as two parquet tables — the offline half of
+    * the build/serve split (at production the lists table is bucketed by
+    * cell so a probe reads only its cells' files). */
+  def save(index: Index, dir: String): Unit = {
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    index.lists.write.mode("overwrite").parquet(s"$dir/lists")
+  }
+
+  /** Load a persisted index for serving. */
+  def load(spark: SparkSession, dir: String): Index =
+    Index(spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/lists"))
+
+  /** Probe a built index: rank cells by centroid similarity against the
+    * query vector, brute-force only the top-`nprobe` cells' lists, and
+    * return the exact top-`limit` by cosine. The query vector and the
+    * probed-cell set broadcast; the scan touches ~replicas×nprobe/k of
+    * the corpus. */
+  def probe(index: Index, query: DataFrame, nprobe: Int, limit: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val probed = index.cells.crossJoin(broadcast(query))
+      .select(col("cell"), CosineSim(col("cvec"), col("qe")).as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(nprobe)
+    val candidates = index.lists.join(broadcast(probed), "cell")
+    excludeVecId.fold(candidates)(id => candidates.where(col("vec_id") =!= id))
+      // a vector can surface via several probed cells — keep the best cell
+      .groupBy(col("vec_id"))
+      .agg(min(col("cell")).as("cell"),
+        first(col("embedding")).as("embedding"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("cell"),
+        graft.util.Det.r4(CosineSim(col("embedding"), col("qe"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(limit)
+  }
+}

@@ -93,84 +93,36 @@ object VectorOps {
 
   private val NProbe = 3
   private val KCells = 10
-  private val KmeansIters = 3
 
-  /** Lloyd's k-means over the embedding column, expressed as DataFrame
-    * aggregations — the learned coarse quantizer for the IVF index
-    * (replacing label centroids, whose cell balance at scale is luck).
-    *
-    * Per iteration: broadcast the k×64 centroid model, argmax-assign every
-    * vector by cosine (one codegen'd [[CosineSim]] per (vector, cell)),
-    * re-average per (cell, dim). Only the k centroids (k×64 doubles — the
-    * MODEL, never data) come back to the driver between iterations, so
-    * each pass is one linear scan; the same loop runs unchanged at 10^9
-    * vectors. Seeding: the k vectors with the smallest seeded hash of
-    * vec_id — deterministic across runs and partitionings. */
+  /** The k-means coarse quantizer for the IVF index, trained ONCE per
+    * session through [[AnnIndex]] (deterministic bounded sample +
+    * driver-side Lloyd's — see AnnIndex's scale notes; the distributed
+    * per-query Lloyd it replaces retrained on every invocation, the r3
+    * perf-weak finding). Kept as the spec-facing API. */
   private[graft] def kmeansCentroids(spark: SparkSession, sfDir: String,
-      k: Int = KCells, iters: Int = KmeansIters): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
-    // the training set is scanned once per Lloyd pass + once for seeding:
-    // materialize it up front (at production this is the cached working
-    // set any iterative trainer holds)
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
-    var cents: Seq[(Int, Seq[Float])] = e
-      .orderBy(pmod(xxhash64(col("vec_id"), lit(42L)), lit(1000003L)),
-        col("vec_id"))
-      .limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
-    for (_ <- 1 to iters) {
-      val updated = cellAssignments(e, cents.toDF("cell", "cvec"))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("cx"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
-          " s -> CAST(s.cx AS FLOAT))").as("cvec"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
-      // a cell that lost every member keeps its previous centroid
-      cents = cents.map { case (c, old) => (c, updated.getOrElse(c, old)) }
-    }
-    cents.toDF("cell", "cvec")
-  }
+      k: Int = KCells): DataFrame =
+    AnnIndex.buildOrGet(spark, sfDir, k, IndexReplicas).cells
 
   private val IndexReplicas = 2
 
-  /** IVF-style ANN over the k-means quantizer ([[kmeansCentroids]]):
-    * every vector is indexed in its top-[[IndexReplicas]] cells
-    * (redundant assignment — the standard IVF recall lever when cluster
-    * structure is weak, as in this corpus where a query's true top-5
-    * spread over ~5 of 10 cells); the query ranks cells by centroid
-    * similarity and probes the top [[NProbe]], brute-forcing only
-    * inside them. Scan fraction ≈ replicas × nprobe / k — at production
-    * k grows with √n (thousands of cells), so the fraction keeps
-    * shrinking while this toy k=10 sits at 0.6. Returns the top-5 with
-    * the probed cell — compare with [[cosineTopk]] for recall.
+  /** IVF-style ANN: probe the SESSION-SHARED materialized index
+    * ([[AnnIndex.buildOrGet]] — quantizer + redundant inverted lists,
+    * built once, localCheckpointed). Every vector is indexed in its
+    * top-[[IndexReplicas]] cells (the standard IVF recall lever when
+    * cluster structure is weak, as in this corpus where a query's true
+    * top-5 spread over ~5 of 10 cells); the query ranks cells by
+    * centroid similarity and brute-forces only the top [[NProbe]] cells'
+    * lists. Scan fraction ≈ replicas × nprobe / k — at production k
+    * grows with √n (thousands of cells), so the fraction keeps shrinking
+    * while this toy k=10 sits at 0.6. Returns the top-5 with the probed
+    * cell — compare with [[cosineTopk]] for recall.
     * No oracle: centroid-dependent; property-tested (recall + cell
-    * balance in LlmSpec). */
+    * balance + persist/load roundtrip in LlmSpec). */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val cents = kmeansCentroids(spark, sfDir)
-    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val probed = cents.crossJoin(broadcast(q))
-      .select(col("cell"), CosineSim(col("cvec"), col("qe")).as("cell_sim"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-      .limit(NProbe)
-    indexAssignments(e, cents, IndexReplicas)
-      .join(broadcast(probed), "cell")
-      .where(col("vec_id") =!= 0)
-      // a vector can surface via several probed cells — keep the best cell
-      .groupBy(col("vec_id"))
-      .agg(min(col("cell")).as("cell"), first(col("embedding")).as("embedding"))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("cell"),
-        Det.r4(CosineSim(col("embedding"), col("qe"))).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(5)
+    val idx = AnnIndex.buildOrGet(spark, sfDir, KCells, IndexReplicas)
+    val q = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    AnnIndex.probe(idx, q, NProbe, limit = 5, excludeVecId = Some(0L))
   }
 
   /** Inverted-list index with redundant assignment: each vector appears

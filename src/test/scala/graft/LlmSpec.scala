@@ -125,6 +125,27 @@ class LlmSpec extends AnyFunSuite {
       s"cells imbalanced: sizes=${sizes.sorted.mkString(",")}")
   }
 
+  test("ann index: registry caches the build; persist/load probes equal") {
+    import graft.llm.AnnIndex
+    AnnIndex.clear()
+    val idx = AnnIndex.buildOrGet(spark, sf, 10, 2)
+    // second lookup is the SAME materialized index, not a rebuild
+    assert(AnnIndex.buildOrGet(spark, sf, 10, 2) eq idx)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    AnnIndex.save(idx, dir)
+    val loaded = AnnIndex.load(spark, dir)
+    val q = graft.io.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    def run(i: AnnIndex.Index) =
+      AnnIndex.probe(i, q, 3, 5, excludeVecId = Some(0L)).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(run(loaded) == run(idx),
+      "probing the parquet-loaded index must equal the in-session index")
+    // the lists table carries every vector `replicas` times
+    val n = graft.io.Tables.embeddings(spark, sf).count()
+    assert(idx.lists.count() == 2 * n)
+  }
+
   test("ann_ivf returns correctly-computed sims in descending order") {
     val ann = VectorOps.annIvf(spark, sf).collect()
     assert(ann.length == 5)
