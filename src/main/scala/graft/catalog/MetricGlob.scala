@@ -21,31 +21,46 @@ import org.apache.spark.sql.Column
   */
 object MetricGlob {
 
-  /** Compile a glob to an anchored Java regex. Unbalanced braces are
-    * treated as literal characters (graphite's behavior) instead of
-    * emitting an uncompilable group. */
+  /** Compile a glob to an anchored Java regex. Unbalanced braces and
+    * unclosed classes are treated as literal characters (graphite's
+    * fnmatch behavior) instead of emitting an uncompilable group;
+    * `[...]` class CONTENTS pass through verbatim (a `*` inside a class
+    * is the class member, not a wildcard); `{a,{b,c}}` nests via a depth
+    * counter (only a depth-0 `}` ends the alternation scope). */
   def toRegex(glob: String): String = {
-    // brace metachars only apply when the glob's braces balance
-    val balanced = {
-      var depth = 0; var ok = true
-      glob.foreach {
-        case '{' => depth += 1
-        case '}' => if (depth == 0) ok = false else depth -= 1
-        case _ =>
+    // metachar status decided by a prescan that skips class contents:
+    // a '{' inside [...] is a class member, not an alternation opener
+    val (bracesBalanced, classesClosed) = {
+      var depth = 0; var braceOk = true; var classOk = true
+      var i = 0
+      while (i < glob.length) {
+        glob(i) match {
+          case '[' =>
+            val j = glob.indexOf(']', i + 1)
+            if (j < 0) classOk = false else i = j
+          case '{' => depth += 1
+          case '}' => if (depth == 0) braceOk = false else depth -= 1
+          case _ =>
+        }
+        i += 1
       }
-      ok && depth == 0
+      (braceOk && depth == 0, classOk)
     }
     val sb = new StringBuilder("^")
-    var inBrace = false
+    var braceDepth = 0
+    var inClass = false
     glob.foreach {
+      case c if inClass => // verbatim class contents
+        sb.append(c)
+        if (c == ']') inClass = false
+      case '[' if classesClosed => inClass = true; sb.append('[')
       case '*' => sb.append("[^.]*")
       case '?' => sb.append("[^.]")
-      case '{' if balanced => inBrace = true; sb.append("(?:")
-      case '}' if balanced => inBrace = false; sb.append(')')
-      case ',' if inBrace => sb.append('|')
+      case '{' if bracesBalanced => braceDepth += 1; sb.append("(?:")
+      case '}' if bracesBalanced => braceDepth -= 1; sb.append(')')
+      case ',' if braceDepth > 0 => sb.append('|')
       case '.' => sb.append("\\.")
-      case c @ ('[' | ']') => sb.append(c)
-      case c if "\\^$+()|{}".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c if "\\^$+()|{}[]".indexOf(c) >= 0 => sb.append('\\').append(c)
       case c => sb.append(c)
     }
     sb.append("$").toString

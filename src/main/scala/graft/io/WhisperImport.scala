@@ -122,18 +122,32 @@ object WhisperImport {
     buf.array()
   }
 
-  /** Read a directory of .wsp files as a points DataFrame
-    * `(metric, archive, step_s, ts, value)` — metric from the file name,
-    * parsed map-side via the `binaryFile` source. */
+  /** Read a whisper storage root (recursively) as a points DataFrame
+    * `(metric, archive, step_s, ts, value)`, parsed map-side via the
+    * `binaryFile` source. Real Graphite storage nests files — metric
+    * `stats.web.host1.p95` lives at `stats/web/host1/p95.wsp` — so the
+    * metric is the path RELATIVE TO THE ROOT with '/' mapped to '.'
+    * (whisper's directory-to-metric convention); a flat layout with dots
+    * in the file name reads identically. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val rootAbs = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(hp).toUri.getPath
+    }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.wsp")
+      .option("recursiveFileLookup", "true")
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        val metric = p.split('/').last.stripSuffix(".wsp")
+        val abs = new java.net.URI(p).getPath
+        val rel =
+          if (abs.startsWith(rootAbs)) abs.stripPrefix(rootAbs).stripPrefix("/")
+          else abs.split('/').last // unexpected mount-point drift: leaf name
+        val metric = rel.stripSuffix(".wsp").replace('/', '.')
         val header = parseHeader(bytes)
         parsePoints(bytes, header).map { case (idx, ts, v) =>
           (metric, idx, header.archives(idx).secondsPerPoint, ts, v)
@@ -143,6 +157,32 @@ object WhisperImport {
       .withColumn("ts", timestamp_seconds(col("ts_s")))
       .select(col("metric"), col("archive"), col("step_s"), col("ts"),
         col("value"))
+  }
+
+  /** Stream a key-sorted iterator as (key, group) chunks — at most ONE
+    * key's rows are ever buffered (a single metric's history), never the
+    * whole partition: the executor-heap-safe replacement for
+    * `rows.toSeq.groupBy`. */
+  private[graft] def groupConsecutive[K, V](
+      it: Iterator[(K, V)]): Iterator[(K, Seq[V])] =
+    new Iterator[(K, Seq[V])] {
+      private val b = it.buffered
+      def hasNext: Boolean = b.hasNext
+      def next(): (K, Seq[V]) = {
+        val k = b.head._1
+        val buf = scala.collection.mutable.ArrayBuffer.empty[V]
+        while (b.hasNext && b.head._1 == k) buf += b.next()._2
+        (k, buf.toSeq)
+      }
+    }
+
+  /** Write one metric's .wsp under whisper's nested directory-to-metric
+    * convention (`a.b.c` → `a/b/c.wsp`); dot-free metrics stay flat. */
+  private def writeWsp(dir: String, metric: String,
+      bytes: Array[Byte]): Unit = {
+    val p = java.nio.file.Paths.get(dir, metric.replace('.', '/') + ".wsp")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, bytes)
   }
 
   /** Export a points DataFrame back to per-metric .wsp files — the
@@ -158,13 +198,17 @@ object WhisperImport {
       .select(col("metric"), col("ts").cast("long").as("ts_s"),
         col("value").cast("double"))
       .repartition(col("metric"))
+      .sortWithinPartitions("metric")
+      // sorted partition + streaming group-by-consecutive-key: the
+      // executor buffers ONE metric's history at a time, not the whole
+      // partition (which holds ~|metrics|/P full histories — an OOM at
+      // real retention)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        rows.toSeq.groupBy(_.getString(0)).foreach { case (metric, rs) =>
-          val pts = rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap
-          val bytes = encode(agg, xff, Seq(archive -> pts))
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"$metric.wsp"), bytes)
-        }
+        groupConsecutive(rows.map(r =>
+            r.getString(0) -> (r.getLong(1), r.getDouble(2))))
+          .foreach { case (metric, pts) =>
+            writeWsp(dir, metric, encode(agg, xff, Seq(archive -> pts.toMap)))
+          }
       }
   }
 
@@ -208,17 +252,20 @@ object WhisperImport {
     val xff = policy.xFilesFactor.toFloat
     perArchive.result().reduce(_ unionByName _)
       .repartition(col("metric"))
+      .sortWithinPartitions("metric")
+      // same streaming per-metric grouping as [[export]]: one metric's
+      // archive set in memory at a time, never the partition
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        rows.toSeq.groupBy(_.getString(0)).foreach { case (metric, rs) =>
-          val byArchive = rs.groupBy(_.getInt(1))
-          val payload = archives.zipWithIndex.map { case (a, i) =>
-            a -> byArchive.getOrElse(i, Seq.empty)
-              .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+        groupConsecutive(rows.map(r =>
+            r.getString(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))))
+          .foreach { case (metric, rs) =>
+            val byArchive = rs.groupBy(_._1)
+            val payload = archives.zipWithIndex.map { case (a, i) =>
+              a -> byArchive.getOrElse(i, Seq.empty)
+                .map(t => t._2 -> t._3).toMap
+            }
+            writeWsp(dir, metric, encode(agg, xff, payload))
           }
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"$metric.wsp"),
-            encode(agg, xff, payload))
-        }
       }
   }
 

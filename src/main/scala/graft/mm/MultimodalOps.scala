@@ -145,10 +145,14 @@ object MultimodalOps {
     * per kind, end to end through decode → resample → re-encode. No
     * oracle (binary path); spec asserts decoded geometry/rate. */
   def resizeStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val before = media(spark, sfDir).toDF()
+    // synthesize+encode the corpus ONCE — both the before-side and the
+    // resize input read the materialized Dataset, halving the most
+    // expensive stage (the codec encode)
+    val m = media(spark, sfDir).localCheckpoint()
+    val before = m.toDF()
       .select(col("doc_id"), col("kind"),
         length(col("payload")).as("bytes_in"))
-    val after = resize(media(spark, sfDir)).toDF()
+    val after = resize(m).toDF()
       .select(col("doc_id"), length(col("payload")).as("bytes_out"),
         col("width"), col("height"), col("sample_rate"))
     before.join(after, "doc_id")

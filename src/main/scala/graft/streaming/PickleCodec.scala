@@ -42,9 +42,22 @@ object PickleCodec {
         val mb = metric.getBytes("UTF-8")
         put('X'); putIntLE(mb.length); mb.foreach(b => out.write(b)) // BINUNICODE
         binput()
-        require(ts >= Int.MinValue && ts <= Int.MaxValue,
-          s"epoch $ts exceeds BININT range") // carbon epochs fit 32 bits
-        put('J'); putIntLE(ts.toInt) // BININT
+        if (ts >= Int.MinValue && ts <= Int.MaxValue) {
+          put('J'); putIntLE(ts.toInt) // BININT
+        } else {
+          // post-2038 (or deep-negative) epochs: LONG1 with minimal
+          // little-endian two's complement, exactly CPython's encode_long
+          val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var v = ts
+          var more = true
+          while (more) {
+            b += (v & 0xff).toInt
+            v >>= 8
+            more = !((v == 0L && (b.last & 0x80) == 0) ||
+              (v == -1L && (b.last & 0x80) != 0))
+          }
+          put(0x8a, b.length); b.foreach(put(_)) // LONG1
+        }
         val bits = java.lang.Double.doubleToLongBits(value)
         put('G'); (7 to 0 by -1).foreach(i => put(((bits >>> (i * 8)) & 0xff).toInt)) // BINFLOAT (BE)
         put(0x86); binput() // TUPLE2 (ts, value)
@@ -85,9 +98,12 @@ object PickleCodec {
           case 'M' => stack += (buf.getShort & 0xffff).toLong // BININT2
           case 0x8a => // LONG1
             val n = buf.get() & 0xff
+            // an int beyond 64 bits must REJECT the batch (tolerant empty
+            // path), not wrap the JVM shift count into a garbage value
+            require(n <= 8, s"LONG1 length $n exceeds 64-bit range")
             var v = 0L
             (0 until n).foreach(i => v |= (buf.get() & 0xffL) << (8 * i))
-            if (n > 0 && n <= 8 && (bytes(buf.position() - 1) & 0x80) != 0 && n < 8)
+            if (n > 0 && n < 8 && (bytes(buf.position() - 1) & 0x80) != 0)
               v -= 1L << (8 * n) // sign-extend
             stack += v
           case 'G' => // BINFLOAT (big-endian)

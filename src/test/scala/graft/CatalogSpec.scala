@@ -157,6 +157,18 @@ class CatalogSpec extends AnyFunSuite {
     // unbalanced braces are literals, never a broken regex group
     assert(m("host}1", "host}1") && !m("host}1", "host1"))
     assert(m("a{b.c", "a{b.c"))
+    // class contents pass through VERBATIM: '*' inside [...] is the
+    // literal class member, not a wildcard
+    assert(m("host[*].cpu", "host*.cpu"))
+    assert(!m("host[*].cpu", "hostX.cpu"))
+    assert(m("up[._]time", "up.time") && m("up[._]time", "up_time"))
+    // nested alternation: depth counter, not a boolean — the first '}'
+    // closes only its own group
+    assert(m("{a,{b,c}}", "a") && m("{a,{b,c}}", "b") && m("{a,{b,c}}", "c"))
+    assert(!m("{a,{b,c}}", "d") && !m("{a,{b,c}}", "b,c"))
+    assert(m("x.{p,{q,r}s}.y", "x.rs.y") && !m("x.{p,{q,r}s}.y", "x.q.y"))
+    // unclosed class is a literal '[' (fnmatch behavior), still compilable
+    assert(m("host[0.cpu", "host[0.cpu") && !m("host[0.cpu", "host0.cpu"))
   }
 
   test("aliasByNode picks the n-th dot node, null when out of range") {

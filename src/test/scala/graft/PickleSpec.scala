@@ -45,6 +45,32 @@ class PickleSpec extends AnyFunSuite {
     assert(PickleCodec.decode(floatTs) == Seq(("cpu.load", 1700000000L, 0.75)))
   }
 
+  test("post-2038 epochs: LONG1 encode matches CPython; oversized rejects") {
+    // pickle.dumps([('sys.cpu', (2**32, 1.5)), ('sys.mem', (-2**32, 2.0))],
+    //              protocol=2) — both epochs exceed BININT, CPython emits
+    // LONG1 with minimal little-endian two's complement
+    val wide = Seq(("sys.cpu", 4294967296L, 1.5), ("sys.mem", -4294967296L, 2.0))
+    val cpython: Array[Byte] = Array[Int](
+      128, 2, 93, 113, 0, 40, 88, 7, 0, 0, 0, 115, 121, 115, 46, 99, 112,
+      117, 113, 1, 138, 5, 0, 0, 0, 0, 1, 71, 63, 248, 0, 0, 0, 0, 0, 0,
+      134, 113, 2, 134, 113, 3, 88, 7, 0, 0, 0, 115, 121, 115, 46, 109,
+      101, 109, 113, 4, 138, 5, 0, 0, 0, 0, 255, 71, 64, 0, 0, 0, 0, 0,
+      0, 0, 134, 113, 5, 134, 113, 6, 101, 46).map(_.toByte)
+    assert(PickleCodec.encode(wide).sameElements(cpython))
+    assert(PickleCodec.decode(cpython) == wide)
+    assert(PickleCodec.decode(PickleCodec.encode(wide)) == wide)
+    // Long extremes roundtrip (8-byte LONG1, no sign-extension step)
+    val extremes = Seq(("a", Long.MaxValue, 1.0), ("b", Long.MinValue, 2.0))
+    assert(PickleCodec.decode(PickleCodec.encode(extremes)) == extremes)
+    // a LONG1 wider than 64 bits must reject the batch (empty), not wrap
+    // the shift count into garbage: [('m', (2**80, 1.0))] at protocol 2
+    val over: Array[Byte] = Array[Int](
+      128, 2, 93, 113, 0, 88, 1, 0, 0, 0, 109, 113, 1, 138, 11, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 1, 71, 63, 240, 0, 0, 0, 0, 0, 0, 134, 113, 2,
+      134, 113, 3, 97, 46).map(_.toByte)
+    assert(PickleCodec.decode(over) == Seq.empty)
+  }
+
   test("roundtrip: encode then decode, including empty and unicode") {
     assert(PickleCodec.decode(PickleCodec.encode(payload)) == payload)
     assert(PickleCodec.decode(PickleCodec.encode(Seq.empty)) == Seq.empty)

@@ -125,6 +125,48 @@ class WhisperSpec extends AnyFunSuite {
     }
   }
 
+  test("groupConsecutive streams one group at a time (no partition buffer)") {
+    var consumed = 0
+    val src = Iterator.tabulate(100) { i => consumed += 1; (i / 10, i) }
+    val g = WhisperImport.groupConsecutive(src)
+    val (k0, v0) = g.next()
+    assert(k0 == 0 && v0 == (0 until 10))
+    // one group + single-element lookahead — NOT the whole iterator
+    assert(consumed <= 11,
+      s"groupConsecutive materialized the partition: consumed=$consumed")
+    val rest = g.toSeq
+    assert(rest.map(_._1) == (1 until 10) &&
+      rest.forall(_._2.length == 10) && consumed == 100)
+    assert(WhisperImport.groupConsecutive(Iterator.empty[(Int, Int)]).isEmpty)
+  }
+
+  test("nested layout: dotted metrics nest on disk, leaf names stay distinct") {
+    val spark = TestSpark.spark
+    val outDir = Files.createTempDirectory("wsp_nested").toFile
+    outDir.deleteOnExit()
+    val pts = {
+      import spark.implicits._
+      // two metrics sharing the LEAF name p95 — the collision case a
+      // basename-derived metric would merge
+      Seq(("stats.web.p95", base, 1.5), ("stats.web.p95", base + 3600, 2.5),
+        ("stats.db.p95", base, 7.5))
+        .toDF("metric", "ts_s", "value")
+        .select(col("metric"), timestamp_seconds(col("ts_s")).as("ts"),
+          col("value"))
+    }
+    WhisperImport.export(pts, outDir.getAbsolutePath,
+      Archive(3600, 1000), AggMethod.Average)
+    // whisper directory-to-metric convention on disk
+    assert(new java.io.File(outDir, "stats/web/p95.wsp").isFile)
+    assert(new java.io.File(outDir, "stats/db/p95.wsp").isFile)
+    val back = WhisperImport.read(spark, outDir.getAbsolutePath)
+      .select(col("metric"), col("ts").cast("long"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(back == Set(("stats.web.p95", base, 1.5),
+      ("stats.web.p95", base + 3600, 2.5), ("stats.db.p95", base, 7.5)))
+  }
+
   test("spark read: .wsp directory to points, and into the router") {
     val spark = TestSpark.spark
     val dir = Files.createTempDirectory("wsp").toFile
