@@ -315,7 +315,50 @@ object TextOps {
           .as("min_tok_hash"))
       .orderBy("doc_id")
 
+  /** Deterministic content-hash train/val/test split (80/10/10) — the
+    * standard reproducible corpus partition for training pipelines:
+    * bucketing on a CONTENT hash (md5, not a row id) keeps a document's
+    * split stable under re-partitioning, re-ingestion, and dedup churn,
+    * and identical duplicates can never straddle the train/eval
+    * boundary (leakage). Map-side only — no shuffle, no UDF. */
+  def trainValSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint")
+          % 10).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  private val ChunkTokens = 32
+  private val ChunkStep = 24 // 8-token overlap between consecutive chunks
+
+  /** Fixed-size token-window chunking with overlap — the
+    * context-window-preparation step of every training pipeline: each
+    * document explodes into [[ChunkTokens]]-token windows starting every
+    * [[ChunkStep]] tokens (8-token overlap so no boundary context is
+    * lost). Pre-split token arrays + sequence/slice higher-order
+    * functions: linear, map-side, no UDF; the explode fan-out is bounded
+    * by tokens/step per document. */
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1,
+          lit(ChunkStep))).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start div $ChunkStep AS BIGINT)").as("chunk_idx"),
+        size(expr(s"slice(toks, start + 1, $ChunkTokens)"))
+          .cast("bigint").as("n_tok"),
+        array_join(expr(s"slice(toks, start + 1, $ChunkTokens)"), " ")
+          .as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_split" -> trainValSplit _,
+    "q_llm_chunk" -> chunkDocs _,
     "q_llm_exact_dedup" -> exactDedup _,
     "q_llm_text_stats" -> textStats _,
     "q_llm_token_count" -> tokenCount _,
@@ -330,6 +373,28 @@ object TextOps {
   import Det.r4Sql
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 8 THEN 'train'
+        |            WHEN bucket = 8 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |             unnest(generate_series(0, len(toks) - 1, 24)) AS start
+        |      FROM t)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+        |       CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tok,
+        |       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
+        |FROM s
+        |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""".stripMargin,
     "q_llm_exact_dedup" ->
       """SELECT lang, count(*) AS n_docs,
         |       count(DISTINCT md5(lower(text))) AS nd_text,

@@ -500,7 +500,34 @@ object RelationalOps {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** The composed star-schema read (TPC-H Q5 family): fact ⋈ three
+    * dimensions with a selective date filter, revenue per (nation,
+    * month). This is the query shape Catalyst exists for — the date
+    * predicate pushes into the orders scan, join order is
+    * optimizer-chosen, the nation dimension broadcasts explicitly (and
+    * customer auto-broadcasts under the threshold; at 100 TB it becomes
+    * a shuffle join on the same plan). Exact decimal revenue
+    * accumulation per the [[Det]] discipline. */
+  def starRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("month", col("o_orderdate"))
+        .as("month"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name", "month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_star_revenue" -> starRevenue _,
     "q_scan_project" -> scanProject _,
     "q_filter_pred" -> filterPred _,
     "q_join_inner" -> joinInner _,
@@ -544,6 +571,18 @@ object RelationalOps {
   import Det.{dsum4Sql, davg4Sql, r4Sql}
 
   val oracleSql: Map[String, String] = Map(
+    "q_star_revenue" ->
+      """SELECT n_name, date_trunc('month', o_orderdate) AS month,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2
+        |ORDER BY n_name NULLS FIRST, month NULLS FIRST""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem

@@ -459,7 +459,39 @@ object TimeSeriesOps {
       .orderBy("bucket")
   }
 
+  /** Graphite `movingAverage(series, "6h")` over the hourly rollup —
+    * the single most-used smoothing read — restricted to FULL 6-bucket
+    * frames; the frame sum is exact DECIMAL so the average is the same
+    * IEEE division in any engine. */
+  def movingAverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wf = wSeq.rowsBetween(-5, 0)
+    h1.withColumn("rn", row_number().over(wSeq))
+      .withColumn("ma", Det.r4(
+        sum(col("v").cast("decimal(18,4)")).over(wf).cast("double") /
+          lit(6.0)))
+      .where(col("rn") >= 6)
+      .select(col("event_type"), col("bucket"), col("v"), col("ma"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `scale(series, k)` + `offset(series, k)`: the unit
+    * conversion / baseline-shift transforms (bytes→MB, zero-centering) —
+    * pure map-side expressions over the rollup. */
+  def scaleOffset(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"), col("v"),
+        Det.r4(col("v") * lit(0.125)).as("scaled"),
+        Det.r4(col("v") + lit(100.0)).as("shifted"))
+      .orderBy("event_type", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_moving_avg" -> movingAverage _,
+    "q_ts_scale_offset" -> scaleOffset _,
     "q_ts_fetch_bounded" -> fetchBounded _,
     "q_sql_fetch_routed" -> sqlFetchRouted _,
     "q_ts_aspercent" -> asPercent _,
@@ -699,6 +731,30 @@ object TimeSeriesOps {
         |FROM h
         |ORDER BY bucket NULLS FIRST""".stripMargin
     },
+    "q_ts_moving_avg" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, bucket, v, row_number() OVER w AS rn,
+        |         CAST(sum(CAST(v AS DECIMAL(18,4))) OVER (PARTITION BY event_type
+        |           ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) / 6.0 AS sma
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT event_type, bucket, v, ${Det.r4Sql("sma")} AS ma
+        |FROM m WHERE rn >= 6
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_scale_offset" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, v,
+        |       ${Det.r4Sql("v * 0.125")} AS scaled,
+        |       ${Det.r4Sql("v + 100.0")} AS shifted
+        |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_fetch_routed" -> fetchRoutedOracle,
     "q_sql_fetch_routed" -> fetchRoutedOracle,
     "q_ts_fetch_bounded" ->

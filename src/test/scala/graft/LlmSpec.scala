@@ -97,6 +97,54 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("split: content-hashed, leakage-safe, ~80/10/10") {
+    val rows = TextOps.trainValSplit(spark, sf).collect()
+    val total = graft.io.Tables.documents(spark, sf).count()
+    assert(rows.length == total)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9))
+    rows.foreach { r =>
+      val expect = if (r.getLong(1) < 8) "train"
+        else if (r.getLong(1) == 8) "val" else "test"
+      assert(r.getString(2) == expect)
+    }
+    // leakage guard: identical text ⇒ identical split (content hash,
+    // not row id)
+    val dupSplits = graft.io.Tables.documents(spark, sf)
+      .join(TextOps.trainValSplit(spark, sf), "doc_id")
+      .groupBy(md5(col("text"))).agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).head.getLong(0)
+    assert(dupSplits == 1L, "duplicate texts must land in the same split")
+  }
+
+  test("chunk: bounded windows, full token coverage, fixed overlap") {
+    val chunks = TextOps.chunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(chunks.nonEmpty && chunks.forall(_._3 <= 32) &&
+      chunks.forall(c => c._4.split(" ", -1).length == c._3))
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = docs(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      // chunk i covers tokens [24·i, 24·i + n_tok); the union is the doc
+      sorted.foreach { case (_, idx, n, text) =>
+        val start = (idx * 24).toInt
+        assert(text == toks.slice(start, start + n.toInt).mkString(" "))
+      }
+      // coverage: last chunk reaches the final token
+      val (_, lastIdx, lastN, _) = sorted.last
+      assert(lastIdx * 24 + lastN == toks.length,
+        s"doc $id: chunks end at ${lastIdx * 24 + lastN} of ${toks.length}")
+      // consecutive FULL chunks overlap by exactly 32 - 24 = 8 tokens
+      sorted.sliding(2).foreach {
+        case Array((_, i1, n1, _), (_, i2, _, _)) if n1 == 32 =>
+          assert(i2 == i1 + 1)
+        case _ =>
+      }
+    }
+  }
+
   test("knn_label counts: n sums to table size, matches <= n") {
     val rows = VectorOps.knnLabel(spark, sf).collect()
     val total = graft.io.Tables.embeddings(spark, sf).count()

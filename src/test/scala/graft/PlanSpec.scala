@@ -58,4 +58,35 @@ class PlanSpec extends AnyFunSuite {
         s"$q should broadcast its small side")
     }
   }
+
+  test("star join: date filter pushes into the orders scan, dims broadcast") {
+    val p = plan("q_star_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/customer dims should broadcast:\n$p")
+    // the selective o_orderdate range must reach the parquet reader —
+    // at 100 TB this is the partition-pruning predicate
+    assert("PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*GreaterThanOrEqual".r
+        .findFirstIn(p).isDefined ||
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+        .findFirstIn(p).isDefined,
+      s"o_orderdate range not pushed to the orders scan:\n$p")
+  }
+
+  test("split and chunk are map-side: no hash-partition shuffle") {
+    // the only Exchange allowed is the rangepartitioning of the final
+    // deterministic orderBy — the computation itself must not shuffle
+    Seq("q_llm_split", "q_llm_chunk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"),
+        s"$q should be a pure map-side pipeline:\n$p")
+    }
+  }
+
+  test("routed fetch pushes the metric predicate into the points scan") {
+    val p = plan("q_ts_fetch_bounded")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(event_type".r
+        .findFirstIn(p).isDefined ||
+      p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
+      s"metric equality not pushed into the scan:\n$p")
+  }
 }
