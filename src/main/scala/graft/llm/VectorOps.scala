@@ -161,6 +161,50 @@ object VectorOps {
       .select(col("vec_id"), col("m.embedding").as("embedding"),
         col("m.cell").as("cell"))
 
+  /** Batch k-NN JOIN through the IVF index — the similarity-join
+    * workload (label propagation, near-neighbor feature joins): top-3
+    * neighbors for EVERY query vector of a set, not one probe. Both
+    * sides are bucketed by cell — queries rank their [[NProbe]] cells
+    * against the broadcast quantizer, then one equi-join on `cell`
+    * against the shared inverted lists replaces the all-pairs cross
+    * join: candidate volume ≈ |Q|·replicas·nprobe/k of the corpus, the
+    * shape that survives 10^9×10^6. Per-query top-3 is a window over
+    * candidates only. No oracle (centroid-dependent); recall vs brute
+    * force spec'd in LlmSpec. */
+  def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = AnnIndex.buildOrGet(spark, sfDir, KCells, IndexReplicas)
+    val qs = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    // rank cells per query WITHOUT carrying the vector through the agg
+    // (collect (csim, cell) scalars, sort, slice — as indexAssignments)
+    val qcells = qs.crossJoin(broadcast(idx.cells))
+      .select(col("q_id"), col("cell"),
+        CosineSim(col("qe"), col("cvec")).as("csim"))
+      .groupBy(col("q_id"))
+      .agg(collect_list(struct(col("csim"), (-col("cell")).as("nc")))
+        .as("cs"))
+      .select(col("q_id"),
+        explode(expr(s"slice(reverse(array_sort(cs)), 1, $NProbe)")).as("s"))
+      .select(col("q_id"), (-col("s.nc")).cast("int").as("cell"))
+      .join(qs, "q_id")
+    val cands = qcells.join(idx.lists, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        CosineSim(col("embedding"), col("qe")).as("sim"))
+      // a pair can meet in several probed cells — keep one
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("q_id"), col("rk").cast("bigint").as("rk"), col("vec_id"),
+        Det.r4(col("sim")).as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
   private val NPlanes = 16
   private val SigBands = 4 // 4 bands × 4 bits
 
@@ -225,6 +269,7 @@ object VectorOps {
     "q_llm_cosine_topk" -> cosineTopk _,
     "q_sql_cosine_topk" -> sqlCosineTopk _,
     "q_llm_knn_label" -> knnLabel _,
+    "q_llm_knn_join" -> knnJoin _,
     "q_llm_ann_ivf" -> annIvf _,
     "q_llm_embed_neardup" -> embedNeardup _
   )

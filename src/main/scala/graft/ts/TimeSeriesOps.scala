@@ -489,7 +489,37 @@ object TimeSeriesOps {
         Det.r4(col("v") + lit(100.0)).as("shifted"))
       .orderBy("event_type", "bucket")
 
+  /** A composed RENDER PIPELINE — the graphite-web request
+    * `asPercent(movingAverage(<glob>, "6h"))` end to end: routed
+    * glob fetch (with the R4 window clamp) → per-series 6-bucket moving
+    * average (full frames) → per-bucket percent-of-total. The whole
+    * dashboard target is ONE Catalyst plan: one shuffle for the rollup,
+    * two windows over the tiny aggregated series. */
+  def dashboard(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.catalog.{RollupRouter, SchemaCatalog}
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    val fetched = RollupRouter.fetchSeries(pts, SchemaCatalog.Default, "*",
+      fromSecondsAgo = 20L * 86400)
+    val wSeq = Window.partitionBy(col("metric")).orderBy(col("bucket"))
+    val wf = wSeq.rowsBetween(-5, 0)
+    val wb = Window.partitionBy(col("bucket"))
+    fetched
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("ma", Det.r4(
+        sum(col("v").cast("decimal(18,4)")).over(wf).cast("double") /
+          lit(6.0)))
+      .where(col("rn") >= 6)
+      .withColumn("total",
+        sum(col("ma").cast("decimal(18,4)")).over(wb).cast("double"))
+      .select(col("metric"), col("bucket"), col("ma"),
+        Det.r4(col("ma") * lit(100.0) / col("total")).as("pct"))
+      .orderBy("metric", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_dashboard" -> dashboard _,
     "q_ts_moving_avg" -> movingAverage _,
     "q_ts_scale_offset" -> scaleOffset _,
     "q_ts_fetch_bounded" -> fetchBounded _,
@@ -731,6 +761,27 @@ object TimeSeriesOps {
         |FROM h
         |ORDER BY bucket NULLS FIRST""".stripMargin
     },
+    "q_ts_dashboard" ->
+      s"""WITH f AS (
+        |  SELECT event_type AS metric,
+        |         TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 3600000000) * 3600) * INTERVAL '1 second' AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events
+        |  WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '20 days'
+        |    AND ts <= (SELECT max(ts) FROM events)
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT metric, bucket, row_number() OVER w AS rn,
+        |         CAST(sum(CAST(v AS DECIMAL(18,4))) OVER (PARTITION BY metric
+        |           ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) / 6.0 AS sma
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY metric ORDER BY bucket)),
+        |p AS (SELECT metric, bucket, ${Det.r4Sql("sma")} AS ma
+        |      FROM m WHERE rn >= 6)
+        |SELECT metric, bucket, ma,
+        |       ${Det.r4Sql("ma * 100.0 / CAST(sum(CAST(ma AS DECIMAL(18,4))) OVER (PARTITION BY bucket) AS DOUBLE)")} AS pct
+        |FROM p
+        |ORDER BY metric NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_moving_avg" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -194,6 +194,40 @@ class LlmSpec extends AnyFunSuite {
     assert(idx.lists.count() == 2 * n)
   }
 
+  test("knn join: 3 ranked neighbors per query, recall vs brute force") {
+    val rows = VectorOps.knnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    val nq = graft.io.Tables.embeddings(spark, sf)
+      .where(col("vec_id") < 50).count()
+    assert(byQ.size == nq, s"every query vector gets neighbors: ${byQ.size}")
+    byQ.values.foreach { ns =>
+      val sorted = ns.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L, 3L))
+      val sims = sorted.map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sorted.forall(n => n._3 != n._1)) // never its own neighbor
+    }
+    // recall@3 vs brute force over a handful of queries: the probed-cell
+    // candidate set must find most true neighbors (weak clusters → 0.5)
+    val e = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val hits = (0L until 5L).map { q =>
+      val brute = (e - q).toSeq
+        .map { case (id, v) => id -> cos(e(q), v) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+      byQ(q).map(_._3).count(brute.contains)
+    }.sum
+    assert(hits >= 8, s"recall@3 too low: $hits/15")
+  }
+
   test("ann_ivf returns correctly-computed sims in descending order") {
     val ann = VectorOps.annIvf(spark, sf).collect()
     assert(ann.length == 5)
