@@ -125,6 +125,55 @@ object AnnIndex {
     cents
   }
 
+  /** Batch k-NN join against the index: top-`k` neighbors for EVERY row
+    * of `qs(q_id, qe)`. Queries rank their `nprobe` cells against the
+    * broadcast quantizer (scalars through the agg, vector rehydrated by
+    * one equi-join), then one join on `cell` against the inverted lists
+    * replaces the all-pairs cross join; per-query top-k is a window over
+    * candidates only. Serves the batch query AND each foreachBatch
+    * micro-batch of [[probeStream]] — one index, both surfaces. */
+  def knnJoin(index: Index, qs: DataFrame, nprobe: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qcells = qs.crossJoin(broadcast(index.cells))
+      .select(col("q_id"), col("cell"),
+        CosineSim(col("qe"), col("cvec")).as("csim"))
+      .groupBy(col("q_id"))
+      .agg(collect_list(struct(col("csim"), (-col("cell")).as("nc")))
+        .as("cs"))
+      .select(col("q_id"),
+        explode(expr(s"slice(reverse(array_sort(cs)), 1, $nprobe)")).as("s"))
+      .select(col("q_id"), (-col("s.nc")).cast("int").as("cell"))
+      .join(qs, "q_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    qcells.join(index.lists, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        CosineSim(col("embedding"), col("qe")).as("sim"))
+      // a pair can meet in several probed cells — keep one
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("sim")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("bigint").as("rk"), col("vec_id"),
+        graft.util.Det.r4(col("sim")).as("sim"))
+  }
+
+  /** Streaming similarity search: every micro-batch of incoming query
+    * vectors `(q_id, qe)` probes the SHARED prebuilt index via
+    * foreachBatch — the online-serving half of the build/serve split
+    * (the index is session-state; batches only pay the probe). `sink`
+    * receives each batch's neighbor table. */
+  def probeStream(queries: DataFrame, index: Index, nprobe: Int, k: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(knnJoin(index, batch, nprobe, k))
+      }
+      .start()
+
   /** Persist a built index as two parquet tables — the offline half of
     * the build/serve split (at production the lists table is bucketed by
     * cell so a probe reads only its cells' files). */

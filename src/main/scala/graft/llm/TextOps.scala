@@ -356,7 +356,29 @@ object TextOps {
           .as("chunk"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Duplicate-trigram fraction per document — the repetition quality
+    * signal (Rae et al., "Scaling Language Models" / Gopher rules [U]:
+    * heavily repetitive docs are low-quality training data). Trigrams
+    * via transform over a pre-projected token array (lambda-CSE gotcha:
+    * never re-split inside the lambda); rep = 1 − distinct/total.
+    * Map-side only. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(toks) - 3)," +
+          " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))").as("tg"))
+      .select(col("doc_id"),
+        size(col("tg")).cast("bigint").as("n3"),
+        size(array_distinct(col("tg"))).cast("bigint").as("nd3"))
+      .select(col("doc_id"), col("n3"), col("nd3"),
+        Det.r4(lit(1.0) -
+          col("nd3").cast("double") / col("n3").cast("double")).as("rep"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
     "q_llm_chunk" -> chunkDocs _,
     "q_llm_exact_dedup" -> exactDedup _,
@@ -373,6 +395,21 @@ object TextOps {
   import Det.r4Sql
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_repetition" -> {
+      val nd3 = "CAST(len(list_distinct(tg)) AS DOUBLE)"
+      val n3 = "CAST(len(tg) AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |             list_transform(generate_series(1, len(toks) - 2),
+        |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, CAST(len(tg) AS BIGINT) AS n3,
+        |       CAST(len(list_distinct(tg)) AS BIGINT) AS nd3,
+        |       ${r4Sql(s"1.0 - $nd3 / $n3")} AS rep
+        |FROM g
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    },
     "q_llm_split" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -172,36 +172,11 @@ object VectorOps {
     * candidates only. No oracle (centroid-dependent); recall vs brute
     * force spec'd in LlmSpec. */
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val idx = AnnIndex.buildOrGet(spark, sfDir, KCells, IndexReplicas)
     val qs = Tables.embeddings(spark, sfDir)
       .where(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    // rank cells per query WITHOUT carrying the vector through the agg
-    // (collect (csim, cell) scalars, sort, slice — as indexAssignments)
-    val qcells = qs.crossJoin(broadcast(idx.cells))
-      .select(col("q_id"), col("cell"),
-        CosineSim(col("qe"), col("cvec")).as("csim"))
-      .groupBy(col("q_id"))
-      .agg(collect_list(struct(col("csim"), (-col("cell")).as("nc")))
-        .as("cs"))
-      .select(col("q_id"),
-        explode(expr(s"slice(reverse(array_sort(cs)), 1, $NProbe)")).as("s"))
-      .select(col("q_id"), (-col("s.nc")).cast("int").as("cell"))
-      .join(qs, "q_id")
-    val cands = qcells.join(idx.lists, "cell")
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        CosineSim(col("embedding"), col("qe")).as("sim"))
-      // a pair can meet in several probed cells — keep one
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(max(col("sim")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    cands.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 3)
-      .select(col("q_id"), col("rk").cast("bigint").as("rk"), col("vec_id"),
-        Det.r4(col("sim")).as("sim"))
+    AnnIndex.knnJoin(idx, qs, NProbe, k = 3)
       .orderBy("q_id", "rk")
   }
 

@@ -228,6 +228,38 @@ class LlmSpec extends AnyFunSuite {
     assert(hits >= 8, s"recall@3 too low: $hits/15")
   }
 
+  test("streaming ANN probe: micro-batches equal the batch knn join") {
+    import graft.llm.AnnIndex
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val idx = AnnIndex.buildOrGet(sp, sf, 10, 2)
+    val qs = graft.io.Tables.embeddings(sp, sf)
+      .where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val qvecs = qs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val in = MemoryStream[(Long, Array[Float])]
+    val sq2 = AnnIndex.probeStream(
+        in.toDF().toDF("q_id", "qe"), idx, nprobe = 3, k = 3) { out =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    try {
+      in.addData(qvecs)
+      sq2.processAllAvailable()
+    } finally sq2.stop()
+    val batch = AnnIndex.knnJoin(idx, qs, 3, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(results.toSet == batch.toSet && results.nonEmpty,
+      s"streaming probe diverged: ${results.toSet} vs ${batch.toSet}")
+  }
+
   test("ann_ivf returns correctly-computed sims in descending order") {
     val ann = VectorOps.annIvf(spark, sf).collect()
     assert(ann.length == 5)

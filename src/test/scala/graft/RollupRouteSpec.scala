@@ -182,10 +182,79 @@ class RollupRouteSpec extends AnyFunSuite {
           date_trunc("hour", col("ingest_ts")).as("bucket"))
         .agg(count(lit(1)).as("n"))
       assert(otherTs.queryExecution.executedPlan.toString.contains("/points"))
+      // HAVING above the rewritten aggregate composes transparently:
+      // the Aggregate routes, the post-aggregate filter stays on top
+      val having = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)
+      val hPlan = having.queryExecution.executedPlan.toString
+      assert(hPlan.contains("rollup_1h") && !hPlan.contains("/points"),
+        s"HAVING should route through the rewrite:\n$hPlan")
+      RollupCatalog.clear()
+      val hRaw = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)
+      assert(having.collect().length == hRaw.collect().length)
     } finally {
       RollupCatalog.clear()
       sp.experimental.extraOptimizations =
         sp.experimental.extraOptimizations.filterNot(_ == RollupRouteRule)
+    }
+  }
+
+  test("routing fires through the shipped GraftExtensions injection path") {
+    // the deploy story is `spark.sql.extensions=graft.GraftExtensions`;
+    // prove the injected optimizer rule (not experimental opts) routes
+    val dir = Files.createTempDirectory("graft_ext_route").toString
+    val rawPath = s"$dir/points"
+    val rollupPath = s"$dir/rollup_1h"
+    val base = TestSpark.spark
+    graft.io.Tables.events(base, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+      .write.parquet(rawPath)
+    base.read.parquet(rawPath)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .write.parquet(rollupPath)
+    // getOrCreate would hand back the active TestSpark session (and skip
+    // extension injection) — clear it so a NEW session is built on the
+    // same SparkContext. `spark.sql.extensions` is a STATIC conf (only
+    // honored when the first session boots), so in-JVM the extension
+    // object goes through builder.withExtensions — the same
+    // GraftExtensions.apply a `--conf` deployment runs.
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val sp = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-spec")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(sp ne TestSpark.spark, "must be a fresh session")
+      assert(sp.sessionState.optimizer.extendedOperatorOptimizationRules
+        .contains(RollupRouteRule), "extension must inject the rule")
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val q = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(avg(col("value")).as("avg_v"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup_1h") && !plan.contains("/points"),
+        s"GraftExtensions-injected rule did not route:\n$plan")
+      assert(q.collect().nonEmpty)
+      // and the injected SQL functions ride along in the same session
+      assert(sp.sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F))")
+        .head.getDouble(0) == 1.0)
+    } finally {
+      RollupCatalog.clear()
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
     }
   }
 }
