@@ -21,47 +21,69 @@ import org.apache.spark.sql.Column
   */
 object MetricGlob {
 
+  /** Find the closing `]` of a class opened at `open`, fnmatch-style:
+    * a `!` negation marker and a `]` in FIRST content position are class
+    * members, not the terminator (`[]]` matches a literal `]`). Returns
+    * -1 for an unclosed class. */
+  private def classEnd(glob: String, open: Int): Int = {
+    var j = open + 1
+    if (j < glob.length && glob(j) == '!') j += 1
+    if (j < glob.length && glob(j) == ']') j += 1
+    while (j < glob.length && glob(j) != ']') j += 1
+    if (j < glob.length) j else -1
+  }
+
   /** Compile a glob to an anchored Java regex. Unbalanced braces and
     * unclosed classes are treated as literal characters (graphite's
     * fnmatch behavior) instead of emitting an uncompilable group;
-    * `[...]` class CONTENTS pass through verbatim (a `*` inside a class
-    * is the class member, not a wildcard); `{a,{b,c}}` nests via a depth
-    * counter (only a depth-0 `}` ends the alternation scope). */
+    * `[...]` classes follow fnmatch: `[!...]` negates, `[]]` is a
+    * literal `]`, other contents pass through with regex-hostile chars
+    * (`\`, a leading `^` or `[`) escaped so the class always compiles;
+    * `{a,{b,c}}` nests via a depth counter (only a depth-0 `}` ends the
+    * alternation scope). */
   def toRegex(glob: String): String = {
-    // metachar status decided by a prescan that skips class contents:
-    // a '{' inside [...] is a class member, not an alternation opener
-    val (bracesBalanced, classesClosed) = {
-      var depth = 0; var braceOk = true; var classOk = true
+    // brace metachar status decided by a prescan that skips class
+    // contents: a '{' inside [...] is a class member, not an opener
+    val bracesBalanced = {
+      var depth = 0; var ok = true
       var i = 0
       while (i < glob.length) {
         glob(i) match {
           case '[' =>
-            val j = glob.indexOf(']', i + 1)
-            if (j < 0) classOk = false else i = j
+            val j = classEnd(glob, i)
+            if (j >= 0) i = j
           case '{' => depth += 1
-          case '}' => if (depth == 0) braceOk = false else depth -= 1
+          case '}' => if (depth == 0) ok = false else depth -= 1
           case _ =>
         }
         i += 1
       }
-      (braceOk && depth == 0, classOk)
+      ok && depth == 0
     }
     val sb = new StringBuilder("^")
     var braceDepth = 0
-    var inClass = false
-    glob.foreach {
-      case c if inClass => // verbatim class contents
-        sb.append(c)
-        if (c == ']') inClass = false
-      case '[' if classesClosed => inClass = true; sb.append('[')
-      case '*' => sb.append("[^.]*")
-      case '?' => sb.append("[^.]")
-      case '{' if bracesBalanced => braceDepth += 1; sb.append("(?:")
-      case '}' if bracesBalanced => braceDepth -= 1; sb.append(')')
-      case ',' if braceDepth > 0 => sb.append('|')
-      case '.' => sb.append("\\.")
-      case c if "\\^$+()|{}[]".indexOf(c) >= 0 => sb.append('\\').append(c)
-      case c => sb.append(c)
+    var i = 0
+    while (i < glob.length) {
+      glob(i) match {
+        case '[' if classEnd(glob, i) >= 0 =>
+          val j = classEnd(glob, i)
+          var body = glob.substring(i + 1, j)
+            .replace("\\", "\\\\").replace("&", "\\&")
+          if (body.startsWith("!")) body = "^" + body.substring(1)
+          else if (body.startsWith("^") || body.startsWith("["))
+            body = "\\" + body
+          sb.append('[').append(body).append(']')
+          i = j
+        case '*' => sb.append("[^.]*")
+        case '?' => sb.append("[^.]")
+        case '{' if bracesBalanced => braceDepth += 1; sb.append("(?:")
+        case '}' if bracesBalanced => braceDepth -= 1; sb.append(')')
+        case ',' if braceDepth > 0 => sb.append('|')
+        case '.' => sb.append("\\.")
+        case c if "\\^$+()|{}[]".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
     }
     sb.append("$").toString
   }

@@ -147,7 +147,10 @@ object WhisperImport {
         val rel =
           if (abs.startsWith(rootAbs)) abs.stripPrefix(rootAbs).stripPrefix("/")
           else abs.split('/').last // unexpected mount-point drift: leaf name
-        val metric = rel.stripSuffix(".wsp").replace('/', '.')
+        // rel is empty when `path` addressed this single FILE directly —
+        // the metric is then the leaf name, as before the nested layout
+        val metric = (if (rel.isEmpty) abs.split('/').last else rel)
+          .stripSuffix(".wsp").replace('/', '.')
         val header = parseHeader(bytes)
         parsePoints(bytes, header).map { case (idx, ts, v) =>
           (metric, idx, header.archives(idx).secondsPerPoint, ts, v)

@@ -62,8 +62,6 @@ object RollupCatalog {
 
 object RollupRouteRule extends Rule[LogicalPlan] {
 
-  private val HourMicros = 3600L * 1000000L
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, aggExprs, child, _) =>
       rewrite(agg, groupings, aggExprs, child).getOrElse(agg)
@@ -169,8 +167,12 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     if (Seq(metricOut, bucketOut, sumOut, nOut, minOut, maxOut)
         .exists(_.isEmpty)) return None
 
+    // Only a cast to DOUBLE is transparent (the raw value column is
+    // DOUBLE, so it is a no-op): a NARROWING cast — sum(CAST(value AS
+    // INT)), avg(value.cast("decimal(10,2)")) — changes per-row values
+    // before aggregation and must keep the raw scan.
     def overValue(e: Expression): Boolean = resolve(e) match {
-      case Cast(c, _, _, _) => overValue(c)
+      case Cast(c, DoubleType, _, _) => overValue(c)
       case other => scanAttr(other, "value")
     }
 
@@ -186,9 +188,18 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     // This holds for coarser grains too: the filter selects raw rows, the
     // rewrite selects exactly the hour buckets covering them, and the
     // coarse re-aggregation groups the same rows either way.
+    // Alignment is checked by evaluating the SAME hour truncation the
+    // rollup uses (session timezone and all): L is usable iff it is a
+    // fixed point of date_trunc('hour', ·). A raw micros % 3600e6 test
+    // would wrongly accept UTC-aligned bounds that sit mid-bucket in a
+    // fractional-offset session timezone (+05:30).
     def alignedTs(l: Literal): Boolean =
-      l.dataType == TimestampType && l.value != null &&
-        l.value.asInstanceOf[Long] % HourMicros == 0
+      l.dataType == TimestampType && l.value != null && {
+        val asTrunc = TruncTimestamp(
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
+          l, trunc.get.timeZoneId)
+        asTrunc.eval(null) == l.value
+      }
     def tsRange(e: Expression): Option[Expression] = e match {
       case GreaterThanOrEqual(t, l: Literal)
           if scanAttr(t, "ts") && alignedTs(l) =>

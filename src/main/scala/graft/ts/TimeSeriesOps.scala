@@ -767,7 +767,8 @@ object TimeSeriesOps {
         |         TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 3600000000) * 3600) * INTERVAL '1 second' AS bucket,
         |         ${Det.avg4Sql("value")} AS v
         |  FROM events
-        |  WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '20 days'
+        |  WHERE regexp_full_match(event_type, '[^.]*')
+        |    AND ts >= (SELECT max(ts) FROM events) - INTERVAL '20 days'
         |    AND ts <= (SELECT max(ts) FROM events)
         |  GROUP BY 1, 2),
         |m AS (

@@ -169,6 +169,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(m("x.{p,{q,r}s}.y", "x.rs.y") && !m("x.{p,{q,r}s}.y", "x.q.y"))
     // unclosed class is a literal '[' (fnmatch behavior), still compilable
     assert(m("host[0.cpu", "host[0.cpu") && !m("host[0.cpu", "host0.cpu"))
+    // fnmatch negation: [!...] excludes the class members
+    assert(m("host[!0].cpu", "host1.cpu") && !m("host[!0].cpu", "host0.cpu"))
+    // []] is a class holding a literal ']' (the first ']' is content)
+    assert(m("x[]]y", "x]y") && !m("x[]]y", "xay"))
+    assert(m("x[!]]y", "xay") && !m("x[!]]y", "x]y"))
+    // regex-hostile class contents still compile and match literally
+    assert(m("a[\\\\]b", "a\\b"))
+    assert(m("a[&]b", "a&b"))
   }
 
   test("aliasByNode picks the n-th dot node, null when out of range") {
@@ -204,11 +212,18 @@ class CatalogSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val pts = graft.io.Tables.events(spark, TestSpark.sf)
       .select(col("event_type").as("metric"), col("ts"), col("value"))
-    val out = RollupRouter.fetchSeries(pts, SchemaCatalog.Default, "*u*",
+    // hourly-only policy with retention >> the window, so the 100-day
+    // window both SELECTS the 1h archive and covers all data (Default's
+    // 1h archive retains only 30 days — a 100-day window would route to
+    // its daily archive instead)
+    val p = RetentionPolicy("t", ".*".r, Seq(Archive(3600, 1000000)))
+    val out = RollupRouter.fetchSeries(pts, p, "*u*",
       100L * 86400).collect()
     assert(out.nonEmpty)
     assert(out.map(_.getString(0)).toSet == Set("purchase", "signup"))
     out.foreach(r => assert(r.getTimestamp(1).getTime % (3600 * 1000) == 0))
+    // hourly resolution really used: some bucket is off the day boundary
+    assert(out.exists(_.getTimestamp(1).getTime % 86400000L != 0))
     val total = pts.where(col("metric").isin("purchase", "signup")).count()
     assert(out.map(_.getLong(3)).sum == total)
   }

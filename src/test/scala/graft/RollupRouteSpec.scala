@@ -141,6 +141,14 @@ class RollupRouteSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"))
       assert(closedUpper.queryExecution.executedPlan.toString
         .contains("/points"))
+      // a NARROWING cast changes per-row values before aggregation —
+      // sum(CAST(value AS INT)) must keep the raw scan (only a no-op
+      // cast to DOUBLE is transparent)
+      val narrowed = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(col("value").cast("int")).as("sum_i"))
+      assert(narrowed.queryExecution.executedPlan.toString
+        .contains("/points"))
       // a Project REDEFINING value under the same name must NOT route —
       // the rollup pre-aggregated the ORIGINAL values
       val shadowed = sp.read.parquet(rawPath)

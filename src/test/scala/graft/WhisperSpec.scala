@@ -165,6 +165,11 @@ class WhisperSpec extends AnyFunSuite {
       .toSet
     assert(back == Set(("stats.web.p95", base, 1.5),
       ("stats.web.p95", base + 3600, 2.5), ("stats.db.p95", base, 7.5)))
+    // a SINGLE-FILE path keeps the leaf-name metric (pre-nesting API)
+    val one = WhisperImport.read(spark,
+      new java.io.File(outDir, "stats/db/p95.wsp").getAbsolutePath)
+      .select("metric").distinct().collect().map(_.getString(0)).toSeq
+    assert(one == Seq("p95"), s"single-file metric: $one")
   }
 
   test("spark read: .wsp directory to points, and into the router") {
