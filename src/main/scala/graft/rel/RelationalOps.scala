@@ -32,12 +32,16 @@ import graft.util.Det
   */
 object RelationalOps {
 
-  /** Scan + projection + limit: column pruning must reach the scan. */
+  /** Scan + projection + limit: column pruning must reach the scan.
+    * (l_orderkey, l_linenumber) is NOT unique in this testdata, so the
+    * order must be total over EVERY output column — identical rows at
+    * the limit boundary are then interchangeable and hash-stable. */
   def scanProject(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_shipdate")
       .limit(100)
 
   /** Predicate coverage: IN + BETWEEN + LIKE + AND/OR, pushed to parquet. */
@@ -586,7 +590,10 @@ object RelationalOps {
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem
-        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |         l_quantity NULLS FIRST, l_extendedprice NULLS FIRST,
+        |         l_shipdate NULLS FIRST
+        |LIMIT 100""".stripMargin,
     "q_filter_pred" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders
