@@ -53,6 +53,31 @@ object Ingest {
       .select(col("metric"), timestamp_seconds(col("epoch")).as("ts"),
         col("value"))
 
+  /** [[parseLines]] with a DEAD-LETTER channel: instead of silently
+    * dropping malformed input, every line is tagged with the first parse
+    * failure (`bad_arity` / `bad_value` / `bad_epoch`), so a pipeline
+    * can fork `ok` into the rollup path and quarantine the rest for
+    * replay/alerting — the production upgrade over the daemon's tolerant
+    * drop (at 100 TB/day, "0.3% of lines silently vanished" must be
+    * observable). One map-side pass, same plan shape streaming or batch;
+    * split with two filters on `reason` (both prune map-side). */
+  def parseLinesQuarantine(lines: DataFrame): DataFrame =
+    lines
+      .select(col("value").as("raw"), split(col("value"), " ").as("f"))
+      .select(col("raw"),
+        try_element_at(col("f"), lit(1)).as("metric"),
+        expr("try_cast(try_element_at(f, 3) AS LONG)").as("epoch"),
+        expr("try_cast(try_element_at(f, 2) AS DOUBLE)").as("value"),
+        size(col("f")).as("arity"))
+      .select(col("raw"), col("metric"),
+        timestamp_seconds(col("epoch")).as("ts"), col("value"),
+        when(col("arity") =!= 3, "bad_arity")
+          .when(col("value").isNull, "bad_value")
+          .when(col("epoch").isNull, "bad_epoch")
+          .when(col("metric").isNull || length(col("metric")) === 0,
+            "bad_arity")
+          .otherwise("ok").as("reason"))
+
   /** R14 (batched binary protocol, the pickle-receiver analog): one frame
     * carries many points — `[n:int32][n × (len:int32, metric:utf8,
     * ts:int64 epoch-seconds, value:float64)]`, big-endian. Encoder for

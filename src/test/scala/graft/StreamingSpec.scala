@@ -37,6 +37,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getDouble(2) == 0.75)
   }
 
+  test("s_quarantine: malformed lines land in the dead-letter fork, tagged") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[String]
+    in.addData("cpu.load 0.75 1700000000", "mem.used 1234 1700000060",
+      "garbage", "cpu.load NaNope 1700000120", "cpu.load 0.5 not_epoch",
+      "a b c d")
+    val tagged = Ingest.parseLinesQuarantine(in.toDF())
+    val qOk = runToMemory(tagged.where(col("reason") === "ok")
+      .select("metric", "ts", "value"), "quar_ok", OutputMode.Append())
+    val qBad = runToMemory(tagged.where(col("reason") =!= "ok")
+      .select("raw", "reason"), "quar_bad", OutputMode.Append())
+    qOk.processAllAvailable(); qBad.processAllAvailable()
+    qOk.stop(); qBad.stop()
+    val ok = sp.table("quar_ok").collect()
+    assert(ok.length == 2 && ok.map(_.getString(0)).toSet ==
+      Set("cpu.load", "mem.used"))
+    val bad = sp.table("quar_bad").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bad == Map(
+      "garbage" -> "bad_arity",
+      "cpu.load NaNope 1700000120" -> "bad_value",
+      "cpu.load 0.5 not_epoch" -> "bad_epoch",
+      "a b c d" -> "bad_arity"))
+    // conservation: ok-fork == the tolerant parseLines output
+    val direct = Ingest.parseLines(
+      Seq("cpu.load 0.75 1700000000", "mem.used 1234 1700000060",
+        "garbage", "cpu.load NaNope 1700000120", "cpu.load 0.5 not_epoch",
+        "a b c d").toDF("value")).collect()
+    assert(direct.length == ok.length)
+  }
+
   test("s_tumbling_agg + s_watermark_late: rollup updates, late row dropped") {
     val sp = spark
     import sp.implicits._
