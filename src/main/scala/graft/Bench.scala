@@ -12,9 +12,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/session warmup so the first timed query isn't
-    // charged ~5s of one-time cost (it isn't query work)
+    // charged ~5s of one-time cost (it isn't query work): an in-memory
+    // agg for the codegen/exchange classes, plus one TINY (sf0.001)
+    // read per table family for the parquet reader/vectorized-decoder
+    // paths — measured ~2.5s of class-loading otherwise billed to
+    // whichever query the Map ordering puts first
     import org.apache.spark.sql.functions.{count => cnt, sum}
     spark.range(100000).agg(sum("id"), cnt("id")).collect()
+    val warmSf = "/root/testdata/sf0.001"
+    try {
+      graft.io.Tables.events(spark, warmSf).count()
+      graft.io.Tables.documents(spark, warmSf).count()
+      graft.io.Tables.embeddings(spark, warmSf).count()
+      graft.io.Tables.lineitem(spark, warmSf).count()
+    } catch { case _: Throwable => () } // warmup must never fail the bench
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

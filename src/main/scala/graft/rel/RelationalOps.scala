@@ -530,7 +530,25 @@ object RelationalOps {
       .orderBy("n_name", "month")
   }
 
+  /** Latest-row-per-key dedup (the SCD / upsert-compaction read): each
+    * customer's most recent order via one row_number window — the
+    * single most common warehouse dedup shape. Total tiebreak
+    * (o_orderdate, o_orderkey) keeps the winner engine-independent;
+    * at scale this is one shuffle on the key, no join. */
+  def latestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_latest_per_key" -> latestPerKey _,
     "q_star_revenue" -> starRevenue _,
     "q_scan_project" -> scanProject _,
     "q_filter_pred" -> filterPred _,
@@ -575,6 +593,15 @@ object RelationalOps {
   import Det.{dsum4Sql, davg4Sql, r4Sql}
 
   val oracleSql: Map[String, String] = Map(
+    "q_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM r WHERE rn = 1
+        |ORDER BY o_custkey NULLS FIRST""".stripMargin,
     "q_star_revenue" ->
       """SELECT n_name, date_trunc('month', o_orderdate) AS month,
         |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
