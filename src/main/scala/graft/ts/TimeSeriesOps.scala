@@ -518,7 +518,58 @@ object TimeSeriesOps {
       .orderBy("metric", "bucket")
   }
 
+  /** BATCH sessionization (the batch twin of the streaming session
+    * window, §2.3): per-user sessions split at >6h inactivity gaps via
+    * lag + running sum — the standard gaps-and-islands form. One
+    * shuffle on user_id serves both windows; total (ts, event_id)
+    * order makes the session numbering engine-exact. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us",
+        expr("unix_micros(ts)") - expr("unix_micros(prev_ts)"))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 6L * 3600 * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"))
+      .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        Det.r4(col("n_events").cast("double") /
+          col("n_sessions").cast("double")).as("events_per_session"))
+      .orderBy("user_id")
+  }
+
+  /** Ordered conversion FUNNEL (view → click → purchase, each stage
+    * strictly after the previous one's first hit): three conditional-min
+    * aggregations chained per user. Every stage re-aggregates on
+    * user_id, so the exchange is planned once and reused; output is one
+    * summary row. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val t2 = e.join(t1, "user_id")
+      .where(col("event_type") === "click" && col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val t3 = e.join(t2, "user_id")
+      .where(col("event_type") === "purchase" && col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click_after"),
+        count(col("t_purchase")).as("n_purchase_after"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> sessionize _,
+    "q_funnel" -> funnel _,
     "q_ts_dashboard" -> dashboard _,
     "q_ts_moving_avg" -> movingAverage _,
     "q_ts_scale_offset" -> scaleOffset _,
@@ -761,6 +812,45 @@ object TimeSeriesOps {
         |FROM h
         |ORDER BY bucket NULLS FIRST""".stripMargin
     },
+    "q_sessionize" -> {
+      s"""WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN gap_us IS NULL OR gap_us > 21600000000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events,
+        |       ${Det.r4Sql("CAST(count(*) AS DOUBLE) / CAST(max(sid) AS DOUBLE)")} AS events_per_session
+        |FROM s GROUP BY 1
+        |ORDER BY user_id NULLS FIRST""".stripMargin
+    },
+    "q_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t_view
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t_click
+        |  GROUP BY 1)
+        |SELECT count(t1.t_view) AS n_view,
+        |       count(t2.t_click) AS n_click_after,
+        |       count(t3.t_purchase) AS n_purchase_after
+        |FROM t1
+        |LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
     "q_ts_dashboard" ->
       s"""WITH f AS (
         |  SELECT event_type AS metric,
