@@ -552,11 +552,17 @@ object TimeSeriesOps {
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"))
+    // each stage's per-user min is REUSED by the next stage and the
+    // final join — materialize it (tiny: one row per converting user)
+    // or the plan recomputes t1 three times / t2 twice, i.e. six scans
+    // of the fact table instead of three
     val t1 = e.where(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      .localCheckpoint()
     val t2 = e.join(t1, "user_id")
       .where(col("event_type") === "click" && col("ts") >= col("t_view"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      .localCheckpoint()
     val t3 = e.join(t2, "user_id")
       .where(col("event_type") === "purchase" && col("ts") >= col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))

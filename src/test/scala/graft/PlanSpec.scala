@@ -82,6 +82,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize: both windows and the final agg share ONE shuffle") {
+    val p = plan("q_sessionize")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected a single user_id exchange, got $n:\n$p")
+  }
+
   test("routed fetch pushes the metric predicate into the points scan") {
     val p = plan("q_ts_fetch_bounded")
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(event_type".r
