@@ -19,13 +19,26 @@ object Bench {
     // whichever query the Map ordering puts first
     import org.apache.spark.sql.functions.{count => cnt, sum}
     spark.range(100000).agg(sum("id"), cnt("id")).collect()
-    val warmSf = "/root/testdata/sf0.001"
+    // prefer the tiny sibling SF (class warmup without touching the
+    // bench data); if absent, read only the SCHEMA of the bench dir
+    // (footer I/O, still loads the reader classes, no data pages)
     try {
-      graft.io.Tables.events(spark, warmSf).count()
-      graft.io.Tables.documents(spark, warmSf).count()
-      graft.io.Tables.embeddings(spark, warmSf).count()
-      graft.io.Tables.lineitem(spark, warmSf).count()
-    } catch { case _: Throwable => () } // warmup must never fail the bench
+      val sib = new java.io.File(
+        new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) {
+        val warmSf = sib.getAbsolutePath
+        graft.io.Tables.events(spark, warmSf).count()
+        graft.io.Tables.documents(spark, warmSf).count()
+        graft.io.Tables.embeddings(spark, warmSf).count()
+        graft.io.Tables.lineitem(spark, warmSf).count()
+      } else {
+        graft.io.Tables.events(spark, sfDir).schema
+        graft.io.Tables.documents(spark, sfDir).schema
+      }
+    } catch { // warmup must never fail the bench
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -39,28 +39,46 @@ case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
   * date-partitioned parquet appended per micro-batch. */
 object Ingest {
 
+  /** Epochs must fit the SQL timestamp range BEFORE timestamp_seconds
+    * touches them: it multiplies to micros with Math.multiplyExact, so a
+    * LONG-parseable but absurd epoch (a client sending nanos) would
+    * otherwise throw and KILL the streaming query instead of being
+    * dropped/quarantined. Bounds = years 1..9999. */
+  private val EpochMin = -62135596800L
+  private val EpochMax = 253402300799L
+  private def epochInRange(epoch: org.apache.spark.sql.Column) =
+    epoch.isNotNull && epoch.between(EpochMin, EpochMax)
+
   /** R13 line protocol: `"metric value epoch_seconds"` → typed points.
-    * Malformed lines (wrong arity / non-numeric) are dropped, matching
-    * the daemon's tolerant receiver; try_cast keeps ANSI mode safe. */
+    * Malformed lines (wrong arity, empty metric, non-numeric or
+    * out-of-range fields) are dropped, matching the daemon's tolerant
+    * receiver; try_cast keeps ANSI mode safe. The accepted set is
+    * EXACTLY the `reason = "ok"` fork of [[parseLinesQuarantine]]
+    * (spec'd): strictly three fields — carbon's plaintext protocol. */
   def parseLines(lines: DataFrame): DataFrame =
     lines
       .select(split(col("value"), " ").as("f"))
       .select(try_element_at(col("f"), lit(1)).as("metric"),
         expr("try_cast(try_element_at(f, 3) AS LONG)").as("epoch"),
-        expr("try_cast(try_element_at(f, 2) AS DOUBLE)").as("value"))
-      .where(col("metric").isNotNull && col("epoch").isNotNull &&
-        col("value").isNotNull)
+        expr("try_cast(try_element_at(f, 2) AS DOUBLE)").as("value"),
+        size(col("f")).as("arity"))
+      .where(col("arity") === 3 &&
+        col("metric").isNotNull && length(col("metric")) > 0 &&
+        epochInRange(col("epoch")) && col("value").isNotNull)
       .select(col("metric"), timestamp_seconds(col("epoch")).as("ts"),
         col("value"))
 
   /** [[parseLines]] with a DEAD-LETTER channel: instead of silently
     * dropping malformed input, every line is tagged with the first parse
-    * failure (`bad_arity` / `bad_value` / `bad_epoch`), so a pipeline
-    * can fork `ok` into the rollup path and quarantine the rest for
-    * replay/alerting — the production upgrade over the daemon's tolerant
-    * drop (at 100 TB/day, "0.3% of lines silently vanished" must be
-    * observable). One map-side pass, same plan shape streaming or batch;
-    * split with two filters on `reason` (both prune map-side). */
+    * failure in field order (`bad_arity` / `bad_metric` / `bad_value` /
+    * `bad_epoch`), so a pipeline can fork `ok` into the rollup path and
+    * quarantine the rest for replay/alerting — the production upgrade
+    * over the daemon's tolerant drop (at 100 TB/day, "0.3% of lines
+    * silently vanished" must be observable). The `ok` fork accepts
+    * EXACTLY [[parseLines]]'s rows (spec'd). One map-side pass, same
+    * plan shape streaming or batch; split with two filters on `reason`
+    * (both prune map-side). `ts` is only materialized for in-range
+    * epochs — an absurd epoch quarantines, never throws. */
   def parseLinesQuarantine(lines: DataFrame): DataFrame =
     lines
       .select(col("value").as("raw"), split(col("value"), " ").as("f"))
@@ -70,12 +88,14 @@ object Ingest {
         expr("try_cast(try_element_at(f, 2) AS DOUBLE)").as("value"),
         size(col("f")).as("arity"))
       .select(col("raw"), col("metric"),
-        timestamp_seconds(col("epoch")).as("ts"), col("value"),
+        when(epochInRange(col("epoch")), timestamp_seconds(col("epoch")))
+          .as("ts"),
+        col("value"),
         when(col("arity") =!= 3, "bad_arity")
-          .when(col("value").isNull, "bad_value")
-          .when(col("epoch").isNull, "bad_epoch")
           .when(col("metric").isNull || length(col("metric")) === 0,
-            "bad_arity")
+            "bad_metric")
+          .when(col("value").isNull, "bad_value")
+          .when(!epochInRange(col("epoch")), "bad_epoch")
           .otherwise("ok").as("reason"))
 
   /** R14 (batched binary protocol, the pickle-receiver analog): one frame

@@ -544,33 +544,38 @@ object TimeSeriesOps {
       .orderBy("user_id")
   }
 
-  /** Ordered conversion FUNNEL (view → click → purchase, each stage
-    * strictly after the previous one's first hit): three conditional-min
-    * aggregations chained per user. Every stage re-aggregates on
-    * user_id, so the exchange is planned once and reused; output is one
-    * summary row. */
-  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Ordered conversion FUNNEL (view → click → purchase, each stage AT
+    * OR AFTER the previous one's first hit — a same-timestamp event
+    * converts): three conditional-min aggregations chained per user;
+    * output is one summary row. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelStages(spark, sfDir)._1
+
+  /** Builds the funnel and ALSO returns the pre-checkpoint stage plans:
+    * localCheckpoint (lazy — PlanSpec must stay execution-free) cuts
+    * each stage's lineage so t1/t2 are not recomputed by every consumer
+    * (six fact scans otherwise), but it hides the stage internals from
+    * plan assertions (the CLAUDE.md rule), so specs inspect these. */
+  private[graft] def funnelStages(spark: SparkSession,
+      sfDir: String): (DataFrame, Seq[DataFrame]) = {
     val e = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"))
-    // each stage's per-user min is REUSED by the next stage and the
-    // final join — materialize it (tiny: one row per converting user)
-    // or the plan recomputes t1 three times / t2 twice, i.e. six scans
-    // of the fact table instead of three
-    val t1 = e.where(col("event_type") === "view")
+    val t1Plan = e.where(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      .localCheckpoint()
-    val t2 = e.join(t1, "user_id")
+    val t1 = t1Plan.localCheckpoint(eager = false)
+    val t2Plan = e.join(t1, "user_id")
       .where(col("event_type") === "click" && col("ts") >= col("t_view"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-      .localCheckpoint()
+    val t2 = t2Plan.localCheckpoint(eager = false)
     val t3 = e.join(t2, "user_id")
       .where(col("event_type") === "purchase" && col("ts") >= col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    t1.join(t2, Seq("user_id"), "left")
+    val out = t1.join(t2, Seq("user_id"), "left")
       .join(t3, Seq("user_id"), "left")
       .agg(count(col("t_view")).as("n_view"),
         count(col("t_click")).as("n_click_after"),
         count(col("t_purchase")).as("n_purchase_after"))
+    (out, Seq(t1Plan, t2Plan, t3))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

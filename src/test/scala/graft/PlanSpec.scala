@@ -82,6 +82,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel stages: no cartesian product behind the lazy checkpoints") {
+    // localCheckpoint hides stage internals from the all-queries sweep
+    // (CLAUDE.md rule) — inspect the pre-checkpoint plans directly
+    graft.ts.TimeSeriesOps.funnelStages(spark, sf)._2.foreach { st =>
+      val p = st.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian in stage:\n$p")
+    }
+  }
+
   test("sessionize: both windows and the final agg share ONE shuffle") {
     val p = plan("q_sessionize")
     val n = "Exchange hashpartitioning".r.findAllIn(p).length

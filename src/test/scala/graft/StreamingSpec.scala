@@ -42,9 +42,11 @@ class StreamingSpec extends AnyFunSuite {
     import sp.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
     val in = MemoryStream[String]
-    in.addData("cpu.load 0.75 1700000000", "mem.used 1234 1700000060",
+    val inputs = Seq("cpu.load 0.75 1700000000", "mem.used 1234 1700000060",
       "garbage", "cpu.load NaNope 1700000120", "cpu.load 0.5 not_epoch",
-      "a b c d")
+      "a b c d", " 0.5 1700000000",
+      "cpu.load 1.0 9223372036854775807") // LONG-parseable, absurd epoch
+    in.addData(inputs)
     val tagged = Ingest.parseLinesQuarantine(in.toDF())
     val qOk = runToMemory(tagged.where(col("reason") === "ok")
       .select("metric", "ts", "value"), "quar_ok", OutputMode.Append())
@@ -61,13 +63,17 @@ class StreamingSpec extends AnyFunSuite {
       "garbage" -> "bad_arity",
       "cpu.load NaNope 1700000120" -> "bad_value",
       "cpu.load 0.5 not_epoch" -> "bad_epoch",
-      "a b c d" -> "bad_arity"))
-    // conservation: ok-fork == the tolerant parseLines output
-    val direct = Ingest.parseLines(
-      Seq("cpu.load 0.75 1700000000", "mem.used 1234 1700000060",
-        "garbage", "cpu.load NaNope 1700000120", "cpu.load 0.5 not_epoch",
-        "a b c d").toDF("value")).collect()
-    assert(direct.length == ok.length)
+      "a b c d" -> "bad_arity",
+      " 0.5 1700000000" -> "bad_metric",
+      // an in-LONG-range but absurd epoch must QUARANTINE, not throw
+      // (timestamp_seconds overflows Long micros with multiplyExact)
+      "cpu.load 1.0 9223372036854775807" -> "bad_epoch"))
+    // conservation: ok-fork rows == the tolerant parseLines rows (content,
+    // not just count)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1), r.getDouble(2))
+    val direct = Ingest.parseLines(inputs.toDF("value")).collect().map(key)
+    assert(direct.toSet == ok.map(key).toSet && direct.length == ok.length)
   }
 
   test("s_tumbling_agg + s_watermark_late: rollup updates, late row dropped") {
