@@ -377,7 +377,34 @@ object TextOps {
           col("nd3").cast("double") / col("n3").cast("double")).as("rep"))
       .orderBy("doc_id")
 
+  /** Benchmark DECONTAMINATION — the n-gram overlap rule (GPT-3 appendix
+    * C [U]: drop training docs sharing a 13-gram with any eval set; 5
+    * here for this corpus's short docs): the held-out set's distinct
+    * n-grams join against the training side's n-grams, flagging every
+    * training doc with an overlap and its shared-gram count. Shapes like
+    * exact dedup — explode → distinct benchmark grams (small: eval sets
+    * are thousands of docs) → one equi-join on the gram; never all-pairs
+    * document comparison. The doc_id<20 slice stands in for the eval
+    * set. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 5)," +
+          " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))"))
+        .as("g5"))
+    val benchGrams = grams.where(col("doc_id") < 20)
+      .select(col("g5")).distinct()
+    grams.where(col("doc_id") >= 20)
+      .join(benchGrams, "g5")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g5")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_decontaminate" -> decontaminate _,
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
     "q_llm_chunk" -> chunkDocs _,
@@ -395,6 +422,20 @@ object TextOps {
   import Det.r4Sql
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(generate_series(1, len(tk) - 4),
+        |               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g5
+        |      FROM t),
+        |b AS (SELECT DISTINCT g5 FROM g WHERE doc_id < 20)
+        |SELECT g.doc_id, CAST(count(DISTINCT g.g5) AS BIGINT) AS n_shared
+        |FROM g JOIN b USING (g5)
+        |WHERE g.doc_id >= 20
+        |GROUP BY 1
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q_llm_repetition" -> {
       val nd3 = "CAST(len(list_distinct(tg)) AS DOUBLE)"
       val n3 = "CAST(len(tg) AS DOUBLE)"
