@@ -78,6 +78,28 @@ class PickleSpec extends AnyFunSuite {
     assert(PickleCodec.decode(PickleCodec.encode(uni)) == uni)
   }
 
+  test("property: decode(encode(batch)) is identity for arbitrary batches") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val metricGen = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.oneOf("cpu.load", "mém.usé", "日本語.メトリック", "a.b.c.d.e"))
+    val pointGen = for {
+      m <- metricGen
+      ts <- Gen.oneOf(Gen.choose(-100L, 2200000000L),
+        Gen.choose(Long.MinValue, Long.MaxValue)) // force LONG1 paths too
+      v <- Gen.oneOf(Gen.choose(-1e18, 1e18),
+        Gen.oneOf(0.0, -0.0, Double.MaxValue, Double.MinPositiveValue))
+    } yield (m, ts, v)
+    val prop = forAll(Gen.listOfN(20, pointGen)) { pts =>
+      PickleCodec.decode(PickleCodec.encode(pts)) == pts
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),
+      prop)
+    assert(res.passed, s"roundtrip property failed: ${res.status}")
+  }
+
   test("malformed or unsupported pickles decode to empty (tolerant)") {
     assert(PickleCodec.decode(Array[Byte](1, 2, 3)) == Seq.empty)
     assert(PickleCodec.decode(Array.empty[Byte]) == Seq.empty)

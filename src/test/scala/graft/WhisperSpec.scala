@@ -140,6 +140,31 @@ class WhisperSpec extends AnyFunSuite {
     assert(WhisperImport.groupConsecutive(Iterator.empty[(Int, Int)]).isEmpty)
   }
 
+  test("property: groupConsecutive reassembles any key-sorted sequence") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val runsGen = Gen.listOf(for {
+      k <- Gen.choose(0, 8)
+      n <- Gen.choose(1, 5)
+      vs <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+    } yield (k, vs))
+    val prop = forAll(runsGen) { runs =>
+      // adjacent duplicate keys merge — compare against that normal form
+      val flat = runs.flatMap { case (k, vs) => vs.map(k -> _) }
+      val grouped = WhisperImport.groupConsecutive(flat.iterator).toList
+      val expected = flat.foldLeft(List.empty[(Int, List[Int])]) {
+        case ((k0, vs0) :: rest, (k, v)) if k0 == k =>
+          (k0, vs0 :+ v) :: rest
+        case (acc, (k, v)) => (k, List(v)) :: acc
+      }.reverse.map { case (k, vs) => (k, vs: Seq[Int]) }
+      grouped == expected
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),
+      prop)
+    assert(res.passed, s"groupConsecutive property failed: ${res.status}")
+  }
+
   test("nested layout: dotted metrics nest on disk, leaf names stay distinct") {
     val spark = TestSpark.spark
     val outDir = Files.createTempDirectory("wsp_nested").toFile
