@@ -34,10 +34,16 @@ object AnnIndex {
   final case class Index(cells: DataFrame, lists: DataFrame)
 
   private val registry = TrieMap.empty[String, Index]
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]
 
   /** Deterministic sample bound for quantizer training (see class doc). */
   private val SampleCap = 4096
   private val LloydIters = 5
+
+  /** Cached indexes are bounded: each holds a localCheckpointed lists
+    * table on executor storage, so an unbounded registry would pin block
+    * storage for every corpus ever probed. Oldest-inserted evicts. */
+  private val MaxCached = 8
 
   /** Build the index for a corpus once per session; subsequent calls are
     * a map lookup. Keyed by (Spark app, corpus, k, replicas) so a fresh
@@ -45,11 +51,17 @@ object AnnIndex {
   def buildOrGet(spark: SparkSession, sfDir: String, k: Int,
       replicas: Int): Index = {
     val key = s"${spark.sparkContext.applicationId}|$sfDir|k=$k|r=$replicas"
-    registry.getOrElseUpdate(key, build(spark, sfDir, k, replicas))
+    registry.getOrElseUpdate(key, {
+      order.add(key)
+      while (registry.size >= MaxCached) {
+        Option(order.poll()).foreach(registry.remove)
+      }
+      build(spark, sfDir, k, replicas)
+    })
   }
 
   /** For specs: drop every cached index. */
-  private[graft] def clear(): Unit = registry.clear()
+  private[graft] def clear(): Unit = { registry.clear(); order.clear() }
 
   private[llm] def build(spark: SparkSession, sfDir: String, k: Int,
       replicas: Int): Index = {

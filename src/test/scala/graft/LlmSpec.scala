@@ -228,6 +228,26 @@ class LlmSpec extends AnyFunSuite {
     assert(hits >= 8, s"recall@3 too low: $hits/15")
   }
 
+  test("IVF tradeoff: recall is monotone in nprobe; full probe is exact") {
+    import graft.llm.AnnIndex
+    val sf01 = "/root/testdata/sf0.01"
+    val idx = AnnIndex.buildOrGet(spark, sf01, 10, 2)
+    val q = graft.io.Tables.embeddings(spark, sf01)
+      .where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val brute = VectorOps.cosineTopk(spark, sf01).collect()
+      .map(_.getLong(0)).toSet
+    // probing more cells only GROWS the candidate set, so recall@5 is
+    // exactly non-decreasing; probing every cell IS the brute force
+    val recalls = Seq(1, 4, 7, 10).map { np =>
+      AnnIndex.probe(idx, q, np, 5, excludeVecId = Some(0L)).collect()
+        .map(_.getLong(0)).count(brute.contains) / 5.0
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls.last == 1.0,
+      s"nprobe = k must reproduce brute force exactly: $recalls")
+  }
+
   test("streaming ANN probe: micro-batches equal the batch knn join") {
     import graft.llm.AnnIndex
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
