@@ -32,12 +32,17 @@ object Bench {
         graft.io.Tables.embeddings(spark, warmSf).count()
         graft.io.Tables.lineitem(spark, warmSf).count()
       } else {
-        graft.io.Tables.events(spark, sfDir).schema
-        graft.io.Tables.documents(spark, sfDir).schema
+        // no tiny sibling: a 1-row read per family still loads the
+        // vectorized reader/decoder classes with negligible data pages
+        graft.io.Tables.events(spark, sfDir).limit(1).count()
+        graft.io.Tables.documents(spark, sfDir).limit(1).count()
+        graft.io.Tables.embeddings(spark, sfDir).limit(1).count()
+        graft.io.Tables.lineitem(spark, sfDir).limit(1).count()
       }
-    } catch { // warmup must never fail the bench
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    } catch { // warmup must NEVER fail the bench (even fatal errors:
+      // the timed run + final summary line matter more than warmup)
+      case t: Throwable =>
+        System.err.println(s"[bench] warmup skipped: ${t.getMessage}")
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

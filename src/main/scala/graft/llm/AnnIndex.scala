@@ -41,23 +41,33 @@ object AnnIndex {
   private val LloydIters = 5
 
   /** Cached indexes are bounded: each holds a localCheckpointed lists
-    * table on executor storage, so an unbounded registry would pin block
-    * storage for every corpus ever probed. Oldest-inserted evicts. */
+    * table on executor storage, so an unbounded registry would retain a
+    * reference for every corpus ever probed. Oldest-inserted evicts —
+    * eviction drops the REFERENCE only (callers may still hold the
+    * evicted Index, so no eager unpersist); the checkpoint blocks are
+    * reclaimed by the ContextCleaner once unreachable. */
   private val MaxCached = 8
 
   /** Build the index for a corpus once per session; subsequent calls are
     * a map lookup. Keyed by (Spark app, corpus, k, replicas) so a fresh
-    * session never sees another session's cached plans. */
+    * session never sees another session's cached plans. Synchronized:
+    * builds are rare and heavyweight, and serializing them keeps
+    * `order` exactly in step with the registry (a failed build must not
+    * leave a stale queue entry that would later evict a live index). */
   def buildOrGet(spark: SparkSession, sfDir: String, k: Int,
-      replicas: Int): Index = {
+      replicas: Int): Index = synchronized {
     val key = s"${spark.sparkContext.applicationId}|$sfDir|k=$k|r=$replicas"
-    registry.getOrElseUpdate(key, {
-      order.add(key)
-      while (registry.size >= MaxCached) {
-        Option(order.poll()).foreach(registry.remove)
-      }
-      build(spark, sfDir, k, replicas)
-    })
+    registry.get(key) match {
+      case Some(idx) => idx
+      case None =>
+        val idx = build(spark, sfDir, k, replicas)
+        registry.put(key, idx)
+        order.add(key)
+        while (registry.size > MaxCached) {
+          Option(order.poll()).foreach(registry.remove)
+        }
+        idx
+    }
   }
 
   /** For specs: drop every cached index. */

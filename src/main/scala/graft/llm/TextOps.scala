@@ -356,6 +356,16 @@ object TextOps {
           .as("chunk"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Word n-gram array over a PRE-projected token-array column (never
+    * split inside the lambda — the CSE gotcha): shared by the
+    * repetition and decontamination queries. Caller guarantees
+    * size(arr) >= n (sequence would otherwise descend). */
+  private def ngramExpr(arr: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"$arr[i]" else s"$arr[i+$j]").mkString(", ")
+    s"transform(sequence(0, size($arr) - $n), i -> concat_ws(' ', $parts))"
+  }
+
   /** Duplicate-trigram fraction per document — the repetition quality
     * signal (Rae et al., "Scaling Language Models" / Gopher rules [U]:
     * heavily repetitive docs are low-quality training data). Trigrams
@@ -366,9 +376,7 @@ object TextOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        expr("transform(sequence(0, size(toks) - 3)," +
-          " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))").as("tg"))
+      .select(col("doc_id"), expr(ngramExpr("toks", 3)).as("tg"))
       .select(col("doc_id"),
         size(col("tg")).cast("bigint").as("n3"),
         size(array_distinct(col("tg"))).cast("bigint").as("nd3"))
@@ -390,10 +398,7 @@ object TextOps {
     val grams = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .where(size(col("tk")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(tk) - 5)," +
-          " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))"))
-        .as("g5"))
+      .select(col("doc_id"), explode(expr(ngramExpr("tk", 5))).as("g5"))
     val benchGrams = grams.where(col("doc_id") < 20)
       .select(col("g5")).distinct()
     grams.where(col("doc_id") >= 20)

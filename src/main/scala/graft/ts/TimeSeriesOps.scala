@@ -552,10 +552,14 @@ object TimeSeriesOps {
     funnelStages(spark, sfDir)._1
 
   /** Builds the funnel and ALSO returns the pre-checkpoint stage plans:
-    * localCheckpoint (lazy — PlanSpec must stay execution-free) cuts
-    * each stage's lineage so t1/t2 are not recomputed by every consumer
-    * (six fact scans otherwise), but it hides the stage internals from
-    * plan assertions (the CLAUDE.md rule), so specs inspect these. */
+    * localCheckpoint cuts each stage's lineage so t1/t2 are not
+    * recomputed by every consumer (six fact scans otherwise). eager =
+    * false skips the checkpoint's own count job, but NOTE: under AQE,
+    * toRdd at construction still materializes the stage shuffles — so
+    * building this query runs (small) jobs; PlanSpec accepts that for
+    * this one query. The checkpoint also hides the stage internals from
+    * plan assertions (the CLAUDE.md rule), so specs inspect the
+    * returned pre-checkpoint plans. */
   private[graft] def funnelStages(spark: SparkSession,
       sfDir: String): (DataFrame, Seq[DataFrame]) = {
     val e = Tables.events(spark, sfDir)

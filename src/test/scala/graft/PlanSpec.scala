@@ -3,8 +3,10 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan properties — the 100 TB posture checked mechanically.
-  * These run analysis/planning only (no execution), so covering every
-  * declared query is cheap. */
+  * These run analysis/planning only (no execution; exception: q_funnel's
+  * lazy stage checkpoints still materialize their shuffles under AQE at
+  * construction — small, accepted), so covering every declared query is
+  * cheap. */
 class PlanSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private def sf = TestSpark.sf
