@@ -178,62 +178,178 @@ object RollupRouteRule extends Rule[LogicalPlan] {
 
     // ---- filter classification -----------------------------------------
     // metric-only predicates push through unchanged (the rollup preserves
-    // metric exactly); ts-range predicates whose bound lands on an hour
-    // boundary are EXACTLY representable against the rollup's bucket
-    // column, because bucket B covers the raw half-open range [B, B+1h):
-    //   ts >= L (L aligned)  ⟺  bucket >= L   (bucket-complete)
-    //   ts <  U (U aligned)  ⟺  bucket <  U   (bucket-complete)
-    // while `ts > L` / `ts <= U` split a bucket and abort, as does any
-    // non-aligned bound (a raw-scan fringe union would be needed).
-    // This holds for coarser grains too: the filter selects raw rows, the
-    // rewrite selects exactly the hour buckets covering them, and the
-    // coarse re-aggregation groups the same rows either way.
-    // Alignment is checked by evaluating the SAME hour truncation the
-    // rollup uses (session timezone and all): L is usable iff it is a
-    // fixed point of date_trunc('hour', ·). A raw micros % 3600e6 test
-    // would wrongly accept UTC-aligned bounds that sit mid-bucket in a
-    // fractional-offset session timezone (+05:30).
-    def alignedTs(l: Literal): Boolean =
-      l.dataType == TimestampType && l.value != null && {
-        val asTrunc = TruncTimestamp(
-          Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
-          l, trunc.get.timeZoneId)
-        asTrunc.eval(null) == l.value
-      }
-    def tsRange(e: Expression): Option[Expression] = e match {
-      case GreaterThanOrEqual(t, l: Literal)
-          if scanAttr(t, "ts") && alignedTs(l) =>
-        Some(GreaterThanOrEqual(bucketOut.get, l))
-      case LessThanOrEqual(l: Literal, t)
-          if scanAttr(t, "ts") && alignedTs(l) =>
-        Some(GreaterThanOrEqual(bucketOut.get, l))
-      case LessThan(t, l: Literal) if scanAttr(t, "ts") && alignedTs(l) =>
-        Some(LessThan(bucketOut.get, l))
-      case GreaterThan(l: Literal, t) if scanAttr(t, "ts") && alignedTs(l) =>
-        Some(LessThan(bucketOut.get, l))
-      // null ts rows land in the rollup's null bucket (date_trunc(null)),
-      // so the optimizer-injected null guard maps exactly
-      case IsNotNull(t) if scanAttr(t, "ts") =>
-        Some(IsNotNull(bucketOut.get))
-      case _ => None
+    // metric exactly). ts-range predicates decompose against the bucket
+    // grid: bucket B covers the raw half-open range [B, B+1h), so for
+    // bounds `ts >= L` / `ts < U` the region splits into
+    //   INTERIOR — complete buckets [ceil(L), floor(U)), served by the
+    //   rollup exactly, and
+    //   FRINGE — the partial-bucket slivers [L, ceil(L)) ∪ [floor(U), U),
+    //   which only the raw scan can serve.
+    // Aligned bounds have empty fringes and keep the pure-rollup rewrite;
+    // non-aligned bounds (every "last 24h from now" dashboard query)
+    // rewrite to a UNION of rollup partials and singleton raw partials,
+    // re-aggregated — see below. `ts > L` / `ts <= U` still abort (rare
+    // from APIs; the fringe membership test would differ). floor/ceil use
+    // the SAME hour truncation the rollup uses (session timezone and
+    // all, by evaluating TruncTimestamp — a raw micros % 3600e6 test
+    // would mis-bucket fractional-offset timezones like +05:30).
+    val HourMicros = 3600L * 1000000L
+    def hourFloor(micros: Long): Option[Long] = {
+      val t = TruncTimestamp(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
+        Literal(micros, TimestampType), trunc.get.timeZoneId)
+      Option(t.eval(null)).map(_.asInstanceOf[Long])
     }
     def metricOnly(e: Expression): Boolean = {
       val refs = e.references.toSeq
       refs.nonEmpty && refs.forall(a => scanAttr(a, "metric"))
     }
-    val classified: Seq[Option[Expression]] = filters.map { f =>
-      if (metricOnly(f))
-        // re-anchor onto the rollup's metric column
-        Some(f.transform {
-          case a: AttributeReference if scanAttr(a, "metric") => metricOut.get
-        })
-      else tsRange(f)
-    }
-    if (classified.exists(_.isEmpty)) return None // unsupported predicate
+    def tsLit(l: Literal): Option[Long] =
+      if (l.dataType == TimestampType && l.value != null)
+        Some(l.value.asInstanceOf[Long])
+      else None
 
+    val metricFs = Seq.newBuilder[Expression]
+    var lowers = List.empty[Long] // ts >= L, micros
+    var uppers = List.empty[Long] // ts < U, micros
+    var nullGuard = false
+    var unsupported = false
+    filters.foreach { f =>
+      if (metricOnly(f)) metricFs += f
+      else f match {
+        case GreaterThanOrEqual(t, l: Literal)
+            if scanAttr(t, "ts") && tsLit(l).isDefined =>
+          lowers ::= tsLit(l).get
+        case LessThanOrEqual(l: Literal, t)
+            if scanAttr(t, "ts") && tsLit(l).isDefined =>
+          lowers ::= tsLit(l).get
+        case LessThan(t, l: Literal)
+            if scanAttr(t, "ts") && tsLit(l).isDefined =>
+          uppers ::= tsLit(l).get
+        case GreaterThan(l: Literal, t)
+            if scanAttr(t, "ts") && tsLit(l).isDefined =>
+          uppers ::= tsLit(l).get
+        // null ts rows land in the rollup's null bucket
+        // (date_trunc(null)), so the optimizer-injected guard maps
+        case IsNotNull(t) if scanAttr(t, "ts") => nullGuard = true
+        case _ => unsupported = true
+      }
+    }
+    if (unsupported) return None
+    // conjunction ⇒ the binding bounds are the max lower / min upper
+    val lo: Option[Long] = if (lowers.isEmpty) None else Some(lowers.max)
+    val up: Option[Long] = if (uppers.isEmpty) None else Some(uppers.min)
+    val loFloor = lo.map(hourFloor); val upFloor = up.map(hourFloor)
+    if (loFloor.exists(_.isEmpty) || upFloor.exists(_.isEmpty)) return None
+    // first complete bucket at/after L; abort if the +1h step does not
+    // land on a bucket start (sub-hour DST shifts)
+    val loCeil: Option[Long] = (lo, loFloor.flatten) match {
+      case (Some(l), Some(fl)) if l == fl => Some(l)
+      case (Some(_), Some(fl)) =>
+        val c = fl + HourMicros
+        if (hourFloor(c).contains(c)) Some(c) else return None
+      case _ => None
+    }
+    val fringeLo = (lo, loCeil) match {
+      case (Some(l), Some(c)) if l != c => Some((l, c)) // [L, ceil(L))
+      case _ => None
+    }
+    val fringeUp = (up, upFloor.flatten) match {
+      case (Some(u), Some(fu)) if u != fu => Some((fu, u)) // [floor(U), U)
+      case _ => None
+    }
+
+    def anchorMetric(target: Attribute): Seq[Expression] =
+      metricFs.result().map(_.transform {
+        case a: AttributeReference if scanAttr(a, "metric") => target
+      })
+    def mkTs(m: Long): Literal = Literal(m, TimestampType)
+
+    // interior rollup slice: complete buckets only
+    val interiorPreds: Seq[Expression] = anchorMetric(metricOut.get) ++
+      loCeil.map(c => GreaterThanOrEqual(bucketOut.get, mkTs(c))) ++
+      upFloor.flatten.map(f => LessThan(bucketOut.get, mkTs(f))) ++
+      (if (nullGuard) Seq(IsNotNull(bucketOut.get)) else Nil)
     val base =
-      if (classified.isEmpty) rollup
-      else Filter(classified.flatten.reduce(And), rollup)
+      if (interiorPreds.isEmpty) rollup
+      else Filter(interiorPreds.reduce(And), rollup)
+
+    def aggOf(fn: AggregateFunction): Expression = fn.toAggregateExpression()
+
+    if (fringeLo.isDefined || fringeUp.isDefined) {
+      // ---- interior ∪ fringe rewrite ---------------------------------
+      // Both sides emit the same decomposable-partial shape
+      // (metric, bucket, sum_c, n_c, min_c, max_c): the rollup row IS a
+      // bucket partial; each fringe raw row becomes a singleton partial
+      // (value, 1, value, value) under its hour bucket. One final
+      // aggregate recombines them — exact for min/max/count, and the
+      // same float tolerance class as the aligned rewrite for sum/avg.
+      // At 100 TB the fringe is ≤ 2 bucket-widths of raw rows (with the
+      // ts bounds pushed into the scan) while the interior stays a
+      // rollup read — the dominant cost collapses exactly as in the
+      // aligned case.
+      val rawMetric = relation.output.find(_.name == "metric")
+      val rawTs = relation.output.find(_.name == "ts")
+      val rawValue = relation.output.find(_.name == "value")
+      if (Seq(rawMetric, rawTs, rawValue).exists(_.isEmpty)) return None
+      val (rm, rt, rv) = (rawMetric.get, rawTs.get, rawValue.get)
+      val windows: Seq[Expression] =
+        fringeLo.toSeq.map { case (l, c) =>
+          And(GreaterThanOrEqual(rt, mkTs(l)), LessThan(rt, mkTs(c)))
+        } ++
+        fringeUp.toSeq.map { case (f, u) =>
+          And(GreaterThanOrEqual(rt, mkTs(f)), LessThan(rt, mkTs(u)))
+        }
+      // windows are disjoint slivers inside the query region, so the
+      // full original ts bounds are implied by window membership
+      val fringePred = (anchorMetric(rm) :+ windows.reduce(Or)).reduce(And)
+      val hourOfTs = TruncTimestamp(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
+        rt, trunc.get.timeZoneId)
+      val interiorProj = Project(Seq(
+        Alias(metricOut.get, "metric")(),
+        Alias(bucketOut.get, "bucket")(),
+        Alias(Cast(sumOut.get, DoubleType), "sum_c")(),
+        Alias(Cast(nOut.get, org.apache.spark.sql.types.LongType), "n_c")(),
+        Alias(Cast(minOut.get, DoubleType), "min_c")(),
+        Alias(Cast(maxOut.get, DoubleType), "max_c")()), base)
+      val fringeProj = Project(Seq(
+        Alias(rm, "metric")(),
+        Alias(hourOfTs, "bucket")(),
+        Alias(Cast(rv, DoubleType), "sum_c")(),
+        Alias(Literal(1L), "n_c")(),
+        Alias(Cast(rv, DoubleType), "min_c")(),
+        Alias(Cast(rv, DoubleType), "max_c")()),
+        Filter(fringePred, relation))
+      val union = Union(Seq(interiorProj, fringeProj))
+      val Seq(mU, bU, sU, nU, mnU, mxU) = union.output
+      val bucketGroup: Expression =
+        if (grain == "hour") bU else trunc.get.copy(timestamp = bU)
+      val results: Seq[Option[NamedExpression]] = aggExprs.map {
+        case ne if isMetric(ne) =>
+          Some(Alias(mU, ne.name)(exprId = ne.exprId))
+        case ne if isHourTrunc(ne) =>
+          Some(Alias(bucketGroup, ne.name)(exprId = ne.exprId))
+        case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+          val repl: Option[Expression] = fn match {
+            case Average(v, _) if overValue(v) =>
+              Some(Divide(Cast(aggOf(Sum(sU)), DoubleType),
+                Cast(aggOf(Sum(nU)), DoubleType)))
+            case Sum(v, _) if overValue(v) =>
+              Some(Cast(aggOf(Sum(sU)), DoubleType))
+            case Min(v) if overValue(v) => Some(aggOf(Min(mnU)))
+            case Max(v) if overValue(v) => Some(aggOf(Max(mxU)))
+            case Count(Seq(Literal(_, _))) =>
+              Some(Cast(aggOf(Sum(nU)),
+                org.apache.spark.sql.types.LongType))
+            case _ => None
+          }
+          repl.map(e => Alias(e, name)(exprId = ne.exprId))
+        case _ => None
+      }
+      return if (results.exists(_.isEmpty)) None
+      else Some(Aggregate(Seq(mU, bucketGroup), results.flatten, union, None))
+    }
 
     if (grain == "hour") {
       // same grain: pure column remapping over the stored archive

@@ -126,21 +126,73 @@ class RollupRouteSpec extends AnyFunSuite {
         assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
       }
 
-      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
-      // a NON-ALIGNED ts bound must NOT route (a bucket would be split)
-      val nonAligned = sp.read.parquet(rawPath)
-        .where(col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'"))
+      // NON-ALIGNED bounds (every "last 24h from now" dashboard) route
+      // via interior-rollup ∪ raw-fringe: complete buckets read the
+      // rollup, only the partial-bucket slivers scan raw
+      def unionCase(qf: () => DataFrame, desc: String): Unit = {
+        RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+        val routed = qf().orderBy("metric", "bucket")
+        val rPlan = routed.queryExecution.executedPlan.toString
+        assert(rPlan.contains("rollup_1h") && rPlan.contains("/points") &&
+          rPlan.contains("Union"),
+          s"$desc should plan interior ∪ fringe:\n$rPlan")
+        val got = routed.collect()
+        RollupCatalog.clear()
+        val expect = qf().orderBy("metric", "bucket").collect()
+        assert(got.length == expect.length && got.nonEmpty, desc)
+        got.zip(expect).foreach { case (g, e) =>
+          assert(g.getString(0) == e.getString(0) &&
+            g.getTimestamp(1) == e.getTimestamp(1), desc)
+          assert(g.getLong(2) == e.getLong(2), s"$desc count")
+          assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9,
+            s"$desc avg")
+          assert(g.getDouble(4) == e.getDouble(4) &&
+            g.getDouble(5) == e.getDouble(5), s"$desc min/max")
+        }
+      }
+      def hourlyStats(df: DataFrame) = df
         .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      unionCase(() => hourlyStats(sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'"))),
+        "non-aligned lower")
+      unionCase(() => hourlyStats(sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'") &&
+          col("ts") < expr("TIMESTAMP '2024-01-20 17:45:00'"))),
+        "both bounds non-aligned")
+      unionCase(() => hourlyStats(sp.read.parquet(rawPath)
+        .where(col("metric") === "click" &&
+          col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'"))),
+        "non-aligned + metric filter")
+      // DAILY grain over a non-aligned window re-aggregates the union
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val dailyNA = sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-08 06:30:00'"))
+        .groupBy(col("metric"), date_trunc("day", col("ts")).as("bucket"))
         .agg(count(lit(1)).as("n"))
-      assert(nonAligned.queryExecution.executedPlan.toString
-        .contains("/points"))
-      // `ts <= aligned` splits the boundary bucket → no route either
+      val dnaPlan = dailyNA.queryExecution.executedPlan.toString
+      assert(dnaPlan.contains("rollup_1h"),
+        s"daily non-aligned should use the rollup interior:\n$dnaPlan")
+      val dnaGot = dailyNA.orderBy("metric", "bucket").collect()
+      RollupCatalog.clear()
+      val dnaExpect = sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-08 06:30:00'"))
+        .groupBy(col("metric"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("metric", "bucket").collect()
+      assert(dnaGot.map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+        .toSeq == dnaExpect.map(r =>
+          (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSeq)
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      // `ts <= aligned` still aborts (closed upper splits the boundary
+      // bucket and the fringe membership test differs) — raw scan only
       val closedUpper = sp.read.parquet(rawPath)
         .where(col("ts") <= expr(s"TIMESTAMP '$hi'"))
         .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
         .agg(count(lit(1)).as("n"))
-      assert(closedUpper.queryExecution.executedPlan.toString
-        .contains("/points"))
+      val cuPlan = closedUpper.queryExecution.executedPlan.toString
+      assert(cuPlan.contains("/points") && !cuPlan.contains("rollup_1h"))
       // a NARROWING cast changes per-row values before aggregation —
       // sum(CAST(value AS INT)) must keep the raw scan (only a no-op
       // cast to DOUBLE is transparent)
