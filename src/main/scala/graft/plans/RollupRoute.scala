@@ -300,9 +300,15 @@ object RollupRouteRule extends Rule[LogicalPlan] {
         fringeUp.toSeq.map { case (f, u) =>
           And(GreaterThanOrEqual(rt, mkTs(f)), LessThan(rt, mkTs(u)))
         }
-      // windows are disjoint slivers inside the query region, so the
-      // full original ts bounds are implied by window membership
-      val fringePred = (anchorMetric(rm) :+ windows.reduce(Or)).reduce(And)
+      // The original ts bounds must stay conjoined: when both bounds
+      // fall inside ONE bucket (ceil(L) > floor(U)) or the region is
+      // empty (L >= U), the windows extend beyond the query region and
+      // window membership alone would ADMIT rows the raw plan excludes.
+      val bounds: Seq[Expression] =
+        lo.map(l => GreaterThanOrEqual(rt, mkTs(l))).toSeq ++
+          up.map(u => LessThan(rt, mkTs(u)))
+      val fringePred =
+        (anchorMetric(rm) ++ bounds :+ windows.reduce(Or)).reduce(And)
       val hourOfTs = TruncTimestamp(
         Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
         rt, trunc.get.timeZoneId)

@@ -165,6 +165,32 @@ class RollupRouteSpec extends AnyFunSuite {
         .where(col("metric") === "click" &&
           col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'"))),
         "non-aligned + metric filter")
+      // DEGENERATE windows: both bounds inside ONE bucket — the fringe
+      // must honor the original bounds, not just window membership
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val sameBucket = hourlyStats(sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-10 05:10:00'") &&
+          col("ts") < expr("TIMESTAMP '2024-01-10 05:40:00'")))
+        .orderBy("metric", "bucket")
+      val sbGot = sameBucket.collect()
+      RollupCatalog.clear()
+      val sbExpect = hourlyStats(sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-10 05:10:00'") &&
+          col("ts") < expr("TIMESTAMP '2024-01-10 05:40:00'")))
+        .orderBy("metric", "bucket").collect()
+      assert(sbGot.length == sbExpect.length,
+        s"same-bucket window: ${sbGot.length} vs ${sbExpect.length}")
+      sbGot.zip(sbExpect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getLong(2) == e.getLong(2), "same-bucket counts")
+      }
+      // EMPTY region (L >= U) must yield zero rows, not fringe garbage
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val empty = hourlyStats(sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-12 10:30:00'") &&
+          col("ts") < expr("TIMESTAMP '2024-01-12 09:15:00'")))
+      assert(empty.collect().isEmpty, "empty window must return no rows")
+      RollupCatalog.clear()
       // DAILY grain over a non-aligned window re-aggregates the union
       RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
       val dailyNA = sp.read.parquet(rawPath)
