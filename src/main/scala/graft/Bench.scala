@@ -13,10 +13,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/session warmup so the first timed query isn't
     // charged ~5s of one-time cost (it isn't query work): an in-memory
-    // agg for the codegen/exchange classes, plus one TINY (sf0.001)
-    // read per table family for the parquet reader/vectorized-decoder
-    // paths — measured ~2.5s of class-loading otherwise billed to
-    // whichever query the Map ordering puts first
+    // agg for the codegen/exchange classes, plus a tiny read per table
+    // family (sibling sf0.001 if present, else 1-row reads of the bench
+    // dir) for the parquet reader/vectorized-decoder paths — measured
+    // ~2.5s of class-loading otherwise billed to whichever query the
+    // Map ordering puts first
     import org.apache.spark.sql.functions.{count => cnt, sum}
     spark.range(100000).agg(sum("id"), cnt("id")).collect()
     // prefer the tiny sibling SF (class warmup without touching the
@@ -39,10 +40,17 @@ object Bench {
         graft.io.Tables.embeddings(spark, sfDir).limit(1).count()
         graft.io.Tables.lineitem(spark, sfDir).limit(1).count()
       }
-    } catch { // warmup must NEVER fail the bench (even fatal errors:
-      // the timed run + final summary line matter more than warmup)
-      case t: Throwable =>
-        System.err.println(s"[bench] warmup skipped: ${t.getMessage}")
+    } catch {
+      // warmup failure must not fail the bench; class-loading hiccups
+      // (LinkageError) recover lazily later, interrupts are preserved,
+      // and true VM death (OOM) propagates — the run is doomed anyway
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        System.err.println(s"[bench] warmup interrupted")
+      case e: LinkageError =>
+        System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -282,8 +282,11 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       // (metric, bucket, sum_c, n_c, min_c, max_c): the rollup row IS a
       // bucket partial; each fringe raw row becomes a singleton partial
       // (value, 1, value, value) under its hour bucket. One final
-      // aggregate recombines them — exact for min/max/count, and the
-      // same float tolerance class as the aligned rewrite for sum/avg.
+      // aggregate recombines them — exact for min/max/count, and
+      // sum/avg recombine as EXACT DECIMAL (the registered-rollup
+      // contract: values are ≤4-decimal, sum_v accumulates
+      // DECIMAL(18,4) per-row casts), so the routed result is
+      // partition-order independent like the aligned paths.
       // At 100 TB the fringe is ≤ 2 bucket-widths of raw rows (with the
       // ts bounds pushed into the scan) while the interior stays a
       // rollup read — the dominant cost collapses exactly as in the
@@ -312,17 +315,18 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       val hourOfTs = TruncTimestamp(
         Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
         rt, trunc.get.timeZoneId)
+      val sumDec = org.apache.spark.sql.types.DecimalType(28, 4)
       val interiorProj = Project(Seq(
         Alias(metricOut.get, "metric")(),
         Alias(bucketOut.get, "bucket")(),
-        Alias(Cast(sumOut.get, DoubleType), "sum_c")(),
+        Alias(Cast(sumOut.get, sumDec), "sum_c")(),
         Alias(Cast(nOut.get, org.apache.spark.sql.types.LongType), "n_c")(),
         Alias(Cast(minOut.get, DoubleType), "min_c")(),
         Alias(Cast(maxOut.get, DoubleType), "max_c")()), base)
       val fringeProj = Project(Seq(
         Alias(rm, "metric")(),
         Alias(hourOfTs, "bucket")(),
-        Alias(Cast(rv, DoubleType), "sum_c")(),
+        Alias(Cast(rv, sumDec), "sum_c")(),
         Alias(Literal(1L), "n_c")(),
         Alias(Cast(rv, DoubleType), "min_c")(),
         Alias(Cast(rv, DoubleType), "max_c")()),
@@ -386,8 +390,6 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       // rollup stores decimal partial sums and counts (avg-of-raw ==
       // sum(sum_v)/sum(n), never avg-of-avgs)
       val coarseBucket = trunc.get.copy(timestamp = bucketOut.get)
-      def aggOf(fn: AggregateFunction): Expression =
-        fn.toAggregateExpression()
       val results: Seq[Option[NamedExpression]] = aggExprs.map {
         case ne if isMetric(ne) =>
           Some(Alias(metricOut.get, ne.name)(exprId = ne.exprId))
