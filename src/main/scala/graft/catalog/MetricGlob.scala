@@ -106,6 +106,34 @@ object MetricGlob {
       split(metric, "\\."), org.apache.spark.sql.functions.lit(idx))
   }
 
+  /** graphite-web `/metrics/find` (the KenshinFinder browse endpoint —
+    * what powers dashboard autocomplete): resolve a glob ONE NODE LEVEL
+    * deep — `find("app.*")` lists the distinct second-level nodes under
+    * `app`, each flagged leaf (an exact metric ends here) and/or branch
+    * (deeper metrics exist). Pure aggregation over the distinct metric
+    * names: per-node regex match, prefix projection, one groupBy —
+    * at production the input is the (tiny) metric-name dimension, never
+    * the points table. */
+  def findNodes(metrics: org.apache.spark.sql.DataFrame,
+      glob: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nodeGlobs = glob.split('.')
+    val n = nodeGlobs.length
+    val parts = split(col("metric"), "\\.")
+    val pred = nodeGlobs.zipWithIndex.map { case (g, i) =>
+      try_element_at(parts, lit(i + 1)).rlike(toRegex(g))
+    }.reduce(_ && _)
+    metrics
+      .where(size(parts) >= n && pred)
+      .select(concat_ws(".", slice(parts, 1, n)).as("node"),
+        when(size(parts) === n, 1).otherwise(0).as("leaf_i"),
+        when(size(parts) > n, 1).otherwise(0).as("branch_i"))
+      .groupBy(col("node"))
+      .agg((max(col("leaf_i")) === 1).as("is_leaf"),
+        (max(col("branch_i")) === 1).as("is_branch"))
+      .orderBy("node")
+  }
+
   /** Predicate form: metric column matches the glob (Spark `rlike` is a
     * substring match, hence the explicit anchors in [[toRegex]]).
     *

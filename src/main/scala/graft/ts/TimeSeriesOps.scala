@@ -582,7 +582,22 @@ object TimeSeriesOps {
     (out, Seq(t1Plan, t2Plan, t3))
   }
 
+  /** `/metrics/find` over the dotted namespace (the KenshinFinder
+    * browse/autocomplete read, [[graft.catalog.MetricGlob.findNodes]]):
+    * glob `app.*` expands one node level against the distinct metric
+    * names — leaf metrics under 2 nodes, branches above. The namespace
+    * is constructed as in [[groupByNode]] (events metrics are flat). */
+  def findMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val metrics = Tables.events(spark, sfDir)
+      .select(concat_ws(".", lit("app"), col("event_type"),
+        concat(lit("host"), pmod(col("user_id"), lit(3)).cast("string")))
+        .as("metric"))
+      .distinct()
+    graft.catalog.MetricGlob.findNodes(metrics, "app.*")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_find_metrics" -> findMetrics _,
     "q_sessionize" -> sessionize _,
     "q_funnel" -> funnel _,
     "q_ts_dashboard" -> dashboard _,
@@ -827,6 +842,24 @@ object TimeSeriesOps {
         |FROM h
         |ORDER BY bucket NULLS FIRST""".stripMargin
     },
+    "q_ts_find_metrics" ->
+      """WITH m AS (
+        |  SELECT DISTINCT 'app.' || event_type || '.host' || CAST(user_id % 3 AS VARCHAR) AS metric
+        |  FROM events),
+        |s AS (
+        |  SELECT metric, string_split(metric, '.') AS parts FROM m),
+        |f AS (
+        |  SELECT parts[1] || '.' || parts[2] AS node,
+        |         CASE WHEN len(parts) = 2 THEN 1 ELSE 0 END AS leaf_i,
+        |         CASE WHEN len(parts) > 2 THEN 1 ELSE 0 END AS branch_i
+        |  FROM s
+        |  WHERE len(parts) >= 2
+        |    AND regexp_full_match(parts[1], 'app')
+        |    AND regexp_full_match(parts[2], '[^.]*'))
+        |SELECT node, max(leaf_i) = 1 AS is_leaf,
+        |       max(branch_i) = 1 AS is_branch
+        |FROM f GROUP BY 1
+        |ORDER BY node NULLS FIRST""".stripMargin,
     "q_sessionize" -> {
       s"""WITH g AS (
         |  SELECT user_id, ts, event_id,

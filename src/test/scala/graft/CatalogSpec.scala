@@ -179,6 +179,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(m("a[&]b", "a&b"))
   }
 
+  test("findNodes: one-level glob expansion with leaf/branch flags") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ms = Seq("a.b", "a.b.c", "a.b.d", "a.e", "x.y").toDF("metric")
+    val out = MetricGlob.findNodes(ms, "a.*").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    // a.b is BOTH a leaf (exact metric) and a branch (a.b.c/a.b.d below)
+    assert(out.toSeq == Seq(("a.b", true, true), ("a.e", true, false)))
+    // deeper glob lists the leaves under the branch
+    val deep = MetricGlob.findNodes(ms, "a.b.*").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(deep.toSeq == Seq(("a.b.c", true, false), ("a.b.d", true, false)))
+  }
+
   test("aliasByNode picks the n-th dot node, null when out of range") {
     val spark = TestSpark.spark
     import spark.implicits._
