@@ -63,4 +63,39 @@ object Layout {
   // values are constant (the common skew case — one counter hammered with
   // the same reading) still spreads over min(salts, input partitions)
   // reducers, and the salt needs no extra column or RNG.
+
+  /** Small-file COMPACTION — the table-maintenance half of the 100 TB
+    * story: streaming ingest (one writer set per micro-batch) fragments
+    * a table into thousands of KB-sized files whose per-file open/footer
+    * cost eventually dominates reads. Rewrite the table into
+    * ceil(bytes / targetFileBytes) files and swap via a staging
+    * directory so readers never observe a half-written table (write →
+    * verify row count → atomic-ish rename). Returns
+    * (filesBefore, filesAfter). Run per date-partition at production so
+    * compaction itself stays bounded. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(hp)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staging = new Path(hp.getParent, hp.getName + "_compacting")
+    val src = spark.read.parquet(path)
+    val nRows = src.count()
+    src.repartition(nOut).write.mode("overwrite").parquet(staging.toString)
+    require(spark.read.parquet(staging.toString).count() == nRows,
+      "compaction must conserve rows") // verify BEFORE the swap
+    val backup = new Path(hp.getParent, hp.getName + "_precompact")
+    fs.delete(backup, true)
+    require(fs.rename(hp, backup), s"could not stage away $path")
+    require(fs.rename(staging, hp), s"could not publish compacted $path")
+    fs.delete(backup, true)
+    (before.length, dataFiles(hp).length)
+  }
 }

@@ -24,6 +24,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("compaction: fragmented table collapses, data and schema survive") {
+    val sp = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("events").toString
+    val src = graft.io.Tables.events(sp, TestSpark.sf)
+      .select("event_id", "event_type", "value")
+    src.repartition(64).write.parquet(dir) // simulate micro-batch spray
+    val checksum = src.agg(
+      org.apache.spark.sql.functions.sum("event_id"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).head
+    val (before, after) = graft.io.Layout.compact(sp, dir)
+    assert(before == 64 && after < 8,
+      s"expected 64 fragments to collapse, got $before -> $after")
+    val back = sp.read.parquet(dir)
+    val backSum = back.agg(
+      org.apache.spark.sql.functions.sum("event_id"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).head
+    assert(backSum == checksum && back.columns.toSeq ==
+      Seq("event_id", "event_type", "value"))
+    // idempotent: compacting a compacted table is a no-op-sized rewrite
+    val (b2, a2) = graft.io.Layout.compact(sp, dir)
+    assert(b2 == after && a2 <= after)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val sp = spark
     import org.apache.spark.sql.functions._
