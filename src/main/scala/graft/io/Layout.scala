@@ -82,6 +82,11 @@ object Layout {
       fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(hp)
+    // a partitioned ROOT has no top-level data files; rewriting it here
+    // would silently flatten the partition directories — compact the
+    // leaf partition directories instead (as the doc prescribes)
+    require(before.nonEmpty,
+      s"$path has no top-level parquet files — compact leaf partitions")
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt

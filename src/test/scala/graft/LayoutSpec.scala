@@ -48,6 +48,17 @@ class LayoutSpec extends AnyFunSuite {
     // idempotent: compacting a compacted table is a no-op-sized rewrite
     val (b2, a2) = graft.io.Layout.compact(sp, dir)
     assert(b2 == after && a2 <= after)
+    // a partitioned ROOT must be rejected (rewriting it would flatten
+    // the date directories) — compact leaves only
+    val partDir = java.nio.file.Files.createTempDirectory("graft_part")
+      .resolve("pts").toString
+    graft.io.Layout.writeDatePartitioned(
+      graft.io.Tables.events(sp, TestSpark.sf)
+        .select(col("event_type").as("metric"), col("ts"), col("value")),
+      partDir)
+    intercept[IllegalArgumentException] {
+      graft.io.Layout.compact(sp, partDir)
+    }
   }
 
   test("bucketed tables join without a shuffle (co-located join)") {
