@@ -69,10 +69,14 @@ object MetricGlob {
           val j = classEnd(glob, i)
           var body = glob.substring(i + 1, j)
             .replace("\\", "\\\\").replace("&", "\\&")
-          if (body.startsWith("!")) body = "^" + body.substring(1)
-          else if (body.startsWith("^") || body.startsWith("["))
-            body = "\\" + body
-          sb.append('[').append(body).append(']')
+          val neg = body.startsWith("!")
+          if (neg) body = body.substring(1)
+          if (body.startsWith("^")) body = "\\" + body
+          // EVERY '[' inside a Java regex class opens a nested class —
+          // escape them all, not just a leading one
+          body = body.replace("[", "\\[")
+          sb.append('[').append(if (neg) "^" else "").append(body)
+            .append(']')
           i = j
         case '*' => sb.append("[^.]*")
         case '?' => sb.append("[^.]")

@@ -69,15 +69,27 @@ object Layout {
     * a table into thousands of KB-sized files whose per-file open/footer
     * cost eventually dominates reads. Rewrite the table into
     * ceil(bytes / targetFileBytes) files and swap via a staging
-    * directory so readers never observe a half-written table (write →
-    * verify row count → atomic-ish rename). Returns
-    * (filesBefore, filesAfter). Run per date-partition at production so
-    * compaction itself stays bounded. */
+    * directory (write → verify row count → two renames). The swap is a
+    * SINGLE-WRITER maintenance op: a crash between the renames leaves
+    * the data at `<path>_precompact` and the NEXT compact() call
+    * auto-recovers it; a concurrent reader can hit the brief not-found
+    * window between renames. Returns (filesBefore, filesAfter). Run per
+    * date-partition at production so compaction itself stays bounded.
+    * Tables whose columns need a normalizing read (the ns-timestamp
+    * events parquet — see [[Tables.events]]) must be rewritten through
+    * that path first; this op preserves standard-typed tables only. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val backup = new Path(hp.getParent, hp.getName + "_precompact")
+    // auto-recover a compaction that died between the two renames: the
+    // data survives intact at the backup path
+    if (!fs.exists(hp) && fs.exists(backup)) {
+      require(fs.rename(backup, hp),
+        s"recovery of interrupted compaction failed for $path")
+    }
     def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -96,7 +108,6 @@ object Layout {
     src.repartition(nOut).write.mode("overwrite").parquet(staging.toString)
     require(spark.read.parquet(staging.toString).count() == nRows,
       "compaction must conserve rows") // verify BEFORE the swap
-    val backup = new Path(hp.getParent, hp.getName + "_precompact")
     fs.delete(backup, true)
     require(fs.rename(hp, backup), s"could not stage away $path")
     require(fs.rename(staging, hp), s"could not publish compacted $path")

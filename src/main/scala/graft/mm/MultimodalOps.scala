@@ -147,8 +147,9 @@ object MultimodalOps {
   def resizeStats(spark: SparkSession, sfDir: String): DataFrame = {
     // synthesize+encode the corpus ONCE — both the before-side and the
     // resize input read the materialized Dataset, halving the most
-    // expensive stage (the codec encode)
-    val m = media(spark, sfDir).localCheckpoint()
+    // expensive stage (the codec encode); LAZY so merely constructing
+    // the query (PlanSpec's plan-only sweep) runs no encode job
+    val m = media(spark, sfDir).localCheckpoint(eager = false)
     val before = m.toDF()
       .select(col("doc_id"), col("kind"),
         length(col("payload")).as("bytes_in"))

@@ -177,6 +177,10 @@ class CatalogSpec extends AnyFunSuite {
     // regex-hostile class contents still compile and match literally
     assert(m("a[\\\\]b", "a\\b"))
     assert(m("a[&]b", "a&b"))
+    // a NON-leading '[' inside the class must not open a nested class
+    assert(m("[a[b]", "a") && m("[a[b]", "[") && m("[a[b]", "b") &&
+      !m("[a[b]", "c"))
+    assert(m("x[!a[]y", "xzy") && !m("x[!a[]y", "xay") && !m("x[!a[]y", "x[y"))
   }
 
   test("findNodes: one-level glob expansion with leaf/branch flags") {

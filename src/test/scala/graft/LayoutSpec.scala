@@ -59,6 +59,14 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.io.Layout.compact(sp, partDir)
     }
+    // crash recovery: a compaction that died between the two renames
+    // (data stranded at <path>_precompact) heals on the next call
+    val stranded = new java.io.File(dir)
+    val precompact = new java.io.File(dir + "_precompact")
+    assert(stranded.renameTo(precompact)) // simulate the crash window
+    val (b3, a3) = graft.io.Layout.compact(sp, dir)
+    assert(b3 == after && a3 <= after, "recovery then compact must work")
+    assert(sp.read.parquet(dir).count() == checksum.getLong(1))
   }
 
   test("bucketed tables join without a shuffle (co-located join)") {
