@@ -110,7 +110,15 @@ object Layout {
       "compaction must conserve rows") // verify BEFORE the swap
     fs.delete(backup, true)
     require(fs.rename(hp, backup), s"could not stage away $path")
-    require(fs.rename(staging, hp), s"could not publish compacted $path")
+    if (!fs.rename(staging, hp)) {
+      // a failed (not crashed) publish must leave the table readable NOW,
+      // not at the next compact()'s auto-recovery: put the original back
+      val restored = fs.rename(backup, hp)
+      throw new IllegalStateException(
+        s"could not publish compacted $path" +
+          (if (restored) " (original restored)"
+           else s" AND rollback failed — data is at $backup"))
+    }
     fs.delete(backup, true)
     (before.length, dataFiles(hp).length)
   }

@@ -143,7 +143,10 @@ object WhisperImport {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        val abs = new java.net.URI(p).getPath
+        // the binaryFile `path` column is a Hadoop Path string, not an
+        // RFC-compliant URI (spaces etc. would throw in java.net.URI) —
+        // derive the filesystem path the same way rootAbs is derived
+        val abs = new org.apache.hadoop.fs.Path(p).toUri.getPath
         val rel =
           if (abs.startsWith(rootAbs)) abs.stripPrefix(rootAbs).stripPrefix("/")
           else abs.split('/').last // unexpected mount-point drift: leaf name

@@ -49,14 +49,21 @@ object AnnIndex {
   private val MaxCached = 8
 
   /** Build the index for a corpus once per session; subsequent calls are
-    * a map lookup. Keyed by (Spark app, corpus, k, replicas) so a fresh
-    * session never sees another session's cached plans. Synchronized:
+    * a map lookup. Keyed by (Spark session, corpus, k, replicas) — the
+    * sessionUUID component keeps a second session in the same application
+    * from receiving Dataset plans bound to the builder session's conf
+    * (timezone, shuffle partitions). Synchronized:
     * builds are rare and heavyweight, and serializing them keeps
     * `order` exactly in step with the registry (a failed build must not
     * leave a stale queue entry that would later evict a live index). */
   def buildOrGet(spark: SparkSession, sfDir: String, k: Int,
       replicas: Int): Index = synchronized {
-    val key = s"${spark.sparkContext.applicationId}|$sfDir|k=$k|r=$replicas"
+    // identityHashCode of the session: stable for a session's lifetime,
+    // distinct across sessions of one application (sessionUUID is not
+    // exposed on the classic SparkSession API)
+    val key = s"${spark.sparkContext.applicationId}" +
+      s"|s=${Integer.toHexString(System.identityHashCode(spark))}" +
+      s"|$sfDir|k=$k|r=$replicas"
     registry.get(key) match {
       case Some(idx) => idx
       case None =>

@@ -188,8 +188,11 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     // Aligned bounds have empty fringes and keep the pure-rollup rewrite;
     // non-aligned bounds (every "last 24h from now" dashboard query)
     // rewrite to a UNION of rollup partials and singleton raw partials,
-    // re-aggregated — see below. `ts > L` / `ts <= U` still abort (rare
-    // from APIs; the fringe membership test would differ). floor/ceil use
+    // re-aggregated — see below. Strict bounds normalize EXACTLY to the
+    // half-open form at the type's resolution (TimestampType IS Long
+    // micros): `ts > L` ≡ `ts >= L+1µs`, `ts <= U` ≡ `ts < U+1µs` — no
+    // value exists between adjacent micros, so the admitted row sets are
+    // identical and the fringe machinery applies unchanged. floor/ceil use
     // the SAME hour truncation the rollup uses (session timezone and
     // all, by evaluating TruncTimestamp — a raw micros % 3600e6 test
     // would mis-bucket fractional-offset timezones like +05:30).
@@ -208,6 +211,11 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       if (l.dataType == TimestampType && l.value != null)
         Some(l.value.asInstanceOf[Long])
       else None
+    // strict → half-open at µs resolution; MaxValue cannot advance (no
+    // representable successor), so that degenerate literal keeps the raw
+    // scan instead of wrapping
+    def succ(m: Long): Option[Long] =
+      if (m == Long.MaxValue) None else Some(m + 1L)
 
     val metricFs = Seq.newBuilder[Expression]
     var lowers = List.empty[Long] // ts >= L, micros
@@ -229,6 +237,20 @@ object RollupRouteRule extends Rule[LogicalPlan] {
         case GreaterThan(l: Literal, t)
             if scanAttr(t, "ts") && tsLit(l).isDefined =>
           uppers ::= tsLit(l).get
+        // strict forms: ts > L ≡ ts >= L+1µs (lower), ts <= U ≡
+        // ts < U+1µs (upper) — exact, TimestampType is integral micros
+        case GreaterThan(t, l: Literal)
+            if scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
+          lowers ::= tsLit(l).flatMap(succ).get
+        case LessThan(l: Literal, t)
+            if scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
+          lowers ::= tsLit(l).flatMap(succ).get
+        case LessThanOrEqual(t, l: Literal)
+            if scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
+          uppers ::= tsLit(l).flatMap(succ).get
+        case GreaterThanOrEqual(l: Literal, t)
+            if scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
+          uppers ::= tsLit(l).flatMap(succ).get
         // null ts rows land in the rollup's null bucket
         // (date_trunc(null)), so the optimizer-injected guard maps
         case IsNotNull(t) if scanAttr(t, "ts") => nullGuard = true

@@ -54,10 +54,12 @@ object Ingest {
     * out-of-range fields) are dropped, matching the daemon's tolerant
     * receiver; try_cast keeps ANSI mode safe. The accepted set is
     * EXACTLY the `reason = "ok"` fork of [[parseLinesQuarantine]]
-    * (spec'd): strictly three fields — carbon's plaintext protocol. */
+    * (spec'd): strictly three fields — carbon's plaintext protocol.
+    * Tokenization is carbon's `line.strip().split()`: surplus whitespace
+    * (trailing blanks, doubled separators, tabs) never changes arity. */
   def parseLines(lines: DataFrame): DataFrame =
     lines
-      .select(split(col("value"), " ").as("f"))
+      .select(split(trim(col("value")), "\\s+").as("f"))
       .select(try_element_at(col("f"), lit(1)).as("metric"),
         expr("try_cast(try_element_at(f, 3) AS LONG)").as("epoch"),
         expr("try_cast(try_element_at(f, 2) AS DOUBLE)").as("value"),
@@ -81,7 +83,8 @@ object Ingest {
     * epochs — an absurd epoch quarantines, never throws. */
   def parseLinesQuarantine(lines: DataFrame): DataFrame =
     lines
-      .select(col("value").as("raw"), split(col("value"), " ").as("f"))
+      .select(col("value").as("raw"),
+        split(trim(col("value")), "\\s+").as("f"))
       .select(col("raw"),
         try_element_at(col("f"), lit(1)).as("metric"),
         expr("try_cast(try_element_at(f, 3) AS LONG)").as("epoch"),

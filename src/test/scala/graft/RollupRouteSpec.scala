@@ -210,15 +210,20 @@ class RollupRouteSpec extends AnyFunSuite {
       assert(dnaGot.map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
         .toSeq == dnaExpect.map(r =>
           (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSeq)
+      // STRICT bounds normalize to the half-open form at µs resolution
+      // and route like any non-aligned window: `ts <= aligned` admits
+      // exactly the boundary instant beyond the interior (a 1µs fringe),
+      // `ts > aligned` drops exactly the boundary instant of its bucket
+      unionCase(() => hourlyStats(sp.read.parquet(rawPath)
+        .where(col("ts") >= expr(s"TIMESTAMP '$lo'") &&
+          col("ts") <= expr(s"TIMESTAMP '$hi'"))),
+        "closed upper bound (ts <= aligned)")
+      unionCase(() => hourlyStats(sp.read.parquet(rawPath)
+        .where(col("ts") > expr("TIMESTAMP '2024-01-08 00:30:00'"))),
+        "strict lower bound (ts > non-aligned)")
+      // negative cases below assert NO routing — the catalog must be
+      // registered for that to mean anything (unionCase cleared it)
       RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
-      // `ts <= aligned` still aborts (closed upper splits the boundary
-      // bucket and the fringe membership test differs) — raw scan only
-      val closedUpper = sp.read.parquet(rawPath)
-        .where(col("ts") <= expr(s"TIMESTAMP '$hi'"))
-        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n"))
-      val cuPlan = closedUpper.queryExecution.executedPlan.toString
-      assert(cuPlan.contains("/points") && !cuPlan.contains("rollup_1h"))
       // a NARROWING cast changes per-row values before aggregation —
       // sum(CAST(value AS INT)) must keep the raw scan (only a no-op
       // cast to DOUBLE is transparent)

@@ -45,6 +45,8 @@ class StreamingSpec extends AnyFunSuite {
     val inputs = Seq("cpu.load 0.75 1700000000", "mem.used 1234 1700000060",
       "garbage", "cpu.load NaNope 1700000120", "cpu.load 0.5 not_epoch",
       "a b c d", " 0.5 1700000000",
+      // carbon tokenizes with strip().split(): surplus whitespace parses
+      "disk.io 2.5 1700000060 ", "net.rx  9.5\t1700000060",
       "cpu.load 1.0 9223372036854775807") // LONG-parseable, absurd epoch
     in.addData(inputs)
     val tagged = Ingest.parseLinesQuarantine(in.toDF())
@@ -55,8 +57,8 @@ class StreamingSpec extends AnyFunSuite {
     qOk.processAllAvailable(); qBad.processAllAvailable()
     qOk.stop(); qBad.stop()
     val ok = sp.table("quar_ok").collect()
-    assert(ok.length == 2 && ok.map(_.getString(0)).toSet ==
-      Set("cpu.load", "mem.used"))
+    assert(ok.length == 4 && ok.map(_.getString(0)).toSet ==
+      Set("cpu.load", "mem.used", "disk.io", "net.rx"))
     val bad = sp.table("quar_bad").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(bad == Map(
@@ -64,7 +66,8 @@ class StreamingSpec extends AnyFunSuite {
       "cpu.load NaNope 1700000120" -> "bad_value",
       "cpu.load 0.5 not_epoch" -> "bad_epoch",
       "a b c d" -> "bad_arity",
-      " 0.5 1700000000" -> "bad_metric",
+      // stripped to two tokens — arity, not an empty-metric artifact
+      " 0.5 1700000000" -> "bad_arity",
       // an in-LONG-range but absurd epoch must QUARANTINE, not throw
       // (timestamp_seconds overflows Long micros with multiplyExact)
       "cpu.load 1.0 9223372036854775807" -> "bad_epoch"))
