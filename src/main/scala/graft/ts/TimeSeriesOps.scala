@@ -366,6 +366,47 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Graphite `integralByInterval(series, '1d')`: cumulative sum per
+    * series that RESETS at each day boundary — the "usage so far today"
+    * dashboard read. Same exact-DECIMAL frame accumulation as
+    * [[integral]], with the day added to the window partition key (the
+    * reset is free: it is just a finer partitioning, no extra shuffle
+    * beyond the window's own). */
+  def integralByInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir)
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sv"))
+    val w = Window
+      .partitionBy(col("event_type"), date_trunc("day", col("bucket")))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h1.select(col("event_type"), col("bucket"),
+        col("sv").cast("double").as("v"),
+        sum(col("sv")).over(w).cast("double").as("cum_day"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `nPercentile(series, 95)`: the per-series 95th-percentile
+    * constant line. Percentile INDEX in exact integer arithmetic —
+    * rank = ceil(0.95·n) = (19n+19) div 20 over the value-ordered hourly
+    * series — so both engines select the same element (engine-native
+    * percentile() interpolation differs; an indexed element never does).
+    * Value-first ordering makes the selected VALUE unique even when
+    * buckets tie on v. */
+  def nPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("bucket"))
+    val wAll = Window.partitionBy(col("event_type"))
+    h1.select(col("event_type"), col("v"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .where(col("rn") === expr("(19 * n + 19) div 20"))
+      .select(col("event_type"), col("v").as("p95"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `timeShift` comparison: each hourly bucket joined with the
     * same series' bucket 24h earlier (gap-safe: a JOIN on the shifted
     * key, not lag over a possibly-sparse sequence). */
@@ -615,6 +656,8 @@ object TimeSeriesOps {
     "q_ts_anomaly" -> anomaly _,
     "q_ts_hourofday" -> hourOfDay _,
     "q_ts_integral" -> integral _,
+    "q_ts_integral_by_day" -> integralByInterval _,
+    "q_ts_npercentile" -> nPercentile _,
     "q_ts_timeshift" -> timeshift _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
@@ -709,6 +752,33 @@ object TimeSeriesOps {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
         |FROM h1
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_integral_by_day" ->
+      """WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, CAST(sv AS DOUBLE) AS v,
+        |       CAST(sum(sv) OVER (
+        |         PARTITION BY event_type, date_trunc('day', bucket)
+        |         ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_day
+        |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_npercentile" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY v, bucket) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM h1)
+        |SELECT event_type, v AS p95
+        |FROM r
+        |WHERE rn = (19 * n + 19) // 20
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_ts_timeshift" -> {
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
