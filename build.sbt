@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 103 bench queries x whole-stage-codegen classes overflow the default
+  // 240m code cache late in the run; once full the JIT disables itself and
+  // whichever query runs last absorbs seconds of deoptimized execution
+  // (BENCH_r04/r05 billed it to q_ts_find_metrics, measured 0.7s alone).
+  "-XX:ReservedCodeCacheSize=512m",
 )
