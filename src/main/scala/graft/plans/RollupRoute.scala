@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, TimestampType}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
 
 /** Plan-level rollup routing — the one piece of Kenshin's read path that
   * Catalyst cannot learn on its own (SURVEY §4.1): that `rollup_1h` is
@@ -19,15 +20,17 @@ import org.apache.spark.sql.types.{DoubleType, TimestampType}
   * `Aggregate(metric, date_trunc('hour', ts), <avg|sum|min|max|count>)`
   * over that scan into a Project over the rollup — at 100 TB that turns
   * a 10^8-row-per-metric scan into a 10^5-row one, the reference's
-  * headline read economy.
+  * headline read economy. ROLLUP/CUBE/GROUPING SETS over the same two
+  * dimensions route too: grouping-set expansion is grain-preserving, so
+  * the rewrite replicates ROLLUP PARTIALS per set instead of raw rows.
   *
   * The rule is deliberately conservative: it fires only on the exact
-  * supported shape (metric-only and hour-aligned ts-range filters,
-  * supported aggregates over the value column, hourly truncation of the
-  * scan's own ts column) and leaves every other plan untouched. Every
-  * matched metric/ts/value reference is resolved through the collected
-  * Project aliases down to an attribute OF THE SCAN ITSELF, so a Project
-  * that redefines a column under the same name (`withColumn("value",
+  * supported shape (metric-only and ts-range filters, supported
+  * aggregates over the value column, hourly truncation of the scan's own
+  * ts column) and leaves every other plan untouched. Every matched
+  * metric/ts/value reference is resolved through the collected Project
+  * aliases down to an attribute OF THE SCAN ITSELF, so a Project that
+  * redefines a column under the same name (`withColumn("value",
   * col("value") * 2)`) aborts the rewrite instead of silently routing to
   * pre-aggregates of the original values. Enable per session with
   * `spark.experimental.extraOptimizations ++= Seq(RollupRouteRule)` (or
@@ -63,32 +66,61 @@ object RollupCatalog {
 object RollupRouteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupings, aggExprs, expand: Expand, _) =>
+      rewriteGroupingSets(groupings, aggExprs, expand).getOrElse(agg)
     case agg @ Aggregate(groupings, aggExprs, child, _) =>
       rewrite(agg, groupings, aggExprs, child).getOrElse(agg)
+  }
+
+  // grains the hourly rollup can serve: its own, plus any calendar
+  // grain no hour boundary straddles (re-aggregated)
+  private val Coarser = Set("day", "week", "month", "quarter", "year")
+  private val HourMicros = 3600L * 1000000L
+  private val PartialDec = DecimalType(28, 4)
+
+  /** The two scan shapes the routing serves: a v1 file relation and a
+    * DataSourceV2 file table (what `spark.sql.sources.useV1SourceList`
+    * without "parquet" — or any DSv2 file catalog — plans). The rule
+    * runs in the operator-optimization batch, BEFORE
+    * V2ScanRelationPushDown builds a DataSourceV2ScanRelation, so the
+    * DSv2 node still carries its full filter/project surroundings (a
+    * post-pushdown scan may have absorbed filters the rewrite could no
+    * longer see, so it is deliberately NOT matched). */
+  private def asScan(plan: LogicalPlan)
+      : Option[(LogicalPlan, Seq[Attribute], Seq[String])] = plan match {
+    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      Some((lr, lr.output, fs.location.rootPaths.map(_.toString)))
+    case dv2 @ DataSourceV2Relation(ft: FileTable, _, _, _, _, _) =>
+      Some((dv2, dv2.output, ft.fileIndex.rootPaths.map(_.toString)))
+    case _ => None
   }
 
   /** Walk transparent Projects down to the scan, accumulating alias
     * definitions (the optimizer's PullOutGroupingExpressions hoists
     * `date_trunc` into a `_groupingexpression` alias below the
     * Aggregate) and every filter conjunct on the way. Classification of
-    * the conjuncts (metric selection / aligned ts range / anything else
-    * → abort) happens in [[buildProject]], once the full alias map and
-    * the scan's own output are known. */
+    * the conjuncts (metric selection / ts range / anything else →
+    * abort) happens later, once the full alias map and the scan's own
+    * output are known. */
   private def scanDown(plan: LogicalPlan,
       aliases: Map[ExprId, Expression] = Map.empty,
       filters: Seq[Expression] = Nil)
-      : Option[(LogicalRelation, Map[ExprId, Expression], Seq[Expression])] =
-    plan match {
-      case lr @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) =>
-        Some((lr, aliases, filters))
-      case Project(list, child) =>
-        val newAliases = list.collect {
-          case a @ Alias(e, _) => a.exprId -> e
-        }.toMap
-        scanDown(child, aliases ++ newAliases, filters)
-      case Filter(cond, child) =>
-        scanDown(child, aliases, filters ++ splitConjunctivePredicates(cond))
-      case _ => None
+      : Option[(LogicalPlan, Seq[Attribute], Seq[String],
+        Map[ExprId, Expression], Seq[Expression])] =
+    asScan(plan) match {
+      case Some((node, out, paths)) =>
+        Some((node, out, paths, aliases, filters))
+      case None => plan match {
+        case Project(list, child) =>
+          val newAliases = list.collect {
+            case a @ Alias(e, _) => a.exprId -> e
+          }.toMap
+          scanDown(child, aliases ++ newAliases, filters)
+        case Filter(cond, child) =>
+          scanDown(child, aliases,
+            filters ++ splitConjunctivePredicates(cond))
+        case _ => None
+      }
     }
 
   private def splitConjunctivePredicates(c: Expression): Seq[Expression] =
@@ -98,75 +130,33 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       case other => Seq(other)
     }
 
-  private def rewrite(agg: Aggregate, groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    for {
-      (relation, aliases, filters) <- scanDown(child)
-      paths = relation.relation.asInstanceOf[HadoopFsRelation]
-        .location.rootPaths.map(_.toString)
-      entry <- RollupCatalog.lookup(paths)
-      out <- buildProject(agg, groupings, aggExprs, entry.rollup, relation,
-        aliases, filters)
-    } yield out
-  }
+  /** Resolution of plan expressions through Project aliases down to the
+    * scan's own attributes — the load-bearing safety device: a matched
+    * column must resolve to an attribute OF THE SCAN with the expected
+    * name, never name-only (a shadowing Project alias resolves to its
+    * defining expression instead and the rewrite aborts). */
+  private final class ColumnResolver(scanOutput: Seq[Attribute],
+      aliases: Map[ExprId, Expression]) {
+    private val scanIds = scanOutput.map(_.exprId).toSet
 
-  /** Match groupings = {metric, date_trunc('hour'+, ts)} and aggregates
-    * over `value`; emit a Project (or re-aggregation for coarser grains)
-    * over the rollup with the ORIGINAL output exprIds so the surrounding
-    * plan stays resolved. */
-  private def buildProject(agg: Aggregate, groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], rollup: LogicalPlan,
-      relation: LogicalRelation,
-      aliases: Map[ExprId, Expression],
-      filters: Seq[Expression]): Option[LogicalPlan] = {
-    val scanIds = relation.output.map(_.exprId).toSet
-    def rollupCol(name: String): Option[Attribute] =
-      rollup.output.find(_.name == name)
-
-    // Resolve an expression through the alias chain until it is no longer
-    // a reference to a Project-defined alias — chains strictly descend
-    // the plan, so this terminates.
     @annotation.tailrec
-    def resolve(e: Expression): Expression = e match {
+    final def resolve(e: Expression): Expression = e match {
       case a: AttributeReference if aliases.contains(a.exprId) =>
         resolve(aliases(a.exprId))
       case Alias(c, _) => resolve(c)
       case other => other
     }
-    // The load-bearing check: a matched column must resolve to an
-    // attribute OF THE SCAN with the expected name — never name-only
-    // (a shadowing Project alias resolves to its defining expression
-    // instead and the rewrite aborts).
     def scanAttr(e: Expression, name: String): Boolean = resolve(e) match {
       case a: AttributeReference => a.name == name && scanIds(a.exprId)
       case _ => false
     }
-
-    // grains the hourly rollup can serve: its own, plus any calendar
-    // grain no hour boundary straddles (re-aggregated below)
-    val coarser = Set("day", "week", "month", "quarter", "year")
     def truncOf(e: Expression): Option[TruncTimestamp] = resolve(e) match {
       case t @ TruncTimestamp(Literal(fmt, _), tsExpr, _)
           if scanAttr(tsExpr, "ts") && // the rollup bucketed THIS column
             (String.valueOf(fmt).equalsIgnoreCase("hour") ||
-              coarser(String.valueOf(fmt).toLowerCase)) => Some(t)
+              Coarser(String.valueOf(fmt).toLowerCase)) => Some(t)
       case _ => None
     }
-    def isMetric(e: Expression): Boolean = scanAttr(e, "metric")
-    val trunc = groupings.flatMap(truncOf).headOption
-    val groupable = groupings.length == 2 &&
-      groupings.exists(isMetric) && trunc.isDefined
-    if (!groupable) return None
-    val grain = String.valueOf(
-      trunc.get.format.asInstanceOf[Literal].value).toLowerCase
-    def isHourTrunc(e: Expression): Boolean = truncOf(e).isDefined
-
-    val (metricOut, bucketOut, sumOut, nOut, minOut, maxOut) =
-      (rollupCol("metric"), rollupCol("bucket"), rollupCol("sum_v"),
-        rollupCol("n"), rollupCol("min_v"), rollupCol("max_v"))
-    if (Seq(metricOut, bucketOut, sumOut, nOut, minOut, maxOut)
-        .exists(_.isEmpty)) return None
-
     // Only a cast to DOUBLE is transparent (the raw value column is
     // DOUBLE, so it is a no-op): a NARROWING cast — sum(CAST(value AS
     // INT)), avg(value.cast("decimal(10,2)")) — changes per-row values
@@ -175,38 +165,67 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       case Cast(c, DoubleType, _, _) => overValue(c)
       case other => scanAttr(other, "value")
     }
-
-    // ---- filter classification -----------------------------------------
-    // metric-only predicates push through unchanged (the rollup preserves
-    // metric exactly). ts-range predicates decompose against the bucket
-    // grid: bucket B covers the raw half-open range [B, B+1h), so for
-    // bounds `ts >= L` / `ts < U` the region splits into
-    //   INTERIOR — complete buckets [ceil(L), floor(U)), served by the
-    //   rollup exactly, and
-    //   FRINGE — the partial-bucket slivers [L, ceil(L)) ∪ [floor(U), U),
-    //   which only the raw scan can serve.
-    // Aligned bounds have empty fringes and keep the pure-rollup rewrite;
-    // non-aligned bounds (every "last 24h from now" dashboard query)
-    // rewrite to a UNION of rollup partials and singleton raw partials,
-    // re-aggregated — see below. Strict bounds normalize EXACTLY to the
-    // half-open form at the type's resolution (TimestampType IS Long
-    // micros): `ts > L` ≡ `ts >= L+1µs`, `ts <= U` ≡ `ts < U+1µs` — no
-    // value exists between adjacent micros, so the admitted row sets are
-    // identical and the fringe machinery applies unchanged. floor/ceil use
-    // the SAME hour truncation the rollup uses (session timezone and
-    // all, by evaluating TruncTimestamp — a raw micros % 3600e6 test
-    // would mis-bucket fractional-offset timezones like +05:30).
-    val HourMicros = 3600L * 1000000L
-    def hourFloor(micros: Long): Option[Long] = {
-      val t = TruncTimestamp(
-        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
-        Literal(micros, TimestampType), trunc.get.timeZoneId)
-      Option(t.eval(null)).map(_.asInstanceOf[Long])
-    }
     def metricOnly(e: Expression): Boolean = {
       val refs = e.references.toSeq
       refs.nonEmpty && refs.forall(a => scanAttr(a, "metric"))
     }
+    def rawAttr(name: String): Option[Attribute] =
+      scanOutput.find(_.name == name)
+    def anchorMetric(fs: Seq[Expression], target: Attribute): Seq[Expression] =
+      fs.map(_.transform {
+        case a: AttributeReference if scanAttr(a, "metric") => target
+      })
+  }
+
+  private final case class RollupCols(metric: Attribute, bucket: Attribute,
+    sum: Attribute, n: Attribute, min: Attribute, max: Attribute)
+
+  private def rollupColsOf(rollup: LogicalPlan): Option[RollupCols] = {
+    def c(name: String) = rollup.output.find(_.name == name)
+    for {
+      m <- c("metric"); b <- c("bucket"); s <- c("sum_v")
+      n <- c("n"); mn <- c("min_v"); mx <- c("max_v")
+    } yield RollupCols(m, b, s, n, mn, mx)
+  }
+
+  /** The filter conjuncts classified against the hourly bucket grid.
+    * metric-only predicates push through unchanged (the rollup preserves
+    * metric exactly). ts-range predicates decompose: bucket B covers the
+    * raw half-open range [B, B+1h), so for bounds `ts >= L` / `ts < U`
+    * the region splits into
+    *   INTERIOR — complete buckets [ceil(L), floor(U)), served by the
+    *   rollup exactly, and
+    *   FRINGE — the partial-bucket slivers [L, ceil(L)) ∪ [floor(U), U),
+    *   which only the raw scan can serve.
+    * Aligned bounds have empty fringes and keep the pure-rollup rewrite;
+    * non-aligned bounds (every "last 24h from now" dashboard query)
+    * rewrite to a UNION of rollup partials and singleton raw partials,
+    * re-aggregated. Strict bounds normalize EXACTLY to the half-open
+    * form at the type's resolution (TimestampType IS Long micros):
+    * `ts > L` ≡ `ts >= L+1µs`, `ts <= U` ≡ `ts < U+1µs` — no value
+    * exists between adjacent micros, so the admitted row sets are
+    * identical and the fringe machinery applies unchanged. floor/ceil
+    * use the SAME hour truncation the rollup uses (session timezone and
+    * all, by evaluating TruncTimestamp — a raw micros % 3600e6 test
+    * would mis-bucket fractional-offset timezones like +05:30). */
+  private final case class TsWindow(metricFs: Seq[Expression],
+      lo: Option[Long], up: Option[Long],
+      loCeil: Option[Long], upFloor: Option[Long],
+      fringeLo: Option[(Long, Long)], fringeUp: Option[(Long, Long)],
+      nullGuard: Boolean) {
+    def hasFringe: Boolean = fringeLo.isDefined || fringeUp.isDefined
+  }
+
+  private def hourFloorFn(tzId: Option[String]): Long => Option[Long] =
+    micros => {
+      val t = TruncTimestamp(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
+        Literal(micros, TimestampType), tzId)
+      Option(t.eval(null)).map(_.asInstanceOf[Long])
+    }
+
+  private def classifyFilters(filters: Seq[Expression], r: ColumnResolver,
+      hourFloor: Long => Option[Long]): Option[TsWindow] = {
     def tsLit(l: Literal): Option[Long] =
       if (l.dataType == TimestampType && l.value != null)
         Some(l.value.asInstanceOf[Long])
@@ -223,37 +242,37 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     var nullGuard = false
     var unsupported = false
     filters.foreach { f =>
-      if (metricOnly(f)) metricFs += f
+      if (r.metricOnly(f)) metricFs += f
       else f match {
         case GreaterThanOrEqual(t, l: Literal)
-            if scanAttr(t, "ts") && tsLit(l).isDefined =>
+            if r.scanAttr(t, "ts") && tsLit(l).isDefined =>
           lowers ::= tsLit(l).get
         case LessThanOrEqual(l: Literal, t)
-            if scanAttr(t, "ts") && tsLit(l).isDefined =>
+            if r.scanAttr(t, "ts") && tsLit(l).isDefined =>
           lowers ::= tsLit(l).get
         case LessThan(t, l: Literal)
-            if scanAttr(t, "ts") && tsLit(l).isDefined =>
+            if r.scanAttr(t, "ts") && tsLit(l).isDefined =>
           uppers ::= tsLit(l).get
         case GreaterThan(l: Literal, t)
-            if scanAttr(t, "ts") && tsLit(l).isDefined =>
+            if r.scanAttr(t, "ts") && tsLit(l).isDefined =>
           uppers ::= tsLit(l).get
         // strict forms: ts > L ≡ ts >= L+1µs (lower), ts <= U ≡
         // ts < U+1µs (upper) — exact, TimestampType is integral micros
         case GreaterThan(t, l: Literal)
-            if scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
+            if r.scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
           lowers ::= tsLit(l).flatMap(succ).get
         case LessThan(l: Literal, t)
-            if scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
+            if r.scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
           lowers ::= tsLit(l).flatMap(succ).get
         case LessThanOrEqual(t, l: Literal)
-            if scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
+            if r.scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
           uppers ::= tsLit(l).flatMap(succ).get
         case GreaterThanOrEqual(l: Literal, t)
-            if scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
+            if r.scanAttr(t, "ts") && tsLit(l).flatMap(succ).isDefined =>
           uppers ::= tsLit(l).flatMap(succ).get
         // null ts rows land in the rollup's null bucket
         // (date_trunc(null)), so the optimizer-injected guard maps
-        case IsNotNull(t) if scanAttr(t, "ts") => nullGuard = true
+        case IsNotNull(t) if r.scanAttr(t, "ts") => nullGuard = true
         case _ => unsupported = true
       }
     }
@@ -280,81 +299,123 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       case (Some(u), Some(fu)) if u != fu => Some((fu, u)) // [floor(U), U)
       case _ => None
     }
+    Some(TsWindow(metricFs.result(), lo, up, loCeil, upFloor.flatten,
+      fringeLo, fringeUp, nullGuard))
+  }
 
-    def anchorMetric(target: Attribute): Seq[Expression] =
-      metricFs.result().map(_.transform {
-        case a: AttributeReference if scanAttr(a, "metric") => target
-      })
-    def mkTs(m: Long): Literal = Literal(m, TimestampType)
+  private def mkTs(m: Long): Literal = Literal(m, TimestampType)
 
-    // interior rollup slice: complete buckets only
-    val interiorPreds: Seq[Expression] = anchorMetric(metricOut.get) ++
-      loCeil.map(c => GreaterThanOrEqual(bucketOut.get, mkTs(c))) ++
-      upFloor.flatten.map(f => LessThan(bucketOut.get, mkTs(f))) ++
-      (if (nullGuard) Seq(IsNotNull(bucketOut.get)) else Nil)
+  /** The routed region as decomposable partials — output (metric,
+    * bucket, sum_c DECIMAL(28,4), n_c LONG, min_c DOUBLE, max_c DOUBLE).
+    * A rollup row IS a bucket partial; when the window has fringes, each
+    * fringe raw row becomes a singleton partial (value, 1, value, value)
+    * under its hour bucket and the two sides union. Recombination is
+    * exact for min/max/count, and sum/avg recombine as EXACT DECIMAL
+    * (the registered-rollup contract: values are ≤4-decimal, sum_v
+    * accumulates DECIMAL(18,4) per-row casts), so routed results are
+    * partition-order independent like the pure-rollup paths. At 100 TB
+    * the fringe is ≤ 2 bucket-widths of raw rows (with the ts bounds
+    * pushed into the scan) while the interior stays a rollup read. */
+  private def partialsPlan(rollup: LogicalPlan, rc: RollupCols,
+      scanPlan: LogicalPlan, r: ColumnResolver, win: TsWindow,
+      tzId: Option[String]): Option[LogicalPlan] = {
+    val interiorPreds: Seq[Expression] =
+      r.anchorMetric(win.metricFs, rc.metric) ++
+        win.loCeil.map(c => GreaterThanOrEqual(rc.bucket, mkTs(c))) ++
+        win.upFloor.map(f => LessThan(rc.bucket, mkTs(f))) ++
+        (if (win.nullGuard) Seq(IsNotNull(rc.bucket)) else Nil)
     val base =
       if (interiorPreds.isEmpty) rollup
       else Filter(interiorPreds.reduce(And), rollup)
+    val interiorProj = Project(Seq(
+      Alias(rc.metric, "metric")(),
+      Alias(rc.bucket, "bucket")(),
+      Alias(Cast(rc.sum, PartialDec), "sum_c")(),
+      Alias(Cast(rc.n, LongType), "n_c")(),
+      Alias(Cast(rc.min, DoubleType), "min_c")(),
+      Alias(Cast(rc.max, DoubleType), "max_c")()), base)
+    if (!win.hasFringe) return Some(interiorProj)
+
+    val rawMetric = r.rawAttr("metric")
+    val rawTs = r.rawAttr("ts")
+    val rawValue = r.rawAttr("value")
+    if (Seq(rawMetric, rawTs, rawValue).exists(_.isEmpty)) return None
+    val (rm, rt, rv) = (rawMetric.get, rawTs.get, rawValue.get)
+    val windows: Seq[Expression] =
+      win.fringeLo.toSeq.map { case (l, c) =>
+        And(GreaterThanOrEqual(rt, mkTs(l)), LessThan(rt, mkTs(c)))
+      } ++
+      win.fringeUp.toSeq.map { case (f, u) =>
+        And(GreaterThanOrEqual(rt, mkTs(f)), LessThan(rt, mkTs(u)))
+      }
+    // The original ts bounds must stay conjoined: when both bounds
+    // fall inside ONE bucket (ceil(L) > floor(U)) or the region is
+    // empty (L >= U), the windows extend beyond the query region and
+    // window membership alone would ADMIT rows the raw plan excludes.
+    val bounds: Seq[Expression] =
+      win.lo.map(l => GreaterThanOrEqual(rt, mkTs(l))).toSeq ++
+        win.up.map(u => LessThan(rt, mkTs(u)))
+    val fringePred =
+      (r.anchorMetric(win.metricFs, rm) ++ bounds :+ windows.reduce(Or))
+        .reduce(And)
+    val hourOfTs = TruncTimestamp(
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
+      rt, tzId)
+    val fringeProj = Project(Seq(
+      Alias(rm, "metric")(),
+      Alias(hourOfTs, "bucket")(),
+      Alias(Cast(rv, PartialDec), "sum_c")(),
+      Alias(Literal(1L), "n_c")(),
+      Alias(Cast(rv, DoubleType), "min_c")(),
+      Alias(Cast(rv, DoubleType), "max_c")()),
+      Filter(fringePred, scanPlan))
+    Some(Union(Seq(interiorProj, fringeProj)))
+  }
+
+  private def rewrite(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    for {
+      (scanPlan, scanOutput, paths, aliases, filters) <- scanDown(child)
+      entry <- RollupCatalog.lookup(paths)
+      out <- buildProject(agg, groupings, aggExprs, entry.rollup, scanPlan,
+        scanOutput, aliases, filters)
+    } yield out
+  }
+
+  /** Match groupings = {metric, date_trunc('hour'+, ts)} and aggregates
+    * over `value`; emit a Project (or re-aggregation for coarser grains)
+    * over the rollup with the ORIGINAL output exprIds so the surrounding
+    * plan stays resolved. */
+  private def buildProject(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], rollup: LogicalPlan,
+      scanPlan: LogicalPlan, scanOutput: Seq[Attribute],
+      aliases: Map[ExprId, Expression],
+      filters: Seq[Expression]): Option[LogicalPlan] = {
+    val r = new ColumnResolver(scanOutput, aliases)
+
+    def isMetric(e: Expression): Boolean = r.scanAttr(e, "metric")
+    val trunc = groupings.flatMap(r.truncOf).headOption
+    val groupable = groupings.length == 2 &&
+      groupings.exists(isMetric) && trunc.isDefined
+    if (!groupable) return None
+    val grain = String.valueOf(
+      trunc.get.format.asInstanceOf[Literal].value).toLowerCase
+    def isHourTrunc(e: Expression): Boolean = r.truncOf(e).isDefined
+
+    val rc = rollupColsOf(rollup).getOrElse(return None)
+
+    val win = classifyFilters(filters, r,
+      hourFloorFn(trunc.get.timeZoneId)).getOrElse(return None)
 
     def aggOf(fn: AggregateFunction): Expression = fn.toAggregateExpression()
 
-    if (fringeLo.isDefined || fringeUp.isDefined) {
+    if (win.hasFringe) {
       // ---- interior ∪ fringe rewrite ---------------------------------
-      // Both sides emit the same decomposable-partial shape
-      // (metric, bucket, sum_c, n_c, min_c, max_c): the rollup row IS a
-      // bucket partial; each fringe raw row becomes a singleton partial
-      // (value, 1, value, value) under its hour bucket. One final
-      // aggregate recombines them — exact for min/max/count, and
-      // sum/avg recombine as EXACT DECIMAL (the registered-rollup
-      // contract: values are ≤4-decimal, sum_v accumulates
-      // DECIMAL(18,4) per-row casts), so the routed result is
-      // partition-order independent like the aligned paths.
-      // At 100 TB the fringe is ≤ 2 bucket-widths of raw rows (with the
-      // ts bounds pushed into the scan) while the interior stays a
-      // rollup read — the dominant cost collapses exactly as in the
-      // aligned case.
-      val rawMetric = relation.output.find(_.name == "metric")
-      val rawTs = relation.output.find(_.name == "ts")
-      val rawValue = relation.output.find(_.name == "value")
-      if (Seq(rawMetric, rawTs, rawValue).exists(_.isEmpty)) return None
-      val (rm, rt, rv) = (rawMetric.get, rawTs.get, rawValue.get)
-      val windows: Seq[Expression] =
-        fringeLo.toSeq.map { case (l, c) =>
-          And(GreaterThanOrEqual(rt, mkTs(l)), LessThan(rt, mkTs(c)))
-        } ++
-        fringeUp.toSeq.map { case (f, u) =>
-          And(GreaterThanOrEqual(rt, mkTs(f)), LessThan(rt, mkTs(u)))
-        }
-      // The original ts bounds must stay conjoined: when both bounds
-      // fall inside ONE bucket (ceil(L) > floor(U)) or the region is
-      // empty (L >= U), the windows extend beyond the query region and
-      // window membership alone would ADMIT rows the raw plan excludes.
-      val bounds: Seq[Expression] =
-        lo.map(l => GreaterThanOrEqual(rt, mkTs(l))).toSeq ++
-          up.map(u => LessThan(rt, mkTs(u)))
-      val fringePred =
-        (anchorMetric(rm) ++ bounds :+ windows.reduce(Or)).reduce(And)
-      val hourOfTs = TruncTimestamp(
-        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("hour")),
-        rt, trunc.get.timeZoneId)
-      val sumDec = org.apache.spark.sql.types.DecimalType(28, 4)
-      val interiorProj = Project(Seq(
-        Alias(metricOut.get, "metric")(),
-        Alias(bucketOut.get, "bucket")(),
-        Alias(Cast(sumOut.get, sumDec), "sum_c")(),
-        Alias(Cast(nOut.get, org.apache.spark.sql.types.LongType), "n_c")(),
-        Alias(Cast(minOut.get, DoubleType), "min_c")(),
-        Alias(Cast(maxOut.get, DoubleType), "max_c")()), base)
-      val fringeProj = Project(Seq(
-        Alias(rm, "metric")(),
-        Alias(hourOfTs, "bucket")(),
-        Alias(Cast(rv, sumDec), "sum_c")(),
-        Alias(Literal(1L), "n_c")(),
-        Alias(Cast(rv, DoubleType), "min_c")(),
-        Alias(Cast(rv, DoubleType), "max_c")()),
-        Filter(fringePred, relation))
-      val union = Union(Seq(interiorProj, fringeProj))
-      val Seq(mU, bU, sU, nU, mnU, mxU) = union.output
+      // Both sides emit the same decomposable-partial shape; one final
+      // aggregate recombines them — see [[partialsPlan]].
+      val parts = partialsPlan(rollup, rc, scanPlan, r, win,
+        trunc.get.timeZoneId).getOrElse(return None)
+      val Seq(mU, bU, sU, nU, mnU, mxU) = parts.output
       val bucketGroup: Expression =
         if (grain == "hour") bU else trunc.get.copy(timestamp = bU)
       val results: Seq[Option[NamedExpression]] = aggExprs.map {
@@ -364,42 +425,51 @@ object RollupRouteRule extends Rule[LogicalPlan] {
           Some(Alias(bucketGroup, ne.name)(exprId = ne.exprId))
         case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
           val repl: Option[Expression] = fn match {
-            case Average(v, _) if overValue(v) =>
+            case Average(v, _) if r.overValue(v) =>
               Some(Divide(Cast(aggOf(Sum(sU)), DoubleType),
                 Cast(aggOf(Sum(nU)), DoubleType)))
-            case Sum(v, _) if overValue(v) =>
+            case Sum(v, _) if r.overValue(v) =>
               Some(Cast(aggOf(Sum(sU)), DoubleType))
-            case Min(v) if overValue(v) => Some(aggOf(Min(mnU)))
-            case Max(v) if overValue(v) => Some(aggOf(Max(mxU)))
+            case Min(v) if r.overValue(v) => Some(aggOf(Min(mnU)))
+            case Max(v) if r.overValue(v) => Some(aggOf(Max(mxU)))
             case Count(Seq(Literal(_, _))) =>
-              Some(Cast(aggOf(Sum(nU)),
-                org.apache.spark.sql.types.LongType))
+              Some(Cast(aggOf(Sum(nU)), LongType))
             case _ => None
           }
           repl.map(e => Alias(e, name)(exprId = ne.exprId))
         case _ => None
       }
       return if (results.exists(_.isEmpty)) None
-      else Some(Aggregate(Seq(mU, bucketGroup), results.flatten, union, None))
+      else Some(Aggregate(Seq(mU, bucketGroup), results.flatten, parts, None))
     }
+
+    // aligned window: the interior predicates ARE the whole filter
+    val interiorPreds: Seq[Expression] =
+      r.anchorMetric(win.metricFs, rc.metric) ++
+        win.loCeil.map(c => GreaterThanOrEqual(rc.bucket, mkTs(c))) ++
+        win.upFloor.map(f => LessThan(rc.bucket, mkTs(f))) ++
+        (if (win.nullGuard) Seq(IsNotNull(rc.bucket)) else Nil)
+    val base =
+      if (interiorPreds.isEmpty) rollup
+      else Filter(interiorPreds.reduce(And), rollup)
 
     if (grain == "hour") {
       // same grain: pure column remapping over the stored archive
       val projected: Seq[Option[NamedExpression]] = aggExprs.map {
         case ne if isMetric(ne) =>
-          Some(Alias(metricOut.get, ne.name)(exprId = ne.exprId))
+          Some(Alias(rc.metric, ne.name)(exprId = ne.exprId))
         case ne if isHourTrunc(ne) =>
-          Some(Alias(bucketOut.get, ne.name)(exprId = ne.exprId))
+          Some(Alias(rc.bucket, ne.name)(exprId = ne.exprId))
         case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
           val repl: Option[Expression] = fn match {
-            case Average(v, _) if overValue(v) =>
-              Some(Divide(Cast(sumOut.get, DoubleType),
-                Cast(nOut.get, DoubleType)))
-            case Sum(v, _) if overValue(v) =>
-              Some(Cast(sumOut.get, DoubleType))
-            case Min(v) if overValue(v) => Some(minOut.get)
-            case Max(v) if overValue(v) => Some(maxOut.get)
-            case Count(Seq(Literal(_, _))) => Some(nOut.get)
+            case Average(v, _) if r.overValue(v) =>
+              Some(Divide(Cast(rc.sum, DoubleType),
+                Cast(rc.n, DoubleType)))
+            case Sum(v, _) if r.overValue(v) =>
+              Some(Cast(rc.sum, DoubleType))
+            case Min(v) if r.overValue(v) => Some(rc.min)
+            case Max(v) if r.overValue(v) => Some(rc.max)
+            case Count(Seq(Literal(_, _))) => Some(rc.n)
             case _ => None
           }
           repl.map(e => Alias(e, name)(exprId = ne.exprId))
@@ -411,32 +481,157 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       // coarser grain: re-aggregate the archive — exact, because the
       // rollup stores decimal partial sums and counts (avg-of-raw ==
       // sum(sum_v)/sum(n), never avg-of-avgs)
-      val coarseBucket = trunc.get.copy(timestamp = bucketOut.get)
+      val coarseBucket = trunc.get.copy(timestamp = rc.bucket)
       val results: Seq[Option[NamedExpression]] = aggExprs.map {
         case ne if isMetric(ne) =>
-          Some(Alias(metricOut.get, ne.name)(exprId = ne.exprId))
+          Some(Alias(rc.metric, ne.name)(exprId = ne.exprId))
         case ne if isHourTrunc(ne) =>
           Some(Alias(coarseBucket, ne.name)(exprId = ne.exprId))
         case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
           val repl: Option[Expression] = fn match {
-            case Average(v, _) if overValue(v) =>
-              Some(Divide(Cast(aggOf(Sum(sumOut.get)), DoubleType),
-                Cast(aggOf(Sum(nOut.get)), DoubleType)))
-            case Sum(v, _) if overValue(v) =>
-              Some(Cast(aggOf(Sum(sumOut.get)), DoubleType))
-            case Min(v) if overValue(v) => Some(aggOf(Min(minOut.get)))
-            case Max(v) if overValue(v) => Some(aggOf(Max(maxOut.get)))
+            case Average(v, _) if r.overValue(v) =>
+              Some(Divide(Cast(aggOf(Sum(rc.sum)), DoubleType),
+                Cast(aggOf(Sum(rc.n)), DoubleType)))
+            case Sum(v, _) if r.overValue(v) =>
+              Some(Cast(aggOf(Sum(rc.sum)), DoubleType))
+            case Min(v) if r.overValue(v) => Some(aggOf(Min(rc.min)))
+            case Max(v) if r.overValue(v) => Some(aggOf(Max(rc.max)))
             case Count(Seq(Literal(_, _))) =>
-              Some(Cast(aggOf(Sum(nOut.get)),
-                org.apache.spark.sql.types.LongType))
+              Some(Cast(aggOf(Sum(rc.n)), LongType))
             case _ => None
           }
           repl.map(e => Alias(e, name)(exprId = ne.exprId))
         case _ => None
       }
       if (results.exists(_.isEmpty)) None
-      else Some(Aggregate(Seq(metricOut.get, coarseBucket),
+      else Some(Aggregate(Seq(rc.metric, coarseBucket),
         results.flatten, base, None))
     }
+  }
+
+  /** ROLLUP / CUBE / GROUPING SETS over (metric, date_trunc(grain, ts)):
+    * the analyzer lowers these to `Aggregate(groupAttrs :+
+    * spark_grouping_id, Expand(one projection row per grouping set,
+    * child))` — each input row is replicated once per set with
+    * non-member group columns nulled out. The expansion is
+    * grain-preserving, so the rewrite replicates each ROLLUP PARTIAL per
+    * set instead of each raw row and recombines: sum/count/min/max
+    * decompose over partials, and a nulled group key aggregates across
+    * that dimension exactly as the raw rows would (the per-set null is
+    * injected AFTER the partial, identically on both plans). At 100 TB a
+    * `ROLLUP(metric, bucket)` dashboard fan-in reads 10^5 rollup rows
+    * instead of re-scanning 10^8 raw points per grouping set. */
+  private def rewriteGroupingSets(groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], expand: Expand): Option[LogicalPlan] = {
+    val (scanPlan, scanOutput, paths, aliases, filters) =
+      scanDown(expand.child).getOrElse(return None)
+    val entry = RollupCatalog.lookup(paths).getOrElse(return None)
+    val r = new ColumnResolver(scanOutput, aliases)
+    val rc = rollupColsOf(entry.rollup).getOrElse(return None)
+
+    // the Aggregate's groupings must be exactly the grouping-id column
+    // plus two set-expanded attributes resolving to metric and a
+    // supported truncation of the scan's ts (anything else — a third
+    // dimension, an expression group — keeps the raw scan)
+    val groupAttrs: Seq[Attribute] = groupings.flatMap {
+      case a: Attribute => Some(a)
+      case _ => None
+    }
+    if (groupAttrs.length != groupings.length) return None
+    val gidAttr = groupAttrs
+      .find(_.name == "spark_grouping_id").getOrElse(return None)
+    val gidIdx = expand.output.indexWhere(_.exprId == gidAttr.exprId)
+    if (gidIdx < 0 ||
+      !expand.projections.forall(_(gidIdx).isInstanceOf[Literal]))
+      return None
+    val others = groupAttrs.filterNot(_.exprId == gidAttr.exprId)
+    if (others.length != 2) return None
+
+    // per grouping attribute: its Expand column is {base-expr, null}
+    // across the projection rows; the base must resolve to the scan's
+    // metric / a supported trunc of the scan's ts
+    final case class GroupCol(attr: Attribute, pos: Int, base: Expression)
+    def classify(a: Attribute): Option[GroupCol] = {
+      val pos = expand.output.indexWhere(_.exprId == a.exprId)
+      if (pos < 0) return None
+      val nonNull = expand.projections.map(_(pos)).filter {
+        case Literal(null, _) => false
+        case _ => true
+      }.distinct
+      if (nonNull.length != 1) return None
+      Some(GroupCol(a, pos, nonNull.head))
+    }
+    val cols = others.flatMap(classify(_))
+    if (cols.length != 2) return None
+    val metricGC = cols.find(c => r.scanAttr(c.base, "metric"))
+      .getOrElse(return None)
+    val bucketGC = cols.find(c => r.truncOf(c.base).isDefined)
+      .getOrElse(return None)
+    if (metricGC.pos == bucketGC.pos) return None
+    val trunc = r.truncOf(bucketGC.base).get
+    val grain = String.valueOf(
+      trunc.format.asInstanceOf[Literal].value).toLowerCase
+
+    val win = classifyFilters(filters, r,
+      hourFloorFn(trunc.timeZoneId)).getOrElse(return None)
+    val parts = partialsPlan(entry.rollup, rc, scanPlan, r, win,
+      trunc.timeZoneId).getOrElse(return None)
+    val Seq(pm, pb, ps, pn, pmin, pmax) = parts.output
+    val gb: Expression =
+      if (grain == "hour") pb else trunc.copy(timestamp = pb)
+
+    // rebuild the Expand over partials: per original set, partial
+    // measures pass through, group keys keep the set's null mask, the
+    // grouping-id literal is copied verbatim
+    def isNull(e: Expression): Boolean = e match {
+      case Literal(null, _) => true
+      case _ => false
+    }
+    val newProjections: Seq[Seq[Expression]] = expand.projections.map { row =>
+      Seq[Expression](ps, pn, pmin, pmax,
+        if (isNull(row(metricGC.pos))) Literal(null, metricGC.attr.dataType)
+        else pm,
+        if (isNull(row(bucketGC.pos))) Literal(null, bucketGC.attr.dataType)
+        else gb,
+        row(gidIdx))
+    }
+    val sumA = AttributeReference("sum_c", PartialDec)()
+    val nA = AttributeReference("n_c", LongType)()
+    val minA = AttributeReference("min_c", DoubleType)()
+    val maxA = AttributeReference("max_c", DoubleType)()
+    val newExpand = Expand(newProjections,
+      Seq(sumA, nA, minA, maxA, metricGC.attr, bucketGC.attr, gidAttr),
+      parts)
+
+    // aggregate outputs: group-key expressions (incl. grouping()/
+    // grouping_id() arithmetic over the gid attr) pass through — their
+    // attributes survive with the same exprIds; supported aggregates
+    // over value recombine from the partials; anything else aborts
+    val groupSet = AttributeSet(Seq(metricGC.attr, bucketGC.attr, gidAttr))
+    def aggOf(fn: AggregateFunction): Expression = fn.toAggregateExpression()
+    val results: Seq[Option[NamedExpression]] = aggExprs.map {
+      // reference-free aggregates (count(1)) would pass the subset test
+      // vacuously and then count PARTIAL rows — the aggregate guard keeps
+      // them on the recombination path below
+      case ne if ne.references.subsetOf(groupSet) &&
+          !ne.exists(_.isInstanceOf[AggregateExpression]) => Some(ne)
+      case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+        val repl: Option[Expression] = fn match {
+          case Average(v, _) if r.overValue(v) =>
+            Some(Divide(Cast(aggOf(Sum(sumA)), DoubleType),
+              Cast(aggOf(Sum(nA)), DoubleType)))
+          case Sum(v, _) if r.overValue(v) =>
+            Some(Cast(aggOf(Sum(sumA)), DoubleType))
+          case Min(v) if r.overValue(v) => Some(aggOf(Min(minA)))
+          case Max(v) if r.overValue(v) => Some(aggOf(Max(maxA)))
+          case Count(Seq(Literal(_, _))) =>
+            Some(Cast(aggOf(Sum(nA)), LongType))
+          case _ => None
+        }
+        repl.map(e => Alias(e, name)(exprId = ne.exprId))
+      case _ => None
+    }
+    if (results.exists(_.isEmpty)) None
+    else Some(Aggregate(groupings, results.flatten, newExpand, None))
   }
 }

@@ -295,6 +295,175 @@ class RollupRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("ROLLUP/CUBE grouping sets over (metric, bucket) route to the rollup") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_gs_route").toString
+    val rawPath = s"$dir/points"
+    val rollupPath = s"$dir/rollup_1h"
+    graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+      .write.parquet(rawPath)
+    sp.read.parquet(rawPath)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .write.parquet(rollupPath)
+    sp.experimental.extraOptimizations =
+      sp.experimental.extraOptimizations :+ RollupRouteRule
+
+    // run routed (registered) vs raw (cleared); every grouping set —
+    // incl. the nulled subtotal and grand-total rows — must agree
+    def routedVsRaw(q: () => DataFrame, expectFringe: Boolean, desc: String)
+        : Unit = {
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val order = Seq(asc_nulls_first("metric"), asc_nulls_first("bucket"))
+      val routed = q().orderBy(order: _*)
+      val rPlan = routed.queryExecution.executedPlan.toString
+      assert(rPlan.contains("rollup_1h"), s"$desc should read the rollup:\n$rPlan")
+      if (expectFringe)
+        assert(rPlan.contains("/points") && rPlan.contains("Union"),
+          s"$desc should plan interior ∪ fringe:\n$rPlan")
+      else
+        assert(!rPlan.contains("/points"),
+          s"$desc should not touch raw points:\n$rPlan")
+      val got = routed.collect()
+      RollupCatalog.clear()
+      val expect = q().orderBy(order: _*).collect()
+      assert(got.length == expect.length && got.nonEmpty, desc)
+      got.zip(expect).foreach { case (g, e) =>
+        (0 until g.length).foreach { i =>
+          (g.get(i), e.get(i)) match {
+            case (a: Double, b: Double) =>
+              assert(math.abs(a - b) < 1e-6, s"$desc col $i: $a vs $b")
+            case (a, b) => assert(a == b, s"$desc col $i: $a vs $b")
+          }
+        }
+      }
+    }
+
+    try {
+      routedVsRaw(() => sp.read.parquet(rawPath)
+        .rollup(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"),
+          sum(col("value")).as("sum_v"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v")),
+        expectFringe = false, "ROLLUP hourly")
+      routedVsRaw(() => sp.read.parquet(rawPath)
+        .where(col("metric") =!= "view" &&
+          col("ts") >= expr("TIMESTAMP '2024-01-08 00:00:00'"))
+        .cube(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v")),
+        expectFringe = false, "CUBE + metric filter + aligned ts")
+      routedVsRaw(() => sp.read.parquet(rawPath)
+        .rollup(col("metric"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("max_v"),
+          grouping_id().as("gid")),
+        expectFringe = false, "ROLLUP daily + grouping_id")
+      // non-aligned window: sets recombine over interior ∪ fringe partials
+      routedVsRaw(() => sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'") &&
+          col("ts") < expr("TIMESTAMP '2024-01-20 17:45:00'"))
+        .rollup(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+          min(col("value")).as("min_v")),
+        expectFringe = true, "ROLLUP non-aligned window")
+      // a THIRD grouping dimension is not in the rollup: keep raw
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val threeDim = sp.read.parquet(rawPath)
+        .rollup(col("metric"), date_trunc("hour", col("ts")).as("bucket"),
+          col("value"))
+        .agg(count(lit(1)).as("n"))
+      assert(threeDim.queryExecution.executedPlan.toString
+        .contains("/points"), "3-dim grouping sets must keep the raw scan")
+    } finally {
+      RollupCatalog.clear()
+      sp.experimental.extraOptimizations =
+        sp.experimental.extraOptimizations.filterNot(_ == RollupRouteRule)
+    }
+  }
+
+  test("hourly agg over a DataSourceV2 parquet read routes to the rollup") {
+    val dir = Files.createTempDirectory("graft_v2_route").toString
+    val rawPath = s"$dir/points"
+    val rollupPath = s"$dir/rollup_1h"
+    val base = TestSpark.spark
+    graft.io.Tables.events(base, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+      .write.parquet(rawPath)
+    base.read.parquet(rawPath)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .write.parquet(rollupPath)
+    // an empty useV1SourceList plans parquet reads as DataSourceV2Relation
+    // — the shape any v2 file catalog (the 100 TB deployment path) plans
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val sp = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-v2-route-spec")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.useV1SourceList", "")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      val scan = sp.read.parquet(rawPath)
+      assert(scan.queryExecution.analyzed.collectFirst {
+        case r: DataSourceV2Relation => r
+      }.isDefined, "precondition: useV1SourceList='' must yield a v2 read")
+      def hourly(df: DataFrame) = df
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val q = hourly(sp.read.parquet(rawPath)).orderBy("metric", "bucket")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup_1h") && !plan.contains("/points"),
+        s"v2 scan did not route:\n$plan")
+      val got = q.collect()
+      RollupCatalog.clear()
+      val expect = hourly(sp.read.parquet(rawPath))
+        .orderBy("metric", "bucket").collect()
+      assert(got.length == expect.length && got.nonEmpty)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+      }
+      // non-aligned window: the fringe filters the v2 scan, interior
+      // reads the rollup — same union rewrite as v1
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val na = hourly(sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'")))
+        .orderBy("metric", "bucket")
+      val naPlan = na.queryExecution.executedPlan.toString
+      assert(naPlan.contains("rollup_1h") && naPlan.contains("/points") &&
+        naPlan.contains("Union"),
+        s"v2 non-aligned should plan interior ∪ fringe:\n$naPlan")
+      val naGot = na.collect()
+      RollupCatalog.clear()
+      val naExpect = hourly(sp.read.parquet(rawPath)
+        .where(col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'")))
+        .orderBy("metric", "bucket").collect()
+      assert(naGot.length == naExpect.length && naGot.nonEmpty)
+      naGot.zip(naExpect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+      }
+    } finally {
+      RollupCatalog.clear()
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("routing fires through the shipped GraftExtensions injection path") {
     // the deploy story is `spark.sql.extensions=graft.GraftExtensions`;
     // prove the injected optimizer rule (not experimental opts) routes
