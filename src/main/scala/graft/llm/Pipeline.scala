@@ -46,13 +46,22 @@ object Pipeline {
 
     // stage 3: near-dup removal — LSH candidates computed over the
     // SURVIVORS of stages 1–2 only (the corpus is already thinned, so
-    // shingling/minhashing never touches dropped docs); of each verified
-    // near-pair the larger doc_id is dropped
+    // shingling/minhashing never touches dropped docs); the verified
+    // pairs resolve into connected components ([[DupCluster]]) and each
+    // cluster keeps exactly its minimum doc_id (a greedy per-pair drop
+    // would over-delete on chains a~b~c). The resolution is the one
+    // eager step: its bounded collect runs the gate→dedup→LSH chain
+    // once, and the drop list comes back as a LocalRelation, so the
+    // final report is a broadcast join plus one cheap recompute of the
+    // map-side gate + 16-byte-key dedup.
     val survivors = afterExact.where(col("pass_exact"))
       .select(col("doc_id"), col("lang"), col("text"))
-    val nearDropIds = TextOps.minhashDedupOver(survivors)
-      .select(col("b_id").as("doc_id")).distinct()
-        .withColumn("near_dup", lit(true))
+    val nearPairs = TextOps.minhashPairsOver(survivors)
+      .select(col("a_id"), col("b_id"))
+    val nearDropIds = DupCluster.resolve(nearPairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+      .withColumn("near_dup", lit(true))
     afterExact.join(nearDropIds, Seq("doc_id"), "left")
       .withColumn("kept", col("pass_exact") &&
         coalesce(!col("near_dup"), lit(true)))

@@ -176,7 +176,14 @@ object TextOps {
   /** [[minhashDedup]] over an arbitrary `(doc_id, lang, text)` relation —
     * lets the corpus-prep pipeline run near-dup detection on the docs
     * that SURVIVED earlier stages instead of the whole corpus. */
-  def minhashDedupOver(input: DataFrame): DataFrame = {
+  def minhashDedupOver(input: DataFrame): DataFrame =
+    minhashPairsOver(input)
+      .orderBy(col("jac").desc, col("a_id"), col("b_id"))
+
+  /** [[minhashDedupOver]] without the presentation sort — the pair SET
+    * is what cluster resolution consumes; the total order only matters
+    * on the query surface. */
+  private[llm] def minhashPairsOver(input: DataFrame): DataFrame = {
     val docs = input
       .select(col("doc_id"), col("lang"), toks.as("tk"))
     val sh = docs.select(col("doc_id"), col("lang"), explode(shingles).as("sh"))
@@ -208,7 +215,6 @@ object TextOps {
         Det.r4(size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb")))).as("jac"))
       .where(col("jac") >= 0.5)
-      .orderBy(col("jac").desc, col("a_id"), col("b_id"))
   }
 
   /** 64-bit SimHash signature per doc: per-bit majority vote of token

@@ -313,6 +313,85 @@ class LlmSpec extends AnyFunSuite {
     assert(gotPairs.subsetOf(brute), s"false positives: ${gotPairs -- brute}")
   }
 
+  test("dup clusters: label propagation equals brute-force transitive closure") {
+    import graft.llm.{DupCluster, TextOps}
+    val sp = spark
+    import sp.implicits._
+    // synthetic chains — incl. a~b~c, where a greedy per-pair drop would
+    // delete both b and c; cluster resolution keeps exactly min per comp
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (3L, 2L)).toDF("a_id", "b_id")
+    val chainExpect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    val lbl = DupCluster.resolve(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == chainExpect)
+    // distributed path: the 20~21~22~23 chain needs multiple rounds
+    val lblDist = DupCluster.resolve(pairs, collectThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lblDist == chainExpect)
+    // empty pair set resolves to an empty label table
+    assert(DupCluster.resolve(Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+      .isEmpty)
+
+    // the real LSH pair graph: distributed propagation must equal an
+    // in-test union-find transitive closure (min id as root)
+    val real = TextOps.minhashDedup(sp, sf).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(real.nonEmpty, "need real near-dup pairs for the closure check")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    real.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = real.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val realPairs = TextOps.minhashDedup(sp, sf).select("a_id", "b_id")
+    // default path (driver union-find over the bounded edge list)
+    val got = DupCluster.resolve(realPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "union-find labels must equal transitive closure")
+    // forced distributed path (threshold 0 → min-label propagation)
+    val gotDist = DupCluster.resolve(realPairs, collectThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expect,
+      "propagation labels must equal transitive closure")
+  }
+
+  test("pipeline keeps exactly the min doc per near-dup cluster") {
+    import graft.llm.{Pipeline, TextOps}
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    val rep = Pipeline.prepare(sp, sf)
+    // reconstruct the survivor pair graph the pipeline resolved
+    val surv = graft.io.Tables.documents(sp, sf)
+      .join(rep.where(col("pass_exact")).select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val pr = TextOps.minhashDedupOver(surv).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pr.nonEmpty, "need near-dup pairs among survivors")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pr.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val kept = rep.where(col("kept")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val comps = pr.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+    comps.foreach { case (_, members) =>
+      assert(members.toSet.intersect(kept) == Set(members.min),
+        s"cluster $members must keep exactly its min id")
+    }
+  }
+
   test("corpus prep: kept ⊆ passed-exact ⊆ passed-quality; stats add up") {
     import graft.llm.Pipeline
     val rep = Pipeline.prepare(spark, sf).collect()
