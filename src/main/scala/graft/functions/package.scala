@@ -12,6 +12,20 @@ package object functions {
       org.apache.spark.sql.graft.CosineSimExpr(a, b)
   }
 
+  /** Product-quantization encode: ARRAY<FLOAT> embedding → m-byte BINARY
+    * code via the given codebooks (subspace → code → codeword). */
+  object PqEncode {
+    def apply(c: Column, cb: Array[Array[Array[Float]]]): Column =
+      org.apache.spark.sql.graft.PqEncodeExpr(c, cb)
+  }
+
+  /** Product-quantization decode: m-byte BINARY code → reconstructed
+    * ARRAY<FLOAT> (concatenated codewords, normalized space). */
+  object PqDecode {
+    def apply(c: Column, cb: Array[Array[Array[Float]]]): Column =
+      org.apache.spark.sql.graft.PqDecodeExpr(c, cb)
+  }
+
   /** Native simhash aggregate: LONG hash column → 64-bit signature
     * (per-bit majority vote in a single int[64] buffer). */
   object SimHashAgg {

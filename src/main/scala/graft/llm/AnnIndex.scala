@@ -33,8 +33,26 @@ object AnnIndex {
     * lists. */
   final case class Index(cells: DataFrame, lists: DataFrame)
 
+  /** Product-quantization model: `codebooks(s)(c)` is subspace `s`'s
+    * codeword `c` (over L2-NORMALIZED vectors — the angular setup). */
+  final case class Pq(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def dsub: Int = codebooks(0)(0).length
+  }
+
+  /** IVF-PQ: same coarse cells, but the inverted lists carry m-byte PQ
+    * CODES instead of full vectors (`codes(vec_id, cell, codes)`) — the
+    * representation that makes lists cheap to hold and probe at 10^9
+    * vectors (64-dim float32 = 256 B/entry; m=8 codes = 8 B/entry, a
+    * 32× list-payload reduction). Probing scores candidates by
+    * asymmetric distance (query vs reconstruction), then a SHORT list
+    * is re-ranked exactly against full vectors fetched by key. */
+  final case class PqIndex(cells: DataFrame, codes: DataFrame, pq: Pq)
+
   private val registry = TrieMap.empty[String, Index]
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private val pqRegistry = TrieMap.empty[String, PqIndex]
+  private val pqOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]
 
   /** Deterministic sample bound for quantizer training (see class doc). */
   private val SampleCap = 4096
@@ -78,7 +96,47 @@ object AnnIndex {
   }
 
   /** For specs: drop every cached index. */
-  private[graft] def clear(): Unit = { registry.clear(); order.clear() }
+  private[graft] def clear(): Unit = {
+    registry.clear(); order.clear(); pqRegistry.clear(); pqOrder.clear()
+  }
+
+  /** PQ subspace count: 64-dim embeddings → 8 subspaces × 8 dims. */
+  private val PqSubspaces = 8
+
+  /** Codewords per subspace (byte-addressable — the classic 256). */
+  private val PqCodewords = 256
+
+  /** Build-or-get the IVF-PQ index for a corpus — same bounded registry
+    * discipline as [[buildOrGet]] (and it builds the flat index first,
+    * so the two share cells and the flat lists stay available as the
+    * re-rank oracle). */
+  def buildPqOrGet(spark: SparkSession, sfDir: String, k: Int,
+      replicas: Int, m: Int = PqSubspaces): PqIndex = synchronized {
+    val key = s"${spark.sparkContext.applicationId}" +
+      s"|s=${Integer.toHexString(System.identityHashCode(spark))}" +
+      s"|$sfDir|k=$k|r=$replicas|pq=$m"
+    pqRegistry.get(key) match {
+      case Some(idx) => idx
+      case None =>
+        val base = buildOrGet(spark, sfDir, k, replicas)
+        val e = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val pq = Pq(trainPq(boundedSample(e), m))
+        // one distributed encode pass over the already-built lists; the
+        // checkpointed result is the compact thing probes actually scan
+        val codes = base.lists.select(col("vec_id"), col("cell"),
+            graft.functions.PqEncode(col("embedding"), pq.codebooks)
+              .as("codes"))
+          .localCheckpoint()
+        val idx = PqIndex(base.cells, codes, pq)
+        pqRegistry.put(key, idx)
+        pqOrder.add(key)
+        while (pqRegistry.size > MaxCached) {
+          Option(pqOrder.poll()).foreach(pqRegistry.remove)
+        }
+        idx
+    }
+  }
 
   private[llm] def build(spark: SparkSession, sfDir: String, k: Int,
       replicas: Int): Index = {
@@ -97,17 +155,23 @@ object AnnIndex {
     * vec_id (stable across runs and partitionings), Lloyd's on the
     * driver. Only the sample (≤ SampleCap×dim floats) ever collects —
     * the model-training working set, not the data. */
+  /** The deterministic bounded training sample both quantizers share:
+    * the [[SampleCap]] vectors with the smallest seeded hash of vec_id
+    * (stable across runs and partitionings). The ONLY data-shaped
+    * collect in the index lifecycle — model-sized, corpus-independent. */
+  private[llm] def boundedSample(e: DataFrame): Array[Array[Float]] = e
+    .orderBy(pmod(xxhash64(col("vec_id"), lit(42L)), lit(1000003L)),
+      col("vec_id"))
+    .limit(SampleCap)
+    .select(col("embedding"))
+    .collect()
+    .map(_.getSeq[Float](0).toArray)
+
   private[llm] def trainQuantizer(spark: SparkSession, e: DataFrame,
       k: Int): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val sample: Array[Array[Float]] = e
-      .orderBy(pmod(xxhash64(col("vec_id"), lit(42L)), lit(1000003L)),
-        col("vec_id"))
-      .limit(SampleCap)
-      .select(col("embedding"))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = boundedSample(e)
     require(sample.length >= k, s"corpus smaller than k=$k")
     lloyd(sample, k, LloydIters).zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -140,6 +204,65 @@ object AnnIndex {
         while (c < k) {
           val s = cosine(cents(c), v)
           if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** Train the PQ codebooks on the shared bounded sample: L2-normalize
+    * each sample vector, slice into `m` subvectors, and run plain L2
+    * Lloyd's per subspace with `min(256, sample)` codewords (seeds = the
+    * first codewords' worth of subvectors; the sample order is already a
+    * deterministic hash order). Driver cost is m × sample × 256 × dsub
+    * mults per iter — model-sized, corpus-independent. */
+  private[llm] def trainPq(sample: Array[Array[Float]],
+      m: Int = PqSubspaces, iters: Int = LloydIters): Array[Array[Array[Float]]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val normed = sample.map { v =>
+      var nrm = 0.0; var i = 0
+      while (i < dim) { nrm += v(i).toDouble * v(i); i += 1 }
+      val inv = if (nrm == 0.0) 0.0f else (1.0 / math.sqrt(nrm)).toFloat
+      Array.tabulate(dim)(j => v(j) * inv)
+    }
+    val k = math.min(PqCodewords, normed.length)
+    Array.tabulate(m) { s =>
+      val subs = normed.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloydL2(subs, k, iters)
+    }
+  }
+
+  /** Plain L2 Lloyd's over an in-memory subvector sample. A codeword
+    * that loses every member keeps its previous value; ties break to the
+    * lowest code — same conventions as [[lloyd]]. */
+  private def lloydL2(vecs: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    val dim = vecs.head.length
+    def dist(a: Array[Float], b: Array[Float]): Float = {
+      var d = 0.0f; var i = 0
+      while (i < dim) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    var cents = Array.tabulate(k)(i => vecs(i).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      vecs.foreach { v =>
+        var best = 0; var bestd = dist(cents(0), v); var c = 1
+        while (c < k) {
+          val d = dist(cents(c), v)
+          if (d < bestd) { bestd = d; best = c }
           c += 1
         }
         counts(best) += 1
@@ -235,6 +358,43 @@ object AnnIndex {
         first(col("embedding")).as("embedding"))
       .crossJoin(broadcast(query))
       .select(col("vec_id"), col("cell"),
+        graft.util.Det.r4(CosineSim(col("embedding"), col("qe"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(limit)
+  }
+
+  /** Probe an IVF-PQ index: rank cells as in [[probe]], score the probed
+    * cells' CODES by asymmetric distance (cosine of the query against
+    * each code's reconstruction — [[graft.functions.PqDecode]] feeding
+    * the same codegen cosine kernel), keep the top-`rerank` short list,
+    * and re-rank THAT exactly against full vectors fetched by key from
+    * `full` (at production: point lookups into the bucketed source
+    * table; the scan over data-sized state touches only m-byte codes).
+    * Returns the exact-cosine top-`limit` of the short list — with
+    * `rerank` ≥ the candidate count this equals [[probe]] exactly, which
+    * is the spec's oracle. */
+  def pqProbe(index: PqIndex, full: DataFrame, query: DataFrame,
+      nprobe: Int, limit: Int, rerank: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val probed = index.cells.crossJoin(broadcast(query))
+      .select(col("cell"), CosineSim(col("cvec"), col("qe")).as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(nprobe)
+    val candidates = index.codes.join(broadcast(probed), "cell")
+    val shortList = excludeVecId
+      .fold(candidates)(id => candidates.where(col("vec_id") =!= id))
+      // a vector can surface via several probed cells; codes are
+      // identical per vec_id, so any one representative works
+      .groupBy(col("vec_id")).agg(first(col("codes")).as("codes"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        CosineSim(graft.functions.PqDecode(col("codes"), index.pq.codebooks),
+          col("qe")).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rerank)
+    full.join(broadcast(shortList.select(col("vec_id"))), "vec_id")
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
         graft.util.Det.r4(CosineSim(col("embedding"), col("qe"))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(limit)

@@ -125,6 +125,25 @@ object VectorOps {
     AnnIndex.probe(idx, q, NProbe, limit = 5, excludeVecId = Some(0L))
   }
 
+  /** Short-list size for the PQ path's exact re-rank. */
+  private val PqRerank = 50
+
+  /** IVF-PQ ANN: same probe shape as [[annIvf]], but the inverted lists
+    * hold m-byte product-quantized CODES (32× smaller payload than the
+    * float vectors — what keeps 10^9-vector lists probeable), scored by
+    * asymmetric distance and exactly re-ranked over a [[PqRerank]]-row
+    * short list fetched from the source table by key. No oracle:
+    * centroid/codebook-dependent; property-tested (recall within ε of
+    * the flat probe, equality at full rerank, ≥4× on-disk list
+    * reduction in LlmSpec). */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = AnnIndex.buildPqOrGet(spark, sfDir, KCells, IndexReplicas)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    AnnIndex.pqProbe(idx, e, q, NProbe, limit = 5, rerank = PqRerank,
+      excludeVecId = Some(0L))
+  }
+
   /** Inverted-list index with redundant assignment: each vector appears
     * in its `replicas` nearest cells. Cell ranking is aggregated WITHOUT
     * carrying the embedding (collect k (csim, cell) scalars per vector,
@@ -246,6 +265,7 @@ object VectorOps {
     "q_llm_knn_label" -> knnLabel _,
     "q_llm_knn_join" -> knnJoin _,
     "q_llm_ann_ivf" -> annIvf _,
+    "q_llm_ann_pq" -> annPq _,
     "q_llm_embed_neardup" -> embedNeardup _
   )
 

@@ -296,6 +296,46 @@ class LlmSpec extends AnyFunSuite {
       s"IVF probe found none of the true top-5: ann=$annIds brute=$bruteTop")
   }
 
+  test("ivf-pq: recall within eps of flat, exact at full rerank, 4x smaller") {
+    import graft.llm.AnnIndex
+    val sp = spark
+    val flatIdx = AnnIndex.buildOrGet(sp, sf, 10, 2)
+    val pqIdx = AnnIndex.buildPqOrGet(sp, sf, 10, 2)
+    val e = graft.io.Tables.embeddings(sp, sf)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val brute = VectorOps.cosineTopk(sp, sf).collect().map(_.getLong(0)).toSet
+    def recall(ids: Seq[Long]) = ids.count(brute.contains) / 5.0
+    val flat = AnnIndex.probe(flatIdx, q, 3, 5, excludeVecId = Some(0L))
+      .collect()
+    val pq = AnnIndex.pqProbe(pqIdx, e, q, 3, 5, rerank = 50,
+      excludeVecId = Some(0L)).collect()
+    assert(recall(pq.map(_.getLong(0))) >= recall(flat.map(_.getLong(0))) - 0.21,
+      s"pq recall ${recall(pq.map(_.getLong(0)))} too far below " +
+        s"flat ${recall(flat.map(_.getLong(0)))}")
+    // rerank >= candidate count => the exact re-rank sees every candidate
+    // the flat probe saw: identical (vec_id, sim) rows in order
+    val pqFull = AnnIndex.pqProbe(pqIdx, e, q, 3, 5, rerank = 1 << 20,
+      excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pqFull == flat.map(r => (r.getLong(0), r.getDouble(2))).toSeq,
+      s"full-rerank pq must equal the flat probe: $pqFull")
+    // the scale claim: code lists at least 4x smaller on disk than the
+    // float-vector lists (same rows, same ids/cells, 8-byte codes)
+    val tmp = java.nio.file.Files.createTempDirectory("pqsize").toString
+    flatIdx.lists.select(col("vec_id"), col("cell"), col("embedding"))
+      .coalesce(1).write.parquet(s"$tmp/flat")
+    pqIdx.codes.coalesce(1).write.parquet(s"$tmp/pq")
+    def bytes(p: String): Long = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (fb, pb) = (bytes(s"$tmp/flat"), bytes(s"$tmp/pq"))
+    assert(fb >= 4L * pb, s"expected >=4x reduction: flat=$fb pq=$pb")
+    // the declared query runs and is sorted
+    val qrows = VectorOps.annPq(sp, sf).collect()
+    assert(qrows.length == 5)
+    val sims = qrows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
   test("embed_neardup: all pairs verified >= 0.45 and subset of brute force") {
     val got = VectorOps.embedNeardup(spark, sf).collect()
     assert(got.forall(_.getDouble(2) >= 0.45))
