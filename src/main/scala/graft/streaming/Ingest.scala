@@ -192,6 +192,28 @@ object Ingest {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("metric", "ts"))
 
+  /** Streaming corpus ingest with CONTENT-hash dedup: duplicate texts
+    * arriving in later micro-batches drop while their arrival window is
+    * inside the watermark, BEFORE the train/val/test assignment — so a
+    * streamed corpus can't leak one text into two splits (the batch-side
+    * guarantee of [[graft.llm.TextOps.trainValSplit]], which this shares
+    * its md5 content key and bucket formula with: same text ⇒ same
+    * bucket ⇒ same split, batch or streamed). Dedup keys on the content
+    * hash, not doc_id — re-ingested copies with fresh ids still drop. */
+  def dedupCorpusStream(docs: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_key", md5(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("content_key"))
+      .withColumn("bucket",
+        conv(substring(col("content_key"), 1, 8), 16, 10).cast("bigint") % 10)
+      .select(col("doc_id"), col("content_key"), col("bucket"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"),
+        col("ts"))
+
   /** R10/R15 live last-value cache per metric, as explicit state:
     * arbitrary stateful op via mapGroupsWithState. The state store IS
     * the MetricCache. */

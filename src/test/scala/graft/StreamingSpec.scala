@@ -146,6 +146,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(sp.sql("SELECT * FROM deduped").count() == 1)
   }
 
+  test("s_corpus_dedup: later-batch duplicate text drops before split assign") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = runToMemory(
+      Ingest.dedupCorpusStream(in.toDF().toDF("doc_id", "text", "ts")),
+      "corpus_dedup", OutputMode.Append())
+    in.addData((1L, "the quick brown fox", ts("2024-01-01 10:00:00")),
+      (2L, "lorem ipsum dolor", ts("2024-01-01 10:00:01")))
+    q.processAllAvailable()
+    // a later micro-batch re-ingests doc 1's TEXT under a fresh id —
+    // the content key drops it; a genuinely new text passes
+    in.addData((3L, "the quick brown fox", ts("2024-01-01 10:00:30")),
+      (4L, "something new entirely", ts("2024-01-01 10:00:31")))
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql("SELECT doc_id, content_key, bucket, split FROM corpus_dedup")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 4L),
+      s"expected dup doc 3 dropped: ${rows.mkString(",")}")
+    // split assignment must agree with the BATCH content-hash formula
+    // (trainValSplit): same md5 prefix bucketing, same thresholds
+    val expect = sp.createDataset(Seq("the quick brown fox",
+        "lorem ipsum dolor", "something new entirely")).toDF("text")
+      .select(col("text"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("bigint") % 10)
+          .as("bucket"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotBuckets = sp.sql(
+      "SELECT content_key, bucket, split FROM corpus_dedup").collect()
+    rows.foreach { r =>
+      val b = r.getLong(2)
+      val s = r.getString(3)
+      assert(s == (if (b < 8) "train" else if (b == 8) "val" else "test"),
+        s"split/bucket mismatch: $r")
+    }
+    assert(rows.map(_.getLong(2)).toSet.subsetOf(expect.values.toSet),
+      s"streamed buckets must come from the batch formula: ${gotBuckets.mkString}")
+  }
+
   test("s_stateful_last: state tracks max-ts value and update count") {
     val sp = spark
     import sp.implicits._
