@@ -139,9 +139,17 @@ object RollupRouter {
     * [from, until] window, align to the selected archive step and
     * aggregate with the policy's method — the batch form of
     * `fetch(metric, from, until)` (R4+R8).
-    * `last` uses max_by(value, ts) per R6. */
+    * `last` uses max_by(value, ts) per R6.
+    *
+    * `consolidateBy` is Graphite's read-time aggregation override
+    * (`graphite-web render/functions.py — consolidateBy` [U]): the
+    * archive choice (and thus the step) still follows the POLICY — only
+    * the consolidation function applied at read time changes, exactly
+    * as graphite-web overrides the series' consolidationFunc without
+    * re-selecting the archive. */
   def fetch(points: DataFrame, policy: RetentionPolicy, metric: Column,
-      fromSecondsAgo: Long, untilSecondsAgo: Long = 0L): DataFrame = {
+      fromSecondsAgo: Long, untilSecondsAgo: Long = 0L,
+      consolidateBy: Option[AggMethod] = None): DataFrame = {
     val a = selectArchive(policy, fromSecondsAgo)
     val step = a.secondsPerPoint
     val bucket = timestamp_seconds(
@@ -149,7 +157,8 @@ object RollupRouter {
     clampWindow(points, points.where(metric), fromSecondsAgo,
         untilSecondsAgo)
       .groupBy(bucket.as("bucket"))
-      .agg(detAgg(policy.agg, col("value"), col("ts")).as("v"),
+      .agg(detAgg(consolidateBy.getOrElse(policy.agg), col("value"),
+          col("ts")).as("v"),
         count(lit(1)).as("n"))
       .orderBy("bucket")
   }

@@ -407,6 +407,74 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** Graphite `removeAbovePercentile(series, 95)`: per-series values
+    * ABOVE the series' 95th percentile become null (graphite-web nulls
+    * the point, it does not drop the bucket). The percentile is the
+    * same exact integer-rank element as [[nPercentile]] — rank
+    * (19n+19) div 20 in value order — surfaced as a window max over the
+    * one matching rank, so both engines null exactly the same buckets
+    * (comparisons run on already-rounded doubles). Two windows, one
+    * shuffle on event_type. */
+  def removeAbovePercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("bucket"))
+    val wAll = Window.partitionBy(col("event_type"))
+    h1.select(col("event_type"), col("bucket"), col("v"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .withColumn("p95",
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("v")))
+          .over(wAll))
+      .select(col("event_type"), col("bucket"),
+        when(col("v") > col("p95"), lit(null)).otherwise(col("v")).as("v"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `removeBelowValue(series, 20)`: rollup values below the
+    * threshold become null (the bucket stays — graphite-web semantics,
+    * `render/functions.py — removeBelowValue` [U]). Pure map-side
+    * projection over the hourly rollup. */
+  def removeBelowValue(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        when(col("v") < 20.0, lit(null)).otherwise(col("v")).as("v"))
+      .orderBy("event_type", "bucket")
+
+  /** Graphite `consolidateBy(series, 'max')`: the routed clamped fetch
+    * (R4) with the read-time consolidation OVERRIDDEN to max — the
+    * archive (and step) still follow the retention policy; only the
+    * per-bucket aggregate changes
+    * ([[graft.catalog.RollupRouter.fetch]] `consolidateBy`). */
+  def consolidate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.catalog.{AggMethod, RollupRouter, SchemaCatalog}
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    RollupRouter.fetch(pts, SchemaCatalog.Default, col("metric") === "click",
+      fromSecondsAgo = 20L * 86400, consolidateBy = Some(AggMethod.Max))
+  }
+
+  /** Graphite `exclude(app.*.*, 'host1')`: resolve the candidate set by
+    * glob ([[graft.catalog.MetricGlob.predicate]] — the grep side), then
+    * drop series matching the negative REGEX
+    * ([[graft.catalog.MetricGlob.excludePredicate]]), and read the
+    * survivors' hourly rollup. Both predicates are scan-side filters
+    * (the glob's literal prefix pushes down); one shuffle on
+    * (metric, bucket). */
+  def excludeSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.catalog.MetricGlob
+    Tables.events(spark, sfDir)
+      .withColumn("metric", concat_ws(".", lit("app"), col("event_type"),
+        concat(lit("host"), pmod(col("user_id"), lit(3)).cast("string"))))
+      .where(MetricGlob.predicate(col("metric"), "app.*.*") &&
+        MetricGlob.excludePredicate(col("metric"), "host1"))
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"), count(lit(1)).as("n"))
+      .orderBy("metric", "bucket")
+  }
+
   /** Graphite `timeShift` comparison: each hourly bucket joined with the
     * same series' bucket 24h earlier (gap-safe: a JOIN on the shifted
     * key, not lag over a possibly-sparse sequence). */
@@ -658,6 +726,10 @@ object TimeSeriesOps {
     "q_ts_integral" -> integral _,
     "q_ts_integral_by_day" -> integralByInterval _,
     "q_ts_npercentile" -> nPercentile _,
+    "q_ts_remove_above_pct" -> removeAbovePercentile _,
+    "q_ts_remove_below" -> removeBelowValue _,
+    "q_ts_consolidate" -> consolidate _,
+    "q_ts_exclude" -> excludeSeries _,
     "q_ts_timeshift" -> timeshift _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
@@ -779,6 +851,56 @@ object TimeSeriesOps {
         |FROM r
         |WHERE rn = (19 * n + 19) // 20
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_ts_remove_above_pct" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, bucket, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY v, bucket) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM h1),
+        |p AS (
+        |  SELECT event_type, bucket, v,
+        |         max(CASE WHEN rn = (19 * n + 19) // 20 THEN v END)
+        |           OVER (PARTITION BY event_type) AS p95
+        |  FROM r)
+        |SELECT event_type, bucket,
+        |       CASE WHEN v > p95 THEN NULL ELSE v END AS v
+        |FROM p
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_remove_below" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket,
+        |       CASE WHEN v < 20.0 THEN NULL ELSE v END AS v
+        |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_consolidate" ->
+      s"""SELECT TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 3600000000) * 3600) * INTERVAL '1 second' AS bucket,
+        |       round(max(value), 4) AS v, count(*) AS n
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= (SELECT max(ts) FROM events) - INTERVAL '20 days'
+        |  AND ts <= (SELECT max(ts) FROM events)
+        |GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
+    "q_ts_exclude" ->
+      s"""WITH m AS (
+        |  SELECT 'app.' || event_type || '.host' || CAST(user_id % 3 AS VARCHAR) AS metric,
+        |         ts, value
+        |  FROM events)
+        |SELECT metric, date_trunc('hour', ts) AS bucket,
+        |       ${Det.avg4Sql("value")} AS v, count(*) AS n
+        |FROM m
+        |WHERE regexp_full_match(metric, 'app[.][^.]*[.][^.]*')
+        |  AND NOT regexp_matches(metric, 'host1')
+        |GROUP BY 1, 2
+        |ORDER BY metric NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_timeshift" -> {
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -69,4 +69,56 @@ class TimeSeriesSpec extends AnyFunSuite {
     val s = TimeSeriesOps.topkSeries(spark, sf).collect().map(_.getDouble(1))
     assert(s.length <= 10 && s.sameElements(s.sortBy(-_)))
   }
+
+  test("removeAbovePercentile nulls exactly the values above the series p95") {
+    val p95 = TimeSeriesOps.nPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val raw = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+    val out = TimeSeriesOps.removeAbovePercentile(spark, sf).collect()
+    assert(out.length == raw.size) // buckets survive, values null
+    out.foreach { r =>
+      val key = (r.getString(0), r.getTimestamp(1))
+      val expectNull = raw(key) > p95(r.getString(0))
+      assert(r.isNullAt(2) == expectNull, s"$key: v=${raw(key)}")
+    }
+    assert(out.exists(_.isNullAt(2)) && out.exists(!_.isNullAt(2)))
+  }
+
+  test("removeBelowValue nulls exactly the values under the threshold") {
+    val raw = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+    val out = TimeSeriesOps.removeBelowValue(spark, sf).collect()
+    assert(out.length == raw.size)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getTimestamp(1))
+      assert(r.isNullAt(2) == (raw(key) < 20.0), s"$key")
+    }
+  }
+
+  test("consolidateBy overrides the read aggregate but not the archive") {
+    import org.apache.spark.sql.functions._
+    val cons = TimeSeriesOps.consolidate(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // expected: round(max(value),4) per 1h bucket over the same clamped
+    // window the policy-default fetch reads (identical buckets + counts)
+    val avg = TimeSeriesOps.fetchRouted(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(cons.keySet == avg.keySet) // same archive step + clamp
+    cons.foreach { case (b, (vMax, n)) =>
+      val (vAvg, nAvg) = avg(b)
+      assert(n == nAvg && vMax >= vAvg - 1e-9, s"$b")
+    }
+    assert(cons.exists { case (b, (vMax, _)) => vMax > avg(b)._1 })
+  }
+
+  test("exclude drops exactly the host1 series from the glob set") {
+    val metrics = TimeSeriesOps.excludeSeries(spark, sf).collect()
+      .map(_.getString(0)).distinct
+    assert(metrics.nonEmpty)
+    assert(metrics.forall(_.matches("app\\.[^.]*\\.[^.]*")))
+    assert(!metrics.exists(_.contains("host1")))
+    assert(metrics.exists(_.contains("host0")) &&
+      metrics.exists(_.contains("host2")))
+  }
 }
