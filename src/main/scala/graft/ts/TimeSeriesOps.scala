@@ -443,6 +443,69 @@ object TimeSeriesOps {
         when(col("v") < 20.0, lit(null)).otherwise(col("v")).as("v"))
       .orderBy("event_type", "bucket")
 
+  /** Graphite `linearRegression(series)`: per-series least-squares fit
+    * over the hourly rollup (`render/functions.py — linearRegression`
+    * [U]). Determinism: x is the hour index relative to the series' own
+    * first bucket (small exact BIGINT), y accumulates as value·10⁴
+    * BIGINT (the [[Det]] scaling), so slope numerator/denominator are
+    * EXACT integers (< 2⁵³ at every SF: n ≤ retention buckets, not data
+    * size) and the only float steps are the same IEEE divisions in both
+    * engines. One window + one agg shuffle on event_type; n stays
+    * bounded by RETENTION at any data scale. */
+  def linearRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+    val s = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .withColumn("hb", expr("unix_micros(bucket) div 3600000000L"))
+      .withColumn("h", col("hb") - min(col("hb")).over(w))
+      .withColumn("ys",
+        (col("v").cast("decimal(18,4)") * lit(10000)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("sh"),
+        sum(col("h") * col("h")).as("shh"), sum(col("ys")).as("sy"),
+        sum(col("h") * col("ys")).as("shy"))
+    val slopeRaw = (col("n") * col("shy") - col("sh") * col("sy"))
+      .cast("double") /
+      ((col("n") * col("shh") - col("sh") * col("sh")) * lit(10000L))
+        .cast("double")
+    val interceptRaw = (col("sy").cast("double") / lit(10000.0) -
+      slopeRaw * col("sh").cast("double")) / col("n").cast("double")
+    s.select(col("event_type"), col("n"),
+        Det.r4(slopeRaw).as("slope"), Det.r4(interceptRaw).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  /** Graphite `holtWintersForecast` (simplified to Holt's LINEAR double
+    * exponential smoothing — level + trend, the core of the aberration
+    * alert; `render/functions.py — holtWintersForecast` [U] seasons it
+    * daily on top of exactly this recursion). The per-series recursion
+    * is inherently sequential, so it folds over the SORTED hourly-rollup
+    * array with `aggregate` — one codegen'd expression, no UDF, and the
+    * array is retention-bounded (≤ archive points per series, NOT data-
+    * sized), so collect_list here survives any corpus scale. Output is
+    * the one-step-ahead forecast (level + trend) per series. No oracle
+    * (DuckDB has no sequential fold) — spec'd against a driver-side
+    * reference fold. */
+  def holtForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    h1.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
+        .as("pts"))
+      .select(col("event_type"), size(col("pts")).as("n"),
+        expr(
+          """aggregate(
+            |  slice(pts, 3, greatest(size(pts) - 2, 0)),
+            |  named_struct(
+            |    'lvl', pts[0].v,
+            |    'trd', CAST(pts[1].v - pts[0].v AS DOUBLE)),
+            |  (acc, p) -> named_struct(
+            |    'lvl', 0.1D * p.v + 0.9D * (acc.lvl + acc.trd),
+            |    'trd', 0.01D * (0.1D * p.v + 0.9D * (acc.lvl + acc.trd)
+            |             - acc.lvl) + 0.99D * acc.trd),
+            |  acc -> acc.lvl + acc.trd)""".stripMargin).as("forecast"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `consolidateBy(series, 'max')`: the routed clamped fetch
     * (R4) with the read-time consolidation OVERRIDDEN to max — the
     * archive (and step) still follow the retention policy; only the
@@ -730,6 +793,8 @@ object TimeSeriesOps {
     "q_ts_remove_below" -> removeBelowValue _,
     "q_ts_consolidate" -> consolidate _,
     "q_ts_exclude" -> excludeSeries _,
+    "q_ts_linreg" -> linearRegression _,
+    "q_ts_holt_forecast" -> holtForecast _,
     "q_ts_timeshift" -> timeshift _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
@@ -901,6 +966,30 @@ object TimeSeriesOps {
         |  AND NOT regexp_matches(metric, 'host1')
         |GROUP BY 1, 2
         |ORDER BY metric NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_linreg" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type,
+        |         (epoch_us(bucket) // 3600000000)
+        |           - min(epoch_us(bucket) // 3600000000)
+        |             OVER (PARTITION BY event_type) AS h,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(h) AS BIGINT) AS sh,
+        |         CAST(sum(h * h) AS BIGINT) AS shh,
+        |         CAST(sum(ys) AS BIGINT) AS sy,
+        |         CAST(sum(h * ys) AS BIGINT) AS shy
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n,
+        |       ${Det.r4Sql("CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)")} AS slope,
+        |       ${Det.r4Sql("(CAST(sy AS DOUBLE) / 10000.0 - (CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(sh AS DOUBLE)) / CAST(n AS DOUBLE)")} AS intercept
+        |FROM s
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_ts_timeshift" -> {
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -27,7 +27,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val known = Set("q_agg_hll", "q_llm_knn_label", "q_llm_minhash_dedup",
       "q_llm_simhash", "q_llm_ann_ivf", "q_llm_ann_pq", "q_llm_langid",
-      "q_llm_embed_neardup",
+      "q_llm_embed_neardup", "q_ts_holt_forecast",
       "q_llm_fingerprint", "q_llm_corpus_prep", "q_mm_features", "q_mm_frames",
       "q_mm_resize", "q_llm_knn_join")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
@@ -110,6 +110,50 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(n == nAvg && vMax >= vAvg - 1e-9, s"$b")
     }
     assert(cons.exists { case (b, (vMax, _)) => vMax > avg(b)._1 })
+  }
+
+  test("linearRegression matches a driver-side exact least-squares fit") {
+    val pts = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L,
+        r.getDouble(2)))
+      .groupBy(_._1)
+    val got = TimeSeriesOps.linearRegression(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == pts.keySet)
+    pts.foreach { case (et, rows) =>
+      val h0 = rows.map(_._2).min
+      val hy = rows.map { case (_, hb, v) =>
+        (hb - h0, math.rint(BigDecimal(v).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 10000).toLong) }
+      val n = hy.length.toLong
+      val (sh, shh) = (hy.map(_._1).sum, hy.map(h => h._1 * h._1).sum)
+      val (sy, shy) = (hy.map(_._2).sum, hy.map(p => p._1 * p._2).sum)
+      val slope = (n * shy - sh * sy).toDouble /
+        ((n * shh - sh * sh) * 10000L).toDouble
+      val intercept = (sy.toDouble / 10000.0 - slope * sh.toDouble) / n
+      def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      val (gn, gs, gi) = got(et)
+      assert(gn == n && gs == r4(slope) && gi == r4(intercept), et)
+    }
+  }
+
+  test("holtForecast equals a reference sequential Holt fold") {
+    val series = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val got = TimeSeriesOps.holtForecast(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    series.foreach { case (et, ys) =>
+      var lvl = ys(0); var trd = ys(1) - ys(0)
+      ys.drop(2).foreach { y =>
+        val l2 = 0.1 * y + 0.9 * (lvl + trd)
+        trd = 0.01 * (l2 - lvl) + 0.99 * trd
+        lvl = l2
+      }
+      val (n, f) = got(et)
+      assert(n == ys.length && f == lvl + trd, et)
+    }
   }
 
   test("exclude drops exactly the host1 series from the glob set") {
