@@ -338,6 +338,37 @@ object TextOps {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  private val BudgetTokens = 10000L
+
+  /** Token-budget stratified sampling — the data-MIXING primitive: cap
+    * every language (or source) at a fixed token budget, filled in a
+    * deterministic content-hash order. Docs sort by (md5(text), doc_id)
+    * within their stratum — a reproducible shuffle order, stable across
+    * runs, partitionings and engines — and survive while the running
+    * token total stays within budget; the output is the per-stratum
+    * mixing report (docs kept, tokens kept). One shuffle on lang. At
+    * 100 TB the per-stratum window sort is the honest cost of an exact
+    * greedy prefix; when a stratum outgrows a partition, the same
+    * selection is a two-pass hash-threshold search (count tokens below
+    * a hash cut, bisect the cut), which this hash order is chosen to
+    * keep available. */
+  def budgetSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .where(col("cum") <= lit(BudgetTokens))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_kept"),
+        max(col("cum")).as("cum_max"))
+      .orderBy("lang")
+  }
+
   private val ChunkTokens = 32
   private val ChunkStep = 24 // 8-token overlap between consecutive chunks
 
@@ -418,6 +449,7 @@ object TextOps {
     "q_llm_decontaminate" -> decontaminate _,
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
+    "q_llm_budget_sample" -> budgetSample _,
     "q_llm_chunk" -> chunkDocs _,
     "q_llm_exact_dedup" -> exactDedup _,
     "q_llm_text_stats" -> textStats _,
@@ -473,6 +505,24 @@ object TextOps {
         |            ELSE 'test' END AS split
         |FROM h
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_budget_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         md5(text) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+        |       CAST(max(cum) AS BIGINT) AS cum_max
+        |FROM c
+        |WHERE cum <= 10000
+        |GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
     "q_llm_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

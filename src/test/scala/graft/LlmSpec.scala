@@ -116,6 +116,32 @@ class LlmSpec extends AnyFunSuite {
     assert(dupSplits == 1L, "duplicate texts must land in the same split")
   }
 
+  test("budget_sample keeps exactly the greedy hash-ordered token prefix") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(r.getString(2).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getString(1), h, r.getLong(0),
+          r.getString(2).split(" ", -1).length.toLong)
+      }
+    val expect = docs.groupBy(_._1).map { case (lang, rows) =>
+      var cum = 0L; var n = 0L; var tok = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, t) =>
+        cum += t
+        if (cum <= 10000L) { n += 1; tok += t }
+      }
+      lang -> (n, tok)
+    }.filter(_._2._1 > 0)
+    val got = TextOps.budgetSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    // the budget actually binds somewhere (otherwise the op is a no-op)
+    val totals = docs.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    assert(totals.exists(_._2 > 10000L))
+  }
+
   test("chunk: bounded windows, full token coverage, fixed overlap") {
     val chunks = TextOps.chunkDocs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
