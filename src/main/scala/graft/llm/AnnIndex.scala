@@ -159,13 +159,32 @@ object AnnIndex {
     * the [[SampleCap]] vectors with the smallest seeded hash of vec_id
     * (stable across runs and partitionings). The ONLY data-shaped
     * collect in the index lifecycle — model-sized, corpus-independent. */
-  private[llm] def boundedSample(e: DataFrame): Array[Array[Float]] = e
-    .orderBy(pmod(xxhash64(col("vec_id"), lit(42L)), lit(1000003L)),
-      col("vec_id"))
-    .limit(SampleCap)
-    .select(col("embedding"))
-    .collect()
-    .map(_.getSeq[Float](0).toArray)
+  private[llm] def boundedSample(e: DataFrame): Array[Array[Float]] = {
+    val HashMod = 1000003L
+    val h = pmod(xxhash64(col("vec_id"), lit(42L)), lit(HashMod))
+    // Hash-threshold prefilter before the global top-K: a bare
+    // orderBy(h).limit(cap) plans as TakeOrderedAndProject, which ships
+    // cap rows from EVERY partition to the driver merge — fine at 32
+    // partitions, 40M rows at 10^4. Admitting only h < t (t sized for
+    // ~2x cap expected survivors) makes the top-K a constant-size sort
+    // at any partition count, and the SELECTED SET IS IDENTICAL: the
+    // smallest-(h, vec_id) cap rows under a threshold admitting >= cap
+    // rows are the smallest overall (t widens x8 until that holds, so
+    // binomial shortfall only costs a retry, never a different sample).
+    val n = e.count()
+    var t = if (n <= SampleCap) HashMod
+      else math.min(HashMod, 2L * SampleCap * HashMod / n + 1L)
+    var cand = e.where(h < t)
+    while (t < HashMod && cand.count() < SampleCap) {
+      t = math.min(HashMod, t * 8L)
+      cand = e.where(h < t)
+    }
+    cand.orderBy(h, col("vec_id"))
+      .limit(SampleCap)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+  }
 
   private[llm] def trainQuantizer(spark: SparkSession, e: DataFrame,
       k: Int): DataFrame = {
