@@ -21,6 +21,12 @@ case class SessionSummary(metric: String, start: java.sql.Timestamp,
 /** Running session accumulator (epoch millis bounds). */
 case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
 
+/** A streamed corpus document heading for the mixing gate. */
+case class StreamDoc(doc_id: Long, lang: String, n_tok: Long)
+
+/** An admitted document with its stratum's running token total. */
+case class AdmittedDoc(doc_id: Long, lang: String, n_tok: Long, cum: Long)
+
 /** Kenshin's ingestion daemon (rurouni-cache) re-expressed as Structured
   * Streaming: protocol parse → in-memory accumulation (micro-batch +
   * state store replaces MetricCache) → batched rollup writes (foreachBatch
@@ -213,6 +219,36 @@ object Ingest {
           .when(col("bucket") === 8, "val")
           .otherwise("test").as("split"),
         col("ts"))
+
+  /** Streaming token-budget admission — the online half of the mixing
+    * primitive ([[graft.llm.TextOps.budgetSample]]): each language keeps
+    * a running token total as explicit state and admits documents while
+    * the stratum stays within budget; once a stratum fills, its later
+    * arrivals drop forever (the state survives across micro-batches).
+    * A stream cannot sort by content hash, so admission is arrival-order
+    * greedy — the honest online semantics — with a deterministic
+    * (doc_id) fold order WITHIN each micro-batch so replays and tests
+    * reproduce. State per key is one long; keys are languages/sources —
+    * bounded, no watermark needed. */
+  def budgetAdmit(docs: Dataset[StreamDoc],
+      budget: Long): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[Long, AdmittedDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[StreamDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            if (cum + d.n_tok <= budget) {
+              cum += d.n_tok
+              Some(AdmittedDoc(d.doc_id, lang, d.n_tok, cum))
+            } else None
+          }
+          state.update(cum)
+          admitted.iterator
+      }
+  }
 
   /** R10/R15 live last-value cache per metric, as explicit state:
     * arbitrary stateful op via mapGroupsWithState. The state store IS

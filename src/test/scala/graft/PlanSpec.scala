@@ -106,4 +106,22 @@ class PlanSpec extends AnyFunSuite {
       p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
       s"metric equality not pushed into the scan:\n$p")
   }
+
+  test("budget_sample: the lang window's shuffle serves the final agg") {
+    val p = plan("q_llm_budget_sample")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected one lang exchange (window+agg shared), got $n:\n$p")
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.split(",").length == 3,
+      s"documents scan should read 3 columns, got: $schema")
+  }
+
+  test("linreg: window partitioning is reused by the moment aggregate") {
+    val p = plan("q_ts_linreg")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    // rollup shuffle on (event_type, bucket) + window shuffle on
+    // event_type; the final moment aggregate rides the window's
+    assert(n == 2, s"expected two hash exchanges, got $n:\n$p")
+  }
 }

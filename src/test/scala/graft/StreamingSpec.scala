@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{Ingest, Point}
+import graft.streaming.{Ingest, Point, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -184,6 +184,30 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getLong(2)).toSet.subsetOf(expect.values.toSet),
       s"streamed buckets must come from the batch formula: ${gotBuckets.mkString}")
+  }
+
+  test("s_budget_admit: per-lang token budget fills across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = runToMemory(Ingest.budgetAdmit(in.toDS(), budget = 10L).toDF(),
+      "budget_admit", OutputMode.Append())
+    // batch 1: en fills 4+5=9 of 10; doc 3 (3 tok) would overflow -> drop;
+    // de admits its first doc
+    in.addData(StreamDoc(1L, "en", 4L), StreamDoc(2L, "en", 5L),
+      StreamDoc(3L, "en", 3L), StreamDoc(10L, "de", 9L))
+    q.processAllAvailable()
+    // batch 2: state persists — en has 1 token left: doc 4 (1 tok) fits
+    // exactly, doc 5 drops; de is at 9: doc 11 (2 tok) drops
+    in.addData(StreamDoc(4L, "en", 1L), StreamDoc(5L, "en", 2L),
+      StreamDoc(11L, "de", 2L))
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql(
+      "SELECT doc_id, lang, n_tok, cum FROM budget_admit ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, "en", 4L), (2L, "en", 9L),
+      (4L, "en", 10L), (10L, "de", 9L)), rows.mkString(","))
   }
 
   test("s_stateful_last: state tracks max-ts value and update count") {
