@@ -966,6 +966,40 @@ object TimeSeriesOps {
         |  AND NOT regexp_matches(metric, 'host1')
         |GROUP BY 1, 2
         |ORDER BY metric NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    // The sequential Holt fold IS DuckDB-expressible: a recursive CTE
+    // advances (lvl, trd) one rn per iteration with the IDENTICAL
+    // double-op sequence as the aggregate() lambda (the lvl' expression
+    // is repeated inside trd' exactly as the non-CSE'd lambda computes
+    // it), so the forecasts agree bit-exactly.
+    "q_ts_holt_forecast" ->
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM h1),
+        |cnt AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+        |rec AS (
+        |  SELECT r1.event_type, 2 AS rn, r1.v AS lvl, r2.v - r1.v AS trd
+        |  FROM r r1 JOIN r r2 ON r2.event_type = r1.event_type AND r2.rn = 2
+        |  WHERE r1.rn = 1
+        |  UNION ALL
+        |  SELECT rec.event_type, rec.rn + 1,
+        |         CAST(0.1 AS DOUBLE) * r.v
+        |           + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd),
+        |         CAST(0.01 AS DOUBLE) * (CAST(0.1 AS DOUBLE) * r.v
+        |             + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd) - rec.lvl)
+        |           + CAST(0.99 AS DOUBLE) * rec.trd
+        |  FROM rec JOIN r ON r.event_type = rec.event_type
+        |    AND r.rn = rec.rn + 1)
+        |SELECT rec.event_type, CAST(cnt.n AS INT) AS n,
+        |       rec.lvl + rec.trd AS forecast
+        |FROM rec JOIN cnt ON cnt.event_type = rec.event_type
+        |WHERE rec.rn = cnt.n
+        |ORDER BY rec.event_type NULLS FIRST""".stripMargin,
     "q_ts_linreg" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
