@@ -443,6 +443,31 @@ object TimeSeriesOps {
         when(col("v") < 20.0, lit(null)).otherwise(col("v")).as("v"))
       .orderBy("event_type", "bucket")
 
+  /** The seriesList COMBINATOR family (`sumSeries` / `countSeries` /
+    * `rangeOfSeries`, `render/functions.py` [U]) in one fan-in read:
+    * per bucket across every series of the hourly rollup — total, how
+    * many series reported, and max-min spread. One window-free
+    * aggregation over the tiny rollup (5 series per bucket); the rollup
+    * itself is the only raw-data shuffle. */
+  def sumSeries(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("bucket"))
+      .agg(Det.sum4(col("v")).as("sum_v"),
+        count(lit(1)).as("n_series"),
+        Det.r4(max(col("v")) - min(col("v"))).as("rng"))
+      .orderBy("bucket")
+
+  /** Graphite `transformNull(series, 0)`: the dense gap-filled fetch
+    * with gaps replaced by a CONSTANT (vs [[locf]]'s carry-forward) —
+    * the "treat missing as zero" dashboard read. Pure projection over
+    * the gapfill grid. */
+  def transformNull(spark: SparkSession, sfDir: String): DataFrame =
+    gapfill(spark, sfDir)
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("v"), lit(0.0)).as("v"))
+      .orderBy("event_type", "bucket")
+
   /** Graphite `linearRegression(series)`: per-series least-squares fit
     * over the hourly rollup (`render/functions.py — linearRegression`
     * [U]). Determinism: x is the hour index relative to the series' own
@@ -795,6 +820,8 @@ object TimeSeriesOps {
     "q_ts_exclude" -> excludeSeries _,
     "q_ts_linreg" -> linearRegression _,
     "q_ts_holt_forecast" -> holtForecast _,
+    "q_ts_sum_series" -> sumSeries _,
+    "q_ts_transform_null" -> transformNull _,
     "q_ts_timeshift" -> timeshift _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
@@ -966,6 +993,30 @@ object TimeSeriesOps {
         |  AND NOT regexp_matches(metric, 'host1')
         |GROUP BY 1, 2
         |ORDER BY metric NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_sum_series" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket, ${Det.sum4Sql("v")} AS sum_v,
+        |       count(*) AS n_series,
+        |       ${Det.r4Sql("max(v) - min(v)")} AS rng
+        |FROM h1 GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
+    "q_ts_transform_null" ->
+      s"""WITH r AS (
+        |  SELECT event_type,
+        |         TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 21600000000) * 21600) * INTERVAL '1 second' AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT unnest(generate_series((SELECT min(bucket) FROM r),
+        |                                    (SELECT max(bucket) FROM r),
+        |                                    INTERVAL '6 hour')) AS bucket),
+        |t AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, g.bucket, coalesce(r.v, 0.0) AS v
+        |FROM g CROSS JOIN t
+        |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
+        |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
     // The sequential Holt fold IS DuckDB-expressible: a recursive CTE
     // advances (lvl, trd) one rn per iteration with the IDENTICAL
     // double-op sequence as the aggregate() lambda (the lvl' expression
