@@ -368,6 +368,14 @@ class RollupRouteSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
           min(col("value")).as("min_v")),
         expectFringe = true, "ROLLUP non-aligned window")
+      // HAVING above the grouping-set aggregate: the Filter references
+      // the aggregate's output attributes, whose exprIds the rewrite
+      // preserves — routing must fire below it unchanged
+      routedVsRaw(() => sp.read.parquet(rawPath)
+        .rollup(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+        .where(col("n") > 5),
+        expectFringe = false, "ROLLUP + HAVING")
       // a THIRD grouping dimension is not in the rollup: keep raw
       RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
       val threeDim = sp.read.parquet(rawPath)
@@ -456,6 +464,27 @@ class RollupRouteSpec extends AnyFunSuite {
           g.getTimestamp(1) == e.getTimestamp(1) &&
           g.getLong(2) == e.getLong(2))
         assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+      }
+      // grouping sets compose with the v2 extractor in ONE plan (the
+      // two features were spec'd separately before): ROLLUP over the
+      // v2 read routes and agrees on every set incl. the grand total
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      def gsQuery() = sp.read.parquet(rawPath)
+        .rollup(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+        .orderBy(asc_nulls_first("metric"), asc_nulls_first("bucket"))
+      val gs = gsQuery()
+      val gsPlan = gs.queryExecution.executedPlan.toString
+      assert(gsPlan.contains("rollup_1h") && !gsPlan.contains("/points"),
+        s"v2 grouping sets did not route:\n$gsPlan")
+      val gsGot = gs.collect()
+      RollupCatalog.clear()
+      val gsExpect = gsQuery().collect()
+      assert(gsGot.length == gsExpect.length && gsGot.nonEmpty)
+      gsGot.zip(gsExpect).foreach { case (g, e) =>
+        assert(g.get(0) == e.get(0) && g.get(1) == e.get(1) &&
+          g.getLong(2) == e.getLong(2))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-6)
       }
     } finally {
       RollupCatalog.clear()
