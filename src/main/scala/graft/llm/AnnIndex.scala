@@ -303,10 +303,12 @@ object AnnIndex {
     * replaces the all-pairs cross join; per-query top-k is a window over
     * candidates only. Serves the batch query AND each foreachBatch
     * micro-batch of [[probeStream]] — one index, both surfaces. */
-  def knnJoin(index: Index, qs: DataFrame, nprobe: Int,
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qcells = qs.crossJoin(broadcast(index.cells))
+  /** Per-query top-`nprobe` cell ranking (centroid cosine, ties to the
+    * lowest cell) — the shared front half of the flat and PQ batch
+    * joins. */
+  private def rankCells(cells: DataFrame, qs: DataFrame,
+      nprobe: Int): DataFrame =
+    qs.crossJoin(broadcast(cells))
       .select(col("q_id"), col("cell"),
         CosineSim(col("qe"), col("cvec")).as("csim"))
       .groupBy(col("q_id"))
@@ -316,6 +318,11 @@ object AnnIndex {
         explode(expr(s"slice(reverse(array_sort(cs)), 1, $nprobe)")).as("s"))
       .select(col("q_id"), (-col("s.nc")).cast("int").as("cell"))
       .join(qs, "q_id")
+
+  def knnJoin(index: Index, qs: DataFrame, nprobe: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qcells = rankCells(index.cells, qs, nprobe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     qcells.join(index.lists, "cell")
@@ -342,6 +349,55 @@ object AnnIndex {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         sink(knnJoin(index, batch, nprobe, k))
+      }
+      .start()
+
+  /** Batch top-`k` neighbors through the PQ codes: candidates score by
+    * asymmetric distance over m-byte codes (the data-sized side never
+    * ships full float vectors), every query keeps a `rerank`-deep short
+    * list, and the short list re-ranks EXACTLY against full vectors
+    * fetched by key — the batch twin of [[pqProbe]] for a query SET.
+    * With `rerank` at least every candidate list's size this equals
+    * [[knnJoin]] exactly (the spec's oracle); at production rerank is
+    * a small multiple of k and the probe IO shrinks by the PQ factor. */
+  def pqKnnJoin(index: PqIndex, full: DataFrame, qs: DataFrame,
+      nprobe: Int, k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qcells = rankCells(index.cells, qs, nprobe)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val short = qcells.join(index.codes, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        CosineSim(graft.functions.PqDecode(col("codes"), index.pq.codebooks),
+          col("qe")).as("adc"))
+      // a pair can meet in several probed cells — codes are identical
+      // per vec_id, so the ADC is too; keep one
+      .groupBy(col("q_id"), col("vec_id")).agg(max(col("adc")).as("adc"))
+      .withColumn("rk", row_number().over(wAdc))
+      .where(col("rk") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+    val wSim = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    short.join(full, "vec_id").join(qs, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        CosineSim(col("embedding"), col("qe")).as("sim"))
+      .withColumn("rk", row_number().over(wSim))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("bigint").as("rk"), col("vec_id"),
+        graft.util.Det.r4(col("sim")).as("sim"))
+  }
+
+  /** [[probeStream]] against the PQ index: micro-batches pay an m-byte
+    * ADC scan plus a key-fetch re-rank instead of a full-vector list
+    * scan — the online-serving path a 10^9-vector deployment runs. */
+  def probePqStream(queries: DataFrame, index: PqIndex, full: DataFrame,
+      nprobe: Int, k: Int, rerank: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(pqKnnJoin(index, full, batch, nprobe, k, rerank))
       }
       .start()
 

@@ -306,6 +306,64 @@ class LlmSpec extends AnyFunSuite {
       s"streaming probe diverged: ${results.toSet} vs ${batch.toSet}")
   }
 
+  test("pq knn join at full rerank equals the flat knn join exactly") {
+    import graft.llm.AnnIndex
+    val sp = spark
+    val pq = AnnIndex.buildPqOrGet(sp, sf, 10, 2)
+    val full = graft.io.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = full.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val flat = AnnIndex.knnJoin(AnnIndex.buildOrGet(sp, sf, 10, 2), qs, 3, 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaPq = AnnIndex.pqKnnJoin(pq, full, qs, 3, 3, rerank = 1 << 20)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaPq == flat && viaPq.nonEmpty,
+      s"full-rerank pq join diverged: $viaPq vs $flat")
+    // a realistic short list keeps high overlap with the exact ranking
+    val tight = AnnIndex.pqKnnJoin(pq, full, qs, 3, 3, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val flatPairs = flat.map(t => (t._1, t._3))
+    val overlap = tight.intersect(flatPairs).size.toDouble / flatPairs.size
+    assert(overlap >= 0.6, s"rerank=8 recall too low: $overlap")
+  }
+
+  test("streaming PQ probe: micro-batches equal the batch pq knn join") {
+    import graft.llm.AnnIndex
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val pq = AnnIndex.buildPqOrGet(sp, sf, 10, 2)
+    val full = graft.io.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = full.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val qvecs = qs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val in = MemoryStream[(Long, Array[Float])]
+    val sq2 = AnnIndex.probePqStream(
+        in.toDF().toDF("q_id", "qe"), pq, full, nprobe = 3, k = 3,
+        rerank = 16) { out =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    try {
+      in.addData(qvecs)
+      sq2.processAllAvailable()
+    } finally sq2.stop()
+    val batch = AnnIndex.pqKnnJoin(pq, full, qs, 3, 3, rerank = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(results.toSet == batch.toSet && results.nonEmpty,
+      s"streaming pq probe diverged: ${results.toSet} vs ${batch.toSet}")
+  }
+
   test("ann_ivf returns correctly-computed sims in descending order") {
     val ann = VectorOps.annIvf(spark, sf).collect()
     assert(ann.length == 5)
