@@ -369,6 +369,36 @@ object TextOps {
       .orderBy("lang")
   }
 
+  private val MixSubBudget = 500L
+  private val MixLangBudget = 4000L
+
+  /** TWO-LEVEL budget mixing — the real shape of a training-data mix:
+    * cap every (lang, source) cell at a sub-budget (no source may
+    * dominate its language), then cap each language at its budget over
+    * the cell survivors. Both levels fill in the same deterministic
+    * (md5(text), doc_id) order as [[budgetSample]], so the selection is
+    * an exact nested greedy prefix, reproducible across engines. Two
+    * window shuffles (cell key, then lang key) + the report aggregate —
+    * each partition-local beyond its own exchange. */
+  def budgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def running(w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(col("n_tok")).over(w.orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      .withColumn("cum1",
+        running(Window.partitionBy(col("lang"), col("source"))))
+      .where(col("cum1") <= lit(MixSubBudget))
+      .withColumn("cum2", running(Window.partitionBy(col("lang"))))
+      .where(col("cum2") <= lit(MixLangBudget))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_kept"))
+      .orderBy("lang", "source")
+  }
+
   private val ChunkTokens = 32
   private val ChunkStep = 24 // 8-token overlap between consecutive chunks
 
@@ -450,6 +480,7 @@ object TextOps {
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
     "q_llm_budget_sample" -> budgetSample _,
+    "q_llm_budget_mix" -> budgetMix _,
     "q_llm_chunk" -> chunkDocs _,
     "q_llm_exact_dedup" -> exactDedup _,
     "q_llm_text_stats" -> textStats _,
@@ -523,6 +554,28 @@ object TextOps {
         |WHERE cum <= 10000
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_llm_budget_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         md5(text) AS h
+        |  FROM documents),
+        |c1 AS (
+        |  SELECT *, sum(n_tok) OVER (PARTITION BY lang, source
+        |           ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+        |  FROM t),
+        |s1 AS (SELECT * FROM c1 WHERE cum1 <= 500),
+        |c2 AS (
+        |  SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM s1)
+        |SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tok_kept
+        |FROM c2
+        |WHERE cum2 <= 4000
+        |GROUP BY 1, 2
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "q_llm_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

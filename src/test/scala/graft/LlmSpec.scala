@@ -142,6 +142,43 @@ class LlmSpec extends AnyFunSuite {
     assert(totals.exists(_._2 > 10000L))
   }
 
+  test("budget_mix is the exact nested greedy prefix (source then lang cap)") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect().map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(r.getString(3).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getString(1), r.getString(2), h, r.getLong(0),
+          r.getString(3).split(" ", -1).length.toLong)
+      }
+    // level 1: per (lang, source) greedy prefix at 500 tokens
+    val s1 = docs.groupBy(d => (d._1, d._2)).values.flatMap { rows =>
+      var cum = 0L
+      rows.sortBy(r => (r._3, r._4)).flatMap { d =>
+        cum += d._5
+        if (cum <= 500L) Some(d) else None
+      }
+    }
+    // level 2: per lang greedy prefix at 4000 tokens over survivors
+    val expect = s1.groupBy(_._1).values.flatMap { rows =>
+      var cum = 0L
+      rows.toSeq.sortBy(r => (r._3, r._4)).flatMap { d =>
+        cum += d._5
+        if (cum <= 4000L) Some(d) else None
+      }
+    }.toSeq.groupBy(d => (d._1, d._2))
+      .map { case (k, rows) => k -> (rows.length.toLong, rows.map(_._5).sum) }
+    val got = TextOps.budgetMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect && got.nonEmpty)
+    // both levels genuinely bind on this corpus
+    val l1Drop = docs.length > s1.size
+    assert(l1Drop, "sub-budget should drop something")
+    assert(s1.size > expect.values.map(_._1).sum, "lang budget should bind")
+  }
+
   test("chunk: bounded windows, full token coverage, fixed overlap") {
     val chunks = TextOps.chunkDocs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
