@@ -531,6 +531,42 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** Graphite `holtWintersConfidenceBands` / `Aberration` core
+    * (`render/functions.py` [U]; daily seasonality omitted as in
+    * [[holtForecast]]): the same level+trend fold extended with an EWMA
+    * of absolute one-step residuals, emitting the next-step forecast
+    * and ±3·dev confidence bands — the alerting read that flags a
+    * series the moment it leaves its predicted envelope. All three
+    * state fields advance from the PRE-update state, so the recursion
+    * is expressible as the identical op sequence in the oracle's
+    * recursive CTE. */
+  def holtBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    h1.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
+        .as("pts"))
+      .select(col("event_type"), size(col("pts")).as("n"),
+        expr(
+          """aggregate(
+            |  slice(pts, 3, greatest(size(pts) - 2, 0)),
+            |  named_struct(
+            |    'lvl', pts[0].v,
+            |    'trd', CAST(pts[1].v - pts[0].v AS DOUBLE),
+            |    'dev', CAST(0.0 AS DOUBLE)),
+            |  (acc, p) -> named_struct(
+            |    'lvl', 0.1D * p.v + 0.9D * (acc.lvl + acc.trd),
+            |    'trd', 0.01D * (0.1D * p.v + 0.9D * (acc.lvl + acc.trd)
+            |             - acc.lvl) + 0.99D * acc.trd,
+            |    'dev', 0.1D * abs(p.v - (acc.lvl + acc.trd))
+            |             + 0.9D * acc.dev),
+            |  acc -> acc)""".stripMargin).as("s"))
+      .select(col("event_type"), col("n"),
+        (col("s.lvl") + col("s.trd")).as("forecast"),
+        (col("s.lvl") + col("s.trd") - lit(3.0) * col("s.dev")).as("lo_band"),
+        (col("s.lvl") + col("s.trd") + lit(3.0) * col("s.dev")).as("hi_band"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `consolidateBy(series, 'max')`: the routed clamped fetch
     * (R4) with the read-time consolidation OVERRIDDEN to max — the
     * archive (and step) still follow the retention policy; only the
@@ -822,6 +858,7 @@ object TimeSeriesOps {
     "q_ts_holt_forecast" -> holtForecast _,
     "q_ts_sum_series" -> sumSeries _,
     "q_ts_transform_null" -> transformNull _,
+    "q_ts_holt_bands" -> holtBands _,
     "q_ts_timeshift" -> timeshift _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
@@ -1017,6 +1054,43 @@ object TimeSeriesOps {
         |FROM g CROSS JOIN t
         |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
         |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
+    // The bands recursion mirrors q_ts_holt_forecast's CTE with the dev
+    // EWMA as a third recursion column — every field advances from the
+    // pre-update row, exactly as the lambda reads only `acc`.
+    "q_ts_holt_bands" ->
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM h1),
+        |cnt AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+        |rec AS (
+        |  SELECT r1.event_type, 2 AS rn, r1.v AS lvl, r2.v - r1.v AS trd,
+        |         CAST(0.0 AS DOUBLE) AS dev
+        |  FROM r r1 JOIN r r2 ON r2.event_type = r1.event_type AND r2.rn = 2
+        |  WHERE r1.rn = 1
+        |  UNION ALL
+        |  SELECT rec.event_type, rec.rn + 1,
+        |         CAST(0.1 AS DOUBLE) * r.v
+        |           + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd),
+        |         CAST(0.01 AS DOUBLE) * (CAST(0.1 AS DOUBLE) * r.v
+        |             + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd) - rec.lvl)
+        |           + CAST(0.99 AS DOUBLE) * rec.trd,
+        |         CAST(0.1 AS DOUBLE) * abs(r.v - (rec.lvl + rec.trd))
+        |           + CAST(0.9 AS DOUBLE) * rec.dev
+        |  FROM rec JOIN r ON r.event_type = rec.event_type
+        |    AND r.rn = rec.rn + 1)
+        |SELECT rec.event_type, CAST(cnt.n AS INT) AS n,
+        |       rec.lvl + rec.trd AS forecast,
+        |       rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev AS lo_band,
+        |       rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev AS hi_band
+        |FROM rec JOIN cnt ON cnt.event_type = rec.event_type
+        |WHERE rec.rn = cnt.n
+        |ORDER BY rec.event_type NULLS FIRST""".stripMargin,
     // The sequential Holt fold IS DuckDB-expressible: a recursive CTE
     // advances (lvl, trd) one rn per iteration with the IDENTICAL
     // double-op sequence as the aggregate() lambda (the lvl' expression

@@ -156,6 +156,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("holtBands: dev EWMA matches the reference fold, bands bracket") {
+    val series = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val got = TimeSeriesOps.holtBands(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    series.foreach { case (et, ys) =>
+      var lvl = ys(0); var trd = ys(1) - ys(0); var dev = 0.0
+      ys.drop(2).foreach { y =>
+        val pred = lvl + trd
+        val l2 = 0.1 * y + 0.9 * (lvl + trd)
+        val t2 = 0.01 * (l2 - lvl) + 0.99 * trd
+        val d2 = 0.1 * math.abs(y - pred) + 0.9 * dev
+        lvl = l2; trd = t2; dev = d2
+      }
+      val (n, f, lo, hi) = got(et)
+      assert(n == ys.length && f == lvl + trd, et)
+      assert(lo == lvl + trd - 3.0 * dev && hi == lvl + trd + 3.0 * dev, et)
+      assert(lo < f && f < hi, s"$et: bands must bracket the forecast")
+    }
+  }
+
   test("exclude drops exactly the host1 series from the glob set") {
     val metrics = TimeSeriesOps.excludeSeries(spark, sf).collect()
       .map(_.getString(0)).distinct
