@@ -531,6 +531,29 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** Graphite `weightedAverage(valueSeries, weightSeries, node)`: the
+    * per-bucket Σ(v·w)/Σw read (`render/functions.py` [U]) — here value
+    * weighted by the event's JSON `k` property (the weight series rides
+    * the same rows, as when both series come from one dotted namespace).
+    * The product accumulates as exact DECIMAL (value ≤4 decimals ×
+    * integer weight), the weight sum as BIGINT, and the one division is
+    * identical IEEE in both engines; a zero-weight bucket is null. One
+    * aggregation pass, map-side partial. */
+  def weightedAverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
+        col("value"), k.as("k"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("k")).as("sum_w"),
+        sum(col("value").cast("decimal(18,4)") * col("k")).as("swv"))
+      .select(col("event_type"), col("bucket"), col("sum_w"),
+        when(col("sum_w") > 0,
+          Det.r4(col("swv").cast("double") / col("sum_w").cast("double")))
+          .as("wavg"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Graphite `holtWintersConfidenceBands` / `Aberration` core
     * (`render/functions.py` [U]; daily seasonality omitted as in
     * [[holtForecast]]): the same level+trend fold extended with an EWMA
@@ -859,6 +882,7 @@ object TimeSeriesOps {
     "q_ts_sum_series" -> sumSeries _,
     "q_ts_transform_null" -> transformNull _,
     "q_ts_holt_bands" -> holtBands _,
+    "q_ts_weighted_avg" -> weightedAverage _,
     "q_ts_timeshift" -> timeshift _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
@@ -1054,6 +1078,14 @@ object TimeSeriesOps {
         |FROM g CROSS JOIN t
         |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
         |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
+    "q_ts_weighted_avg" ->
+      s"""SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |       CAST(sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_w,
+        |       CASE WHEN CAST(sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) > 0
+        |            THEN ${Det.r4Sql("CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / CAST(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE)")}
+        |            END AS wavg
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     // The bands recursion mirrors q_ts_holt_forecast's CTE with the dev
     // EWMA as a third recursion column — every field advances from the
     // pre-update row, exactly as the lambda reads only `acc`.
