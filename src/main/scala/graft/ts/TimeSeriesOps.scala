@@ -531,6 +531,58 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** Graphite `holtWintersForecast` with DAILY seasonality — the full
+    * triple (level + trend + 24-slot additive season) smoothing behind
+    * graphite-web's aberration alerting (`render/functions.py —
+    * holtWintersAnalysis` [U]; slot = position mod 24 over the ordered
+    * series, α=0.1, β=0.01, γ=0.1). Seed: the first 24 points define
+    * the season (y−mean, mean from the EXACT scaled-integer sum), level
+    * = that mean, trend = 0; the fold consumes the rest, updating one
+    * season slot per step via an index-matched transform. The state
+    * array is 24 doubles — constant per series — and the whole
+    * recursion is one codegen'd aggregate over the retention-bounded
+    * sorted rollup array, no UDF. Output: the next-step forecast
+    * lvl + trd + season[next slot]. Series need ≥ 25 points. */
+  def holtWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val mean24 =
+      """(CAST(aggregate(slice(pts, 1, 24), CAST(0 AS BIGINT),
+        |  (a, p) -> a + CAST(CAST(p.v AS DECIMAL(18,4)) * 10000 AS BIGINT))
+        |  AS DOUBLE) / 240000.0D)""".stripMargin
+    val l2 =
+      """(0.1D * (p.v - element_at(acc.season, acc.pos % 24 + 1))
+        |  + 0.9D * (acc.lvl + acc.trd))""".stripMargin
+    h1.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
+        .as("pts"))
+      .where(size(col("pts")) >= 25)
+      .select(col("event_type"),
+        expr(
+          s"""aggregate(
+            |  slice(pts, 25, size(pts) - 24),
+            |  named_struct(
+            |    'lvl', $mean24,
+            |    'trd', CAST(0.0 AS DOUBLE),
+            |    'pos', 24,
+            |    'season', transform(slice(pts, 1, 24), p -> p.v - $mean24)),
+            |  (acc, p) -> named_struct(
+            |    'lvl', $l2,
+            |    'trd', 0.01D * ($l2 - acc.lvl) + 0.99D * acc.trd,
+            |    'pos', acc.pos + 1,
+            |    'season', transform(acc.season, (s, j) ->
+            |      IF(j = acc.pos % 24,
+            |         0.1D * (p.v - $l2) + 0.9D * s,
+            |         s))),
+            |  acc -> named_struct(
+            |    'n', acc.pos,
+            |    'fc', acc.lvl + acc.trd
+            |            + element_at(acc.season, acc.pos % 24 + 1)))"""
+            .stripMargin).as("s"))
+      .select(col("event_type"), col("s.n").as("n"),
+        col("s.fc").as("hw_forecast"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `weightedAverage(valueSeries, weightSeries, node)`: the
     * per-bucket Σ(v·w)/Σw read (`render/functions.py` [U]) — here value
     * weighted by the event's JSON `k` property (the weight series rides
@@ -883,6 +935,7 @@ object TimeSeriesOps {
     "q_ts_transform_null" -> transformNull _,
     "q_ts_holt_bands" -> holtBands _,
     "q_ts_weighted_avg" -> weightedAverage _,
+    "q_ts_holtwinters" -> holtWinters _,
     "q_ts_timeshift" -> timeshift _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
@@ -1086,6 +1139,52 @@ object TimeSeriesOps {
         |            END AS wavg
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    // Daily-seasonal Holt-Winters: the seasonal LIST advances through
+    // the recursion by slicing around the one updated slot (pure element
+    // copies — the only float math is the s2 formula, textually
+    // identical to the fold's), so the triple smoothing reproduces
+    // bit-exactly like the simpler Holt pair above.
+    "q_ts_holtwinters" ->
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM h1),
+        |cnt AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+        |f24 AS (
+        |  SELECT event_type, list(v ORDER BY rn) AS ys,
+        |         CAST(CAST(sum(CAST(v AS DECIMAL(18,4)) * 10000) AS BIGINT) AS DOUBLE)
+        |           / CAST(240000 AS DOUBLE) AS m
+        |  FROM r WHERE rn <= 24 GROUP BY 1),
+        |rec AS (
+        |  SELECT f24.event_type, 24 AS pos, m AS lvl,
+        |         CAST(0.0 AS DOUBLE) AS trd,
+        |         list_transform(ys, y -> y - m) AS season
+        |  FROM f24 JOIN cnt ON cnt.event_type = f24.event_type
+        |    AND cnt.n >= 25
+        |  UNION ALL
+        |  SELECT rec.event_type, rec.pos + 1,
+        |         CAST(0.1 AS DOUBLE) * (r.v - rec.season[rec.pos % 24 + 1])
+        |           + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd),
+        |         CAST(0.01 AS DOUBLE) * ((CAST(0.1 AS DOUBLE) * (r.v - rec.season[rec.pos % 24 + 1])
+        |             + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd)) - rec.lvl)
+        |           + CAST(0.99 AS DOUBLE) * rec.trd,
+        |         rec.season[1:rec.pos % 24]
+        |           || [CAST(0.1 AS DOUBLE) * (r.v - (CAST(0.1 AS DOUBLE) * (r.v - rec.season[rec.pos % 24 + 1])
+        |                 + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd)))
+        |               + CAST(0.9 AS DOUBLE) * rec.season[rec.pos % 24 + 1]]
+        |           || rec.season[rec.pos % 24 + 2:24]
+        |  FROM rec JOIN r ON r.event_type = rec.event_type
+        |    AND r.rn = rec.pos + 1)
+        |SELECT rec.event_type, CAST(cnt.n AS INT) AS n,
+        |       rec.lvl + rec.trd + rec.season[rec.pos % 24 + 1] AS hw_forecast
+        |FROM rec JOIN cnt ON cnt.event_type = rec.event_type
+        |WHERE rec.pos = cnt.n
+        |ORDER BY rec.event_type NULLS FIRST""".stripMargin,
     // The bands recursion mirrors q_ts_holt_forecast's CTE with the dev
     // EWMA as a third recursion column — every field advances from the
     // pre-update row, exactly as the lambda reads only `acc`.

@@ -179,6 +179,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("holtWinters: daily-seasonal triple smoothing matches reference") {
+    val series = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val got = TimeSeriesOps.holtWinters(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    series.filter(_._2.length >= 25).foreach { case (et, ys) =>
+      val s24 = ys.take(24)
+        .map(v => math.rint(BigDecimal(v).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 10000).toLong).sum
+      val mean = s24.toDouble / 240000.0
+      val season = ys.take(24).map(_ - mean).toArray
+      var lvl = mean; var trd = 0.0; var pos = 24
+      ys.drop(24).foreach { y =>
+        val i = pos % 24
+        val si = season(i)
+        val l2 = 0.1 * (y - si) + 0.9 * (lvl + trd)
+        val t2 = 0.01 * (l2 - lvl) + 0.99 * trd
+        season(i) = 0.1 * (y - l2) + 0.9 * si
+        lvl = l2; trd = t2; pos += 1
+      }
+      val (n, f) = got(et)
+      assert(n == ys.length, et)
+      assert(f == lvl + trd + season(pos % 24), s"$et: $f")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("exclude drops exactly the host1 series from the glob set") {
     val metrics = TimeSeriesOps.excludeSeries(spark, sf).collect()
       .map(_.getString(0)).distinct
