@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampT
   * graft.GraftExtensions at session build).
   */
 object RollupCatalog {
-  final case class Entry(rawPath: String, rollup: LogicalPlan)
+  final case class Entry(rawPath: String, rollup: LogicalPlan,
+    completeUntilMicros: Option[Long])
   @volatile private var entries: List[Entry] = Nil
 
   /** Declare `rollupDf` (schema: metric, bucket, sum_v DECIMAL, n, min_v,
@@ -46,10 +47,20 @@ object RollupCatalog {
     * CONTRACT: the raw table's `value` column must contain no nulls (true
     * of everything the ingest path writes — parseLines/parseFrames drop
     * null values). With nulls, `avg(value)` (null-skipping) and the
-    * rewrite's `sum_v / n` (n = all rows) would diverge. */
-  def register(rawPath: String, rollupDf: DataFrame): Unit =
+    * rewrite's `sum_v / n` (n = all rows) would diverge.
+    *
+    * `completeUntilMicros` is the FRESHNESS frontier for a rollup the
+    * streaming writer is still appending to: the writer has folded every
+    * raw point with `ts < completeUntil` (the foreachBatch watermark
+    * frontier). Routing then trusts only COMPLETE buckets
+    * (bucket + 1h ≤ frontier); everything at or past the frontier's hour
+    * floor is served from the raw scan as fringe partials — so a
+    * dashboard reading "up to now" stays exact while the current hour is
+    * still filling. None (the default) = the rollup is complete. */
+  def register(rawPath: String, rollupDf: DataFrame,
+      completeUntilMicros: Option[Long] = None): Unit =
     entries = Entry(normalize(rawPath),
-      rollupDf.queryExecution.analyzed) :: entries
+      rollupDf.queryExecution.analyzed, completeUntilMicros) :: entries
 
   def clear(): Unit = entries = Nil
 
@@ -318,11 +329,20 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     * pushed into the scan) while the interior stays a rollup read. */
   private def partialsPlan(rollup: LogicalPlan, rc: RollupCols,
       scanPlan: LogicalPlan, r: ColumnResolver, win: TsWindow,
-      tzId: Option[String]): Option[LogicalPlan] = {
+      tzId: Option[String],
+      frontier: Option[Long] = None): Option[LogicalPlan] = {
+    // freshness frontier (hour-floored, only passed when it BINDS): the
+    // interior trusts only buckets strictly below it; rows at/after it
+    // read raw as an extra fringe window
+    val effUpFloor: Option[Long] = (win.upFloor, frontier) match {
+      case (Some(u), Some(f)) => Some(math.min(u, f))
+      case (None, f @ Some(_)) => f
+      case (u, None) => u
+    }
     val interiorPreds: Seq[Expression] =
       r.anchorMetric(win.metricFs, rc.metric) ++
         win.loCeil.map(c => GreaterThanOrEqual(rc.bucket, mkTs(c))) ++
-        win.upFloor.map(f => LessThan(rc.bucket, mkTs(f))) ++
+        effUpFloor.map(f => LessThan(rc.bucket, mkTs(f))) ++
         (if (win.nullGuard) Seq(IsNotNull(rc.bucket)) else Nil)
     val base =
       if (interiorPreds.isEmpty) rollup
@@ -334,7 +354,7 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       Alias(Cast(rc.n, LongType), "n_c")(),
       Alias(Cast(rc.min, DoubleType), "min_c")(),
       Alias(Cast(rc.max, DoubleType), "max_c")()), base)
-    if (!win.hasFringe) return Some(interiorProj)
+    if (!win.hasFringe && frontier.isEmpty) return Some(interiorProj)
 
     val rawMetric = r.rawAttr("metric")
     val rawTs = r.rawAttr("ts")
@@ -343,11 +363,21 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     val (rm, rt, rv) = (rawMetric.get, rawTs.get, rawValue.get)
     val windows: Seq[Expression] =
       win.fringeLo.toSeq.map { case (l, c) =>
-        And(GreaterThanOrEqual(rt, mkTs(l)), LessThan(rt, mkTs(c)))
+        And(GreaterThanOrEqual(rt, mkTs(l)), LessThan(rt, mkTs(c))): Expression
       } ++
       win.fringeUp.toSeq.map { case (f, u) =>
-        And(GreaterThanOrEqual(rt, mkTs(f)), LessThan(rt, mkTs(u)))
-      }
+        And(GreaterThanOrEqual(rt, mkTs(f)), LessThan(rt, mkTs(u))): Expression
+      } ++
+      // frontier tail: everything at/after the frontier reads raw (the
+      // original bounds below still clamp it to the query window); an
+      // overlap with fringeUp is a harmless OR
+      frontier.toSeq.map(f => GreaterThanOrEqual(rt, mkTs(f)): Expression) ++
+      // a query with NO ts bounds keeps raw null-ts rows — the routed
+      // plan must too (interior drops the rollup's null bucket once a
+      // bucket upper bound exists, so nulls re-enter via raw)
+      (if (frontier.isDefined && !win.nullGuard &&
+          win.lo.isEmpty && win.up.isEmpty)
+        Seq(IsNull(rt): Expression) else Nil)
     // The original ts bounds must stay conjoined: when both bounds
     // fall inside ONE bucket (ceil(L) > floor(U)) or the region is
     // empty (L >= U), the windows extend beyond the query region and
@@ -377,7 +407,7 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     for {
       (scanPlan, scanOutput, paths, aliases, filters) <- scanDown(child)
       entry <- RollupCatalog.lookup(paths)
-      out <- buildProject(agg, groupings, aggExprs, entry.rollup, scanPlan,
+      out <- buildProject(agg, groupings, aggExprs, entry, scanPlan,
         scanOutput, aliases, filters)
     } yield out
   }
@@ -387,10 +417,11 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     * over the rollup with the ORIGINAL output exprIds so the surrounding
     * plan stays resolved. */
   private def buildProject(agg: Aggregate, groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], rollup: LogicalPlan,
+      aggExprs: Seq[NamedExpression], entry: RollupCatalog.Entry,
       scanPlan: LogicalPlan, scanOutput: Seq[Attribute],
       aliases: Map[ExprId, Expression],
       filters: Seq[Expression]): Option[LogicalPlan] = {
+    val rollup = entry.rollup
     val r = new ColumnResolver(scanOutput, aliases)
 
     def isMetric(e: Expression): Boolean = r.scanAttr(e, "metric")
@@ -404,17 +435,29 @@ object RollupRouteRule extends Rule[LogicalPlan] {
 
     val rc = rollupColsOf(rollup).getOrElse(return None)
 
-    val win = classifyFilters(filters, r,
-      hourFloorFn(trunc.get.timeZoneId)).getOrElse(return None)
+    val hourFloor = hourFloorFn(trunc.get.timeZoneId)
+    val win = classifyFilters(filters, r, hourFloor).getOrElse(return None)
+
+    // hour-floored freshness frontier, kept only when it BINDS (some
+    // queried bucket could be incomplete). A query bounded entirely
+    // below the frontier routes exactly as a complete rollup would.
+    val frontier: Option[Long] = entry.completeUntilMicros match {
+      case Some(f) => hourFloor(f) match {
+        case Some(ff) if win.upFloor.forall(_ > ff) => Some(ff)
+        case Some(_) => None
+        case None => return None
+      }
+      case None => None
+    }
 
     def aggOf(fn: AggregateFunction): Expression = fn.toAggregateExpression()
 
-    if (win.hasFringe) {
+    if (win.hasFringe || frontier.isDefined) {
       // ---- interior ∪ fringe rewrite ---------------------------------
       // Both sides emit the same decomposable-partial shape; one final
       // aggregate recombines them — see [[partialsPlan]].
       val parts = partialsPlan(rollup, rc, scanPlan, r, win,
-        trunc.get.timeZoneId).getOrElse(return None)
+        trunc.get.timeZoneId, frontier).getOrElse(return None)
       val Seq(mU, bU, sU, nU, mnU, mxU) = parts.output
       val bucketGroup: Expression =
         if (grain == "hour") bU else trunc.get.copy(timestamp = bU)
@@ -572,10 +615,18 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     val grain = String.valueOf(
       trunc.format.asInstanceOf[Literal].value).toLowerCase
 
-    val win = classifyFilters(filters, r,
-      hourFloorFn(trunc.timeZoneId)).getOrElse(return None)
+    val hourFloor = hourFloorFn(trunc.timeZoneId)
+    val win = classifyFilters(filters, r, hourFloor).getOrElse(return None)
+    val frontier: Option[Long] = entry.completeUntilMicros match {
+      case Some(f) => hourFloor(f) match {
+        case Some(ff) if win.upFloor.forall(_ > ff) => Some(ff)
+        case Some(_) => None
+        case None => return None
+      }
+      case None => None
+    }
     val parts = partialsPlan(entry.rollup, rc, scanPlan, r, win,
-      trunc.timeZoneId).getOrElse(return None)
+      trunc.timeZoneId, frontier).getOrElse(return None)
     val Seq(pm, pb, ps, pn, pmin, pmax) = parts.output
     val gb: Expression =
       if (grain == "hour") pb else trunc.copy(timestamp = pb)

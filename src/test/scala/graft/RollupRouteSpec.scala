@@ -391,6 +391,98 @@ class RollupRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("freshness frontier: incomplete tail reads raw, results stay exact") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_frontier").toString
+    val rawPath = s"$dir/points"
+    val rollupPath = s"$dir/rollup_1h"
+    graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+      .write.parquet(rawPath)
+    // the writer's state: every point with ts < frontier is folded; the
+    // rollup has NOTHING beyond it (the current day is still filling)
+    val frontierMicros = java.time.Instant
+      .parse("2024-01-15T10:30:00Z").toEpochMilli * 1000L
+    sp.read.parquet(rawPath)
+      .where(col("ts") < expr("TIMESTAMP '2024-01-15 10:30:00'"))
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .write.parquet(rollupPath)
+    sp.experimental.extraOptimizations =
+      sp.experimental.extraOptimizations :+ RollupRouteRule
+    def hourly(df: DataFrame) = df
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"),
+        min(col("value")).as("min_v"))
+      .orderBy("metric", "bucket")
+    def check(q: () => DataFrame, wantRaw: Boolean, desc: String): Unit = {
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath),
+        Some(frontierMicros))
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup_1h"), s"$desc should read the rollup:\n$plan")
+      if (wantRaw)
+        assert(plan.contains("/points") && plan.contains("Union"),
+          s"$desc should union a raw tail:\n$plan")
+      else
+        assert(!plan.contains("/points"),
+          s"$desc is complete — no raw read:\n$plan")
+      val got = routed.collect()
+      RollupCatalog.clear()
+      val expect = q().collect()
+      assert(got.length == expect.length && got.nonEmpty, desc)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2), s"$desc: $g vs $e")
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9, desc)
+      }
+    }
+    try {
+      // unbounded read spanning the frontier: trusted interior ∪ raw tail
+      check(() => hourly(sp.read.parquet(rawPath)),
+        wantRaw = true, "unbounded over live rollup")
+      // bounded entirely below the frontier: routes pure, frontier moot
+      check(() => hourly(sp.read.parquet(rawPath)
+          .where(col("ts") < expr("TIMESTAMP '2024-01-10 00:00:00'"))),
+        wantRaw = false, "bounded below frontier")
+      // non-aligned window STRADDLING the frontier: lo-fringe + tail
+      check(() => hourly(sp.read.parquet(rawPath)
+          .where(col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'") &&
+            col("ts") < expr("TIMESTAMP '2024-01-16 17:45:00'"))),
+        wantRaw = true, "straddling window")
+      // ROLLUP grouping sets respect the frontier too
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath),
+        Some(frontierMicros))
+      val gs = sp.read.parquet(rawPath)
+        .rollup(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+        .orderBy(asc_nulls_first("metric"), asc_nulls_first("bucket"))
+      val gsPlan = gs.queryExecution.executedPlan.toString
+      assert(gsPlan.contains("rollup_1h") && gsPlan.contains("/points") &&
+        gsPlan.contains("Union"), s"grouping sets + frontier:\n$gsPlan")
+      val gsGot = gs.collect()
+      RollupCatalog.clear()
+      val gsExpect = sp.read.parquet(rawPath)
+        .rollup(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+        .orderBy(asc_nulls_first("metric"), asc_nulls_first("bucket"))
+        .collect()
+      assert(gsGot.length == gsExpect.length && gsGot.nonEmpty)
+      gsGot.zip(gsExpect).foreach { case (g, e) =>
+        assert(g.get(0) == e.get(0) && g.get(1) == e.get(1) &&
+          g.getLong(2) == e.getLong(2), s"gs: $g vs $e")
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-6)
+      }
+    } finally {
+      RollupCatalog.clear()
+      sp.experimental.extraOptimizations =
+        sp.experimental.extraOptimizations.filterNot(_ == RollupRouteRule)
+    }
+  }
+
   test("hourly agg over a DataSourceV2 parquet read routes to the rollup") {
     val dir = Files.createTempDirectory("graft_v2_route").toString
     val rawPath = s"$dir/points"
