@@ -583,6 +583,25 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** Graphite `aliasByNode(series, 1)` over the live-value read: every
+    * series of the dotted namespace renamed to its service node, with
+    * its LATEST value (the legend + current-value read behind every
+    * dashboard's singlestat row). One per-series max_by pass; the alias
+    * is a pure codegen projection ([[graft.catalog.MetricGlob
+    * .aliasByNode]], previously helper-only). Last-write ties break on
+    * the larger value exactly as [[rollupLast]]. */
+  def aliasByNodeRead(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("metric", concat_ws(".", lit("app"), col("event_type"),
+        concat(lit("host"), pmod(col("user_id"), lit(3)).cast("string"))))
+      .groupBy(col("metric"))
+      .agg(round(max_by(col("value"), struct(col("ts_ns"), col("value"))), 4)
+        .as("current"))
+      .select(graft.catalog.MetricGlob.aliasByNode(col("metric"), 1)
+          .as("alias"),
+        col("metric"), col("current"))
+      .orderBy("alias", "metric")
+
   /** Graphite `weightedAverage(valueSeries, weightSeries, node)`: the
     * per-bucket Σ(v·w)/Σw read (`render/functions.py` [U]) — here value
     * weighted by the event's JSON `k` property (the weight series rides
@@ -936,6 +955,7 @@ object TimeSeriesOps {
     "q_ts_holt_bands" -> holtBands _,
     "q_ts_weighted_avg" -> weightedAverage _,
     "q_ts_holtwinters" -> holtWinters _,
+    "q_ts_alias_bynode" -> aliasByNodeRead _,
     "q_ts_timeshift" -> timeshift _,
     "q_ts_rollup_avg" -> rollupAvg _,
     "q_ts_rollup_sum" -> rollupSum _,
@@ -1131,6 +1151,15 @@ object TimeSeriesOps {
         |FROM g CROSS JOIN t
         |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
         |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
+    "q_ts_alias_bynode" ->
+      s"""WITH m AS (
+        |  SELECT 'app.' || event_type || '.host' || CAST(user_id % 3 AS VARCHAR) AS metric,
+        |         ts, value
+        |  FROM events)
+        |SELECT split_part(metric, '.', 2) AS alias, metric,
+        |       round(arg_max(value, ts), 4) AS current
+        |FROM m GROUP BY metric
+        |ORDER BY alias NULLS FIRST, metric NULLS FIRST""".stripMargin,
     "q_ts_weighted_avg" ->
       s"""SELECT event_type, date_trunc('hour', ts) AS bucket,
         |       CAST(sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_w,
