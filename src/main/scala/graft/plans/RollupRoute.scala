@@ -80,7 +80,9 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     case agg @ Aggregate(groupings, aggExprs, expand: Expand, _) =>
       rewriteGroupingSets(groupings, aggExprs, expand).getOrElse(agg)
     case agg @ Aggregate(groupings, aggExprs, child, _) =>
-      rewrite(agg, groupings, aggExprs, child).getOrElse(agg)
+      rewrite(agg, groupings, aggExprs, child)
+        .orElse(rewriteUnion(groupings, aggExprs, child))
+        .getOrElse(agg)
   }
 
   // grains the hourly rollup can serve: its own, plus any calendar
@@ -550,6 +552,111 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       else Some(Aggregate(Seq(rc.metric, coarseBucket),
         results.flatten, base, None))
     }
+  }
+
+  /** Aggregate over a UNION of registered raw tables — the TIERED read
+    * (hot recent table ∪ cold historical table, Kenshin's retention
+    * economics at production): each leg routes to ITS OWN rollup as
+    * decomposable partials and ONE final aggregate recombines across
+    * tiers. Shared Projects/Filters above the Union resolve into every
+    * leg (Union output is positional: output(i) ≡ leg.output(i)), and
+    * each leg may carry its own below the Union — incl. its own
+    * freshness frontier. Every leg must resolve to a registered scan
+    * with the same grouping grain, else the raw plan stays. */
+  private def rewriteUnion(groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    @annotation.tailrec
+    def downToUnion(plan: LogicalPlan, aliases: Map[ExprId, Expression],
+        filters: Seq[Expression])
+        : Option[(Union, Map[ExprId, Expression], Seq[Expression])] =
+      plan match {
+        case u: Union => Some((u, aliases, filters))
+        case Project(list, c) =>
+          downToUnion(c, aliases ++ list.collect {
+            case a @ Alias(e, _) => a.exprId -> e
+          }.toMap, filters)
+        case Filter(cond, c) =>
+          downToUnion(c, aliases,
+            filters ++ splitConjunctivePredicates(cond))
+        case _ => None
+      }
+    val (union, sharedAliases, sharedFilters) =
+      downToUnion(child, Map.empty, Nil).getOrElse(return None)
+    if (union.children.length < 2) return None
+
+    var grain: Option[String] = None
+    var headResolver: Option[ColumnResolver] = None
+    var headTrunc: Option[TruncTimestamp] = None
+    val legParts: Seq[LogicalPlan] = union.children.map { leg =>
+      val (scanPlan, scanOutput, paths, legAliases, legFilters) =
+        scanDown(leg).getOrElse(return None)
+      val entry = RollupCatalog.lookup(paths).getOrElse(return None)
+      // positional bridge: a Union output attr names each leg's attr at
+      // the same position (identity pairs omitted — the Union reuses
+      // the FIRST leg's exprIds, and a self-mapping would not resolve)
+      val bridge: Map[ExprId, Expression] =
+        union.output.zip(leg.output).collect {
+          case (u, l) if u.exprId != l.exprId => u.exprId -> (l: Expression)
+        }.toMap
+      val r = new ColumnResolver(scanOutput,
+        sharedAliases ++ bridge ++ legAliases)
+      val rc = rollupColsOf(entry.rollup).getOrElse(return None)
+      val trunc = groupings.flatMap(r.truncOf).headOption
+        .getOrElse(return None)
+      if (!(groupings.length == 2 &&
+          groupings.exists(e => r.scanAttr(e, "metric")))) return None
+      val g = String.valueOf(
+        trunc.format.asInstanceOf[Literal].value).toLowerCase
+      if (grain.exists(_ != g)) return None
+      grain = Some(g)
+      if (headResolver.isEmpty) {
+        headResolver = Some(r); headTrunc = Some(trunc)
+      }
+      val hourFloor = hourFloorFn(trunc.timeZoneId)
+      val win = classifyFilters(sharedFilters ++ legFilters, r, hourFloor)
+        .getOrElse(return None)
+      val frontier: Option[Long] = entry.completeUntilMicros match {
+        case Some(f) => hourFloor(f) match {
+          case Some(ff) if win.upFloor.forall(_ > ff) => Some(ff)
+          case Some(_) => None
+          case None => return None
+        }
+        case None => None
+      }
+      partialsPlan(entry.rollup, rc, scanPlan, r, win, trunc.timeZoneId,
+        frontier).getOrElse(return None)
+    }
+    val parts: LogicalPlan = Union(legParts)
+    val Seq(mU, bU, sU, nU, mnU, mxU) = parts.output
+    val r0 = headResolver.get
+    val trunc0 = headTrunc.get
+    val bucketGroup: Expression =
+      if (grain.contains("hour")) bU else trunc0.copy(timestamp = bU)
+    def aggOf(fn: AggregateFunction): Expression = fn.toAggregateExpression()
+    val results: Seq[Option[NamedExpression]] = aggExprs.map {
+      case ne if r0.scanAttr(ne, "metric") =>
+        Some(Alias(mU, ne.name)(exprId = ne.exprId))
+      case ne if r0.truncOf(ne).isDefined =>
+        Some(Alias(bucketGroup, ne.name)(exprId = ne.exprId))
+      case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+        val repl: Option[Expression] = fn match {
+          case Average(v, _) if r0.overValue(v) =>
+            Some(Divide(Cast(aggOf(Sum(sU)), DoubleType),
+              Cast(aggOf(Sum(nU)), DoubleType)))
+          case Sum(v, _) if r0.overValue(v) =>
+            Some(Cast(aggOf(Sum(sU)), DoubleType))
+          case Min(v) if r0.overValue(v) => Some(aggOf(Min(mnU)))
+          case Max(v) if r0.overValue(v) => Some(aggOf(Max(mxU)))
+          case Count(Seq(Literal(_, _))) =>
+            Some(Cast(aggOf(Sum(nU)), LongType))
+          case _ => None
+        }
+        repl.map(e => Alias(e, name)(exprId = ne.exprId))
+      case _ => None
+    }
+    if (results.exists(_.isEmpty)) None
+    else Some(Aggregate(Seq(mU, bucketGroup), results.flatten, parts, None))
   }
 
   /** ROLLUP / CUBE / GROUPING SETS over (metric, date_trunc(grain, ts)):

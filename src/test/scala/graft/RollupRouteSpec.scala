@@ -483,6 +483,84 @@ class RollupRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("union of two registered tiers routes each leg to its own rollup") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_tier").toString
+    val (coldPath, hotPath) = (s"$dir/cold", s"$dir/hot")
+    val mid = "TIMESTAMP '2024-01-15 00:00:00'"
+    val all = graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    all.where(col("ts") < expr(mid)).write.parquet(coldPath)
+    all.where(col("ts") >= expr(mid)).write.parquet(hotPath)
+    def mkRollup(raw: String, path: String): Unit =
+      sp.read.parquet(raw)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+          count(lit(1)).as("n"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .write.parquet(path)
+    mkRollup(coldPath, s"$dir/rollup_cold")
+    mkRollup(hotPath, s"$dir/rollup_hot")
+    sp.experimental.extraOptimizations =
+      sp.experimental.extraOptimizations :+ RollupRouteRule
+    def tiered() = sp.read.parquet(coldPath)
+      .unionAll(sp.read.parquet(hotPath))
+    def hourly(df: DataFrame) = df
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"),
+        max(col("value")).as("max_v"))
+      .orderBy("metric", "bucket")
+    def registerBoth(): Unit = {
+      RollupCatalog.register(coldPath, sp.read.parquet(s"$dir/rollup_cold"))
+      RollupCatalog.register(hotPath, sp.read.parquet(s"$dir/rollup_hot"))
+    }
+    def check(q: () => DataFrame, desc: String,
+        wantRaw: Boolean = false): Unit = {
+      registerBoth()
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup_cold") && plan.contains("rollup_hot"),
+        s"$desc should read both tier rollups:\n$plan")
+      if (!wantRaw)
+        assert(!plan.contains("/cold") && !plan.contains("/hot"),
+          s"$desc should not touch raw tiers:\n$plan")
+      val got = routed.collect()
+      RollupCatalog.clear()
+      val expect = q().collect()
+      assert(got.length == expect.length && got.nonEmpty, desc)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2), s"$desc: $g vs $e")
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9, desc)
+        assert(g.getDouble(4) == e.getDouble(4), desc)
+      }
+    }
+    try {
+      // the plain tiered read: both legs pure rollup
+      check(() => hourly(tiered()), "tiered hourly")
+      // shared non-aligned window above the union: per-leg fringes
+      check(() => hourly(tiered()
+          .where(col("ts") >= expr("TIMESTAMP '2024-01-08 00:30:00'"))),
+        "tiered non-aligned", wantRaw = true)
+      // metric filter above the union pushes into both legs
+      check(() => hourly(tiered().where(col("metric") =!= "view")),
+        "tiered metric filter")
+      // one leg unregistered: the whole aggregate keeps the raw scans
+      RollupCatalog.register(coldPath, sp.read.parquet(s"$dir/rollup_cold"))
+      val un = hourly(tiered())
+      val unPlan = un.queryExecution.executedPlan.toString
+      assert(unPlan.contains("/cold") && unPlan.contains("/hot") &&
+        !unPlan.contains("rollup_cold"),
+        s"half-registered union must stay raw:\n$unPlan")
+      RollupCatalog.clear()
+    } finally {
+      RollupCatalog.clear()
+      sp.experimental.extraOptimizations =
+        sp.experimental.extraOptimizations.filterNot(_ == RollupRouteRule)
+    }
+  }
+
   test("hourly agg over a DataSourceV2 parquet read routes to the rollup") {
     val dir = Files.createTempDirectory("graft_v2_route").toString
     val rawPath = s"$dir/points"
