@@ -710,6 +710,20 @@ class RollupRouteSpec extends AnyFunSuite {
       // and the injected SQL functions ride along in the same session
       assert(sp.sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F))")
         .head.getDouble(0) == 1.0)
+      // SQL views and CTEs expand at analysis, so routing sees the same
+      // Aggregate-over-scan — the BI-tool-authored read routes too
+      sp.read.parquet(rawPath).createOrReplaceTempView("graft_points_v")
+      val sqlQ = sp.sql(
+        """WITH recent AS (
+          |  SELECT * FROM graft_points_v
+          |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00')
+          |SELECT metric, date_trunc('hour', ts) AS bucket,
+          |       avg(value) AS avg_v
+          |FROM recent GROUP BY 1, 2""".stripMargin)
+      val sqlPlan = sqlQ.queryExecution.executedPlan.toString
+      assert(sqlPlan.contains("rollup_1h") && !sqlPlan.contains("/points"),
+        s"view+CTE SQL read did not route:\n$sqlPlan")
+      assert(sqlQ.collect().nonEmpty)
     } finally {
       RollupCatalog.clear()
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
