@@ -62,7 +62,62 @@ object RollupCatalog {
     entries = Entry(normalize(rawPath),
       rollupDf.queryExecution.analyzed, completeUntilMicros) :: entries
 
-  def clear(): Unit = entries = Nil
+  def clear(): Unit = { entries = Nil; tableEntries = Nil }
+
+  // path-based registrations (the persistable form): rawPath →
+  // (rollupPath, frontier). The DataFrame form above stays for ad-hoc
+  // plans; only table-backed registrations can be saved/loaded.
+  @volatile private var tableEntries: List[(String, String, Option[Long])] =
+    Nil
+
+  /** Register a rollup BY ITS TABLE PATH — the persistable form a
+    * serving fleet uses: the plan is rebuilt from the path, so the
+    * registration can be [[save]]d and [[load]]ed by other sessions. */
+  def registerTable(spark: org.apache.spark.sql.SparkSession,
+      rawPath: String, rollupPath: String,
+      completeUntilMicros: Option[Long] = None): Unit = {
+    register(rawPath, spark.read.parquet(rollupPath), completeUntilMicros)
+    tableEntries =
+      (normalize(rawPath), rollupPath, completeUntilMicros) :: tableEntries
+  }
+
+  /** Persist every table-backed registration as one small TSV
+    * (raw<TAB>rollup<TAB>frontierMicros?) through the Hadoop
+    * FileSystem, so it lands wherever the tables live (HDFS/S3/local)
+    * and any session can [[load]] it. */
+  def save(spark: org.apache.spark.sql.SparkSession, file: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(tableEntries.reverse.map { case (r, ru, f) =>
+      s"$r\t$ru\t${f.map(_.toString).getOrElse("")}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Re-register every entry of a [[save]]d catalog into THIS session.
+    * Returns the number of registrations applied. */
+  def load(spark: org.apache.spark.sql.SparkSession, file: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    val rows = text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val f = line.split("\t", -1)
+      require(f.length == 3, s"bad catalog line: $line")
+      (f(0), f(1), if (f(2).isEmpty) None else Some(f(2).toLong))
+    }.toList
+    rows.foreach { case (raw, rollup, frontier) =>
+      registerTable(spark, raw, rollup, frontier)
+    }
+    rows.length
+  }
 
   /** A scan is routable only when it reads EXACTLY the registered path:
     * a multi-path read (`spark.read.parquet(raw, other)`) unions other

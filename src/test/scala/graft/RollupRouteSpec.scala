@@ -483,6 +483,56 @@ class RollupRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog save/load: registrations survive into another session") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_cat").toString
+    val rawPath = s"$dir/points"
+    val rollupPath = s"$dir/rollup_1h"
+    graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+      .write.parquet(rawPath)
+    sp.read.parquet(rawPath)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .write.parquet(rollupPath)
+    sp.experimental.extraOptimizations =
+      sp.experimental.extraOptimizations :+ RollupRouteRule
+    try {
+      val frontier = java.time.Instant
+        .parse("2024-01-15T00:00:00Z").toEpochMilli * 1000L
+      RollupCatalog.registerTable(sp, rawPath, rollupPath, Some(frontier))
+      RollupCatalog.save(sp, s"$dir/catalog.tsv")
+      RollupCatalog.clear() // a fresh session starts empty
+      assert(RollupCatalog.load(sp, s"$dir/catalog.tsv") == 1)
+      def q() = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+        .orderBy("metric", "bucket")
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      // loaded registration routes AND keeps its freshness frontier
+      // (raw tail for the incomplete region)
+      assert(plan.contains("rollup_1h") && plan.contains("/points") &&
+        plan.contains("Union"), s"loaded catalog did not route:\n$plan")
+      val got = routed.collect()
+      RollupCatalog.clear()
+      val expect = q().collect()
+      assert(got.length == expect.length && got.nonEmpty)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+      }
+    } finally {
+      RollupCatalog.clear()
+      sp.experimental.extraOptimizations =
+        sp.experimental.extraOptimizations.filterNot(_ == RollupRouteRule)
+    }
+  }
+
   test("union of two registered tiers routes each leg to its own rollup") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_tier").toString
