@@ -38,7 +38,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampT
   */
 object RollupCatalog {
   final case class Entry(rawPath: String, rollup: LogicalPlan,
-    completeUntilMicros: Option[Long])
+    completeUntilMicros: Option[Long], appendRollup: Boolean)
   @volatile private var entries: List[Entry] = Nil
 
   /** Declare `rollupDf` (schema: metric, bucket, sum_v DECIMAL, n, min_v,
@@ -57,40 +57,54 @@ object RollupCatalog {
     * floor is served from the raw scan as fringe partials — so a
     * dashboard reading "up to now" stays exact while the current hour is
     * still filling. None (the default) = the rollup is complete. */
+  /** `appendRollup = true` declares an APPEND-MODE rollup (the live
+    * writer's shape): a bucket may hold SEVERAL partial rows (one per
+    * micro-batch that touched it), so every routed read re-aggregates —
+    * the pure one-row-per-bucket projection is reserved for compacted
+    * tables. sum_v/n/min_v/max_v are decomposable, so recombination is
+    * exact. Re-registering a path REPLACES its entry (the live writer
+    * advances the frontier once per batch). */
   def register(rawPath: String, rollupDf: DataFrame,
-      completeUntilMicros: Option[Long] = None): Unit =
-    entries = Entry(normalize(rawPath),
-      rollupDf.queryExecution.analyzed, completeUntilMicros) :: entries
+      completeUntilMicros: Option[Long] = None,
+      appendRollup: Boolean = false): Unit = {
+    val n = normalize(rawPath)
+    entries = Entry(n, rollupDf.queryExecution.analyzed,
+      completeUntilMicros, appendRollup) ::
+      entries.filterNot(_.rawPath == n)
+  }
 
   def clear(): Unit = { entries = Nil; tableEntries = Nil }
 
   // path-based registrations (the persistable form): rawPath →
-  // (rollupPath, frontier). The DataFrame form above stays for ad-hoc
-  // plans; only table-backed registrations can be saved/loaded.
-  @volatile private var tableEntries: List[(String, String, Option[Long])] =
-    Nil
+  // (rollupPath, frontier, appendRollup). The DataFrame form above
+  // stays for ad-hoc plans; only table-backed ones can be saved/loaded.
+  @volatile private var tableEntries
+    : List[(String, String, Option[Long], Boolean)] = Nil
 
   /** Register a rollup BY ITS TABLE PATH — the persistable form a
     * serving fleet uses: the plan is rebuilt from the path, so the
     * registration can be [[save]]d and [[load]]ed by other sessions. */
   def registerTable(spark: org.apache.spark.sql.SparkSession,
       rawPath: String, rollupPath: String,
-      completeUntilMicros: Option[Long] = None): Unit = {
-    register(rawPath, spark.read.parquet(rollupPath), completeUntilMicros)
-    tableEntries =
-      (normalize(rawPath), rollupPath, completeUntilMicros) :: tableEntries
+      completeUntilMicros: Option[Long] = None,
+      appendRollup: Boolean = false): Unit = {
+    register(rawPath, spark.read.parquet(rollupPath), completeUntilMicros,
+      appendRollup)
+    val n = normalize(rawPath)
+    tableEntries = (n, rollupPath, completeUntilMicros, appendRollup) ::
+      tableEntries.filterNot(_._1 == n)
   }
 
   /** Persist every table-backed registration as one small TSV
-    * (raw<TAB>rollup<TAB>frontierMicros?) through the Hadoop
-    * FileSystem, so it lands wherever the tables live (HDFS/S3/local)
-    * and any session can [[load]] it. */
+    * (raw<TAB>rollup<TAB>frontierMicros?<TAB>appendRollup) through the
+    * Hadoop FileSystem, so it lands wherever the tables live
+    * (HDFS/S3/local) and any session can [[load]] it. */
   def save(spark: org.apache.spark.sql.SparkSession, file: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(tableEntries.reverse.map { case (r, ru, f) =>
-      s"$r\t$ru\t${f.map(_.toString).getOrElse("")}"
+    try out.write(tableEntries.reverse.map { case (r, ru, f, a) =>
+      s"$r\t$ru\t${f.map(_.toString).getOrElse("")}\t$a"
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -110,11 +124,12 @@ object RollupCatalog {
     } finally in.close()
     val rows = text.split("\n").iterator.filter(_.nonEmpty).map { line =>
       val f = line.split("\t", -1)
-      require(f.length == 3, s"bad catalog line: $line")
-      (f(0), f(1), if (f(2).isEmpty) None else Some(f(2).toLong))
+      require(f.length == 4, s"bad catalog line: $line")
+      (f(0), f(1), if (f(2).isEmpty) None else Some(f(2).toLong),
+        f(3).toBoolean)
     }.toList
-    rows.foreach { case (raw, rollup, frontier) =>
-      registerTable(spark, raw, rollup, frontier)
+    rows.foreach { case (raw, rollup, frontier, append) =>
+      registerTable(spark, raw, rollup, frontier, append)
     }
     rows.length
   }
@@ -553,8 +568,10 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       if (interiorPreds.isEmpty) rollup
       else Filter(interiorPreds.reduce(And), rollup)
 
-    if (grain == "hour") {
-      // same grain: pure column remapping over the stored archive
+    if (grain == "hour" && !entry.appendRollup) {
+      // same grain over a COMPACTED archive (one row per bucket): pure
+      // column remapping — an append-mode rollup may hold several
+      // partial rows per bucket and must take the re-aggregation branch
       val projected: Seq[Option[NamedExpression]] = aggExprs.map {
         case ne if isMetric(ne) =>
           Some(Alias(rc.metric, ne.name)(exprId = ne.exprId))
@@ -578,10 +595,13 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       if (projected.exists(_.isEmpty)) None
       else Some(Project(projected.flatten, base))
     } else {
-      // coarser grain: re-aggregate the archive — exact, because the
-      // rollup stores decimal partial sums and counts (avg-of-raw ==
-      // sum(sum_v)/sum(n), never avg-of-avgs)
-      val coarseBucket = trunc.get.copy(timestamp = rc.bucket)
+      // coarser grain (or an append-mode rollup at its own grain):
+      // re-aggregate the archive — exact, because the rollup stores
+      // decimal partial sums and counts (avg-of-raw == sum(sum_v)/
+      // sum(n), never avg-of-avgs)
+      val coarseBucket: Expression =
+        if (grain == "hour") rc.bucket
+        else trunc.get.copy(timestamp = rc.bucket)
       val results: Seq[Option[NamedExpression]] = aggExprs.map {
         case ne if isMetric(ne) =>
           Some(Alias(rc.metric, ne.name)(exprId = ne.exprId))

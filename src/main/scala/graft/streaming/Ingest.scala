@@ -339,6 +339,45 @@ object Ingest {
       .write.mode("append").parquet(outDir)
   }
 
+  /** The LIVE writer loop, routing-integrated (R11 + SURVEY §8.3
+    * freshness): every micro-batch appends hourly PARTIALS in the
+    * routing-compatible shape (metric, bucket, sum_v DECIMAL(18,4), n,
+    * min_v, max_v) and then re-registers the raw table with the
+    * advanced frontier, so concurrent batch reads route the folded
+    * interior from the rollup and scan only the still-filling tail raw.
+    * A bucket touched by several batches holds several partial rows —
+    * the registration is append-mode, every routed read re-aggregates
+    * exactly, and `graft.io.Layout.compact` can later fold the partials.
+    *
+    * The frontier is the max event time folded so far + 1µs, correct
+    * when the upstream delivers in event-time order (pair with a
+    * watermark + late-drop otherwise — a late point behind the frontier
+    * would land in a bucket reads no longer scan raw). The frontier
+    * only ADVANCES (monotone max), so a batch of old replayed data
+    * cannot regress it. */
+  def liveRollupWriter(spark: org.apache.spark.sql.SparkSession,
+      rawPath: String, rollupDir: String)
+      : (DataFrame, Long) => Unit = {
+    val frontier = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    (batch: DataFrame, _: Long) => {
+      if (!batch.isEmpty) {
+        batch
+          .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+            count(lit(1)).as("n"), min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"))
+          .write.mode("append").parquet(rollupDir)
+        val mx = batch.agg(max(expr("unix_micros(ts)"))).head
+        if (!mx.isNullAt(0)) {
+          val f = math.max(frontier.get, mx.getLong(0) + 1L)
+          frontier.set(f)
+          graft.plans.RollupCatalog.registerTable(spark, rawPath,
+            rollupDir, Some(f), appendRollup = true)
+        }
+      }
+    }
+  }
+
   /** Stream-stream interval join: purchases enriched with the same
     * user's signups within [p.ts - window, p.ts]. Both sides carry
     * watermarks so the join state is bounded — the streaming form of the

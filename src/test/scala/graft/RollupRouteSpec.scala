@@ -533,6 +533,61 @@ class RollupRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("append-mode rollup (multi-partial buckets) re-aggregates exactly") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_append").toString
+    val rawPath = s"$dir/points"
+    val rollupPath = s"$dir/rollup_1h"
+    val all = graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+    all.write.parquet(rawPath)
+    // the live writer's shape: every bucket written TWICE, as the
+    // partials of two disjoint halves (split by event id parity)
+    val src = sp.read.parquet(rawPath)
+      .withColumn("half", pmod(expr("unix_micros(ts)"), lit(2)))
+    Seq(0, 1).foreach { h =>
+      src.where(col("half") === h)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+          count(lit(1)).as("n"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .write.mode("append").parquet(rollupPath)
+    }
+    sp.experimental.extraOptimizations =
+      sp.experimental.extraOptimizations :+ RollupRouteRule
+    try {
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath),
+        appendRollup = true)
+      def q() = sp.read.parquet(rawPath)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("metric", "bucket")
+      val routed = q()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup_1h") && !plan.contains("/points"),
+        s"append-mode should still route:\n$plan")
+      val got = routed.collect()
+      RollupCatalog.clear()
+      val expect = q().collect()
+      // without the re-aggregation fork, every bucket would come back
+      // twice (one row per partial)
+      assert(got.length == expect.length && got.nonEmpty)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2), s"$g vs $e")
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+        assert(g.getDouble(4) == e.getDouble(4) &&
+          g.getDouble(5) == e.getDouble(5))
+      }
+    } finally {
+      RollupCatalog.clear()
+      sp.experimental.extraOptimizations =
+        sp.experimental.extraOptimizations.filterNot(_ == RollupRouteRule)
+    }
+  }
+
   test("union of two registered tiers routes each leg to its own rollup") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_tier").toString

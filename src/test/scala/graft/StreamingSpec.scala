@@ -210,6 +210,72 @@ class StreamingSpec extends AnyFunSuite {
       (4L, "en", 10L), (10L, "de", 9L)), rows.mkString(","))
   }
 
+  test("s_live_rollup: mid-stream reads route with a moving frontier") {
+    import graft.plans.{RollupCatalog, RollupRouteRule}
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_live").toString
+    val rawPath = s"$dir/points"
+    val rollupDir = s"$dir/rollup_live"
+    def pt(m: String, t: String, v: Double) = Point(m, ts(t), v)
+    val batch1 = Seq(
+      pt("m", "2024-01-01 10:00:05", 1.0), pt("m", "2024-01-01 10:20:00", 3.0),
+      pt("m", "2024-01-01 11:10:00", 5.0), pt("k", "2024-01-01 10:30:00", 2.0))
+    val batch2 = Seq(
+      pt("m", "2024-01-01 11:40:00", 7.0), pt("k", "2024-01-01 11:45:00", 4.0),
+      pt("m", "2024-01-01 12:05:00", 9.0))
+    // the raw table a concurrent reader sees (at production: the same
+    // append sink the raw writer maintains)
+    sp.createDataset(batch1 ++ batch2).toDF().write.parquet(rawPath)
+    sp.experimental.extraOptimizations =
+      sp.experimental.extraOptimizations :+ RollupRouteRule
+    val in = MemoryStream[Point]
+    val q = in.toDF().writeStream
+      .foreachBatch(Ingest.liveRollupWriter(sp, rawPath, rollupDir))
+      .outputMode("append").start()
+    def read() = sp.read.parquet(rawPath)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+      .orderBy("metric", "bucket")
+    def assertExact(desc: String): Unit = {
+      val routed = read()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("rollup_live") && plan.contains("/points") &&
+        plan.contains("Union"),
+        s"$desc should route interior + raw tail:\n$plan")
+      val got = routed.collect()
+      // the next writer batch re-registers, so clearing here only
+      // affects the unrouted control read
+      RollupCatalog.clear()
+      val expect = read().collect()
+      assert(got.length == expect.length && got.nonEmpty, desc)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2), s"$desc: $g vs $e")
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9, desc)
+      }
+    }
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      // frontier = 11:10:00.000001 → floor 11:00: bucket 10:00 routes
+      // from the rollup, 11:00 (incomplete) reads raw
+      assertExact("after batch 1")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // frontier floor 12:00: 10:00 + 11:00 (two partial rows, folded
+      // across batches) route; 12:00 reads raw
+      assertExact("after batch 2")
+    } finally {
+      q.stop()
+      RollupCatalog.clear()
+      sp.experimental.extraOptimizations =
+        sp.experimental.extraOptimizations.filterNot(_ == RollupRouteRule)
+    }
+  }
+
   test("s_stateful_last: state tracks max-ts value and update count") {
     val sp = spark
     import sp.implicits._
