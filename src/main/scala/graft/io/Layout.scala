@@ -122,4 +122,60 @@ object Layout {
     fs.delete(backup, true)
     (before.length, dataFiles(hp).length)
   }
+
+  /** Fold an APPEND-MODE rollup (one partial row per micro-batch per
+    * bucket — [[graft.streaming.Ingest.liveRollupWriter]]'s shape) back
+    * to ONE row per (metric, bucket): partials recombine exactly
+    * (decimal sums for sum_v and n, min/max of min/max — all
+    * decomposable). Conservation is verified BEFORE the swap on the
+    * decomposable totals: Σsum_v and Σn are invariant under the fold,
+    * and the folded row count must equal the distinct (metric, bucket)
+    * count. After compaction the table can re-register with
+    * `appendRollup = false`, restoring the pure one-row-per-bucket
+    * projection path. Same staged-swap + auto-recovery discipline as
+    * [[compact]]. Returns (rowsBefore, rowsAfter). */
+  def compactRollup(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val backup = new Path(hp.getParent, hp.getName + "_prefold")
+    if (!fs.exists(hp) && fs.exists(backup)) {
+      require(fs.rename(backup, hp),
+        s"recovery of interrupted rollup fold failed for $path")
+    }
+    val src = spark.read.parquet(path)
+    val (srcSum, srcN, srcRows) = {
+      val t = src.agg(
+        sum(col("sum_v").cast("decimal(28,4)")).as("s"),
+        sum(col("n")).as("c"), count(lit(1)).as("r")).head
+      (t.getDecimal(0), t.getLong(1), t.getLong(2))
+    }
+    val nBuckets = src.select(col("metric"), col("bucket")).distinct().count()
+    val staging = new Path(hp.getParent, hp.getName + "_folding")
+    src.groupBy(col("metric"), col("bucket"))
+      .agg(sum(col("sum_v")).cast("decimal(18,4)").as("sum_v"),
+        sum(col("n")).cast("long").as("n"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val st = spark.read.parquet(staging.toString)
+    val check = st.agg(
+      sum(col("sum_v").cast("decimal(28,4)")).as("s"),
+      sum(col("n")).as("c"), count(lit(1)).as("r")).head
+    require(check.getDecimal(0).compareTo(srcSum) == 0 &&
+      check.getLong(1) == srcN && check.getLong(2) == nBuckets,
+      "rollup fold must conserve decomposable totals")
+    fs.delete(backup, true)
+    require(fs.rename(hp, backup), s"could not stage away $path")
+    if (!fs.rename(staging, hp)) {
+      val restored = fs.rename(backup, hp)
+      throw new IllegalStateException(
+        s"could not publish folded rollup $path" +
+          (if (restored) " (original restored)"
+           else s" AND rollback failed — data is at $backup"))
+    }
+    fs.delete(backup, true)
+    (srcRows, nBuckets)
+  }
 }

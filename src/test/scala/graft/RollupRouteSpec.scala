@@ -581,6 +581,31 @@ class RollupRouteSpec extends AnyFunSuite {
         assert(g.getDouble(4) == e.getDouble(4) &&
           g.getDouble(5) == e.getDouble(5))
       }
+      // maintenance closes the lifecycle: fold the partials to one row
+      // per bucket, re-register WITHOUT append mode, and the pure
+      // projection path serves the identical result
+      val (rowsBefore, rowsAfter) =
+        graft.io.Layout.compactRollup(sp, rollupPath)
+      assert(rowsAfter < rowsBefore, "fold must shrink the partials")
+      val perBucket = sp.read.parquet(rollupPath)
+        .groupBy(col("metric"), col("bucket")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      assert(perBucket == 1L, "one row per bucket after the fold")
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      val pure = q()
+      val purePlan = pure.queryExecution.executedPlan.toString
+      assert(purePlan.contains("rollup_1h") && !purePlan.contains("/points")
+        && !purePlan.contains("Union"),
+        s"compacted rollup should take the pure path:\n$purePlan")
+      val pureGot = pure.collect()
+      RollupCatalog.clear()
+      assert(pureGot.length == expect.length)
+      pureGot.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(2) == e.getLong(2), s"post-fold: $g vs $e")
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+      }
     } finally {
       RollupCatalog.clear()
       sp.experimental.extraOptimizations =
