@@ -132,8 +132,12 @@ object Layout {
     * and the folded row count must equal the distinct (metric, bucket)
     * count. After compaction the table can re-register with
     * `appendRollup = false`, restoring the pure one-row-per-bucket
-    * projection path. Same staged-swap + auto-recovery discipline as
-    * [[compact]]. Returns (rowsBefore, rowsAfter). */
+    * projection path — but ONLY when the live writer is quiesced: a
+    * batch appended DURING the fold is rescued (see below), so the
+    * table stays append-mode until a fold runs with the writer paused.
+    * Same staged-swap + auto-recovery discipline as [[compact]].
+    * Returns (rowsBefore, rowsAfter — folded rows, excluding rescued
+    * stray partials). */
   def compactRollup(spark: org.apache.spark.sql.SparkSession,
       path: String): (Long, Long) = {
     import org.apache.hadoop.fs.Path
@@ -145,6 +149,13 @@ object Layout {
       require(fs.rename(backup, hp),
         s"recovery of interrupted rollup fold failed for $path")
     }
+    // snapshot the file set the fold will read: any file appended by a
+    // live writer AFTER this point must be RESCUED into the published
+    // dir (partial rows are self-contained, so re-appending them keeps
+    // append-mode semantics exact) — deleting the backup wholesale
+    // would silently lose those batches
+    val snapshot = fs.listStatus(hp).filter(_.isFile)
+      .map(_.getPath.getName).toSet
     val src = spark.read.parquet(path)
     val (srcSum, srcN, srcRows) = {
       val t = src.agg(
@@ -175,6 +186,17 @@ object Layout {
           (if (restored) " (original restored)"
            else s" AND rollback failed — data is at $backup"))
     }
+    // rescue partial files a live writer appended between the snapshot
+    // and the swap: move them from the staged-away dir into the
+    // published one before discarding the backup
+    fs.listStatus(backup).filter(_.isFile)
+      .filterNot(s => snapshot.contains(s.getPath.getName))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { stray =>
+        require(fs.rename(stray.getPath,
+          new Path(hp, stray.getPath.getName)),
+          s"could not rescue in-flight partial ${stray.getPath}")
+      }
     fs.delete(backup, true)
     (srcRows, nBuckets)
   }

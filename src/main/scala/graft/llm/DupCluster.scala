@@ -71,10 +71,20 @@ object DupCluster {
         // the result is a LocalRelation — downstream joins broadcast it
         val edges = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.LongMap.empty[Long]
+        // ITERATIVE find (walk to root, then compress): parent chains
+        // can reach O(#edges) depth before compression — at the 4M-edge
+        // collect bound a recursive find would overflow the driver stack
         def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x
-          else { val r = find(p); parent(x) = r; r }
+          var root = x
+          while (parent.getOrElse(root, root) != root)
+            root = parent.getOrElse(root, root)
+          var cur = x
+          while (cur != root) {
+            val next = parent.getOrElse(cur, cur)
+            parent(cur) = root
+            cur = next
+          }
+          root
         }
         edges.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))

@@ -56,8 +56,9 @@ object RollupCatalog {
     * (bucket + 1h ≤ frontier); everything at or past the frontier's hour
     * floor is served from the raw scan as fringe partials — so a
     * dashboard reading "up to now" stays exact while the current hour is
-    * still filling. None (the default) = the rollup is complete. */
-  /** `appendRollup = true` declares an APPEND-MODE rollup (the live
+    * still filling. None (the default) = the rollup is complete.
+    *
+    * `appendRollup = true` declares an APPEND-MODE rollup (the live
     * writer's shape): a bucket may hold SEVERAL partial rows (one per
     * micro-batch that touched it), so every routed read re-aggregates —
     * the pure one-row-per-bucket projection is reserved for compacted
@@ -71,6 +72,10 @@ object RollupCatalog {
     entries = Entry(n, rollupDf.queryExecution.analyzed,
       completeUntilMicros, appendRollup) ::
       entries.filterNot(_.rawPath == n)
+    // a DataFrame-form registration supersedes any table-backed one for
+    // the same path — drop its persistable row, or save() would write
+    // the STALE rollup/frontier for other sessions to load
+    tableEntries = tableEntries.filterNot(_._1 == n)
   }
 
   def clear(): Unit = { entries = Nil; tableEntries = Nil }
@@ -388,6 +393,44 @@ object RollupRouteRule extends Rule[LogicalPlan] {
 
   private def mkTs(m: Long): Literal = Literal(m, TimestampType)
 
+  /** Hour-floored freshness frontier, kept only when it BINDS (some
+    * queried bucket could be incomplete). Shared by the single-scan,
+    * tiered-union and grouping-set paths so the binding rule cannot
+    * drift between them. Returns None when the truncation cannot be
+    * evaluated (abort routing); Some(None) when no frontier applies. */
+  private def bindingFrontier(entry: RollupCatalog.Entry, win: TsWindow,
+      hourFloor: Long => Option[Long]): Option[Option[Long]] =
+    entry.completeUntilMicros match {
+      case Some(f) => hourFloor(f) match {
+        case Some(ff) if win.upFloor.forall(_ > ff) => Some(Some(ff))
+        case Some(_) => Some(None)
+        case None => None
+      }
+      case None => Some(None)
+    }
+
+  /** Recombine ONE supported aggregate from decomposable partials
+    * (sum_c, n_c, min_c, max_c) — the single source of truth for which
+    * aggregates route and how they recombine, shared by every
+    * partials-consuming path. */
+  private def recombineAgg(fn: AggregateFunction,
+      overValue: Expression => Boolean, sU: Attribute, nU: Attribute,
+      mnU: Attribute, mxU: Attribute): Option[Expression] = {
+    def aggOf(f: AggregateFunction): Expression = f.toAggregateExpression()
+    fn match {
+      case Average(v, _) if overValue(v) =>
+        Some(Divide(Cast(aggOf(Sum(sU)), DoubleType),
+          Cast(aggOf(Sum(nU)), DoubleType)))
+      case Sum(v, _) if overValue(v) =>
+        Some(Cast(aggOf(Sum(sU)), DoubleType))
+      case Min(v) if overValue(v) => Some(aggOf(Min(mnU)))
+      case Max(v) if overValue(v) => Some(aggOf(Max(mxU)))
+      case Count(Seq(Literal(_, _))) =>
+        Some(Cast(aggOf(Sum(nU)), LongType))
+      case _ => None
+    }
+  }
+
   /** The routed region as decomposable partials — output (metric,
     * bucket, sum_c DECIMAL(28,4), n_c LONG, min_c DOUBLE, max_c DOUBLE).
     * A rollup row IS a bucket partial; when the window has fringes, each
@@ -513,16 +556,9 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     // hour-floored freshness frontier, kept only when it BINDS (some
     // queried bucket could be incomplete). A query bounded entirely
     // below the frontier routes exactly as a complete rollup would.
-    val frontier: Option[Long] = entry.completeUntilMicros match {
-      case Some(f) => hourFloor(f) match {
-        case Some(ff) if win.upFloor.forall(_ > ff) => Some(ff)
-        case Some(_) => None
-        case None => return None
-      }
-      case None => None
-    }
+    val frontier: Option[Long] =
+      bindingFrontier(entry, win, hourFloor).getOrElse(return None)
 
-    def aggOf(fn: AggregateFunction): Expression = fn.toAggregateExpression()
 
     if (win.hasFringe || frontier.isDefined) {
       // ---- interior ∪ fringe rewrite ---------------------------------
@@ -539,18 +575,8 @@ object RollupRouteRule extends Rule[LogicalPlan] {
         case ne if isHourTrunc(ne) =>
           Some(Alias(bucketGroup, ne.name)(exprId = ne.exprId))
         case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
-          val repl: Option[Expression] = fn match {
-            case Average(v, _) if r.overValue(v) =>
-              Some(Divide(Cast(aggOf(Sum(sU)), DoubleType),
-                Cast(aggOf(Sum(nU)), DoubleType)))
-            case Sum(v, _) if r.overValue(v) =>
-              Some(Cast(aggOf(Sum(sU)), DoubleType))
-            case Min(v) if r.overValue(v) => Some(aggOf(Min(mnU)))
-            case Max(v) if r.overValue(v) => Some(aggOf(Max(mxU)))
-            case Count(Seq(Literal(_, _))) =>
-              Some(Cast(aggOf(Sum(nU)), LongType))
-            case _ => None
-          }
+          val repl: Option[Expression] =
+            recombineAgg(fn, r.overValue, sU, nU, mnU, mxU)
           repl.map(e => Alias(e, name)(exprId = ne.exprId))
         case _ => None
       }
@@ -608,18 +634,8 @@ object RollupRouteRule extends Rule[LogicalPlan] {
         case ne if isHourTrunc(ne) =>
           Some(Alias(coarseBucket, ne.name)(exprId = ne.exprId))
         case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
-          val repl: Option[Expression] = fn match {
-            case Average(v, _) if r.overValue(v) =>
-              Some(Divide(Cast(aggOf(Sum(rc.sum)), DoubleType),
-                Cast(aggOf(Sum(rc.n)), DoubleType)))
-            case Sum(v, _) if r.overValue(v) =>
-              Some(Cast(aggOf(Sum(rc.sum)), DoubleType))
-            case Min(v) if r.overValue(v) => Some(aggOf(Min(rc.min)))
-            case Max(v) if r.overValue(v) => Some(aggOf(Max(rc.max)))
-            case Count(Seq(Literal(_, _))) =>
-              Some(Cast(aggOf(Sum(rc.n)), LongType))
-            case _ => None
-          }
+          val repl: Option[Expression] =
+            recombineAgg(fn, r.overValue, rc.sum, rc.n, rc.min, rc.max)
           repl.map(e => Alias(e, name)(exprId = ne.exprId))
         case _ => None
       }
@@ -691,14 +707,8 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       val hourFloor = hourFloorFn(trunc.timeZoneId)
       val win = classifyFilters(sharedFilters ++ legFilters, r, hourFloor)
         .getOrElse(return None)
-      val frontier: Option[Long] = entry.completeUntilMicros match {
-        case Some(f) => hourFloor(f) match {
-          case Some(ff) if win.upFloor.forall(_ > ff) => Some(ff)
-          case Some(_) => None
-          case None => return None
-        }
-        case None => None
-      }
+      val frontier: Option[Long] =
+        bindingFrontier(entry, win, hourFloor).getOrElse(return None)
       partialsPlan(entry.rollup, rc, scanPlan, r, win, trunc.timeZoneId,
         frontier).getOrElse(return None)
     }
@@ -708,25 +718,14 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     val trunc0 = headTrunc.get
     val bucketGroup: Expression =
       if (grain.contains("hour")) bU else trunc0.copy(timestamp = bU)
-    def aggOf(fn: AggregateFunction): Expression = fn.toAggregateExpression()
     val results: Seq[Option[NamedExpression]] = aggExprs.map {
       case ne if r0.scanAttr(ne, "metric") =>
         Some(Alias(mU, ne.name)(exprId = ne.exprId))
       case ne if r0.truncOf(ne).isDefined =>
         Some(Alias(bucketGroup, ne.name)(exprId = ne.exprId))
       case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
-        val repl: Option[Expression] = fn match {
-          case Average(v, _) if r0.overValue(v) =>
-            Some(Divide(Cast(aggOf(Sum(sU)), DoubleType),
-              Cast(aggOf(Sum(nU)), DoubleType)))
-          case Sum(v, _) if r0.overValue(v) =>
-            Some(Cast(aggOf(Sum(sU)), DoubleType))
-          case Min(v) if r0.overValue(v) => Some(aggOf(Min(mnU)))
-          case Max(v) if r0.overValue(v) => Some(aggOf(Max(mxU)))
-          case Count(Seq(Literal(_, _))) =>
-            Some(Cast(aggOf(Sum(nU)), LongType))
-          case _ => None
-        }
+        val repl: Option[Expression] =
+          recombineAgg(fn, r0.overValue, sU, nU, mnU, mxU)
         repl.map(e => Alias(e, name)(exprId = ne.exprId))
       case _ => None
     }
@@ -799,14 +798,8 @@ object RollupRouteRule extends Rule[LogicalPlan] {
 
     val hourFloor = hourFloorFn(trunc.timeZoneId)
     val win = classifyFilters(filters, r, hourFloor).getOrElse(return None)
-    val frontier: Option[Long] = entry.completeUntilMicros match {
-      case Some(f) => hourFloor(f) match {
-        case Some(ff) if win.upFloor.forall(_ > ff) => Some(ff)
-        case Some(_) => None
-        case None => return None
-      }
-      case None => None
-    }
+    val frontier: Option[Long] =
+      bindingFrontier(entry, win, hourFloor).getOrElse(return None)
     val parts = partialsPlan(entry.rollup, rc, scanPlan, r, win,
       trunc.timeZoneId, frontier).getOrElse(return None)
     val Seq(pm, pb, ps, pn, pmin, pmax) = parts.output
@@ -841,7 +834,6 @@ object RollupRouteRule extends Rule[LogicalPlan] {
     // attributes survive with the same exprIds; supported aggregates
     // over value recombine from the partials; anything else aborts
     val groupSet = AttributeSet(Seq(metricGC.attr, bucketGC.attr, gidAttr))
-    def aggOf(fn: AggregateFunction): Expression = fn.toAggregateExpression()
     val results: Seq[Option[NamedExpression]] = aggExprs.map {
       // reference-free aggregates (count(1)) would pass the subset test
       // vacuously and then count PARTIAL rows — the aggregate guard keeps
@@ -849,18 +841,8 @@ object RollupRouteRule extends Rule[LogicalPlan] {
       case ne if ne.references.subsetOf(groupSet) &&
           !ne.exists(_.isInstanceOf[AggregateExpression]) => Some(ne)
       case ne @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
-        val repl: Option[Expression] = fn match {
-          case Average(v, _) if r.overValue(v) =>
-            Some(Divide(Cast(aggOf(Sum(sumA)), DoubleType),
-              Cast(aggOf(Sum(nA)), DoubleType)))
-          case Sum(v, _) if r.overValue(v) =>
-            Some(Cast(aggOf(Sum(sumA)), DoubleType))
-          case Min(v) if r.overValue(v) => Some(aggOf(Min(minA)))
-          case Max(v) if r.overValue(v) => Some(aggOf(Max(maxA)))
-          case Count(Seq(Literal(_, _))) =>
-            Some(Cast(aggOf(Sum(nA)), LongType))
-          case _ => None
-        }
+        val repl: Option[Expression] =
+          recombineAgg(fn, r.overValue, sumA, nA, minA, maxA)
         repl.map(e => Alias(e, name)(exprId = ne.exprId))
       case _ => None
     }

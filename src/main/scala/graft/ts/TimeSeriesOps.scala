@@ -516,6 +516,10 @@ object TimeSeriesOps {
     h1.groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
         .as("pts"))
+      // the seed reads pts[1] (ANSI throws on a 1-point series) and the
+      // oracle's recursion seed joins rn=2 (dropping n<2 series) — the
+      // same guard keeps both engines' row sets identical
+      .where(size(col("pts")) >= 2)
       .select(col("event_type"), size(col("pts")).as("n"),
         expr(
           """aggregate(
@@ -639,6 +643,10 @@ object TimeSeriesOps {
     h1.groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
         .as("pts"))
+      // the seed reads pts[1] (ANSI throws on a 1-point series) and the
+      // oracle's recursion seed joins rn=2 (dropping n<2 series) — the
+      // same guard keeps both engines' row sets identical
+      .where(size(col("pts")) >= 2)
       .select(col("event_type"), size(col("pts")).as("n"),
         expr(
           """aggregate(
@@ -1151,14 +1159,22 @@ object TimeSeriesOps {
         |FROM g CROSS JOIN t
         |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
         |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
+    // last-write selection via an explicit (ts DESC, value DESC) window
+    // — the same tiebreak as Spark's max_by(value, struct(ts, value)),
+    // where arg_max(value, ts) would leave exact-ts ties unspecified
     "q_ts_alias_bynode" ->
       s"""WITH m AS (
         |  SELECT 'app.' || event_type || '.host' || CAST(user_id % 3 AS VARCHAR) AS metric,
         |         ts, value
-        |  FROM events)
+        |  FROM events),
+        |r AS (
+        |  SELECT metric, value,
+        |         row_number() OVER (PARTITION BY metric
+        |           ORDER BY ts DESC, value DESC) AS rn
+        |  FROM m)
         |SELECT split_part(metric, '.', 2) AS alias, metric,
-        |       round(arg_max(value, ts), 4) AS current
-        |FROM m GROUP BY metric
+        |       round(value, 4) AS current
+        |FROM r WHERE rn = 1
         |ORDER BY alias NULLS FIRST, metric NULLS FIRST""".stripMargin,
     "q_ts_weighted_avg" ->
       s"""SELECT event_type, date_trunc('hour', ts) AS bucket,
