@@ -931,7 +931,160 @@ object TimeSeriesOps {
     graft.catalog.MetricGlob.findNodes(metrics, "app.*")
   }
 
+  /** Graphite `maxSeries` / `minSeries` / `averageSeries` fan-in
+    * (`render/functions.py` [U]): per-bucket envelope across every
+    * series of the hourly rollup — the capacity-dashboard companion to
+    * [[sumSeries]]. max/min select already-rounded values (exact); the
+    * cross-series average re-accumulates as exact DECIMAL then divides
+    * once (the same IEEE division in both engines). */
+  def maxMinAvgSeries(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("bucket"))
+      .agg(max(col("v")).as("max_v"), min(col("v")).as("min_v"),
+        Det.davg4(col("v")).as("avg_v"))
+      .orderBy("bucket")
+
+  /** Graphite `diffSeries(click, *)`: the designated series minus the
+    * sum of every other series per bucket — the "everything else"
+    * residual read. One SIGNED exact-DECIMAL accumulation (click
+    * positive, the rest negated), so the difference is exact with no
+    * float rounding step at all. */
+  def diffSeries(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("event_type") === "click", col("v"))
+          .otherwise(-col("v")).cast("decimal(18,4)"))
+        .cast("double").as("diff_v"),
+        count(lit(1)).as("n_series"))
+      .orderBy("bucket")
+
+  /** Graphite `aliasSub(seriesList, 'host(\d+)', 'srv$1')`: regex
+    * rename of every matched metric — display-name surgery over the
+    * namespace read (`render/functions.py — aliasSub` [U]). The rename
+    * is a pure projection over the per-metric summary (one shuffle);
+    * replacement-token dialects differ (Java `$1` vs RE2 `\1`) but the
+    * pattern and the produced names are identical in both engines. */
+  def aliasSub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("metric", concat_ws(".", lit("app"), col("event_type"),
+        concat(lit("host"), pmod(col("user_id"), lit(3)).cast("string"))))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), Det.avg4(col("value")).as("v"))
+      .select(regexp_replace(col("metric"), "host(\\d+)", "srv$1")
+          .as("alias"),
+        col("metric"), col("n"), col("v"))
+      .orderBy("metric")
+
+  /** Graphite `timeSlice(series, from, until)`: the gap-filled fetch
+    * with values OUTSIDE the slice window blanked to null — distinct
+    * from a WHERE, which would drop the rows; the series keeps its full
+    * x-range for overlay rendering. Bounds derive from the grid's own
+    * first bucket (+5d, +15d); the scalar min is a window over the tiny
+    * dense grid, never over raw data. */
+  def timeSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    gapfill(spark, sfDir)
+      .withColumn("lo", min(col("bucket")).over(Window.partitionBy()))
+      .select(col("event_type"), col("bucket"),
+        when(col("bucket") >= col("lo") + expr("INTERVAL 5 DAYS") &&
+             col("bucket") < col("lo") + expr("INTERVAL 15 DAYS"),
+          col("v")).as("v"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `hitcount(series, '1d')`: per-day total hits when the
+    * series is a per-second rate — Σ (v · step) over the day's hourly
+    * buckets. v·3600 is an exact DECIMAL product and the day total an
+    * exact DECIMAL sum, so the output needs only the final cast. */
+  def hitcount(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("event_type"), date_trunc("day", col("bucket")).as("day"))
+      .agg(sum(col("v").cast("decimal(18,4)") * lit(3600))
+        .cast("double").as("hits"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("event_type", "day")
+
+  /** Graphite `offsetToZero(series)`: each series shifted so its own
+    * minimum sits at zero — the shape-only comparison read. One window
+    * min over the hourly rollup; the subtraction is a single IEEE op on
+    * identical inputs, rounded with the shared formula. */
+  def offsetToZero(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .withColumn("mn", min(col("v")).over(w))
+      .select(col("event_type"), col("bucket"),
+        Det.r4(col("v") - col("mn")).as("v"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `changed(series)`: 1 when a bucket's value differs from
+    * the previous bucket's, else 0 — the deploy-marker read. The
+    * comparison is between the engines' IDENTICAL rounded doubles, so
+    * the flag is exact; the first bucket reports 0 (no predecessor). */
+  def changedSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .select(col("event_type"), col("bucket"), col("v"),
+        when(col("pv").isNotNull && col("v") =!= col("pv"), 1L)
+          .otherwise(0L).as("chg"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `delay(series, 3)`: the series displaced 3 buckets
+    * forward (lag over the rollup — the cheap alternative to
+    * [[timeshift]]'s join when the bucket grid is dense enough). */
+  def delaySeries(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"), col("v"),
+        lag(col("v"), 3).over(w).as("v_delayed"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `mostDeviant(seriesList, 3)`: the 3 series with the
+    * largest population variance — the "what moved" triage read. Exact
+    * DECIMAL Σv, Σv² per series ([[stddevSeries]]'s discipline rotated
+    * 90°: partitioned by series, not bucket), the identical IEEE
+    * formula text in both engines, then a global top-3
+    * (TakeOrderedAndProject — never a full sort; variance ties break on
+    * the unique series name). */
+  def mostDeviant(spark: SparkSession, sfDir: String): DataFrame = {
+    val nd = col("n").cast("double")
+    val s1 = col("s1d").cast("double")
+    val s2 = col("s2d").cast("double")
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,8)")).as("s1d"),
+        sum((col("v") * col("v")).cast("decimal(18,8)")).as("s2d"))
+      .where(col("n") >= 2)
+      .select(col("event_type"), col("n"),
+        Det.r4((s2 - (s1 * s1) / nd) / nd).as("variance"))
+      .orderBy(col("variance").desc, col("event_type"))
+      .limit(3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_max_series" -> maxMinAvgSeries _,
+    "q_ts_diff_series" -> diffSeries _,
+    "q_ts_alias_sub" -> aliasSub _,
+    "q_ts_timeslice" -> timeSlice _,
+    "q_ts_hitcount" -> hitcount _,
+    "q_ts_offset_zero" -> offsetToZero _,
+    "q_ts_changed" -> changedSeries _,
+    "q_ts_delay" -> delaySeries _,
+    "q_ts_most_deviant" -> mostDeviant _,
     "q_ts_find_metrics" -> findMetrics _,
     "q_sessionize" -> sessionize _,
     "q_funnel" -> funnel _,
@@ -1002,6 +1155,113 @@ object TimeSeriesOps {
     * round(x,4) DOUBLE, explicit NULLS FIRST on ASC / NULLS LAST on DESC,
     * identical column names, total ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    "q_ts_max_series" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket, max(v) AS max_v, min(v) AS min_v,
+        |       ${Det.davg4Sql("v")} AS avg_v
+        |FROM h1 GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
+    "q_ts_diff_series" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket,
+        |       CAST(sum(CAST(CASE WHEN event_type = 'click' THEN v
+        |                          ELSE -v END AS DECIMAL(18,4))) AS DOUBLE) AS diff_v,
+        |       count(*) AS n_series
+        |FROM h1 GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
+    // RE2 replacement dialect (`\1`) vs Spark's Java dialect (`$1`) —
+    // same pattern, same produced names
+    "q_ts_alias_sub" ->
+      s"""WITH m AS (
+        |  SELECT 'app.' || event_type || '.host' || CAST(user_id % 3 AS VARCHAR) AS metric,
+        |         value
+        |  FROM events)
+        |SELECT regexp_replace(metric, 'host(\\d+)', 'srv\\1') AS alias,
+        |       metric, count(*) AS n, ${Det.avg4Sql("value")} AS v
+        |FROM m GROUP BY metric
+        |ORDER BY metric NULLS FIRST""".stripMargin,
+    "q_ts_timeslice" ->
+      s"""WITH r AS (
+        |  SELECT event_type,
+        |         TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 21600000000) * 21600) * INTERVAL '1 second' AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT unnest(generate_series((SELECT min(bucket) FROM r),
+        |                                    (SELECT max(bucket) FROM r),
+        |                                    INTERVAL '6 hour')) AS bucket),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |lo AS (SELECT min(bucket) AS lo FROM g)
+        |SELECT t.event_type, g.bucket,
+        |       CASE WHEN g.bucket >= lo.lo + INTERVAL '5 day'
+        |             AND g.bucket <  lo.lo + INTERVAL '15 day'
+        |            THEN r.v END AS v
+        |FROM g CROSS JOIN t CROSS JOIN lo
+        |LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket
+        |ORDER BY t.event_type NULLS FIRST, g.bucket NULLS FIRST""".stripMargin,
+    "q_ts_hitcount" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, date_trunc('day', bucket) AS day,
+        |       CAST(sum(CAST(v AS DECIMAL(18,4)) * 3600) AS DOUBLE) AS hits,
+        |       count(*) AS n_buckets
+        |FROM h1 GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_ts_offset_zero" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket,
+        |       ${Det.r4Sql("v - min(v) OVER (PARTITION BY event_type)")} AS v
+        |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_changed" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, v,
+        |       CAST(CASE WHEN lag(v) OVER w IS NOT NULL
+        |                  AND v <> lag(v) OVER w THEN 1 ELSE 0 END AS BIGINT) AS chg
+        |FROM h1
+        |WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_delay" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, v,
+        |       lag(v, 3) OVER (PARTITION BY event_type ORDER BY bucket) AS v_delayed
+        |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_most_deviant" -> {
+      val n = "CAST(n AS DOUBLE)"
+      val s1 = "CAST(s1d AS DOUBLE)"
+      val s2 = "CAST(s2d AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(v AS DECIMAL(18,8))) AS s1d,
+        |         sum(CAST(v * v AS DECIMAL(18,8))) AS s2d
+        |  FROM h1 GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT event_type, n,
+        |       ${Det.r4Sql(s"($s2 - ($s1 * $s1) / $n) / $n")} AS variance
+        |FROM g
+        |ORDER BY variance DESC NULLS LAST, event_type NULLS FIRST
+        |LIMIT 3""".stripMargin
+    },
     "q_ts_derivative" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
