@@ -26,6 +26,13 @@ package object functions {
       org.apache.spark.sql.graft.PqDecodeExpr(c, cb)
   }
 
+  /** OPQ rotation: ARRAY<FLOAT> vector → ARRAY<FLOAT> `R·v` for a
+    * row-major orthogonal matrix learned offline (Ge et al., CVPR'13). */
+  object RotateVec {
+    def apply(c: Column, rot: Array[Array[Float]]): Column =
+      org.apache.spark.sql.graft.RotateVecExpr(c, rot)
+  }
+
   /** Native simhash aggregate: LONG hash column → 64-bit signature
     * (per-bit majority vote in a single int[64] buffer). */
   object SimHashAgg {

@@ -34,8 +34,13 @@ object AnnIndex {
   final case class Index(cells: DataFrame, lists: DataFrame)
 
   /** Product-quantization model: `codebooks(s)(c)` is subspace `s`'s
-    * codeword `c` (over L2-NORMALIZED vectors — the angular setup). */
-  final case class Pq(codebooks: Array[Array[Array[Float]]]) {
+    * codeword `c` (over L2-NORMALIZED vectors — the angular setup).
+    * `rot`, when present, is the OPQ orthogonal rotation (row-major):
+    * vectors are rotated BEFORE slicing into subspaces, and queries must
+    * rotate identically before ADC scoring (rotation preserves cosine,
+    * so the exact re-rank is untouched). */
+  final case class Pq(codebooks: Array[Array[Array[Float]]],
+      rot: Option[Array[Array[Float]]] = None) {
     def m: Int = codebooks.length
     def dsub: Int = codebooks(0)(0).length
   }
@@ -138,6 +143,43 @@ object AnnIndex {
     }
   }
 
+  /** Build-or-get the OPQ variant: same coarse cells, but vectors are
+    * rotated by a learned orthogonal R before PQ slicing (parametric OPQ
+    * — Ge et al. CVPR'13: PCA basis + balanced eigenvalue allocation
+    * across subspaces, trained on the SAME bounded sample). The coarse
+    * quantizer stays in the original space (rotation preserves cosine,
+    * so cell ranking is unaffected); only the codes and the ADC query
+    * side live in the rotated basis. */
+  def buildOpqOrGet(spark: SparkSession, sfDir: String, k: Int,
+      replicas: Int, m: Int = PqSubspaces): PqIndex = synchronized {
+    val key = s"${spark.sparkContext.applicationId}" +
+      s"|s=${Integer.toHexString(System.identityHashCode(spark))}" +
+      s"|$sfDir|k=$k|r=$replicas|opq=$m"
+    pqRegistry.get(key) match {
+      case Some(idx) => idx
+      case None =>
+        val base = buildOrGet(spark, sfDir, k, replicas)
+        val e = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val sample = boundedSample(e)
+        val rot = trainOpqRotation(sample, m)
+        val rotated = sample.map(applyRotation(rot, _))
+        val pq = Pq(trainPq(rotated, m), Some(rot))
+        val codes = base.lists.select(col("vec_id"), col("cell"),
+            graft.functions.PqEncode(
+              graft.functions.RotateVec(col("embedding"), rot),
+              pq.codebooks).as("codes"))
+          .localCheckpoint()
+        val idx = PqIndex(base.cells, codes, pq)
+        pqRegistry.put(key, idx)
+        pqOrder.add(key)
+        while (pqRegistry.size > MaxCached) {
+          Option(pqOrder.poll()).foreach(pqRegistry.remove)
+        }
+        idx
+    }
+  }
+
   private[llm] def build(spark: SparkSession, sfDir: String, k: Int,
       replicas: Int): Index = {
     val e = Tables.embeddings(spark, sfDir)
@@ -159,7 +201,7 @@ object AnnIndex {
     * the [[SampleCap]] vectors with the smallest seeded hash of vec_id
     * (stable across runs and partitionings). The ONLY data-shaped
     * collect in the index lifecycle — model-sized, corpus-independent. */
-  private[llm] def boundedSample(e: DataFrame): Array[Array[Float]] = {
+  private[graft] def boundedSample(e: DataFrame): Array[Array[Float]] = {
     val HashMod = 1000003L
     val h = pmod(xxhash64(col("vec_id"), lit(42L)), lit(HashMod))
     // Hash-threshold prefilter before the global top-K: a bare
@@ -296,6 +338,152 @@ object AnnIndex {
     cents
   }
 
+  /** Driver-side `R·v` for sample preparation (the distributed twin is
+    * [[graft.functions.RotateVec]]). */
+  private[graft] def applyRotation(rot: Array[Array[Float]],
+      v: Array[Float]): Array[Float] =
+    Array.tabulate(rot.length) { i =>
+      val row = rot(i)
+      var d = 0.0; var j = 0
+      val lim = math.min(row.length, v.length)
+      while (j < lim) { d += row(j).toDouble * v(j); j += 1 }
+      d.toFloat
+    }
+
+  /** Parametric OPQ rotation (Ge et al. CVPR'13, the non-iterative
+    * variant): PCA of the L2-normalized bounded sample, then BALANCED
+    * eigenvalue allocation — eigenvectors are dealt (descending λ) to
+    * the subspace with the smallest Σ log λ so far, equalizing each
+    * subspace's variance budget so no codebook starves. Returns the
+    * row-major orthogonal R whose consecutive `dsub` rows are subspace
+    * s's basis. Everything runs on the driver over the model-sized
+    * sample: one dim×dim covariance + a Jacobi eigensolve — O(dim³)
+    * with dim=64, microseconds, corpus-independent. */
+  private[graft] def trainOpqRotation(sample: Array[Array[Float]],
+      m: Int = PqSubspaces): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val normed = sample.map { v =>
+      var nrm = 0.0; var i = 0
+      while (i < dim) { nrm += v(i).toDouble * v(i); i += 1 }
+      val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+      Array.tabulate(dim)(j => v(j) * inv)
+    }
+    val n = normed.length
+    val mean = new Array[Double](dim)
+    normed.foreach { v =>
+      var i = 0; while (i < dim) { mean(i) += v(i); i += 1 }
+    }
+    var i = 0
+    while (i < dim) { mean(i) /= n; i += 1 }
+    val cov = Array.ofDim[Double](dim, dim)
+    normed.foreach { v =>
+      var a = 0
+      while (a < dim) {
+        val da = v(a) - mean(a)
+        var b = a
+        while (b < dim) { cov(a)(b) += da * (v(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < dim) {
+      var b = a
+      while (b < dim) {
+        cov(a)(b) /= n; cov(b)(a) = cov(a)(b); b += 1
+      }
+      a += 1
+    }
+    val (eigvals, eigvecs) = jacobiEigen(cov)
+    // deal eigenvectors (descending eigenvalue, index tiebreak) to the
+    // least-loaded non-full subspace — the OPQ-P balanced allocation
+    val order = eigvals.zipWithIndex.sortBy { case (l, idx) => (-l, idx) }
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logSum = new Array[Double](m)
+    order.foreach { case (l, idx) =>
+      val open = (0 until m).filter(b => buckets(b).length < dsub)
+      val b = open.minBy(bi => (logSum(bi), bi))
+      buckets(b) = buckets(b) :+ idx
+      logSum(b) += math.log(math.max(l, 1e-12))
+    }
+    val rows = buckets.flatten
+    Array.tabulate(dim)(r =>
+      Array.tabulate(dim)(d => eigvecs(d)(rows(r)).toFloat))
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
+    * (eigenvalues, eigenvector matrix — COLUMN i pairs with value i).
+    * Deterministic sweep order, fixed sweep count (64×64 converges to
+    * machine precision well inside 12 sweeps). */
+  private[llm] def jacobiEigen(src: Array[Array[Double]],
+      sweeps: Int = 12): (Array[Double], Array[Array[Double]]) = {
+    val n = src.length
+    val a = Array.tabulate(n, n)((i, j) => src(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps) {
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        val apq = a(p)(q)
+        if (math.abs(apq) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          var i = 0
+          while (i < n) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+            i += 1
+          }
+          i = 0
+          while (i < n) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+            i += 1
+          }
+          i = 0
+          while (i < n) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+            i += 1
+          }
+        }
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Offline nprobe calibration: measure recall@`k` of [[knnJoin]]
+    * against the exhaustive baseline (probing EVERY cell is exactly
+    * brute force) for each candidate nprobe over a bounded query set,
+    * and return the smallest candidate meeting `targetRecall` (falling
+    * back to all-cells) plus the full tradeoff table. Recall is
+    * non-decreasing in nprobe (a larger candidate superset can only pull
+    * the approximate top-k toward the true one), so "smallest meeting
+    * target" is well-defined. Driver cost: |candidates|+1 probe jobs and
+    * query-set-sized collects — an offline calibration pass, never a
+    * per-query cost. */
+  def tuneNprobe(index: Index, qs: DataFrame, k: Int, targetRecall: Double,
+      candidates: Seq[Int]): (Int, Seq[(Int, Double)]) = {
+    val nCells = index.cells.count().toInt
+    def pairs(np: Int): Set[(Long, Long)] =
+      knnJoin(index, qs, np, k).select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(nCells)
+    val table = candidates.distinct.sorted.map { np =>
+      np -> (if (exact.isEmpty) 1.0
+             else pairs(np).intersect(exact).size.toDouble / exact.size)
+    }
+    (table.find(_._2 >= targetRecall).map(_._1).getOrElse(nCells), table)
+  }
+
   /** Batch k-NN join against the index: top-`k` neighbors for EVERY row
     * of `qs(q_id, qe)`. Queries rank their `nprobe` cells against the
     * broadcast quantizer (scalars through the agg, vector rehydrated by
@@ -360,6 +548,12 @@ object AnnIndex {
     * With `rerank` at least every candidate list's size this equals
     * [[knnJoin]] exactly (the spec's oracle); at production rerank is
     * a small multiple of k and the probe IO shrinks by the PQ factor. */
+  /** Query-side ADC vector: rotated into the codes' basis when the
+    * model carries an OPQ rotation (cosine is rotation-invariant, so
+    * the exact re-rank against original vectors needs no change). */
+  private def adcQuery(pq: Pq): org.apache.spark.sql.Column =
+    pq.rot.fold(col("qe"))(r => graft.functions.RotateVec(col("qe"), r))
+
   def pqKnnJoin(index: PqIndex, full: DataFrame, qs: DataFrame,
       nprobe: Int, k: Int, rerank: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -370,7 +564,7 @@ object AnnIndex {
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         CosineSim(graft.functions.PqDecode(col("codes"), index.pq.codebooks),
-          col("qe")).as("adc"))
+          adcQuery(index.pq)).as("adc"))
       // a pair can meet in several probed cells — codes are identical
       // per vec_id, so the ADC is too; keep one
       .groupBy(col("q_id"), col("vec_id")).agg(max(col("adc")).as("adc"))
@@ -464,7 +658,7 @@ object AnnIndex {
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
         CosineSim(graft.functions.PqDecode(col("codes"), index.pq.codebooks),
-          col("qe")).as("adc"))
+          adcQuery(index.pq)).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(rerank)
     full.join(broadcast(shortList.select(col("vec_id"))), "vec_id")

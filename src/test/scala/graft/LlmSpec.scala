@@ -604,4 +604,107 @@ class LlmSpec extends AnyFunSuite {
     val stats = MultimodalOps.resizeStats(spark, sf).collect()
     assert(stats.forall(_.getLong(4) == 1L))
   }
+
+  test("opq rotation is orthogonal and preserves cosine") {
+    import graft.llm.AnnIndex
+    val e = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val sample = AnnIndex.boundedSample(e)
+    val rot = AnnIndex.trainOpqRotation(sample, 8)
+    val dim = rot.length
+    // R · Rt == I within float tolerance
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var d = 0.0
+      var t = 0
+      while (t < dim) { d += rot(i)(t).toDouble * rot(j)(t); t += 1 }
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-4, s"RRt[$i][$j] = $d")
+    }
+    // rotation preserves pairwise cosine (angular ADC stays faithful)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    for (i <- 0 until 5; j <- i + 1 until 5) {
+      val plain = cos(sample(i), sample(j))
+      val rotated = cos(AnnIndex.applyRotation(rot, sample(i)),
+        AnnIndex.applyRotation(rot, sample(j)))
+      assert(math.abs(plain - rotated) < 1e-4,
+        s"cosine not preserved: $plain vs $rotated")
+    }
+  }
+
+  test("opq knn join at full rerank equals the flat knn join exactly") {
+    import graft.llm.AnnIndex
+    val sp = spark
+    val opq = AnnIndex.buildOpqOrGet(sp, sf, 10, 2)
+    assert(opq.pq.rot.nonEmpty, "opq index must carry its rotation")
+    val full = graft.io.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = full.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val flat = AnnIndex.knnJoin(AnnIndex.buildOrGet(sp, sf, 10, 2), qs, 3, 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaOpq = AnnIndex.pqKnnJoin(opq, full, qs, 3, 3, rerank = 1 << 20)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaOpq == flat && viaOpq.nonEmpty,
+      s"full-rerank opq join diverged: $viaOpq vs $flat")
+    // a realistic short list keeps high overlap with the exact ranking
+    val tight = AnnIndex.pqKnnJoin(opq, full, qs, 3, 3, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val flatPairs = flat.map(t => (t._1, t._3))
+    val overlap = tight.intersect(flatPairs).size.toDouble / flatPairs.size
+    assert(overlap >= 0.6, s"opq rerank=8 recall too low: $overlap")
+  }
+
+  test("opq reconstruction is no worse than plain pq (within tolerance)") {
+    import graft.llm.AnnIndex
+    val sp = spark
+    val pq = AnnIndex.buildPqOrGet(sp, sf, 10, 2)
+    val opq = AnnIndex.buildOpqOrGet(sp, sf, 10, 2)
+    // mean cosine between each vector and its code's reconstruction —
+    // the angular analog of PQ's quantization error. OPQ's balanced
+    // PCA allocation should not LOSE fidelity (on isotropic synthetic
+    // data the gain may be ~0, hence tolerance rather than strict <).
+    def fidelity(codes: org.apache.spark.sql.DataFrame,
+        model: AnnIndex.Pq): Double = {
+      val vecCol = model.rot.fold(col("embedding"))(r =>
+        graft.functions.RotateVec(col("embedding"), r))
+      graft.io.Tables.embeddings(sp, sf)
+        .join(codes.select(col("vec_id"), col("codes")).distinct(), "vec_id")
+        .select(avg(graft.functions.CosineSim(
+          graft.functions.PqDecode(col("codes"), model.codebooks), vecCol))
+          .as("f"))
+        .collect()(0).getDouble(0)
+    }
+    val fPq = fidelity(pq.codes, pq.pq)
+    val fOpq = fidelity(opq.codes, opq.pq)
+    assert(fOpq >= fPq - 0.02, s"opq fidelity $fOpq well below pq $fPq")
+    assert(fOpq > 0.5, s"opq reconstruction unreasonably poor: $fOpq")
+  }
+
+  test("nprobe autotune picks the smallest candidate meeting the target") {
+    import graft.llm.AnnIndex
+    val sp = spark
+    val idx = AnnIndex.buildOrGet(sp, sf, 10, 2)
+    val qs = graft.io.Tables.embeddings(sp, sf)
+      .where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val (chosen, table) = AnnIndex.tuneNprobe(idx, qs, k = 3,
+      targetRecall = 0.8, candidates = Seq(1, 2, 4, 7, 10))
+    // the table is the spec'd tradeoff: recall non-decreasing, exact at
+    // nprobe = #cells
+    val recalls = table.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone: $table")
+    assert(table.last._2 == 1.0, s"all-cells probe must be exact: $table")
+    // chosen is minimal: it meets the target and no smaller candidate does
+    val meeting = table.filter(_._2 >= 0.8).map(_._1)
+    assert(meeting.nonEmpty && chosen == meeting.min,
+      s"chosen=$chosen but table=$table")
+  }
 }
