@@ -40,9 +40,15 @@ object Pipeline {
       md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " "))))))
     val keeper = keyed.where(col("pass_quality"))
       .groupBy(col("exact_key")).agg(min(col("doc_id")).as("keep_id"))
+    // The CC resolution below is eager (bounded collect), so it runs the
+    // gate→dedup chain once; checkpointing the stage-2 result lets the
+    // final report re-read those materialized partitions instead of
+    // re-running the gate + 16-byte-key dedup a second time. (Plan
+    // assertions must inspect the pre-checkpoint plan — CLAUDE.md.)
     val afterExact = keyed.join(keeper, Seq("exact_key"), "left")
       .withColumn("pass_exact",
         col("pass_quality") && col("doc_id") === col("keep_id"))
+      .localCheckpoint(eager = false)
 
     // stage 3: near-dup removal — LSH candidates computed over the
     // SURVIVORS of stages 1–2 only (the corpus is already thinned, so
