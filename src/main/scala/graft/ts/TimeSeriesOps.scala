@@ -1075,7 +1075,98 @@ object TimeSeriesOps {
       .limit(3)
   }
 
+  /** Graphite `holtWintersAberration(series)`: per-bucket deviation
+    * OUTSIDE the Holt confidence bands — the aberration alert itself
+    * (`render/functions.py — holtWintersAberration` [U]). The
+    * [[holtBands]] fold additionally materializes every intermediate
+    * state (array_append — retention-bounded, never data-sized); each
+    * consumed point scores against the one-step-ahead band of the
+    * PRE-update state, and explode returns the per-bucket alert series.
+    * Oracle: the recursive CTE already computes the same intermediate
+    * rows — joining each state to the NEXT point with the identical
+    * IEEE op text makes forecast/bands/aberration bit-exact (the
+    * q_ts_holt_* technique). */
+  def holtAberration(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    h1.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
+        .as("pts"))
+      .where(size(col("pts")) >= 2)
+      .select(col("event_type"),
+        explode(expr(
+          """aggregate(
+            |  slice(pts, 3, greatest(size(pts) - 2, 0)),
+            |  named_struct(
+            |    'st', named_struct(
+            |      'lvl', pts[0].v,
+            |      'trd', CAST(pts[1].v - pts[0].v AS DOUBLE),
+            |      'dev', CAST(0.0 AS DOUBLE)),
+            |    'abr', CAST(array() AS ARRAY<STRUCT<bucket: TIMESTAMP,
+            |      v: DOUBLE, fc: DOUBLE, lo_band: DOUBLE, hi_band: DOUBLE,
+            |      aberration: DOUBLE>>)),
+            |  (acc, p) -> named_struct(
+            |    'st', named_struct(
+            |      'lvl', 0.1D * p.v + 0.9D * (acc.st.lvl + acc.st.trd),
+            |      'trd', 0.01D * (0.1D * p.v + 0.9D * (acc.st.lvl + acc.st.trd)
+            |               - acc.st.lvl) + 0.99D * acc.st.trd,
+            |      'dev', 0.1D * abs(p.v - (acc.st.lvl + acc.st.trd))
+            |               + 0.9D * acc.st.dev),
+            |    'abr', array_append(acc.abr, named_struct(
+            |      'bucket', p.bucket,
+            |      'v', p.v,
+            |      'fc', acc.st.lvl + acc.st.trd,
+            |      'lo_band', acc.st.lvl + acc.st.trd - 3.0D * acc.st.dev,
+            |      'hi_band', acc.st.lvl + acc.st.trd + 3.0D * acc.st.dev,
+            |      'aberration', CASE
+            |        WHEN p.v > acc.st.lvl + acc.st.trd + 3.0D * acc.st.dev
+            |        THEN p.v - (acc.st.lvl + acc.st.trd + 3.0D * acc.st.dev)
+            |        WHEN p.v < acc.st.lvl + acc.st.trd - 3.0D * acc.st.dev
+            |        THEN p.v - (acc.st.lvl + acc.st.trd - 3.0D * acc.st.dev)
+            |        ELSE 0.0D END))),
+            |  acc -> acc.abr)""".stripMargin)).as("p"))
+      .select(col("event_type"), col("p.bucket").as("bucket"),
+        col("p.v").as("v"), col("p.fc").as("fc"),
+        col("p.lo_band").as("lo_band"), col("p.hi_band").as("hi_band"),
+        col("p.aberration").as("aberration"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `movingSum` / `movingMin` / `movingMax` over the hourly
+    * rollup, full 6-bucket frames only (the [[movingAverage]]
+    * discipline): the frame sum accumulates as exact DECIMAL; min/max
+    * SELECT already-rounded values, so all three are engine-exact. */
+  def movingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wf = wSeq.rowsBetween(-5, 0)
+    h1.withColumn("rn", row_number().over(wSeq))
+      .withColumn("msum",
+        sum(col("v").cast("decimal(18,4)")).over(wf).cast("double"))
+      .withColumn("mmin", min(col("v")).over(wf))
+      .withColumn("mmax", max(col("v")).over(wf))
+      .where(col("rn") >= 6)
+      .select(col("event_type"), col("bucket"), col("v"),
+        col("msum"), col("mmin"), col("mmax"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `sortByTotal(seriesList)`: series ranked by their exact
+    * DECIMAL total over the window — the "which series carries the
+    * volume" legend ordering. One agg shuffle; the sort runs over
+    * #series rows. */
+  def sortByTotal(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(Det.dsum4(col("v")).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("total").desc, col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_holt_aberration" -> holtAberration _,
+    "q_ts_moving_window" -> movingWindow _,
+    "q_ts_sort_by_total" -> sortByTotal _,
     "q_ts_max_series" -> maxMinAvgSeries _,
     "q_ts_diff_series" -> diffSeries _,
     "q_ts_alias_sub" -> aliasSub _,
@@ -1155,6 +1246,74 @@ object TimeSeriesOps {
     * round(x,4) DOUBLE, explicit NULLS FIRST on ASC / NULLS LAST on DESC,
     * identical column names, total ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    // Same recursion as q_ts_holt_bands; each state row joins the NEXT
+    // point, so every band/aberration op sequence is textually identical
+    // to the fold's — bit-exact doubles, no rounding step needed.
+    "q_ts_holt_aberration" ->
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, bucket, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM h1),
+        |rec AS (
+        |  SELECT r1.event_type, 2 AS rn, r1.v AS lvl, r2.v - r1.v AS trd,
+        |         CAST(0.0 AS DOUBLE) AS dev
+        |  FROM r r1 JOIN r r2 ON r2.event_type = r1.event_type AND r2.rn = 2
+        |  WHERE r1.rn = 1
+        |  UNION ALL
+        |  SELECT rec.event_type, rec.rn + 1,
+        |         CAST(0.1 AS DOUBLE) * r.v
+        |           + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd),
+        |         CAST(0.01 AS DOUBLE) * (CAST(0.1 AS DOUBLE) * r.v
+        |             + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd) - rec.lvl)
+        |           + CAST(0.99 AS DOUBLE) * rec.trd,
+        |         CAST(0.1 AS DOUBLE) * abs(r.v - (rec.lvl + rec.trd))
+        |           + CAST(0.9 AS DOUBLE) * rec.dev
+        |  FROM rec JOIN r ON r.event_type = rec.event_type
+        |    AND r.rn = rec.rn + 1)
+        |SELECT rec.event_type, r.bucket, r.v AS v,
+        |       rec.lvl + rec.trd AS fc,
+        |       rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev AS lo_band,
+        |       rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev AS hi_band,
+        |       CASE
+        |         WHEN r.v > rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev
+        |         THEN r.v - (rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev)
+        |         WHEN r.v < rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev
+        |         THEN r.v - (rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS aberration
+        |FROM rec JOIN r ON r.event_type = rec.event_type
+        |  AND r.rn = rec.rn + 1
+        |ORDER BY rec.event_type NULLS FIRST, r.bucket NULLS FIRST""".stripMargin,
+    "q_ts_moving_window" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, bucket, v, row_number() OVER w AS rn,
+        |         CAST(sum(CAST(v AS DECIMAL(18,4))) OVER f AS DOUBLE) AS msum,
+        |         min(v) OVER f AS mmin,
+        |         max(v) OVER f AS mmax
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket),
+        |         f AS (PARTITION BY event_type ORDER BY bucket
+        |           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, v, msum, mmin, mmax
+        |FROM m WHERE rn >= 6
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_sort_by_total" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, ${Det.dsum4Sql("v")} AS total,
+        |       count(*) AS n
+        |FROM h1 GROUP BY 1
+        |ORDER BY total DESC NULLS LAST, event_type NULLS FIRST""".stripMargin,
     "q_ts_max_series" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
