@@ -608,6 +608,35 @@ object AnnIndex {
     Index(spark.read.parquet(s"$dir/cells"),
       spark.read.parquet(s"$dir/lists"))
 
+  /** Persist a built PQ/OPQ index: the cells and codes tables plus the
+    * model (codebooks and optional rotation) as a one-row parquet — the
+    * PQ half of the offline-build/online-serve split (at production the
+    * codes table is bucketed by cell; the model row is KB-sized). */
+  def savePq(index: PqIndex, dir: String): Unit = {
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val cb = index.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    val rot = index.pq.rot.map(_.map(_.toSeq).toSeq)
+    Seq((cb, rot)).toDF("codebooks", "rot")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Load a persisted PQ/OPQ index for serving. */
+  def loadPq(spark: SparkSession, dir: String): PqIndex = {
+    // Row materializes nested arrays as mutable ArraySeq — cast at the
+    // generic collection.Seq so every nesting level converts safely
+    type GSeq[A] = scala.collection.Seq[A]
+    val m = spark.read.parquet(s"$dir/model").collect()(0)
+    val cb = m.getAs[GSeq[GSeq[GSeq[Float]]]]("codebooks")
+      .map(_.map(_.toArray).toArray).toArray
+    val rot = Option(m.getAs[GSeq[GSeq[Float]]]("rot"))
+      .map(_.map(_.toArray).toArray)
+    PqIndex(spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codes"), Pq(cb, rot))
+  }
+
   /** Probe a built index: rank cells by centroid similarity against the
     * query vector, brute-force only the top-`nprobe` cells' lists, and
     * return the exact top-`limit` by cosine. The query vector and the

@@ -21,6 +21,19 @@ case class SessionSummary(metric: String, start: java.sql.Timestamp,
 /** Running session accumulator (epoch millis bounds). */
 case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
 
+/** Holt double-exponential state for one live metric: consumed-point
+  * count (the 2-point seed discipline), level/trend/deviation, the first
+  * value (held until the second point seeds the trend), and the last
+  * consumed event-time (non-monotone arrivals are dropped — the live
+  * recursion consumes each series in time order). */
+case class HoltStreamState(n: Long, lvl: Double, trd: Double, dev: Double,
+    firstV: Double, lastMs: Long)
+
+/** A live Holt-bands score: the point, its one-step-ahead forecast and
+  * bands, and the deviation outside them (0 inside). */
+case class HoltAlert(metric: String, ts: java.sql.Timestamp, value: Double,
+    fc: Double, lo_band: Double, hi_band: Double, aberration: Double)
+
 /** A streamed corpus document heading for the mixing gate. */
 case class StreamDoc(doc_id: Long, lang: String, n_tok: Long)
 
@@ -247,6 +260,66 @@ object Ingest {
           }
           state.update(cum)
           admitted.iterator
+      }
+  }
+
+  /** LIVE Holt aberration alerting — the streaming twin of
+    * [[graft.ts.TimeSeriesOps.holtAberration]]: per-metric Holt
+    * (level, trend, deviation) state advances point by point, each
+    * consumed point scored against the PRE-update one-step-ahead band.
+    * The update and scoring arithmetic is the identical IEEE double op
+    * sequence as the batch fold's lambda text, so on the same in-order
+    * series the live alerts equal the batch read bit-exactly (spec'd
+    * against a driver reference fold). Contract: within a micro-batch
+    * rows consume in (ts, value) order; a point at-or-before the last
+    * consumed event-time is DROPPED (the recursion is strictly
+    * monotone — replays and duplicates cannot corrupt the state).
+    * State per key is five doubles + two longs; keys are metrics —
+    * the MetricCache cardinality, RocksDB-backed at production. */
+  def holtAlertStream(points: Dataset[Point]): Dataset[HoltAlert] = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    points.groupByKey(_.metric)
+      .flatMapGroupsWithState[HoltStreamState, HoltAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Point],
+            state: GroupState[HoltStreamState]) =>
+          var st = state.getOption.getOrElse(
+            HoltStreamState(0L, 0.0, 0.0, 0.0, 0.0, Long.MinValue))
+          val out = Seq.newBuilder[HoltAlert]
+          rows.toSeq.sortBy(p => (p.ts.getTime, p.value)).foreach { p =>
+            if (p.ts.getTime > st.lastMs) {
+              val ms = p.ts.getTime
+              st = st.n match {
+                case 0L =>
+                  st.copy(n = 1L, firstV = p.value, lastMs = ms)
+                case 1L =>
+                  // the 2-point seed: lvl = v1, trd = v2 - v1, dev = 0
+                  HoltStreamState(2L, st.firstV, p.value - st.firstV, 0.0,
+                    st.firstV, ms)
+                case _ =>
+                  // score against the pre-update state (same op text as
+                  // the batch fold: fc = lvl + trd, bands = fc -/+ 3*dev)
+                  val fc = st.lvl + st.trd
+                  val hi = st.lvl + st.trd + 3.0 * st.dev
+                  val lo = st.lvl + st.trd - 3.0 * st.dev
+                  val ab =
+                    if (p.value > hi) p.value - hi
+                    else if (p.value < lo) p.value - lo
+                    else 0.0
+                  out += HoltAlert(metric, p.ts, p.value, fc, lo, hi, ab)
+                  val lvlNew = 0.1 * p.value + 0.9 * (st.lvl + st.trd)
+                  val trdNew = 0.01 * (0.1 * p.value + 0.9 * (st.lvl + st.trd)
+                    - st.lvl) + 0.99 * st.trd
+                  val devNew = 0.1 * math.abs(p.value - (st.lvl + st.trd)) +
+                    0.9 * st.dev
+                  HoltStreamState(st.n + 1L, lvlNew, trdNew, devNew,
+                    st.firstV, ms)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

@@ -687,6 +687,35 @@ class LlmSpec extends AnyFunSuite {
     assert(fOpq > 0.5, s"opq reconstruction unreasonably poor: $fOpq")
   }
 
+  test("pq index save/load round-trips the model; served joins agree") {
+    import graft.llm.AnnIndex
+    val sp = spark
+    val opq = AnnIndex.buildOpqOrGet(sp, sf, 10, 2)
+    val dir = java.nio.file.Files.createTempDirectory("pqsave").toString
+    AnnIndex.savePq(opq, dir)
+    val served = AnnIndex.loadPq(sp, dir)
+    assert(served.pq.m == opq.pq.m && served.pq.dsub == opq.pq.dsub)
+    assert(served.pq.rot.isDefined &&
+      served.pq.rot.get.map(_.toSeq).toSeq ==
+        opq.pq.rot.get.map(_.toSeq).toSeq,
+      "rotation must round-trip bit-exactly")
+    assert(served.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      opq.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks must round-trip bit-exactly")
+    val full = graft.io.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = full.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val built = AnnIndex.pqKnnJoin(opq, full, qs, 3, 3, rerank = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val loaded = AnnIndex.pqKnnJoin(served, full, qs, 3, 3, rerank = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(loaded == built && loaded.nonEmpty,
+      s"served index diverged from the built one: $loaded vs $built")
+  }
+
   test("nprobe autotune picks the smallest candidate meeting the target") {
     import graft.llm.AnnIndex
     val sp = spark

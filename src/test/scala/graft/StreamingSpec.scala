@@ -320,6 +320,48 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout session missing: ${all.mkString(",")}")
   }
 
+  test("s_holt_alert: live alerts equal the reference fold; stale points drop") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(Ingest.holtAlertStream(in.toDS()).toDF(), "halert",
+      OutputMode.Append())
+    val vals = Seq(10.0, 12.0, 11.0, 30.0, 12.5, 12.0, 50.0, 11.8)
+    val pts = vals.zipWithIndex.map { case (v, i) =>
+      Point("cpu", ts(f"2024-01-01 10:$i%02d:00"), v)
+    }
+    in.addData(pts.take(3): _*)
+    q.processAllAvailable()
+    // a point at-or-before the last consumed event-time must not touch
+    // state (replay/duplicate safety of the live recursion)
+    in.addData(Point("cpu", ts("2024-01-01 10:01:00"), 999.0))
+    q.processAllAvailable()
+    in.addData(pts.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val got = sp.sql(
+      "SELECT value, fc, lo_band, hi_band, aberration FROM halert ORDER BY ts")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // driver reference: the batch aberration fold's exact op sequence
+    var lvl = vals(0); var trd = vals(1) - vals(0); var dev = 0.0
+    val want = vals.drop(2).map { v =>
+      val fc = lvl + trd
+      val hi = lvl + trd + 3.0 * dev
+      val lo = lvl + trd - 3.0 * dev
+      val ab = if (v > hi) v - hi else if (v < lo) v - lo else 0.0
+      val lvlN = 0.1 * v + 0.9 * (lvl + trd)
+      val trdN = 0.01 * (0.1 * v + 0.9 * (lvl + trd) - lvl) + 0.99 * trd
+      val devN = 0.1 * math.abs(v - (lvl + trd)) + 0.9 * dev
+      lvl = lvlN; trd = trdN; dev = devN
+      (v, fc, lo, hi, ab)
+    }
+    assert(got == want, s"live fold diverged:\n$got\nvs\n$want")
+    assert(got.exists(_._5 > 0.0), "the spike must aberrate above the band")
+    assert(!got.exists(_._1 == 999.0), "stale point must be dropped")
+  }
+
   test("s_frame_protocol: binary batched frames decode; garbage dropped") {
     val sp = spark
     import sp.implicits._
