@@ -1163,7 +1163,45 @@ object TimeSeriesOps {
       .agg(Det.dsum4(col("v")).as("total"), count(lit(1)).as("n"))
       .orderBy(col("total").desc, col("event_type"))
 
+  /** Graphite `percentileOfSeries(seriesList, 75)`: per-bucket p75
+    * ACROSS series — [[nPercentile]]'s exact integer-rank selection
+    * rotated 90° (partitioned by bucket, ordered by value with the
+    * series name as unique tiebreak), rank = ceil(0.75·n) = (3n+3)÷4,
+    * so both engines select the identical element; interpolating
+    * percentile dialects never agree, an indexed element always does. */
+  def percentileOfSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wOrd = Window.partitionBy(col("bucket"))
+      .orderBy(col("v"), col("event_type"))
+    val wAll = Window.partitionBy(col("bucket"))
+    h1.select(col("bucket"), col("v"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .where(col("rn") === expr("(3 * n + 3) div 4"))
+      .select(col("bucket"), col("v").as("p75"))
+      .orderBy("bucket")
+  }
+
+  /** Graphite `absolute` / `squareRoot` / `pow(2)` / `invert` in one
+    * projection over the hourly rollup — the per-point math transforms.
+    * Every op here is IEEE-EXACT in both engines (abs, correctly-
+    * rounded sqrt, one multiply, one divide) — `log`/`exp` are
+    * deliberately absent: libm implementations differ by ulps across
+    * engines, which the shared rounding formula cannot mask reliably. */
+  def seriesMath(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"), col("v"),
+        Det.r4(abs(col("v") - lit(25.0))).as("abs_dev"),
+        Det.r4(sqrt(col("v"))).as("sqrt_v"),
+        Det.r4(col("v") * col("v")).as("pow2"),
+        when(col("v") =!= 0.0, Det.r4(lit(1.0) / col("v"))).as("inv_v"))
+      .orderBy("event_type", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_pctl_of_series" -> percentileOfSeries _,
+    "q_ts_series_math" -> seriesMath _,
     "q_ts_holt_aberration" -> holtAberration _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_sort_by_total" -> sortByTotal _,
@@ -1246,6 +1284,33 @@ object TimeSeriesOps {
     * round(x,4) DOUBLE, explicit NULLS FIRST on ASC / NULLS LAST on DESC,
     * identical column names, total ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    "q_ts_pctl_of_series" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT bucket, v,
+        |         row_number() OVER (PARTITION BY bucket
+        |           ORDER BY v, event_type) AS rn,
+        |         count(*) OVER (PARTITION BY bucket) AS n
+        |  FROM h1)
+        |SELECT bucket, v AS p75
+        |FROM r
+        |WHERE rn = (3 * n + 3) // 4
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
+    "q_ts_series_math" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, v,
+        |       ${Det.r4Sql("abs(v - 25.0)")} AS abs_dev,
+        |       ${Det.r4Sql("sqrt(v)")} AS sqrt_v,
+        |       ${Det.r4Sql("v * v")} AS pow2,
+        |       CASE WHEN v <> 0.0 THEN ${Det.r4Sql("1.0 / v")} END AS inv_v
+        |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     // Same recursion as q_ts_holt_bands; each state row joins the NEXT
     // point, so every band/aberration op sequence is textually identical
     // to the fold's — bit-exact doubles, no rounding step needed.
