@@ -24,7 +24,8 @@ class PlanSpec extends AnyFunSuite {
   test("aggregations are partial (map-side combine) before the shuffle") {
     Seq("q_ts_rollup_avg", "q_ts_rollup_sum", "q_join_inner",
       "q_agg_distinct", "q_llm_text_stats", "q_ts_summarize",
-      "q_ts_series_ratio", "q_ts_glob_fetch", "q_join_full").foreach { q =>
+      "q_ts_series_ratio", "q_ts_glob_fetch", "q_join_full",
+      "q_ts_max_series", "q_ts_hitcount", "q_ts_sort_by_total").foreach { q =>
       val p = plan(q)
       assert(p.contains("partial_"), s"$q has no partial aggregation:\n$p")
     }
@@ -41,7 +42,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("global top-k uses TakeOrderedAndProject, not a full sort") {
     Seq("q_ts_topk_series", "q_sort_limit", "q_scan_project",
-      "q_llm_cosine_topk").foreach { q =>
+      "q_llm_cosine_topk", "q_ts_most_deviant").foreach { q =>
       assert(plan(q).contains("TakeOrderedAndProject"),
         s"$q does a full global sort for a limited result")
     }
