@@ -1199,7 +1199,63 @@ object TimeSeriesOps {
         when(col("v") =!= 0.0, Det.r4(lit(1.0) / col("v"))).as("inv_v"))
       .orderBy("event_type", "bucket")
 
+  /** Graphite `timeStack(series, '1d', 0, 3)`: the series overlaid with
+    * its own 24h and 48h history — the day-over-day comparison read.
+    * The rollup expands across a 3-row shift dimension (broadcast) and
+    * each (bucket, shift) row joins the SAME rollup at bucket − shift·24h
+    * — one raw scan total, gap-safe (a missing source bucket yields
+    * null, exactly graphite's None). */
+  def timeStack(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val shifts = spark.range(0, 3).select(col("id").cast("int").as("shift_d"))
+    val src = h1.select(col("event_type").as("e2"), col("bucket").as("b2"),
+      col("v").as("v_shifted"))
+    h1.crossJoin(broadcast(shifts))
+      .withColumn("src_bucket",
+        timestamp_micros(expr("unix_micros(bucket) - shift_d * 86400000000L")))
+      .join(src, col("event_type") === col("e2") &&
+        col("src_bucket") === col("b2"), "left")
+      .select(col("event_type"), col("bucket"), col("shift_d"),
+        col("v"), col("v_shifted"))
+      .orderBy("event_type", "bucket", "shift_d")
+  }
+
+  /** Graphite `smartSummarize(series, '6h')`: 6h buckets aligned to each
+    * SERIES' OWN first point (not the epoch) — the "relative to deploy
+    * time" rollup. The per-series origin is a tiny aggregate joined
+    * back (broadcast); bucket arithmetic runs in exact integer µs, so
+    * boundaries are engine-identical. */
+  def smartSummarize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val origin = e.groupBy(col("event_type"))
+      .agg(min(expr("unix_micros(ts)")).as("t0"))
+    e.join(broadcast(origin), "event_type")
+      .groupBy(col("event_type"),
+        expr(s"t0 + ((unix_micros(ts) - t0) div ${SixHourUs}L) * ${SixHourUs}L")
+          .as("b_us"))
+      .agg(Det.avg4(col("value")).as("v"), count(lit(1)).as("n"))
+      .select(col("event_type"), timestamp_micros(col("b_us")).as("bucket"),
+        col("v"), col("n"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `averageAbove(seriesList, 25)`: series whose exact
+    * whole-window average clears the threshold — the noise-floor filter
+    * before rendering. The average accumulates as exact DECIMAL over
+    * the rounded rollup values ([[Det.davg4]]), so the comparison is on
+    * engine-identical doubles. */
+  def averageAbove(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(Det.davg4(col("v")).as("avg_v"), count(lit(1)).as("n"))
+      .where(col("avg_v") > 25.0)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_timestack" -> timeStack _,
+    "q_ts_smart_summarize" -> smartSummarize _,
+    "q_ts_avg_above" -> averageAbove _,
     "q_ts_pctl_of_series" -> percentileOfSeries _,
     "q_ts_series_math" -> seriesMath _,
     "q_ts_holt_aberration" -> holtAberration _,
@@ -1284,6 +1340,39 @@ object TimeSeriesOps {
     * round(x,4) DOUBLE, explicit NULLS FIRST on ASC / NULLS LAST on DESC,
     * identical column names, total ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    "q_ts_timestack" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT unnest([0, 1, 2]) AS shift_d)
+        |SELECT h1.event_type, h1.bucket, CAST(s.shift_d AS INT) AS shift_d,
+        |       h1.v, src.v AS v_shifted
+        |FROM h1 CROSS JOIN s
+        |LEFT JOIN h1 src ON src.event_type = h1.event_type
+        |  AND src.bucket = make_timestamp(epoch_us(h1.bucket) - s.shift_d * 86400000000)
+        |ORDER BY h1.event_type NULLS FIRST, h1.bucket NULLS FIRST,
+        |         shift_d NULLS FIRST""".stripMargin,
+    "q_ts_smart_summarize" ->
+      s"""WITH o AS (
+        |  SELECT event_type, min(epoch_us(ts)) AS t0
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       make_timestamp(o.t0 + ((epoch_us(e.ts) - o.t0) // 21600000000) * 21600000000) AS bucket,
+        |       ${Det.avg4Sql("e.value")} AS v, count(*) AS n
+        |FROM events e JOIN o ON o.event_type = e.event_type
+        |GROUP BY 1, 2
+        |ORDER BY e.event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_avg_above" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, ${Det.davg4Sql("v")} AS avg_v,
+        |       count(*) AS n
+        |FROM h1 GROUP BY 1
+        |HAVING ${Det.davg4Sql("v")} > 25.0
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_ts_pctl_of_series" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
