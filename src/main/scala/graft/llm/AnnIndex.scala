@@ -151,10 +151,11 @@ object AnnIndex {
     * so cell ranking is unaffected); only the codes and the ADC query
     * side live in the rotated basis. */
   def buildOpqOrGet(spark: SparkSession, sfDir: String, k: Int,
-      replicas: Int, m: Int = PqSubspaces): PqIndex = synchronized {
+      replicas: Int, m: Int = PqSubspaces,
+      refineIters: Int = 0): PqIndex = synchronized {
     val key = s"${spark.sparkContext.applicationId}" +
       s"|s=${Integer.toHexString(System.identityHashCode(spark))}" +
-      s"|$sfDir|k=$k|r=$replicas|opq=$m"
+      s"|$sfDir|k=$k|r=$replicas|opq=$m|ri=$refineIters"
     pqRegistry.get(key) match {
       case Some(idx) => idx
       case None =>
@@ -162,12 +163,17 @@ object AnnIndex {
         val e = Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding"))
         val sample = boundedSample(e)
-        val rot = trainOpqRotation(sample, m)
-        val rotated = sample.map(applyRotation(rot, _))
-        val pq = Pq(trainPq(rotated, m), Some(rot))
+        val pq =
+          if (refineIters > 0) {
+            val (rot, cb) = trainOpqIterative(sample, m, refineIters)
+            Pq(cb, Some(rot))
+          } else {
+            val rot = trainOpqRotation(sample, m)
+            Pq(trainPq(sample.map(applyRotation(rot, _)), m), Some(rot))
+          }
         val codes = base.lists.select(col("vec_id"), col("cell"),
             graft.functions.PqEncode(
-              graft.functions.RotateVec(col("embedding"), rot),
+              graft.functions.RotateVec(col("embedding"), pq.rot.get),
               pq.codebooks).as("codes"))
           .localCheckpoint()
         val idx = PqIndex(base.cells, codes, pq)
@@ -285,7 +291,7 @@ object AnnIndex {
     * first codewords' worth of subvectors; the sample order is already a
     * deterministic hash order). Driver cost is m × sample × 256 × dsub
     * mults per iter — model-sized, corpus-independent. */
-  private[llm] def trainPq(sample: Array[Array[Float]],
+  private[graft] def trainPq(sample: Array[Array[Float]],
       m: Int = PqSubspaces, iters: Int = LloydIters): Array[Array[Array[Float]]] = {
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
@@ -411,6 +417,106 @@ object AnnIndex {
     val rows = buckets.flatten
     Array.tabulate(dim)(r =>
       Array.tabulate(dim)(d => eigvecs(d)(rows(r)).toFloat))
+  }
+
+  /** Iterative OPQ (Ge et al. CVPR'13, the NON-parametric variant):
+    * alternate (a) PQ codebook training on the rotated sample and
+    * (b) an orthogonal-Procrustes rotation update toward the current
+    * reconstructions, initialized from the parametric PCA rotation.
+    * Returns (R, codebooks) after `iters` rounds. All driver-side over
+    * the bounded sample — encode is sample×m×256×dsub multiplies per
+    * round, Procrustes is one dim² accumulation + an eigensolve —
+    * model-sized, corpus-independent. The SVD runs through the
+    * symmetric [[jacobiEigen]] on MᵀM (U recovered as M·V·Σ⁻¹); a
+    * near-zero singular value aborts refinement and keeps the last
+    * rotation (deterministic, and the parametric init is already a
+    * valid OPQ). */
+  private[graft] def trainOpqIterative(sample: Array[Array[Float]],
+      m: Int = PqSubspaces, iters: Int = 3)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    val xs = sample.map { v =>
+      var nrm = 0.0; var i = 0
+      while (i < dim) { nrm += v(i).toDouble * v(i); i += 1 }
+      val inv = if (nrm == 0.0) 0.0f else (1.0 / math.sqrt(nrm)).toFloat
+      Array.tabulate(dim)(j => v(j) * inv)
+    }
+    var rot = trainOpqRotation(sample, m)
+    var cb = trainPq(xs.map(applyRotation(rot, _)), m)
+    var done = false
+    for (_ <- 1 to iters if !done) {
+      val rotated = xs.map(applyRotation(rot, _))
+      cb = trainPq(rotated, m)
+      val dsub = dim / m
+      def recon(v: Array[Float]): Array[Float] = {
+        val out = new Array[Float](dim)
+        var s = 0
+        while (s < m) {
+          val book = cb(s)
+          var best = 0; var bestd = Float.MaxValue; var c = 0
+          while (c < book.length) {
+            val cw = book(c); var d = 0.0f; var j = 0
+            while (j < dsub) {
+              val x = v(s * dsub + j) - cw(j); d += x * x; j += 1
+            }
+            if (d < bestd) { bestd = d; best = c }
+            c += 1
+          }
+          System.arraycopy(book(best), 0, out, s * dsub, dsub)
+          s += 1
+        }
+        out
+      }
+      // Procrustes: maximize tr(Rt M), M = sum recon(R x) x^T -> R = U Vt
+      val mm = Array.ofDim[Double](dim, dim)
+      xs.indices.foreach { i =>
+        val y = recon(rotated(i)); val x = xs(i)
+        var a = 0
+        while (a < dim) {
+          val ya = y(a).toDouble
+          if (ya != 0.0) {
+            var b = 0
+            while (b < dim) { mm(a)(b) += ya * x(b); b += 1 }
+          }
+          a += 1
+        }
+      }
+      val mtm = Array.ofDim[Double](dim, dim)
+      var a = 0
+      while (a < dim) {
+        var b = a
+        while (b < dim) {
+          var s0 = 0.0; var t = 0
+          while (t < dim) { s0 += mm(t)(a) * mm(t)(b); t += 1 }
+          mtm(a)(b) = s0; mtm(b)(a) = s0; b += 1
+        }
+        a += 1
+      }
+      val (lams, vmat) = jacobiEigen(mtm)
+      if (lams.exists(_ < 1e-12)) done = true
+      else {
+        // U = M V Sigma^-1 (columns); R = U Vt
+        val sig = lams.map(l => math.sqrt(math.max(l, 0.0)))
+        val u = Array.ofDim[Double](dim, dim)
+        var j = 0
+        while (j < dim) {
+          var i = 0
+          while (i < dim) {
+            var s0 = 0.0; var t = 0
+            while (t < dim) { s0 += mm(i)(t) * vmat(t)(j); t += 1 }
+            u(i)(j) = s0 / sig(j); i += 1
+          }
+          j += 1
+        }
+        rot = Array.tabulate(dim)(i => Array.tabulate(dim) { k =>
+          var s0 = 0.0; var t = 0
+          while (t < dim) { s0 += u(i)(t) * vmat(k)(t); t += 1 }
+          s0.toFloat
+        })
+      }
+    }
+    (rot, trainPq(xs.map(applyRotation(rot, _)), m))
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix: returns

@@ -76,15 +76,26 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** Corpus-level outcome: per lang, docs and tokens in vs out — the
-    * number a data-curation report leads with. */
+  /** Corpus-level outcome: per lang, docs and tokens in vs out, PLUS
+    * the per-stage attribution (tokens lost to the quality gate, to
+    * exact dedup, to near-dup removal) — the drop accounting a real
+    * curation report needs to explain WHERE the corpus went, not just
+    * how much is left. Stage buckets are disjoint by construction
+    * (each doc fails at exactly one first gate), so they sum to
+    * tokens_in - tokens_kept. */
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
     prepare(spark, sfDir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_in"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(col("n_tok")).as("tokens_in"),
-        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"),
+        sum(when(!col("pass_quality"), col("n_tok")).otherwise(0L))
+          .as("tokens_drop_quality"),
+        sum(when(col("pass_quality") && !col("pass_exact"), col("n_tok"))
+          .otherwise(0L)).as("tokens_drop_exact"),
+        sum(when(col("pass_exact") && !col("kept"), col("n_tok"))
+          .otherwise(0L)).as("tokens_drop_near"))
       .orderBy("lang")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -566,6 +566,14 @@ class LlmSpec extends AnyFunSuite {
     assert(stats.map(_.getLong(1)).sum == rep.length)
     assert(stats.forall(r => r.getLong(2) <= r.getLong(1)), "kept <= in")
     assert(stats.forall(r => r.getLong(4) <= r.getLong(3)), "tokens kept <= in")
+    // the per-stage drop attribution partitions the loss exactly
+    stats.foreach { r =>
+      assert(r.getLong(3) - r.getLong(4) ==
+        r.getLong(5) + r.getLong(6) + r.getLong(7),
+        s"stage drops must sum to the total loss: $r")
+    }
+    assert(stats.map(r => r.getLong(5) + r.getLong(6) + r.getLong(7)).sum > 0,
+      "some stage must actually drop tokens")
     val kept = rep.count(_.getBoolean(6))
     assert(stats.map(_.getLong(2)).sum == kept)
     assert(kept > 0 && kept < rep.length, "gates must actually gate")
@@ -685,6 +693,68 @@ class LlmSpec extends AnyFunSuite {
     val fOpq = fidelity(opq.codes, opq.pq)
     assert(fOpq >= fPq - 0.02, s"opq fidelity $fOpq well below pq $fPq")
     assert(fOpq > 0.5, s"opq reconstruction unreasonably poor: $fOpq")
+  }
+
+  test("iterative opq: rotation stays orthogonal, objective not worse") {
+    import graft.llm.AnnIndex
+    val e = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val sample = AnnIndex.boundedSample(e)
+    val dim = sample.head.length
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+    def sqErr(rot: Array[Array[Float]],
+        cb: Array[Array[Array[Float]]]): Double = {
+      val dsub = dim / cb.length
+      sample.map { raw =>
+        val v = AnnIndex.applyRotation(rot, normalize(raw))
+        var err = 0.0
+        for (s <- cb.indices) {
+          val book = cb(s)
+          val d = book.map { cw =>
+            var acc = 0.0
+            for (j <- 0 until dsub) {
+              val x = v(s * dsub + j) - cw(j); acc += x * x
+            }
+            acc
+          }.min
+          err += d
+        }
+        err
+      }.sum / sample.length
+    }
+    val rotP = AnnIndex.trainOpqRotation(sample, 8)
+    val cbP = AnnIndex.trainPq(sample.map(AnnIndex.applyRotation(rotP, _)), 8)
+    val (rotI, cbI) = AnnIndex.trainOpqIterative(sample, 8, iters = 3)
+    // refined R stays orthogonal (SVD through the eigensolver)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var d = 0.0
+      var t = 0
+      while (t < dim) { d += rotI(i)(t).toDouble * rotI(j)(t); t += 1 }
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-3, s"RRt[$i][$j] = $d")
+    }
+    // alternating refinement must not lose to its own initialization
+    val ep = sqErr(rotP, cbP)
+    val ei = sqErr(rotI, cbI)
+    assert(ei <= ep + 1e-3, s"refined error $ei worse than parametric $ep")
+    // the refined model serves end-to-end
+    val sp = spark
+    val opq = AnnIndex.buildOpqOrGet(sp, sf, 10, 2, refineIters = 2)
+    val full = graft.io.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = full.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val flat = AnnIndex.knnJoin(AnnIndex.buildOrGet(sp, sf, 10, 2), qs, 3, 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val via = AnnIndex.pqKnnJoin(opq, full, qs, 3, 3, rerank = 1 << 20)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(via == flat && via.nonEmpty,
+      s"refined-opq full-rerank join diverged: $via vs $flat")
   }
 
   test("pq index save/load round-trips the model; served joins agree") {
