@@ -263,6 +263,22 @@ object Ingest {
       }
   }
 
+  /** LIVE `highestCurrent(k)` — the top-k dashboard legend maintained
+    * over the stream: per-metric latest value (max_by over event time,
+    * value as final tiebreak — [[graft.ts.TimeSeriesOps.rollupLast]]'s
+    * discipline) with a global ranked cut, emitted in COMPLETE mode so
+    * every micro-batch republishes the full current board. State is one
+    * row per metric (MetricCache cardinality); the sort runs over that
+    * state, never over raw points. */
+  def liveTopK(points: Dataset[Point], k: Int = 3): DataFrame =
+    points.toDF()
+      .groupBy(col("metric"))
+      .agg(max_by(col("value"), struct(col("ts"), col("value")))
+        .as("current"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("current").desc, col("metric"))
+      .limit(k)
+
   /** LIVE Holt aberration alerting — the streaming twin of
     * [[graft.ts.TimeSeriesOps.holtAberration]]: per-metric Holt
     * (level, trend, deviation) state advances point by point, each

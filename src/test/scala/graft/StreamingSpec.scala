@@ -320,6 +320,32 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout session missing: ${all.mkString(",")}")
   }
 
+  test("s_live_topk: the complete-mode board tracks latest values") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(Ingest.liveTopK(in.toDS(), 3), "topk",
+      OutputMode.Complete())
+    in.addData(Point("a", ts("2024-01-01 10:00:00"), 5.0),
+      Point("b", ts("2024-01-01 10:00:00"), 3.0),
+      Point("c", ts("2024-01-01 10:00:00"), 1.0),
+      Point("d", ts("2024-01-01 10:00:00"), 0.5))
+    q.processAllAvailable()
+    val board1 = sp.sql("SELECT metric, current FROM topk ORDER BY current DESC")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(board1 == Seq(("a", 5.0), ("b", 3.0), ("c", 1.0)),
+      s"initial board wrong: $board1")
+    // a surges later; a's newer value drops it off the board
+    in.addData(Point("d", ts("2024-01-01 10:01:00"), 10.0),
+      Point("a", ts("2024-01-01 10:01:00"), 0.2))
+    q.processAllAvailable(); q.stop()
+    val board2 = sp.sql("SELECT metric, current FROM topk ORDER BY current DESC")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(board2 == Seq(("d", 10.0), ("b", 3.0), ("c", 1.0)),
+      s"updated board wrong: $board2")
+  }
+
   test("s_holt_alert: live alerts equal the reference fold; stale points drop") {
     val sp = spark
     import sp.implicits._
