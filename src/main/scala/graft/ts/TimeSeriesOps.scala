@@ -1252,7 +1252,61 @@ object TimeSeriesOps {
       .where(col("avg_v") > 25.0)
       .orderBy("event_type")
 
+  /** Graphite `averageOutsidePercentile(seriesList, 90)`: keep series
+    * whose whole-window average sits in the TAILS of the cross-series
+    * average distribution — symmetric exact-rank tails (ceil(0.1·n)
+    * from each end), so both engines keep the identical series set.
+    * The ranking runs over #series rows (a tiny single-partition
+    * window over an aggregate, never over raw data). */
+  def avgOutsidePercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(Det.davg4(col("v")).as("avg_v"))
+    val wOrd = Window.orderBy(col("avg_v"), col("event_type"))
+    val wAll = Window.partitionBy()
+    s.select(col("event_type"), col("avg_v"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .where(col("rn") <= expr("(10 * n + 99) div 100") ||
+        col("rn") >= col("n") + 1 - expr("(10 * n + 99) div 100"))
+      .select(col("event_type"), col("avg_v"), col("rn").cast("bigint").as("rn"))
+      .orderBy("event_type")
+  }
+
+  /** Graphite `removeBetweenPercentile(seriesList, 70)`: keep series
+    * with AT LEAST ONE point outside the per-bucket [p30, p70] band of
+    * the cross-series distribution — the "only show things that ever
+    * diverge" filter. Band edges are exact integer-rank ELEMENTS per
+    * bucket (ceil(0.3·n) / ceil(0.7·n) in (value, series) order), so
+    * the outside-flags are engine-identical; two windows over the tiny
+    * rollup, one agg shuffle. */
+  def removeBetweenPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wOrd = Window.partitionBy(col("bucket"))
+      .orderBy(col("v"), col("event_type"))
+    val wAll = Window.partitionBy(col("bucket"))
+    h1.select(col("event_type"), col("bucket"), col("v"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .withColumn("lo",
+        max(when(col("rn") === expr("(3 * n + 9) div 10"), col("v")))
+          .over(wAll))
+      .withColumn("hi",
+        max(when(col("rn") === expr("(7 * n + 9) div 10"), col("v")))
+          .over(wAll))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("v") < col("lo") || col("v") > col("hi"), 1L)
+        .otherwise(0L)).as("n_outside"))
+      .where(col("n_outside") > 0)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_avg_outside_pctl" -> avgOutsidePercentile _,
+    "q_ts_remove_between_pctl" -> removeBetweenPercentile _,
     "q_ts_timestack" -> timeStack _,
     "q_ts_smart_summarize" -> smartSummarize _,
     "q_ts_avg_above" -> averageAbove _,
@@ -1340,6 +1394,47 @@ object TimeSeriesOps {
     * round(x,4) DOUBLE, explicit NULLS FIRST on ASC / NULLS LAST on DESC,
     * identical column names, total ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    "q_ts_avg_outside_pctl" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, ${Det.davg4Sql("v")} AS avg_v
+        |  FROM h1 GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, avg_v,
+        |         row_number() OVER (ORDER BY avg_v, event_type) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM s)
+        |SELECT event_type, avg_v, CAST(rn AS BIGINT) AS rn
+        |FROM r
+        |WHERE rn <= (10 * n + 99) // 100
+        |   OR rn >= n + 1 - ((10 * n + 99) // 100)
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_ts_remove_between_pctl" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, bucket, v,
+        |         row_number() OVER (PARTITION BY bucket
+        |           ORDER BY v, event_type) AS rn,
+        |         count(*) OVER (PARTITION BY bucket) AS n
+        |  FROM h1),
+        |b AS (
+        |  SELECT event_type, bucket, v,
+        |         max(CASE WHEN rn = (3 * n + 9) // 10 THEN v END)
+        |           OVER (PARTITION BY bucket) AS lo,
+        |         max(CASE WHEN rn = (7 * n + 9) // 10 THEN v END)
+        |           OVER (PARTITION BY bucket) AS hi
+        |  FROM r)
+        |SELECT event_type,
+        |       CAST(sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
+        |FROM b GROUP BY 1
+        |HAVING sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END) > 0
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_ts_timestack" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
