@@ -443,11 +443,10 @@ object AnnIndex {
       Array.tabulate(dim)(j => v(j) * inv)
     }
     var rot = trainOpqRotation(sample, m)
-    var cb = trainPq(xs.map(applyRotation(rot, _)), m)
     var done = false
     for (_ <- 1 to iters if !done) {
       val rotated = xs.map(applyRotation(rot, _))
-      cb = trainPq(rotated, m)
+      val cb = trainPq(rotated, m)
       val dsub = dim / m
       def recon(v: Array[Float]): Array[Float] = {
         val out = new Array[Float](dim)

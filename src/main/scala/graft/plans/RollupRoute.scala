@@ -139,6 +139,74 @@ object RollupCatalog {
     rows.length
   }
 
+  /** VERSIONED catalog commits — the multi-writer metastore discipline
+    * on a plain filesystem: each save claims the next version number
+    * with a create-EXCLUSIVE lock file (atomic no-overwrite create is
+    * the one concurrency primitive HDFS, object-store committers and
+    * the local FS all share), writes the full TSV to a temp file, and
+    * publishes it with a same-directory rename (readers see
+    * old-or-new, never a torn file). A lost claim recomputes against
+    * the newer state and retries — optimistic concurrency, no
+    * coordinator. Returns the committed version. */
+  def saveVersioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxAttempts: Int = 10): Long = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(d)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val next = latestVersion(fs, d) + 1
+      val lock = new org.apache.hadoop.fs.Path(d, f"catalog_v$next%06d.lock")
+      val claimed =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        val tmp = new org.apache.hadoop.fs.Path(d,
+          s".tmp_${java.util.UUID.randomUUID()}")
+        save(spark, tmp.toString)
+        val dst = new org.apache.hadoop.fs.Path(d, f"catalog_v$next%06d.tsv")
+        require(fs.rename(tmp, dst), s"publish failed for $dst")
+        return next
+      }
+    }
+    throw new IllegalStateException(
+      s"catalog commit lost $maxAttempts claim races in $dir")
+  }
+
+  /** Load the HIGHEST committed version from a [[saveVersioned]]
+    * directory into this session. Returns (version, registrations) or
+    * None when the directory holds no committed catalog yet. */
+  def loadLatest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(Long, Int)] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return None
+    val v = latestCommitted(fs, d)
+    if (v <= 0) None
+    else Some((v, load(spark,
+      new org.apache.hadoop.fs.Path(d, f"catalog_v$v%06d.tsv").toString)))
+  }
+
+  private def versionOf(name: String, suffix: String): Option[Long] =
+    if (name.startsWith("catalog_v") && name.endsWith(suffix))
+      name.stripPrefix("catalog_v").stripSuffix(suffix).toLongOption
+    else None
+
+  /** Highest version CLAIMED (lock or tsv) — what a writer must move
+    * past. */
+  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Long =
+    fs.listStatus(d).flatMap(s => versionOf(s.getPath.getName, ".lock")
+      .orElse(versionOf(s.getPath.getName, ".tsv")))
+      .foldLeft(0L)(math.max)
+
+  /** Highest version PUBLISHED (tsv present) — what a reader may load. */
+  private def latestCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Long =
+    fs.listStatus(d).flatMap(s => versionOf(s.getPath.getName, ".tsv"))
+      .foldLeft(0L)(math.max)
+
   /** A scan is routable only when it reads EXACTLY the registered path:
     * a multi-path read (`spark.read.parquet(raw, other)`) unions other
     * rows the rollup never saw, so it must keep the raw scan. */

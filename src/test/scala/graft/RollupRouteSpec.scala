@@ -483,6 +483,47 @@ class RollupRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned catalog: commits advance, latest wins, claims skip races") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_vcat").toString
+    val rawPath = s"$dir/points"
+    val rollupPath = s"$dir/rollup_1h"
+    graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"))
+      .limit(100).write.parquet(rawPath)
+    sp.read.parquet(rawPath)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .write.parquet(rollupPath)
+    val cat = s"$dir/cat"
+    try {
+      assert(RollupCatalog.loadLatest(sp, cat).isEmpty,
+        "an uncommitted directory must load as None")
+      RollupCatalog.registerTable(sp, rawPath, rollupPath, None)
+      assert(RollupCatalog.saveVersioned(sp, cat) == 1L)
+      RollupCatalog.registerTable(sp, rawPath, rollupPath, Some(123L))
+      assert(RollupCatalog.saveVersioned(sp, cat) == 2L)
+      // a racing writer holds the v3 claim -> this commit lands at v4
+      val fs = new org.apache.hadoop.fs.Path(cat)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(cat, "catalog_v000003.lock"),
+        false).close()
+      RollupCatalog.registerTable(sp, rawPath, rollupPath, Some(456L))
+      assert(RollupCatalog.saveVersioned(sp, cat) == 4L)
+      RollupCatalog.clear()
+      val loaded = RollupCatalog.loadLatest(sp, cat)
+      assert(loaded.contains((4L, 1)), s"latest load got $loaded")
+      // the surviving registration carries the LATEST frontier
+      val rt = s"$dir/roundtrip.tsv"
+      RollupCatalog.save(sp, rt)
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(rt)), "UTF-8")
+      assert(text.contains("\t456\t"), s"latest frontier lost: $text")
+    } finally RollupCatalog.clear()
+  }
+
   test("catalog save/load: registrations survive into another session") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_cat").toString
