@@ -423,6 +423,40 @@ object TextOps {
           .as("chunk"))
       .orderBy("doc_id", "chunk_idx")
 
+  private val PackBudget = 256L
+
+  /** Sequence PACKING — the concat-and-cut step that turns a curated
+    * corpus into fixed-length training sequences (the GPT-style
+    * pretraining layout: concatenate documents in a deterministic
+    * order, cut every [[PackBudget]] tokens): each document lands in
+    * the pack where its first token falls, `pack_id = (cum − n_tok)
+    * div budget` over the running token total. Packing runs per SOURCE
+    * stratum (embarrassingly parallel — one window shuffle on source);
+    * the concat order is the same reproducible (md5(text), doc_id)
+    * shuffle order as [[budgetSample]], so the layout is stable across
+    * runs, partitionings and engines. The report is per-pack doc and
+    * token counts — pack token totals hover around the budget because
+    * documents are not split (pad-or-overflow is the trainer's choice).
+    * At 100 TB a single global concat would serialize on one window
+    * partition; per-stratum packing is the scale-honest layout (exact
+    * global offsets, if ever needed, are one broadcast of per-stratum
+    * totals away — a prefix scan). */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div ${PackBudget}L"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      .orderBy("source", "pack_id")
+  }
+
   /** Word n-gram array over a PRE-projected token-array column (never
     * split inside the lambda — the CSE gotcha): shared by the
     * repetition and decontamination queries. Caller guarantees
@@ -482,6 +516,7 @@ object TextOps {
     "q_llm_budget_sample" -> budgetSample _,
     "q_llm_budget_mix" -> budgetMix _,
     "q_llm_chunk" -> chunkDocs _,
+    "q_llm_pack" -> packSequences _,
     "q_llm_exact_dedup" -> exactDedup _,
     "q_llm_text_stats" -> textStats _,
     "q_llm_token_count" -> tokenCount _,
@@ -576,6 +611,21 @@ object TextOps {
         |WHERE cum2 <= 4000
         |GROUP BY 1, 2
         |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q_llm_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         md5(text) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok
+        |FROM c GROUP BY 1, 2
+        |ORDER BY source NULLS FIRST, pack_id NULLS FIRST""".stripMargin,
     "q_llm_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

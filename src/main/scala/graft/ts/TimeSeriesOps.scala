@@ -324,6 +324,38 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Graphite `interpolate(series)`: linear interpolation across
+    * interior gaps of the dense 6h grid (leading/trailing gaps stay
+    * NULL, exactly as graphite-web). Neighbors come from two
+    * ignore-nulls window passes over the [[gapfill]] grid (LOCF for
+    * the left anchor, first-following for the right); the blend runs
+    * on the integer grid index, so the fraction is an exact small-int
+    * ratio and the whole formula is the same IEEE double op sequence
+    * in both engines (anchors are exact 4-decimal doubles — no libm).
+    * Two window passes over one partition key = one shuffle. */
+  def interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val i = expr(s"unix_micros(bucket) div ${SixHourUs}L")
+    val idxOrNull = when(col("v").isNotNull, col("i"))
+    val frac = (col("i") - col("ip")).cast("double") /
+      (col("inx") - col("ip")).cast("double")
+    gapfill(spark, sfDir)
+      .withColumn("i", i)
+      .withColumn("vp", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("ip", last(idxOrNull, ignoreNulls = true).over(wb))
+      .withColumn("vn", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("inx", first(idxOrNull, ignoreNulls = true).over(wf))
+      .select(col("event_type"), col("bucket"), col("v"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(Det.r4(col("vp") +
+            (col("vn") - col("vp")) * frac)).as("v_interp"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Z-score anomaly flagging over the hourly rollup: per-series mean/σ
     * from exact decimal Σv, Σv² (the [[Det]] discipline), buckets beyond
     * 2σ flagged. The Graphite alerting-read analog. */
@@ -488,15 +520,20 @@ object TimeSeriesOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("h")).as("sh"),
         sum(col("h") * col("h")).as("shh"), sum(col("ys")).as("sy"),
-        sum(col("h") * col("ys")).as("shy"))
+        sum(col("h") * col("ys")).as("shy"), max(col("h")).as("hmax"))
     val slopeRaw = (col("n") * col("shy") - col("sh") * col("sy"))
       .cast("double") /
       ((col("n") * col("shh") - col("sh") * col("sh")) * lit(10000L))
         .cast("double")
     val interceptRaw = (col("sy").cast("double") / lit(10000.0) -
       slopeRaw * col("sh").cast("double")) / col("n").cast("double")
+    // graphite draws the fitted line across the render window; the +24h
+    // projection is the capacity-planning read of the same fit (exact
+    // integer sums → one shared IEEE double formula, both engines)
     s.select(col("event_type"), col("n"),
-        Det.r4(slopeRaw).as("slope"), Det.r4(interceptRaw).as("intercept"))
+        Det.r4(slopeRaw).as("slope"), Det.r4(interceptRaw).as("intercept"),
+        Det.r4(slopeRaw * (col("hmax") + lit(24L)).cast("double") +
+          interceptRaw).as("forecast_24h"))
       .orderBy("event_type")
   }
 
@@ -1339,6 +1376,7 @@ object TimeSeriesOps {
     "q_ts_stddev_series" -> stddevSeries _,
     "q_ts_derivative" -> derivative _,
     "q_ts_locf" -> locf _,
+    "q_ts_interpolate" -> interpolate _,
     "q_ts_anomaly" -> anomaly _,
     "q_ts_hourofday" -> hourOfDay _,
     "q_ts_integral" -> integral _,
@@ -1986,11 +2024,13 @@ object TimeSeriesOps {
         |         CAST(sum(h) AS BIGINT) AS sh,
         |         CAST(sum(h * h) AS BIGINT) AS shh,
         |         CAST(sum(ys) AS BIGINT) AS sy,
-        |         CAST(sum(h * ys) AS BIGINT) AS shy
+        |         CAST(sum(h * ys) AS BIGINT) AS shy,
+        |         CAST(max(h) AS BIGINT) AS hmax
         |  FROM x GROUP BY 1)
         |SELECT event_type, n,
         |       ${Det.r4Sql("CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)")} AS slope,
-        |       ${Det.r4Sql("(CAST(sy AS DOUBLE) / 10000.0 - (CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(sh AS DOUBLE)) / CAST(n AS DOUBLE)")} AS intercept
+        |       ${Det.r4Sql("(CAST(sy AS DOUBLE) / 10000.0 - (CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(sh AS DOUBLE)) / CAST(n AS DOUBLE)")} AS intercept,
+        |       ${Det.r4Sql("(CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(hmax + 24 AS DOUBLE) + ((CAST(sy AS DOUBLE) / 10000.0 - (CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(sh AS DOUBLE)) / CAST(n AS DOUBLE))")} AS forecast_24h
         |FROM s
         |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_ts_timeshift" -> {
@@ -2046,6 +2086,39 @@ object TimeSeriesOps {
         |         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM dense
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_interpolate" -> {
+      val idx = "epoch_us(bucket) // 21600000000"
+      val frac = "(CAST(i - ip AS DOUBLE) / CAST(inx - ip AS DOUBLE))"
+      s"""WITH r AS (
+        |  SELECT event_type,
+        |         TIMESTAMP '1970-01-01' + ((epoch_us(ts) // 21600000000) * 21600) * INTERVAL '1 second' AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT unnest(generate_series((SELECT min(bucket) FROM r),
+        |                                    (SELECT max(bucket) FROM r),
+        |                                    INTERVAL '6 hour')) AS bucket),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |dense AS (
+        |  SELECT t.event_type, g.bucket, r.v
+        |  FROM g CROSS JOIN t
+        |  LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.bucket),
+        |w AS (
+        |  SELECT event_type, bucket, v, $idx AS i,
+        |         last_value(v IGNORE NULLS) OVER wb AS vp,
+        |         last_value(CASE WHEN v IS NOT NULL THEN $idx END IGNORE NULLS) OVER wb AS ip,
+        |         first_value(v IGNORE NULLS) OVER wf AS vn,
+        |         first_value(CASE WHEN v IS NOT NULL THEN $idx END IGNORE NULLS) OVER wf AS inx
+        |  FROM dense
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket, v,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            ELSE ${Det.r4Sql(s"vp + (vn - vp) * $frac")} END AS v_interp
+        |FROM w
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin
+    },
     "q_ts_xff" ->
       s"""SELECT event_type, date_trunc('hour', ts) AS bucket,
         |       ${Det.avg4Sql("value")} AS v, count(*) AS n

