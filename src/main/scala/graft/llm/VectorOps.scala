@@ -259,7 +259,36 @@ object VectorOps {
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
   }
 
+  /** IVF index HEALTH report — the list-balance statistics an operator
+    * watches before trusting probe latency at scale: populated vs
+    * declared cells, entry counts, min/avg/max list size and the
+    * imbalance factor (max/avg — a skewed quantizer makes worst-case
+    * probes read far more than k/nprobe of the corpus; ~1 means
+    * balanced). Two tiny aggregates over the materialized lists table
+    * (one per-cell, one global), crossJoined 1-row × 1-row. No oracle:
+    * list contents are centroid-dependent (kmeans); invariants are
+    * spec'd (entries = vectors × replicas, coverage exact, bounds). */
+  def ivfHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = AnnIndex.buildOrGet(spark, sfDir, KCells, IndexReplicas)
+    val perCell = idx.lists.groupBy(col("cell"))
+      .agg(count(lit(1)).as("sz"))
+    val avgSz = sum(col("sz")).cast("double") / count(lit(1))
+    val global = idx.lists
+      .agg(countDistinct(col("vec_id")).as("n_vectors"))
+    perCell.agg(
+        lit(KCells.toLong).as("k"),
+        count(lit(1)).as("populated_cells"),
+        (lit(KCells.toLong) - count(lit(1))).as("empty_cells"),
+        sum(col("sz")).as("n_entries"),
+        min(col("sz")).as("min_list"),
+        max(col("sz")).as("max_list"),
+        Det.r4(avgSz).as("avg_list"),
+        Det.r4(max(col("sz")).cast("double") / avgSz).as("imbalance"))
+      .crossJoin(global)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_ivf_health" -> ivfHealth _,
     "q_llm_cosine_topk" -> cosineTopk _,
     "q_sql_cosine_topk" -> sqlCosineTopk _,
     "q_llm_knn_label" -> knnLabel _,

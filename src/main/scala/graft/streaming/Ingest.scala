@@ -339,6 +339,25 @@ object Ingest {
       }
   }
 
+  /** [[holtAlertStream]] hardened for AT-LEAST-ONCE sources: exact
+    * (metric, ts) redeliveries are dropped by watermark-bounded dedup
+    * state (`dropDuplicatesWithinWatermark`) BEFORE the Holt recursion.
+    * The recursion's own monotone-clock guard already ignores stale
+    * arrivals, so correctness is unchanged — what this buys is the
+    * operational posture: replayed deliveries never reach (or wake) the
+    * per-metric fold, and the dedup map EXPIRES with the watermark
+    * instead of relying solely on the per-key clock. In-horizon
+    * duplicates die in the dedup state; out-of-horizon replays still
+    * die on the monotone clock. */
+  def holtAlertDeduped(points: Dataset[Point],
+      delay: String = "10 minutes"): Dataset[HoltAlert] = {
+    import points.sparkSession.implicits._
+    holtAlertStream(points
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("metric", "ts")
+      .as[Point])
+  }
+
   /** R10/R15 live last-value cache per metric, as explicit state:
     * arbitrary stateful op via mapGroupsWithState. The state store IS
     * the MetricCache. */

@@ -238,6 +238,21 @@ class LlmSpec extends AnyFunSuite {
     assert(expect.keys.groupBy(_._1).exists(_._2.size > 1))
   }
 
+  test("ivf_health: entries = vectors × replicas, coverage and bounds hold") {
+    val r = graft.llm.VectorOps.ivfHealth(spark, "/root/testdata/sf0.01").head()
+    val nVecs = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .count()
+    val (k, pop, empty) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (entries, mn, mx) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    val (avg, imb, cover) = (r.getDouble(6), r.getDouble(7), r.getLong(8))
+    assert(pop + empty == k && pop >= 1)
+    assert(entries == nVecs * 2, "every vector appears in exactly 2 lists")
+    assert(cover == nVecs, "coverage: every vector is indexed")
+    assert(mn >= 1 && mn <= mx)
+    assert(avg >= mn - 0.0001 && avg <= mx + 0.0001)
+    assert(imb >= 1.0 - 0.0001)
+  }
+
   test("knn_label counts: n sums to table size, matches <= n") {
     val rows = VectorOps.knnLabel(spark, sf).collect()
     val total = graft.io.Tables.embeddings(spark, sf).count()

@@ -388,6 +388,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 999.0), "stale point must be dropped")
   }
 
+  test("s_holt_alert_dedup: at-least-once redelivery yields the same alerts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(Ingest.holtAlertDeduped(in.toDS()).toDF(), "hdedup",
+      OutputMode.Append())
+    val vals = Seq(10.0, 12.0, 11.0, 30.0, 12.5)
+    val pts = vals.zipWithIndex.map { case (v, i) =>
+      Point("cpu", ts(f"2024-01-01 10:0$i:00"), v)
+    }
+    in.addData(pts.take(3): _*)
+    q.processAllAvailable()
+    // at-least-once: the source re-delivers an already-consumed point
+    // (same metric+ts) within the watermark horizon, then continues
+    in.addData(pts(2))
+    q.processAllAvailable()
+    in.addData(pts(3), pts(3), pts(4))
+    q.processAllAvailable(); q.stop()
+    val got = sp.sql("SELECT value, aberration FROM hdedup ORDER BY ts")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // reference fold over the ONCE-delivered series
+    var lvl = vals(0); var trd = vals(1) - vals(0); var dev = 0.0
+    val want = vals.drop(2).map { v =>
+      val hi = lvl + trd + 3.0 * dev
+      val lo = lvl + trd - 3.0 * dev
+      val ab = if (v > hi) v - hi else if (v < lo) v - lo else 0.0
+      val lvlN = 0.1 * v + 0.9 * (lvl + trd)
+      val trdN = 0.01 * (0.1 * v + 0.9 * (lvl + trd) - lvl) + 0.99 * trd
+      val devN = 0.1 * math.abs(v - (lvl + trd)) + 0.9 * dev
+      lvl = lvlN; trd = trdN; dev = devN
+      (v, ab)
+    }
+    assert(got == want,
+      s"deduped live fold must equal the once-delivered fold:\n$got\nvs\n$want")
+    assert(got.length == want.length, "no alert may be emitted twice")
+  }
+
   test("s_frame_protocol: binary batched frames decode; garbage dropped") {
     val sp = spark
     import sp.implicits._
