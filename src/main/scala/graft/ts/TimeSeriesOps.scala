@@ -1189,6 +1189,47 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Graphite `stdev(series, 6)`: moving POPULATION stddev over the
+    * trailing 6 buckets — the local-volatility read behind dynamic
+    * alert thresholds. Σv and Σv² accumulate as exact DECIMAL window
+    * sums inside the frame ([[anomaly]]'s discipline, framed); the
+    * variance/sqrt math is then the same IEEE op text in both engines
+    * (sqrt is correctly rounded per IEEE-754 — unlike libm
+    * transcendentals it IS cross-engine stable). Full frames only
+    * (rn >= 6), population n fixed by the frame width. */
+  def movingStddev(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wf = wSeq.rowsBetween(-5, 0)
+    val nd = lit(6.0)
+    val s1 = sum(col("v").cast("decimal(18,8)")).over(wf).cast("double")
+    val s2 = sum((col("v") * col("v")).cast("decimal(18,8)")).over(wf)
+      .cast("double")
+    h1.withColumn("rn", row_number().over(wSeq))
+      .withColumn("sd", Det.r4(sqrt((s2 - (s1 * s1) / nd) / nd)))
+      .where(col("rn") >= 6)
+      .select(col("event_type"), col("bucket"), col("v"), col("sd"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Graphite `groupByNodes(seriesList, 'sum', 0, 2)`: fan-in keyed by
+    * MULTIPLE dot-delimited nodes at once (here app and host — the
+    * per-host totals across services), the n-ary generalization of
+    * [[groupByNode]]. The multi-node key is rebuilt with the original
+    * separator, exactly as graphite-web joins the selected nodes. */
+  def groupByNodes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("metric", concat_ws(".", lit("app"), col("event_type"),
+        concat(lit("host"), pmod(col("user_id"), lit(3)).cast("string"))))
+      .withColumn("parts", split(col("metric"), "\\."))
+      .groupBy(concat_ws(".", element_at(col("parts"), 1),
+          element_at(col("parts"), 3)).as("key"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.sum4(col("value")).as("v"), count(lit(1)).as("n"))
+      .orderBy("key", "bucket")
+
   /** Graphite `sortByTotal(seriesList)`: series ranked by their exact
     * DECIMAL total over the window — the "which series carries the
     * volume" legend ordering. One agg shuffle; the sort runs over
@@ -1351,6 +1392,8 @@ object TimeSeriesOps {
     "q_ts_series_math" -> seriesMath _,
     "q_ts_holt_aberration" -> holtAberration _,
     "q_ts_moving_window" -> movingWindow _,
+    "q_ts_moving_stddev" -> movingStddev _,
+    "q_ts_group_by_nodes" -> groupByNodes _,
     "q_ts_sort_by_total" -> sortByTotal _,
     "q_ts_max_series" -> maxMinAvgSeries _,
     "q_ts_diff_series" -> diffSeries _,
@@ -1592,6 +1635,34 @@ object TimeSeriesOps {
         |SELECT event_type, bucket, v, msum, mmin, mmax
         |FROM m WHERE rn >= 6
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_moving_stddev" -> {
+      val s1 = "CAST(sum(CAST(v AS DECIMAL(18,8))) OVER f AS DOUBLE)"
+      val s2 = "CAST(sum(CAST(v * v AS DECIMAL(18,8))) OVER f AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, bucket, v, row_number() OVER w AS rn,
+        |         ${Det.r4Sql(s"sqrt(($s2 - ($s1 * $s1) / 6.0) / 6.0)")} AS sd
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket),
+        |         f AS (PARTITION BY event_type ORDER BY bucket
+        |           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, v, sd
+        |FROM m WHERE rn >= 6
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin
+    },
+    "q_ts_group_by_nodes" ->
+      s"""WITH m AS (
+        |  SELECT 'app.' || event_type || '.host' || CAST(user_id % 3 AS VARCHAR) AS metric,
+        |         ts, value
+        |  FROM events)
+        |SELECT split_part(metric, '.', 1) || '.' || split_part(metric, '.', 3) AS key,
+        |       date_trunc('hour', ts) AS bucket,
+        |       ${Det.sum4Sql("value")} AS v, count(*) AS n
+        |FROM m GROUP BY 1, 2
+        |ORDER BY key NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_sort_by_total" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -140,6 +140,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("moving stddev equals the driver-side framed population formula") {
+    val roll = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val want = roll.groupBy(_._1).flatMap { case (et, g) =>
+      val s = g.sortBy(_._2).map(_._3)
+      (5 until s.length).map { i =>
+        val w = s.slice(i - 5, i + 1)
+        // exact decimal sums, then the same IEEE formula text
+        val s1 = w.map(v => BigDecimal(v).setScale(8)).sum.toDouble
+        val s2 = w.map(v => BigDecimal(v * v).setScale(8,
+          BigDecimal.RoundingMode.HALF_EVEN)).sum.toDouble
+        (et, i) -> r4(math.sqrt((s2 - (s1 * s1) / 6.0) / 6.0))
+      }
+    }
+    val got = TimeSeriesOps.movingStddev(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(3)))
+      .groupBy(_._1).toSeq.flatMap { case (et, g) =>
+        g.sortBy(_._2).zipWithIndex.map { case (r, j) => (et, j + 5) -> r._3 }
+      }.toMap
+    assert(got == want)
+  }
+
+  test("group_by_nodes fans in to app.host keys, count conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = TimeSeriesOps.groupByNodes(spark, sf).collect()
+    val keys = rows.map(_.getString(0)).distinct.sorted
+    assert(keys.sameElements(Array("app.host0", "app.host1", "app.host2")))
+    val n = rows.map(_.getLong(3)).sum
+    assert(n == graft.io.Tables.events(spark, sf).count())
+  }
+
   test("interpolate fills interior gaps linearly, leaves edges null") {
     val rows = TimeSeriesOps.interpolate(spark, sf).collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime,
