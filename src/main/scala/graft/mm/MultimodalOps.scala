@@ -18,6 +18,14 @@ case class MediaFeatures(doc_id: Long, kind: String, features: Array[Float])
 /** One sampled frame (fixed-size binary chunk) of a media payload. */
 case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+/** Per-item media quality-control stats (decoded-payload level). For
+  * images `contrast` is RMS contrast and `zcr` is 0; for audio
+  * `contrast` is RMS energy and `zcr` the zero-crossing rate. Levels
+  * are normalized to [0, 1] (gray/255, |pcm|/32768). */
+case class MediaQc(doc_id: Long, kind: String, n_units: Long,
+    mean_level: Double, contrast: Double, zcr: Double,
+    peak: Double, clip_frac: Double)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `BINARY`
   * columns with typed metadata, processed by per-partition batch
   * operators — the Spark-side shape of a decode/feature-extract stage.
@@ -205,10 +213,64 @@ object MultimodalOps {
       .orderBy("kind")
   }
 
+  /** Per-item media QUALITY CONTROL — the cheap gate a multimodal
+    * training pipeline runs before admitting an item: level/contrast
+    * for images (dark or flat images carry no signal), RMS energy,
+    * zero-crossing rate and clipping fraction for audio (silence and
+    * clipped takes are dropped). All stats come off the REAL decoded
+    * payload (pixels / PCM samples), map-side in one mapPartitions
+    * pass; only the fixed-width stats row flows on. */
+  def mediaQc(m: MediaRow): MediaQc = m.kind match {
+    case "image" =>
+      val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+      val n = w * h
+      val lv = gray.map(g => (g & 0xff) / 255.0)
+      val mean = lv.sum / n
+      val contrast = math.sqrt(lv.map(x => (x - mean) * (x - mean)).sum / n)
+      val clip = lv.count(x => x == 0.0 || x == 1.0).toDouble / n
+      MediaQc(m.doc_id, "image", n.toLong, mean, contrast, 0.0,
+        lv.max, clip)
+    case "audio" =>
+      val (_, samples) = MediaCodec.decodeWav(m.payload)
+      val n = samples.length
+      val xs = samples.map(_ / 32768.0)
+      val mean = xs.sum / n
+      val rms = math.sqrt(xs.map(x => x * x).sum / n)
+      val zc = (1 until n).count(i =>
+        (samples(i) >= 0) != (samples(i - 1) >= 0))
+      val peak = xs.map(math.abs).max
+      val clip = xs.count(x => math.abs(x) >= 32700.0 / 32768.0).toDouble / n
+      MediaQc(m.doc_id, "audio", n.toLong, mean, rms,
+        zc.toDouble / (n - 1), peak, clip)
+    case k => throw new IllegalArgumentException(s"unknown kind $k")
+  }
+
+  /** Declared query: the QC gate outcome per kind — count admitted vs
+    * flagged (flat/dark images; silent/clipped audio). No oracle
+    * (binary decode path); spec checks stats against a driver-side
+    * decode of the same payloads. */
+  def qcStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qc = media(spark, sfDir).mapPartitions(_.map(mediaQc)).toDF()
+    val pass = col("kind") === "image" &&
+      col("contrast") >= 0.02 && col("mean_level") >= 0.05 ||
+      col("kind") === "audio" &&
+      col("contrast") >= 0.01 && col("clip_frac") <= 0.2
+    qc.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_pass"),
+        Det.r4(avg(col("mean_level"))).as("avg_level"),
+        Det.r4(avg(col("contrast"))).as("avg_contrast"),
+        Det.r4(max(col("peak"))).as("max_peak"),
+        Det.r4(max(col("clip_frac"))).as("max_clip"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> features _,
     "q_mm_frames" -> frames _,
-    "q_mm_resize" -> resizeStats _
+    "q_mm_resize" -> resizeStats _,
+    "q_mm_qc" -> qcStats _
   )
 
   /** No oracles: the binary decode path is engine-side by design. */

@@ -44,6 +44,39 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(out.sameElements(gray))
   }
 
+  test("media QC stats match a driver-side decode of the same payloads") {
+    import graft.mm.{MultimodalOps, MediaCodec}
+    val sp = TestSpark.spark
+    val rows = MultimodalOps.media(sp, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(6).foreach { m =>
+      val qc = MultimodalOps.mediaQc(m)
+      assert(qc.doc_id == m.doc_id && qc.kind == m.kind)
+      assert(qc.peak >= 0.0 && qc.peak <= 1.0)
+      assert(qc.clip_frac >= 0.0 && qc.clip_frac <= 1.0)
+      m.kind match {
+        case "image" =>
+          val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+          assert(qc.n_units == w.toLong * h)
+          assert(qc.zcr == 0.0)
+          val mean = gray.map(g => (g & 0xff) / 255.0).sum / (w * h)
+          assert(math.abs(qc.mean_level - mean) < 1e-12)
+        case "audio" =>
+          val (_, s) = MediaCodec.decodeWav(m.payload)
+          assert(qc.n_units == s.length.toLong)
+          val zc = (1 until s.length)
+            .count(i => (s(i) >= 0) != (s(i - 1) >= 0))
+          assert(math.abs(qc.zcr - zc.toDouble / (s.length - 1)) < 1e-12)
+      }
+    }
+    // the declared query aggregates both kinds and keeps counts whole
+    val agg = MultimodalOps.qcStats(sp, TestSpark.sf).collect()
+    assert(agg.map(_.getString(0)).sorted.sameElements(
+      Array("audio", "image")))
+    agg.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      "n_pass must not exceed n"))
+  }
+
   test("BMP malformed inputs rejected") {
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(Array[Byte](1)))
     val good = MediaCodec.encodeBmp(4, 4, new Array[Byte](16))
