@@ -322,6 +322,23 @@ object RelationalOps {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Approximate-quantile SKETCH (Greenwald-Khanna via
+    * `approx_percentile`) next to its exact twin [[aggPercentile]] —
+    * the mergeable one-pass summary that replaces the exact sort-based
+    * percentile at 100 TB (exact percentile must see all values per
+    * group; the sketch is fixed-size per partition and merges
+    * associatively). accuracy=100 bounds rank error at n/100 per
+    * group. No oracle (sketch internals are engine-specific); the spec
+    * brackets every sketched quantile against the exact per-group
+    * rank neighborhood. */
+  def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(l_quantity, 0.5, 100)").as("ap50"),
+        expr("approx_percentile(l_quantity, 0.9, 100)").as("ap90"))
+      .orderBy("l_returnflag")
+
   /** rank + dense_rank per priority by price (ties share a rank). */
   def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
@@ -572,6 +589,7 @@ object RelationalOps {
     "q_agg_corr" -> aggCorr _,
     "q_agg_percentile" -> aggPercentile _,
     "q_agg_hll" -> aggHll _,
+    "q_agg_approx_pctl" -> aggApproxPercentile _,
     "q_window_rank" -> windowRank _,
     "q_window_running" -> windowRunning _,
     "q_window_moving" -> windowMoving _,

@@ -68,6 +68,28 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_pctl: every sketched quantile lands in the exact rank band") {
+    import org.apache.spark.sql.functions._
+    val vals = graft.io.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    RelationalOps.aggApproxPercentile(spark, sf).collect().foreach { r =>
+      val (flag, n) = (r.getString(0), r.getLong(1))
+      val s = vals(flag)
+      assert(n == s.length.toLong)
+      // GK with accuracy=100 bounds rank error by n/100; allow 2x slack
+      val eps = math.max(1, s.length / 50)
+      for ((q, got) <- Seq(0.5 -> r.getDouble(2), 0.9 -> r.getDouble(3))) {
+        val rank = (q * (s.length - 1)).toInt
+        val lo = s(math.max(0, rank - eps))
+        val hi = s(math.min(s.length - 1, rank + eps))
+        assert(got >= lo && got <= hi,
+          s"$flag p$q: $got outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("window_running: run equals prefix sum of rev") {
     val rows = RelationalOps.windowRunning(spark, sf).collect()
     var acc = BigDecimal(0)
