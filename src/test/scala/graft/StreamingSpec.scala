@@ -426,6 +426,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == want.length, "no alert may be emitted twice")
   }
 
+  test("s_restart_recovery: Holt state survives a checkpointed restart") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_restart")
+    val srcDir = root.resolve("src"); java.nio.file.Files.createDirectory(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    def writeBatch(name: String, pts: Seq[(Int, Double)]): Unit = {
+      val lines = pts.map { case (minute, v) =>
+        f"cpu,2024-01-01 10:$minute%02d:00,$v%.1f"
+      }
+      java.nio.file.Files.write(srcDir.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    }
+    val outDir = root.resolve("out").toString
+    // a FILE sink (unlike memory) supports checkpoint recovery — the
+    // same sink+checkpoint pair a production alert pipeline restarts on
+    def start() = {
+      val pts = sp.readStream
+        .schema("metric STRING, ts TIMESTAMP, value DOUBLE")
+        .csv(srcDir.toString).as[Point]
+      Ingest.holtAlertStream(pts).toDF().writeStream.format("parquet")
+        .option("path", outDir).outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).start()
+    }
+    val vals = Seq(10.0, 12.0, 11.0, 30.0, 12.5, 12.0, 50.0, 11.8)
+    writeBatch("b1.csv", (0 until 4).map(i => i -> vals(i)))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // second PROCESS: a fresh query restarts from the checkpoint; its
+    // per-metric Holt state must resume, not re-seed
+    writeBatch("b2.csv", (4 until 8).map(i => i -> vals(i)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = sp.read.parquet(outDir)
+      .sort("ts").select("value", "aberration")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    var lvl = vals(0); var trd = vals(1) - vals(0); var dev = 0.0
+    val all = vals.drop(2).map { v =>
+      val hi = lvl + trd + 3.0 * dev
+      val lo = lvl + trd - 3.0 * dev
+      val ab = if (v > hi) v - hi else if (v < lo) v - lo else 0.0
+      val lvlN = 0.1 * v + 0.9 * (lvl + trd)
+      val trdN = 0.01 * (0.1 * v + 0.9 * (lvl + trd) - lvl) + 0.99 * trd
+      val devN = 0.1 * math.abs(v - (lvl + trd)) + 0.9 * dev
+      lvl = lvlN; trd = trdN; dev = devN
+      (v, ab)
+    }
+    // the file sink accumulates BOTH runs; equality with the full-series
+    // reference fold proves the restart resumed (a re-seeded fold would
+    // emit different post-restart forecasts)
+    assert(got == all,
+      s"restarted fold must continue from recovered state:\n$got\nvs\n$all")
+  }
+
   test("s_frame_protocol: binary batched frames decode; garbage dropped") {
     val sp = spark
     import sp.implicits._
