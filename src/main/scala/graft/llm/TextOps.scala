@@ -467,6 +467,41 @@ object TextOps {
     s"transform(sequence(0, size($arr) - $n), i -> concat_ws(' ', $parts))"
   }
 
+  /** Bigram-LM NOVELTY scoring — the language-model quality filter
+    * (CCNet / GPT-3 data prep [U] use LM perplexity; this is its
+    * cross-engine-exact core): a bigram model is learned from the
+    * corpus itself (conditional MLE c(w1,w2)/c(w1·)), every document
+    * is scored by its RAREST transition (min p) and its count of
+    * below-threshold transitions — order statistics and integer
+    * counts, not a log-prob sum, precisely so the whole read stays
+    * IEEE-exact in both engines (each p is one BIGINT/BIGINT divide;
+    * a Σlog p accumulation would drift). Shape: two aggregations
+    * build the model, one broadcast join scores — at production the
+    * model table is vocabulary-capped like [[langid]]'s, keeping the
+    * broadcast O(vocab²-capped) regardless of corpus size. */
+  def lmNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+    val big = docs.select(col("doc_id"),
+      explode(expr(ngramExpr("tk", 2))).as("bg"))
+    val bgCnt = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val uniCnt = bgCnt
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val model = bgCnt
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(uniCnt, "w1")
+      .select(col("bg"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+    big.join(broadcast(model), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"),
+        Det.r4(min(col("p"))).as("min_p"),
+        sum(when(col("p") < 0.05, 1L).otherwise(0L)).as("n_rare"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-trigram fraction per document — the repetition quality
     * signal (Rae et al., "Scaling Language Models" / Gopher rules [U]:
     * heavily repetitive docs are low-quality training data). Trigrams
@@ -511,6 +546,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_decontaminate" -> decontaminate _,
+    "q_llm_lm_novelty" -> lmNovelty _,
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
     "q_llm_budget_sample" -> budgetSample _,
@@ -543,6 +579,26 @@ object TextOps {
         |SELECT g.doc_id, CAST(count(DISTINCT g.g5) AS BIGINT) AS n_shared
         |FROM g JOIN b USING (g5)
         |WHERE g.doc_id >= 20
+        |GROUP BY 1
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_lm_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id,
+        |             unnest(list_transform(generate_series(1, len(tk) - 1),
+        |               i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |      FROM t),
+        |cb AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+        |cu AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |              CAST(sum(c2) AS BIGINT) AS c1
+        |       FROM cb GROUP BY 1),
+        |m AS (SELECT bg, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+        |      FROM cb JOIN cu ON split_part(cb.bg, ' ', 1) = cu.w1)
+        |SELECT doc_id, count(*) AS n_bg,
+        |       ${Det.r4Sql("min(p)")} AS min_p,
+        |       CAST(sum(CASE WHEN p < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |FROM b JOIN m USING (bg)
         |GROUP BY 1
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q_llm_repetition" -> {

@@ -238,6 +238,30 @@ class LlmSpec extends AnyFunSuite {
     assert(expect.keys.groupBy(_._1).exists(_._2.size > 1))
   }
 
+  test("lm_novelty equals a driver-side bigram MLE model") {
+    val texts = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val allBg = texts.toSeq.flatMap { case (_, tk) =>
+      if (tk.length >= 2) tk.sliding(2).map(_.mkString(" ")).toSeq else Nil
+    }
+    val c2 = allBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = allBg.map(_.split(" ")(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val want = texts.collect { case (id, tk) if tk.length >= 2 =>
+      val ps = tk.sliding(2).map(_.mkString(" ")).toSeq
+        .map(bg => c2(bg).toDouble / c1(bg.split(" ")(0)).toDouble)
+      id -> (ps.length.toLong, r4(ps.min), ps.count(_ < 0.05).toLong)
+    }
+    val got = graft.llm.TextOps.lmNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(got == want)
+    // novelty must discriminate: not every doc shares the same min_p
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("ivf_health: entries = vectors × replicas, coverage and bounds hold") {
     val r = graft.llm.VectorOps.ivfHealth(spark, "/root/testdata/sf0.01").head()
     val nVecs = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.01")
