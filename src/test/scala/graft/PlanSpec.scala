@@ -118,6 +118,21 @@ class PlanSpec extends AnyFunSuite {
       s"documents scan should read 3 columns, got: $schema")
   }
 
+  test("pack: documents scan prunes to 3 columns; partial agg after window") {
+    val p = plan("q_llm_pack")
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.split(",").length == 3,
+      s"documents scan should read (doc_id, source, text), got: $schema")
+    assert(p.contains("partial_"), s"pack report agg should be partial:\n$p")
+  }
+
+  test("lm_novelty: the bigram model joins by broadcast, never shuffled") {
+    val p = plan("q_llm_lm_novelty")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$p")
+  }
+
   test("linreg: window partitioning is reused by the moment aggregate") {
     val p = plan("q_ts_linreg")
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
