@@ -916,6 +916,28 @@ object TimeSeriesOps {
       .orderBy("user_id")
   }
 
+  /** COHORT RETENTION — the third classic product-analytics read next
+    * to [[sessionize]] and [[funnel]]: users cohort by first-seen day,
+    * every later active day lands in (cohort, day_offset), the matrix
+    * a retention curve is drawn from. Two aggregations sharing one
+    * shuffle key (user_id): the cohort table is one row per user and
+    * rides the active-days relation's partitioning; the final matrix
+    * aggregate is partial before its (cohort, offset) exchange. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    // day-truncated TIMESTAMP (not DATE) keeps the output dtype
+    // identical across engines; the offset is exact epoch-µs integer
+    // arithmetic
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    val offset = expr("(unix_micros(d) - unix_micros(cohort)) div 86400000000L")
+    e.distinct().join(firstDay, "user_id")
+      .where(offset <= 7L)
+      .groupBy(col("cohort"), offset.as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** Ordered conversion FUNNEL (view → click → purchase, each stage AT
     * OR AFTER the previous one's first hit — a same-timestamp event
     * converts): three conditional-min aggregations chained per user;
@@ -1407,6 +1429,7 @@ object TimeSeriesOps {
     "q_ts_find_metrics" -> findMetrics _,
     "q_sessionize" -> sessionize _,
     "q_funnel" -> funnel _,
+    "q_cohort_retention" -> cohortRetention _,
     "q_ts_dashboard" -> dashboard _,
     "q_ts_moving_avg" -> movingAverage _,
     "q_ts_scale_offset" -> scaleOffset _,
@@ -2327,6 +2350,19 @@ object TimeSeriesOps {
         |FROM t1
         |LEFT JOIN t2 ON t1.user_id = t2.user_id
         |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d FROM events),
+        |f AS (
+        |  SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, d FROM e)
+        |SELECT f.cohort,
+        |       CAST((epoch_us(a.d) - epoch_us(f.cohort)) // 86400000000 AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |WHERE (epoch_us(a.d) - epoch_us(f.cohort)) // 86400000000 <= 7
+        |GROUP BY 1, 2
+        |ORDER BY cohort NULLS FIRST, day_offset NULLS FIRST""".stripMargin,
     "q_ts_dashboard" ->
       s"""WITH f AS (
         |  SELECT event_type AS metric,

@@ -141,6 +141,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort retention: day-0 is the cohort size and bounds later days") {
+    val rows = TimeSeriesOps.cohortRetention(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 7))
+    rows.groupBy(_._1).foreach { case (cohort, g) =>
+      val day0 = g.find(_._2 == 0L)
+      // every user is active on their own first day
+      assert(day0.isDefined, s"$cohort misses day 0")
+      assert(g.forall(_._3 <= day0.get._3),
+        s"$cohort: retention cannot exceed the cohort size")
+    }
+  }
+
   test("moving stddev equals the driver-side framed population formula") {
     val roll = TimeSeriesOps.rollupAvg(spark, sf).collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
