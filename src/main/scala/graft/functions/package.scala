@@ -26,6 +26,20 @@ package object functions {
       org.apache.spark.sql.graft.PqDecodeExpr(c, cb)
   }
 
+  /** Scalar-quantization encode: ARRAY<FLOAT> embedding → dim-byte
+    * BINARY code (uniform per-dim 8-bit, normalized space). */
+  object SqEncode {
+    def apply(c: Column, mins: Array[Float], scales: Array[Float]): Column =
+      org.apache.spark.sql.graft.SqEncodeExpr(c, mins, scales)
+  }
+
+  /** Scalar-quantization decode: dim-byte BINARY code → reconstructed
+    * ARRAY<FLOAT> (midpoint reconstruction, normalized space). */
+  object SqDecode {
+    def apply(c: Column, mins: Array[Float], scales: Array[Float]): Column =
+      org.apache.spark.sql.graft.SqDecodeExpr(c, mins, scales)
+  }
+
   /** OPQ rotation: ARRAY<FLOAT> vector → ARRAY<FLOAT> `R·v` for a
     * row-major orthogonal matrix learned offline (Ge et al., CVPR'13). */
   object RotateVec {

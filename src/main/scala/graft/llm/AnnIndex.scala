@@ -54,10 +54,21 @@ object AnnIndex {
     * is re-ranked exactly against full vectors fetched by key. */
   final case class PqIndex(cells: DataFrame, codes: DataFrame, pq: Pq)
 
+  /** Scalar-quantization model (per-dim uniform 8-bit over NORMALIZED
+    * vectors): `scales(d)` = (max_d − min_d)/256, midpoint decode. */
+  final case class Sq(mins: Array[Float], scales: Array[Float])
+
+  /** IVF-SQ8: coarse cells + 1-byte-per-dim codes — the middle rung of
+    * the ANN memory ladder (4× smaller lists than float32, higher
+    * fidelity than PQ's shared codewords). */
+  final case class SqIndex(cells: DataFrame, codes: DataFrame, sq: Sq)
+
   private val registry = TrieMap.empty[String, Index]
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]
   private val pqRegistry = TrieMap.empty[String, PqIndex]
   private val pqOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private val sqRegistry = TrieMap.empty[String, SqIndex]
+  private val sqOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]
 
   /** Deterministic sample bound for quantizer training (see class doc). */
   private val SampleCap = 4096
@@ -103,6 +114,7 @@ object AnnIndex {
   /** For specs: drop every cached index. */
   private[graft] def clear(): Unit = {
     registry.clear(); order.clear(); pqRegistry.clear(); pqOrder.clear()
+    sqRegistry.clear(); sqOrder.clear()
   }
 
   /** PQ subspace count: 64-dim embeddings → 8 subspaces × 8 dims. */
@@ -138,6 +150,61 @@ object AnnIndex {
         pqOrder.add(key)
         while (pqRegistry.size > MaxCached) {
           Option(pqOrder.poll()).foreach(pqRegistry.remove)
+        }
+        idx
+    }
+  }
+
+  /** Per-dim min/max over the NORMALIZED bounded sample → uniform 8-bit
+    * model. Values outside the training range clamp at encode time (the
+    * standard SQ8 posture: the sample brackets the distribution). */
+  private[graft] def trainSq(sample: Array[Array[Float]]): Sq = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    val mins = Array.fill(dim)(Float.MaxValue)
+    val maxs = Array.fill(dim)(Float.MinValue)
+    sample.foreach { v =>
+      var nrm = 0.0
+      var i = 0
+      while (i < dim) { nrm += v(i).toDouble * v(i); i += 1 }
+      val inv = if (nrm == 0.0) 0.0f else (1.0 / math.sqrt(nrm)).toFloat
+      i = 0
+      while (i < dim) {
+        val x = v(i) * inv
+        if (x < mins(i)) mins(i) = x
+        if (x > maxs(i)) maxs(i) = x
+        i += 1
+      }
+    }
+    Sq(mins, Array.tabulate(dim)(d => (maxs(d) - mins(d)) / 256.0f))
+  }
+
+  /** Build-or-get the IVF-SQ8 index: same coarse cells as the flat
+    * index, lists carry 1-byte-per-dim scalar-quantized codes — the
+    * middle rung between flat float lists and PQ (4× payload reduction,
+    * per-dimension resolution retained). Same bounded registry
+    * discipline as [[buildPqOrGet]]. */
+  def buildSqOrGet(spark: SparkSession, sfDir: String, k: Int,
+      replicas: Int): SqIndex = synchronized {
+    val key = s"${spark.sparkContext.applicationId}" +
+      s"|s=${Integer.toHexString(System.identityHashCode(spark))}" +
+      s"|$sfDir|k=$k|r=$replicas|sq8"
+    sqRegistry.get(key) match {
+      case Some(idx) => idx
+      case None =>
+        val base = buildOrGet(spark, sfDir, k, replicas)
+        val e = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val sq = trainSq(boundedSample(e))
+        val codes = base.lists.select(col("vec_id"), col("cell"),
+            graft.functions.SqEncode(col("embedding"), sq.mins, sq.scales)
+              .as("codes"))
+          .localCheckpoint()
+        val idx = SqIndex(base.cells, codes, sq)
+        sqRegistry.put(key, idx)
+        sqOrder.add(key)
+        while (sqRegistry.size > MaxCached) {
+          Option(sqOrder.poll()).foreach(sqRegistry.remove)
         }
         idx
     }
@@ -687,6 +754,36 @@ object AnnIndex {
         graft.util.Det.r4(col("sim")).as("sim"))
   }
 
+  /** [[pqKnnJoin]]'s SQ8 twin: candidates score by cosine against the
+    * midpoint reconstruction (asymmetric distance), a [[rerank]]-row
+    * short list re-ranks exactly against full vectors fetched by key.
+    * Same two-window shape; no rotation (SQ8 is axis-aligned). */
+  def sqKnnJoin(index: SqIndex, full: DataFrame, qs: DataFrame,
+      nprobe: Int, k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qcells = rankCells(index.cells, qs, nprobe)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val short = qcells.join(index.codes, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        CosineSim(graft.functions.SqDecode(col("codes"), index.sq.mins,
+          index.sq.scales), col("qe")).as("adc"))
+      .groupBy(col("q_id"), col("vec_id")).agg(max(col("adc")).as("adc"))
+      .withColumn("rk", row_number().over(wAdc))
+      .where(col("rk") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+    val wSim = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    short.join(full, "vec_id").join(qs, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        CosineSim(col("embedding"), col("qe")).as("sim"))
+      .withColumn("rk", row_number().over(wSim))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("bigint").as("rk"), col("vec_id"),
+        graft.util.Det.r4(col("sim")).as("sim"))
+  }
+
   /** [[probeStream]] against the PQ index: micro-batches pay an m-byte
     * ADC scan plus a key-fetch re-rank instead of a full-vector list
     * scan — the online-serving path a 10^9-vector deployment runs. */
@@ -793,6 +890,33 @@ object AnnIndex {
       .select(col("vec_id"),
         CosineSim(graft.functions.PqDecode(col("codes"), index.pq.codebooks),
           adcQuery(index.pq)).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rerank)
+    full.join(broadcast(shortList.select(col("vec_id"))), "vec_id")
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        graft.util.Det.r4(CosineSim(col("embedding"), col("qe"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(limit)
+  }
+
+  /** [[pqProbe]]'s SQ8 twin: dim-byte codes scored against the midpoint
+    * reconstruction, short list re-ranked exactly over full vectors. */
+  def sqProbe(index: SqIndex, full: DataFrame, query: DataFrame,
+      nprobe: Int, limit: Int, rerank: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val probed = index.cells.crossJoin(broadcast(query))
+      .select(col("cell"), CosineSim(col("cvec"), col("qe")).as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(nprobe)
+    val candidates = index.codes.join(broadcast(probed), "cell")
+    val shortList = excludeVecId
+      .fold(candidates)(id => candidates.where(col("vec_id") =!= id))
+      .groupBy(col("vec_id")).agg(first(col("codes")).as("codes"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        CosineSim(graft.functions.SqDecode(col("codes"), index.sq.mins,
+          index.sq.scales), col("qe")).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(rerank)
     full.join(broadcast(shortList.select(col("vec_id"))), "vec_id")

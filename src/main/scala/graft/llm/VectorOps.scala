@@ -144,6 +144,21 @@ object VectorOps {
       excludeVecId = Some(0L))
   }
 
+  /** IVF-SQ8 ANN — the middle rung of the ANN memory ladder (flat →
+    * SQ8 → PQ): 1-byte-per-dim scalar codes give a 4× list-payload
+    * reduction while keeping per-dimension resolution, so the ADC
+    * ranking tracks the flat ranking far closer than PQ's shared
+    * codewords. Same probe shape as [[annPq]]. No oracle
+    * (quantizer-dependent); spec'd: full-rerank equality with flat,
+    * reconstruction error bounded by scale/2 per dim, 4× payload. */
+  def annSq(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = AnnIndex.buildSqOrGet(spark, sfDir, KCells, IndexReplicas)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    AnnIndex.sqProbe(idx, e, q, NProbe, limit = 5, rerank = PqRerank,
+      excludeVecId = Some(0L))
+  }
+
   /** Inverted-list index with redundant assignment: each vector appears
     * in its `replicas` nearest cells. Cell ranking is aggregated WITHOUT
     * carrying the embedding (collect k (csim, cell) scalars per vector,
@@ -295,6 +310,7 @@ object VectorOps {
     "q_llm_knn_join" -> knnJoin _,
     "q_llm_ann_ivf" -> annIvf _,
     "q_llm_ann_pq" -> annPq _,
+    "q_llm_ann_sq" -> annSq _,
     "q_llm_embed_neardup" -> embedNeardup _
   )
 

@@ -436,6 +436,54 @@ class LlmSpec extends AnyFunSuite {
     assert(overlap >= 0.6, s"rerank=8 recall too low: $overlap")
   }
 
+  test("sq8: full-rerank equality, bounded reconstruction, 4x payload") {
+    import graft.llm.AnnIndex
+    val sp = spark
+    val sqi = AnnIndex.buildSqOrGet(sp, sf, 10, 2)
+    val full = graft.io.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = full.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val flat = AnnIndex.knnJoin(AnnIndex.buildOrGet(sp, sf, 10, 2), qs, 3, 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaSq = AnnIndex.sqKnnJoin(sqi, full, qs, 3, 3, rerank = 1 << 20)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaSq == flat && viaSq.nonEmpty,
+      s"full-rerank sq join diverged: $viaSq vs $flat")
+    // SQ8 keeps per-dim resolution: even a TIGHT short list reproduces
+    // the exact ranking with high overlap
+    val tight = AnnIndex.sqKnnJoin(sqi, full, qs, 3, 3, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val flatPairs = flat.map(t => (t._1, t._3))
+    val overlap = tight.intersect(flatPairs).size.toDouble / flatPairs.size
+    assert(overlap >= 0.6, s"rerank=8 recall too low: $overlap")
+    // payload: dim bytes vs dim float32s = exactly 4x smaller
+    val row = sqi.codes.select(length(col("codes"))).head()
+    val dim = full.select(size(col("embedding"))).head().getInt(0)
+    assert(row.getInt(0) == dim, "one byte per dimension")
+    // reconstruction bound: |decode(encode(x)) - x/|x|| <= scale_d/2
+    // per dim for in-range values (midpoint decode of a clamped cell)
+    val v = full.where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    val normed = v.map(_ / nrm)
+    val dec = full.where(col("vec_id") === 7)
+      .select(graft.functions.SqDecode(
+        graft.functions.SqEncode(col("embedding"), sqi.sq.mins,
+          sqi.sq.scales), sqi.sq.mins, sqi.sq.scales))
+      .head().getSeq[Float](0).toArray
+    normed.indices.foreach { d =>
+      val inRange = normed(d) >= sqi.sq.mins(d) &&
+        normed(d) <= sqi.sq.mins(d) + 256.0f * sqi.sq.scales(d)
+      if (inRange && sqi.sq.scales(d) > 0) {
+        assert(math.abs(dec(d) - normed(d)) <= sqi.sq.scales(d) * 0.5f + 1e-6,
+          s"dim $d: ${dec(d)} vs ${normed(d)} scale ${sqi.sq.scales(d)}")
+      }
+    }
+  }
+
   test("streaming PQ probe: micro-batches equal the batch pq knn join") {
     import graft.llm.AnnIndex
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
