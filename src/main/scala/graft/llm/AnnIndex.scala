@@ -825,6 +825,28 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
   }
 
+  /** [[savePq]]'s SQ8 twin: cells + dim-byte codes + the per-dim model
+    * row — the offline-build half of the SQ serving split. */
+  def saveSq(index: SqIndex, dir: String): Unit = {
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    Seq((index.sq.mins.toSeq, index.sq.scales.toSeq))
+      .toDF("mins", "scales")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Load a persisted SQ8 index for serving. */
+  def loadSq(spark: SparkSession, dir: String): SqIndex = {
+    type GSeq[A] = scala.collection.Seq[A]
+    val m = spark.read.parquet(s"$dir/model").collect()(0)
+    SqIndex(spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codes"),
+      Sq(m.getAs[GSeq[Float]]("mins").toArray,
+        m.getAs[GSeq[Float]]("scales").toArray))
+  }
+
   /** Load a persisted PQ/OPQ index for serving. */
   def loadPq(spark: SparkSession, dir: String): PqIndex = {
     // Row materializes nested arrays as mutable ArraySeq — cast at the

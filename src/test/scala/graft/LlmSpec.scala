@@ -874,6 +874,30 @@ class LlmSpec extends AnyFunSuite {
       s"refined-opq full-rerank join diverged: $via vs $flat")
   }
 
+  test("sq index save/load round-trips the model; served joins agree") {
+    import graft.llm.AnnIndex
+    val sp = spark
+    val sqi = AnnIndex.buildSqOrGet(sp, sf, 10, 2)
+    val dir = java.nio.file.Files.createTempDirectory("sqsave").toString
+    AnnIndex.saveSq(sqi, dir)
+    val served = AnnIndex.loadSq(sp, dir)
+    assert(served.sq.mins.toSeq == sqi.sq.mins.toSeq &&
+      served.sq.scales.toSeq == sqi.sq.scales.toSeq,
+      "per-dim model must round-trip bit-exactly")
+    val full = graft.io.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = full.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val built = AnnIndex.sqKnnJoin(sqi, full, qs, 3, 3, rerank = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val loaded = AnnIndex.sqKnnJoin(served, full, qs, 3, 3, rerank = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(loaded == built && loaded.nonEmpty,
+      s"served sq index diverged from the built one: $loaded vs $built")
+  }
+
   test("pq index save/load round-trips the model; served joins agree") {
     import graft.llm.AnnIndex
     val sp = spark
