@@ -483,8 +483,13 @@ object TextOps {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .where(size(col("tk")) >= 2)
+    // the exploded bigram relation feeds BOTH the model aggregation and
+    // the scoring join; checkpointing it lazily halves the scan+explode
+    // cost (the Pipeline stage-cache pattern; plan assertions inspect
+    // the pre-checkpoint relation per the CLAUDE.md rule)
     val big = docs.select(col("doc_id"),
       explode(expr(ngramExpr("tk", 2))).as("bg"))
+      .localCheckpoint(eager = false)
     val bgCnt = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val uniCnt = bgCnt
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))

@@ -924,17 +924,24 @@ object TimeSeriesOps {
     * rides the active-days relation's partitioning; the final matrix
     * aggregate is partial before its (cohort, offset) exchange. */
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // day-truncated TIMESTAMP (not DATE) keeps the output dtype
     // identical across engines; the offset is exact epoch-µs integer
-    // arithmetic
-    val e = Tables.events(spark, sfDir)
-      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
-    val firstDay = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    // arithmetic. The cohort comes from a window min over the deduped
+    // active days — the distinct's user_id shuffle is REUSED by the
+    // window (one exchange serves both), where a separate
+    // first-day aggregate + join would scan and shuffle events twice.
+    // After (user_id, d) dedup a user contributes one row per offset,
+    // so the matrix count is count(*), not a distinct expand.
     val offset = expr("(unix_micros(d) - unix_micros(cohort)) div 86400000000L")
-    e.distinct().join(firstDay, "user_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+      .withColumn("cohort",
+        min(col("d")).over(Window.partitionBy(col("user_id"))))
       .where(offset <= 7L)
       .groupBy(col("cohort"), offset.as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort", "day_offset")
   }
 
@@ -2351,16 +2358,17 @@ object TimeSeriesOps {
         |LEFT JOIN t2 ON t1.user_id = t2.user_id
         |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
     "q_cohort_retention" ->
-      """WITH e AS (
-        |  SELECT user_id, date_trunc('day', ts) AS d FROM events),
-        |f AS (
-        |  SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
-        |a AS (SELECT DISTINCT user_id, d FROM e)
-        |SELECT f.cohort,
-        |       CAST((epoch_us(a.d) - epoch_us(f.cohort)) // 86400000000 AS BIGINT) AS day_offset,
-        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
-        |FROM a JOIN f ON a.user_id = f.user_id
-        |WHERE (epoch_us(a.d) - epoch_us(f.cohort)) // 86400000000 <= 7
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |c AS (
+        |  SELECT user_id, d,
+        |         min(d) OVER (PARTITION BY user_id) AS cohort
+        |  FROM a)
+        |SELECT cohort,
+        |       CAST((epoch_us(d) - epoch_us(cohort)) // 86400000000 AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM c
+        |WHERE (epoch_us(d) - epoch_us(cohort)) // 86400000000 <= 7
         |GROUP BY 1, 2
         |ORDER BY cohort NULLS FIRST, day_offset NULLS FIRST""".stripMargin,
     "q_ts_dashboard" ->
