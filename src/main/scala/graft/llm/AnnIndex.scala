@@ -797,6 +797,18 @@ object AnnIndex {
       }
       .start()
 
+  /** [[probePqStream]]'s SQ8 twin: micro-batches pay the dim-byte ADC
+    * scan plus the key-fetch re-rank. */
+  def probeSqStream(queries: DataFrame, index: SqIndex, full: DataFrame,
+      nprobe: Int, k: Int, rerank: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(sqKnnJoin(index, full, batch, nprobe, k, rerank))
+      }
+      .start()
+
   /** Persist a built index as two parquet tables — the offline half of
     * the build/serve split (at production the lists table is bucketed by
     * cell so a probe reads only its cells' files). */

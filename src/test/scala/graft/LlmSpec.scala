@@ -898,6 +898,40 @@ class LlmSpec extends AnyFunSuite {
       s"served sq index diverged from the built one: $loaded vs $built")
   }
 
+  test("streaming SQ probe: micro-batches equal the batch sq knn join") {
+    import graft.llm.AnnIndex
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sqc: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sqi = AnnIndex.buildSqOrGet(sp, sf, 10, 2)
+    val full = graft.io.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = full.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val qvecs = qs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = AnnIndex.probeSqStream(
+        in.toDF().toDF("q_id", "qe"), sqi, full, nprobe = 3, k = 3,
+        rerank = 16) { out =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    try {
+      in.addData(qvecs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = AnnIndex.sqKnnJoin(sqi, full, qs, 3, 3, rerank = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(results.toSet == batch.toSet && results.nonEmpty,
+      s"streaming sq probe diverged: ${results.toSet} vs ${batch.toSet}")
+  }
+
   test("pq index save/load round-trips the model; served joins agree") {
     import graft.llm.AnnIndex
     val sp = spark
