@@ -183,9 +183,11 @@ object TextOps {
   /** [[minhashDedupOver]] without the presentation sort — the pair SET
     * is what cluster resolution consumes; the total order only matters
     * on the query surface. */
-  private[llm] def minhashPairsOver(input: DataFrame): DataFrame = {
-    val docs = input
-      .select(col("doc_id"), col("lang"), toks.as("tk"))
+  /** LSH band buckets for a `(doc_id, lang, tk)` relation: 16 shingle
+    * min-hashes, banded 4×4 — one row per (doc, band). Shared by the
+    * symmetric near-dup pair generator and the asymmetric fuzzy
+    * decontamination join. */
+  private def lshBuckets(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), col("lang"), explode(shingles).as("sh"))
     val sigCols = (0 until NumHashes)
       .map(s => min(xxhash64(col("sh"), lit(s))).as(s"h$s"))
@@ -195,10 +197,16 @@ object TextOps {
       struct(lit(b).as("band"),
         hash((4 * b until 4 * b + 4).map(i => col(s"h$i")): _*).as("bh"))
     }
-    val buckets = sigs.select(col("doc_id"), col("lang"),
+    sigs.select(col("doc_id"), col("lang"),
       explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("lang"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  private[llm] def minhashPairsOver(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+    val buckets = lshBuckets(docs)
     val cands = buckets.select(col("doc_id").as("a_id"), col("lang"),
         col("band"), col("bh"))
       .join(buckets.select(col("doc_id").as("b_id"),
@@ -215,6 +223,44 @@ object TextOps {
         Det.r4(size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb")))).as("jac"))
       .where(col("jac") >= 0.5)
+  }
+
+  /** FUZZY benchmark decontamination — [[decontaminate]]'s near-copy
+    * companion (exact n-gram overlap misses paraphrases and light
+    * edits): the eval set's LSH band buckets BROADCAST against the
+    * training side's, so candidates are bucket collisions against the
+    * tiny eval set only — the training corpus never self-joins, which
+    * is what keeps this shape at 100 TB (eval sets are thousands of
+    * docs; the broadcast is bands × eval rows). Collisions verify by
+    * exact shingle-Jaccard at 0.5. The eval set here DERIVES from 20
+    * training docs — 10 verbatim, 10 with every 13th token dropped (a
+    * light paraphrase) — standing in for a benchmark that leaked into
+    * the corpus, so the read demonstrably recovers known
+    * contamination. No oracle (xxhash LSH); spec'd subset-of-brute-
+    * force + verbatim-copy recall. */
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+    val train = docs.where(col("doc_id") >= 20)
+    val evalRel = docs.where(col("doc_id") >= 20 && col("doc_id") < 40)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") < 30, col("tk"))
+          .otherwise(expr("filter(tk, (t, i) -> (i + 1) % 13 != 0)"))
+          .as("tk"))
+    val evalB = lshBuckets(evalRel)
+      .select(col("doc_id").as("e_id"), col("lang"), col("band"), col("bh"))
+    val cands = lshBuckets(train).join(broadcast(evalB),
+        Seq("lang", "band", "bh"))
+      .select(col("doc_id").as("t_id"), col("e_id")).distinct()
+    cands
+      .join(train.select(col("doc_id").as("t_id"), shingles.as("st")), "t_id")
+      .join(broadcast(evalRel
+        .select(col("doc_id").as("e_id"), shingles.as("se"))), "e_id")
+      .select(col("t_id"), col("e_id"),
+        Det.r4(size(array_intersect(col("st"), col("se"))).cast("double") /
+          size(array_union(col("st"), col("se")))).as("jac"))
+      .where(col("jac") >= 0.5)
+      .orderBy(col("t_id"), col("e_id"))
   }
 
   /** 64-bit SimHash signature per doc: per-bit majority vote of token
@@ -551,6 +597,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_decontaminate" -> decontaminate _,
+    "q_llm_decontaminate_fuzzy" -> decontaminateFuzzy _,
     "q_llm_lm_novelty" -> lmNovelty _,
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,

@@ -238,6 +238,45 @@ class LlmSpec extends AnyFunSuite {
     assert(expect.keys.groupBy(_._1).exists(_._2.size > 1))
   }
 
+  test("fuzzy decontamination: subset of brute force, verbatim recall") {
+    def shingleSet(tk: Array[String]): Set[String] = {
+      val n = math.max(tk.length - 2, 1)
+      (1 to n).map(i => (i until math.min(i + 3, tk.length + 1))
+        .map(j => tk(j - 1)).mkString(" ")).toSet
+    }
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1)))
+    val trains = docs.filter(_._1 >= 20)
+    // mirror the query's eval-set derivation: 20..29 verbatim, 30..39
+    // drop every 13th token
+    val evals = docs.filter(d => d._1 >= 20 && d._1 < 40).map {
+      case (id, lang, tk) =>
+        val tk2 = if (id < 30) tk
+          else tk.zipWithIndex.collect {
+            case (t, i) if (i + 1) % 13 != 0 => t
+          }
+        (id, lang, tk2)
+    }
+    val brute = (for {
+      (eId, eLang, eTk) <- evals
+      (tId, tLang, tTk) <- trains
+      if eLang == tLang
+      se = shingleSet(eTk); st = shingleSet(tTk)
+      jac = st.intersect(se).size.toDouble / st.union(se).size
+      if jac >= 0.5
+    } yield (tId, eId)).toSet
+    val got = graft.llm.TextOps.decontaminateFuzzy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute),
+      s"flagged pairs must verify at jaccard >= 0.5: ${got -- brute}")
+    // a verbatim eval copy collides in every band — recall is certain
+    val verbatim = evals.filter(_._1 < 30).map(e => (e._1, e._1)).toSet
+    assert(verbatim.subsetOf(got),
+      s"verbatim contamination must be flagged: ${verbatim -- got}")
+  }
+
   test("lm_novelty equals a driver-side bigram MLE model") {
     val texts = graft.io.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()

@@ -26,7 +26,7 @@ class TimeSeriesSpec extends AnyFunSuite {
   test("every declared query has an oracle or is known no-oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val known = Set("q_agg_hll", "q_agg_approx_pctl", "q_llm_knn_label",
-      "q_llm_minhash_dedup",
+      "q_llm_minhash_dedup", "q_llm_decontaminate_fuzzy",
       "q_llm_simhash", "q_llm_ann_ivf", "q_llm_ann_pq", "q_llm_ann_sq",
       "q_llm_langid",
       "q_llm_embed_neardup", "q_llm_ivf_health", "q_mm_qc",
