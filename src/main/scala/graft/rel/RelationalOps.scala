@@ -564,7 +564,44 @@ object RelationalOps {
       .orderBy("o_custkey")
   }
 
+  /** MERGE-ON-READ upsert snapshot — the CDC read every lakehouse
+    * deployment runs: a base table plus a changes feed (updates +
+    * tombstones) resolve latest-version-wins per key, tombstones drop,
+    * and the snapshot aggregates per status. One hash shuffle on the
+    * key does the whole merge (max_by over a version-tagged struct —
+    * no join, no window sort); at 100 TB base and changes are
+    * bucket-partitioned on the key so the merge is co-located. The
+    * changes feed derives deterministically from orders (every 10th
+    * key doubles its price at v1; every 97th-mod-3 key that is not
+    * also an update becomes a tombstone), keeping versions unique per
+    * key so latest-wins needs no tiebreak. */
+  def upsertSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), lit(0L).as("version"), lit(false).as("deleted"))
+    val updates = o.where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * 2.0).as("o_totalprice"),
+        lit(1L).as("version"), lit(false).as("deleted"))
+    val deletes = o.where(col("o_orderkey") % 97 === 3 &&
+        col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        lit(0.0).as("o_totalprice"),
+        lit(1L).as("version"), lit(true).as("deleted"))
+    base.unionByName(updates).unionByName(deletes)
+      .groupBy(col("o_orderkey"))
+      .agg(max_by(struct(col("o_orderstatus"), col("o_totalprice"),
+        col("deleted"), col("version")), col("version")).as("m"))
+      .where(!col("m.deleted"))
+      .groupBy(col("m.o_orderstatus").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(when(col("m.version") === 1L, 1L).otherwise(0L)).as("n_updated"),
+        Det.r4(Det.dsum4(col("m.o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert_snapshot" -> upsertSnapshot _,
     "q_latest_per_key" -> latestPerKey _,
     "q_star_revenue" -> starRevenue _,
     "q_scan_project" -> scanProject _,
@@ -611,6 +648,34 @@ object RelationalOps {
   import Det.{dsum4Sql, davg4Sql, r4Sql}
 
   val oracleSql: Map[String, String] = Map(
+    "q_upsert_snapshot" ->
+      s"""WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         0 AS version, FALSE AS deleted
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+        |         1 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |del AS (
+        |  SELECT o_orderkey, o_orderstatus, 0.0 AS o_totalprice,
+        |         1 AS version, TRUE AS deleted
+        |  FROM orders WHERE o_orderkey % 97 = 3 AND o_orderkey % 10 <> 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |      UNION ALL SELECT * FROM del),
+        |m AS (
+        |  SELECT o_orderkey,
+        |         arg_max(o_orderstatus, version) AS o_orderstatus,
+        |         arg_max(o_totalprice, version) AS o_totalprice,
+        |         arg_max(deleted, version) AS deleted,
+        |         CAST(max(version) AS BIGINT) AS version
+        |  FROM u GROUP BY 1)
+        |SELECT o_orderstatus, count(*) AS n_live,
+        |       CAST(sum(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |       ${Det.r4Sql(Det.dsum4Sql("o_totalprice"))} AS sum_price
+        |FROM m WHERE NOT deleted
+        |GROUP BY 1
+        |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
     "q_latest_per_key" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

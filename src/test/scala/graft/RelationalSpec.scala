@@ -68,6 +68,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert snapshot: live = base - tombstones, updates all survive") {
+    import org.apache.spark.sql.functions._
+    val o = graft.io.Tables.orders(spark, sf)
+    val nBase = o.count()
+    val nUpd = o.where(col("o_orderkey") % 10 === 0).count()
+    val nDel = o.where(col("o_orderkey") % 97 === 3 &&
+      col("o_orderkey") % 10 =!= 0).count()
+    val snap = RelationalOps.upsertSnapshot(spark, sf).collect()
+    assert(snap.map(_.getLong(1)).sum == nBase - nDel,
+      "tombstoned keys must drop from the snapshot")
+    assert(snap.map(_.getLong(2)).sum == nUpd,
+      "every updated key must survive at version 1")
+  }
+
   test("approx_pctl: every sketched quantile lands in the exact rank band") {
     import org.apache.spark.sql.functions._
     val vals = graft.io.Tables.lineitem(spark, sf)
