@@ -513,6 +513,21 @@ object TextOps {
     s"transform(sequence(0, size($arr) - $n), i -> concat_ws(' ', $parts))"
   }
 
+  /** Vocabulary ZIPF profile — the corpus-health shape check (a missing
+    * tail means over-aggressive dedup; a bloated head means boilerplate
+    * flooding): token frequencies histogram by decimal MAGNITUDE — the
+    * digit count of the frequency, an exact cross-engine "log10 bucket"
+    * (libm log10 would drift at ulp boundaries; string length of an
+    * integer cannot). Two aggregations, the second over the vocabulary
+    * relation only. */
+  def vocabZipf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(length(col("c").cast("string")).cast("long").as("magnitude"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("occurrences"))
+      .orderBy("magnitude")
+
   /** Bigram-LM NOVELTY scoring — the language-model quality filter
     * (CCNet / GPT-3 data prep [U] use LM perplexity; this is its
     * cross-engine-exact core): a bigram model is learned from the
@@ -599,6 +614,7 @@ object TextOps {
     "q_llm_decontaminate" -> decontaminate _,
     "q_llm_decontaminate_fuzzy" -> decontaminateFuzzy _,
     "q_llm_lm_novelty" -> lmNovelty _,
+    "q_llm_vocab_zipf" -> vocabZipf _,
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
     "q_llm_budget_sample" -> budgetSample _,
@@ -633,6 +649,15 @@ object TextOps {
         |WHERE g.doc_id >= 20
         |GROUP BY 1
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_vocab_zipf" ->
+      """WITH tf AS (
+        |  SELECT t, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1)
+        |SELECT CAST(len(CAST(c AS VARCHAR)) AS BIGINT) AS magnitude,
+        |       count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS occurrences
+        |FROM tf GROUP BY 1
+        |ORDER BY magnitude NULLS FIRST""".stripMargin,
     "q_llm_lm_novelty" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |           FROM documents

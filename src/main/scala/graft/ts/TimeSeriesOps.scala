@@ -425,6 +425,43 @@ object TimeSeriesOps {
     * percentile() interpolation differs; an indexed element never does).
     * Value-first ordering makes the selected VALUE unique even when
     * buckets tie on v. */
+  /** Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+    * spiky-series alternative to [[anomaly]]'s z-score (one spike
+    * inflates a stddev and masks later spikes; it barely moves the
+    * MAD). Both medians are exact integer-rank selections (lower
+    * median, rank (n+1) div 2, deterministic (value, bucket)
+    * tiebreak — the [[nPercentile]] discipline), so both engines pick
+    * the identical elements and score with the same IEEE ops (abs,
+    * multiply, divide — no libm). 1.4826 is the Gaussian consistency
+    * constant; points beyond 3 scaled MADs flag. One shuffle on
+    * event_type serves all four window passes. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("bucket"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val medRank = expr("(n + 1) div 2")
+    val withMed = h1.select(col("event_type"), col("bucket"), col("v"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .withColumn("med",
+        max(when(col("rn") === medRank, col("v"))).over(wAll))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val wDev = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev"), col("bucket"))
+    withMed
+      .withColumn("rn2", row_number().over(wDev))
+      .withColumn("mad",
+        max(when(col("rn2") === medRank, col("dev"))).over(wAll))
+      .where(col("mad") > 0.0 &&
+        col("dev") > col("mad") * lit(1.4826) * lit(3.0))
+      .select(col("event_type"), col("bucket"), col("v"), col("med"),
+        col("mad"),
+        Det.r4(col("dev") / (col("mad") * lit(1.4826))).as("score"))
+      .orderBy("event_type", "bucket")
+  }
+
   def nPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
@@ -1455,6 +1492,7 @@ object TimeSeriesOps {
     "q_ts_integral" -> integral _,
     "q_ts_integral_by_day" -> integralByInterval _,
     "q_ts_npercentile" -> nPercentile _,
+    "q_ts_mad_outliers" -> madOutliers _,
     "q_ts_remove_above_pct" -> removeAbovePercentile _,
     "q_ts_remove_below" -> removeBelowValue _,
     "q_ts_consolidate" -> consolidate _,
@@ -1876,6 +1914,36 @@ object TimeSeriesOps {
         |         ORDER BY bucket
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_day
         |FROM h1
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_mad_outliers" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT event_type, bucket, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY v, bucket) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM h1),
+        |m1 AS (
+        |  SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        |              OVER (PARTITION BY event_type) AS med
+        |  FROM r1),
+        |d AS (SELECT event_type, bucket, v, n, med, abs(v - med) AS dev
+        |      FROM m1),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY dev, bucket) AS rn2
+        |  FROM d),
+        |m2 AS (
+        |  SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+        |              OVER (PARTITION BY event_type) AS mad
+        |  FROM r2)
+        |SELECT event_type, bucket, v, med, mad,
+        |       ${Det.r4Sql("dev / (mad * 1.4826)")} AS score
+        |FROM m2
+        |WHERE mad > 0.0 AND dev > mad * 1.4826 * 3.0
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_npercentile" ->
       s"""WITH h1 AS (

@@ -277,6 +277,22 @@ class LlmSpec extends AnyFunSuite {
       s"verbatim contamination must be flagged: ${verbatim -- got}")
   }
 
+  test("vocab zipf conserves totals: tokens and occurrences") {
+    val texts = graft.io.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val allToks = texts.flatMap(_.split(" ", -1))
+    val rows = graft.llm.TextOps.vocabZipf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == allToks.distinct.length,
+      "token buckets must partition the vocabulary")
+    assert(rows.map(_._3).sum == allToks.length,
+      "occurrence totals must conserve the corpus size")
+    // magnitude really is the digit count of the bucketed frequencies
+    val freqs = allToks.groupBy(identity).values.map(_.length)
+    val wantMags = freqs.map(_.toString.length.toLong).toSet
+    assert(rows.map(_._1).toSet == wantMags)
+  }
+
   test("lm_novelty equals a driver-side bigram MLE model") {
     val texts = graft.io.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()

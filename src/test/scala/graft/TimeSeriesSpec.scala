@@ -142,6 +142,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("mad outliers equal the driver-side exact-rank reference") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val roll = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    val want = roll.groupBy(_._1).toSeq.flatMap { case (et, g) =>
+      val byV = g.sortBy(r => (r._3, r._2))
+      val med = byV((byV.length + 1) / 2 - 1)._3
+      val devs = g.map(r => (math.abs(r._3 - med), r._2)).sorted
+      val mad = devs((devs.length + 1) / 2 - 1)._1
+      g.collect {
+        case (_, ts, v) if mad > 0.0 &&
+            math.abs(v - med) > mad * 1.4826 * 3.0 =>
+          (et, ts) -> r4(math.abs(v - med) / (mad * 1.4826))
+      }
+    }.toMap
+    val got = TimeSeriesOps.madOutliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getDouble(5))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty, "test data must produce at least one outlier")
+  }
+
   test("cohort retention: day-0 is the cohort size and bounds later days") {
     val rows = TimeSeriesOps.cohortRetention(spark, sf).collect()
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
