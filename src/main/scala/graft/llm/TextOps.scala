@@ -513,6 +513,40 @@ object TextOps {
     s"transform(sequence(0, size($arr) - $n), i -> concat_ws(' ', $parts))"
   }
 
+  /** Per-document CHARACTER-LEVEL nearest neighbor by LEVENSHTEIN
+    * distance — the contamination-risk profile that token-set Jaccard
+    * misses (one edited character changes a whole token; it is one
+    * unit of edit distance): every document's closest same-shape
+    * neighbor and how close it is, the distribution a curation run
+    * reads before setting a char-level dedup threshold. Candidates
+    * BLOCK on (lang, token-count decade) so the quadratic DP only
+    * runs inside small same-shape buckets (near-dups rarely straddle
+    * a 10-token length gap); the doc_id<150 slice bounds the declared
+    * read like [[jaccardPairs]]; distances compare on the 60-char
+    * prefix (the DP is O(len²) per pair — prefix comparison is the
+    * production compromise). Exact integers + min-struct tiebreak ⇒
+    * oracle-checkable. */
+  def editNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 150)
+      .select(col("doc_id"), col("lang"),
+        expr("size(split(text, ' ')) div 10").as("blk"),
+        substring(col("text"), 1, 60).as("px"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("blk"),
+      col("px").as("pa"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("blk"),
+      col("px").as("pb"))
+    a.join(b, Seq("lang", "blk")).where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"),
+        col("b_id"))
+      .groupBy(col("a_id"))
+      .agg(min(struct(col("dist"), col("b_id"))).as("m"))
+      .select(col("a_id").as("doc_id"), col("m.b_id").as("nn_id"),
+        col("m.dist").as("dist"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary ZIPF profile — the corpus-health shape check (a missing
     * tail means over-aggressive dedup; a bloated head means boilerplate
     * flooding): token frequencies histogram by decimal MAGNITUDE — the
@@ -615,6 +649,7 @@ object TextOps {
     "q_llm_decontaminate_fuzzy" -> decontaminateFuzzy _,
     "q_llm_lm_novelty" -> lmNovelty _,
     "q_llm_vocab_zipf" -> vocabZipf _,
+    "q_llm_edit_neardup" -> editNearDup _,
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
     "q_llm_budget_sample" -> budgetSample _,
@@ -648,6 +683,22 @@ object TextOps {
         |FROM g JOIN b USING (g5)
         |WHERE g.doc_id >= 20
         |GROUP BY 1
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_edit_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         len(string_split(text, ' ')) // 10 AS blk,
+        |         substr(text, 1, 60) AS px
+        |  FROM documents WHERE doc_id < 150),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(levenshtein(a.px, b.px) AS BIGINT) AS dist,
+        |         row_number() OVER (PARTITION BY a.doc_id
+        |           ORDER BY levenshtein(a.px, b.px), b.doc_id) AS rn
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id <> b.doc_id)
+        |SELECT a_id AS doc_id, b_id AS nn_id, dist
+        |FROM p WHERE rn = 1
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q_llm_vocab_zipf" ->
       """WITH tf AS (

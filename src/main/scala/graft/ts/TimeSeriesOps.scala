@@ -425,6 +425,35 @@ object TimeSeriesOps {
     * percentile() interpolation differs; an indexed element never does).
     * Value-first ordering makes the selected VALUE unique even when
     * buckets tie on v. */
+  /** Cross-series Pearson CORRELATION matrix over the hourly rollup —
+    * "which metrics move together", the dashboard read behind
+    * capacity-planning and root-cause grouping. Upper-triangle pairs
+    * from a self-join on bucket (the rollup is #series × #buckets —
+    * small at any corpus scale); all five moment sums accumulate as
+    * exact DECIMAL(18,8) (products of 4-decimal values have ≤8
+    * decimals), then [[graft.util.Det]]'s shared IEEE corr formula.
+    * Same discipline as the relational q_agg_corr. */
+  def seriesCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val a = h1.select(col("event_type").as("ma"), col("bucket"),
+      col("v").as("va"))
+    val b = h1.select(col("event_type").as("mb"), col("bucket"),
+      col("v").as("vb"))
+    def s(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(18,8)")).cast("double")
+    val nd = count(lit(1)).cast("double")
+    val sx = s(col("va")); val sy = s(col("vb"))
+    val sxy = s(col("va") * col("vb"))
+    val sxx = s(col("va") * col("va")); val syy = s(col("vb") * col("vb"))
+    a.join(b, "bucket").where(col("ma") < col("mb"))
+      .groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4((nd * sxy - sx * sy) /
+          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
+          .as("corr"))
+      .orderBy("ma", "mb")
+  }
+
   /** Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
     * spiky-series alternative to [[anomaly]]'s z-score (one spike
     * inflates a stddev and masks later spikes; it barely moves the
@@ -1493,6 +1522,7 @@ object TimeSeriesOps {
     "q_ts_integral_by_day" -> integralByInterval _,
     "q_ts_npercentile" -> nPercentile _,
     "q_ts_mad_outliers" -> madOutliers _,
+    "q_ts_series_corr" -> seriesCorr _,
     "q_ts_remove_above_pct" -> removeAbovePercentile _,
     "q_ts_remove_below" -> removeBelowValue _,
     "q_ts_consolidate" -> consolidate _,
@@ -1915,6 +1945,27 @@ object TimeSeriesOps {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_day
         |FROM h1
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_series_corr" -> {
+      val sx = "CAST(sum(CAST(va AS DECIMAL(18,8))) AS DOUBLE)"
+      val sy = "CAST(sum(CAST(vb AS DECIMAL(18,8))) AS DOUBLE)"
+      val sxy = "CAST(sum(CAST(va * vb AS DECIMAL(18,8))) AS DOUBLE)"
+      val sxx = "CAST(sum(CAST(va * va AS DECIMAL(18,8))) AS DOUBLE)"
+      val syy = "CAST(sum(CAST(vb * vb AS DECIMAL(18,8))) AS DOUBLE)"
+      val nd = "CAST(count(*) AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS ma, b.event_type AS mb,
+        |         a.v AS va, b.v AS vb
+        |  FROM h1 a JOIN h1 b ON a.bucket = b.bucket
+        |  WHERE a.event_type < b.event_type)
+        |SELECT ma, mb, count(*) AS n,
+        |       ${Det.r4Sql(s"($nd * $sxy - $sx * $sy) / (sqrt($nd * $sxx - $sx * $sx) * sqrt($nd * $syy - $sy * $sy))")} AS corr
+        |FROM p GROUP BY 1, 2
+        |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
+    },
     "q_ts_mad_outliers" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,

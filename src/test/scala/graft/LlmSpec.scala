@@ -277,6 +277,38 @@ class LlmSpec extends AnyFunSuite {
       s"verbatim contamination must be flagged: ${verbatim -- got}")
   }
 
+  test("edit-distance NN matches a driver-side blocked reference") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .filter(_.getLong(0) < 150)
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length / 10,
+        r.getString(2).take(60)))
+    val want = docs.flatMap { case (id, lang, blk, px) =>
+      val peers = docs.filter(d =>
+        d._2 == lang && d._3 == blk && d._1 != id)
+      if (peers.isEmpty) None
+      else Some(id -> peers.map(p => (lev(px, p._4).toLong, p._1)).min)
+    }.toMap
+    val got = graft.llm.TextOps.editNearDup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("vocab zipf conserves totals: tokens and occurrences") {
     val texts = graft.io.Tables.documents(spark, sf)
       .select(col("text")).collect().map(_.getString(0))

@@ -142,6 +142,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("series correlation: full upper triangle, bounded, self-consistent") {
+    val rows = TimeSeriesOps.seriesCorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val types = rows.flatMap(r => Seq(r._1, r._2)).distinct.length
+    assert(rows.length == types * (types - 1) / 2,
+      "one row per unordered series pair")
+    assert(rows.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001))
+    assert(rows.forall(r => r._1 < r._2), "upper triangle only")
+    // driver reference for one pair
+    val (ma, mb) = (rows.head._1, rows.head._2)
+    val h = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    val va = h.filter(_._1 == ma).map(r => r._2 -> r._3).toMap
+    val vb = h.filter(_._1 == mb).map(r => r._2 -> r._3).toMap
+    val common = va.keySet.intersect(vb.keySet).toSeq
+    val (xs, ys) = (common.map(va), common.map(vb))
+    val n = xs.length.toDouble
+    def s(v: Seq[Double]) =
+      v.map(x => BigDecimal(x).setScale(8)).sum.toDouble
+    def s2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => BigDecimal(x * y).setScale(8,
+        BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+    val (sx, sy) = (s(xs), s(ys))
+    val (sxy, sxx, syy) = (s2(xs, ys), s2(xs, xs), s2(ys, ys))
+    val corr = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(math.abs(rows.head._4 - r4(corr)) < 2e-4,
+      s"$ma/$mb: ${rows.head._4} vs ${r4(corr)}")
+  }
+
   test("mad outliers equal the driver-side exact-rank reference") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val roll = TimeSeriesOps.rollupAvg(spark, sf).collect()
