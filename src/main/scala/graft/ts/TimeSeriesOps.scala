@@ -425,6 +425,24 @@ object TimeSeriesOps {
     * percentile() interpolation differs; an indexed element never does).
     * Value-first ordering makes the selected VALUE unique even when
     * buckets tie on v. */
+  /** Per-series VALUE HISTOGRAM over the hourly rollup — the heatmap
+    * render primitive (Grafana histogram panels): fixed-width bins on
+    * the EXACT scaled-integer value (`(v·10⁴) div (width·10⁴)` — all
+    * integer arithmetic, so bin edges cannot drift between engines the
+    * way float division at a boundary could). One aggregation; bin
+    * bounds reported as exact integer-derived doubles. */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val binW = 5L // value units per bin
+    val bin = expr(s"CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT)" +
+      s" div ${binW * 10000L}L")
+    hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("event_type"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .withColumn("bin_lo", (col("bin") * lit(binW)).cast("double"))
+      .orderBy("event_type", "bin")
+  }
+
   /** Cross-series Pearson CORRELATION matrix over the hourly rollup —
     * "which metrics move together", the dashboard read behind
     * capacity-planning and root-cause grouping. Upper-triangle pairs
@@ -1523,6 +1541,7 @@ object TimeSeriesOps {
     "q_ts_npercentile" -> nPercentile _,
     "q_ts_mad_outliers" -> madOutliers _,
     "q_ts_series_corr" -> seriesCorr _,
+    "q_ts_value_histogram" -> valueHistogram _,
     "q_ts_remove_above_pct" -> removeAbovePercentile _,
     "q_ts_remove_below" -> removeBelowValue _,
     "q_ts_consolidate" -> consolidate _,
@@ -1945,6 +1964,20 @@ object TimeSeriesOps {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_day
         |FROM h1
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_value_histogram" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, v,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) // 50000 AS bin
+        |  FROM h1)
+        |SELECT event_type, bin, count(*) AS n,
+        |       min(v) AS v_min, max(v) AS v_max,
+        |       CAST(bin * 5 AS DOUBLE) AS bin_lo
+        |FROM b GROUP BY 1, 2
+        |ORDER BY event_type NULLS FIRST, bin NULLS FIRST""".stripMargin,
     "q_ts_series_corr" -> {
       val sx = "CAST(sum(CAST(va AS DECIMAL(18,8))) AS DOUBLE)"
       val sy = "CAST(sum(CAST(vb AS DECIMAL(18,8))) AS DOUBLE)"

@@ -142,6 +142,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("value histogram: bins partition the rollup, bounds inside bins") {
+    val rows = TimeSeriesOps.valueHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val nRollup = TimeSeriesOps.rollupAvg(spark, sf).count()
+    assert(rows.map(_._3).sum == nRollup, "bin counts partition the rollup")
+    rows.foreach { case (et, bin, _, vMin, vMax, binLo) =>
+      assert(binLo == bin * 5.0)
+      assert(vMin >= binLo - 1e-9 && vMax < binLo + 5.0 + 1e-9,
+        s"$et bin $bin: [$vMin, $vMax] outside [$binLo, ${binLo + 5.0})")
+      assert(vMin <= vMax)
+    }
+  }
+
   test("series correlation: full upper triangle, bounded, self-consistent") {
     val rows = TimeSeriesOps.seriesCorr(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
