@@ -133,6 +133,28 @@ class PlanSpec extends AnyFunSuite {
       s"model join must broadcast:\n$p")
   }
 
+  test("upsert snapshot merges with NO join — one hash aggregate does it") {
+    val p = plan("q_upsert_snapshot")
+    assert(!p.contains("Join"), s"latest-wins merge must not join:\n$p")
+    assert(p.contains("partial_"), s"merge agg should be partial:\n$p")
+  }
+
+  test("mad outliers: one event_type exchange serves all window passes") {
+    val p = plan("q_ts_mad_outliers")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    // rollup shuffle on (event_type, bucket) + ONE on event_type for
+    // the rank/median/dev/mad windows
+    assert(n == 2, s"expected two hash exchanges, got $n:\n$p")
+  }
+
+  test("cohort retention: distinct's exchange is reused by the window") {
+    val p = plan("q_cohort_retention")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    // distinct on (user_id, d) + the (cohort, offset) matrix agg; the
+    // user_id window must NOT add a third
+    assert(n <= 3, s"expected <= 3 hash exchanges, got $n:\n$p")
+  }
+
   test("linreg: window partitioning is reused by the moment aggregate") {
     val p = plan("q_ts_linreg")
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
