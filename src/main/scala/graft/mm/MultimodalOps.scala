@@ -49,6 +49,46 @@ object MultimodalOps {
   private val FeatureDim = 16
   private val FrameBytes = 64
 
+  /** Bounded build-once registry for the encoded media corpus — the
+    * AnnIndex discipline applied to the ingest/encode stage: at
+    * production the encode (or decode-and-normalize) of a binary
+    * corpus runs ONCE and every downstream read consumes the
+    * materialized table, so the declared mm queries share one
+    * synthesize+encode pass per (session, corpus) instead of paying
+    * it each. Keys include the session identity (a second session
+    * must not receive plans bound to another session's conf); oldest
+    * evicts; eviction drops the reference only (ContextCleaner
+    * reclaims the checkpoint blocks once unreachable). */
+  private val mediaRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, Dataset[MediaRow]]
+  private val mediaOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private val MaxCached = 4
+
+  def mediaOrGet(spark: SparkSession, sfDir: String): Dataset[MediaRow] =
+    synchronized {
+      val key = s"${spark.sparkContext.applicationId}" +
+        s"|s=${Integer.toHexString(System.identityHashCode(spark))}|$sfDir"
+      mediaRegistry.get(key) match {
+        case Some(m) => m
+        case None =>
+          // LAZY checkpoint: plan construction (PlanSpec's sweep) runs
+          // no encode job; the first executed query materializes it
+          val m = media(spark, sfDir).localCheckpoint(eager = false)
+          mediaRegistry.put(key, m)
+          mediaOrder.add(key)
+          while (mediaRegistry.size > MaxCached) {
+            Option(mediaOrder.poll()).foreach(mediaRegistry.remove)
+          }
+          m
+      }
+    }
+
+  /** For specs: drop the cached corpora. */
+  private[graft] def clearMedia(): Unit = {
+    mediaRegistry.clear(); mediaOrder.clear()
+  }
+
   /** Deterministic synthetic media over `documents`: every payload is a
     * REAL container — text bytes rendered as grayscale pixels in a
     * 24-bpp BMP (even doc_id) or as 16-bit PCM samples in a mono WAV
@@ -157,7 +197,7 @@ object MultimodalOps {
     // resize input read the materialized Dataset, halving the most
     // expensive stage (the codec encode); LAZY so merely constructing
     // the query (PlanSpec's plan-only sweep) runs no encode job
-    val m = media(spark, sfDir).localCheckpoint(eager = false)
+    val m = mediaOrGet(spark, sfDir)
     val before = m.toDF()
       .select(col("doc_id"), col("kind"),
         length(col("payload")).as("bytes_in"))
@@ -189,7 +229,7 @@ object MultimodalOps {
     * binary → decode → features → aggregate path end to end. No oracle
     * (binary plumbing is not SQL-expressible portably); spec-tested. */
   def features(spark: SparkSession, sfDir: String): DataFrame =
-    decodeFeatures(media(spark, sfDir)).toDF()
+    decodeFeatures(mediaOrGet(spark, sfDir)).toDF()
       .select(col("doc_id"), col("kind"),
         element_at(col("features"), 1).cast("double").as("f0"),
         aggregate(col("features"), lit(0.0d),
@@ -203,7 +243,7 @@ object MultimodalOps {
 
   /** Declared query: frames per kind — exercises the frame sampler. */
   def frames(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = media(spark, sfDir)
+    val m = mediaOrGet(spark, sfDir)
     frameSample(m).toDF()
       .join(m.toDF().select(col("doc_id"), col("kind")), "doc_id")
       .groupBy(col("kind"))
@@ -251,7 +291,7 @@ object MultimodalOps {
     * decode of the same payloads. */
   def qcStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val qc = media(spark, sfDir).mapPartitions(_.map(mediaQc)).toDF()
+    val qc = mediaOrGet(spark, sfDir).mapPartitions(_.map(mediaQc)).toDF()
     val pass = col("kind") === "image" &&
       col("contrast") >= 0.02 && col("mean_level") >= 0.05 ||
       col("kind") === "audio" &&
