@@ -1281,6 +1281,28 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Holt forecast BACKTEST — the read that answers "can I trust this
+    * alert rule": per-series mean absolute error, signed bias and
+    * in-band coverage of the one-step-ahead Holt forecasts, aggregated
+    * straight off [[holtAberration]]'s per-point surface. Every
+    * per-point double is bit-identical cross-engine (the recursive-CTE
+    * technique), so the error terms cast to exact DECIMAL(18,8)
+    * identically and the aggregate stays oracle-checkable — the
+    * sequential recursion composes into an exact aggregate. */
+  def holtBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    def s8(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(18,8)")).cast("double")
+    val nd = count(lit(1)).cast("double")
+    holtAberration(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4(s8(abs(col("v") - col("fc"))) / nd).as("mae"),
+        Det.r4(s8(col("v") - col("fc")) / nd).as("bias"),
+        sum(when(col("aberration") === 0.0, 1L).otherwise(0L))
+          .as("n_in_band"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `movingSum` / `movingMin` / `movingMax` over the hourly
     * rollup, full 6-bucket frames only (the [[movingAverage]]
     * discipline): the frame sum accumulates as exact DECIMAL; min/max
@@ -1504,6 +1526,7 @@ object TimeSeriesOps {
     "q_ts_pctl_of_series" -> percentileOfSeries _,
     "q_ts_series_math" -> seriesMath _,
     "q_ts_holt_aberration" -> holtAberration _,
+    "q_ts_holt_backtest" -> holtBacktest _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
     "q_ts_group_by_nodes" -> groupByNodes _,
@@ -1591,6 +1614,49 @@ object TimeSeriesOps {
   /** DuckDB-dialect oracles (driver t2). Conventions (SURVEY §7.4): UTC,
     * round(x,4) DOUBLE, explicit NULLS FIRST on ASC / NULLS LAST on DESC,
     * identical column names, total ORDER BY. */
+  /** The aberration read's recursive-CTE oracle — shared verbatim by
+    * q_ts_holt_aberration and the backtest aggregate stacked on it
+    * (identical text ⇒ identical per-point doubles to aggregate). */
+  private val holtAberrationOracle: String =
+    s"""WITH RECURSIVE h1 AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |         ${Det.avg4Sql("value")} AS v
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, bucket, v,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY bucket) AS rn
+      |  FROM h1),
+      |rec AS (
+      |  SELECT r1.event_type, 2 AS rn, r1.v AS lvl, r2.v - r1.v AS trd,
+      |         CAST(0.0 AS DOUBLE) AS dev
+      |  FROM r r1 JOIN r r2 ON r2.event_type = r1.event_type AND r2.rn = 2
+      |  WHERE r1.rn = 1
+      |  UNION ALL
+      |  SELECT rec.event_type, rec.rn + 1,
+      |         CAST(0.1 AS DOUBLE) * r.v
+      |           + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd),
+      |         CAST(0.01 AS DOUBLE) * (CAST(0.1 AS DOUBLE) * r.v
+      |             + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd) - rec.lvl)
+      |           + CAST(0.99 AS DOUBLE) * rec.trd,
+      |         CAST(0.1 AS DOUBLE) * abs(r.v - (rec.lvl + rec.trd))
+      |           + CAST(0.9 AS DOUBLE) * rec.dev
+      |  FROM rec JOIN r ON r.event_type = rec.event_type
+      |    AND r.rn = rec.rn + 1)
+      |SELECT rec.event_type, r.bucket, r.v AS v,
+      |       rec.lvl + rec.trd AS fc,
+      |       rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev AS lo_band,
+      |       rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev AS hi_band,
+      |       CASE
+      |         WHEN r.v > rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev
+      |         THEN r.v - (rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev)
+      |         WHEN r.v < rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev
+      |         THEN r.v - (rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev)
+      |         ELSE CAST(0.0 AS DOUBLE) END AS aberration
+      |FROM rec JOIN r ON r.event_type = rec.event_type
+      |  AND r.rn = rec.rn + 1
+      |ORDER BY rec.event_type NULLS FIRST, r.bucket NULLS FIRST""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_ts_avg_outside_pctl" ->
       s"""WITH h1 AS (
@@ -1696,45 +1762,20 @@ object TimeSeriesOps {
     // Same recursion as q_ts_holt_bands; each state row joins the NEXT
     // point, so every band/aberration op sequence is textually identical
     // to the fold's — bit-exact doubles, no rounding step needed.
-    "q_ts_holt_aberration" ->
-      s"""WITH RECURSIVE h1 AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
-        |         ${Det.avg4Sql("value")} AS v
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT event_type, bucket, v,
-        |         row_number() OVER (PARTITION BY event_type
-        |           ORDER BY bucket) AS rn
-        |  FROM h1),
-        |rec AS (
-        |  SELECT r1.event_type, 2 AS rn, r1.v AS lvl, r2.v - r1.v AS trd,
-        |         CAST(0.0 AS DOUBLE) AS dev
-        |  FROM r r1 JOIN r r2 ON r2.event_type = r1.event_type AND r2.rn = 2
-        |  WHERE r1.rn = 1
-        |  UNION ALL
-        |  SELECT rec.event_type, rec.rn + 1,
-        |         CAST(0.1 AS DOUBLE) * r.v
-        |           + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd),
-        |         CAST(0.01 AS DOUBLE) * (CAST(0.1 AS DOUBLE) * r.v
-        |             + CAST(0.9 AS DOUBLE) * (rec.lvl + rec.trd) - rec.lvl)
-        |           + CAST(0.99 AS DOUBLE) * rec.trd,
-        |         CAST(0.1 AS DOUBLE) * abs(r.v - (rec.lvl + rec.trd))
-        |           + CAST(0.9 AS DOUBLE) * rec.dev
-        |  FROM rec JOIN r ON r.event_type = rec.event_type
-        |    AND r.rn = rec.rn + 1)
-        |SELECT rec.event_type, r.bucket, r.v AS v,
-        |       rec.lvl + rec.trd AS fc,
-        |       rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev AS lo_band,
-        |       rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev AS hi_band,
-        |       CASE
-        |         WHEN r.v > rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev
-        |         THEN r.v - (rec.lvl + rec.trd + CAST(3.0 AS DOUBLE) * rec.dev)
-        |         WHEN r.v < rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev
-        |         THEN r.v - (rec.lvl + rec.trd - CAST(3.0 AS DOUBLE) * rec.dev)
-        |         ELSE CAST(0.0 AS DOUBLE) END AS aberration
-        |FROM rec JOIN r ON r.event_type = rec.event_type
-        |  AND r.rn = rec.rn + 1
-        |ORDER BY rec.event_type NULLS FIRST, r.bucket NULLS FIRST""".stripMargin,
+    "q_ts_holt_aberration" -> holtAberrationOracle,
+    "q_ts_holt_backtest" -> {
+      val mae = "CAST(sum(CAST(abs(v - fc) AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+      val bias = "CAST(sum(CAST(v - fc AS DECIMAL(18,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+      s"""WITH ab AS (
+        |$holtAberrationOracle
+        |)
+        |SELECT event_type, count(*) AS n,
+        |       ${Det.r4Sql(mae)} AS mae,
+        |       ${Det.r4Sql(bias)} AS bias,
+        |       CAST(sum(CASE WHEN aberration = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band
+        |FROM ab GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_moving_window" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -142,6 +142,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("holt backtest aggregates the aberration surface exactly") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val ab = TimeSeriesOps.holtAberration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(6)))
+    val want = ab.groupBy(_._1).view.mapValues { g =>
+      def d8(x: Double) = BigDecimal(x).setScale(8,
+        BigDecimal.RoundingMode.HALF_UP)
+      val n = g.length
+      val mae = r4((g.map(p => d8(math.abs(p._2 - p._3))).sum
+        .toDouble) / n)
+      val bias = r4((g.map(p => d8(p._2 - p._3)).sum.toDouble) / n)
+      val inBand = g.count(_._4 == 0.0).toLong
+      (n.toLong, mae, bias, inBand)
+    }.toMap
+    val got = TimeSeriesOps.holtBacktest(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    assert(got == want)
+    got.values.foreach { case (n, mae, _, inBand) =>
+      assert(inBand <= n && mae >= 0.0)
+    }
+  }
+
   test("value histogram: bins partition the rollup, bounds inside bins") {
     val rows = TimeSeriesOps.valueHistogram(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
