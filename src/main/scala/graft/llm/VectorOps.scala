@@ -91,8 +91,8 @@ object VectorOps {
       .orderBy("label")
   }
 
-  private val NProbe = 3
-  private val KCells = 10
+  private[graft] val NProbe = 3
+  private[graft] val KCells = 10
 
   /** The k-means coarse quantizer for the IVF index, trained ONCE per
     * session through [[AnnIndex]] (deterministic bounded sample +
@@ -103,7 +103,7 @@ object VectorOps {
       k: Int = KCells): DataFrame =
     AnnIndex.buildOrGet(spark, sfDir, k, IndexReplicas).cells
 
-  private val IndexReplicas = 2
+  private[graft] val IndexReplicas = 2
 
   /** IVF-style ANN: probe the SESSION-SHARED materialized index
     * ([[AnnIndex.buildOrGet]] — quantizer + redundant inverted lists,
@@ -126,7 +126,7 @@ object VectorOps {
   }
 
   /** Short-list size for the PQ path's exact re-rank. */
-  private val PqRerank = 50
+  private[graft] val PqRerank = 50
 
   /** IVF-PQ ANN: same probe shape as [[annIvf]], but the inverted lists
     * hold m-byte product-quantized CODES (32× smaller payload than the
@@ -304,6 +304,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_ivf_health" -> ivfHealth _,
+    "q_llm_ann_serving" -> (AnnServing.report _),
     "q_llm_cosine_topk" -> cosineTopk _,
     "q_sql_cosine_topk" -> sqlCosineTopk _,
     "q_llm_knn_label" -> knnLabel _,

@@ -28,6 +28,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     val known = Set("q_agg_hll", "q_agg_approx_pctl", "q_llm_knn_label",
       "q_llm_minhash_dedup", "q_llm_decontaminate_fuzzy",
       "q_llm_simhash", "q_llm_ann_ivf", "q_llm_ann_pq", "q_llm_ann_sq",
+      "q_llm_ann_serving",
       "q_llm_langid",
       "q_llm_embed_neardup", "q_llm_ivf_health", "q_mm_qc",
       "q_llm_fingerprint", "q_llm_corpus_prep", "q_mm_features", "q_mm_frames",
