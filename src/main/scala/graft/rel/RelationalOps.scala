@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
@@ -600,8 +600,115 @@ object RelationalOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Disc-price revenue expression shared by the TPC-H-shape reads: the
+    * per-row product is IEEE double (identical op order in both engines),
+    * then DECIMAL(18,4) accumulation makes the SUM order-independent
+    * (the q_star_revenue-proven pattern). */
+  private def discPrice: Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+
+  /** TPC-H Q1 shape (pricing summary report): one full-fact scan, all
+    * measures in a single partial-agg pass over 2 group keys — the
+    * canonical map-side-combine aggregate. At 100 TB this is the query
+    * AQE coalesces hardest: 6 output rows from a shuffle of 2-key
+    * partials. Charge chains two IEEE multiplies in the same written
+    * order both engines. */
+  def tpchPricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= expr("TIMESTAMP '2001-09-01 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum4(col("l_quantity")).as("sum_qty"),
+        Det.dsum4(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        // the 3-factor product is a TRUE 6-decimal value (2+2+2 dp
+        // inputs): DECIMAL(18,6) recovers it exactly from the double in
+        // both engines, whereas rounding to 4 dp lands on half-boundaries
+        // where the engines' cast dialects disagree
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).cast("decimal(18,6)"))
+          .cast("double").as("sum_charge"),
+        Det.davg4(col("l_quantity")).as("avg_qty"),
+        Det.davg4(col("l_extendedprice")).as("avg_price"),
+        Det.davg4(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
+    * orders ⋈ lineitem, top-10 open orders by revenue. Filters sit on
+    * each scan (pushed), the two fact joins shuffle on their natural
+    * keys, and the top-k is TakeOrderedAndProject (per-partition heads,
+    * no global sort). l_orderkey in the tiebreak makes the LIMIT
+    * boundary total. */
+  def tpchShipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = expr("TIMESTAMP '1998-06-01 00:00:00'")
+    val c = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table star — fact ⋈
+    * fact on the order key, then three broadcast dims; the extra
+    * c_nationkey = s_nationkey condition rides the broadcast supplier
+    * join. Only nation name survives to the agg. */
+  def tpchLocalVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape (forecast revenue change): pure scan-side query —
+    * every predicate pushes to parquet (date range + two numeric
+    * bands), one global exact-decimal sum. The plan to demand at
+    * scale: zero shuffles besides the final single-row agg. */
+  def tpchRevenueChange(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_snapshot" -> upsertSnapshot _,
+    "q_tpch_pricing" -> tpchPricingSummary _,
+    "q_tpch_shippriority" -> tpchShipPriority _,
+    "q_tpch_localvolume" -> tpchLocalVolume _,
+    "q_tpch_revchange" -> tpchRevenueChange _,
     "q_latest_per_key" -> latestPerKey _,
     "q_star_revenue" -> starRevenue _,
     "q_scan_project" -> scanProject _,
@@ -648,6 +755,56 @@ object RelationalOps {
   import Det.{dsum4Sql, davg4Sql, r4Sql}
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |       ${dsum4Sql("l_quantity")} AS sum_qty,
+        |       ${dsum4Sql("l_extendedprice")} AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       ${davg4Sql("l_quantity")} AS avg_qty,
+        |       ${davg4Sql("l_extendedprice")} AS avg_price,
+        |       ${davg4Sql("l_discount")} AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_tpch_shippriority" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC NULLS LAST, o_orderdate NULLS FIRST,
+        |         l_orderkey NULLS FIRST
+        |LIMIT 10""".stripMargin,
+    "q_tpch_localvolume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""".stripMargin,
+    "q_tpch_revchange" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
     "q_upsert_snapshot" ->
       s"""WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,

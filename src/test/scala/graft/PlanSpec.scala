@@ -162,4 +162,43 @@ class PlanSpec extends AnyFunSuite {
     // event_type; the final moment aggregate rides the window's
     assert(n == 2, s"expected two hash exchanges, got $n:\n$p")
   }
+
+  test("tpch revchange: every predicate pushes into the lineitem scan") {
+    val p = plan("q_tpch_revchange")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(s"PushedFilters: \\[[^\\]]*$c".r.findFirstIn(p).isDefined,
+        s"$c not pushed to the scan:\n$p")
+    }
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scan-side query should have no hash shuffle:\n$p")
+  }
+
+  test("tpch localvolume: all three dims ride broadcast joins") {
+    val p = plan("q_tpch_localvolume")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected >=3 broadcast joins (supplier/nation/region), got $n:\n$p")
+  }
+
+  test("tpch shippriority: top-10 is TakeOrdered; filters reach scans") {
+    val p = plan("q_tpch_shippriority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 10 should be TakeOrderedAndProject:\n$p")
+    Seq("l_shipdate", "o_orderdate", "c_mktsegment").foreach { c =>
+      assert(s"PushedFilters: \\[[^\\]]*$c".r.findFirstIn(p).isDefined,
+        s"$c not pushed to its scan:\n$p")
+    }
+  }
+
+  test("tpch pricing: single partial-agg pass, pruned fact scan") {
+    val p = plan("q_tpch_pricing")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    // the 7-column pruned schema can exceed the plan-string line cap, so
+    // assert on the (always visible) head of the ReadSchema instead of
+    // counting fields: pruning failed iff the file-order first column
+    // l_orderkey survives into the scan schema
+    val schema = "ReadSchema: ([^\n]*)".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.contains("l_quantity") && !schema.contains("l_orderkey"),
+      s"lineitem scan not pruned: $schema")
+  }
 }
