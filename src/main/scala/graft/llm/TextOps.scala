@@ -644,7 +644,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII REDACTION — the scrub pass every curation pipeline runs before
+    * training: mask emails, URLs and long digit runs, and account for
+    * what was removed per document. The corpus is synthetic word-salad
+    * with no organic PII, so each doc first gains a deterministic
+    * contact footer derived from its own doc_id (the same
+    * derive-from-testdata device as the upsert changes feed) — the
+    * redaction then has real work to do and an exact oracle. Entirely
+    * map-side (regexp_replace chains are codegen'd row expressions);
+    * patterns use only character classes + bounded quantifiers, which
+    * behave identically in Java regex and RE2. */
+  def redact(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.]+"
+    val url = "https?://[^ ]+"
+    val num = "[0-9]{5,}"
+    val aug = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or http://host.example/p/"), col("doc_id"),
+        lit(" ref "), (col("doc_id") * 137 + lit(4200017L)).cast("string"))
+        .as("txt"))
+    aug.select(col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(email), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("txt"), lit(url), lit(0)))
+          .cast("long").as("n_url"),
+        regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          email, "<EMAIL>"), url, "<URL>"), num, "<NUM>").as("red"))
+      .select(col("doc_id"), col("n_email"), col("n_url"),
+        length(col("red")).cast("long").as("red_len"),
+        md5(col("red")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_redact" -> redact _,
     "q_llm_decontaminate" -> decontaminate _,
     "q_llm_decontaminate_fuzzy" -> decontaminateFuzzy _,
     "q_llm_lm_novelty" -> lmNovelty _,
@@ -670,6 +704,27 @@ object TextOps {
   import Det.r4Sql
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id ||
+        |         '@mail.example.com or http://host.example/p/' || doc_id ||
+        |         ' ref ' || CAST(doc_id * 137 + 4200017 AS VARCHAR) AS txt
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(txt, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+        |         CAST(len(regexp_extract_all(txt, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+        |         regexp_replace(regexp_replace(regexp_replace(txt,
+        |           '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |           'https?://[^ ]+', '<URL>', 'g'),
+        |           '[0-9]{5,}', '<NUM>', 'g') AS red
+        |  FROM aug)
+        |SELECT doc_id, n_email, n_url,
+        |       CAST(length(red) AS BIGINT) AS red_len,
+        |       md5(red) AS red_md5
+        |FROM r
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q_llm_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |           FROM documents

@@ -398,6 +398,35 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Additive seasonal decomposition over the hourly rollup (STL-lite):
+    * trend = trailing-24h moving average (exact DECIMAL window sum),
+    * seasonal = per-(series, hour-of-day) mean of the 4dp-rounded
+    * detrended values, residual = what remains. One rollup shuffle, one
+    * window pass, one 24-row-per-series seasonal aggregate that joins
+    * back by (series, hod) — at scale the seasonal table is tiny and
+    * broadcasts. All accumulation is exact; every float op is the same
+    * written IEEE sequence in both engines. */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wf = wSeq.rowsBetween(-23, 0)
+    val t = h1.withColumn("rn", row_number().over(wSeq))
+      .withColumn("trend", Det.r4(
+        sum(col("v").cast("decimal(18,4)")).over(wf).cast("double") /
+          lit(24.0)))
+      .where(col("rn") >= 24)
+      .withColumn("hod", hour(col("bucket")).cast("long"))
+      .withColumn("detr", Det.r4(col("v") - col("trend")))
+    val seas = t.groupBy(col("event_type").as("e2"), col("hod").as("h2"))
+      .agg(Det.r4(Det.dsum4(col("detr")) / count(lit(1))).as("seasonal"))
+    t.join(broadcast(seas),
+        col("event_type") === col("e2") && col("hod") === col("h2"))
+      .select(col("event_type"), col("bucket"), col("v"), col("trend"),
+        col("seasonal"), Det.r4(col("detr") - col("seasonal")).as("residual"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Graphite `integralByInterval(series, '1d')`: cumulative sum per
     * series that RESETS at each day boundary — the "usage so far today"
     * dashboard read. Same exact-DECIMAL frame accumulation as
@@ -1559,6 +1588,7 @@ object TimeSeriesOps {
     "q_ts_interpolate" -> interpolate _,
     "q_ts_anomaly" -> anomaly _,
     "q_ts_hourofday" -> hourOfDay _,
+    "q_ts_seasonal" -> seasonalDecompose _,
     "q_ts_integral" -> integral _,
     "q_ts_integral_by_day" -> integralByInterval _,
     "q_ts_npercentile" -> nPercentile _,
@@ -2361,6 +2391,30 @@ object TimeSeriesOps {
         |       count(*) AS n, ${Det.avg4Sql("value")} AS v
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type NULLS FIRST, hod NULLS FIRST""".stripMargin,
+    "q_ts_seasonal" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bucket, v, row_number() OVER w AS rn,
+        |         ${Det.r4Sql("CAST(sum(CAST(v AS DECIMAL(18,4))) OVER (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS DOUBLE) / 24.0")} AS trend
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |t2 AS (
+        |  SELECT event_type, bucket, v, trend,
+        |         CAST(hour(bucket) AS BIGINT) AS hod,
+        |         ${Det.r4Sql("v - trend")} AS detr
+        |  FROM t WHERE rn >= 24),
+        |seas AS (
+        |  SELECT event_type, hod,
+        |         ${Det.r4Sql(Det.dsum4Sql("detr") + " / count(*)")} AS seasonal
+        |  FROM t2 GROUP BY 1, 2)
+        |SELECT t2.event_type, bucket, v, trend, seasonal,
+        |       ${Det.r4Sql("detr - seasonal")} AS residual
+        |FROM t2 JOIN seas ON t2.event_type = seas.event_type
+        |                 AND t2.hod = seas.hod
+        |ORDER BY t2.event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_locf" ->
       s"""WITH r AS (
         |  SELECT event_type,
