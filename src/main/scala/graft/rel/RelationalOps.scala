@@ -689,6 +689,34 @@ object RelationalOps {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): which customers
+    * returned the most revenue in a quarter — lineitem filtered to
+    * returns ⋈ date-bounded orders ⋈ customer ⋈ broadcast nation,
+    * top-20 by exact revenue (TakeOrdered; c_custkey makes the limit
+    * boundary total). The customer join shuffles on its natural key —
+    * at 100 TB both sides hash-partition on custkey, no broadcast. */
+  def tpchReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1996-10-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q6 shape (forecast revenue change): pure scan-side query —
     * every predicate pushes to parquet (date range + two numeric
     * bands), one global exact-decimal sum. The plan to demand at
@@ -709,6 +737,7 @@ object RelationalOps {
     "q_tpch_shippriority" -> tpchShipPriority _,
     "q_tpch_localvolume" -> tpchLocalVolume _,
     "q_tpch_revchange" -> tpchRevenueChange _,
+    "q_tpch_returned" -> tpchReturnedItems _,
     "q_latest_per_key" -> latestPerKey _,
     "q_star_revenue" -> starRevenue _,
     "q_scan_project" -> scanProject _,
@@ -797,6 +826,20 @@ object RelationalOps {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1
         |ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""".stripMargin,
+    "q_tpch_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC NULLS LAST, c_custkey NULLS FIRST
+        |LIMIT 20""".stripMargin,
     "q_tpch_revchange" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_items

@@ -189,6 +189,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tpch returned: top-20 is TakeOrdered; returnflag reaches the scan") {
+    val p = plan("q_tpch_returned")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 20 should be TakeOrderedAndProject:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined,
+      s"l_returnflag not pushed to the lineitem scan:\n$p")
+  }
+
   test("tpch pricing: single partial-agg pass, pruned fact scan") {
     val p = plan("q_tpch_pricing")
     assert(p.contains("partial_"), s"no map-side combine:\n$p")
