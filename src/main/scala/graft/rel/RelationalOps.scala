@@ -717,6 +717,92 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** TPC-H Q4 shape (order priority checking): quarter-bounded orders
+    * that shipped at least one returned line — LEFT SEMI against the
+    * returns-filtered fact, counted by priority. The semi-join shuffles
+    * both sides on the order key and stops at the first match; no fact
+    * column survives the join, so the exchange payload is one BIGINT. */
+  def tpchOrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R").select("l_orderkey")
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1997-04-01 00:00:00'"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q14 shape (promotion effect): month-bounded fact ⋈ broadcast
+    * part, two exact-decimal conditional sums, then ONE IEEE division +
+    * the shared rounding formula — identical op text in both engines, no
+    * engine-native round(). The CASE sum ignores non-promo rows as NULL
+    * (same null-skipping semantics both sides). */
+  def tpchPromoEffect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1997-03-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-04-01 00:00:00'"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", discPrice))
+          .cast("double").as("promo_revenue"),
+        sum(discPrice).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        Det.r4(lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"))
+
+  /** TPC-H Q18 shape (large-volume orders): HAVING over a fact
+    * pre-aggregate (exact quantity sums are integral doubles, so the
+    * 300 threshold has no boundary risk), then join the survivors —
+    * a few hundred keys — back to orders and customer. At 100 TB the
+    * pre-agg shrinks the fact by ~4× before any join, and the
+    * survivors broadcast to both dimension joins. o_orderkey is unique,
+    * making the top-50 boundary total. */
+  def tpchLargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(Det.dsum4(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 300.0)
+    Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    * OR-of-conjunctions spans both tables, so Catalyst cannot push it
+    * to either scan — but the per-table ENVELOPES it implies (brand IN
+    * set + size band on part, quantity band on lineitem) are derivable
+    * by hand and DO push, shrinking the broadcast side and the fact
+    * scan before the residual OR runs post-join. That manual implied-
+    * predicate derivation is the load-bearing optimization at scale. */
+  def tpchDisjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, sfDir)
+      .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
+        col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size"))
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity").between(1.0, 30.0))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20.0, 30.0)))
+      .agg(sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q6 shape (forecast revenue change): pure scan-side query —
     * every predicate pushes to parquet (date range + two numeric
     * bands), one global exact-decimal sum. The plan to demand at
@@ -738,6 +824,10 @@ object RelationalOps {
     "q_tpch_localvolume" -> tpchLocalVolume _,
     "q_tpch_revchange" -> tpchRevenueChange _,
     "q_tpch_returned" -> tpchReturnedItems _,
+    "q_tpch_orderpriority" -> tpchOrderPriority _,
+    "q_tpch_promo" -> tpchPromoEffect _,
+    "q_tpch_bigorders" -> tpchLargeOrders _,
+    "q_tpch_disjunctive" -> tpchDisjunctive _,
     "q_latest_per_key" -> latestPerKey _,
     "q_star_revenue" -> starRevenue _,
     "q_scan_project" -> scanProject _,
@@ -840,6 +930,50 @@ object RelationalOps {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC NULLS LAST, c_custkey NULLS FIRST
         |LIMIT 20""".stripMargin,
+    "q_tpch_orderpriority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+    "q_tpch_promo" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |         THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        |       (floor((100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |         THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE)
+        |         / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS promo_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q_tpch_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem
+        |  GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
+        |LIMIT 50""".stripMargin,
+    "q_tpch_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1.0 AND 11.0)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10.0 AND 20.0)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
     "q_tpch_revchange" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_items

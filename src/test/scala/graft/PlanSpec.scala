@@ -189,6 +189,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tpch orderpriority: plans a LEFT SEMI join, no fact payload") {
+    val p = plan("q_tpch_orderpriority")
+    assert(p.contains("LeftSemi"), s"exists should plan as LeftSemi:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined,
+      s"l_returnflag not pushed to the lineitem scan:\n$p")
+  }
+
+  test("tpch promo: part side broadcasts; shipdate bounds reach the scan") {
+    val p = plan("q_tpch_promo")
+    assert(p.contains("BroadcastHashJoin"), s"part join should broadcast:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"l_shipdate bounds not pushed to the lineitem scan:\n$p")
+  }
+
+  test("tpch bigorders: HAVING pre-agg is partial; top-50 is TakeOrdered") {
+    val p = plan("q_tpch_bigorders")
+    assert(p.contains("partial_"), s"quantity pre-agg not map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 50 should be TakeOrderedAndProject:\n$p")
+  }
+
+  test("tpch disjunctive: implied envelopes reach both scans") {
+    val p = plan("q_tpch_disjunctive")
+    assert("PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(p).isDefined,
+      s"brand envelope not pushed to the part scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      s"quantity envelope not pushed to the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pre-filtered part should broadcast:\n$p")
+  }
+
   test("tpch returned: top-20 is TakeOrdered; returnflag reaches the scan") {
     val p = plan("q_tpch_returned")
     assert(p.contains("TakeOrderedAndProject"),
