@@ -39,6 +39,43 @@ object TextOps {
           .as("nd_tokset"))
       .orderBy("lang")
 
+  private val SegTokens = 20
+
+  /** Segment-level exact dedup accounting (the "Deduplicating Training
+    * Data Makes Language Models Better" granularity, Lee et al. 2022,
+    * arXiv:2107.06499 — cross-document duplicated SPANS, which doc-level
+    * hashing can never see): each document splits into fixed 20-token
+    * non-overlapping segments, each segment keys by md5, and a segment
+    * counts as shared when it occurs in ≥2 distinct documents. Per doc:
+    * segment count, shared-segment count, shared ratio.
+    *
+    * Scale posture: segments are generated MAP-SIDE (one higher-order
+    * transform, no joins), the frequency table is one partial-agg
+    * shuffle on the 16-byte hash, and the join-back is an equi-join on
+    * that same key — never all-pairs, payload never carries text. At
+    * 100 TB this is the standard two-pass shape (build span-frequency
+    * index, annotate corpus against it). */
+  def segmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("t")) - 1) / SegTokens).cast("int")),
+          i => md5(concat_ws(" ",
+            slice(col("t"), i * SegTokens + 1, lit(SegTokens)))))))
+      .select(col("doc_id"), col("col").as("h"))
+    val freq = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    segs.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_segs"))
+      .withColumn("shared_ratio",
+        Det.r4(col("n_shared_segs").cast("double") / col("n_segs")))
+      .orderBy("doc_id")
+  }
+
   /** Corpus statistics per language: doc count, avg chars, avg tokens. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -691,6 +728,7 @@ object TextOps {
     "q_llm_chunk" -> chunkDocs _,
     "q_llm_pack" -> packSequences _,
     "q_llm_exact_dedup" -> exactDedup _,
+    "q_llm_segment_dedup" -> segmentDedup _,
     "q_llm_text_stats" -> textStats _,
     "q_llm_token_count" -> tokenCount _,
     "q_llm_quality" -> quality _,
@@ -883,6 +921,19 @@ object TextOps {
         |         list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS nd_tokset
         |FROM documents GROUP BY lang
         |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_llm_segment_dedup" ->
+      s"""WITH segs AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_transform(range((len(t)-1)//20 + 1),
+        |                g -> md5(array_to_string(t[(g*20+1):(g*20+20)], ' ')))) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM segs GROUP BY 1)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |       CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_segs,
+        |       ${r4Sql("CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS shared_ratio
+        |FROM segs s JOIN freq f USING (h)
+        |GROUP BY 1
+        |ORDER BY s.doc_id NULLS FIRST""".stripMargin,
     "q_llm_text_stats" ->
       s"""SELECT lang, count(*) AS n,
         |       ${r4Sql("CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS avg_chars,

@@ -189,6 +189,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("segment dedup: span index aggregates partially; join is hash-equi") {
+    val p = plan("q_llm_segment_dedup")
+    assert(p.contains("partial_"), s"frequency agg not map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"join-back must stay a hash equi-join:\n$p")
+  }
+
   test("tpch orderpriority: plans a LEFT SEMI join, no fact payload") {
     val p = plan("q_tpch_orderpriority")
     assert(p.contains("LeftSemi"), s"exists should plan as LeftSemi:\n$p")
