@@ -803,6 +803,50 @@ object RelationalOps {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q15 shape (top supplier): argmax over an aggregate — the
+    * quarter's per-supplier revenue, filtered to the rows equal to its
+    * own maximum. The max is a 1-row broadcast joined back against the
+    * pre-aggregated (already tiny) revenue relation, so the fact scans
+    * once; double equality is safe because both engines derive the
+    * doubles from identical exact-decimal sums. */
+  def tpchTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-04-01 00:00:00'"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).cast("double").as("total_rev"))
+    rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
+      .where(col("total_rev") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q22 shape (dormant high-balance customers): a scalar
+    * aggregate threshold (mean positive balance — exact-decimal sum,
+    * one IEEE division, broadcast as a 1-row relation) gates the
+    * customer scan, then a LEFT ANTI join against the recent-order keys
+    * keeps customers with no order since 1999. The anti join shuffles
+    * only custkeys; at 100 TB the date filter shrinks the right side
+    * first, which is what makes the anti join cheap. */
+  def tpchDormantCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val thr = c.where(col("c_acctbal") > 0.0)
+      .agg((Det.dsum4(col("c_acctbal")) / count(lit(1))).as("thr"))
+    val recent = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1999-01-01 00:00:00'"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(thr))
+      .where(col("c_acctbal") > col("thr"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_dormant"),
+        Det.dsum4(col("c_acctbal")).as("bal_sum"))
+      .orderBy("c_nationkey")
+  }
+
   /** TPC-H Q6 shape (forecast revenue change): pure scan-side query —
     * every predicate pushes to parquet (date range + two numeric
     * bands), one global exact-decimal sum. The plan to demand at
@@ -828,6 +872,8 @@ object RelationalOps {
     "q_tpch_promo" -> tpchPromoEffect _,
     "q_tpch_bigorders" -> tpchLargeOrders _,
     "q_tpch_disjunctive" -> tpchDisjunctive _,
+    "q_tpch_topsupplier" -> tpchTopSupplier _,
+    "q_tpch_dormant" -> tpchDormantCustomers _,
     "q_latest_per_key" -> latestPerKey _,
     "q_star_revenue" -> starRevenue _,
     "q_scan_project" -> scanProject _,
@@ -974,6 +1020,30 @@ object RelationalOps {
         |       AND l_quantity BETWEEN 10.0 AND 20.0)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "q_tpch_topsupplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+    "q_tpch_dormant" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_dormant,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1
+        |ORDER BY c_nationkey NULLS FIRST""".stripMargin,
     "q_tpch_revchange" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_items

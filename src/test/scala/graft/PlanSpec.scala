@@ -196,6 +196,20 @@ class PlanSpec extends AnyFunSuite {
       s"join-back must stay a hash equi-join:\n$p")
   }
 
+  test("tpch topsupplier: the argmax threshold rides a broadcast, fact scans once") {
+    val p = plan("q_tpch_topsupplier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"1-row max should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("tpch dormant: anti join on the date-shrunk orders side") {
+    val p = plan("q_tpch_dormant")
+    assert(p.contains("LeftAnti"), s"no-recent-orders should plan as LeftAnti:\n$p")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined,
+      s"date bound not pushed to the orders scan:\n$p")
+  }
+
   test("tpch orderpriority: plans a LEFT SEMI join, no fact payload") {
     val p = plan("q_tpch_orderpriority")
     assert(p.contains("LeftSemi"), s"exists should plan as LeftSemi:\n$p")
