@@ -76,6 +76,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-source span-leakage audit: which source pairs share exact
+    * 20-token spans — the curation report that catches mirrored sites
+    * and syndicated boilerplate BEFORE they bias a source-weighted mix.
+    * Distinct (source, span-hash) pairs self-join on the hash; spans in
+    * more than 10 sources are dropped first as ubiquitous boilerplate,
+    * which also bounds the join fanout per hash (≤ C(10,2) pairs), so
+    * the pair explosion can never go quadratic in corpus size. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("source"), toks.as("t"))
+      .select(col("source"),
+        explode(transform(
+          sequence(lit(0),
+            floor((size(col("t")) - 1) / SegTokens).cast("int")),
+          i => md5(concat_ws(" ",
+            slice(col("t"), i * SegTokens + 1, lit(SegTokens)))))).as("h"))
+      .distinct()
+    val shared = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("nsrc"))
+      .where(col("nsrc").between(2, 10))
+      .select("h")
+    sh.join(shared, "h")
+      .join(sh.withColumnRenamed("source", "src_b"), "h")
+      .where(col("source") < col("src_b"))
+      .groupBy(col("source"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("source").as("src_a"), col("src_b"), col("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Corpus statistics per language: doc count, avg chars, avg tokens. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -729,6 +759,7 @@ object TextOps {
     "q_llm_pack" -> packSequences _,
     "q_llm_exact_dedup" -> exactDedup _,
     "q_llm_segment_dedup" -> segmentDedup _,
+    "q_llm_source_overlap" -> sourceOverlap _,
     "q_llm_text_stats" -> textStats _,
     "q_llm_token_count" -> tokenCount _,
     "q_llm_quality" -> quality _,
@@ -934,6 +965,20 @@ object TextOps {
         |FROM segs s JOIN freq f USING (h)
         |GROUP BY 1
         |ORDER BY s.doc_id NULLS FIRST""".stripMargin,
+    "q_llm_source_overlap" ->
+      """WITH segs AS (
+        |  SELECT source,
+        |         UNNEST(list_transform(range((len(t)-1)//20 + 1),
+        |                g -> md5(array_to_string(t[(g*20+1):(g*20+20)], ' ')))) AS h
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)),
+        |sh AS (SELECT DISTINCT source, h FROM segs),
+        |f AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND 10)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh a JOIN f USING (h) JOIN sh b USING (h)
+        |WHERE a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""".stripMargin,
     "q_llm_text_stats" ->
       s"""SELECT lang, count(*) AS n,
         |       ${r4Sql("CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS avg_chars,

@@ -274,6 +274,36 @@ object VectorOps {
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
   }
 
+  /** Embedding-space diversity per label via the CENTROID TRICK: the
+    * mean pairwise cosine of n unit vectors is (‖Σu‖² − n)/(n(n−1)) —
+    * an O(n·d) computation of an O(n²·d) statistic, the only form that
+    * survives 10^9 vectors. The curation use: a label (cluster/domain)
+    * whose mean pairwise cosine approaches 1 is near-duplicate mass; a
+    * healthy diverse slice sits near 0. Per-dimension sums are partial
+    * map-side aggregates — the shuffle carries (label × d) rows, never
+    * vectors. */
+  def embedDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val flat = e
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("label"), col("d"),
+        col("x").cast("double").as("x"))
+    val norms = flat.groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("x")).as("ss"))
+    val sd = flat.join(norms, "vec_id")
+      .select(col("label"), col("d"), (col("x") / sqrt(col("ss"))).as("u"))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("u")).as("sd"))
+    val cnt = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    sd.groupBy(col("label")).agg(sum(col("sd") * col("sd")).as("ssq"))
+      .join(cnt, "label")
+      .select(col("label"), col("n"),
+        Det.r4((col("ssq") - col("n")) / (col("n") * (col("n") - lit(1))))
+          .as("mean_pairwise_cos"))
+      .orderBy("label")
+  }
+
   /** IVF index HEALTH report — the list-balance statistics an operator
     * watches before trusting probe latency at scale: populated vs
     * declared cells, entry counts, min/avg/max list size and the
@@ -312,7 +342,8 @@ object VectorOps {
     "q_llm_ann_ivf" -> annIvf _,
     "q_llm_ann_pq" -> annPq _,
     "q_llm_ann_sq" -> annSq _,
-    "q_llm_embed_neardup" -> embedNeardup _
+    "q_llm_embed_neardup" -> embedNeardup _,
+    "q_llm_embed_diversity" -> embedDiversity _
   )
 
   import Det.r4Sql
@@ -334,6 +365,22 @@ object VectorOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_sql_cosine_topk" -> cosineTopkOracle,
-    "q_llm_cosine_topk" -> cosineTopkOracle
+    "q_llm_cosine_topk" -> cosineTopkOracle,
+    "q_llm_embed_diversity" ->
+      s"""WITH flat AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, sum(x*x) AS ss FROM flat GROUP BY 1),
+        |unit AS (SELECT label, d, x / sqrt(ss) AS u
+        |         FROM flat JOIN nr USING (vec_id)),
+        |sd AS (SELECT label, d, sum(u) AS sd FROM unit GROUP BY 1, 2),
+        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |        FROM embeddings GROUP BY 1)
+        |SELECT label, n,
+        |       ${r4Sql("(sum(sd*sd) - n) / (n * (n - 1))")} AS mean_pairwise_cos
+        |FROM sd JOIN cnt USING (label)
+        |GROUP BY label, n
+        |ORDER BY label NULLS FIRST""".stripMargin
   )
 }

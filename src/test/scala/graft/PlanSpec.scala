@@ -196,6 +196,19 @@ class PlanSpec extends AnyFunSuite {
       s"join-back must stay a hash equi-join:\n$p")
   }
 
+  test("source overlap: boilerplate cap bounds the self-join; aggs partial") {
+    val p = plan("q_llm_source_overlap")
+    assert(p.contains("partial_"), s"span frequency agg not map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairing must stay a hash equi-join on the span hash:\n$p")
+  }
+
+  test("embed diversity: shuffle carries (label x d) partials, not vectors") {
+    val p = plan("q_llm_embed_diversity")
+    assert(p.contains("partial_"), s"per-dimension sums not map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("tpch topsupplier: the argmax threshold rides a broadcast, fact scans once") {
     val p = plan("q_tpch_topsupplier")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
