@@ -1058,6 +1058,65 @@ object TimeSeriesOps {
       .orderBy("cohort", "day_offset")
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the fourth product-analytics read next to
+    * [[sessionize]]/[[funnel]]/[[cohortRetention]]: every purchase
+    * attributes its value to the user's most recent PRIOR touch (click
+    * or view); purchases with no prior touch land in the 'none' bucket.
+    * One window over each user's ordered event stream does the whole
+    * assignment (the LOCF ignoreNulls pattern with a strictly-before
+    * frame — no self-join, no per-purchase subquery); the rollup is a
+    * 3-row aggregate. At 100 TB the single user_id exchange is the
+    * entire shuffle cost. */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "view", "purchase"))
+      .withColumn("touch",
+        last(when(col("event_type").isin("click", "view"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("none")).as("touch_type"),
+        col("value"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Det.dsum4(col("value")).as("attributed_value"))
+      .orderBy("touch_type")
+  }
+
+  /** MULTIWINDOW BURN-RATE alert — the SRE error-budget pattern: the
+    * hourly error share vs the trailing-6h share (a RANGE frame over
+    * epoch seconds, so missing hours genuinely widen the window instead
+    * of silently stretching a row frame); a page fires when the short
+    * window burns ≥1.5× the long one AND clears an absolute floor
+    * (suppressing quiet-hour noise). All rates derive from exact integer
+    * counts, divided once in IEEE with identical op text both engines. */
+  def burnRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy((expr("unix_micros(ts) div 3600000000L") * 3600L).as("hr_s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+    val w6 = Window.orderBy(col("hr_s")).rangeBetween(-5L * 3600L, 0L)
+    hourly
+      .withColumn("n6", sum(col("n")).over(w6))
+      .withColumn("e6", sum(col("e")).over(w6))
+      .select(timestamp_seconds(col("hr_s")).as("bucket"),
+        col("n"), col("e"),
+        Det.r4(col("e").cast("double") / col("n")).as("rate_1h"),
+        Det.r4(col("e6").cast("double") / col("n6")).as("rate_6h"),
+        when(col("e6") > 0L, Det.r4((col("e").cast("double") / col("n")) /
+          (col("e6").cast("double") / col("n6")))).as("burn"),
+        when(col("e6") > 0L &&
+            (col("e").cast("double") / col("n")) >
+            lit(1.5) * (col("e6").cast("double") / col("n6")) &&
+            (col("e").cast("double") / col("n")) >= lit(0.3), 1L)
+          .otherwise(0L).as("page"))
+      .orderBy("bucket")
+  }
+
   /** Ordered conversion FUNNEL (view → click → purchase, each stage AT
     * OR AFTER the previous one's first hit — a same-timestamp event
     * converts): three conditional-min aggregations chained per user;
@@ -1573,6 +1632,8 @@ object TimeSeriesOps {
     "q_sessionize" -> sessionize _,
     "q_funnel" -> funnel _,
     "q_cohort_retention" -> cohortRetention _,
+    "q_attribution" -> attribution _,
+    "q_ts_burn_rate" -> burnRate _,
     "q_ts_dashboard" -> dashboard _,
     "q_ts_moving_avg" -> movingAverage _,
     "q_ts_scale_offset" -> scaleOffset _,
@@ -2618,6 +2679,43 @@ object TimeSeriesOps {
         |WHERE (epoch_us(d) - epoch_us(cohort)) // 86400000000 <= 7
         |GROUP BY 1, 2
         |ORDER BY cohort NULLS FIRST, day_offset NULLS FIRST""".stripMargin,
+    "q_attribution" ->
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase'))
+        |SELECT COALESCE(touch, 'none') AS touch_type,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+        |FROM s
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |ORDER BY touch_type NULLS FIRST""".stripMargin,
+    "q_ts_burn_rate" ->
+      s"""WITH h AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS hr_s,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT hr_s, n, e,
+        |         sum(n) OVER w6 AS n6, sum(e) OVER w6 AS e6
+        |  FROM h
+        |  WINDOW w6 AS (ORDER BY hr_s RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW))
+        |SELECT make_timestamp(hr_s * 1000000) AS bucket, n, e,
+        |       ${Det.r4Sql("CAST(e AS DOUBLE) / n")} AS rate_1h,
+        |       ${Det.r4Sql("CAST(e6 AS DOUBLE) / n6")} AS rate_6h,
+        |       CASE WHEN e6 > 0 THEN ${Det.r4Sql("(CAST(e AS DOUBLE) / n) / (CAST(e6 AS DOUBLE) / n6)")} END AS burn,
+        |       CAST(CASE WHEN e6 > 0
+        |                  AND (CAST(e AS DOUBLE) / n) > 1.5 * (CAST(e6 AS DOUBLE) / n6)
+        |                  AND (CAST(e AS DOUBLE) / n) >= 0.3
+        |            THEN 1 ELSE 0 END AS BIGINT) AS page
+        |FROM r
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
     "q_ts_dashboard" ->
       s"""WITH f AS (
         |  SELECT event_type AS metric,

@@ -196,6 +196,18 @@ class PlanSpec extends AnyFunSuite {
       s"join-back must stay a hash equi-join:\n$p")
   }
 
+  test("attribution: one user_id window, no self-join, final agg partial") {
+    val p = plan("q_attribution")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"attribution must be join-free (window LOCF):\n$p")
+    assert(p.contains("partial_"), s"rollup not map-side:\n$p")
+  }
+
+  test("burn rate: the range window runs over the hourly pre-aggregate") {
+    val p = plan("q_ts_burn_rate")
+    assert(p.contains("partial_"), s"hourly pre-agg not map-side:\n$p")
+  }
+
   test("source overlap: boilerplate cap bounds the self-join; aggs partial") {
     val p = plan("q_llm_source_overlap")
     assert(p.contains("partial_"), s"span frequency agg not map-side:\n$p")
