@@ -861,6 +861,184 @@ object RelationalOps {
           .cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q13 shape (customer order distribution): a LEFT join whose
+    * extra ON-clause predicate lives on the RIGHT side (filter-below-join
+    * — equivalent and pushdown-friendly), then a two-level aggregate:
+    * count per customer, histogram over the counts. The second groupBy
+    * keys on an aggregate OUTPUT — 1.5k rows at sf0.01, so at 100 TB the
+    * first shuffle (custkey) dominates and the second is a few thousand
+    * distinct counts coalesced by AQE. */
+  def tpchCustDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q7 shape (volume shipping between a nation pair): the
+    * nation-pair filter is pushed ONTO the dimensions before the fact
+    * joins — supplier and customer are each pre-restricted to the two
+    * nations (2/25 selectivity), so the broadcast supplier join prunes
+    * lineitem BEFORE the orderkey shuffle and only the cross-pair filter
+    * (N1→N2 or N2→N1, not N1→N1) remains post-join. Grouped by shipping
+    * year: epoch-irrelevant calendar extraction, identical both engines. */
+  def tpchNationPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .where(col("n_name").isin(pair: _*))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .where(col("n_name").isin(pair: _*))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's ECONOMY-part import volume per order year — the ratio of a
+    * conditional exact-decimal sum to the total, divided ONCE in IEEE
+    * with the shared rounding formula. Dimension filters (region, part
+    * type) ride broadcasts; the two fact joins shuffle on their natural
+    * keys. The conditional sum is NULL when the nation shipped nothing
+    * that year — COALESCE to 0 with identical text both engines. */
+  def tpchMarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaCust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .join(broadcast(Tables.region(spark, sfDir)
+              .where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir).select(
+          col("n_nationkey").as("snk"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val eco = Tables.part(spark, sfDir)
+      .where(col("p_type") === "ECONOMY").select("p_partkey")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(eco), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+          .where(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", discPrice))
+          .cast("double").as("nation_vol"),
+        sum(discPrice).cast("double").as("total_vol"))
+      .select(col("o_year"),
+        coalesce(col("nation_vol"), lit(0.0)).as("nation_vol"),
+        col("total_vol"),
+        Det.r4(coalesce(col("nation_vol"), lit(0.0)) / col("total_vol"))
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q17 shape (small-quantity outlier revenue): the canonical
+    * aggregate-then-join-back — per-part average quantity joined back
+    * against the same fact slice, keeping rows below 20% of their part's
+    * mean. Both sides hash-partition on partkey (co-located join, one
+    * shuffle each); the brand restriction rides a broadcast semi first so
+    * the heavy aggregate only sees 1/25 of the fact. The threshold is
+    * exact-sum/count in IEEE — identical op text both engines, and
+    * integral quantities never sit on the 0.2·avg boundary. */
+  def tpchQtyOutlier(spark: SparkSession, sfDir: String): DataFrame = {
+    val brandParts = Tables.part(spark, sfDir)
+      .where(col("p_brand") === "Brand#12").select("p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val pa = li.groupBy(col("l_partkey").as("pk"))
+      .agg((Det.dsum4(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(pa, col("l_partkey") === col("pk"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((Det.dsum4(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): multi-supplier
+    * orders where exactly ONE supplier shipped the final line — that
+    * supplier "held up" the order. Q21's double EXISTS/NOT EXISTS
+    * self-joins collapse into one per-(order,supplier) aggregate plus
+    * windows over the order partition: omax / nsupp / nach share a single
+    * orderkey Exchange (three window specs, one shuffle). The blame agg
+    * then shuffles 100 supplier keys; the name join is a broadcast. */
+  def tpchWaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("smax"))
+      .withColumn("omax", max(col("smax")).over(w))
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .withColumn("nach",
+        sum(when(col("smax") === col("omax"), 1L).otherwise(0L)).over(w))
+      .where(col("nsupp") >= 2L && col("nach") === 1L &&
+        col("smax") === col("omax"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** TPC-H Q20 shape (part-based supplier shortlist): a chained
+    * semi-join — name-filtered parts (broadcast) prune the fact, a
+    * per-(supplier, part) exact-quantity aggregate applies the volume
+    * threshold, and the surviving DISTINCT supplier keys semi-join the
+    * supplier dim. Quantities are integral, so the 50-unit threshold has
+    * no float boundary. The supplier table never carries fact columns —
+    * the semi stops at first match. */
+  def tpchRedPartSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = Tables.part(spark, sfDir)
+      .where(col("p_name").startsWith("red")).select("p_partkey")
+    val qualified = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(Det.dsum4(col("l_quantity")).as("qty"))
+      .where(col("qty") > 50.0)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, sfDir)
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_snapshot" -> upsertSnapshot _,
     "q_tpch_pricing" -> tpchPricingSummary _,
@@ -874,6 +1052,12 @@ object RelationalOps {
     "q_tpch_disjunctive" -> tpchDisjunctive _,
     "q_tpch_topsupplier" -> tpchTopSupplier _,
     "q_tpch_dormant" -> tpchDormantCustomers _,
+    "q_tpch_custdist" -> tpchCustDist _,
+    "q_tpch_nationpairs" -> tpchNationPairs _,
+    "q_tpch_marketshare" -> tpchMarketShare _,
+    "q_tpch_qtyoutlier" -> tpchQtyOutlier _,
+    "q_tpch_waiting" -> tpchWaitingSupplier _,
+    "q_tpch_redsupp" -> tpchRedPartSuppliers _,
     "q_latest_per_key" -> latestPerKey _,
     "q_star_revenue" -> starRevenue _,
     "q_scan_project" -> scanProject _,
@@ -1044,6 +1228,101 @@ object RelationalOps {
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1
         |ORDER BY c_nationkey NULLS FIRST""".stripMargin,
+    "q_tpch_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1) t
+        |GROUP BY 1
+        |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin,
+    "q_tpch_nationpairs" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST,
+        |         l_year NULLS FIRST""".stripMargin,
+    "q_tpch_marketshare" ->
+      s"""WITH v AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |           THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_vol,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT o_year, COALESCE(nation_vol, 0.0) AS nation_vol, total_vol,
+        |       ${r4Sql("COALESCE(nation_vol, 0.0) / total_vol")} AS mkt_share
+        |FROM v
+        |ORDER BY o_year NULLS FIRST""".stripMargin,
+    "q_tpch_qtyoutlier" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12'),
+        |pa AS (
+        |  SELECT l_partkey AS pk,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM li JOIN pa ON l_partkey = pk
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q_tpch_waiting" ->
+      """WITH sp AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (
+        |  SELECT l_orderkey, l_suppkey, smax,
+        |         max(smax) OVER w AS omax,
+        |         CAST(count(*) OVER w AS BIGINT) AS nsupp
+        |  FROM sp
+        |  WINDOW w AS (PARTITION BY l_orderkey)),
+        |f AS (
+        |  SELECT l_suppkey, smax, omax, nsupp,
+        |         CAST(sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY l_orderkey) AS BIGINT) AS nach
+        |  FROM g)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM f JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE nsupp >= 2 AND nach = 1 AND smax = omax
+        |GROUP BY 1
+        |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
+        |LIMIT 10""".stripMargin,
+    "q_tpch_redsupp" ->
+      """WITH q AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM q WHERE qty > 50.0)
+        |ORDER BY s_suppkey NULLS FIRST""".stripMargin,
     "q_tpch_revchange" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_items

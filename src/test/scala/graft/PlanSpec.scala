@@ -196,6 +196,45 @@ class PlanSpec extends AnyFunSuite {
       s"join-back must stay a hash equi-join:\n$p")
   }
 
+  test("tpch custdist: both aggregate levels partial; left join stays hash") {
+    val p = plan("q_tpch_custdist")
+    assert(p.contains("partial_"), s"per-customer count not map-side:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"), s"left join degraded:\n$p")
+  }
+
+  test("tpch nationpairs: pair-filtered supplier broadcasts; agg partial") {
+    val p = plan("q_tpch_nationpairs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier dim should broadcast:\n$p")
+    assert(p.contains("partial_"), s"pair-year agg not map-side:\n$p")
+  }
+
+  test("tpch qtyoutlier: join-back is a hash equi-join on partkey") {
+    val p = plan("q_tpch_qtyoutlier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"aggregate join-back must stay equi:\n$p")
+    assert(p.contains("partial_"), s"per-part avg not map-side:\n$p")
+  }
+
+  test("tpch waiting: the three windows share ONE orderkey exchange") {
+    val p = plan("q_tpch_waiting")
+    // the (l_orderkey, l_suppkey) pre-aggregate exchange is a DIFFERENT
+    // partitioning (map-side combine before the narrower shuffle) — count
+    // only orderkey-ONLY exchanges, which the three window specs share
+    val exchanges = "Exchange hashpartitioning\\(l_orderkey#\\d+L, \\d".r
+      .findAllIn(p).size
+    assert(exchanges <= 1,
+      s"window trio should reuse the orderkey partitioning ($exchanges):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 should be TakeOrdered:\n$p")
+  }
+
+  test("tpch redsupp: the shortlist reaches supplier as a LEFT SEMI") {
+    val p = plan("q_tpch_redsupp")
+    assert(p.toLowerCase.contains("leftsemi"),
+      s"supplier shortlist should be a semi join:\n$p")
+  }
+
   test("attribution: one user_id window, no self-join, final agg partial") {
     val p = plan("q_attribution")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
