@@ -744,7 +744,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** COLLOCATION mining — top bigrams by association lift
+    * N·c(xy)/(c(x)·c(y)), the PMI argument WITHOUT the log: log is
+    * monotone, so the lift ranking IS the PMI ranking while staying
+    * inside IEEE-exact ops (CLAUDE.md: cross-engine libm drifts).
+    * Counts are exact integers below 2^53, their double conversions
+    * exact, and the one compound float expression has identical op
+    * text both engines. At 100 TB: two map-side-combined counting
+    * aggregates; the unigram vocabulary joins by broadcast (vocab ≪
+    * corpus — Zipf guarantees it); the min-count floor (c₂ ≥ 5)
+    * bounds the ranked set before the TakeOrdered top-20. */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("tk"))
+    val uni = docs.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nTok = uni.agg(sum(col("cw")).as("n"))
+    docs.where(size(col("tk")) >= 2)
+      .select(explode(expr(ngramExpr("tk", 2))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= 5L)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c_w1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c_w2"))), "w2")
+      .crossJoin(broadcast(nTok))
+      .select(col("bg"), col("c2"), col("c_w1"), col("c_w2"),
+        Det.r4((col("c2").cast("double") * col("n").cast("double")) /
+          (col("c_w1").cast("double") * col("c_w2").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("bg"))
+      .limit(20)
+  }
+
+  /** Per-document KEYWORD extraction — tf·idf with LINEAR idf (N/df,
+    * log-free; documented deviation from log-idf: the combined tf·idf
+    * ranking can differ from the log variant, but the score is exactly
+    * reproducible cross-engine, which the log variant is not). df comes
+    * from a window over the (doc, term) aggregate — counting the rows
+    * of a term's partition IS its document frequency, no self-join.
+    * Top-3 terms per doc by row_number with a total tiebreak. At
+    * 100 TB: one shuffle for the (doc,term) agg, one for the term
+    * window, one for the doc window — each on a different natural key. */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"))
+    val wTerm = Window.partitionBy(col("term"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        Det.r4((col("tf").cast("double") * col("n_docs").cast("double")) /
+          col("df").cast("double")))
+      .withColumn("rnk", row_number().over(wDoc).cast("long"))
+      .where(col("rnk") <= 3L)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_collocations" -> collocations _,
+    "q_llm_tfidf" -> tfidfKeywords _,
     "q_llm_redact" -> redact _,
     "q_llm_decontaminate" -> decontaminate _,
     "q_llm_decontaminate_fuzzy" -> decontaminateFuzzy _,
@@ -773,6 +840,45 @@ object TextOps {
   import Det.r4Sql
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_collocations" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |u AS (SELECT unnest(tk) AS w FROM t),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM u GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |      FROM t WHERE len(tk) >= 2),
+        |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1
+        |       HAVING count(*) >= 5)
+        |SELECT bg, c2, u1.cw AS c_w1, u2.cw AS c_w2,
+        |       ${r4Sql("(CAST(c2 AS DOUBLE) * CAST(n.n AS DOUBLE)) / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))")} AS lift
+        |FROM cb
+        |CROSS JOIN n
+        |JOIN cu u1 ON split_part(bg, ' ', 1) = u1.w
+        |JOIN cu u2 ON split_part(bg, ' ', 2) = u2.w
+        |ORDER BY lift DESC NULLS LAST, bg NULLS FIRST
+        |LIMIT 20""".stripMargin,
+    "q_llm_tfidf" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |      FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id, term, tf,
+        |             CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        |      FROM c),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |             ${r4Sql("(CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(df AS DOUBLE)")} AS score
+        |      FROM d CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |             CAST(row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY score DESC NULLS LAST, term NULLS FIRST)
+        |               AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT doc_id, rnk, term, tf, df, score
+        |FROM r WHERE rnk <= 3
+        |ORDER BY doc_id NULLS FIRST, rnk NULLS FIRST""".stripMargin,
     "q_llm_redact" ->
       """WITH aug AS (
         |  SELECT doc_id,

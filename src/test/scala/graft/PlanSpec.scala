@@ -235,6 +235,21 @@ class PlanSpec extends AnyFunSuite {
       s"supplier shortlist should be a semi join:\n$p")
   }
 
+  test("collocations: vocab joins broadcast; counts partial; top-20 TakeOrdered") {
+    val p = plan("q_llm_collocations")
+    assert(p.contains("BroadcastHashJoin"), s"unigram model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join expected:\n$p")
+    assert(p.contains("partial_"), s"counting aggs not map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$p")
+  }
+
+  test("tfidf: df comes from the term window, not a self-join") {
+    val p = plan("q_llm_tfidf")
+    assert(!p.contains("SortMergeJoin"),
+      s"document frequency must not self-join:\n$p")
+    assert(p.contains("partial_"), s"(doc,term) agg not map-side:\n$p")
+  }
+
   test("attribution: one user_id window, no self-join, final agg partial") {
     val p = plan("q_attribution")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
