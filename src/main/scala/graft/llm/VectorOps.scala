@@ -332,7 +332,74 @@ object VectorOps {
       .crossJoin(global)
   }
 
+  private val KmeansK = 4
+  private val KmeansIters = 3
+  /** Fixed-point quantum for the oracle-exact k-means: floor(v·10¹²) is a
+    * BIGINT in both engines with NO rounding-mode dependence (unlike a
+    * double→DECIMAL cast, whose half-boundary dialects differ). Bounds at
+    * sf0.1: |x|≤0.6 ⇒ per-(cl,dim) mean numerator ≤ 2000·6e11 < 2⁵³ (the
+    * sum→double conversion stays exact); per-vector dist ≤ 64·1.44e12 and
+    * the inertia sum < 2⁶³ (int64→double is IEEE round-to-nearest, same
+    * bits both engines). At 100 TB scale the same design needs a smaller
+    * quantum or a two-level sum — documented, not silently assumed. */
+  private val Quantum = 1.0e12
+
+  /** DISTRIBUTED K-MEANS (Lloyd's) over the full embedding corpus —
+    * clustering-based curation at corpus scale, where the driver-sample
+    * kmeans that trains [[AnnIndex]]'s IVF quantizer does not suffice.
+    * Everything stays in (cluster, dim, value) LONG FORM: assignment is
+    * a broadcast join on dim + one partial aggregate per (vec, cluster);
+    * the update is one aggregate per (cluster, dim). No vector ever
+    * crosses the shuffle — only quantized per-dim partials — and the
+    * centroid table (k·d rows) broadcasts each round.
+    *
+    * ORACLE-EXACT, which published distributed k-means never is: every
+    * accumulation is an exact BIGINT sum of floor-quantized values
+    * (order-independent), assignment ties break to the lowest cluster
+    * id on exact integers, and seeds are the K lowest vec_ids — so 3
+    * unrolled Lloyd's rounds in DuckDB reproduce the Spark clustering
+    * bit-for-bit. Lazy checkpoints bound the iterated plan (the
+    * Pipeline stage-cache pattern). */
+  def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = lit(Quantum)
+    val flat = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      .localCheckpoint(eager = false)
+    val seeds = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(KmeansK)
+      .withColumn("cl",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+    var cent = flat.join(broadcast(seeds), "vec_id")
+      .select(col("cl"), col("dim"), col("x").as("c"))
+      .localCheckpoint(eager = false)
+    var assign: DataFrame = null
+    for (_ <- 1 to KmeansIters) {
+      val aW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cl"))
+      assign = flat.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("cl"))
+        .agg(sum(floor(((col("x") - col("c")) * (col("x") - col("c"))) * q))
+          .as("dist"))
+        .withColumn("rn", row_number().over(aW))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cl"), col("dist"))
+        .localCheckpoint(eager = false)
+      cent = assign.join(flat, "vec_id")
+        .groupBy(col("cl"), col("dim"))
+        .agg((sum(floor(col("x") * q)).cast("double") /
+          (count(lit(1)) * q)).as("c"))
+        .localCheckpoint(eager = false)
+    }
+    assign.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4(sum(col("dist")).cast("double") / q).as("inertia"))
+      .orderBy("cl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_kmeans" -> kmeansClusters _,
     "q_llm_ivf_health" -> ivfHealth _,
     "q_llm_ann_serving" -> (AnnServing.report _),
     "q_llm_cosine_topk" -> cosineTopk _,
@@ -347,6 +414,51 @@ object VectorOps {
   )
 
   import Det.r4Sql
+
+  /** Unrolled Lloyd's rounds for the q_llm_kmeans oracle — generated so
+    * every round's text is literally identical (and in lockstep with the
+    * Column formulas in [[kmeansClusters]]). */
+  private def kmeansOracleSql: String = {
+    val Q = "1000000000000.0"
+    val rounds = (1 to KmeansIters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      val update =
+        if (i == KmeansIters) "" // the last round only assigns
+        else s""",
+          |c$i AS (
+          |  SELECT cl, dim,
+          |         CAST(sum(CAST(floor(x * $Q) AS BIGINT)) AS DOUBLE)
+          |           / (count(*) * $Q) AS c
+          |  FROM a$i JOIN flat USING (vec_id) GROUP BY 1, 2)""".stripMargin
+      s"""d$i AS (
+        |  SELECT vec_id, cl,
+        |         CAST(sum(CAST(floor(((x - c) * (x - c)) * $Q) AS BIGINT)) AS BIGINT) AS dist
+        |  FROM flat JOIN $prev USING (dim) GROUP BY 1, 2),
+        |a$i AS (
+        |  SELECT vec_id, cl, dist FROM (
+        |    SELECT vec_id, cl, dist,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY dist, cl) AS rn
+        |    FROM d$i) t WHERE rn = 1)""".stripMargin + update
+    }.mkString(",\n")
+    s"""WITH f0 AS (
+      |  SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding
+      |  FROM embeddings),
+      |flat AS (
+      |  SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM f0),
+      |seeds AS (
+      |  SELECT vec_id,
+      |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl
+      |  FROM (SELECT vec_id FROM embeddings
+      |        ORDER BY vec_id LIMIT $KmeansK) s),
+      |c0 AS (
+      |  SELECT cl, dim, x AS c FROM flat JOIN seeds USING (vec_id)),
+      |$rounds
+      |SELECT cl, CAST(count(*) AS BIGINT) AS n,
+      |       ${r4Sql(s"CAST(sum(dist) AS DOUBLE) / $Q")} AS inertia
+      |FROM a$KmeansIters GROUP BY 1
+      |ORDER BY cl NULLS FIRST""".stripMargin
+  }
 
   /** Shared by q_llm_cosine_topk and its SQL-surface twin
     * q_sql_cosine_topk (same result contract through both entries). */
@@ -364,6 +476,7 @@ object VectorOps {
       |ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST LIMIT 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_kmeans" -> kmeansOracleSql,
     "q_sql_cosine_topk" -> cosineTopkOracle,
     "q_llm_cosine_topk" -> cosineTopkOracle,
     "q_llm_embed_diversity" ->

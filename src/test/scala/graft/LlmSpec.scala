@@ -364,6 +364,20 @@ class LlmSpec extends AnyFunSuite {
     assert(imb >= 1.0 - 0.0001)
   }
 
+  test("distributed kmeans: full coverage, all clusters live, inertia sane") {
+    val rows = VectorOps.kmeansClusters(spark, sf).collect()
+    val total = graft.io.Tables.embeddings(spark, sf).count()
+    assert(rows.length == 4, "all 4 seeded clusters should survive")
+    assert(rows.map(_.getLong(1)).sum == total,
+      "every vector assigned exactly once")
+    assert(rows.forall(_.getLong(1) >= 1))
+    assert(rows.forall(_.getDouble(2) > 0.0), "inertia positive per cluster")
+    // Lloyd's must actually move mass off the seeds: with 4 seeds over a
+    // 10-label corpus no cluster should hold fewer than a handful or
+    // nearly all of the vectors
+    assert(rows.forall(r => r.getLong(1) < total * 9 / 10))
+  }
+
   test("knn_label counts: n sums to table size, matches <= n") {
     val rows = VectorOps.knnLabel(spark, sf).collect()
     val total = graft.io.Tables.embeddings(spark, sf).count()
