@@ -600,6 +600,49 @@ object RelationalOps {
       .orderBy("o_orderstatus")
   }
 
+  /** TIME-TRAVEL over the merge-on-read change log ([[upsertSnapshot]]'s
+    * MoR pattern with a third version added): snapshot AS OF versions
+    * 0, 1 and 2 in ONE pass — the log crossJoins a broadcast 3-row
+    * version axis, keeps `version <= asof`, and the max_by merge runs
+    * per (asof, key). One fact scan serves all three snapshots (a
+    * union-of-reads formulation would rescan per version); the shuffle
+    * key (asof, orderkey) keeps each snapshot's merge co-located. The
+    * v2 layer restores half the v1-deleted keys at 3× price and deletes
+    * a fresh slice — so the three snapshots genuinely differ. */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val base = o.select(col("o_orderkey"), col("o_totalprice"),
+      lit(0L).as("version"), lit(false).as("deleted"))
+    val updates = o.where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2.0).as("o_totalprice"),
+        lit(1L).as("version"), lit(false).as("deleted"))
+    val deletes = o.where(col("o_orderkey") % 97 === 3 &&
+        col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"), lit(0.0).as("o_totalprice"),
+        lit(1L).as("version"), lit(true).as("deleted"))
+    val restores = o.where(col("o_orderkey") % 97 === 3 &&
+        col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), (col("o_totalprice") * 3.0).as("o_totalprice"),
+        lit(2L).as("version"), lit(false).as("deleted"))
+    val lateDeletes = o.where(col("o_orderkey") % 89 === 7 &&
+        col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit(0.0).as("o_totalprice"),
+        lit(2L).as("version"), lit(true).as("deleted"))
+    val log = base.unionByName(updates).unionByName(deletes)
+      .unionByName(restores).unionByName(lateDeletes)
+    val asof = spark.range(3).select(col("id").as("snap"))
+    log.crossJoin(broadcast(asof))
+      .where(col("version") <= col("snap"))
+      .groupBy(col("snap"), col("o_orderkey"))
+      .agg(max_by(struct(col("o_totalprice"), col("deleted")),
+        col("version")).as("m"))
+      .where(!col("m.deleted"))
+      .groupBy(col("snap"))
+      .agg(count(lit(1)).as("n_live"),
+        Det.r4(Det.dsum4(col("m.o_totalprice"))).as("sum_price"))
+      .orderBy("snap")
+  }
+
   /** Disc-price revenue expression shared by the TPC-H-shape reads: the
     * per-row product is IEEE double (identical op order in both engines),
     * then DECIMAL(18,4) accumulation makes the SUM order-independent
@@ -1041,6 +1084,7 @@ object RelationalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_snapshot" -> upsertSnapshot _,
+    "q_time_travel" -> timeTravel _,
     "q_tpch_pricing" -> tpchPricingSummary _,
     "q_tpch_shippriority" -> tpchShipPriority _,
     "q_tpch_localvolume" -> tpchLocalVolume _,
@@ -1359,6 +1403,36 @@ object RelationalOps {
         |FROM m WHERE NOT deleted
         |GROUP BY 1
         |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "q_time_travel" ->
+      s"""WITH log AS (
+        |  SELECT o_orderkey, o_totalprice, 0 AS version, FALSE AS deleted
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2.0, 1, FALSE
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 0.0, 1, TRUE
+        |  FROM orders WHERE o_orderkey % 97 = 3 AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 3.0, 2, FALSE
+        |  FROM orders WHERE o_orderkey % 97 = 3 AND o_orderkey % 10 <> 0
+        |    AND o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 0.0, 2, TRUE
+        |  FROM orders WHERE o_orderkey % 89 = 7 AND o_orderkey % 10 = 0),
+        |ax AS (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS snap),
+        |m AS (
+        |  SELECT snap, o_orderkey,
+        |         arg_max(o_totalprice, version) AS o_totalprice,
+        |         arg_max(deleted, version) AS deleted
+        |  FROM log CROSS JOIN ax
+        |  WHERE version <= snap
+        |  GROUP BY 1, 2)
+        |SELECT snap, CAST(count(*) AS BIGINT) AS n_live,
+        |       ${Det.r4Sql(Det.dsum4Sql("o_totalprice"))} AS sum_price
+        |FROM m WHERE NOT deleted
+        |GROUP BY 1
+        |ORDER BY snap NULLS FIRST""".stripMargin,
     "q_latest_per_key" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

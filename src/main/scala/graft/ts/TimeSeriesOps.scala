@@ -661,6 +661,28 @@ object TimeSeriesOps {
     * the one-step-ahead forecast (level + trend) per series. No oracle
     * (DuckDB has no sequential fold) — spec'd against a driver-side
     * reference fold. */
+  /** Graphite `exponentialMovingAverage` (graphite-web
+    * render/functions.py — exponentialMovingAverage [U]) — single
+    * exponential smoothing s_t = α·v_t + (1−α)·s_{t−1}, seeded with the
+    * first point (graphite seeds with the window average; seeding with
+    * v₁ keeps the recursion purely IEEE with no mean in the seed).
+    * Same proven fold ↔ recursive-CTE pairing as [[holtForecast]]:
+    * every state advance is the identical mul/add text both engines. */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    h1.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
+        .as("pts"))
+      .select(col("event_type"), size(col("pts")).as("n"),
+        expr(
+          """aggregate(
+            |  slice(pts, 2, size(pts) - 1),
+            |  named_struct('s', pts[0].v),
+            |  (acc, p) -> named_struct('s', 0.2D * p.v + 0.8D * acc.s),
+            |  acc -> acc.s)""".stripMargin).as("ewma"))
+      .orderBy("event_type")
+  }
+
   def holtForecast(spark: SparkSession, sfDir: String): DataFrame = {
     val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
     h1.groupBy(col("event_type"))
@@ -1661,6 +1683,7 @@ object TimeSeriesOps {
     "q_ts_consolidate" -> consolidate _,
     "q_ts_exclude" -> excludeSeries _,
     "q_ts_linreg" -> linearRegression _,
+    "q_ts_ewma" -> ewma _,
     "q_ts_holt_forecast" -> holtForecast _,
     "q_ts_sum_series" -> sumSeries _,
     "q_ts_transform_null" -> transformNull _,
@@ -2363,6 +2386,28 @@ object TimeSeriesOps {
     // double-op sequence as the aggregate() lambda (the lvl' expression
     // is repeated inside trd' exactly as the non-CSE'd lambda computes
     // it), so the forecasts agree bit-exactly.
+    "q_ts_ewma" ->
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM h1),
+        |cnt AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, 1 AS rn, v AS s FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rec.event_type, rec.rn + 1,
+        |         CAST(0.2 AS DOUBLE) * r.v + CAST(0.8 AS DOUBLE) * rec.s
+        |  FROM rec JOIN r ON r.event_type = rec.event_type
+        |    AND r.rn = rec.rn + 1)
+        |SELECT rec.event_type, CAST(cnt.n AS INT) AS n, rec.s AS ewma
+        |FROM rec JOIN cnt ON cnt.event_type = rec.event_type
+        |WHERE rec.rn = cnt.n
+        |ORDER BY rec.event_type NULLS FIRST""".stripMargin,
     "q_ts_holt_forecast" ->
       s"""WITH RECURSIVE h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
