@@ -661,6 +661,24 @@ object TimeSeriesOps {
     * the one-step-ahead forecast (level + trend) per series. No oracle
     * (DuckDB has no sequential fold) — spec'd against a driver-side
     * reference fold. */
+  /** Graphite `multiplySeries` — the last missing member of the fan-in
+    * family (sum/count/range/diff/max/min/avg are done): per-bucket
+    * product across the five series. IEEE multiplication is commutative
+    * but NOT associative under rounding, so both engines multiply in
+    * the SAME fixed alphabetical series order; an absent series
+    * contributes an exact ×1.0 (the identity is exact in IEEE, so
+    * skip-vs-multiply-by-one cannot diverge). */
+  def multiplySeries(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    def f(t: String): org.apache.spark.sql.Column =
+      coalesce(max(when(col("event_type") === t, col("v"))), lit(1.0))
+    h1.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_series"),
+        (f("click") * f("error") * f("purchase") * f("signup") * f("view"))
+          .as("product"))
+      .orderBy("bucket")
+  }
+
   /** Graphite `exponentialMovingAverage` (graphite-web
     * render/functions.py — exponentialMovingAverage [U]) — single
     * exponential smoothing s_t = α·v_t + (1−α)·s_{t−1}, seeded with the
@@ -1684,6 +1702,7 @@ object TimeSeriesOps {
     "q_ts_exclude" -> excludeSeries _,
     "q_ts_linreg" -> linearRegression _,
     "q_ts_ewma" -> ewma _,
+    "q_ts_multiply_series" -> multiplySeries _,
     "q_ts_holt_forecast" -> holtForecast _,
     "q_ts_sum_series" -> sumSeries _,
     "q_ts_transform_null" -> transformNull _,
@@ -2386,6 +2405,20 @@ object TimeSeriesOps {
     // double-op sequence as the aggregate() lambda (the lvl' expression
     // is repeated inside trd' exactly as the non-CSE'd lambda computes
     // it), so the forecasts agree bit-exactly.
+    "q_ts_multiply_series" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_series,
+        |       COALESCE(max(CASE WHEN event_type = 'click' THEN v END), 1.0)
+        |       * COALESCE(max(CASE WHEN event_type = 'error' THEN v END), 1.0)
+        |       * COALESCE(max(CASE WHEN event_type = 'purchase' THEN v END), 1.0)
+        |       * COALESCE(max(CASE WHEN event_type = 'signup' THEN v END), 1.0)
+        |       * COALESCE(max(CASE WHEN event_type = 'view' THEN v END), 1.0)
+        |         AS product
+        |FROM h1 GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
     "q_ts_ewma" ->
       s"""WITH RECURSIVE h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
