@@ -809,7 +809,57 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** CONNECTED COMPONENTS over the verified near-dup edge list — the
+    * graph step that turns pairwise similarity into dedup clusters
+    * (Lee et al. 2022 dedup pipelines cluster before dropping), HERE AS
+    * AN ORACLE-CHECKED QUERY: 6 unrolled rounds of min-label
+    * propagation (converges in ≤4 on both SFs; integer-only state, so
+    * every round is exact in any engine — the unrolled-CTE technique
+    * from q_llm_kmeans on a graph recursion). Edges = same-lang doc
+    * pairs with distinct-token Jaccard ≥ 0.95 on the doc_id<200 slice
+    * (the exact pairwise criterion of [[jaccardPairs]]; at corpus
+    * scale the candidate pairs come from MinHash-LSH instead — see
+    * [[minhashDedup]]/DupCluster — but the propagation core is THIS).
+    * Per round: one shuffle on dst for the neighbor-min, one equi-join
+    * back — label size is one BIGINT regardless of component size. */
+  def dupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(toks)).as("t"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val inter = tok.select(col("doc_id").as("a_id"), col("lang"), col("t"))
+      .join(tok.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+          col("t").as("t_b")),
+        col("t") === col("t_b") && col("lang") === col("lang_b") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    val edges = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("nt").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nt").as("nb")), "b_id")
+      .where(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= lit(0.95))
+      .select(col("a_id"), col("b_id"))
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"), col("doc_id").as("comp"))
+    for (_ <- 1 to 6) {
+      val nbrMin = sym.join(labels, sym("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("m"))
+      labels = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = false)
+    }
+    labels.orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dup_components" -> dupComponents _,
     "q_llm_collocations" -> collocations _,
     "q_llm_tfidf" -> tfidfKeywords _,
     "q_llm_redact" -> redact _,
@@ -840,6 +890,33 @@ object TextOps {
   import Det.r4Sql
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_dup_components" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""g$i AS (SELECT e.dst AS doc_id, min(l.comp) AS m
+          |      FROM sym e JOIN l${i - 1} l ON l.doc_id = e.src GROUP BY 1),
+          |l$i AS (SELECT l.doc_id, least(l.comp, COALESCE(g.m, l.comp)) AS comp
+          |      FROM l${i - 1} l LEFT JOIN g$i g USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT doc_id, lang,
+        |               unnest(list_distinct(string_split(text, ' '))) AS t
+        |             FROM documents WHERE doc_id < 200),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |      FROM tok a JOIN tok b
+        |        ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |e0 AS (SELECT a_id, b_id
+        |       FROM p JOIN n na ON na.doc_id = a_id
+        |              JOIN n nb ON nb.doc_id = b_id
+        |       WHERE CAST(inter AS DOUBLE) / (na.nt + nb.nt - inter) >= 0.95),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM e0
+        |        UNION ALL SELECT b_id, a_id FROM e0),
+        |l0 AS (SELECT doc_id, doc_id AS comp
+        |       FROM documents WHERE doc_id < 200),
+        |$rounds
+        |SELECT doc_id, comp FROM l6
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    },
     "q_llm_collocations" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |u AS (SELECT unnest(tk) AS w FROM t),

@@ -364,6 +364,33 @@ class LlmSpec extends AnyFunSuite {
     assert(imb >= 1.0 - 0.0001)
   }
 
+  test("dup components equal driver union-find over the same edge rule") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("doc_id") < 200)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val sets = docs.map { case (id, lang, text) =>
+      (id, lang, text.split(" ").toSet)
+    }
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (a, la, sa) <- sets; (b, lb, sb) <- sets
+      if a < b && la == lb
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.95
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docs.map(d => d._1 -> find(d._1)).toMap
+    val got = graft.llm.TextOps.dupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.toSet.size < docs.length, "some docs must cluster")
+  }
+
   test("distributed kmeans: full coverage, all clusters live, inertia sane") {
     val rows = VectorOps.kmeansClusters(spark, sf).collect()
     val total = graft.io.Tables.embeddings(spark, sf).count()
