@@ -840,6 +840,9 @@ object TextOps {
       .where(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")) >= lit(0.95))
       .select(col("a_id"), col("b_id"))
+      // checkpoint BEFORE symmetrizing: union children don't CSE, so an
+      // unmaterialized edge relation would run the Jaccard self-join twice
+      .localCheckpoint(eager = false)
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(eager = false)

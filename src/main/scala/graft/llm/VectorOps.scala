@@ -442,7 +442,8 @@ object VectorOps {
         |    FROM d$i) t WHERE rn = 1)""".stripMargin + update
     }.mkString(",\n")
     s"""WITH f0 AS (
-      |  SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding
+      |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+      |         embedding
       |  FROM embeddings),
       |flat AS (
       |  SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM f0),

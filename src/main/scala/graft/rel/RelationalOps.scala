@@ -1050,8 +1050,10 @@ object RelationalOps {
       .join(broadcast(Tables.supplier(spark, sfDir)
           .select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
+      // keep the KEY in the output: s_name is not a key, so grouping or
+      // tiebreaking on it would silently merge/reorder homonym suppliers
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(10)
   }
 
@@ -1348,11 +1350,11 @@ object RelationalOps {
         |         CAST(sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
         |              OVER (PARTITION BY l_orderkey) AS BIGINT) AS nach
         |  FROM g)
-        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM f JOIN supplier ON l_suppkey = s_suppkey
         |WHERE nsupp >= 2 AND nach = 1 AND smax = omax
-        |GROUP BY 1
-        |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC NULLS LAST, s_suppkey NULLS FIRST
         |LIMIT 10""".stripMargin,
     "q_tpch_redsupp" ->
       """WITH q AS (

@@ -650,17 +650,6 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
-  /** Graphite `holtWintersForecast` (simplified to Holt's LINEAR double
-    * exponential smoothing — level + trend, the core of the aberration
-    * alert; `render/functions.py — holtWintersForecast` [U] seasons it
-    * daily on top of exactly this recursion). The per-series recursion
-    * is inherently sequential, so it folds over the SORTED hourly-rollup
-    * array with `aggregate` — one codegen'd expression, no UDF, and the
-    * array is retention-bounded (≤ archive points per series, NOT data-
-    * sized), so collect_list here survives any corpus scale. Output is
-    * the one-step-ahead forecast (level + trend) per series. No oracle
-    * (DuckDB has no sequential fold) — spec'd against a driver-side
-    * reference fold. */
   /** Graphite `multiplySeries` — the last missing member of the fan-in
     * family (sum/count/range/diff/max/min/avg are done): per-bucket
     * product across the five series. IEEE multiplication is commutative
@@ -701,6 +690,18 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** Graphite `holtWintersForecast` (simplified to Holt's LINEAR double
+    * exponential smoothing — level + trend, the core of the aberration
+    * alert; `render/functions.py — holtWintersForecast` [U] seasons it
+    * daily on top of exactly this recursion). The per-series recursion
+    * is inherently sequential, so it folds over the SORTED hourly-rollup
+    * array with `aggregate` — one codegen'd expression, no UDF, and the
+    * array is retention-bounded (≤ archive points per series, NOT data-
+    * sized), so collect_list here survives any corpus scale. Output is
+    * the one-step-ahead forecast (level + trend) per series.
+    * ORACLE-CHECKED via the bit-exact recursive-CTE twin (the technique
+    * this function pioneered), and additionally spec'd against a
+    * driver-side reference fold. */
   def holtForecast(spark: SparkSession, sfDir: String): DataFrame = {
     val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
     h1.groupBy(col("event_type"))
