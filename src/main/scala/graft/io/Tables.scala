@@ -31,11 +31,15 @@ object Tables {
     * `event_type`, tag-ish `user_id`, a timestamp and a double value;
     * reference semantics: kenshin/storage.py — update/fetch [U, SURVEY §1.1]).
     *
-    * `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark 4's reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it
-    * as a raw LONG via `nanosAsLong` and derive a µs-precision TIMESTAMP —
-    * exactly what DuckDB sees natively (it truncates ns→µs; verified).
-    * The raw nanos survive as `ts_ns` for sub-µs ordering/tiebreaks.
+    * The driver has shipped `ts` in two physical encodings across rounds:
+    * INT64 TIMESTAMP(NANOS) (which Spark 4's reader rejects outright,
+    * [PARQUET_TYPE_ILLEGAL], so we read it as raw LONG via `nanosAsLong`
+    * and derive a µs TIMESTAMP — matching what DuckDB sees natively) and
+    * plain TIMESTAMP(MICROS) (readable directly). We sniff the decoded
+    * dtype and normalize both to the same surface: µs-precision `ts` plus
+    * a LONG `ts_ns` preserved for sub-µs ordering/tiebreaks (for µs files
+    * it is exactly `unix_micros(ts) * 1000`, so tiebreak order is stable
+    * across encodings).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // prefer setting this once at session build (Verify/Bench/TestSpark
@@ -44,10 +48,20 @@ object Tables {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .select(col("event_id"), col("ts"), col("ts_ns"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val normalized = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy ns-as-long file
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // native µs timestamp file (NTZ in the parquet footer; the
+        // wall times are UTC instants and every session here runs with
+        // spark.sql.session.timeZone=UTC, so the cast is value-preserving
+        // and matches DuckDB's native read of the same file)
+        val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw.withColumn("ts", ts)
+          .withColumn("ts_ns", unix_micros(ts) * lit(1000L))
+    }
+    normalized.select(col("event_id"), col("ts"), col("ts_ns"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
   }
 }
