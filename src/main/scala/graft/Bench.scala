@@ -64,20 +64,58 @@ object Bench {
     // name-sorted execution: Map iteration order reshuffles whenever a
     // key is added, which moves the residual first-run cost to a
     // different query each round — a stable order keeps per-query
-    // numbers comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    // numbers comparable across rounds. Multiple in-process passes
+    // (default 2, env SPARK_GRAFT_BENCH_PASSES) damp the ±20% single-pass
+    // machine noise: the reported per-query figure is the LOWER MEDIAN
+    // across passes (deterministic for even counts, tracks steady-state
+    // cost rather than a one-off page-cache miss).
+    val passes =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times =
+      collection.mutable.LinkedHashMap[String, List[Double]]()
+    // a failing query must NAME itself (never a silent -1): record the
+    // error class+message per query, surface names in the final summary
+    val failures = collection.mutable.LinkedHashMap[String, String]()
+    for (pass <- 1 to passes; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = times.getOrElse(name, Nil) :+ dt
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ")
+          failures(name) =
+            s"pass $pass: ${e.getClass.getSimpleName}: ${msg.take(160)}"
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    def lowerMedian(xs: List[Double]): Double = {
+      val s = xs.sorted; s((s.size - 1) / 2)
+    }
+    val medians = ordered.flatMap { case (name, _) =>
+      times.get(name).map(name -> lowerMedian(_))
+    }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // per-query detail first (may exceed the driver's tail window), then a
-    // SHORT summary as the final stdout line so the driver can always parse it
-    println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    // final line must stay tail-parseable: name at most 8 failures there
+    // (full per-query detail is on the bench_failures line above it)
+    val failedNames =
+      failures.keys.take(8).map(n => s"\"$n\"").mkString("[", ",", "]")
+    // per-query detail first (may exceed the driver's tail window), then
+    // failure detail, then a SHORT summary as the final stdout line so the
+    // driver can always tail-parse it
+    println(
+      s"""{"metric":"per_query","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    if (failures.nonEmpty) {
+      val fs = failures.map { case (k, v) =>
+        s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"")}\""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"bench_failures","detail":$fs}""")
+    }
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed_count":${failures.size},"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
