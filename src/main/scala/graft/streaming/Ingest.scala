@@ -525,6 +525,33 @@ object Ingest {
       lateness: String = "10 minutes"): DataFrame =
     streamStreamAsof(purchases, signups, windowSpec, lateness, "full_outer")
 
+  /** General stream-stream INTERVAL join (SURVEY §8 item 6): left rows
+    * enriched with same-key right rows inside the SYMMETRIC range
+    * [l.ts - before, l.ts + after] — the superset of the as-of family
+    * above (as-of = `after` 0). Both sides carry watermarks, so Structured
+    * Streaming derives a state-eviction bound for each side from the range
+    * condition: a right row can be dropped once the left watermark passes
+    * `r.ts + before`, a left row once the right watermark passes
+    * `l.ts + after` — state stays bounded at any input rate, which is the
+    * property that makes this runnable indefinitely on a real cluster
+    * (spec: s_interval_join_eviction proves expired state is gone). */
+  def streamStreamInterval(left: DataFrame, right: DataFrame,
+      before: String = "1 hour", after: String = "1 hour",
+      lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("metric").as("l_metric"), col("ts").as("l_ts"),
+        col("value").as("l_value"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("metric").as("r_metric"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("l_metric") === col("r_metric") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"),
+      joinType)
+  }
+
   /** R15 read-merge: the serving view = flushed storage UNION live
     * not-yet-flushed state (here: the in-memory sink table of a running
     * rollup query vs a batch table). */

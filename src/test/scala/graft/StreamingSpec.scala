@@ -580,6 +580,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.length == 1 && m.head.getTimestamp(0) == ts("2024-01-01 09:30:00"))
   }
 
+  test("s_interval_join: symmetric range matches both directions") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val left = MemoryStream[Point]
+    val right = MemoryStream[Point]
+    val joined = Ingest.streamStreamInterval(left.toDF(), right.toDF(),
+      "30 minutes", "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("sij")
+      .outputMode(OutputMode.Append()).start()
+    right.addData(
+      Point("u1", ts("2024-01-01 09:45:00"), 1.0), // 15 min BEFORE l1: in
+      Point("u1", ts("2024-01-01 10:20:00"), 2.0), // 20 min AFTER l1: in
+      Point("u1", ts("2024-01-01 08:00:00"), 3.0), // 2 h before: out
+      Point("u2", ts("2024-01-01 10:00:00"), 4.0)) // other key: out
+    left.addData(Point("u1", ts("2024-01-01 10:00:00"), 9.99))
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql("SELECT r_value FROM sij ORDER BY r_value").collect()
+    assert(rows.map(_.getDouble(0)).sameElements(Array(1.0, 2.0)),
+      s"symmetric window should match both sides: ${rows.mkString(",")}")
+  }
+
+  test("s_interval_join_eviction: expired state dropped at the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val left = MemoryStream[Point]
+    val right = MemoryStream[Point]
+    val joined = Ingest.streamStreamInterval(left.toDF(), right.toDF(),
+      "30 minutes", "30 minutes", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sije")
+      .outputMode(OutputMode.Append()).start()
+    right.addData(Point("u1", ts("2024-01-01 09:45:00"), 1.0))
+    left.addData(Point("u1", ts("2024-01-01 10:00:00"), 9.99))
+    q.processAllAvailable()
+    assert(sp.sql("SELECT * FROM sije").count() == 1) // sanity: r1 matched
+    // drive both watermarks hours past every open range so the join state
+    // for u1 becomes provably useless and the store evicts it
+    for (h <- Seq("14", "18")) {
+      left.addData(Point("wm", ts(s"2024-01-01 $h:00:00"), 0.0))
+      right.addData(Point("wm", ts(s"2024-01-01 $h:00:00"), 0.0))
+      q.processAllAvailable()
+    }
+    val removed = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed >= 2,
+      s"watermark advance should evict expired join state, removed=$removed")
+    // a late left row whose whole range sits beyond the watermark: its
+    // match (r1) is already evicted and the row itself is late — it must
+    // produce NO output, proving the engine really dropped the state
+    // rather than keeping it around indefinitely
+    left.addData(Point("u1", ts("2024-01-01 10:05:00"), 5.55))
+    q.processAllAvailable(); q.stop()
+    val u1Rows = sp.sql("SELECT * FROM sije WHERE l_metric = 'u1'").count()
+    assert(u1Rows == 1,
+      s"late-beyond-watermark left row must not join: $u1Rows rows")
+  }
+
   test("stateful rollup runs on the RocksDB state store (prod backend)") {
     val sp = spark
     import sp.implicits._
