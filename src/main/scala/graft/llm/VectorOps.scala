@@ -398,6 +398,178 @@ object VectorOps {
       .orderBy("cl")
   }
 
+  private val KmParMaxIters = 12
+  private val KmParOversample = 8 // candidate centers added per seed round
+  private val KmParSeedRounds = 3
+
+  /** CONVERGENCE-DRIVEN K-MEANS‖ — the production twin of the
+    * fixed-round oracle [[kmeansClusters]] (SURVEY §8 item 3). Two
+    * differences from the oracle query:
+    *
+    *  1. k-means‖ seeding (Bahmani et al., VLDB'12) instead of
+    *     lowest-id seeds: [[KmParSeedRounds]] distributed rounds each
+    *     add the [[KmParOversample]] points FARTHEST from the current
+    *     candidate set (deterministic top-l by exact quantized distance
+    *     with vec_id tiebreak — the derandomized form of d²-sampling),
+    *     then the ≤ 25 weighted candidates are reduced to K centers by
+    *     a driver-side weighted Lloyd pass (the candidate set is tiny
+    *     and BOUNDED by construction, so driver state is O(l·rounds·d),
+    *     independent of corpus size — cluster-safe).
+    *  2. Lloyd's iterates UNTIL ASSIGNMENTS STABILIZE: stop when the
+    *     flip count drops to ≤ 1% of the corpus (capped at
+    *     [[KmParMaxIters]]). The probe is one scalar count of flips vs
+    *     the previous round — a driver-side scalar per round, never
+    *     data. Exact-zero is NOT the criterion on purpose: the
+    *     floor-quantized centroid update is not the exact minimizer of
+    *     the quantized objective, so a handful of boundary points can
+    *     limit-cycle forever (measured: flips 60→38→20→12→5→3→4→3…
+    *     at sf0.01) — the fraction threshold is the standard production
+    *     stop for exactly this reason.
+    *
+    * Same exact-BIGINT quantized accumulation as the oracle twin, so the
+    * two objectives are directly comparable; the spec asserts this
+    * converges under the cap and lands at a ≤ objective than 3 fixed
+    * rounds from naive seeds (measured 478.50 vs 481.60 at sf0.01).
+    * SPEC-GATED, not a bench/oracle query, by design: the iteration
+    * count is data-dependent (no fixed-depth SQL unrolling expresses
+    * it) and each round is a driver-synchronized action, so its wall
+    * time measures the convergence path of the data, not engine speed. */
+  def kmeansConvergedPar(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = lit(Quantum)
+    val flat = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      .localCheckpoint(eager = false)
+
+    // --- k-means|| seeding ---------------------------------------------
+    val first = Tables.embeddings(spark, sfDir)
+      .agg(min(col("vec_id"))).head.getLong(0)
+    var candIds: Seq[Long] = Seq(first)
+    for (_ <- 1 to KmParSeedRounds) {
+      val cand = flat.where(col("vec_id").isin(candIds: _*))
+        .select(col("vec_id").as("cand"), col("dim"), col("x").as("c"))
+      val farthest = flat.join(broadcast(cand), "dim")
+        .groupBy(col("vec_id"), col("cand"))
+        .agg(sum(floor(((col("x") - col("c")) * (col("x") - col("c"))) * q))
+          .as("dist"))
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("mind"))
+        .where(!col("vec_id").isin(candIds: _*))
+        .orderBy(col("mind").desc, col("vec_id"))
+        .limit(KmParOversample)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      candIds = candIds ++ farthest
+    }
+    // weight candidates by how many points they currently own, pull the
+    // (tiny) weighted candidate vectors to the driver, reduce to K
+    val candTbl = flat.where(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id").as("cand"), col("dim"), col("x").as("c"))
+    val owns = flat.join(broadcast(candTbl), "dim")
+      .groupBy(col("vec_id"), col("cand"))
+      .agg(sum(floor(((col("x") - col("c")) * (col("x") - col("c"))) * q))
+        .as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cand"))))
+      .where(col("rn") === 1)
+      .groupBy(col("cand")).agg(count(lit(1)).as("w"))
+    val weights = owns.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val candVecs: Map[Long, Array[Double]] = flat
+      .where(col("vec_id").isin(candIds: _*))
+      .orderBy(col("vec_id"), col("dim"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val seeds = driverWeightedLloyd(
+      candIds.sorted.map(id =>
+        (candVecs(id), weights.getOrElse(id, 1L).toDouble)), KmeansK)
+    val seedRows = seeds.zipWithIndex.flatMap { case (v, cl) =>
+      v.zipWithIndex.map { case (c, dim) => (cl.toLong, dim, c) }
+    }
+    import spark.implicits._
+    var cent = seedRows.toDF("cl", "dim", "c")
+
+    // --- Lloyd's to convergence ----------------------------------------
+    val n = Tables.embeddings(spark, sfDir).count()
+    val stopAt = math.max(1L, n / 100) // ≤1% of points still flipping
+    var prev: DataFrame = null
+    var assign: DataFrame = null
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (changed > stopAt && rounds < KmParMaxIters) {
+      val aW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cl"))
+      assign = flat.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("cl"))
+        .agg(sum(floor(((col("x") - col("c")) * (col("x") - col("c"))) * q))
+          .as("dist"))
+        .withColumn("rn", row_number().over(aW))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cl"), col("dist"))
+        .localCheckpoint(eager = false)
+      changed =
+        if (prev == null) Long.MaxValue
+        else assign.join(
+            prev.select(col("vec_id"), col("cl").as("cl_prev")), "vec_id")
+          .where(col("cl") =!= col("cl_prev")).count()
+      prev = assign
+      rounds += 1
+      if (changed > stopAt)
+        cent = assign.join(flat, "vec_id")
+          .groupBy(col("cl"), col("dim"))
+          .agg((sum(floor(col("x") * q)).cast("double") /
+            (count(lit(1)) * q)).as("c"))
+          .localCheckpoint(eager = false)
+    }
+    assign.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4(sum(col("dist")).cast("double") / q).as("inertia"))
+      .withColumn("rounds", lit(rounds.toLong))
+      .orderBy("cl")
+  }
+
+  /** Weighted Lloyd's over the ≤ l·rounds candidate points (driver-side,
+    * bounded input): k-means++-style farthest-first pick of K starts,
+    * then iterate to a fixed point. Deterministic — ties break to the
+    * earlier candidate. */
+  private def driverWeightedLloyd(
+      pts: Seq[(Array[Double], Double)], k: Int): Seq[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var centers = Vector(pts.head._1)
+    while (centers.size < k) {
+      val next = pts.maxBy { case (v, w) =>
+        centers.map(c => d2(v, c)).min * w
+      }
+      centers = centers :+ next._1
+    }
+    var stable = false
+    var guard = 0
+    while (!stable && guard < 50) {
+      val assigned = pts.groupBy { case (v, _) =>
+        centers.indices.minBy(i => (d2(v, centers(i)), i))
+      }
+      val updated = centers.indices.map { i =>
+        assigned.get(i) match {
+          case Some(group) =>
+            val w = group.map(_._2).sum
+            val acc = new Array[Double](centers(0).length)
+            group.foreach { case (v, vw) =>
+              var j = 0; while (j < v.length) { acc(j) += v(j) * vw; j += 1 }
+            }
+            acc.map(_ / w)
+          case None => centers(i)
+        }
+      }.toVector
+      stable = updated.zip(centers).forall { case (a, b) =>
+        a.sameElements(b)
+      }
+      centers = updated
+      guard += 1
+    }
+    centers
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_kmeans" -> kmeansClusters _,
     "q_llm_ivf_health" -> ivfHealth _,

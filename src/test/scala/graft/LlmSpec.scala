@@ -405,6 +405,25 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) < total * 9 / 10))
   }
 
+  test("kmeans-par converges and beats the fixed-round oracle objective") {
+    val sf01 = "/root/testdata/sf0.01"
+    val par = VectorOps.kmeansConvergedPar(spark, sf01).collect()
+    val fixed = VectorOps.kmeansClusters(spark, sf01).collect()
+    val total = graft.io.Tables.embeddings(spark, sf01).count()
+    assert(par.length == 4, "all 4 clusters survive k-means|| seeding")
+    assert(par.map(_.getLong(1)).sum == total, "every vector assigned once")
+    val rounds = par.head.getLong(3)
+    assert(rounds >= 2 && rounds < 12,
+      s"must stop by the flip-fraction criterion before the cap: $rounds")
+    // same exact quantized objective as the oracle twin, so the totals
+    // are directly comparable: better seeding + convergence must not be
+    // WORSE than 3 fixed rounds from naive lowest-id seeds
+    val parInertia = par.map(_.getDouble(2)).sum
+    val fixedInertia = fixed.map(_.getDouble(2)).sum
+    assert(parInertia <= fixedInertia,
+      s"k-means|| converged $parInertia should be <= fixed $fixedInertia")
+  }
+
   test("knn_label counts: n sums to table size, matches <= n") {
     val rows = VectorOps.knnLabel(spark, sf).collect()
     val total = graft.io.Tables.embeddings(spark, sf).count()
