@@ -65,18 +65,21 @@ object Bench {
     // key is added, which moves the residual first-run cost to a
     // different query each round — a stable order keeps per-query
     // numbers comparable across rounds. Multiple in-process passes
-    // (default 2, env SPARK_GRAFT_BENCH_PASSES) damp the ±20% single-pass
+    // (default 3, env SPARK_GRAFT_BENCH_PASSES) damp the ±20% single-pass
     // machine noise: the reported per-query figure is the LOWER MEDIAN
-    // across passes (deterministic for even counts, tracks steady-state
-    // cost rather than a one-off page-cache miss).
+    // across passes — with an odd pass count this is the TRUE median
+    // (3 passes: the middle sample, so one cold-IO outlier AND one
+    // lucky fast pass are both discarded); with 2 it degrades to
+    // best-of-two, which is why 3 is the default.
     val passes =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times =
       collection.mutable.LinkedHashMap[String, List[Double]]()
-    // a failing query must NAME itself (never a silent -1): record the
-    // error class+message per query, surface names in the final summary
-    val failures = collection.mutable.LinkedHashMap[String, String]()
+    // a failing query must NAME itself (never a silent -1): record every
+    // per-pass error (not just the last), surface names in the summary
+    val failures =
+      collection.mutable.LinkedHashMap[String, List[String]]()
     for (pass <- 1 to passes; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
       try {
@@ -86,10 +89,16 @@ object Bench {
       } catch {
         case scala.util.control.NonFatal(e) =>
           val msg = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ")
-          failures(name) =
+          failures(name) = failures.getOrElse(name, Nil) :+
             s"pass $pass: ${e.getClass.getSimpleName}: ${msg.take(160)}"
       }
     }
+    // failed = zero successful passes (the query is NOT in the total);
+    // flaky = failed some passes but succeeded others (its successful
+    // passes' median DOES join the total, and it is named separately so
+    // failed_count and the total stay mutually consistent)
+    val failedQ = failures.keys.filterNot(times.contains).toSeq
+    val flakyQ = failures.keys.filter(times.contains).toSeq
     def lowerMedian(xs: List[Double]): Double = {
       val s = xs.sorted; s((s.size - 1) / 2)
     }
@@ -101,8 +110,8 @@ object Bench {
     val total = medians.map(_._2).sum
     // final line must stay tail-parseable: name at most 8 failures there
     // (full per-query detail is on the bench_failures line above it)
-    val failedNames =
-      failures.keys.take(8).map(n => s"\"$n\"").mkString("[", ",", "]")
+    def nameList(ns: Seq[String]) =
+      ns.take(8).map(n => s"\"$n\"").mkString("[", ",", "]")
     // per-query detail first (may exceed the driver's tail window), then
     // failure detail, then a SHORT summary as the final stdout line so the
     // driver can always tail-parse it
@@ -110,12 +119,13 @@ object Bench {
       s"""{"metric":"per_query","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
     if (failures.nonEmpty) {
       val fs = failures.map { case (k, v) =>
-        s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"")}\""
+        val joined = v.mkString("; ")
+        s"\"$k\":\"${joined.replace("\\", "\\\\").replace("\"", "\\\"")}\""
       }.mkString("{", ",", "}")
       println(s"""{"metric":"bench_failures","detail":$fs}""")
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed_count":${failures.size},"failed":$failedNames,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed_count":${failedQ.size},"failed":${nameList(failedQ)},"flaky_count":${flakyQ.size},"flaky":${nameList(flakyQ)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,6 +48,11 @@ object Tables {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→Timestamp cast below is value-preserving ONLY under a UTC
+    // session zone; guard it the same way as nanosAsLong so a user-built
+    // session with a local zone can't silently shift instants
+    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val normalized = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // legacy ns-as-long file

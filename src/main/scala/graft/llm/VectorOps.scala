@@ -538,7 +538,16 @@ object VectorOps {
     }
     var centers = Vector(pts.head._1)
     while (centers.size < k) {
-      val next = pts.maxBy { case (v, w) =>
+      // only points strictly away from every chosen center are eligible:
+      // a zero-distance (coincident/duplicate) candidate would silently
+      // duplicate a center and yield < k effective clusters downstream
+      val eligible = pts.filter { case (v, _) =>
+        centers.forall(c => d2(v, c) > 0.0)
+      }
+      require(eligible.nonEmpty,
+        s"driverWeightedLloyd: only ${centers.size} distinct candidate " +
+          s"points but k=$k centers requested")
+      val next = eligible.maxBy { case (v, w) =>
         centers.map(c => d2(v, c)).min * w
       }
       centers = centers :+ next._1
