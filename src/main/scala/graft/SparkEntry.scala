@@ -18,12 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ts.TimeSeriesOps.queries ++ rel.RelationalOps.queries ++
-      llm.TextOps.queries ++ llm.VectorOps.queries ++
+      llm.TextOps.queries ++ llm.BpeOps.queries ++ llm.VectorOps.queries ++
       llm.Pipeline.queries ++ mm.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ts.TimeSeriesOps.oracleSql ++ rel.RelationalOps.oracleSql ++
-      llm.TextOps.oracleSql ++ llm.VectorOps.oracleSql
+      llm.TextOps.oracleSql ++ llm.BpeOps.oracleSql ++
+      llm.VectorOps.oracleSql
 }

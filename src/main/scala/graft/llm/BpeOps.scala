@@ -1,0 +1,322 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.util.Det
+
+/** Deterministic byte-pair-encoding (BPE) subword tokenizer, trained ON
+  * the corpus and applied map-side — the subword token accounting a real
+  * training pipeline budgets with (whitespace/regex counts, the previous
+  * estimators in [[TextOps.tokenCount]], systematically under-count
+  * non-English/code text; packing and budget admission should key off the
+  * tokenizer the trainer actually uses). Algorithm: Sennrich et al. 2016
+  * (arXiv:1508.07909) — greedy merge of the most frequent adjacent symbol
+  * pair, iterated; apply = replay merges in rank order.
+  *
+  * Everything here is integer/string-exact, so the whole family is
+  * oracle-checkable (the DuckDB twin unrolls the training rounds as
+  * generated CTEs, the same technique as q_llm_kmeans):
+  *  - a token sequence is represented as the string `<t1><t2>...<_>`
+  *    (every symbol wrapped in angle brackets; `_` is the end-of-word
+  *    marker; the corpus alphabet is `[a-z]`, so the delimiters can never
+  *    collide with symbol text);
+  *  - one merge step is a plain `replace('<a><b>' -> '<ab>')` — string
+  *    replace is left-to-right and non-overlapping in BOTH engines, and
+  *    because match boundaries align with token boundaries this is
+  *    exactly the greedy non-overlapping pair merge BPE specifies;
+  *  - pair selection orders by (count DESC, pair ASC) — exact BIGINT
+  *    counts with a total lexicographic tiebreak (the separator ' ' sorts
+  *    below every symbol character, so string order on `a b` equals tuple
+  *    order on (a, b)).
+  *
+  * Scale posture (100 TB of documents): training never touches the
+  * corpus after the ONE word-frequency aggregation — the dict is capped
+  * at [[DictCap]] rows in a deterministic (count DESC, word ASC) order
+  * (the standard bounded-sample tokenizer-training shape), checkpointed
+  * once, and each merge round is an agg over that bounded dict plus a
+  * 1-row collect (model-sized, like the k-means centroid collect).
+  * Application is a broadcast-model map-side fold: the learned merges
+  * become literal nested `replace` expressions over the DISTINCT words
+  * (dedup first — at 100 TB the distinct-word relation is orders of
+  * magnitude smaller than the corpus), joined back to occurrences on the
+  * word key. No UDFs anywhere; every expression is codegen-friendly.
+  */
+object BpeOps {
+
+  /** Merge rounds. Real vocabularies run tens of thousands of merges; the
+    * oracle twin unrolls one CTE block per round, so the verification
+    * slice keeps it at 10 (the algorithm is round-count-independent). */
+  private val Merges = 10
+
+  /** Training-dict cap — bounds every training round independently of
+    * corpus size (31 distinct words in the synthetic corpus, so the cap
+    * is latent there; at 100 TB it is the load-bearing bound). */
+  private val DictCap = 4096
+
+  private val PackBpeBudget = 1024L
+  private val MixSubBpeBudget = 1000L
+  private val MixLangBpeBudget = 8000L
+
+  private[graft] case class Merge(a: String, b: String, total: Long)
+
+  private def wordsCol: Column =
+    regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+
+  /** `word` -> `<c1><c2>...<_>` (every char wrapped, end-of-word mark). */
+  private def wrap(c: Column): Column =
+    concat(regexp_replace(c, lit("(.)"), lit("<$1>")), lit("<_>"))
+
+  private def applyMerges(c: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(wrap(c)) { (acc, m) =>
+      replace(acc, lit(s"<${m.a}><${m.b}>"), lit(s"<${m.a}${m.b}>"))
+    }
+
+  private def subwordCount(c: Column, merges: Seq[Merge]): Column =
+    size(regexp_extract_all(applyMerges(c, merges),
+      lit("<([^>]+)>"), lit(1))).cast("long")
+
+  /** Train-once memo: the learned model is a pure deterministic function
+    * of the corpus dir, and every downstream query replays it — paying
+    * the 10 sequential training rounds once per corpus (the model
+    * registry posture of a real pipeline: train the tokenizer, then
+    * tokenize everywhere) instead of once per query. Model-sized values
+    * only (10 string pairs). */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
+
+  private[llm] def trainMerges(spark: SparkSession, sfDir: String): Seq[Merge] =
+    modelCache.computeIfAbsent(sfDir, _ => trainMergesUncached(spark, sfDir))
+
+  /** Learn [[Merges]] merge rules from the corpus word-frequency dict.
+    * Each round: adjacent-pair counts weighted by word frequency, top
+    * pair by (count DESC, pair ASC), 1-row collect. */
+  private[graft] def trainMergesUncached(spark: SparkSession, sfDir: String): Seq[Merge] = {
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(wordsCol).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(DictCap)
+      .localCheckpoint() // reused Merges times; stop dict re-aggregation
+    var merges = Vector.empty[Merge]
+    for (_ <- 1 to Merges) {
+      // pre-project the token array (lambdas don't CSE), guard the
+      // sequence() bounds with the size >= 2 filter below the transform
+      val withList = wf.select(col("cnt"),
+        regexp_extract_all(applyMerges(col("w"), merges),
+          lit("<([^>]+)>"), lit(1)).as("l"))
+        .where(size(col("l")) >= 2)
+      val top = withList
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), size(col("l")) - 1),
+            i => concat_ws(" ", element_at(col("l"), i),
+              element_at(col("l"), i + lit(1))))).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("pr")).limit(1)
+        .collect()(0)
+      val Array(a, b) = top.getString(0).split(" ")
+      merges = merges :+ Merge(a, b, top.getLong(1))
+    }
+    merges
+  }
+
+  /** Distinct corpus words with their learned-subword counts — the
+    * broadcast-sized word->n_sub map every downstream query joins on. */
+  private def wordSubCounts(spark: SparkSession, sfDir: String,
+      merges: Seq[Merge]): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(wordsCol).as("w")).distinct()
+      .select(col("w"), subwordCount(col("w"), merges).as("n_sub"))
+
+  /** Per-document subword totals: explode words map-side, join the
+    * distinct-word counts (auto-broadcast: |vocab| rows), one aggregate
+    * on doc_id. */
+  private def docSubTotals(spark: SparkSession, sfDir: String,
+      merges: Seq[Merge]): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(wordsCol).as("w"))
+      .join(wordSubCounts(spark, sfDir, merges), "w")
+      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_tok"))
+
+  /** The learned merges table itself — rank, pair, frequency. */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    trainMerges(spark, sfDir).zipWithIndex
+      .map { case (m, i) => (i + 1L, m.a, m.b, m.total) }
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** Per-language subword accounting beside the raw word count — the
+    * budget-relevant ratio a mixing run reads first. */
+  def bpeTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainMerges(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(wordsCol).as("w"))
+      .join(wordSubCounts(spark, sfDir, merges), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("bpe_tokens"),
+        Det.r4(sum(col("n_sub")).cast("double") / count(lit(1)))
+          .as("subwords_per_word"))
+      .orderBy("lang")
+  }
+
+  /** [[TextOps.packSequences]] re-keyed on SUBWORD counts: same
+    * deterministic (md5(text), doc_id) concat order and per-source
+    * packing, but pack boundaries fall where the trainer's tokenizer
+    * says they fall, not where whitespace does. */
+  def bpePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainMerges(spark, sfDir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .join(docSubTotals(spark, sfDir, merges), "doc_id")
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div ${PackBpeBudget}L"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      .orderBy("source", "pack_id")
+  }
+
+  /** [[TextOps.budgetMix]] re-keyed on SUBWORD counts: cap every
+    * (lang, source) cell, then every language, both filling in the same
+    * deterministic (md5(text), doc_id) order — the exact nested greedy
+    * prefix, now in the units the trainer bills. */
+  def bpeBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainMerges(spark, sfDir)
+    def running(w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(col("n_tok")).over(w.orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("h"))
+      .join(docSubTotals(spark, sfDir, merges), "doc_id")
+      .withColumn("cum1",
+        running(Window.partitionBy(col("lang"), col("source"))))
+      .where(col("cum1") <= lit(MixSubBpeBudget))
+      .withColumn("cum2", running(Window.partitionBy(col("lang"))))
+      .where(col("cum2") <= lit(MixLangBpeBudget))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_kept"))
+      .orderBy("lang", "source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_bpe_train" -> bpeTrain _,
+    "q_llm_bpe_token_count" -> bpeTokenCount _,
+    "q_llm_pack_bpe" -> bpePack _,
+    "q_llm_budget_mix_bpe" -> bpeBudgetMix _
+  )
+
+  import Det.r4Sql
+
+  /** DuckDB twin of [[trainMerges]]: one generated CTE block per round.
+    * `MATERIALIZED` is load-bearing — DuckDB inlines plain CTEs, and the
+    * round chain references its predecessor three times (directly plus
+    * two scalar subqueries), which would otherwise expand to 3^rounds
+    * scans of the corpus. */
+  private def trainCtes: String = {
+    val rounds = (1 to Merges).map { r =>
+      val prev = s"t${r - 1}"
+      s"""p$r AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+        |       i -> l[i] || ' ' || l[i+1])) AS pr, cnt
+        |     FROM (SELECT cnt, regexp_extract_all(tok, '<([^>]+)>', 1) AS l FROM $prev)
+        |     WHERE len(l) >= 2),
+        |c$r AS (SELECT pr, CAST(sum(cnt) AS BIGINT) AS total FROM p$r GROUP BY 1),
+        |m$r AS MATERIALIZED (SELECT split_part(pr, ' ', 1) AS a,
+        |       split_part(pr, ' ', 2) AS b, total
+        |     FROM c$r ORDER BY total DESC NULLS LAST, pr NULLS FIRST LIMIT 1),
+        |t$r AS MATERIALIZED (SELECT w, cnt, replace(tok,
+        |       (SELECT '<' || a || '><' || b || '>' FROM m$r),
+        |       (SELECT '<' || a || b || '>' FROM m$r)) AS tok FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val mergesUnion = (1 to Merges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, total AS pair_count FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""wf AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1 ORDER BY cnt DESC NULLS LAST, w NULLS FIRST LIMIT $DictCap),
+      |t0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '<\\1>', 'g') || '<_>' AS tok FROM wf),
+      |$rounds,
+      |merges AS ($mergesUnion)""".stripMargin
+  }
+
+  /** DuckDB twin of [[wordSubCounts]]: replay the learned merges as
+    * nested replaces (scalar subqueries on the materialized m-rows) over
+    * the distinct corpus words. */
+  private def alltokCte: String = {
+    val applied = (1 to Merges).foldLeft(
+      "regexp_replace(w, '(.)', '<\\1>', 'g') || '<_>'") { (acc, r) =>
+      s"""replace($acc,
+        |      (SELECT '<' || a || '><' || b || '>' FROM m$r),
+        |      (SELECT '<' || a || b || '>' FROM m$r))""".stripMargin
+    }
+    s"""alltok AS MATERIALIZED (
+      |  SELECT w, CAST(len(regexp_extract_all($applied, '<([^>]+)>', 1)) AS BIGINT) AS n_sub
+      |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |        FROM documents))""".stripMargin
+  }
+
+  private def docTotalsCte: String =
+    s"""dt AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tok
+      |     FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |           FROM documents) dw
+      |     JOIN alltok USING (w) GROUP BY doc_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_llm_bpe_train" ->
+      s"""WITH $trainCtes
+        |SELECT merge_rank, lhs, rhs, pair_count FROM merges
+        |ORDER BY merge_rank NULLS FIRST""".stripMargin,
+    "q_llm_bpe_token_count" ->
+      s"""WITH $trainCtes,
+        |$alltokCte,
+        |words AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |          FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(n_sub) AS BIGINT) AS bpe_tokens,
+        |       ${r4Sql("CAST(sum(n_sub) AS DOUBLE) / count(*)")} AS subwords_per_word
+        |FROM words JOIN alltok USING (w)
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_llm_pack_bpe" ->
+      s"""WITH $trainCtes,
+        |$alltokCte,
+        |$docTotalsCte,
+        |d AS (SELECT doc_id, source, md5(text) AS h, n_tok
+        |      FROM documents JOIN dt USING (doc_id)),
+        |c AS (SELECT source, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY source
+        |               ORDER BY h NULLS FIRST, doc_id NULLS FIRST
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT source, CAST((cum - n_tok) // $PackBpeBudget AS BIGINT) AS pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tok
+        |FROM c GROUP BY 1, 2
+        |ORDER BY source NULLS FIRST, pack_id NULLS FIRST""".stripMargin,
+    "q_llm_budget_mix_bpe" ->
+      s"""WITH $trainCtes,
+        |$alltokCte,
+        |$docTotalsCte,
+        |d AS (SELECT doc_id, lang, source, md5(text) AS h, n_tok
+        |      FROM documents JOIN dt USING (doc_id)),
+        |l1 AS (SELECT doc_id, lang, source, h, n_tok,
+        |              sum(n_tok) OVER (PARTITION BY lang, source
+        |                ORDER BY h NULLS FIRST, doc_id NULLS FIRST
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+        |       FROM d),
+        |l2 AS (SELECT doc_id, lang, source, n_tok,
+        |              sum(n_tok) OVER (PARTITION BY lang
+        |                ORDER BY h NULLS FIRST, doc_id NULLS FIRST
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |       FROM l1 WHERE cum1 <= $MixSubBpeBudget)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tok_kept
+        |FROM l2 WHERE cum2 <= $MixLangBpeBudget
+        |GROUP BY 1, 2 ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  import graft.llm.BpeOps
+  private def spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  test("bpe training learns 10 deterministic merges with positive counts") {
+    val m1 = BpeOps.bpeTrain(spark, sf).collect()
+    // bypass the train-once memo: determinism must hold for a real re-run
+    val m2 = BpeOps.trainMergesUncached(spark, sf)
+      .zipWithIndex.map { case (m, i) => (i + 1L, m.a, m.b, m.total) }
+    assert(m1.length == 10)
+    assert(m1.map(_.getLong(0)).toSeq == (1L to 10L))
+    m1.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+      assert(r.getLong(3) > 0)
+    }
+    // merged tokens stay in the wrapped alphabet: no delimiter can ever
+    // appear inside a symbol
+    m1.foreach { r =>
+      assert((r.getString(1) + r.getString(2)).forall(c =>
+        (c >= 'a' && c <= 'z') || c == '_'))
+    }
+    assert(m1.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq == m2.toSeq,
+      "training must be deterministic run-to-run")
+  }
+
+  test("subword counts compress below character counts and stay >= 1") {
+    val rows = BpeOps.bpeTokenCount(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getLong(1)
+      val bpe = r.getLong(2)
+      // every word is >= 1 subword, and 10 merges must compress at least
+      // one pair somewhere vs the chars+marker ceiling
+      assert(bpe >= nWords, s"lang ${r.getString(0)}: $bpe < $nWords")
+      assert(r.getDouble(3) >= 1.0)
+    }
+  }
+
+  test("bpe pack respects the order invariant: first pack ids start at 0") {
+    val packs = BpeOps.bpePack(spark, sf).collect()
+    assert(packs.nonEmpty)
+    val bySource = packs.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(1)).min == 0L, s"source $src must start at pack 0")
+    }
+  }
+
+  test("bpe budget mix keeps every cell within the sub-budget") {
+    val rows = BpeOps.bpeBudgetMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 1000L,
+        s"cell (${r.getString(0)}, ${r.getString(1)}) over sub-budget")
+    }
+    // language totals respect the language budget
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(3)).sum <= 8000L, s"lang $lang over budget")
+    }
+  }
+}
