@@ -37,7 +37,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampT
   * graft.GraftExtensions at session build).
   */
 object RollupCatalog {
-  final case class Entry(rawPath: String, rollup: LogicalPlan,
+  final case class Entry(rawPaths: Set[String], rollup: LogicalPlan,
     completeUntilMicros: Option[Long], appendRollup: Boolean)
   @volatile private var entries: List[Entry] = Nil
 
@@ -67,24 +67,34 @@ object RollupCatalog {
     * advances the frontier once per batch). */
   def register(rawPath: String, rollupDf: DataFrame,
       completeUntilMicros: Option[Long] = None,
+      appendRollup: Boolean = false): Unit =
+    registerPaths(Seq(rawPath), rollupDf, completeUntilMicros, appendRollup)
+
+  /** Multi-path registration — the lakehouse layout where ONE logical
+    * table is physically split over several roots (per-shard dirs, a
+    * pre/post-migration split, explicit partition-dir lists): `rollupDf`
+    * is the rollup of the UNION of `rawPaths`, and a scan routes only
+    * when it reads exactly that set (see [[lookup]]). */
+  def registerPaths(rawPaths: Seq[String], rollupDf: DataFrame,
+      completeUntilMicros: Option[Long] = None,
       appendRollup: Boolean = false): Unit = {
-    val n = normalize(rawPath)
+    val n = pathSet(rawPaths)
     entries = Entry(n, rollupDf.queryExecution.analyzed,
       completeUntilMicros, appendRollup) ::
-      entries.filterNot(_.rawPath == n)
+      entries.filterNot(_.rawPaths == n)
     // a DataFrame-form registration supersedes any table-backed one for
-    // the same path — drop its persistable row, or save() would write
-    // the STALE rollup/frontier for other sessions to load
+    // the same path set — drop its persistable row, or save() would
+    // write the STALE rollup/frontier for other sessions to load
     tableEntries = tableEntries.filterNot(_._1 == n)
   }
 
   def clear(): Unit = { entries = Nil; tableEntries = Nil }
 
-  // path-based registrations (the persistable form): rawPath →
+  // path-based registrations (the persistable form): rawPath set →
   // (rollupPath, frontier, appendRollup). The DataFrame form above
   // stays for ad-hoc plans; only table-backed ones can be saved/loaded.
   @volatile private var tableEntries
-    : List[(String, String, Option[Long], Boolean)] = Nil
+    : List[(Set[String], String, Option[Long], Boolean)] = Nil
 
   /** Register a rollup BY ITS TABLE PATH — the persistable form a
     * serving fleet uses: the plan is rebuilt from the path, so the
@@ -92,10 +102,20 @@ object RollupCatalog {
   def registerTable(spark: org.apache.spark.sql.SparkSession,
       rawPath: String, rollupPath: String,
       completeUntilMicros: Option[Long] = None,
-      appendRollup: Boolean = false): Unit = {
-    register(rawPath, spark.read.parquet(rollupPath), completeUntilMicros,
+      appendRollup: Boolean = false): Unit =
+    registerTablePaths(spark, Seq(rawPath), rollupPath, completeUntilMicros,
       appendRollup)
-    val n = normalize(rawPath)
+
+  /** Multi-path variant of [[registerTable]] (see [[registerPaths]]). */
+  def registerTablePaths(spark: org.apache.spark.sql.SparkSession,
+      rawPaths: Seq[String], rollupPath: String,
+      completeUntilMicros: Option[Long] = None,
+      appendRollup: Boolean = false): Unit = {
+    require(rawPaths.forall(!_.contains(PathSep)),
+      s"raw paths must not contain '$PathSep' (catalog TSV separator)")
+    registerPaths(rawPaths, spark.read.parquet(rollupPath),
+      completeUntilMicros, appendRollup)
+    val n = pathSet(rawPaths)
     tableEntries = (n, rollupPath, completeUntilMicros, appendRollup) ::
       tableEntries.filterNot(_._1 == n)
   }
@@ -109,7 +129,7 @@ object RollupCatalog {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(tableEntries.reverse.map { case (r, ru, f, a) =>
-      s"$r\t$ru\t${f.map(_.toString).getOrElse("")}\t$a"
+      s"${r.toSeq.sorted.mkString(PathSep)}\t$ru\t${f.map(_.toString).getOrElse("")}\t$a"
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -130,11 +150,11 @@ object RollupCatalog {
     val rows = text.split("\n").iterator.filter(_.nonEmpty).map { line =>
       val f = line.split("\t", -1)
       require(f.length == 4, s"bad catalog line: $line")
-      (f(0), f(1), if (f(2).isEmpty) None else Some(f(2).toLong),
-        f(3).toBoolean)
+      (f(0).split(java.util.regex.Pattern.quote(PathSep)).toSeq, f(1),
+        if (f(2).isEmpty) None else Some(f(2).toLong), f(3).toBoolean)
     }.toList
-    rows.foreach { case (raw, rollup, frontier, append) =>
-      registerTable(spark, raw, rollup, frontier, append)
+    rows.foreach { case (raws, rollup, frontier, append) =>
+      registerTablePaths(spark, raws, rollup, frontier, append)
     }
     rows.length
   }
@@ -207,11 +227,27 @@ object RollupCatalog {
     fs.listStatus(d).flatMap(s => versionOf(s.getPath.getName, ".tsv"))
       .foldLeft(0L)(math.max)
 
-  /** A scan is routable only when it reads EXACTLY the registered path:
-    * a multi-path read (`spark.read.parquet(raw, other)`) unions other
-    * rows the rollup never saw, so it must keep the raw scan. */
-  private[plans] def lookup(paths: Seq[String]): Option[Entry] =
-    entries.find(e => paths.map(normalize) == Seq(e.rawPath))
+  /** A scan is routable only when its root-path SET equals a registered
+    * entry's path set exactly (order- and duplicate-insensitive — a
+    * multi-root lakehouse table registered via [[registerPaths]] routes
+    * however the caller ordered the roots). Proper subsets and supersets
+    * both stay raw, for soundness in each direction: a scan reading a
+    * SUBSET of the registered roots sees fewer rows than the rollup
+    * folded (routing would overcount), and a scan reading extra paths
+    * unions rows the rollup never saw (routing would undercount). */
+  private[plans] def lookup(paths: Seq[String]): Option[Entry] = {
+    val scanned = paths.map(normalize).toSet
+    entries.find(_.rawPaths == scanned)
+  }
+
+  /** TSV separator for multi-path table entries ('|' never appears in
+    * sane table URIs; [[registerTablePaths]] rejects paths carrying it). */
+  private val PathSep = "|"
+
+  private def pathSet(ps: Seq[String]): Set[String] = {
+    require(ps.nonEmpty, "at least one raw path required")
+    ps.map(normalize).toSet
+  }
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")

@@ -534,21 +534,32 @@ object Ingest {
     * `r.ts + before`, a left row once the right watermark passes
     * `l.ts + after` — state stays bounded at any input rate, which is the
     * property that makes this runnable indefinitely on a real cluster
-    * (spec: s_interval_join_eviction proves expired state is gone). */
+    * (spec: s_interval_join_eviction proves expired state is gone).
+    *
+    * Schema-general: `keyCol`/`tsCol`/`payloadCols` name the join key,
+    * event-time and carried payload columns (outputs are l_/r_-prefixed).
+    * `joinType` accepts the streaming outer variants too — left_outer
+    * emits unmatched left rows with null right columns once the
+    * watermark proves no partner can arrive (spec:
+    * s_interval_join_outer). */
   def streamStreamInterval(left: DataFrame, right: DataFrame,
       before: String = "1 hour", after: String = "1 hour",
       lateness: String = "10 minutes",
-      joinType: String = "inner"): DataFrame = {
-    val l = left.withWatermark("ts", lateness)
-      .select(col("metric").as("l_metric"), col("ts").as("l_ts"),
-        col("value").as("l_value"))
-    val r = right.withWatermark("ts", lateness)
-      .select(col("metric").as("r_metric"), col("ts").as("r_ts"),
-        col("value").as("r_value"))
+      joinType: String = "inner",
+      keyCol: String = "metric", tsCol: String = "ts",
+      payloadCols: Seq[String] = Seq("value")): DataFrame = {
+    // schema-general: any key/event-time column pair plus whatever
+    // payload columns each side carries; outputs are l_/r_-prefixed
+    def side(df: DataFrame, p: String): DataFrame =
+      df.withWatermark(tsCol, lateness)
+        .select((Seq(keyCol, tsCol) ++ payloadCols).map(c =>
+          col(c).as(s"$p$c")): _*)
+    val l = side(left, "l_")
+    val r = side(right, "r_")
     l.join(r,
-      col("l_metric") === col("r_metric") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"),
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $before") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $after"),
       joinType)
   }
 

@@ -452,6 +452,25 @@ class LlmSpec extends AnyFunSuite {
       s"cells imbalanced: sizes=${sizes.sorted.mkString(",")}")
   }
 
+  test("ann ladder holds recall at sf0.1 (guards luck-stable sf0.01 recall)") {
+    // the bench SF: 2000 vectors — the recall/bounds contract must hold
+    // at the scale the driver actually benches, not only the spec slice
+    val sf1 = "/root/testdata/sf0.1"
+    val brute = VectorOps.cosineTopk(spark, sf1).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = VectorOps.annIvf(spark, sf1).collect().map(_.getLong(0))
+    val recall = ivf.count(brute.contains) / 5.0
+    assert(recall >= 0.6, s"sf0.1 ivf recall@5 = $recall")
+    val rows = graft.llm.AnnServing.report(spark, sf1).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("flat", "sq8", "pq"))
+    rows.foreach { r =>
+      val rec = r.getDouble(5)
+      assert(rec >= 0.0 && rec <= 1.0, s"sf0.1 ${r.getString(0)} recall $rec")
+    }
+    val flat = rows.find(_.getString(0) == "flat").get.getDouble(5)
+    assert(flat >= 0.6, s"sf0.1 flat serving recall $flat")
+  }
+
   test("ann index: registry caches the build; persist/load probes equal") {
     import graft.llm.AnnIndex
     AnnIndex.clear()

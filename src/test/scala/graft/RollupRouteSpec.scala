@@ -834,6 +834,68 @@ class RollupRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-path table: two-root read routes, subset read stays raw") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_mp_route").toString
+    val pathA = s"$dir/points_a"
+    val pathB = s"$dir/points_b"
+    val rollupPath = s"$dir/rollup_1h"
+    // ONE logical table physically split over two roots (the lakehouse
+    // shard/migration layout): even event_ids in A, odd in B
+    val ev = graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("event_id"), col("event_type").as("metric"), col("ts"),
+        col("value"))
+    ev.where(col("event_id") % 2 === 0).drop("event_id").write.parquet(pathA)
+    ev.where(col("event_id") % 2 === 1).drop("event_id").write.parquet(pathB)
+    // the rollup folds the UNION of both roots
+    sp.read.parquet(pathA, pathB)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .write.parquet(rollupPath)
+    sp.experimental.extraOptimizations =
+      sp.experimental.extraOptimizations :+ RollupRouteRule
+    try {
+      // register with roots in the OPPOSITE order of the read: matching
+      // is on the path SET
+      RollupCatalog.registerPaths(Seq(pathB, pathA),
+        sp.read.parquet(rollupPath))
+      def q(paths: String*) = sp.read.parquet(paths: _*)
+        .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(avg(col("value")).as("avg_v"), count(lit(1)).as("n"))
+        .orderBy("metric", "bucket")
+      val routed = q(pathA, pathB)
+      val rPlan = routed.queryExecution.executedPlan.toString
+      assert(rPlan.contains("rollup_1h") && !rPlan.contains("points_"),
+        s"two-root read must route to the rollup:\n$rPlan")
+      val got = routed.collect()
+      // SOUNDNESS: a read of only one root is a strict subset of what
+      // the rollup folded — it must keep the raw scan
+      val subset = q(pathA)
+      assert(!subset.queryExecution.executedPlan.toString
+        .contains("rollup_1h"), "subset read must NOT route")
+      RollupCatalog.clear()
+      val expect = q(pathA, pathB).collect()
+      assert(got.length == expect.length && got.nonEmpty)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(3) == e.getLong(3))
+        assert(math.abs(g.getDouble(2) - e.getDouble(2)) < 1e-9)
+      }
+      // persistable form survives a save/load roundtrip with both roots
+      RollupCatalog.registerTablePaths(sp, Seq(pathA, pathB), rollupPath)
+      val cat = s"$dir/catalog.tsv"
+      RollupCatalog.save(sp, cat)
+      RollupCatalog.clear()
+      assert(RollupCatalog.load(sp, cat) == 1)
+      val rePlan = q(pathB, pathA).queryExecution.executedPlan.toString
+      assert(rePlan.contains("rollup_1h") && !rePlan.contains("points_"),
+        s"loaded multi-path registration must route:\n$rePlan")
+    } finally RollupCatalog.clear()
+  }
+
   test("routing fires through the shipped GraftExtensions injection path") {
     // the deploy story is `spark.sql.extensions=graft.GraftExtensions`;
     // prove the injected optimizer rule (not experimental opts) routes

@@ -638,6 +638,51 @@ class StreamingSpec extends AnyFunSuite {
       s"late-beyond-watermark left row must not join: $u1Rows rows")
   }
 
+  test("s_interval_join_outer: unmatched left emits nulls at watermark, " +
+      "custom columns") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // non-default schema proves the key/ts/payload parameterization:
+    // (sensor, at, reading, unit)
+    import StreamingSpec.Reading
+    val left = MemoryStream[Reading]
+    val right = MemoryStream[Reading]
+    val joined = Ingest.streamStreamInterval(left.toDF(), right.toDF(),
+      "30 minutes", "30 minutes", "10 minutes", "left_outer",
+      keyCol = "sensor", tsCol = "at", payloadCols = Seq("reading", "unit"))
+    assert(joined.columns.toSeq == Seq("l_sensor", "l_at", "l_reading",
+      "l_unit", "r_sensor", "r_at", "r_reading", "r_unit"))
+    val q = joined.writeStream.format("memory").queryName("sijo")
+      .outputMode(OutputMode.Append()).start()
+    right.addData(Reading("s1", ts("2024-01-01 09:45:00"), 1.0, "C"))
+    left.addData(
+      Reading("s1", ts("2024-01-01 10:00:00"), 9.99, "C"), // matches r1
+      Reading("s2", ts("2024-01-01 10:00:00"), 7.77, "F")) // no partner
+    q.processAllAvailable()
+    // matched row emits immediately; the unmatched left row must NOT
+    // emit yet — the engine cannot prove its window is closed
+    assert(sp.sql("SELECT * FROM sijo WHERE l_sensor = 's1'").count() == 1)
+    assert(sp.sql("SELECT * FROM sijo WHERE l_sensor = 's2'").count() == 0,
+      "outer row must wait for the watermark to close its window")
+    // drive both watermarks past s2's window: the null-padded row emits
+    // and the expired state is evicted
+    for (h <- Seq("14", "18")) {
+      left.addData(Reading("wm", ts(s"2024-01-01 $h:00:00"), 0.0, "C"))
+      right.addData(Reading("wm", ts(s"2024-01-01 $h:00:00"), 0.0, "C"))
+      q.processAllAvailable()
+    }
+    val s2 = sp.sql(
+      "SELECT r_sensor, r_reading FROM sijo WHERE l_sensor = 's2'").collect()
+    assert(s2.length == 1 && s2.head.isNullAt(0) && s2.head.isNullAt(1),
+      s"unmatched left row must emit null right side: ${s2.mkString(",")}")
+    val removed = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+    assert(removed >= 2,
+      s"outer join state must still evict at the watermark, removed=$removed")
+  }
+
   test("stateful rollup runs on the RocksDB state store (prod backend)") {
     val sp = spark
     import sp.implicits._
@@ -694,4 +739,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged.length == 3)
     assert(merged.count(_.getString(3) == "cache") == 1)
   }
+}
+
+object StreamingSpec {
+  /** Non-default stream schema for the interval-join parameterization
+    * spec (encoders need a stable top-level case class). */
+  case class Reading(sensor: String, at: java.sql.Timestamp,
+    reading: Double, unit: String)
 }
