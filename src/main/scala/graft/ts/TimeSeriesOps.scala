@@ -1256,6 +1256,61 @@ object TimeSeriesOps {
         col("metric"), col("n"), col("v"))
       .orderBy("metric")
 
+  /** Graphite `aliasByMetric(series)`: every series renamed to its
+    * FINAL dotted node — the default short legend label
+    * (`render/functions.py — aliasByMetric` [U]). One regex projection
+    * over the per-metric summary; `[^.]+$` is the same token in both
+    * engines' regex dialects. */
+  def aliasByMetricRead(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("metric", concat_ws(".", lit("app"), col("event_type"),
+        concat(lit("host"), pmod(col("user_id"), lit(3)).cast("string"))))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), Det.avg4(col("value")).as("v"))
+      .select(regexp_extract(col("metric"), "[^.]+$", 0).as("alias"),
+        col("metric"), col("n"), col("v"))
+      .orderBy("metric")
+
+  /** Graphite `substr(seriesList, 1, 3)`: the legend trimmed to dotted
+    * nodes [1, 3) — drop the shared namespace prefix so panels show
+    * `login.host2`, not `app.login.host2`
+    * (`render/functions.py — substr` [U]). Array slice + join — exact
+    * string ops, one projection. */
+  def substrNodes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("metric", concat_ws(".", lit("app"), col("event_type"),
+        concat(lit("host"), pmod(col("user_id"), lit(3)).cast("string"))))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), Det.avg4(col("value")).as("v"))
+      .select(concat_ws(".", slice(split(col("metric"), "\\."), 2, 2))
+          .as("alias"),
+        col("metric"), col("n"), col("v"))
+      .orderBy("metric")
+
+  /** timeShift-COMPOSED dashboard: the week-over-week overlay panel —
+    * per series and DAY, this week's average beside the value exactly 7
+    * days earlier, with absolute and percent change (the composition of
+    * [[dashboard]]'s panel read with [[timeshift]]'s gap-safe shifted
+    * join; `render/functions.py — timeShift` [U]). The shift is a JOIN
+    * on the shifted key (gap-safe, like [[timeshift]]); percent change
+    * guards a zero baseline with nullif so both engines agree on NULL
+    * rather than disagreeing on infinity formatting. */
+  def dashboardShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val d1 = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"))
+    val prev = d1.select(col("event_type").as("e2"),
+      (col("bucket") + expr("INTERVAL 7 DAYS")).as("b2"),
+      col("v").as("v_prev"))
+    d1.join(prev, col("event_type") === col("e2") &&
+        col("bucket") === col("b2"), "left")
+      .select(col("event_type"), col("bucket"), col("v"), col("v_prev"),
+        Det.r4(col("v") - col("v_prev")).as("delta"),
+        Det.r4(col("v") * lit(100.0) / nullif(col("v_prev"), lit(0.0)) -
+          lit(100.0)).as("pct_change"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Graphite `timeSlice(series, from, until)`: the gap-filled fetch
     * with values OUTSIDE the slice window blanked to null — distinct
     * from a WHERE, which would drop the rows; the series keeps its full
@@ -1663,6 +1718,9 @@ object TimeSeriesOps {
     "q_ts_max_series" -> maxMinAvgSeries _,
     "q_ts_diff_series" -> diffSeries _,
     "q_ts_alias_sub" -> aliasSub _,
+    "q_ts_alias_bymetric" -> aliasByMetricRead _,
+    "q_ts_substr" -> substrNodes _,
+    "q_ts_dashboard_shift" -> dashboardShift _,
     "q_ts_timeslice" -> timeSlice _,
     "q_ts_hitcount" -> hitcount _,
     "q_ts_offset_zero" -> offsetToZero _,
@@ -1995,6 +2053,36 @@ object TimeSeriesOps {
         |       metric, count(*) AS n, ${Det.avg4Sql("value")} AS v
         |FROM m GROUP BY metric
         |ORDER BY metric NULLS FIRST""".stripMargin,
+    "q_ts_alias_bymetric" ->
+      s"""WITH m AS (
+        |  SELECT 'app.' || event_type || '.host' || CAST(user_id % 3 AS VARCHAR) AS metric,
+        |         value
+        |  FROM events)
+        |SELECT regexp_extract(metric, '[^.]+${"$"}') AS alias,
+        |       metric, count(*) AS n, ${Det.avg4Sql("value")} AS v
+        |FROM m GROUP BY metric
+        |ORDER BY metric NULLS FIRST""".stripMargin,
+    "q_ts_substr" ->
+      s"""WITH m AS (
+        |  SELECT 'app.' || event_type || '.host' || CAST(user_id % 3 AS VARCHAR) AS metric,
+        |         value
+        |  FROM events)
+        |SELECT array_to_string(string_split(metric, '.')[2:3], '.') AS alias,
+        |       metric, count(*) AS n, ${Det.avg4Sql("value")} AS v
+        |FROM m GROUP BY metric
+        |ORDER BY metric NULLS FIRST""".stripMargin,
+    "q_ts_dashboard_shift" ->
+      s"""WITH d1 AS (
+        |  SELECT event_type, date_trunc('day', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, a.bucket, a.v, b.v AS v_prev,
+        |       ${Det.r4Sql("a.v - b.v")} AS delta,
+        |       ${Det.r4Sql("a.v * 100.0 / nullif(b.v, 0.0) - 100.0")} AS pct_change
+        |FROM d1 a LEFT JOIN d1 b
+        |  ON b.event_type = a.event_type
+        | AND b.bucket + INTERVAL '7 days' = a.bucket
+        |ORDER BY a.event_type NULLS FIRST, a.bucket NULLS FIRST""".stripMargin,
     "q_ts_timeslice" ->
       s"""WITH r AS (
         |  SELECT event_type,
