@@ -73,10 +73,6 @@ object BpeOps {
       replace(acc, lit(s"<${m.a}><${m.b}>"), lit(s"<${m.a}${m.b}>"))
     }
 
-  private def subwordCount(c: Column, merges: Seq[Merge]): Column =
-    size(regexp_extract_all(applyMerges(c, merges),
-      lit("<([^>]+)>"), lit(1))).cast("long")
-
   /** Train-once memo: the learned model is a pure deterministic function
     * of the corpus dir, and every downstream query replays it — paying
     * the 10 sequential training rounds once per corpus (the model
@@ -120,13 +116,18 @@ object BpeOps {
     merges
   }
 
-  /** Distinct corpus words with their learned-subword counts — the
-    * broadcast-sized word->n_sub map every downstream query joins on. */
+  /** Distinct corpus words with their learned-subword counts AND the
+    * rendered subword string — the broadcast-sized word->(n_sub, wtok)
+    * map every downstream query joins on (unused columns prune away). */
   private def wordSubCounts(spark: SparkSession, sfDir: String,
       merges: Seq[Merge]): DataFrame =
     Tables.documents(spark, sfDir)
       .select(explode(wordsCol).as("w")).distinct()
-      .select(col("w"), subwordCount(col("w"), merges).as("n_sub"))
+      .select(col("w"),
+        regexp_extract_all(applyMerges(col("w"), merges),
+          lit("<([^>]+)>"), lit(1)).as("subs"))
+      .select(col("w"), size(col("subs")).cast("long").as("n_sub"),
+        concat_ws(" ", col("subs")).as("wtok"))
 
   /** Per-document subword totals: explode words map-side, join the
     * distinct-word counts (auto-broadcast: |vocab| rows), one aggregate
@@ -137,6 +138,50 @@ object BpeOps {
       .select(col("doc_id"), explode(wordsCol).as("w"))
       .join(wordSubCounts(spark, sfDir, merges), "w")
       .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_tok"))
+
+  private val ChunkBpeTokens = 64
+  private val ChunkBpeStep = 48 // 16-subword overlap between chunks
+
+  /** Per-document subword ENCODING (not just counts): every word's
+    * rendered subwords re-assembled in document order — the actual
+    * tokenizer output a trainer consumes. The assembly is
+    * posexplode → broadcast word-map join → one per-doc aggregate whose
+    * order is pinned by sorting (pos, wtok) structs, so the emitted
+    * string is deterministic under any partitioning. */
+  private def encodedDocs(spark: SparkSession, sfDir: String,
+      merges: Seq[Merge]): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
+      .join(wordSubCounts(spark, sfDir, merges), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tok"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, wtok))), x -> x.wtok)"))
+          .as("toks"))
+
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    encodedDocs(spark, sfDir, trainMerges(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** [[TextOps.chunkDocs]] re-keyed on SUBWORDS: fixed 64-subword
+    * context windows starting every 48 subwords (16-subword overlap),
+    * cut where the trainer's tokenizer counts — word-count windows
+    * drift off the real context budget at exactly the documents where
+    * subwords-per-word is high. Same explode + slice shape as the
+    * word-level twin; the subword sequence comes from [[encodedDocs]]. */
+  def bpeChunk(spark: SparkSession, sfDir: String): DataFrame =
+    encodedDocs(spark, sfDir, trainMerges(spark, sfDir))
+      .select(col("doc_id"), split(col("toks"), " ").as("s"))
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), size(col("s")) - 1,
+          lit(ChunkBpeStep))).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start div $ChunkBpeStep AS BIGINT)").as("chunk_idx"),
+        size(expr(s"slice(s, start + 1, $ChunkBpeTokens)"))
+          .cast("bigint").as("n_tok"),
+        array_join(expr(s"slice(s, start + 1, $ChunkBpeTokens)"), " ")
+          .as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
 
   /** The learned merges table itself — rank, pair, frequency. */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
@@ -206,6 +251,8 @@ object BpeOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_bpe_train" -> bpeTrain _,
     "q_llm_bpe_token_count" -> bpeTokenCount _,
+    "q_llm_bpe_encode" -> bpeEncode _,
+    "q_llm_chunk_bpe" -> bpeChunk _,
     "q_llm_pack_bpe" -> bpePack _,
     "q_llm_budget_mix_bpe" -> bpeBudgetMix _
   )
@@ -256,10 +303,25 @@ object BpeOps {
         |      (SELECT '<' || a || b || '>' FROM m$r))""".stripMargin
     }
     s"""alltok AS MATERIALIZED (
-      |  SELECT w, CAST(len(regexp_extract_all($applied, '<([^>]+)>', 1)) AS BIGINT) AS n_sub
-      |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-      |        FROM documents))""".stripMargin
+      |  SELECT w, CAST(len(subs) AS BIGINT) AS n_sub,
+      |         array_to_string(subs, ' ') AS wtok
+      |  FROM (SELECT w, regexp_extract_all($applied, '<([^>]+)>', 1) AS subs
+      |        FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |              FROM documents)))""".stripMargin
   }
+
+  /** Per-doc word sequence with positions (DuckDB parallel unnests of
+    * equal length zip together, like posexplode). */
+  private def wordsPosCte: String =
+    s"""wp AS (SELECT doc_id,
+      |            unnest(generate_series(1, len(wl))) AS pos,
+      |            unnest(wl) AS w
+      |     FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS wl
+      |           FROM documents)),
+      |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |             CAST(sum(n_sub) AS BIGINT) AS n_tok,
+      |             string_agg(wtok, ' ' ORDER BY pos) AS toks
+      |      FROM wp JOIN alltok USING (w) GROUP BY doc_id)""".stripMargin
 
   private def docTotalsCte: String =
     s"""dt AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tok
@@ -282,6 +344,25 @@ object BpeOps {
         |       ${r4Sql("CAST(sum(n_sub) AS DOUBLE) / count(*)")} AS subwords_per_word
         |FROM words JOIN alltok USING (w)
         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_llm_bpe_encode" ->
+      s"""WITH $trainCtes,
+        |$alltokCte,
+        |$wordsPosCte
+        |SELECT doc_id, n_words, n_tok, toks FROM enc
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_chunk_bpe" ->
+      s"""WITH $trainCtes,
+        |$alltokCte,
+        |$wordsPosCte,
+        |t AS (SELECT doc_id, string_split(toks, ' ') AS s FROM enc),
+        |st AS (SELECT doc_id, s,
+        |              unnest(generate_series(0, len(s) - 1, $ChunkBpeStep)) AS start
+        |       FROM t)
+        |SELECT doc_id, CAST(start // $ChunkBpeStep AS BIGINT) AS chunk_idx,
+        |       CAST(len(s[start + 1 : start + $ChunkBpeTokens]) AS BIGINT) AS n_tok,
+        |       array_to_string(s[start + 1 : start + $ChunkBpeTokens], ' ') AS chunk
+        |FROM st
+        |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""".stripMargin,
     "q_llm_pack_bpe" ->
       s"""WITH $trainCtes,
         |$alltokCte,

@@ -43,6 +43,46 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe encoding is lossless: subwords re-concatenate to the words") {
+    val enc = BpeOps.bpeEncode(spark, sf)
+      .select(col("doc_id"), col("toks")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .collect()
+    assert(enc.nonEmpty)
+    docs.foreach { r =>
+      val ws = r.getSeq[String](1)
+      if (ws.nonEmpty) {
+        // stripping subword boundaries must recover word+'_' per word,
+        // in document order — merges can regroup, never alter, text
+        val expect = ws.map(_ + "_").mkString("")
+        val got = enc(r.getLong(0)).replace(" ", "")
+        assert(got == expect, s"doc ${r.getLong(0)}: $got != $expect")
+      }
+    }
+  }
+
+  test("bpe chunks tile the subword sequence with the declared overlap") {
+    val rows = BpeOps.bpeChunk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 0L, s"doc $doc chunks start at 0")
+      assert(sorted.forall(_.getLong(2) <= 64L))
+      // chunk idx starts every 48 subwords and carries min(64, remaining)
+      // tokens — recover the sequence length from the last chunk and
+      // check the exact tiling for every chunk
+      val total = 48L * sorted.last.getLong(1) + sorted.last.getLong(2)
+      sorted.foreach { r =>
+        val expect = math.min(64L, total - 48L * r.getLong(1))
+        assert(r.getLong(2) == expect,
+          s"doc $doc chunk ${r.getLong(1)}: ${r.getLong(2)} != $expect")
+      }
+    }
+  }
+
   test("bpe pack respects the order invariant: first pack ids start at 0") {
     val packs = BpeOps.bpePack(spark, sf).collect()
     assert(packs.nonEmpty)

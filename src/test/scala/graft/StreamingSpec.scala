@@ -683,6 +683,40 @@ class StreamingSpec extends AnyFunSuite {
       s"outer join state must still evict at the watermark, removed=$removed")
   }
 
+  test("s_interval_join_full: both sides' unmatched rows reconcile") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val left = MemoryStream[Point]
+    val right = MemoryStream[Point]
+    val joined = Ingest.streamStreamInterval(left.toDF(), right.toDF(),
+      "30 minutes", "30 minutes", "10 minutes", "full_outer")
+    val q = joined.writeStream.format("memory").queryName("sijf")
+      .outputMode(OutputMode.Append()).start()
+    right.addData(
+      Point("m1", ts("2024-01-01 09:45:00"), 1.0), // matches l1
+      Point("m3", ts("2024-01-01 10:00:00"), 3.0)) // right-only
+    left.addData(
+      Point("m1", ts("2024-01-01 10:00:00"), 9.99),
+      Point("m2", ts("2024-01-01 10:00:00"), 7.77)) // left-only
+    q.processAllAvailable()
+    for (h <- Seq("14", "18")) {
+      left.addData(Point("wm", ts(s"2024-01-01 $h:00:00"), 0.0))
+      right.addData(Point("wm", ts(s"2024-01-01 $h:00:00"), 0.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // every row from EITHER side accounted for exactly once
+    val m1 = sp.sql("SELECT r_value FROM sijf WHERE l_metric = 'm1'").collect()
+    assert(m1.length == 1 && m1.head.getDouble(0) == 1.0)
+    val m2 = sp.sql("SELECT r_metric FROM sijf WHERE l_metric = 'm2'").collect()
+    assert(m2.length == 1 && m2.head.isNullAt(0),
+      "left-only row must emit null right side once")
+    val m3 = sp.sql("SELECT l_metric FROM sijf WHERE r_metric = 'm3'").collect()
+    assert(m3.length == 1 && m3.head.isNullAt(0),
+      "right-only row must emit null left side once")
+  }
+
   test("stateful rollup runs on the RocksDB state store (prod backend)") {
     val sp = spark
     import sp.implicits._
