@@ -38,7 +38,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampT
   */
 object RollupCatalog {
   final case class Entry(rawPaths: Set[String], rollup: LogicalPlan,
-    completeUntilMicros: Option[Long], appendRollup: Boolean)
+    completeUntilMicros: Option[Long], appendRollup: Boolean,
+    datePartitioned: Boolean = false)
   @volatile private var entries: List[Entry] = Nil
 
   /** Declare `rollupDf` (schema: metric, bucket, sum_v DECIMAL, n, min_v,
@@ -67,20 +68,33 @@ object RollupCatalog {
     * advances the frontier once per batch). */
   def register(rawPath: String, rollupDf: DataFrame,
       completeUntilMicros: Option[Long] = None,
-      appendRollup: Boolean = false): Unit =
-    registerPaths(Seq(rawPath), rollupDf, completeUntilMicros, appendRollup)
+      appendRollup: Boolean = false,
+      datePartitioned: Boolean = false): Unit =
+    registerPaths(Seq(rawPath), rollupDf, completeUntilMicros, appendRollup,
+      datePartitioned)
 
   /** Multi-path registration — the lakehouse layout where ONE logical
     * table is physically split over several roots (per-shard dirs, a
     * pre/post-migration split, explicit partition-dir lists): `rollupDf`
     * is the rollup of the UNION of `rawPaths`, and a scan routes only
-    * when it reads exactly that set (see [[lookup]]). */
+    * when it reads exactly that set (see [[lookup]]).
+    *
+    * `datePartitioned = true` DECLARES the hive layout contract
+    * `<root>/date=YYYY-MM-DD/` where each partition's date is the UTC
+    * date of its rows' `ts` — then a scan reading a SUBSET of partition
+    * dirs also routes, to the rollup filtered to those days' bucket
+    * ranges (see [[lookup]]; sound because hourly buckets never
+    * straddle a day). Never inferred from the layout: routing on a
+    * guessed partition semantic could silently return wrong data. */
   def registerPaths(rawPaths: Seq[String], rollupDf: DataFrame,
       completeUntilMicros: Option[Long] = None,
-      appendRollup: Boolean = false): Unit = {
+      appendRollup: Boolean = false,
+      datePartitioned: Boolean = false): Unit = {
     val n = pathSet(rawPaths)
+    require(!datePartitioned || n.size == 1,
+      "datePartitioned registration requires a single root path")
     entries = Entry(n, rollupDf.queryExecution.analyzed,
-      completeUntilMicros, appendRollup) ::
+      completeUntilMicros, appendRollup, datePartitioned) ::
       entries.filterNot(_.rawPaths == n)
     // a DataFrame-form registration supersedes any table-backed one for
     // the same path set — drop its persistable row, or save() would
@@ -94,7 +108,7 @@ object RollupCatalog {
   // (rollupPath, frontier, appendRollup). The DataFrame form above
   // stays for ad-hoc plans; only table-backed ones can be saved/loaded.
   @volatile private var tableEntries
-    : List[(Set[String], String, Option[Long], Boolean)] = Nil
+    : List[(Set[String], String, Option[Long], Boolean, Boolean)] = Nil
 
   /** Register a rollup BY ITS TABLE PATH — the persistable form a
     * serving fleet uses: the plan is rebuilt from the path, so the
@@ -102,22 +116,25 @@ object RollupCatalog {
   def registerTable(spark: org.apache.spark.sql.SparkSession,
       rawPath: String, rollupPath: String,
       completeUntilMicros: Option[Long] = None,
-      appendRollup: Boolean = false): Unit =
+      appendRollup: Boolean = false,
+      datePartitioned: Boolean = false): Unit =
     registerTablePaths(spark, Seq(rawPath), rollupPath, completeUntilMicros,
-      appendRollup)
+      appendRollup, datePartitioned)
 
   /** Multi-path variant of [[registerTable]] (see [[registerPaths]]). */
   def registerTablePaths(spark: org.apache.spark.sql.SparkSession,
       rawPaths: Seq[String], rollupPath: String,
       completeUntilMicros: Option[Long] = None,
-      appendRollup: Boolean = false): Unit = {
+      appendRollup: Boolean = false,
+      datePartitioned: Boolean = false): Unit = {
     require(rawPaths.forall(!_.contains(PathSep)),
       s"raw paths must not contain '$PathSep' (catalog TSV separator)")
     registerPaths(rawPaths, spark.read.parquet(rollupPath),
-      completeUntilMicros, appendRollup)
+      completeUntilMicros, appendRollup, datePartitioned)
     val n = pathSet(rawPaths)
-    tableEntries = (n, rollupPath, completeUntilMicros, appendRollup) ::
-      tableEntries.filterNot(_._1 == n)
+    tableEntries =
+      (n, rollupPath, completeUntilMicros, appendRollup, datePartitioned) ::
+        tableEntries.filterNot(_._1 == n)
   }
 
   /** Persist every table-backed registration as one small TSV
@@ -128,8 +145,8 @@ object RollupCatalog {
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(tableEntries.reverse.map { case (r, ru, f, a) =>
-      s"${r.toSeq.sorted.mkString(PathSep)}\t$ru\t${f.map(_.toString).getOrElse("")}\t$a"
+    try out.write(tableEntries.reverse.map { case (r, ru, f, a, dp) =>
+      s"${r.toSeq.sorted.mkString(PathSep)}\t$ru\t${f.map(_.toString).getOrElse("")}\t$a\t$dp"
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -149,12 +166,14 @@ object RollupCatalog {
     } finally in.close()
     val rows = text.split("\n").iterator.filter(_.nonEmpty).map { line =>
       val f = line.split("\t", -1)
-      require(f.length == 4, s"bad catalog line: $line")
+      // 4-field lines are pre-datePartitioned catalogs (flag false)
+      require(f.length == 4 || f.length == 5, s"bad catalog line: $line")
       (f(0).split(java.util.regex.Pattern.quote(PathSep)).toSeq, f(1),
-        if (f(2).isEmpty) None else Some(f(2).toLong), f(3).toBoolean)
+        if (f(2).isEmpty) None else Some(f(2).toLong), f(3).toBoolean,
+        f.length == 5 && f(4).toBoolean)
     }.toList
-    rows.foreach { case (raws, rollup, frontier, append) =>
-      registerTablePaths(spark, raws, rollup, frontier, append)
+    rows.foreach { case (raws, rollup, frontier, append, dp) =>
+      registerTablePaths(spark, raws, rollup, frontier, append, dp)
     }
     rows.length
   }
@@ -238,6 +257,47 @@ object RollupCatalog {
   private[plans] def lookup(paths: Seq[String]): Option[Entry] = {
     val scanned = paths.map(normalize).toSet
     entries.find(_.rawPaths == scanned)
+      .orElse(datePartitionLookup(scanned))
+  }
+
+  private val DayMicros = 86400L * 1000000L
+
+  /** `date=YYYY-MM-DD` dir name → UTC midnight micros. Strict: anything
+    * else (other keys, nested dirs, malformed dates) keeps the raw scan. */
+  private def parseDayDir(name: String): Option[Long] =
+    if (name.startsWith("date=") && !name.contains("/"))
+      try Some(java.time.LocalDate.parse(name.stripPrefix("date="))
+        .toEpochDay * DayMicros)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    else None
+
+  /** Subset reads of a [[registerPaths datePartitioned]] registration:
+    * when every scanned root is a direct `date=YYYY-MM-DD` child of the
+    * entry's single root, serve the scan from the rollup FILTERED to
+    * those days' bucket ranges — `bucket ∈ [d, d+1d)` per day, plain
+    * timestamp comparisons (no truncation, so no timezone dependence
+    * beyond the declared UTC-date contract). Exact: an hourly bucket
+    * lies inside [d, d+1d) iff every raw `ts` it folded does. The
+    * synthesized entry carries the frontier/append flags through, so
+    * freshness fringes and append-mode re-aggregation behave as for a
+    * whole-table read. */
+  private def datePartitionLookup(scanned: Set[String]): Option[Entry] = {
+    if (scanned.isEmpty) return None
+    entries.iterator
+      .filter(e => e.datePartitioned && e.rawPaths.size == 1)
+      .flatMap { e =>
+        val root = e.rawPaths.head + "/"
+        val days = scanned.toSeq.map(p =>
+          if (p.startsWith(root)) parseDayDir(p.stripPrefix(root)) else None)
+        if (days.exists(_.isEmpty)) None
+        else e.rollup.output.find(_.name == "bucket").map { bucket =>
+          val pred = days.flatten.distinct.sorted.map { d =>
+            And(GreaterThanOrEqual(bucket, Literal(d, TimestampType)),
+              LessThan(bucket, Literal(d + DayMicros, TimestampType)))
+          }.reduce[Expression](Or)
+          e.copy(rollup = Filter(pred, e.rollup))
+        }
+      }.nextOption()
   }
 
   /** TSV separator for multi-path table entries ('|' never appears in

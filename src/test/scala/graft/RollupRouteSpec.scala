@@ -896,6 +896,72 @@ class RollupRouteSpec extends AnyFunSuite {
     } finally RollupCatalog.clear()
   }
 
+  test("date-partitioned subset read routes to the day-filtered rollup") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dp_route").toString
+    val rawPath = s"$dir/points"
+    val rollupPath = s"$dir/rollup_1h"
+    // hive layout <root>/date=YYYY-MM-DD where date IS the UTC date of ts
+    graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("event_type").as("metric"), col("ts"), col("value"),
+        to_date(col("ts")).cast("string").as("date"))
+      .write.partitionBy("date").parquet(rawPath)
+    sp.read.parquet(rawPath)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .write.parquet(rollupPath)
+    val days = new java.io.File(rawPath).listFiles()
+      .map(_.getName).filter(_.startsWith("date=")).sorted.take(2)
+    assert(days.length == 2, s"need two partition days, got ${days.toSeq}")
+    sp.experimental.extraOptimizations =
+      sp.experimental.extraOptimizations :+ RollupRouteRule
+    def q(paths: String*) = sp.read.parquet(paths: _*)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(avg(col("value")).as("avg_v"), sum(col("value")).as("sum_v"),
+        count(lit(1)).as("n"))
+      .orderBy("metric", "bucket")
+    val sub = days.map(d => s"$rawPath/$d").toSeq
+    try {
+      // NOT declared date-partitioned: the subset read must stay raw
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath))
+      assert(!q(sub: _*).queryExecution.executedPlan.toString
+        .contains("rollup_1h"),
+        "undeclared partition layout must never route a subset")
+      RollupCatalog.clear()
+      // declared: the two-day read routes to the day-filtered rollup
+      RollupCatalog.register(rawPath, sp.read.parquet(rollupPath),
+        datePartitioned = true)
+      val routed = q(sub: _*)
+      val rPlan = routed.queryExecution.executedPlan.toString
+      assert(rPlan.contains("rollup_1h") && !rPlan.contains("/points"),
+        s"declared subset read must route:\n$rPlan")
+      val got = routed.collect()
+      // whole-table read still routes via the exact-match entry
+      assert(q(rawPath).queryExecution.executedPlan.toString
+        .contains("rollup_1h"))
+      // a single-day read routes too, to just that day's buckets
+      val oneDay = q(s"$rawPath/${days.head}")
+      assert(oneDay.queryExecution.executedPlan.toString
+        .contains("rollup_1h"), "single-day read must route")
+      val oneGot = oneDay.collect()
+      RollupCatalog.clear()
+      val oneExpect = q(s"$rawPath/${days.head}").collect()
+      assert(oneGot.length == oneExpect.length && oneGot.nonEmpty)
+      val expect = q(sub: _*).collect()
+      assert(got.length == expect.length && got.nonEmpty,
+        s"routed=${got.length} raw=${expect.length}")
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0) &&
+          g.getTimestamp(1) == e.getTimestamp(1) &&
+          g.getLong(4) == e.getLong(4))
+        assert(math.abs(g.getDouble(2) - e.getDouble(2)) < 1e-9)
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-6)
+      }
+    } finally RollupCatalog.clear()
+  }
+
   test("routing fires through the shipped GraftExtensions injection path") {
     // the deploy story is `spark.sql.extensions=graft.GraftExtensions`;
     // prove the injected optimizer rule (not experimental opts) routes
