@@ -1084,6 +1084,122 @@ object RelationalOps {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier per part, one region). The
+    * testdata has no partsupp table, so supply cost is the OBSERVED
+    * per-(part, supplier) unit price from lineitem — exact decimal
+    * Σprice/Σqty, one IEEE division. EUROPE restricts suppliers through
+    * the broadcast region→nation chain BEFORE the per-part argmin;
+    * min-struct (cost, suppkey) gives the total-order tiebreak Q2's
+    * correlated MIN subquery needs. One shuffle on (part, supplier),
+    * one on part — the dims never leave broadcast. */
+  def tpchMinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val euSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .join(broadcast(Tables.region(spark, sfDir)
+            .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val cost = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((Det.dsum4(col("l_extendedprice")) /
+        Det.dsum4(col("l_quantity"))).as("cost"))
+    cost.join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("cost"), col("s_suppkey"))).as("m"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("m.s_suppkey").as("s_suppkey"), Det.r4(col("m.cost")).as("unit_cost"))
+      .join(broadcast(euSupp), "s_suppkey")
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("unit_cost"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year). No
+    * ps_supplycost in the testdata, so cost is the retail-price proxy
+    * `p_retailprice * l_quantity` (1+1 decimal digits — exact at
+    * DECIMAL(18,4) beside the 2+2-digit discounted price; the PER-ROW
+    * difference is exact decimal, summed exactly, cast out once).
+    * PROMO parts only; fact joins ride broadcast dims; one shuffle on
+    * (nation, year). */
+  def tpchProfit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+          .where(col("p_type") === "PROMO")
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("bigint")
+        .as("o_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)") -
+        (col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)"))
+        .cast("double").as("profit"))
+      .orderBy("n_name", "o_year")
+
+  /** TPC-H Q11 shape (important parts by value share): per-part revenue
+    * vs a global scalar threshold — the group-by + HAVING-against-
+    * global-scalar signature. Q11's literal `sum * FRACTION/SF` is
+    * scale-bound; the scale-free restatement keeps parts 30% above the
+    * MEAN per-part value (total and part count travel in the same 1-row
+    * broadcast). The threshold multiply/compare runs on identical
+    * doubles in both engines. One shuffle on part. */
+  def tpchImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(discPrice).cast("double").as("value"))
+    perPart
+      .crossJoin(broadcast(perPart.agg(
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"),
+        count(lit(1)).as("np"))))
+      .where(col("value") > col("total") / col("np") * lit(1.3))
+      .select(col("l_partkey").as("p_partkey"), Det.r4(col("value")).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape (priority class by line status): the conditional
+    * two-way priority count — lineitem joined to orders in a ship-date
+    * year, CASE-summed into urgent/other counts per line status (the
+    * testdata has no l_shipmode; l_linestatus is the mode dimension).
+    * Exact BIGINT sums; the orderkey join is the only shuffle. */
+  def tpchPriorityClass(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      .select("l_orderkey", "l_linestatus")
+      .join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  /** TPC-H Q16 shape (supplier count by part attributes): DISTINCT
+    * (part, supplier) pairs observed in the fact (the partsupp stand-in)
+    * against a brand/type/size-filtered part dim, exact COUNT DISTINCT
+    * suppliers per (brand, type, size). Distinct-pair dedup is one
+    * shuffle on the pair key; the dim stays broadcast. */
+  def tpchSupplierCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(Tables.part(spark, sfDir)
+          .where(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+            col("p_size").between(1, 10))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("bigint").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert_snapshot" -> upsertSnapshot _,
     "q_time_travel" -> timeTravel _,
@@ -1104,6 +1220,11 @@ object RelationalOps {
     "q_tpch_qtyoutlier" -> tpchQtyOutlier _,
     "q_tpch_waiting" -> tpchWaitingSupplier _,
     "q_tpch_redsupp" -> tpchRedPartSuppliers _,
+    "q_tpch_mincost" -> tpchMinCostSupplier _,
+    "q_tpch_profit" -> tpchProfit _,
+    "q_tpch_importantparts" -> tpchImportantParts _,
+    "q_tpch_priorityclass" -> tpchPriorityClass _,
+    "q_tpch_suppcnt" -> tpchSupplierCount _,
     "q_latest_per_key" -> latestPerKey _,
     "q_star_revenue" -> starRevenue _,
     "q_scan_project" -> scanProject _,
@@ -1369,6 +1490,69 @@ object RelationalOps {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM q WHERE qty > 50.0)
         |ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+    "q_tpch_mincost" ->
+      s"""WITH c AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         ${Det.dsum4Sql("l_extendedprice")} / ${Det.dsum4Sql("l_quantity")} AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |m AS (
+        |  SELECT l_partkey, cost, s_suppkey, s_name, n_name,
+        |         row_number() OVER (PARTITION BY l_partkey
+        |           ORDER BY cost NULLS FIRST, s_suppkey NULLS FIRST) AS rn
+        |  FROM c JOIN eu ON l_suppkey = s_suppkey)
+        |SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+        |       ${Det.r4Sql("cost")} AS unit_cost
+        |FROM m WHERE rn = 1
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+    "q_tpch_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |                - CAST(p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY 1, 2
+        |ORDER BY n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin,
+    "q_tpch_importantparts" ->
+      s"""WITH v AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |             CAST(count(*) AS BIGINT) AS np FROM v)
+        |SELECT l_partkey AS p_partkey, ${Det.r4Sql("value")} AS value
+        |FROM v CROSS JOIN t
+        |WHERE value > total / np * 1.3
+        |ORDER BY value DESC NULLS LAST, p_partkey NULLS FIRST""".stripMargin,
+    "q_tpch_priorityclass" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY l_linestatus NULLS FIRST""".stripMargin,
+    "q_tpch_suppcnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size BETWEEN 1 AND 10
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
+        |         p_type NULLS FIRST, p_size NULLS FIRST""".stripMargin,
     "q_tpch_revchange" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_items
