@@ -68,10 +68,41 @@ object BpeOps {
   private def wrap(c: Column): Column =
     concat(regexp_replace(c, lit("(.)"), lit("<$1>")), lit("<_>"))
 
-  private def applyMerges(c: Column, merges: Seq[Merge]): Column =
-    merges.foldLeft(wrap(c)) { (acc, m) =>
+  private def foldMerges(wrapped: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(wrapped) { (acc, m) =>
       replace(acc, lit(s"<${m.a}><${m.b}>"), lit(s"<${m.a}${m.b}>"))
     }
+
+  private def applyMerges(c: Column, merges: Seq[Merge]): Column =
+    foldMerges(wrap(c), merges)
+
+  /** The trained model as plain (lhs, rhs) pairs — the form callers
+    * outside this package (the streaming admit) broadcast. */
+  def model(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    trainMerges(spark, sfDir).map(m => (m.a, m.b))
+
+  /** MAP-SIDE whole-document subword count over a raw `text` column —
+    * the streaming-safe form: no word-map join, the broadcast model is
+    * literal nested replaces, one expression per row. The document
+    * wraps as the CONCATENATION of its words' token strings (separator
+    * runs become the `<_>` end-of-word marker of the word before them),
+    * and the merges fold runs once over the whole string.
+    *
+    * Cross-word safety: every word's final token carries the `_`
+    * marker, and no learnable merge has a `_`-bearing lhs (training
+    * sees nothing AFTER a `_` inside a word), so no merge pattern can
+    * span a word boundary — the doc-level fold merges exactly what the
+    * per-word fold would, and the counts agree (spec'd). */
+  def docSubwordCount(c: Column, model: Seq[(String, String)]): Column = {
+    val wrapped = regexp_replace(
+      regexp_replace(
+        regexp_replace(concat(lower(c), lit(" ")), lit("^[^a-z]+"), lit("")),
+        lit("[^a-z]+"), lit("_")),
+      lit("(.)"), lit("<$1>"))
+    val folded = foldMerges(wrapped,
+      model.map { case (a, b) => Merge(a, b, 0L) })
+    size(regexp_extract_all(folded, lit("<([^>]+)>"), lit(1))).cast("long")
+  }
 
   /** Train-once memo: the learned model is a pure deterministic function
     * of the corpus dir, and every downstream query replays it — paying

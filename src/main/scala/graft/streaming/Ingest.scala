@@ -36,6 +36,7 @@ case class HoltAlert(metric: String, ts: java.sql.Timestamp, value: Double,
 
 /** A streamed corpus document heading for the mixing gate. */
 case class StreamDoc(doc_id: Long, lang: String, n_tok: Long)
+case class RawDoc(doc_id: Long, lang: String, text: String)
 
 /** An admitted document with its stratum's running token total. */
 case class AdmittedDoc(doc_id: Long, lang: String, n_tok: Long, cum: Long)
@@ -261,6 +262,24 @@ object Ingest {
           state.update(cum)
           admitted.iterator
       }
+  }
+
+  /** [[budgetAdmit]] re-keyed on SUBWORD counts — the online mixing
+    * gate billing in the units the trainer bills: incoming raw
+    * documents get their BPE token count MAP-SIDE from the broadcast
+    * merges model ([[graft.llm.BpeOps.docSubwordCount]] — literal
+    * nested replaces, no join, no extra state), then ride the same
+    * per-lang greedy budget fold. The model is trained offline
+    * (train-once registry) and carried as plain literals, so the
+    * streaming plan stays one stateful operator. */
+  def bpeBudgetAdmit(docs: Dataset[RawDoc],
+      model: Seq[(String, String)], budget: Long): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    budgetAdmit(
+      docs.select(col("doc_id"), col("lang"),
+        graft.llm.BpeOps.docSubwordCount(col("text"), model).as("n_tok"))
+        .as[StreamDoc],
+      budget)
   }
 
   /** LIVE `highestCurrent(k)` — the top-k dashboard legend maintained

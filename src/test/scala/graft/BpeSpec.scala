@@ -83,6 +83,24 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("map-side doc subword count equals the join-based count per doc") {
+    val model = BpeOps.model(spark, sf)
+    val joined = BpeOps.bpeEncode(spark, sf)
+      .select(col("doc_id"), col("n_tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mapSide = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        BpeOps.docSubwordCount(col("text"), model).as("n"))
+      .collect()
+    assert(mapSide.nonEmpty)
+    mapSide.foreach { r =>
+      // docs with no words are absent from the join path and count 0 here
+      val expect = joined.getOrElse(r.getLong(0), 0L)
+      assert(r.getLong(1) == expect,
+        s"doc ${r.getLong(0)}: map-side ${r.getLong(1)} != join $expect")
+    }
+  }
+
   test("bpe pack respects the order invariant: first pack ids start at 0") {
     val packs = BpeOps.bpePack(spark, sf).collect()
     assert(packs.nonEmpty)

@@ -340,4 +340,28 @@ class PlanSpec extends AnyFunSuite {
     assert(schema.contains("l_quantity") && !schema.contains("l_orderkey"),
       s"lineitem scan not pruned: $schema")
   }
+
+  test("bpe family: word-map joins broadcast, aggregates partial") {
+    Seq("q_llm_bpe_token_count", "q_llm_pack_bpe", "q_llm_budget_mix_bpe",
+      "q_llm_bpe_encode").foreach { q =>
+      val p = plan(q)
+      // the distinct-word -> n_sub map is vocabulary-sized: it must ride
+      // a broadcast join, never shuffle the exploded corpus against it
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q should broadcast the word map:\n$p")
+      assert(p.contains("partial_"), s"$q has no map-side combine:\n$p")
+    }
+  }
+
+  test("tpch completion five: dims broadcast, date filter pushed") {
+    Seq("q_tpch_mincost", "q_tpch_profit", "q_tpch_suppcnt").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q should broadcast its dimension side")
+    }
+    val p = plan("q_tpch_priorityclass")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined ||
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r
+        .findFirstIn(p).isDefined,
+      s"l_shipdate range not pushed to the lineitem scan:\n$p")
+  }
 }

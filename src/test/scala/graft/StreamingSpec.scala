@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{Ingest, Point, StreamDoc}
+import graft.streaming.{Ingest, Point, RawDoc, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -208,6 +208,51 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
     assert(rows.toSeq == Seq((1L, "en", 4L), (2L, "en", 9L),
       (4L, "en", 10L), (10L, "de", 9L)), rows.mkString(","))
+  }
+
+  test("s_bpe_budget_admit: map-side subword billing drives the gate") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // offline-trained model (train-once registry), broadcast as literals
+    val model = graft.llm.BpeOps.model(sp, TestSpark.sf)
+    // the stream bills in subwords computed from RAW TEXT — take real
+    // corpus docs so the counts exercise the learned merges, and get the
+    // expected per-doc counts from the batch join path
+    val docs = graft.io.Tables.documents(sp, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id").limit(4).collect()
+      .map(r => RawDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val counts = graft.llm.BpeOps.bpeEncode(sp, TestSpark.sf)
+      .select(col("doc_id"), col("n_tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // budget admits the first doc per lang (corpus docs are hundreds of
+    // subwords) and rejects a same-lang successor
+    val budget = docs.map(d => counts(d.doc_id)).max + 10L
+    val in = MemoryStream[RawDoc]
+    val q = runToMemory(
+      Ingest.bpeBudgetAdmit(in.toDS(), model, budget).toDF(),
+      "bpe_admit", OutputMode.Append())
+    in.addData(docs.toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql(
+      "SELECT doc_id, lang, n_tok, cum FROM bpe_admit ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every admitted doc is billed EXACTLY its batch subword count
+    rows.foreach { case (id, _, n) =>
+      assert(n == counts(id), s"doc $id billed $n != batch ${counts(id)}")
+    }
+    // and the admission set is the per-lang arrival-order greedy
+    val expect = docs.groupBy(_.lang).values.flatMap { ds =>
+      var cum = 0L
+      ds.sortBy(_.doc_id).flatMap { d =>
+        val n = counts(d.doc_id)
+        if (cum + n <= budget) { cum += n; Some(d.doc_id) } else None
+      }
+    }.toSet
+    assert(rows.map(_._1).toSet == expect,
+      s"admitted ${rows.map(_._1).toSet} != greedy $expect")
   }
 
   test("s_live_rollup: mid-stream reads route with a moving frontier") {
