@@ -115,8 +115,19 @@ object Bench {
     // per-query detail first (may exceed the driver's tail window), then
     // failure detail, then a SHORT summary as the final stdout line so the
     // driver can always tail-parse it
-    println(
-      s"""{"metric":"per_query","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    val perQueryLine =
+      s"""{"metric":"per_query","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+    println(perQueryLine)
+    // the driver artifact keeps only a 2000-char stdout tail, which
+    // truncates ~half the per-query medians; optionally persist the full
+    // line for cross-round history (SPARK_GRAFT_BENCH_OUT=<file>)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (perQueryLine + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] per-query dump skipped: ${e.getMessage}")
+      }
+    }
     if (failures.nonEmpty) {
       val fs = failures.map { case (k, v) =>
         val joined = v.mkString("; ")

@@ -111,6 +111,36 @@ object AnnIndex {
     }
   }
 
+  /** Health-triggered quantizer refresh — the drift guard of a serving
+    * fleet: corpus drift shows up as CELL IMBALANCE (vectors pile into
+    * cells whose centroids no longer fit the distribution), so when the
+    * current index's max/avg list size exceeds `imbalanceBound`, its
+    * cached build is evicted and the quantizer retrains from a fresh
+    * bounded sample. Returns the serving index plus whether a refresh
+    * happened. The health probe is two aggregates over the lists table
+    * — model-sized, never a corpus pass; with an unchanged corpus the
+    * rebuild is deterministic (same sample → same centroids), so the
+    * trigger mechanics are spec-able without synthetic drift. */
+  def refreshIfDrifted(spark: SparkSession, sfDir: String, k: Int,
+      replicas: Int, imbalanceBound: Double): (Index, Boolean) =
+    synchronized {
+      val idx = buildOrGet(spark, sfDir, k, replicas)
+      val h = idx.lists.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+        .agg(max(col("sz")).cast("double").as("mx"),
+          (sum(col("sz")).cast("double") / count(lit(1))).as("avg"))
+        .collect()(0)
+      val imbalance = h.getDouble(0) / h.getDouble(1)
+      if (imbalance <= imbalanceBound) (idx, false)
+      else {
+        val key = s"${spark.sparkContext.applicationId}" +
+          s"|s=${Integer.toHexString(System.identityHashCode(spark))}" +
+          s"|$sfDir|k=$k|r=$replicas"
+        registry.remove(key)
+        order.remove(key)
+        (buildOrGet(spark, sfDir, k, replicas), true)
+      }
+    }
+
   /** For specs: drop every cached index. */
   private[graft] def clear(): Unit = {
     registry.clear(); order.clear(); pqRegistry.clear(); pqOrder.clear()

@@ -1287,6 +1287,18 @@ object TimeSeriesOps {
         col("metric"), col("n"), col("v"))
       .orderBy("metric")
 
+  /** Graphite `rangeOfSeries(*)`: per bucket, the spread between the
+    * highest and lowest series on the hourly grid — the envelope-width
+    * read behind capacity headroom panels. max/min over the
+    * exactly-rounded per-series values, one IEEE subtraction. */
+  def rangeOfSeries(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_series"),
+        Det.r4(max(col("v")) - min(col("v"))).as("rng"))
+      .orderBy("bucket")
+
   /** timeShift-COMPOSED dashboard: the week-over-week overlay panel —
     * per series and DAY, this week's average beside the value exactly 7
     * days earlier, with absolute and percent change (the composition of
@@ -1721,6 +1733,7 @@ object TimeSeriesOps {
     "q_ts_alias_bymetric" -> aliasByMetricRead _,
     "q_ts_substr" -> substrNodes _,
     "q_ts_dashboard_shift" -> dashboardShift _,
+    "q_ts_range_of_series" -> rangeOfSeries _,
     "q_ts_timeslice" -> timeSlice _,
     "q_ts_hitcount" -> hitcount _,
     "q_ts_offset_zero" -> offsetToZero _,
@@ -2071,6 +2084,15 @@ object TimeSeriesOps {
         |       metric, count(*) AS n, ${Det.avg4Sql("value")} AS v
         |FROM m GROUP BY metric
         |ORDER BY metric NULLS FIRST""".stripMargin,
+    "q_ts_range_of_series" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_series,
+        |       ${Det.r4Sql("max(v) - min(v)")} AS rng
+        |FROM h1 GROUP BY 1
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
     "q_ts_dashboard_shift" ->
       s"""WITH d1 AS (
         |  SELECT event_type, date_trunc('day', ts) AS bucket,

@@ -471,6 +471,27 @@ class LlmSpec extends AnyFunSuite {
     assert(flat >= 0.6, s"sf0.1 flat serving recall $flat")
   }
 
+  test("ann drift guard: imbalance above the bound evicts and rebuilds") {
+    import graft.llm.AnnIndex
+    AnnIndex.clear()
+    val (idx0, r0) = AnnIndex.refreshIfDrifted(spark, sf, 10, 2, 1000.0)
+    assert(!r0, "a generous bound must keep the cached index")
+    assert(AnnIndex.refreshIfDrifted(spark, sf, 10, 2, 1000.0)._1 eq idx0,
+      "no-refresh path must return the same cached instance")
+    // max/avg > 1 holds for any non-uniform assignment, so bound 1.0
+    // trips the guard: the cache entry is evicted and a fresh build
+    // (new instance, deterministic content) replaces it
+    val (idx1, r1) = AnnIndex.refreshIfDrifted(spark, sf, 10, 2, 1.0)
+    assert(r1, "imbalance above the bound must trigger a refresh")
+    assert(!(idx1 eq idx0), "refresh must rebuild, not reuse")
+    assert(AnnIndex.refreshIfDrifted(spark, sf, 10, 2, 1000.0)._1 eq idx1,
+      "the rebuilt index must now be the cached one")
+    // content is deterministic: same corpus, same quantizer sample
+    val c0 = idx0.cells.orderBy("cell").collect().map(_.toString)
+    val c1 = idx1.cells.orderBy("cell").collect().map(_.toString)
+    assert(c0.sameElements(c1), "unchanged corpus must rebuild identically")
+  }
+
   test("ann index: registry caches the build; persist/load probes equal") {
     import graft.llm.AnnIndex
     AnnIndex.clear()
