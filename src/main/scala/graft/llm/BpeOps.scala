@@ -214,6 +214,22 @@ object BpeOps {
           .as("chunk"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** The VOCABULARY artifact: every subword type with its corpus
+    * frequency — what a tokenizer release ships beside the merges
+    * table. Occurrence-weighted: explode words map-side, join the
+    * broadcast word→subwords map, explode subwords, one count
+    * aggregate. */
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainMerges(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(explode(wordsCol).as("w"))
+      .join(wordSubCounts(spark, sfDir, merges), "w")
+      .select(explode(split(col("wtok"), " ")).as("subword"))
+      .groupBy(col("subword"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("subword"))
+  }
+
   /** The learned merges table itself — rank, pair, frequency. */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -283,6 +299,7 @@ object BpeOps {
     "q_llm_bpe_train" -> bpeTrain _,
     "q_llm_bpe_token_count" -> bpeTokenCount _,
     "q_llm_bpe_encode" -> bpeEncode _,
+    "q_llm_bpe_vocab" -> bpeVocab _,
     "q_llm_chunk_bpe" -> bpeChunk _,
     "q_llm_pack_bpe" -> bpePack _,
     "q_llm_budget_mix_bpe" -> bpeBudgetMix _
@@ -381,6 +398,17 @@ object BpeOps {
         |$wordsPosCte
         |SELECT doc_id, n_words, n_tok, toks FROM enc
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_bpe_vocab" ->
+      s"""WITH $trainCtes,
+        |$alltokCte,
+        |words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |          FROM documents),
+        |subs AS (SELECT unnest(string_split(wtok, ' ')) AS subword
+        |         FROM words JOIN alltok USING (w))
+        |SELECT subword, CAST(count(*) AS BIGINT) AS n
+        |FROM subs
+        |GROUP BY 1
+        |ORDER BY n DESC NULLS LAST, subword NULLS FIRST""".stripMargin,
     "q_llm_chunk_bpe" ->
       s"""WITH $trainCtes,
         |$alltokCte,

@@ -579,7 +579,28 @@ object VectorOps {
     centers
   }
 
+  /** The recall-vs-nprobe TRADEOFF TABLE as a declared read — the
+    * calibration artifact an operator consults before setting the
+    * serving nprobe: recall@3 against the exhaustive probe for each
+    * candidate, with the chosen (smallest ≥ 0.9 target) row flagged.
+    * Declared no-oracle (approximate, engine-bound); invariants
+    * (monotone recall, all-cells exact, minimal choice) are spec'd via
+    * [[AnnIndex.tuneNprobe]]. */
+  def nprobeTradeoff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val idx = AnnIndex.buildOrGet(spark, sfDir, KCells, IndexReplicas)
+    val qs = Tables.embeddings(spark, sfDir).where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val (chosen, table) =
+      AnnIndex.tuneNprobe(idx, qs, k = 3, targetRecall = 0.9,
+        candidates = Seq(1, 2, 4, KCells))
+    table.map { case (np, rec) => (np.toLong, rec, np == chosen) }
+      .toDF("nprobe", "recall", "chosen")
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_nprobe_tradeoff" -> nprobeTradeoff _,
     "q_llm_kmeans" -> kmeansClusters _,
     "q_llm_ivf_health" -> ivfHealth _,
     "q_llm_ann_serving" -> (AnnServing.report _),

@@ -83,6 +83,18 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab frequencies account for every subword token exactly once") {
+    val vocab = BpeOps.bpeVocab(spark, sf).collect()
+    assert(vocab.nonEmpty)
+    // frequency-ordered with the deterministic tiebreak
+    val ns = vocab.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // total vocab mass == total subword tokens from the per-lang count
+    val total = BpeOps.bpeTokenCount(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    assert(ns.sum == total, s"vocab mass ${ns.sum} != corpus tokens $total")
+  }
+
   test("map-side doc subword count equals the join-based count per doc") {
     val model = BpeOps.model(spark, sf)
     val joined = BpeOps.bpeEncode(spark, sf)

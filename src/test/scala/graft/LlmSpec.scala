@@ -471,6 +471,20 @@ class LlmSpec extends AnyFunSuite {
     assert(flat >= 0.6, s"sf0.1 flat serving recall $flat")
   }
 
+  test("nprobe tradeoff read: monotone recall, exact at all cells, one chosen") {
+    val rows = VectorOps.nprobeTradeoff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 10L))
+    val recs = rows.map(_._2)
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${recs.mkString(",")}")
+    assert(recs.last == 1.0, "probing every cell IS the exact scan")
+    assert(rows.count(_._3) == 1, "exactly one chosen row")
+    val chosen = rows.find(_._3).get
+    assert(chosen._2 >= 0.9 || chosen._1 == 10L,
+      "chosen must meet the target or be the exhaustive fallback")
+  }
+
   test("ann drift guard: imbalance above the bound evicts and rebuilds") {
     import graft.llm.AnnIndex
     AnnIndex.clear()
