@@ -117,32 +117,56 @@ object BpeOps {
     modelCache.computeIfAbsent(sfDir, _ => trainMergesUncached(spark, sfDir))
 
   /** Learn [[Merges]] merge rules from the corpus word-frequency dict.
-    * Each round: adjacent-pair counts weighted by word frequency, top
-    * pair by (count DESC, pair ASC), 1-row collect. */
+    *
+    * ONE distributed pass (the corpus word-frequency aggregation, capped
+    * at [[DictCap]] rows in deterministic order), then the merge rounds
+    * run ON THE DRIVER over that bounded dict — the same bounded-sample
+    * training shape as the ANN quantizer (AnnIndex Lloyd's): the working
+    * set is model-sized by declaration, never corpus-sized, and the
+    * per-round semantics are EXACTLY the engines': Java's literal
+    * `String.replace` is the same left-to-right non-overlapping merge as
+    * Spark/DuckDB `replace`, pair counts are exact Longs, and the
+    * (count DESC, "a b" ASC) argmax uses the same ASCII string order as
+    * both engines — so the DuckDB unrolled-CTE oracle retrains the
+    * identical table (parity-proven per round). */
   private[graft] def trainMergesUncached(spark: SparkSession, sfDir: String): Seq[Merge] = {
-    val wf = Tables.documents(spark, sfDir)
+    val dict = Tables.documents(spark, sfDir)
       .select(explode(wordsCol).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(DictCap)
-      .localCheckpoint() // reused Merges times; stop dict re-aggregation
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = scala.collection.mutable.ArrayBuffer(
+      dict.map { case (w, c) =>
+        (w.map(ch => s"<$ch>").mkString + "<_>", c)
+      }: _*)
+    val tokenRe = "<([^>]+)>".r
     var merges = Vector.empty[Merge]
-    for (_ <- 1 to Merges) {
-      // pre-project the token array (lambdas don't CSE), guard the
-      // sequence() bounds with the size >= 2 filter below the transform
-      val withList = wf.select(col("cnt"),
-        regexp_extract_all(applyMerges(col("w"), merges),
-          lit("<([^>]+)>"), lit(1)).as("l"))
-        .where(size(col("l")) >= 2)
-      val top = withList
-        .select(col("cnt"),
-          explode(transform(sequence(lit(1), size(col("l")) - 1),
-            i => concat_ws(" ", element_at(col("l"), i),
-              element_at(col("l"), i + lit(1))))).as("pr"))
-        .groupBy(col("pr")).agg(sum(col("cnt")).as("total"))
-        .orderBy(col("total").desc, col("pr")).limit(1)
-        .collect()(0)
-      val Array(a, b) = top.getString(0).split(" ")
-      merges = merges :+ Merge(a, b, top.getLong(1))
+    var round = 0
+    while (round < Merges) {
+      round += 1
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      toks.foreach { case (t, c) =>
+        val ts = tokenRe.findAllMatchIn(t).map(_.group(1)).toArray
+        var i = 0
+        while (i < ts.length - 1) {
+          val pr = ts(i) + " " + ts(i + 1)
+          counts.update(pr, counts.getOrElse(pr, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return merges // degenerate corpus: all merged
+      val (pr, total) = counts.foldLeft(("", Long.MinValue)) {
+        case (best, kv) =>
+          if (kv._2 > best._2 || (kv._2 == best._2 && kv._1 < best._1)) kv
+          else best
+      }
+      val Array(a, b) = pr.split(" ")
+      merges = merges :+ Merge(a, b, total)
+      val pat = s"<$a><$b>"
+      val rep = s"<$a$b>"
+      toks.indices.foreach { i =>
+        toks(i) = (toks(i)._1.replace(pat, rep), toks(i)._2)
+      }
     }
     merges
   }
