@@ -73,7 +73,12 @@ object Bench {
     // best-of-two, which is why 3 is the default.
     val passes =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // local iteration only (the driver never sets it): time a subset
+    // without paying for the whole suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter(kv => only.forall(_.contains(kv._1))).sortBy(_._1)
     val times =
       collection.mutable.LinkedHashMap[String, List[Double]]()
     // a failing query must NAME itself (never a silent -1): record every

@@ -861,7 +861,209 @@ object TextOps {
     labels.orderBy("doc_id")
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Appendix A): per-document rule flags and the combined
+    * keep decision — the length band, the mean-word-length band, the
+    * type-token-ratio floor and the stopword-presence rule. Every rule
+    * evaluates in EXACT integer arithmetic (mean word length ∈ [3,10]
+    * as 3·n ≤ Σlen ≤ 10·n, TTR ≥ 0.3 as 10·uniq ≥ 3·n), so the gate is
+    * bit-reproducible across engines; only the REPORTED mean word
+    * length touches floats (exact integers in, shared r4 rounding).
+    *
+    * Scale posture: entirely map-side — one projection of array folds
+    * over the pre-split token array, no shuffle except the
+    * presentation sort. At 100 TB this is the cheapest possible gate
+    * shape: it composes with the corpus-prep pipeline as a pushed-down
+    * filter in front of every dedup shuffle. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(col("tk")).cast("long")
+    val nUniq = size(array_distinct(col("tk"))).cast("long")
+    val sumChars = aggregate(
+      transform(col("tk"), t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nStop = size(filter(col("tk"),
+      t => t === "the" || t === "a" || t === "of" || t === "to")).cast("long")
+    def flag(c: Column) = when(c, 1L).otherwise(0L)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"),
+        Det.r4(sumChars.cast("double") / nTok).as("mean_wlen"),
+        flag(nTok.between(20, 80)).as("r_len"),
+        flag(sumChars >= nTok * 3 && sumChars <= nTok * 10).as("r_wordlen"),
+        flag(nUniq * 10 >= nTok * 3).as("r_ttr"),
+        flag(nStop >= 2).as("r_stop"))
+      .withColumn("keep", when(
+        col("r_len") + col("r_wordlen") + col("r_ttr") + col("r_stop") === 4,
+        1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Source-mix curation report: per source, corpus share in documents
+    * and whitespace tokens, the exact-dup ratio inside the source, and
+    * the dominant language with its document count — the table a
+    * data-mixing pass reads before assigning per-source sampling
+    * weights (and the first place a scraped mirror shows up, as a
+    * source whose uniq_ratio collapses).
+    *
+    * Scale posture: two partial-agg shuffles keyed on (source[, lang])
+    * plus one scalar corpus total (crossJoin of a 1-row aggregate, not
+    * a window over the full relation); the dominant language folds into
+    * min(struct(-count, lang)) inside the same aggregation — argmax
+    * with a deterministic alphabetical tiebreak, no extra window
+    * shuffle. */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(toks).cast("long").as("ntok"), md5(col("text")).as("h"))
+    val top = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col("source"))
+      .agg(min(struct((-col("nl")).as("neg"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        (-col("m.neg")).as("top_lang_docs"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("ws_tokens"),
+        countDistinct(col("h")).as("nd"))
+    val tot = docs.agg(sum(col("ntok")).as("tot_tokens"),
+      count(lit(1)).as("tot_docs"))
+    bySrc.join(top, "source").crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("ws_tokens"),
+        Det.r4(col("n_docs").cast("double") / col("tot_docs")).as("doc_share"),
+        Det.r4(col("ws_tokens").cast("double") / col("tot_tokens"))
+          .as("tok_share"),
+        Det.r4(col("nd").cast("double") / col("n_docs")).as("uniq_ratio"),
+        col("top_lang"), col("top_lang_docs"))
+      .orderBy("source")
+  }
+
+  private[llm] val TradeoffConfigs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
+  /** MinHash-LSH banding tradeoff report — the dedup twin of the ANN
+    * nprobe tradeoff read: for each (bands × rows) split of an 8-hash
+    * signature, the candidate-pair count, true positives, precision and
+    * recall against EXACT shingle-Jaccard ≥ 0.5 ground truth. The
+    * signature here is an md5-based minhash (15-hex-digit prefix folded
+    * to a 60-bit integer) and every threshold test is integer
+    * (2·|∩| ≥ |∪|), so the whole report is oracle-checkable — unlike
+    * the production xxhash LSH ([[minhashDedup]]), whose banding this
+    * read exists to TUNE before a 100 TB dedup run commits to one.
+    *
+    * Scale posture: signatures are map-side folds over the pre-split
+    * shingle array (no shuffle); candidates come from band-bucket
+    * equi-joins keyed on (config, band, sig) — never all pairs; the
+    * ground-truth side bounds its inverted index by shingle document
+    * frequency ≤ 20 (a pair at Jaccard ≥ 0.5 shares ~half its
+    * shingles, so rare shingles always witness it — the same fanout
+    * cap as [[sourceOverlap]]) and demands a ≥5-shared-rare-shingle
+    * witness before any exact verify; and each unique candidate pair
+    * verifies exactly once regardless of how many configs surface it. */
+  def lshTradeoff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // shared by signatures, the truth index and both verify joins —
+    // checkpointed so the union of consumers doesn't recompute shingles
+    val s = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+      .select(col("doc_id"), col("lang"), shingles.as("shs"))
+      .localCheckpoint()
+    // signatures via explode + 8 codegen'd min(conv(md5)) aggregates —
+    // the same shape as the production [[lshBuckets]]. A nested
+    // higher-order-function fold over md5 hex digits computes the same
+    // value but runs INTERPRETED (HOFs are CodegenFallback) and, worse,
+    // lambdas don't CSE, so a fold reading substr(md5(...), i, 1)
+    // recomputes the md5 per digit — measured 15× this query's cost.
+    // conv(hex, 16, 10) on the 15-digit prefix is the single codegen'd
+    // scalar that equals the DuckDB side's integer hex fold exactly
+    // (60-bit positive values, no sign edge).
+    val shRows = s.select(col("doc_id"), col("lang"),
+      explode(col("shs")).as("sh"))
+    val sigCols = (0 until 8).map(i =>
+      min(expr("CAST(conv(substr(md5(concat(sh, '|', '" + i +
+        "')), 1, 15), 16, 10) AS BIGINT)")).as(s"h$i"))
+    // no checkpoint here: the band self-join's two sides plan the SAME
+    // aggregation exchange and ReuseExchange computes it once
+    val sigs = shRows.groupBy(col("doc_id"), col("lang"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), col("lang"),
+        array((0 until 8).map(i => col(s"h$i")): _*).as("h"))
+    val bandDefs = TradeoffConfigs.flatMap { case (b, r) =>
+      (0 until b).map(band =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(band).as("band"),
+          array_join(transform(slice(col("h"), band * r + 1, r),
+            x => x.cast("string")), ",").as("sig")))
+    }
+    val bandrows = sigs
+      .select(col("doc_id"), col("lang"), explode(array(bandDefs: _*)).as("bb"))
+      .select(col("doc_id"), col("lang"), col("bb.bands").as("bands"),
+        col("bb.rows_per_band").as("rows_per_band"),
+        col("bb.band").as("band"), col("bb.sig").as("sig"))
+    val cand = bandrows
+      .select(col("doc_id").as("a_id"), col("lang"), col("bands"),
+        col("rows_per_band"), col("band"), col("sig"))
+      .join(bandrows.select(col("doc_id").as("b_id"),
+          col("lang").as("lang_b"), col("bands").as("bands_b"),
+          col("band").as("band_b"), col("sig").as("sig_b")),
+        col("bands") === col("bands_b") && col("band") === col("band_b") &&
+          col("sig") === col("sig_b") && col("lang") === col("lang_b") &&
+          col("a_id") < col("b_id"))
+      .select(col("bands"), col("rows_per_band"), col("a_id"), col("b_id"))
+      .distinct()
+    // each unique pair verifies once; configs re-join the verdict
+    val withJac = cand.select(col("a_id"), col("b_id")).distinct()
+      .join(s.select(col("doc_id").as("a_id"), col("shs").as("sa")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("shs").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
+    val candStats = cand.join(withJac, Seq("a_id", "b_id"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("inter") * 2 >= col("uni"), 1L).otherwise(0L)).as("tp"))
+    // truth requires a ≥5-rare-shingle witness BEFORE the exact
+    // verify: a pair at Jaccard ≥ 0.5 shares ≥~27 shingles, almost
+    // all rare (measured: every true pair at both SFs shares ≥ 8),
+    // while the witness count folds out of the SAME equi-join the
+    // candidate pairs come from — this cuts the array verifies from
+    // ~290k pairs to under a hundred at sf0.1 (3000×)
+    val inv = s.select(col("doc_id"), col("lang"), explode(col("shs")).as("sh"))
+    val rare = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 20).select("sh")
+    val rinv = inv.join(rare, "sh")
+    val nTrue = rinv
+      .select(col("doc_id").as("a_id"), col("lang"), col("sh"))
+      .join(rinv.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+          col("sh").as("sh_b")),
+        col("sh") === col("sh_b") && col("lang") === col("lang_b") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_rare_shared"))
+      .where(col("n_rare_shared") >= 5)
+      .join(s.select(col("doc_id").as("a_id"), col("shs").as("sa")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("shs").as("sb")), "b_id")
+      .where(size(array_intersect(col("sa"), col("sb"))) * 2 >=
+        size(array_union(col("sa"), col("sb"))))
+      .agg(count(lit(1)).as("n_true"))
+    TradeoffConfigs.toDF("bands", "rows_per_band")
+      .join(candStats, Seq("bands", "rows_per_band"), "left")
+      .na.fill(0L, Seq("n_cand", "tp"))
+      .crossJoin(nTrue)
+      .select(col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"),
+        col("n_cand"), col("tp"), col("n_true"),
+        when(col("n_cand") === 0, lit(null).cast("double"))
+          .otherwise(Det.r4(col("tp").cast("double") / col("n_cand")))
+          .as("prec"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(Det.r4(col("tp").cast("double") / col("n_true")))
+          .as("recall"))
+      .orderBy(col("bands").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_gopher_rules" -> gopherRules _,
+    "q_llm_domain_mix" -> domainMix _,
+    "q_llm_lsh_tradeoff" -> lshTradeoff _,
     "q_llm_dup_components" -> dupComponents _,
     "q_llm_collocations" -> collocations _,
     "q_llm_tfidf" -> tfidfKeywords _,
@@ -893,6 +1095,131 @@ object TextOps {
   import Det.r4Sql
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_gopher_rules" ->
+      s"""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |        CAST(len(tk) AS BIGINT) AS n_tok,
+        |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+        |        CAST(list_sum(list_transform(tk,
+        |          t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_chars,
+        |        CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'
+        |          OR t = 'of' OR t = 'to')) AS BIGINT) AS n_stop
+        |      FROM s),
+        |f AS (SELECT doc_id, lang, n_tok,
+        |        ${r4Sql("CAST(sum_chars AS DOUBLE) / n_tok")} AS mean_wlen,
+        |        CAST(CASE WHEN n_tok BETWEEN 20 AND 80
+        |          THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+        |        CAST(CASE WHEN sum_chars >= n_tok * 3
+        |          AND sum_chars <= n_tok * 10
+        |          THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+        |        CAST(CASE WHEN n_uniq * 10 >= n_tok * 3
+        |          THEN 1 ELSE 0 END AS BIGINT) AS r_ttr,
+        |        CAST(CASE WHEN n_stop >= 2
+        |          THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+        |      FROM m)
+        |SELECT doc_id, lang, n_tok, mean_wlen, r_len, r_wordlen, r_ttr,
+        |       r_stop,
+        |       CAST(CASE WHEN r_len + r_wordlen + r_ttr + r_stop = 4
+        |         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_domain_mix" ->
+      s"""WITH d AS (SELECT doc_id, source, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |             md5(text) AS h
+        |           FROM documents),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(ntok) AS BIGINT) AS ws_tokens,
+        |        CAST(count(DISTINCT h) AS BIGINT) AS nd
+        |      FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(ntok) AS BIGINT) AS tot_tokens,
+        |        CAST(count(*) AS BIGINT) AS tot_docs FROM d),
+        |r AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS nl,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY count(*) DESC, lang NULLS FIRST) AS rn
+        |      FROM d GROUP BY source, lang),
+        |tl AS (SELECT source, lang AS top_lang, nl AS top_lang_docs
+        |       FROM r WHERE rn = 1)
+        |SELECT b.source, n_docs, ws_tokens,
+        |       ${r4Sql("CAST(n_docs AS DOUBLE) / tot_docs")} AS doc_share,
+        |       ${r4Sql("CAST(ws_tokens AS DOUBLE) / tot_tokens")} AS tok_share,
+        |       ${r4Sql("CAST(nd AS DOUBLE) / n_docs")} AS uniq_ratio,
+        |       top_lang, top_lang_docs
+        |FROM b JOIN tl USING (source) CROSS JOIN t
+        |ORDER BY source NULLS FIRST""".stripMargin,
+    "q_llm_lsh_tradeoff" ->
+      s"""WITH s AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 1)),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shs
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        |        FROM documents)),
+        |sg AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    list_transform(generate_series(0, 7), s ->
+        |      list_min(list_transform(
+        |        list_transform(shs, sh -> md5(sh || '|' || CAST(s AS VARCHAR))),
+        |        m -> list_reduce(list_transform(generate_series(1, 15),
+        |          i -> CAST(strpos('0123456789abcdef', substr(m, i, 1))
+        |            - 1 AS BIGINT)),
+        |          (acc, x) -> acc * 16 + x)))) AS h
+        |  FROM s),
+        |cfg AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4), (1, 8))
+        |        AS t(bands, rows_per_band)),
+        |cfgb AS (SELECT bands, rows_per_band,
+        |           unnest(generate_series(0, bands - 1)) AS band
+        |         FROM cfg),
+        |br AS MATERIALIZED (
+        |  SELECT sg.doc_id, sg.lang, cfgb.bands, cfgb.rows_per_band,
+        |    cfgb.band,
+        |    array_to_string(sg.h[cfgb.band * cfgb.rows_per_band + 1 :
+        |      cfgb.band * cfgb.rows_per_band + cfgb.rows_per_band],
+        |      ',') AS sig
+        |  FROM sg CROSS JOIN cfgb),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.bands, a.rows_per_band,
+        |    a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM br a JOIN br b ON a.bands = b.bands AND a.band = b.band
+        |    AND a.sig = b.sig AND a.lang = b.lang AND a.doc_id < b.doc_id),
+        |pj AS MATERIALIZED (
+        |  SELECT up.a_id, up.b_id,
+        |    CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(sa.shs, sb.shs)))
+        |      AS BIGINT) AS uni
+        |  FROM (SELECT DISTINCT a_id, b_id FROM cand) up
+        |  JOIN s sa ON sa.doc_id = up.a_id
+        |  JOIN s sb ON sb.doc_id = up.b_id),
+        |cs AS (
+        |  SELECT bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_cand,
+        |    CAST(sum(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp
+        |  FROM cand JOIN pj USING (a_id, b_id) GROUP BY 1, 2),
+        |inv AS (SELECT doc_id, lang, unnest(shs) AS sh FROM s),
+        |rare AS (SELECT sh FROM inv GROUP BY sh HAVING count(*) <= 20),
+        |ri AS MATERIALIZED (SELECT inv.doc_id, inv.lang, inv.sh
+        |                    FROM inv JOIN rare USING (sh)),
+        |nt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_true
+        |  FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |        FROM ri a JOIN ri b ON a.sh = b.sh AND a.lang = b.lang
+        |          AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2 HAVING count(*) >= 5) tpr
+        |  JOIN s sa ON sa.doc_id = tpr.a_id
+        |  JOIN s sb ON sb.doc_id = tpr.b_id
+        |  WHERE len(list_intersect(sa.shs, sb.shs)) * 2 >=
+        |    len(list_distinct(list_concat(sa.shs, sb.shs))))
+        |SELECT CAST(cfg.bands AS BIGINT) AS bands,
+        |  CAST(cfg.rows_per_band AS BIGINT) AS rows_per_band,
+        |  COALESCE(cs.n_cand, 0) AS n_cand, COALESCE(cs.tp, 0) AS tp,
+        |  nt.n_true,
+        |  CASE WHEN COALESCE(cs.n_cand, 0) = 0 THEN NULL
+        |    ELSE ${r4Sql("CAST(cs.tp AS DOUBLE) / cs.n_cand")} END AS prec,
+        |  CASE WHEN nt.n_true = 0 THEN NULL
+        |    ELSE ${r4Sql("CAST(COALESCE(cs.tp, 0) AS DOUBLE) / nt.n_true")}
+        |    END AS recall
+        |FROM cfg LEFT JOIN cs USING (bands, rows_per_band) CROSS JOIN nt
+        |ORDER BY bands DESC""".stripMargin,
     "q_llm_dup_components" -> {
       val rounds = (1 to 6).map { i =>
         s"""g$i AS (SELECT e.dst AS doc_id, min(l.comp) AS m

@@ -353,6 +353,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher rules: a pure map-side gate — no hash-partition shuffle") {
+    // every rule is an array fold over the token split; the only
+    // Exchange allowed is the rangepartitioning of the final orderBy
+    val p = plan("q_llm_gopher_rules")
+    assert(!p.contains("hashpartitioning"),
+      s"quality gate should not shuffle:\n$p")
+  }
+
+  test("domain mix: aggs partial; the 1-row corpus total rides a broadcast") {
+    val p = plan("q_llm_domain_mix")
+    assert(p.contains("partial_"), s"per-source agg not map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the scalar corpus total should broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in domain mix:\n$p")
+  }
+
+  test("lsh tradeoff: band-bucket equi-joins only, pairs verified by hash join") {
+    // the checkpoints hide the shingle/signature builders from this plan
+    // (CLAUDE.md rule) — what remains IS the join topology under test:
+    // candidate generation must join on (bands, band, sig[, lang]) and
+    // pair verification on doc_id, never a cross product
+    val p = plan("q_llm_lsh_tradeoff")
+    assert(!p.contains("CartesianProduct"),
+      s"lsh tradeoff must never plan all-pairs:\n$p")
+    assert(p.contains("sig"), s"candidate join lost the band signature key:\n$p")
+  }
+
   test("tpch completion five: dims broadcast, date filter pushed") {
     Seq("q_tpch_mincost", "q_tpch_profit", "q_tpch_suppcnt").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin"),
