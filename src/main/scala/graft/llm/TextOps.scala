@@ -876,7 +876,18 @@ object TextOps {
     * presentation sort. At 100 TB this is the cheapest possible gate
     * shape: it composes with the corpus-prep pipeline as a pushed-down
     * filter in front of every dedup shuffle. */
-  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherFlags(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+
+  /** The rule columns of [[gopherRules]] over ANY relation carrying a
+    * `text` column — stateless and deterministic, so the SAME
+    * expressions serve the batch report and the streaming admission
+    * gate ([[graft.streaming.Ingest.gopherGate]]); keeps the two gates
+    * incapable of drifting apart. */
+  private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
     val nTok = size(col("tk")).cast("long")
     val nUniq = size(array_distinct(col("tk"))).cast("long")
     val sumChars = aggregate(
@@ -885,18 +896,19 @@ object TextOps {
     val nStop = size(filter(col("tk"),
       t => t === "the" || t === "a" || t === "of" || t === "to")).cast("long")
     def flag(c: Column) = when(c, 1L).otherwise(0L)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), toks.as("tk"))
-      .select(col("doc_id"), col("lang"), nTok.as("n_tok"),
-        Det.r4(sumChars.cast("double") / nTok).as("mean_wlen"),
-        flag(nTok.between(20, 80)).as("r_len"),
-        flag(sumChars >= nTok * 3 && sumChars <= nTok * 10).as("r_wordlen"),
-        flag(nUniq * 10 >= nTok * 3).as("r_ttr"),
-        flag(nStop >= 2).as("r_stop"))
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", nTok)
+      .withColumn("mean_wlen", Det.r4(sumChars.cast("double") / col("n_tok")))
+      .withColumn("r_len", flag(col("n_tok").between(20, 80)))
+      .withColumn("r_wordlen",
+        flag(sumChars >= col("n_tok") * 3 && sumChars <= col("n_tok") * 10))
+      .withColumn("r_ttr", flag(nUniq * 10 >= col("n_tok") * 3))
+      .withColumn("r_stop", flag(nStop >= 2))
       .withColumn("keep", when(
         col("r_len") + col("r_wordlen") + col("r_ttr") + col("r_stop") === 4,
         1L).otherwise(0L))
-      .orderBy("doc_id")
+      .drop("tk")
   }
 
   /** Source-mix curation report: per source, corpus share in documents

@@ -234,6 +234,18 @@ object Ingest {
           .otherwise("test").as("split"),
         col("ts"))
 
+  /** Streaming quality admission — the online half of the Gopher rule
+    * gate ([[graft.llm.TextOps.gopherRules]]): incoming documents are
+    * annotated with the SAME rule-flag expressions (shared code, so
+    * the two gates cannot drift) and only keep==1 rows pass. The gate
+    * is stateless and map-side — no watermark, no state store — which
+    * is exactly why it belongs FIRST in the streaming corpus pipeline:
+    * every rejected document is one the content-hash dedup state and
+    * the budget state never have to see. */
+  def gopherGate(docs: DataFrame): DataFrame =
+    graft.llm.TextOps.gopherFlags(docs)
+      .where(col("keep") === 1)
+
   /** Streaming token-budget admission — the online half of the mixing
     * primitive ([[graft.llm.TextOps.budgetSample]]): each language keeps
     * a running token total as explicit state and admits documents while

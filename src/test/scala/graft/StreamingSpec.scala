@@ -186,6 +186,37 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed buckets must come from the batch formula: ${gotBuckets.mkString}")
   }
 
+  test("s_gopher_gate: stream admission equals the batch rule gate") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // real corpus docs so the rules actually split the set
+    val docs = graft.io.Tables.documents(sp, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id").limit(40).collect()
+      .map(r => RawDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[RawDoc]
+    val q = runToMemory(Ingest.gopherGate(in.toDF()), "gopher_gate",
+      OutputMode.Append())
+    in.addData(docs.take(20).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(20).toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val got = sp.sql("SELECT doc_id FROM gopher_gate").collect()
+      .map(_.getLong(0)).toSet
+    val batch = graft.llm.TextOps.gopherRules(sp, TestSpark.sf)
+      .where(col("doc_id").isin(docs.map(_.doc_id).toIndexedSeq: _*))
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = batch.filter(_._2 == 1L).keySet
+    assert(got == expect,
+      s"stream gate admitted $got, batch gate keeps $expect")
+    // the gate must actually discriminate on this sample, or the
+    // equality above proves nothing
+    assert(expect.nonEmpty && expect.size < docs.length,
+      s"degenerate sample: ${expect.size} of ${docs.length} kept")
+  }
+
   test("s_budget_admit: per-lang token budget fills across micro-batches") {
     val sp = spark
     import sp.implicits._
