@@ -1100,7 +1100,13 @@ object RelationalOps {
           col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    // the region restriction is the selective predicate: semi-join it
+    // into the fact BEFORE the wide (part, supplier) aggregate so the
+    // shuffle carries only EUROPE's rows (~1/|regions| of the fact) —
+    // non-EU pairs would die at the later join anyway
     val cost = Tables.lineitem(spark, sfDir)
+      .join(broadcast(euSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((Det.dsum4(col("l_extendedprice")) /
         Det.dsum4(col("l_quantity"))).as("cost"))
