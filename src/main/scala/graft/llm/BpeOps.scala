@@ -240,17 +240,21 @@ object BpeOps {
 
   /** The VOCABULARY artifact: every subword type with its corpus
     * frequency — what a tokenizer release ships beside the merges
-    * table. Occurrence-weighted: explode words map-side, join the
-    * broadcast word→subwords map, explode subwords, one count
-    * aggregate. */
+    * table. Occurrence-weighted, but the subword explosion happens on
+    * DISTINCT words weighted by their corpus counts (one word-count
+    * aggregate, then |vocab|-sized join + explode + weighted sum) —
+    * same numbers as exploding every occurrence, at a fraction of the
+    * rows: the corpus pass ends at the word frequency table, exactly
+    * the training pass's shape. */
   def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
     val merges = trainMerges(spark, sfDir)
     Tables.documents(spark, sfDir)
       .select(explode(wordsCol).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .join(wordSubCounts(spark, sfDir, merges), "w")
-      .select(explode(split(col("wtok"), " ")).as("subword"))
+      .select(explode(split(col("wtok"), " ")).as("subword"), col("cnt"))
       .groupBy(col("subword"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("subword"))
   }
 
