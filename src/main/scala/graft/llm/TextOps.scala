@@ -254,6 +254,19 @@ object TextOps {
     * min-hashes, banded 4×4 — one row per (doc, band). Shared by the
     * symmetric near-dup pair generator and the asymmetric fuzzy
     * decontamination join. */
+  /** A band bucket holding more than this many docs is a ubiquitous-
+    * content collision (boilerplate, templated pages — near-identical
+    * members that exact/segment dedup already collapses), and SELF-
+    * joining it would contribute O(size²) candidate pairs per bucket
+    * with no bound — the classic LSH hot-bucket blowup at corpus
+    * scale. The cap bounds every bucket's self-join fanout to
+    * C(64,2); testdata buckets are far smaller, so the oracle/spec
+    * surfaces see no change (the cap's trigger mechanics are spec'd
+    * directly on a crafted hot bucket). Only the SELF-join needs it:
+    * the fuzzy-decontamination join is broadcast-bounded by the eval
+    * set, linear in bucket size. */
+  private[llm] val BucketCap = 64
+
   private def lshBuckets(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), col("lang"), explode(shingles).as("sh"))
     val sigCols = (0 until NumHashes)
@@ -274,8 +287,18 @@ object TextOps {
     val docs = input
       .select(col("doc_id"), col("lang"), toks.as("tk"))
     val buckets = lshBuckets(docs)
+    // hot-bucket guard on ONE side only: an oversized bucket with no
+    // left-side rows produces no pairs at all, which is exactly the
+    // cap's semantics at half the filtering work. The broadcast list
+    // is the HOT buckets (the few that exceed the cap), never the
+    // full bucket set — that's what stays broadcastable at 100 TB.
+    val hot = buckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") > BucketCap)
+      .select(col("band"), col("bh"))
     val cands = buckets.select(col("doc_id").as("a_id"), col("lang"),
         col("band"), col("bh"))
+      .join(broadcast(hot), Seq("band", "bh"), "left_anti")
       .join(buckets.select(col("doc_id").as("b_id"),
           col("lang").as("lang_b"), col("band").as("band_b"),
           col("bh").as("bh_b")),

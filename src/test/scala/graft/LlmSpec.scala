@@ -53,6 +53,33 @@ class LlmSpec extends AnyFunSuite {
         s"recall too low: ${got.size}/${brute.size}")
   }
 
+  test("lsh hot-bucket cap drops ubiquitous-content buckets, keeps real pairs") {
+    val sp = spark
+    import sp.implicits._
+    // 70 byte-identical boilerplate docs share every band bucket —
+    // bucket size 70 > BucketCap, so WITHOUT the cap they'd emit
+    // C(70,2) = 2415 candidate pairs (the quadratic hot-bucket blowup
+    // this guards against at corpus scale); these are exact dups,
+    // which the md5 dedup stage owns. The genuine near-dup pair
+    // (19 of 20 words shared) lives in its own small buckets and must
+    // survive the cap.
+    val boiler = (1L to 70L).map(i => (i, "en",
+      "tpl head tpl body tpl foot one two three four five six seven " +
+        "eight nine ten eleven twelve"))
+    val nearA = (100L, "en",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+        "mu nu xi omicron pi rho sigma tau upsilon")
+    val nearB = (101L, "en",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+        "mu nu xi omicron pi rho sigma tau phi")
+    val docs = (boiler :+ nearA :+ nearB).toDF("doc_id", "lang", "text")
+    val got = TextOps.minhashDedupOver(docs).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      s"expected only the near-dup pair to survive the cap, got ${got.size}: " +
+        got.take(5).mkString(","))
+  }
+
   test("simhash: identical docs would collide; near pairs have low hamming") {
     val rows = TextOps.simhash(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getInt(2) <= 6))
