@@ -972,6 +972,34 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-source quality scorecard: the [[gopherRules]] gate aggregated
+    * by source — keep rate, per-rule failure counts, and kept-token
+    * share — the table a curation run reads to decide which sources to
+    * deprioritize BEFORE burning dedup compute on them. Every cell is
+    * an exact integer or an r4-rounded ratio of exact integers.
+    *
+    * Scale posture: the gate is map-side ([[gopherFlags]]); this adds
+    * exactly one partial-agg shuffle keyed on source. */
+  def sourceQuality(spark: SparkSession, sfDir: String): DataFrame =
+    gopherFlags(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_keep"),
+        sum(lit(1L) - col("r_len")).as("fail_len"),
+        sum(lit(1L) - col("r_wordlen")).as("fail_wordlen"),
+        sum(lit(1L) - col("r_ttr")).as("fail_ttr"),
+        sum(lit(1L) - col("r_stop")).as("fail_stop"),
+        sum(col("n_tok") * col("keep")).as("tok_kept"),
+        sum(col("n_tok")).as("tok_total"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        Det.r4(col("n_keep").cast("double") / col("n_docs")).as("keep_rate"),
+        col("fail_len"), col("fail_wordlen"), col("fail_ttr"),
+        col("fail_stop"),
+        Det.r4(col("tok_kept").cast("double") / col("tok_total"))
+          .as("tok_kept_share"))
+      .orderBy("source")
+
   private[llm] val TradeoffConfigs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
 
   /** MinHash-LSH banding tradeoff report — the dedup twin of the ANN
@@ -1097,6 +1125,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_gopher_rules" -> gopherRules _,
+    "q_llm_source_quality" -> sourceQuality _,
     "q_llm_domain_mix" -> domainMix _,
     "q_llm_lsh_tradeoff" -> lshTradeoff _,
     "q_llm_dup_components" -> dupComponents _,
@@ -1158,6 +1187,43 @@ object TextOps {
         |       CAST(CASE WHEN r_len + r_wordlen + r_ttr + r_stop = 4
         |         THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_source_quality" ->
+      s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |m AS (SELECT doc_id, source,
+        |        CAST(len(tk) AS BIGINT) AS n_tok,
+        |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+        |        CAST(list_sum(list_transform(tk,
+        |          t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_chars,
+        |        CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'
+        |          OR t = 'of' OR t = 'to')) AS BIGINT) AS n_stop
+        |      FROM s),
+        |f AS (SELECT doc_id, source, n_tok,
+        |        CAST(CASE WHEN n_tok BETWEEN 20 AND 80
+        |          THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+        |        CAST(CASE WHEN sum_chars >= n_tok * 3
+        |          AND sum_chars <= n_tok * 10
+        |          THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+        |        CAST(CASE WHEN n_uniq * 10 >= n_tok * 3
+        |          THEN 1 ELSE 0 END AS BIGINT) AS r_ttr,
+        |        CAST(CASE WHEN n_stop >= 2
+        |          THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+        |      FROM m),
+        |k AS (SELECT doc_id, source, n_tok, r_len, r_wordlen, r_ttr,
+        |        r_stop,
+        |        CAST(CASE WHEN r_len + r_wordlen + r_ttr + r_stop = 4
+        |          THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |      FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(keep) AS BIGINT) AS n_keep,
+        |  ${r4Sql("CAST(sum(keep) AS DOUBLE) / count(*)")} AS keep_rate,
+        |  CAST(sum(1 - r_len) AS BIGINT) AS fail_len,
+        |  CAST(sum(1 - r_wordlen) AS BIGINT) AS fail_wordlen,
+        |  CAST(sum(1 - r_ttr) AS BIGINT) AS fail_ttr,
+        |  CAST(sum(1 - r_stop) AS BIGINT) AS fail_stop,
+        |  ${r4Sql("CAST(sum(n_tok * keep) AS DOUBLE) / sum(n_tok)")} AS tok_kept_share
+        |FROM k GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin,
     "q_llm_domain_mix" ->
       s"""WITH d AS (SELECT doc_id, source, lang,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
