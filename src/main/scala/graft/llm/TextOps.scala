@@ -76,6 +76,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source boilerplate scorecard: segment-granular dedup
+    * ([[segmentDedup]]) aggregated by source, split into corpus-wide
+    * duplication (span in ≥2 docs) vs cross-source syndication (span
+    * in ≥2 sources) — internal templating and mirrored content land in
+    * different columns, so a curation run sees WHICH failure mode a
+    * source has before deciding to downweight or strip it.
+    *
+    * Scale posture: the [[segmentDedup]] two-pass shape unchanged —
+    * map-side span generation, ONE frequency shuffle on the 16-byte
+    * hash now carrying (distinct-doc, distinct-source) partials,
+    * equi-join back, per-source aggregate. */
+  def segmentSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(0),
+            floor((size(col("t")) - 1) / SegTokens).cast("int")),
+          i => md5(concat_ws(" ",
+            slice(col("t"), i * SegTokens + 1, lit(SegTokens)))))).as("h"))
+    val freq = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        countDistinct(col("source")).as("ns"))
+    segs.join(freq, "h")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("ns") >= 2, 1L).otherwise(0L)).as("n_xsource_spans"))
+      .select(col("source"), col("n_docs"), col("n_spans"),
+        col("n_dup_spans"), col("n_xsource_spans"),
+        Det.r4(col("n_dup_spans").cast("double") / col("n_spans"))
+          .as("dup_ratio"),
+        Det.r4(col("n_xsource_spans").cast("double") / col("n_spans"))
+          .as("xsource_ratio"))
+      .orderBy("source")
+  }
+
   /** Cross-source span-leakage audit: which source pairs share exact
     * 20-token spans — the curation report that catches mirrored sites
     * and syndicated boilerplate BEFORE they bias a source-weighted mix.
@@ -1145,6 +1183,7 @@ object TextOps {
     "q_llm_pack" -> packSequences _,
     "q_llm_exact_dedup" -> exactDedup _,
     "q_llm_segment_dedup" -> segmentDedup _,
+    "q_llm_segment_sources" -> segmentSources _,
     "q_llm_source_overlap" -> sourceOverlap _,
     "q_llm_text_stats" -> textStats _,
     "q_llm_token_count" -> tokenCount _,
@@ -1579,6 +1618,28 @@ object TextOps {
         |FROM segs s JOIN freq f USING (h)
         |GROUP BY 1
         |ORDER BY s.doc_id NULLS FIRST""".stripMargin,
+    "q_llm_segment_sources" ->
+      s"""WITH segs AS (
+        |  SELECT doc_id, source,
+        |         UNNEST(list_transform(range((len(t)-1)//20 + 1),
+        |                g -> md5(array_to_string(t[(g*20+1):(g*20+20)], ' ')))) AS h
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+        |        FROM documents)),
+        |freq AS (SELECT h, count(DISTINCT doc_id) AS nd,
+        |                count(DISTINCT source) AS ns
+        |         FROM segs GROUP BY 1)
+        |SELECT s.source,
+        |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  CAST(sum(CASE WHEN f.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_xsource_spans,
+        |  ${r4Sql("CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS dup_ratio,
+        |  ${r4Sql("CAST(sum(CASE WHEN f.ns >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS xsource_ratio
+        |FROM segs s JOIN freq f USING (h)
+        |GROUP BY 1
+        |ORDER BY s.source NULLS FIRST""".stripMargin,
     "q_llm_source_overlap" ->
       """WITH segs AS (
         |  SELECT source,
