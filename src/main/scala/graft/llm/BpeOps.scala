@@ -209,18 +209,29 @@ object BpeOps {
   private val encodedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** The UNCACHED encode plan, for plan-posture specs: the memo's
+    * checkpoint hides the word-map broadcast join from every consumer
+    * query's plan (the localCheckpoint/PlanSpec rule), so the spec
+    * inspects the builder it materializes from. */
+  private[graft] def encodedDocsPlanProbe(spark: SparkSession,
+      sfDir: String): DataFrame =
+    encodedDocsUncached(spark, sfDir, trainMerges(spark, sfDir))
+
+  private def encodedDocsUncached(spark: SparkSession, sfDir: String,
+      merges: Seq[Merge]): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
+      .join(wordSubCounts(spark, sfDir, merges), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tok"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, wtok))), x -> x.wtok)"))
+          .as("toks"))
+
   private def encodedDocs(spark: SparkSession, sfDir: String,
       merges: Seq[Merge]): DataFrame =
     encodedCache.computeIfAbsent(sfDir, _ =>
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
-        .join(wordSubCounts(spark, sfDir, merges), "w")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tok"),
-          concat_ws(" ", expr(
-            "transform(array_sort(collect_list(struct(pos, wtok))), x -> x.wtok)"))
-            .as("toks"))
-        .localCheckpoint())
+      encodedDocsUncached(spark, sfDir, merges).localCheckpoint())
 
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
     encodedDocs(spark, sfDir, trainMerges(spark, sfDir))

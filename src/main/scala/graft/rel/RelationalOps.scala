@@ -265,6 +265,24 @@ object RelationalOps {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Deterministic MODE: the most frequent quantity per return flag
+    * with ties resolved to the smallest value — engine-native mode()
+    * breaks ties arbitrarily, so the argmax folds into
+    * min(struct(−count, qty)) instead (exact integers end to end;
+    * quantities are integral, so the BIGINT cast is exact in both
+    * engines). Two partial-agg shuffles, the second over the tiny
+    * (flag × distinct-qty) relation. */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("qty"))).as("m"),
+        count(lit(1)).as("n_values"))
+      .select(col("l_returnflag"), col("m.qty").as("mode_qty"),
+        (-col("m.neg")).as("mode_count"), col("n_values"))
+      .orderBy("l_returnflag")
+
   /** Statistical aggregates with exact accumulation: engine-native
     * stddev implementations differ in accumulation order (Welford vs
     * pairwise), so the sample stddev is assembled from exact decimal
@@ -1251,6 +1269,7 @@ object RelationalOps {
     "q_unpivot_events" -> unpivotEvents _,
     "q_window_pctrank" -> windowPctRank _,
     "q_agg_distinct" -> aggDistinct _,
+    "q_agg_mode" -> aggMode _,
     "q_agg_stats" -> aggStats _,
     "q_agg_corr" -> aggCorr _,
     "q_agg_percentile" -> aggPercentile _,
@@ -1772,6 +1791,21 @@ object RelationalOps {
         |ORDER BY o_orderpriority NULLS FIRST, o_totalprice NULLS FIRST,
         |         o_orderkey NULLS FIRST""".stripMargin
     },
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, qty, cnt,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY cnt DESC, qty NULLS FIRST) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY l_returnflag)
+        |           AS BIGINT) AS n_values
+        |  FROM c)
+        |SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count, n_values
+        |FROM r WHERE rn = 1
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |       count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n

@@ -650,6 +650,55 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** Theil–Sen robust slope per series — [[linearRegression]]'s
+    * outlier-proof sibling (median of all pairwise slopes has a 29%
+    * breakdown point; least squares has 0%): the trend read an
+    * anomaly-laden series needs. Determinism: pair slopes are one IEEE
+    * division of EXACT integers ((ysⱼ−ysᵢ) / ((hⱼ−hᵢ)·10⁴), the
+    * [[graft.util.Det]] scaling), the median picks by integer rank
+    * over a (slope, hᵢ, hⱼ) total order — identical doubles sort
+    * identically — and an even pair count averages two doubles with
+    * one IEEE add/halve.
+    *
+    * Scale posture: quadratic in WINDOW LENGTH, never in data — the
+    * estimator reads the trailing 7-day window (168 hourly buckets ⇒
+    * ≤ 14k pairs per series, the Graphite render-window discipline),
+    * so the pair join's per-key fanout is a constant; the corpus-sized
+    * work remains the one hourly rollup shuffle. */
+  private val TheilSenWindowHours = 168L
+
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+    val s = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .withColumn("hb", expr("unix_micros(bucket) div 3600000000L"))
+      .withColumn("h", col("hb") - min(col("hb")).over(w))
+      .withColumn("hmax", max(col("h")).over(w))
+      .where(col("h") > col("hmax") - TheilSenWindowHours)
+      .withColumn("ys",
+        (col("v").cast("decimal(18,4)") * lit(10000)).cast("long"))
+      .select(col("event_type"), col("h"), col("ys"))
+    val pairs = s.as("a")
+      .join(s.withColumnRenamed("event_type", "et_b")
+          .withColumnRenamed("h", "h_b").withColumnRenamed("ys", "ys_b"),
+        col("event_type") === col("et_b") && col("h") < col("h_b"))
+      .select(col("event_type"),
+        ((col("ys_b") - col("ys")).cast("double") /
+          ((col("h_b") - col("h")) * lit(10000L)).cast("double")).as("slope"),
+        col("h").as("hi"), col("h_b").as("hj"))
+    val wp = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("hi"), col("hj"))
+    pairs
+      .withColumn("rn", row_number().over(wp))
+      .withColumn("np", count(lit(1)).over(w))
+      .where(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("np div 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"),
+        Det.r4(sum(col("slope")) / count(lit(1))).as("median_slope"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `multiplySeries` — the last missing member of the fan-in
     * family (sum/count/range/diff/max/min/avg are done): per-bucket
     * product across the five series. IEEE multiplication is commutative
@@ -1773,6 +1822,7 @@ object TimeSeriesOps {
     "q_ts_consolidate" -> consolidate _,
     "q_ts_exclude" -> excludeSeries _,
     "q_ts_linreg" -> linearRegression _,
+    "q_ts_theilsen" -> theilSen _,
     "q_ts_ewma" -> ewma _,
     "q_ts_multiply_series" -> multiplySeries _,
     "q_ts_holt_forecast" -> holtForecast _,
@@ -2606,6 +2656,42 @@ object TimeSeriesOps {
         |       ${Det.r4Sql("(CAST(sy AS DOUBLE) / 10000.0 - (CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(sh AS DOUBLE)) / CAST(n AS DOUBLE)")} AS intercept,
         |       ${Det.r4Sql("(CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(hmax + 24 AS DOUBLE) + ((CAST(sy AS DOUBLE) / 10000.0 - (CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(sh AS DOUBLE)) / CAST(n AS DOUBLE))")} AS forecast_24h
         |FROM s
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_ts_theilsen" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |x1 AS (
+        |  SELECT event_type,
+        |         (epoch_us(bucket) // 3600000000)
+        |           - min(epoch_us(bucket) // 3600000000)
+        |             OVER (PARTITION BY event_type) AS h,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |x2 AS (
+        |  SELECT event_type, h, ys,
+        |         max(h) OVER (PARTITION BY event_type) AS hmax
+        |  FROM x1),
+        |x AS (SELECT event_type, h, ys FROM x2 WHERE h > hmax - 168),
+        |p AS (
+        |  SELECT a.event_type,
+        |         CAST(b.ys - a.ys AS DOUBLE)
+        |           / CAST((b.h - a.h) * 10000 AS DOUBLE) AS slope,
+        |         a.h AS hi, b.h AS hj
+        |  FROM x a JOIN x b
+        |    ON b.event_type = a.event_type AND a.h < b.h),
+        |r AS (
+        |  SELECT event_type, slope,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY slope NULLS FIRST, hi NULLS FIRST,
+        |             hj NULLS FIRST) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p)
+        |SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+        |       ${Det.r4Sql("sum(slope) / count(*)")} AS median_slope
+        |FROM r WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+        |GROUP BY 1
         |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_ts_timeshift" -> {
       s"""WITH h1 AS (

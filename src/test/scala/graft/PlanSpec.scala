@@ -342,8 +342,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bpe family: word-map joins broadcast, aggregates partial") {
-    Seq("q_llm_bpe_token_count", "q_llm_pack_bpe", "q_llm_budget_mix_bpe",
-      "q_llm_bpe_encode").foreach { q =>
+    // token_count still joins the word map in its own plan; the
+    // encode/chunk/pack/mix family consumes the tokenize-once memo,
+    // whose checkpoint hides the join (CLAUDE.md rule) — so the memo
+    // BUILDER's plan carries the assertion for them
+    Seq("q_llm_bpe_token_count").foreach { q =>
       val p = plan(q)
       // the distinct-word -> n_sub map is vocabulary-sized: it must ride
       // a broadcast join, never shuffle the exploded corpus against it
@@ -351,6 +354,12 @@ class PlanSpec extends AnyFunSuite {
         s"$q should broadcast the word map:\n$p")
       assert(p.contains("partial_"), s"$q has no map-side combine:\n$p")
     }
+    val builder = graft.llm.BpeOps.encodedDocsPlanProbe(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(builder.contains("BroadcastHashJoin"),
+      s"the encode builder should broadcast the word map:\n$builder")
+    assert(builder.contains("partial_"),
+      s"the encode builder has no map-side combine:\n$builder")
   }
 
   test("gopher rules: a pure map-side gate — no hash-partition shuffle") {
