@@ -699,6 +699,51 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** CUSUM changepoint detection per series (Page 1954): the running
+    * one-sided cumulative sum of deviations from the series mean,
+    * Sₜ = max(0, Sₜ₋₁ + (xₜ − x̄)), detects a sustained upward level
+    * shift long before any single point looks anomalous — the drift
+    * read beside [[anomaly]]'s pointwise z-score. Multiplying through
+    * by n removes the one rational in the recursion: the state is
+    * Sₜ·n·10⁴ = max(0, prev + n·ysₜ − Σys), EXACT BIGINTs end to end
+    * (|state| ≤ n·Σ|ys| < 2⁶³ at retention scale), so the Spark sorted
+    * aggregate() fold and the DuckDB recursive CTE are bit-identical
+    * (the proven Holt-family technique); the only float is the final
+    * peak rescale, one shared IEEE division. Alarms fire when the
+    * scaled state exceeds 10 value-units (10·n·10⁴).
+    *
+    * Scale posture: one hourly-rollup shuffle, then a linear fold over
+    * the retention-bounded sorted array per series — constant state,
+    * no joins, no window re-shuffle. */
+  def cusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val step = "greatest(0L, acc.s + n * p.ys - sy)"
+    h1.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000)).cast("long").as("ys"))))
+        .as("pts"))
+      .select(col("event_type"), size(col("pts")).cast("long").as("n"),
+        expr("aggregate(pts, 0L, (a, p) -> a + p.ys)").as("sy"),
+        col("pts"))
+      .select(col("event_type"), col("n"),
+        expr(
+          s"""aggregate(pts,
+            |  named_struct('s', 0L, 'smax', 0L, 'tp', 0L,
+            |    'i', 0L, 'al', 0L),
+            |  (acc, p) -> named_struct(
+            |    's', $step,
+            |    'smax', greatest(acc.smax, $step),
+            |    'tp', IF($step > acc.smax, acc.i + 1L, acc.tp),
+            |    'i', acc.i + 1L,
+            |    'al', acc.al + IF($step > 10L * n * 10000L, 1L, 0L)))
+            |""".stripMargin).as("st"))
+      .select(col("event_type"), col("n"),
+        Det.r4(col("st.smax").cast("double") /
+          (col("n") * lit(10000L)).cast("double")).as("cusum_peak"),
+        col("st.tp").as("peak_idx"), col("st.al").as("n_alarm"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `multiplySeries` — the last missing member of the fan-in
     * family (sum/count/range/diff/max/min/avg are done): per-bucket
     * product across the five series. IEEE multiplication is commutative
@@ -1823,6 +1868,7 @@ object TimeSeriesOps {
     "q_ts_exclude" -> excludeSeries _,
     "q_ts_linreg" -> linearRegression _,
     "q_ts_theilsen" -> theilSen _,
+    "q_ts_cusum" -> cusum _,
     "q_ts_ewma" -> ewma _,
     "q_ts_multiply_series" -> multiplySeries _,
     "q_ts_holt_forecast" -> holtForecast _,
@@ -2657,6 +2703,42 @@ object TimeSeriesOps {
         |       ${Det.r4Sql("(CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(hmax + 24 AS DOUBLE) + ((CAST(sy AS DOUBLE) / 10000.0 - (CAST(n * shy - sh * sy AS DOUBLE) / CAST((n * shh - sh * sh) * 10000 AS DOUBLE)) * CAST(sh AS DOUBLE)) / CAST(n AS DOUBLE))")} AS forecast_24h
         |FROM s
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_ts_cusum" -> {
+      val step = "greatest(0, r.s + m.n * x.ys - m.sy)"
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS BIGINT) AS i,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(ys) AS BIGINT) AS sy
+        |      FROM x GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, CAST(0 AS BIGINT) AS i,
+        |         CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS smax,
+        |         CAST(0 AS BIGINT) AS tp, CAST(0 AS BIGINT) AS al
+        |  FROM m
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |         $step,
+        |         greatest(r.smax, $step),
+        |         CASE WHEN $step > r.smax THEN r.i + 1 ELSE r.tp END,
+        |         r.al + CASE WHEN $step > 10 * m.n * 10000
+        |           THEN 1 ELSE 0 END
+        |  FROM r JOIN m USING (event_type)
+        |  JOIN x ON x.event_type = r.event_type AND x.i = r.i + 1)
+        |SELECT r.event_type, m.n,
+        |  ${Det.r4Sql("CAST(r.smax AS DOUBLE) / CAST(m.n * 10000 AS DOUBLE)")} AS cusum_peak,
+        |  r.tp AS peak_idx, r.al AS n_alarm
+        |FROM r JOIN m USING (event_type)
+        |WHERE r.i = m.n
+        |ORDER BY r.event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_theilsen" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
