@@ -985,10 +985,18 @@ object TextOps {
     * min(struct(-count, lang)) inside the same aggregation — argmax
     * with a deterministic alphabetical tiebreak, no extra window
     * shuffle. */
-  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("lang"),
-        size(toks).cast("long").as("ntok"), md5(col("text")).as("h"))
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame =
+    domainMixOf(domainMixPrep(Tables.documents(spark, sfDir)))
+
+  /** The per-doc grain [[domainMixOf]] consumes — factored out so the
+    * streaming twin's spec ([[graft.streaming.Ingest.domainMixStream]])
+    * can feed the SAME prepared columns through both paths and assert
+    * field equality instead of re-deriving the formulas. */
+  def domainMixPrep(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), col("source"), col("lang"),
+      size(toks).cast("long").as("ntok"), md5(col("text")).as("h"))
+
+  def domainMixOf(docs: DataFrame): DataFrame = {
     val top = docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("nl"))
       .groupBy(col("source"))

@@ -283,6 +283,43 @@ object RelationalOps {
         (-col("m.neg")).as("mode_count"), col("n_values"))
       .orderBy("l_returnflag")
 
+  /** Benford first-digit profile over `l_extendedprice` — the
+    * data-quality screen a warehouse runs before trusting a money
+    * column (fabricated or truncated feeds bend the leading-digit
+    * curve away from log10(1+1/d)). The digit is extracted from the
+    * DECIMAL(18,2) rendering (both engines print decimals without
+    * leading zeros; prices are ≥ 1 so char 1 is the leading digit) —
+    * never via log10, which is libm and cross-engine unstable. The
+    * expected shares are 4-dp literals generated ONCE in Scala and
+    * embedded as identical text in both plans, so the deviation is
+    * plain IEEE subtraction of exact inputs.
+    *
+    * Scale posture: one map-side digit projection + one 9-row agg +
+    * one scalar total (crossJoin of a 1-row aggregate, not a window
+    * over the relation). */
+  def benfordPrices(spark: SparkSession, sfDir: String): DataFrame = {
+    val digits = Tables.lineitem(spark, sfDir)
+      .select(substring(col("l_extendedprice").cast("decimal(18,2)")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+    val expected = benfordExpected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val tot = digits.agg(count(lit(1)).as("total"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(tot)
+      .select(col("digit"), col("n"),
+        Det.r4(col("n").cast("double") / col("total")).as("share"),
+        expected.as("expected"))
+      .withColumn("dev", Det.r4(abs(col("share") - col("expected"))))
+      .orderBy("digit")
+  }
+
+  /** log10(1+1/d) half-up-rounded to 4 dp, rendered once so the Spark
+    * literal and the DuckDB text are the same 6 characters per digit. */
+  private val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d ->
+      math.floor(math.log10(1.0 + 1.0 / d) * 10000.0 + 0.5) / 10000.0)
+
   /** Statistical aggregates with exact accumulation: engine-native
     * stddev implementations differ in accumulation order (Welford vs
     * pairwise), so the sample stddev is assembled from exact decimal
@@ -1270,6 +1307,7 @@ object RelationalOps {
     "q_window_pctrank" -> windowPctRank _,
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_mode" -> aggMode _,
+    "q_agg_benford" -> benfordPrices _,
     "q_agg_stats" -> aggStats _,
     "q_agg_corr" -> aggCorr _,
     "q_agg_percentile" -> aggPercentile _,
@@ -1806,6 +1844,22 @@ object RelationalOps {
         |SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count, n_values
         |FROM r WHERE rn = 1
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q_agg_benford" -> {
+      val cases = benfordExpected.map { case (d, p) =>
+        f"WHEN $d THEN CAST($p%.4f AS DOUBLE)" }.mkString(" ")
+      val share = Det.r4Sql("CAST(n AS DOUBLE) / total")
+      s"""WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+        |SELECT digit, n,
+        |       $share AS share,
+        |       CASE digit $cases END AS expected,
+        |       ${Det.r4Sql(s"abs($share - (CASE digit $cases END))")} AS dev
+        |FROM g CROSS JOIN t
+        |ORDER BY digit NULLS FIRST""".stripMargin
+    },
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |       count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n

@@ -36,6 +36,9 @@ case class HoltAlert(metric: String, ts: java.sql.Timestamp, value: Double,
 
 /** A streamed corpus document heading for the mixing gate. */
 case class StreamDoc(doc_id: Long, lang: String, n_tok: Long)
+
+/** A streamed corpus document carrying its source for the live mix. */
+case class MixDoc(doc_id: Long, source: String, lang: String, n_tok: Long)
 case class RawDoc(doc_id: Long, lang: String, text: String)
 
 /** An admitted document with its stratum's running token total. */
@@ -245,6 +248,50 @@ object Ingest {
   def gopherGate(docs: DataFrame): DataFrame =
     graft.llm.TextOps.gopherFlags(docs)
       .where(col("keep") === 1)
+
+  /** LIVE domain-mix monitor — the streaming twin of
+    * [[graft.llm.TextOps.domainMix]]: ONE streaming aggregation at the
+    * finest (source, lang) grain, run in Complete mode, so the state
+    * store holds exactly the mix cube (|sources|·|langs| rows of two
+    * longs — bounded, no watermark). Chained streaming aggregations are
+    * unsupported, and the scorecard's shares/argmax need a second
+    * level, so the dashboard read is [[mixScorecard]]: a BATCH rollup
+    * over the tiny emitted cube — the standard "stream maintains the
+    * finest cell, the panel rolls up" split. Sits AFTER the
+    * content-hash dedup stage ([[dedupCorpusStream]]) in the pipeline,
+    * so the live mix is the post-dedup mix and the batch twin's
+    * uniq_ratio column is 1 by construction (dropped here). Input
+    * columns: source, lang, n_tok. */
+  def domainMixStream(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"), sum(col("n_tok")).as("tok"))
+
+  /** Batch rollup of [[domainMixStream]]'s complete-mode cube into the
+    * per-source scorecard — identical share/argmax formulas to
+    * [[graft.llm.TextOps.domainMixOf]] (spec-asserted field-equal on
+    * the same documents). */
+  def mixScorecard(cube: DataFrame): DataFrame = {
+    // the cube self-joins (rollup ⋈ argmax); a memory-sink view exposes
+    // the SAME attribute ids on both branches — re-alias one copy so
+    // every column gets a fresh exprId before the join
+    val cube2 = cube.select(cube.columns.map(n => col(n).as(n)).toIndexedSeq: _*)
+    val top = cube2.groupBy(col("source"))
+      .agg(min(struct((-col("nl")).as("neg"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        (-col("m.neg")).as("top_lang_docs"))
+    val bySrc = cube.groupBy(col("source"))
+      .agg(sum(col("nl")).as("n_docs"), sum(col("tok")).as("ws_tokens"))
+    val tot = cube.agg(sum(col("nl")).as("tot_docs"),
+      sum(col("tok")).as("tot_tokens"))
+    bySrc.join(top, "source").crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("ws_tokens"),
+        graft.util.Det.r4(col("n_docs").cast("double") / col("tot_docs"))
+          .as("doc_share"),
+        graft.util.Det.r4(col("ws_tokens").cast("double") /
+          col("tot_tokens")).as("tok_share"),
+        col("top_lang"), col("top_lang_docs"))
+      .orderBy("source")
+  }
 
   /** Streaming token-budget admission — the online half of the mixing
     * primitive ([[graft.llm.TextOps.budgetSample]]): each language keeps

@@ -1417,6 +1417,52 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Graphite `applyByNode(series, 1, 'divideSeries(%.host0,
+    * sumSeries(%.*))')`: for every node prefix, a DERIVED series
+    * composed from the prefix's own members — here host0's share of
+    * its node total, the "is one replica carrying the node" panel
+    * (`render/functions.py — applyByNode` [U]). Distinct from
+    * [[groupByNode]] (one aggregate per group): the template combines
+    * MULTIPLE member series of the same prefix.
+    *
+    * Determinism: member values are exact 4-dp ([[Det.avg4]]), so both
+    * the host0 pick and the node total accumulate as exact DECIMAL
+    * before the single rounded IEEE division; an absent host0 or a
+    * zero total yields NULL identically in both engines. Two partial
+    * aggs, no window. */
+  def applyByNode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(3)).as("host"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"))
+      .groupBy(concat(lit("app."), col("event_type")).as("node"),
+        col("bucket"))
+      .agg(sum(when(col("host") === 0, col("v").cast("decimal(18,4)")))
+          .cast("double").as("host0_v"),
+        Det.dsum4(col("v")).as("node_total"))
+      .select(col("node"), col("bucket"), col("host0_v"), col("node_total"),
+        Det.r4(col("host0_v") / nullif(col("node_total"), lit(0.0)))
+          .as("host0_share"))
+      .orderBy("node", "bucket")
+
+  /** Graphite `constantLine(100)` beside the data: the flat reference
+    * series rendered over the SAME x-range as the measured series —
+    * the dashboard overlay behind every SLO line
+    * (`render/functions.py — constantLine` [U]). One agg builds the
+    * grid; both output series explode map-side from it (array+explode,
+    * not a self-union — the union would execute the agg twice, the
+    * CLAUDE.md union-CSE hazard). */
+  def constantLineRead(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(Det.avg4(col("value")).as("v"))
+      .select(col("bucket"), explode(array(
+        struct(lit("events.avg").as("series"), col("v").as("v")),
+        struct(lit("constant(100)").as("series"),
+          lit(100.0).as("v")))).as("s"))
+      .select(col("s.series").as("series"), col("bucket"), col("s.v").as("v"))
+      .orderBy("series", "bucket")
+
   /** Graphite `timeSlice(series, from, until)`: the gap-filled fetch
     * with values OUTSIDE the slice window blanked to null — distinct
     * from a WHERE, which would drop the rows; the series keeps its full
@@ -1827,6 +1873,8 @@ object TimeSeriesOps {
     "q_ts_alias_bymetric" -> aliasByMetricRead _,
     "q_ts_substr" -> substrNodes _,
     "q_ts_dashboard_shift" -> dashboardShift _,
+    "q_ts_apply_bynode" -> applyByNode _,
+    "q_ts_constant_line" -> constantLineRead _,
     "q_ts_range_of_series" -> rangeOfSeries _,
     "q_ts_timeslice" -> timeSlice _,
     "q_ts_hitcount" -> hitcount _,
@@ -2180,6 +2228,30 @@ object TimeSeriesOps {
         |       metric, count(*) AS n, ${Det.avg4Sql("value")} AS v
         |FROM m GROUP BY metric
         |ORDER BY metric NULLS FIRST""".stripMargin,
+    "q_ts_apply_bynode" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, user_id % 3 AS host,
+        |         date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT 'app.' || event_type AS node, bucket,
+        |       CAST(sum(CASE WHEN host = 0 THEN CAST(v AS DECIMAL(18,4)) END) AS DOUBLE) AS host0_v,
+        |       ${Det.dsum4Sql("v")} AS node_total,
+        |       ${Det.r4Sql(
+             "CAST(sum(CASE WHEN host = 0 THEN CAST(v AS DECIMAL(18,4)) END) AS DOUBLE)" +
+             " / nullif(" + Det.dsum4Sql("v") + ", 0.0)")} AS host0_share
+        |FROM h1 GROUP BY 1, 2
+        |ORDER BY node NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_constant_line" ->
+      s"""WITH g AS (
+        |  SELECT date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1)
+        |SELECT CASE WHEN k = 0 THEN 'events.avg' ELSE 'constant(100)' END AS series,
+        |       bucket,
+        |       CASE WHEN k = 0 THEN v ELSE CAST(100.0 AS DOUBLE) END AS v
+        |FROM g CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        |ORDER BY series NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_range_of_series" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,

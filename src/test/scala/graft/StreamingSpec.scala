@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{Ingest, Point, RawDoc, StreamDoc}
+import graft.streaming.{Ingest, MixDoc, Point, RawDoc, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -215,6 +215,36 @@ class StreamingSpec extends AnyFunSuite {
     // equality above proves nothing
     assert(expect.nonEmpty && expect.size < docs.length,
       s"degenerate sample: ${expect.size} of ${docs.length} kept")
+  }
+
+  test("s_domain_mix: live cube rolls up field-equal to the batch scorecard") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val prep = graft.llm.TextOps.domainMixPrep(
+        graft.io.Tables.documents(sp, TestSpark.sf))
+      .orderBy("doc_id").limit(40).localCheckpoint()
+    val docs = prep.select("doc_id", "source", "lang", "ntok").collect()
+      .map(r => MixDoc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val in = MemoryStream[MixDoc]
+    val q = runToMemory(Ingest.domainMixStream(in.toDF()), "domain_mix_cube",
+      OutputMode.Complete())
+    in.addData(docs.take(20).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // mid-stream: the cube is the partial mix of exactly batch 1
+    val mid = sp.table("domain_mix_cube").agg(sum(col("nl"))).collect()
+    assert(mid.head.getLong(0) == 20L, s"partial cube off: ${mid.mkString}")
+    in.addData(docs.drop(20).toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val cols = Seq("source", "n_docs", "ws_tokens", "doc_share", "tok_share",
+      "top_lang", "top_lang_docs")
+    val got = Ingest.mixScorecard(sp.table("domain_mix_cube"))
+      .select(cols.map(col): _*).collect().toSet
+    val expect = graft.llm.TextOps.domainMixOf(prep)
+      .select(cols.map(col): _*).collect().toSet
+    assert(got == expect, s"live scorecard $got != batch $expect")
+    assert(expect.size > 1, s"degenerate sample: one source only")
   }
 
   test("s_budget_admit: per-lang token budget fills across micro-batches") {
