@@ -22,6 +22,10 @@ case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
   * images `contrast` is RMS contrast and `zcr` is 0; for audio
   * `contrast` is RMS energy and `zcr` the zero-crossing rate. Levels
   * are normalized to [0, 1] (gray/255, |pcm|/32768). */
+/** Per-clip audio spectral stats (frames of 256, hop 128). */
+case class AudioSpectral(doc_id: Long, n_frames: Long, mean_rms: Double,
+    max_rms: Double, mean_zcr: Double, dom_hz: Long, dom_power: Double)
+
 case class MediaQc(doc_id: Long, kind: String, n_units: Long,
     mean_level: Double, contrast: Double, zcr: Double,
     peak: Double, clip_frac: Double)
@@ -306,11 +310,99 @@ object MultimodalOps {
       .orderBy("kind")
   }
 
+  /** Per-clip audio SPECTRAL profile — the feature pass a speech/music
+    * curation pipeline runs after the QC gate: 256-sample frames (hop
+    * 128), per-frame RMS and zero-crossing rate, and Goertzel band
+    * power at four probe tones; the clip's dominant band is the argmax
+    * of summed band power (lowest frequency wins ties). Goertzel —
+    * the O(N) single-bin DFT (Goertzel 1958) — replaces a full FFT
+    * because the gate only asks "where does the energy sit", and four
+    * bins of O(N) beat an O(N log N) transform whose other bins are
+    * discarded. Runs in the same mapPartitions decode pass as the rest
+    * of the mm family; only the fixed-width stats row flows on. */
+  def audioSpectral(m: MediaRow): AudioSpectral = {
+    val (sr, samples) = MediaCodec.decodeWav(m.payload)
+    val frameLen = 256
+    val hop = 128
+    val bands = Array(500, 1000, 2000, 4000)
+    val bandPow = new Array[Double](bands.length)
+    var nFrames = 0L
+    var rmsSum = 0.0
+    var rmsMax = 0.0
+    var zcrSum = 0.0
+    var start = 0
+    while (start + frameLen <= samples.length) {
+      var i = 0
+      var sq = 0.0
+      var zc = 0
+      while (i < frameLen) {
+        val x = samples(start + i) / 32768.0
+        sq += x * x
+        if (i > 0 && ((samples(start + i) >= 0) !=
+            (samples(start + i - 1) >= 0))) zc += 1
+        i += 1
+      }
+      val rms = math.sqrt(sq / frameLen)
+      rmsSum += rms; if (rms > rmsMax) rmsMax = rms
+      zcrSum += zc.toDouble / (frameLen - 1)
+      var b = 0
+      while (b < bands.length) {
+        // Goertzel at bin k = round(N·f/sr): s ← x + 2cos(w)·s1 − s2
+        val k = math.round(frameLen.toDouble * bands(b) / sr).toInt
+        val coeff = 2.0 * math.cos(2.0 * math.Pi * k / frameLen)
+        var s1 = 0.0; var s2 = 0.0
+        var j = 0
+        while (j < frameLen) {
+          val s = samples(start + j) / 32768.0 + coeff * s1 - s2
+          s2 = s1; s1 = s
+          j += 1
+        }
+        bandPow(b) += s1 * s1 + s2 * s2 - coeff * s1 * s2
+        b += 1
+      }
+      nFrames += 1
+      start += hop
+    }
+    val dom = if (nFrames == 0) -1 else {
+      var best = 0
+      var b = 1
+      while (b < bands.length) {
+        if (bandPow(b) > bandPow(best)) best = b
+        b += 1
+      }
+      bands(best)
+    }
+    AudioSpectral(m.doc_id, nFrames,
+      if (nFrames == 0) 0.0 else rmsSum / nFrames, rmsMax,
+      if (nFrames == 0) 0.0 else zcrSum / nFrames, dom.toLong,
+      if (nFrames == 0) 0.0 else bandPow.max / nFrames)
+  }
+
+  /** Declared query: the spectral profile rolled up by dominant band —
+    * how the corpus' audio energy distributes over the probe tones. No
+    * oracle (binary decode + libm trig are engine-side by design);
+    * spec verifies the physics on a crafted pure-tone WAV and
+    * determinism across runs. */
+  def audioSpectralStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaOrGet(spark, sfDir)
+      .filter(_.kind == "audio")
+      .mapPartitions(_.map(audioSpectral)).toDF()
+      .groupBy(col("dom_hz"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_frames")).as("n_frames"),
+        Det.r4(avg(col("mean_rms"))).as("avg_rms"),
+        Det.r4(max(col("max_rms"))).as("peak_rms"),
+        Det.r4(avg(col("mean_zcr"))).as("avg_zcr"))
+      .orderBy("dom_hz")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> features _,
     "q_mm_frames" -> frames _,
     "q_mm_resize" -> resizeStats _,
-    "q_mm_qc" -> qcStats _
+    "q_mm_qc" -> qcStats _,
+    "q_mm_audio_spectral" -> audioSpectralStats _
   )
 
   /** No oracles: the binary decode path is engine-side by design. */

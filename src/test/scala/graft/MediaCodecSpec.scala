@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.mm.MediaCodec
+import graft.mm.MultimodalOps
 
 class MediaCodecSpec extends AnyFunSuite {
 
@@ -75,6 +76,42 @@ class MediaCodecSpec extends AnyFunSuite {
       Array("audio", "image")))
     agg.foreach(r => assert(r.getLong(2) <= r.getLong(1),
       "n_pass must not exceed n"))
+  }
+
+  test("audio spectral: pure tones land in their Goertzel band") {
+    val sr = 16000
+    def tone(hz: Double, n: Int, amp: Double = 8000.0): Array[Short] =
+      Array.tabulate(n)(i =>
+        (amp * math.sin(2.0 * math.Pi * hz * i / sr)).toShort)
+    for (hz <- Seq(500, 1000, 2000, 4000)) {
+      val row = mm.MediaRow(1L, "audio",
+        MediaCodec.encodeWav(sr, tone(hz, 2048)), 0, 0, sr)
+      val sp = MultimodalOps.audioSpectral(row)
+      assert(sp.dom_hz == hz, s"tone $hz Hz classified as ${sp.dom_hz}")
+      assert(sp.n_frames == (2048 - 256) / 128 + 1)
+      // sine physics: RMS = amp/√2 (scaled), ZCR = 2f/sr
+      assert(math.abs(sp.mean_rms - 8000.0 / 32768.0 / math.sqrt(2.0))
+        < 0.01, s"rms ${sp.mean_rms}")
+      assert(math.abs(sp.mean_zcr - 2.0 * hz / sr) < 0.01,
+        s"zcr ${sp.mean_zcr} at $hz")
+    }
+    // silence: no dominant energy claim beyond zero power
+    val quiet = mm.MediaRow(2L, "audio",
+      MediaCodec.encodeWav(sr, new Array[Short](512)), 0, 0, sr)
+    assert(MultimodalOps.audioSpectral(quiet).dom_power == 0.0)
+  }
+
+  test("q_mm_audio_spectral: deterministic rollup over the corpus") {
+    val sp = TestSpark.spark
+    val a = MultimodalOps.audioSpectralStats(sp, TestSpark.sf).collect()
+    val b = MultimodalOps.audioSpectralStats(sp, TestSpark.sf).collect()
+    assert(a.nonEmpty, "no audio clips profiled")
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "spectral rollup not deterministic")
+    val nClips = a.map(_.getLong(1)).sum
+    val nAudio = MultimodalOps.mediaOrGet(sp, TestSpark.sf)
+      .filter(_.kind == "audio").count()
+    assert(nClips == nAudio, s"$nClips profiled of $nAudio audio clips")
   }
 
   test("BMP malformed inputs rejected") {
