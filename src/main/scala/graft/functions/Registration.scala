@@ -25,6 +25,19 @@ object GraftFunctionRegistry {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash_agg(hash)")
         SimHashAggExpr(exprs.head)
+      }),
+    (FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAggExpr].getName,
+        "heavy_hitters"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "heavy_hitters(item, capacityLit, kLit)")
+        def intLit(e: Expression, what: String): Int = {
+          require(e.foldable, s"heavy_hitters: $what must be a literal")
+          e.eval().asInstanceOf[Number].intValue
+        }
+        HeavyHittersAggExpr(exprs.head, intLit(exprs(1), "capacity"),
+          intLit(exprs(2), "k"))
       }))
 
   /** Register into a LIVE session (notebooks, tests). */

@@ -54,6 +54,14 @@ package object functions {
       org.apache.spark.sql.graft.SimHashAggExpr(h)
   }
 
+  /** Native Misra–Gries heavy-hitters aggregate: STRING column →
+    * top-k array<struct<item,est>> under a fixed `capacity`-entry
+    * mergeable summary (PODS'12 combine; undercount ≤ n/(capacity+1)). */
+  object HeavyHitters {
+    def apply(c: Column, capacity: Int, k: Int): Column =
+      org.apache.spark.sql.graft.HeavyHittersAggExpr(c, capacity, k)
+  }
+
   /** Register graft's native expressions as SQL functions in a live
     * session (`cosine_sim`, `simhash_agg`); for session-build wiring use
     * `spark.sql.extensions=graft.GraftExtensions`. Idempotent. */

@@ -1169,7 +1169,26 @@ object TextOps {
       .orderBy(col("bands").desc)
   }
 
+  /** Top tokens per language via the native Misra–Gries summary
+    * ([[graft.functions.HeavyHitters]]) — the sketch read a 100 TB
+    * corpus runs where exact `groupBy(token).count` would shuffle the
+    * whole vocabulary: the shuffle here carries one ≤1024-entry
+    * summary per (lang × partition). No oracle (estimates depend on
+    * partition merge order by design); the guarantees — never
+    * overcounts, undercount ≤ n/(capacity+1), exact when a group's
+    * vocabulary fits the summary — are spec-proven in LlmSpec. */
+  def heavyHitterTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.HeavyHitters(col("token"), 1024, 10).as("hh"))
+      .select(col("lang"), posexplode(col("hh")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("token"), col("col.est").as("est"))
+      .orderBy("lang", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_heavy_hitters" -> heavyHitterTokens _,
     "q_llm_gopher_rules" -> gopherRules _,
     "q_llm_source_quality" -> sourceQuality _,
     "q_llm_domain_mix" -> domainMix _,

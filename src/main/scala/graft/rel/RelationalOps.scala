@@ -477,6 +477,23 @@ object RelationalOps {
         .select(col("p_partkey").as("partkey")))
       .orderBy("partkey")
 
+  /** Multiset EXCEPT ALL — the bag semantics (multiplicity = max(0,
+    * m₁−m₂), SQL standard) both engines implement natively; rows are
+    * single-column so duplicates at any position are interchangeable
+    * and the sorted hash is total-order-stable. */
+  def setExceptAll(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select(col("l_partkey").as("partkey"))
+      .exceptAll(Tables.part(spark, sfDir).where(col("p_size") > 10)
+        .select(col("p_partkey").as("partkey")))
+      .orderBy("partkey")
+
+  /** Multiset INTERSECT ALL — multiplicity = min(m₁, m₂). */
+  def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+      .intersectAll(Tables.supplier(spark, sfDir)
+        .select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
   /** Scalar string functions (codegen'd builtins — no UDFs). */
   def strFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.part(spark, sfDir)
@@ -1321,6 +1338,8 @@ object RelationalOps {
     "q_set_union" -> setUnion _,
     "q_set_intersect" -> setIntersect _,
     "q_set_except" -> setExcept _,
+    "q_set_except_all" -> setExceptAll _,
+    "q_set_intersect_all" -> setIntersectAll _,
     "q_str_funcs" -> strFuncs _,
     "q_date_funcs" -> dateFuncs _,
     "q_math_funcs" -> mathFuncs _,
@@ -1950,6 +1969,16 @@ object RelationalOps {
         |EXCEPT
         |SELECT p_partkey FROM part WHERE p_size > 10
         |ORDER BY partkey NULLS FIRST""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+        |EXCEPT ALL
+        |SELECT p_partkey FROM part WHERE p_size > 10
+        |ORDER BY partkey NULLS FIRST""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey NULLS FIRST""".stripMargin,
     "q_str_funcs" ->
       """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
         |       substring(p_type, 1, 5) AS type5,

@@ -39,6 +39,20 @@ case class StreamDoc(doc_id: Long, lang: String, n_tok: Long)
 
 /** A streamed corpus document carrying its source for the live mix. */
 case class MixDoc(doc_id: Long, source: String, lang: String, n_tok: Long)
+
+/** A streamed (language, token) observation for the live legend. */
+case class LangToken(lang: String, token: String)
+
+/** One ranked entry of the live heavy-hitters legend. */
+case class HotToken(lang: String, rank: Long, token: String, est: Long)
+
+/** Live CUSUM state: exact-integer recursion after a frozen warmup. */
+case class CusumStreamState(n: Long, warmSum: Long, s: Long, alarms: Long,
+    lastMs: Long)
+
+/** A scored post-warmup point: the CUSUM statistic in value units. */
+case class CusumAlert(metric: String, ts: java.sql.Timestamp, value: Double,
+    stat: Double, fired: Boolean)
 case class RawDoc(doc_id: Long, lang: String, text: String)
 
 /** An admitted document with its stratum's running token total. */
@@ -409,6 +423,86 @@ object Ingest {
                     0.9 * st.dev
                   HoltStreamState(st.n + 1L, lvlNew, trdNew, devNew,
                     st.firstV, ms)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** LIVE heavy hitters — the streaming twin of the native
+    * `heavy_hitters` aggregate ([[graft.functions.MisraGries]] is the
+    * SHARED kernel, so the two surfaces cannot drift): per-language
+    * Misra–Gries summary held as explicit state (bounded at `capacity`
+    * entries per key — never the vocabulary), the ranked top-k legend
+    * re-emitted each micro-batch in Update mode. Within a micro-batch
+    * tokens fold in arrival order; like partition order in the batch
+    * aggregate, the order can shift ESTIMATES once a summary
+    * overflows, while the MG guarantees (never overcounts, undercount
+    * ≤ n/(capacity+1)) hold for every order. */
+  def heavyHittersStream(toks: Dataset[LangToken], capacity: Int = 1024,
+      k: Int = 10): Dataset[HotToken] = {
+    import toks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    toks.groupByKey(_.lang)
+      .flatMapGroupsWithState[Map[String, Long], HotToken](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[LangToken],
+            state: GroupState[Map[String, Long]]) =>
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.foreach { case (t, c) => buf(t) = c })
+          rows.foreach(t =>
+            graft.functions.MisraGries.observe(buf, t.token, capacity))
+          state.update(buf.toMap)
+          graft.functions.MisraGries.topK(buf, k).zipWithIndex.map {
+            case ((tok, est), i) => HotToken(lang, (i + 1).toLong, tok, est)
+          }.iterator
+      }
+  }
+
+  /** LIVE CUSUM changepoint alerting — the online analog of
+    * [[graft.ts.TimeSeriesOps.cusum]] (Page 1954). The batch read
+    * centers on the FULL-series mean, which no stream has; the honest
+    * online variant freezes the reference after a `warmup`-point
+    * learning phase (the standard in-control calibration) and then
+    * runs the identical multiplied-through recursion in EXACT BIGINT:
+    * ys = 1e4-quantized value (the same half-up decimal quantization
+    * as the batch fold), target T = Σ warmup ys, state
+    * S ← max(0, S + warmup·ys − T) (scale warmup·1e4 — integer, so
+    * replays/restarts cannot drift it), alarm while S exceeds
+    * `thresholdUnits` value units. Monotone-clock guard and in-batch
+    * (ts, value) consume order as [[holtAlertStream]]. State per key:
+    * five longs; warmup points emit nothing (the calibration window is
+    * silent by definition). */
+  def cusumAlertStream(points: Dataset[Point], warmup: Int = 24,
+      thresholdUnits: Long = 10L): Dataset[CusumAlert] = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    points.groupByKey(_.metric)
+      .flatMapGroupsWithState[CusumStreamState, CusumAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Point],
+            state: GroupState[CusumStreamState]) =>
+          var st = state.getOption.getOrElse(
+            CusumStreamState(0L, 0L, 0L, 0L, Long.MinValue))
+          val out = Seq.newBuilder[CusumAlert]
+          rows.toSeq.sortBy(p => (p.ts.getTime, p.value)).foreach { p =>
+            if (p.ts.getTime > st.lastMs) {
+              val ys = (BigDecimal(p.value)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000)
+                .toLongExact
+              st = if (st.n < warmup) {
+                st.copy(n = st.n + 1L, warmSum = st.warmSum + ys,
+                  lastMs = p.ts.getTime)
+              } else {
+                val sNew = math.max(0L, st.s + warmup * ys - st.warmSum)
+                val fired = sNew > thresholdUnits * warmup * 10000L
+                out += CusumAlert(metric, p.ts, p.value,
+                  sNew.toDouble / (warmup * 10000L), fired)
+                st.copy(n = st.n + 1L, s = sNew,
+                  alarms = st.alarms + (if (fired) 1L else 0L),
+                  lastMs = p.ts.getTime)
               }
             }
           }

@@ -744,6 +744,82 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** Autocorrelation function at lags 1–3 per series (Box–Jenkins) —
+    * the "is this metric periodic / mean-reverting / trending"
+    * diagnostic behind seasonality detection and forecast-model choice.
+    * Over the hourly consolidated sequence:
+    * acf(k) = Σₜ₌ₖ(vₜ−v̄)(vₜ₋ₖ−v̄) / Σₜ(vₜ−v̄)².
+    *
+    * Oracle-exactness: subtracting a float mean per term would smear
+    * ulps through every product, so the centering is multiplied
+    * through by n — dₜ = n·qₜ − S with qₜ the exact 1e4-scaled BIGINT
+    * value and S = Σq — making every term an exact integer; the shared
+    * n²·10⁸ scale cancels in the ratio. Products accumulate as
+    * DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) (|d| ≤ n·|q| ≈ 7e9,
+    * d² ≈ 5e19, Σ ≈ 4e22 — comfortably inside 38 digits at sf0.1; at
+    * 100 TB the same identity runs per-shard with a two-level decimal
+    * agg). Only the FINAL num/den division is float: both operands
+    * cast correctly-rounded to double, one IEEE division, one shared
+    * rounding. One window pass + one agg shuffle per series. */
+  def acf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("event_type")
+    val wo = wp.orderBy("bucket")
+    val c = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long").as("q"))
+      .withColumn("d", (count(lit(1)).over(wp) * col("q") -
+        sum(col("q")).over(wp)).cast("decimal(19,0)"))
+      .withColumn("d1", lag(col("d"), 1).over(wo))
+      .withColumn("d2", lag(col("d"), 2).over(wo))
+      .withColumn("d3", lag(col("d"), 3).over(wo))
+    def ratio(num: org.apache.spark.sql.Column) =
+      Det.r4(num.cast("double") / col("den").cast("double"))
+    c.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("den"),
+        sum(col("d") * col("d1")).as("s1"),
+        sum(col("d") * col("d2")).as("s2"),
+        sum(col("d") * col("d3")).as("s3"))
+      .select(col("event_type"), col("n"), ratio(col("s1")).as("acf1"),
+        ratio(col("s2")).as("acf2"), ratio(col("s3")).as("acf3"))
+      .orderBy("event_type")
+  }
+
+  /** Partial autocorrelation at lags 1–2 per series (Durbin–Levinson):
+    * φ₁₁ = r₁, φ₂₂ = (r₂ − r₁²)/(1 − r₁²) — the AR-order picker beside
+    * [[acf]]'s MA diagnostic. Exact-sum scaffolding shared with
+    * [[acf]]; rₖ enter the Levinson step as UNROUNDED doubles (each a
+    * single correctly-rounded decimal→double cast + one IEEE division)
+    * and the step itself is three IEEE ops written identically in both
+    * engines — no libm, no engine round() dialect. Squaring r in
+    * decimal would need den² ≈ 10⁴⁵ and overflow DECIMAL(38), which is
+    * exactly why the final algebra runs in float. */
+  def pacf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("event_type")
+    val wo = wp.orderBy("bucket")
+    val c = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long").as("q"))
+      .withColumn("d", (count(lit(1)).over(wp) * col("q") -
+        sum(col("q")).over(wp)).cast("decimal(19,0)"))
+      .withColumn("d1", lag(col("d"), 1).over(wo))
+      .withColumn("d2", lag(col("d"), 2).over(wo))
+    c.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("den"),
+        sum(col("d") * col("d1")).as("s1"),
+        sum(col("d") * col("d2")).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("den").cast("double")).as("r1"),
+        (col("s2").cast("double") / col("den").cast("double")).as("r2"))
+      .select(col("event_type"), col("n"), Det.r4(col("r1")).as("pacf1"),
+        Det.r4((col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1"))).as("pacf2"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `multiplySeries` — the last missing member of the fan-in
     * family (sum/count/range/diff/max/min/avg are done): per-bucket
     * product across the five series. IEEE multiplication is commutative
@@ -1875,6 +1951,8 @@ object TimeSeriesOps {
     "q_ts_dashboard_shift" -> dashboardShift _,
     "q_ts_apply_bynode" -> applyByNode _,
     "q_ts_constant_line" -> constantLineRead _,
+    "q_ts_acf" -> acf _,
+    "q_ts_pacf" -> pacf _,
     "q_ts_range_of_series" -> rangeOfSeries _,
     "q_ts_timeslice" -> timeSlice _,
     "q_ts_hitcount" -> hitcount _,
@@ -2242,6 +2320,66 @@ object TimeSeriesOps {
              " / nullif(" + Det.dsum4Sql("v") + ", 0.0)")} AS host0_share
         |FROM h1 GROUP BY 1, 2
         |ORDER BY node NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_acf" -> {
+      def lagk(k: Int) =
+        s"lag(d, $k) OVER (PARTITION BY event_type ORDER BY bucket)"
+      def ratio(s: String) =
+        Det.r4Sql(s"CAST(sum(d * $s) AS DOUBLE) / CAST(sum(d * d) AS DOUBLE)")
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q
+        |  FROM h1),
+        |cw AS (
+        |  SELECT event_type, bucket,
+        |         CAST(count(*) OVER (PARTITION BY event_type) * q -
+        |              sum(q) OVER (PARTITION BY event_type)
+        |           AS DECIMAL(19,0)) AS d
+        |  FROM c),
+        |cl AS (
+        |  SELECT event_type, d, ${lagk(1)} AS d1, ${lagk(2)} AS d2,
+        |         ${lagk(3)} AS d3
+        |  FROM cw)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ${ratio("d1")} AS acf1,
+        |       ${ratio("d2")} AS acf2,
+        |       ${ratio("d3")} AS acf3
+        |FROM cl GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_pacf" -> {
+      def lagk(k: Int) =
+        s"lag(d, $k) OVER (PARTITION BY event_type ORDER BY bucket)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q
+        |  FROM h1),
+        |cw AS (
+        |  SELECT event_type, bucket,
+        |         CAST(count(*) OVER (PARTITION BY event_type) * q -
+        |              sum(q) OVER (PARTITION BY event_type)
+        |           AS DECIMAL(19,0)) AS d
+        |  FROM c),
+        |cl AS (
+        |  SELECT event_type, d, ${lagk(1)} AS d1, ${lagk(2)} AS d2
+        |  FROM cw),
+        |r AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(d * d1) AS DOUBLE) / CAST(sum(d * d) AS DOUBLE) AS r1,
+        |         CAST(sum(d * d2) AS DOUBLE) / CAST(sum(d * d) AS DOUBLE) AS r2
+        |  FROM cl GROUP BY 1)
+        |SELECT event_type, n, ${Det.r4Sql("r1")} AS pacf1,
+        |       ${Det.r4Sql("(r2 - r1 * r1) / (1.0 - r1 * r1)")} AS pacf2
+        |FROM r
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_constant_line" ->
       s"""WITH g AS (
         |  SELECT date_trunc('hour', ts) AS bucket,

@@ -1209,4 +1209,59 @@ class LlmSpec extends AnyFunSuite {
     assert(meeting.nonEmpty && chosen == meeting.min,
       s"chosen=$chosen but table=$table")
   }
+
+  test("heavy_hitters: exact under capacity, MG-bounded over it, SQL-registered") {
+    val sp = spark
+    import sp.implicits._
+    // exact mode: 4 distinct items under capacity 8 — no decrement can
+    // fire, so the summary IS the exact ranked count table
+    val small = (0 until 110).map(i =>
+      if (i % 11 == 0) "d" else if (i % 3 == 0) "c"
+      else if (i % 2 == 0) "a" else "b")
+    val exactSmall = small.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val gotSmall = sp.createDataset(small).toDF("t")
+      .agg(graft.functions.HeavyHitters(col("t"), 8, 4).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(gotSmall.toSeq ==
+      exactSmall.toSeq.sortBy { case (t, c) => (-c, t) },
+      s"exact-mode mismatch: ${gotSmall.mkString(",")}")
+    // bound mode: a Zipf-skewed stream through a deliberately tiny
+    // summary (corpus token counts are too flat to clear the MG bound)
+    val skewed = (0 until 8).flatMap(i =>
+      Seq.fill(1 << (12 - i))(f"hot$i")) ++
+      (0 until 400).flatMap(i => Seq.fill(3)(f"rare$i%03d"))
+    val toksDf = sp.createDataset(skewed).toDF("t").repartition(7)
+    val exact = toksDf.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val cap = 16
+    val hh = toksDf
+      .agg(graft.functions.HeavyHitters(col("t"), cap, cap).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.size > cap, s"corpus vocab ${exact.size} must exceed $cap")
+    val bound = n / (cap + 1)
+    hh.foreach { case (item, est) =>
+      assert(est <= exact(item), s"$item overcounted: $est > ${exact(item)}")
+      assert(exact(item) - est <= bound,
+        s"$item undercount ${exact(item) - est} > $bound")
+    }
+    val mandatory = exact.filter(_._2 > bound).keySet
+    assert(mandatory.nonEmpty, "degenerate: no token above the MG bound")
+    assert(mandatory.subsetOf(hh.map(_._1).toSet),
+      s"missing guaranteed heavy hitters: ${mandatory -- hh.map(_._1).toSet}")
+    // SQL surface
+    graft.functions.registerAll(sp)
+    sp.createDataset(small).toDF("t").createOrReplaceTempView("hh_small")
+    val viaSql = sp.sql(
+      "SELECT explode(heavy_hitters(t, 8, 1)) AS e FROM hh_small")
+      .select("e.item", "e.est").collect()
+    val top1 = exactSmall.toSeq.sortBy { case (t, c) => (-c, t) }.head
+    assert(viaSql.length == 1 && viaSql.head.getString(0) == top1._1 &&
+      viaSql.head.getLong(1) == top1._2, s"sql path: ${viaSql.mkString(",")}")
+  }
 }

@@ -217,6 +217,62 @@ class StreamingSpec extends AnyFunSuite {
       s"degenerate sample: ${expect.size} of ${docs.length} kept")
   }
 
+  test("s_heavy_hitters: live legend exact under capacity, state persists") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[graft.streaming.LangToken]
+    val q = runToMemory(
+      Ingest.heavyHittersStream(in.toDS(), capacity = 16, k = 3).toDF(),
+      "hot_tokens", OutputMode.Update())
+    def toks(ts: (String, Int)*) = ts.flatMap { case (t, n) =>
+      Seq.fill(n)(graft.streaming.LangToken("en", t)) }
+    in.addData(toks("alpha" -> 5, "beta" -> 3, "gamma" -> 1): _*)
+    q.processAllAvailable()
+    val b1 = sp.sql(
+      "SELECT rank, token, est FROM hot_tokens ORDER BY rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(b1.toSeq == Seq((1L, "alpha", 5L), (2L, "beta", 3L),
+      (3L, "gamma", 1L)), s"batch1 legend: ${b1.mkString(",")}")
+    // batch 2: counts accumulate on top of batch-1 state; gamma
+    // overtakes beta, delta enters below the k=3 cut
+    in.addData(toks("gamma" -> 6, "beta" -> 1, "delta" -> 2): _*)
+    q.processAllAvailable(); q.stop()
+    // Update-mode memory sink appends each emission; the latest legend
+    // is the last 3 rows written
+    val all = sp.sql("SELECT rank, token, est FROM hot_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val b2 = all.drop(3)
+    assert(b2.toSeq == Seq((1L, "gamma", 7L), (2L, "alpha", 5L),
+      (3L, "beta", 4L)), s"batch2 legend: ${b2.mkString(",")}")
+  }
+
+  test("s_cusum_alert: exact-integer changepoint stat across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[Point]
+    val q = runToMemory(
+      Ingest.cusumAlertStream(in.toDS(), warmup = 4, thresholdUnits = 10L)
+        .toDF(), "cusum_alert", OutputMode.Append())
+    def pt(i: Int, v: Double) = Point("m", ts(f"2024-01-01 10:00:${i}%02d"), v)
+    // batch 1: 4 warmup points at 10.0 (silent) + 2 shifted points
+    in.addData((0 to 3).map(pt(_, 10.0)) ++ Seq(pt(4, 13.0), pt(5, 13.0)): _*)
+    q.processAllAvailable()
+    val mid = sp.sql("SELECT stat, fired FROM cusum_alert ORDER BY ts")
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    assert(mid.toSeq == Seq((3.0, false), (6.0, false)),
+      s"warmup leak or wrong drift: ${mid.mkString(",")}")
+    // batch 2: state persists — stat keeps climbing 3 units per point,
+    // crosses the 10-unit threshold at the 4th post-warmup point
+    in.addData(pt(6, 13.0), pt(7, 13.0), pt(8, 13.0))
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql("SELECT stat, fired FROM cusum_alert ORDER BY ts")
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    assert(rows.toSeq == Seq((3.0, false), (6.0, false), (9.0, false),
+      (12.0, true), (15.0, true)), s"cusum path: ${rows.mkString(",")}")
+  }
+
   test("s_domain_mix: live cube rolls up field-equal to the batch scorecard") {
     val sp = spark
     import sp.implicits._
