@@ -1,0 +1,69 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL corpus ingest — the format LLM training dumps actually arrive
+  * in (one JSON document per line, frequently with a malformed tail
+  * from truncated uploads). Same dead-letter discipline as the line
+  * protocol's `parseLinesQuarantine`: nothing is silently dropped,
+  * every rejected line survives with its raw text and a reason tag so
+  * the feed owner can be paged with evidence.
+  *
+  * Scale posture: `spark.read.json` with an EXPLICIT schema — schema
+  * inference would scan 100 TB twice; the declared schema makes the
+  * read single-pass and lets Catalyst prune columns line-parse-side.
+  * PERMISSIVE mode routes unparseable lines into the corrupt-record
+  * column instead of failing the job (FAILFAST) or silently nulling
+  * rows (DROPMALFORMED).
+  */
+object CorpusJsonl {
+
+  /** The corpus document contract (documents.parquet's shape) plus the
+    * corrupt-record capture column. */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("lang", StringType),
+    StructField("text", StringType),
+    StructField("_raw_bad", StringType)))
+
+  /** Read a JSONL path into (accepted, quarantined).
+    *
+    * Accepted rows carry the typed document columns; quarantined rows
+    * carry the raw line and a reason: `unparseable` (not JSON / wrong
+    * types — Spark put the line in the corrupt column) or
+    * `missing_field` (valid JSON missing a required field — doc_id and
+    * text are load-bearing downstream; source/lang default instead:
+    * an unlabeled document is usable, an id-less or text-less one is
+    * not). The split is one predicate over a single parse pass — the
+    * input is never read twice. */
+  def readQuarantine(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val parsed = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_raw_bad")
+      .json(path)
+      // Spark refuses plans that project ONLY the corrupt column off a
+      // lazy json relation; materializing the parse once also keeps the
+      // two forks from re-reading the input
+      .localCheckpoint()
+    val bad = parsed.where(col("_raw_bad").isNotNull ||
+        col("doc_id").isNull || col("text").isNull)
+      .select(
+        coalesce(col("_raw_bad"),
+          to_json(struct(col("doc_id"), col("source"), col("lang"),
+            col("text")))).as("raw"),
+        when(col("_raw_bad").isNotNull, "unparseable")
+          .otherwise("missing_field").as("reason"))
+    val good = parsed.where(col("_raw_bad").isNull &&
+        col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        coalesce(col("lang"), lit("und")).as("lang"),
+        col("text"))
+    (good, bad)
+  }
+}

@@ -40,6 +40,13 @@ class PlanSpec extends AnyFunSuite {
       s"simhash signature agg should be partial:\n$p")
   }
 
+  test("heavy_hitters partial-aggregates: the shuffle carries summaries") {
+    val p = plan("q_llm_heavy_hitters")
+    assert(p.contains("partial_heavy_hitters"),
+      s"heavy_hitters must map-side combine (shuffle = one <=capacity " +
+        s"summary per lang x partition, never the token stream):\n$p")
+  }
+
   test("global top-k uses TakeOrderedAndProject, not a full sort") {
     Seq("q_ts_topk_series", "q_sort_limit", "q_scan_project",
       "q_llm_cosine_topk", "q_ts_most_deviant").foreach { q =>
