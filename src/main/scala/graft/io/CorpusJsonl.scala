@@ -39,17 +39,9 @@ object CorpusJsonl {
     * an unlabeled document is usable, an id-less or text-less one is
     * not). The split is one predicate over a single parse pass — the
     * input is never read twice. */
-  def readQuarantine(spark: SparkSession, path: String)
-      : (DataFrame, DataFrame) = {
-    val parsed = spark.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_raw_bad")
-      .json(path)
-      // Spark refuses plans that project ONLY the corrupt column off a
-      // lazy json relation; materializing the parse once also keeps the
-      // two forks from re-reading the input
-      .localCheckpoint()
+  /** The accept/quarantine fork — ONE set of predicates shared by the
+    * batch and streaming readers so the two doors cannot drift. */
+  private def split(parsed: DataFrame): (DataFrame, DataFrame) = {
     val bad = parsed.where(col("_raw_bad").isNotNull ||
         col("doc_id").isNull || col("text").isNull)
       .select(
@@ -66,4 +58,37 @@ object CorpusJsonl {
         col("text"))
     (good, bad)
   }
+
+  def readQuarantine(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    split(spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_raw_bad")
+      .json(path)
+      // Spark refuses plans that project ONLY the corrupt column off a
+      // lazy json relation; materializing the parse once also keeps the
+      // two forks from re-reading the input
+      .localCheckpoint())
+
+  /** Streaming twin: watch a directory for arriving JSONL dumps and
+    * apply the SAME accept/quarantine split — the front door of the
+    * streaming corpus pipeline (→ gopherGate → dedupCorpusStream →
+    * budget admit). One streaming source, forked by the same
+    * predicates; `maxFilesPerTrigger` bounds a micro-batch so one
+    * giant dump cannot stall the trigger cadence. The corrupt-column
+    * limitation that forces the batch reader's checkpoint does not
+    * arise: both forks project typed columns alongside `_raw_bad`.
+    * Returns (accepted, quarantined) streaming DataFrames; each fork
+    * started as its own query lists the directory independently —
+    * callers that must parse each dump exactly once wrap ONE fork in
+    * `foreachBatch` and apply the batch split per micro-batch. */
+  def readStreamQuarantine(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): (DataFrame, DataFrame) =
+    split(spark.readStream
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_raw_bad")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir))
 }

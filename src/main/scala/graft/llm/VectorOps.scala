@@ -599,7 +599,55 @@ object VectorOps {
       .orderBy("nprobe")
   }
 
+  /** Matryoshka-truncation tradeoff (Kusupati et al., NeurIPS'22): the
+    * "how many leading dims can retrieval drop" calibration read — for
+    * each prefix length, exact top-10 by truncated cosine against the
+    * full-dim truth, recall + the proportional FLOP cost. Prefixes are
+    * `slice` projections (map-side); each pass is one broadcast
+    * crossJoin of the 16-query panel (k-row side, never corpus ×
+    * corpus) + one per-query TakeOrdered-sized window. The query panel
+    * and corpus checkpoint ONCE lazily — four prefix passes union over
+    * the same materialization, not four scans (the union-CSE hazard).
+    * No oracle: float similarity ranking is engine-side by design;
+    * LlmSpec asserts recall(full)=1 and monotone degradation. */
+  def mrlTradeoff(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(eager = false)
+    val qs = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val corpus = e.where(col("vec_id") >= 16)
+    val dims = Seq(64, 32, 16, 8)
+    val ranked = dims.map { d =>
+      corpus.select(col("vec_id"), slice(col("embedding"), 1, d).as("v"))
+        .crossJoin(broadcast(qs.select(col("q_id"),
+          slice(col("qe"), 1, d).as("qv"))))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.CosineSim(col("v"), col("qv")).as("sim"))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+        .where(col("rk") <= 10)
+        .select(lit(d).as("dims"), col("q_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+      // referenced twice below (as itself and as the truth side): pin it
+      // or the 4-pass union executes twice
+      .localCheckpoint(eager = false)
+    val truth = ranked.where(col("dims") === 64)
+      .select(col("q_id"), col("vec_id"))
+    ranked.join(truth, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("dims").cast("long").as("dims"))
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("hits"))
+      .select(col("dims"), col("n_queries"),
+        graft.util.Det.r4(col("hits").cast("double") /
+          (col("n_queries") * lit(10)).cast("double")).as("recall"),
+        graft.util.Det.r4(col("dims").cast("double") / lit(64.0))
+          .as("flop_ratio"))
+      .orderBy(col("dims").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_mrl_tradeoff" -> mrlTradeoff _,
     "q_llm_nprobe_tradeoff" -> nprobeTradeoff _,
     "q_llm_kmeans" -> kmeansClusters _,
     "q_llm_ivf_health" -> ivfHealth _,

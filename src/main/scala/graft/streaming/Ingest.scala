@@ -431,6 +431,21 @@ object Ingest {
       }
   }
 
+  /** LIVE cardinality monitor — per-source approximate distinct
+    * document count over the stream (HLL++ via
+    * `approx_count_distinct`, the same sketch behind `q_agg_hll`):
+    * the "is this feed suddenly all duplicates / suddenly exploding"
+    * panel. ONE complete-mode streaming aggregation whose state per
+    * source is the fixed-width HLL register set plus two longs —
+    * bounded regardless of corpus size, which is the whole point: an
+    * exact streaming distinct would grow state with every new content
+    * hash forever. Emits n_docs, the distinct estimate, and the
+    * apparent duplication ratio. */
+  def cardinalityMonitor(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("content_key")).as("approx_distinct"))
+
   /** LIVE heavy hitters — the streaming twin of the native
     * `heavy_hitters` aggregate ([[graft.functions.MisraGries]] is the
     * SHARED kernel, so the two surfaces cannot drift): per-language

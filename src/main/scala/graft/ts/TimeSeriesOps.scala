@@ -820,6 +820,27 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** 10%-trimmed mean per series — the robust-center member beside the
+    * median/MAD/Theil–Sen family: drop the bottom and top ⌊n/10⌋
+    * values by INTEGER rank over the (v, bucket) total order (an
+    * interpolating trim would re-open the cross-engine percentile
+    * dialect problem; an indexed cut cannot), then the exact-decimal
+    * mean of the kept values. One window pass + one agg per series. */
+  def trimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("v", "bucket")
+    hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("r") > expr("n DIV 10") &&
+        col("r") <= col("n") - expr("n DIV 10"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        Det.davg4(col("v")).as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `multiplySeries` — the last missing member of the fan-in
     * family (sum/count/range/diff/max/min/avg are done): per-bucket
     * product across the five series. IEEE multiplication is commutative
@@ -1953,6 +1974,7 @@ object TimeSeriesOps {
     "q_ts_constant_line" -> constantLineRead _,
     "q_ts_acf" -> acf _,
     "q_ts_pacf" -> pacf _,
+    "q_ts_trimmed_mean" -> trimmedMean _,
     "q_ts_range_of_series" -> rangeOfSeries _,
     "q_ts_timeslice" -> timeSlice _,
     "q_ts_hitcount" -> hitcount _,
@@ -2380,6 +2402,22 @@ object TimeSeriesOps {
         |FROM r
         |ORDER BY event_type NULLS FIRST""".stripMargin
     },
+    "q_ts_trimmed_mean" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY v, bucket) AS r,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM h1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |       ${Det.davg4Sql("v")} AS trimmed_mean
+        |FROM rk WHERE r > n // 10 AND r <= n - n // 10
+        |GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_ts_constant_line" ->
       s"""WITH g AS (
         |  SELECT date_trunc('hour', ts) AS bucket,

@@ -38,4 +38,44 @@ class CorpusJsonlSpec extends AnyFunSuite {
     // accepted + quarantined = input lines: nothing silently dropped
     assert(g.length + b.length == 5)
   }
+
+  test("jsonl stream: arriving dumps split through the same fork") {
+    val sp = spark
+    val dir = Files.createTempDirectory("jsonl_stream").toFile
+    dir.deleteOnExit()
+    def dump(name: String, lines: String*): Unit = {
+      val tmp = new java.io.File(dir, name + ".tmp")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      lines.foreach(w.println)
+      w.close()
+      // atomic rename: the file source must never see a half-written dump
+      tmp.renameTo(new java.io.File(dir, name))
+    }
+    dump("d1.jsonl",
+      """{"doc_id":10,"source":"web","lang":"en","text":"first dump"}""",
+      """{broken""")
+    val (good, bad) = graft.io.CorpusJsonl.readStreamQuarantine(
+      sp, dir.getAbsolutePath)
+    val qg = good.writeStream.format("memory").queryName("jsonl_good")
+      .outputMode("append").start()
+    val qb = bad.writeStream.format("memory").queryName("jsonl_bad")
+      .outputMode("append").start()
+    qg.processAllAvailable(); qb.processAllAvailable()
+    assert(sp.table("jsonl_good").count() == 1)
+    assert(sp.table("jsonl_bad").count() == 1)
+    // a later dump lands in a later micro-batch
+    dump("d2.jsonl",
+      """{"doc_id":11,"text":"second dump"}""",
+      """{"doc_id":12,"source":"web"}""")
+    qg.processAllAvailable(); qb.processAllAvailable()
+    qg.stop(); qb.stop()
+    val g = sp.sql("SELECT doc_id, source, lang FROM jsonl_good ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(g.toSeq == Seq((10L, "web", "en"), (11L, "unknown", "und")),
+      s"accepted: ${g.mkString(",")}")
+    val reasons = sp.sql("SELECT reason FROM jsonl_bad").collect()
+      .map(_.getString(0)).sorted
+    assert(reasons.toSeq == Seq("missing_field", "unparseable"),
+      s"quarantined: ${reasons.mkString(",")}")
+  }
 }

@@ -1210,6 +1210,19 @@ class LlmSpec extends AnyFunSuite {
       s"chosen=$chosen but table=$table")
   }
 
+  test("mrl_tradeoff: full-dim recall is 1, degradation is monotone") {
+    val rows = VectorOps.mrlTradeoff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(64L, 32L, 16L, 8L))
+    assert(rows.head._2 == 1.0, s"full-dim recall must be 1: ${rows.head}")
+    rows.sliding(2).foreach { case Array((d1, r1, _), (d2, r2, _)) =>
+      assert(r2 <= r1, s"recall must not rise as dims shrink: " +
+        s"$d1->$r1 vs $d2->$r2")
+    }
+    assert(rows.forall(_._2 > 0.0), "degenerate zero recall")
+    assert(rows.map(_._3).toSeq == Seq(1.0, 0.5, 0.25, 0.125))
+  }
+
   test("heavy_hitters: exact under capacity, MG-bounded over it, SQL-registered") {
     val sp = spark
     import sp.implicits._

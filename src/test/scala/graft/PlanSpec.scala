@@ -25,7 +25,9 @@ class PlanSpec extends AnyFunSuite {
     Seq("q_ts_rollup_avg", "q_ts_rollup_sum", "q_join_inner",
       "q_agg_distinct", "q_llm_text_stats", "q_ts_summarize",
       "q_ts_series_ratio", "q_ts_glob_fetch", "q_join_full",
-      "q_ts_max_series", "q_ts_hitcount", "q_ts_sort_by_total").foreach { q =>
+      "q_ts_max_series", "q_ts_hitcount", "q_ts_sort_by_total",
+      "q_agg_benford", "q_ts_acf", "q_ts_pacf", "q_ts_apply_bynode",
+      "q_ts_trimmed_mean").foreach { q =>
       val p = plan(q)
       assert(p.contains("partial_"), s"$q has no partial aggregation:\n$p")
     }

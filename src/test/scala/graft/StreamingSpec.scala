@@ -217,6 +217,37 @@ class StreamingSpec extends AnyFunSuite {
       s"degenerate sample: ${expect.size} of ${docs.length} kept")
   }
 
+  test("s_cardinality: live HLL distinct tracks exact within sketch error") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = runToMemory(
+      Ingest.cardinalityMonitor(
+        in.toDF().toDF("source", "content_key")),
+      "cardinality", OutputMode.Complete())
+    // batch 1: web has 100 distinct keys + 100 repeats of one key
+    in.addData((0 until 100).map(i => ("web", f"k$i%03d")) ++
+      Seq.fill(100)(("web", "k000")): _*)
+    q.processAllAvailable()
+    val b1 = sp.table("cardinality").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(b1("web")._1 == 200L)
+    // default HLL++ rsd is 5%; allow 3 sigma
+    assert(math.abs(b1("web")._2 - 100L) <= 15,
+      s"distinct estimate off: ${b1("web")}")
+    // batch 2: 50 NEW keys for web (state accumulates), a new source
+    in.addData((100 until 150).map(i => ("web", f"k$i%03d")) ++
+      (0 until 20).map(i => ("api", f"a$i%02d")): _*)
+    q.processAllAvailable(); q.stop()
+    val b2 = sp.table("cardinality").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(b2("web")._1 == 250L && math.abs(b2("web")._2 - 150L) <= 20,
+      s"web after batch2: ${b2("web")}")
+    assert(b2("api")._1 == 20L && math.abs(b2("api")._2 - 20L) <= 3,
+      s"api: ${b2("api")}")
+  }
+
   test("s_heavy_hitters: live legend exact under capacity, state persists") {
     val sp = spark
     import sp.implicits._
