@@ -1290,6 +1290,34 @@ object TimeSeriesOps {
       .orderBy("cohort", "day_offset")
   }
 
+  /** DAU/WAU STICKINESS — the standard engagement panel (daily actives
+    * over trailing-7-day actives, the "how habitual is usage" ratio).
+    * The trailing-window distinct is NOT a day×activity range join:
+    * every active (user, day) row explodes map-side to the ≤7 panel
+    * days it supports (`sequence` — bounded 7× fanout), then ONE
+    * distinct-agg per panel day yields WAU beside DAU's per-day
+    * distinct. The (user, day) grain checkpoints once and serves both
+    * sides. Early panel days carry their honest truncated lookback.
+    * At 100 TB: two distinct-agg shuffles keyed on day — never a
+    * per-day 7-day self-join. */
+  def dauStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val dau = act.groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = act
+      .select(col("user_id"), explode(expr(
+        "sequence(d, d + INTERVAL 6 DAYS, INTERVAL 1 DAY)")).as("panel_d"))
+      .groupBy(col("panel_d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("d") === col("panel_d"))
+      .select(col("d"), col("dau"), col("wau"),
+        Det.r4(col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("d")
+  }
+
   /** LAST-TOUCH ATTRIBUTION — the fourth product-analytics read next to
     * [[sessionize]]/[[funnel]]/[[cohortRetention]]: every purchase
     * attributes its value to the user's most recent PRIOR touch (click
@@ -1986,6 +2014,7 @@ object TimeSeriesOps {
     "q_sessionize" -> sessionize _,
     "q_funnel" -> funnel _,
     "q_cohort_retention" -> cohortRetention _,
+    "q_dau_stickiness" -> dauStickiness _,
     "q_attribution" -> attribution _,
     "q_ts_burn_rate" -> burnRate _,
     "q_ts_dashboard" -> dashboard _,
@@ -3284,6 +3313,23 @@ object TimeSeriesOps {
         |WHERE (epoch_us(d) - epoch_us(cohort)) // 86400000000 <= 7
         |GROUP BY 1, 2
         |ORDER BY cohort NULLS FIRST, day_offset NULLS FIRST""".stripMargin,
+    "q_dau_stickiness" ->
+      s"""WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |dau AS (
+        |  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM act GROUP BY 1),
+        |wau AS (
+        |  SELECT t.p AS panel_d,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM act,
+        |       unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |                              INTERVAL 1 DAY)) AS t(p)
+        |  GROUP BY 1)
+        |SELECT d, dau, wau,
+        |       ${Det.r4Sql("CAST(dau AS DOUBLE) / wau")} AS stickiness
+        |FROM dau JOIN wau ON panel_d = d
+        |ORDER BY d NULLS FIRST""".stripMargin,
     "q_attribution" ->
       """WITH s AS (
         |  SELECT event_type, value,
