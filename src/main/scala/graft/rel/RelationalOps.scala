@@ -200,6 +200,33 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join — [[joinAsof]] mirrored: each signup finds the
+    * FIRST purchase at-or-after it (time-to-first-conversion, the
+    * onboarding funnel's core measure). Same single-window technique
+    * with the frame reversed (currentRow → unboundedFollowing, first
+    * ignoreNulls); at equal ts the signup orders BEFORE the purchase
+    * (is_s DESC — booleans sort false<true in both engines) so a
+    * same-instant conversion counts. Unconverted signups keep NULL
+    * through the exact epoch-µs gap arithmetic identically. One
+    * user_id exchange is the entire shuffle cost. */
+  def joinAsofFwd(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("ts")).as("p_ts"),
+        (col("event_type") === "signup").as("is_s"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_s").desc, col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("next_p_ts", first(col("p_ts"), ignoreNulls = true).over(w))
+      .where(col("is_s"))
+      .select(col("event_id"), col("user_id"), col("ts").as("s_ts"),
+        col("next_p_ts"),
+        expr("(unix_micros(next_p_ts) - unix_micros(ts)) div 1000000")
+          .as("secs_to_convert"))
+      .orderBy("event_id")
+  }
+
   /** Interval join: events bucketed into a 7-day window grid. The grid is
     * a handful of rows → broadcast; empty windows survive via left join. */
   def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1317,6 +1344,7 @@ object RelationalOps {
     "q_map_funcs" -> mapFuncs _,
     "q_window_range" -> windowRange _,
     "q_join_asof" -> joinAsof _,
+    "q_join_asof_fwd" -> joinAsofFwd _,
     "q_join_interval" -> joinInterval _,
     "q_agg_rollup_sets" -> aggRollupSets _,
     "q_agg_cube" -> aggCube _,
@@ -1807,6 +1835,17 @@ object RelationalOps {
         |          AND s.ts <= e.ts) AS signup_ts
         |FROM events e WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id NULLS FIRST""".stripMargin,
+    "q_join_asof_fwd" ->
+      """WITH s AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |         (SELECT min(p.ts) FROM events p
+        |          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |            AND p.ts >= e.ts) AS next_p_ts
+        |  FROM events e WHERE e.event_type = 'signup')
+        |SELECT event_id, user_id, ts AS s_ts, next_p_ts,
+        |       CAST((epoch_us(next_p_ts) - epoch_us(ts)) // 1000000
+        |         AS BIGINT) AS secs_to_convert
+        |FROM s ORDER BY event_id NULLS FIRST""".stripMargin,
     "q_join_interval" ->
       s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
         |                   TIMESTAMP '2024-01-29', INTERVAL '7 days')) AS w_start)
