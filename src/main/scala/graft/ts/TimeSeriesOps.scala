@@ -917,6 +917,36 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** DAMPED-trend Holt (Gardner–McKenzie 1985) — the forecasting
+    * standard the plain linear trend lacks: the trend decays by φ=0.98
+    * each step, so long-horizon forecasts flatten instead of running
+    * off linearly (the M-competitions' default winner). Same proven
+    * fold ↔ recursive-CTE pairing as [[holtForecast]]; every damping
+    * multiply is written φ·trd FIRST then scaled, identically in both
+    * engines, keeping the IEEE op sequence bit-equal. */
+  def holtDamped(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    h1.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
+        .as("pts"))
+      .where(size(col("pts")) >= 2)
+      .select(col("event_type"), size(col("pts")).as("n"),
+        expr(
+          """aggregate(
+            |  slice(pts, 3, greatest(size(pts) - 2, 0)),
+            |  named_struct(
+            |    'lvl', pts[0].v,
+            |    'trd', CAST(pts[1].v - pts[0].v AS DOUBLE)),
+            |  (acc, p) -> named_struct(
+            |    'lvl', 0.1D * p.v + 0.9D * (acc.lvl + 0.98D * acc.trd),
+            |    'trd', 0.01D * (0.1D * p.v
+            |             + 0.9D * (acc.lvl + 0.98D * acc.trd) - acc.lvl)
+            |           + 0.99D * (0.98D * acc.trd)),
+            |  acc -> acc.lvl + 0.98D * acc.trd)""".stripMargin)
+          .as("forecast"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `holtWintersForecast` with DAILY seasonality — the full
     * triple (level + trend + 24-slot additive season) smoothing behind
     * graphite-web's aberration alerting (`render/functions.py —
@@ -2003,6 +2033,7 @@ object TimeSeriesOps {
     "q_ts_acf" -> acf _,
     "q_ts_pacf" -> pacf _,
     "q_ts_trimmed_mean" -> trimmedMean _,
+    "q_ts_holt_damped" -> holtDamped _,
     "q_ts_range_of_series" -> rangeOfSeries _,
     "q_ts_timeslice" -> timeSlice _,
     "q_ts_hitcount" -> hitcount _,
@@ -2951,6 +2982,39 @@ object TimeSeriesOps {
         |    AND r.rn = rec.rn + 1)
         |SELECT rec.event_type, CAST(cnt.n AS INT) AS n,
         |       rec.lvl + rec.trd AS forecast
+        |FROM rec JOIN cnt ON cnt.event_type = rec.event_type
+        |WHERE rec.rn = cnt.n
+        |ORDER BY rec.event_type NULLS FIRST""".stripMargin,
+    "q_ts_holt_damped" ->
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM h1),
+        |cnt AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+        |rec AS (
+        |  SELECT r1.event_type, 2 AS rn, r1.v AS lvl, r2.v - r1.v AS trd
+        |  FROM r r1 JOIN r r2 ON r2.event_type = r1.event_type AND r2.rn = 2
+        |  WHERE r1.rn = 1
+        |  UNION ALL
+        |  SELECT rec.event_type, rec.rn + 1,
+        |         CAST(0.1 AS DOUBLE) * r.v
+        |           + CAST(0.9 AS DOUBLE)
+        |             * (rec.lvl + CAST(0.98 AS DOUBLE) * rec.trd),
+        |         CAST(0.01 AS DOUBLE) * (CAST(0.1 AS DOUBLE) * r.v
+        |             + CAST(0.9 AS DOUBLE)
+        |               * (rec.lvl + CAST(0.98 AS DOUBLE) * rec.trd)
+        |             - rec.lvl)
+        |           + CAST(0.99 AS DOUBLE)
+        |             * (CAST(0.98 AS DOUBLE) * rec.trd)
+        |  FROM rec JOIN r ON r.event_type = rec.event_type
+        |    AND r.rn = rec.rn + 1)
+        |SELECT rec.event_type, CAST(cnt.n AS INT) AS n,
+        |       rec.lvl + CAST(0.98 AS DOUBLE) * rec.trd AS forecast
         |FROM rec JOIN cnt ON cnt.event_type = rec.event_type
         |WHERE rec.rn = cnt.n
         |ORDER BY rec.event_type NULLS FIRST""".stripMargin,
