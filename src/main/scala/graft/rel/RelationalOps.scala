@@ -227,6 +227,34 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** Time-to-convert summary — the 1-row onboarding dashboard over
+    * [[joinAsofFwd]]'s gaps: conversion rate plus exact p50/p90
+    * seconds-to-convert by INTEGER rank (ceil(q·n) = (q·n + denom−1)
+    * div denom — indexed selection, never an interpolating percentile
+    * dialect). The global rank window sorts only the CONVERTED-signup
+    * summary rows (two longs each, already the heavy reduction) for a
+    * single-row answer — the one place a global sort is the honest
+    * plan; per-key percentile reads partition instead (nPercentile). */
+  def timeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = joinAsofFwd(spark, sfDir).localCheckpoint(eager = false)
+    val ranked = f.where(col("next_p_ts").isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("secs_to_convert"), col("event_id"))))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
+    val tot = f.agg(count(lit(1)).as("n_signups"))
+    ranked.agg(
+        max(col("nc")).as("n_converted"),
+        max(when(col("rk") === expr("(nc + 1) div 2"),
+          col("secs_to_convert"))).as("p50_secs"),
+        max(when(col("rk") === expr("(9 * nc + 9) div 10"),
+          col("secs_to_convert"))).as("p90_secs"))
+      .crossJoin(tot)
+      .select(col("n_signups"), col("n_converted"),
+        Det.r4(col("n_converted").cast("double") / col("n_signups"))
+          .as("cvr"),
+        col("p50_secs"), col("p90_secs"))
+  }
+
   /** Interval join: events bucketed into a 7-day window grid. The grid is
     * a handful of rows → broadcast; empty windows survive via left join. */
   def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1345,6 +1373,7 @@ object RelationalOps {
     "q_window_range" -> windowRange _,
     "q_join_asof" -> joinAsof _,
     "q_join_asof_fwd" -> joinAsofFwd _,
+    "q_time_to_convert" -> timeToConvert _,
     "q_join_interval" -> joinInterval _,
     "q_agg_rollup_sets" -> aggRollupSets _,
     "q_agg_cube" -> aggCube _,
@@ -1846,6 +1875,31 @@ object RelationalOps {
         |       CAST((epoch_us(next_p_ts) - epoch_us(ts)) // 1000000
         |         AS BIGINT) AS secs_to_convert
         |FROM s ORDER BY event_id NULLS FIRST""".stripMargin,
+    "q_time_to_convert" -> {
+      val r4 = graft.util.Det.r4Sql("CAST(max(nc) AS DOUBLE) / max(ns)")
+      """WITH s AS (
+        |  SELECT e.event_id, e.ts,
+        |         (SELECT min(p.ts) FROM events p
+        |          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |            AND p.ts >= e.ts) AS next_p_ts
+        |  FROM events e WHERE e.event_type = 'signup'),
+        |conv AS (
+        |  SELECT event_id,
+        |         CAST((epoch_us(next_p_ts) - epoch_us(ts)) // 1000000
+        |           AS BIGINT) AS secs
+        |  FROM s WHERE next_p_ts IS NOT NULL),
+        |rk AS (
+        |  SELECT secs,
+        |         row_number() OVER (ORDER BY secs, event_id) AS rk,
+        |         CAST(count(*) OVER () AS BIGINT) AS nc
+        |  FROM conv),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM s)
+        |SELECT max(ns) AS n_signups, max(nc) AS n_converted,
+        |       """.stripMargin + r4 + """ AS cvr,
+        |       max(CASE WHEN rk = (nc + 1) // 2 THEN secs END) AS p50_secs,
+        |       max(CASE WHEN rk = (9 * nc + 9) // 10 THEN secs END) AS p90_secs
+        |FROM rk CROSS JOIN tot""".stripMargin
+    },
     "q_join_interval" ->
       s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
         |                   TIMESTAMP '2024-01-29', INTERVAL '7 days')) AS w_start)
