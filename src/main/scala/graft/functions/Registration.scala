@@ -38,6 +38,23 @@ object GraftFunctionRegistry {
         }
         HeavyHittersAggExpr(exprs.head, intLit(exprs(1), "capacity"),
           intLit(exprs(2), "k"))
+      }),
+    (FunctionIdentifier("cm_sketch"),
+      new ExpressionInfo(classOf[CountMinAggExpr].getName, "cm_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "cm_sketch(item, depthLit, widthLit)")
+        def intLit(e: Expression, what: String): Int = {
+          require(e.foldable, s"cm_sketch: $what must be a literal")
+          e.eval().asInstanceOf[Number].intValue
+        }
+        CountMinAggExpr(exprs.head, intLit(exprs(1), "depth"),
+          intLit(exprs(2), "width"))
+      }),
+    (FunctionIdentifier("cm_query"),
+      new ExpressionInfo(classOf[CmQueryExpr].getName, "cm_query"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cm_query(sketch, item)")
+        CmQueryExpr(exprs.head, exprs(1))
       }))
 
   /** Register into a LIVE session (notebooks, tests). */

@@ -62,6 +62,21 @@ package object functions {
       org.apache.spark.sql.graft.HeavyHittersAggExpr(c, capacity, k)
   }
 
+  /** Native count–min sketch aggregate: STRING column → serialized
+    * depth×width sketch (BINARY); never undercounts, exact pointwise
+    * merge. Probe with [[CmQuery]] / SQL `cm_query`. */
+  object CmSketch {
+    def apply(c: Column, depth: Int, width: Int): Column =
+      org.apache.spark.sql.graft.CountMinAggExpr(c, depth, width)
+  }
+
+  /** Point lookup against a serialized count–min sketch → LONG estimate
+    * (min over rows; ≥ the true count, codegen'd cell reads). */
+  object CmQuery {
+    def apply(sketch: Column, item: Column): Column =
+      org.apache.spark.sql.graft.CmQueryExpr(sketch, item)
+  }
+
   /** Register graft's native expressions as SQL functions in a live
     * session (`cosine_sim`, `simhash_agg`); for session-build wiring use
     * `spark.sql.extensions=graft.GraftExtensions`. Idempotent. */

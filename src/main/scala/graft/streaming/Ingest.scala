@@ -55,6 +55,23 @@ case class CusumAlert(metric: String, ts: java.sql.Timestamp, value: Double,
     stat: Double, fired: Boolean)
 case class RawDoc(doc_id: Long, lang: String, text: String)
 
+/** A typed user event for the live funnel — the product-analytics
+  * view→click→purchase progression (batch twin:
+  * [[graft.ts.TimeSeriesOps.funnel]]) as arbitrary state. */
+case class FunnelEvent(user_id: Long, event_type: String,
+    ts: java.sql.Timestamp)
+
+/** Per-user live-funnel state: epoch ms of each stage's first
+  * qualifying hit (-1 = not reached) plus the last consumed event-time
+  * (the monotone-consumption guard shared with the Holt/CUSUM lives). */
+case class FunnelProgress(viewMs: Long, clickMs: Long, purchaseMs: Long,
+    lastMs: Long)
+
+/** An emitted funnel transition; `closed` rows come from the
+  * idle-timeout branch (the journey's final depth at eviction). */
+case class FunnelHit(user_id: Long, stage: Long, stage_name: String,
+    ts: java.sql.Timestamp, closed: Boolean)
+
 /** An admitted document with its stratum's running token total. */
 case class AdmittedDoc(doc_id: Long, lang: String, n_tok: Long, cum: Long)
 
@@ -614,6 +631,87 @@ object Ingest {
               state.setTimeoutTimestamp(s.endMs + gapMs)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** LIVE FUNNEL — the streaming twin of the batch conversion funnel
+    * ([[graft.ts.TimeSeriesOps.funnel]]): per user, the first view
+    * anchors stage 1, the first click AT OR AFTER it stage 2, the first
+    * purchase at or after that stage 3 (same-instant events convert,
+    * matching the batch `>=`). Each stage advance emits an Append row;
+    * when the watermark passes last activity + the idle horizon the
+    * journey closes (one `closed = true` row at its final depth) and
+    * state is evicted.
+    *
+    * Semantics contract (spec'd): consuming each user's events in
+    * event-time order reproduces the batch funnel EXACTLY — rows are
+    * sorted (ts, stage-rank) within every micro-batch, and same-ts
+    * events process view→click→purchase so `>=` anchoring matches the
+    * batch chain; across batches a regressive arrival (ts < last
+    * consumed) is dropped, the same replay guard as the Holt/CUSUM
+    * lives. State exists only for users with an anchored view and is
+    * three longs, watermark-bounded — at 100 TB/day the state store
+    * holds one small fixed-size record per ACTIVE funnel entrant, not
+    * per event. */
+  def liveFunnel(events: Dataset[FunnelEvent], lateness: String = "10 minutes",
+      idleSeconds: Long = 3600L): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val idleMs = idleSeconds * 1000L
+    val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    def depth(s: FunnelProgress): (Long, String, Long) =
+      if (s.purchaseMs >= 0) (3L, "purchase", s.purchaseMs)
+      else if (s.clickMs >= 0) (2L, "click", s.clickMs)
+      else (1L, "view", s.viewMs)
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map { s =>
+              val (d, name, ms) = depth(s)
+              FunnelHit(uid, d, name, new java.sql.Timestamp(ms),
+                closed = true)
+            }.iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toArray.sortBy(e =>
+              (e.ts.getTime, stageRank.getOrElse(e.event_type, 3)))
+            var s = state.getOption.getOrElse(FunnelProgress(-1L, -1L, -1L,
+              Long.MinValue))
+            val hits = Seq.newBuilder[FunnelHit]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (t >= s.lastMs) {
+                e.event_type match {
+                  case "view" if s.viewMs < 0 =>
+                    s = s.copy(viewMs = t)
+                    hits += FunnelHit(uid, 1L, "view", e.ts, closed = false)
+                  case "click" if s.viewMs >= 0 && s.clickMs < 0 &&
+                      t >= s.viewMs =>
+                    s = s.copy(clickMs = t)
+                    hits += FunnelHit(uid, 2L, "click", e.ts, closed = false)
+                  case "purchase" if s.clickMs >= 0 && s.purchaseMs < 0 &&
+                      t >= s.clickMs =>
+                    s = s.copy(purchaseMs = t)
+                    hits += FunnelHit(uid, 3L, "purchase", e.ts,
+                      closed = false)
+                  case _ => ()
+                }
+                s = s.copy(lastMs = math.max(s.lastMs, t))
+              }
+            }
+            if (s.viewMs >= 0) { // stage-0 users never occupy the store
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + idleMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            hits.result().iterator
           }
       }
   }

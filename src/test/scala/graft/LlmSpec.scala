@@ -1277,4 +1277,46 @@ class LlmSpec extends AnyFunSuite {
     assert(viaSql.length == 1 && viaSql.head.getString(0) == top1._1 &&
       viaSql.head.getLong(1) == top1._2, s"sql path: ${viaSql.mkString(",")}")
   }
+
+  test("cm_sketch: never undercounts, conserves N per row, merges exactly") {
+    val sp = spark
+    import sp.implicits._
+    val words = Seq.fill(40)("the") ++ Seq.fill(25)("cat") ++
+      Seq.fill(9)("sat") ++ (1 to 30).flatMap(i => Seq.fill(2)(f"w$i%02d"))
+    val exact = words.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val df = sp.createDataset(words).toDF("t")
+    val depth = 4; val width = 256
+    def sketchOf(d: org.apache.spark.sql.DataFrame): Array[Byte] =
+      d.agg(graft.functions.CmSketch(col("t"), depth, width).as("sk"))
+        .head.getAs[Array[Byte]](0)
+    val sk = sketchOf(df.repartition(8))
+    // (1) never undercounts — the one-sided CMS guarantee, every key
+    exact.foreach { case (item, c) =>
+      val est = graft.functions.CountMin.query(sk, item)
+      assert(est >= c, s"$item undercounted: $est < $c")
+    }
+    // an unseen key may collide upward but must never go negative
+    assert(graft.functions.CountMin.query(sk, "never-seen") >= 0L)
+    // (2) every row of the grid independently conserves N
+    val (d2, w2, grid) = graft.functions.CountMin.deserialize(sk)
+    assert(d2 == depth && w2 == width)
+    (0 until depth).foreach { r =>
+      val rowSum = (0 until width).map(c => grid(r * width + c)).sum
+      assert(rowSum == words.length.toLong,
+        s"row $r sums to $rowSum, not N=${words.length}")
+    }
+    // (3) merge is EXACT: the 8-partition partial-agg merge tree equals
+    // the 1-partition sequential pass byte-for-byte
+    assert(sk.sameElements(sketchOf(df.coalesce(1))),
+      "partial-agg merge tree must be byte-identical to sequential")
+    // (4) SQL surface: aggregate + point lookup registered
+    graft.functions.registerAll(sp)
+    df.createOrReplaceTempView("cms_words")
+    val viaSql = sp.sql(
+      "SELECT cm_query(cm_sketch(t, 4, 256), 'the') AS est FROM cms_words")
+      .head.getLong(0)
+    assert(viaSql == graft.functions.CountMin.query(sk, "the"),
+      s"sql path $viaSql != kernel path")
+  }
 }

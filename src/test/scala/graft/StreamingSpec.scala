@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{Ingest, MixDoc, Point, RawDoc, StreamDoc}
+import graft.streaming.{FunnelEvent, Ingest, MixDoc, Point, RawDoc, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -965,6 +965,73 @@ class StreamingSpec extends AnyFunSuite {
     val merged = Ingest.cacheMerge(disk, live).collect()
     assert(merged.length == 3)
     assert(merged.count(_.getString(3) == "cache") == 1)
+  }
+
+  test("s_live_funnel: staged anchoring, same-instant converts, idle closes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = runToMemory(
+      Ingest.liveFunnel(in.toDS(), idleSeconds = 600L).toDF(), "lfun",
+      OutputMode.Append())
+    in.addData(
+      // u1: a click BEFORE any view is not an anchor; the same-instant
+      // click at the view's timestamp converts (batch `>=`); a purchase
+      // timestamped before the click anchor is ignored; a later one lands
+      FunnelEvent(1L, "click", ts("2024-01-01 09:59:00")),
+      FunnelEvent(1L, "view", ts("2024-01-01 10:01:00")),
+      FunnelEvent(1L, "click", ts("2024-01-01 10:01:00")),
+      FunnelEvent(1L, "purchase", ts("2024-01-01 10:00:30")),
+      FunnelEvent(1L, "purchase", ts("2024-01-01 10:03:00")),
+      // u2: view only — will close by idle timeout at depth 1
+      FunnelEvent(2L, "view", ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    val u1 = sp.sql(
+      "SELECT stage, stage_name FROM lfun WHERE user_id = 1 ORDER BY stage")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(u1 == Seq((1L, "view"), (2L, "click"), (3L, "purchase")),
+      s"u1 progression wrong: $u1")
+    // advance the global watermark far past u2's activity + idle horizon →
+    // its journey closes at depth 1 and the state row is evicted
+    for (h <- Seq("12", "14")) {
+      in.addData(FunnelEvent(99L, "view", ts(s"2024-01-01 $h:00:00")))
+      q.processAllAvailable()
+    }
+    val closed = sp.sql(
+      "SELECT stage FROM lfun WHERE user_id = 2 AND closed").collect()
+    assert(closed.length == 1 && closed.head.getLong(0) == 1L,
+      "u2 must close at depth 1 via the idle timeout")
+    val removed = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed >= 1, s"timeout must evict funnel state, removed=$removed")
+    q.stop()
+  }
+
+  test("s_live_funnel twin: depths equal the batch funnel on events") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evts = graft.io.Tables.events(sp, sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[FunnelEvent].collect()
+    val in = MemoryStream[FunnelEvent]
+    val q = runToMemory(Ingest.liveFunnel(in.toDS()).toDF(), "lfun_twin",
+      OutputMode.Append())
+    in.addData(evts.toSeq) // one batch; the op sorts (ts, stage) within it
+    q.processAllAvailable(); q.stop()
+    val depths = sp.sql(
+      """SELECT max(stage) AS d FROM lfun_twin WHERE NOT closed
+        |GROUP BY user_id""".stripMargin)
+      .collect().map(_.getLong(0))
+    val live = (depths.count(_ >= 1L), depths.count(_ >= 2L),
+      depths.count(_ >= 3L))
+    val b = graft.ts.TimeSeriesOps.funnel(sp, sf).head
+    val batch = (b.getLong(0).toInt, b.getLong(1).toInt, b.getLong(2).toInt)
+    assert(live == batch,
+      s"live funnel depths $live must equal the batch funnel $batch")
   }
 }
 
