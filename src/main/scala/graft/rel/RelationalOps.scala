@@ -255,6 +255,128 @@ object RelationalOps {
         col("p50_secs"), col("p90_secs"))
   }
 
+  /** RFM SEGMENTATION — the classic customer-value grid: per customer,
+    * Recency (days since last order vs the dataset anchor), Frequency
+    * (order count) and Monetary (exact-decimal revenue), each cut into
+    * quartiles by EXPLICIT integer-rank arithmetic
+    * (((rk−1)·4) div n + 1 over a total order — our own formula written
+    * identically in both engines, never an ntile dialect; quartile 1 =
+    * best in every dimension), then the ≤4×4×4 grid summarized. The
+    * three global rank windows sort the per-customer SUMMARY (a few
+    * numbers each, post-reduction), not raw orders; at true scale the
+    * same read swaps exact ranks for approx-percentile cuts — the
+    * segment grid is the stable surface. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("mon_d"))
+      .crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("anchor"))))
+      .withColumn("rec_days", // orderdate is NTZ; UTC session ⇒ exact cast
+        expr("(unix_micros(CAST(anchor AS TIMESTAMP)) - " +
+          "unix_micros(CAST(last_d AS TIMESTAMP))) div 86400000000"))
+    per
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rec_days"), col("o_custkey"))))
+      .withColumn("rf", row_number().over(
+        Window.orderBy(col("freq").desc, col("o_custkey"))))
+      .withColumn("rm", row_number().over(
+        Window.orderBy(col("mon_d").desc, col("o_custkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .select(expr("((rr - 1) * 4) div n + 1").as("r_q"),
+        expr("((rf - 1) * 4) div n + 1").as("f_q"),
+        expr("((rm - 1) * 4) div n + 1").as("m_q"),
+        col("mon_d"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        Det.davg4(col("mon_d")).as("avg_monetary"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** PARETO / ABC CLASSIFICATION — the inventory-concentration read:
+    * parts ranked by exact-decimal revenue, cumulative share walks the
+    * ranking, class A holds the first 80%, B to 95%, C the tail. The
+    * class boundaries compare EXACT DECIMALS by cross-multiplication
+    * (cum·5 ≤ tot·4, cum·20 ≤ tot·19) — no float enters until the
+    * reported shares, so the classification cannot drift on a rounding
+    * ulp. One aggregate shuffle to part grain, one global window over
+    * the part SUMMARY (dimension-sized), a ≤3-row answer. */
+  def paretoAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev_d"))
+    rev
+      .withColumn("cum_d", sum(col("rev_d")).over(
+        Window.orderBy(col("rev_d").desc, col("l_partkey"))))
+      .withColumn("tot_d", sum(col("rev_d")).over(Window.partitionBy()))
+      .withColumn("cls",
+        when(col("cum_d") * lit(5) <= col("tot_d") * lit(4), "A")
+          .when(col("cum_d") * lit(20) <= col("tot_d") * lit(19), "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_d")).cast("double").as("class_rev"),
+        Det.r4(sum(col("rev_d")).cast("double") /
+          max(col("tot_d")).cast("double")).as("rev_share"))
+      .orderBy("cls")
+  }
+
+  /** GINI COEFFICIENT of customer revenue — the one-number concentration
+    * monitor next to [[paretoAbc]]'s classed view: with customers ranked
+    * ascending by exact-decimal revenue (total order), G = (2·Σi·xᵢ −
+    * (n+1)·Σx) / (n·Σx). Both Σ terms accumulate as exact DECIMAL
+    * (rank·revenue products stay inside DECIMAL(36,4) through sf0.1 ×
+    * thousands of customers), so the only float math is the final
+    * shared-text IEEE formula. One shuffle to customer grain + one
+    * summary-sized rank window → a single row. */
+  def revenueGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev_d"))
+    cust
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("rev_d"), col("o_custkey"))))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev_d")).as("s0_d"),
+        sum(col("i").cast("decimal(18,0)") * col("rev_d")).as("s1_d"))
+      .select(col("n_customers"),
+        col("s0_d").cast("double").as("total_rev"),
+        Det.r4((lit(2.0) * col("s1_d").cast("double") -
+          (col("n_customers") + lit(1L)) * col("s0_d").cast("double")) /
+          (col("n_customers") * col("s0_d").cast("double"))).as("gini"))
+  }
+
+  /** MARKET-BASKET PAIR LIFT — co-occurrence mining over order baskets:
+    * distinct (order, part) pairs self-join on the order key (per-order
+    * line counts are bounded, so the join is linear in orders and stays
+    * a co-partitioned equi-join at any scale), pair support counts one
+    * shuffle, and lift = (c_ab·N)/(c_a·c_b) is one IEEE division of
+    * exact BIGINT products. Top-15 by support under a total (pa, pb)
+    * tiebreak — the boundary is tie-stable at every SF. The basket
+    * relation is checkpointed once for its three consumers. */
+  def basketLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val bp = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val n = bp.agg(countDistinct(col("ok")).as("n_orders"))
+    val supp = bp.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    bp.as("a")
+      .join(bp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .join(supp.select(col("pk").as("pa"), col("c").as("c_a")), "pa")
+      .join(supp.select(col("pk").as("pb"), col("c").as("c_b")), "pb")
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("c_ab"), col("c_a"), col("c_b"),
+        Det.r4((col("c_ab") * col("n_orders")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("c_ab").desc, col("pa"), col("pb"))
+      .limit(15)
+  }
+
   /** Interval join: events bucketed into a 7-day window grid. The grid is
     * a handful of rows → broadcast; empty windows survive via left join. */
   def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1374,6 +1496,10 @@ object RelationalOps {
     "q_join_asof" -> joinAsof _,
     "q_join_asof_fwd" -> joinAsofFwd _,
     "q_time_to_convert" -> timeToConvert _,
+    "q_rfm_segments" -> rfmSegments _,
+    "q_pareto_abc" -> paretoAbc _,
+    "q_revenue_gini" -> revenueGini _,
+    "q_basket_lift" -> basketLift _,
     "q_join_interval" -> joinInterval _,
     "q_agg_rollup_sets" -> aggRollupSets _,
     "q_agg_cube" -> aggCube _,
@@ -1900,6 +2026,83 @@ object RelationalOps {
         |       max(CASE WHEN rk = (9 * nc + 9) // 10 THEN secs END) AS p90_secs
         |FROM rk CROSS JOIN tot""".stripMargin
     },
+    "q_rfm_segments" ->
+      s"""WITH per AS (
+        |  SELECT o_custkey, count(*) AS freq,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS mon_d,
+        |         max(o_orderdate) AS last_d
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        |r AS (
+        |  SELECT o_custkey, freq, mon_d,
+        |         (epoch_us(anchor) - epoch_us(last_d)) // 86400000000 AS rec_days
+        |  FROM per CROSS JOIN a),
+        |rk AS (
+        |  SELECT mon_d,
+        |    row_number() OVER (ORDER BY rec_days NULLS FIRST, o_custkey NULLS FIRST) AS rr,
+        |    row_number() OVER (ORDER BY freq DESC, o_custkey NULLS FIRST) AS rf,
+        |    row_number() OVER (ORDER BY mon_d DESC, o_custkey NULLS FIRST) AS rm,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM r)
+        |SELECT ((rr - 1) * 4) // n + 1 AS r_q,
+        |       ((rf - 1) * 4) // n + 1 AS f_q,
+        |       ((rm - 1) * 4) // n + 1 AS m_q,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       ${graft.util.Det.davg4Sql("mon_d")} AS avg_monetary
+        |FROM rk GROUP BY 1, 2, 3
+        |ORDER BY r_q NULLS FIRST, f_q NULLS FIRST, m_q NULLS FIRST""".stripMargin,
+    "q_pareto_abc" ->
+      s"""WITH rev AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev_d
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT rev_d,
+        |         sum(rev_d) OVER (ORDER BY rev_d DESC, l_partkey NULLS FIRST) AS cum_d,
+        |         sum(rev_d) OVER () AS tot_d
+        |  FROM rev),
+        |cl AS (
+        |  SELECT rev_d, tot_d,
+        |         CASE WHEN cum_d * 5 <= tot_d * 4 THEN 'A'
+        |              WHEN cum_d * 20 <= tot_d * 19 THEN 'B'
+        |              ELSE 'C' END AS cls
+        |  FROM c)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev_d) AS DOUBLE) AS class_rev,
+        |       ${graft.util.Det.r4Sql(
+                  "CAST(sum(rev_d) AS DOUBLE) / CAST(max(tot_d) AS DOUBLE)")} AS rev_share
+        |FROM cl GROUP BY 1 ORDER BY cls NULLS FIRST""".stripMargin,
+    "q_revenue_gini" ->
+      s"""WITH cust AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_d
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT rev_d,
+        |    row_number() OVER (ORDER BY rev_d NULLS FIRST, o_custkey NULLS FIRST) AS i
+        |  FROM cust),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |             sum(rev_d) AS s0_d,
+        |             sum(CAST(i AS DECIMAL(18,0)) * rev_d) AS s1_d
+        |      FROM rk)
+        |SELECT n_customers, CAST(s0_d AS DOUBLE) AS total_rev,
+        |       ${graft.util.Det.r4Sql(
+                  "(2.0 * CAST(s1_d AS DOUBLE) - (n_customers + 1) * CAST(s0_d AS DOUBLE))" +
+                  " / (n_customers * CAST(s0_d AS DOUBLE))")} AS gini
+        |FROM s""".stripMargin,
+    "q_basket_lift" ->
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM bp),
+        |supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM bp GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, c_ab, sa.c AS c_a, sb.c AS c_b,
+        |       ${graft.util.Det.r4Sql(
+                  "CAST(c_ab * n_orders AS DOUBLE) / CAST(sa.c * sb.c AS DOUBLE)")} AS lift
+        |FROM pairs JOIN supp sa ON pa = sa.pk JOIN supp sb ON pb = sb.pk
+        |CROSS JOIN n
+        |ORDER BY c_ab DESC, pa NULLS FIRST, pb NULLS FIRST
+        |LIMIT 15""".stripMargin,
     "q_join_interval" ->
       s"""WITH w AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
         |                   TIMESTAMP '2024-01-29', INTERVAL '7 days')) AS w_start)
