@@ -72,6 +72,19 @@ case class FunnelProgress(viewMs: Long, clickMs: Long, purchaseMs: Long,
 case class FunnelHit(user_id: Long, stage: Long, stage_name: String,
     ts: java.sql.Timestamp, closed: Boolean)
 
+/** A typed user event for live attribution: the batch window orders by
+  * (ts, event_id), so the id rides along to keep tie order identical. */
+case class AttribEvent(user_id: Long, event_id: Long, event_type: String,
+    ts: java.sql.Timestamp, value: Double)
+
+/** Per-user live-attribution state: the most recent touch (click/view)
+  * and the (ts, event_id) consumption frontier. */
+case class TouchState(touch: String, lastMs: Long, lastId: Long)
+
+/** One attributed purchase (touch_type = 'none' when no prior touch). */
+case class AttributedPurchase(user_id: Long, event_id: Long,
+    touch_type: String, value: Double)
+
 /** An admitted document with its stratum's running token total. */
 case class AdmittedDoc(doc_id: Long, lang: String, n_tok: Long, cum: Long)
 
@@ -712,6 +725,61 @@ object Ingest {
                 math.max(s.lastMs + idleMs, state.getCurrentWatermarkMs() + 1L))
             }
             hits.result().iterator
+          }
+      }
+  }
+
+  /** LIVE LAST-TOUCH ATTRIBUTION — the streaming twin of the batch
+    * window read ([[graft.ts.TimeSeriesOps.attribution]]): every
+    * purchase emits one Append row attributed to the user's most recent
+    * PRIOR touch (click or view) under the batch's exact (ts, event_id)
+    * tie order — the event id rides along so a same-instant touch counts
+    * iff its id sorts before the purchase's, just as the batch's
+    * strictly-before window frame decides it. State per user is one
+    * (touch, ts, id) record; regressive arrivals (before the consumption
+    * frontier) are dropped — the replay guard shared with
+    * [[liveFunnel]] — and idle users evict by event-time timeout.
+    * Spec'd as a twin: per-touch counts and value sums on the real
+    * events table EQUAL the batch attribution rollup. */
+  def liveAttribution(events: Dataset[AttribEvent],
+      lateness: String = "10 minutes",
+      idleSeconds: Long = 3600L): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val idleMs = idleSeconds * 1000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributedPurchase](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[AttribEvent],
+            state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse(
+              TouchState("none", Long.MinValue, Long.MinValue))
+            val out = Seq.newBuilder[AttributedPurchase]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (t > s.lastMs || (t == s.lastMs && e.event_id > s.lastId)) {
+                e.event_type match {
+                  case "click" | "view" =>
+                    s = TouchState(e.event_type, t, e.event_id)
+                  case "purchase" =>
+                    out += AttributedPurchase(uid, e.event_id, s.touch,
+                      e.value)
+                    s = s.copy(lastMs = t, lastId = e.event_id)
+                  case _ => () // batch filters to these 3 types; mirror it
+                }
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(s.lastMs + idleMs, state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
           }
       }
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{FunnelEvent, Ingest, MixDoc, Point, RawDoc, StreamDoc}
+import graft.streaming.{AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -1006,6 +1006,71 @@ class StreamingSpec extends AnyFunSuite {
       .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
     assert(removed >= 1, s"timeout must evict funnel state, removed=$removed")
     q.stop()
+  }
+
+  test("s_live_attribution: same-instant id tiebreak, replay guard, evict") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[AttribEvent]
+    val q = runToMemory(
+      Ingest.liveAttribution(in.toDS(), idleSeconds = 600L).toDF(), "lattr",
+      OutputMode.Append())
+    in.addData(
+      // u1: view, then a purchase SHARING its timestamp with a click —
+      // the click's smaller event_id sorts before, so it wins the touch
+      AttribEvent(1L, 10L, "view", ts("2024-01-01 10:00:00"), 0.0),
+      AttribEvent(1L, 20L, "click", ts("2024-01-01 10:01:00"), 0.0),
+      AttribEvent(1L, 21L, "purchase", ts("2024-01-01 10:01:00"), 5.0),
+      // u2: purchase with no prior touch → 'none'; a same-instant view
+      // with a LARGER id must NOT attribute it
+      AttribEvent(2L, 31L, "purchase", ts("2024-01-01 10:02:00"), 7.0),
+      AttribEvent(2L, 32L, "view", ts("2024-01-01 10:02:00"), 0.0))
+    q.processAllAvailable()
+    val got = sp.sql(
+      "SELECT event_id, touch_type, value FROM lattr ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((21L, "click", 5.0), (31L, "none", 7.0)),
+      s"attribution rows wrong: ${got.mkString(",")}")
+    // replay of an already-consumed event must not emit a second row
+    in.addData(AttribEvent(1L, 21L, "purchase", ts("2024-01-01 10:01:00"), 5.0))
+    q.processAllAvailable()
+    assert(sp.sql("SELECT * FROM lattr").count() == 2, "replay must be inert")
+    // watermark far ahead → idle users evict
+    for (h <- Seq("12", "14")) {
+      in.addData(AttribEvent(99L, 90L, "view", ts(s"2024-01-01 $h:00:00"), 0.0))
+      q.processAllAvailable()
+    }
+    val removed = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed >= 2, s"idle attribution state must evict, removed=$removed")
+    q.stop()
+  }
+
+  test("s_live_attribution twin: rollup equals the batch window read") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evts = graft.io.Tables.events(sp, sf)
+      .where(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        col("value"))
+      .as[AttribEvent].collect()
+    val in = MemoryStream[AttribEvent]
+    val q = runToMemory(Ingest.liveAttribution(in.toDS()).toDF(), "lattr_twin",
+      OutputMode.Append())
+    in.addData(evts.toSeq)
+    q.processAllAvailable(); q.stop()
+    val live = sp.sql(
+      """SELECT touch_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |FROM lattr_twin GROUP BY 1 ORDER BY touch_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.ts.TimeSeriesOps.attribution(sp, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(live.toSeq == batch.toSeq,
+      s"live ${live.mkString(",")} != batch ${batch.mkString(",")}")
   }
 
   test("s_live_funnel twin: depths equal the batch funnel on events") {
