@@ -1348,6 +1348,39 @@ object TimeSeriesOps {
       .orderBy("d")
   }
 
+  /** NEW vs RETURNING actives — the growth split over the (user, day)
+    * grain: each day's actives divide by whether that day is the user's
+    * first-ever active day. One min-agg per user joined back on the
+    * user key (two shuffles total at any scale, both on real keys);
+    * the share is one shared-text IEEE division of exact counts. */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val first = act.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+    act.join(first, "user_id")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("d") === col("first_d"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("d"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        Det.r4(col("n_new").cast("double") / col("n_active")).as("new_share"))
+      .orderBy("d")
+  }
+
+  /** POWER-USER CURVE — the engagement-shape histogram (how many users
+    * were active exactly k distinct days): two exact count
+    * aggregations, nothing else — the L28-style read beside
+    * [[dauStickiness]]'s ratio panel. */
+  def activityHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_days"))
+      .groupBy(col("n_days")).agg(count(lit(1)).as("n_users"))
+      .orderBy("n_days")
+
   /** LAST-TOUCH ATTRIBUTION — the fourth product-analytics read next to
     * [[sessionize]]/[[funnel]]/[[cohortRetention]]: every purchase
     * attributes its value to the user's most recent PRIOR touch (click
@@ -2046,6 +2079,8 @@ object TimeSeriesOps {
     "q_funnel" -> funnel _,
     "q_cohort_retention" -> cohortRetention _,
     "q_dau_stickiness" -> dauStickiness _,
+    "q_new_vs_returning" -> newVsReturning _,
+    "q_activity_histogram" -> activityHistogram _,
     "q_attribution" -> attribution _,
     "q_ts_burn_rate" -> burnRate _,
     "q_ts_dashboard" -> dashboard _,
@@ -3394,6 +3429,24 @@ object TimeSeriesOps {
         |       ${Det.r4Sql("CAST(dau AS DOUBLE) / wau")} AS stickiness
         |FROM dau JOIN wau ON panel_d = d
         |ORDER BY d NULLS FIRST""".stripMargin,
+    "q_new_vs_returning" ->
+      s"""WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS first_d FROM act GROUP BY 1)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       CAST(count(*) - sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |       ${Det.r4Sql(
+                  "CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS new_share
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY 1 ORDER BY d NULLS FIRST""".stripMargin,
+    "q_activity_histogram" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+        |      FROM act GROUP BY 1)
+        |SELECT n_days, CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1 ORDER BY n_days NULLS FIRST""".stripMargin,
     "q_attribution" ->
       """WITH s AS (
         |  SELECT event_type, value,
