@@ -255,6 +255,36 @@ object RelationalOps {
         col("p50_secs"), col("p90_secs"))
   }
 
+  /** REPEAT-PURCHASE CADENCE — the loyalty-cycle summary: per user the
+    * lag window yields exact day gaps between consecutive purchases
+    * (integer epoch-µs arithmetic), then one global integer-rank
+    * selection (the [[timeToConvert]] technique) reads p50/p90 beside
+    * the exact-sum mean. The per-user window partitions on the real
+    * key; only the gap SUMMARY rows (two longs each) meet the global
+    * rank — the honest plan for a 1-row answer. */
+  def repeatPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("(unix_micros(ts) - unix_micros(prev_ts)) div 86400000000")
+          .as("gap_days"))
+    gaps
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gap_days"), col("user_id"), col("event_id"))))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
+      .agg(max(col("nc")).as("n_gaps"),
+        Det.r4(sum(col("gap_days")).cast("double") / count(lit(1)))
+          .as("avg_gap_days"),
+        max(when(col("rk") === expr("(nc + 1) div 2"), col("gap_days")))
+          .as("p50_gap_days"),
+        max(when(col("rk") === expr("(9 * nc + 9) div 10"), col("gap_days")))
+          .as("p90_gap_days"))
+  }
+
   /** RFM SEGMENTATION — the classic customer-value grid: per customer,
     * Recency (days since last order vs the dataset anchor), Frequency
     * (order count) and Monetary (exact-decimal revenue), each cut into
@@ -1496,6 +1526,7 @@ object RelationalOps {
     "q_join_asof" -> joinAsof _,
     "q_join_asof_fwd" -> joinAsofFwd _,
     "q_time_to_convert" -> timeToConvert _,
+    "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
     "q_revenue_gini" -> revenueGini _,
@@ -2026,6 +2057,28 @@ object RelationalOps {
         |       max(CASE WHEN rk = (9 * nc + 9) // 10 THEN secs END) AS p90_secs
         |FROM rk CROSS JOIN tot""".stripMargin
     },
+    "q_repeat_purchase" ->
+      s"""WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |         (epoch_us(ts) - epoch_us(prev_ts)) // 86400000000 AS gap_days
+        |  FROM p WHERE prev_ts IS NOT NULL),
+        |rk AS (
+        |  SELECT gap_days,
+        |    row_number() OVER (ORDER BY gap_days NULLS FIRST,
+        |                       user_id NULLS FIRST, event_id NULLS FIRST) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS nc
+        |  FROM g)
+        |SELECT max(nc) AS n_gaps,
+        |       ${graft.util.Det.r4Sql(
+                  "CAST(CAST(sum(gap_days) AS BIGINT) AS DOUBLE) / count(*)")} AS avg_gap_days,
+        |       max(CASE WHEN rk = (nc + 1) // 2 THEN gap_days END) AS p50_gap_days,
+        |       max(CASE WHEN rk = (9 * nc + 9) // 10 THEN gap_days END) AS p90_gap_days
+        |FROM rk""".stripMargin,
     "q_rfm_segments" ->
       s"""WITH per AS (
         |  SELECT o_custkey, count(*) AS freq,
