@@ -27,7 +27,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ts_series_ratio", "q_ts_glob_fetch", "q_join_full",
       "q_ts_max_series", "q_ts_hitcount", "q_ts_sort_by_total",
       "q_agg_benford", "q_ts_acf", "q_ts_pacf", "q_ts_apply_bynode",
-      "q_ts_trimmed_mean").foreach { q =>
+      "q_ts_trimmed_mean", "q_pareto_abc", "q_activity_histogram",
+      "q_rfm_segments").foreach { q =>
       val p = plan(q)
       assert(p.contains("partial_"), s"$q has no partial aggregation:\n$p")
     }
@@ -47,6 +48,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_heavy_hitters"),
       s"heavy_hitters must map-side combine (shuffle = one <=capacity " +
         s"summary per lang x partition, never the token stream):\n$p")
+  }
+
+  test("cm_sketch partial-aggregates: the shuffle carries fixed grids") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.io.Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(graft.functions.CmSketch(col("source"), 4, 64).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_cm_sketch"),
+      s"cm_sketch must map-side combine (shuffle = one depth x width " +
+        s"grid per group x partition, never the item stream):\n$p")
   }
 
   test("global top-k uses TakeOrderedAndProject, not a full sort") {
