@@ -1187,7 +1187,35 @@ object TextOps {
         col("col.item").as("token"), col("col.est").as("est"))
       .orderBy("lang", "rank")
 
+  /** HEAVY-HITTER × COUNT–MIN CROSS-CHECK — the corpus's two frequency
+    * sketches reading each other: per language the MG legend's top
+    * tokens probe the CMS, and because MG never overcounts while
+    * cm_query never undercounts, `mg_est ≤ true ≤ cms_est` brackets
+    * every legend row WITHOUT an exact pass — the 100 TB way to bound
+    * a sketch's error in production. Both summaries are fixed-size per
+    * (lang × partition); the token stream materializes once (lazy
+    * checkpoint) and the final join is legend-sized. No oracle
+    * (seeded-hash internals); LlmSpec proves the bracket against exact
+    * counts. */
+  def cmTokenProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(toks).as("token"))
+      .localCheckpoint(eager = false)
+    val hh = tok.groupBy(col("lang"))
+      .agg(graft.functions.HeavyHitters(col("token"), 1024, 10).as("hh"))
+      .select(col("lang"), posexplode(col("hh")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("token"), col("col.est").as("mg_est"))
+    val sk = tok.groupBy(col("lang"))
+      .agg(graft.functions.CmSketch(col("token"), 4, 4096).as("sk"))
+    hh.join(broadcast(sk), "lang")
+      .select(col("lang"), col("rank"), col("token"), col("mg_est"),
+        graft.functions.CmQuery(col("sk"), col("token")).as("cms_est"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_cms_probe" -> cmTokenProbe _,
     "q_llm_heavy_hitters" -> heavyHitterTokens _,
     "q_llm_gopher_rules" -> gopherRules _,
     "q_llm_source_quality" -> sourceQuality _,

@@ -1319,4 +1319,22 @@ class LlmSpec extends AnyFunSuite {
     assert(viaSql == graft.functions.CountMin.query(sk, "the"),
       s"sql path $viaSql != kernel path")
   }
+
+  test("q_llm_cms_probe: mg_est <= exact <= cms_est brackets every row") {
+    val sp = spark
+    import sp.implicits._
+    val probe = graft.llm.TextOps.cmTokenProbe(sp, sf).collect()
+    assert(probe.nonEmpty)
+    val exact = graft.io.Tables.documents(sp, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    probe.foreach { r =>
+      val (lang, tok, mg, cms) =
+        (r.getString(0), r.getString(2), r.getLong(3), r.getLong(4))
+      val ex = exact((lang, tok))
+      assert(mg <= ex && ex <= cms,
+        s"bracket broken for ($lang,$tok): mg=$mg exact=$ex cms=$cms")
+    }
+  }
 }
