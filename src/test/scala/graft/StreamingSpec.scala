@@ -1008,6 +1008,47 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("s_live_funnel_recovery: funnel state survives a checkpointed restart") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_funnel_restart")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectory(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    def writeBatch(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val lines = rows.map { case (u, et, t) => s"$u,$et,$t" }
+      java.nio.file.Files.write(srcDir.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    }
+    def start() = {
+      val evts = sp.readStream
+        .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+        .csv(srcDir.toString).as[FunnelEvent]
+      Ingest.liveFunnel(evts).toDF().writeStream.format("parquet")
+        .option("path", outDir).outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).start()
+    }
+    writeBatch("b1.csv", Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:01:00"),
+      (2L, "view", "2024-01-01 10:02:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    writeBatch("b2.csv", Seq(
+      (1L, "purchase", "2024-01-01 10:05:00"),
+      (2L, "click", "2024-01-01 10:06:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = sp.read.parquet(outDir).where(!col("closed"))
+      .select("user_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the post-restart anchors REQUIRE recovered state: a re-seeded
+    // store would reject u1's purchase (no click on file) and misread
+    // u2's click as stage-less (no view) — both stage rows below only
+    // exist if the restart resumed the per-user progressions
+    assert(got == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L)),
+      s"restarted funnel must resume per-user state: $got")
+  }
+
   test("s_live_attribution: same-instant id tiebreak, replay guard, evict") {
     val sp = spark
     import sp.implicits._
