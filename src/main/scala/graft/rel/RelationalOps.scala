@@ -377,25 +377,29 @@ object RelationalOps {
           (col("n_customers") * col("s0_d").cast("double"))).as("gini"))
   }
 
-  /** MARKET-BASKET PAIR LIFT — co-occurrence mining over order baskets:
-    * distinct (order, part) pairs self-join on the order key (per-order
-    * line counts are bounded, so the join is linear in orders and stays
-    * a co-partitioned equi-join at any scale), pair support counts one
-    * shuffle, and lift = (c_ab·N)/(c_a·c_b) is one IEEE division of
-    * exact BIGINT products. Top-15 by support under a total (pa, pb)
-    * tiebreak — the boundary is tie-stable at every SF. The basket
-    * relation is checkpointed once for its three consumers. */
+  /** MARKET-BASKET PAIR LIFT — co-occurrence mining over order baskets.
+    * ONE shuffle reduces lineitem to order grain (sorted distinct-part
+    * arrays, bounded by per-order line counts); every downstream
+    * candidate then generates MAP-SIDE: the i<j pair structs explode
+    * from each array (≤ k²/2 per order — never an order-key self-join
+    * whose inputs re-shuffle twice), item supports explode from the
+    * same arrays, and lift = (c_ab·N)/(c_a·c_b) is one IEEE division
+    * of exact BIGINT products. Top-15 by support under a total
+    * (pa, pb) tiebreak — the boundary is tie-stable at every SF. The
+    * order-grain relation checkpoints once for its three consumers. */
   def basketLift(spark: SparkSession, sfDir: String): DataFrame = {
-    val bp = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    val ob = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .localCheckpoint(eager = false)
-    val n = bp.agg(countDistinct(col("ok")).as("n_orders"))
-    val supp = bp.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    bp.as("a")
-      .join(bp.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+    val n = ob.agg(count(lit(1)).as("n_orders"))
+    val supp = ob.select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    ob.select(explode(expr(
+        "flatten(transform(parts, (x, i) -> transform(" +
+          "slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("c_ab"))
       .join(supp.select(col("pk").as("pa"), col("c").as("c_a")), "pa")
       .join(supp.select(col("pk").as("pb"), col("c").as("c_b")), "pb")
