@@ -1291,6 +1291,42 @@ object TimeSeriesOps {
       .orderBy("user_id")
   }
 
+  /** SESSION CONVERSION — the outcome slice over [[sessionize]]'s gap
+    * islands (same 6 h inactivity gap, same exact epoch-µs arithmetic):
+    * each (user, session) reduces to event count, purchase flag and an
+    * exact duration, then ONE summary row reports session conversion
+    * rate, events per session and mean duration — every ratio an IEEE
+    * division of exact integers under the shared rounding formula. The
+    * window partitions on the user key; the summary aggregation sees
+    * only session-grain rows. */
+  def sessionConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 6L * 3600 * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        expr("(max(us) - min(us)) div 1000000").as("dur_s"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("conv")).as("n_converted"),
+        Det.r4(sum(col("conv")).cast("double") / count(lit(1)))
+          .as("session_cvr"),
+        Det.r4(sum(col("n_ev")).cast("double") / count(lit(1)))
+          .as("events_per_session"),
+        Det.r4(sum(col("dur_s")).cast("double") / count(lit(1)))
+          .as("avg_dur_s"))
+  }
+
   /** COHORT RETENTION — the third classic product-analytics read next
     * to [[sessionize]] and [[funnel]]: users cohort by first-seen day,
     * every later active day lands in (cohort, day_offset), the matrix
@@ -2076,6 +2112,7 @@ object TimeSeriesOps {
     "q_ts_most_deviant" -> mostDeviant _,
     "q_ts_find_metrics" -> findMetrics _,
     "q_sessionize" -> sessionize _,
+    "q_session_conversion" -> sessionConversion _,
     "q_funnel" -> funnel _,
     "q_cohort_retention" -> cohortRetention _,
     "q_dau_stickiness" -> dauStickiness _,
@@ -3429,6 +3466,36 @@ object TimeSeriesOps {
         |       ${Det.r4Sql("CAST(dau AS DOUBLE) / wau")} AS stickiness
         |FROM dau JOIN wau ON panel_d = d
         |ORDER BY d NULLS FIRST""".stripMargin,
+    "q_session_conversion" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_type, us,
+        |         CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000
+        |              THEN 1 ELSE 0 END AS new_s,
+        |         event_id
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id
+        |           ORDER BY us NULLS FIRST, event_id NULLS FIRST
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+        |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS conv,
+        |         (max(us) - min(us)) // 1000000 AS dur_s
+        |  FROM g GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(conv) AS BIGINT) AS n_converted,
+        |       ${Det.r4Sql("CAST(CAST(sum(conv) AS BIGINT) AS DOUBLE) / count(*)")} AS session_cvr,
+        |       ${Det.r4Sql("CAST(CAST(sum(n_ev) AS BIGINT) AS DOUBLE) / count(*)")} AS events_per_session,
+        |       ${Det.r4Sql("CAST(CAST(sum(dur_s) AS BIGINT) AS DOUBLE) / count(*)")} AS avg_dur_s
+        |FROM s""".stripMargin,
     "q_new_vs_returning" ->
       s"""WITH act AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
