@@ -1214,7 +1214,52 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** COUNT–MIN WIDTH TRADEOFF — the tuning read for sizing
+    * [[graft.functions.CountMin]] (the family's established pattern:
+    * hash-parameter sweeps become ORACLE-CHECKABLE by swapping the
+    * production murmur kernel for an md5-derived twin both engines
+    * compute bit-identically — `conv` on the 15-hex md5 prefix, the
+    * q_llm_lsh_tradeoff fold). For widths 64/256/1024 at depth 4 the
+    * whole sketch is declared relationally: cell = md5-fold % width,
+    * cell sums are one exact aggregate, each token's estimate is the
+    * min over its 4 cells, and the report shows mean/max overestimate
+    * and the exactly-estimated fraction per width — all integer math
+    * until the two shared-formula ratios. Everything is vocab-grain
+    * after one explode; the cell table is sketch-sized. */
+  def cmsTradeoff(spark: SparkSession, sfDir: String): DataFrame = {
+    val depth = 4
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val cellDefs = Seq(64, 256, 1024).flatMap(w => (0 until depth).map { r =>
+      struct(lit(w.toLong).as("w"), lit(r).as("r"),
+        expr(s"CAST(conv(substr(md5(concat(token, '#', '$r')), 1, 15), " +
+          s"16, 10) AS BIGINT) % ${w}L").as("cell"))
+    })
+    val cells = exact.select(col("token"), col("cnt"),
+        explode(array(cellDefs: _*)).as("c"))
+      .select(col("token"), col("cnt"), col("c.w").as("w"),
+        col("c.r").as("r"), col("c.cell").as("cell"))
+      .localCheckpoint(eager = false) // shared by the cell table + probe
+    val celltab = cells.groupBy(col("w"), col("r"), col("cell"))
+      .agg(sum(col("cnt")).as("cellsum"))
+    cells.join(celltab, Seq("w", "r", "cell"))
+      .groupBy(col("token"), col("w"))
+      .agg(min(col("cellsum")).as("est"), max(col("cnt")).as("cnt"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_tokens"),
+        Det.r4(sum(col("est") - col("cnt")).cast("double") / count(lit(1)))
+          .as("mean_overest"),
+        max(col("est") - col("cnt")).as("max_overest"),
+        Det.r4(sum(when(col("est") === col("cnt"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("frac_exact"))
+      .select(col("w").as("width"), col("n_tokens"), col("mean_overest"),
+        col("max_overest"), col("frac_exact"))
+      .orderBy("width")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_cms_tradeoff" -> cmsTradeoff _,
     "q_llm_cms_probe" -> cmTokenProbe _,
     "q_llm_heavy_hitters" -> heavyHitterTokens _,
     "q_llm_gopher_rules" -> gopherRules _,
@@ -1342,6 +1387,33 @@ object TextOps {
         |       top_lang, top_lang_docs
         |FROM b JOIN tl USING (source) CROSS JOIN t
         |ORDER BY source NULLS FIRST""".stripMargin,
+    "q_llm_cms_tradeoff" ->
+      s"""WITH ex AS MATERIALIZED (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY 1),
+        |wr AS (SELECT w, unnest(generate_series(0, 3)) AS r
+        |       FROM (VALUES (64), (256), (1024)) AS t(w)),
+        |cells AS MATERIALIZED (
+        |  SELECT ex.token, ex.cnt, CAST(wr.w AS BIGINT) AS w, wr.r,
+        |    list_reduce(list_transform(generate_series(1, 15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(ex.token || '#' || CAST(wr.r AS VARCHAR)), i, 1))
+        |        - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) % w AS cell
+        |  FROM ex CROSS JOIN wr),
+        |ct AS (SELECT w, r, cell, CAST(sum(cnt) AS BIGINT) AS cellsum
+        |       FROM cells GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT token, w, CAST(min(cellsum) AS BIGINT) AS est,
+        |         max(cnt) AS cnt
+        |  FROM cells JOIN ct USING (w, r, cell) GROUP BY 1, 2)
+        |SELECT w AS width, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  ${r4Sql("CAST(CAST(sum(est - cnt) AS BIGINT) AS DOUBLE) / count(*)")} AS mean_overest,
+        |  CAST(max(est - cnt) AS BIGINT) AS max_overest,
+        |  ${r4Sql("CAST(sum(CASE WHEN est = cnt THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS frac_exact
+        |FROM est GROUP BY 1 ORDER BY width""".stripMargin,
     "q_llm_lsh_tradeoff" ->
       s"""WITH s AS MATERIALIZED (
         |  SELECT doc_id, lang,
