@@ -46,6 +46,10 @@ case class LangToken(lang: String, token: String)
 /** One ranked entry of the live heavy-hitters legend. */
 case class HotToken(lang: String, rank: Long, token: String, est: Long)
 
+/** The live count–min state republished per micro-batch: the
+  * self-describing serialized grid, probe-ready via `cm_query`. */
+case class LangSketch(lang: String, sketch: Array[Byte])
+
 /** Live CUSUM state: exact-integer recursion after a frozen warmup. */
 case class CusumStreamState(n: Long, warmSum: Long, s: Long, alarms: Long,
     lastMs: Long)
@@ -503,6 +507,35 @@ object Ingest {
           graft.functions.MisraGries.topK(buf, k).zipWithIndex.map {
             case ((tok, est), i) => HotToken(lang, (i + 1).toLong, tok, est)
           }.iterator
+      }
+  }
+
+  /** LIVE COUNT–MIN SKETCH per language — the streaming twin of the
+    * `cm_sketch` aggregate, SHARING [[graft.functions.CountMin]] (the
+    * MisraGries kernel discipline: one implementation, two surfaces
+    * that cannot drift). State per key is the fixed depth×width grid;
+    * each micro-batch folds its tokens in and republishes the
+    * serialized sketch, so a serving layer probes the LATEST row with
+    * `cm_query` for any key — including ones chosen after ingestion.
+    * Because CMS merge/update is pure commutative counter addition,
+    * the live grid after any prefix of batches is BYTE-IDENTICAL to
+    * the batch aggregate over the same rows (spec-asserted) — a
+    * stronger twin guarantee than MG's, whose summary is
+    * consume-order-dependent. */
+  def cmSketchStream(toks: Dataset[LangToken], depth: Int = 4,
+      width: Int = 256): Dataset[LangSketch] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.lang)
+      .mapGroupsWithState[Array[Long], LangSketch](
+        GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[LangToken],
+            state: GroupState[Array[Long]]) =>
+          val buf = state.getOption.getOrElse(new Array[Long](depth * width))
+          rows.foreach(t =>
+            graft.functions.CountMin.observe(buf, depth, width, t.token))
+          state.update(buf)
+          LangSketch(lang, graft.functions.CountMin.serialize(buf, depth,
+            width))
       }
   }
 

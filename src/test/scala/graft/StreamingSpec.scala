@@ -278,6 +278,38 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "beta", 4L)), s"batch2 legend: ${b2.mkString(",")}")
   }
 
+  test("s_cm_sketch: live grid byte-equals the batch aggregate, probes bound") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[graft.streaming.LangToken]
+    val q = runToMemory(
+      Ingest.cmSketchStream(in.toDS(), depth = 4, width = 128).toDF(),
+      "cm_live", OutputMode.Update())
+    def toks(ts: (String, Int)*) = ts.flatMap { case (t, n) =>
+      Seq.fill(n)(graft.streaming.LangToken("en", t)) }
+    val b1 = toks("alpha" -> 5, "beta" -> 3, "gamma" -> 1)
+    val b2 = toks("gamma" -> 6, "beta" -> 1, "delta" -> 2)
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    // Update-mode sink appends one row per (batch, lang); the live grid
+    // is the LAST row — and must byte-equal the BATCH aggregate over
+    // the union (CMS folds are commutative counter additions)
+    val live = sp.table("cm_live").collect().last.getAs[Array[Byte]]("sketch")
+    val batch = sp.createDataset(b1 ++ b2).toDF()
+      .agg(graft.functions.CmSketch(col("token"), 4, 128).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    assert(live.sameElements(batch),
+      "live sketch must byte-equal the batch aggregate over the same rows")
+    // the probe surface holds its one-sided bound on the live grid
+    Seq("alpha" -> 5L, "beta" -> 4L, "gamma" -> 7L, "delta" -> 2L).foreach {
+      case (t, exact) =>
+        assert(graft.functions.CountMin.query(live, t) >= exact)
+    }
+  }
+
   test("s_cusum_alert: exact-integer changepoint stat across batches") {
     val sp = spark
     import sp.implicits._
