@@ -255,6 +255,54 @@ object RelationalOps {
         col("p50_secs"), col("p90_secs"))
   }
 
+  /** DATA-QUALITY AUDIT — the dbt-test-style expectations report every
+    * warehouse runs before trusting a load: primary-key duplication
+    * (rows participating in a duplicated o_orderkey), referential
+    * orphans in BOTH fact→dim directions (lineitem→orders,
+    * orders→customer — each ONE left join against the distinct key set
+    * with a conditional count, never an anti-join + second count scan),
+    * a range rule and a null rule. Five small union branches, each one
+    * aggregate; every rate an IEEE division of exact counts. At scale
+    * each check is a single key-shuffle (or a scan-local agg) over the
+    * table it audits. */
+  def dqReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    def emit(name: String, viol: Column, checked: Column,
+        src: DataFrame): DataFrame =
+      src.agg(viol.cast("long").as("n_violations"),
+          checked.cast("long").as("n_checked"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          col("n_checked"),
+          Det.r4(col("n_violations").cast("double") / col("n_checked"))
+            .as("viol_rate"))
+    val pkDup = emit("orders_pk_unique",
+      sum(when(col("n") > 1L, col("n")).otherwise(0L)),
+      sum(col("n")),
+      o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n")))
+    val orphanLi = emit("lineitem_order_fk",
+      sum(when(col("ok").isNull, 1L).otherwise(0L)), count(lit(1)),
+      li.join(o.select(col("o_orderkey")).distinct()
+          .withColumn("ok", lit(1)),
+        col("l_orderkey") === col("o_orderkey"), "left"))
+    val orphanO = emit("orders_customer_fk",
+      sum(when(col("ck").isNull, 1L).otherwise(0L)), count(lit(1)),
+      o.join(c.select(col("c_custkey")).distinct()
+          .withColumn("ck", lit(1)),
+        col("o_custkey") === col("c_custkey"), "left"))
+    val priceRange = emit("lineitem_price_positive",
+      sum(when(col("l_extendedprice") <= lit(0.0), 1L).otherwise(0L)),
+      count(lit(1)), li)
+    val segNull = emit("customer_segment_present",
+      sum(when(col("c_mktsegment").isNull ||
+        col("c_mktsegment") === lit(""), 1L).otherwise(0L)),
+      count(lit(1)), c)
+    pkDup.unionByName(orphanLi).unionByName(orphanO)
+      .unionByName(priceRange).unionByName(segNull)
+      .orderBy("check_name")
+  }
+
   /** REPEAT-PURCHASE CADENCE — the loyalty-cycle summary: per user the
     * lag window yields exact day gaps between consecutive purchases
     * (integer epoch-µs arithmetic), then one global integer-rank
@@ -1530,6 +1578,7 @@ object RelationalOps {
     "q_join_asof" -> joinAsof _,
     "q_join_asof_fwd" -> joinAsofFwd _,
     "q_time_to_convert" -> timeToConvert _,
+    "q_dq_report" -> dqReport _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -2060,6 +2109,50 @@ object RelationalOps {
         |       max(CASE WHEN rk = (nc + 1) // 2 THEN secs END) AS p50_secs,
         |       max(CASE WHEN rk = (9 * nc + 9) // 10 THEN secs END) AS p90_secs
         |FROM rk CROSS JOIN tot""".stripMargin
+    },
+    "q_dq_report" -> {
+      def r4rate = graft.util.Det.r4Sql(
+        "CAST(n_violations AS DOUBLE) / n_checked")
+      s"""WITH pk AS (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+        |      AS BIGINT) AS n_violations,
+        |    CAST(sum(n) AS BIGINT) AS n_checked
+        |  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)),
+        |fli AS (
+        |  SELECT 'lineitem_order_fk' AS check_name,
+        |    CAST(sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations,
+        |    CAST(count(*) AS BIGINT) AS n_checked
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+        |    ON l.l_orderkey = ok.o_orderkey),
+        |fo AS (
+        |  SELECT 'orders_customer_fk' AS check_name,
+        |    CAST(sum(CASE WHEN ck.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations,
+        |    CAST(count(*) AS BIGINT) AS n_checked
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) ck
+        |    ON o.o_custkey = ck.c_custkey),
+        |pr AS (
+        |  SELECT 'lineitem_price_positive' AS check_name,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations,
+        |    CAST(count(*) AS BIGINT) AS n_checked
+        |  FROM lineitem),
+        |sg AS (
+        |  SELECT 'customer_segment_present' AS check_name,
+        |    CAST(sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = ''
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |    CAST(count(*) AS BIGINT) AS n_checked
+        |  FROM customer),
+        |u AS (SELECT * FROM pk UNION ALL SELECT * FROM fli
+        |      UNION ALL SELECT * FROM fo UNION ALL SELECT * FROM pr
+        |      UNION ALL SELECT * FROM sg)
+        |SELECT check_name, n_violations, n_checked,
+        |       $r4rate AS viol_rate
+        |FROM u ORDER BY check_name NULLS FIRST""".stripMargin
     },
     "q_repeat_purchase" ->
       s"""WITH p AS (
