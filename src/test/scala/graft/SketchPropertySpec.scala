@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Property-based guarantees for the frequency-sketch KERNELS (pure
+  * JVM, no Spark) — the same invariants the aggregate specs assert on
+  * fixed corpora, here over 200 random streams with random merge
+  * splits each: the laws that make the sketches safe to partial-
+  * aggregate over arbitrary Spark merge trees. */
+class SketchPropertySpec extends AnyFunSuite {
+  import org.scalacheck.{Gen, Test => SCTest}
+  import org.scalacheck.Prop.forAll
+
+  // a zipf-ish vocabulary of 41 tokens; lists up to scalacheck's default
+  private val streamGen =
+    Gen.listOf(Gen.chooseNum(0, 40).map(i => s"t${i * i / 13}"))
+
+  test("property: CMS split-merge == sequential; never undercounts; conserves") {
+    val depth = 3; val width = 32
+    val prop = forAll(streamGen, Gen.chooseNum(0, 100)) { (items, cutPct) =>
+      val (l, r) = items.splitAt(items.length * cutPct / 100)
+      val seq = new Array[Long](depth * width)
+      items.foreach(graft.functions.CountMin.observe(seq, depth, width, _))
+      val a = new Array[Long](depth * width)
+      val b = new Array[Long](depth * width)
+      l.foreach(graft.functions.CountMin.observe(a, depth, width, _))
+      r.foreach(graft.functions.CountMin.observe(b, depth, width, _))
+      val merged = graft.functions.CountMin.combine(a, b)
+      val bytes = graft.functions.CountMin.serialize(seq, depth, width)
+      val exact = items.groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toLong }
+      // merge is EXACT at any split point; estimates one-sided; every
+      // row of the grid independently conserves the stream length
+      merged.sameElements(seq) &&
+        exact.forall { case (t, c) =>
+          graft.functions.CountMin.query(bytes, t) >= c } &&
+        (0 until depth).forall { rr =>
+          (0 until width).map(c => seq(rr * width + c)).sum ==
+            items.length.toLong }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: MG never overcounts, undercount bounded, heavy survive") {
+    val cap = 8
+    val prop = forAll(streamGen, Gen.chooseNum(0, 100)) { (items, cutPct) =>
+      val (l, r) = items.splitAt(items.length * cutPct / 100)
+      def mg(xs: Seq[String]) = {
+        val m = mutable.HashMap.empty[String, Long]
+        xs.foreach(graft.functions.MisraGries.observe(m, _, cap))
+        m
+      }
+      val merged = graft.functions.MisraGries.combine(mg(l), mg(r), cap)
+      val exact = items.groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toLong }
+      val bound = items.length.toLong / (cap + 1)
+      // the PODS'12 merge preserves all three MG guarantees at any
+      // split point: one-sided estimates, the n/(cap+1) undercount
+      // bound, and survival of every guaranteed-heavy item
+      merged.forall { case (t, e) => e <= exact(t) } &&
+        merged.forall { case (t, e) => exact(t) - e <= bound } &&
+        exact.collect { case (t, c) if c > bound => t }
+          .forall(merged.contains)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
