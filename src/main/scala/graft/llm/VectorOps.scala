@@ -646,7 +646,45 @@ object VectorOps {
       .orderBy(col("dims").desc)
   }
 
+  /** EMBEDDING DRIFT MONITOR — the feed-health read for a vector
+    * pipeline: split the corpus into two cohorts (vec_id parity — at
+    * production, yesterday/today partitions) and report the cosine
+    * between their CENTROIDS. Oracle-exact by the quantized-sum
+    * discipline: each float quantizes to floor(v·10⁶) BIGINT, per-dim
+    * cohort sums are exact, and since cosine is scale-invariant the
+    * count divisions cancel — cos = Σs₀s₁ / (√Σs₀² · √Σs₁²) over
+    * exact DECIMAL(19,0)-product sums, one shared-text IEEE
+    * sqrt/mul/div at the end. Everything reduces to 64 dim rows after
+    * one explode-aggregate; a drifting feed shows up as the cosine
+    * falling from ~1. */
+  def embedDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val sums = Tables.embeddings(spark, sfDir)
+      .select((col("vec_id") % 2).as("h"), posexplode(col("embedding")))
+      .select(col("h"), col("pos").as("dim"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000000.0D) AS BIGINT)")
+          .as("q"))
+      .groupBy(col("h"), col("dim")).agg(sum(col("q")).as("s"))
+      .localCheckpoint(eager = false) // 2·dims rows, read by both halves
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val cos = sums.where(col("h") === 0)
+      .select(col("dim"), col("s").as("s0"))
+      .join(sums.where(col("h") === 1)
+        .select(col("dim"), col("s").as("s1")), "dim")
+      .agg(sum(dec(col("s0")) * dec(col("s1"))).as("sab"),
+        sum(dec(col("s0")) * dec(col("s0"))).as("saa"),
+        sum(dec(col("s1")) * dec(col("s1"))).as("sbb"))
+    val n = Tables.embeddings(spark, sfDir)
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+    n.crossJoin(broadcast(cos))
+      .select(col("n_a"), col("n_b"),
+        Det.r4(col("sab").cast("double") /
+          (sqrt(col("saa").cast("double")) *
+            sqrt(col("sbb").cast("double")))).as("centroid_cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_embed_drift" -> embedDrift _,
     "q_llm_mrl_tradeoff" -> mrlTradeoff _,
     "q_llm_nprobe_tradeoff" -> nprobeTradeoff _,
     "q_llm_kmeans" -> kmeansClusters _,
@@ -727,6 +765,32 @@ object VectorOps {
       |ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST LIMIT 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_embed_drift" ->
+      s"""WITH q AS (
+        |  SELECT vec_id % 2 AS h, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0)
+        |           AS BIGINT) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT h, dim, CAST(sum(qv) AS BIGINT) AS s
+        |      FROM q GROUP BY 1, 2),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CAST(a.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS sab,
+        |    CAST(sum(CAST(a.s AS DECIMAL(19,0)) * CAST(a.s AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS saa,
+        |    CAST(sum(CAST(b.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS sbb
+        |  FROM s a JOIN s b ON a.dim = b.dim AND a.h = 0 AND b.h = 1),
+        |n AS (
+        |  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_b
+        |  FROM embeddings)
+        |SELECT n_a, n_b,
+        |       ${Det.r4Sql("sab / (sqrt(saa) * sqrt(sbb))")} AS centroid_cosine
+        |FROM n CROSS JOIN c""".stripMargin,
     "q_llm_kmeans" -> kmeansOracleSql,
     "q_sql_cosine_topk" -> cosineTopkOracle,
     "q_llm_cosine_topk" -> cosineTopkOracle,
