@@ -50,6 +50,19 @@ case class HotToken(lang: String, rank: Long, token: String, est: Long)
   * self-describing serialized grid, probe-ready via `cm_query`. */
 case class LangSketch(lang: String, sketch: Array[Byte])
 
+/** A labeled embedding row for the live drift monitor. */
+case class LabeledVec(label: Int, embedding: Array[Float])
+
+/** Per-label drift state: the FROZEN reference centroid (quantized
+  * per-dim sums from the label's first micro-batch) and the running
+  * current-cohort sums. */
+case class DriftState(ref: Array[Long], nRef: Long, cur: Array[Long],
+    nCur: Long)
+
+/** One live drift reading: cohort sizes and the centroid cosine vs the
+  * frozen reference (1.0 = no drift). */
+case class DriftScore(label: Int, n_ref: Long, n_cur: Long, cosine: Double)
+
 /** Live CUSUM state: exact-integer recursion after a frozen warmup. */
 case class CusumStreamState(n: Long, warmSum: Long, s: Long, alarms: Long,
     lastMs: Long)
@@ -536,6 +549,63 @@ object Ingest {
           state.update(buf)
           LangSketch(lang, graft.functions.CountMin.serialize(buf, depth,
             width))
+      }
+  }
+
+  /** LIVE EMBEDDING-DRIFT MONITOR — the streaming twin of
+    * [[graft.llm.VectorOps.embedDrift]] under the frozen-warmup
+    * pattern shared with [[cusumAlertStream]]: a label's FIRST
+    * micro-batch freezes as its reference centroid (no stream has the
+    * batch read's whole-corpus split), later batches accumulate the
+    * current cohort, and each emits the centroid cosine vs the
+    * reference. The same quantized-sum discipline as the batch twin —
+    * floor(v·10⁶) BIGINT per-dim sums, so state is exact integers
+    * (replays cannot drift it) and the cosine is one IEEE formula per
+    * emission. State per label: 2·dims longs; keying by label shards
+    * the monitor across the cluster. */
+  def embedDriftStream(rows: Dataset[LabeledVec]): Dataset[DriftScore] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def qsum(acc: Array[Long], v: Array[Float]): Unit = {
+      var i = 0
+      while (i < v.length && i < acc.length) {
+        acc(i) += math.floor(v(i).toDouble * 1000000.0).toLong
+        i += 1
+      }
+    }
+    def cosine(a: Array[Long], b: Array[Long]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (aa == 0.0 || bb == 0.0) 0.0
+      else ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    rows.groupByKey(_.label)
+      .flatMapGroupsWithState[DriftState, DriftScore](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (label: Int, it: Iterator[LabeledVec],
+            state: GroupState[DriftState]) =>
+          val batch = it.toArray
+          val dims = state.getOption.map(_.ref.length)
+            .orElse(batch.headOption.map(_.embedding.length)).getOrElse(0)
+          state.getOption match {
+            case None =>
+              val ref = new Array[Long](dims)
+              batch.foreach(r => qsum(ref, r.embedding))
+              state.update(DriftState(ref, batch.length.toLong,
+                new Array[Long](dims), 0L))
+              Iterator.empty // the calibration batch is silent
+            case Some(s) =>
+              batch.foreach(r => qsum(s.cur, r.embedding))
+              val upd = s.copy(nCur = s.nCur + batch.length)
+              state.update(upd)
+              Iterator.single(DriftScore(label, upd.nRef, upd.nCur,
+                cosine(upd.ref, upd.cur)))
+          }
       }
   }
 

@@ -310,6 +310,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s_embed_drift: silent calibration, exact state, per-label shards") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.LabeledVec
+    def q(v: Float): Long = math.floor(v.toDouble * 1000000.0).toLong
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val ab = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val aa = a.map(x => x.toDouble * x.toDouble).sum
+      val bb = b.map(x => x.toDouble * x.toDouble).sum
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val in = MemoryStream[LabeledVec]
+    val qr = runToMemory(Ingest.embedDriftStream(in.toDS()).toDF(), "edrift",
+      OutputMode.Update())
+    // batch 1 calibrates both labels — must be silent
+    in.addData(LabeledVec(0, Array(0.2f, 0.1f)),
+      LabeledVec(0, Array(0.4f, 0.2f)), LabeledVec(1, Array(0.3f, 0.0f)))
+    qr.processAllAvailable()
+    assert(sp.table("edrift").count() == 0, "calibration batch must be silent")
+    // batch 2: label 0 drifts nowhere (same direction); label 1 rotates 90°
+    in.addData(LabeledVec(0, Array(0.2f, 0.1f)),
+      LabeledVec(1, Array(0.0f, 0.25f)))
+    qr.processAllAvailable()
+    val b2 = sp.sql("SELECT label, n_ref, n_cur, cosine FROM edrift " +
+      "ORDER BY label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ref0 = Array(q(0.2f) + q(0.4f), q(0.1f) + q(0.2f))
+    val exp0 = cos(ref0, Array(q(0.2f), q(0.1f)))
+    assert(b2.toSeq == Seq((0, 2L, 1L, exp0), (1, 1L, 1L, 0.0)),
+      s"batch-2 drift rows wrong: ${b2.mkString(",")}")
+    // batch 3: label 1's cohort accumulates on the SAME frozen reference
+    in.addData(LabeledVec(1, Array(0.25f, 0.0f)))
+    qr.processAllAvailable(); qr.stop()
+    val last = sp.sql("SELECT n_cur, cosine FROM edrift WHERE label = 1 " +
+      "ORDER BY n_cur").collect().map(r => (r.getLong(0), r.getDouble(1))).last
+    val exp1 = cos(Array(q(0.3f), 0L), Array(q(0.25f), q(0.0f) + q(0.25f)))
+    assert(last == ((2L, exp1)), s"accumulated drift wrong: $last vs $exp1")
+  }
+
   test("s_cusum_alert: exact-integer changepoint stat across batches") {
     val sp = spark
     import sp.implicits._
