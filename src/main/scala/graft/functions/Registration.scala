@@ -7,6 +7,24 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+/** Column-API bridge for Spark's internal bloom expressions (private
+  * [sql] surface — same shim rationale as CosineSim.scala). */
+object BloomBridge {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  def agg(c: Column, estItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(new BloomFilterAggregate(
+      ExpressionUtils.expression(c), Literal(estItems), Literal(numBits))
+      .toAggregateExpression())
+
+  def might(bloom: Column, key: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(key)))
+}
+
 /** graft's native expressions as SQL functions, so `spark.sql` users get
   * the same codegen kernels as the Column API (`cosine_sim(a, b)`,
   * `simhash_agg(h)`). */
@@ -55,6 +73,29 @@ object GraftFunctionRegistry {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "cm_query(sketch, item)")
         CmQueryExpr(exprs.head, exprs(1))
+      }),
+    // Spark ships codegen'd bloom expressions for its own runtime join
+    // filtering but does not register them as SQL functions; surfacing
+    // them completes the sketch triad (MG = who is frequent, CMS = how
+    // often, bloom = membership) with zero new kernel code.
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "bloom_filter_agg(longCol, estItemsLit, numBitsLit)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+      }),
+    (FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "might_contain(bloom, longValue)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
       }))
 
   /** Register into a LIVE session (notebooks, tests). */

@@ -77,6 +77,23 @@ package object functions {
       org.apache.spark.sql.graft.CmQueryExpr(sketch, item)
   }
 
+  /** Bloom-filter membership aggregate over a LONG key column — Spark's
+    * own codegen'd runtime-filter expression surfaced as a library
+    * function (the membership leg of the sketch triad beside
+    * [[HeavyHitters]] and [[CmSketch]]). No false negatives; false
+    * positives bounded by numBits/estItems (spec-asserted). */
+  object BloomAgg {
+    def apply(c: Column, estItems: Long, numBits: Long): Column =
+      org.apache.spark.sql.graft.BloomBridge.agg(c, estItems, numBits)
+  }
+
+  /** Probe a bloom filter built by [[BloomAgg]]: true if the key MAY be
+    * present, false only if it is definitely absent. */
+  object MightContain {
+    def apply(bloom: Column, key: Column): Column =
+      org.apache.spark.sql.graft.BloomBridge.might(bloom, key)
+  }
+
   /** Register graft's native expressions as SQL functions in a live
     * session (`cosine_sim`, `simhash_agg`); for session-build wiring use
     * `spark.sql.extensions=graft.GraftExtensions`. Idempotent. */

@@ -1320,6 +1320,44 @@ class LlmSpec extends AnyFunSuite {
       s"sql path $viaSql != kernel path")
   }
 
+  test("bloom filter: no false negatives, FP bounded, SQL scalar-subquery") {
+    val sp = spark
+    import sp.implicits._
+    val keys = graft.io.Tables.orders(sp, sf)
+      .select(col("o_orderkey")).distinct()
+    val bf = keys
+      .agg(graft.functions.BloomAgg(col("o_orderkey"), 20000L, 200000L)
+        .as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    // membership sketches have ONE one-sided guarantee: never a false
+    // negative — every real key must probe true (the bloom literal is
+    // sketch-sized, exactly what a serving layer ships)
+    val n = keys.count()
+    val present = keys
+      .where(graft.functions.MightContain(lit(bf), col("o_orderkey")))
+      .count()
+    assert(present == n, s"false negatives: $present of $n keys hit")
+    // false positives bounded: 200k bits for <= 20k items keeps the FP
+    // rate well under 5% (theoretical ~1.6% at k=3 hashes)
+    val probes = 5000L
+    val fp = sp.range(1, probes + 1)
+      .select((col("id") + 100000000L).as("k"))
+      .where(graft.functions.MightContain(lit(bf), col("k")))
+      .count()
+    assert(fp <= probes / 20,
+      s"FP rate too high: $fp of $probes absent keys hit")
+    // SQL surface, in the scalar-subquery form Spark's own runtime
+    // filtering plans
+    graft.functions.registerAll(sp)
+    keys.createOrReplaceTempView("bloom_keys")
+    val viaSql = sp.sql(
+      """SELECT count(*) FROM bloom_keys
+        |WHERE might_contain(
+        |  (SELECT bloom_filter_agg(o_orderkey, 20000L, 200000L)
+        |   FROM bloom_keys), o_orderkey)""".stripMargin).head.getLong(0)
+    assert(viaSql == n, s"sql path hit $viaSql of $n")
+  }
+
   test("q_llm_cms_probe: mg_est <= exact <= cms_est brackets every row") {
     val sp = spark
     import sp.implicits._
