@@ -772,6 +772,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q_llm_decontaminate's DuckDB text — shared verbatim with the
+    * bloom-gated twin, whose pre-filter cannot change the result. */
+  private val decontaminateOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |           FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (SELECT doc_id,
+      |             unnest(list_transform(generate_series(1, len(tk) - 4),
+      |               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g5
+      |      FROM t),
+      |b AS (SELECT DISTINCT g5 FROM g WHERE doc_id < 20)
+      |SELECT g.doc_id, CAST(count(DISTINCT g.g5) AS BIGINT) AS n_shared
+      |FROM g JOIN b USING (g5)
+      |WHERE g.doc_id >= 20
+      |GROUP BY 1
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** BLOOM-GATED DECONTAMINATION — [[decontaminate]] with the 100 TB
+    * front door: the benchmark's n-gram set compiles to ONE
+    * sketch-sized bloom filter (driver-held, ~25 KB — the AnnIndex
+    * build/serve split applied to contamination), every corpus gram
+    * pre-filters MAP-SIDE through `might_contain(xxhash64(g5))`
+    * (codegen'd, no shuffle, no broadcast of the gram set), and only
+    * the survivors reach the exact join that kills false positives.
+    * The output is therefore IDENTICAL to the exact read — it shares
+    * q_llm_decontaminate's oracle verbatim — while at scale the join
+    * input shrinks by the bloom's pass rate (FP-bounded), which is the
+    * entire shuffle saving. */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(expr(ngramExpr("tk", 5))).as("g5"))
+      .localCheckpoint(eager = false)
+    val benchGrams = grams.where(col("doc_id") < 20)
+      .select(col("g5")).distinct()
+      .localCheckpoint(eager = false)
+    val bloom = benchGrams
+      .agg(graft.functions.BloomAgg(xxhash64(col("g5")), 20000L, 200000L)
+        .as("bf"))
+      .head.getAs[Array[Byte]]("bf") // model-sized collect, by design
+    grams.where(col("doc_id") >= 20)
+      .where(graft.functions.MightContain(lit(bloom), xxhash64(col("g5"))))
+      .join(benchGrams, "g5")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g5")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** PII REDACTION — the scrub pass every curation pipeline runs before
     * training: mask emails, URLs and long digit runs, and account for
     * what was removed per document. The corpus is synthetic word-salad
@@ -1271,6 +1320,7 @@ object TextOps {
     "q_llm_tfidf" -> tfidfKeywords _,
     "q_llm_redact" -> redact _,
     "q_llm_decontaminate" -> decontaminate _,
+    "q_llm_decontaminate_bloom" -> decontaminateBloom _,
     "q_llm_decontaminate_fuzzy" -> decontaminateFuzzy _,
     "q_llm_lm_novelty" -> lmNovelty _,
     "q_llm_vocab_zipf" -> vocabZipf _,
@@ -1574,20 +1624,11 @@ object TextOps {
         |       md5(red) AS red_md5
         |FROM r
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
-    "q_llm_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |           FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 5),
-        |g AS (SELECT doc_id,
-        |             unnest(list_transform(generate_series(1, len(tk) - 4),
-        |               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g5
-        |      FROM t),
-        |b AS (SELECT DISTINCT g5 FROM g WHERE doc_id < 20)
-        |SELECT g.doc_id, CAST(count(DISTINCT g.g5) AS BIGINT) AS n_shared
-        |FROM g JOIN b USING (g5)
-        |WHERE g.doc_id >= 20
-        |GROUP BY 1
-        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_llm_decontaminate" -> decontaminateOracle,
+    // the bloom pre-gate provably changes nothing about the result —
+    // the exact confirm join kills every false positive — so the bloom
+    // twin is held to the SAME oracle verbatim
+    "q_llm_decontaminate_bloom" -> decontaminateOracle,
     "q_llm_edit_neardup" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
