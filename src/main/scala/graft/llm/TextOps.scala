@@ -635,7 +635,7 @@ object TextOps {
     * split inside the lambda — the CSE gotcha): shared by the
     * repetition and decontamination queries. Caller guarantees
     * size(arr) >= n (sequence would otherwise descend). */
-  private def ngramExpr(arr: String, n: Int): String = {
+  private[graft] def ngramExpr(arr: String, n: Int): String = {
     val parts = (0 until n)
       .map(j => if (j == 0) s"$arr[i]" else s"$arr[i+$j]").mkString(", ")
     s"transform(sequence(0, size($arr) - $n), i -> concat_ws(' ', $parts))"

@@ -552,6 +552,28 @@ object Ingest {
       }
   }
 
+  /** STREAMING CONTAMINATION GATE — the serve side of
+    * [[graft.llm.TextOps.decontaminateBloom]]'s build/serve split (the
+    * s_ann_probe pattern applied to eval leakage): the benchmark's
+    * 5-gram bloom compiles OFFLINE (sketch-sized bytes ride into the
+    * plan as a literal — no broadcast of the gram set, no stream
+    * state), and each arriving document explodes to 5-grams and emits
+    * its bloom-suspect grams Append-mode, fully stateless map-side.
+    * Downstream an exact batch join confirms (bloom guarantees no
+    * false NEGATIVES, so nothing contaminated slips through the gate).
+    * Spec: the stream's suspect set equals the batch pre-gate on the
+    * same docs — deterministic because both sides share the identical
+    * bloom bytes and xxhash64. */
+  def contaminationGate(docs: Dataset[RawDoc],
+      bloom: Array[Byte]): DataFrame = {
+    docs.toDF()
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 5)
+      .select(col("doc_id"),
+        explode(expr(graft.llm.TextOps.ngramExpr("tk", 5))).as("g5"))
+      .where(graft.functions.MightContain(lit(bloom), xxhash64(col("g5"))))
+  }
+
   /** LIVE EMBEDDING-DRIFT MONITOR — the streaming twin of
     * [[graft.llm.VectorOps.embedDrift]] under the frozen-warmup
     * pattern shared with [[cusumAlertStream]]: a label's FIRST

@@ -310,6 +310,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s_contamination_gate: stream suspects equal the batch pre-gate") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val grams = graft.io.Tables.documents(sp, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(tk) - 5), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))"))
+          .as("g5"))
+    val bloom = grams.where(col("doc_id") < 20).select(col("g5")).distinct()
+      .agg(graft.functions.BloomAgg(xxhash64(col("g5")), 20000L, 200000L)
+        .as("bf")).head.getAs[Array[Byte]]("bf")
+    val batchSuspects = grams.where(col("doc_id") >= 20)
+      .where(graft.functions.MightContain(lit(bloom), xxhash64(col("g5"))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batchSuspects.nonEmpty, "degenerate: no contaminated grams")
+    val docs = graft.io.Tables.documents(sp, sf)
+      .where(col("doc_id") >= 20)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[graft.streaming.RawDoc].collect()
+    val in = MemoryStream[graft.streaming.RawDoc]
+    val q = runToMemory(Ingest.contaminationGate(in.toDS(), bloom), "cgate",
+      OutputMode.Append())
+    // two arrival waves — the gate is stateless, so split choice is free
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    in.addData(d1.toSeq); q.processAllAvailable()
+    in.addData(d2.toSeq); q.processAllAvailable(); q.stop()
+    val streamed = sp.table("cgate").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batchSuspects,
+      s"stream gate diverged: ${streamed.size} vs ${batchSuspects.size}")
+  }
+
   test("s_embed_drift: silent calibration, exact state, per-label shards") {
     val sp = spark
     import sp.implicits._
