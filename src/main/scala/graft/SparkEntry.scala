@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ts.TimeSeriesOps.queries ++ rel.RelationalOps.queries ++
+      rel.Dashboards.queries ++
       llm.TextOps.queries ++ llm.BpeOps.queries ++ llm.VectorOps.queries ++
       llm.Pipeline.queries ++ mm.MultimodalOps.queries
 
@@ -25,6 +26,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ts.TimeSeriesOps.oracleSql ++ rel.RelationalOps.oracleSql ++
+      rel.Dashboards.oracleSql ++
       llm.TextOps.oracleSql ++ llm.BpeOps.oracleSql ++
       llm.VectorOps.oracleSql
 }
