@@ -459,6 +459,53 @@ object RelationalOps {
       .limit(15)
   }
 
+  /** PAGERANK over the part co-purchase graph — graph centrality made
+    * ORACLE-EXACT by the unrolled-integer-rounds discipline
+    * (q_llm_kmeans / q_llm_dup_components): ranks live as 10⁶-scaled
+    * BIGINTs, each of 3 damped rounds is
+    * r′(v) = 150000 + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100 —
+    * every operation an integer add/multiply/floor-division written
+    * identically in both engines, so three rounds of a genuinely
+    * iterative graph algorithm hash-match DuckDB bit-exactly. Edges
+    * are [[basketLift]]'s map-side pair generation symmetrized (the
+    * checkpoint-before-union discipline); each round is one equi-join
+    * + one aggregate on the node key — the scalable Pregel shape, with
+    * lazy checkpoints bounding the unrolled plan. Isolated parts
+    * (no co-purchase) are out of the graph by construction. */
+  def partPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> transform(" +
+          "slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(eager = false)
+    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = r.join(deg, col("node") === col("src"))
+        .select(col("src"), expr("r div outdeg").as("c"))
+      val sumin = sym.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = deg.select(col("src").as("node"))
+        .join(sumin, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr("150000L + (85 * coalesce(s, 0L)) div 100").as("r"))
+        .localCheckpoint(eager = false)
+    }
+    r.join(deg, col("node") === col("src"))
+      .select(col("node"), col("outdeg"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(20)
+  }
+
   /** Interval join: events bucketed into a 7-day window grid. The grid is
     * a handful of rows → broadcast; empty windows survive via left join. */
   def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1579,6 +1626,7 @@ object RelationalOps {
     "q_join_asof_fwd" -> joinAsofFwd _,
     "q_time_to_convert" -> timeToConvert _,
     "q_dq_report" -> dqReport _,
+    "q_part_pagerank" -> partPagerank _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -2109,6 +2157,33 @@ object RelationalOps {
         |       max(CASE WHEN rk = (nc + 1) // 2 THEN secs END) AS p50_secs,
         |       max(CASE WHEN rk = (9 * nc + 9) // 10 THEN secs END) AS p90_secs
         |FROM rk CROSS JOIN tot""".stripMargin
+    },
+    "q_part_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"g${i - 1}"
+        s"""g$i AS (
+          |  SELECT d.src AS node,
+          |         CAST(150000 + (85 * COALESCE(si.s, 0)) // 100 AS BIGINT) AS r
+          |  FROM deg d LEFT JOIN (
+          |    SELECT sym.dst, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+          |    FROM sym JOIN $prev p ON sym.src = p.node
+          |    JOIN deg dg ON sym.src = dg.src
+          |    GROUP BY 1) si ON d.src = si.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |        FROM sym GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |$rounds
+        |SELECT node, outdeg, r AS rank_scaled
+        |FROM g3 JOIN deg ON node = src
+        |ORDER BY rank_scaled DESC, node NULLS FIRST
+        |LIMIT 20""".stripMargin
     },
     "q_dq_report" -> {
       def r4rate = graft.util.Det.r4Sql(
