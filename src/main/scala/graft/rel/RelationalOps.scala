@@ -473,7 +473,12 @@ object RelationalOps {
     * lazy checkpoints bounding the unrolled plan. Isolated parts
     * (no co-purchase) are out of the graph by construction. */
   def partPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    // the oracle SLICE runs on the deterministic quarter of the part
+    // domain (pk % 4 = 0 — the dup_components bounding pattern: the
+    // operator's shape is scale-free, the verified slice keeps the
+    // 3-round × 2-join × agg pipeline cheap at every SF)
     val pairs = Tables.lineitem(spark, sfDir)
+      .where(col("l_partkey") % 4 === 0)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(explode(expr(
@@ -494,6 +499,9 @@ object RelationalOps {
         .select(col("src"), expr("r div outdeg").as("c"))
       val sumin = sym.join(contrib, "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // per-round lazy checkpoint: without it AQE re-plans the growing
+      // subtree and can pick a too-large broadcast (measured OOM at
+      // sf0.1); with it each round is two bounded node-key jobs
       r = deg.select(col("src").as("node"))
         .join(sumin, col("node") === col("dst"), "left")
         .select(col("node"),
@@ -2171,7 +2179,7 @@ object RelationalOps {
           |    GROUP BY 1) si ON d.src = si.dst)""".stripMargin
       }.mkString(",\n")
       s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |            FROM lineitem),
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
         |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
         |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
         |sym AS (SELECT pa AS src, pb AS dst FROM pairs
