@@ -1157,6 +1157,42 @@ class StreamingSpec extends AnyFunSuite {
       s"restarted funnel must resume per-user state: $got")
   }
 
+  test("s_live_attribution_recovery: touch state survives a restart") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_attr_restart")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectory(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    def writeBatch(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(srcDir.resolve(name),
+        String.join("\n", rows: _*).getBytes("UTF-8"))
+    def start() = {
+      val evts = sp.readStream
+        .schema("user_id LONG, event_id LONG, event_type STRING, " +
+          "ts TIMESTAMP, value DOUBLE")
+        .csv(srcDir.toString).as[AttribEvent]
+      Ingest.liveAttribution(evts).toDF().writeStream.format("parquet")
+        .option("path", outDir).outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).start()
+    }
+    // run 1: only touches — the last one (click@10:02) is the state
+    writeBatch("b1.csv", Seq(
+      "1,10,view,2024-01-01 10:00:00,0.0",
+      "1,11,click,2024-01-01 10:02:00,0.0"))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // run 2: the purchase arrives after a restart — it can only be
+    // attributed to 'click' if the recovered state kept the last touch
+    writeBatch("b2.csv", Seq("1,12,purchase,2024-01-01 10:05:00,9.0"))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = sp.read.parquet(outDir)
+      .select("event_id", "touch_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((12L, "click", 9.0)),
+      s"restart must recover the last touch: ${rows.mkString(",")}")
+  }
+
   test("s_live_attribution: same-instant id tiebreak, replay guard, evict") {
     val sp = spark
     import sp.implicits._
