@@ -55,9 +55,27 @@ object CountMin {
     bb.array()
   }
 
+  /** Header bounds enforced on every read of a foreign BINARY: depth
+    * in [1,16], width in [1,2^22] (so depth*width*8 stays far inside
+    * Int), and the payload length exactly 8 + depth*width*8. A
+    * malformed sketch fails as a clean IllegalArgumentException naming
+    * cm_query instead of an overflow / NegativeArraySize / OOB crash. */
+  private def checkHeader(bytes: Array[Byte], depth: Int,
+      width: Int): Unit = {
+    if (bytes.length < 8 ||
+        depth < 1 || depth > 16 || width < 1 || width > (1 << 22) ||
+        bytes.length.toLong != 8L + depth.toLong * width * 8)
+      throw new IllegalArgumentException(
+        s"cm_query: malformed count-min sketch (depth=$depth, " +
+          s"width=$width, bytes=${bytes.length}); expected depth in " +
+          "[1,16], width in [1,4194304], length 8 + depth*width*8")
+  }
+
   def deserialize(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    if (bytes.length < 8) checkHeader(bytes, 0, 0)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val depth = bb.getInt(); val width = bb.getInt()
+    checkHeader(bytes, depth, width)
     val buf = new Array[Long](depth * width)
     var i = 0
     while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
@@ -67,8 +85,10 @@ object CountMin {
   /** Point lookup against the SERIALIZED sketch: min over rows, read
     * directly at cell offsets (no grid materialization per call). */
   def query(bytes: Array[Byte], item: String): Long = {
+    if (bytes.length < 8) checkHeader(bytes, 0, 0)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val depth = bb.getInt(0); val width = bb.getInt(4)
+    checkHeader(bytes, depth, width)
     var est = Long.MaxValue
     var r = 0
     while (r < depth) {

@@ -2142,7 +2142,11 @@ object RelationalOps {
         |         AS BIGINT) AS secs_to_convert
         |FROM s ORDER BY event_id NULLS FIRST""".stripMargin,
     "q_time_to_convert" -> {
-      val r4 = graft.util.Det.r4Sql("CAST(max(nc) AS DOUBLE) / max(ns)")
+      // Aggregate rk ALONE, then CROSS JOIN tot — mirrors the Spark
+      // agg-then-crossJoin shape so n_signups survives an empty
+      // conversion set (agg over empty rk yields one NULL row, and
+      // the 1-row tot cross join still attaches the real count).
+      val r4 = graft.util.Det.r4Sql("CAST(n_converted AS DOUBLE) / ns")
       """WITH s AS (
         |  SELECT e.event_id, e.ts,
         |         (SELECT min(p.ts) FROM events p
@@ -2159,12 +2163,16 @@ object RelationalOps {
         |         row_number() OVER (ORDER BY secs, event_id) AS rk,
         |         CAST(count(*) OVER () AS BIGINT) AS nc
         |  FROM conv),
+        |agg AS (
+        |  SELECT max(nc) AS n_converted,
+        |         max(CASE WHEN rk = (nc + 1) // 2 THEN secs END) AS p50_secs,
+        |         max(CASE WHEN rk = (9 * nc + 9) // 10 THEN secs END) AS p90_secs
+        |  FROM rk),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM s)
-        |SELECT max(ns) AS n_signups, max(nc) AS n_converted,
+        |SELECT ns AS n_signups, n_converted,
         |       """.stripMargin + r4 + """ AS cvr,
-        |       max(CASE WHEN rk = (nc + 1) // 2 THEN secs END) AS p50_secs,
-        |       max(CASE WHEN rk = (9 * nc + 9) // 10 THEN secs END) AS p90_secs
-        |FROM rk CROSS JOIN tot""".stripMargin
+        |       p50_secs, p90_secs
+        |FROM agg CROSS JOIN tot""".stripMargin
     },
     "q_part_pagerank" -> {
       val rounds = (1 to 3).map { i =>

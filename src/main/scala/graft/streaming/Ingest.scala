@@ -788,7 +788,12 @@ object Ingest {
     * events process view→click→purchase so `>=` anchoring matches the
     * batch chain; across batches a regressive arrival (ts < last
     * consumed) is dropped, the same replay guard as the Holt/CUSUM
-    * lives. State exists only for users with an anchored view and is
+    * lives — so batch equality REQUIRES per-user in-order delivery
+    * across micro-batches (see [[liveAttribution]]'s delivery-order
+    * contract; the twin specs feed per-user-ordered batches, and a
+    * source that reorders a user across batches needs user_id-keyed
+    * partitioning upstream). State exists only for users with an
+    * anchored view and is
     * three longs, watermark-bounded — at 100 TB/day the state store
     * holds one small fixed-size record per ACTIVE funnel entrant, not
     * per event. */
@@ -865,7 +870,20 @@ object Ingest {
     * frontier) are dropped — the replay guard shared with
     * [[liveFunnel]] — and idle users evict by event-time timeout.
     * Spec'd as a twin: per-touch counts and value sums on the real
-    * events table EQUAL the batch attribution rollup. */
+    * events table EQUAL the batch attribution rollup.
+    *
+    * DELIVERY-ORDER CONTRACT: the batch-twin equality holds only when
+    * each user's events arrive in event-time order ACROSS micro-batches
+    * (within a batch they are sorted here). A late-but-inside-watermark
+    * touch landing in a LATER micro-batch than an already-consumed
+    * purchase sorts before the consumption frontier and is dropped by
+    * the replay guard — the stream then under-attributes relative to
+    * the batch window read. Producers that can reorder a user across
+    * batches (multi-partition keys without user_id partitioning) need a
+    * per-user partitioned source, or a buffer-to-watermark variant that
+    * holds events in state until the watermark passes before folding —
+    * that variant trades one watermark of latency for exact
+    * out-of-order tolerance and is deliberately NOT this operator. */
   def liveAttribution(events: Dataset[AttribEvent],
       lateness: String = "10 minutes",
       idleSeconds: Long = 3600L): Dataset[AttributedPurchase] = {

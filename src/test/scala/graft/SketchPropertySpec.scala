@@ -44,6 +44,38 @@ class SketchPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("CMS rejects malformed sketch bytes with a clean error") {
+    import graft.functions.CountMin
+    val depth = 3; val width = 32
+    val grid = new Array[Long](depth * width)
+    CountMin.observe(grid, depth, width, "x")
+    val good = CountMin.serialize(grid, depth, width)
+    assert(CountMin.query(good, "x") >= 1L) // sanity: valid bytes pass
+    def badHeader(d: Int, w: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(good.length)
+      bb.putInt(d).putInt(w).put(good, 8, good.length - 8)
+      bb.array()
+    }
+    // a foreign/corrupt BINARY must fail as IllegalArgumentException
+    // naming cm_query — never overflow/NegativeArraySize/OOB
+    val bads = Seq(
+      Array.emptyByteArray,                    // no header at all
+      Array[Byte](1, 2, 3),                    // truncated header
+      badHeader(0, width),                     // depth out of range
+      badHeader(17, width),                    // depth too deep
+      badHeader(depth, 0),                     // width out of range
+      badHeader(depth, 1 << 23),               // width too wide
+      badHeader(1 << 30, 1 << 30),             // depth*width overflows Int
+      badHeader(-4, -8),                       // negative sizes
+      badHeader(depth, width + 1),             // length != 8 + d*w*8
+      good.dropRight(8))                       // truncated payload
+    bads.foreach { b =>
+      val ex = intercept[IllegalArgumentException](CountMin.query(b, "x"))
+      assert(ex.getMessage.contains("cm_query"))
+      intercept[IllegalArgumentException](CountMin.deserialize(b))
+    }
+  }
+
   test("property: MG never overcounts, undercount bounded, heavy survive") {
     val cap = 8
     val prop = forAll(streamGen, Gen.chooseNum(0, 100)) { (items, cutPct) =>
