@@ -76,6 +76,84 @@ object BpeOps {
   private def applyMerges(c: Column, merges: Seq[Merge]): Column =
     foldMerges(wrap(c), merges)
 
+  /** Replace-fold expression depth is the oracle slice's luxury: at
+    * [[Merges]]=10 the nested replaces are codegen-friendly literals,
+    * but a production tokenizer replays tens of thousands of merges and
+    * the expression tree would not survive. Past this many merges the
+    * word map switches to [[tokenizeWord]], the JVM rank-replay
+    * tokenizer (spec-proven token-identical to the fold). */
+  private[graft] val FoldDepthLimit = 64
+
+  /** PRODUCTION BPE APPLY — per-word rank-ordered merge replay on the
+    * JVM, O(|word|²) with hash lookups, INDEPENDENT of vocabulary size
+    * (30k merges cost the same as 10 for a given word). Token-identical
+    * to the replace-fold by construction:
+    *
+    *  - the fold processes ranks 1..M in order, each as ONE left-to-
+    *    right non-overlapping `<a><b>`→`<ab>` pass; token texts never
+    *    contain `<`/`>`, so string matches always align with token
+    *    boundaries, and merging (a,b) can only create adjacencies
+    *    (prev, ab) / (ab, next) — never a new same-rank occurrence
+    *    (ab ≠ a and ab ≠ b since both sides are non-empty);
+    *  - therefore "repeatedly merge the LOWEST-rank pair present that
+    *    is ABOVE the last processed rank, all occurrences left-to-
+    *    right" replays exactly the fold's rank order while skipping
+    *    absent ranks. The `> last` guard is load-bearing: a later merge
+    *    CAN recreate the text of an earlier pair (two different merge
+    *    paths can build the same token string), and the fold never
+    *    returns to a passed rank.
+    *
+    * Spec'd equal to the fold on every distinct corpus word at the
+    * oracle's 10-merge model AND on a 3k-word synthetic dict at a
+    * 1024-merge vocabulary where the Catalyst fold is infeasible
+    * (BpeSpec). */
+  private[graft] def tokenizeWord(word: String, merges: Array[(String, String)],
+      rank: java.util.HashMap[String, Integer]): Array[String] = {
+    var toks = new Array[String](word.length + 1)
+    var i = 0
+    while (i < word.length) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+    toks(word.length) = "_"
+    var last = 0
+    var done = false
+    while (!done && toks.length > 1) {
+      var best = Int.MaxValue
+      i = 0
+      while (i < toks.length - 1) {
+        val r = rank.get(toks(i) + " " + toks(i + 1))
+        if (r != null && r > last && r < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best - 1)
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.toArray
+        last = best
+      }
+    }
+    toks
+  }
+
+  /** The JVM mirror of the Catalyst replace-fold — the reference
+    * implementation the spec compares [[tokenizeWord]] against (Java
+    * `String.replace` is the same left-to-right non-overlapping
+    * literal replace as Spark/DuckDB `replace`). Test-only shape:
+    * O(M·|word|) per word, fine on a dict, never on a corpus. */
+  private[graft] def foldTokenizeWord(word: String,
+      merges: Seq[(String, String)]): Array[String] = {
+    var s = word.map(ch => s"<$ch>").mkString + "<_>"
+    merges.foreach { case (a, b) =>
+      s = s.replace(s"<$a><$b>", s"<$a$b>")
+    }
+    "<([^>]+)>".r.findAllMatchIn(s).map(_.group(1)).toArray
+  }
+
   /** The trained model as plain (lhs, rhs) pairs — the form callers
     * outside this package (the streaming admit) broadcast. */
   def model(spark: SparkSession, sfDir: String): Seq[(String, String)] =
@@ -135,6 +213,16 @@ object BpeOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(DictCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainFromDict(dict, Merges)
+  }
+
+  /** The driver merge loop over an ALREADY-BOUNDED word-frequency dict
+    * — the model-sized core shared by the corpus trainer above (at the
+    * oracle's [[Merges]]) and the ≥1k-merge production-vocabulary spec
+    * (BpeSpec trains 1024 merges on a synthetic dict; the loop is
+    * round-count-independent). */
+  private[graft] def trainFromDict(dict: Array[(String, Long)],
+      maxMerges: Int): Seq[Merge] = {
     val toks = scala.collection.mutable.ArrayBuffer(
       dict.map { case (w, c) =>
         (w.map(ch => s"<$ch>").mkString + "<_>", c)
@@ -142,7 +230,7 @@ object BpeOps {
     val tokenRe = "<([^>]+)>".r
     var merges = Vector.empty[Merge]
     var round = 0
-    while (round < Merges) {
+    while (round < maxMerges) {
       round += 1
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       toks.foreach { case (t, c) =>
@@ -173,16 +261,54 @@ object BpeOps {
 
   /** Distinct corpus words with their learned-subword counts AND the
     * rendered subword string — the broadcast-sized word->(n_sub, wtok)
-    * map every downstream query joins on (unused columns prune away). */
+    * map every downstream query joins on (unused columns prune away).
+    * Mechanism switches on model size: literal nested replaces while
+    * the expression tree stays codegen-friendly ([[FoldDepthLimit]]),
+    * the JVM rank-replay tokenizer beyond — identical tokens either
+    * way (spec'd), so callers never see the switch. */
   private def wordSubCounts(spark: SparkSession, sfDir: String,
       merges: Seq[Merge]): DataFrame =
+    if (merges.length <= FoldDepthLimit)
+      Tables.documents(spark, sfDir)
+        .select(explode(wordsCol).as("w")).distinct()
+        .select(col("w"),
+          regexp_extract_all(applyMerges(col("w"), merges),
+            lit("<([^>]+)>"), lit(1)).as("subs"))
+        .select(col("w"), size(col("subs")).cast("long").as("n_sub"),
+          concat_ws(" ", col("subs")).as("wtok"))
+    else wordSubCountsProd(spark, sfDir, merges)
+
+  /** The PRODUCTION word map: one broadcast of the (rank-indexed)
+    * merges table, then [[tokenizeWord]] over the DISTINCT words in a
+    * mapPartitions — the model ships once per executor and the per-word
+    * cost is vocabulary-size-independent, so a 30k-merge tokenizer
+    * applies at the same corpus cost as the 10-merge oracle model. The
+    * distinct-word relation stays orders of magnitude smaller than the
+    * corpus; everything downstream joins it back exactly as the fold
+    * path does. */
+  private[graft] def wordSubCountsProd(spark: SparkSession, sfDir: String,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val pairs = merges.map(m => (m.a, m.b)).toArray
+    val bc = spark.sparkContext.broadcast(pairs)
     Tables.documents(spark, sfDir)
       .select(explode(wordsCol).as("w")).distinct()
-      .select(col("w"),
-        regexp_extract_all(applyMerges(col("w"), merges),
-          lit("<([^>]+)>"), lit(1)).as("subs"))
-      .select(col("w"), size(col("subs")).cast("long").as("n_sub"),
-        concat_ws(" ", col("subs")).as("wtok"))
+      .as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val rank = new java.util.HashMap[String, Integer](ms.length * 2)
+        var i = 0
+        while (i < ms.length) {
+          rank.put(ms(i)._1 + " " + ms(i)._2, Integer.valueOf(i + 1))
+          i += 1
+        }
+        it.map { w =>
+          val t = tokenizeWord(w, ms, rank)
+          (w, t.length.toLong, t.mkString(" "))
+        }
+      }
+      .toDF("w", "n_sub", "wtok")
+  }
 
   /** Per-document subword totals: explode words map-side, join the
     * distinct-word counts (auto-broadcast: |vocab| rows), one aggregate
@@ -217,16 +343,23 @@ object BpeOps {
       sfDir: String): DataFrame =
     encodedDocsUncached(spark, sfDir, trainMerges(spark, sfDir))
 
-  private def encodedDocsUncached(spark: SparkSession, sfDir: String,
-      merges: Seq[Merge]): DataFrame =
+  /** Shared doc-order assembly over any word->(n_sub, wtok) map —
+    * posexplode → broadcast word-map join → one per-doc aggregate whose
+    * order is pinned by sorting (pos, wtok) structs. */
+  private def assembleDocs(spark: SparkSession, sfDir: String,
+      wordMap: DataFrame): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
-      .join(wordSubCounts(spark, sfDir, merges), "w")
+      .join(wordMap, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tok"),
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(struct(pos, wtok))), x -> x.wtok)"))
           .as("toks"))
+
+  private def encodedDocsUncached(spark: SparkSession, sfDir: String,
+      merges: Seq[Merge]): DataFrame =
+    assembleDocs(spark, sfDir, wordSubCounts(spark, sfDir, merges))
 
   private def encodedDocs(spark: SparkSession, sfDir: String,
       merges: Seq[Merge]): DataFrame =
@@ -235,6 +368,19 @@ object BpeOps {
 
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
     encodedDocs(spark, sfDir, trainMerges(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** The PRODUCTION-mechanism encode: same trained model, same doc
+    * assembly, but the word map tokenizes via the broadcast-model
+    * rank-replay ([[wordSubCountsProd]]) instead of literal replaces —
+    * the path a 30k-merge vocabulary takes. Registered with the SAME
+    * DuckDB oracle text as q_llm_bpe_encode: the mechanisms are
+    * token-identical, so the unrolled-CTE twin checks this one too
+    * (an oracle-level proof of the equivalence, beside BpeSpec's
+    * word-level one). */
+  def bpeEncodeProd(spark: SparkSession, sfDir: String): DataFrame =
+    assembleDocs(spark, sfDir,
+      wordSubCountsProd(spark, sfDir, trainMerges(spark, sfDir)))
       .orderBy("doc_id")
 
   /** [[TextOps.chunkDocs]] re-keyed on SUBWORDS: fixed 64-subword
@@ -346,6 +492,7 @@ object BpeOps {
     "q_llm_bpe_train" -> bpeTrain _,
     "q_llm_bpe_token_count" -> bpeTokenCount _,
     "q_llm_bpe_encode" -> bpeEncode _,
+    "q_llm_bpe_encode_prod" -> bpeEncodeProd _,
     "q_llm_bpe_vocab" -> bpeVocab _,
     "q_llm_chunk_bpe" -> bpeChunk _,
     "q_llm_pack_bpe" -> bpePack _,
@@ -440,6 +587,15 @@ object BpeOps {
         |FROM words JOIN alltok USING (w)
         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q_llm_bpe_encode" ->
+      s"""WITH $trainCtes,
+        |$alltokCte,
+        |$wordsPosCte
+        |SELECT doc_id, n_words, n_tok, toks FROM enc
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    // The production rank-replay mechanism is token-identical to the
+    // replace-fold (BpeSpec proves it word-by-word at 10 AND 1024
+    // merges), so the SAME unrolled-CTE twin is its oracle.
+    "q_llm_bpe_encode_prod" ->
       s"""WITH $trainCtes,
         |$alltokCte,
         |$wordsPosCte

@@ -30,6 +30,65 @@ class BpeSpec extends AnyFunSuite {
       "training must be deterministic run-to-run")
   }
 
+  test("production rank-replay tokenizer == replace-fold at the oracle model") {
+    // every DISTINCT corpus word, both mechanisms, same trained model:
+    // the word-level proof that q_llm_bpe_encode_prod may share
+    // q_llm_bpe_encode's oracle text
+    val merges = BpeOps.trainMergesUncached(spark, sf)
+    val pairs = merges.map(m => (m.a, m.b)).toArray
+    val rank = new java.util.HashMap[String, Integer]()
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      rank.put(a + " " + b, Integer.valueOf(i + 1)) }
+    val words = graft.io.Tables.documents(spark, sf)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(BpeOps.tokenizeWord(w, pairs, rank).toSeq ==
+        BpeOps.foldTokenizeWord(w, pairs).toSeq, s"word '$w' diverged")
+    }
+    // and end-to-end through Spark: the prod encode equals the fold
+    // encode row-for-row
+    val a = BpeOps.bpeEncode(spark, sf).collect().map(_.toSeq).toSeq
+    val b = BpeOps.bpeEncodeProd(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "prod encode must equal fold encode")
+  }
+
+  test("production tokenizer holds at a 1024-merge vocabulary") {
+    // a synthetic dict large enough to learn 1024 merges — the scale
+    // where the Catalyst replace-fold's expression tree is infeasible
+    // but the JVM fold mirror is still a fine reference
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    var seed = 0x5eedL
+    val words = (0 until 3000).map { _ =>
+      seed = lcg(seed)
+      val len = 4 + math.floorMod(seed >>> 16, 9L).toInt
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        seed = lcg(seed)
+        sb += ('a' + math.floorMod(seed >>> 16, 26L).toInt).toChar
+      }
+      sb.toString
+    }.distinct
+    val dict = words.zipWithIndex
+      .map { case (w, i) => (w, (i % 7 + 1).toLong) }.toArray
+    val merges = BpeOps.trainFromDict(dict, 1024)
+    assert(merges.length == 1024,
+      s"dict must support 1024 merges, got ${merges.length}")
+    val pairs = merges.map(m => (m.a, m.b)).toArray
+    val rank = new java.util.HashMap[String, Integer]()
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      rank.put(a + " " + b, Integer.valueOf(i + 1)) }
+    words.foreach { w =>
+      val t = BpeOps.tokenizeWord(w, pairs, rank)
+      assert(t.toSeq == BpeOps.foldTokenizeWord(w, pairs).toSeq,
+        s"word '$w' diverged at 1024 merges")
+      // losslessness: tokens re-concatenate to word + end marker
+      assert(t.mkString("") == w + "_")
+    }
+  }
+
   test("subword counts compress below character counts and stay >= 1") {
     val rows = BpeOps.bpeTokenCount(spark, sf).collect()
     assert(rows.nonEmpty)
