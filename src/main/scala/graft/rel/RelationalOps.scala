@@ -472,13 +472,15 @@ object RelationalOps {
     * + one aggregate on the node key — the scalable Pregel shape, with
     * lazy checkpoints bounding the unrolled plan. Isolated parts
     * (no co-purchase) are out of the graph by construction. */
-  def partPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    // the oracle SLICE runs on the deterministic quarter of the part
-    // domain (pk % 4 = 0 — the dup_components bounding pattern: the
-    // operator's shape is scale-free, the verified slice keeps the
-    // 3-round × 2-join × agg pipeline cheap at every SF)
-    val pairs = Tables.lineitem(spark, sfDir)
-      .where(col("l_partkey") % 4 === 0)
+  /** The co-purchase graph's (sym edges, out-degrees) — shared by the
+    * fixed-round oracle slice and the convergence-stopped production
+    * twin. `sliceMod` bounds the part domain (Some(4) = the oracle's
+    * deterministic quarter); None is the full graph. */
+  private def coPurchaseGraph(spark: SparkSession, sfDir: String,
+      sliceMod: Option[Int]): (DataFrame, DataFrame) = {
+    val base = Tables.lineitem(spark, sfDir)
+    val sliced = sliceMod.fold(base)(m => base.where(col("l_partkey") % m === 0))
+    val pairs = sliced
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(explode(expr(
@@ -493,25 +495,77 @@ object RelationalOps {
       .localCheckpoint(eager = false)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = false)
+    (sym, deg)
+  }
+
+  /** One damped integer round:
+    * r′(v) = 150000 + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100. */
+  private def pagerankRound(r: DataFrame, sym: DataFrame,
+      deg: DataFrame): DataFrame = {
+    val contrib = r.join(deg, col("node") === col("src"))
+      .select(col("src"), expr("r div outdeg").as("c"))
+    val sumin = sym.join(contrib, "src")
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    // per-round lazy checkpoint: without it AQE re-plans the growing
+    // subtree and can pick a too-large broadcast (measured OOM at
+    // sf0.1); with it each round is two bounded node-key jobs
+    deg.select(col("src").as("node"))
+      .join(sumin, col("node") === col("dst"), "left")
+      .select(col("node"),
+        expr("150000L + (85 * coalesce(s, 0L)) div 100").as("r"))
+      .localCheckpoint(eager = false)
+  }
+
+  def partPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    // the oracle SLICE runs on the deterministic quarter of the part
+    // domain (pk % 4 = 0 — the dup_components bounding pattern: the
+    // operator's shape is scale-free, the verified slice keeps the
+    // 3-round × 2-join × agg pipeline cheap at every SF)
+    val (sym, deg) = coPurchaseGraph(spark, sfDir, Some(4))
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
-      val contrib = r.join(deg, col("node") === col("src"))
-        .select(col("src"), expr("r div outdeg").as("c"))
-      val sumin = sym.join(contrib, "src")
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      // per-round lazy checkpoint: without it AQE re-plans the growing
-      // subtree and can pick a too-large broadcast (measured OOM at
-      // sf0.1); with it each round is two bounded node-key jobs
-      r = deg.select(col("src").as("node"))
-        .join(sumin, col("node") === col("dst"), "left")
-        .select(col("node"),
-          expr("150000L + (85 * coalesce(s, 0L)) div 100").as("r"))
-        .localCheckpoint(eager = false)
-    }
+    for (_ <- 1 to 3) r = pagerankRound(r, sym, deg)
     r.join(deg, col("node") === col("src"))
       .select(col("node"), col("outdeg"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node"))
       .limit(20)
+  }
+
+  /** The PRODUCTION PageRank — [[partPagerank]]'s kernel, unsliced and
+    * CONVERGENCE-STOPPED (the kmeansConvergedPar pattern): same
+    * integer-exact damped round, but over the FULL part co-purchase
+    * graph, iterating until the largest per-node rank move is ≤
+    * `tolScaled` (10⁶-scale units; 100 = 10⁻⁴ of a unit rank) or
+    * `maxRounds` caps a pathological graph. The probe is one scalar
+    * max-|Δ| aggregate per round — driver-synchronized scalars, never
+    * data; damping 0.85 contracts the move geometrically so the stop
+    * arrives in O(log 1/tol) rounds regardless of graph size. Returns
+    * ALL node ranks (a caller ranks/joins downstream), not the
+    * oracle's top-20 read.
+    *
+    * SPEC-GATED, not an oracle query, by design: the round count is
+    * data-dependent (no fixed-depth SQL unrolls it); the spec pins it
+    * to the sliced oracle twin by running this kernel on the slice
+    * subgraph with the round budget forced to the oracle's 3 —
+    * bit-equal ranks — then proves full-graph convergence under the
+    * cap with conserved total rank mass. */
+  def partPagerankConverged(spark: SparkSession, sfDir: String,
+      sliceMod: Option[Int] = None, maxRounds: Int = 30,
+      tolScaled: Long = 100L): DataFrame = {
+    val (sym, deg) = coPurchaseGraph(spark, sfDir, sliceMod)
+    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    var rounds = 0
+    var moved = Long.MaxValue
+    while (moved > tolScaled && rounds < maxRounds) {
+      val next = pagerankRound(r, sym, deg)
+      val probe = next
+        .join(r.select(col("node"), col("r").as("r_prev")), "node")
+        .agg(max(abs(col("r") - col("r_prev")))).head
+      moved = if (probe.isNullAt(0)) 0L else probe.getLong(0) // empty graph
+      r = next
+      rounds += 1
+    }
+    r.join(deg, col("node") === col("src"))
+      .select(col("node"), col("outdeg"), col("r").as("rank_scaled"))
   }
 
   /** Interval join: events bucketed into a 7-day window grid. The grid is

@@ -104,6 +104,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("converged pagerank at 3 forced rounds == the sliced oracle twin") {
+    // same kernel, slice subgraph, round budget pinned to the oracle's
+    // 3 (tol=0 only stops early at an exact fixpoint, where the fixed-
+    // round result is identical anyway) → bit-equal top-20 read
+    val oracle = RelationalOps.partPagerank(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val twin = RelationalOps
+      .partPagerankConverged(spark, sf, Some(4), maxRounds = 3,
+        tolScaled = 0L)
+      .orderBy(col("rank_scaled").desc, col("node")).limit(20)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty && twin == oracle)
+  }
+
+  test("full-graph pagerank converges under the cap, mass conserved") {
+    val all = RelationalOps.partPagerankConverged(spark, sf)
+    val rows = all.collect()
+    assert(rows.nonEmpty)
+    // every rank at least the damped floor, none degenerate
+    assert(rows.forall(_.getLong(2) >= 150000L))
+    // damped PageRank with no dangling nodes (symmetrized edges give
+    // every node outdeg >= 1) keeps total mass near n * 10^6; integer
+    // floor-div leaks strictly downward, never up
+    val n = rows.length.toLong
+    val mass = rows.map(_.getLong(2)).sum
+    assert(mass <= n * 1000000L && mass > (n * 1000000L * 9) / 10,
+      s"mass $mass out of band for n=$n")
+    // full graph strictly contains the pk%4 slice's node set
+    val sliceNodes = RelationalOps
+      .partPagerankConverged(spark, sf, Some(4), maxRounds = 1)
+      .select("node").collect().map(_.getLong(0)).toSet
+    val fullNodes = rows.map(_.getLong(0)).toSet
+    assert(sliceNodes.subsetOf(fullNodes) && fullNodes.size > sliceNodes.size)
+  }
+
   test("window_running: run equals prefix sum of rev") {
     val rows = RelationalOps.windowRunning(spark, sf).collect()
     var acc = BigDecimal(0)
