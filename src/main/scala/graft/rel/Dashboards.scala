@@ -14,27 +14,49 @@ object Dashboards {
     * economics (gap islands), revenue concentration (Gini) and the
     * ordered funnel, unpivoted to 11 labelled rows. Every value is a
     * deterministic member output cast to DOUBLE (exact for these
-    * magnitudes in both engines). */
+    * magnitudes in both engines).
+    *
+    * Execution shape: the four member plans are INDEPENDENT 1-row
+    * reductions, so the panel materializes them CONCURRENTLY (one
+    * eager checkpoint per member, submitted from four driver threads —
+    * the standard multi-job dashboard fan-out; Spark's scheduler
+    * interleaves the stages across the executor cores) and unions the
+    * four tiny results. The panel pays max(member), not sum(member).
+    * Each member additionally runs under [[graft.io.Tables
+    * .sharedEventsScan]], so its own stage jobs (funnel's three) read
+    * one materialized events relation. Member logic is reused
+    * verbatim — values cannot drift from the verified reads. */
   def kpiDashboard(spark: SparkSession, sfDir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     def rows(df: DataFrame, pairs: (String, String)*): DataFrame =
       df.selectExpr(s"stack(${pairs.length}, " +
         pairs.map { case (k, e) => s"'$k', CAST($e AS DOUBLE)" }
           .mkString(", ") + ") AS (kpi, value)")
-    rows(RelationalOps.timeToConvert(spark, sfDir),
+    val members: Seq[() => DataFrame] = Seq(
+      () => rows(RelationalOps.timeToConvert(spark, sfDir),
         "signup_cvr" -> "cvr",
         "p50_secs_to_convert" -> "p50_secs",
-        "n_signups" -> "n_signups")
-      .unionByName(rows(graft.ts.TimeSeriesOps.sessionConversion(spark, sfDir),
+        "n_signups" -> "n_signups"),
+      () => rows(graft.ts.TimeSeriesOps.sessionConversion(spark, sfDir),
         "n_sessions" -> "n_sessions",
         "session_cvr" -> "session_cvr",
-        "events_per_session" -> "events_per_session"))
-      .unionByName(rows(RelationalOps.revenueGini(spark, sfDir),
+        "events_per_session" -> "events_per_session"),
+      () => rows(RelationalOps.revenueGini(spark, sfDir),
         "revenue_gini" -> "gini",
-        "total_revenue" -> "total_rev"))
-      .unionByName(rows(graft.ts.TimeSeriesOps.funnel(spark, sfDir),
+        "total_revenue" -> "total_rev"),
+      () => rows(graft.ts.TimeSeriesOps.funnel(spark, sfDir),
         "funnel_views" -> "n_view",
         "funnel_clicks" -> "n_click_after",
         "funnel_purchases" -> "n_purchase_after"))
+    val futs = members.map { m =>
+      Future(graft.io.Tables.sharedEventsScan {
+        m().localCheckpoint(eager = true)
+      })
+    }
+    futs.map(Await.result(_, Duration.Inf))
+      .reduce(_.unionByName(_))
       .orderBy("kpi")
   }
 
