@@ -124,15 +124,19 @@ object Bench {
       s"""{"metric":"per_query","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
     println(perQueryLine)
     // the driver artifact keeps only a 2000-char stdout tail, which
-    // truncates ~half the per-query medians; optionally persist the full
-    // line for cross-round history (SPARK_GRAFT_BENCH_OUT=<file>)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { f =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+    // truncates ~half the per-query medians; ALWAYS persist the full
+    // line as a sidecar the round commit picks up (default
+    // ./BENCH_FULL_latest.json — Bench runs with cwd = the repo —
+    // override with SPARK_GRAFT_BENCH_OUT), so every query's median
+    // history survives even though the stdout tail cannot hold it
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "BENCH_FULL_latest.json" else "")
+    if (outPath.nonEmpty) // a BENCH_ONLY subset must not clobber history
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (perQueryLine + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] per-query dump skipped: ${e.getMessage}")
       }
-    }
     if (failures.nonEmpty) {
       val fs = failures.map { case (k, v) =>
         val joined = v.mkString("; ")

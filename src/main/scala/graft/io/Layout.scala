@@ -149,14 +149,17 @@ object Layout {
       require(fs.rename(backup, hp),
         s"recovery of interrupted rollup fold failed for $path")
     }
-    // snapshot the file set the fold will read: any file appended by a
-    // live writer AFTER this point must be RESCUED into the published
-    // dir (partial rows are self-contained, so re-appending them keeps
-    // append-mode semantics exact) — deleting the backup wholesale
-    // would silently lose those batches
-    val snapshot = fs.listStatus(hp).filter(_.isFile)
-      .map(_.getPath.getName).toSet
+    // snapshot the EXACT file set the fold reads (the DataFrame's own
+    // resolved file index, not a separate listing — a separate listing
+    // opens a window where a file lands between list and read and gets
+    // BOTH folded and rescued, i.e. double-counted): any file appended
+    // by a live writer after this resolution must be RESCUED into the
+    // published dir (partial rows are self-contained, so re-appending
+    // them keeps append-mode semantics exact) — deleting the backup
+    // wholesale would silently lose those batches
     val src = spark.read.parquet(path)
+    val snapshot = src.inputFiles
+      .map(f => new Path(f).getName).toSet
     val (srcSum, srcN, srcRows) = {
       val t = src.agg(
         sum(col("sum_v").cast("decimal(28,4)")).as("s"),
@@ -179,7 +182,53 @@ object Layout {
       "rollup fold must conserve decomposable totals")
     fs.delete(backup, true)
     require(fs.rename(hp, backup), s"could not stage away $path")
-    if (!fs.rename(staging, hp)) {
+    // publish. A live writer can RECREATE the table dir between the two
+    // renames (parquet append mkdirs a missing target); depending on
+    // the filesystem the publish rename then FAILS outright or lands
+    // staging INSIDE the recreated dir (HDFS rename-into-dir
+    // semantics). Handle both: rescue recreated-dir partials into
+    // staging (write-job file names are UUID-unique — no collision)
+    // and retry, or unnest the staged files afterwards. The in-flight
+    // partials are good data either way; nothing is dropped.
+    var published = false
+    var attempts = 0
+    while (!published && attempts < 8) {
+      attempts += 1
+      if (fs.exists(hp)) {
+        fs.listStatus(hp).filter(_.isFile)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            require(fs.rename(f.getPath,
+              new Path(staging, f.getPath.getName)),
+              s"could not rescue recreated-dir partial ${f.getPath}")
+          }
+        fs.delete(hp, true)
+      }
+      published = fs.rename(staging, hp)
+      if (published) {
+        val nested = new Path(hp, staging.getName)
+        if (fs.exists(nested) && fs.getFileStatus(nested).isDirectory) {
+          fs.listStatus(nested).filter(_.isFile)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { f =>
+              require(fs.rename(f.getPath, new Path(hp, f.getPath.getName)),
+                s"could not unnest staged file ${f.getPath}")
+            }
+          fs.delete(nested, true)
+        }
+      }
+    }
+    if (!published) {
+      // rollback — the dir may have been recreated yet again; fold its
+      // partials into the backup so the restore conserves them
+      if (fs.exists(hp)) {
+        fs.listStatus(hp).filter(_.isFile)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            fs.rename(f.getPath, new Path(backup, f.getPath.getName))
+          }
+        fs.delete(hp, true)
+      }
       val restored = fs.rename(backup, hp)
       throw new IllegalStateException(
         s"could not publish folded rollup $path" +

@@ -69,6 +69,105 @@ class LayoutSpec extends AnyFunSuite {
     assert(sp.read.parquet(dir).count() == checksum.getLong(1))
   }
 
+  test("rollup fold conserves every partial under a racing live appender") {
+    // the concurrent-writer proof: a background thread keeps appending
+    // partial batches (liveRollupWriter's output shape) while
+    // compactRollup runs its staged swap repeatedly; afterwards every
+    // appended batch must be accounted for — folded or rescued, never
+    // lost, never double-counted
+    val sp = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_race")
+      .resolve("rollup").toString
+    val RowsPerBatch = 20
+    def mkBatch(i: Int) = {
+      import sp.implicits._
+      (0 until RowsPerBatch).map { j =>
+        val v = (i * RowsPerBatch + j).toLong
+        (s"m${j % 5}", java.sql.Timestamp.valueOf(f"2024-01-01 ${j % 8}%02d:00:00"),
+          java.math.BigDecimal.valueOf(v * 10000L, 4), 1L,
+          v.toDouble, v.toDouble)
+      }.toDF("metric", "bucket", "sum_v", "n", "min_v", "max_v")
+        .select(col("metric"), col("bucket"),
+          col("sum_v").cast("decimal(18,4)").as("sum_v"), col("n"),
+          col("min_v"), col("max_v"))
+    }
+    mkBatch(0).write.parquet(dir) // base batch 0
+    val written = new java.util.concurrent.atomic.AtomicInteger(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appenderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      // commit discipline: write each batch to a scratch dir, then ONE
+      // atomic file move into the table (recreating the dir if the
+      // swap has it staged away — deliberately exercising the
+      // recreated-dir race the publish path handles). Atomic move ⇒
+      // a batch is either fully committed (counted) or absent.
+      var i = 1
+      try while (!stop.get() && i < 60) {
+        val scratch = java.nio.file.Files
+          .createTempDirectory(s"graft_race_b$i").resolve("out")
+        mkBatch(i).coalesce(1).write.parquet(scratch.toString)
+        val part = {
+          val s = java.nio.file.Files.list(scratch)
+          try s.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        // the table dir vanishes briefly mid-swap: recreate and retry
+        var committed = false
+        var tries = 0
+        while (!committed && tries < 200 && !stop.get()) {
+          tries += 1
+          try {
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(dir))
+            java.nio.file.Files.move(part,
+              java.nio.file.Paths.get(dir, s"race-batch-$i.parquet"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            committed = true
+          } catch {
+            case _: java.nio.file.NoSuchFileException => Thread.sleep(2)
+          }
+        }
+        if (committed) written.incrementAndGet() // count only commits
+        i += 1
+      } catch { case t: Throwable => appenderErr.set(t) }
+    })
+    appender.start()
+    // three folds racing the appender: each must either publish with
+    // conservation intact or fail CLEANLY with the data still complete
+    (1 to 3).foreach { _ =>
+      Thread.sleep(30)
+      try graft.io.Layout.compactRollup(sp, dir)
+      catch { case _: IllegalStateException => () }
+    }
+    stop.set(true)
+    appender.join(60000)
+    assert(!appender.isAlive, "appender must terminate")
+    assert(appenderErr.get() == null,
+      s"appender must survive the swaps: ${appenderErr.get()}")
+    // quiesced final fold, then audit the decomposable totals against
+    // every batch the appender actually committed
+    graft.io.Layout.compactRollup(sp, dir)
+    val n = written.get()
+    val totalRows = (n * RowsPerBatch).toLong
+    val expectSum = java.math.BigDecimal.valueOf(
+      totalRows * (totalRows - 1) / 2 * 10000L, 4)
+    val back = sp.read.parquet(dir)
+    val audit = back.agg(
+      sum(col("sum_v").cast("decimal(28,4)")).as("s"),
+      sum(col("n")).as("c"), count(lit(1)).as("r")).head
+    assert(audit.getLong(1) == totalRows,
+      s"lost/duplicated observations: n=${audit.getLong(1)} expected $totalRows ($n batches)")
+    assert(audit.getDecimal(0).compareTo(expectSum) == 0,
+      s"sum drift: ${audit.getDecimal(0)} vs $expectSum")
+    // post-quiesce fold leaves exactly one row per (metric, bucket)
+    val grain = back.select("metric", "bucket").distinct().count()
+    assert(audit.getLong(2) == grain,
+      s"fold must land at bucket grain: ${audit.getLong(2)} rows vs $grain buckets")
+    assert(n > 3, s"appender should have raced at least a few batches, got $n")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val sp = spark
     import org.apache.spark.sql.functions._
