@@ -60,8 +60,18 @@ object ScaleUp {
         }: _*)
 
     def write(df: DataFrame, n: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
-      println(s"[scaleup] $n: ${spark.read.parquet(s"$dst/$n.parquet").count()} rows")
+      // single plain file per table — the driver fixture layout, which
+      // both Tables and the DuckDB parity views read unchanged
+      val tmp = s"$dst/_tmp_$n"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$dst/$n.parquet")
+      target.delete()
+      require(part.renameTo(target), s"could not publish $n")
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+      println(s"[scaleup] $n: ${spark.read.parquet(target.toString).count()} rows")
     }
 
     write(tbl("region"), "region")
