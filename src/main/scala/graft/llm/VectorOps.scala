@@ -214,8 +214,8 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
-  private val NPlanes = 16
-  private val SigBands = 4 // 4 bands × 4 bits
+  private val NPlanes = 64
+  private val BandBits = 8 // 8 bands × 8 bits
 
   /** Fixed-seed random hyperplanes for sign-LSH (deterministic across
     * runs and executors — generated once on the driver, broadcast as
@@ -225,15 +225,35 @@ object VectorOps {
     Array.fill(NPlanes, 64)(rnd.nextGaussian())
   }
 
-  /** Embedding near-duplicate pairs via sign-LSH: 16-bit signatures from
-    * random hyperplanes, banded 4×4 for candidate generation, exact
-    * cosine verification at threshold 0.45. No oracle; property-tested
-    * against brute force.
+  /** How many vectors a single (band, bucket) may hold before it is
+    * dropped from candidate generation — the same one-sided cap that
+    * bounds the text-LSH pair fanout (TextOps hot-bucket cap): an
+    * uncapped bucket emits O(size²) pairs, and bucket occupancy grows
+    * linearly with the corpus, which is exactly the quadratic path a
+    * 10× soak exposed here (38× cost at 10× vectors before this cap). */
+  private val NeardupBucketCap = 64
+
+  /** Embedding near-duplicate pairs via sign-LSH: 64-bit signatures
+    * from random hyperplanes, banded 8×8 for candidate generation,
+    * exact cosine verification at threshold 0.45. No oracle (the sign
+    * of an ~1e-16 dot product is hash-seed physics); precision
+    * property-tested against brute force (every reported pair IS a
+    * ≥0.45 pair).
     *
     * The signature is computed as `posexplode(embedding) ⋈ broadcast
-    * planes-table → per-(vec, plane) dot → per-(vec, band) bucket key`:
+    * planes-table → per-(vec, plane) dot → per-(vec, band) byte`:
     * linear in vectors × planes, codegen-friendly (no thousand-node
-    * expression tree), and the same plan shape scales to 10^9 vectors. */
+    * expression tree), and the same plan shape scales to 10^9 vectors.
+    * Candidate volume is bounded two ways: 8-bit bands keep expected
+    * bucket occupancy at n/256 per band (vs n/16 for the old 4-bit
+    * bands — measured 48 s at 20k vectors), and [[NeardupBucketCap]]
+    * drops the degenerate buckets a near-duplicate *cluster* floods
+    * (the LSH hot-bucket discipline: those vectors are boilerplate
+    * mass for [[embedDiversity]]/k-means to summarize, not a pair
+    * list to enumerate). In the near-dup regime (cos ≥ 0.9) an 8-bit
+    * band still collides with p = (1 − θ/π)⁸ ≈ 0.29, so 8 bands give
+    * ≈ 94% recall; toward the 0.45 tail the operator is a candidate
+    * generator, not an exhaustive join — the documented contract. */
   def embedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
@@ -241,29 +261,27 @@ object VectorOps {
     val planesDf = broadcast(planes.zipWithIndex.flatMap { case (p, j) =>
       p.zipWithIndex.map { case (w, i) => (i, j, w) }
     }.toSeq.toDF("pos", "plane", "w"))
-    val buckets = e
+    val dots = e
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .join(planesDf, "pos")
-      .groupBy(col("vec_id"), (col("plane") / lit(4)).cast("int").as("band"))
-      .agg(sum(
-        when(col("plane") % 4 === 0, col("x").cast("double") * col("w"))
-          .otherwise(0.0)).as("d0"),
-        sum(when(col("plane") % 4 === 1, col("x").cast("double") * col("w"))
-          .otherwise(0.0)).as("d1"),
-        sum(when(col("plane") % 4 === 2, col("x").cast("double") * col("w"))
-          .otherwise(0.0)).as("d2"),
-        sum(when(col("plane") % 4 === 3, col("x").cast("double") * col("w"))
-          .otherwise(0.0)).as("d3"))
-      .select(col("vec_id"), col("band"),
-        (when(col("d0") > 0, 1).otherwise(0) +
-         when(col("d1") > 0, 2).otherwise(0) +
-         when(col("d2") > 0, 4).otherwise(0) +
-         when(col("d3") > 0, 8).otherwise(0)).as("bh"))
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("x").cast("double") * col("w")).as("dot"))
+    val buckets = dots
+      .groupBy(col("vec_id"),
+        (col("plane") / lit(BandBits)).cast("int").as("band"))
+      .agg(sum(when(col("dot") > 0,
+        expr(s"shiftleft(1L, CAST(plane % $BandBits AS INT))"))
+        .otherwise(0L)).as("bh"))
+      .localCheckpoint(eager = false) // reused by the hot list + join
+    val hot = buckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("c")).where(col("c") > NeardupBucketCap)
+      .select(col("band"), col("bh"))
+    val kept = buckets.join(broadcast(hot), Seq("band", "bh"), "left_anti")
     val emb = e.select(col("vec_id"), col("embedding"))
-    val cands = buckets.toDF("a_id", "band", "bh")
-      .join(buckets.toDF("b_id", "band_b", "bh_b"),
-        col("band") === col("band_b") && col("bh") === col("bh_b") &&
-          col("a_id") < col("b_id"))
+    val cands = kept.select(col("vec_id").as("a_id"), col("band"), col("bh"))
+      .join(kept.select(col("vec_id").as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     cands
       .join(emb.toDF("a_id", "ea"), "a_id")

@@ -476,11 +476,14 @@ object RelationalOps {
     * fixed-round oracle slice and the convergence-stopped production
     * twin. `sliceMod` bounds the part domain (Some(4) = the oracle's
     * deterministic quarter); None is the full graph. */
-  private def coPurchaseGraph(spark: SparkSession, sfDir: String,
-      sliceMod: Option[Int]): (DataFrame, DataFrame) = {
+  /** Distinct undirected co-purchase edges (pa < pb), map-side pair
+    * generation from per-order sorted part arrays — never a fact
+    * self-join. Shared by PageRank and triangle counting. */
+  private def coPurchasePairs(spark: SparkSession, sfDir: String,
+      sliceMod: Option[Int]): DataFrame = {
     val base = Tables.lineitem(spark, sfDir)
     val sliced = sliceMod.fold(base)(m => base.where(col("l_partkey") % m === 0))
-    val pairs = sliced
+    sliced
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(explode(expr(
@@ -490,6 +493,11 @@ object RelationalOps {
       .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .distinct()
       .localCheckpoint(eager = false)
+  }
+
+  private def coPurchaseGraph(spark: SparkSession, sfDir: String,
+      sliceMod: Option[Int]): (DataFrame, DataFrame) = {
+    val pairs = coPurchasePairs(spark, sfDir, sliceMod)
     val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
       .localCheckpoint(eager = false)
@@ -566,6 +574,59 @@ object RelationalOps {
     }
     r.join(deg, col("node") === col("src"))
       .select(col("node"), col("outdeg"), col("r").as("rank_scaled"))
+  }
+
+  /** TRIANGLE COUNTING over the part co-purchase graph — the local
+    * clustering primitive behind community detection and recommender
+    * quality reads, on the same oracle slice as [[partPagerank]].
+    * Implementation is the Schank–Wagner degree-oriented wedge join
+    * (the distributed-triangle standard, cf. Suri & Vassilvitskii
+    * WWW'11 "Counting triangles and the curse of the last reducer"):
+    * every undirected edge orients from its lower-(degree, id)
+    * endpoint to the higher, so each triangle has EXACTLY ONE node
+    * with two out-edges — wedges fan out from that apex only, bounding
+    * per-node join fanout by oriented out-degree (≤ O(√|E|)) instead
+    * of raw degree: the hub that melts the naive a<b<c join at 100 TB
+    * generates almost no wedges here. One wedge equi-join on the apex
+    * + one edge equi-join closes each triangle exactly once; per-node
+    * counts then credit all three corners (checkpoint before the
+    * 3-way union — union children don't CSE). The DuckDB twin counts
+    * the same triangles via the plain ordered 3-way join — enumeration
+    * differs, the multiset of triangles is provably identical. */
+  def partTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("n").as("pb"), col("d").as("db")), "pb")
+    // orient by the (degree, id) total order; carry the head's key so
+    // wedge endpoints sort by the SAME order the closing edge uses
+    val oriented = withDeg.select(
+        when(struct(col("da").as("d"), col("pa").as("i")) <
+            struct(col("db").as("d"), col("pb").as("i")),
+          struct(col("pa").as("src"), col("pb").as("dst"),
+            struct(col("db").as("d"), col("pb").as("i")).as("kd")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+            struct(col("da").as("d"), col("pa").as("i")).as("kd"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"),
+        col("o.kd").as("kd"))
+      .localCheckpoint(eager = false)
+    val w1 = oriented.select(col("src").as("apex"), col("dst").as("v1"),
+      col("kd").as("k1"))
+    val w2 = oriented.select(col("src").as("apex"), col("dst").as("v2"),
+      col("kd").as("k2"))
+    val close = oriented.select(col("src").as("v1"), col("dst").as("v2"))
+    val tri = w1.join(w2, "apex").where(col("k1") < col("k2"))
+      .join(close, Seq("v1", "v2"))
+      .select(col("apex"), col("v1"), col("v2"))
+      .localCheckpoint(eager = false)
+    tri.select(col("apex").as("node"))
+      .unionByName(tri.select(col("v1").as("node")))
+      .unionByName(tri.select(col("v2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
   }
 
   /** Interval join: events bucketed into a 7-day window grid. The grid is
@@ -724,6 +785,47 @@ object RelationalOps {
         Det.r4((nd * sxy - sx * sy) /
           (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("corr_qp"))
       .orderBy("l_linestatus")
+  }
+
+  /** MANN–WHITNEY U rank-sum test (Mann & Whitney 1947): do click and
+    * purchase event values come from the same distribution? The
+    * nonparametric two-sample read an experimentation platform runs
+    * when values are skewed and a t-test's normality assumption fails.
+    * Oracle-exact: ranking happens at DISTINCT-VALUE grain — one
+    * (value → per-group count) aggregation, then a running total over
+    * the value order gives every tie group's 2·average-rank as an
+    * integer (2·first_rank + tie_count − 1); 2·R₁ and 2·U₁ stay exact
+    * BIGINTs and the normal-approximation z is one shared IEEE formula
+    * over those integers (no tie-correction term — documented, ties
+    * average into the ranks themselves). Scale shape: the global sort
+    * runs on the distinct-value relation AFTER the counting shuffle —
+    * the irreducible cost of a rank statistic, paid at value-domain
+    * size, not corpus size. */
+  def aggMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c2"))
+    val wCum = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("cum", coalesce(sum(col("c1") + col("c2")).over(wCum),
+        lit(0L)))
+      .withColumn("r2",
+        lit(2L) * (col("cum") + lit(1L)) + col("c1") + col("c2") - lit(1L))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    ranked.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("r2")).as("r1x2"))
+      .select(col("n1"), col("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + lit(1L))).as("u1x2"))
+      .select(col("n1"), col("n2"), col("u1x2"),
+        Det.r4(d(col("u1x2") - col("n1") * col("n2")) /
+          sqrt(d(col("n1")) * d(col("n2")) *
+            d(col("n1") + col("n2") + lit(1L)) / lit(3.0))).as("z"))
   }
 
   /** Exact interpolated percentiles (median + p90) per return flag —
@@ -1689,6 +1791,7 @@ object RelationalOps {
     "q_time_to_convert" -> timeToConvert _,
     "q_dq_report" -> dqReport _,
     "q_part_pagerank" -> partPagerank _,
+    "q_part_triangles" -> partTriangles _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -1704,6 +1807,7 @@ object RelationalOps {
     "q_agg_benford" -> benfordPrices _,
     "q_agg_stats" -> aggStats _,
     "q_agg_corr" -> aggCorr _,
+    "q_agg_mannwhitney" -> aggMannWhitney _,
     "q_agg_percentile" -> aggPercentile _,
     "q_agg_hll" -> aggHll _,
     "q_agg_approx_pctl" -> aggApproxPercentile _,
@@ -2255,6 +2359,23 @@ object RelationalOps {
         |ORDER BY rank_scaled DESC, node NULLS FIRST
         |LIMIT 20""".stripMargin
     },
+    // the twin enumerates via the plain ordered 3-way join; the Spark
+    // side's degree-oriented wedge join finds the SAME triangle multiset
+    "q_part_triangles" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |        FROM pairs e1
+        |        JOIN pairs e2 ON e1.pb = e2.pa
+        |        JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |          UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY 1
+        |ORDER BY n_tri DESC NULLS LAST, node NULLS FIRST
+        |LIMIT 20""".stripMargin,
     "q_dq_report" -> {
       def r4rate = graft.util.Det.r4Sql(
         "CAST(n_violations AS DOUBLE) / n_checked")
@@ -2503,6 +2624,35 @@ object RelationalOps {
         |       ${r4Sql("quantile_cont(l_quantity, 0.9)")} AS p90_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q_agg_mannwhitney" -> {
+      val z = "CAST(u1x2 - n1 * n2 AS DOUBLE) / " +
+        "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+        "CAST(n1 + n2 + 1 AS DOUBLE) / 3.0)"
+      s"""WITH bv AS (
+        |  SELECT value,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c2
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |rk AS (
+        |  SELECT c1, c2,
+        |         COALESCE(CAST(sum(c1 + c2) OVER (ORDER BY value
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS cum
+        |  FROM bv),
+        |r2t AS (SELECT c1, c2, 2 * (cum + 1) + c1 + c2 - 1 AS r2 FROM rk),
+        |agg AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(c1 * r2) AS BIGINT) AS r1x2
+        |  FROM r2t),
+        |u AS (SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1x2 FROM agg)
+        |SELECT n1, n2, u1x2,
+        |       ${r4Sql(z)} AS z
+        |FROM u""".stripMargin
+    },
     "q_window_rank" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |       rank() OVER w AS rnk, dense_rank() OVER w AS drnk

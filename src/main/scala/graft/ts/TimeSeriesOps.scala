@@ -501,6 +501,54 @@ object TimeSeriesOps {
       .orderBy("ma", "mb")
   }
 
+  /** SPEARMAN RANK correlation matrix — [[seriesCorr]]'s robust
+    * sibling: Pearson on RANKS, so one outlier hour (a deploy spike)
+    * cannot fabricate or destroy a relationship the way it drags a
+    * raw-value covariance. Oracle-exact despite ties: tied values take
+    * the conventional AVERAGE rank, carried as the always-integer
+    * 2·avg_rank = 2·min_rank + (tie_count − 1) (min rank and tie count
+    * are two windows over the pair's value partition; the underlying
+    * row_number breaks ties (v, bucket) identically in both engines),
+    * all five moment sums then accumulate as exact BIGINTs (2·rank ≤
+    * 2·buckets, squares bounded by buckets³ ≪ 2⁶³) and ONE shared IEEE
+    * correlation formula finishes. Windows partition on the pair key —
+    * rank-statistic cost is per-pair series length (the calendar, not
+    * the corpus), scale-free in the fact table. */
+  def spearmanCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val a = h1.select(col("event_type").as("ma"), col("bucket"),
+      col("v").as("va"))
+    val b = h1.select(col("event_type").as("mb"), col("bucket"),
+      col("v").as("vb"))
+    val wA = Window.partitionBy(col("ma"), col("mb"))
+      .orderBy(col("va"), col("bucket"))
+    val wB = Window.partitionBy(col("ma"), col("mb"))
+      .orderBy(col("vb"), col("bucket"))
+    val tA = Window.partitionBy(col("ma"), col("mb"), col("va"))
+    val tB = Window.partitionBy(col("ma"), col("mb"), col("vb"))
+    val ranked = a.join(b, "bucket").where(col("ma") < col("mb"))
+      .select(col("ma"), col("mb"), col("bucket"), col("va"), col("vb"),
+        row_number().over(wA).as("rna"), row_number().over(wB).as("rnb"))
+      .select(col("ma"), col("mb"),
+        (lit(2L) * min(col("rna")).over(tA) +
+          count(lit(1)).over(tA) - lit(1L)).as("ra2"),
+        (lit(2L) * min(col("rnb")).over(tB) +
+          count(lit(1)).over(tB) - lit(1L)).as("rb2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val nd = count(lit(1)).cast("double")
+    val sx = d(sum(col("ra2"))); val sy = d(sum(col("rb2")))
+    val sxy = d(sum(col("ra2") * col("rb2")))
+    val sxx = d(sum(col("ra2") * col("ra2")))
+    val syy = d(sum(col("rb2") * col("rb2")))
+    ranked.groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4((nd * sxy - sx * sy) /
+          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
+          .as("rho"))
+      .orderBy("ma", "mb")
+  }
+
   /** Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
     * spiky-series alternative to [[anomaly]]'s z-score (one spike
     * inflates a stddev and masks later spikes; it barely moves the
@@ -2141,6 +2189,7 @@ object TimeSeriesOps {
     "q_ts_npercentile" -> nPercentile _,
     "q_ts_mad_outliers" -> madOutliers _,
     "q_ts_series_corr" -> seriesCorr _,
+    "q_ts_spearman" -> spearmanCorr _,
     "q_ts_value_histogram" -> valueHistogram _,
     "q_ts_remove_above_pct" -> removeAbovePercentile _,
     "q_ts_remove_below" -> removeBelowValue _,
@@ -2758,6 +2807,43 @@ object TimeSeriesOps {
         |SELECT ma, mb, count(*) AS n,
         |       ${Det.r4Sql(s"($nd * $sxy - $sx * $sy) / (sqrt($nd * $sxx - $sx * $sx) * sqrt($nd * $syy - $sy * $sy))")} AS corr
         |FROM p GROUP BY 1, 2
+        |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
+    },
+    "q_ts_spearman" -> {
+      val nd = "CAST(count(*) AS DOUBLE)"
+      val sx = "CAST(CAST(sum(ra2) AS BIGINT) AS DOUBLE)"
+      val sy = "CAST(CAST(sum(rb2) AS BIGINT) AS DOUBLE)"
+      val sxy = "CAST(CAST(sum(ra2 * rb2) AS BIGINT) AS DOUBLE)"
+      val sxx = "CAST(CAST(sum(ra2 * ra2) AS BIGINT) AS DOUBLE)"
+      val syy = "CAST(CAST(sum(rb2 * rb2) AS BIGINT) AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS ma, b.event_type AS mb, a.bucket AS bucket,
+        |         a.v AS va, b.v AS vb
+        |  FROM h1 a JOIN h1 b ON a.bucket = b.bucket
+        |  WHERE a.event_type < b.event_type),
+        |r AS (
+        |  SELECT ma, mb, va, vb,
+        |         row_number() OVER (PARTITION BY ma, mb
+        |           ORDER BY va, bucket) AS rna,
+        |         row_number() OVER (PARTITION BY ma, mb
+        |           ORDER BY vb, bucket) AS rnb
+        |  FROM p),
+        |r2 AS (
+        |  SELECT ma, mb,
+        |         CAST(2 * min(rna) OVER (PARTITION BY ma, mb, va)
+        |           + count(*) OVER (PARTITION BY ma, mb, va) - 1
+        |           AS BIGINT) AS ra2,
+        |         CAST(2 * min(rnb) OVER (PARTITION BY ma, mb, vb)
+        |           + count(*) OVER (PARTITION BY ma, mb, vb) - 1
+        |           AS BIGINT) AS rb2
+        |  FROM r)
+        |SELECT ma, mb, CAST(count(*) AS BIGINT) AS n,
+        |       ${Det.r4Sql(s"($nd * $sxy - $sx * $sy) / (sqrt($nd * $sxx - $sx * $sx) * sqrt($nd * $syy - $sy * $sy))")} AS rho
+        |FROM r2 GROUP BY 1, 2
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
     },
     "q_ts_mad_outliers" ->
