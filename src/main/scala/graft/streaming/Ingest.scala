@@ -402,6 +402,43 @@ object Ingest {
       budget)
   }
 
+  /** [[bpeBudgetAdmit]] at PRODUCTION vocabulary size: the literal
+    * replace-fold billing caps at [[graft.llm.BpeOps.FoldDepthLimit]]
+    * merges (expression-tree depth), so a 30k-merge tokenizer bills
+    * through the broadcast rank-replay instead — one model broadcast
+    * per executor, [[graft.llm.BpeOps.tokenizeWord]] per word inside a
+    * mapPartitions (vocabulary-size-independent per-word cost), then
+    * the same per-lang greedy budget fold. Word extraction mirrors the
+    * batch `wordsCol` exactly (`[a-z]+` over the ROOT-lowercased
+    * text), and the tokenizer is spec-proven token-identical to the
+    * fold, so at the oracle's 10-merge model this operator's output
+    * EQUALS [[bpeBudgetAdmit]]'s row-for-row (StreamingSpec twin). */
+  def bpeBudgetAdmitProd(docs: Dataset[RawDoc],
+      model: Seq[(String, String)], budget: Long): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    val pairs = model.toArray
+    val bc = docs.sparkSession.sparkContext.broadcast(pairs)
+    val wordRe = java.util.regex.Pattern.compile("[a-z]+")
+    val counted = docs.mapPartitions { it =>
+      val ms = bc.value
+      val rank = new java.util.HashMap[String, Integer](ms.length * 2)
+      var i = 0
+      while (i < ms.length) {
+        rank.put(ms(i)._1 + " " + ms(i)._2, Integer.valueOf(i + 1))
+        i += 1
+      }
+      it.map { d =>
+        val m = wordRe.matcher(d.text.toLowerCase(java.util.Locale.ROOT))
+        var n = 0L
+        while (m.find()) {
+          n += graft.llm.BpeOps.tokenizeWord(m.group(), ms, rank).length
+        }
+        StreamDoc(d.doc_id, d.lang, n)
+      }
+    }
+    budgetAdmit(counted, budget)
+  }
+
   /** LIVE `highestCurrent(k)` — the top-k dashboard legend maintained
     * over the stream: per-metric latest value (max_by over event time,
     * value as final tiebreak — [[graft.ts.TimeSeriesOps.rollupLast]]'s

@@ -549,6 +549,47 @@ object TimeSeriesOps {
       .orderBy("ma", "mb")
   }
 
+  /** KENDALL τ-b rank correlation — the third agreement read beside
+    * [[seriesCorr]] (linear co-movement) and [[spearmanCorr]] (monotone
+    * co-movement): the probability-scaled excess of CONCORDANT hour
+    * pairs over discordant ones, with the τ-b tie normalization.
+    * Everything before the final formula is INTEGER pair counting —
+    * concordant/discordant/tied flags over all C(n,2) aligned bucket
+    * pairs — so the oracle twin is exact by construction (no rank
+    * arithmetic at all, just counts + one shared IEEE sqrt formula).
+    * Cost is O(pairs × buckets²): quadratic in SERIES LENGTH (the
+    * calendar — 720 hourly buckets regardless of corpus size), linear
+    * in nothing else; the join key is the series pair, so the
+    * bucket-pair explosion shuffles once and never touches the fact
+    * table. */
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val a = h1.select(col("event_type").as("ma"), col("bucket"),
+      col("v").as("va"))
+    val b = h1.select(col("event_type").as("mb"), col("bucket"),
+      col("v").as("vb"))
+    val p = a.join(b, "bucket").where(col("ma") < col("mb"))
+      .localCheckpoint(eager = false) // self-joined below; build once
+    val q = p.select(col("ma"), col("mb"), col("bucket").as("bucket2"),
+      col("va").as("va2"), col("vb").as("vb2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val joined = p.join(q, Seq("ma", "mb"))
+      .where(col("bucket") < col("bucket2"))
+    joined.groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when((col("va") - col("va2")) * (col("vb") - col("vb2")) >
+          lit(0.0), 1L).otherwise(0L)).as("nc"),
+        sum(when((col("va") - col("va2")) * (col("vb") - col("vb2")) <
+          lit(0.0), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("va") === col("va2"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("vb") === col("vb2"), 1L).otherwise(0L)).as("ty"))
+      .select(col("ma"), col("mb"), col("n0"), col("nc"), col("nd"),
+        Det.r4(d(col("nc") - col("nd")) /
+          sqrt(d(col("n0") - col("tx")) * d(col("n0") - col("ty"))))
+          .as("tau"))
+      .orderBy("ma", "mb")
+  }
+
   /** Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
     * spiky-series alternative to [[anomaly]]'s z-score (one spike
     * inflates a stddev and masks later spikes; it barely moves the
@@ -2190,6 +2231,7 @@ object TimeSeriesOps {
     "q_ts_mad_outliers" -> madOutliers _,
     "q_ts_series_corr" -> seriesCorr _,
     "q_ts_spearman" -> spearmanCorr _,
+    "q_ts_kendall" -> kendallTau _,
     "q_ts_value_histogram" -> valueHistogram _,
     "q_ts_remove_above_pct" -> removeAbovePercentile _,
     "q_ts_remove_below" -> removeBelowValue _,
@@ -2844,6 +2886,39 @@ object TimeSeriesOps {
         |SELECT ma, mb, CAST(count(*) AS BIGINT) AS n,
         |       ${Det.r4Sql(s"($nd * $sxy - $sx * $sy) / (sqrt($nd * $sxx - $sx * $sx) * sqrt($nd * $syy - $sy * $sy))")} AS rho
         |FROM r2 GROUP BY 1, 2
+        |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
+    },
+    "q_ts_kendall" -> {
+      val tau = "CAST(nc - nd AS DOUBLE) / " +
+        "sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS ma, b.event_type AS mb, a.bucket AS bucket,
+        |         a.v AS va, b.v AS vb
+        |  FROM h1 a JOIN h1 b ON a.bucket = b.bucket
+        |  WHERE a.event_type < b.event_type),
+        |j AS (
+        |  SELECT x.ma, x.mb,
+        |         x.va AS va, x.vb AS vb, y.va AS va2, y.vb AS vb2
+        |  FROM p x JOIN p y ON x.ma = y.ma AND x.mb = y.mb
+        |    AND x.bucket < y.bucket),
+        |c AS (
+        |  SELECT ma, mb, CAST(count(*) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN (va - va2) * (vb - vb2) > 0.0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |         CAST(sum(CASE WHEN (va - va2) * (vb - vb2) < 0.0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |         CAST(sum(CASE WHEN va = va2 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS tx,
+        |         CAST(sum(CASE WHEN vb = vb2 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS ty
+        |  FROM j GROUP BY 1, 2)
+        |SELECT ma, mb, n0, nc, nd,
+        |       ${Det.r4Sql(tau)} AS tau
+        |FROM c
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
     },
     "q_ts_mad_outliers" ->

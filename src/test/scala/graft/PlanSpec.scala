@@ -411,6 +411,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("sig"), s"candidate join lost the band signature key:\n$p")
   }
 
+  test("embed_neardup: hot buckets drop via a broadcast anti-join") {
+    // the r10 cap: candidate generation must carry the one-sided
+    // LeftAnti against the (small, broadcast) hot-bucket list — the
+    // shape that bounds pair fanout when bucket occupancy grows with
+    // the corpus
+    val p = plan("q_llm_embed_neardup")
+    assert(p.contains("LeftAnti"), s"no anti-join cap:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"hot list must broadcast:\n$p")
+  }
+
   test("tpch completion five: dims broadcast, date filter pushed") {
     Seq("q_tpch_mincost", "q_tpch_profit", "q_tpch_suppcnt").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, StreamDoc}
+import graft.streaming.{AdmittedDoc, AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -509,6 +509,37 @@ class StreamingSpec extends AnyFunSuite {
     }.toSet
     assert(rows.map(_._1).toSet == expect,
       s"admitted ${rows.map(_._1).toSet} != greedy $expect")
+  }
+
+  test("s_bpe_admit_prod: rank-replay billing == replace-fold billing") {
+    // the production-vocab admission path (broadcast model + JVM
+    // tokenizer) must admit and bill IDENTICALLY to the literal
+    // replace-fold operator on the same docs/model/budget — the
+    // streaming face of the BpeSpec mechanism-equality proof
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val model = graft.llm.BpeOps.model(sp, TestSpark.sf)
+    val docs = graft.io.Tables.documents(sp, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id").limit(6).collect()
+      .map(r => RawDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val budget = 600L
+    def run(tag: String,
+        f: (org.apache.spark.sql.Dataset[RawDoc], Seq[(String, String)],
+          Long) => org.apache.spark.sql.Dataset[AdmittedDoc]) = {
+      val in = MemoryStream[RawDoc]
+      val q = runToMemory(f(in.toDS(), model, budget).toDF(), tag,
+        OutputMode.Append())
+      in.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable(); q.stop()
+      sp.sql(s"SELECT doc_id, lang, n_tok, cum FROM $tag ORDER BY doc_id")
+        .collect().map(_.toSeq).toSeq
+    }
+    val fold = run("admit_fold", Ingest.bpeBudgetAdmit)
+    val prod = run("admit_prod", Ingest.bpeBudgetAdmitProd)
+    assert(fold.nonEmpty && prod == fold,
+      s"prod admission diverged:\nfold=$fold\nprod=$prod")
   }
 
   test("s_live_rollup: mid-stream reads route with a moving frontier") {
