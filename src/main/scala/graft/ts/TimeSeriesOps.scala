@@ -549,6 +549,43 @@ object TimeSeriesOps {
       .orderBy("ma", "mb")
   }
 
+  /** LAGGED CROSS-CORRELATION — "which metric LEADS which": Pearson
+    * between series A at hour t and series B at hour t+k, for every
+    * lag k in ±3 h. The incident-analysis read behind "errors follow
+    * deploys by two hours"; the argmax-over-lag row is the lead time.
+    * Same exact-DECIMAL moment accumulation + shared IEEE formula as
+    * [[seriesCorr]]; alignment joins on integer epoch-seconds plus
+    * k·3600 (identical arithmetic both engines — no interval dialect),
+    * with the 7-row lag grid broadcast. Boundary hours shrink n per
+    * lag; n is reported so the reader can weigh the tails. Cost is the
+    * rollup self-join × 7 — calendar-sized, corpus-free. */
+  def crossCorrLagged(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"),
+        expr("unix_micros(bucket) div 1000000").as("bs"), col("v"))
+      .localCheckpoint(eager = false) // both sides of the lag join
+    val lags = spark.range(-3, 4).select(col("id").as("lag"))
+    val a = h1.select(col("event_type").as("ma"), col("bs"),
+      col("v").as("va"))
+    val b = h1.select(col("event_type").as("mb"), col("bs").as("bs2"),
+      col("v").as("vb"))
+    def s(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(18,8)")).cast("double")
+    val nd = count(lit(1)).cast("double")
+    val sx = s(col("va")); val sy = s(col("vb"))
+    val sxy = s(col("va") * col("vb"))
+    val sxx = s(col("va") * col("va")); val syy = s(col("vb") * col("vb"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("ma") < col("mb") &&
+        col("bs") + col("lag") * lit(3600L) === col("bs2"))
+      .groupBy(col("ma"), col("mb"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4((nd * sxy - sx * sy) /
+          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
+          .as("xcorr"))
+      .orderBy("ma", "mb", "lag")
+  }
+
   /** KENDALL τ-b rank correlation — the third agreement read beside
     * [[seriesCorr]] (linear co-movement) and [[spearmanCorr]] (monotone
     * co-movement): the probability-scaled excess of CONCORDANT hour
@@ -2232,6 +2269,7 @@ object TimeSeriesOps {
     "q_ts_series_corr" -> seriesCorr _,
     "q_ts_spearman" -> spearmanCorr _,
     "q_ts_kendall" -> kendallTau _,
+    "q_ts_xcorr" -> crossCorrLagged _,
     "q_ts_value_histogram" -> valueHistogram _,
     "q_ts_remove_above_pct" -> removeAbovePercentile _,
     "q_ts_remove_below" -> removeBelowValue _,
@@ -2887,6 +2925,31 @@ object TimeSeriesOps {
         |       ${Det.r4Sql(s"($nd * $sxy - $sx * $sy) / (sqrt($nd * $sxx - $sx * $sx) * sqrt($nd * $syy - $sy * $sy))")} AS rho
         |FROM r2 GROUP BY 1, 2
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
+    },
+    "q_ts_xcorr" -> {
+      val sx = "CAST(sum(CAST(va AS DECIMAL(18,8))) AS DOUBLE)"
+      val sy = "CAST(sum(CAST(vb AS DECIMAL(18,8))) AS DOUBLE)"
+      val sxy = "CAST(sum(CAST(va * vb AS DECIMAL(18,8))) AS DOUBLE)"
+      val sxx = "CAST(sum(CAST(va * va AS DECIMAL(18,8))) AS DOUBLE)"
+      val syy = "CAST(sum(CAST(vb * vb AS DECIMAL(18,8))) AS DOUBLE)"
+      val nd = "CAST(count(*) AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT event_type, epoch_us(bucket) // 1000000 AS bs, v
+        |       FROM h1),
+        |l AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+        |p AS (
+        |  SELECT a.event_type AS ma, b.event_type AS mb,
+        |         CAST(l.lag AS BIGINT) AS lag, a.v AS va, b.v AS vb
+        |  FROM h2 a CROSS JOIN l
+        |  JOIN h2 b ON a.event_type < b.event_type
+        |    AND a.bs + l.lag * 3600 = b.bs)
+        |SELECT ma, mb, lag, count(*) AS n,
+        |       ${Det.r4Sql(s"($nd * $sxy - $sx * $sy) / (sqrt($nd * $sxx - $sx * $sx) * sqrt($nd * $syy - $sy * $sy))")} AS xcorr
+        |FROM p GROUP BY 1, 2, 3
+        |ORDER BY ma NULLS FIRST, mb NULLS FIRST, lag NULLS FIRST""".stripMargin
     },
     "q_ts_kendall" -> {
       val tau = "CAST(nc - nd AS DOUBLE) / " +
