@@ -1095,6 +1095,39 @@ object TextOps {
           .as("tok_kept_share"))
       .orderBy("source")
 
+  /** χ² INDEPENDENCE read over the (source × lang) contingency — the
+    * distribution-drift audit a curation run does before trusting a
+    * source mix: a source whose language distribution departs from the
+    * corpus marginal shows up as the cells with the largest χ²
+    * contribution ((o−e)²/e). Every input is an exact BIGINT count
+    * (observed cell, row/column marginals, total — three partial-agg
+    * shuffles over the doc table, all summary-sized and broadcast
+    * back); expected values and contributions are then the SAME IEEE
+    * op sequence in both engines under the shared rounding. The FULL
+    * marginal grid is generated (tiny sources × langs cross join, left
+    * join observed, zero-fill) so empty cells contribute their e — no
+    * silent omission. Per-cell rows let the reader sum any slice
+    * without cross-engine float-summation order entering the oracle. */
+  def chisqDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val cells = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val rs = d.groupBy(col("source")).agg(count(lit(1)).as("ri"))
+    val cs = d.groupBy(col("lang")).agg(count(lit(1)).as("cj"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val grid = rs.crossJoin(broadcast(cs)).crossJoin(broadcast(tot))
+      .join(cells, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        col("ri"), col("cj"), col("n"))
+    val e = dd(col("ri") * col("cj")) / dd(col("n"))
+    grid.select(col("source"), col("lang"), col("o"), col("ri"),
+        col("cj"), col("n"), Det.r4(e).as("expected"),
+        Det.r4((dd(col("o")) - e) * (dd(col("o")) - e) / e).as("contrib"))
+      .orderBy("source", "lang")
+  }
+
   private[llm] val TradeoffConfigs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
 
   /** MinHash-LSH banding tradeoff report — the dedup twin of the ANN
@@ -1313,6 +1346,7 @@ object TextOps {
     "q_llm_heavy_hitters" -> heavyHitterTokens _,
     "q_llm_gopher_rules" -> gopherRules _,
     "q_llm_source_quality" -> sourceQuality _,
+    "q_llm_chisq_drift" -> chisqDrift _,
     "q_llm_domain_mix" -> domainMix _,
     "q_llm_lsh_tradeoff" -> lshTradeoff _,
     "q_llm_dup_components" -> dupComponents _,
@@ -1413,6 +1447,28 @@ object TextOps {
         |  ${r4Sql("CAST(sum(n_tok * keep) AS DOUBLE) / sum(n_tok)")} AS tok_kept_share
         |FROM k GROUP BY source
         |ORDER BY source NULLS FIRST""".stripMargin,
+    "q_llm_chisq_drift" -> {
+      val e = "CAST(ri * cj AS DOUBLE) / CAST(n AS DOUBLE)"
+      s"""WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rs AS (SELECT source, CAST(count(*) AS BIGINT) AS ri
+        |       FROM documents GROUP BY 1),
+        |cs AS (SELECT lang, CAST(count(*) AS BIGINT) AS cj
+        |       FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |g AS (
+        |  SELECT rs.source, cs.lang, COALESCE(cells.o, 0) AS o,
+        |         ri, cj, n
+        |  FROM rs CROSS JOIN cs CROSS JOIN t
+        |  LEFT JOIN cells ON cells.source = rs.source
+        |    AND cells.lang = cs.lang)
+        |SELECT source, lang, o, ri, cj, n,
+        |       ${r4Sql(e)} AS expected,
+        |       ${r4Sql(s"(CAST(o AS DOUBLE) - $e) * (CAST(o AS DOUBLE) - $e) / ($e)")} AS contrib
+        |FROM g
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
+    },
     "q_llm_domain_mix" ->
       s"""WITH d AS (SELECT doc_id, source, lang,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
