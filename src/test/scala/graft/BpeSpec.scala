@@ -87,6 +87,19 @@ class BpeSpec extends AnyFunSuite {
       // losslessness: tokens re-concatenate to word + end marker
       assert(t.mkString("") == w + "_")
     }
+    // and through the ACTUAL Spark operator: the production word map
+    // applies the same 1024-merge model over the real corpus words via
+    // mapPartitions — every rendered subword string must equal the JVM
+    // fold mirror (the regime where the Catalyst replace-fold cannot
+    // even be constructed)
+    val sparkSide = BpeOps.wordSubCountsProd(spark, sf, merges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(sparkSide.nonEmpty)
+    sparkSide.foreach { case (w, nSub, wtok) =>
+      val ref = BpeOps.foldTokenizeWord(w, pairs)
+      assert(wtok == ref.mkString(" ") && nSub == ref.length.toLong,
+        s"Spark prod map diverged for corpus word '$w' at 1024 merges")
+    }
   }
 
   test("subword counts compress below character counts and stay >= 1") {
