@@ -397,12 +397,76 @@ object MultimodalOps {
       .orderBy("dom_hz")
   }
 
+  /** Perceptual AVERAGE-HASH of one image: decode, nearest-neighbor
+    * sample to 8×8 (the [[resize]] kernel's sampling), bit i set iff
+    * pixel_i·64 > Σpixels — the mean threshold kept in exact integer
+    * arithmetic, so the 64-bit signature is a pure function of the
+    * payload. The classic near-identical-image fingerprint: crops and
+    * re-encodes move a few bits; unrelated images differ in ~32. */
+  private[graft] def imageAhash(m: MediaRow): Long = {
+    val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+    val px = Array.tabulate(64) { i =>
+      val x = (i % 8) * w / 8
+      val y = (i / 8) * h / 8
+      gray(y * w + x) & 0xFF
+    }
+    var sum = 0L
+    px.foreach(sum += _)
+    var hsh = 0L
+    var i = 0
+    while (i < 64) {
+      if (px(i) * 64L > sum) hsh |= (1L << i)
+      i += 1
+    }
+    hsh
+  }
+
+  private val AhashMaxHamming = 3 // == the 4-block pigeonhole guarantee
+
+  /** IMAGE NEAR-DUP pairs — the multimodal face of the dedup family:
+    * per-image average-hash signatures (one decode pass over the
+    * encoded corpus), then candidate generation by multi-index block
+    * probing exactly as the text [[graft.llm.TextOps.simhash]] does —
+    * 4×16-bit blocks, so every pair within hamming ≤ 3 shares at
+    * least one block (pigeonhole) and candidates come from equi-join
+    * collisions on (table, key), never an all-pairs join. The REPORTED
+    * threshold equals the index guarantee (no silent misses). 4n probe
+    * rows into 4·2¹⁶ buckets; at ≫10⁸ images widen the blocks. No
+    * oracle (binary decode path); spec'd equal to the brute-force
+    * hamming join including a planted near-identical pair. */
+  def imageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = mediaOrGet(spark, sfDir)
+      .filter(_.kind == "image")
+      .map(m => (m.doc_id, imageAhash(m)))
+      .toDF("doc_id", "ahash")
+      .localCheckpoint(eager = false) // probed twice below
+    val probeArr = array((0 until 4).map(b =>
+      struct(lit(b).as("tbl"),
+        shiftrightunsigned(col("ahash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)
+    val probes = sigs
+      .select(col("doc_id"), col("ahash"), explode(probeArr).as("p"))
+      .select(col("doc_id"), col("ahash"),
+        col("p.tbl").as("tbl"), col("p.key").as("key"))
+    probes.as("a")
+      .join(probes.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .where(col("hamming") <= AhashMaxHamming)
+      .distinct()
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> features _,
     "q_mm_frames" -> frames _,
     "q_mm_resize" -> resizeStats _,
     "q_mm_qc" -> qcStats _,
-    "q_mm_audio_spectral" -> audioSpectralStats _
+    "q_mm_audio_spectral" -> audioSpectralStats _,
+    "q_mm_image_dedup" -> imageDedup _
   )
 
   /** No oracles: the binary decode path is engine-side by design. */

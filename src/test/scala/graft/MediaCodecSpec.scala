@@ -120,4 +120,38 @@ class MediaCodecSpec extends AnyFunSuite {
     val truncated = good.take(good.length - 8)
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(truncated))
   }
+
+  test("q_mm_image_dedup: multi-probe pairs == brute-force hamming <= 3") {
+    val sp = TestSpark.spark
+    // corpus pairs from the declared query
+    val got = MultimodalOps.imageDedup(sp, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the collected signatures (a few hundred images)
+    val sigs = MultimodalOps.mediaOrGet(sp, TestSpark.sf)
+      .filter(_.kind == "image").collect()
+      .map(m => m.doc_id -> MultimodalOps.imageAhash(m))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute,
+      s"probe pairs diverge: extra=${got -- brute} missing=${brute -- got}")
+
+    // a planted near-identical image (3 pixels nudged) must pair with
+    // its original under the ahash — the recall half the corpus can't
+    // guarantee on its own
+    val orig = MultimodalOps.mediaOrGet(sp, TestSpark.sf)
+      .filter(_.kind == "image").head()
+    val (w, h, gray) = MediaCodec.decodeBmp(orig.payload)
+    val tweaked = gray.clone()
+    (0 until 3).foreach { i =>
+      val p = (i * 37) % tweaked.length
+      tweaked(p) = (tweaked(p) ^ 0x01).toByte // sub-threshold nudge
+    }
+    val h0 = MultimodalOps.imageAhash(orig)
+    val h1 = MultimodalOps.imageAhash(
+      orig.copy(payload = MediaCodec.encodeBmp(w, h, tweaked)))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 3,
+      "near-identical image drifted past the dedup threshold")
+  }
 }
