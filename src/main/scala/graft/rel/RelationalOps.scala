@@ -799,8 +799,13 @@ object RelationalOps {
     * over those integers (no tie-correction term — documented, ties
     * average into the ranks themselves). Scale shape: the global sort
     * runs on the distinct-value relation AFTER the counting shuffle —
-    * the irreducible cost of a rank statistic, paid at value-domain
-    * size, not corpus size. */
+    * value-domain-sized, which collapses far below corpus size for
+    * discrete/rounded measures; for a fully continuous measure the
+    * domain IS corpus-sized and the production form of this same plan
+    * is a range-partitioned sort with a per-partition count prefix
+    * pass (distributed rank), the standard two-pass rank statistic —
+    * the single ordered window here is the honest minimal at bench
+    * scale and keeps the oracle twin textually identical. */
   def aggMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byVal = Tables.events(spark, sfDir)
