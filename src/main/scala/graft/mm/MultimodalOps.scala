@@ -460,6 +460,35 @@ object MultimodalOps {
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
   }
 
+  /** STREAMING image-contamination gate — [[graft.streaming.Ingest]]'s
+    * `contaminationGate` shape applied to binary media: incoming images
+    * decode map-side to their [[imageAhash]] and flag when within
+    * `maxHamming` of ANY signature on the broadcast blocklist (eval-set
+    * images, known-bad content). Fully STATELESS — the blocklist is a
+    * curated model-sized array riding the closure, the per-image cost
+    * is one decode plus a linear scan of the list (near-match against a
+    * big blocklist would graduate to the multi-index probe of
+    * [[imageDedup]]); works identically on a batch or streaming
+    * Dataset. Non-image rows pass through unflagged (hamming = -1). */
+  def imageGate(media: Dataset[MediaRow], blocked: Array[Long],
+      maxHamming: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    val bc = media.sparkSession.sparkContext.broadcast(blocked)
+    media.map { m =>
+      if (m.kind != "image") (m.doc_id, m.kind, false, -1L)
+      else {
+        val hsh = imageAhash(m)
+        var best = Long.MaxValue
+        bc.value.foreach { b =>
+          val d = java.lang.Long.bitCount(hsh ^ b).toLong
+          if (d < best) best = d
+        }
+        if (best == Long.MaxValue) (m.doc_id, m.kind, false, -1L)
+        else (m.doc_id, m.kind, best <= maxHamming, best)
+      }
+    }.toDF("doc_id", "kind", "blocked", "min_hamming")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> features _,
     "q_mm_frames" -> frames _,

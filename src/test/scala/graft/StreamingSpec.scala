@@ -542,6 +542,42 @@ class StreamingSpec extends AnyFunSuite {
       s"prod admission diverged:\nfold=$fold\nprod=$prod")
   }
 
+  test("s_image_gate: blocklisted and near-dup images flag, clean pass") {
+    import graft.mm.{MediaCodec, MediaRow, MultimodalOps}
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    def img(id: Long, seed: Int, tweak: Int = 0): MediaRow = {
+      val w = 16; val h = 16
+      val gray = Array.tabulate(w * h)(i =>
+        (((i * 31 + seed * 97) % 251) ^ (if (i < tweak) 1 else 0)).toByte)
+      MediaRow(id, "image", MediaCodec.encodeBmp(w, h, gray), w, h, 0)
+    }
+    def wav(id: Long): MediaRow =
+      MediaRow(id, "audio", MediaCodec.encodeWav(16000,
+        Array.fill(256)(100.toShort)), 0, 0, 16000)
+    val banned = img(0L, seed = 5)
+    val blocked = Array(MultimodalOps.imageAhash(banned))
+    val in = MemoryStream[MediaRow]
+    val q = runToMemory(
+      MultimodalOps.imageGate(in.toDS(), blocked), "image_gate",
+      OutputMode.Append())
+    in.addData(img(1L, seed = 5), img(2L, seed = 9)) // exact dup + clean
+    q.processAllAvailable()
+    in.addData(img(3L, seed = 5, tweak = 3), wav(4L)) // near-dup + audio
+    q.processAllAvailable(); q.stop()
+    val rows = sp.sql(
+      "SELECT doc_id, blocked, min_hamming FROM image_gate ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(rows.length == 4)
+    assert(rows(0) == ((1L, true, 0L)), s"exact dup must flag: ${rows(0)}")
+    assert(!rows(1)._2 && rows(1)._3 > 3,
+      s"clean image must pass with a far hash: ${rows(1)}")
+    assert(rows(2)._2 && rows(2)._3 <= 3,
+      s"near-dup must flag within threshold: ${rows(2)}")
+    assert(rows(3) == ((4L, false, -1L)), "audio passes through unflagged")
+  }
+
   test("s_live_rollup: mid-stream reads route with a moving frontier") {
     import graft.plans.{RollupCatalog, RollupRouteRule}
     val sp = spark
