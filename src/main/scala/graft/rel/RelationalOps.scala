@@ -833,6 +833,65 @@ object RelationalOps {
             d(col("n1") + col("n2") + lit(1L)) / lit(3.0))).as("z"))
   }
 
+  /** The PRODUCTION form of [[aggMannWhitney]]'s ranking — the
+    * distributed two-pass rank statistic for value domains too large
+    * for one ordered window (fully continuous measures, where the
+    * distinct-value relation is corpus-sized): range-partition the
+    * value-grain counts, sort within partitions (globally ordered by
+    * the range property), pass A reduces each partition to its item
+    * total (one tiny collect → prefix offsets, broadcast back), pass B
+    * walks each partition once with its offset, accumulating the exact
+    * 2·average-rank products locally — the shuffle after it carries
+    * one partial triple per partition. Same integers as the window
+    * plan by construction; spec'd row-identical to [[aggMannWhitney]]
+    * (the partPagerankConverged production-twin pattern). The lazy
+    * checkpoint pins ONE range layout for both passes — two
+    * executions of repartitionByRange may sample different bounds. */
+  def mannWhitneyDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val byVal = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c2"))
+      .as[(Double, Long, Long)]
+      .repartitionByRange(partitions, col("value"))
+      .sortWithinPartitions("value")
+      .localCheckpoint(eager = false)
+    val partTotals = byVal.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = 0L
+      it.foreach { case (_, c1, c2) => t += c1 + c2 }
+      Iterator((pid, t))
+    }.collect().toMap
+    val offsets = (0 until partitions).map { p =>
+      p -> (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    byVal.mapPartitions { it =>
+        var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+        var n1 = 0L; var n2 = 0L; var r1x2 = 0L
+        it.foreach { case (_, c1, c2) =>
+          val r2 = 2L * (cum + 1L) + c1 + c2 - 1L
+          r1x2 += c1 * r2; n1 += c1; n2 += c2; cum += c1 + c2
+        }
+        Iterator((n1, n2, r1x2))
+      }
+      .toDF("pn1", "pn2", "pr1x2")
+      .agg(sum(col("pn1")).as("n1"), sum(col("pn2")).as("n2"),
+        sum(col("pr1x2")).as("r1x2"))
+      .select(col("n1"), col("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + lit(1L))).as("u1x2"))
+      .select(col("n1"), col("n2"), col("u1x2"),
+        Det.r4(d(col("u1x2") - col("n1") * col("n2")) /
+          sqrt(d(col("n1")) * d(col("n2")) *
+            d(col("n1") + col("n2") + lit(1L)) / lit(3.0))).as("z"))
+  }
+
   /** Exact interpolated percentiles (median + p90) per return flag —
     * Spark percentile() and DuckDB quantile_cont share linear
     * interpolation; r4 absorbs last-ulp arithmetic differences. */

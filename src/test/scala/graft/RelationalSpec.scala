@@ -139,6 +139,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(sliceNodes.subsetOf(fullNodes) && fullNodes.size > sliceNodes.size)
   }
 
+  test("distributed two-pass mann-whitney == the ordered-window oracle") {
+    val oracle = RelationalOps.aggMannWhitney(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // several partition counts, incl. more partitions than needed
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = RelationalOps.mannWhitneyDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions: $twin vs $oracle")
+    }
+  }
+
   test("window_running: run equals prefix sum of rev") {
     val rows = RelationalOps.windowRunning(spark, sf).collect()
     var acc = BigDecimal(0)
