@@ -586,6 +586,47 @@ object TimeSeriesOps {
       .orderBy("ma", "mb", "lag")
   }
 
+  /** WILCOXON SIGNED-RANK test on the PAIRED hourly series click vs
+    * view — "did the same hours move together or apart": nonzero
+    * per-bucket differences rank by |d| (ties as the integer
+    * 2·average-rank, computed at distinct-|d| grain with a running
+    * total — the [[graft.rel.RelationalOps.aggMannWhitney]]
+    * discipline), W⁺ sums the positive diffs' ranks, and the normal z
+    * is one shared IEEE formula over exact BIGINTs (2W⁺ and
+    * n(n+1)/2 stay integers; σ² = n(n+1)(2n+1)/24). The whole
+    * computation is calendar-bounded: ≤ one row per hour bucket before
+    * ranking, so the ordered window runs on ≤720 rows at ANY corpus
+    * size. */
+  def wilcoxonSignedRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val a = h1.where(col("event_type") === "click")
+      .select(col("bucket"), col("v").as("va"))
+    val b = h1.where(col("event_type") === "view")
+      .select(col("bucket"), col("v").as("vb"))
+    val diffs = a.join(b, "bucket")
+      .select((col("va") - col("vb")).as("dv"))
+      .where(col("dv") =!= lit(0.0))
+    val byAbs = diffs.groupBy(abs(col("dv")).as("ad"))
+      .agg(sum(when(col("dv") > 0, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("dv") < 0, 1L).otherwise(0L)).as("cn"))
+    val wCum = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byAbs
+      .withColumn("cum", coalesce(sum(col("cp") + col("cn")).over(wCum),
+        lit(0L)))
+      .withColumn("r2",
+        lit(2L) * (col("cum") + lit(1L)) + col("cp") + col("cn") - lit(1L))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    ranked.agg((sum(col("cp")) + sum(col("cn"))).as("n_pairs"),
+        sum(col("cp") * col("r2")).as("w_plus_x2"))
+      .select(col("n_pairs"), col("w_plus_x2"),
+        Det.r4(d(col("w_plus_x2") -
+            expr("n_pairs * (n_pairs + 1L) div 2L")) /
+          sqrt(d(col("n_pairs")) * d(col("n_pairs") + lit(1L)) *
+            d(lit(2L) * col("n_pairs") + lit(1L)) / lit(6.0))).as("z"))
+  }
+
   /** KENDALL τ-b rank correlation — the third agreement read beside
     * [[seriesCorr]] (linear co-movement) and [[spearmanCorr]] (monotone
     * co-movement): the probability-scaled excess of CONCORDANT hour
@@ -2270,6 +2311,7 @@ object TimeSeriesOps {
     "q_ts_spearman" -> spearmanCorr _,
     "q_ts_kendall" -> kendallTau _,
     "q_ts_xcorr" -> crossCorrLagged _,
+    "q_ts_wilcoxon" -> wilcoxonSignedRank _,
     "q_ts_value_histogram" -> valueHistogram _,
     "q_ts_remove_above_pct" -> removeAbovePercentile _,
     "q_ts_remove_below" -> removeBelowValue _,
@@ -2950,6 +2992,41 @@ object TimeSeriesOps {
         |       ${Det.r4Sql(s"($nd * $sxy - $sx * $sy) / (sqrt($nd * $sxx - $sx * $sx) * sqrt($nd * $syy - $sy * $sy))")} AS xcorr
         |FROM p GROUP BY 1, 2, 3
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST, lag NULLS FIRST""".stripMargin
+    },
+    "q_ts_wilcoxon" -> {
+      val z = "CAST(w_plus_x2 - n_pairs * (n_pairs + 1) // 2 AS DOUBLE) / " +
+        "sqrt(CAST(n_pairs AS DOUBLE) * CAST(n_pairs + 1 AS DOUBLE) * " +
+        "CAST(2 * n_pairs + 1 AS DOUBLE) / 6.0)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a.v - b.v AS dv
+        |  FROM h1 a JOIN h1 b ON a.bucket = b.bucket
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |    AND a.v - b.v <> 0.0),
+        |ba AS (
+        |  SELECT abs(dv) AS ad,
+        |         CAST(sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cp,
+        |         CAST(sum(CASE WHEN dv < 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cn
+        |  FROM d GROUP BY 1),
+        |rk AS (
+        |  SELECT cp, cn,
+        |         COALESCE(CAST(sum(cp + cn) OVER (ORDER BY ad
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS cum
+        |  FROM ba),
+        |r2t AS (SELECT cp, cn, 2 * (cum + 1) + cp + cn - 1 AS r2 FROM rk),
+        |agg AS (
+        |  SELECT CAST(sum(cp) + sum(cn) AS BIGINT) AS n_pairs,
+        |         CAST(sum(cp * r2) AS BIGINT) AS w_plus_x2
+        |  FROM r2t)
+        |SELECT n_pairs, w_plus_x2,
+        |       ${Det.r4Sql(z)} AS z
+        |FROM agg""".stripMargin
     },
     "q_ts_kendall" -> {
       val tau = "CAST(nc - nd AS DOUBLE) / " +
