@@ -892,6 +892,60 @@ object RelationalOps {
             d(col("n1") + col("n2") + lit(1L)) / lit(3.0))).as("z"))
   }
 
+  /** Distributed EXACT order statistics — the two-pass rank runtime
+    * ([[mannWhitneyDistributed]]'s scaffolding) pointed at quantile
+    * selection: exact lower-median-style integer-rank quantiles
+    * (rank ⌈q·n⌉, the nPercentile discipline) of a measure WITHOUT a
+    * single-partition sort. Value-grain counts range-partition and
+    * sort locally; partition totals collect once (P rows) into prefix
+    * offsets; the partition holding each target rank emits its value
+    * during one offset-seeded walk. Returns (quantile, value) rows.
+    * Spec'd equal to a driver-side exact rank selection over the same
+    * grain at several partition counts. */
+  def exactQuantilesDistributed(spark: SparkSession, sfDir: String,
+      quantiles: Seq[(Long, Long)] = Seq((1L, 2L), (9L, 10L)),
+      partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val byVal = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .as[(Double, Long)]
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+      .localCheckpoint(eager = false)
+    val partTotals = byVal.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = 0L
+      it.foreach { case (_, c) => t += c }
+      Iterator((pid, t))
+    }.collect().toMap
+    val n = partTotals.values.sum
+    // ceil(q·n) as (num·n + den − 1) div den — exact integer ranks
+    val targets = quantiles.map { case (num, den) =>
+      (s"p${num * 100 / den}", (num * n + den - 1) / den)
+    }
+    val offsets = (0 until partitions).map { p =>
+      p -> (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum
+    }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcT = spark.sparkContext.broadcast(targets)
+    byVal.mapPartitions { it =>
+        var cum = bcOff.value(
+          org.apache.spark.TaskContext.getPartitionId())
+        val out = Seq.newBuilder[(String, Double)]
+        it.foreach { case (v, c) =>
+          val lo = cum + 1L
+          cum += c
+          bcT.value.foreach { case (lbl, r) =>
+            if (r >= lo && r <= cum) out += ((lbl, v))
+          }
+        }
+        out.result().iterator
+      }
+      .toDF("quantile", "value")
+      .orderBy("quantile")
+  }
+
   /** Exact interpolated percentiles (median + p90) per return flag —
     * Spark percentile() and DuckDB quantile_cont share linear
     * interpolation; r4 absorbs last-ulp arithmetic differences. */

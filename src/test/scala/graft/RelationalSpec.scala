@@ -150,6 +150,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed exact quantiles == driver-side rank selection") {
+    // driver reference: exact lower-median integer-rank selection over
+    // the same value grain
+    val grain = graft.io.Tables.lineitem(spark, sf)
+      .groupBy(col("l_quantity")).count()
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = grain.map(_._2).sum
+    def at(rank: Long): Double = {
+      var cum = 0L
+      grain.find { case (_, c) => cum += c; cum >= rank }.get._1
+    }
+    // ceil(q*n) ranks exactly as the operator computes them
+    val ranks = Seq("p50" -> ((1L * n + 1L) / 2L),
+      "p90" -> ((9L * n + 9L) / 10L))
+    Seq(1, 5, 8, 19).foreach { p =>
+      val got = RelationalOps.exactQuantilesDistributed(spark, sf,
+          partitions = p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      ranks.foreach { case (lbl, r) =>
+        assert(got(lbl) == at(r), s"$lbl at $p partitions: " +
+          s"${got(lbl)} != ${at(r)}")
+      }
+    }
+  }
+
   test("window_running: run equals prefix sum of rev") {
     val rows = RelationalOps.windowRunning(spark, sf).collect()
     var acc = BigDecimal(0)
