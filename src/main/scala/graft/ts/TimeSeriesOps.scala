@@ -549,6 +549,45 @@ object TimeSeriesOps {
       .orderBy("ma", "mb")
   }
 
+  /** ROBUST STL-LITE DECOMPOSITION — trend / seasonal / residual for
+    * every series, the capacity-planning and anomaly-baseline read
+    * (Cleveland's STL by shape, with medians instead of loess so every
+    * step stays a deterministic ELEMENT SELECTION): trend is the
+    * 25-hour centered moving MEDIAN (odd full frames only — an exact
+    * middle element, no interpolation dialect), the seasonal component
+    * is the per-(series, hour-of-day) lower median of the detrended
+    * values by exact integer rank with a (value, bucket) tiebreak, and
+    * the residual closes the identity v = trend + seasonal + resid.
+    * No rounding anywhere downstream of the rollup: both engines pick
+    * identical elements, subtract identically. Windows partition on
+    * the series key; the whole read is calendar-sized. Residuals feed
+    * [[madOutliers]]-style alerting with the seasonality removed —
+    * a spike at 3am stops hiding behind the daily cycle. */
+  def stlDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wFrame = wSeq.rowsBetween(-12, 12)
+    val t = h1
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("trend", expr("percentile(v, 0.5D)").over(wFrame))
+      .where(col("rn") >= 13 && col("rn") <= col("cnt") - 12)
+      .withColumn("detr", col("v") - col("trend"))
+      .withColumn("hod", hour(col("bucket")))
+    val wHod = Window.partitionBy(col("event_type"), col("hod"))
+    val wHodOrd = wHod.orderBy(col("detr"), col("bucket"))
+    t.withColumn("rs", row_number().over(wHodOrd))
+      .withColumn("ns", count(lit(1)).over(wHod))
+      .withColumn("seasonal",
+        max(when(col("rs") === expr("(ns + 1) div 2"), col("detr")))
+          .over(wHod))
+      .select(col("event_type"), col("bucket"), col("v"), col("trend"),
+        col("seasonal"), (col("detr") - col("seasonal")).as("resid"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** LAGGED CROSS-CORRELATION — "which metric LEADS which": Pearson
     * between series A at hour t and series B at hour t+k, for every
     * lag k in ±3 h. The incident-analysis read behind "errors follow
@@ -2312,6 +2351,7 @@ object TimeSeriesOps {
     "q_ts_kendall" -> kendallTau _,
     "q_ts_xcorr" -> crossCorrLagged _,
     "q_ts_wilcoxon" -> wilcoxonSignedRank _,
+    "q_ts_stl" -> stlDecompose _,
     "q_ts_value_histogram" -> valueHistogram _,
     "q_ts_remove_above_pct" -> removeAbovePercentile _,
     "q_ts_remove_below" -> removeBelowValue _,
@@ -2993,6 +3033,37 @@ object TimeSeriesOps {
         |FROM p GROUP BY 1, 2, 3
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST, lag NULLS FIRST""".stripMargin
     },
+    "q_ts_stl" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, bucket, v,
+        |         row_number() OVER w AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS cnt,
+        |         quantile_cont(v, 0.5) OVER (PARTITION BY event_type
+        |           ORDER BY bucket
+        |           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |t AS (
+        |  SELECT event_type, bucket, v, trend, v - trend AS detr,
+        |         hour(bucket) AS hod
+        |  FROM m WHERE rn >= 13 AND rn <= cnt - 12),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, hod
+        |           ORDER BY detr, bucket) AS rs,
+        |         count(*) OVER (PARTITION BY event_type, hod) AS ns
+        |  FROM t),
+        |s AS (
+        |  SELECT *, max(CASE WHEN rs = (ns + 1) // 2 THEN detr END)
+        |           OVER (PARTITION BY event_type, hod) AS seasonal
+        |  FROM r)
+        |SELECT event_type, bucket, v, trend, seasonal,
+        |       detr - seasonal AS resid
+        |FROM s
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_wilcoxon" -> {
       val z = "CAST(w_plus_x2 - n_pairs * (n_pairs + 1) // 2 AS DOUBLE) / " +
         "sqrt(CAST(n_pairs AS DOUBLE) * CAST(n_pairs + 1 AS DOUBLE) * " +
