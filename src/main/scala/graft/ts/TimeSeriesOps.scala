@@ -588,6 +588,39 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** DESEASONALIZED ANOMALY SCORING — [[madOutliers]] applied to
+    * [[stlDecompose]]'s residual instead of the raw series: with trend
+    * and the daily cycle removed, a 3am spike scores against the
+    * series' residual noise floor, not against the daily swing that
+    * used to hide it. Both medians (residual center, MAD) are exact
+    * integer-rank selections with (value, bucket) tiebreaks; the score
+    * is the same IEEE |r−med|/(mad·1.4826) text as the raw-series
+    * read. One extra window pass over the calendar-sized STL output. */
+  def stlAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = stlDecompose(spark, sfDir)
+      .select(col("event_type"), col("bucket"), col("v"), col("resid"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wOrd = wAll.orderBy(col("resid"), col("bucket"))
+    val withMed = base
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("resid")))
+          .over(wAll))
+      .withColumn("dev", abs(col("resid") - col("med")))
+    val wDev = wAll.orderBy(col("dev"), col("bucket"))
+    withMed
+      .withColumn("rn2", row_number().over(wDev))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev")))
+          .over(wAll))
+      .select(col("event_type"), col("bucket"), col("v"), col("resid"),
+        Det.r4(col("dev") / (col("mad") * lit(1.4826))).as("score"))
+      .where(col("score") > lit(3.0))
+      .orderBy("event_type", "bucket")
+  }
+
   /** LAGGED CROSS-CORRELATION — "which metric LEADS which": Pearson
     * between series A at hour t and series B at hour t+k, for every
     * lag k in ±3 h. The incident-analysis read behind "errors follow
@@ -2352,6 +2385,7 @@ object TimeSeriesOps {
     "q_ts_xcorr" -> crossCorrLagged _,
     "q_ts_wilcoxon" -> wilcoxonSignedRank _,
     "q_ts_stl" -> stlDecompose _,
+    "q_ts_stl_anomaly" -> stlAnomaly _,
     "q_ts_value_histogram" -> valueHistogram _,
     "q_ts_remove_above_pct" -> removeAbovePercentile _,
     "q_ts_remove_below" -> removeBelowValue _,
@@ -2448,6 +2482,37 @@ object TimeSeriesOps {
       |FROM rec JOIN r ON r.event_type = rec.event_type
       |  AND r.rn = rec.rn + 1
       |ORDER BY rec.event_type NULLS FIRST, r.bucket NULLS FIRST""".stripMargin
+
+  /** Shared STL chain (trend → detrend → per-hour-of-day seasonal) —
+    * embedded by both q_ts_stl and q_ts_stl_anomaly so the anomaly
+    * read cannot drift from the decomposition it scores. */
+  private def stlSqlCtes: String =
+    s"""h1 AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |         ${Det.avg4Sql("value")} AS v
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, bucket, v,
+      |         row_number() OVER w AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS cnt,
+      |         quantile_cont(v, 0.5) OVER (PARTITION BY event_type
+      |           ORDER BY bucket
+      |           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+      |  FROM h1
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+      |t AS (
+      |  SELECT event_type, bucket, v, trend, v - trend AS detr,
+      |         hour(bucket) AS hod
+      |  FROM m WHERE rn >= 13 AND rn <= cnt - 12),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type, hod
+      |           ORDER BY detr, bucket) AS rs,
+      |         count(*) OVER (PARTITION BY event_type, hod) AS ns
+      |  FROM t),
+      |s AS (
+      |  SELECT *, max(CASE WHEN rs = (ns + 1) // 2 THEN detr END)
+      |           OVER (PARTITION BY event_type, hod) AS seasonal
+      |  FROM r)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_ts_avg_outside_pctl" ->
@@ -3034,35 +3099,41 @@ object TimeSeriesOps {
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST, lag NULLS FIRST""".stripMargin
     },
     "q_ts_stl" ->
-      s"""WITH h1 AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
-        |         ${Det.avg4Sql("value")} AS v
-        |  FROM events GROUP BY 1, 2),
-        |m AS (
-        |  SELECT event_type, bucket, v,
-        |         row_number() OVER w AS rn,
-        |         count(*) OVER (PARTITION BY event_type) AS cnt,
-        |         quantile_cont(v, 0.5) OVER (PARTITION BY event_type
-        |           ORDER BY bucket
-        |           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
-        |  FROM h1
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
-        |t AS (
-        |  SELECT event_type, bucket, v, trend, v - trend AS detr,
-        |         hour(bucket) AS hod
-        |  FROM m WHERE rn >= 13 AND rn <= cnt - 12),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY event_type, hod
-        |           ORDER BY detr, bucket) AS rs,
-        |         count(*) OVER (PARTITION BY event_type, hod) AS ns
-        |  FROM t),
-        |s AS (
-        |  SELECT *, max(CASE WHEN rs = (ns + 1) // 2 THEN detr END)
-        |           OVER (PARTITION BY event_type, hod) AS seasonal
-        |  FROM r)
+      s"""WITH $stlSqlCtes
         |SELECT event_type, bucket, v, trend, seasonal,
         |       detr - seasonal AS resid
         |FROM s
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_stl_anomaly" ->
+      s"""WITH $stlSqlCtes,
+        |base AS (
+        |  SELECT event_type, bucket, v, detr - seasonal AS resid FROM s),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |           ORDER BY resid, bucket) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM base),
+        |m1 AS (
+        |  SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN resid END)
+        |           OVER (PARTITION BY event_type) AS med
+        |  FROM r1),
+        |d1 AS (SELECT event_type, bucket, v, resid, n,
+        |         abs(resid - med) AS dev
+        |       FROM m1),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |           ORDER BY dev, bucket) AS rn2
+        |  FROM d1),
+        |m2 AS (
+        |  SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+        |           OVER (PARTITION BY event_type) AS mad
+        |  FROM r2),
+        |f AS (
+        |  SELECT event_type, bucket, v, resid,
+        |         ${Det.r4Sql("dev / (mad * 1.4826)")} AS score
+        |  FROM m2)
+        |SELECT event_type, bucket, v, resid, score
+        |FROM f WHERE score > 3.0
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q_ts_wilcoxon" -> {
       val z = "CAST(w_plus_x2 - n_pairs * (n_pairs + 1) // 2 AS DOUBLE) / " +
