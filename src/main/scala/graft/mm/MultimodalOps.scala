@@ -423,6 +423,70 @@ object MultimodalOps {
 
   private val AhashMaxHamming = 3 // == the 4-block pigeonhole guarantee
 
+  /** Shared near-dup pair generation over ANY 64-bit perceptual hash
+    * column — the multi-index block probe ([[graft.llm.TextOps]]'s
+    * simhash machinery): 4×16-bit blocks, equi-join collisions on
+    * (table, key), pigeonhole-complete for hamming ≤ 3. `sigs` must
+    * be (doc_id LONG, hsh LONG) and is checkpointed by the caller. */
+  private def hashDedupPairs(sigs: DataFrame): DataFrame = {
+    val probeArr = array((0 until 4).map(b =>
+      struct(lit(b).as("tbl"),
+        shiftrightunsigned(col("hsh"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)
+    val probes = sigs
+      .select(col("doc_id"), col("hsh"), explode(probeArr).as("p"))
+      .select(col("doc_id"), col("hsh"),
+        col("p.tbl").as("tbl"), col("p.key").as("key"))
+    probes.as("a")
+      .join(probes.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.hsh").bitwiseXOR(col("b.hsh"))).as("hamming"))
+      .where(col("hamming") <= AhashMaxHamming)
+      .distinct()
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+  }
+
+  /** Perceptual hash of one AUDIO clip — [[imageAhash]]'s idea in the
+    * time domain: 64 equal frames, per-frame mean |PCM| energy, bit i
+    * set iff energy_i·64 > Σenergies (exact integer threshold). Robust
+    * to gain-preserving edits that keep the energy envelope; a
+    * re-gained copy moves few bits (energies scale together, the
+    * mean-relative bits mostly survive). */
+  private[graft] def audioAhash(m: MediaRow): Long = {
+    val (_, samples) = MediaCodec.decodeWav(m.payload)
+    val n = samples.length
+    val energies = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      energies(i * 64 / n) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var sum = 0L
+    energies.foreach(sum += _)
+    var hsh = 0L
+    i = 0
+    while (i < 64) {
+      if (energies(i) * 64L > sum) hsh |= (1L << i)
+      i += 1
+    }
+    hsh
+  }
+
+  /** AUDIO NEAR-DUP pairs — the clip-level face of [[imageDedup]],
+    * same probe machinery over [[audioAhash]] signatures. No oracle
+    * (binary decode path); spec'd equal to brute-force hamming. */
+  def audioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = mediaOrGet(spark, sfDir)
+      .filter(_.kind == "audio")
+      .map(m => (m.doc_id, audioAhash(m)))
+      .toDF("doc_id", "hsh")
+      .localCheckpoint(eager = false)
+    hashDedupPairs(sigs)
+  }
+
   /** IMAGE NEAR-DUP pairs — the multimodal face of the dedup family:
     * per-image average-hash signatures (one decode pass over the
     * encoded corpus), then candidate generation by multi-index block
@@ -439,25 +503,9 @@ object MultimodalOps {
     val sigs = mediaOrGet(spark, sfDir)
       .filter(_.kind == "image")
       .map(m => (m.doc_id, imageAhash(m)))
-      .toDF("doc_id", "ahash")
+      .toDF("doc_id", "hsh")
       .localCheckpoint(eager = false) // probed twice below
-    val probeArr = array((0 until 4).map(b =>
-      struct(lit(b).as("tbl"),
-        shiftrightunsigned(col("ahash"), b * 16)
-          .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)
-    val probes = sigs
-      .select(col("doc_id"), col("ahash"), explode(probeArr).as("p"))
-      .select(col("doc_id"), col("ahash"),
-        col("p.tbl").as("tbl"), col("p.key").as("key"))
-    probes.as("a")
-      .join(probes.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
-      .where(col("hamming") <= AhashMaxHamming)
-      .distinct()
-      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+    hashDedupPairs(sigs)
   }
 
   /** STREAMING image-contamination gate — [[graft.streaming.Ingest]]'s
@@ -495,7 +543,8 @@ object MultimodalOps {
     "q_mm_resize" -> resizeStats _,
     "q_mm_qc" -> qcStats _,
     "q_mm_audio_spectral" -> audioSpectralStats _,
-    "q_mm_image_dedup" -> imageDedup _
+    "q_mm_image_dedup" -> imageDedup _,
+    "q_mm_audio_dedup" -> audioDedup _
   )
 
   /** No oracles: the binary decode path is engine-side by design. */

@@ -154,4 +154,30 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h0 ^ h1) <= 3,
       "near-identical image drifted past the dedup threshold")
   }
+
+  test("q_mm_audio_dedup: probe pairs == brute force; re-gain stays close") {
+    val sp = TestSpark.spark
+    val got = MultimodalOps.audioDedup(sp, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = MultimodalOps.mediaOrGet(sp, TestSpark.sf)
+      .filter(_.kind == "audio").collect()
+      .map(m => m.doc_id -> MultimodalOps.audioAhash(m))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute,
+      s"probe pairs diverge: extra=${got -- brute} missing=${brute -- got}")
+    // a re-gained copy (all samples halved — the energy envelope keeps
+    // its shape) must stay within the dedup threshold
+    val orig = MultimodalOps.mediaOrGet(sp, TestSpark.sf)
+      .filter(_.kind == "audio").head()
+    val (rate, samples) = MediaCodec.decodeWav(orig.payload)
+    val gained = samples.map(s => (s / 2).toShort)
+    val h0 = MultimodalOps.audioAhash(orig)
+    val h1 = MultimodalOps.audioAhash(
+      orig.copy(payload = MediaCodec.encodeWav(rate, gained)))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 3,
+      "re-gained clip drifted past the dedup threshold")
+  }
 }

@@ -34,7 +34,7 @@ class TimeSeriesSpec extends AnyFunSuite {
       "q_llm_fingerprint", "q_llm_corpus_prep", "q_mm_features", "q_mm_frames",
       "q_mm_resize", "q_llm_knn_join", "q_llm_nprobe_tradeoff",
       "q_mm_audio_spectral", "q_llm_heavy_hitters", "q_llm_mrl_tradeoff",
-      "q_llm_cms_probe", "q_mm_image_dedup")
+      "q_llm_cms_probe", "q_mm_image_dedup", "q_mm_audio_dedup")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
