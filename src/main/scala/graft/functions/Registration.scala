@@ -88,6 +88,18 @@ object GraftFunctionRegistry {
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
       }),
+    (FunctionIdentifier("image_ahash"),
+      new ExpressionInfo(classOf[ImageAhashExpr].getName, "image_ahash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "image_ahash(payload)")
+        ImageAhashExpr(exprs.head)
+      }),
+    (FunctionIdentifier("audio_ahash"),
+      new ExpressionInfo(classOf[AudioAhashExpr].getName, "audio_ahash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "audio_ahash(payload)")
+        AudioAhashExpr(exprs.head)
+      }),
     (FunctionIdentifier("might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions

@@ -403,23 +403,8 @@ object MultimodalOps {
     * arithmetic, so the 64-bit signature is a pure function of the
     * payload. The classic near-identical-image fingerprint: crops and
     * re-encodes move a few bits; unrelated images differ in ~32. */
-  private[graft] def imageAhash(m: MediaRow): Long = {
-    val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
-    val px = Array.tabulate(64) { i =>
-      val x = (i % 8) * w / 8
-      val y = (i / 8) * h / 8
-      gray(y * w + x) & 0xFF
-    }
-    var sum = 0L
-    px.foreach(sum += _)
-    var hsh = 0L
-    var i = 0
-    while (i < 64) {
-      if (px(i) * 64L > sum) hsh |= (1L << i)
-      i += 1
-    }
-    hsh
-  }
+  private[graft] def imageAhash(m: MediaRow): Long =
+    MediaHash.imageAhash(m.payload)
 
   private val AhashMaxHamming = 3 // == the 4-block pigeonhole guarantee
 
@@ -454,25 +439,8 @@ object MultimodalOps {
     * to gain-preserving edits that keep the energy envelope; a
     * re-gained copy moves few bits (energies scale together, the
     * mean-relative bits mostly survive). */
-  private[graft] def audioAhash(m: MediaRow): Long = {
-    val (_, samples) = MediaCodec.decodeWav(m.payload)
-    val n = samples.length
-    val energies = new Array[Long](64)
-    var i = 0
-    while (i < n) {
-      energies(i * 64 / n) += math.abs(samples(i).toLong)
-      i += 1
-    }
-    var sum = 0L
-    energies.foreach(sum += _)
-    var hsh = 0L
-    i = 0
-    while (i < 64) {
-      if (energies(i) * 64L > sum) hsh |= (1L << i)
-      i += 1
-    }
-    hsh
-  }
+  private[graft] def audioAhash(m: MediaRow): Long =
+    MediaHash.audioAhash(m.payload)
 
   /** AUDIO NEAR-DUP pairs — the clip-level face of [[imageDedup]],
     * same probe machinery over [[audioAhash]] signatures. No oracle

@@ -155,6 +155,33 @@ class MediaCodecSpec extends AnyFunSuite {
       "near-identical image drifted past the dedup threshold")
   }
 
+  test("SQL image_ahash/audio_ahash equal the JVM kernels (codegen path)") {
+    val sp = TestSpark.spark
+    graft.functions.registerAll(sp)
+    val media = MultimodalOps.mediaOrGet(sp, TestSpark.sf)
+    media.toDF().createOrReplaceTempView("media_hash_in")
+    val viaSql = sp.sql(
+      """SELECT doc_id,
+        |  CASE WHEN kind = 'image' THEN image_ahash(payload)
+        |       ELSE audio_ahash(payload) END AS h
+        |FROM media_hash_in""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = media.collect().map { m =>
+      m.doc_id -> (if (m.kind == "image") graft.mm.MediaHash.imageAhash(m.payload)
+        else graft.mm.MediaHash.audioAhash(m.payload))
+    }.toMap
+    assert(viaSql.nonEmpty && viaSql == viaKernel)
+    // malformed payloads fail cleanly through the SQL surface too
+    import sp.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    bad.createOrReplaceTempView("media_hash_bad")
+    val ex = intercept[Exception](
+      sp.sql("SELECT image_ahash(payload) FROM media_hash_bad").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[IllegalArgumentException]))
+  }
+
   test("q_mm_audio_dedup: probe pairs == brute force; re-gain stays close") {
     val sp = TestSpark.spark
     val got = MultimodalOps.audioDedup(sp, TestSpark.sf).collect()
