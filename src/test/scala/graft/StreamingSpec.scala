@@ -1183,6 +1183,44 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("s_budget_admit_recovery: spent budget survives a restart") {
+    // the billing gate's restart contract: a recovered query must keep
+    // the per-lang cumulative spend — a re-seeded store would re-admit
+    // past the budget (double-spend)
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_restart")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectory(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    def writeBatch(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      java.nio.file.Files.write(srcDir.resolve(name),
+        String.join("\n",
+          rows.map { case (d, l, n) => s"$d,$l,$n" }: _*).getBytes("UTF-8"))
+    def start() = {
+      val docs = sp.readStream
+        .schema("doc_id LONG, lang STRING, n_tok LONG")
+        .csv(srcDir.toString).as[StreamDoc]
+      Ingest.budgetAdmit(docs, budget = 10L).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).start()
+    }
+    // run 1: en spends 7 of 10
+    writeBatch("b1.csv", Seq((1L, "en", 4L), (2L, "en", 3L)))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // run 2 after restart: a 4-token doc must be REJECTED (7+4 > 10);
+    // a 3-token doc fits exactly — both outcomes need the recovered 7
+    writeBatch("b2.csv", Seq((3L, "en", 4L), (4L, "en", 3L)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = sp.read.parquet(outDir)
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 4L), (2L, 7L), (4L, 10L)),
+      s"restart must recover spent budget (no double-spend): $rows")
+  }
+
   test("s_live_funnel_recovery: funnel state survives a checkpointed restart") {
     val sp = spark
     import sp.implicits._
