@@ -249,4 +249,45 @@ object Layout {
     fs.delete(backup, true)
     (srcRows, nBuckets)
   }
+
+  /** Morton/Z-VALUE of two numeric keys: each key min-max-normalizes to
+    * 16 bits, then the bits interleave — points close in BOTH
+    * dimensions get close z-values, so a z-sorted layout gives every
+    * file a narrow min/max envelope on BOTH columns at once. (Min-max
+    * scaling is the exact-arithmetic baseline; rank-normalizing via
+    * range-partition boundaries is the production refinement for
+    * heavily skewed keys.) */
+  private def zValue(a: Column, b: Column, minA: Long, maxA: Long,
+      minB: Long, maxB: Long): Column = {
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      ((c - lit(lo)).cast("long") * lit(65535L) /
+        lit(math.max(1L, hi - lo))).cast("long")
+    val qa = norm(a, minA, maxA)
+    val qb = norm(b, minB, maxB)
+    (0 until 16).map { k =>
+      (shiftright(qa, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k))) +
+        (shiftright(qb, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Z-ORDER write — multi-dimensional data skipping: sort the table by
+    * the interleaved z-value of TWO predicate columns before writing,
+    * so per-file min/max envelopes stay narrow on BOTH dimensions and a
+    * 2-D predicate (`partkey BETWEEN … AND suppkey BETWEEN …`) prunes
+    * files/row-groups that a single-column sort can only prune on its
+    * leading key. One range shuffle + local sort — the same cost as any
+    * clustered write; file count = `nFiles`. LayoutSpec measures the
+    * envelope narrowing against a single-column clustered write. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      path: String, nFiles: Int = 8): Unit = {
+    val mm = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).head
+    val z = zValue(col(colA), col(colB), mm.getLong(0), mm.getLong(1),
+      mm.getLong(2), mm.getLong(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
