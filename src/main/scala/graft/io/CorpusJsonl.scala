@@ -83,6 +83,22 @@ object CorpusJsonl {
     * started as its own query lists the directory independently —
     * callers that must parse each dump exactly once wrap ONE fork in
     * `foreachBatch` and apply the batch split per micro-batch. */
+  /** JSONL EXPORT — the other end of the pipeline: write a curated
+    * corpus as train-ready JSONL shards in a DETERMINISTIC layout
+    * (shard = content-hash range, rows inside a shard in (md5(text),
+    * doc_id) order — the same canonical order packing uses, so a
+    * re-export of the same corpus is byte-stable regardless of
+    * upstream partitioning). One range shuffle + local sort; Spark's
+    * json writer handles escaping, so [[readQuarantine]] round-trips
+    * every document including exotic text (spec'd). */
+  def writeShards(docs: DataFrame, dir: String, nShards: Int = 8): Unit =
+    docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
+        md5(col("text")).as("__h"))
+      .repartitionByRange(nShards, col("__h"), col("doc_id"))
+      .sortWithinPartitions("__h", "doc_id")
+      .drop("__h")
+      .write.mode("overwrite").json(dir)
+
   def readStreamQuarantine(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 16): (DataFrame, DataFrame) =
     split(spark.readStream

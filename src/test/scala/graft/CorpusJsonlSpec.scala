@@ -78,4 +78,33 @@ class CorpusJsonlSpec extends AnyFunSuite {
     assert(reasons.toSeq == Seq("missing_field", "unparseable"),
       s"quarantined: ${reasons.mkString(",")}")
   }
+
+  test("jsonl export: round-trips the corpus and is layout-deterministic") {
+    val sp = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_jsonl_out")
+    val d1 = root.resolve("a").toString
+    val d2 = root.resolve("b").toString
+    val docs = graft.io.Tables.documents(sp, TestSpark.sf)
+      .select("doc_id", "source", "lang", "text")
+    graft.io.CorpusJsonl.writeShards(docs, d1)
+    // round-trip through the reader: every document survives with its
+    // exact text, nothing quarantined (the writer escapes correctly)
+    val (good, bad) = graft.io.CorpusJsonl.readQuarantine(sp, d1)
+    assert(bad.isEmpty, s"export must re-read clean: ${bad.count()} bad")
+    val back = good.select("doc_id", "source", "lang", "text")
+      .collect().map(_.toSeq).toSet
+    assert(back == docs.collect().map(_.toSeq).toSet)
+    // determinism: a second export from a differently-partitioned input
+    // produces byte-identical shard contents (same rows per shard in
+    // the same order)
+    graft.io.CorpusJsonl.writeShards(docs.repartition(13), d2)
+    def shardLines(dir: String): Seq[Seq[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        .map(f => java.nio.file.Files.readAllLines(f.toPath)
+          .toArray.toSeq.map(_.toString)).toSeq
+    assert(shardLines(d1) == shardLines(d2),
+      "re-export must be layout-deterministic")
+  }
 }
