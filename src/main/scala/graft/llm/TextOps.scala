@@ -631,6 +631,36 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** CURRICULUM PACKING — [[packSequences]] with the fill order keyed
+    * on QUALITY first: documents sort by (gopher rule-pass grade DESC,
+    * content hash, doc_id) inside each source, so the early packs a
+    * curriculum-ordered training run consumes first are the cleanest
+    * ones and the boilerplate tail lands last (Bengio et al. ICML'09
+    * curriculum learning, applied at the data-layout level). The
+    * grade is the integer count of passed Gopher rules (0–4, shared
+    * verbatim with [[gopherFlags]] so the ordering cannot drift from
+    * the quality gate); per-pack min/max grade expose the gradient.
+    * Same window/pack shape and scale posture as the hash-ordered
+    * pack. */
+  def curriculumPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flags = gopherFlags(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")))
+      .withColumn("grade",
+        col("r_len") + col("r_wordlen") + col("r_ttr") + col("r_stop"))
+      .withColumn("h", md5(col("text")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("grade").desc, col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flags
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div ${PackBudget}L"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+        min(col("grade")).as("min_grade"), max(col("grade")).as("max_grade"))
+      .orderBy("source", "pack_id")
+  }
+
   /** Word n-gram array over a PRE-projected token-array column (never
     * split inside the lambda — the CSE gotcha): shared by the
     * repetition and decontamination queries. Caller guarantees
@@ -1365,6 +1395,7 @@ object TextOps {
     "q_llm_budget_mix" -> budgetMix _,
     "q_llm_chunk" -> chunkDocs _,
     "q_llm_pack" -> packSequences _,
+    "q_llm_curriculum_pack" -> curriculumPack _,
     "q_llm_exact_dedup" -> exactDedup _,
     "q_llm_segment_dedup" -> segmentDedup _,
     "q_llm_segment_sources" -> segmentSources _,
@@ -1809,6 +1840,40 @@ object TextOps {
         |  FROM t)
         |SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok
+        |FROM c GROUP BY 1, 2
+        |ORDER BY source NULLS FIRST, pack_id NULLS FIRST""".stripMargin,
+    "q_llm_curriculum_pack" ->
+      """WITH s AS (SELECT doc_id, source, md5(text) AS h,
+        |             string_split(text, ' ') AS tk
+        |           FROM documents),
+        |m AS (SELECT doc_id, source, h,
+        |        CAST(len(tk) AS BIGINT) AS n_tok,
+        |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+        |        CAST(list_sum(list_transform(tk,
+        |          t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_chars,
+        |        CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'
+        |          OR t = 'of' OR t = 'to')) AS BIGINT) AS n_stop
+        |      FROM s),
+        |g AS (SELECT doc_id, source, h, n_tok,
+        |        CAST(CASE WHEN n_tok BETWEEN 20 AND 80
+        |          THEN 1 ELSE 0 END AS BIGINT)
+        |        + CAST(CASE WHEN sum_chars >= n_tok * 3
+        |          AND sum_chars <= n_tok * 10
+        |          THEN 1 ELSE 0 END AS BIGINT)
+        |        + CAST(CASE WHEN n_uniq * 10 >= n_tok * 3
+        |          THEN 1 ELSE 0 END AS BIGINT)
+        |        + CAST(CASE WHEN n_stop >= 2
+        |          THEN 1 ELSE 0 END AS BIGINT) AS grade
+        |      FROM m),
+        |c AS (
+        |  SELECT source, n_tok, grade,
+        |         sum(n_tok) OVER (PARTITION BY source
+        |           ORDER BY grade DESC, h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g)
+        |SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |       min(grade) AS min_grade, max(grade) AS max_grade
         |FROM c GROUP BY 1, 2
         |ORDER BY source NULLS FIRST, pack_id NULLS FIRST""".stripMargin,
     "q_llm_chunk" ->
