@@ -102,6 +102,39 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rank-replay == fold on random dicts and vocab sizes") {
+    // 200 random corpora: tiny alphabets force heavy merge interaction
+    // (recreated pair text, overlapping runs) — the regime where a
+    // wrong rank-replay guard would diverge from the fold
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = for {
+      len <- Gen.chooseNum(1, 10)
+      cs <- Gen.listOfN(len, Gen.chooseNum(0, 3).map(i => ('a' + i).toChar))
+    } yield cs.mkString
+    val dictGen = for {
+      words <- Gen.nonEmptyListOf(wordGen)
+      nMerges <- Gen.chooseNum(1, 40)
+    } yield (words.distinct, nMerges)
+    val prop = forAll(dictGen) { case (words, nMerges) =>
+      val dict = words.zipWithIndex
+        .map { case (w, i) => (w, (i % 5 + 1).toLong) }.toArray
+      val merges = BpeOps.trainFromDict(dict, nMerges)
+      val pairs = merges.map(m => (m.a, m.b)).toArray
+      val rank = new java.util.HashMap[String, Integer]()
+      pairs.zipWithIndex.foreach { case ((a, b), i) =>
+        rank.put(a + " " + b, Integer.valueOf(i + 1)) }
+      words.forall { w =>
+        val t = BpeOps.tokenizeWord(w, pairs, rank)
+        t.toSeq == BpeOps.foldTokenizeWord(w, pairs).toSeq &&
+          t.mkString("") == w + "_"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("subword counts compress below character counts and stay >= 1") {
     val rows = BpeOps.bpeTokenCount(spark, sf).collect()
     assert(rows.nonEmpty)

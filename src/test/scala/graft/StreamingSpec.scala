@@ -1183,6 +1183,53 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("s_cm_sketch_recovery: the count-min grid survives a restart") {
+    // the sketch state's restart contract: the recovered grid must
+    // BYTE-EQUAL one sequential pass over everything consumed across
+    // both processes — a re-seeded grid would undercount run 1's tokens
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cms_restart")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectory(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    def writeBatch(name: String, rows: Seq[(String, String)]): Unit =
+      java.nio.file.Files.write(srcDir.resolve(name),
+        String.join("\n",
+          rows.map { case (l, t) => s"$l,$t" }: _*).getBytes("UTF-8"))
+    val outDir = root.resolve("out").toString
+    def start() = {
+      val toks = sp.readStream.schema("lang STRING, token STRING")
+        .csv(srcDir.toString).as[graft.streaming.LangToken]
+      // foreachBatch sink: supports checkpoint recovery (memory does
+      // not) and Update-mode stateful output; batch id rides along so
+      // the audit reads the LAST republished sketch
+      Ingest.cmSketchStream(toks).toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt).start()
+    }
+    val run1 = Seq(("en", "the"), ("en", "cat"), ("en", "the"))
+    val run2 = Seq(("en", "dog"), ("en", "the"))
+    writeBatch("b1.csv", run1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    writeBatch("b2.csv", run2)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val live = sp.read.parquet(outDir)
+      .orderBy(col("batch_id").desc).collect()
+      .head.getAs[Array[Byte]]("sketch")
+    val seq1 = new Array[Long](4 * 256)
+    (run1 ++ run2).foreach { case (_, t) =>
+      graft.functions.CountMin.observe(seq1, 4, 256, t) }
+    assert(java.util.Arrays.equals(live,
+        graft.functions.CountMin.serialize(seq1, 4, 256)),
+      "recovered grid must byte-equal a sequential pass over both runs")
+    assert(graft.functions.CountMin.query(live, "the") >= 3L)
+  }
+
   test("s_budget_admit_recovery: spent budget survives a restart") {
     // the billing gate's restart contract: a recovered query must keep
     // the per-lang cumulative spend — a re-seeded store would re-admit
