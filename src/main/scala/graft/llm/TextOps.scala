@@ -479,6 +479,42 @@ object TextOps {
       .limit(20)
   }
 
+  /** The WIDE-KEY probe variant of [[simhash]] for ≫10⁸-doc corpora
+    * (the widening the 8-block probe's doc prescribes): signatures
+    * split into FOUR 16-bit blocks, one probe table per block PAIR
+    * (C(4,2) = 6) keyed on the 32-bit concatenation. Pigeonhole:
+    * hamming ≤ 2 leaves ≥ 2 of the 4 blocks untouched, so every such
+    * pair collides in the table of one intact pair — complete at the
+    * tighter d ≤ 2 operating point with 2³² buckets per table (expected
+    * occupancy n/2³²: bucket-size blowup needs a 4-billion-doc
+    * boilerplate cluster). 6n probe rows vs 28n; the tradeoff is the
+    * narrower guaranteed radius — exactly Manku's table-count/radius
+    * dial. Spec'd equal to brute force at d ≤ 2 on the corpus. */
+  private[graft] val WideMaxHamming = 2
+
+  def simhashWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashSigs(spark, sfDir).localCheckpoint()
+    val block = (i: Int) =>
+      shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+    val probeArr = array((for { i <- 0 until 4; j <- i + 1 until 4 } yield
+      struct(lit(i * 4 + j).as("tbl"),
+        (block(i) * lit(65536L) + block(j)).as("key"))): _*)
+    val probes = sig
+      .select(col("doc_id"), col("simhash"), explode(probeArr).as("p"))
+      .select(col("doc_id"), col("simhash"),
+        col("p.tbl").as("tbl"), col("p.key").as("key"))
+    probes.as("a")
+      .join(probes.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .where(col("hamming") <= WideMaxHamming)
+      .distinct()
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+  }
+
   /** Rolling-hash document fingerprint (Rabin-Karp style, base 257 mod
     * 2^61-1) over the token stream — a cheap order-sensitive content id,
     * plus winnowing-lite: the min token-level hash as a locality anchor.

@@ -103,6 +103,23 @@ class LlmSpec extends AnyFunSuite {
       s"probe=${probe.mkString(",")} brute=${brute.mkString(",")}")
   }
 
+  test("simhash wide probe == brute force at its d<=2 guarantee") {
+    // the >=1e8-doc scale path: 6 tables of 32-bit block-pair keys,
+    // pigeonhole-complete at hamming <= 2 — every pair the guarantee
+    // covers must surface, and nothing looser may leak in
+    val sf01 = "/root/testdata/sf0.01"
+    val wide = TextOps.simhashWide(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val sig = TextOps.simhashSigs(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(wide == brute,
+      s"wide probe diverges: extra=${wide -- brute} missing=${brute -- wide}")
+  }
+
   test("langid emits one prediction per doc, deterministic") {
     val a = TextOps.langid(spark, sf).collect()
     val b = TextOps.langid(spark, sf).collect()
