@@ -27,20 +27,6 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** The time-series point table (Kenshin's write-path payload: metric-ish
-    * `event_type`, tag-ish `user_id`, a timestamp and a double value;
-    * reference semantics: kenshin/storage.py — update/fetch [U, SURVEY §1.1]).
-    *
-    * The driver has shipped `ts` in two physical encodings across rounds:
-    * INT64 TIMESTAMP(NANOS) (which Spark 4's reader rejects outright,
-    * [PARQUET_TYPE_ILLEGAL], so we read it as raw LONG via `nanosAsLong`
-    * and derive a µs TIMESTAMP — matching what DuckDB sees natively) and
-    * plain TIMESTAMP(MICROS) (readable directly). We sniff the decoded
-    * dtype and normalize both to the same surface: µs-precision `ts` plus
-    * a LONG `ts_ns` preserved for sub-µs ordering/tiebreaks (for µs files
-    * it is exactly `unix_micros(ts) * 1000`, so tiebreak order is stable
-    * across encodings).
-    */
   /** Scoped shared-scan: inside `sharedEventsScan { ... }`, every
     * [[events]] call for the same dir returns ONE lazily-checkpointed
     * relation, so a composed read (the KPI dashboard reuses four
@@ -58,6 +44,20 @@ object Tables {
     eventsScanScope.withValue(
       scala.collection.mutable.Map.empty[String, DataFrame])(body)
 
+  /** The time-series point table (Kenshin's write-path payload: metric-ish
+    * `event_type`, tag-ish `user_id`, a timestamp and a double value;
+    * reference semantics: kenshin/storage.py — update/fetch [U, SURVEY §1.1]).
+    *
+    * The driver has shipped `ts` in two physical encodings across rounds:
+    * INT64 TIMESTAMP(NANOS) (which Spark 4's reader rejects outright,
+    * [PARQUET_TYPE_ILLEGAL], so we read it as raw LONG via `nanosAsLong`
+    * and derive a µs TIMESTAMP — matching what DuckDB sees natively) and
+    * plain TIMESTAMP(MICROS) (readable directly). We sniff the decoded
+    * dtype and normalize both to the same surface: µs-precision `ts` plus
+    * a LONG `ts_ns` preserved for sub-µs ordering/tiebreaks (for µs files
+    * it is exactly `unix_micros(ts) * 1000`, so tiebreak order is stable
+    * across encodings).
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val scope = eventsScanScope.value
     if (scope != null)
