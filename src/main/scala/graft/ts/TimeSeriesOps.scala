@@ -740,6 +740,75 @@ object TimeSeriesOps {
       .orderBy("ma", "mb")
   }
 
+  /** Strict inversions in `a` (pairs i<j with a(i) > a(j)) by counting
+    * mergesort — O(n log n), mutates its input. */
+  private def countInversions(a: Array[Double]): Long = {
+    val buf = new Array[Double](a.length)
+    def go(lo: Int, hi: Int): Long =
+      if (hi - lo <= 1) 0L
+      else {
+        val mid = (lo + hi) >>> 1
+        var inv = go(lo, mid) + go(mid, hi)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          if (a(i) <= a(j)) { buf(k) = a(i); i += 1 }
+          else { buf(k) = a(j); inv += (mid - i); j += 1 }
+          k += 1
+        }
+        while (i < mid) { buf(k) = a(i); i += 1; k += 1 }
+        while (j < hi) { buf(k) = a(j); j += 1; k += 1 }
+        System.arraycopy(buf, lo, a, lo, hi - lo)
+        inv
+      }
+    go(0, a.length)
+  }
+
+  /** The PRODUCTION Kendall — [[kendallTau]]'s O(buckets²) pair join is
+    * honest at rollup grain (720 hours) but not at a 10-year minutely
+    * series; this twin is Knight's 1966 O(n log n) form: per pair, sort
+    * the aligned points by (x, y) and count strict y-inversions with a
+    * counting mergesort (= exactly the discordant pairs — x-tied runs
+    * are y-sorted and contribute none), recover concordant from the
+    * identity nc = n0 − nd − tx − ty + txy (both-tied pairs sit in tx
+    * AND ty), then the SAME IEEE τ-b text. One typed mapGroups per
+    * series pair — each group is one series' calendar, the multiset a
+    * real per-key statistic holds in an executor. Spec'd row-identical
+    * to the oracle query, τ bit-equal. */
+  def kendallTauFast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val a = h1.select(col("event_type").as("ma"), col("bucket"),
+      col("v").as("va"))
+    val b = h1.select(col("event_type").as("mb"), col("bucket"),
+      col("v").as("vb"))
+    a.join(b, "bucket").where(col("ma") < col("mb"))
+      .select(col("ma"), col("mb"), col("va"), col("vb"))
+      .as[(String, String, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, String),
+          it: Iterator[(String, String, Double, Double)]) =>
+        val (ma, mb) = key
+        val xs = it.map(r => (r._3, r._4)).toArray
+        val n = xs.length.toLong
+        val n0 = n * (n - 1) / 2
+        def tiePairs[K](ks: Array[K]): Long =
+          ks.groupBy(identity).valuesIterator
+            .map { g => val c = g.length.toLong; c * (c - 1) / 2 }.sum
+        val tx = tiePairs(xs.map(_._1))
+        val ty = tiePairs(xs.map(_._2))
+        val txy = tiePairs(xs)
+        val sorted = xs.sortBy(t => (t._1, t._2))
+        val nd = countInversions(sorted.map(_._2))
+        val nc = n0 - nd - tx - ty + txy
+        val tau = math.floor((nc - nd).toDouble /
+          math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+          * 10000.0 + 0.5) / 10000.0
+        (ma, mb, n0, nc, nd, tau)
+      }
+      .toDF("ma", "mb", "n0", "nc", "nd", "tau")
+      .orderBy("ma", "mb")
+  }
+
   /** Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
     * spiky-series alternative to [[anomaly]]'s z-score (one spike
     * inflates a stddev and masks later spikes; it barely moves the

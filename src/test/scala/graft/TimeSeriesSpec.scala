@@ -39,6 +39,16 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("Knight O(n log n) kendall == the pair-join oracle, tau bit-equal") {
+    val oracle = TimeSeriesOps.kendallTau(spark, sf)
+      .select("ma", "mb", "n0", "nc", "nd", "tau").collect()
+      .map(_.toSeq).toSeq
+    val fast = TimeSeriesOps.kendallTauFast(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty && fast == oracle,
+      s"fast kendall diverged:\n$fast\nvs\n$oracle")
+  }
+
   test("gapfill emits a dense grid: rows = n_types * n_buckets") {
     val rows = TimeSeriesOps.gapfill(spark, sf).collect()
     val types = rows.map(_.getString(0)).distinct.length
