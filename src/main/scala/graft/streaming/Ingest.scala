@@ -98,6 +98,11 @@ case class AttribEvent(user_id: Long, event_id: Long, event_type: String,
   * and the (ts, event_id) consumption frontier. */
 case class TouchState(touch: String, lastMs: Long, lastId: Long)
 
+/** [[Ingest.liveAttributionBuffered]]'s state: the watermark-bounded
+  * hold-back buffer plus the folded last-touch record. */
+case class TouchBufState(pending: Seq[AttribEvent], touch: String,
+    lastMs: Long, lastId: Long)
+
 /** One attributed purchase (touch_type = 'none' when no prior touch). */
 case class AttributedPurchase(user_id: Long, event_id: Long,
     touch_type: String, value: Double)
@@ -917,10 +922,11 @@ object Ingest {
     * the replay guard — the stream then under-attributes relative to
     * the batch window read. Producers that can reorder a user across
     * batches (multi-partition keys without user_id partitioning) need a
-    * per-user partitioned source, or a buffer-to-watermark variant that
-    * holds events in state until the watermark passes before folding —
-    * that variant trades one watermark of latency for exact
-    * out-of-order tolerance and is deliberately NOT this operator. */
+    * per-user partitioned source, or [[liveAttributionBuffered]] — the
+    * buffer-to-watermark variant that holds events in state until the
+    * watermark passes before folding, trading one watermark of latency
+    * for exact out-of-order tolerance (spec'd on the exact feed where
+    * this eager operator diverges). */
   def liveAttribution(events: Dataset[AttribEvent],
       lateness: String = "10 minutes",
       idleSeconds: Long = 3600L): Dataset[AttributedPurchase] = {
@@ -961,6 +967,73 @@ object Ingest {
               math.max(s.lastMs + idleMs, state.getCurrentWatermarkMs() + 1L))
             out.result().iterator
           }
+      }
+  }
+
+  /** BUFFER-TO-WATERMARK attribution — [[liveAttribution]]'s
+    * delivery-order contract REMOVED at the price of one watermark of
+    * latency: arriving events park in per-user state until the
+    * watermark passes them, then fold in exact (ts, event_id) order —
+    * so a late-but-inside-watermark touch landing in a LATER
+    * micro-batch than a not-yet-folded purchase still attributes
+    * correctly under ANY cross-batch reordering (the exact case the
+    * eager operator's replay guard drops). The fold itself is the
+    * identical last-touch recursion; only events later than the
+    * watermark allows are ever lost, which is the watermark's own
+    * documented contract. State is the folded record plus ≤ one
+    * watermark window of pending events per user — bounded by
+    * construction; a user with pending events re-arms an event-time
+    * timeout at watermark+1 so every watermark advance drains what it
+    * has released, new input or not; an idle drained user evicts.
+    * Spec'd: cross-batch out-of-order delivery equals the batch
+    * attribution where [[liveAttribution]] demonstrably diverges. */
+  def liveAttributionBuffered(events: Dataset[AttribEvent],
+      lateness: String = "10 minutes",
+      idleSeconds: Long = 3600L): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val idleMs = idleSeconds * 1000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchBufState, AttributedPurchase](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[AttribEvent],
+            state: GroupState[TouchBufState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(
+            TouchBufState(Nil, "none", Long.MinValue, Long.MinValue))
+          val all = s.pending ++ rows.toSeq
+          val (ready, hold) = all.partition(_.ts.getTime <= wm)
+          val out = Seq.newBuilder[AttributedPurchase]
+          ready.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (t > s.lastMs || (t == s.lastMs && e.event_id > s.lastId)) {
+              e.event_type match {
+                case "click" | "view" =>
+                  s = s.copy(touch = e.event_type, lastMs = t,
+                    lastId = e.event_id)
+                case "purchase" =>
+                  out += AttributedPurchase(uid, e.event_id, s.touch,
+                    e.value)
+                  s = s.copy(lastMs = t, lastId = e.event_id)
+                case _ => () // batch filters to these 3 types; mirror it
+              }
+            }
+          }
+          s = s.copy(pending = hold)
+          if (state.hasTimedOut && hold.isEmpty &&
+              s.lastMs + idleMs <= wm) {
+            state.remove()
+          } else {
+            state.update(s)
+            // pending events drain at the NEXT watermark advance; a
+            // drained user waits out the idle horizon
+            state.setTimeoutTimestamp(
+              if (hold.nonEmpty) wm + 1L
+              else math.max(s.lastMs + idleMs, wm + 1L))
+          }
+          out.result().iterator
       }
   }
 

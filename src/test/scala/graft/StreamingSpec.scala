@@ -1183,6 +1183,50 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("s_attribution_buffered: exact under cross-batch reordering") {
+    // the case the eager operator's replay guard documents away: a
+    // late-but-inside-watermark touch arrives in a LATER micro-batch
+    // than the purchase. Buffered folding must credit it; the eager
+    // twin demonstrably does not.
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    def ev(u: Long, id: Long, et: String, t: String, v: Double) =
+      AttribEvent(u, id, et, ts(t), v)
+    def run(tag: String,
+        f: org.apache.spark.sql.Dataset[AttribEvent] =>
+          org.apache.spark.sql.Dataset[graft.streaming.AttributedPurchase]) = {
+      val in = MemoryStream[AttribEvent]
+      val q = runToMemory(f(in.toDS()).toDF(), tag, OutputMode.Append())
+      // batch 1: view then purchase (wm after: 09:55)
+      in.addData(ev(1L, 1L, "view", "2024-01-01 10:00:00", 0.0),
+        ev(1L, 3L, "purchase", "2024-01-01 10:05:00", 9.0))
+      q.processAllAvailable()
+      // batch 2: the LATE click (10:04 < purchase's 10:05, well inside
+      // the 10-minute watermark)
+      in.addData(ev(1L, 2L, "click", "2024-01-01 10:04:00", 0.0))
+      q.processAllAvailable()
+      // two watermark-advancing batches from another user: wm passes
+      // 10:05, releasing (and timing out) user 1's buffer
+      in.addData(ev(2L, 50L, "view", "2024-01-01 10:20:00", 0.0))
+      q.processAllAvailable()
+      in.addData(ev(2L, 51L, "view", "2024-01-01 10:30:00", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      sp.sql(s"SELECT event_id, touch_type, value FROM $tag")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq
+    }
+    val buffered = run("attr_buf", Ingest.liveAttributionBuffered(_))
+    assert(buffered == Seq((3L, "click", 9.0)),
+      s"buffered must credit the late touch: $buffered")
+    // the eager twin on the SAME feed folds the purchase before the
+    // click exists and drops the regressive arrival — view-attributed
+    val eager = run("attr_eager", Ingest.liveAttribution(_))
+    assert(eager == Seq((3L, "view", 9.0)),
+      s"eager baseline should expose the ordering gap: $eager")
+  }
+
   test("s_cm_sketch_recovery: the count-min grid survives a restart") {
     // the sketch state's restart contract: the recovered grid must
     // BYTE-EQUAL one sequential pass over everything consumed across
