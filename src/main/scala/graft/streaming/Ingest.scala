@@ -834,8 +834,9 @@ object Ingest {
     * across micro-batches (see [[liveAttribution]]'s delivery-order
     * contract; the twin specs feed per-user-ordered batches, and a
     * source that reorders a user across batches needs user_id-keyed
-    * partitioning upstream). State exists only for users with an
-    * anchored view and is
+    * partitioning upstream or the buffer-to-watermark mechanism
+    * [[liveAttributionBuffered]] demonstrates, applied to this fold).
+    * State exists only for users with an anchored view and is
     * three longs, watermark-bounded — at 100 TB/day the state store
     * holds one small fixed-size record per ACTIVE funnel entrant, not
     * per event. */
