@@ -667,6 +667,38 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** CORPUS DATA CARD — the one-row dataset summary a curation run
+    * ships with its output (the "dataset card" numbers: volume,
+    * provenance breadth, duplication, quality yield): document and
+    * whitespace-token totals, source/lang breadth, exact-dup text
+    * ratio, and the Gopher gate's keep rate with its token-weighted
+    * share — every count exact, every ratio the shared IEEE rounding
+    * over exact integers, the rule flags shared verbatim with the
+    * gate. ONE aggregation pass over the doc table (the distinct
+    * counts expand map-side at doc grain); at 100 TB this is the same
+    * single-shuffle scan any corpus summary costs. */
+  def corpusCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val flags = gopherFlags(Tables.documents(spark, sfDir))
+      .withColumn("h", md5(col("text")))
+    flags.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_ws_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("h")).as("n_uniq_texts"),
+        sum(col("keep")).as("n_keep"),
+        sum(col("n_tok") * col("keep")).as("tok_kept"))
+      .select(col("n_docs"), col("n_ws_tokens"), col("n_sources"),
+        col("n_langs"), col("n_uniq_texts"),
+        Det.r4(col("n_uniq_texts").cast("double") / col("n_docs"))
+          .as("uniq_ratio"),
+        col("n_keep"),
+        Det.r4(col("n_keep").cast("double") / col("n_docs"))
+          .as("keep_rate"),
+        Det.r4(col("tok_kept").cast("double") / col("n_ws_tokens"))
+          .as("tok_kept_share"))
+  }
+
   /** CURRICULUM PACKING — [[packSequences]] with the fill order keyed
     * on QUALITY first: documents sort by (gopher rule-pass grade DESC,
     * content hash, doc_id) inside each source, so the early packs a
@@ -1432,6 +1464,7 @@ object TextOps {
     "q_llm_chunk" -> chunkDocs _,
     "q_llm_pack" -> packSequences _,
     "q_llm_curriculum_pack" -> curriculumPack _,
+    "q_llm_corpus_card" -> corpusCard _,
     "q_llm_exact_dedup" -> exactDedup _,
     "q_llm_segment_dedup" -> segmentDedup _,
     "q_llm_segment_sources" -> segmentSources _,
@@ -1878,6 +1911,40 @@ object TextOps {
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok
         |FROM c GROUP BY 1, 2
         |ORDER BY source NULLS FIRST, pack_id NULLS FIRST""".stripMargin,
+    "q_llm_corpus_card" ->
+      s"""WITH s AS (SELECT doc_id, source, lang, md5(text) AS h,
+        |             string_split(text, ' ') AS tk
+        |           FROM documents),
+        |m AS (SELECT doc_id, source, lang, h,
+        |        CAST(len(tk) AS BIGINT) AS n_tok,
+        |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+        |        CAST(list_sum(list_transform(tk,
+        |          t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_chars,
+        |        CAST(len(list_filter(tk, t -> t = 'the' OR t = 'a'
+        |          OR t = 'of' OR t = 'to')) AS BIGINT) AS n_stop
+        |      FROM s),
+        |k AS (SELECT source, lang, h, n_tok,
+        |        CAST(CASE WHEN n_tok BETWEEN 20 AND 80
+        |          AND sum_chars >= n_tok * 3 AND sum_chars <= n_tok * 10
+        |          AND n_uniq * 10 >= n_tok * 3
+        |          AND n_stop >= 2
+        |          THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |      FROM m),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS n_ws_tokens,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(count(DISTINCT h) AS BIGINT) AS n_uniq_texts,
+        |         CAST(sum(keep) AS BIGINT) AS n_keep,
+        |         CAST(sum(n_tok * keep) AS BIGINT) AS tok_kept
+        |  FROM k)
+        |SELECT n_docs, n_ws_tokens, n_sources, n_langs, n_uniq_texts,
+        |       ${r4Sql("CAST(n_uniq_texts AS DOUBLE) / n_docs")} AS uniq_ratio,
+        |       n_keep,
+        |       ${r4Sql("CAST(n_keep AS DOUBLE) / n_docs")} AS keep_rate,
+        |       ${r4Sql("CAST(tok_kept AS DOUBLE) / n_ws_tokens")} AS tok_kept_share
+        |FROM a""".stripMargin,
     "q_llm_curriculum_pack" ->
       """WITH s AS (SELECT doc_id, source, md5(text) AS h,
         |             string_split(text, ' ') AS tk
