@@ -742,7 +742,7 @@ object TimeSeriesOps {
 
   /** Strict inversions in `a` (pairs i<j with a(i) > a(j)) by counting
     * mergesort — O(n log n), mutates its input. */
-  private def countInversions(a: Array[Double]): Long = {
+  private[graft] def countInversions(a: Array[Double]): Long = {
     val buf = new Array[Double](a.length)
     def go(lo: Int, hi: Int): Long =
       if (hi - lo <= 1) 0L

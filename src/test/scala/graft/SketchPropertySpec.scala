@@ -76,6 +76,22 @@ class SketchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: counting mergesort == O(n^2) strict inversions") {
+    // the kernel under kendallTauFast's discordant count — heavy ties
+    // included (values drawn from a 6-symbol domain)
+    val prop = forAll(Gen.listOf(Gen.chooseNum(0, 5).map(_.toDouble))) {
+      xs =>
+        val a = xs.toArray
+        val brute = (for {
+          i <- a.indices; j <- i + 1 until a.length if a(i) > a(j)
+        } yield 1).size.toLong
+        graft.ts.TimeSeriesOps.countInversions(a.clone()) == brute
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: MG never overcounts, undercount bounded, heavy survive") {
     val cap = 8
     val prop = forAll(streamGen, Gen.chooseNum(0, 100)) { (items, cutPct) =>
