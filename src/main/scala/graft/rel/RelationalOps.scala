@@ -802,6 +802,35 @@ object RelationalOps {
       .orderBy("l_linestatus")
   }
 
+  /** JOIN-KEY SKEW AUDIT — the diagnostic read run BEFORE choosing a
+    * join strategy at 100 TB: per candidate key, row and distinct-key
+    * counts, the heaviest key's frequency, its share of all rows, and
+    * the max/mean frequency ratio (a uniform key reads ~1; the ratio
+    * is how much the hottest reducer exceeds the average — the number
+    * that decides between a plain shuffle join, salting, or an AQE
+    * skew split). All counts exact; ratios the shared IEEE rounding.
+    * One partial-agg shuffle per audited key over the fact table —
+    * the same cost as any key profile. */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(keyCol: String): DataFrame = {
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_freq"))
+        .select(lit(keyCol).as("join_key"), col("n_rows"), col("n_keys"),
+          col("max_freq"),
+          Det.r4(d(col("max_freq")) / d(col("n_rows"))).as("top_share"),
+          Det.r4(d(col("max_freq") * col("n_keys")) / d(col("n_rows")))
+            .as("skew_ratio"))
+        .localCheckpoint(eager = false) // union children don't CSE
+    }
+    profile("l_orderkey")
+      .unionByName(profile("l_partkey"))
+      .unionByName(profile("l_suppkey"))
+      .orderBy("join_key")
+  }
+
   /** MANN–WHITNEY U rank-sum test (Mann & Whitney 1947): do click and
     * purchase event values come from the same distribution? The
     * nonparametric two-sample read an experimentation platform runs
@@ -1941,6 +1970,7 @@ object RelationalOps {
     "q_agg_stats" -> aggStats _,
     "q_agg_corr" -> aggCorr _,
     "q_agg_mannwhitney" -> aggMannWhitney _,
+    "q_rel_skew_report" -> skewReport _,
     "q_agg_percentile" -> aggPercentile _,
     "q_agg_hll" -> aggHll _,
     "q_agg_approx_pctl" -> aggApproxPercentile _,
@@ -2757,6 +2787,27 @@ object RelationalOps {
         |       ${r4Sql("quantile_cont(l_quantity, 0.9)")} AS p90_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+    "q_rel_skew_report" -> {
+      def branch(k: String): String = {
+        val top = Det.r4Sql("CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+        val ratio = Det.r4Sql(
+          "CAST(max_freq * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+        s"""SELECT '$k' AS join_key, n_rows, n_keys, max_freq,
+          |       $top AS top_share,
+          |       $ratio AS skew_ratio
+          |FROM (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+          |             CAST(count(*) AS BIGINT) AS n_keys,
+          |             CAST(max(c) AS BIGINT) AS max_freq
+          |      FROM (SELECT $k, CAST(count(*) AS BIGINT) AS c
+          |            FROM lineitem GROUP BY 1))""".stripMargin
+      }
+      s"""${branch("l_orderkey")}
+        |UNION ALL
+        |${branch("l_partkey")}
+        |UNION ALL
+        |${branch("l_suppkey")}
+        |ORDER BY join_key NULLS FIRST""".stripMargin
+    },
     "q_agg_mannwhitney" -> {
       val z = "CAST(u1x2 - n1 * n2 AS DOUBLE) / " +
         "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
