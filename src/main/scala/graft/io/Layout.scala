@@ -250,6 +250,29 @@ object Layout {
     (srcRows, nBuckets)
   }
 
+  /** TABLE HEALTH — the read that decides when [[compact]] runs: file
+    * count, bytes, mean file size and the small-file fraction (files
+    * under the threshold) for a parquet dir. Pure filesystem metadata
+    * (no data scan); at production this runs per date-partition from
+    * the maintenance scheduler and a rising small-file fraction pages
+    * the compactor before per-file open/footer cost dominates reads. */
+  def tableHealth(spark: org.apache.spark.sql.SparkSession, path: String,
+      smallFileBytes: Long = 16L * 1024 * 1024)
+      : (Int, Long, Long, Double) = {
+    import org.apache.hadoop.fs.Path
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(hp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val n = files.length
+    val bytes = files.map(_.getLen).sum
+    val meanBytes = if (n == 0) 0L else bytes / n
+    val smallFrac =
+      if (n == 0) 0.0
+      else files.count(_.getLen < smallFileBytes).toDouble / n
+    (n, bytes, meanBytes, smallFrac)
+  }
+
   /** Morton/Z-VALUE of two numeric keys: each key min-max-normalizes to
     * 16 bits, then the bits interleave — points close in BOTH
     * dimensions get close z-values, so a z-sorted layout gives every

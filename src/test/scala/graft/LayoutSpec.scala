@@ -69,6 +69,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(sp.read.parquet(dir).count() == checksum.getLong(1))
   }
 
+  test("table health flags fragmentation; compaction clears it") {
+    val sp = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_health")
+      .resolve("t").toString
+    graft.io.Tables.events(sp, TestSpark.sf)
+      .select("event_id", "value").repartition(32).write.parquet(dir)
+    val (n1, bytes1, mean1, frac1) = graft.io.Layout.tableHealth(sp, dir)
+    assert(n1 == 32 && bytes1 > 0 && mean1 == bytes1 / 32)
+    assert(frac1 == 1.0, s"32 KB-scale fragments must all read small: $frac1")
+    graft.io.Layout.compact(sp, dir)
+    val (n2, bytes2, _, _) = graft.io.Layout.tableHealth(sp, dir)
+    assert(n2 < 8, s"compaction should collapse the fragments: $n2")
+    // bytes shift with encoding, rows must not (compact() verifies);
+    // health sees the same order of magnitude
+    assert(bytes2 > 0 && math.abs(bytes2 - bytes1) < bytes1)
+  }
+
   test("rollup fold conserves every partial under a racing live appender") {
     // the concurrent-writer proof: a background thread keeps appending
     // partial batches (liveRollupWriter's output shape) while
