@@ -31,6 +31,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, k)
+    spark.stop()
+  }
+
+  /** The scale-up body on a CALLER-owned session (specs reuse theirs —
+    * main owns and stops its own). */
+  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     new java.io.File(dst).mkdirs()
 
     def tbl(n: String): DataFrame =
@@ -90,6 +97,5 @@ object ScaleUp {
       "event_id" -> eOff, "user_id" -> uOff), "events")
     write(replicate(tbl("documents"), "doc_id" -> dOff), "documents")
     write(replicate(tbl("embeddings"), "vec_id" -> vOff), "embeddings")
-    spark.stop()
   }
 }

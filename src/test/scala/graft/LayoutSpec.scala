@@ -69,6 +69,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(sp.read.parquet(dir).count() == checksum.getLong(1))
   }
 
+  test("scaleup: K=2 replica preserves FK integrity and scales counts") {
+    val sp = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dst = java.nio.file.Files.createTempDirectory("graft_scaleup")
+      .toString
+    graft.tools.ScaleUp.run(sp, "/root/testdata/sf0.001", dst, 2)
+    def t(n: String) = sp.read.parquet(s"$dst/$n.parquet")
+    def src(n: String) =
+      sp.read.parquet(s"/root/testdata/sf0.001/$n.parquet")
+    // counts double for replicated tables, dims stay
+    assert(t("lineitem").count() == 2 * src("lineitem").count())
+    assert(t("orders").count() == 2 * src("orders").count())
+    assert(t("region").count() == src("region").count())
+    // FK integrity survives the key shift: no orphans either direction
+    assert(t("orders").join(t("customer"),
+      col("o_custkey") === col("c_custkey"), "left_anti").count() == 0)
+    assert(t("lineitem").join(t("orders"),
+      col("l_orderkey") === col("o_orderkey"), "left_anti").count() == 0)
+    assert(t("lineitem").join(t("part"),
+      col("l_partkey") === col("p_partkey"), "left_anti").count() == 0)
+    // replicas do not collide: key spaces stay unique per key column
+    assert(t("orders").select("o_orderkey").distinct().count() ==
+      t("orders").count())
+  }
+
   test("table health flags fragmentation; compaction clears it") {
     val sp = TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_health")
