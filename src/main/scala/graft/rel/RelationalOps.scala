@@ -821,7 +821,9 @@ object RelationalOps {
         .select(lit(keyCol).as("join_key"), col("n_rows"), col("n_keys"),
           col("max_freq"),
           Det.r4(d(col("max_freq")) / d(col("n_rows"))).as("top_share"),
-          Det.r4(d(col("max_freq") * col("n_keys")) / d(col("n_rows")))
+          // multiply AFTER the double casts: a BIGINT max_freq*n_keys
+          // product can overflow at extreme key cardinalities
+          Det.r4(d(col("max_freq")) * d(col("n_keys")) / d(col("n_rows")))
             .as("skew_ratio"))
         .localCheckpoint(eager = false) // union children don't CSE
     }
@@ -2791,7 +2793,7 @@ object RelationalOps {
       def branch(k: String): String = {
         val top = Det.r4Sql("CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE)")
         val ratio = Det.r4Sql(
-          "CAST(max_freq * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+          "CAST(max_freq AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)")
         s"""SELECT '$k' AS join_key, n_rows, n_keys, max_freq,
           |       $top AS top_share,
           |       $ratio AS skew_ratio
