@@ -1219,7 +1219,9 @@ object TextOps {
       .select(col("source"), col("lang"),
         coalesce(col("o"), lit(0L)).as("o"),
         col("ri"), col("cj"), col("n"))
-    val e = dd(col("ri") * col("cj")) / dd(col("n"))
+    // doubles BEFORE the product: a BIGINT ri*cj overflows at extreme
+    // corpus sizes; below 2^53 the two forms are bit-identical
+    val e = dd(col("ri")) * dd(col("cj")) / dd(col("n"))
     grid.select(col("source"), col("lang"), col("o"), col("ri"),
         col("cj"), col("n"), Det.r4(e).as("expected"),
         Det.r4((dd(col("o")) - e) * (dd(col("o")) - e) / e).as("contrib"))
@@ -1548,7 +1550,7 @@ object TextOps {
         |FROM k GROUP BY source
         |ORDER BY source NULLS FIRST""".stripMargin,
     "q_llm_chisq_drift" -> {
-      val e = "CAST(ri * cj AS DOUBLE) / CAST(n AS DOUBLE)"
+      val e = "CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE)"
       s"""WITH cells AS (
         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
         |  FROM documents GROUP BY 1, 2),
