@@ -453,8 +453,12 @@ object RelationalOps {
       .join(supp.select(col("pk").as("pb"), col("c").as("c_b")), "pb")
       .crossJoin(broadcast(n))
       .select(col("pa"), col("pb"), col("c_ab"), col("c_a"), col("c_b"),
-        Det.r4((col("c_ab") * col("n_orders")).cast("double") /
-          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+        // factors cast to DOUBLE before multiplying (the r10 overflow
+        // audit rule: BIGINT products cap hypothetical-scale headroom;
+        // bit-identical below 2^53)
+        Det.r4(col("c_ab").cast("double") * col("n_orders").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+          .as("lift"))
       .orderBy(col("c_ab").desc, col("pa"), col("pb"))
       .limit(15)
   }
@@ -2679,7 +2683,7 @@ object RelationalOps {
         |  GROUP BY 1, 2)
         |SELECT pa, pb, c_ab, sa.c AS c_a, sb.c AS c_b,
         |       ${graft.util.Det.r4Sql(
-                  "CAST(c_ab * n_orders AS DOUBLE) / CAST(sa.c * sb.c AS DOUBLE)")} AS lift
+                  "CAST(c_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE))")} AS lift
         |FROM pairs JOIN supp sa ON pa = sa.pk JOIN supp sb ON pb = sb.pk
         |CROSS JOIN n
         |ORDER BY c_ab DESC, pa NULLS FIRST, pb NULLS FIRST
