@@ -103,6 +103,11 @@ case class TouchState(touch: String, lastMs: Long, lastId: Long)
 case class TouchBufState(pending: Seq[AttribEvent], touch: String,
     lastMs: Long, lastId: Long)
 
+/** [[Ingest.liveFunnelBuffered]]'s state: the hold-back buffer plus
+  * the folded per-user stage anchors. */
+case class FunnelBufState(pending: Seq[FunnelEvent], viewMs: Long,
+    clickMs: Long, purchaseMs: Long, lastMs: Long)
+
 /** One attributed purchase (touch_type = 'none' when no prior touch). */
 case class AttributedPurchase(user_id: Long, event_id: Long,
     touch_type: String, value: Double)
@@ -968,6 +973,82 @@ object Ingest {
               math.max(s.lastMs + idleMs, state.getCurrentWatermarkMs() + 1L))
             out.result().iterator
           }
+      }
+  }
+
+  /** BUFFER-TO-WATERMARK funnel — [[liveFunnel]]'s anchoring with the
+    * delivery-order contract removed ([[liveAttributionBuffered]]'s
+    * mechanism applied to the view→click→purchase fold): events park
+    * per user until the watermark passes them, then fold in exact
+    * (ts, stage-rank) order — a view arriving in a LATER micro-batch
+    * than the click it anchors still builds the journey. Stage
+    * advances emit once released; an idle drained user closes at its
+    * final depth and evicts, exactly as the eager operator does. */
+  def liveFunnelBuffered(events: Dataset[FunnelEvent],
+      lateness: String = "10 minutes",
+      idleSeconds: Long = 3600L): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val idleMs = idleSeconds * 1000L
+    val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    def depth(s: FunnelBufState): (Long, String, Long) =
+      if (s.purchaseMs >= 0) (3L, "purchase", s.purchaseMs)
+      else if (s.clickMs >= 0) (2L, "click", s.clickMs)
+      else (1L, "view", s.viewMs)
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[FunnelBufState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(
+            FunnelBufState(Nil, -1L, -1L, -1L, Long.MinValue))
+          val all = s.pending ++ rows.toSeq
+          val (ready, hold) = all.partition(_.ts.getTime <= wm)
+          val hits = Seq.newBuilder[FunnelHit]
+          ready.sortBy(e =>
+            (e.ts.getTime, stageRank.getOrElse(e.event_type, 3)))
+            .foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "view" if s.viewMs < 0 =>
+                  s = s.copy(viewMs = t)
+                  hits += FunnelHit(uid, 1L, "view", e.ts, closed = false)
+                case "click" if s.viewMs >= 0 && s.clickMs < 0 &&
+                    t >= s.viewMs =>
+                  s = s.copy(clickMs = t)
+                  hits += FunnelHit(uid, 2L, "click", e.ts, closed = false)
+                case "purchase" if s.clickMs >= 0 && s.purchaseMs < 0 &&
+                    t >= s.clickMs =>
+                  s = s.copy(purchaseMs = t)
+                  hits += FunnelHit(uid, 3L, "purchase", e.ts,
+                    closed = false)
+                case _ => ()
+              }
+              s = s.copy(lastMs = math.max(s.lastMs, t))
+            }
+          s = s.copy(pending = hold)
+          val anchored = s.viewMs >= 0
+          if (state.hasTimedOut && hold.isEmpty &&
+              s.lastMs != Long.MinValue && s.lastMs + idleMs <= wm) {
+            if (anchored) {
+              val (d, name, ms) = depth(s)
+              hits += FunnelHit(uid, d, name, new java.sql.Timestamp(ms),
+                closed = true)
+            }
+            state.remove()
+          } else if (anchored || hold.nonEmpty) {
+            state.update(s)
+            state.setTimeoutTimestamp(
+              if (hold.nonEmpty) wm + 1L
+              else math.max(s.lastMs + idleMs, wm + 1L))
+          } else {
+            // stage-0 user with nothing pending: never occupies the store
+            state.remove()
+          }
+          hits.result().iterator
       }
   }
 

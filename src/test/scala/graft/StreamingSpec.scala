@@ -1227,6 +1227,44 @@ class StreamingSpec extends AnyFunSuite {
       s"eager baseline should expose the ordering gap: $eager")
   }
 
+  test("s_funnel_buffered: a late view anchors the journey it missed") {
+    // the eager funnel cannot anchor a view that arrives after its
+    // click was consumed; the buffered fold can
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    def fe(u: Long, et: String, t: String) = FunnelEvent(u, et, ts(t))
+    def run(tag: String,
+        f: org.apache.spark.sql.Dataset[FunnelEvent] =>
+          org.apache.spark.sql.Dataset[graft.streaming.FunnelHit]) = {
+      val in = MemoryStream[FunnelEvent]
+      val q = runToMemory(f(in.toDS()).toDF(), tag, OutputMode.Append())
+      // batch 1: click and purchase (no view yet)
+      in.addData(fe(1L, "click", "2024-01-01 10:02:00"),
+        fe(1L, "purchase", "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // batch 2: the view arrives late (ts BEFORE the click, inside
+      // the watermark)
+      in.addData(fe(1L, "view", "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      // advance the watermark past 10:05 to release the buffer
+      in.addData(fe(2L, "view", "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      in.addData(fe(2L, "view", "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      q.stop()
+      sp.sql(s"SELECT user_id, stage, stage_name FROM $tag " +
+        "WHERE user_id = 1 AND NOT closed ORDER BY stage")
+        .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    }
+    val buffered = run("fun_buf", Ingest.liveFunnelBuffered(_))
+    assert(buffered == Seq((1L, "view"), (2L, "click"), (3L, "purchase")),
+      s"buffered must anchor the full journey: $buffered")
+    val eager = run("fun_eager", Ingest.liveFunnel(_))
+    assert(eager.isEmpty || eager.map(_._1).max < 3L,
+      s"eager baseline should fail to complete the journey: $eager")
+  }
+
   test("s_cm_sketch_recovery: the count-min grid survives a restart") {
     // the sketch state's restart contract: the recovered grid must
     // BYTE-EQUAL one sequential pass over everything consumed across
