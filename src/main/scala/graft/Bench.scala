@@ -121,17 +121,23 @@ object Bench {
     // failure detail, then a SHORT summary as the final stdout line so the
     // driver can always tail-parse it
     val perQueryLine =
-      s"""{"metric":"per_query","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","passes":$passes,"cpus":"$cpus","queries":$qs,"sf":"$sfDir"}"""
     println(perQueryLine)
     // the driver artifact keeps only a 2000-char stdout tail, which
-    // truncates ~half the per-query medians; ALWAYS persist the full
-    // line as a sidecar the round commit picks up (default
-    // ./BENCH_FULL_latest.json — Bench runs with cwd = the repo —
-    // override with SPARK_GRAFT_BENCH_OUT), so every query's median
-    // history survives even though the stdout tail cannot hold it
+    // truncates ~half the per-query medians; persist the full line as a
+    // sidecar the round commit picks up (default ./BENCH_FULL_latest.json
+    // — Bench runs with cwd = the repo — override with
+    // SPARK_GRAFT_BENCH_OUT), so every query's median history survives
+    // even though the stdout tail cannot hold it. The DEFAULT write fires
+    // only for the canonical config (full suite at sf0.1) — a debugging
+    // run at another SF or a BENCH_ONLY subset must not overwrite the
+    // committed comparable-history sidecar; set SPARK_GRAFT_BENCH_OUT
+    // explicitly to capture those
+    val canonical = only.isEmpty &&
+      sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isEmpty) "BENCH_FULL_latest.json" else "")
-    if (outPath.nonEmpty) // a BENCH_ONLY subset must not clobber history
+      if (canonical) "BENCH_FULL_latest.json" else "")
+    if (outPath.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (perQueryLine + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>

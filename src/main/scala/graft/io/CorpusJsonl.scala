@@ -84,19 +84,28 @@ object CorpusJsonl {
     * callers that must parse each dump exactly once wrap ONE fork in
     * `foreachBatch` and apply the batch split per micro-batch. */
   /** JSONL EXPORT — the other end of the pipeline: write a curated
-    * corpus as train-ready JSONL shards in a DETERMINISTIC layout
-    * (shard = content-hash range, rows inside a shard in (md5(text),
-    * doc_id) order — the same canonical order packing uses, so a
-    * re-export of the same corpus is byte-stable regardless of
-    * upstream partitioning). One range shuffle + local sort; Spark's
-    * json writer handles escaping, so [[readQuarantine]] round-trips
-    * every document including exotic text (spec'd). */
+    * corpus as train-ready JSONL shards in a DETERMINISTIC layout.
+    * Shard membership is a PURE FUNCTION of row content — the first 32
+    * bits of md5(text) mod nShards — never a sampled range boundary: a
+    * RangePartitioner's boundaries come from a reservoir sample, which
+    * is only reproducible while the sample covers every row, so at
+    * production corpus sizes two exports of the same corpus from
+    * different upstream partitionings could place rows in different
+    * shards. Rows inside a shard sort in (md5(text), doc_id) order —
+    * the same canonical order packing uses — so a re-export of the
+    * same corpus is byte-stable regardless of upstream partitioning at
+    * ANY scale. One hash shuffle + local sort; Spark's json writer
+    * handles escaping, so [[readQuarantine]] round-trips every
+    * document including exotic text (spec'd). */
   def writeShards(docs: DataFrame, dir: String, nShards: Int = 8): Unit =
     docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
         md5(col("text")).as("__h"))
-      .repartitionByRange(nShards, col("__h"), col("doc_id"))
+      .withColumn("__shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .repartition(nShards, col("__shard"))
       .sortWithinPartitions("__h", "doc_id")
-      .drop("__h")
+      .drop("__h", "__shard")
       .write.mode("overwrite").json(dir)
 
   def readStreamQuarantine(spark: SparkSession, dir: String,

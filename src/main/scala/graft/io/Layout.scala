@@ -190,20 +190,35 @@ object Layout {
     // staging (write-job file names are UUID-unique — no collision)
     // and retry, or unnest the staged files afterwards. The in-flight
     // partials are good data either way; nothing is dropped.
+    // freeze-then-rescue: a recreated dir is first renamed ASIDE (one
+    // atomic op — after it a live appender can only recreate hp fresh,
+    // never land a file in the frozen copy), then its parquet files are
+    // rescued from the frozen dir at leisure. The earlier shape — list
+    // hp, rescue the listing, recursively delete hp — had a window
+    // between the listing and the delete where a newly committed file
+    // was silently destroyed; with the freeze there is no such window.
+    // What remains in the frozen dir after rescue is writer scaffolding
+    // only (_temporary, .crc, _SUCCESS) whose job either already
+    // committed (file was rescued) or will recommit into the fresh hp.
+    def freezeAndRescue(into: Path, tag: String): Unit = {
+      val frozen = new Path(hp.getParent, hp.getName + tag)
+      fs.delete(frozen, true) // stale leftover from a crashed fold
+      if (fs.rename(hp, frozen)) {
+        fs.listStatus(frozen).filter(_.isFile)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            require(fs.rename(f.getPath,
+              new Path(into, f.getPath.getName)),
+              s"could not rescue recreated-dir partial ${f.getPath}")
+          }
+        fs.delete(frozen, true)
+      } // rename lost a race with another maintenance op: loop retries
+    }
     var published = false
     var attempts = 0
     while (!published && attempts < 8) {
       attempts += 1
-      if (fs.exists(hp)) {
-        fs.listStatus(hp).filter(_.isFile)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            require(fs.rename(f.getPath,
-              new Path(staging, f.getPath.getName)),
-              s"could not rescue recreated-dir partial ${f.getPath}")
-          }
-        fs.delete(hp, true)
-      }
+      if (fs.exists(hp)) freezeAndRescue(staging, s"_recreated$attempts")
       published = fs.rename(staging, hp)
       if (published) {
         val nested = new Path(hp, staging.getName)
@@ -219,16 +234,10 @@ object Layout {
       }
     }
     if (!published) {
-      // rollback — the dir may have been recreated yet again; fold its
-      // partials into the backup so the restore conserves them
-      if (fs.exists(hp)) {
-        fs.listStatus(hp).filter(_.isFile)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            fs.rename(f.getPath, new Path(backup, f.getPath.getName))
-          }
-        fs.delete(hp, true)
-      }
+      // rollback — the dir may have been recreated yet again; freeze it
+      // and fold its partials into the backup so the restore conserves
+      // them (same no-delete-window discipline as the publish path)
+      if (fs.exists(hp)) freezeAndRescue(backup, "_rollback")
       val restored = fs.rename(backup, hp)
       throw new IllegalStateException(
         s"could not publish folded rollup $path" +

@@ -44,7 +44,7 @@ object Pipeline {
     // gate→dedup chain once; checkpointing the stage-2 result lets the
     // final report re-read those materialized partitions instead of
     // re-running the gate + 16-byte-key dedup a second time. (Plan
-    // assertions must inspect the pre-checkpoint plan — CLAUDE.md.)
+    // assertions must inspect the pre-checkpoint plan.)
     val afterExact = keyed.join(keeper, Seq("exact_key"), "left")
       .withColumn("pass_exact",
         col("pass_quality") && col("doc_id") === col("keep_id"))

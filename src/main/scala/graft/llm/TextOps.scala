@@ -807,7 +807,7 @@ object TextOps {
     // the exploded bigram relation feeds BOTH the model aggregation and
     // the scoring join; checkpointing it lazily halves the scan+explode
     // cost (the Pipeline stage-cache pattern; plan assertions inspect
-    // the pre-checkpoint relation per the CLAUDE.md rule)
+    // the pre-checkpoint relation — checkpoints truncate lineage)
     val big = docs.select(col("doc_id"),
       explode(expr(ngramExpr("tk", 2))).as("bg"))
       .localCheckpoint(eager = false)
@@ -955,7 +955,7 @@ object TextOps {
   /** COLLOCATION mining — top bigrams by association lift
     * N·c(xy)/(c(x)·c(y)), the PMI argument WITHOUT the log: log is
     * monotone, so the lift ranking IS the PMI ranking while staying
-    * inside IEEE-exact ops (CLAUDE.md: cross-engine libm drifts).
+    * inside IEEE-exact ops (cross-engine libm transcendentals drift).
     * Counts are exact integers below 2^53, their double conversions
     * exact, and the one compound float expression has identical op
     * text both engines. At 100 TB: two map-side-combined counting

@@ -35,7 +35,9 @@ object MediaHash {
     val energies = new Array[Long](64)
     var i = 0
     while (i < n) {
-      energies(i * 64 / n) += math.abs(samples(i).toLong)
+      // frame index in Long: i * 64 overflows Int past 2^25 samples
+      // (~35 min @ 16 kHz), which would negative-index the array
+      energies((i.toLong * 64 / n).toInt) += math.abs(samples(i).toLong)
       i += 1
     }
     var sum = 0L

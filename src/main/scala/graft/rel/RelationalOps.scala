@@ -2828,7 +2828,7 @@ object RelationalOps {
         |  GROUP BY 1),
         |rk AS (
         |  SELECT c1, c2,
-        |         COALESCE(CAST(sum(c1 + c2) OVER (ORDER BY value
+        |         COALESCE(CAST(sum(c1 + c2) OVER (ORDER BY value NULLS FIRST
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |           AS BIGINT), 0) AS cum
         |  FROM bv),

@@ -1798,7 +1798,7 @@ object TimeSeriesOps {
     * toRdd at construction still materializes the stage shuffles — so
     * building this query runs (small) jobs; PlanSpec accepts that for
     * this one query. The checkpoint also hides the stage internals from
-    * plan assertions (the CLAUDE.md rule), so specs inspect the
+    * plan assertions (checkpoints truncate lineage), so specs inspect the
     * returned pre-checkpoint plans. */
   private[graft] def funnelStages(spark: SparkSession,
       sfDir: String): (DataFrame, Seq[DataFrame]) = {
@@ -1982,8 +1982,8 @@ object TimeSeriesOps {
     * the dashboard overlay behind every SLO line
     * (`render/functions.py — constantLine` [U]). One agg builds the
     * grid; both output series explode map-side from it (array+explode,
-    * not a self-union — the union would execute the agg twice, the
-    * CLAUDE.md union-CSE hazard). */
+    * not a self-union — union children do not CSE, so the
+    * union would execute the agg twice). */
   def constantLineRead(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(date_trunc("hour", col("ts")).as("bucket"))

@@ -57,7 +57,7 @@ object Det {
   /** Spark-SQL text for [[avg4]] — the same exact integer formula for
     * `spark.sql` surfaces. Literal dialect notes: `NL` long suffix and a
     * `D` double suffix (bare `10000.0` parses as DECIMAL in Spark SQL
-    * TEXT — the CLAUDE.md dtype hazard); BIGINT `/` BIGINT is double
+    * TEXT — a known cross-engine dtype hazard); BIGINT `/` BIGINT is double
     * division in Spark, matching DuckDB's `x // y / 10000.0` exactly
     * while numerator < 2^53 (the [[Det]] precondition). */
   def avg4SparkSql(x: String, inScale: Int = 4): String = {

@@ -108,7 +108,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("funnel stages: no cartesian product behind the lazy checkpoints") {
     // localCheckpoint hides stage internals from the all-queries sweep
-    // (CLAUDE.md rule) — inspect the pre-checkpoint plans directly
+    // (checkpoints truncate lineage) — inspect the pre-checkpoint plans directly
     graft.ts.TimeSeriesOps.funnelStages(spark, sf)._2.foreach { st =>
       val p = st.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"cartesian in stage:\n$p")
@@ -365,7 +365,7 @@ class PlanSpec extends AnyFunSuite {
   test("bpe family: word-map joins broadcast, aggregates partial") {
     // token_count still joins the word map in its own plan; the
     // encode/chunk/pack/mix family consumes the tokenize-once memo,
-    // whose checkpoint hides the join (CLAUDE.md rule) — so the memo
+    // whose checkpoint hides the join (lineage truncation) — so the memo
     // BUILDER's plan carries the assertion for them
     Seq("q_llm_bpe_token_count").foreach { q =>
       val p = plan(q)
@@ -402,7 +402,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("lsh tradeoff: band-bucket equi-joins only, pairs verified by hash join") {
     // the checkpoints hide the shingle/signature builders from this plan
-    // (CLAUDE.md rule) — what remains IS the join topology under test:
+    // (checkpoints hide upstream plans) — what remains IS the join topology under test:
     // candidate generation must join on (bands, band, sig[, lang]) and
     // pair verification on doc_id, never a cross product
     val p = plan("q_llm_lsh_tradeoff")
