@@ -339,14 +339,16 @@ object RelationalOps {
     * quartiles by EXPLICIT integer-rank arithmetic
     * (((rk−1)·4) div n + 1 over a total order — our own formula written
     * identically in both engines, never an ntile dialect; quartile 1 =
-    * best in every dimension), then the ≤4×4×4 grid summarized. The
-    * three global rank windows sort the per-customer SUMMARY (a few
-    * numbers each, post-reduction), not raw orders; at true scale the
-    * same read swaps exact ranks for approx-percentile cuts — the
-    * segment grid is the stable surface. */
-  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    * best in every dimension), then the ≤4×4×4 grid summarized. This
+    * window form is the ORACLE BASELINE: its three global rank windows
+    * sort the per-customer summary through one partition — honest at
+    * oracle scale, wrong shape at a billion customers. The production
+    * read is [[rfmSegmentsDistributed]], spec'd row-identical. */
+  /** The per-customer R/F/M summary both [[rfmSegments]] forms share. */
+  private def rfmPerCustomer(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     val o = Tables.orders(spark, sfDir)
-    val per = o.groupBy(col("o_custkey"))
+    o.groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_d"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(18,4)")).as("mon_d"))
@@ -354,6 +356,10 @@ object RelationalOps {
       .withColumn("rec_days", // orderdate is NTZ; UTC session ⇒ exact cast
         expr("(unix_micros(CAST(anchor AS TIMESTAMP)) - " +
           "unix_micros(CAST(last_d AS TIMESTAMP))) div 86400000000"))
+  }
+
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = rfmPerCustomer(spark, sfDir)
     per
       .withColumn("rr", row_number().over(
         Window.orderBy(col("rec_days"), col("o_custkey"))))
@@ -366,10 +372,46 @@ object RelationalOps {
         expr("((rf - 1) * 4) div n + 1").as("f_q"),
         expr("((rm - 1) * 4) div n + 1").as("m_q"),
         col("mon_d"))
+      .transform(rfmGrid)
+  }
+
+  /** Shared grid summary of quartiled customers — one aggregation text
+    * for the window oracle and the distributed twin. */
+  private def rfmGrid(quartiled: DataFrame): DataFrame =
+    quartiled
       .groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"),
         Det.davg4(col("mon_d")).as("avg_monetary"))
       .orderBy("r_q", "f_q", "m_q")
+
+  /** PRODUCTION TWIN of [[rfmSegments]] — the same quartile grid
+    * WITHOUT the three single-partition windows: each dimension ranks
+    * through the shared offset-seeded rank walk ([[rankWalk]] — the
+    * [[mannWhitneyDistributed]] scaffolding), so a billion-customer
+    * dimension sorts as `partitions` range-partitioned local sorts
+    * plus one P-row collect, never one global WindowExec. The walk
+    * assigns ONLY integer ranks; quartile arithmetic is the identical
+    * `((rk−1)·4) div n + 1` integer formula and the monetary average
+    * re-joins the exact-decimal relation, so the grid is row-identical
+    * to the window form by construction (spec'd at several partition
+    * counts). Descending dimensions rank by the NEGATED exact scaled
+    * key — the same total order the `.desc` window declares. */
+  def rfmSegmentsDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    val per = rfmPerCustomer(spark, sfDir).localCheckpoint(eager = false)
+    def dimQ(key: Column, name: String): DataFrame = {
+      val (ranked, n) = rankWalk(spark,
+        per.select(key.as("k"), col("o_custkey").as("id")), partitions)
+      ranked.select(col("id").as("o_custkey"),
+        expr(s"((rk - 1) * 4) div ${n}L + 1").as(name))
+    }
+    val rq = dimQ(col("rec_days"), "r_q")
+    val fq = dimQ(-col("freq"), "f_q")
+    val mq = dimQ(-(col("mon_d") * lit(10000)).cast("long"), "m_q")
+    per.select(col("o_custkey"), col("mon_d"))
+      .join(rq, "o_custkey").join(fq, "o_custkey").join(mq, "o_custkey")
+      .select(col("r_q"), col("f_q"), col("m_q"), col("mon_d"))
+      .transform(rfmGrid)
   }
 
   /** PARETO / ABC CLASSIFICATION — the inventory-concentration read:
@@ -379,7 +421,9 @@ object RelationalOps {
     * (cum·5 ≤ tot·4, cum·20 ≤ tot·19) — no float enters until the
     * reported shares, so the classification cannot drift on a rounding
     * ulp. One aggregate shuffle to part grain, one global window over
-    * the part SUMMARY (dimension-sized), a ≤3-row answer. */
+    * the part SUMMARY (dimension-sized), a ≤3-row answer. This window
+    * form is the ORACLE BASELINE; the production read is
+    * [[paretoAbcDistributed]], spec'd row-identical. */
   def paretoAbc(spark: SparkSession, sfDir: String): DataFrame = {
     val rev = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_partkey"))
@@ -392,12 +436,72 @@ object RelationalOps {
         when(col("cum_d") * lit(5) <= col("tot_d") * lit(4), "A")
           .when(col("cum_d") * lit(20) <= col("tot_d") * lit(19), "B")
           .otherwise("C"))
+      .transform(abcSummary)
+  }
+
+  /** Shared class summary — one aggregation text for the window oracle
+    * and the distributed twin (input: rev_d, tot_d, cls per part). */
+  private def abcSummary(classed: DataFrame): DataFrame =
+    classed
       .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_parts"),
         sum(col("rev_d")).cast("double").as("class_rev"),
         Det.r4(sum(col("rev_d")).cast("double") /
           max(col("tot_d")).cast("double")).as("rev_share"))
       .orderBy("cls")
+
+  /** PRODUCTION TWIN of [[paretoAbc]] — the cumulative-share walk
+    * without the single-partition window: part revenues range-partition
+    * descending (negated exact scaled key), partition totals collect
+    * once (P rows) into prefix offsets, and one offset-seeded pass
+    * classifies each part by comparing its running cumulative against
+    * integer thresholds precomputed from the grand total. The decimal
+    * compare `cum·5 ≤ tot·4` is equivalent to `cum ≤ ⌊tot·4/5⌋` over
+    * the exact scaled integers (computed once in BigInt, so a grand
+    * total near Long.Max cannot overflow the threshold math); the
+    * class aggregation re-joins the exact-decimal relation through the
+    * same [[abcSummary]] text, so the 3-row answer is row-identical to
+    * the window form by construction (spec'd at several partition
+    * counts). */
+  def paretoAbcDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev_d"))
+      .localCheckpoint(eager = false)
+    val ds = rev
+      .select((-(col("rev_d") * lit(10000)).cast("long")).as("k"),
+        col("l_partkey").as("id"))
+      .as[(Long, Long)]
+      .repartitionByRange(partitions, col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+      .localCheckpoint(eager = false)
+    val partTotals = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = 0L
+      it.foreach { case (k, _) => t += -k }
+      Iterator((pid, t))
+    }.collect().toMap
+    val tot = partTotals.values.sum
+    def thr(num: Long, den: Long): Long = (BigInt(tot) * num / den).toLong
+    val thA = thr(4, 5)
+    val thB = thr(19, 20)
+    val offsets = (0 until partitions).map { p =>
+      p -> (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val classed = ds.mapPartitions { it =>
+        var cum = bc.value(
+          org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (k, id) =>
+          cum += -k
+          (id, if (cum <= thA) "A" else if (cum <= thB) "B" else "C")
+        }
+      }.toDF("l_partkey", "cls")
+    rev.join(classed, "l_partkey")
+      .crossJoin(broadcast(rev.agg(sum(col("rev_d")).as("tot_d"))))
+      .transform(abcSummary)
   }
 
   /** GINI COEFFICIENT of customer revenue — the one-number concentration
@@ -407,14 +511,31 @@ object RelationalOps {
     * (rank·revenue products stay inside DECIMAL(36,4) through sf0.1 ×
     * thousands of customers), so the only float math is the final
     * shared-text IEEE formula. One shuffle to customer grain + one
-    * summary-sized rank window → a single row. */
+    * summary-sized rank window → a single row. This window form is the
+    * ORACLE BASELINE; the production read is
+    * [[revenueGiniDistributed]], spec'd bit-identical. */
   def revenueGini(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.orders(spark, sfDir)
-      .groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev_d"))
+    val cust = custRevenue(spark, sfDir)
     cust
       .withColumn("i", row_number().over(
         Window.orderBy(col("rev_d"), col("o_custkey"))))
+      .transform(giniFromRanked)
+  }
+
+  /** Per-customer exact-decimal revenue both [[revenueGini]] forms
+    * share. */
+  private def custRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev_d"))
+
+  /** Shared moment aggregation + IEEE formula over (rev_d, i)-ranked
+    * customers — one text for the window oracle and the distributed
+    * twin. `i` arrives as the window's Int in one and the walk's Long
+    * in the other; both cast to the same DECIMAL(18,0) before the
+    * exact product, so the moments are identical integers. */
+  private def giniFromRanked(ranked: DataFrame): DataFrame =
+    ranked
       .agg(count(lit(1)).as("n_customers"),
         sum(col("rev_d")).as("s0_d"),
         sum(col("i").cast("decimal(18,0)") * col("rev_d")).as("s1_d"))
@@ -423,6 +544,62 @@ object RelationalOps {
         Det.r4((lit(2.0) * col("s1_d").cast("double") -
           (col("n_customers") + lit(1L)) * col("s0_d").cast("double")) /
           (col("n_customers") * col("s0_d").cast("double"))).as("gini"))
+
+  /** PRODUCTION TWIN of [[revenueGini]] — the ascending revenue rank
+    * comes from the shared offset-seeded [[rankWalk]] (negated nothing:
+    * the Gini rank IS ascending) instead of one single-partition
+    * row_number window; the walk emits only (customer, rank) integers
+    * and the exact-decimal moment sums re-join the revenue relation
+    * through the same [[giniFromRanked]] text, so the one-row answer is
+    * bit-identical to the window form by construction (spec'd at
+    * several partition counts). */
+  def revenueGiniDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    val cust = custRevenue(spark, sfDir).localCheckpoint(eager = false)
+    val (ranked, _) = rankWalk(spark,
+      cust.select((col("rev_d") * lit(10000)).cast("long").as("k"),
+        col("o_custkey").as("id")), partitions)
+    cust.join(ranked.select(col("id").as("o_custkey"),
+        col("rk").as("i")), "o_custkey")
+      .transform(giniFromRanked)
+  }
+
+  /** Shared OFFSET-SEEDED RANK WALK — the distributed replacement for
+    * an unpartitioned `row_number` window at dimension grain
+    * ([[mannWhitneyDistributed]]'s two-pass scaffolding, factored for
+    * the RFM/Pareto/Gini twins): range-partition (k, id) — already a
+    * TOTAL order, ties impossible — sort within partitions, collect
+    * one row per partition into prefix offsets, then walk each
+    * partition once assigning rank = offset + local position. Returns
+    * the (id, rk) relation and the grand total n. The lazy checkpoint
+    * pins ONE sampled range layout across the totals pass and the walk
+    * — two executions of repartitionByRange may sample different
+    * bounds. Descending dimensions pass a negated exact integer key:
+    * the same total order their `.desc` window form declares. */
+  private def rankWalk(spark: SparkSession, keyed: DataFrame,
+      partitions: Int): (DataFrame, Long) = {
+    import spark.implicits._
+    val ds = keyed.select(col("k").cast("long"), col("id").cast("long"))
+      .as[(Long, Long)]
+      .repartitionByRange(partitions, col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+      .localCheckpoint(eager = false)
+    val partTotals = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = 0L
+      it.foreach(_ => t += 1L)
+      Iterator((pid, t))
+    }.collect().toMap
+    val n = partTotals.values.sum
+    val offsets = (0 until partitions).map { p =>
+      p -> (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = ds.mapPartitions { it =>
+        var rk = bc.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (_, id) => rk += 1L; (id, rk) }
+      }.toDF("id", "rk")
+    (ranked, n)
   }
 
   /** MARKET-BASKET PAIR LIFT — co-occurrence mining over order baskets.
@@ -1964,6 +2141,14 @@ object RelationalOps {
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
     "q_revenue_gini" -> revenueGini _,
+    // production twins of the window forms above + the two-pass rank
+    // runtimes: oracle-checked against the SAME SQL (row-identical by
+    // construction) and benched so their wall-clock history is visible
+    "q_rfm_segments_dist" -> ((s, d) => rfmSegmentsDistributed(s, d)),
+    "q_pareto_abc_dist" -> ((s, d) => paretoAbcDistributed(s, d)),
+    "q_revenue_gini_dist" -> ((s, d) => revenueGiniDistributed(s, d)),
+    "q_agg_mannwhitney_dist" -> ((s, d) => mannWhitneyDistributed(s, d)),
+    "q_agg_quantile_dist" -> ((s, d) => exactQuantilesDistributed(s, d)),
     "q_basket_lift" -> basketLift _,
     "q_join_interval" -> joinInterval _,
     "q_agg_rollup_sets" -> aggRollupSets _,
@@ -2002,7 +2187,7 @@ object RelationalOps {
 
   import Det.{dsum4Sql, davg4Sql, r4Sql}
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q_tpch_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       ${dsum4Sql("l_quantity")} AS sum_qty,
@@ -2974,5 +3159,34 @@ object RelationalOps {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token
         |ORDER BY n DESC NULLS LAST, token NULLS FIRST LIMIT 20""".stripMargin
+  )
+
+  /** Distributed production twins share their window-form oracle SQL
+    * VERBATIM — row-identical results by construction, one source of
+    * truth for the oracle text. q_agg_quantile_dist gets its own exact
+    * integer-rank selection (ceil(q·n) as (q·n + den − 1) // den — the
+    * same formula the walk computes; first grain value whose running
+    * count reaches the rank). */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q_rfm_segments_dist" -> oracleSqlBase("q_rfm_segments"),
+    "q_pareto_abc_dist" -> oracleSqlBase("q_pareto_abc"),
+    "q_revenue_gini_dist" -> oracleSqlBase("q_revenue_gini"),
+    "q_agg_mannwhitney_dist" -> oracleSqlBase("q_agg_mannwhitney"),
+    "q_agg_quantile_dist" ->
+      """WITH g AS (
+        |  SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT v, CAST(sum(c) OVER (ORDER BY v NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM g),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g)
+        |SELECT q.quantile, min(r.v) AS value
+        |FROM r, n, (VALUES ('p50', 1, 2), ('p90', 9, 10))
+        |  AS q(quantile, num, den)
+        |WHERE r.cum >= (q.num * n.n + q.den - 1) // q.den
+        |GROUP BY q.quantile
+        |ORDER BY q.quantile NULLS FIRST""".stripMargin
   )
 }

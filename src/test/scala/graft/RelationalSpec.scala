@@ -150,6 +150,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed rfm grid == the three-window oracle") {
+    val oracle = RelationalOps.rfmSegments(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty)
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = RelationalOps.rfmSegmentsDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions")
+    }
+  }
+
+  test("distributed pareto classes == the cumulative-window oracle") {
+    val oracle = RelationalOps.paretoAbc(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty)
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = RelationalOps.paretoAbcDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions: $twin vs $oracle")
+    }
+  }
+
+  test("distributed gini == the rank-window oracle, bit-exact") {
+    val oracle = RelationalOps.revenueGini(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = RelationalOps.revenueGiniDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions: $twin vs $oracle")
+    }
+  }
+
   test("distributed exact quantiles == driver-side rank selection") {
     // driver reference: exact lower-median integer-rank selection over
     // the same value grain
