@@ -1478,6 +1478,7 @@ object TextOps {
     "q_llm_langid" -> langid _,
     "q_llm_minhash_dedup" -> minhashDedup _,
     "q_llm_simhash" -> simhash _,
+    "q_llm_simhash_wide" -> simhashWide _,
     "q_llm_fingerprint" -> fingerprint _
   )
 

@@ -433,6 +433,66 @@ object MultimodalOps {
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
   }
 
+  private[graft] val WideAhashMaxHamming = 2 // C(4,2) block-pair guarantee
+
+  /** WIDE-KEY variant of [[hashDedupPairs]] for ≫10⁸-item corpora —
+    * [[graft.llm.TextOps.simhashWide]]'s geometry applied to any
+    * 64-bit perceptual hash: signatures split into FOUR 16-bit blocks,
+    * one probe table per block PAIR (C(4,2) = 6) keyed on the 32-bit
+    * concatenation. Pigeonhole: hamming ≤ 2 leaves ≥ 2 of the 4 blocks
+    * untouched, so every such pair collides in the table of one intact
+    * pair — complete at d ≤ 2. Key-width math: 2³² buckets per table →
+    * expected occupancy n/2³² ≈ 0.02 at n = 10⁸ and ≈ 2.3 at n = 10¹⁰,
+    * vs the single-block probe's 2¹⁶ keys whose buckets hold n/65536
+    * items (≈ 1.5k at 10⁸ — the equi-join inside each bucket goes
+    * quadratic). The cost of the width is the narrower guaranteed
+    * radius (d ≤ 2, not ≤ 3) and 6n probe rows instead of 4n — exactly
+    * Manku's table-count/radius dial. */
+  private def hashDedupPairsWide(sigs: DataFrame): DataFrame = {
+    val block = (i: Int) =>
+      shiftrightunsigned(col("hsh"), i * 16).bitwiseAND(lit(0xFFFFL))
+    val probeArr = array((for { i <- 0 until 4; j <- i + 1 until 4 } yield
+      struct(lit(i * 4 + j).as("tbl"),
+        (block(i) * lit(65536L) + block(j)).as("key"))): _*)
+    val probes = sigs
+      .select(col("doc_id"), col("hsh"), explode(probeArr).as("p"))
+      .select(col("doc_id"), col("hsh"),
+        col("p.tbl").as("tbl"), col("p.key").as("key"))
+    probes.as("a")
+      .join(probes.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.hsh").bitwiseXOR(col("b.hsh"))).as("hamming"))
+      .where(col("hamming") <= WideAhashMaxHamming)
+      .distinct()
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+  }
+
+  /** [[imageDedup]]'s ≫10⁸-image form: same signatures, the
+    * [[hashDedupPairsWide]] block-pair probe. Spec'd equal to brute
+    * force at its d ≤ 2 guarantee. */
+  def imageDedupWide(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = mediaOrGet(spark, sfDir)
+      .filter(_.kind == "image")
+      .map(m => (m.doc_id, imageAhash(m)))
+      .toDF("doc_id", "hsh")
+      .localCheckpoint(eager = false)
+    hashDedupPairsWide(sigs)
+  }
+
+  /** [[audioDedup]]'s ≫10⁸-clip form — see [[imageDedupWide]]. */
+  def audioDedupWide(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = mediaOrGet(spark, sfDir)
+      .filter(_.kind == "audio")
+      .map(m => (m.doc_id, audioAhash(m)))
+      .toDF("doc_id", "hsh")
+      .localCheckpoint(eager = false)
+    hashDedupPairsWide(sigs)
+  }
+
   /** Perceptual hash of one AUDIO clip — [[imageAhash]]'s idea in the
     * time domain: 64 equal frames, per-frame mean |PCM| energy, bit i
     * set iff energy_i·64 > Σenergies (exact integer threshold). Robust
@@ -463,9 +523,10 @@ object MultimodalOps {
     * least one block (pigeonhole) and candidates come from equi-join
     * collisions on (table, key), never an all-pairs join. The REPORTED
     * threshold equals the index guarantee (no silent misses). 4n probe
-    * rows into 4·2¹⁶ buckets; at ≫10⁸ images widen the blocks. No
-    * oracle (binary decode path); spec'd equal to the brute-force
-    * hamming join including a planted near-identical pair. */
+    * rows into 4·2¹⁶ buckets; at ≫10⁸ images use [[imageDedupWide]]'s
+    * 32-bit block-pair keys. No oracle (binary decode path); spec'd
+    * equal to the brute-force hamming join including a planted
+    * near-identical pair. */
   def imageDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sigs = mediaOrGet(spark, sfDir)
@@ -512,7 +573,9 @@ object MultimodalOps {
     "q_mm_qc" -> qcStats _,
     "q_mm_audio_spectral" -> audioSpectralStats _,
     "q_mm_image_dedup" -> imageDedup _,
-    "q_mm_audio_dedup" -> audioDedup _
+    "q_mm_audio_dedup" -> audioDedup _,
+    "q_mm_image_dedup_wide" -> imageDedupWide _,
+    "q_mm_audio_dedup_wide" -> audioDedupWide _
   )
 
   /** No oracles: the binary decode path is engine-side by design. */

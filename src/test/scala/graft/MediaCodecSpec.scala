@@ -155,6 +155,35 @@ class MediaCodecSpec extends AnyFunSuite {
       "near-identical image drifted past the dedup threshold")
   }
 
+  test("wide-key media probes == brute-force hamming <= 2 (image + audio)") {
+    val sp = TestSpark.spark
+    def brute(kind: String): Set[(Long, Long, Long)] = {
+      val sigs = MultimodalOps.mediaOrGet(sp, TestSpark.sf)
+        .filter(_.kind == kind).collect()
+        .map(m => m.doc_id -> (if (kind == "image")
+          MultimodalOps.imageAhash(m) else MultimodalOps.audioAhash(m)))
+      (for {
+        (a, ha) <- sigs; (b, hb) <- sigs if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+      } yield (a, b, d.toLong)).toSet
+    }
+    val gotImg = MultimodalOps.imageDedupWide(sp, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotImg == brute("image"),
+      s"image wide probe diverges: extra=${gotImg -- brute("image")} " +
+        s"missing=${brute("image") -- gotImg}")
+    val gotAud = MultimodalOps.audioDedupWide(sp, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotAud == brute("audio"),
+      s"audio wide probe diverges: extra=${gotAud -- brute("audio")} " +
+        s"missing=${brute("audio") -- gotAud}")
+    // the wide pairs are exactly the d<=2 subset of the d<=3 probe
+    val narrow = MultimodalOps.imageDedup(sp, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 <= 2).toSet
+    assert(gotImg == narrow, "wide probe != narrow probe's d<=2 subset")
+  }
+
   test("SQL image_ahash/audio_ahash equal the JVM kernels (codegen path)") {
     val sp = TestSpark.spark
     graft.functions.registerAll(sp)
