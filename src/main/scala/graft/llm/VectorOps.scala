@@ -253,11 +253,22 @@ object VectorOps {
     * list to enumerate). In the near-dup regime (cos ≥ 0.9) an 8-bit
     * band still collides with p = (1 − θ/π)⁸ ≈ 0.29, so 8 bands give
     * ≈ 94% recall; toward the 0.45 tail the operator is a candidate
-    * generator, not an exhaustive join — the documented contract. */
-  def embedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    * generator, not an exhaustive join — the documented contract, and
+    * a SPEC'D one: LlmSpec plants fixtures in both regimes and checks
+    * measured recall against the s-curve expectation
+    * 1 − (1 − (1 − θ/π)⁸)⁸ per planted pair (deterministic — the
+    * planes are fixed-seed), not just precision. */
+  def embedNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    embedNeardupFrom(spark, Tables.embeddings(spark, sfDir))
+
+  /** [[embedNeardup]] over an explicit (vec_id, embedding) relation —
+    * factored so the recall spec can drive the identical plan with a
+    * planted near-threshold fixture. */
+  private[graft] def embedNeardupFrom(spark: SparkSession,
+      e0: DataFrame): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val e = Tables.embeddings(spark, sfDir)
+    val e = e0
     val planesDf = broadcast(planes.zipWithIndex.flatMap { case (p, j) =>
       p.zipWithIndex.map { case (w, i) => (i, j, w) }
     }.toSeq.toDF("pos", "plane", "w"))

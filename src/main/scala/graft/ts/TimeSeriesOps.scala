@@ -509,25 +509,38 @@ object TimeSeriesOps {
     * 2·avg_rank = 2·min_rank + (tie_count − 1) (min rank and tie count
     * are two windows over the pair's value partition; the underlying
     * row_number breaks ties (v, bucket) identically in both engines),
-    * all five moment sums then accumulate as exact BIGINTs (2·rank ≤
-    * 2·buckets, squares bounded by buckets³ ≪ 2⁶³) and ONE shared IEEE
+    * all five moment sums then accumulate as exact DECIMAL(19,0)
+    * products in DECIMAL(38,0) (the [[acf]] discipline: Σ ra2·rb2 ≤
+    * 4·buckets³ overflows BIGINT past ~1.3e6 aligned buckets — a
+    * 10-year minutely series is 5.3e6 — while 38 digits hold to
+    * ~2.9e12 buckets, beyond any calendar) and ONE shared IEEE
     * correlation formula finishes. Windows partition on the pair key —
     * rank-statistic cost is per-pair series length (the calendar, not
-    * the corpus), scale-free in the fact table. */
+    * the corpus), scale-free in the fact table. Spec'd bit-equal to a
+    * driver-side BigInt reference below the old bound AND exact at a
+    * synthetic series past it. */
   def spearmanCorr(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
     val a = h1.select(col("event_type").as("ma"), col("bucket"),
       col("v").as("va"))
     val b = h1.select(col("event_type").as("mb"), col("bucket"),
       col("v").as("vb"))
+    spearmanFromPairs(a.join(b, "bucket").where(col("ma") < col("mb")))
+  }
+
+  /** The rank + moment half of [[spearmanCorr]] over an aligned pair
+    * relation (ma, mb, bucket, va, vb) — factored so the overflow spec
+    * can drive it with a synthetic series longer than the old BIGINT
+    * bound. */
+  private[graft] def spearmanFromPairs(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wA = Window.partitionBy(col("ma"), col("mb"))
       .orderBy(col("va"), col("bucket"))
     val wB = Window.partitionBy(col("ma"), col("mb"))
       .orderBy(col("vb"), col("bucket"))
     val tA = Window.partitionBy(col("ma"), col("mb"), col("va"))
     val tB = Window.partitionBy(col("ma"), col("mb"), col("vb"))
-    val ranked = a.join(b, "bucket").where(col("ma") < col("mb"))
+    val ranked = pairs
       .select(col("ma"), col("mb"), col("bucket"), col("va"), col("vb"),
         row_number().over(wA).as("rna"), row_number().over(wB).as("rnb"))
       .select(col("ma"), col("mb"),
@@ -536,11 +549,12 @@ object TimeSeriesOps {
         (lit(2L) * min(col("rnb")).over(tB) +
           count(lit(1)).over(tB) - lit(1L)).as("rb2"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     val nd = count(lit(1)).cast("double")
-    val sx = d(sum(col("ra2"))); val sy = d(sum(col("rb2")))
-    val sxy = d(sum(col("ra2") * col("rb2")))
-    val sxx = d(sum(col("ra2") * col("ra2")))
-    val syy = d(sum(col("rb2") * col("rb2")))
+    val sx = d(sum(dc(col("ra2")))); val sy = d(sum(dc(col("rb2"))))
+    val sxy = d(sum(dc(col("ra2")) * dc(col("rb2"))))
+    val sxx = d(sum(dc(col("ra2")) * dc(col("ra2"))))
+    val syy = d(sum(dc(col("rb2")) * dc(col("rb2"))))
     ranked.groupBy(col("ma"), col("mb"))
       .agg(count(lit(1)).as("n"),
         Det.r4((nd * sxy - sx * sy) /
@@ -772,8 +786,12 @@ object TimeSeriesOps {
     * identity nc = n0 − nd − tx − ty + txy (both-tied pairs sit in tx
     * AND ty), then the SAME IEEE τ-b text. One typed mapGroups per
     * series pair — each group is one series' calendar, the multiset a
-    * real per-key statistic holds in an executor. Spec'd row-identical
-    * to the oracle query, τ bit-equal. */
+    * real per-key statistic holds in an executor. Unlike the spearman
+    * moment sums (whose BIGINT bound needed the decimal widening),
+    * Kendall's accumulators are PAIR COUNTS: n0 = n(n−1)/2 stays
+    * inside a Long to n ≈ 4.3e9 buckets — three orders past a 10-year
+    * minutely calendar, so no widening is needed on this axis. Spec'd
+    * row-identical to the oracle query, τ bit-equal. */
   def kendallTauFast(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
@@ -2451,6 +2469,7 @@ object TimeSeriesOps {
     "q_ts_series_corr" -> seriesCorr _,
     "q_ts_spearman" -> spearmanCorr _,
     "q_ts_kendall" -> kendallTau _,
+    "q_ts_kendall_fast" -> kendallTauFast _,
     "q_ts_xcorr" -> crossCorrLagged _,
     "q_ts_wilcoxon" -> wilcoxonSignedRank _,
     "q_ts_stl" -> stlDecompose _,
@@ -2583,7 +2602,7 @@ object TimeSeriesOps {
       |           OVER (PARTITION BY event_type, hod) AS seasonal
       |  FROM r)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q_ts_avg_outside_pctl" ->
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -3106,12 +3125,14 @@ object TimeSeriesOps {
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
     },
     "q_ts_spearman" -> {
+      // DECIMAL(19,0) products summed in DECIMAL(38,0) — the q_ts_acf
+      // discipline, mirroring the Spark side's overflow-proof sums
       val nd = "CAST(count(*) AS DOUBLE)"
-      val sx = "CAST(CAST(sum(ra2) AS BIGINT) AS DOUBLE)"
-      val sy = "CAST(CAST(sum(rb2) AS BIGINT) AS DOUBLE)"
-      val sxy = "CAST(CAST(sum(ra2 * rb2) AS BIGINT) AS DOUBLE)"
-      val sxx = "CAST(CAST(sum(ra2 * ra2) AS BIGINT) AS DOUBLE)"
-      val syy = "CAST(CAST(sum(rb2 * rb2) AS BIGINT) AS DOUBLE)"
+      val sx = "CAST(sum(CAST(ra2 AS DECIMAL(19,0))) AS DOUBLE)"
+      val sy = "CAST(sum(CAST(rb2 AS DECIMAL(19,0))) AS DOUBLE)"
+      val sxy = "CAST(sum(CAST(ra2 AS DECIMAL(19,0)) * CAST(rb2 AS DECIMAL(19,0))) AS DOUBLE)"
+      val sxx = "CAST(sum(CAST(ra2 AS DECIMAL(19,0)) * CAST(ra2 AS DECIMAL(19,0))) AS DOUBLE)"
+      val syy = "CAST(sum(CAST(rb2 AS DECIMAL(19,0)) * CAST(rb2 AS DECIMAL(19,0))) AS DOUBLE)"
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
         |         ${Det.avg4Sql("value")} AS v
@@ -4213,4 +4234,9 @@ object TimeSeriesOps {
         |GROUP BY 1, 2
         |ORDER BY metric NULLS FIRST, bucket NULLS FIRST""".stripMargin
   )
+
+  /** The Knight O(n log n) production kendall shares its pair-join
+    * oracle SQL verbatim — row-identical by construction (spec'd). */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q_ts_kendall_fast" -> oracleSqlBase("q_ts_kendall"))
 }

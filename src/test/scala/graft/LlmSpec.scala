@@ -836,6 +836,71 @@ class LlmSpec extends AnyFunSuite {
     assert(gotPairs.subsetOf(brute), s"false positives: ${gotPairs -- brute}")
   }
 
+  test("embed_neardup recall: planted pairs match the s-curve expectation") {
+    val sp = spark
+    import sp.implicits._
+    // planted pairs at controlled cosine: partner = c*u + sqrt(1-c^2)*w
+    // with w unit and orthogonal to u. Planes are fixed-seed, fixture
+    // is fixed-seed — measured recall is DETERMINISTIC, so the bounds
+    // below are stable, not flaky.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def pairAt(c: Double): (Array[Float], Array[Float]) = {
+      val u = unit()
+      val r = unit()
+      val d = u.zip(r).map { case (a, b) => a * b }.sum
+      val w0 = r.zip(u).map { case (b, a) => b - d * a }
+      val wn = math.sqrt(w0.map(x => x * x).sum)
+      val w = w0.map(_ / wn)
+      val v = u.zip(w).map { case (a, b) => c * a + math.sqrt(1 - c * c) * b }
+      (u.map(_.toFloat), v.map(_.toFloat))
+    }
+    // tail regime: 250 pairs uniform in [0.46, 0.60]; near-dup regime:
+    // 100 pairs in [0.92, 0.98]
+    val tail = (0 until 250).map(i => (0.46 + 0.14 * i / 249.0, i))
+    val near = (0 until 100).map(i => (0.92 + 0.06 * i / 99.0, i + 250))
+    val planted = (tail ++ near).map { case (c, i) =>
+      val (u, v) = pairAt(c)
+      (2L * i, u, 2L * i + 1, v)
+    }
+    val fixture = planted.flatMap { case (ia, u, ib, v) =>
+      Seq((ia, u), (ib, v)) }.toDF("vec_id", "embedding")
+    val got = graft.llm.VectorOps.embedNeardupFrom(sp, fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per-pair: actual cosine after float32 truncation (the denominator
+    // only counts pairs the exact verification would keep) and the
+    // s-curve candidate probability q(c) = 1 - (1 - (1 - acos(c)/pi)^8)^8
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def q(c: Double) = {
+      val pb = math.pow(1.0 - math.acos(c) / math.Pi, 8)
+      1.0 - math.pow(1.0 - pb, 8)
+    }
+    def regime(ids: Seq[Int]): (Double, Double) = {
+      val kept = planted.filter(p => ids.contains((p._1 / 2).toInt))
+        .filter(p => r4(cosF(p._2, p._4)) >= 0.45)
+      val expected = kept.map(p => q(cosF(p._2, p._4))).sum / kept.size
+      val found = kept.count(p => got.contains((p._1, p._3)))
+      (found.toDouble / kept.size, expected)
+    }
+    val (tailRec, tailExp) = regime(tail.map(_._2))
+    val (nearRec, nearExp) = regime(near.map(_._2))
+    // sd of the mean over ~250 Bernoulli draws is ~0.03; 0.15 is 5 sd
+    assert(math.abs(tailRec - tailExp) <= 0.15,
+      s"tail recall $tailRec vs s-curve $tailExp")
+    assert(nearRec >= 0.90 && nearRec >= nearExp - 0.10,
+      s"near-dup recall $nearRec vs s-curve $nearExp")
+  }
+
   test("dup clusters: label propagation equals brute-force transitive closure") {
     import graft.llm.{DupCluster, TextOps}
     val sp = spark

@@ -34,7 +34,8 @@ class TimeSeriesSpec extends AnyFunSuite {
       "q_llm_fingerprint", "q_llm_corpus_prep", "q_mm_features", "q_mm_frames",
       "q_mm_resize", "q_llm_knn_join", "q_llm_nprobe_tradeoff",
       "q_mm_audio_spectral", "q_llm_heavy_hitters", "q_llm_mrl_tradeoff",
-      "q_llm_cms_probe", "q_mm_image_dedup", "q_mm_audio_dedup")
+      "q_llm_cms_probe", "q_mm_image_dedup", "q_mm_audio_dedup",
+      "q_llm_simhash_wide", "q_mm_image_dedup_wide", "q_mm_audio_dedup_wide")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -47,6 +48,56 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(oracle.nonEmpty && fast == oracle,
       s"fast kendall diverged:\n$fast\nvs\n$oracle")
+  }
+
+  test("spearman decimal sums: exact past the BIGINT bound, bit-equal below") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // (1) past the old bound: 2.5e6 aligned buckets, va strictly
+    // increasing, vb its negation (perfect anti-correlation, no ties).
+    // sxx = sum of odd squares ~ 4n^3/3 ~ 2.1e19 > 2^63 — BIGINT sums
+    // would overflow here (ANSI error); DECIMAL(38,0) is exact.
+    val n = 2500000L
+    val big = sp.range(n).select(
+      lit("x").as("ma"), lit("y").as("mb"), col("id").as("bucket"),
+      col("id").cast("double").as("va"),
+      (-col("id")).cast("double").as("vb"))
+    val row = TimeSeriesOps.spearmanFromPairs(big).collect()(0)
+    assert(row.getLong(2) == n && row.getDouble(3) == -1.0,
+      s"big-series spearman: ${row}")
+    // (2) below the bound, heavy ties: bit-equal to a driver-side
+    // BigInt reference of the same average-rank formula
+    val m = 4000
+    val data = (0 until m).map(i =>
+      (i.toLong, (i % 50).toDouble, ((i * 7) % 31).toDouble))
+    val small = data.toDF("bucket", "va", "vb")
+      .select(lit("x").as("ma"), lit("y").as("mb"),
+        col("bucket"), col("va"), col("vb"))
+    val got = TimeSeriesOps.spearmanFromPairs(small).collect()(0)
+    def rank2(keys: Seq[(Double, Long)]): Map[Long, Long] = {
+      val sorted = keys.sorted.zipWithIndex
+      val byV = sorted.groupBy(_._1._1)
+      sorted.map { case ((v, b), _) =>
+        val g = byV(v)
+        b -> (2L * (g.map(_._2).min + 1L) + g.size - 1L)
+      }.toMap
+    }
+    val ra = rank2(data.map(t => (t._2, t._1)))
+    val rb = rank2(data.map(t => (t._3, t._1)))
+    var sx = BigInt(0); var sy = BigInt(0)
+    var sxy = BigInt(0); var sxx = BigInt(0); var syy = BigInt(0)
+    data.foreach { case (b, _, _) =>
+      val x = BigInt(ra(b)); val y = BigInt(rb(b))
+      sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+    }
+    val nd = m.toDouble
+    def d(v: BigInt) = v.toDouble
+    val exp = math.floor((nd * d(sxy) - d(sx) * d(sy)) /
+      (math.sqrt(nd * d(sxx) - d(sx) * d(sx)) *
+        math.sqrt(nd * d(syy) - d(sy) * d(sy))) * 10000.0 + 0.5) / 10000.0
+    assert(got.getDouble(3) == exp,
+      s"spearman ${got.getDouble(3)} != reference $exp")
   }
 
   test("gapfill emits a dense grid: rows = n_types * n_buckets") {
