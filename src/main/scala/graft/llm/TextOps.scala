@@ -531,6 +531,78 @@ object TextOps {
           .as("min_tok_hash"))
       .orderBy("doc_id")
 
+  /** WINNOWING fingerprint overlap (Schleimer/Wilkerson/Aiken 2003 —
+    * the MOSS local fingerprinting scheme): token 3-gram hashes,
+    * sliding windows of 4, keep each window's MINIMUM hash — the
+    * guarantee is that any shared run of ≥ k+w−1 tokens between two
+    * documents shares at least one selected fingerprint, so overlap
+    * detection never misses a long-enough match while storing only
+    * ~1/w of the grams. Shared-fingerprint pairs rank by a Jaccard-
+    * style overlap on the winnowed sets.
+    *
+    * Unlike [[fingerprint]] (xxhash64 — engine-native, no oracle) the
+    * gram hash here is md5 TEXT, portable bit-for-bit across engines,
+    * and window minima are plain string minima — the whole pipeline is
+    * oracle-checkable. Scale posture: the candidate join is an EQUI-
+    * join on fingerprint value with a commonness cap (fingerprints
+    * shared by >64 docs are boilerplate, dropped deterministically) —
+    * the LSH-band shape, never all-pairs; per-doc work is linear in
+    * token count (grams and windows are one pre-projected array pass). */
+  def winnowing(spark: SparkSession, sfDir: String): DataFrame =
+    winnowingOver(Tables.documents(spark, sfDir))
+
+  /** [[winnowing]] over any (doc_id, text) relation — factored for the
+    * guarantee spec (shared runs ≥ k+w−1 tokens must collide). */
+  private[graft] def winnowingOver(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // RELATIONAL gram/window construction, not nested array lambdas:
+    // ProjectCollapsing inlines a pre-projected gram array into the
+    // per-window slice lambda (HOFs don't CSE), re-hashing every gram
+    // once per window — O(len²) md5 per doc, measured 495 s at sf0.1.
+    // posexplode + lead builds each gram hash exactly once and the
+    // winnow minimum is a 4-row running-min frame on the SAME doc_id
+    // exchange (one shuffle, two window passes) — 0.9 s at sf0.1.
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("gp"))
+    val wN = Window.partitionBy(col("doc_id"))
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "gp", "t")
+    val grams = tok
+      .select(col("doc_id"), col("gp"),
+        count(lit(1)).over(wN).as("n"),
+        md5(concat_ws(" ", col("t"), lead(col("t"), 1).over(wD),
+          lead(col("t"), 2).over(wD))).as("h"))
+      .where(col("gp") <= greatest(col("n") - 3, lit(0L)))
+    val winm = grams
+      .select(col("doc_id"), col("gp"),
+        count(lit(1)).over(wN).as("g"),
+        min(col("h")).over(wD.rowsBetween(0, 3)).as("fp"))
+      .where(col("gp") <= greatest(col("g") - 4, lit(0L)))
+    // the fingerprint relation feeds three consumers (sizes, the
+    // commonness filter, both self-join sides) — checkpoint it so the
+    // gram pipeline runs once (join/union children don't CSE)
+    val fps = winm.select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(eager = false)
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .where(col("nd").between(2, 64)).select(col("fp"))
+    val fo = fps.join(ok, "fp")
+    fo.select(col("fp"), col("doc_id").as("a_id"))
+      .join(fo.select(col("fp").as("fp_b"), col("doc_id").as("b_id")),
+        col("fp") === col("fp_b") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("nf").as("na")),
+        "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nf").as("nb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        Det.r4(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"))
+          .as("overlap"))
+      .orderBy(col("overlap").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
   /** Deterministic content-hash train/val/test split (80/10/10) — the
     * standard reproducible corpus partition for training pipelines:
     * bucketing on a CONTENT hash (md5, not a row id) keeps a document's
@@ -576,6 +648,64 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_kept"),
         max(col("cum")).as("cum_max"))
+      .orderBy("lang")
+  }
+
+  private val NeymanTotal = 1000L
+
+  /** NEYMAN-ALLOCATION stratified sampling (Neyman 1934) — the
+    * variance-OPTIMAL way to spend a fixed sampling budget across
+    * strata: n_h ∝ N_h·σ_h, so high-variance languages get more of the
+    * budget than uniform ones, minimizing the variance of the overall
+    * mean-length estimate. [[budgetSample]] spends a budget per
+    * stratum; this op divides ONE budget between strata.
+    *
+    * Oracle-exact end to end: N_h·σ_h = sqrt(N_h·Σy² − S_h²) with the
+    * radicand an exact DECIMAL(38,0); the IEEE sqrt is quantized to an
+    * integer weight (floor ×1e6 — no half-boundary dialects), the
+    * allocation is integer floor-division plus LARGEST-REMAINDER
+    * rounding with a lang tiebreak (sums to the budget exactly), and
+    * the sample itself fills in the deterministic (md5(text), doc_id)
+    * content order. Headroom: budget·wq < 2^63 to ~1e9-char strata of
+    * 1e9 docs. One stats aggregate + one per-stratum rank window —
+    * the stratum relation (≤ #langs rows) does the tiny global work. */
+  def neymanSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val docs = Tables.documents(spark, sfDir)
+    val st = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("nd"), sum(col("n_chars")).as("s1"),
+      sum(dc(col("n_chars")) * dc(col("n_chars"))).as("s2"))
+    val m2 = (col("nd").cast("decimal(9,0)") * col("s2").cast("decimal(28,0)")
+      - dc(col("s1")) * dc(col("s1"))).cast("double")
+    val st2 = st.select(col("lang"), col("nd"),
+      floor(sqrt(m2) * lit(1000000.0)).cast("long").as("wq"))
+    val tot = st2.agg(sum(col("wq")).as("wsum"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRem = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("lang"))
+    val alloc = st2.crossJoin(broadcast(tot))
+      .select(col("lang"), col("nd"), col("wq"),
+        expr(s"($NeymanTotal * wq) DIV wsum").as("base"),
+        expr(s"($NeymanTotal * wq) % wsum").as("rem"))
+      .select(col("lang"), col("nd"), col("wq"), col("base"),
+        row_number().over(wRem).cast("long").as("rk"),
+        (lit(NeymanTotal) - sum(col("base")).over(wAll)).as("leftover"))
+      .select(col("lang"), col("nd"), col("wq"),
+        least(col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L), col("nd")).as("alloc"))
+    val wPick = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(wPick).cast("long"))
+      .join(alloc, "lang")
+      .where(col("rn") <= col("alloc"))
+      .groupBy(col("lang"))
+      .agg(max(col("nd")).as("n_docs"), max(col("wq")).as("w_scaled"),
+        max(col("alloc")).as("alloc"), count(lit(1)).as("n_sampled"),
+        Det.r4(sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double")).as("sample_mean_chars"))
       .orderBy("lang")
   }
 
@@ -1479,7 +1609,9 @@ object TextOps {
     "q_llm_minhash_dedup" -> minhashDedup _,
     "q_llm_simhash" -> simhash _,
     "q_llm_simhash_wide" -> simhashWide _,
-    "q_llm_fingerprint" -> fingerprint _
+    "q_llm_fingerprint" -> fingerprint _,
+    "q_llm_winnowing" -> winnowing _,
+    "q_llm_neyman_sample" -> neymanSample _
   )
 
   import Det.r4Sql
@@ -2087,6 +2219,84 @@ object TextOps {
         |       ${r4Sql("CAST(inter AS DOUBLE) / (na.nt + nb.nt - inter)")} AS jac
         |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |ORDER BY jac DESC NULLS LAST, a_id NULLS FIRST, b_id NULLS FIRST
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q_llm_neyman_sample" -> {
+      val m2 = "CAST(CAST(nd AS DECIMAL(9,0)) * CAST(s2 AS DECIMAL(28,0))" +
+        " - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))" +
+        " AS DOUBLE)"
+      s"""WITH st AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(n_chars) AS BIGINT) AS s1,
+        |         sum(CAST(n_chars AS DECIMAL(19,0))
+        |           * CAST(n_chars AS DECIMAL(19,0))) AS s2
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT lang, nd,
+        |         CAST(floor(sqrt($m2) * 1000000.0) AS BIGINT) AS wq
+        |  FROM st),
+        |t AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM w),
+        |a0 AS (
+        |  SELECT lang, nd, wq, (1000 * wq) // wsum AS base,
+        |         (1000 * wq) % wsum AS rem
+        |  FROM w CROSS JOIN t),
+        |a1 AS (
+        |  SELECT lang, nd, wq, base,
+        |         CAST(row_number() OVER (ORDER BY rem DESC NULLS LAST,
+        |           lang NULLS FIRST) AS BIGINT) AS rk,
+        |         1000 - CAST(sum(base) OVER () AS BIGINT) AS leftover
+        |  FROM a0),
+        |al AS (
+        |  SELECT lang, nd, wq,
+        |         least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+        |           nd) AS alloc
+        |  FROM a1),
+        |d AS (SELECT doc_id, lang, n_chars, md5(text) AS h
+        |      FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY h NULLS FIRST, doc_id NULLS FIRST)
+        |           AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT r.lang, max(al.nd) AS n_docs, max(al.wq) AS w_scaled,
+        |       max(al.alloc) AS alloc, CAST(count(*) AS BIGINT)
+        |         AS n_sampled,
+        |       ${r4Sql("CAST(sum(r.n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS sample_mean_chars
+        |FROM r JOIN al ON r.lang = al.lang
+        |WHERE r.rn <= al.alloc
+        |GROUP BY 1
+        |ORDER BY r.lang NULLS FIRST""".stripMargin
+    },
+    "q_llm_winnowing" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+        |          i -> md5(concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))
+        |          AS hs
+        |      FROM d),
+        |w AS (SELECT doc_id,
+        |        list_distinct(list_transform(
+        |          generate_series(1, greatest(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j + 3]))) AS fps
+        |      FROM g),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+        |       FROM f GROUP BY 1),
+        |ok AS (SELECT fp FROM f GROUP BY fp
+        |       HAVING count(*) BETWEEN 2 AND 64),
+        |fo AS (SELECT f.doc_id, f.fp FROM f JOIN ok USING (fp)),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM fo a JOIN fo b
+        |        ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_shared,
+        |       ${r4Sql("CAST(n_shared AS DOUBLE) / CAST(sa.nf + sb.nf - n_shared AS DOUBLE)")} AS overlap
+        |FROM p JOIN sz sa ON sa.doc_id = a_id
+        |JOIN sz sb ON sb.doc_id = b_id
+        |ORDER BY overlap DESC NULLS LAST, a_id NULLS FIRST,
+        |         b_id NULLS FIRST
+        |LIMIT 50""".stripMargin
   )
 }

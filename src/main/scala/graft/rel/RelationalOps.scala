@@ -255,6 +255,57 @@ object RelationalOps {
         col("p50_secs"), col("p90_secs"))
   }
 
+  /** KAPLAN–MEIER survival curve over user lifetimes (product-limit
+    * estimator, Kaplan & Meier 1958) — the churn-analysis staple the
+    * cohort grid can't answer: "what fraction of users survive past
+    * day t" with RIGHT-CENSORING handled honestly (users still active
+    * near the corpus end aren't counted as churned). Observation =
+    * per-user (first_ts → last_ts) span in whole days; censored iff
+    * last activity falls within 7 days of the corpus horizon.
+    *
+    * Oracle-exactness: at-risk counts are a reverse-cumulative integer
+    * window; the survival product S_t = Π(1 − dₜ/rₜ) is a SEQUENTIAL
+    * float recursion, expressed as a sorted aggregate() fold whose
+    * per-step text — `s · (1.0 − CAST(d) / CAST(r))` — matches the
+    * DuckDB recursive CTE word-for-word, the proven holt-family
+    * bit-equality class. The fold runs over the per-DAY summary
+    * relation (≤ calendar-span rows — the heavy reduction already
+    * happened in the per-user aggregate), so the driver-sized global
+    * sort is the honest 1-curve plan; the user-grain work is one
+    * groupBy shuffle. */
+  def kaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val hor = ev.agg(max(col("ts")).as("end_ts"))
+    val obs = per.crossJoin(broadcast(hor))
+      .select(
+        expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+          " div 86400000000").as("dur"),
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 7 DAYS"))
+          .as("censored"))
+    val durs = obs.groupBy(col("dur"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val wR = Window.orderBy(col("dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = durs.select(col("dur"), col("d"), col("c"),
+      sum(col("d") + col("c")).over(wR).as("r"))
+    val step = "acc.s * (1.0D - CAST(p.d AS DOUBLE) / CAST(p.r AS DOUBLE))"
+    risk
+      .agg(array_sort(collect_list(struct(col("dur"), col("d"), col("c"),
+        col("r")))).as("pts"))
+      .select(explode(arrays_zip(col("pts"), expr(
+        s"slice(aggregate(pts, named_struct('s', 1.0D, 'out', array(1.0D))," +
+          s" (acc, p) -> named_struct('s', $step, 'out'," +
+          s" acc.out || array($step))).out, 2, size(pts))").as("sv")))
+        .as("z"))
+      .select(col("z.pts.dur").as("dur_days"), col("z.pts.r").as("n_risk"),
+        col("z.pts.d").as("n_event"), col("z.pts.c").as("n_censor"),
+        Det.r4(col("z.sv")).as("surv"))
+      .orderBy("dur_days")
+  }
+
   /** DATA-QUALITY AUDIT — the dbt-test-style expectations report every
     * warehouse runs before trusting a load: primary-key duplication
     * (rows participating in a duplicated o_orderkey), referential
@@ -963,6 +1014,45 @@ object RelationalOps {
       .orderBy("l_linestatus")
   }
 
+  /** Higher central moments — skewness and excess kurtosis per group,
+    * the distribution-shape profile behind "is this measure normal
+    * enough for z-score alarms". All four RAW moment sums accumulate
+    * as exact integers (q = 100-scaled quantity ≤ ~1e4, so Σq⁴ ≤
+    * n·1e16 stays inside DECIMAL(38,0) to n ≈ 1e22 rows); every
+    * downstream step — the casts (correctly rounded), the central-
+    * moment algebra, sqrt — is the identical IEEE text in both
+    * engines, so cross-engine bits match without needing r4 to mask
+    * anything. pow() is avoided (libm): m2^1.5 is m2·sqrt(m2).
+    * Single hash aggregation, map-side partials — scales. */
+  def aggSkewKurt(spark: SparkSession, sfDir: String): DataFrame = {
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(7,0)")
+    val q = (col("l_quantity").cast("decimal(18,2)") * lit(100))
+      .cast("long")
+    val nd = col("n").cast("double")
+    val m1 = col("s1").cast("double") / nd
+    val r2 = col("s2").cast("double") / nd
+    val r3 = col("s3").cast("double") / nd
+    val r4m = col("s4").cast("double") / nd
+    val m2 = r2 - m1 * m1
+    val m3 = r3 - lit(3.0) * m1 * r2 + lit(2.0) * m1 * m1 * m1
+    val m4 = r4m - lit(4.0) * m1 * r3 + lit(6.0) * m1 * m1 * r2 -
+      lit(3.0) * m1 * m1 * m1 * m1
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_linestatus"), q.as("q"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(dc(col("q")) * dc(col("q"))).as("s2"),
+        sum(dc(col("q")) * dc(col("q")) * dc(col("q"))).as("s3"),
+        sum(dc(col("q")) * dc(col("q")) * dc(col("q")) * dc(col("q")))
+          .as("s4"))
+      .select(col("l_linestatus"), col("n"),
+        Det.r4(m1 / lit(100.0)).as("mean_qty"),
+        Det.r4(sqrt(m2) / lit(100.0)).as("sd_qty"),
+        Det.r4(m3 / (m2 * sqrt(m2))).as("skew"),
+        Det.r4(m4 / (m2 * m2) - lit(3.0)).as("kurt_excess"))
+      .orderBy("l_linestatus")
+  }
+
   /** Pearson correlation from exact decimal sums + the shared IEEE
     * formula (engine-native corr() accumulation differs across engines).
     * Per-row products have ≤4 true decimals, so the DECIMAL(18,4) casts
@@ -1551,14 +1641,16 @@ object RelationalOps {
       .agg(
         Det.dsum4(col("l_quantity")).as("sum_qty"),
         Det.dsum4(col("l_extendedprice")).as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
+        Det.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
         // the 3-factor product is a TRUE 6-decimal value (2+2+2 dp
         // inputs): DECIMAL(18,6) recovers it exactly from the double in
         // both engines, whereas rounding to 4 dp lands on half-boundaries
-        // where the engines' cast dialects disagree
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax"))).cast("decimal(18,6)"))
-          .cast("double").as("sum_charge"),
+        // where the engines' cast dialects disagree; dsum6 keeps the
+        // scaled sum an exact BIGINT so the final division is the same
+        // IEEE op in both engines even past 2^53 (the sf1 catch)
+        Det.dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("sum_charge"),
         Det.davg4(col("l_quantity")).as("avg_qty"),
         Det.davg4(col("l_extendedprice")).as("avg_price"),
         Det.davg4(col("l_discount")).as("avg_disc"),
@@ -2159,6 +2251,8 @@ object RelationalOps {
     "q_agg_mode" -> aggMode _,
     "q_agg_benford" -> benfordPrices _,
     "q_agg_stats" -> aggStats _,
+    "q_agg_skewkurt" -> aggSkewKurt _,
+    "q_surv_km" -> kaplanMeier _,
     "q_agg_corr" -> aggCorr _,
     "q_agg_mannwhitney" -> aggMannWhitney _,
     "q_rel_skew_report" -> skewReport _,
@@ -2185,15 +2279,15 @@ object RelationalOps {
     "q_explode_tokens" -> explodeTokens _
   )
 
-  import Det.{dsum4Sql, davg4Sql, r4Sql}
+  import Det.{dsum4Sql, dsum6Sql, davg4Sql, r4Sql}
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_tpch_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       ${dsum4Sql("l_quantity")} AS sum_qty,
         |       ${dsum4Sql("l_extendedprice")} AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       ${dsum4Sql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        |       ${dsum6Sql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
         |       ${davg4Sql("l_quantity")} AS avg_qty,
         |       ${davg4Sql("l_extendedprice")} AS avg_price,
         |       ${davg4Sql("l_discount")} AS avg_disc,
@@ -2970,6 +3064,77 @@ object RelationalOps {
       s"""SELECT l_linestatus, count(*) AS n,
         |       ${r4Sql(s"($n * $sxy - $sx * $sy) / (sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy))")} AS corr_qp
         |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus NULLS FIRST""".stripMargin
+    },
+    "q_surv_km" ->
+      s"""WITH RECURSIVE per AS (
+        |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |hor AS (SELECT max(ts) AS end_ts FROM events),
+        |obs AS (
+        |  SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
+        |           AS dur,
+        |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
+        |  FROM per CROSS JOIN hor),
+        |durs AS (
+        |  SELECT dur,
+        |         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS d,
+        |         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS c
+        |  FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT dur, d, c,
+        |         CAST(sum(d + c) OVER (ORDER BY dur NULLS FIRST
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS BIGINT) AS r,
+        |         CAST(row_number() OVER (ORDER BY dur NULLS FIRST)
+        |           AS BIGINT) AS rn
+        |  FROM durs),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(1.0 AS DOUBLE) AS s
+        |  UNION ALL
+        |  SELECT rec.rn + 1,
+        |         rec.s * (1.0 - CAST(x.d AS DOUBLE) / CAST(x.r AS DOUBLE))
+        |  FROM rec JOIN risk x ON x.rn = rec.rn + 1)
+        |SELECT x.dur AS dur_days, x.r AS n_risk, x.d AS n_event,
+        |       x.c AS n_censor, ${r4Sql("rec.s")} AS surv
+        |FROM rec JOIN risk x ON x.rn = rec.rn
+        |ORDER BY dur_days NULLS FIRST""".stripMargin,
+    "q_agg_skewkurt" -> {
+      // raw moment sums exact (DECIMAL powers of the 100-scaled
+      // quantity), then the identical IEEE central-moment text —
+      // left-associative in both engines, no pow() (libm)
+      val m1 = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+      val r2m = "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+      val r3m = "(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+      val r4m = "(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))"
+      val m2 = s"($r2m - $m1 * $m1)"
+      val m3 = s"($r3m - 3.0 * $m1 * $r2m + 2.0 * $m1 * $m1 * $m1)"
+      val m4 = s"($r4m - 4.0 * $m1 * $r3m + 6.0 * $m1 * $m1 * $r2m" +
+        s" - 3.0 * $m1 * $m1 * $m1 * $m1)"
+      s"""WITH b AS (
+        |  SELECT l_linestatus,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS q
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS s1,
+        |         sum(CAST(q AS DECIMAL(7,0)) * CAST(q AS DECIMAL(7,0)))
+        |           AS s2,
+        |         sum(CAST(q AS DECIMAL(7,0)) * CAST(q AS DECIMAL(7,0))
+        |           * CAST(q AS DECIMAL(7,0))) AS s3,
+        |         sum(CAST(q AS DECIMAL(7,0)) * CAST(q AS DECIMAL(7,0))
+        |           * CAST(q AS DECIMAL(7,0)) * CAST(q AS DECIMAL(7,0)))
+        |           AS s4
+        |  FROM b GROUP BY 1)
+        |SELECT l_linestatus, n,
+        |       ${r4Sql(s"$m1 / 100.0")} AS mean_qty,
+        |       ${r4Sql(s"sqrt($m2) / 100.0")} AS sd_qty,
+        |       ${r4Sql(s"$m3 / ($m2 * sqrt($m2))")} AS skew,
+        |       ${r4Sql(s"$m4 / ($m2 * $m2) - 3.0")} AS kurt_excess
+        |FROM s
         |ORDER BY l_linestatus NULLS FIRST""".stripMargin
     },
     "q_agg_percentile" ->

@@ -1070,6 +1070,211 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** PETTITT changepoint test per series — [[cusum]]'s nonparametric
+    * sibling (Pettitt 1979): detects a single level shift without
+    * assuming normality by comparing every pre/post split on RANKS,
+    * U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i), K = max_t |U_t|; the
+    * hour at the argmax is the changepoint candidate and
+    * λ = 6K²/(n³+n²) is the Pettitt significance statistic
+    * (K significant at α when λ ≥ −ln(α/2)).
+    *
+    * Oracle-exactness: the O(n²) double sum collapses to the midrank
+    * identity U_t = t(n+1) − 2W_t with W_t the running sum of midranks
+    * — carried as the always-integer 2·midrank (the [[spearmanCorr]]
+    * tie discipline), so U_t = t(n+1) − Σ_{i≤t} r2ᵢ is exact BIGINT
+    * under ties. The argmax takes the FIRST t among equal |U_t| via a
+    * rank window with an explicit (|U| DESC, t ASC) order — identical
+    * in both engines. λ's K² and n²(n+1) form as DECIMAL(38,0)
+    * products (BIGINT K² overflows past |U| ≈ 3e9, i.e. n ≈ 1e5
+    * buckets; 38 digits hold to n ≈ 3e12), then one IEEE division and
+    * the shared rounding. Windows partition on the series key — cost
+    * is per-series calendar length via one sort, not O(n²), and
+    * scale-free in the fact table. */
+  def pettitt(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    pettittFromSeries(h1.select(col("event_type"), col("bucket"), col("v")))
+  }
+
+  /** The rank + argmax half of [[pettitt]] over a (event_type, bucket,
+    * v) series relation — factored so the spec can drive it with a
+    * crafted tied/shifted series against a brute-force U_t. */
+  private[graft] def pettittFromSeries(series: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wV = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("bucket"))
+    val tV = Window.partitionBy(col("event_type"), col("v"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wP = Window.partitionBy(col("event_type"))
+    val ranked = series
+      .select(col("event_type"), col("bucket"), col("v"),
+        row_number().over(wV).as("rn"))
+      .select(col("event_type"), col("bucket"),
+        (lit(2L) * min(col("rn")).over(tV) +
+          count(lit(1)).over(tV) - lit(1L)).as("r2"))
+    val u = ranked
+      .select(col("event_type"), col("bucket"),
+        row_number().over(wT).cast("long").as("t"),
+        sum(col("r2")).over(wT.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("w2"),
+        count(lit(1)).over(wP).as("n"))
+      .where(col("t") < col("n"))
+      .select(col("event_type"), col("bucket"), col("t"), col("n"),
+        (col("t") * (col("n") + lit(1L)) - col("w2")).as("u"))
+    val wK = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("u")).desc, col("t"))
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    u.select(col("event_type"), col("bucket"), col("n"), col("u"),
+      abs(col("u")).as("k_stat"), row_number().over(wK).as("pk"))
+      .where(col("pk") === 1)
+      .select(col("event_type"), col("n"), col("k_stat"),
+        col("bucket").as("cp_bucket"),
+        signum(col("u")).cast("bigint").as("shift_dir"),
+        Det.r4((lit(6) * dc(col("k_stat")) * dc(col("k_stat")))
+          .cast("double") /
+          (dc(col("n")) * dc(col("n")) * dc(col("n") + lit(1L)))
+            .cast("double")).as("lambda"))
+      .orderBy("event_type")
+  }
+
+  /** SAX symbolization per series (Lin et al. 2003 — Symbolic Aggregate
+    * approXimation): z-normalize the hourly sequence, average 24-hour
+    * PAA frames, bin each frame mean against the standard-normal
+    * quartile breakpoints {−0.6745, 0, +0.6745} into letters a–d, and
+    * emit the per-series SAX word. The scale story: SAX words are the
+    * front-end of iSAX-style indexed similarity search — a 100 TB
+    * metric corpus compares 30-char words (map-side, groupable) instead
+    * of raw 720-point sequences.
+    *
+    * Oracle-exactness: no per-row float z-scores. Every comparison is
+    * cross-multiplied into exact integers first — frame deviation
+    * e_f = n·Σ_f q − c_f·S (exact BIGINT of 1e4-scaled values) against
+    * β·c_f·sqrt(m2) with m2 = n·ΣQ² − S² formed as DECIMAL(9,0) ×
+    * DECIMAL(28,0) → DECIMAL(38,0) exactly (headroom: n ≤ 1e9 buckets,
+    * ΣQ² ≤ 1e28 — beyond any calendar); the only float steps are the
+    * correctly-rounded casts, one sqrt, one multiply and the compare —
+    * identical IEEE text in both engines. Frame id is integer DIV (no
+    * float floor). Cost: one rank window + two aggregations per
+    * series; scale-free in the fact table. */
+  def sax(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val q = h1.select(col("event_type"),
+      (row_number().over(wT).cast("long") - lit(1L)).as("idx"),
+      (col("v").cast("decimal(18,4)") * lit(10000)).cast("long").as("q"))
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val st = q.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("q")).as("s"),
+      sum(dc(col("q")) * dc(col("q"))).as("ss"))
+    val fr = q.groupBy(col("event_type"), expr("idx DIV 24").as("f"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("c"))
+    val m2 = (col("n").cast("decimal(9,0)") * col("ss").cast("decimal(28,0)")
+      - dc(col("s")) * dc(col("s"))).cast("double")
+    val e = (col("n") * col("sq") - col("c") * col("s")).cast("double")
+    val thr = col("c").cast("double") * sqrt(m2)
+    val beta = lit(0.6745)
+    val sym = when(e < -beta * thr, "a").when(e < lit(0.0), "b")
+      .when(e < beta * thr, "c").otherwise("d")
+    fr.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("f"), col("n"), col("s"),
+        col("ss"), sym.as("sym"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_frames"),
+        concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(f, sym))), p -> p.sym)"))
+          .as("sax_word"),
+        Det.r4(max(col("s")).cast("double") / max(col("n")).cast("double")
+          / lit(10000.0)).as("mean_v"),
+        Det.r4(sqrt((max(col("n")).cast("decimal(9,0)") *
+          max(col("ss")).cast("decimal(28,0)") -
+          dc(max(col("s"))) * dc(max(col("s")))).cast("double")) /
+          max(col("n")).cast("double") / lit(10000.0)).as("sd_v"))
+      .orderBy("event_type")
+  }
+
+  /** Band-limited DYNAMIC TIME WARPING distance between every series
+    * pair (Sakoe–Chiba 1978, band w=24h): the elastic similarity
+    * measure behind "which metrics move alike but phase-shifted" —
+    * where [[crossCorrLagged]] tests a single global lag, DTW aligns
+    * locally varying leads/lags. The band is the scale story: cost is
+    * O(L·w) per pair, not O(L²), and L is calendar-bounded (hourly
+    * buckets), so the pair matrix — not the fact table — is the only
+    * thing that grows.
+    *
+    * Oracle-exactness: the whole DP runs on exact integers — values
+    * as 1e4-scaled BIGINT, |a−b| cell costs, min/plus transitions,
+    * an INF sentinel (9e17, clamped so INF+cost cannot overflow) —
+    * so the recursion is bit-portable. The matrix is walked by ANTI-
+    * DIAGONALS: diagonal d depends elementwise on diagonals d−1/d−2
+    * (no within-step dependency), which a Spark aggregate() fold over
+    * a (p1, p2) pair of 25-slot arrays and a DuckDB recursive CTE
+    * carrying two LISTs both express exactly (the holtwinters list-
+    * carry pattern). Slot m ↔ cell i is i = (2m + d%2 + d − w)/2 —
+    * the numerator is provably even, so floor-vs-truncate division
+    * semantics cannot diverge between engines. */
+  def dtw(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val arr = h1
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000)).cast("long").as("q"))
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("q"))))
+        .as("ps"))
+      .select(col("event_type"), expr("transform(ps, p -> p.q)").as("qs"),
+        size(col("ps")).cast("long").as("n"))
+    val pairs = arr
+      .select(col("event_type").as("ma"), col("qs").as("qsa"),
+        col("n").as("na"))
+      .join(arr.select(col("event_type").as("mb"), col("qs").as("qsb"),
+        col("n").as("nb")), col("ma") < col("mb"))
+      .select(col("ma"), col("mb"), least(col("na"), col("nb")).as("l"),
+        expr("slice(qsa, 1, CAST(least(na, nb) AS INT))").as("qa"),
+        expr("slice(qsb, 1, CAST(least(na, nb) AS INT))").as("qb"))
+    dtwFromPairs(pairs)
+  }
+
+  /** The banded DP over a (ma, mb, l, qa, qb) pair relation — factored
+    * so the spec can drive it with crafted sequences against a driver-
+    * side reference DP. */
+  private[graft] def dtwFromPairs(pairs: DataFrame): DataFrame = {
+    val W = 24
+    val inf = "900000000000000000L"
+    val iE = s"((2 * m + (dd % 2) + dd - $W) DIV 2)"
+    val par = "(dd % 2)"
+    val cost = s"abs(try_element_at(qa, CAST($iE + 1 AS INT)) - " +
+      s"try_element_at(qb, CAST(dd - $iE + 1 AS INT)))"
+    val pred1 =
+      s"IF(m - 1 + $par >= 0 AND m - 1 + $par <= $W, " +
+        s"element_at(acc.p1, CAST(m + $par AS INT)), $inf)"
+    val pred2 =
+      s"IF(m + $par <= $W, " +
+        s"element_at(acc.p1, CAST(m + $par + 1 AS INT)), $inf)"
+    val pred3 = "element_at(acc.p2, CAST(m + 1 AS INT))"
+    val valid = s"$iE >= 0 AND $iE < l AND dd - $iE >= 0 AND " +
+      s"dd - $iE < l AND abs(2 * $iE - dd) <= $W"
+    val newv = s"IF(NOT ($valid), $inf, least($inf, " +
+      s"$cost + least($pred1, $pred2, $pred3)))"
+    val base = s"named_struct(" +
+      s"'p1', transform(sequence(0L, ${W}L), m -> " +
+      s"IF(m = ${W / 2}L, abs(element_at(qa, 1) - element_at(qb, 1)), " +
+      s"$inf)), " +
+      s"'p2', transform(sequence(0L, ${W}L), m -> $inf))"
+    val fold = s"aggregate(sequence(1L, 2L * l - 2L), $base, " +
+      s"(acc, dd) -> named_struct(" +
+      s"'p1', transform(sequence(0L, ${W}L), m -> $newv), " +
+      s"'p2', acc.p1), " +
+      s"acc -> element_at(acc.p1, ${W / 2 + 1}))"
+    pairs
+      .select(col("ma"), col("mb"), col("l"),
+        expr(s"IF(l < 2, abs(element_at(qa, 1) - element_at(qb, 1)), " +
+          s"$fold)").as("dtwq"))
+      .select(col("ma"), col("mb"), col("l"),
+        Det.r4(col("dtwq").cast("double") / lit(10000.0)).as("dtw_dist"),
+        Det.r4(col("dtwq").cast("double") / lit(10000.0) /
+          col("l").cast("double")).as("dtw_norm"))
+      .orderBy("ma", "mb")
+  }
+
   /** Autocorrelation function at lags 1–3 per series (Box–Jenkins) —
     * the "is this metric periodic / mean-reverting / trending"
     * diagnostic behind seasonality detection and forecast-model choice.
@@ -2482,6 +2687,9 @@ object TimeSeriesOps {
     "q_ts_linreg" -> linearRegression _,
     "q_ts_theilsen" -> theilSen _,
     "q_ts_cusum" -> cusum _,
+    "q_ts_pettitt" -> pettitt _,
+    "q_ts_sax" -> sax _,
+    "q_ts_dtw" -> dtw _,
     "q_ts_ewma" -> ewma _,
     "q_ts_multiply_series" -> multiplySeries _,
     "q_ts_holt_forecast" -> holtForecast _,
@@ -3684,6 +3892,155 @@ object TimeSeriesOps {
         |FROM r JOIN m USING (event_type)
         |WHERE r.i = m.n
         |ORDER BY r.event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_pettitt" -> {
+      // midrank identity U_t = t(n+1) − Σ_{i≤t} r2_i with the always-
+      // integer r2 = 2·midrank (the q_ts_spearman tie discipline);
+      // λ products in DECIMAL(38,0) mirroring the Spark side
+      val lam = "CAST(6 * CAST(k_stat AS DECIMAL(19,0)) * " +
+        "CAST(k_stat AS DECIMAL(19,0)) AS DOUBLE) / " +
+        "CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) * " +
+        "CAST(n + 1 AS DECIMAL(19,0)) AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, bucket, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY v NULLS FIRST, bucket NULLS FIRST) AS rn
+        |  FROM h1),
+        |r2 AS (
+        |  SELECT event_type, bucket,
+        |         CAST(2 * min(rn) OVER (PARTITION BY event_type, v)
+        |           + count(*) OVER (PARTITION BY event_type, v) - 1
+        |           AS BIGINT) AS r2
+        |  FROM r),
+        |u AS (
+        |  SELECT event_type, bucket,
+        |         CAST(row_number() OVER w AS BIGINT) AS t,
+        |         CAST(sum(r2) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS w2,
+        |         CAST(count(*) OVER (PARTITION BY event_type)
+        |           AS BIGINT) AS n
+        |  FROM r2
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket NULLS FIRST)),
+        |s AS (
+        |  SELECT event_type, bucket, t, n,
+        |         t * (n + 1) - w2 AS u, abs(t * (n + 1) - w2) AS k_stat
+        |  FROM u WHERE t < n),
+        |p AS (
+        |  SELECT event_type, bucket, n, u, k_stat,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY k_stat DESC NULLS LAST, t NULLS FIRST) AS pk
+        |  FROM s)
+        |SELECT event_type, n, k_stat, bucket AS cp_bucket,
+        |       CAST(sign(u) AS BIGINT) AS shift_dir,
+        |       ${Det.r4Sql(lam)} AS lambda
+        |FROM p WHERE pk = 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_sax" -> {
+      // cross-multiplied z-threshold compare on exact integers; m2 as
+      // DECIMAL(9,0) × DECIMAL(28,0) → DECIMAL(38,0), mirroring Spark
+      val m2 = "CAST(CAST(n AS DECIMAL(9,0)) * CAST(ss AS DECIMAL(28,0))" +
+        " - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) AS DOUBLE)"
+      val e = "CAST(n * sq - c * s AS DOUBLE)"
+      val thr = s"CAST(c AS DOUBLE) * sqrt($m2)"
+      val b = "CAST(0.6745 AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS BIGINT) - 1 AS idx,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q
+        |  FROM h1),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS s,
+        |         sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+        |           AS ss
+        |  FROM x GROUP BY 1),
+        |fr AS (
+        |  SELECT event_type, idx // 24 AS f,
+        |         CAST(sum(q) AS BIGINT) AS sq,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM x GROUP BY 1, 2),
+        |sy AS (
+        |  SELECT fr.event_type, fr.f, st.n, st.s, st.ss,
+        |         CASE WHEN $e < -$b * $thr THEN 'a'
+        |              WHEN $e < 0.0 THEN 'b'
+        |              WHEN $e < $b * $thr THEN 'c'
+        |              ELSE 'd' END AS sym
+        |  FROM fr JOIN st USING (event_type))
+        |SELECT event_type, max(n) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       string_agg(sym, '' ORDER BY f NULLS FIRST) AS sax_word,
+        |       ${Det.r4Sql("CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 10000.0")} AS mean_v,
+        |       ${Det.r4Sql("sqrt(CAST(CAST(max(n) AS DECIMAL(9,0)) * CAST(max(ss) AS DECIMAL(28,0)) - CAST(max(s) AS DECIMAL(19,0)) * CAST(max(s) AS DECIMAL(19,0)) AS DOUBLE)) / CAST(max(n) AS DOUBLE) / 10000.0")} AS sd_v
+        |FROM sy GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_dtw" -> {
+      // anti-diagonal DP on exact integers, two 25-slot LISTs carried
+      // through the recursion (the holtwinters list pattern); slot→cell
+      // numerator is provably even so // vs DIV cannot diverge
+      val inf = "900000000000000000"
+      val iE = "((2 * m + ((dd + 1) % 2) + (dd + 1) - 24) // 2)"
+      val par = "((dd + 1) % 2)"
+      val cost = s"abs(qa[$iE + 1] - qb[(dd + 1) - $iE + 1])"
+      val pred1 = s"CASE WHEN m - 1 + $par >= 0 AND m - 1 + $par <= 24" +
+        s" THEN p1[m + $par] ELSE $inf END"
+      val pred2 = s"CASE WHEN m + $par <= 24" +
+        s" THEN p1[m + $par + 1] ELSE $inf END"
+      val pred3 = "p2[m + 1]"
+      val valid = s"$iE >= 0 AND $iE < l AND (dd + 1) - $iE >= 0 AND " +
+        s"(dd + 1) - $iE < l AND abs(2 * $iE - (dd + 1)) <= 24"
+      val newv = s"CASE WHEN NOT ($valid) THEN $inf ELSE least($inf, " +
+        s"$cost + least($pred1, $pred2, $pred3)) END"
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q
+        |  FROM h1),
+        |arr AS (
+        |  SELECT event_type, list(q ORDER BY bucket NULLS FIRST) AS qs,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM x GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS ma, b.event_type AS mb,
+        |         least(a.n, b.n) AS l,
+        |         list_slice(a.qs, 1, CAST(least(a.n, b.n) AS INT)) AS qa,
+        |         list_slice(b.qs, 1, CAST(least(a.n, b.n) AS INT)) AS qb
+        |  FROM arr a JOIN arr b ON a.event_type < b.event_type),
+        |rec AS (
+        |  SELECT ma, mb, l, qa, qb, CAST(0 AS BIGINT) AS dd,
+        |         list_transform(generate_series(CAST(0 AS BIGINT),
+        |           CAST(24 AS BIGINT)), m -> CASE WHEN m = 12
+        |             THEN abs(qa[1] - qb[1])
+        |             ELSE $inf END) AS p1,
+        |         list_transform(generate_series(CAST(0 AS BIGINT),
+        |           CAST(24 AS BIGINT)), m -> $inf) AS p2
+        |  FROM p
+        |  UNION ALL
+        |  SELECT ma, mb, l, qa, qb, dd + 1,
+        |         list_transform(generate_series(CAST(0 AS BIGINT),
+        |           CAST(24 AS BIGINT)), m -> $newv),
+        |         p1
+        |  FROM rec WHERE dd < 2 * l - 2)
+        |SELECT ma, mb, l,
+        |       ${Det.r4Sql("CAST(p1[13] AS DOUBLE) / 10000.0")} AS dtw_dist,
+        |       ${Det.r4Sql("CAST(p1[13] AS DOUBLE) / 10000.0 / CAST(l AS DOUBLE)")} AS dtw_norm
+        |FROM rec WHERE dd = 2 * l - 2
+        |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
     },
     "q_ts_theilsen" ->
       s"""WITH h1 AS (

@@ -86,9 +86,24 @@ object Det {
 
   /** Exact sum as DOUBLE: per-row DECIMAL(18,4) cast, decimal sum, cast out.
     * Every step is exact for testdata magnitudes in both engines. */
-  def dsum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+  // NOT `sum(decimal).cast("double")`: past 2^53 the engines' one-shot
+  // decimal→double casts disagree by an ulp (caught by the sf1 sweep on
+  // q_tpch_pricing's sum_charge ≈ 5e16 scaled). Summing the exact scaled
+  // BIGINT and dividing in double is the same value below 2^53 and
+  // deterministic above it (scaled-sum bound |Σ|·10⁴ < 2^63; past that,
+  // two-level decimal agg).
+  def dsum4(c: Column): Column =
+    sumScaled(c, 4).cast("double") / lit(10000.0)
   def dsum4Sql(x: String): String =
-    s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+    s"(CAST(sum(CAST($x AS DECIMAL(18,4)) * 10000) AS BIGINT) / 10000.0)"
+
+  /** [[dsum4]] at 6 decimals — for true-6-decimal products like TPC-H
+    * charge = price·(1−disc)·(1+tax); same scaled-BIGINT discipline. */
+  def dsum6(c: Column): Column =
+    sum((c.cast("decimal(18,6)") * lit(1000000L)).cast("long"))
+      .cast("double") / lit(1000000.0)
+  def dsum6Sql(x: String): String =
+    s"(CAST(sum(CAST($x AS DECIMAL(18,6)) * 1000000) AS BIGINT) / 1000000.0)"
 
   /** Cross-engine-deterministic half-up round to 4 places for DOUBLE input:
     * floor(x·10⁴ + 0.5)/10⁴ — plain IEEE ops, identical text both sides. */

@@ -1457,4 +1457,22 @@ class LlmSpec extends AnyFunSuite {
         s"bracket broken for ($lang,$tok): mg=$mg exact=$ex cms=$cms")
     }
   }
+
+  test("winnowing guarantee: a shared >= k+w-1 token run always collides") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1 and 2 share a 6-token run (k=3, w=4 -> k+w-1=6) inside
+    // otherwise fully disjoint vocabularies; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 q1 q2 q3 q4 q5 q6 a6 a7 a8 a9 a10"),
+      (2L, "b1 b2 b3 b4 q1 q2 q3 q4 q5 q6 b5 b6 b7 b8 b9 b10 b11"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15"))
+      .toDF("doc_id", "text")
+    val pairs = graft.llm.TextOps.winnowingOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 1L,
+      s"guaranteed collision missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"disjoint docs must not pair: $pairs")
+  }
 }

@@ -236,4 +236,64 @@ class RelationalSpec extends AnyFunSuite {
     val n = RelationalOps.explodeTokens(spark, sf).collect().map(_.getLong(1))
     assert(n.length == 20 && n.zip(n.tail).forall { case (a, b) => a >= b })
   }
+
+  test("skewkurt matches a driver-side exact-moment reference") {
+    import org.apache.spark.sql.functions.col
+    val got = RelationalOps.aggSkewKurt(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val qs = graft.io.Tables.lineitem(spark, sf)
+      .select(col("l_linestatus"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), BigInt(math.round(r.getDouble(1) * 100))))
+      .groupBy(_._1)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    qs.foreach { case (k, rows) =>
+      val v = rows.map(_._2)
+      val n = v.length.toDouble
+      val m1 = v.sum.toDouble / n
+      val r2 = v.map(x => x * x).sum.toDouble / n
+      val r3 = v.map(x => x * x * x).sum.toDouble / n
+      val r4m = v.map(x => x * x * x * x).sum.toDouble / n
+      val m2 = r2 - m1 * m1
+      val m3 = r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1
+      val m4 = r4m - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 -
+        3.0 * m1 * m1 * m1 * m1
+      val g = got(k)
+      assert(g.getDouble(2) == r4(m1 / 100.0), s"mean $k")
+      assert(g.getDouble(3) == r4(math.sqrt(m2) / 100.0), s"sd $k")
+      assert(g.getDouble(4) == r4(m3 / (m2 * math.sqrt(m2))), s"skew $k")
+      assert(g.getDouble(5) == r4(m4 / (m2 * m2) - 3.0), s"kurt $k")
+    }
+  }
+
+  test("kaplan-meier matches a driver-side product-limit reference") {
+    import org.apache.spark.sql.functions.col
+    val got = RelationalOps.kaplanMeier(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)) // ms precision ok: testdata ts are µs-aligned
+    val end = ev.map(_._2).max
+    val obs = ev.groupBy(_._1).iterator.map { case (_, es) =>
+      val ts = es.map(_._2)
+      val dur = (ts.max - ts.min) / 86400000L
+      (dur, ts.max >= end - 7L * 86400000L)
+    }.toSeq
+    val byDur = obs.groupBy(_._1).toSeq.sortBy(_._1)
+    var s = 1.0; var atRisk = obs.size.toLong
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val ref = byDur.map { case (dur, rows) =>
+      val d = rows.count(!_._2).toLong; val c = rows.count(_._2).toLong
+      val r = atRisk
+      s = s * (1.0 - d.toDouble / r.toDouble)
+      atRisk -= (d + c)
+      (dur, r, d, c, r4(s))
+    }
+    val gotT = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq
+    assert(gotT == ref, s"km: $gotT vs $ref")
+    // survival is non-increasing and within [0, 1]
+    val sv = gotT.map(_._5)
+    assert(sv.zip(sv.tail).forall { case (a, b) => b <= a })
+    assert(sv.forall(x => x >= 0.0 && x <= 1.0))
+  }
 }

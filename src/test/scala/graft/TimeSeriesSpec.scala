@@ -455,4 +455,101 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(metrics.exists(_.contains("host0")) &&
       metrics.exists(_.contains("host2")))
   }
+
+  test("sax word matches a driver-side BigInt reference per series") {
+    val rows = TimeSeriesOps.sax(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hourlySeries = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val n = r.getLong(1); val nf = r.getLong(2)
+      val word = r.getString(3)
+      assert(nf == (n + 23) / 24 && word.length == nf.toInt, s"$r")
+      assert(word.forall(c => c >= 'a' && c <= 'd'), s"$r")
+      // reference: exact integer cross-multiplied compare, like the op
+      val qs = hourlySeries(et).sortBy(_.getTimestamp(1).getTime)
+        .map(x => BigInt(math.round(x.getDouble(2) * 10000)))
+      val s = qs.sum; val ss = qs.map(q => q * q).sum
+      val nn = BigInt(qs.length)
+      val m2 = (nn * ss - s * s).toDouble
+      val ref = qs.grouped(24).map { fr =>
+        val e = (nn * fr.sum - BigInt(fr.length) * s).toDouble
+        val thr = fr.length.toDouble * math.sqrt(m2)
+        if (e < -0.6745 * thr) 'a' else if (e < 0.0) 'b'
+        else if (e < 0.6745 * thr) 'c' else 'd'
+      }.mkString
+      assert(word == ref, s"$et: $word != $ref")
+    }
+  }
+
+  test("dtw matches a driver-side banded DP; absorbs a phase shift") {
+    val ss = spark
+    import ss.implicits._
+    def refDtw(a: Array[Long], b: Array[Long], w: Int): Long = {
+      val n = a.length
+      val inf = 900000000000000000L
+      val d = Array.fill(n, n)(inf)
+      for (i <- 0 until n; j <- 0 until n if math.abs(i - j) <= w) {
+        val c = math.abs(a(i) - b(j))
+        val best =
+          if (i == 0 && j == 0) 0L
+          else Seq(
+            if (i > 0) d(i - 1)(j) else inf,
+            if (j > 0) d(i)(j - 1) else inf,
+            if (i > 0 && j > 0) d(i - 1)(j - 1) else inf).min
+        d(i)(j) = math.min(inf, c + best)
+      }
+      d(n - 1)(n - 1)
+    }
+    // b = a phase-shifted by 3 steps; c = unrelated sawtooth
+    val n = 60
+    val qa = Array.tabulate(n)(i => ((i * 37) % 101 * 10000).toLong)
+    val qb = Array.tabulate(n)(i =>
+      (((i + 3) * 37) % 101 * 10000).toLong)
+    val qc = Array.tabulate(n)(i => ((i % 7) * 25000).toLong)
+    val pairs = Seq(("a", "b", n.toLong, qa.toSeq, qb.toSeq),
+      ("a", "c", n.toLong, qa.toSeq, qc.toSeq))
+      .toDF("ma", "mb", "l", "qa", "qb")
+    val got = TimeSeriesOps.dtwFromPairs(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expAb = r4(refDtw(qa, qb, 24) / 10000.0)
+    val expAc = r4(refDtw(qa, qc, 24) / 10000.0)
+    assert(got(("a", "b")) == expAb, s"ab: ${got(("a", "b"))} != $expAb")
+    assert(got(("a", "c")) == expAc, s"ac: ${got(("a", "c"))} != $expAc")
+    // the elastic alignment absorbs the shift: far below raw Euclidean
+    val eucAb = qa.zip(qb).map(p => math.abs(p._1 - p._2)).sum / 10000.0
+    assert(got(("a", "b")) < 0.25 * eucAb,
+      s"dtw ${got(("a", "b"))} not << euclidean $eucAb")
+  }
+
+  test("pettitt matches brute-force U_t on a tied, shifted series") {
+    val ss = spark
+    import ss.implicits._
+    // level shift of +3 at t=120 with heavy ties (values cycle mod 7)
+    val n = 300
+    val xs = (0 until n).map(i =>
+      if (i < 120) (i % 7).toDouble else (i % 7).toDouble + 3.0)
+    val df = xs.zipWithIndex
+      .map { case (v, i) => ("m", (i + 1).toLong, v) }
+      .toDF("event_type", "bucket", "v")
+    val got = TimeSeriesOps.pettittFromSeries(df).collect()(0)
+    // brute force: U_t = sum_{i<=t} sum_{j>t} sgn(x_j - x_i)
+    val us = (1 until n).map { t =>
+      var u = 0L
+      for (i <- 0 until t; j <- t until n)
+        u += java.lang.Double.compare(xs(j), xs(i)).sign
+      (t, u)
+    }
+    val k = us.map(p => math.abs(p._2)).max
+    val (tStar, uStar) = us.find(p => math.abs(p._2) == k).get
+    val lam = math.floor(
+      (6.0 * k * k) / (n.toDouble * n * (n + 1)) * 10000.0 + 0.5) / 10000.0
+    assert(got.getLong(1) == n.toLong, s"n: $got")
+    assert(got.getLong(2) == k, s"k_stat: $got vs $k")
+    assert(got.getLong(3) == tStar.toLong, s"cp_bucket: $got vs $tStar")
+    assert(got.getLong(4) == uStar.sign, s"shift_dir: $got")
+    assert(got.getDouble(5) == lam, s"lambda: $got vs $lam")
+  }
 }
