@@ -712,7 +712,71 @@ object VectorOps {
             sqrt(col("sbb").cast("double")))).as("centroid_cosine"))
   }
 
+  /** SEMANTIC DEDUPLICATION (SemDeDup — Abbas et al. 2023): drop
+    * documents whose embeddings are near-duplicates of a kept
+    * representative inside the same semantic bucket — the pruning
+    * stage LLM corpora run AFTER exact/fuzzy text dedup, catching
+    * paraphrases and re-renderings that share no n-grams.
+    *
+    * Bucketing here is the deterministic 8-bit sign signature of the
+    * first 8 dimensions (the embed_neardup sign-LSH family) so the
+    * pairwise stage is an EQUI-join, never all-pairs; the production
+    * path at 100 TB swaps in [[kmeansConvergedPar]] cluster ids as
+    * the bucket key and caps bucket fanout — the pruning kernel below
+    * is identical. Pruning is EXACT integer math end-to-end: 1e6-
+    * floor-quantized coordinates, BIGINT dots/norms, and the cosine
+    * threshold cos ≥ τ (τ = 2/5, tuned to the fixture's cosine range;
+    * production SemDeDup runs τ ≈ 0.9 on real embeddings) tested as
+    * (5·dot)² ≥ (2·‖a‖²)·(2·‖b‖²) in DECIMAL(38,0) — no float compare
+    * anywhere, so the oracle match is structural, not luck. Headroom:
+    * 64 dims × (1e6)² quantized coords bound dot and each norm² by
+    * 6.4e13, so every DECIMAL(19,0) factor and the DECIMAL(38,0)
+    * product stay exact. A vector is pruned by its LOWEST-id ≥ τ
+    * neighbor (greedy-by-id representative, deterministic). */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val flat = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("xf").cast("double") * lit(1000000.0)).cast("long")
+          .as("qx"))
+      .localCheckpoint(eager = false)
+    val sgn = flat.where(col("dim") <= 7).groupBy(col("vec_id"))
+      .agg(sum(when(col("qx") >= 0,
+        expr("shiftleft(1L, CAST(dim AS INT))")).otherwise(0L))
+        .as("bucket"))
+    val nr = flat.groupBy(col("vec_id"))
+      .agg(sum(col("qx") * col("qx")).as("n2"))
+    val fa = flat.join(sgn, "vec_id")
+    val dots = fa.select(col("vec_id").as("a_id"), col("bucket"),
+      col("dim"), col("qx").as("qa"))
+      .join(fa.select(col("vec_id").as("b_id"), col("bucket").as("bk_b"),
+        col("dim").as("dim_b"), col("qx").as("qb")),
+        col("bucket") === col("bk_b") && col("dim") === col("dim_b") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("bucket"))
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    val cand = dots
+      .join(nr.select(col("vec_id").as("a_id"), col("n2").as("na2")),
+        "a_id")
+      .join(nr.select(col("vec_id").as("b_id"), col("n2").as("nb2")),
+        "b_id")
+      .where(col("dot") > 0 &&
+        dc(col("dot") * 5) * dc(col("dot") * 5) >=
+          dc(col("na2") * 2) * dc(col("nb2") * 2))
+    val wB = Window.partitionBy(col("b_id")).orderBy(col("a_id"))
+    cand.withColumn("rk", row_number().over(wB))
+      .where(col("rk") === 1)
+      .select(col("b_id").as("pruned_id"), col("a_id").as("kept_id"),
+        col("bucket"),
+        Det.r4(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double")))).as("cos_kept"))
+      .orderBy("pruned_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_semdedup" -> semDedup _,
     "q_llm_embed_drift" -> embedDrift _,
     "q_llm_mrl_tradeoff" -> mrlTradeoff _,
     "q_llm_nprobe_tradeoff" -> nprobeTradeoff _,
@@ -794,6 +858,47 @@ object VectorOps {
       |ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST LIMIT 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_semdedup" ->
+      s"""WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0)
+        |           AS BIGINT) AS qx
+        |  FROM embeddings),
+        |sgn AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN qx >= 0 THEN (1 << (d - 1))
+        |           ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM flat WHERE d <= 8 GROUP BY 1),
+        |nr AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2
+        |       FROM flat GROUP BY 1),
+        |fa AS (SELECT f.vec_id, s.bucket, f.d, f.qx
+        |       FROM flat f JOIN sgn s USING (vec_id)),
+        |dots AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+        |         CAST(sum(a.qx * b.qx) AS BIGINT) AS dot
+        |  FROM fa a JOIN fa b ON a.bucket = b.bucket AND a.d = b.d
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3),
+        |cand AS (
+        |  SELECT dots.a_id, dots.b_id, dots.bucket, dots.dot,
+        |         na.n2 AS na2, nb.n2 AS nb2
+        |  FROM dots JOIN nr na ON na.vec_id = dots.a_id
+        |  JOIN nr nb ON nb.vec_id = dots.b_id
+        |  WHERE dot > 0
+        |    AND CAST(dot * 5 AS DECIMAL(19,0)) * CAST(dot * 5
+        |          AS DECIMAL(19,0))
+        |        >= CAST(na.n2 * 2 AS DECIMAL(19,0)) * CAST(nb.n2 * 2
+        |          AS DECIMAL(19,0))),
+        |pr AS (
+        |  SELECT b_id AS pruned_id, a_id AS kept_id, bucket, dot, na2,
+        |         nb2,
+        |         row_number() OVER (PARTITION BY b_id
+        |           ORDER BY a_id NULLS FIRST) AS rk
+        |  FROM cand)
+        |SELECT pruned_id, kept_id, bucket,
+        |       ${r4Sql("CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))")} AS cos_kept
+        |FROM pr WHERE rk = 1
+        |ORDER BY pruned_id NULLS FIRST""".stripMargin,
     "q_llm_embed_drift" ->
       s"""WITH q AS (
         |  SELECT vec_id % 2 AS h, generate_subscripts(embedding, 1) AS dim,
