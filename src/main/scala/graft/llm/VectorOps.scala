@@ -775,6 +775,79 @@ object VectorOps {
       .orderBy("pruned_id")
   }
 
+  /** A raw vector row (the streaming-gate input shape). */
+  final case class VecRow(vec_id: Long, embedding: Array[Float])
+
+  /** One kept-set entry for [[semDedupGate]]: pre-quantized coords,
+    * norm² and sign-LSH bucket — model-sized material (the output of
+    * a prior batch [[semDedup]] pass), broadcast to every executor. */
+  final case class SemKept(vec_id: Long, bucket: Long, qx: Array[Long],
+    n2: Long)
+
+  private def quantize(v: Array[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+
+  private def signBucket(qx: Array[Long]): Long = {
+    var b = 0L; var i = 0
+    while (i < 8 && i < qx.length) {
+      if (qx(i) >= 0) b |= (1L << i); i += 1
+    }
+    b
+  }
+
+  /** Build the broadcast kept-set from a parquet embeddings table —
+    * driver-side by design: the kept-set is the MODEL here (the ANN
+    * codebook rule), bounded by the curated representative count, not
+    * the corpus. */
+  def semKeptSet(spark: SparkSession, sfDir: String): Array[SemKept] = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir).as[VecRow].collect().map { r =>
+      val qx = quantize(r.embedding)
+      var n2 = 0L; qx.foreach(q => n2 += q * q)
+      SemKept(r.vec_id, signBucket(qx), qx, n2)
+    }
+  }
+
+  /** STREAMING TWIN of [[semDedup]] — admission-time semantic gating:
+    * each arriving vector is tested against the broadcast kept-set in
+    * its own sign-LSH bucket with the IDENTICAL exact integer kernel
+    * (1e6-floor quantize, BigInt (5·dot)² ≥ (2·n²ₐ)(2·n²ᵦ) for
+    * τ = 2/5), pruning against the LOWEST-id ≥ τ neighbor with
+    * kept_id < vec_id. Stateless map ⇒ runs unchanged on a stream
+    * (the s_image_gate shape); spec'd decision-equal to the batch
+    * pass over the same corpus. */
+  def semDedupGate(vecs: org.apache.spark.sql.Dataset[VecRow],
+      kept: Array[SemKept]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val byBucket = kept.groupBy(_.bucket)
+      .map { case (b, ks) => (b, ks.sortBy(_.vec_id)) }
+    val bc = vecs.sparkSession.sparkContext.broadcast(byBucket)
+    vecs.map { v =>
+      val qx = quantize(v.embedding)
+      var n2 = 0L; qx.foreach(q => n2 += q * q)
+      val bucket = signBucket(qx)
+      var keptId = -1L
+      val cands = bc.value.getOrElse(bucket, Array.empty[SemKept])
+      var ci = 0
+      while (keptId < 0 && ci < cands.length) {
+        val k = cands(ci)
+        if (k.vec_id < v.vec_id) {
+          var dot = 0L
+          val n = math.min(qx.length, k.qx.length)
+          var j = 0
+          while (j < n) { dot += qx(j) * k.qx(j); j += 1 }
+          if (dot > 0) {
+            val l = BigInt(dot) * 5
+            if (l * l >= BigInt(n2) * 2 * (BigInt(k.n2) * 2))
+              keptId = k.vec_id // candidates sorted by id: first = lowest
+          }
+        }
+        ci += 1
+      }
+      (v.vec_id, keptId >= 0, keptId)
+    }.toDF("vec_id", "pruned", "kept_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_semdedup" -> semDedup _,
     "q_llm_embed_drift" -> embedDrift _,

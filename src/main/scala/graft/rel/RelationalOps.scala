@@ -876,6 +876,108 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** One k-core peel: recount degrees over the surviving symmetric
+    * edge set, keep edges whose BOTH endpoints still have deg ≥ k.
+    * Two node-key semi-joins + one groupBy — linear per round, no
+    * driver data. The alive set checkpoints once for its two
+    * consumers (union/semi children do not CSE). */
+  private def kcorePeel(sym: DataFrame, k: Int): DataFrame = {
+    val alive = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .where(col("d") >= k).select(col("src").as("n"))
+      .localCheckpoint(eager = false)
+    sym.join(alive.select(col("n").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("n").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint(eager = false)
+  }
+
+  /** K-CORE DECOMPOSITION (k = 3) over the co-purchase graph — the
+    * classic "dense sub-community" peel: repeatedly delete nodes of
+    * degree < k until the k-core remains. Oracle form unrolls SIX
+    * integer-exact peel rounds (the q_llm_kmeans unrolled-rounds
+    * discipline: every round is identical relational text in both
+    * engines, so a genuinely iterative distributed algorithm
+    * hash-matches bit-exactly); [[kcoreConverged]] is the production
+    * twin that peels to an actual fixpoint. Top-20 survivors under
+    * the (core_deg DESC, node) total order. */
+  def partKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sym0, _) = coPurchaseGraph(spark, sfDir, Some(4))
+    var e = sym0
+    for (_ <- 1 to 6) e = kcorePeel(e, 3)
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+      .orderBy(col("core_deg").desc, col("node"))
+      .limit(20)
+  }
+
+  /** Convergence-stopped k-core peel (production twin of
+    * [[partKcore]]): peels until the surviving edge count is stable —
+    * the count is the round's only driver-side value (one Long per
+    * round, the partPagerankConverged pattern). `forcedRounds` > 0
+    * pins the round budget for the bit-equality spec vs the unrolled
+    * oracle form. */
+  def kcoreConverged(spark: SparkSession, sfDir: String, k: Int = 3,
+      forcedRounds: Int = 0, maxRounds: Int = 64): DataFrame = {
+    val (sym0, _) = coPurchaseGraph(spark, sfDir, Some(4))
+    var e = sym0
+    if (forcedRounds > 0) {
+      for (_ <- 1 to forcedRounds) e = kcorePeel(e, k)
+    } else {
+      var prev = e.count()
+      var stable = false
+      var round = 0
+      while (!stable && round < maxRounds) {
+        e = kcorePeel(e, k)
+        val n = e.count()
+        stable = n == prev
+        prev = n
+        round += 1
+      }
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+      .orderBy(col("core_deg").desc, col("node"))
+      .limit(20)
+  }
+
+  /** NEIGHBORHOOD JACCARD SIMILARITY over the co-purchase graph —
+    * "parts bought alongside the same other parts": for each node
+    * pair sharing a neighbor, |N∩|/|N∪| with |N∪| = d₁ + d₂ − |N∩|.
+    * Candidates come from the apex wedge EQUI-join (only pairs with
+    * ≥ 1 common neighbor ever materialize — never an all-pairs
+    * cross); the ranking key is the exact integer quotient
+    * (common · 10¹²) div union — cross-engine stable where a double
+    * ratio's ties are not (BIGINT-safe to ~9·10⁶ common neighbors;
+    * widen to DECIMAL(38,0) products past that). Top-15 under the
+    * (jq DESC, v1, v2) total order. */
+  def partJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false)
+    // codegen'd self-join on the apex beats map-side array explosion
+    // here (measured 1.98 vs 2.59 s at sf0.1): hub-node arrays
+    // concentrate the O(d²) pair generation into single interpreted
+    // lambda evaluations, while the join streams and AQE rebalances
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
+    val w1 = sym.select(col("src").as("apex"), col("dst").as("v1"))
+    val w2 = sym.select(col("src").as("apex"), col("dst").as("v2"))
+    w1.join(w2, "apex").where(col("v1") < col("v2"))
+      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("common_n"))
+      .join(deg.select(col("src").as("v1"), col("d").as("d1")), "v1")
+      .join(deg.select(col("src").as("v2"), col("d").as("d2")), "v2")
+      .select(col("v1"), col("v2"), col("common_n"),
+        (col("d1") + col("d2") - col("common_n")).as("union_n"),
+        expr("(common_n * 1000000000000L) div " +
+          "(d1 + d2 - common_n)").as("jq"))
+      .select(col("v1"), col("v2"), col("common_n"), col("union_n"),
+        col("jq"),
+        Det.r4(col("common_n").cast("double") /
+          col("union_n").cast("double")).as("jaccard"))
+      .orderBy(col("jq").desc, col("v1"), col("v2"))
+      .limit(15)
+  }
+
   /** Interval join: events bucketed into a 7-day window grid. The grid is
     * a handful of rows → broadcast; empty windows survive via left join. */
   def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2185,7 +2287,171 @@ object RelationalOps {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
 
+  /** SCD TYPE-2 DIMENSION BUILD — compress a change-event stream into
+    * versioned effective ranges (Kimball slowly-changing dimension):
+    * per user, consecutive runs of the same state collapse to one
+    * version row with [eff_from, eff_to) bounds; the open version has
+    * eff_to NULL and is_current = 1. Every window partitions by
+    * user_id with the (ts, event_id) total key, so the build is one
+    * user-key shuffle that scales with users, not a global sort.
+    * Output slices user_id % 10 = 0 (the pagerank oracle-slice rule:
+    * bounded verify payload, full-grain plan shape). */
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .where(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .where(col("prev_state").isNull ||
+        col("state") =!= col("prev_state"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("eff_from", col("ts"))
+      .withColumn("eff_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("state"),
+        col("eff_from"), col("eff_to"),
+        when(col("eff_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** KOLMOGOROV–SMIRNOV TWO-SAMPLE DRIFT TEST — the continuous
+    * counterpart of q_llm_chisq_drift: each event type's value
+    * distribution against the 'view' baseline. D = sup|F₁−F₂| never
+    * touches a float ECDF: per distinct value the cumulative counts
+    * (i, j) cross-multiply to |i·m − j·n| in DECIMAL(38,0) (exact at
+    * any count; the BIGINT product would cap near 3·10⁹ rows per
+    * side), and only the REPORTED d and λ = d·√(nm/(n+m)) are IEEE
+    * doubles of double-cast factors. One value-histogram aggregation
+    * + one per-type window over DISTINCT values — the scan never
+    * re-sorts raw rows. */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    def dc(c: Column) = c.cast("decimal(19,0)")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .localCheckpoint(eager = false) // test + baseline histograms
+    val tests = ev.where(col("event_type") =!= "view")
+      .groupBy(col("event_type").as("t"), col("value"))
+      .agg(count(lit(1)).as("c1"))
+    val base = ev.where(col("event_type") === "view")
+      .groupBy(col("value")).agg(count(lit(1)).as("c2"))
+    val types = tests.select(col("t")).distinct()
+    val merged = tests.select(col("t"), col("value"), col("c1"),
+        lit(0L).as("c2"))
+      .unionByName(broadcast(types).crossJoin(base)
+        .select(col("t"), col("value"), lit(0L).as("c1"), col("c2")))
+      .groupBy(col("t"), col("value"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+    val wCum = Window.partitionBy(col("t")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("t"))
+    merged
+      .withColumn("i", sum(col("c1")).over(wCum))
+      .withColumn("j", sum(col("c2")).over(wCum))
+      .withColumn("n", sum(col("c1")).over(wAll))
+      .withColumn("m", sum(col("c2")).over(wAll))
+      .groupBy(col("t"))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        max(abs(dc(col("i")) * dc(col("m")) -
+          dc(col("j")) * dc(col("n")))).as("dnum_dec"))
+      .select(col("t"), col("n"), col("m"),
+        col("dnum_dec").cast("long").as("d_num"),
+        Det.r4(col("dnum_dec").cast("double") /
+          (col("n").cast("double") * col("m").cast("double"))).as("d"),
+        Det.r4(col("dnum_dec").cast("double") /
+          (col("n").cast("double") * col("m").cast("double")) *
+          sqrt(col("n").cast("double") * col("m").cast("double") /
+            (col("n").cast("double") + col("m").cast("double"))))
+          .as("lam"))
+      .orderBy("t")
+  }
+
+  /** SCD2 POINT-IN-TIME ENRICHMENT — the canonical consumer of
+    * [[scd2Build]]: join each purchase fact to the dimension version
+    * EFFECTIVE at its timestamp. Expressed as the as-of union-window
+    * (the [[joinAsof]] technique): dimension-change rows and fact rows
+    * interleave in ONE per-user window ordered by the exact
+    * (ts, is_fact, event_id) key (dim-first at ties, so a fact at the
+    * change instant sees the NEW version — eff_from is inclusive) and
+    * the effective version/state LOCF onto each fact. One user-key
+    * shuffle instead of a version-interval theta-join whose range
+    * predicate cannot hash — the shape that survives a billion-row
+    * dimension. The shared slice scan checkpoints once (union
+    * children do not CSE). */
+  def scd2PitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .localCheckpoint(eager = false)
+    val w0 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dim = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w0))
+      .where(col("prev_state").isNull ||
+        col("state") =!= col("prev_state"))
+      .withColumn("version", row_number().over(w0).cast("long"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("version"), col("state"), lit(false).as("is_fact"),
+        lit(null).cast("double").as("value"))
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("state"),
+        lit(true).as("is_fact"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_fact"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("v_eff", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("s_eff", last(col("state"), ignoreNulls = true).over(w))
+      .where(col("is_fact"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("v_eff").as("version"), col("s_eff").as("state"))
+      .orderBy("event_id")
+  }
+
+  /** CATEGORICAL PURITY PROFILE — per-column data-quality audit over
+    * the warehouse's enum-ish columns: cardinality, modal share and
+    * Gini impurity 1 − Σ(c/n)². Counts stay exact BIGINTs; Σc² sums
+    * in DECIMAL(38,0) (order-free exact, the Det discipline) and is
+    * read back through BIGINT (exact below 2^63 — one-shot decimal→
+    * double casts past 2^53 are the r11 dsum ulp class); every ratio
+    * is then a single IEEE divide of double-cast factors (the r10
+    * double-before-product rule: n² would overflow BIGINT at 100-TB
+    * cardinalities). One column-pruned scan + one tiny shuffle per
+    * audited column — the 100-TB shape for profiling. */
+  def dqPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(df: DataFrame, colName: String): DataFrame =
+      df.select(col(colName).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .agg(lit(colName).as("column_name"),
+          sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("mode_n"),
+          sum(col("c").cast("decimal(19,0)") *
+            col("c").cast("decimal(19,0)")).cast("decimal(38,0)")
+            .cast("long").as("sumsq"))
+        .select(col("column_name"), col("n"), col("n_distinct"),
+          Det.r4(col("mode_n").cast("double") / col("n").cast("double"))
+            .as("top_share"),
+          Det.r4(lit(1.0) - col("sumsq").cast("double") /
+            (col("n").cast("double") * col("n").cast("double")))
+            .as("gini_impurity"))
+    profile(Tables.orders(spark, sfDir), "o_orderstatus")
+      .unionByName(profile(Tables.orders(spark, sfDir), "o_orderpriority"))
+      .unionByName(profile(Tables.customer(spark, sfDir), "c_mktsegment"))
+      .unionByName(profile(Tables.events(spark, sfDir), "event_type"))
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_scd2" -> scd2Build _,
+    "q_rel_scd2_join" -> scd2PitJoin _,
+    "q_dq_purity" -> dqPurity _,
+    "q_agg_ks_drift" -> ksDrift _,
     "q_upsert_snapshot" -> upsertSnapshot _,
     "q_time_travel" -> timeTravel _,
     "q_tpch_pricing" -> tpchPricingSummary _,
@@ -2229,6 +2495,8 @@ object RelationalOps {
     "q_dq_report" -> dqReport _,
     "q_part_pagerank" -> partPagerank _,
     "q_part_triangles" -> partTriangles _,
+    "q_part_kcore" -> partKcore _,
+    "q_part_jaccard" -> partJaccard _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -2281,7 +2549,122 @@ object RelationalOps {
 
   import Det.{dsum4Sql, dsum6Sql, davg4Sql, r4Sql}
 
+  /** One purity-profile SELECT per audited column (generated so the
+    * IEEE formula text is identical across the four rows). */
+  private def puritySql(table: String, c: String): String =
+    s"""SELECT '$c' AS column_name,
+      |       CAST(sum(cnt) AS BIGINT) AS n,
+      |       count(*) AS n_distinct,
+      |       ${Det.r4Sql("CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)")} AS top_share,
+      |       ${Det.r4Sql("1.0 - CAST(CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))) AS BIGINT) AS DOUBLE) / (CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE))")} AS gini_impurity
+      |FROM (SELECT $c AS v, count(*) AS cnt FROM $table GROUP BY 1)""".stripMargin
+
   private val oracleSqlBase: Map[String, String] = Map(
+    "q_rel_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+        |           AS prev_state
+        |  FROM events WHERE user_id % 10 = 0),
+        |c AS (
+        |  SELECT user_id, ts, event_id, state,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+        |           AS version,
+        |         lead(ts, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+        |           AS eff_to
+        |  FROM e WHERE prev_state IS NULL OR state <> prev_state)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        |       ts AS eff_from, eff_to,
+        |       CAST(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_current
+        |FROM c
+        |ORDER BY user_id NULLS FIRST, version NULLS FIRST""".stripMargin,
+    "q_agg_ks_drift" -> {
+      val dTxt = "CAST(dnum AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(m AS DOUBLE))"
+      val lamTxt = s"$dTxt * sqrt(CAST(n AS DOUBLE) * CAST(m AS DOUBLE)" +
+        " / (CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))"
+      s"""WITH tests AS (
+        |  SELECT event_type AS t, value, CAST(count(*) AS BIGINT) AS c1
+        |  FROM events WHERE event_type <> 'view' GROUP BY 1, 2),
+        |base AS (
+        |  SELECT value, CAST(count(*) AS BIGINT) AS c2
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |types AS (SELECT DISTINCT t FROM tests),
+        |merged AS (
+        |  SELECT t, value, CAST(sum(c1) AS BIGINT) AS c1,
+        |         CAST(sum(c2) AS BIGINT) AS c2
+        |  FROM (SELECT t, value, c1, CAST(0 AS BIGINT) AS c2 FROM tests
+        |        UNION ALL
+        |        SELECT types.t, base.value, CAST(0 AS BIGINT), c2
+        |        FROM types CROSS JOIN base)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT t, value,
+        |         CAST(sum(c1) OVER w AS BIGINT) AS i,
+        |         CAST(sum(c2) OVER w AS BIGINT) AS j,
+        |         CAST(sum(c1) OVER (PARTITION BY t) AS BIGINT) AS n,
+        |         CAST(sum(c2) OVER (PARTITION BY t) AS BIGINT) AS m
+        |  FROM merged
+        |  WINDOW w AS (PARTITION BY t ORDER BY value NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT t, max(n) AS n, max(m) AS m,
+        |         max(abs(CAST(i AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))
+        |           - CAST(j AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))))
+        |           AS dnum
+        |  FROM cum GROUP BY 1)
+        |SELECT t, n, m, CAST(dnum AS BIGINT) AS d_num,
+        |       ${Det.r4Sql(dTxt)} AS d,
+        |       ${Det.r4Sql(lamTxt)} AS lam
+        |FROM agg
+        |ORDER BY t NULLS FIRST""".stripMargin
+    },
+    "q_rel_scd2_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type, value
+        |  FROM events WHERE user_id % 10 = 0),
+        |g AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+        |           AS prev_state
+        |  FROM ev),
+        |dim AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+        |           AS BIGINT) AS version,
+        |         state, FALSE AS is_fact, CAST(NULL AS DOUBLE) AS value
+        |  FROM g WHERE prev_state IS NULL OR state <> prev_state),
+        |facts AS (
+        |  SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS version,
+        |         CAST(NULL AS VARCHAR) AS state, TRUE AS is_fact, value
+        |  FROM ev WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM dim UNION ALL SELECT * FROM facts),
+        |l AS (
+        |  SELECT *,
+        |         last_value(version IGNORE NULLS) OVER w AS v_eff,
+        |         last_value(state IGNORE NULLS) OVER w AS s_eff
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts NULLS FIRST, is_fact NULLS FIRST,
+        |      event_id NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, value, v_eff AS version,
+        |       s_eff AS state
+        |FROM l WHERE is_fact
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
+    "q_dq_purity" ->
+      Seq(puritySql("orders", "o_orderstatus"),
+        puritySql("orders", "o_orderpriority"),
+        puritySql("customer", "c_mktsegment"),
+        puritySql("events", "event_type"))
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY column_name NULLS FIRST"),
     "q_tpch_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       ${dsum4Sql("l_quantity")} AS sum_qty,
@@ -2807,6 +3190,51 @@ object RelationalOps {
         |ORDER BY rank_scaled DESC, node NULLS FIRST
         |LIMIT 20""".stripMargin
     },
+    "q_part_kcore" -> {
+      // every round CTE is referenced twice; MATERIALIZED stops DuckDB
+      // from inlining the chain (2^rounds re-evaluation + temp spill)
+      val rounds = (1 to 6).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT src AS n FROM e${i - 1}
+          |         GROUP BY 1 HAVING count(*) >= 3),
+          |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+          |        JOIN a$i s ON e.src = s.n
+          |        JOIN a$i d ON e.dst = d.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |       UNION ALL SELECT pb, pa FROM pairs),
+        |$rounds
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM e6 GROUP BY 1
+        |ORDER BY core_deg DESC NULLS LAST, node NULLS FIRST
+        |LIMIT 20""".stripMargin
+    },
+    "q_part_jaccard" ->
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        |        FROM sym GROUP BY 1),
+        |com AS (SELECT a.dst AS v1, b.dst AS v2,
+        |               CAST(count(*) AS BIGINT) AS common_n
+        |        FROM sym a JOIN sym b
+        |          ON a.src = b.src AND a.dst < b.dst
+        |        GROUP BY 1, 2)
+        |SELECT v1, v2, common_n,
+        |       d1.d + d2.d - common_n AS union_n,
+        |       (common_n * 1000000000000) // (d1.d + d2.d - common_n)
+        |         AS jq,
+        |       ${Det.r4Sql("CAST(common_n AS DOUBLE) / CAST(d1.d + d2.d - common_n AS DOUBLE)")} AS jaccard
+        |FROM com JOIN deg d1 ON com.v1 = d1.src
+        |JOIN deg d2 ON com.v2 = d2.src
+        |ORDER BY jq DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
+        |LIMIT 15""".stripMargin,
     // the twin enumerates via the plain ordered 3-way join; the Spark
     // side's degree-oriented wedge join finds the SAME triangle multiset
     "q_part_triangles" ->

@@ -94,6 +94,18 @@ case class FunnelHit(user_id: Long, stage: Long, stage_name: String,
 case class AttribEvent(user_id: Long, event_id: Long, event_type: String,
     ts: java.sql.Timestamp, value: Double)
 
+/** A typed state-change event for the live SCD2 maintainer. */
+case class Scd2Event(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, state: String)
+
+/** The open (current) SCD2 version per user. */
+case class Scd2Open(version: Long, state: String,
+    effFrom: java.sql.Timestamp)
+
+/** A CLOSED SCD2 version row emitted by [[Ingest.scd2Maintain]]. */
+case class Scd2Version(user_id: Long, version: Long, state: String,
+    eff_from: java.sql.Timestamp, eff_to: java.sql.Timestamp)
+
 /** Per-user live-attribution state: the most recent touch (click/view)
   * and the (ts, event_id) consumption frontier. */
 case class TouchState(touch: String, lastMs: Long, lastId: Long)
@@ -374,6 +386,42 @@ object Ingest {
     * (doc_id) fold order WITHIN each micro-batch so replays and tests
     * reproduce. State per key is one long; keys are languages/sources —
     * bounded, no watermark needed. */
+  /** LIVE SCD2 MAINTAINER — the streaming twin of
+    * [[graft.rel.RelationalOps.scd2Build]]: per user, track the open
+    * dimension version in state; a state-change CLOSES the open
+    * version (emits it with eff_to = change ts, Append mode) and
+    * opens the next. Fold order inside each micro-batch is the exact
+    * (ts-µs, event_id) batch key; CROSS-batch ordering is the
+    * delivery contract (the liveAttribution rule — feed in event-time
+    * order or front a watermark buffer). State per user is one open
+    * version — bounded, no timeout needed. Spec'd row-equal to the
+    * batch build's closed versions on an in-order feed. */
+  def scd2Maintain(events: Dataset[Scd2Event]): Dataset[Scd2Version] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Open, Scd2Version](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Scd2Event],
+            state: GroupState[Scd2Open]) =>
+          var open = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[Scd2Version]()
+          for (e <- rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))) {
+            if (open == null) {
+              open = Scd2Open(1L, e.state, e.ts)
+            } else if (e.state != open.state) {
+              out += Scd2Version(uid, open.version, open.state,
+                open.effFrom, e.ts)
+              open = Scd2Open(open.version + 1L, e.state, e.ts)
+            }
+          }
+          if (open != null) state.update(open)
+          out.iterator
+      }
+  }
+
   def budgetAdmit(docs: Dataset[StreamDoc],
       budget: Long): Dataset[AdmittedDoc] = {
     import docs.sparkSession.implicits._

@@ -754,6 +754,49 @@ object TimeSeriesOps {
       .orderBy("ma", "mb")
   }
 
+  /** MANN–KENDALL TREND TEST (Mann 1945, Kendall 1975) per series —
+    * the standard nonparametric "is this metric trending" monitor:
+    * S = Σ_{i<j} sign(vⱼ − vᵢ) over the hourly rollup, variance with
+    * the tie correction 18·Var(S) = n(n−1)(2n+5) − Σₜ t(t−1)(2t+5),
+    * z continuity-corrected. S and the ×18 variance stay exact
+    * BIGINTs (bounded ~2n³ — widen to DECIMAL(38,0) past ~10⁶ buckets
+    * per series); z is then one IEEE (s∓1)/√(var18/18) in identical
+    * text. The pair join is bucket<bucket2 WITHIN a series — honest
+    * O(buckets²) at rollup grain (≤720 hours), the kendallTau twin
+    * ([[kendallTauFast]]'s inversion count is the production path for
+    * long series). */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .localCheckpoint(eager = false) // pair join + tie grouping reuse it
+    val b = h1.select(col("event_type"), col("bucket").as("bucket2"),
+      col("v").as("v2"))
+    val pairs = h1.join(b, Seq("event_type"))
+      .where(col("bucket") < col("bucket2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("v2") > col("v"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("v2") < col("v"), 1L).otherwise(0L)).as("nm"))
+    val n1 = h1.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val t1 = h1.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("tcorr"))
+    pairs.join(n1, "event_type").join(t1, "event_type")
+      .select(col("event_type"), col("n"),
+        (col("np") - col("nm")).as("s_stat"),
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tcorr"))
+          .as("var18"))
+      .select(col("event_type"), col("n"), col("s_stat"), col("var18"),
+        Det.r4(when(col("s_stat") > 0,
+          (col("s_stat").cast("double") - lit(1.0)) /
+            sqrt(col("var18").cast("double") / lit(18.0)))
+          .when(col("s_stat") < 0,
+            (col("s_stat").cast("double") + lit(1.0)) /
+              sqrt(col("var18").cast("double") / lit(18.0)))
+          .otherwise(lit(0.0))).as("z"))
+      .orderBy("event_type")
+  }
+
   /** Strict inversions in `a` (pairs i<j with a(i) > a(j)) by counting
     * mergesort — O(n log n), mutates its input. */
   private[graft] def countInversions(a: Array[Double]): Long = {
@@ -1528,6 +1571,68 @@ object TimeSeriesOps {
       .select(col("event_type"), col("s.n").as("n"),
         col("s.fc").as("hw_forecast"))
       .orderBy("event_type")
+  }
+
+  /** LTTB DOWNSAMPLING (Largest-Triangle-Three-Buckets, Steinarsson
+    * 2013) — the renderer's downsampler behind Graphite/Grafana-style
+    * charts: keep the first and last point, and from each middle
+    * 24-hour bucket the point forming the largest triangle with the
+    * PREVIOUSLY SELECTED point and the NEXT bucket's average. The
+    * selection is sequential per series (each pick feeds the next
+    * bucket's triangle), so it runs as the proven sorted-fold /
+    * recursive-CTE pair (the holt bit-equality class) — and every
+    * triangle compare is EXACT: x in epoch minutes, y as the 1e4-
+    * scaled rollup value, and the next-average fraction (Sy/c)
+    * multiplied through by c, so 2·Area·c = |(pₓ·c − Sx)(qy − pᵧ) −
+    * (pₓ − x)(Sy − c·pᵧ)| is pure BIGINT; argmax ties resolve to the
+    * earliest point via first-position. One series-key shuffle; the
+    * fold state is the selected list (≤ one point per bucket). */
+  def lttb(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val h2 = h1.select(col("event_type"),
+      expr("unix_micros(bucket) div 60000000").as("x"),
+      expr("CAST(floor(v * 10000.0D + 0.5) AS BIGINT)").as("qy"),
+      expr("unix_micros(date_trunc('day', bucket)) div 86400000000")
+        .as("di"))
+    val days = h2.groupBy(col("event_type"), col("di"))
+      .agg(array_sort(collect_list(struct(col("x"), col("qy"))))
+        .as("pts"),
+        sum(col("x")).as("sx"), sum(col("qy")).as("sy"),
+        count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("di"), col("pts"),
+        col("sx"), col("sy"), col("c")))).as("days"))
+      .where(size(col("days")) >= 3)
+    // the exact doubled-area-times-c per candidate point p
+    val areas =
+      """transform(e.pts, p -> abs(
+        |  (element_at(acc.sel, size(acc.sel)).x * e.nc - e.nsx)
+        |    * (p.qy - element_at(acc.sel, size(acc.sel)).qy)
+        |  - (element_at(acc.sel, size(acc.sel)).x - p.x)
+        |    * (e.nsy - e.nc * element_at(acc.sel, size(acc.sel)).qy)))"""
+        .stripMargin
+    days.select(col("event_type"),
+      expr(
+        s"""aggregate(
+          |  transform(sequence(2L, CAST(size(days) AS BIGINT) - 1L),
+          |    k -> named_struct(
+          |      'pts', element_at(days, CAST(k AS INT)).pts,
+          |      'nsx', element_at(days, CAST(k AS INT) + 1).sx,
+          |      'nsy', element_at(days, CAST(k AS INT) + 1).sy,
+          |      'nc',  element_at(days, CAST(k AS INT) + 1).c)),
+          |  named_struct('sel',
+          |    array(element_at(element_at(days, 1).pts, 1))),
+          |  (acc, e) -> named_struct('sel', concat(acc.sel, array(
+          |    element_at(e.pts,
+          |      CAST(array_position($areas, array_max($areas)) AS INT))))),
+          |  acc -> concat(acc.sel, array(
+          |    element_at(element_at(days, size(days)).pts,
+          |      size(element_at(days, size(days)).pts)))))"""
+          .stripMargin).as("sel"))
+      .select(col("event_type"), explode(col("sel")).as("p"))
+      .select(col("event_type"), col("p.x").as("x"),
+        (col("p.qy").cast("double") / lit(10000.0)).as("y"))
+      .orderBy("event_type", "x")
   }
 
   /** Graphite `aliasByNode(series, 1)` over the live-value read: every
@@ -2675,6 +2780,8 @@ object TimeSeriesOps {
     "q_ts_spearman" -> spearmanCorr _,
     "q_ts_kendall" -> kendallTau _,
     "q_ts_kendall_fast" -> kendallTauFast _,
+    "q_ts_mannkendall" -> mannKendall _,
+    "q_ts_lttb" -> lttb _,
     "q_ts_xcorr" -> crossCorrLagged _,
     "q_ts_wilcoxon" -> wilcoxonSignedRank _,
     "q_ts_stl" -> stlDecompose _,
@@ -3500,6 +3607,96 @@ object TimeSeriesOps {
         |       ${Det.r4Sql(tau)} AS tau
         |FROM c
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
+    },
+    "q_ts_lttb" -> {
+      // the doubled-area-times-c list per candidate point of the
+      // current middle bucket (identical text at every use site)
+      val areas =
+        """list_transform((a.days[r.k + 1]).pts, p -> abs(
+          |      (r.sel[len(r.sel)].x * (a.days[r.k + 2]).c
+          |         - (a.days[r.k + 2]).sx)
+          |        * (p.qy - r.sel[len(r.sel)].qy)
+          |      - (r.sel[len(r.sel)].x - p.x)
+          |        * ((a.days[r.k + 2]).sy
+          |           - (a.days[r.k + 2]).c * r.sel[len(r.sel)].qy)))"""
+          .stripMargin
+      val selPt = s"(a.days[r.k + 1]).pts[list_position($areas,\n" +
+        s"      list_aggregate($areas, 'max'))]"
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (
+        |  SELECT event_type, epoch_us(bucket) // 60000000 AS x,
+        |         CAST(floor(v * 10000.0 + 0.5) AS BIGINT) AS qy,
+        |         epoch_us(date_trunc('day', bucket)) // 86400000000
+        |           AS di
+        |  FROM h1),
+        |d0 AS (
+        |  SELECT event_type, di,
+        |         list(struct_pack(x := x, qy := qy)
+        |           ORDER BY x NULLS FIRST) AS pts,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(qy) AS BIGINT) AS sy,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM h2 GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT event_type,
+        |         list(struct_pack(di := di, pts := pts, sx := sx,
+        |           sy := sy, c := c) ORDER BY di NULLS FIRST) AS days
+        |  FROM d0 GROUP BY 1 HAVING count(*) >= 3),
+        |rec AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS k,
+        |         [(days[1]).pts[1]] AS sel
+        |  FROM arr
+        |  UNION ALL
+        |  SELECT r.event_type, r.k + 1, list_append(r.sel, $selPt)
+        |  FROM rec r JOIN arr a ON a.event_type = r.event_type
+        |  WHERE r.k + 1 <= len(a.days) - 1),
+        |fin AS (
+        |  SELECT r.event_type,
+        |         list_append(r.sel, (a.days[len(a.days)])
+        |           .pts[len((a.days[len(a.days)]).pts)]) AS sel
+        |  FROM rec r JOIN arr a ON a.event_type = r.event_type
+        |  WHERE r.k = len(a.days) - 1)
+        |SELECT event_type, u.x AS x, CAST(u.qy AS DOUBLE) / 10000.0 AS y
+        |FROM (SELECT event_type, UNNEST(sel) AS u FROM fin)
+        |ORDER BY event_type NULLS FIRST, x NULLS FIRST""".stripMargin
+    },
+    "q_ts_mannkendall" -> {
+      val z = "CASE WHEN s_stat > 0 THEN " +
+        "(CAST(s_stat AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+        "WHEN s_stat < 0 THEN " +
+        "(CAST(s_stat AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+        "ELSE 0.0 END"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS np,
+        |         CAST(sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS nm
+        |  FROM h1 a JOIN h1 b ON a.event_type = b.event_type
+        |    AND a.bucket < b.bucket
+        |  GROUP BY 1),
+        |n1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM h1 GROUP BY 1),
+        |t1 AS (SELECT event_type,
+        |         CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tcorr
+        |       FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+        |             FROM h1 GROUP BY 1, 2) GROUP BY 1),
+        |f AS (
+        |  SELECT p.event_type, n, np - nm AS s_stat,
+        |         n * (n - 1) * (n * 2 + 5) - tcorr AS var18
+        |  FROM p JOIN n1 ON p.event_type = n1.event_type
+        |  JOIN t1 ON p.event_type = t1.event_type)
+        |SELECT event_type, n, s_stat, var18,
+        |       ${Det.r4Sql(z)} AS z
+        |FROM f
+        |ORDER BY event_type NULLS FIRST""".stripMargin
     },
     "q_ts_mad_outliers" ->
       s"""WITH h1 AS (

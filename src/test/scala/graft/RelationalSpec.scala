@@ -139,6 +139,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(sliceNodes.subsetOf(fullNodes) && fullNodes.size > sliceNodes.size)
   }
 
+  test("converged k-core at 6 forced rounds == the unrolled oracle twin") {
+    // the oracle form unrolls six peels; the production twin with the
+    // round budget pinned to six must read bit-equal
+    val oracle = RelationalOps.partKcore(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val twin = RelationalOps.kcoreConverged(spark, sf, forcedRounds = 6)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty && twin == oracle)
+  }
+
+  test("k-core fixpoint: every survivor keeps degree >= k, peel stable") {
+    val rows = RelationalOps.kcoreConverged(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // at a true fixpoint the 3-core guarantee holds for every survivor
+    assert(rows.forall(_.getLong(1) >= 3L),
+      s"non-core survivor: ${rows.find(_.getLong(1) < 3L)}")
+    // one more peel changes nothing (fixpoint reached, not round-capped)
+    val again = RelationalOps.kcoreConverged(spark, sf, maxRounds = 65)
+      .collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
+
+  test("jaccard: every reported pair verified against brute force") {
+    val top = RelationalOps.partJaccard(spark, sf).collect()
+    assert(top.length == 15)
+    // rebuild the co-purchase neighbor sets driver-side (oracle scale)
+    val baskets = graft.io.Tables.lineitem(spark, sf)
+      .where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).values
+      .map(_.map(_.getLong(1)).toSet).toSeq
+    def nbrs(v: Long): Set[Long] =
+      baskets.filter(_.contains(v)).flatMap(_ - v).toSet
+    for (r <- top) {
+      val (n1, n2) = (nbrs(r.getLong(0)), nbrs(r.getLong(1)))
+      assert(r.getLong(2) == (n1 & n2).size.toLong,
+        s"common mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getLong(3) == (n1 | n2).size.toLong,
+        s"union mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("distributed two-pass mann-whitney == the ordered-window oracle") {
     val oracle = RelationalOps.aggMannWhitney(spark, sf)
       .collect().map(_.toSeq).toSeq

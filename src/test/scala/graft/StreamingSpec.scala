@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{AdmittedDoc, AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, StreamDoc}
+import graft.streaming.{AdmittedDoc, AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, Scd2Event, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -540,6 +540,69 @@ class StreamingSpec extends AnyFunSuite {
     val prod = run("admit_prod", Ingest.bpeBudgetAdmitProd)
     assert(fold.nonEmpty && prod == fold,
       s"prod admission diverged:\nfold=$fold\nprod=$prod")
+  }
+
+  test("s_scd2_maintain: closed versions equal the batch build") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    // batch truth: the oracle-checked SCD2 build's CLOSED versions
+    val batch = graft.rel.RelationalOps.scd2Build(sp, sf)
+      .where(col("is_current") === 0L)
+      .select("user_id", "version", "state", "eff_from", "eff_to")
+      .collect().map(_.toSeq).toSet
+    // the same sliced events, fed in event-time order across 2 batches
+    val evs = graft.io.Tables.events(sp, sf)
+      .where(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .orderBy("ts", "event_id")
+      .as[Scd2Event].collect().toSeq
+    val in = MemoryStream[Scd2Event]
+    val q = runToMemory(Ingest.scd2Maintain(in.toDS()).toDF(),
+      "scd2_live", OutputMode.Append())
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val got = sp.sql(
+      "SELECT user_id, version, state, eff_from, eff_to FROM scd2_live")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch,
+      s"live closed versions diverge: extra=${(got -- batch).take(3)} " +
+        s"missing=${(batch -- got).take(3)}")
+  }
+
+  test("s_semdedup_gate: streamed decisions equal the batch pass") {
+    import graft.llm.VectorOps
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    // batch truth: pruned_id -> kept_id from the oracle-checked pass
+    val batch = VectorOps.semDedup(sp, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = VectorOps.semKeptSet(sp, sf)
+    assert(kept.nonEmpty)
+    val rows: Seq[VectorOps.VecRow] = graft.io.Tables.embeddings(sp, sf)
+      .as[VectorOps.VecRow].collect().toSeq
+    val in = MemoryStream[VectorOps.VecRow]
+    val q = runToMemory(VectorOps.semDedupGate(in.toDS(), kept),
+      "semdedup_gate", OutputMode.Append())
+    // two batches: decisions must not depend on arrival batching
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val got = sp.sql("SELECT vec_id, pruned, kept_id FROM semdedup_gate")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(got.length == rows.length)
+    for ((id, pruned, keptId) <- got) {
+      assert(pruned == batch.contains(id),
+        s"gate decision for $id diverged from batch (pruned=$pruned)")
+      if (pruned) assert(keptId == batch(id),
+        s"gate kept_id for $id: $keptId != batch ${batch(id)}")
+    }
+    assert(got.count(_._2) == batch.size)
   }
 
   test("s_image_gate: blocklisted and near-dup images flag, clean pass") {
