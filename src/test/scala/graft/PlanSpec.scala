@@ -121,6 +121,55 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected a single user_id exchange, got $n:\n$p")
   }
 
+  test("scd2 PIT join: two user-key window exchanges, no theta join") {
+    // the as-of union-window form must never plan the version-interval
+    // range join (SMJ/BNLJ on a non-equi predicate) — two hash
+    // exchanges (dim compression window + union LOCF window), both on
+    // user_id, are the entire shuffle story
+    val p = plan("q_rel_scd2_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"theta join in PIT join:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 2, s"expected 2 user-key exchanges, got $n:\n$p")
+  }
+
+  test("ks drift: histograms aggregate partially; sup runs on distinct values") {
+    // the value histograms must partial-aggregate (the raw scan never
+    // reaches the window) and the only nested-loop join is the
+    // broadcast of the 4-row type list onto the baseline histogram
+    val p = plan("q_agg_ks_drift")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"type fan-out must ride a broadcast:\n$p")
+  }
+
+  test("lttb: three key exchanges only (hour, day, series grains)") {
+    val p = plan("q_ts_lttb")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 3, s"expected <=3 grain exchanges, got $n:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("kcore peel rounds: semi joins stay equi, no cartesian") {
+    // localCheckpoint truncates lineage in the all-queries sweep —
+    // build one un-checkpointed peel round and inspect it directly
+    import org.apache.spark.sql.functions._
+    val sym = graft.io.Tables.lineitem(spark, sf)
+      .where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+      .select(col("src"), (col("src") + 1).as("dst"))
+    val alive = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .where(col("d") >= 3).select(col("src").as("n"))
+    val peeled = sym
+      .join(alive.select(col("n").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("n").as("dst")), Seq("dst"), "left_semi")
+    val p = peeled.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"peel round plans a non-equi join:\n$p")
+  }
+
   test("routed fetch pushes the metric predicate into the points scan") {
     val p = plan("q_ts_fetch_bounded")
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(event_type".r
