@@ -306,6 +306,46 @@ object RelationalOps {
       .orderBy("dur_days")
   }
 
+  /** NELSON–AALEN CUMULATIVE HAZARD — the additive twin of
+    * [[kaplanMeier]] over the same lifetime/censoring table:
+    * H(t) = Σ_{durᵢ ≤ t} dᵢ/rᵢ. A windowed running double-sum is NOT
+    * cross-engine stable (engines may sum segments in different
+    * orders), so the hazard accumulates through the SAME sequential
+    * fold / recursive-CTE pair as the KM product — each step one IEEE
+    * add of an exact-count ratio, identical text both engines. */
+  def nelsonAalen(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val hor = ev.agg(max(col("ts")).as("end_ts"))
+    val obs = per.crossJoin(broadcast(hor))
+      .select(
+        expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+          " div 86400000000").as("dur"),
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 7 DAYS"))
+          .as("censored"))
+    val durs = obs.groupBy(col("dur"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val wR = Window.orderBy(col("dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = durs.select(col("dur"), col("d"), col("c"),
+      sum(col("d") + col("c")).over(wR).as("r"))
+    val step = "acc.s + CAST(p.d AS DOUBLE) / CAST(p.r AS DOUBLE)"
+    risk
+      .agg(array_sort(collect_list(struct(col("dur"), col("d"), col("c"),
+        col("r")))).as("pts"))
+      .select(explode(arrays_zip(col("pts"), expr(
+        s"slice(aggregate(pts, named_struct('s', 0.0D, 'out', array(0.0D))," +
+          s" (acc, p) -> named_struct('s', $step, 'out'," +
+          s" acc.out || array($step))).out, 2, size(pts))").as("hz")))
+        .as("z"))
+      .select(col("z.pts.dur").as("dur_days"), col("z.pts.r").as("n_risk"),
+        col("z.pts.d").as("n_event"), col("z.pts.c").as("n_censor"),
+        Det.r4(col("z.hz")).as("cumhaz"))
+      .orderBy("dur_days")
+  }
+
   /** DATA-QUALITY AUDIT — the dbt-test-style expectations report every
     * warehouse runs before trusting a load: primary-key duplication
     * (rows participating in a duplicated o_orderkey), referential
@@ -2521,6 +2561,7 @@ object RelationalOps {
     "q_agg_stats" -> aggStats _,
     "q_agg_skewkurt" -> aggSkewKurt _,
     "q_surv_km" -> kaplanMeier _,
+    "q_surv_na" -> nelsonAalen _,
     "q_agg_corr" -> aggCorr _,
     "q_agg_mannwhitney" -> aggMannWhitney _,
     "q_rel_skew_report" -> skewReport _,
@@ -3527,6 +3568,41 @@ object RelationalOps {
         |  FROM rec JOIN risk x ON x.rn = rec.rn + 1)
         |SELECT x.dur AS dur_days, x.r AS n_risk, x.d AS n_event,
         |       x.c AS n_censor, ${r4Sql("rec.s")} AS surv
+        |FROM rec JOIN risk x ON x.rn = rec.rn
+        |ORDER BY dur_days NULLS FIRST""".stripMargin,
+    "q_surv_na" ->
+      s"""WITH RECURSIVE per AS (
+        |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |hor AS (SELECT max(ts) AS end_ts FROM events),
+        |obs AS (
+        |  SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
+        |           AS dur,
+        |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
+        |  FROM per CROSS JOIN hor),
+        |durs AS (
+        |  SELECT dur,
+        |         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS d,
+        |         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS c
+        |  FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT dur, d, c,
+        |         CAST(sum(d + c) OVER (ORDER BY dur NULLS FIRST
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS BIGINT) AS r,
+        |         CAST(row_number() OVER (ORDER BY dur NULLS FIRST)
+        |           AS BIGINT) AS rn
+        |  FROM durs),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(0.0 AS DOUBLE) AS s
+        |  UNION ALL
+        |  SELECT rec.rn + 1,
+        |         rec.s + CAST(x.d AS DOUBLE) / CAST(x.r AS DOUBLE)
+        |  FROM rec JOIN risk x ON x.rn = rec.rn + 1)
+        |SELECT x.dur AS dur_days, x.r AS n_risk, x.d AS n_event,
+        |       x.c AS n_censor, ${r4Sql("rec.s")} AS cumhaz
         |FROM rec JOIN risk x ON x.rn = rec.rn
         |ORDER BY dur_days NULLS FIRST""".stripMargin,
     "q_agg_skewkurt" -> {

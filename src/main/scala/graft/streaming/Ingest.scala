@@ -94,6 +94,17 @@ case class FunnelHit(user_id: Long, stage: Long, stage_name: String,
 case class AttribEvent(user_id: Long, event_id: Long, event_type: String,
     ts: java.sql.Timestamp, value: Double)
 
+/** A routed, bucketed sample for the live KS drift monitor: `isRef`
+  * rows are baseline copies fanned out to each monitored channel. */
+case class KsEvent(t: String, isRef: Boolean, bucket: Long)
+
+/** Per-channel KS monitor state: test + reference value histograms
+  * (bounded by the bucket alphabet, not the stream). */
+case class KsState(test: Map[Long, Long], ref: Map[Long, Long])
+
+/** One live KS score: D's exact numerator and the IEEE ratio. */
+case class KsScore(t: String, n: Long, m: Long, d_num: Long, d: Double)
+
 /** A typed state-change event for the live SCD2 maintainer. */
 case class Scd2Event(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, state: String)
@@ -386,6 +397,63 @@ object Ingest {
     * (doc_id) fold order WITHIN each micro-batch so replays and tests
     * reproduce. State per key is one long; keys are languages/sources —
     * bounded, no watermark needed. */
+  /** LIVE KOLMOGOROV–SMIRNOV DRIFT MONITOR — q_agg_ks_drift gone
+    * online: each monitored channel's value distribution scored
+    * against the 'view' baseline after every micro-batch. Values
+    * quantize to 0.1-wide buckets map-side (a bucketed KS is a
+    * defined, exactly-reproducible metric; the histogram alphabet —
+    * not the stream — bounds the state), and baseline rows fan out as
+    * reference COPIES to each channel's group so every group owns
+    * both histograms (state routing beats a cross-group read; the
+    * fan-out factor is the channel count, a constant). D's sup runs
+    * in BigInt |i·m − j·n| over the merged sorted buckets — the exact
+    * batch kernel. Histogram merges are commutative counter adds, so
+    * arrival order never matters (the s_cm_sketch guarantee class). */
+  def ksMonitor(evs: Dataset[AttribEvent],
+      channels: Seq[String] = Seq("click", "error", "purchase", "signup"))
+      : Dataset[KsScore] = {
+    import evs.sparkSession.implicits._
+    val chan = channels.toArray
+    val routed = evs.flatMap { e =>
+      val b = math.floor(e.value * 10.0).toLong
+      if (e.event_type == "view") chan.toSeq.map(c => KsEvent(c, true, b))
+      else if (chan.contains(e.event_type))
+        Seq(KsEvent(e.event_type, false, b))
+      else Nil
+    }
+    routed.groupByKey(_.t)
+      .flatMapGroupsWithState[KsState, KsScore](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (t: String, rows: Iterator[KsEvent], state: GroupState[KsState]) =>
+          var st = state.getOption.getOrElse(
+            KsState(Map.empty[Long, Long], Map.empty[Long, Long]))
+          rows.foreach { e =>
+            st =
+              if (e.isRef) st.copy(ref = st.ref +
+                (e.bucket -> (st.ref.getOrElse(e.bucket, 0L) + 1L)))
+              else st.copy(test = st.test +
+                (e.bucket -> (st.test.getOrElse(e.bucket, 0L) + 1L)))
+          }
+          state.update(st)
+          val n = st.test.values.sum
+          val m = st.ref.values.sum
+          if (n == 0L || m == 0L) Iterator.empty
+          else {
+            val keys = (st.test.keySet ++ st.ref.keySet).toSeq.sorted
+            var i = 0L; var j = 0L; var best = BigInt(0)
+            keys.foreach { k =>
+              i += st.test.getOrElse(k, 0L)
+              j += st.ref.getOrElse(k, 0L)
+              val diff = (BigInt(i) * m - BigInt(j) * n).abs
+              if (diff > best) best = diff
+            }
+            Iterator.single(KsScore(t, n, m, best.toLong,
+              best.toDouble / (n.toDouble * m.toDouble)))
+          }
+      }
+  }
+
   /** LIVE SCD2 MAINTAINER — the streaming twin of
     * [[graft.rel.RelationalOps.scd2Build]]: per user, track the open
     * dimension version in state; a state-change CLOSES the open

@@ -602,6 +602,43 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** SEASONAL / TREND STRENGTH (Wang–Hyndman feature pair over
+    * [[stlDecompose]]): F_seasonal = max(0, 1 − Var(resid)/Var(detr))
+    * and F_trend = max(0, 1 − Var(resid)/Var(v − seasonal)) — the
+    * dashboard's "is this series worth seasonal modeling" triage.
+    * Component values quantize at their own 1e-4 display precision
+    * (floor(x·10⁴+0.5) — floor has no rounding-mode dialect), every
+    * moment then accumulates as exact BIGINTs (n ≤ calendar hours, so
+    * n·Σq² stays far inside 2⁶³), and each variance ratio is ONE IEEE
+    * divide of BIGINT-cast factors (long→double rounds to nearest in
+    * both engines — the decimal→double one-shot cast is the dialect
+    * trap, not this). */
+  def seasonalStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * lit(10000.0) + lit(0.5)).cast("long")
+    val comp = stlDecompose(spark, sfDir)
+      .select(col("event_type"),
+        q(col("resid")).as("qr"),
+        q(col("v") - col("trend")).as("qd"),
+        q(col("v") - col("seasonal")).as("qt"))
+    def varNum(p: String) =
+      (count(lit(1)) * sum(col(p) * col(p)) - sum(col(p)) * sum(col(p)))
+    comp.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        varNum("qr").as("vr"), varNum("qd").as("vd"),
+        varNum("qt").as("vt"))
+      .select(col("event_type"), col("n"),
+        Det.r4(greatest(lit(0.0), lit(1.0) -
+          when(col("vd") > 0L, col("vr").cast("double") /
+            col("vd").cast("double")).otherwise(lit(1.0))))
+          .as("f_seasonal"),
+        Det.r4(greatest(lit(0.0), lit(1.0) -
+          when(col("vt") > 0L, col("vr").cast("double") /
+            col("vt").cast("double")).otherwise(lit(1.0))))
+          .as("f_trend"))
+      .orderBy("event_type")
+  }
+
   /** DESEASONALIZED ANOMALY SCORING — [[madOutliers]] applied to
     * [[stlDecompose]]'s residual instead of the raw series: with trend
     * and the daily cycle removed, a 3am spike scores against the
@@ -2081,6 +2118,97 @@ object TimeSeriesOps {
       .orderBy("touch_type")
   }
 
+  /** MARKOV-CHAIN ATTRIBUTION (removal effect — Anderl 2016's
+    * data-driven model): build the first-order journey chain
+    * start → touches → conv|null_end from each user's PRE-first-
+    * purchase sequence, then score every channel by how much the
+    * chain's start→conv reach probability drops when visits to that
+    * channel are voided. The transition COUNTING is the distributed
+    * part (one user-key window pass); the chain itself is MODEL-SIZED
+    * (≤ 6×6 counts regardless of corpus — the ANN-codebook rule), so
+    * the 24 power-iteration rounds run driver-side in exact Longs:
+    * p′(s) = (Σₜ c(s,t)·p(t)) div r(s) at 10¹² scale — every round
+    * floor-divides exactly like the DuckDB twin's unrolled CTEs
+    * (the pagerank integer-rounds discipline; Σc·p bounded ~3·10¹⁸ at
+    * 10⁵ users/transition — widen to BigInt past that). Shares are
+    * one IEEE divide of the exact removal masses. */
+  def markovAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scale = 1000000000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = Tables.events(spark, sfDir)
+      .withColumn("p_seen",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .localCheckpoint(eager = false) // touches + conversion sets
+    val tch = marked.where(col("p_seen") === 0L)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t"))
+      .localCheckpoint(eager = false) // three consumers below
+    val conv = marked
+      .where(col("event_type") === "purchase" && col("p_seen") === 1L)
+      .select(col("user_id")).distinct()
+      .localCheckpoint(eager = false)
+    val tr1 = tch
+      .withColumn("s", coalesce(lag(col("t"), 1).over(w), lit("start")))
+      .select(col("s"), col("t"))
+    val lastT = tch.groupBy(col("user_id"))
+      .agg(max_by(col("t"), struct(col("ts"), col("event_id"))).as("s"))
+    val term = lastT.join(conv.withColumn("c", lit(1)),
+        Seq("user_id"), "left")
+      .select(col("s"),
+        when(col("c").isNotNull, lit("conv")).otherwise(lit("null_end"))
+          .as("t"))
+    val ntc = conv.join(tch.select("user_id").distinct(),
+        Seq("user_id"), "left_anti")
+      .select(lit("start").as("s"), lit("conv").as("t"))
+    val cnt = tr1.unionByName(term).unionByName(ntc)
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rOut = cnt.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._3).sum }
+    val states = (cnt.map(_._1) ++ cnt.map(_._2)).distinct.sorted
+    val channels = Seq("click", "error", "signup", "view")
+    val variants = "base" +: channels.map("no_" + _)
+    def solve(masked: String): Long = {
+      var p = states.map(s =>
+        s -> (if (s == "conv") scale else 0L)).toMap
+      for (_ <- 1 to 24) {
+        p = states.map { s =>
+          val v =
+            if (s == "conv") scale
+            else if (s == "null_end") 0L
+            else if (s == masked) 0L
+            else rOut.get(s).fold(0L) { r =>
+              cnt.filter(_._1 == s).map { case (_, t, c) =>
+                c * p(t) }.sum / r
+            }
+          s -> v
+        }.toMap
+      }
+      p.getOrElse("start", 0L)
+    }
+    val pByV = variants.map { v =>
+      v -> solve(if (v == "base") "" else v.stripPrefix("no_"))
+    }
+    val base = pByV.head._2
+    val removals = pByV.map { case (v, p) =>
+      (v, p, if (v == "base") 0L else math.max(base - p, 0L)) }
+    val tot = removals.map(_._3).sum
+    val rows = removals.map { case (v, p, rem) =>
+      val share =
+        if (v == "base" || tot == 0L) 0.0
+        else math.floor(rem.toDouble / tot.toDouble * 10000.0 + 0.5) /
+          10000.0
+      (v, p, rem, share)
+    }
+    import spark.implicits._
+    rows.toDF("variant", "p_conv12", "removal12", "share")
+      .orderBy("variant")
+  }
+
   /** MULTIWINDOW BURN-RATE alert — the SRE error-budget pattern: the
     * hourly error share vs the trailing-6h share (a RANGE frame over
     * epoch seconds, so missing hours genuinely widen the window instead
@@ -2755,6 +2883,8 @@ object TimeSeriesOps {
     "q_new_vs_returning" -> newVsReturning _,
     "q_activity_histogram" -> activityHistogram _,
     "q_attribution" -> attribution _,
+    "q_attr_markov" -> markovAttribution _,
+    "q_ts_seasonal_strength" -> seasonalStrength _,
     "q_ts_burn_rate" -> burnRate _,
     "q_ts_dashboard" -> dashboard _,
     "q_ts_moving_avg" -> movingAverage _,
@@ -3509,6 +3639,34 @@ object TimeSeriesOps {
         |       detr - seasonal AS resid
         |FROM s
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_seasonal_strength" -> {
+      val fs = "GREATEST(0.0, 1.0 - CASE WHEN vd > 0 THEN " +
+        "CAST(vr AS DOUBLE) / CAST(vd AS DOUBLE) ELSE 1.0 END)"
+      val ft = "GREATEST(0.0, 1.0 - CASE WHEN vt > 0 THEN " +
+        "CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE) ELSE 1.0 END)"
+      s"""WITH $stlSqlCtes,
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(floor((detr - seasonal) * 10000.0 + 0.5) AS BIGINT)
+        |      AS qr,
+        |    CAST(floor(detr * 10000.0 + 0.5) AS BIGINT) AS qd,
+        |    CAST(floor((v - seasonal) * 10000.0 + 0.5) AS BIGINT) AS qt
+        |  FROM s),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) * sum(qr * qr) - sum(qr) * sum(qr) AS BIGINT)
+        |      AS vr,
+        |    CAST(count(*) * sum(qd * qd) - sum(qd) * sum(qd) AS BIGINT)
+        |      AS vd,
+        |    CAST(count(*) * sum(qt * qt) - sum(qt) * sum(qt) AS BIGINT)
+        |      AS vt
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n,
+        |       ${Det.r4Sql(fs)} AS f_seasonal,
+        |       ${Det.r4Sql(ft)} AS f_trend
+        |FROM g
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_stl_anomaly" ->
       s"""WITH $stlSqlCtes,
         |base AS (
@@ -4601,6 +4759,89 @@ object TimeSeriesOps {
         |      FROM act GROUP BY 1)
         |SELECT n_days, CAST(count(*) AS BIGINT) AS n_users
         |FROM u GROUP BY 1 ORDER BY n_days NULLS FIRST""".stripMargin,
+    "q_attr_markov" -> {
+      // 24 unrolled power-iteration rounds over the (variant × state)
+      // grid; every round floor-divides the exact BIGINT Σ c·p by the
+      // source's outgoing total — identical to the driver loop's Longs
+      val rounds = (1 to 24).map { i =>
+        s"""g$i AS MATERIALIZED (
+          |  SELECT v.variant, st.s,
+          |    CAST(CASE WHEN st.s = 'conv' THEN 1000000000000
+          |         WHEN st.s = 'null_end' THEN 0
+          |         WHEN v.variant = 'no_' || st.s THEN 0
+          |         ELSE COALESCE(q.acc // r.r, 0) END AS BIGINT) AS p
+          |  FROM v CROSS JOIN states st
+          |  LEFT JOIN (SELECT p.variant AS qv, cnt.s AS qs,
+          |               CAST(sum(cnt.c * p.p) AS BIGINT) AS acc
+          |             FROM cnt JOIN g${i - 1} p ON cnt.t = p.s
+          |             GROUP BY 1, 2) q
+          |    ON q.qv = v.variant AND q.qs = st.s
+          |  LEFT JOIN r ON r.s = st.s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |           END) OVER (PARTITION BY user_id
+        |             ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS p_seen
+        |  FROM events),
+        |tch AS (SELECT user_id, ts, event_id, event_type AS t
+        |        FROM m WHERE p_seen = 0),
+        |conv AS (SELECT DISTINCT user_id FROM m
+        |         WHERE event_type = 'purchase' AND p_seen = 1),
+        |tr1 AS (
+        |  SELECT COALESCE(lag(t, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
+        |           'start') AS s, t
+        |  FROM tch),
+        |lastt AS (
+        |  SELECT user_id, t AS s FROM (
+        |    SELECT user_id, t,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC NULLS LAST,
+        |               event_id DESC NULLS LAST) AS rn
+        |    FROM tch) WHERE rn = 1),
+        |term AS (
+        |  SELECT l.s,
+        |         CASE WHEN c.user_id IS NOT NULL THEN 'conv'
+        |              ELSE 'null_end' END AS t
+        |  FROM lastt l LEFT JOIN conv c ON l.user_id = c.user_id),
+        |ntc AS (
+        |  SELECT 'start' AS s, 'conv' AS t FROM conv
+        |  WHERE user_id NOT IN (SELECT user_id FROM tch)),
+        |cnt AS MATERIALIZED (
+        |  SELECT s, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT s, t FROM tr1 UNION ALL SELECT s, t FROM term
+        |        UNION ALL SELECT s, t FROM ntc)
+        |  GROUP BY 1, 2),
+        |r AS MATERIALIZED (
+        |  SELECT s, CAST(sum(c) AS BIGINT) AS r FROM cnt GROUP BY 1),
+        |states AS MATERIALIZED (SELECT DISTINCT s FROM
+        |  (SELECT s FROM cnt UNION ALL SELECT t AS s FROM cnt)),
+        |v AS MATERIALIZED (SELECT UNNEST(['base', 'no_click', 'no_error',
+        |  'no_signup', 'no_view']) AS variant),
+        |g0 AS MATERIALIZED (
+        |  SELECT v.variant, st.s,
+        |         CAST(CASE WHEN st.s = 'conv' THEN 1000000000000
+        |           ELSE 0 END AS BIGINT) AS p
+        |  FROM v CROSS JOIN states st),
+        |$rounds,
+        |fin AS (SELECT variant, p FROM g24 WHERE s = 'start'),
+        |b AS (SELECT p AS bp FROM fin WHERE variant = 'base'),
+        |rem AS (
+        |  SELECT variant, p,
+        |         CAST(CASE WHEN variant = 'base' THEN 0
+        |           ELSE GREATEST(bp - p, 0) END AS BIGINT) AS removal
+        |  FROM fin CROSS JOIN b),
+        |tot AS (SELECT CAST(sum(removal) AS BIGINT) AS tot FROM rem)
+        |SELECT variant, p AS p_conv12, removal AS removal12,
+        |       CASE WHEN variant = 'base' OR tot = 0 THEN 0.0
+        |         ELSE floor(CAST(removal AS DOUBLE) / CAST(tot AS DOUBLE)
+        |           * 10000.0 + 0.5) / 10000.0 END AS share
+        |FROM rem CROSS JOIN tot
+        |ORDER BY variant NULLS FIRST""".stripMargin
+    },
     "q_attribution" ->
       """WITH s AS (
         |  SELECT event_type, value,

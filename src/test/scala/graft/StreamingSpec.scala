@@ -542,6 +542,53 @@ class StreamingSpec extends AnyFunSuite {
       s"prod admission diverged:\nfold=$fold\nprod=$prod")
   }
 
+  test("s_ks_monitor: final live scores equal a driver KS; order-free") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val evs = graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[AttribEvent].collect().toSeq
+    // driver truth: bucketed KS per channel over ALL rows
+    def bucket(v: Double) = math.floor(v * 10.0).toLong
+    val ref = evs.filter(_.event_type == "view").map(e => bucket(e.value))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    def truth(c: String): (Long, Long, Long) = {
+      val test = evs.filter(_.event_type == c).map(e => bucket(e.value))
+        .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val n = test.values.sum; val m = ref.values.sum
+      var i = 0L; var j = 0L; var best = BigInt(0)
+      (test.keySet ++ ref.keySet).toSeq.sorted.foreach { k =>
+        i += test.getOrElse(k, 0L); j += ref.getOrElse(k, 0L)
+        val d = (BigInt(i) * m - BigInt(j) * n).abs
+        if (d > best) best = d
+      }
+      (n, m, best.toLong)
+    }
+    def lastScores(feed: Seq[Seq[AttribEvent]], name: String)
+        : Map[String, (Long, Long, Long)] = {
+      val in = MemoryStream[AttribEvent]
+      val q = runToMemory(Ingest.ksMonitor(in.toDS()).toDF(), name)
+      feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      // Update mode: the LAST emission per channel is the live truth
+      sp.sql(s"SELECT t, n, m, d_num FROM $name").collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          val r = rows.last
+          t -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+    }
+    val (a, b) = evs.splitAt(evs.length / 3)
+    val got = lastScores(Seq(a, b), "ks_live")
+    for (c <- Seq("click", "error", "purchase", "signup"))
+      assert(got(c) == truth(c), s"$c: ${got(c)} != ${truth(c)}")
+    // a different batching must land on identical final scores
+    val (x, y) = evs.reverse.splitAt(evs.length / 5)
+    val got2 = lastScores(Seq(x, y), "ks_live2")
+    assert(got2 == got, s"batching changed the final scores")
+  }
+
   test("s_scd2_maintain: closed versions equal the batch build") {
     val sp = spark
     import sp.implicits._

@@ -524,6 +524,80 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"dtw ${got(("a", "b"))} not << euclidean $eucAb")
   }
 
+  test("lttb: endpoints kept, one pick per bucket, each pick maximal") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.{col, date_trunc, expr}
+    // the hourly rollup exactly as the operator quantizes it
+    val pts = graft.io.Tables.events(ss, sf)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(graft.util.Det.avg4(col("value")).as("v"))
+      .select(col("event_type"),
+        expr("unix_micros(bucket) div 60000000").as("x"),
+        expr("CAST(floor(v * 10000.0D + 0.5) AS BIGINT)").as("qy"),
+        expr("unix_micros(date_trunc('day', bucket)) div 86400000000")
+          .as("di"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rs) =>
+        et -> rs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1)
+      }
+    val out = TimeSeriesOps.lttb(ss, sf).collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rs) =>
+        et -> rs.map(r => (r.getLong(1),
+          math.floor(r.getDouble(2) * 10000.0 + 0.5).toLong))
+          .sortBy(_._1)
+      }
+    assert(out.keySet == pts.keySet && out.nonEmpty)
+    for ((et, sel) <- out) {
+      val series = pts(et)
+      val days = series.map(_._3).distinct.sorted
+      assert(sel.length == days.length, s"$et: one pick per bucket")
+      assert(sel.head._1 == series.head._1 && sel.last._1 ==
+        series.last._1, s"$et: endpoints must be kept")
+      // middle picks: maximal doubled-area*c vs the previous pick and
+      // the next bucket's sums; ties go to the earliest candidate
+      for (k <- 1 until days.length - 1) {
+        val (px, py) = (sel(k - 1)._1, sel(k - 1)._2)
+        val cur = series.filter(_._3 == days(k))
+        val nxt = series.filter(_._3 == days(k + 1))
+        val (nsx, nsy, nc) =
+          (nxt.map(_._1).sum, nxt.map(_._2).sum, nxt.length.toLong)
+        def area(x: Long, qy: Long): BigInt =
+          (BigInt(px * nc - nsx) * (qy - py) -
+            BigInt(px - x) * (nsy - nc * py)).abs
+        val areas = cur.map(p => area(p._1, p._2))
+        val bestIdx = areas.indexOf(areas.max)
+        assert((sel(k)._1, sel(k)._2) == ((cur(bestIdx)._1,
+          cur(bestIdx)._2)),
+          s"$et day ${days(k)}: pick ${sel(k)} not the argmax " +
+            s"${cur(bestIdx)}")
+      }
+    }
+  }
+
+  test("markov attribution: masking only lowers reach; shares sum to 1") {
+    val rows = TimeSeriesOps.markovAttribution(spark, sf).collect()
+    assert(rows.length == 5)
+    val base = rows.find(_.getString(0) == "base").get.getLong(1)
+    assert(base > 0L, "fixture must convert from start")
+    val removed = rows.filter(_.getString(0) != "base")
+    for (r <- removed) {
+      // zeroing a channel's reach each round is monotone: no variant
+      // can ever exceed the base chain's conversion probability
+      assert(r.getLong(1) <= base, s"masking raised reach: $r")
+      assert(r.getLong(2) == math.max(base - r.getLong(1), 0L),
+        s"removal mass inconsistent: $r")
+    }
+    val shares = removed.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 4e-4,
+      s"shares ${shares.toSeq} sum to ${shares.sum}")
+    assert(rows.find(_.getString(0) == "base").get.getDouble(3) == 0.0)
+  }
+
   test("pettitt matches brute-force U_t on a tied, shifted series") {
     val ss = spark
     import ss.implicits._
