@@ -2355,6 +2355,29 @@ object RelationalOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** TOP USER PATHS — the product-analytics "how do sessions start"
+    * read: each user's first five events (exact (ts, event_id) order)
+    * join into a '>'-separated path string; the top-10 paths by count
+    * under a (n DESC, path) total order. One user-key window pass +
+    * one path-key count — both plain hash shuffles at any scale. */
+  def topPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type"))))
+        .as("pts"))
+      .select(expr("array_join(transform(pts, p -> p.event_type), '>')")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   /** KOLMOGOROV–SMIRNOV TWO-SAMPLE DRIFT TEST — the continuous
     * counterpart of q_llm_chisq_drift: each event type's value
     * distribution against the 'view' baseline. D = sup|F₁−F₂| never
@@ -2492,6 +2515,7 @@ object RelationalOps {
     "q_rel_scd2_join" -> scd2PitJoin _,
     "q_dq_purity" -> dqPurity _,
     "q_agg_ks_drift" -> ksDrift _,
+    "q_rel_top_paths" -> topPaths _,
     "q_upsert_snapshot" -> upsertSnapshot _,
     "q_time_travel" -> timeTravel _,
     "q_tpch_pricing" -> tpchPricingSummary _,
@@ -2623,6 +2647,21 @@ object RelationalOps {
         |         AS is_current
         |FROM c
         |ORDER BY user_id NULLS FIRST, version NULLS FIRST""".stripMargin,
+    "q_rel_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+        |           AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1
+        |ORDER BY n DESC NULLS LAST, path NULLS FIRST
+        |LIMIT 10""".stripMargin,
     "q_agg_ks_drift" -> {
       val dTxt = "CAST(dnum AS DOUBLE) / " +
         "(CAST(n AS DOUBLE) * CAST(m AS DOUBLE))"

@@ -51,7 +51,9 @@ object Soak {
       "pareto_dist" ->
         (() => graft.rel.RelationalOps.paretoAbcDistributed(spark, sfDir)),
       "gini_dist" ->
-        (() => graft.rel.RelationalOps.revenueGiniDistributed(spark, sfDir)))
+        (() => graft.rel.RelationalOps.revenueGiniDistributed(spark, sfDir)),
+      "kcore_converged" ->
+        (() => graft.rel.RelationalOps.kcoreConverged(spark, sfDir)))
     val times = ops.map { case (name, f) =>
       val t0 = System.nanoTime()
       val rows = f().count()

@@ -602,6 +602,39 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** HODGES–LEHMANN LOCATION ESTIMATOR per series — the robust
+    * "typical level" read (median of all Walsh averages (xᵢ+xⱼ)/2,
+    * i ≤ j): 29% breakdown with far better efficiency than the plain
+    * median. Values ride as 1e4-scaled ints so each doubled Walsh
+    * average is an exact BIGINT sum; the median is an integer-rank
+    * selection under the (w, bucket, bucket₂) total order — no float
+    * compares anywhere until the single final /20000 display divide.
+    * The pair join is per-series O(n²) at rollup grain (≤720 h) —
+    * honest calibration cost, the kendall family's documented bound. */
+  def hodgesLehmann(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        expr("CAST(floor(v * 10000.0D + 0.5) AS BIGINT)").as("q"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val b = h1.select(col("event_type"), col("bucket").as("bucket2"),
+      col("q").as("q2"))
+    val pairs = h1.join(b, Seq("event_type"))
+      .where(col("bucket") <= col("bucket2"))
+      .select(col("event_type"), col("bucket"), col("bucket2"),
+        (col("q") + col("q2")).as("w"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("w"), col("bucket"), col("bucket2"))
+    val wAll = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .where(col("rn") === expr("(np + 1) div 2"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        (col("w").cast("double") / lit(20000.0)).as("hl"))
+      .orderBy("event_type")
+  }
+
   /** SEASONAL / TREND STRENGTH (Wang–Hyndman feature pair over
     * [[stlDecompose]]): F_seasonal = max(0, 1 − Var(resid)/Var(detr))
     * and F_trend = max(0, 1 − Var(resid)/Var(v − seasonal)) — the
@@ -2885,6 +2918,7 @@ object TimeSeriesOps {
     "q_attribution" -> attribution _,
     "q_attr_markov" -> markovAttribution _,
     "q_ts_seasonal_strength" -> seasonalStrength _,
+    "q_ts_hodges_lehmann" -> hodgesLehmann _,
     "q_ts_burn_rate" -> burnRate _,
     "q_ts_dashboard" -> dashboard _,
     "q_ts_moving_avg" -> movingAverage _,
@@ -3639,6 +3673,31 @@ object TimeSeriesOps {
         |       detr - seasonal AS resid
         |FROM s
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q_ts_hodges_lehmann" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |q1 AS (
+        |  SELECT event_type, bucket,
+        |         CAST(floor(v * 10000.0 + 0.5) AS BIGINT) AS q
+        |  FROM h1),
+        |p AS (
+        |  SELECT a.event_type, a.bucket, b.bucket AS bucket2,
+        |         a.q + b.q AS w
+        |  FROM q1 a JOIN q1 b ON a.event_type = b.event_type
+        |    AND a.bucket <= b.bucket),
+        |r AS (
+        |  SELECT event_type, w,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY w NULLS FIRST, bucket NULLS FIRST,
+        |             bucket2 NULLS FIRST) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p)
+        |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+        |       CAST(w AS DOUBLE) / 20000.0 AS hl
+        |FROM r WHERE rn = (np + 1) // 2
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_ts_seasonal_strength" -> {
       val fs = "GREATEST(0.0, 1.0 - CASE WHEN vd > 0 THEN " +
         "CAST(vr AS DOUBLE) / CAST(vd AS DOUBLE) ELSE 1.0 END)"
