@@ -2355,6 +2355,48 @@ object RelationalOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** CRAMÉR'S V — effect size for the (o_orderpriority ×
+    * o_orderstatus) contingency: the χ²-derived association strength
+    * that makes the q_llm_chisq_drift family's per-cell audit a
+    * single comparable number. Expectations follow the r10 rule
+    * (doubles BEFORE the product — ri·cj overflows BIGINT at extreme
+    * scale), each cell's contrib quantizes at 1e9 with floor (no
+    * rounding-mode dialect) and SUMS as exact BIGINT — a raw double
+    * Σχ² would be addend-order-dependent across engines. V then is
+    * one IEEE √(χ²/(n·min(r−1,c−1))). Three count aggregations + a
+    * broadcast grid — corpus-free cost. */
+  def cramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("rk"),
+        col("o_orderstatus").as("ck"))
+      .localCheckpoint(eager = false) // four aggregation consumers
+    val cells = o.groupBy(col("rk"), col("ck"))
+      .agg(count(lit(1)).as("obs"))
+    val rs = o.groupBy(col("rk")).agg(count(lit(1)).as("ri"))
+      .localCheckpoint(eager = false)
+    val cs = o.groupBy(col("ck")).agg(count(lit(1)).as("cj"))
+      .localCheckpoint(eager = false)
+    val tot = o.agg(count(lit(1)).as("n"))
+    val dims = rs.agg(count(lit(1)).as("r"))
+      .crossJoin(cs.agg(count(lit(1)).as("c")))
+    val e = dd(col("ri")) * dd(col("cj")) / dd(col("n"))
+    val contrib = (dd(col("obs")) - e) * (dd(col("obs")) - e) / e
+    rs.crossJoin(broadcast(cs)).crossJoin(broadcast(tot))
+      .join(cells, Seq("rk", "ck"), "left")
+      .select(coalesce(col("obs"), lit(0L)).as("obs"),
+        col("ri"), col("cj"), col("n"))
+      .select(floor(contrib * lit(1.0e9)).cast("long").as("q9"),
+        col("n"))
+      .agg(sum(col("q9")).as("chi9"), max(col("n")).as("n"))
+      .crossJoin(broadcast(dims))
+      .select(col("r"), col("c"), col("n"), col("chi9"),
+        Det.r4(col("chi9").cast("double") / lit(1.0e9)).as("chi2"),
+        Det.r4(sqrt(col("chi9").cast("double") / lit(1.0e9) /
+          (dd(col("n")) * dd(least(col("r") - 1, col("c") - 1)))))
+          .as("v"))
+  }
+
   /** TOP USER PATHS — the product-analytics "how do sessions start"
     * read: each user's first five events (exact (ts, event_id) order)
     * join into a '>'-separated path string; the top-10 paths by count
@@ -2516,6 +2558,7 @@ object RelationalOps {
     "q_dq_purity" -> dqPurity _,
     "q_agg_ks_drift" -> ksDrift _,
     "q_rel_top_paths" -> topPaths _,
+    "q_agg_cramers_v" -> cramersV _,
     "q_upsert_snapshot" -> upsertSnapshot _,
     "q_time_travel" -> timeTravel _,
     "q_tpch_pricing" -> tpchPricingSummary _,
@@ -2647,6 +2690,40 @@ object RelationalOps {
         |         AS is_current
         |FROM c
         |ORDER BY user_id NULLS FIRST, version NULLS FIRST""".stripMargin,
+    "q_agg_cramers_v" -> {
+      val chiTxt = "CAST(chi9 AS DOUBLE) / 1000000000.0"
+      val vTxt = "sqrt(CAST(chi9 AS DOUBLE) / 1000000000.0 / " +
+        "(CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))"
+      s"""WITH o AS (
+        |  SELECT o_orderpriority AS rk, o_orderstatus AS ck FROM orders),
+        |cells AS (SELECT rk, ck, CAST(count(*) AS BIGINT) AS obs
+        |          FROM o GROUP BY 1, 2),
+        |rs AS (SELECT rk, CAST(count(*) AS BIGINT) AS ri
+        |       FROM o GROUP BY 1),
+        |cs AS (SELECT ck, CAST(count(*) AS BIGINT) AS cj
+        |       FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rs) AS r,
+        |                (SELECT CAST(count(*) AS BIGINT) FROM cs) AS c),
+        |grid AS (
+        |  SELECT COALESCE(cells.obs, CAST(0 AS BIGINT)) AS obs,
+        |         ri, cj, n,
+        |         CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+        |           / CAST(n AS DOUBLE) AS e
+        |  FROM rs CROSS JOIN cs CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.rk = rs.rk AND cells.ck = cs.ck),
+        |qq AS (
+        |  SELECT CAST(floor((CAST(obs AS DOUBLE) - e)
+        |    * (CAST(obs AS DOUBLE) - e) / e * 1000000000.0) AS BIGINT)
+        |    AS q9, n
+        |  FROM grid),
+        |agg AS (SELECT CAST(sum(q9) AS BIGINT) AS chi9, max(n) AS n
+        |        FROM qq)
+        |SELECT r, c, n, chi9,
+        |       ${Det.r4Sql(chiTxt)} AS chi2,
+        |       ${Det.r4Sql(vTxt)} AS v
+        |FROM agg CROSS JOIN dims""".stripMargin
+    },
     "q_rel_top_paths" ->
       """WITH r AS (
         |  SELECT user_id, event_type,

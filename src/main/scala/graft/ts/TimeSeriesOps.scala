@@ -796,7 +796,9 @@ object TimeSeriesOps {
     * in nothing else; the join key is the series pair, so the
     * bucket-pair explosion shuffles once and never touches the fact
     * table. */
-  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared concordance counts per series pair — the aggregation both
+    * [[kendallTau]] and [[somersD]] project from. */
+  private def kendallCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
     val a = h1.select(col("event_type").as("ma"), col("bucket"),
       col("v").as("va"))
@@ -806,7 +808,6 @@ object TimeSeriesOps {
       .localCheckpoint(eager = false) // self-joined below; build once
     val q = p.select(col("ma"), col("mb"), col("bucket").as("bucket2"),
       col("va").as("va2"), col("vb").as("vb2"))
-    def d(c: org.apache.spark.sql.Column) = c.cast("double")
     val joined = p.join(q, Seq("ma", "mb"))
       .where(col("bucket") < col("bucket2"))
     joined.groupBy(col("ma"), col("mb"))
@@ -817,10 +818,33 @@ object TimeSeriesOps {
           lit(0.0), 1L).otherwise(0L)).as("nd"),
         sum(when(col("va") === col("va2"), 1L).otherwise(0L)).as("tx"),
         sum(when(col("vb") === col("vb2"), 1L).otherwise(0L)).as("ty"))
+  }
+
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    kendallCounts(spark, sfDir)
       .select(col("ma"), col("mb"), col("n0"), col("nc"), col("nd"),
         Det.r4(d(col("nc") - col("nd")) /
           sqrt(d(col("n0") - col("tx")) * d(col("n0") - col("ty"))))
           .as("tau"))
+      .orderBy("ma", "mb")
+  }
+
+  /** SOMERS' D (asymmetric ordinal association) from the SAME
+    * concordance counts as [[kendallTau]]: D_y|x = (nc − nd)/(n0 − tx)
+    * treats the FIRST series as independent (pairs tied on x are
+    * excluded from the denominator) — the directional effect size
+    * ordinal dashboards quote next to the symmetric tau. Pure
+    * projection over the shared exact counts; one IEEE divide. */
+  def somersD(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    kendallCounts(spark, sfDir)
+      .select(col("ma"), col("mb"), col("n0"), col("nc"), col("nd"),
+        col("tx"), col("ty"),
+        Det.r4(d(col("nc") - col("nd")) / d(col("n0") - col("tx")))
+          .as("d_yx"),
+        Det.r4(d(col("nc") - col("nd")) / d(col("n0") - col("ty")))
+          .as("d_xy"))
       .orderBy("ma", "mb")
   }
 
@@ -2311,6 +2335,37 @@ object TimeSeriesOps {
     (out, Seq(t1Plan, t2Plan, t3))
   }
 
+  /** WINDOWED FUNNEL — [[funnel]] with per-stage conversion windows:
+    * the click must land within 1 h of the first view and the
+    * purchase within 24 h of that click (the product-analytics form
+    * real funnels use — an unconstrained chain overcounts lazy
+    * conversions). Same stage-checkpoint shape, purely timestamp
+    * comparisons (exact in both engines, no interval arithmetic
+    * dialect beyond the shared `+ INTERVAL`). */
+  def funnelWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      .localCheckpoint(eager = false)
+    val t2 = e.join(t1, "user_id")
+      .where(col("event_type") === "click" &&
+        col("ts") >= col("t_view") &&
+        col("ts") <= col("t_view") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      .localCheckpoint(eager = false)
+    val t3 = e.join(t2, "user_id")
+      .where(col("event_type") === "purchase" &&
+        col("ts") >= col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click_1h"),
+        count(col("t_purchase")).as("n_purchase_24h"))
+  }
+
   /** `/metrics/find` over the dotted namespace (the KenshinFinder
     * browse/autocomplete read, [[graft.catalog.MetricGlob.findNodes]]):
     * glob `app.*` expands one node level against the distinct metric
@@ -2946,6 +3001,8 @@ object TimeSeriesOps {
     "q_ts_kendall_fast" -> kendallTauFast _,
     "q_ts_mannkendall" -> mannKendall _,
     "q_ts_lttb" -> lttb _,
+    "q_ts_somers_d" -> somersD _,
+    "q_funnel_windowed" -> funnelWindowed _,
     "q_ts_xcorr" -> crossCorrLagged _,
     "q_ts_wilcoxon" -> wilcoxonSignedRank _,
     "q_ts_stl" -> stlDecompose _,
@@ -4718,6 +4775,62 @@ object TimeSeriesOps {
         |       ${Det.r4Sql("CAST(count(*) AS DOUBLE) / CAST(max(sid) AS DOUBLE)")} AS events_per_session
         |FROM s GROUP BY 1
         |ORDER BY user_id NULLS FIRST""".stripMargin
+    },
+    "q_funnel_windowed" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t_view
+        |    AND e.ts <= t1.t_view + INTERVAL 1 HOUR
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t_click
+        |    AND e.ts <= t2.t_click + INTERVAL 24 HOUR
+        |  GROUP BY 1)
+        |SELECT count(t1.t_view) AS n_view,
+        |       count(t2.t_click) AS n_click_1h,
+        |       count(t3.t_purchase) AS n_purchase_24h
+        |FROM t1
+        |LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+    "q_ts_somers_d" -> {
+      val dyx = "CAST(nc - nd AS DOUBLE) / CAST(n0 - tx AS DOUBLE)"
+      val dxy = "CAST(nc - nd AS DOUBLE) / CAST(n0 - ty AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS ma, b.event_type AS mb, a.bucket AS bucket,
+        |         a.v AS va, b.v AS vb
+        |  FROM h1 a JOIN h1 b ON a.bucket = b.bucket
+        |  WHERE a.event_type < b.event_type),
+        |j AS (
+        |  SELECT x.ma, x.mb,
+        |         x.va AS va, x.vb AS vb, y.va AS va2, y.vb AS vb2
+        |  FROM p x JOIN p y ON x.ma = y.ma AND x.mb = y.mb
+        |    AND x.bucket < y.bucket),
+        |c AS (
+        |  SELECT ma, mb, CAST(count(*) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN (va - va2) * (vb - vb2) > 0.0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |         CAST(sum(CASE WHEN (va - va2) * (vb - vb2) < 0.0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |         CAST(sum(CASE WHEN va = va2 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS tx,
+        |         CAST(sum(CASE WHEN vb = vb2 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS ty
+        |  FROM j GROUP BY 1, 2)
+        |SELECT ma, mb, n0, nc, nd, tx, ty,
+        |       ${Det.r4Sql(dyx)} AS d_yx,
+        |       ${Det.r4Sql(dxy)} AS d_xy
+        |FROM c
+        |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
     },
     "q_funnel" ->
       """WITH t1 AS (
