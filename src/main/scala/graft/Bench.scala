@@ -134,7 +134,7 @@ object Bench {
     // committed comparable-history sidecar; set SPARK_GRAFT_BENCH_OUT
     // explicitly to capture those
     val canonical = only.isEmpty &&
-      sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+      new java.io.File(sfDir.replaceAll("/+$", "")).getName == "sf0.1"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (canonical) "BENCH_FULL_latest.json" else "")
     if (outPath.nonEmpty)

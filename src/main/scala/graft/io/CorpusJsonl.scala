@@ -85,8 +85,14 @@ object CorpusJsonl {
     * `foreachBatch` and apply the batch split per micro-batch. */
   /** JSONL EXPORT — the other end of the pipeline: write a curated
     * corpus as train-ready JSONL shards in a DETERMINISTIC layout.
-    * Shard membership is a PURE FUNCTION of row content — the first 32
-    * bits of md5(text) mod nShards — never a sampled range boundary: a
+    * A row's shard GROUP is a pure function of row content — the first
+    * 32 bits of md5(text) mod nShards — and the physical file a group
+    * lands in is a further fixed re-hash of that id
+    * (`repartition(n, col)` murmur-hashes the shard id), so output
+    * files need not map 1:1 to shard ids (a part file can carry two
+    * groups, another may be empty) but the whole layout is still a
+    * deterministic pure function of corpus content. What the layout is
+    * NEVER built from is a sampled range boundary: a
     * RangePartitioner's boundaries come from a reservoir sample, which
     * is only reproducible while the sample covers every row, so at
     * production corpus sizes two exports of the same corpus from

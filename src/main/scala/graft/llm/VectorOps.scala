@@ -464,15 +464,32 @@ object VectorOps {
     * it) and each round is a driver-synchronized action, so its wall
     * time measures the convergence path of the data, not engine speed. */
   def kmeansConvergedPar(spark: SparkSession, sfDir: String): DataFrame = {
+    val (assign, rounds) =
+      kmeansConvergedAssignFrom(spark, Tables.embeddings(spark, sfDir))
+    assign.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4(sum(col("dist")).cast("double") / lit(Quantum)).as("inertia"))
+      .withColumn("rounds", lit(rounds))
+      .orderBy("cl")
+  }
+
+  /** The assignment-level form of [[kmeansConvergedPar]] over an
+    * explicit (vec_id, embedding) relation: returns the converged
+    * (vec_id, cl, dist) assignment plus the round count — factored so
+    * [[semDedupClusteredFrom]] can bucket by cluster id and specs can
+    * drive crafted fixtures through the identical clustering plan. */
+  private[graft] def kmeansConvergedAssignFrom(spark: SparkSession,
+      e0raw: DataFrame): (DataFrame, Long) = {
+    val e0 = e0raw.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = false) // flat + seed + count consumers
     val q = lit(Quantum)
-    val flat = Tables.embeddings(spark, sfDir)
+    val flat = e0
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
       .localCheckpoint(eager = false)
 
     // --- k-means|| seeding ---------------------------------------------
-    val first = Tables.embeddings(spark, sfDir)
-      .agg(min(col("vec_id"))).head.getLong(0)
+    val first = e0.agg(min(col("vec_id"))).head.getLong(0)
     var candIds: Seq[Long] = Seq(first)
     for (_ <- 1 to KmParSeedRounds) {
       val cand = flat.where(col("vec_id").isin(candIds: _*))
@@ -516,7 +533,7 @@ object VectorOps {
     var cent = seedRows.toDF("cl", "dim", "c")
 
     // --- Lloyd's to convergence ----------------------------------------
-    val n = Tables.embeddings(spark, sfDir).count()
+    val n = e0.count()
     val stopAt = math.max(1L, n / 100) // ≤1% of points still flipping
     var prev: DataFrame = null
     var assign: DataFrame = null
@@ -547,11 +564,7 @@ object VectorOps {
             (count(lit(1)) * q)).as("c"))
           .localCheckpoint(eager = false)
     }
-    assign.groupBy(col("cl"))
-      .agg(count(lit(1)).as("n"),
-        Det.r4(sum(col("dist")).cast("double") / q).as("inertia"))
-      .withColumn("rounds", lit(rounds.toLong))
-      .orderBy("cl")
+    (assign, rounds.toLong)
   }
 
   /** Weighted Lloyd's over the ≤ l·rounds candidate points (driver-side,
@@ -733,21 +746,46 @@ object VectorOps {
     * 6.4e13, so every DECIMAL(19,0) factor and the DECIMAL(38,0)
     * product stay exact. A vector is pruned by its LOWEST-id ≥ τ
     * neighbor (greedy-by-id representative, deterministic). */
-  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
-    val flat = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
-      .select(col("vec_id"), col("dim"),
-        floor(col("xf").cast("double") * lit(1000000.0)).cast("long")
-          .as("qx"))
-      .localCheckpoint(eager = false)
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semDedupFrom(spark, Tables.embeddings(spark, sfDir))
+
+  /** [[semDedup]] over an explicit (vec_id, embedding) relation — the
+    * sign-bucket oracle form, factored so specs can compare both
+    * bucketing schemes on one crafted fixture. */
+  private[graft] def semDedupFrom(spark: SparkSession, e0: DataFrame)
+      : DataFrame = {
+    val flat = quantFlat(e0)
     val sgn = flat.where(col("dim") <= 7).groupBy(col("vec_id"))
       .agg(sum(when(col("qx") >= 0,
         expr("shiftleft(1L, CAST(dim AS INT))")).otherwise(0L))
         .as("bucket"))
+    semDedupKernel(flat, sgn)
+  }
+
+  /** 1e6-floor-quantized (vec_id, dim, qx) explosion of an embeddings
+    * relation — the shared input of the SemDeDup kernel family. */
+  private def quantFlat(e0: DataFrame): DataFrame =
+    e0.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("xf").cast("double") * lit(1000000.0)).cast("long")
+          .as("qx"))
+      .localCheckpoint(eager = false)
+
+  /** The SemDeDup pruning kernel, shared verbatim by the sign-bucket
+    * oracle form ([[semDedup]]) and the clustered production form
+    * ([[semDedupClustered]]): given the quantized flat relation and a
+    * (vec_id, bucket) assignment, equi-join pairs WITHIN a bucket,
+    * test cos ≥ 2/5 as (5·dot)² ≥ (2·‖a‖²)(2·‖b‖²) in DECIMAL(38,0)
+    * (exact — see [[semDedup]] headroom note), and prune each vector
+    * by its lowest-id ≥ τ in-bucket neighbor. Only the bucket KEY
+    * differs between the two callers; the decision math is identical
+    * text. */
+  private def semDedupKernel(flat: DataFrame, buckets: DataFrame)
+      : DataFrame = {
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     val nr = flat.groupBy(col("vec_id"))
       .agg(sum(col("qx") * col("qx")).as("n2"))
-    val fa = flat.join(sgn, "vec_id")
+    val fa = flat.join(buckets, "vec_id")
     val dots = fa.select(col("vec_id").as("a_id"), col("bucket"),
       col("dim"), col("qx").as("qa"))
       .join(fa.select(col("vec_id").as("b_id"), col("bucket").as("bk_b"),
@@ -775,77 +813,121 @@ object VectorOps {
       .orderBy("pruned_id")
   }
 
+  /** Per-bucket occupancy guardrail for [[semDedupClustered]]: clusters
+    * over this size are excluded from the pair stage (the
+    * [[NeardupBucketCap]] hot-bucket discipline). In production the
+    * cluster count k is chosen so corpus/k ≈ this cap (the SemDeDup
+    * paper runs k = 50 000 on LAION for exactly this occupancy
+    * control); the cap is the guardrail for SKEWED clusters, not the
+    * primary sizing knob. */
+  private[graft] val SemDedupFanoutCap = 1024L
+
+  /** SEMANTIC DEDUP, PRODUCTION BUCKETING — the 100-TB form of
+    * [[semDedup]] (Abbas et al. 2023 as published): bucket =
+    * [[kmeansConvergedPar]] cluster id instead of the 8-bit sign
+    * signature. The sign-bucket form has 256 buckets TOTAL, so
+    * within-bucket occupancy grows ∝ corpus/256 and the pair stage is
+    * O(n²/256) — fine as the fixture-scale oracle baseline, quadratic
+    * at scale. Cluster ids scale with k (paper: k = 50 000), and any
+    * cluster whose occupancy still exceeds `cap` is excluded from the
+    * pair stage via a broadcast anti-join (the [[embedNeardupFrom]]
+    * hot-bucket pattern; the overflow relation is returned to the
+    * caller's judgment in the paper too — a degenerate mega-cluster is
+    * boilerplate mass for [[embedDiversity]]/k-means to summarize, not
+    * a pair list to enumerate). DOCUMENTED RECALL CONTRACT: pairs
+    * split across clusters are not tested — at production τ ≈ 0.9 a
+    * near-dup pair lands in the same cell with high probability (the
+    * paper's operating assumption); the fixture τ = 2/5 is looser, so
+    * the spec checks precision exactly and decision-equality on
+    * planted tight-pair fixtures rather than global recall. The
+    * pruning kernel is [[semDedupKernel]] — identical exact-integer
+    * text to the oracle form. Spec-gated like its clusterer
+    * (data-dependent iteration count), not an oracle/bench query. */
+  def semDedupClustered(spark: SparkSession, sfDir: String,
+      cap: Long = SemDedupFanoutCap): DataFrame =
+    semDedupClusteredFrom(spark, Tables.embeddings(spark, sfDir), cap)
+
+  /** [[semDedupClustered]] over an explicit (vec_id, embedding)
+    * relation — factored so specs can drive the identical plan with
+    * crafted hot-bucket fixtures. */
+  private[graft] def semDedupClusteredFrom(spark: SparkSession,
+      e0: DataFrame, cap: Long = SemDedupFanoutCap): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = false) // feeds quantFlat AND the clusterer
+    val flat = quantFlat(e)
+    val (assign, _) = kmeansConvergedAssignFrom(spark, e)
+    val buckets = assign.select(col("vec_id"), col("cl").as("bucket"))
+      .localCheckpoint(eager = false) // occupancy count + kernel join
+    val hot = buckets.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c")).where(col("c") > cap)
+      .select(col("bucket"))
+    val kept = buckets.join(broadcast(hot), Seq("bucket"), "left_anti")
+    semDedupKernel(flat, kept)
+  }
+
   /** A raw vector row (the streaming-gate input shape). */
   final case class VecRow(vec_id: Long, embedding: Array[Float])
 
-  /** One kept-set entry for [[semDedupGate]]: pre-quantized coords,
-    * norm² and sign-LSH bucket — model-sized material (the output of
-    * a prior batch [[semDedup]] pass), broadcast to every executor. */
-  final case class SemKept(vec_id: Long, bucket: Long, qx: Array[Long],
-    n2: Long)
+  /** Quantized columns shared by the gate's two sides: 1e6-floor qx
+    * array, exact BIGINT norm², and the 8-bit sign-LSH bucket — all
+    * codegen'd higher-order functions over the embedding array, the
+    * per-ROW form of [[quantFlat]]+sign aggregation (identical
+    * quantization text, so gate decisions match the batch kernel). */
+  private def withQuant(df: DataFrame): DataFrame = df
+    .withColumn("qx", expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS LONG))"))
+    .withColumn("n2", expr(
+      "aggregate(qx, 0L, (acc, v) -> acc + v * v)"))
+    .withColumn("bucket", expr(
+      "aggregate(zip_with(slice(qx, 1, 8), sequence(0, 7), " +
+        "(q, i) -> IF(q >= 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"))
 
-  private def quantize(v: Array[Float]): Array[Long] =
-    v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
-
-  private def signBucket(qx: Array[Long]): Long = {
-    var b = 0L; var i = 0
-    while (i < 8 && i < qx.length) {
-      if (qx(i) >= 0) b |= (1L << i); i += 1
-    }
-    b
-  }
-
-  /** Build the broadcast kept-set from a parquet embeddings table —
-    * driver-side by design: the kept-set is the MODEL here (the ANN
-    * codebook rule), bounded by the curated representative count, not
-    * the corpus. */
-  def semKeptSet(spark: SparkSession, sfDir: String): Array[SemKept] = {
-    import spark.implicits._
-    Tables.embeddings(spark, sfDir).as[VecRow].collect().map { r =>
-      val qx = quantize(r.embedding)
-      var n2 = 0L; qx.foreach(q => n2 += q * q)
-      SemKept(r.vec_id, signBucket(qx), qx, n2)
-    }
-  }
+  /** The gate's reference relation: per sign-LSH bucket, the sorted
+    * candidate list (vec_id, qx, n2) of the PRIOR CORPUS — a TABLE,
+    * never driver state. SemDeDup kept-sets are corpus-sized (only
+    * near-dups prune away), so the old broadcast-an-Array design was
+    * bounded by driver memory; this relation stays distributed and
+    * meets the stream in a bucket-keyed equi-join. One row per bucket;
+    * row width = bucket occupancy × (d+2) longs, which production
+    * bounds the same way the batch pair stage does — clustered bucket
+    * keys sized so occupancy ≈ [[SemDedupFanoutCap]] (swap the bucket
+    * expression for cluster ids; the join and decision text are
+    * unchanged). */
+  def semKeptBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    withQuant(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("qx"),
+        col("n2")))).as("cands"))
 
   /** STREAMING TWIN of [[semDedup]] — admission-time semantic gating:
-    * each arriving vector is tested against the broadcast kept-set in
-    * its own sign-LSH bucket with the IDENTICAL exact integer kernel
-    * (1e6-floor quantize, BigInt (5·dot)² ≥ (2·n²ₐ)(2·n²ᵦ) for
-    * τ = 2/5), pruning against the LOWEST-id ≥ τ neighbor with
-    * kept_id < vec_id. Stateless map ⇒ runs unchanged on a stream
-    * (the s_image_gate shape); spec'd decision-equal to the batch
-    * pass over the same corpus. */
+    * each arriving vector meets its sign-LSH bucket's kept candidates
+    * via a STREAM-STATIC equi-join on bucket (stateless, Append-safe;
+    * Catalyst broadcasts a small reference and shuffles a large one —
+    * no driver collect anywhere on the path), then tests the
+    * IDENTICAL exact integer kernel (1e6-floor quantize,
+    * (5·dot)² ≥ (2·n²ₐ)(2·n²ᵦ) in DECIMAL(38,0) for τ = 2/5) as a
+    * codegen'd filter over the candidate array, pruning against the
+    * LOWEST-id ≥ τ neighbor with kept_id < vec_id (candidates arrive
+    * sorted, so the first qualifying element is the representative).
+    * Spec'd decision-equal to the batch pass over the same corpus. */
   def semDedupGate(vecs: org.apache.spark.sql.Dataset[VecRow],
-      kept: Array[SemKept]): DataFrame = {
-    import vecs.sparkSession.implicits._
-    val byBucket = kept.groupBy(_.bucket)
-      .map { case (b, ks) => (b, ks.sortBy(_.vec_id)) }
-    val bc = vecs.sparkSession.sparkContext.broadcast(byBucket)
-    vecs.map { v =>
-      val qx = quantize(v.embedding)
-      var n2 = 0L; qx.foreach(q => n2 += q * q)
-      val bucket = signBucket(qx)
-      var keptId = -1L
-      val cands = bc.value.getOrElse(bucket, Array.empty[SemKept])
-      var ci = 0
-      while (keptId < 0 && ci < cands.length) {
-        val k = cands(ci)
-        if (k.vec_id < v.vec_id) {
-          var dot = 0L
-          val n = math.min(qx.length, k.qx.length)
-          var j = 0
-          while (j < n) { dot += qx(j) * k.qx(j); j += 1 }
-          if (dot > 0) {
-            val l = BigInt(dot) * 5
-            if (l * l >= BigInt(n2) * 2 * (BigInt(k.n2) * 2))
-              keptId = k.vec_id // candidates sorted by id: first = lowest
-          }
-        }
-        ci += 1
-      }
-      (v.vec_id, keptId >= 0, keptId)
-    }.toDF("vec_id", "pruned", "kept_id")
+      keptBuckets: DataFrame): DataFrame = {
+    withQuant(vecs.toDF())
+      .join(keptBuckets, Seq("bucket"), "left")
+      // dot once per candidate (lambdas don't CSE), then the exact test
+      .withColumn("cd", expr(
+        "transform(cands, k -> struct(k.vec_id AS kid, " +
+          "aggregate(zip_with(qx, k.qx, (a, b) -> a * b), 0L, " +
+          "(s, v) -> s + v) AS dot, k.n2 AS kn2))"))
+      .withColumn("hit", expr(
+        "try_element_at(filter(cd, k -> k.kid < vec_id AND k.dot > 0 AND " +
+          "CAST(5 * k.dot AS DECIMAL(19,0)) * " +
+          "CAST(5 * k.dot AS DECIMAL(19,0)) >= " +
+          "CAST(2 * k.kn2 AS DECIMAL(19,0)) * " +
+          "CAST(2 * n2 AS DECIMAL(19,0))), 1)"))
+      .select(col("vec_id"), col("hit").isNotNull.as("pruned"),
+        coalesce(col("hit.kid"), lit(-1L)).as("kept_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

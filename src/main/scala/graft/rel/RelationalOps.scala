@@ -2438,6 +2438,7 @@ object RelationalOps {
     val tests = ev.where(col("event_type") =!= "view")
       .groupBy(col("event_type").as("t"), col("value"))
       .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false) // feeds types AND the union branch
     val base = ev.where(col("event_type") === "view")
       .groupBy(col("value")).agg(count(lit(1)).as("c2"))
     val types = tests.select(col("t")).distinct()
@@ -3652,23 +3653,23 @@ object RelationalOps {
         |ORDER BY l_linestatus NULLS FIRST""".stripMargin
     },
     "q_surv_km" ->
-      s"""WITH RECURSIVE per AS (
+      s"""WITH RECURSIVE per AS MATERIALIZED (
         |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
         |  FROM events GROUP BY 1),
         |hor AS (SELECT max(ts) AS end_ts FROM events),
-        |obs AS (
+        |obs AS MATERIALIZED (
         |  SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
         |           AS dur,
         |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
         |  FROM per CROSS JOIN hor),
-        |durs AS (
+        |durs AS MATERIALIZED (
         |  SELECT dur,
         |         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
         |           AS d,
         |         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
         |           AS c
         |  FROM obs GROUP BY 1),
-        |risk AS (
+        |risk AS MATERIALIZED (
         |  SELECT dur, d, c,
         |         CAST(sum(d + c) OVER (ORDER BY dur NULLS FIRST
         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
@@ -3687,23 +3688,23 @@ object RelationalOps {
         |FROM rec JOIN risk x ON x.rn = rec.rn
         |ORDER BY dur_days NULLS FIRST""".stripMargin,
     "q_surv_na" ->
-      s"""WITH RECURSIVE per AS (
+      s"""WITH RECURSIVE per AS MATERIALIZED (
         |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
         |  FROM events GROUP BY 1),
         |hor AS (SELECT max(ts) AS end_ts FROM events),
-        |obs AS (
+        |obs AS MATERIALIZED (
         |  SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
         |           AS dur,
         |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
         |  FROM per CROSS JOIN hor),
-        |durs AS (
+        |durs AS MATERIALIZED (
         |  SELECT dur,
         |         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
         |           AS d,
         |         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
         |           AS c
         |  FROM obs GROUP BY 1),
-        |risk AS (
+        |risk AS MATERIALIZED (
         |  SELECT dur, d, c,
         |         CAST(sum(d + c) OVER (ORDER BY dur NULLS FIRST
         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)

@@ -448,6 +448,12 @@ object Ingest {
               val diff = (BigInt(i) * m - BigInt(j) * n).abs
               if (diff > best) best = diff
             }
+            // the batch twin (ksDrift) fails loudly on the ANSI
+            // decimal->long cast past Long range; match that contract
+            // rather than silently wrapping (n*m exceeds Long only past
+            // ~3e9 x 3e9 events per type, but the guard costs nothing)
+            require(best.isValidLong,
+              s"ksMonitor d_num overflow for type $t: $best (n=$n m=$m)")
             Iterator.single(KsScore(t, n, m, best.toLong,
               best.toDouble / (n.toDouble * m.toDouble)))
           }

@@ -66,7 +66,8 @@ object Soak {
     val line =
       f"""{"metric":"soak","ops":$qs,"total":${times.map(_._2).sum}%.3f,"cpus":"$cpus","sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT",
-      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) "SOAK_latest.json"
+      if (new java.io.File(sfDir.replaceAll("/+$", "")).getName == "sf0.1")
+        "SOAK_latest.json"
       else "")
     if (outPath.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

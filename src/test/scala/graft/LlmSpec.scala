@@ -449,6 +449,88 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) < total * 9 / 10))
   }
 
+  test("semdedup_clustered: every pruned pair passes the exact integer test") {
+    val sp = spark
+    import sp.implicits._
+    val got = VectorOps.semDedupClustered(sp, sf).collect()
+    assert(got.nonEmpty, "fixture corpus should contain >= tau pairs")
+    // recompute each pair's test from raw vectors — exact PRECISION:
+    // the clustered candidate generator may test different pairs than
+    // the sign-bucket oracle (documented recall contract), but every
+    // pair it prunes must be a TRUE >= tau pair under the identical
+    // quantized integer math
+    val vecs = graft.io.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding")).as[VectorOps.VecRow]
+      .collect().map(r => r.vec_id -> r.embedding).toMap
+    def q(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    for (r <- got) {
+      val (p, k) = (r.getLong(0), r.getLong(1))
+      assert(k < p, s"representative must be the lower id: ($k, $p)")
+      val (qa, qb) = (q(vecs(k)), q(vecs(p)))
+      var dot = 0L; var na = 0L; var nb = 0L
+      for (i <- qa.indices) {
+        dot += qa(i) * qb(i); na += qa(i) * qa(i); nb += qb(i) * qb(i)
+      }
+      assert(dot > 0, s"pair ($k, $p) has non-positive dot")
+      val l = BigInt(dot) * 5
+      assert(l * l >= BigInt(na) * 2 * (BigInt(nb) * 2),
+        s"pair ($k, $p) below tau = 2/5")
+    }
+  }
+
+  // 4 groups on disjoint 16-dim blocks, ALL coordinates positive: every
+  // vector lands in ONE sign bucket (the degenerate case where the
+  // sign-bucket pair stage is O(n^2)); groups are mutually near-
+  // orthogonal (cross cos ~ 0 << tau) and internally tight (cos ~ 1).
+  private def hotBucketFixture(sizes: Seq[Int]): Seq[VectorOps.VecRow] = {
+    def vec(g: Int, j: Int): Array[Float] = {
+      val v = Array.fill(64)(0.001f)
+      for (d <- g * 16 until g * 16 + 16) v(d) = 10.0f + 0.001f * j
+      v
+    }
+    val starts = sizes.scanLeft(0)(_ + _)
+    for (g <- sizes.indices; j <- 0 until sizes(g))
+      yield VectorOps.VecRow((starts(g) + j).toLong, vec(g, j))
+  }
+
+  test("semdedup_clustered: hot-bucket fixture — decisions equal the sign form") {
+    val sp = spark
+    import sp.implicits._
+    val e = hotBucketFixture(Seq(12, 12, 12, 12)).toDF()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pruned_id", "kept_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: within each tight group every id prunes to the
+    // group's lowest id; no cross-group pair reaches tau
+    val truth = (for (g <- 0 until 4; j <- 1 until 12)
+      yield ((g * 12 + j).toLong, (g * 12).toLong)).toSet
+    val clustered = pairs(VectorOps.semDedupClusteredFrom(sp, e))
+    assert(clustered == truth,
+      s"clustered decisions diverge: extra=${(clustered -- truth).take(3)} " +
+        s"missing=${(truth -- clustered).take(3)}")
+    // the sign-bucket oracle form tests ALL pairs here (one bucket) and
+    // must agree — proving the cluster key loses nothing on the exact
+    // fixture where its occupancy advantage is 48 -> 4 x 12
+    assert(pairs(VectorOps.semDedupFrom(sp, e)) == truth)
+  }
+
+  test("semdedup_clustered: fanout cap excludes only the flooded cluster") {
+    val sp = spark
+    import sp.implicits._
+    val e = hotBucketFixture(Seq(12, 8, 8, 8)).toDF()
+    val got = VectorOps.semDedupClusteredFrom(sp, e, cap = 10L)
+      .select("pruned_id", "kept_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // group 0 (12 members > cap) is excluded from the pair stage; the
+    // three 8-member groups prune normally
+    val starts = Seq(12, 20, 28)
+    val truth = (for (s <- starts; j <- 1 until 8)
+      yield ((s + j).toLong, s.toLong)).toSet
+    assert(got == truth,
+      s"cap behavior diverges: extra=${(got -- truth).take(3)} " +
+        s"missing=${(truth -- got).take(3)}")
+  }
+
   test("kmeans-par converges and beats the fixed-round oracle objective") {
     val sf01 = "/root/testdata/sf0.01"
     val par = VectorOps.kmeansConvergedPar(spark, sf01).collect()

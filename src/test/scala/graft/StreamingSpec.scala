@@ -629,8 +629,11 @@ class StreamingSpec extends AnyFunSuite {
     // batch truth: pruned_id -> kept_id from the oracle-checked pass
     val batch = VectorOps.semDedup(sp, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val kept = VectorOps.semKeptSet(sp, sf)
-    assert(kept.nonEmpty)
+    // the reference is a distributed TABLE (bucket-keyed), never a
+    // driver-collected array — the scale contract this spec pins
+    val kept = VectorOps.semKeptBuckets(sp, sf)
+      .localCheckpoint() // static side, reused across micro-batches
+    assert(kept.count() > 0)
     val rows: Seq[VectorOps.VecRow] = graft.io.Tables.embeddings(sp, sf)
       .as[VectorOps.VecRow].collect().toSeq
     val in = MemoryStream[VectorOps.VecRow]
