@@ -1018,6 +1018,66 @@ object RelationalOps {
       .limit(15)
   }
 
+  /** DEGREE-CAPPED production twin of [[partJaccard]] (the r11 weak
+    * flag): the exact form's apex wedge join generates Σd² rows, so a
+    * single hub apex of degree d contributes d² pairs — the wrong
+    * shape on a skewed co-purchase graph at 100 TB. This twin bounds
+    * the WEDGE stage, then verifies EXACTLY (the LSH two-phase
+    * discipline used by winnowing/minhash/embed_neardup):
+    *
+    *  1. Candidate generation: each apex contributes wedges only among
+    *     its `cap` LOWEST-id neighbors (deterministic by key, and the
+    *     capped lists NEST as cap grows, so candidate sets are
+    *     monotone in cap — spec'd). Wedge volume ≤ Σ min(d, cap)² —
+    *     linear in edges for fixed cap.
+    *  2. Exact verification: each candidate pair's TRUE common count
+    *     comes from joining its full neighbor lists (cands ⋈ adjacency
+    *     on v1, then the composite (v2, shared-neighbor) equi-join) —
+    *     cost Σ_cands d(v1), never Σd². Every emitted value (common_n,
+    *     union_n, jq, jaccard) is therefore IDENTICAL to the exact
+    *     query's value for that pair.
+    *
+    * DOCUMENTED RECALL CONTRACT: a true pair is missed only if every
+    * common apex is a hub (d > cap) that ranks one of the two past its
+    * cap-th lowest-id neighbor; with cap ≥ max degree the result is
+    * row-identical to [[partJaccard]] (spec'd, along with value
+    * exactness and candidate monotonicity at tighter caps). The exact
+    * form stays the oracle; this is the scale path. */
+  def partJaccardCapped(spark: SparkSession, sfDir: String,
+      cap: Int = 64): DataFrame = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false) // capped lists + 2 verify joins
+    val wR = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val nbrsCap = sym.withColumn("rk", row_number().over(wR))
+      .where(col("rk") <= cap).drop("rk")
+    val w1 = nbrsCap.select(col("src").as("apex"), col("dst").as("v1"))
+    val w2 = nbrsCap.select(col("src").as("apex"), col("dst").as("v2"))
+    val cands = w1.join(w2, "apex").where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
+    val common = cands
+      .join(sym.select(col("src").as("v1"), col("dst").as("n")), "v1")
+      .join(sym.select(col("src").as("v2"), col("dst").as("n")),
+        Seq("v2", "n"))
+      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("common_n"))
+    common
+      .join(deg.select(col("src").as("v1"), col("d").as("d1")), "v1")
+      .join(deg.select(col("src").as("v2"), col("d").as("d2")), "v2")
+      .select(col("v1"), col("v2"), col("common_n"),
+        (col("d1") + col("d2") - col("common_n")).as("union_n"),
+        expr("(common_n * 1000000000000L) div " +
+          "(d1 + d2 - common_n)").as("jq"))
+      .select(col("v1"), col("v2"), col("common_n"), col("union_n"),
+        col("jq"),
+        Det.r4(col("common_n").cast("double") /
+          col("union_n").cast("double")).as("jaccard"))
+      .orderBy(col("jq").desc, col("v1"), col("v2"))
+      .limit(15)
+  }
+
   /** Interval join: events bucketed into a 7-day window grid. The grid is
     * a handful of rows → broadcast; empty windows survive via left join. */
   def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2605,6 +2665,8 @@ object RelationalOps {
     "q_part_triangles" -> partTriangles _,
     "q_part_kcore" -> partKcore _,
     "q_part_jaccard" -> partJaccard _,
+    "q_part_jaccard_capped" ->
+      ((s: SparkSession, d: String) => partJaccardCapped(s, d)),
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -3383,6 +3445,37 @@ object RelationalOps {
         |               CAST(count(*) AS BIGINT) AS common_n
         |        FROM sym a JOIN sym b
         |          ON a.src = b.src AND a.dst < b.dst
+        |        GROUP BY 1, 2)
+        |SELECT v1, v2, common_n,
+        |       d1.d + d2.d - common_n AS union_n,
+        |       (common_n * 1000000000000) // (d1.d + d2.d - common_n)
+        |         AS jq,
+        |       ${Det.r4Sql("CAST(common_n AS DOUBLE) / CAST(d1.d + d2.d - common_n AS DOUBLE)")} AS jaccard
+        |FROM com JOIN deg d1 ON com.v1 = d1.src
+        |JOIN deg d2 ON com.v2 = d2.src
+        |ORDER BY jq DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
+        |LIMIT 15""".stripMargin,
+    // the capped twin's oracle mirrors both phases: capped lowest-id
+    // neighbor lists (row_number <= cap) for candidate generation, then
+    // exact common counts from FULL adjacency for the candidates only
+    "q_part_jaccard_capped" ->
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |nc AS MATERIALIZED (SELECT src, dst FROM (
+        |        SELECT src, dst, row_number() OVER (PARTITION BY src
+        |          ORDER BY dst NULLS FIRST) AS rk FROM sym) t
+        |        WHERE rk <= 64),
+        |cands AS (SELECT DISTINCT a.dst AS v1, b.dst AS v2
+        |          FROM nc a JOIN nc b ON a.src = b.src AND a.dst < b.dst),
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d
+        |        FROM sym GROUP BY 1),
+        |com AS (SELECT c.v1, c.v2, CAST(count(*) AS BIGINT) AS common_n
+        |        FROM cands c JOIN sym s1 ON s1.src = c.v1
+        |        JOIN sym s2 ON s2.src = c.v2 AND s2.dst = s1.dst
         |        GROUP BY 1, 2)
         |SELECT v1, v2, common_n,
         |       d1.d + d2.d - common_n AS union_n,

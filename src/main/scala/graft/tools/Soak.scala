@@ -53,7 +53,11 @@ object Soak {
       "gini_dist" ->
         (() => graft.rel.RelationalOps.revenueGiniDistributed(spark, sfDir)),
       "kcore_converged" ->
-        (() => graft.rel.RelationalOps.kcoreConverged(spark, sfDir)))
+        (() => graft.rel.RelationalOps.kcoreConverged(spark, sfDir)),
+      "jaccard_capped" ->
+        (() => graft.rel.RelationalOps.partJaccardCapped(spark, sfDir)),
+      "semdedup_clustered" ->
+        (() => graft.llm.VectorOps.semDedupClustered(spark, sfDir)))
     val times = ops.map { case (name, f) =>
       val t0 = System.nanoTime()
       val rows = f().count()
