@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -103,7 +103,8 @@ case class KsEvent(t: String, isRef: Boolean, bucket: Long)
 case class KsState(test: Map[Long, Long], ref: Map[Long, Long])
 
 /** One live KS score: D's exact numerator and the IEEE ratio. */
-case class KsScore(t: String, n: Long, m: Long, d_num: Long, d: Double)
+case class KsScore(t: String, n: Long, m: Long, d_num: Long, d: Double,
+  buckets: Long)
 
 /** A typed state-change event for the live SCD2 maintainer. */
 case class Scd2Event(user_id: Long, ts: java.sql.Timestamp,
@@ -397,25 +398,52 @@ object Ingest {
     * (doc_id) fold order WITHIN each micro-batch so replays and tests
     * reproduce. State per key is one long; keys are languages/sources —
     * bounded, no watermark needed. */
+  /** Equiprobable reference bin edges for [[ksMonitor]] — the offline
+    * calibration half of the monitor: the B−1 interior quantiles of
+    * the baseline channel's value distribution, computed ONCE from the
+    * reference table (exact `percentile` aggregate — calibration runs
+    * offline where a sort is fine) and collected as model-sized
+    * material (B−1 doubles — the ANN codebook rule). The live state is
+    * then counts over a FIXED alphabet of B bins per side, so the
+    * bound holds for ANY real-valued stream — the r11 form bucketed on
+    * a 0.1-wide value grid, whose alphabet (hence state) grew with the
+    * stream's dynamic range. Equiprobable-under-baseline bins also
+    * put resolution where the reference mass lives, the standard
+    * drift-monitor binning. */
+  def ksReferenceEdges(spark: SparkSession, sfDir: String,
+      bins: Int = 32): Array[Double] = {
+    val ps = (1 until bins).map(k => k.toDouble / bins)
+      .mkString("array(", ", ", ")")
+    graft.io.Tables.events(spark, sfDir)
+      .where(col("event_type") === "view")
+      .agg(expr(s"percentile(CAST(value AS DOUBLE), $ps)").as("e"))
+      .head.getSeq[Double](0).toArray
+  }
+
   /** LIVE KOLMOGOROV–SMIRNOV DRIFT MONITOR — q_agg_ks_drift gone
     * online: each monitored channel's value distribution scored
     * against the 'view' baseline after every micro-batch. Values
-    * quantize to 0.1-wide buckets map-side (a bucketed KS is a
-    * defined, exactly-reproducible metric; the histogram alphabet —
-    * not the stream — bounds the state), and baseline rows fan out as
-    * reference COPIES to each channel's group so every group owns
-    * both histograms (state routing beats a cross-group read; the
-    * fan-out factor is the channel count, a constant). D's sup runs
-    * in BigInt |i·m − j·n| over the merged sorted buckets — the exact
-    * batch kernel. Histogram merges are commutative counter adds, so
-    * arrival order never matters (the s_cm_sketch guarantee class). */
-  def ksMonitor(evs: Dataset[AttribEvent],
+    * bucket map-side by binary search over the CALIBRATED edge array
+    * (see [[ksReferenceEdges]]; a binned KS is a defined,
+    * exactly-reproducible metric, and the edge alphabet — never the
+    * stream's value range — bounds the state at ≤ edges+1 bins per
+    * side, asserted in spec on a stream whose dynamic range defeats
+    * any fixed grid), and baseline rows fan out as reference COPIES to
+    * each channel's group so every group owns both histograms (state
+    * routing beats a cross-group read; the fan-out factor is the
+    * channel count, a constant). D's sup runs in BigInt |i·m − j·n|
+    * over the merged sorted buckets — the exact batch kernel.
+    * Histogram merges are commutative counter adds, so arrival order
+    * never matters (the s_cm_sketch guarantee class). */
+  def ksMonitor(evs: Dataset[AttribEvent], edges: Array[Double],
       channels: Seq[String] = Seq("click", "error", "purchase", "signup"))
       : Dataset[KsScore] = {
     import evs.sparkSession.implicits._
     val chan = channels.toArray
+    val sortedEdges = edges.sorted
     val routed = evs.flatMap { e =>
-      val b = math.floor(e.value * 10.0).toLong
+      val i = java.util.Arrays.binarySearch(sortedEdges, e.value)
+      val b = (if (i >= 0) i + 1 else -i - 1).toLong // edges are <= cuts
       if (e.event_type == "view") chan.toSeq.map(c => KsEvent(c, true, b))
       else if (chan.contains(e.event_type))
         Seq(KsEvent(e.event_type, false, b))
@@ -455,7 +483,7 @@ object Ingest {
             require(best.isValidLong,
               s"ksMonitor d_num overflow for type $t: $best (n=$n m=$m)")
             Iterator.single(KsScore(t, n, m, best.toLong,
-              best.toDouble / (n.toDouble * m.toDouble)))
+              best.toDouble / (n.toDouble * m.toDouble), keys.size.toLong))
           }
       }
   }

@@ -550,8 +550,13 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts"), col("value"))
       .as[AttribEvent].collect().toSeq
-    // driver truth: bucketed KS per channel over ALL rows
-    def bucket(v: Double) = math.floor(v * 10.0).toLong
+    // driver truth: binned KS per channel over ALL rows, the same
+    // calibrated quantile-edge alphabet the monitor runs on
+    val edges = Ingest.ksReferenceEdges(sp, TestSpark.sf).sorted
+    def bucket(v: Double) = {
+      val i = java.util.Arrays.binarySearch(edges, v)
+      (if (i >= 0) i + 1 else -i - 1).toLong
+    }
     val ref = evs.filter(_.event_type == "view").map(e => bucket(e.value))
       .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
     def truth(c: String): (Long, Long, Long) = {
@@ -569,7 +574,7 @@ class StreamingSpec extends AnyFunSuite {
     def lastScores(feed: Seq[Seq[AttribEvent]], name: String)
         : Map[String, (Long, Long, Long)] = {
       val in = MemoryStream[AttribEvent]
-      val q = runToMemory(Ingest.ksMonitor(in.toDS()).toDF(), name)
+      val q = runToMemory(Ingest.ksMonitor(in.toDS(), edges).toDF(), name)
       feed.foreach { b => in.addData(b); q.processAllAvailable() }
       q.stop()
       // Update mode: the LAST emission per channel is the live truth
@@ -587,6 +592,62 @@ class StreamingSpec extends AnyFunSuite {
     val (x, y) = evs.reverse.splitAt(evs.length / 5)
     val got2 = lastScores(Seq(x, y), "ks_live2")
     assert(got2 == got, s"batching changed the final scores")
+  }
+
+  test("s_ks_monitor: state stays bounded on values that defeat any grid") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // a stream spanning 21 decades: a fixed-width value grid (the r11
+    // 0.1-wide bucket scheme) would mint a fresh bucket per distinct
+    // magnitude and the per-channel state map would grow with the
+    // stream; the calibrated quantile-edge alphabet cannot
+    val vals = (0 until 400).map { k =>
+      math.pow(10.0, (k % 21) - 9) * (1.0 + 0.37 * (k % 7))
+    }
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      AttribEvent(i.toLong, i.toLong,
+        if (i % 2 == 0) "view" else "click",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), v)
+    }
+    val bins = 16
+    // calibration: equiprobable edges of the reference half
+    val refVals = evs.filter(_.event_type == "view").map(_.value).sorted
+    val edges = (1 until bins)
+      .map(k => refVals((k * refVals.length / bins) - 1)).toArray.sorted
+    val in = MemoryStream[AttribEvent]
+    val q = runToMemory(
+      Ingest.ksMonitor(in.toDS(), edges, channels = Seq("click")).toDF(),
+      "ks_bounded")
+    evs.grouped(100).foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val rows = sp.sql("SELECT t, n, m, d_num, buckets FROM ks_bounded")
+      .collect()
+    assert(rows.nonEmpty)
+    // the STATE BOUND: merged test+ref alphabet never exceeds bins,
+    // no matter the stream's dynamic range
+    rows.foreach(r => assert(r.getLong(4) <= bins.toLong,
+      s"state alphabet ${r.getLong(4)} exceeded the $bins-bin bound"))
+    // and the final score equals a driver KS over the same binning
+    def bucket(v: Double) = {
+      val i = java.util.Arrays.binarySearch(edges, v)
+      (if (i >= 0) i + 1 else -i - 1).toLong
+    }
+    val ref = evs.filter(_.event_type == "view").map(e => bucket(e.value))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val test = evs.filter(_.event_type == "click").map(e => bucket(e.value))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val n = test.values.sum; val m = ref.values.sum
+    var i = 0L; var j = 0L; var best = BigInt(0)
+    (test.keySet ++ ref.keySet).toSeq.sorted.foreach { k =>
+      i += test.getOrElse(k, 0L); j += ref.getOrElse(k, 0L)
+      val d = (BigInt(i) * m - BigInt(j) * n).abs
+      if (d > best) best = d
+    }
+    val last = rows.last
+    assert((last.getLong(1), last.getLong(2), last.getLong(3)) ==
+      ((n, m, best.toLong)),
+      s"final live score diverged from the driver KS")
   }
 
   test("s_scd2_maintain: closed versions equal the batch build") {
