@@ -3883,16 +3883,21 @@ object TimeSeriesOps {
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
     },
     "q_ts_lttb" -> {
-      // the doubled-area-times-c list per candidate point of the
-      // current middle bucket (identical text at every use site)
+      // PER-STEP EMIT form (r12): the LTTB step needs only the LAST
+      // selected point, so the recursion carries one struct `p` and
+      // each recursion ROW is an emitted selection — the r11 form
+      // list_appended the whole selection through the chain, O(B²)
+      // list copying per series as buckets B grow past a calendar.
+      // The doubled-area-times-c list per candidate point of the
+      // current middle bucket (identical text at every use site):
       val areas =
         """list_transform((a.days[r.k + 1]).pts, p -> abs(
-          |      (r.sel[len(r.sel)].x * (a.days[r.k + 2]).c
+          |      ((r.lp).x * (a.days[r.k + 2]).c
           |         - (a.days[r.k + 2]).sx)
-          |        * (p.qy - r.sel[len(r.sel)].qy)
-          |      - (r.sel[len(r.sel)].x - p.x)
+          |        * (p.qy - (r.lp).qy)
+          |      - ((r.lp).x - p.x)
           |        * ((a.days[r.k + 2]).sy
-          |           - (a.days[r.k + 2]).c * r.sel[len(r.sel)].qy)))"""
+          |           - (a.days[r.k + 2]).c * (r.lp).qy)))"""
           .stripMargin
       val selPt = s"(a.days[r.k + 1]).pts[list_position($areas,\n" +
         s"      list_aggregate($areas, 'max'))]"
@@ -3914,27 +3919,28 @@ object TimeSeriesOps {
         |         CAST(sum(qy) AS BIGINT) AS sy,
         |         CAST(count(*) AS BIGINT) AS c
         |  FROM h2 GROUP BY 1, 2),
-        |arr AS (
+        |arr AS MATERIALIZED (
         |  SELECT event_type,
         |         list(struct_pack(di := di, pts := pts, sx := sx,
         |           sy := sy, c := c) ORDER BY di NULLS FIRST) AS days
         |  FROM d0 GROUP BY 1 HAVING count(*) >= 3),
         |rec AS (
         |  SELECT event_type, CAST(1 AS BIGINT) AS k,
-        |         [(days[1]).pts[1]] AS sel
+        |         (days[1]).pts[1] AS lp
         |  FROM arr
         |  UNION ALL
-        |  SELECT r.event_type, r.k + 1, list_append(r.sel, $selPt)
+        |  SELECT r.event_type, r.k + 1, $selPt AS lp
         |  FROM rec r JOIN arr a ON a.event_type = r.event_type
         |  WHERE r.k + 1 <= len(a.days) - 1),
         |fin AS (
-        |  SELECT r.event_type,
-        |         list_append(r.sel, (a.days[len(a.days)])
-        |           .pts[len((a.days[len(a.days)]).pts)]) AS sel
+        |  SELECT event_type, lp FROM rec
+        |  UNION ALL
+        |  SELECT r.event_type, (a.days[len(a.days)])
+        |           .pts[len((a.days[len(a.days)]).pts)] AS lp
         |  FROM rec r JOIN arr a ON a.event_type = r.event_type
         |  WHERE r.k = len(a.days) - 1)
-        |SELECT event_type, u.x AS x, CAST(u.qy AS DOUBLE) / 10000.0 AS y
-        |FROM (SELECT event_type, UNNEST(sel) AS u FROM fin)
+        |SELECT event_type, (lp).x AS x, CAST((lp).qy AS DOUBLE) / 10000.0 AS y
+        |FROM fin
         |ORDER BY event_type NULLS FIRST, x NULLS FIRST""".stripMargin
     },
     "q_ts_mannkendall" -> {
