@@ -2532,6 +2532,53 @@ object RelationalOps {
       .orderBy("t")
   }
 
+  /** PER-SOURCE KS DRIFT — the [[ksDrift]] kernel keyed by corpus
+    * source with a LEAVE-ONE-OUT reference: each source's document-
+    * length (n_chars) distribution against all OTHER sources — the
+    * feed-health read a corpus operator runs to spot the one crawl
+    * whose length profile went sideways. Reference counts are derived,
+    * not re-scanned: c2(source, v) = total(v) − own(source, v) off one
+    * (source, value) histogram aggregate; the grid fans the distinct
+    * value list out per source exactly like ksDrift's baseline copies
+    * (|sources| × |values| rows — the histogram grain, never raw
+    * docs). Same exact BigInt sup |i·m − j·n| in DECIMAL(38,0), same
+    * shared-text d/λ doubles. */
+  def ksBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    def dcl(c: Column) = c.cast("decimal(19,0)")
+    val g = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false) // totals + sources + grid join
+    val tot = g.groupBy(col("n_chars")).agg(sum(col("c1")).as("ct"))
+    val sources = g.select(col("source")).distinct()
+    val grid = broadcast(sources).crossJoin(tot)
+      .join(g, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c1"))
+      .withColumn("c2", col("ct") - col("c1"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    grid
+      .withColumn("i", sum(col("c1")).over(wCum))
+      .withColumn("j", sum(col("c2")).over(wCum))
+      .withColumn("n", sum(col("c1")).over(wAll))
+      .withColumn("m", sum(col("c2")).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        max(abs(dcl(col("i")) * dcl(col("m")) -
+          dcl(col("j")) * dcl(col("n")))).as("dnum_dec"))
+      .select(col("source"), col("n"), col("m"),
+        col("dnum_dec").cast("long").as("d_num"),
+        Det.r4(col("dnum_dec").cast("double") /
+          (col("n").cast("double") * col("m").cast("double"))).as("d"),
+        Det.r4(col("dnum_dec").cast("double") /
+          (col("n").cast("double") * col("m").cast("double")) *
+          sqrt(col("n").cast("double") * col("m").cast("double") /
+            (col("n").cast("double") + col("m").cast("double"))))
+          .as("lam"))
+      .orderBy("source")
+  }
+
   /** SCD2 POINT-IN-TIME ENRICHMENT — the canonical consumer of
     * [[scd2Build]]: join each purchase fact to the dimension version
     * EFFECTIVE at its timestamp. Expressed as the as-of union-window
@@ -2618,6 +2665,7 @@ object RelationalOps {
     "q_rel_scd2_join" -> scd2PitJoin _,
     "q_dq_purity" -> dqPurity _,
     "q_agg_ks_drift" -> ksDrift _,
+    "q_agg_ks_by_source" -> ksBySource _,
     "q_rel_top_paths" -> topPaths _,
     "q_agg_cramers_v" -> cramersV _,
     "q_upsert_snapshot" -> upsertSnapshot _,
@@ -2842,6 +2890,44 @@ object RelationalOps {
         |       ${Det.r4Sql(lamTxt)} AS lam
         |FROM agg
         |ORDER BY t NULLS FIRST""".stripMargin
+    },
+    "q_agg_ks_by_source" -> {
+      val dTxt = "CAST(dnum AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(m AS DOUBLE))"
+      val lamTxt = s"$dTxt * sqrt(CAST(n AS DOUBLE) * CAST(m AS DOUBLE)" +
+        " / (CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))"
+      s"""WITH g AS MATERIALIZED (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c1
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT n_chars, CAST(sum(c1) AS BIGINT) AS ct
+        |        FROM g GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source FROM g),
+        |grid AS (
+        |  SELECT s.source, t.n_chars,
+        |         COALESCE(g.c1, CAST(0 AS BIGINT)) AS c1,
+        |         t.ct - COALESCE(g.c1, CAST(0 AS BIGINT)) AS c2
+        |  FROM srcs s CROSS JOIN tot t
+        |  LEFT JOIN g ON g.source = s.source AND g.n_chars = t.n_chars),
+        |cum AS (
+        |  SELECT source,
+        |         CAST(sum(c1) OVER w AS BIGINT) AS i,
+        |         CAST(sum(c2) OVER w AS BIGINT) AS j,
+        |         CAST(sum(c1) OVER (PARTITION BY source) AS BIGINT) AS n,
+        |         CAST(sum(c2) OVER (PARTITION BY source) AS BIGINT) AS m
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY source ORDER BY n_chars NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT source, max(n) AS n, max(m) AS m,
+        |         max(abs(CAST(i AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))
+        |           - CAST(j AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))))
+        |           AS dnum
+        |  FROM cum GROUP BY 1)
+        |SELECT source, n, m, CAST(dnum AS BIGINT) AS d_num,
+        |       ${Det.r4Sql(dTxt)} AS d,
+        |       ${Det.r4Sql(lamTxt)} AS lam
+        |FROM agg
+        |ORDER BY source NULLS FIRST""".stripMargin
     },
     "q_rel_scd2_join" ->
       """WITH ev AS (

@@ -1688,6 +1688,95 @@ object TimeSeriesOps {
       expr("CAST(floor(v * 10000.0D + 0.5) AS BIGINT)").as("qy"),
       expr("unix_micros(date_trunc('day', bucket)) div 86400000000")
         .as("di"))
+    lttbSelect(h2)
+  }
+
+  /** [[lttb]] at COUNT-based buckets — the render-side form when the
+    * target is a fixed output width (threshold ≈ points/24) rather
+    * than calendar days: bucket index = (rank − 1) div 24 within each
+    * series (rank over the unique x, so the grid is deterministic).
+    * The selection fold is [[lttbSelect]] verbatim — only the bucket
+    * key differs, exactly the downsample-contract split Steinarsson's
+    * thesis describes (equal-COUNT buckets are the canonical form;
+    * calendar buckets are the dashboard convenience). */
+  def lttbCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wR = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val h2 = h1.select(col("event_type"),
+      expr("unix_micros(bucket) div 60000000").as("x"),
+      expr("CAST(floor(v * 10000.0D + 0.5) AS BIGINT)").as("qy"))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("di", expr("CAST((rn - 1) div 24 AS BIGINT)"))
+      .drop("rn")
+    lttbSelect(h2)
+  }
+
+  /** DuckDB oracle text for the LTTB family: PER-STEP EMIT form (r12)
+    * — the recursion carries only the LAST selected point `lp` (the
+    * only state the LTTB step reads) and each recursion ROW is an
+    * emitted selection; the r11 form list_appended the whole selection
+    * through the chain, O(B²) list copying per series as buckets B
+    * grow past a calendar. Callers supply the h2 CTE (the bucket key
+    * is the only difference between the calendar and count forms). */
+  private def lttbOracleSql(h2Sql: String): String = {
+    // the doubled-area-times-c list per candidate point of the
+    // current middle bucket (identical text at every use site)
+    val areas =
+      """list_transform((a.days[r.k + 1]).pts, p -> abs(
+        |      ((r.lp).x * (a.days[r.k + 2]).c
+        |         - (a.days[r.k + 2]).sx)
+        |        * (p.qy - (r.lp).qy)
+        |      - ((r.lp).x - p.x)
+        |        * ((a.days[r.k + 2]).sy
+        |           - (a.days[r.k + 2]).c * (r.lp).qy)))"""
+        .stripMargin
+    val selPt = s"(a.days[r.k + 1]).pts[list_position($areas,\n" +
+      s"      list_aggregate($areas, 'max'))]"
+    s"""WITH RECURSIVE h1 AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |         ${Det.avg4Sql("value")} AS v
+      |  FROM events GROUP BY 1, 2),
+      |$h2Sql
+      |d0 AS (
+      |  SELECT event_type, di,
+      |         list(struct_pack(x := x, qy := qy)
+      |           ORDER BY x NULLS FIRST) AS pts,
+      |         CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(qy) AS BIGINT) AS sy,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM h2 GROUP BY 1, 2),
+      |arr AS MATERIALIZED (
+      |  SELECT event_type,
+      |         list(struct_pack(di := di, pts := pts, sx := sx,
+      |           sy := sy, c := c) ORDER BY di NULLS FIRST) AS days
+      |  FROM d0 GROUP BY 1 HAVING count(*) >= 3),
+      |rec AS (
+      |  SELECT event_type, CAST(1 AS BIGINT) AS k,
+      |         (days[1]).pts[1] AS lp
+      |  FROM arr
+      |  UNION ALL
+      |  SELECT r.event_type, r.k + 1, $selPt AS lp
+      |  FROM rec r JOIN arr a ON a.event_type = r.event_type
+      |  WHERE r.k + 1 <= len(a.days) - 1),
+      |fin AS (
+      |  SELECT event_type, lp FROM rec
+      |  UNION ALL
+      |  SELECT r.event_type, (a.days[len(a.days)])
+      |           .pts[len((a.days[len(a.days)]).pts)] AS lp
+      |  FROM rec r JOIN arr a ON a.event_type = r.event_type
+      |  WHERE r.k = len(a.days) - 1)
+      |SELECT event_type, (lp).x AS x, CAST((lp).qy AS DOUBLE) / 10000.0 AS y
+      |FROM fin
+      |ORDER BY event_type NULLS FIRST, x NULLS FIRST""".stripMargin
+  }
+
+  /** The shared LTTB selection fold over a bucketed series
+    * (event_type, x, qy, di): largest-triangle-three-buckets with the
+    * next bucket's exact centroid as the third vertex, all areas in
+    * exact BIGINT (doubled, times the next bucket's count to clear the
+    * mean's division). */
+  private def lttbSelect(h2: DataFrame): DataFrame = {
     val days = h2.groupBy(col("event_type"), col("di"))
       .agg(array_sort(collect_list(struct(col("x"), col("qy"))))
         .as("pts"),
@@ -3001,6 +3090,7 @@ object TimeSeriesOps {
     "q_ts_kendall_fast" -> kendallTauFast _,
     "q_ts_mannkendall" -> mannKendall _,
     "q_ts_lttb" -> lttb _,
+    "q_ts_lttb_count" -> lttbCount _,
     "q_ts_somers_d" -> somersD _,
     "q_funnel_windowed" -> funnelWindowed _,
     "q_ts_xcorr" -> crossCorrLagged _,
@@ -3882,67 +3972,21 @@ object TimeSeriesOps {
         |FROM c
         |ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
     },
-    "q_ts_lttb" -> {
-      // PER-STEP EMIT form (r12): the LTTB step needs only the LAST
-      // selected point, so the recursion carries one struct `p` and
-      // each recursion ROW is an emitted selection — the r11 form
-      // list_appended the whole selection through the chain, O(B²)
-      // list copying per series as buckets B grow past a calendar.
-      // The doubled-area-times-c list per candidate point of the
-      // current middle bucket (identical text at every use site):
-      val areas =
-        """list_transform((a.days[r.k + 1]).pts, p -> abs(
-          |      ((r.lp).x * (a.days[r.k + 2]).c
-          |         - (a.days[r.k + 2]).sx)
-          |        * (p.qy - (r.lp).qy)
-          |      - ((r.lp).x - p.x)
-          |        * ((a.days[r.k + 2]).sy
-          |           - (a.days[r.k + 2]).c * (r.lp).qy)))"""
-          .stripMargin
-      val selPt = s"(a.days[r.k + 1]).pts[list_position($areas,\n" +
-        s"      list_aggregate($areas, 'max'))]"
-      s"""WITH RECURSIVE h1 AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
-        |         ${Det.avg4Sql("value")} AS v
-        |  FROM events GROUP BY 1, 2),
-        |h2 AS (
+    "q_ts_lttb" -> lttbOracleSql(
+      """h2 AS (
         |  SELECT event_type, epoch_us(bucket) // 60000000 AS x,
         |         CAST(floor(v * 10000.0 + 0.5) AS BIGINT) AS qy,
         |         epoch_us(date_trunc('day', bucket)) // 86400000000
         |           AS di
-        |  FROM h1),
-        |d0 AS (
-        |  SELECT event_type, di,
-        |         list(struct_pack(x := x, qy := qy)
-        |           ORDER BY x NULLS FIRST) AS pts,
-        |         CAST(sum(x) AS BIGINT) AS sx,
-        |         CAST(sum(qy) AS BIGINT) AS sy,
-        |         CAST(count(*) AS BIGINT) AS c
-        |  FROM h2 GROUP BY 1, 2),
-        |arr AS MATERIALIZED (
-        |  SELECT event_type,
-        |         list(struct_pack(di := di, pts := pts, sx := sx,
-        |           sy := sy, c := c) ORDER BY di NULLS FIRST) AS days
-        |  FROM d0 GROUP BY 1 HAVING count(*) >= 3),
-        |rec AS (
-        |  SELECT event_type, CAST(1 AS BIGINT) AS k,
-        |         (days[1]).pts[1] AS lp
-        |  FROM arr
-        |  UNION ALL
-        |  SELECT r.event_type, r.k + 1, $selPt AS lp
-        |  FROM rec r JOIN arr a ON a.event_type = r.event_type
-        |  WHERE r.k + 1 <= len(a.days) - 1),
-        |fin AS (
-        |  SELECT event_type, lp FROM rec
-        |  UNION ALL
-        |  SELECT r.event_type, (a.days[len(a.days)])
-        |           .pts[len((a.days[len(a.days)]).pts)] AS lp
-        |  FROM rec r JOIN arr a ON a.event_type = r.event_type
-        |  WHERE r.k = len(a.days) - 1)
-        |SELECT event_type, (lp).x AS x, CAST((lp).qy AS DOUBLE) / 10000.0 AS y
-        |FROM fin
-        |ORDER BY event_type NULLS FIRST, x NULLS FIRST""".stripMargin
-    },
+        |  FROM h1),""".stripMargin),
+    "q_ts_lttb_count" -> lttbOracleSql(
+      """h2 AS (
+        |  SELECT event_type, x, qy,
+        |         (row_number() OVER (PARTITION BY event_type
+        |            ORDER BY x NULLS FIRST) - 1) // 24 AS di
+        |  FROM (SELECT event_type, epoch_us(bucket) // 60000000 AS x,
+        |               CAST(floor(v * 10000.0 + 0.5) AS BIGINT) AS qy
+        |        FROM h1) t),""".stripMargin),
     "q_ts_mannkendall" -> {
       val z = "CASE WHEN s_stat > 0 THEN " +
         "(CAST(s_stat AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
