@@ -2264,6 +2264,69 @@ object TimeSeriesOps {
       .orderBy("touch_type")
   }
 
+  /** SHAPLEY-VALUE ATTRIBUTION (Shapley 1953; the data-driven model
+    * marketers run beside [[markovAttribution]]'s removal effect):
+    * each channel's credit is its average marginal contribution over
+    * all orderings of the channel set. EXACT end-to-end: with the
+    * 4-channel alphabet the coalition lattice has 16 cells, the
+    * coalition value v(S) = Σ_{T⊆S} conv(T) counts conversions of
+    * users whose PRE-first-purchase touch SET is covered by S (the
+    * markov journey cohort), and 24·φᵢ = Σ_{S∌i} |S|!·(3−|S|)! ·
+    * (v(S∪i) − v(S)) is a BIGINT sum with integer weights {6,2,2,6} —
+    * no factorial division ever happens in float. Distribution shape:
+    * one user-key window pass + one mask aggregate (the corpus-sized
+    * work), then every lattice step is a broadcast join over ≤ 16
+    * rows (the ANN-codebook rule — the MODEL is small, the counting
+    * is distributed). Only the reported share divides, as doubles of
+    * exact BIGINTs with the shared rounding text. */
+  def shapleyAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = Tables.events(spark, sfDir)
+      .withColumn("p_seen",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .localCheckpoint(eager = false) // touch masks + converter set
+    val touches = marked.where(col("p_seen") === 0L &&
+        col("event_type").isin("click", "error", "signup", "view"))
+      .select(col("user_id"),
+        expr("CASE event_type WHEN 'click' THEN 1L WHEN 'error' THEN 2L " +
+          "WHEN 'signup' THEN 4L ELSE 8L END").as("b"))
+      .distinct()
+      .groupBy(col("user_id")).agg(sum(col("b")).as("mask"))
+    val conv = marked.where(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("cvf", lit(1L))
+    val grid = touches.join(conv, Seq("user_id"), "full")
+      .na.fill(0L, Seq("mask", "cvf"))
+      .groupBy(col("mask")).agg(sum(col("cvf")).as("conv_t"))
+    val s16 = spark.range(16).select(col("id").as("smask"))
+    val v = broadcast(s16)
+      .join(grid, expr("(mask & smask) = mask"), "left")
+      .groupBy(col("smask"))
+      .agg(coalesce(sum(col("conv_t")), lit(0L)).as("v"))
+      .localCheckpoint(eager = false) // both lattice sides below
+    import spark.implicits._
+    val chans = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+      ("view", 8L)).toDF("channel", "cbit")
+    val phi = broadcast(chans)
+      .join(v, expr("(smask & cbit) = 0"))
+      .join(v.select(col("smask").as("smask2"), col("v").as("v2")),
+        expr("smask2 = smask + cbit"))
+      .select(col("channel"),
+        (expr("CASE bit_count(smask) WHEN 0 THEN 6L WHEN 1 THEN 2L " +
+          "WHEN 2 THEN 2L ELSE 6L END") *
+          (col("v2") - col("v"))).as("contrib"))
+      .groupBy(col("channel")).agg(sum(col("contrib")).as("shap24"))
+      .localCheckpoint(eager = false) // total + share read it twice
+    phi.crossJoin(broadcast(phi.agg(sum(col("shap24")).as("tot"))))
+      .select(col("channel"), col("shap24"),
+        Det.r4(col("shap24").cast("double") / col("tot").cast("double"))
+          .as("share"))
+      .orderBy("channel")
+  }
+
   /** MARKOV-CHAIN ATTRIBUTION (removal effect — Anderl 2016's
     * data-driven model): build the first-order journey chain
     * start → touches → conv|null_end from each user's PRE-first-
@@ -3061,6 +3124,7 @@ object TimeSeriesOps {
     "q_activity_histogram" -> activityHistogram _,
     "q_attribution" -> attribution _,
     "q_attr_markov" -> markovAttribution _,
+    "q_attr_shapley" -> shapleyAttribution _,
     "q_ts_seasonal_strength" -> seasonalStrength _,
     "q_ts_hodges_lehmann" -> hodgesLehmann _,
     "q_ts_burn_rate" -> burnRate _,
@@ -4981,6 +5045,55 @@ object TimeSeriesOps {
         |      FROM act GROUP BY 1)
         |SELECT n_days, CAST(count(*) AS BIGINT) AS n_users
         |FROM u GROUP BY 1 ORDER BY n_days NULLS FIRST""".stripMargin,
+    "q_attr_shapley" -> {
+      val share =
+        Det.r4Sql("CAST(shap24 AS DOUBLE) / CAST(tot AS DOUBLE)")
+      s"""WITH w0 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id
+        |             ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS p_seen
+        |  FROM events),
+        |tch AS (
+        |  SELECT DISTINCT user_id,
+        |         CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |           WHEN 'signup' THEN 4 ELSE 8 END AS b
+        |  FROM w0 WHERE p_seen = 0
+        |    AND event_type IN ('click', 'error', 'signup', 'view')),
+        |um AS (SELECT user_id, CAST(sum(b) AS BIGINT) AS mask
+        |       FROM tch GROUP BY 1),
+        |cv AS (SELECT DISTINCT user_id FROM events
+        |       WHERE event_type = 'purchase'),
+        |grid AS MATERIALIZED (
+        |  SELECT COALESCE(um.mask, CAST(0 AS BIGINT)) AS mask,
+        |         CAST(sum(CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END)
+        |           AS BIGINT) AS conv_t
+        |  FROM um FULL JOIN cv ON um.user_id = cv.user_id
+        |  GROUP BY 1),
+        |s16 AS (SELECT CAST(range AS BIGINT) AS smask FROM range(0, 16)),
+        |v AS MATERIALIZED (
+        |  SELECT s16.smask,
+        |         CAST(COALESCE(sum(g.conv_t), 0) AS BIGINT) AS v
+        |  FROM s16 LEFT JOIN grid g ON (g.mask & s16.smask) = g.mask
+        |  GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+        |         ('error', CAST(2 AS BIGINT)), ('signup', CAST(4 AS BIGINT)),
+        |         ('view', CAST(8 AS BIGINT))) AS t(channel, cbit)),
+        |phi AS MATERIALIZED (
+        |  SELECT ch.channel,
+        |         CAST(sum((CASE bit_count(vs.smask) WHEN 0 THEN 6
+        |             WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+        |           * (v2.v - vs.v)) AS BIGINT) AS shap24
+        |  FROM ch JOIN v vs ON (vs.smask & ch.cbit) = 0
+        |  JOIN v v2 ON v2.smask = vs.smask + ch.cbit
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(shap24) AS BIGINT) AS tot FROM phi)
+        |SELECT channel, shap24, $share AS share
+        |FROM phi CROSS JOIN tot
+        |ORDER BY channel NULLS FIRST""".stripMargin
+    },
     "q_attr_markov" -> {
       // 24 unrolled power-iteration rounds over the (variant × state)
       // grid; every round floor-divides the exact BIGINT Σ c·p by the
