@@ -1018,6 +1018,38 @@ object RelationalOps {
       .limit(15)
   }
 
+  /** RESOURCE-ALLOCATION link-prediction index (Zhou–Lü–Zhang 2009)
+    * over the co-purchase graph — the hub-discounting complement of
+    * [[partJaccard]]: each common neighbor w contributes 1/d(w), so a
+    * promiscuous hub vouches for a pair far less than an exclusive
+    * mutual friend (RA beats common-neighbor counts on exactly the
+    * skewed graphs where hubs dominate). EXACT ranking: the per-apex
+    * contribution quantizes as floor(10¹²/d(w)) BIGINT at wedge-
+    * generation time, so the sum, the order and the ties are
+    * bit-identical cross-engine; only the reported double divides
+    * back. Same wedge equi-join candidate shape as jaccard (pairs
+    * with ≥ 1 common neighbor, never all-pairs); the degree join is
+    * against the model-sized degree table. Top-15 under the
+    * (ra_q DESC, v1, v2) total order. */
+  def partResourceAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false) // wedge sides + degree
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dw"))
+    val w1 = sym.select(col("src").as("apex"), col("dst").as("v1"))
+    val w2 = sym.select(col("src").as("apex"), col("dst").as("v2"))
+    w1.join(w2, "apex").where(col("v1") < col("v2"))
+      .join(deg.select(col("src").as("apex"), col("dw")), "apex")
+      .groupBy(col("v1"), col("v2"))
+      .agg(count(lit(1)).as("common_n"),
+        sum(expr("1000000000000L div dw")).as("ra_q"))
+      .select(col("v1"), col("v2"), col("common_n"), col("ra_q"),
+        Det.r4(col("ra_q").cast("double") / lit(1.0e12)).as("ra"))
+      .orderBy(col("ra_q").desc, col("v1"), col("v2"))
+      .limit(15)
+  }
+
   /** DEGREE-CAPPED production twin of [[partJaccard]] (the r11 weak
     * flag): the exact form's apex wedge join generates Σd² rows, so a
     * single hub apex of degree d contributes d² pairs — the wrong
@@ -2715,6 +2747,7 @@ object RelationalOps {
     "q_part_jaccard" -> partJaccard _,
     "q_part_jaccard_capped" ->
       ((s: SparkSession, d: String) => partJaccardCapped(s, d)),
+    "q_part_resource_alloc" -> partResourceAlloc _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -3540,6 +3573,27 @@ object RelationalOps {
         |FROM com JOIN deg d1 ON com.v1 = d1.src
         |JOIN deg d2 ON com.v2 = d2.src
         |ORDER BY jq DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
+        |LIMIT 15""".stripMargin,
+    "q_part_resource_alloc" ->
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dw
+        |        FROM sym GROUP BY 1),
+        |com AS (SELECT a.dst AS v1, b.dst AS v2,
+        |               CAST(count(*) AS BIGINT) AS common_n,
+        |               CAST(sum(1000000000000 // d.dw) AS BIGINT) AS ra_q
+        |        FROM sym a JOIN sym b
+        |          ON a.src = b.src AND a.dst < b.dst
+        |        JOIN deg d ON d.src = a.src
+        |        GROUP BY 1, 2)
+        |SELECT v1, v2, common_n, ra_q,
+        |       ${Det.r4Sql("CAST(ra_q AS DOUBLE) / 1000000000000.0")} AS ra
+        |FROM com
+        |ORDER BY ra_q DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
         |LIMIT 15""".stripMargin,
     // the capped twin's oracle mirrors both phases: capped lowest-id
     // neighbor lists (row_number <= cap) for candidate generation, then
