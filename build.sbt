@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whichever query runs last absorbs seconds of deoptimized execution
   // (BENCH_r04/r05 billed it to q_ts_find_metrics, measured 0.7s alone).
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // diagnostics hook for controlled bench experiments (e.g.
+  // SPARK_GRAFT_EXTRA_JVM="-XX:+PrintCodeCache" to read JIT cache
+  // occupancy at exit); unset in normal runs
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM")
+    .map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -1018,6 +1018,74 @@ object RelationalOps {
       .limit(15)
   }
 
+  /** CONNECTED COMPONENTS of the co-purchase graph — "product
+    * families": 8 unrolled rounds of min-label propagation (the
+    * q_llm_dup_components recursion on the part graph; integer-only
+    * state, so every round is exact in any engine and the unrolled
+    * DuckDB twin matches bit-for-bit REGARDLESS of convergence — the
+    * spec additionally proves [[componentsConverged]] lands on the
+    * same labels, i.e. 8 rounds DO converge at fixture SFs). Per
+    * round: one shuffle on dst for the neighbor-min, one equi-join
+    * back; label state is one BIGINT per node however large the
+    * component. Top-20 components under the (n_members DESC, comp)
+    * total order. */
+  def partComponents(spark: SparkSession, sfDir: String): DataFrame =
+    componentRounds(spark, sfDir, 8)
+
+  /** Convergence-stopped twin of [[partComponents]] (the kcoreConverged
+    * pattern): propagate until no label changes — the change count is
+    * the round's only driver-side value. */
+  def componentsConverged(spark: SparkSession, sfDir: String,
+      maxRounds: Int = 64): DataFrame = {
+    val (sym, nodes) = componentGraph(spark, sfDir)
+    var labels = nodes
+    var changed = Long.MaxValue
+    var round = 0
+    while (changed > 0L && round < maxRounds) {
+      val next = componentStep(sym, labels)
+      changed = next.join(
+          labels.select(col("node"), col("comp").as("prev")), "node")
+        .where(col("comp") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    componentSummary(labels)
+  }
+
+  private def componentGraph(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false) // per-round joins + node list
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    (sym, nodes)
+  }
+
+  private def componentStep(sym: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    val nbrMin = sym.join(labels, sym("src") === labels("node"))
+      .groupBy(col("dst")).agg(min(col("comp")).as("m"))
+    labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+      .select(labels("node"),
+        least(col("comp"), coalesce(col("m"), col("comp"))).as("comp"))
+      .localCheckpoint(eager = false)
+  }
+
+  private def componentSummary(labels: DataFrame): DataFrame =
+    labels.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("comp"))
+      .limit(20)
+
+  private def componentRounds(spark: SparkSession, sfDir: String,
+      rounds: Int): DataFrame = {
+    val (sym, nodes) = componentGraph(spark, sfDir)
+    var labels = nodes
+    for (_ <- 1 to rounds) labels = componentStep(sym, labels)
+    componentSummary(labels)
+  }
+
   /** RESOURCE-ALLOCATION link-prediction index (Zhou–Lü–Zhang 2009)
     * over the co-purchase graph — the hub-discounting complement of
     * [[partJaccard]]: each common neighbor w contributes 1/d(w), so a
@@ -1053,21 +1121,20 @@ object RelationalOps {
   /** DEGREE-CAPPED production twin of [[partJaccard]] (the r11 weak
     * flag): the exact form's apex wedge join generates Σd² rows, so a
     * single hub apex of degree d contributes d² pairs — the wrong
-    * shape on a skewed co-purchase graph at 100 TB. This twin bounds
-    * the WEDGE stage, then verifies EXACTLY (the LSH two-phase
+    * shape on a skewed co-purchase graph at 100 TB. This twin splits
+    * apexes at the cap and verifies EXACTLY (the LSH two-phase
     * discipline used by winnowing/minhash/embed_neardup):
     *
-    *  1. Candidate generation: each apex contributes wedges only among
-    *     its `cap` LOWEST-id neighbors (deterministic by key, and the
-    *     capped lists NEST as cap grows, so candidate sets are
-    *     monotone in cap — spec'd). Wedge volume ≤ Σ min(d, cap)² —
-    *     linear in edges for fixed cap.
-    *  2. Exact verification: each candidate pair's TRUE common count
-    *     comes from joining its full neighbor lists (cands ⋈ adjacency
-    *     on v1, then the composite (v2, shared-neighbor) equi-join) —
-    *     cost Σ_cands d(v1), never Σd². Every emitted value (common_n,
-    *     union_n, jq, jaccard) is therefore IDENTICAL to the exact
-    *     query's value for that pair.
+    *  1. SMALL apexes (d ≤ cap) fan out their FULL wedges — already
+    *     exact, volume ≤ cap·E. HUB apexes contribute wedges only
+    *     among their `cap` LOWEST-id neighbors (deterministic by key),
+    *     generating candidates without the d² blow-up.
+    *  2. Exact hub-side verification: each candidate pair's common
+    *     count over HUB apexes comes from joining hub adjacency only
+    *     (≤ E/cap hub nodes) on (v1) then the composite (v2, apex)
+    *     key; common_n = small-side count + hub-side count, so every
+    *     emitted value (common_n, union_n, jq, jaccard) is IDENTICAL
+    *     to the exact query's value for that pair.
     *
     * DOCUMENTED RECALL CONTRACT: a true pair is missed only if every
     * common apex is a hub (d > cap) that ranks one of the two past its
@@ -1080,21 +1147,51 @@ object RelationalOps {
     val e = coPurchasePairs(spark, sfDir, Some(4))
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint(eager = false) // capped lists + 2 verify joins
-    val wR = Window.partitionBy(col("src")).orderBy(col("dst"))
-    val nbrsCap = sym.withColumn("rk", row_number().over(wR))
-      .where(col("rk") <= cap).drop("rk")
-    val w1 = nbrsCap.select(col("src").as("apex"), col("dst").as("v1"))
-    val w2 = nbrsCap.select(col("src").as("apex"), col("dst").as("v2"))
-    val cands = w1.join(w2, "apex").where(col("v1") < col("v2"))
-      .select(col("v1"), col("v2")).distinct()
+      .localCheckpoint(eager = false) // degree + hub/small split
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(eager = false)
-    val common = cands
-      .join(sym.select(col("src").as("v1"), col("dst").as("n")), "v1")
-      .join(sym.select(col("src").as("v2"), col("dst").as("n")),
-        Seq("v2", "n"))
-      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("common_n"))
+    val hubs = deg.where(col("d") > cap).select(col("src").as("hub"))
+    // hub/small APEX decomposition (r12): a small apex (d <= cap) is
+    // never capped, so its full wedge fan-out already yields EXACT
+    // common counts — only hub-side commons need a verification join,
+    // and hub adjacency is the small relation (<= E/cap hub nodes).
+    // At fixture SFs there are no hubs and the twin costs ~ the exact
+    // form; at 100 TB the hubs are exactly the d² terms this removes.
+    val symH = sym.join(hubs, sym("src") === hubs("hub"), "left_semi")
+      .localCheckpoint(eager = false) // capped lists + both verify sides
+    val symS = sym.join(hubs, sym("src") === hubs("hub"), "left_anti")
+      .localCheckpoint(eager = false) // both wedge sides
+    val cS = symS.select(col("src").as("apex"), col("dst").as("v1"))
+      .join(symS.select(col("src").as("apex"), col("dst").as("v2")),
+        "apex")
+      .where(col("v1") < col("v2"))
+      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("c_small"))
+      .localCheckpoint(eager = false) // candidate union + common join
+    val wR = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val hCap = symH.withColumn("rk", row_number().over(wR))
+      .where(col("rk") <= cap).drop("rk")
+    val hOnly = hCap.select(col("src").as("apex"), col("dst").as("v1"))
+      .join(hCap.select(col("src").as("apex"), col("dst").as("v2")),
+        "apex")
+      .where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+      .join(cS, Seq("v1", "v2"), "left_anti")
+    // candidates = cS pairs ∪ hub-only pairs — DISJOINT by the anti
+    // join, so no global distinct pass; when the graph has no hubs
+    // every hub-side relation is empty and the twin's plan degenerates
+    // to the exact form plus empty-side joins
+    val cands = cS.select(col("v1"), col("v2")).unionByName(hOnly)
+    val cH = cands
+      .join(symH.select(col("src").as("w"), col("dst").as("v1")), "v1")
+      .join(symH.select(col("src").as("w"), col("dst").as("v2")),
+        Seq("v2", "w"))
+      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("c_hub"))
+    // full outer: cS-only pairs have no hub commons, cH-only pairs
+    // (hub-discovered, verified) may have no small commons
+    val common = cS.join(cH, Seq("v1", "v2"), "full")
+      .select(col("v1"), col("v2"),
+        (coalesce(col("c_small"), lit(0L)) +
+          coalesce(col("c_hub"), lit(0L))).as("common_n"))
     common
       .join(deg.select(col("src").as("v1"), col("d").as("d1")), "v1")
       .join(deg.select(col("src").as("v2"), col("d").as("d2")), "v2")
@@ -2748,6 +2845,7 @@ object RelationalOps {
     "q_part_jaccard_capped" ->
       ((s: SparkSession, d: String) => partJaccardCapped(s, d)),
     "q_part_resource_alloc" -> partResourceAlloc _,
+    "q_part_components" -> partComponents _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -3574,6 +3672,30 @@ object RelationalOps {
         |JOIN deg d2 ON com.v2 = d2.src
         |ORDER BY jq DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
         |LIMIT 15""".stripMargin,
+    "q_part_components" -> {
+      // 8 unrolled MATERIALIZED min-label rounds (the dup_components
+      // technique on the part graph; standing chained-CTE rule)
+      val rounds = (1 to 8).map { i =>
+        s"""l$i AS MATERIALIZED (
+          |  SELECT n.node, LEAST(n.comp, COALESCE(m.m, n.comp)) AS comp
+          |  FROM l${i - 1} n LEFT JOIN (
+          |    SELECT s.dst AS node, min(l.comp) AS m
+          |    FROM sym s JOIN l${i - 1} l ON l.node = s.src
+          |    GROUP BY 1) m ON m.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS comp FROM sym),
+        |$rounds
+        |SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+        |FROM l8 GROUP BY 1
+        |ORDER BY n_members DESC NULLS LAST, comp NULLS FIRST
+        |LIMIT 20""".stripMargin
+    },
     "q_part_resource_alloc" ->
       s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem WHERE l_partkey % 4 = 0),

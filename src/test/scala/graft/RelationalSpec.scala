@@ -182,6 +182,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("components: 8 fixed rounds converge (equal the fixpoint twin)") {
+    val fixed = RelationalOps.partComponents(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(fixed.nonEmpty)
+    val conv = RelationalOps.componentsConverged(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(fixed == conv,
+      "8 unrolled min-label rounds must reach the fixpoint labels")
+    // every component label is its own lowest member (min-label fixpoint)
+    fixed.foreach { r =>
+      assert(r(1).asInstanceOf[Long] >= 1L)
+    }
+  }
+
   test("jaccard capped twin: full recall at high cap, exact values always") {
     val exact = RelationalOps.partJaccard(spark, sf).collect()
       .map(_.toSeq).toSeq
