@@ -613,6 +613,33 @@ object RelationalOps {
       .transform(giniFromRanked)
   }
 
+  /** HOOVER INDEX (Robin Hood index) of customer revenue — the third
+    * concentration read beside [[revenueGini]]/[[paretoAbc]]: the
+    * share of total revenue that would have to move to equalize
+    * customers, H = Σ|xᵢ − X/n| / (2X) = Σ|n·xᵢ − X| / (2nX).
+    * Deliberately integer-only: revenue floors to whole currency
+    * units (floor has no rounding-mode dialect), every |n·xᵢ − X|
+    * term and their sum stay inside BIGINT through sf1 (Σ ≤ 2nX ≈
+    * 7·10¹⁶), and BIGINT→DOUBLE casts round identically in both
+    * engines — the decimal→double one-shot cast past 2⁵³ is the trap
+    * this avoids (the q_tpch_pricing lesson). NO rank window at all —
+    * unlike gini, Hoover needs only the mean, so the whole statistic
+    * is two aggregates and scales embarrassingly. */
+  def revenueHoover(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = custRevenue(spark, sfDir)
+      .select(floor(col("rev_d")).cast("long").as("q"))
+      .localCheckpoint(eager = false) // totals + term scan
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("q")).as("x"))
+    cust.crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("x"))
+      .agg(sum(abs(col("n") * col("q") - col("x"))).as("h_num"))
+      .select(col("n").as("n_customers"), col("x").as("total_units"),
+        col("h_num"),
+        Det.r4(col("h_num").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("x").cast("double")))
+          .as("hoover"))
+  }
+
   /** Per-customer exact-decimal revenue both [[revenueGini]] forms
     * share. */
   private def custRevenue(spark: SparkSession, sfDir: String): DataFrame =
@@ -2850,6 +2877,7 @@ object RelationalOps {
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
     "q_revenue_gini" -> revenueGini _,
+    "q_revenue_hoover" -> revenueHoover _,
     // production twins of the window forms above + the two-pass rank
     // runtimes: oracle-checked against the SAME SQL (row-identical by
     // construction) and benched so their wall-clock history is visible
@@ -3893,6 +3921,20 @@ object RelationalOps {
                   "(2.0 * CAST(s1_d AS DOUBLE) - (n_customers + 1) * CAST(s0_d AS DOUBLE))" +
                   " / (n_customers * CAST(s0_d AS DOUBLE))")} AS gini
         |FROM s""".stripMargin,
+    "q_revenue_hoover" ->
+      s"""WITH cust AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_d
+        |  FROM orders GROUP BY 1),
+        |q AS MATERIALIZED (
+        |  SELECT CAST(floor(rev_d) AS BIGINT) AS q FROM cust),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(q) AS BIGINT) AS x FROM q),
+        |h AS (SELECT n, x, CAST(sum(abs(n * q - x)) AS BIGINT) AS h_num
+        |      FROM q CROSS JOIN t GROUP BY 1, 2)
+        |SELECT n AS n_customers, x AS total_units, h_num,
+        |       ${graft.util.Det.r4Sql(
+                  "CAST(h_num AS DOUBLE) / (2.0 * CAST(n AS DOUBLE) * CAST(x AS DOUBLE))")} AS hoover
+        |FROM h""".stripMargin,
     "q_basket_lift" ->
       s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM bp),

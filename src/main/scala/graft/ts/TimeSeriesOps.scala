@@ -2913,6 +2913,84 @@ object TimeSeriesOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** WALD–WOLFOWITZ RUNS TEST per hourly series — "is this series
+    * random noise or structured?": dichotomize each bucket against the
+    * series' exact rank median (the mad_outliers median discipline:
+    * the (n+1) div 2-th value under the (v, bucket) total order, ties
+    * at the median count as NOT-above — deterministic), count runs of
+    * equal signs in time order (one lag over the series window), and
+    * report z = (R − μ)/σ where μ = a/n + 1 and σ² = a(a−n)/(n²(n−1))
+    * with a = 2·n₁·n₂ — every factor an exact BIGINT (bounded by the
+    * calendar grain), one IEEE division each, shared text. A
+    * degenerate series (all values equal ⇒ n₁ = 0 ⇒ σ = 0) reports
+    * NULL z in both engines. */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("bucket"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val signed = h1
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v")))
+          .over(wAll))
+      .withColumn("s", when(col("v") > col("med"), 1L).otherwise(0L))
+      .withColumn("flip",
+        when(lag(col("s"), 1).over(wSeq).isNull, 0L)
+          .when(lag(col("s"), 1).over(wSeq) =!= col("s"), 1L)
+          .otherwise(0L))
+    val agg = signed.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("s")).as("n1"),
+        (max(col("n")) - sum(col("s"))).as("n2"),
+        (sum(col("flip")) + lit(1L)).as("runs"))
+      .withColumn("a", lit(2L) * col("n1") * col("n2"))
+    val mu = col("a").cast("double") / col("n").cast("double") + lit(1.0)
+    val sig2 = (col("a") * (col("a") - col("n"))).cast("double") /
+      (col("n") * col("n") * (col("n") - lit(1L))).cast("double")
+    agg.select(col("event_type"), col("n"), col("n1"), col("n2"),
+        col("runs"),
+        when(col("a") * (col("a") - col("n")) > 0L,
+          Det.r4((col("runs").cast("double") - mu) / sqrt(sig2)))
+          .otherwise(lit(null)).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** BOLLINGER BANDS over each hourly series — the control-chart read
+    * beside [[movingStddev]]: 6-bucket moving mean ± 2σ, plus the
+    * breach flag operators alert on. Exact DECIMAL window sums (order-
+    * independent) feed IDENTICAL IEEE band formulas in both engines,
+    * so even the band COMPARISON (v vs μ±2σ) is bit-stable — both
+    * operands are the same double text. Breach is a BIGINT 0/1/−1
+    * (above/in/below). One series-key window pass. */
+  def bollinger(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir)
+      .agg(Det.avg4(col("value")).as("v"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wf = wSeq.rowsBetween(-5, 0)
+    val nd = lit(6.0)
+    val s1 = sum(col("v").cast("decimal(18,8)")).over(wf).cast("double")
+    val s2 = sum((col("v") * col("v")).cast("decimal(18,8)")).over(wf)
+      .cast("double")
+    h1.withColumn("rn", row_number().over(wSeq))
+      .withColumn("ma", s1 / nd)
+      .withColumn("sd", sqrt((s2 - (s1 * s1) / nd) / nd))
+      .where(col("rn") >= 6)
+      .select(col("event_type"), col("bucket"), col("v"),
+        Det.r4(col("ma")).as("ma"),
+        Det.r4(col("ma") + lit(2.0) * col("sd")).as("upper"),
+        Det.r4(col("ma") - lit(2.0) * col("sd")).as("lower"),
+        when(col("v").cast("double") > col("ma") + lit(2.0) * col("sd"),
+            lit(1L))
+          .when(col("v").cast("double") < col("ma") - lit(2.0) * col("sd"),
+            lit(-1L))
+          .otherwise(lit(0L)).as("breach"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Graphite `groupByNodes(seriesList, 'sum', 0, 2)`: fan-in keyed by
     * MULTIPLE dot-delimited nodes at once (here app and host — the
     * per-host totals across services), the n-ary generalization of
@@ -3093,6 +3171,8 @@ object TimeSeriesOps {
     "q_ts_holt_backtest" -> holtBacktest _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
+    "q_ts_bollinger" -> bollinger _,
+    "q_ts_runs_test" -> runsTest _,
     "q_ts_group_by_nodes" -> groupByNodes _,
     "q_ts_sort_by_total" -> sortByTotal _,
     "q_ts_max_series" -> maxMinAvgSeries _,
@@ -3445,6 +3525,73 @@ object TimeSeriesOps {
         |SELECT event_type, bucket, v, sd
         |FROM m WHERE rn >= 6
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin
+    },
+    "q_ts_bollinger" -> {
+      val s1 = "CAST(sum(CAST(v AS DECIMAL(18,8))) OVER f AS DOUBLE)"
+      val s2 = "CAST(sum(CAST(v * v AS DECIMAL(18,8))) OVER f AS DOUBLE)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, bucket, v, row_number() OVER w AS rn,
+        |         ($s1 / 6.0) AS mar,
+        |         sqrt(($s2 - ($s1 * $s1) / 6.0) / 6.0) AS sdr
+        |  FROM h1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket),
+        |         f AS (PARTITION BY event_type ORDER BY bucket
+        |           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, v,
+        |       ${Det.r4Sql("mar")} AS ma,
+        |       ${Det.r4Sql("mar + 2.0 * sdr")} AS upper,
+        |       ${Det.r4Sql("mar - 2.0 * sdr")} AS lower,
+        |       CAST(CASE WHEN CAST(v AS DOUBLE) > mar + 2.0 * sdr THEN 1
+        |            WHEN CAST(v AS DOUBLE) < mar - 2.0 * sdr THEN -1
+        |            ELSE 0 END AS BIGINT) AS breach
+        |FROM m WHERE rn >= 6
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin
+    },
+    "q_ts_runs_test" -> {
+      val mu = "(CAST(a AS DOUBLE) / CAST(n AS DOUBLE) + 1.0)"
+      val sig2 = "(CAST(a * (a - n) AS DOUBLE) / " +
+        "CAST(n * n * (n - 1) AS DOUBLE))"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT event_type, bucket, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY v NULLS FIRST, bucket NULLS FIRST) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type)
+        |           AS BIGINT) AS n
+        |  FROM h1),
+        |m1 AS (
+        |  SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        |              OVER (PARTITION BY event_type) AS med
+        |  FROM r1),
+        |s1 AS (SELECT event_type, bucket, n,
+        |         CASE WHEN v > med THEN 1 ELSE 0 END AS s
+        |       FROM m1),
+        |f1 AS (
+        |  SELECT event_type, n, s,
+        |         CASE WHEN lag(s, 1) OVER q IS NULL THEN 0
+        |              WHEN lag(s, 1) OVER q <> s THEN 1 ELSE 0 END AS flip
+        |  FROM s1
+        |  WINDOW q AS (PARTITION BY event_type
+        |    ORDER BY bucket NULLS FIRST)),
+        |ag AS (
+        |  SELECT event_type, max(n) AS n, CAST(sum(s) AS BIGINT) AS n1,
+        |         max(n) - CAST(sum(s) AS BIGINT) AS n2,
+        |         CAST(sum(flip) AS BIGINT) + 1 AS runs
+        |  FROM f1 GROUP BY 1),
+        |ag2 AS (SELECT *, 2 * n1 * n2 AS a FROM ag)
+        |SELECT event_type, n, n1, n2, runs,
+        |       CASE WHEN a * (a - n) > 0 THEN
+        |         ${Det.r4Sql(s"(CAST(runs AS DOUBLE) - $mu) / sqrt($sig2)")}
+        |       ELSE NULL END AS z
+        |FROM ag2
+        |ORDER BY event_type NULLS FIRST""".stripMargin
     },
     "q_ts_group_by_nodes" ->
       s"""WITH m AS (
