@@ -106,6 +106,19 @@ case class KsState(test: Map[Long, Long], ref: Map[Long, Long])
 case class KsScore(t: String, n: Long, m: Long, d_num: Long, d: Double,
   buckets: Long)
 
+/** A closed hourly rollup bucket arriving at the live Bollinger
+  * monitor; `v4` is the exact 1e4-scaled bucket average (the avg4
+  * grain the batch query reads). */
+case class RollupBucket(metric: String, bucket: java.sql.Timestamp,
+  v4: Long)
+
+/** One emitted control-band row from [[Ingest.bollingerMonitor]]. */
+case class BollingerBand(metric: String, bucket: java.sql.Timestamp,
+  ma: Double, upper: Double, lower: Double, breach: Long)
+
+/** Monitor state: the last ≤ 6 scaled bucket values, time order. */
+case class BollWindow(vals: Seq[Long])
+
 /** A typed state-change event for the live SCD2 maintainer. */
 case class Scd2Event(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, state: String)
@@ -398,6 +411,54 @@ object Ingest {
     * (doc_id) fold order WITHIN each micro-batch so replays and tests
     * reproduce. State per key is one long; keys are languages/sources —
     * bounded, no watermark needed. */
+  /** LIVE BOLLINGER MONITOR — q_ts_bollinger gone online: each series
+    * keeps its last 6 closed rollup buckets as state (6 longs — the
+    * MetricCache bound) and emits the control band + breach flag as
+    * every new bucket closes. Decision-EQUAL to the batch query by
+    * construction: state holds EXACT 1e4-scaled values, the window
+    * sums are exact longs (Σq ≤ 6·10⁸, Σq² ≤ 6·10¹⁴ — both inside
+    * 2⁵³, so the scale-back divisions are correctly rounded to the
+    * same doubles the batch DECIMAL→double casts produce), and the
+    * band/breach formulas are the identical IEEE text. Fold order
+    * inside a micro-batch is bucket order; cross-batch ordering is
+    * the delivery contract (feed closed rollups in time order — the
+    * scd2Maintain rule). Spec streams the batch query's own buckets
+    * in two micro-batches and proves every band AND breach equal. */
+  def bollingerMonitor(rollups: Dataset[RollupBucket])
+      : Dataset[BollingerBand] = {
+    import rollups.sparkSession.implicits._
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rollups.groupByKey(_.metric)
+      .flatMapGroupsWithState[BollWindow, BollingerBand](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (m: String, rows: Iterator[RollupBucket],
+            state: GroupState[BollWindow]) =>
+          var st = state.getOption.getOrElse(BollWindow(Nil))
+          val out = scala.collection.mutable.ArrayBuffer[BollingerBand]()
+          for (r <- rows.toSeq.sortBy(_.bucket.getTime)) {
+            st = BollWindow((st.vals :+ r.v4).takeRight(6))
+            if (st.vals.length == 6) {
+              var s1l = 0L; var s2l = 0L
+              st.vals.foreach { q => s1l += q; s2l += q * q }
+              val s1 = s1l.toDouble / 10000.0
+              val s2 = s2l.toDouble / 100000000.0
+              val ma = s1 / 6.0
+              val sd = math.sqrt((s2 - (s1 * s1) / 6.0) / 6.0)
+              val v = r.v4.toDouble / 10000.0
+              val breach =
+                if (v > ma + 2.0 * sd) 1L
+                else if (v < ma - 2.0 * sd) -1L
+                else 0L
+              out += BollingerBand(m, r.bucket, r4(ma),
+                r4(ma + 2.0 * sd), r4(ma - 2.0 * sd), breach)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Equiprobable reference bin edges for [[ksMonitor]] — the offline
     * calibration half of the monitor: the B−1 interior quantiles of
     * the baseline channel's value distribution, computed ONCE from the

@@ -2973,7 +2973,12 @@ object TimeSeriesOps {
     val wf = wSeq.rowsBetween(-5, 0)
     val nd = lit(6.0)
     val s1 = sum(col("v").cast("decimal(18,8)")).over(wf).cast("double")
-    val s2 = sum((col("v") * col("v")).cast("decimal(18,8)")).over(wf)
+    // square in EXACT decimal (v is a 4-decimal value), not double —
+    // the double product's re-round to decimal is the one dialect- and
+    // path-sensitive step, and squaring exactly lets the streaming
+    // twin reproduce every band from scaled-integer state
+    val s2 = sum(col("v").cast("decimal(18,4)") *
+        col("v").cast("decimal(18,4)")).over(wf)
       .cast("double")
     h1.withColumn("rn", row_number().over(wSeq))
       .withColumn("ma", s1 / nd)
@@ -3528,7 +3533,7 @@ object TimeSeriesOps {
     },
     "q_ts_bollinger" -> {
       val s1 = "CAST(sum(CAST(v AS DECIMAL(18,8))) OVER f AS DOUBLE)"
-      val s2 = "CAST(sum(CAST(v * v AS DECIMAL(18,8))) OVER f AS DOUBLE)"
+      val s2 = "CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))) OVER f AS DOUBLE)"
       s"""WITH h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
         |         ${Det.avg4Sql("value")} AS v

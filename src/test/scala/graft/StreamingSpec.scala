@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{AdmittedDoc, AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, Scd2Event, StreamDoc}
+import graft.streaming.{AdmittedDoc, AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, RollupBucket, Scd2Event, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -648,6 +648,40 @@ class StreamingSpec extends AnyFunSuite {
     assert((last.getLong(1), last.getLong(2), last.getLong(3)) ==
       ((n, m, best.toLong)),
       s"final live score diverged from the driver KS")
+  }
+
+  test("s_bollinger_monitor: live bands and breaches equal the batch query") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    val batch = graft.ts.TimeSeriesOps.bollinger(sp, sf)
+      .select(col("event_type"), col("bucket"), col("ma"), col("upper"),
+        col("lower"), col("breach"))
+      .collect().map(_.toSeq).toSet
+    // feed the SAME closed rollup buckets (exact 1e4-scaled), in
+    // time order per series, split across two micro-batches
+    // scale through DECIMAL, not a double multiply: v * 10000 in
+    // double lands a hair under the integer for values like 49.855
+    // and the long cast would truncate
+    val feed = graft.ts.TimeSeriesOps.rollupAvg(sp, sf)
+      .select(col("event_type").as("metric"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000)).cast("long")
+          .as("v4"))
+      .as[RollupBucket].collect().toSeq
+      .sortBy(r => (r.metric, r.bucket.getTime))
+    val in = MemoryStream[RollupBucket]
+    val q = runToMemory(Ingest.bollingerMonitor(in.toDS()).toDF(),
+      "boll_live", OutputMode.Append())
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val got = sp.sql(
+      "SELECT metric, bucket, ma, upper, lower, breach FROM boll_live")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch,
+      s"live bands diverge: extra=${(got -- batch).take(3)} " +
+        s"missing=${(batch -- got).take(3)}")
   }
 
   test("s_scd2_maintain: closed versions equal the batch build") {
