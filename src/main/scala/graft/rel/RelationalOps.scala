@@ -1508,6 +1508,58 @@ object RelationalOps {
             d(col("n1") + col("n2") + lit(1L)) / lit(3.0))).as("z"))
   }
 
+  /** KRUSKAL–WALLIS H TEST — the k-sample generalization of
+    * [[aggMannWhitney]] (same midrank machinery, four event-type
+    * groups): H = 12/(N(N+1)) Σ nᵢ(R̄ᵢ − (N+1)/2)², tie-corrected by
+    * 1 − Σ(t³−t)/(N³−N). Determinism discipline: per-(group, value)
+    * counts and 2·midranks are exact BIGINTs; each group's H
+    * CONTRIBUTION is one shared-text double expression floor-quantized
+    * at 1e6 and summed as BIGINT (the q_agg_cramers_v order-free-Σ
+    * rule — a raw double Σ over groups is addend-order-dependent), so
+    * the reported H is bit-stable. Per-group contribution ≤ 12nᵢ
+    * bounds the quantized term inside BIGINT at any N; the tie term's
+    * t³ stays in BIGINT while per-value tie counts are ≲ 10⁶ (document
+    * DECIMAL widening past that); N³−N is computed in doubles (both
+    * engines IEEE-identical), never BIGINT. Distinct-value window
+    * grain — the mannwhitney precedent, with the two-pass rank runtime
+    * as the family's scale path. */
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGV = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase", "signup",
+        "error"))
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // value grid + per-group sums
+    val byVal = byGV.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .localCheckpoint(eager = false) // rank window + totals
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("cum", coalesce(sum(col("t")).over(wCum), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum") + col("t") + lit(1L))
+    val perG = byGV.join(ranked.select(col("v"), col("r2")), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_i"), sum(col("c") * col("r2")).as("s2"))
+    val tot = byVal.agg(sum(col("t")).as("n"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    def d(c: Column) = c.cast("double")
+    val di = d(col("s2")) / (lit(2.0) * d(col("n_i"))) -
+      (d(col("n")) + lit(1.0)) / lit(2.0)
+    val hi = lit(12.0) * d(col("n_i")) * di * di /
+      (d(col("n")) * (d(col("n")) + lit(1.0)))
+    val q = perG.crossJoin(broadcast(tot))
+      .select(col("g"), col("n"), col("tsum"),
+        floor(hi * lit(1000000.0)).cast("long").as("hq"))
+      .groupBy(col("n"), col("tsum"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("hq")).as("hqs"))
+    val h = d(col("hqs")) / lit(1000000.0)
+    val corr = lit(1.0) - d(col("tsum")) /
+      (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")))
+    q.select(col("n_groups"), col("n"),
+        Det.r4(h).as("h"), Det.r4(h / corr).as("h_tie"))
+  }
+
   /** The PRODUCTION form of [[aggMannWhitney]]'s ranking — the
     * distributed two-pass rank statistic for value domains too large
     * for one ordered window (fully continuous measures, where the
@@ -2822,6 +2874,7 @@ object RelationalOps {
     "q_dq_purity" -> dqPurity _,
     "q_agg_ks_drift" -> ksDrift _,
     "q_agg_ks_by_source" -> ksBySource _,
+    "q_agg_kruskal_wallis" -> kruskalWallis _,
     "q_rel_top_paths" -> topPaths _,
     "q_agg_cramers_v" -> cramersV _,
     "q_upsert_snapshot" -> upsertSnapshot _,
@@ -3049,6 +3102,46 @@ object RelationalOps {
         |       ${Det.r4Sql(lamTxt)} AS lam
         |FROM agg
         |ORDER BY t NULLS FIRST""".stripMargin
+    },
+    "q_agg_kruskal_wallis" -> {
+      val di = "(CAST(s2 AS DOUBLE) / (2.0 * CAST(n_i AS DOUBLE)) - " +
+        "(CAST(n AS DOUBLE) + 1.0) / 2.0)"
+      val hi = s"12.0 * CAST(n_i AS DOUBLE) * $di * $di / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+      val h = "CAST(hqs AS DOUBLE) / 1000000.0"
+      val corr = "(1.0 - CAST(tsum AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - " +
+        "CAST(n AS DOUBLE)))"
+      s"""WITH gv AS MATERIALIZED (
+        |  SELECT event_type AS g, value AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'signup', 'error')
+        |  GROUP BY 1, 2),
+        |bv AS MATERIALIZED (
+        |  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM gv GROUP BY 1),
+        |rk AS (
+        |  SELECT v,
+        |         2 * COALESCE(CAST(sum(t) OVER (ORDER BY v NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) + t + 1 AS r2
+        |  FROM bv),
+        |pg AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n_i,
+        |         CAST(sum(c * r2) AS BIGINT) AS s2
+        |  FROM gv JOIN rk USING (v) GROUP BY 1),
+        |tt AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |              CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+        |       FROM bv),
+        |qq AS (
+        |  SELECT n, tsum, CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(CAST(floor(($hi) * 1000000.0) AS BIGINT))
+        |           AS BIGINT) AS hqs
+        |  FROM pg CROSS JOIN tt GROUP BY 1, 2)
+        |SELECT n_groups, n,
+        |       ${Det.r4Sql(h)} AS h,
+        |       ${Det.r4Sql(s"($h) / $corr")} AS h_tie
+        |FROM qq""".stripMargin
     },
     "q_agg_ks_by_source" -> {
       val dTxt = "CAST(dnum AS DOUBLE) / " +
