@@ -1585,6 +1585,50 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** PAGE–HINKLEY DRIFT DETECTOR (Page 1954; the online concept-drift
+    * test streaming-ML monitors run): per series, the cumulative
+    * deviation from the running mean m_t = Σ(xᵢ − x̄ᵢ − δ) alarms when
+    * it rises more than λ above its running minimum. Sequential by
+    * definition ⇒ the proven sorted-fold ↔ recursive-CTE pair (the
+    * holt family discipline): every state field advances from the
+    * PRE-update state, the m-update text is duplicated verbatim at
+    * each use site (lambdas don't CSE; the CTE mirrors the same
+    * duplication), and both engines execute the identical IEEE op
+    * sequence, so alarm decisions are bit-equal. δ = 0.005, λ = 50 —
+    * fixture-tuned magnitude constants (production tunes per metric).
+    * Output: alarm count, first-alarm index (0 = never), final
+    * m − min(m) headroom. */
+  def pageHinkley(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val mS = "acc.m + (p.v - (acc.sum + p.v) / " +
+      "CAST(acc.t + 1L AS DOUBLE) - 0.005D)"
+    val mmS = s"least(acc.mm, $mS)"
+    val alarmS = s"$mS - $mmS > 50.0D"
+    h1.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
+        .as("pts"))
+      .select(col("event_type"), size(col("pts")).as("n"),
+        expr(
+          s"""aggregate(
+            |  pts,
+            |  named_struct('t', 0L, 'sum', CAST(0.0D AS DOUBLE),
+            |    'm', CAST(0.0D AS DOUBLE), 'mm', CAST(0.0D AS DOUBLE),
+            |    'al', 0L, 'fi', 0L),
+            |  (acc, p) -> named_struct(
+            |    't', acc.t + 1L,
+            |    'sum', acc.sum + p.v,
+            |    'm', $mS,
+            |    'mm', $mmS,
+            |    'al', acc.al + IF($alarmS, 1L, 0L),
+            |    'fi', IF(acc.fi > 0L, acc.fi,
+            |      IF($alarmS, acc.t + 1L, 0L))))""".stripMargin)
+          .as("st"))
+      .select(col("event_type"), col("n"),
+        col("st.al").as("alarms"), col("st.fi").as("first_alarm"),
+        Det.r4(col("st.m") - col("st.mm")).as("ph"))
+      .orderBy("event_type")
+  }
+
   /** DAMPED-trend Holt (Gardner–McKenzie 1985) — the forecasting
     * standard the plain linear trend lacks: the trend decays by φ=0.98
     * each step, so long-horizon forecasts flatten instead of running
@@ -3260,6 +3304,7 @@ object TimeSeriesOps {
     "q_ts_ewma" -> ewma _,
     "q_ts_multiply_series" -> multiplySeries _,
     "q_ts_holt_forecast" -> holtForecast _,
+    "q_ts_page_hinkley" -> pageHinkley _,
     "q_ts_sum_series" -> sumSeries _,
     "q_ts_transform_null" -> transformNull _,
     "q_ts_holt_bands" -> holtBands _,
@@ -4506,6 +4551,43 @@ object TimeSeriesOps {
         |FROM rec JOIN cnt ON cnt.event_type = rec.event_type
         |WHERE rec.rn = cnt.n
         |ORDER BY rec.event_type NULLS FIRST""".stripMargin,
+    "q_ts_page_hinkley" -> {
+      val m = "rec.m + (r.v - (rec.sm + r.v) / " +
+        "CAST(rec.rn + 1 AS DOUBLE) - CAST(0.005 AS DOUBLE))"
+      val mm = s"least(rec.mm, $m)"
+      val alarm = s"$m - $mm > CAST(50.0 AS DOUBLE)"
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM h1),
+        |cnt AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, 0 AS rn, CAST(0.0 AS DOUBLE) AS sm,
+        |         CAST(0.0 AS DOUBLE) AS m, CAST(0.0 AS DOUBLE) AS mm,
+        |         CAST(0 AS BIGINT) AS al, CAST(0 AS BIGINT) AS fi
+        |  FROM cnt
+        |  UNION ALL
+        |  SELECT rec.event_type, rec.rn + 1, rec.sm + r.v,
+        |         $m,
+        |         $mm,
+        |         rec.al + CASE WHEN $alarm THEN 1 ELSE 0 END,
+        |         CASE WHEN rec.fi > 0 THEN rec.fi
+        |              WHEN $alarm THEN rec.rn + 1 ELSE 0 END
+        |  FROM rec JOIN r ON r.event_type = rec.event_type
+        |    AND r.rn = rec.rn + 1)
+        |SELECT rec.event_type, CAST(cnt.n AS INT) AS n,
+        |       CAST(rec.al AS BIGINT) AS alarms,
+        |       CAST(rec.fi AS BIGINT) AS first_alarm,
+        |       ${Det.r4Sql("rec.m - rec.mm")} AS ph
+        |FROM rec JOIN cnt ON cnt.event_type = rec.event_type
+        |WHERE rec.rn = cnt.n
+        |ORDER BY rec.event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_holt_forecast" ->
       s"""WITH RECURSIVE h1 AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
