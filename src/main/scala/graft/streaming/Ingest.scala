@@ -119,6 +119,15 @@ case class BollingerBand(metric: String, bucket: java.sql.Timestamp,
 /** Monitor state: the last ≤ 6 scaled bucket values, time order. */
 case class BollWindow(vals: Seq[Long])
 
+/** Page–Hinkley monitor state — the batch fold's accumulator verbatim
+  * ([[graft.ts.TimeSeriesOps.pageHinkley]]). */
+case class PhState(t: Long, sum: Double, m: Double, mm: Double,
+  al: Long, fi: Long)
+
+/** One live Page–Hinkley emission (per closed bucket). */
+case class PhScore(metric: String, bucket: java.sql.Timestamp, t: Long,
+  alarms: Long, first_alarm: Long, ph: Double)
+
 /** A typed state-change event for the live SCD2 maintainer. */
 case class Scd2Event(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, state: String)
@@ -453,6 +462,49 @@ object Ingest {
               out += BollingerBand(m, r.bucket, r4(ma),
                 r4(ma + 2.0 * sd), r4(ma - 2.0 * sd), breach)
             }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** LIVE PAGE–HINKLEY MONITOR — q_ts_page_hinkley gone online: per
+    * series the state is the batch fold's accumulator (t, Σx, m,
+    * min m, alarms, first-alarm index — six scalars, stream-length
+    * independent), advanced with the IDENTICAL IEEE op sequence
+    * (JVM doubles and codegen'd expression doubles are both strict
+    * IEEE-754, the s_bollinger_monitor precedent), so every emission
+    * is bit-equal to the batch fold at the same prefix. Input is the
+    * closed rollup-bucket stream, `v4` at the exact 1e4 scale
+    * (v = v4/10⁴ reproduces the batch's double exactly — correctly
+    * rounded division of exactly-representable operands). In-order
+    * per-series delivery is the contract (scd2Maintain rule). */
+  def pageHinkleyMonitor(rollups: Dataset[RollupBucket])
+      : Dataset[PhScore] = {
+    import rollups.sparkSession.implicits._
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rollups.groupByKey(_.metric)
+      .flatMapGroupsWithState[PhState, PhScore](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[RollupBucket],
+            state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0.0, 0.0, 0.0, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[PhScore]()
+          for (rb <- rows.toSeq.sortBy(_.bucket.getTime)) {
+            val v = rb.v4.toDouble / 10000.0
+            // the batch fold's update text, field for field
+            val m2 = st.m + (v - (st.sum + v) / (st.t + 1L).toDouble
+              - 0.005)
+            val mm2 = math.min(st.mm, m2)
+            val alarm = m2 - mm2 > 50.0
+            st = PhState(st.t + 1L, st.sum + v, m2, mm2,
+              st.al + (if (alarm) 1L else 0L),
+              if (st.fi > 0L) st.fi
+              else if (alarm) st.t + 1L else 0L)
+            out += PhScore(metric, rb.bucket, st.t, st.al, st.fi,
+              r4(st.m - st.mm))
           }
           state.update(st)
           out.iterator

@@ -684,6 +684,41 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(batch -- got).take(3)}")
   }
 
+  test("s_page_hinkley: final live scores equal the batch fold") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    val batch = graft.ts.TimeSeriesOps.pageHinkley(sp, sf)
+      .select(col("event_type"), col("n"), col("alarms"),
+        col("first_alarm"), col("ph"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1).toLong, r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val feed = graft.ts.TimeSeriesOps.rollupAvg(sp, sf)
+      .select(col("event_type").as("metric"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000)).cast("long")
+          .as("v4"))
+      .as[RollupBucket].collect().toSeq
+      .sortBy(r => (r.metric, r.bucket.getTime))
+    val in = MemoryStream[RollupBucket]
+    val q = runToMemory(Ingest.pageHinkleyMonitor(in.toDS()).toDF(),
+      "ph_live", OutputMode.Append())
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    // the LAST emission per series is the full-prefix state
+    val got = sp.sql(
+      "SELECT metric, t, alarms, first_alarm, ph FROM ph_live")
+      .collect().groupBy(_.getString(0)).map { case (m, rows) =>
+        val r = rows.maxBy(_.getLong(1))
+        m -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      }
+    assert(got == batch,
+      s"live Page-Hinkley diverged: got=$got batch=$batch")
+  }
+
   test("s_scd2_maintain: closed versions equal the batch build") {
     val sp = spark
     import sp.implicits._
