@@ -471,6 +471,48 @@ class PlanSpec extends AnyFunSuite {
       s"hot list must broadcast:\n$p")
   }
 
+  test("jaccard capped: hub-only pairs anti-join; no cartesian anywhere") {
+    // the hub/small SPLIT joins live behind the checkpointed symH/symS
+    // relations (the localCheckpoint plan-visibility rule), so assert
+    // the split shape on the pre-checkpoint adjacency directly and the
+    // visible plan's hub-only anti join
+    val p = plan("q_part_jaccard_capped")
+    assert(p.contains("LeftAnti"), s"no hub-only-pairs anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.lineitem(spark, sf)
+      .where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sym = e.select(col("l_partkey").as("src"),
+      col("l_orderkey").as("dst"))
+    val hubs = sym.groupBy("src").count().where(col("count") > 2)
+      .select(col("src").as("hub"))
+    val split = sym.join(hubs, sym("src") === hubs("hub"), "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(split.contains("LeftSemi"),
+      s"the hub split is a semi join pre-checkpoint:\n$split")
+  }
+
+  test("ks_by_source: the rank window runs on the histogram, not raw docs") {
+    // one (source, n_chars) aggregate feeds everything; the cumulative
+    // window's input is the fanned-out histogram grid — a raw-row sort
+    // would show a window with no upstream partial aggregate
+    val p = plan("q_agg_ks_by_source")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"histogram aggregate must be partial:\n$p")
+    assert("(?s)Window.*HashAggregate".r.findFirstIn(p).isDefined ||
+      p.indexOf("Window") > p.indexOf("HashAggregate"),
+      s"window should consume the aggregate:\n$p")
+  }
+
+  test("shapley: lattice joins ride broadcasts; counting agg is partial") {
+    val p = plan("q_attr_shapley")
+    assert(p.contains("BroadcastNestedLoop") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 16-cell lattice must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("tpch completion five: dims broadcast, date filter pushed") {
     Seq("q_tpch_mincost", "q_tpch_profit", "q_tpch_suppcnt").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin"),
