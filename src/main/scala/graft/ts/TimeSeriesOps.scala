@@ -1585,6 +1585,63 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** EWMA CONTROL CHART (Roberts 1959; the SPC chart beside
+    * [[bollinger]]'s fixed-window bands): z_t = λx_t + (1−λ)z_{t−1}
+    * seeded at the series mean, alarmed when |z_t − μ| exceeds
+    * L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) — the time-varying limit that
+    * makes EWMA charts catch small early shifts. λ = 0.2, L = 3.
+    * Determinism: μ and σ come from EXACT 1e4-scaled BIGINT moment
+    * sums (BIGINT→double casts round identically — never a
+    * decimal→double past 2⁵³), the (1−λ)^{2t} power is CARRIED
+    * multiplicatively in the fold state (no libm pow), and the z/limit
+    * update text is duplicated verbatim at each use site in both
+    * engines (the page_hinkley rule), so breach decisions are
+    * bit-equal. */
+  def ewmaChart(spark: SparkSession, sfDir: String): DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .withColumn("q",
+        (col("v").cast("decimal(18,4)") * lit(10000)).cast("long"))
+      .localCheckpoint(eager = false) // moments + the fold's pts
+    val mom = h1.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+      .where(col("n") >= 2)
+    val muS = "CAST(s1 AS DOUBLE) / 10000.0D / CAST(n AS DOUBLE)"
+    val sdS = "sqrt((CAST(s2 AS DOUBLE) / 100000000.0D - " +
+      "(CAST(s1 AS DOUBLE) / 10000.0D) * (CAST(s1 AS DOUBLE) / 10000.0D)" +
+      " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0D))"
+    val zS = "0.2D * p.v + 0.8D * acc.z"
+    val pS = "acc.p * 0.64D"
+    val limS = s"3.0D * sd * sqrt(0.2D / 1.8D * (1.0D - $pS))"
+    val brS = s"abs($zS - mu) > $limS"
+    val pts = h1.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
+        .as("pts"))
+    pts.join(mom, "event_type")
+      .withColumn("mu", expr(muS))
+      .withColumn("sd", expr(sdS))
+      .select(col("event_type"), col("n"), col("mu"), col("sd"),
+        expr(
+          s"""aggregate(
+            |  pts,
+            |  named_struct('t', 0L, 'z', mu,
+            |    'p', CAST(1.0D AS DOUBLE), 'br', 0L, 'fi', 0L),
+            |  (acc, p) -> named_struct(
+            |    't', acc.t + 1L,
+            |    'z', $zS,
+            |    'p', $pS,
+            |    'br', acc.br + IF($brS, 1L, 0L),
+            |    'fi', IF(acc.fi > 0L, acc.fi,
+            |      IF($brS, acc.t + 1L, 0L))))""".stripMargin).as("st"))
+      .select(col("event_type"), col("n"),
+        col("st.br").as("breaches"), col("st.fi").as("first_breach"),
+        Det.r4(col("st.z")).as("ewma"),
+        Det.r4(lit(3.0) * col("sd") *
+          sqrt(lit(0.2) / lit(1.8) * (lit(1.0) - col("st.p"))))
+          .as("limit"))
+      .orderBy("event_type")
+  }
+
   /** PAGE–HINKLEY DRIFT DETECTOR (Page 1954; the online concept-drift
     * test streaming-ML monitors run): per series, the cumulative
     * deviation from the running mean m_t = Σ(xᵢ − x̄ᵢ − δ) alarms when
@@ -3305,6 +3362,7 @@ object TimeSeriesOps {
     "q_ts_multiply_series" -> multiplySeries _,
     "q_ts_holt_forecast" -> holtForecast _,
     "q_ts_page_hinkley" -> pageHinkley _,
+    "q_ts_ewma_chart" -> ewmaChart _,
     "q_ts_sum_series" -> sumSeries _,
     "q_ts_transform_null" -> transformNull _,
     "q_ts_holt_bands" -> holtBands _,
@@ -4551,6 +4609,59 @@ object TimeSeriesOps {
         |FROM rec JOIN cnt ON cnt.event_type = rec.event_type
         |WHERE rec.rn = cnt.n
         |ORDER BY rec.event_type NULLS FIRST""".stripMargin,
+    "q_ts_ewma_chart" -> {
+      val mu = "CAST(s1 AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE)"
+      val sd = "sqrt((CAST(s2 AS DOUBLE) / 100000000.0 - " +
+        "(CAST(s1 AS DOUBLE) / 10000.0) * (CAST(s1 AS DOUBLE) / 10000.0)" +
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+      val z = "CAST(0.2 AS DOUBLE) * r.v + CAST(0.8 AS DOUBLE) * rec.z"
+      val pw = "rec.pw * CAST(0.64 AS DOUBLE)"
+      val lim = s"CAST(3.0 AS DOUBLE) * rec.sd * " +
+        s"sqrt(CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE) * " +
+        s"(CAST(1.0 AS DOUBLE) - $pw))"
+      val br = s"abs($z - rec.mu) > $lim"
+      val finLim = "CAST(3.0 AS DOUBLE) * rec.sd * " +
+        "sqrt(CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE) * " +
+        "(CAST(1.0 AS DOUBLE) - rec.pw))"
+      s"""WITH RECURSIVE h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (
+        |  SELECT event_type, bucket, v,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q
+        |  FROM h1),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM h2),
+        |mom AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS s1,
+        |         CAST(sum(q * q) AS BIGINT) AS s2
+        |  FROM h2 GROUP BY 1 HAVING count(*) >= 2),
+        |rec AS (
+        |  SELECT event_type, n, 0 AS rn, ($mu) AS mu, ($sd) AS sd,
+        |         ($mu) AS z, CAST(1.0 AS DOUBLE) AS pw,
+        |         CAST(0 AS BIGINT) AS br, CAST(0 AS BIGINT) AS fi
+        |  FROM mom
+        |  UNION ALL
+        |  SELECT rec.event_type, rec.n, rec.rn + 1, rec.mu, rec.sd,
+        |         $z,
+        |         $pw,
+        |         rec.br + CASE WHEN $br THEN 1 ELSE 0 END,
+        |         CASE WHEN rec.fi > 0 THEN rec.fi
+        |              WHEN $br THEN rec.rn + 1 ELSE 0 END
+        |  FROM rec JOIN r ON r.event_type = rec.event_type
+        |    AND r.rn = rec.rn + 1)
+        |SELECT event_type, n, br AS breaches, fi AS first_breach,
+        |       ${Det.r4Sql("rec.z")} AS ewma,
+        |       ${Det.r4Sql(finLim)} AS "limit"
+        |FROM rec
+        |WHERE rec.rn = rec.n
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_page_hinkley" -> {
       val m = "rec.m + (r.v - (rec.sm + r.v) / " +
         "CAST(rec.rn + 1 AS DOUBLE) - CAST(0.005 AS DOUBLE))"
