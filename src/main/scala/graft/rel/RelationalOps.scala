@@ -1560,6 +1560,59 @@ object RelationalOps {
         Det.r4(h).as("h"), Det.r4(h / corr).as("h_tie"))
   }
 
+  /** PER-SOURCE KRUSKAL–WALLIS — [[kruskalWallis]] partitioned by
+    * corpus source over the documents table: within each source, does
+    * document length differ across LANGUAGES? The corpus-health read
+    * that catches a crawl whose per-language length profiles diverged
+    * (one bad extractor for one language). Identical determinism
+    * discipline, with every window/aggregate keyed by source; sources
+    * with a single value row (N < 2) or a fully-tied value column
+    * (correction = 0) report NULL h_tie in both engines. */
+  def kruskalWallisBySource(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGV = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang").as("g"),
+        col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // value grid + per-group sums
+    val byVal = byGV.groupBy(col("source"), col("v"))
+      .agg(sum(col("c")).as("t"))
+      .localCheckpoint(eager = false) // rank window + totals
+    val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("cum", coalesce(sum(col("t")).over(wCum), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum") + col("t") + lit(1L))
+    val perG = byGV
+      .join(ranked.select(col("source"), col("v"), col("r2")),
+        Seq("source", "v"))
+      .groupBy(col("source"), col("g"))
+      .agg(sum(col("c")).as("n_i"), sum(col("c") * col("r2")).as("s2"))
+    val tot = byVal.groupBy(col("source"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      .where(col("n") >= 2)
+    def d(c: Column) = c.cast("double")
+    val di = d(col("s2")) / (lit(2.0) * d(col("n_i"))) -
+      (d(col("n")) + lit(1.0)) / lit(2.0)
+    val hi = lit(12.0) * d(col("n_i")) * di * di /
+      (d(col("n")) * (d(col("n")) + lit(1.0)))
+    val q = perG.join(tot, "source")
+      .select(col("source"), col("n"), col("tsum"),
+        floor(hi * lit(1000000.0)).cast("long").as("hq"))
+      .groupBy(col("source"), col("n"), col("tsum"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("hq")).as("hqs"))
+    val h = d(col("hqs")) / lit(1000000.0)
+    val corr = lit(1.0) - d(col("tsum")) /
+      (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")))
+    q.select(col("source"), col("n_groups"), col("n"),
+        Det.r4(h).as("h"),
+        when(corr > lit(0.0), Det.r4(h / corr))
+          .otherwise(lit(null)).as("h_tie"))
+      .orderBy("source")
+  }
+
   /** The PRODUCTION form of [[aggMannWhitney]]'s ranking — the
     * distributed two-pass rank statistic for value domains too large
     * for one ordered window (fully continuous measures, where the
@@ -2875,6 +2928,7 @@ object RelationalOps {
     "q_agg_ks_drift" -> ksDrift _,
     "q_agg_ks_by_source" -> ksBySource _,
     "q_agg_kruskal_wallis" -> kruskalWallis _,
+    "q_agg_kw_by_source" -> kruskalWallisBySource _,
     "q_rel_top_paths" -> topPaths _,
     "q_agg_cramers_v" -> cramersV _,
     "q_upsert_snapshot" -> upsertSnapshot _,
@@ -3142,6 +3196,51 @@ object RelationalOps {
         |       ${Det.r4Sql(h)} AS h,
         |       ${Det.r4Sql(s"($h) / $corr")} AS h_tie
         |FROM qq""".stripMargin
+    },
+    "q_agg_kw_by_source" -> {
+      val di = "(CAST(s2 AS DOUBLE) / (2.0 * CAST(n_i AS DOUBLE)) - " +
+        "(CAST(n AS DOUBLE) + 1.0) / 2.0)"
+      val hi = s"12.0 * CAST(n_i AS DOUBLE) * $di * $di / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+      val h = "CAST(hqs AS DOUBLE) / 1000000.0"
+      val corr = "(1.0 - CAST(tsum AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - " +
+        "CAST(n AS DOUBLE)))"
+      s"""WITH gv AS MATERIALIZED (
+        |  SELECT source, lang AS g, n_chars AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |bv AS MATERIALIZED (
+        |  SELECT source, v, CAST(sum(c) AS BIGINT) AS t
+        |  FROM gv GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, v,
+        |         2 * COALESCE(CAST(sum(t) OVER (PARTITION BY source
+        |           ORDER BY v NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) + t + 1 AS r2
+        |  FROM bv),
+        |pg AS (
+        |  SELECT gv.source, g, CAST(sum(c) AS BIGINT) AS n_i,
+        |         CAST(sum(c * r2) AS BIGINT) AS s2
+        |  FROM gv JOIN rk ON rk.source = gv.source AND rk.v = gv.v
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(sum(t) AS BIGINT) AS n,
+        |              CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+        |       FROM bv GROUP BY 1 HAVING sum(t) >= 2),
+        |qq AS (
+        |  SELECT pg.source, n, tsum, CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(CAST(floor(($hi) * 1000000.0) AS BIGINT))
+        |           AS BIGINT) AS hqs
+        |  FROM pg JOIN tt ON tt.source = pg.source
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, n_groups, n,
+        |       ${Det.r4Sql(h)} AS h,
+        |       CASE WHEN $corr > 0.0 THEN
+        |         ${Det.r4Sql(s"($h) / $corr")}
+        |       ELSE NULL END AS h_tie
+        |FROM qq
+        |ORDER BY source NULLS FIRST""".stripMargin
     },
     "q_agg_ks_by_source" -> {
       val dTxt = "CAST(dnum AS DOUBLE) / " +
