@@ -124,6 +124,19 @@ case class BollWindow(vals: Seq[Long])
 case class PhState(t: Long, sum: Double, m: Double, mm: Double,
   al: Long, fi: Long)
 
+/** A rollup bucket joined with its series' calibrated μ/σ — the
+  * stream-static join output the EWMA monitor folds over. */
+case class EwmaIn(metric: String, bucket: java.sql.Timestamp, v4: Long,
+  mu: Double, sd: Double)
+
+/** EWMA-chart monitor state — the batch fold's accumulator verbatim
+  * ([[graft.ts.TimeSeriesOps.ewmaChart]]). */
+case class EwmaState(t: Long, z: Double, p: Double, br: Long, fi: Long)
+
+/** One live EWMA-chart emission (per closed bucket). */
+case class EwmaBand(metric: String, bucket: java.sql.Timestamp, t: Long,
+  breaches: Long, first_breach: Long, ewma: Double, limit: Double)
+
 /** One live Page–Hinkley emission (per closed bucket). */
 case class PhScore(metric: String, bucket: java.sql.Timestamp, t: Long,
   alarms: Long, first_alarm: Long, ph: Double)
@@ -464,6 +477,53 @@ object Ingest {
             }
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** LIVE EWMA CONTROL-CHART MONITOR — q_ts_ewma_chart gone online:
+    * arriving rollup buckets meet their series' CALIBRATED μ/σ via a
+    * stream-static equi-join on metric (the calibration is
+    * [[graft.ts.TimeSeriesOps.ewmaCalibration]], a TABLE — never
+    * driver state; the ksReferenceEdges posture), then a five-scalar
+    * state (t, z, (1−λ)^{2t}, breaches, first-breach) advances with
+    * the batch fold's exact IEEE op sequence, so every band and breach
+    * is bit-equal to the batch chart at the same prefix. State is
+    * per-series constant-size; the power term multiplies forward —
+    * no pow(), no history. In-order per-series delivery contract. */
+  def ewmaChartMonitor(rollups: Dataset[RollupBucket],
+      calibration: DataFrame): Dataset[EwmaBand] = {
+    import rollups.sparkSession.implicits._
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rollups.toDF()
+      .join(calibration, Seq("metric")) // stream-static, bucket-keyed
+      .as[EwmaIn]
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState[EwmaState, EwmaBand](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[EwmaIn],
+            state: GroupState[EwmaState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[EwmaBand]()
+          var st: EwmaState = null
+          for (r <- rows.toSeq.sortBy(_.bucket.getTime)) {
+            if (st == null)
+              st = state.getOption.getOrElse(
+                EwmaState(0L, r.mu, 1.0, 0L, 0L)) // z seeds at mu
+            val v = r.v4.toDouble / 10000.0
+            // the batch fold's update text, field for field
+            val z2 = 0.2 * v + 0.8 * st.z
+            val p2 = st.p * 0.64
+            val lim = 3.0 * r.sd * math.sqrt(0.2 / 1.8 * (1.0 - p2))
+            val breach = math.abs(z2 - r.mu) > lim
+            st = EwmaState(st.t + 1L, z2, p2,
+              st.br + (if (breach) 1L else 0L),
+              if (st.fi > 0L) st.fi
+              else if (breach) st.t + 1L else 0L)
+            out += EwmaBand(metric, r.bucket, st.t, st.br, st.fi,
+              r4(st.z), r4(lim))
+          }
+          if (st != null) state.update(st)
           out.iterator
       }
   }

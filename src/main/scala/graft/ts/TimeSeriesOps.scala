@@ -1597,19 +1597,36 @@ object TimeSeriesOps {
     * update text is duplicated verbatim at each use site in both
     * engines (the page_hinkley rule), so breach decisions are
     * bit-equal. */
-  def ewmaChart(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The calibration half of [[ewmaChart]]: per-series exact-moment μ
+    * and σ as a TABLE — what the live monitor joins against
+    * (stream-static), the ksReferenceEdges posture. */
+  def ewmaCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaMoments(spark, sfDir)._2
+      .select(col("event_type").as("metric"), col("mu"), col("sd"))
+
+  /** Shared by the chart and its calibration: the 1e4-scaled hourly
+    * relation and the per-series exact moment row with μ/σ doubles. */
+  private def ewmaMoments(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
       .withColumn("q",
         (col("v").cast("decimal(18,4)") * lit(10000)).cast("long"))
       .localCheckpoint(eager = false) // moments + the fold's pts
-    val mom = h1.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
-        sum(col("q") * col("q")).as("s2"))
-      .where(col("n") >= 2)
     val muS = "CAST(s1 AS DOUBLE) / 10000.0D / CAST(n AS DOUBLE)"
     val sdS = "sqrt((CAST(s2 AS DOUBLE) / 100000000.0D - " +
       "(CAST(s1 AS DOUBLE) / 10000.0D) * (CAST(s1 AS DOUBLE) / 10000.0D)" +
       " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0D))"
+    val mom = h1.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+      .where(col("n") >= 2)
+      .withColumn("mu", expr(muS))
+      .withColumn("sd", expr(sdS))
+    (h1, mom)
+  }
+
+  def ewmaChart(spark: SparkSession, sfDir: String): DataFrame = {
+    val (h1, mom) = ewmaMoments(spark, sfDir)
     val zS = "0.2D * p.v + 0.8D * acc.z"
     val pS = "acc.p * 0.64D"
     val limS = s"3.0D * sd * sqrt(0.2D / 1.8D * (1.0D - $pS))"
@@ -1618,8 +1635,8 @@ object TimeSeriesOps {
       .agg(array_sort(collect_list(struct(col("bucket"), col("v"))))
         .as("pts"))
     pts.join(mom, "event_type")
-      .withColumn("mu", expr(muS))
-      .withColumn("sd", expr(sdS))
+      .select(col("event_type"), col("n"), col("mu"), col("sd"),
+        col("pts"))
       .select(col("event_type"), col("n"), col("mu"), col("sd"),
         expr(
           s"""aggregate(

@@ -719,6 +719,42 @@ class StreamingSpec extends AnyFunSuite {
       s"live Page-Hinkley diverged: got=$got batch=$batch")
   }
 
+  test("s_ewma_chart: final live bands equal the batch chart") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    val batch = graft.ts.TimeSeriesOps.ewmaChart(sp, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val calib = graft.ts.TimeSeriesOps.ewmaCalibration(sp, sf)
+      .localCheckpoint() // the static side, reused per micro-batch
+    val feed = graft.ts.TimeSeriesOps.rollupAvg(sp, sf)
+      .select(col("event_type").as("metric"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000)).cast("long")
+          .as("v4"))
+      .as[RollupBucket].collect().toSeq
+      .sortBy(r => (r.metric, r.bucket.getTime))
+    val in = MemoryStream[RollupBucket]
+    val q = runToMemory(
+      Ingest.ewmaChartMonitor(in.toDS(), calib).toDF(),
+      "ewma_live", OutputMode.Append())
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val got = sp.sql(
+      "SELECT metric, t, breaches, first_breach, ewma, `limit` " +
+        "FROM ewma_live")
+      .collect().groupBy(_.getString(0)).map { case (m, rows) =>
+        val r = rows.maxBy(_.getLong(1))
+        m -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))
+      }
+    assert(got == batch,
+      s"live EWMA chart diverged: got=$got batch=$batch")
+  }
+
   test("s_scd2_maintain: closed versions equal the batch build") {
     val sp = spark
     import sp.implicits._
