@@ -915,9 +915,18 @@ object VectorOps {
       keptBuckets: DataFrame): DataFrame = {
     withQuant(vecs.toDF())
       .join(keptBuckets, Seq("bucket"), "left")
+      // WIDTH CONTRACT: the gate compares equal-dimension embeddings
+      // only. zip_with null-pads on a length mismatch (dot → NULL →
+      // silently never pruned), so mismatched-width candidates are
+      // EXPLICITLY excluded from the comparison and surfaced as
+      // width_mismatch = true for the caller to reject — never a
+      // silent pass.
+      .withColumn("width_mismatch", expr(
+        "coalesce(exists(cands, k -> size(k.qx) <> size(qx)), false)"))
       // dot once per candidate (lambdas don't CSE), then the exact test
       .withColumn("cd", expr(
-        "transform(cands, k -> struct(k.vec_id AS kid, " +
+        "transform(filter(cands, k -> size(k.qx) = size(qx)), " +
+          "k -> struct(k.vec_id AS kid, " +
           "aggregate(zip_with(qx, k.qx, (a, b) -> a * b), 0L, " +
           "(s, v) -> s + v) AS dot, k.n2 AS kn2))"))
       .withColumn("hit", expr(
@@ -927,7 +936,8 @@ object VectorOps {
           "CAST(2 * k.kn2 AS DECIMAL(19,0)) * " +
           "CAST(2 * n2 AS DECIMAL(19,0))), 1)"))
       .select(col("vec_id"), col("hit").isNotNull.as("pruned"),
-        coalesce(col("hit.kid"), lit(-1L)).as("kept_id"))
+        coalesce(col("hit.kid"), lit(-1L)).as("kept_id"),
+        col("width_mismatch"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1079,6 +1079,58 @@ object RelationalOps {
     componentSummary(labels)
   }
 
+  /** POINTER-DOUBLING production twin of [[partComponents]] /
+    * [[componentsConverged]]: plain min-label propagation needs
+    * O(diameter) rounds — a long-chain graph at 100× stalls it (the
+    * r12 self-flag). Each round here is propagate THEN shortcut:
+    *
+    *   1. comp(v) ← min(comp(v), min_{u∈N(v)} comp(u))   (one hop)
+    *   2. comp(v) ← comp(comp(v))                        (doubling)
+    *
+    * Labels are always node ids (mins of node ids), so step 2 is an
+    * equi-join of the label relation with itself on comp = node; the
+    * label-holder distance roughly doubles per round → O(log d)
+    * rounds (pointer jumping / the large-star–small-star geometry).
+    * Fixpoint identity: when a combined round changes nothing,
+    * propagate alone is stable, which forces labels constant per
+    * component = the component minimum — the SAME labels as the
+    * O(d) twin (spec'd on a diameter-299 path the plain twin cannot
+    * finish in a 16-round budget, and bit-equal to q_part_components
+    * at fixture SFs, sharing its unrolled oracle). State is one
+    * BIGINT per node; each round is two equi-joins + one aggregate —
+    * shuffle-bounded, never a collect. */
+  def componentsDoubling(sym: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 32): (DataFrame, Int) = {
+    var labels = nodes.localCheckpoint(eager = false)
+    var changed = Long.MaxValue
+    var round = 0
+    while (changed > 0L && round < maxRounds) {
+      val prop = componentStep(sym, labels)
+      val next = prop.as("a")
+        .join(prop.select(col("node").as("n2"), col("comp").as("c2")),
+          col("a.comp") === col("n2"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.comp"), coalesce(col("c2"), col("a.comp")))
+            .as("comp"))
+        .localCheckpoint(eager = false)
+      changed = next.join(
+          labels.select(col("node"), col("comp").as("prev")), "node")
+        .where(col("comp") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    (labels, round)
+  }
+
+  /** [[componentsDoubling]] over the co-purchase graph, summarized —
+    * registered as q_part_components_pd against the SAME unrolled
+    * oracle as q_part_components (identical labels by the fixpoint
+    * argument above; the bpe_encode_prod shared-oracle precedent). */
+  def partComponentsPd(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sym, nodes) = componentGraph(spark, sfDir)
+    componentSummary(componentsDoubling(sym, nodes)._1)
+  }
+
   private def componentGraph(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     val e = coPurchasePairs(spark, sfDir, Some(4))
@@ -1231,6 +1283,87 @@ object RelationalOps {
         Det.r4(col("common_n").cast("double") /
           col("union_n").cast("double")).as("jaccard"))
       .orderBy(col("jq").desc, col("v1"), col("v2"))
+      .limit(15)
+  }
+
+  /** DEGREE-CAPPED production twin of [[partResourceAlloc]] (the r12
+    * weak flag — byte-for-byte the jaccard Σd² shape): the exact form's
+    * apex wedge join gives a hub apex of degree d a d² candidate
+    * fan-out, the first blow-up on a skewed co-purchase graph at 100×.
+    * Same remedy as [[partJaccardCapped]], and RA makes the hub-side
+    * exact verification even more direct because the per-wedge
+    * contribution floor(10¹²/d(w)) is quantized AT WEDGE TIME — the
+    * verification join just re-sums the same BIGINTs:
+    *
+    *  1. SMALL apexes (d ≤ cap) fan out full wedges carrying their
+    *     quantized contribution — exact, volume ≤ cap·E. HUB apexes
+    *     generate candidates only among their `cap` lowest-id
+    *     neighbors (deterministic by key) — no d² term.
+    *  2. Exact hub-side verification: candidates join FULL hub
+    *     adjacency on (v1) then (v2, apex), each matched hub apex
+    *     contributing its quantized 1/d(w); so for every emitted pair
+    *     common_n = c_small + c_hub and ra_q = ra_small + ra_hub are
+    *     IDENTICAL to the exact query's BIGINTs.
+    *
+    * Same recall contract as the jaccard twin: a true pair is missed
+    * only if every common apex is a hub that ranks one endpoint past
+    * its cap-th lowest-id neighbor; cap ≥ max degree is row-identical
+    * to [[partResourceAlloc]] (spec'd, with value exactness at tighter
+    * caps). The exact form stays the oracle baseline; this is the
+    * scale path. */
+  def partResourceAllocCapped(spark: SparkSession, sfDir: String,
+      cap: Int = 64): DataFrame = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false) // degree + hub/small split
+    // per-apex quantized contribution rides the degree table (model-
+    // sized), so every wedge row carries its exact BIGINT addend
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dw"))
+      .withColumn("raw", expr("1000000000000L div dw"))
+      .localCheckpoint(eager = false)
+    val hubs = deg.where(col("dw") > cap).select(col("src").as("hub"))
+    val symH = sym.join(hubs, sym("src") === hubs("hub"), "left_semi")
+      .join(deg.select(col("src"), col("raw")), "src")
+      .localCheckpoint(eager = false) // capped lists + verify side
+    val symS = sym.join(hubs, sym("src") === hubs("hub"), "left_anti")
+      .join(deg.select(col("src"), col("raw")), "src")
+      .localCheckpoint(eager = false) // both wedge sides
+    val cS = symS.select(col("src").as("apex"), col("dst").as("v1"),
+        col("raw"))
+      .join(symS.select(col("src").as("apex"), col("dst").as("v2")),
+        "apex")
+      .where(col("v1") < col("v2"))
+      .groupBy(col("v1"), col("v2"))
+      .agg(count(lit(1)).as("c_small"), sum(col("raw")).as("ra_small"))
+      .localCheckpoint(eager = false) // candidate union + verify join
+    val wR = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val hCap = symH.withColumn("rk", row_number().over(wR))
+      .where(col("rk") <= cap).drop("rk")
+    val hOnly = hCap.select(col("src").as("apex"), col("dst").as("v1"))
+      .join(hCap.select(col("src").as("apex"), col("dst").as("v2")),
+        "apex")
+      .where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+      .join(cS, Seq("v1", "v2"), "left_anti")
+    val cands = cS.select(col("v1"), col("v2")).unionByName(hOnly)
+    val cH = cands
+      .join(symH.select(col("src").as("w"), col("dst").as("v1"),
+        col("raw")), "v1")
+      .join(symH.select(col("src").as("w"), col("dst").as("v2")),
+        Seq("v2", "w"))
+      .groupBy(col("v1"), col("v2"))
+      .agg(count(lit(1)).as("c_hub"), sum(col("raw")).as("ra_hub"))
+    val common = cS.join(cH, Seq("v1", "v2"), "full")
+      .select(col("v1"), col("v2"),
+        (coalesce(col("c_small"), lit(0L)) +
+          coalesce(col("c_hub"), lit(0L))).as("common_n"),
+        (coalesce(col("ra_small"), lit(0L)) +
+          coalesce(col("ra_hub"), lit(0L))).as("ra_q"))
+    common
+      .select(col("v1"), col("v2"), col("common_n"), col("ra_q"),
+        Det.r4(col("ra_q").cast("double") / lit(1.0e12)).as("ra"))
+      .orderBy(col("ra_q").desc, col("v1"), col("v2"))
       .limit(15)
   }
 
@@ -1543,6 +1676,7 @@ object RelationalOps {
       .agg(sum(col("c")).as("n_i"), sum(col("c") * col("r2")).as("s2"))
     val tot = byVal.agg(sum(col("t")).as("n"),
       sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      .where(col("n") >= 2) // N < 2 makes N³−N = 0 (degenerate H)
     def d(c: Column) = c.cast("double")
     val di = d(col("s2")) / (lit(2.0) * d(col("n_i"))) -
       (d(col("n")) + lit(1.0)) / lit(2.0)
@@ -1556,8 +1690,13 @@ object RelationalOps {
     val h = d(col("hqs")) / lit(1000000.0)
     val corr = lit(1.0) - d(col("tsum")) /
       (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")))
+    // fully-tied column ⇒ corr = 0: NULL h_tie in BOTH engines (the
+    // by-source guard, mirrored — ANSI floor(Inf)→LONG would throw
+    // here while DuckDB returns Inf).
     q.select(col("n_groups"), col("n"),
-        Det.r4(h).as("h"), Det.r4(h / corr).as("h_tie"))
+        Det.r4(h).as("h"),
+        when(corr > lit(0.0), Det.r4(h / corr))
+          .otherwise(lit(null)).as("h_tie"))
   }
 
   /** PER-SOURCE KRUSKAL–WALLIS — [[kruskalWallis]] partitioned by
@@ -2979,6 +3118,8 @@ object RelationalOps {
     "q_part_jaccard_capped" ->
       ((s: SparkSession, d: String) => partJaccardCapped(s, d)),
     "q_part_resource_alloc" -> partResourceAlloc _,
+    "q_part_resource_alloc_capped" ->
+      ((s: SparkSession, d: String) => partResourceAllocCapped(s, d)),
     "q_part_components" -> partComponents _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
@@ -3186,7 +3327,7 @@ object RelationalOps {
         |  FROM gv JOIN rk USING (v) GROUP BY 1),
         |tt AS (SELECT CAST(sum(t) AS BIGINT) AS n,
         |              CAST(sum(t * t * t - t) AS BIGINT) AS tsum
-        |       FROM bv),
+        |       FROM bv HAVING sum(t) >= 2),
         |qq AS (
         |  SELECT n, tsum, CAST(count(*) AS BIGINT) AS n_groups,
         |         CAST(sum(CAST(floor(($hi) * 1000000.0) AS BIGINT))
@@ -3194,7 +3335,9 @@ object RelationalOps {
         |  FROM pg CROSS JOIN tt GROUP BY 1, 2)
         |SELECT n_groups, n,
         |       ${Det.r4Sql(h)} AS h,
-        |       ${Det.r4Sql(s"($h) / $corr")} AS h_tie
+        |       CASE WHEN $corr > 0.0 THEN
+        |         ${Det.r4Sql(s"($h) / $corr")}
+        |       ELSE NULL END AS h_tie
         |FROM qq""".stripMargin
     },
     "q_agg_kw_by_source" -> {
@@ -3931,6 +4074,35 @@ object RelationalOps {
         |        FROM sym a JOIN sym b
         |          ON a.src = b.src AND a.dst < b.dst
         |        JOIN deg d ON d.src = a.src
+        |        GROUP BY 1, 2)
+        |SELECT v1, v2, common_n, ra_q,
+        |       ${Det.r4Sql("CAST(ra_q AS DOUBLE) / 1000000000000.0")} AS ra
+        |FROM com
+        |ORDER BY ra_q DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
+        |LIMIT 15""".stripMargin,
+    // same two-phase twin as q_part_jaccard_capped: capped lowest-id
+    // lists generate candidates, FULL adjacency re-derives the exact
+    // quantized RA sum for the candidates only
+    "q_part_resource_alloc_capped" ->
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |nc AS MATERIALIZED (SELECT src, dst FROM (
+        |        SELECT src, dst, row_number() OVER (PARTITION BY src
+        |          ORDER BY dst NULLS FIRST) AS rk FROM sym) t
+        |        WHERE rk <= 64),
+        |cands AS (SELECT DISTINCT a.dst AS v1, b.dst AS v2
+        |          FROM nc a JOIN nc b ON a.src = b.src AND a.dst < b.dst),
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS dw
+        |        FROM sym GROUP BY 1),
+        |com AS (SELECT c.v1, c.v2, CAST(count(*) AS BIGINT) AS common_n,
+        |               CAST(sum(1000000000000 // d.dw) AS BIGINT) AS ra_q
+        |        FROM cands c JOIN sym s1 ON s1.src = c.v1
+        |        JOIN sym s2 ON s2.src = c.v2 AND s2.dst = s1.dst
+        |        JOIN deg d ON d.src = s1.dst
         |        GROUP BY 1, 2)
         |SELECT v1, v2, common_n, ra_q,
         |       ${Det.r4Sql("CAST(ra_q AS DOUBLE) / 1000000000000.0")} AS ra

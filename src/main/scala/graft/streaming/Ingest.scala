@@ -463,6 +463,13 @@ object Ingest {
             if (st.vals.length == 6) {
               var s1l = 0L; var s2l = 0L
               st.vals.foreach { q => s1l += q; s2l += q * q }
+              // decision-equality contract: Σq² must stay inside 2⁵³
+              // or the two-step scale-back rounds differently from the
+              // batch's single DECIMAL→double cast (ksMonitor guard
+              // precedent).
+              require(s2l >= 0L && s2l <= (1L << 53),
+                s"bollingerMonitor: sum of squares $s2l exceeds 2^53 " +
+                  "— bucket averages too large for exact-long state")
               val s1 = s1l.toDouble / 10000.0
               val s2 = s2l.toDouble / 100000000.0
               val ma = s1 / 6.0

@@ -493,6 +493,15 @@ class PlanSpec extends AnyFunSuite {
       s"the hub split is a semi join pre-checkpoint:\n$split")
   }
 
+  test("resource-alloc capped: hub-only anti join; no cartesian") {
+    // same hub/small split shape as the jaccard twin (whose
+    // pre-checkpoint semi-join proof covers this family); the visible
+    // plan must show the hub-only-pairs anti join and no cartesian
+    val p = plan("q_part_resource_alloc_capped")
+    assert(p.contains("LeftAnti"), s"no hub-only-pairs anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("ks_by_source: the rank window runs on the histogram, not raw docs") {
     // one (source, n_chars) aggregate feeds everything; the cumulative
     // window's input is the fanned-out histogram grid — a raw-row sort

@@ -226,6 +226,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("resource-alloc capped twin: full recall at high cap, exact " +
+      "values always") {
+    val exact = RelationalOps.partResourceAlloc(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    // cap >= max degree: candidate generation is uncapped -> identical
+    val wide = RelationalOps.partResourceAllocCapped(spark, sf,
+      cap = 1000000).collect().map(_.toSeq).toSeq
+    assert(wide == exact, "capped twin at cap >= max degree must be " +
+      s"row-identical to the exact form: $wide vs $exact")
+    // tighter caps: every emitted row's (common_n, ra_q) are exact —
+    // verification re-sums quantized 1/d(w) over FULL adjacency
+    val baskets = graft.io.Tables.lineitem(spark, sf)
+      .where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).values
+      .map(_.map(_.getLong(1)).toSet).toSeq
+    def nbrs(v: Long): Set[Long] =
+      baskets.filter(_.contains(v)).flatMap(_ - v).toSet
+    for (cap <- Seq(2, 4, 8)) {
+      val rows = RelationalOps.partResourceAllocCapped(spark, sf, cap)
+        .collect()
+      for (r <- rows) {
+        val (n1, n2) = (nbrs(r.getLong(0)), nbrs(r.getLong(1)))
+        val common = n1 & n2
+        assert(r.getLong(2) == common.size.toLong,
+          s"cap=$cap common mismatch (${r.getLong(0)}, ${r.getLong(1)})")
+        val raQ = common.toSeq.map(w => 1000000000000L / nbrs(w).size).sum
+        assert(r.getLong(3) == raQ,
+          s"cap=$cap ra_q mismatch (${r.getLong(0)}, ${r.getLong(1)}): " +
+            s"${r.getLong(3)} != $raQ")
+      }
+    }
+  }
+
   test("distributed two-pass mann-whitney == the ordered-window oracle") {
     val oracle = RelationalOps.aggMannWhitney(spark, sf)
       .collect().map(_.toSeq).toSeq

@@ -807,17 +807,31 @@ class StreamingSpec extends AnyFunSuite {
       "semdedup_gate", OutputMode.Append())
     // two batches: decisions must not depend on arrival batching
     val (b1, b2) = rows.splitAt(rows.length / 2)
+    // width contract: a malformed (truncated) embedding that still
+    // lands in a populated bucket must surface width_mismatch = true,
+    // never a silent pass through a null-padded dot
+    val malformedId = rows.map(_.vec_id).max + 1000L
+    val malformed = rows.head.copy(vec_id = malformedId,
+      embedding = rows.head.embedding.take(rows.head.embedding.length / 2))
     in.addData(b1); q.processAllAvailable()
-    in.addData(b2); q.processAllAvailable(); q.stop()
-    val got = sp.sql("SELECT vec_id, pruned, kept_id FROM semdedup_gate")
-      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
-    assert(got.length == rows.length)
-    for ((id, pruned, keptId) <- got) {
+    in.addData(b2 :+ malformed); q.processAllAvailable(); q.stop()
+    val got = sp.sql(
+      "SELECT vec_id, pruned, kept_id, width_mismatch FROM semdedup_gate")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.length == rows.length + 1)
+    for ((id, pruned, keptId, wmis) <- got if id != malformedId) {
+      assert(!wmis, s"width_mismatch raised on well-formed vector $id")
       assert(pruned == batch.contains(id),
         s"gate decision for $id diverged from batch (pruned=$pruned)")
       if (pruned) assert(keptId == batch(id),
         s"gate kept_id for $id: $keptId != batch ${batch(id)}")
     }
+    val Some((_, mPruned, _, mWmis)) =
+      got.find(_._1 == malformedId): @unchecked
+    assert(mWmis, "malformed-width vector not flagged")
+    assert(!mPruned, "malformed-width vector must not be pruned")
     assert(got.count(_._2) == batch.size)
   }
 
