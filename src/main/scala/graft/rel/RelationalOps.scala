@@ -1142,7 +1142,7 @@ object RelationalOps {
     (sym, nodes)
   }
 
-  private def componentStep(sym: DataFrame, labels: DataFrame)
+  private[graft] def componentStep(sym: DataFrame, labels: DataFrame)
       : DataFrame = {
     val nbrMin = sym.join(labels, sym("src") === labels("node"))
       .groupBy(col("dst")).agg(min(col("comp")).as("m"))
@@ -3121,6 +3121,7 @@ object RelationalOps {
     "q_part_resource_alloc_capped" ->
       ((s: SparkSession, d: String) => partResourceAllocCapped(s, d)),
     "q_part_components" -> partComponents _,
+    "q_part_components_pd" -> partComponentsPd _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -3184,6 +3185,32 @@ object RelationalOps {
       |       ${Det.r4Sql("CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)")} AS top_share,
       |       ${Det.r4Sql("1.0 - CAST(CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))) AS BIGINT) AS DOUBLE) / (CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE))")} AS gini_impurity
       |FROM (SELECT $c AS v, count(*) AS cnt FROM $table GROUP BY 1)""".stripMargin
+
+  // 8 unrolled MATERIALIZED min-label rounds (the dup_components
+  // technique on the part graph; standing chained-CTE rule) — shared
+  // by q_part_components and its pointer-doubling twin
+  private val componentsOracleText: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""l$i AS MATERIALIZED (
+        |  SELECT n.node, LEAST(n.comp, COALESCE(m.m, n.comp)) AS comp
+        |  FROM l${i - 1} n LEFT JOIN (
+        |    SELECT s.dst AS node, min(l.comp) AS m
+        |    FROM sym s JOIN l${i - 1} l ON l.node = s.src
+        |    GROUP BY 1) m ON m.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem WHERE l_partkey % 4 = 0),
+      |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+      |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+      |        UNION ALL SELECT pb, pa FROM pairs),
+      |l0 AS (SELECT DISTINCT src AS node, src AS comp FROM sym),
+      |$rounds
+      |SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+      |FROM l8 GROUP BY 1
+      |ORDER BY n_members DESC NULLS LAST, comp NULLS FIRST
+      |LIMIT 20""".stripMargin
+  }
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_rel_scd2" ->
@@ -4035,30 +4062,11 @@ object RelationalOps {
         |JOIN deg d2 ON com.v2 = d2.src
         |ORDER BY jq DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
         |LIMIT 15""".stripMargin,
-    "q_part_components" -> {
-      // 8 unrolled MATERIALIZED min-label rounds (the dup_components
-      // technique on the part graph; standing chained-CTE rule)
-      val rounds = (1 to 8).map { i =>
-        s"""l$i AS MATERIALIZED (
-          |  SELECT n.node, LEAST(n.comp, COALESCE(m.m, n.comp)) AS comp
-          |  FROM l${i - 1} n LEFT JOIN (
-          |    SELECT s.dst AS node, min(l.comp) AS m
-          |    FROM sym s JOIN l${i - 1} l ON l.node = s.src
-          |    GROUP BY 1) m ON m.node = n.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |            FROM lineitem WHERE l_partkey % 4 = 0),
-        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
-        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
-        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
-        |        UNION ALL SELECT pb, pa FROM pairs),
-        |l0 AS (SELECT DISTINCT src AS node, src AS comp FROM sym),
-        |$rounds
-        |SELECT comp, CAST(count(*) AS BIGINT) AS n_members
-        |FROM l8 GROUP BY 1
-        |ORDER BY n_members DESC NULLS LAST, comp NULLS FIRST
-        |LIMIT 20""".stripMargin
-    },
+    "q_part_components" -> componentsOracleText,
+    // the pointer-doubling twin reaches the SAME fixpoint labels (spec:
+    // diameter-299 path + fixture bit-equality), so it shares the
+    // unrolled oracle verbatim — the bpe_encode_prod precedent
+    "q_part_components_pd" -> componentsOracleText,
     "q_part_resource_alloc" ->
       s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem WHERE l_partkey % 4 = 0),

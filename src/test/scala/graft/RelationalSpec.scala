@@ -226,6 +226,45 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("pointer-doubling components: O(log d) on a diameter-299 path " +
+      "the O(d) twin cannot finish; fixture labels bit-equal") {
+    // fixture bit-equality: same summary as the 8-round oracle query
+    val fixed = RelationalOps.partComponents(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val pd = RelationalOps.partComponentsPd(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(pd == fixed,
+      "pointer-doubling labels must summarize identically")
+    // crafted long path: 0-1-2-...-299 (diameter 299 >> 64)
+    val sp = spark
+    import sp.implicits._
+    val n = 300
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toSeq
+    val sym = edges.toDF("src", "dst")
+      .unionByName(edges.map(_.swap).toDF("src", "dst"))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    val (labels, rounds) = RelationalOps.componentsDoubling(sym, nodes,
+      maxRounds = 16)
+    val comps = labels.select("comp").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    assert(comps == Seq(0L),
+      s"path must collapse to component 0, got $comps")
+    assert(rounds <= 16,
+      s"doubling must converge in a log-bounded budget, used $rounds")
+    // separation: 16 plain min-label rounds leave the far end unlabeled
+    // (reach grows by 1/round), so the O(d) twin's 16-round prefix has
+    // NOT converged on this graph
+    var plain = nodes
+    for (_ <- 1 to 16)
+      plain = RelationalOps.componentStep(sym, plain)
+    val plainComps = plain.select("comp").distinct().count()
+    assert(plainComps > 1,
+      "plain propagation should still be unconverged at 16 rounds — " +
+        "fixture no longer separates the twins")
+  }
+
   test("resource-alloc capped twin: full recall at high cap, exact " +
       "values always") {
     val exact = RelationalOps.partResourceAlloc(spark, sf).collect()
