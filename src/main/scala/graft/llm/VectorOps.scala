@@ -479,7 +479,12 @@ object VectorOps {
     * [[semDedupClusteredFrom]] can bucket by cluster id and specs can
     * drive crafted fixtures through the identical clustering plan. */
   private[graft] def kmeansConvergedAssignFrom(spark: SparkSession,
-      e0raw: DataFrame): (DataFrame, Long) = {
+      e0raw: DataFrame, k: Int = KmeansK): (DataFrame, Long) = {
+    // k-means|| sizing: the seed rounds must yield >= k distinct
+    // candidates, so oversample scales with the requested k (the
+    // standard l ~ 2k total) while the default stays the spec'd 8
+    val oversample = math.max(KmParOversample,
+      math.ceil(2.0 * k / KmParSeedRounds).toInt)
     val e0 = e0raw.select(col("vec_id"), col("embedding"))
       .localCheckpoint(eager = false) // flat + seed + count consumers
     val q = lit(Quantum)
@@ -501,7 +506,7 @@ object VectorOps {
         .groupBy(col("vec_id")).agg(min(col("dist")).as("mind"))
         .where(!col("vec_id").isin(candIds: _*))
         .orderBy(col("mind").desc, col("vec_id"))
-        .limit(KmParOversample)
+        .limit(oversample)
         .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
       candIds = candIds ++ farthest
     }
@@ -525,7 +530,7 @@ object VectorOps {
       .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
     val seeds = driverWeightedLloyd(
       candIds.sorted.map(id =>
-        (candVecs(id), weights.getOrElse(id, 1L).toDouble)), KmeansK)
+        (candVecs(id), weights.getOrElse(id, 1L).toDouble)), k)
     val seedRows = seeds.zipWithIndex.flatMap { case (v, cl) =>
       v.zipWithIndex.map { case (c, dim) => (cl.toLong, dim, c) }
     }
@@ -815,11 +820,11 @@ object VectorOps {
 
   /** Per-bucket occupancy guardrail for [[semDedupClustered]]: clusters
     * over this size are excluded from the pair stage (the
-    * [[NeardupBucketCap]] hot-bucket discipline). In production the
-    * cluster count k is chosen so corpus/k ≈ this cap (the SemDeDup
-    * paper runs k = 50 000 on LAION for exactly this occupancy
-    * control); the cap is the guardrail for SKEWED clusters, not the
-    * primary sizing knob. */
+    * [[NeardupBucketCap]] hot-bucket discipline). The PRIMARY sizing is
+    * [[semDedupK]] — k = ⌈corpus/cap⌉ derived from a count, so mean
+    * occupancy lands at this cap by construction (the SemDeDup paper's
+    * k = 50 000 on LAION is this formula at their scale); the cap
+    * itself is the guardrail for SKEWED clusters. */
   private[graft] val SemDedupFanoutCap = 1024L
 
   /** SEMANTIC DEDUP, PRODUCTION BUCKETING — the 100-TB form of
@@ -850,12 +855,23 @@ object VectorOps {
   /** [[semDedupClustered]] over an explicit (vec_id, embedding)
     * relation — factored so specs can drive the identical plan with
     * crafted hot-bucket fixtures. */
+  /** DATA-DRIVEN cluster count for [[semDedupClustered]]: k =
+    * ⌈corpus/cap⌉ sizes mean occupancy to the fanout cap (the paper's
+    * k = 50 000 on LAION is exactly corpus/cap at their scale), floored
+    * at the fixture [[KmeansK]] so tiny corpora keep the spec'd
+    * clusterer shape. The cap stays the guardrail for SKEWED clusters;
+    * this makes the PRIMARY sizing parameter-driven instead of a doc
+    * note (the r12 residue). */
+  private[graft] def semDedupK(n: Long, cap: Long): Int =
+    math.max(KmeansK, math.ceil(n.toDouble / cap).toInt)
+
   private[graft] def semDedupClusteredFrom(spark: SparkSession,
       e0: DataFrame, cap: Long = SemDedupFanoutCap): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding"))
       .localCheckpoint(eager = false) // feeds quantFlat AND the clusterer
     val flat = quantFlat(e)
-    val (assign, _) = kmeansConvergedAssignFrom(spark, e)
+    val (assign, _) =
+      kmeansConvergedAssignFrom(spark, e, semDedupK(e.count(), cap))
     val buckets = assign.select(col("vec_id"), col("cl").as("bucket"))
       .localCheckpoint(eager = false) // occupancy count + kernel join
     val hot = buckets.groupBy(col("bucket"))

@@ -531,6 +531,35 @@ class LlmSpec extends AnyFunSuite {
         s"missing=${(truth -- got).take(3)}")
   }
 
+  test("semdedup_clustered: data-driven k — corpus/cap sizes past the " +
+      "fixture K=4") {
+    val sp = spark
+    import sp.implicits._
+    // 6 tight, mutually near-orthogonal groups of 40 on disjoint
+    // 10-dim blocks: n = 240, cap = 40 -> k = ceil(240/40) = 6. A
+    // fixture-frozen K=4 would merge groups into >= 80-member
+    // clusters, flood the cap, and silently drop their prunes; the
+    // data-driven k keeps every cluster at the cap and loses nothing.
+    assert(VectorOps.semDedupK(240L, 40L) == 6, "k formula")
+    assert(VectorOps.semDedupK(10L, 1024L) == 4, "tiny corpora floor at 4")
+    def vec(g: Int, j: Int): Array[Float] = {
+      val v = Array.fill(64)(0.001f)
+      for (d <- g * 10 until g * 10 + 10) v(d) = 10.0f + 0.001f * j
+      v
+    }
+    val rows = for (g <- 0 until 6; j <- 0 until 40)
+      yield VectorOps.VecRow((g * 40 + j).toLong, vec(g, j))
+    val e = rows.toSeq.toDF()
+    val got = VectorOps.semDedupClusteredFrom(sp, e, cap = 40L)
+      .select("pruned_id", "kept_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = (for (g <- 0 until 6; j <- 1 until 40)
+      yield ((g * 40 + j).toLong, (g * 40).toLong)).toSet
+    assert(got == truth,
+      s"data-driven k diverges: extra=${(got -- truth).take(3)} " +
+        s"missing=${(truth -- got).take(3)}")
+  }
+
   test("kmeans-par converges and beats the fixed-round oracle objective") {
     val sf01 = "/root/testdata/sf0.01"
     val par = VectorOps.kmeansConvergedPar(spark, sf01).collect()
