@@ -106,6 +106,18 @@ case class KsState(test: Map[Long, Long], ref: Map[Long, Long])
 case class KsScore(t: String, n: Long, m: Long, d_num: Long, d: Double,
   buckets: Long)
 
+/** A (source, doc length) arrival for the per-source KS monitor. */
+case class SourceDoc(source: String, n_chars: Long)
+
+/** Live Kruskal–Wallis state: per-(group, bucket) exact counts —
+  * bounded by |groups| × the calibrated bucket alphabet. */
+case class KwState(counts: Map[String, Map[Long, Long]])
+
+/** One live Kruskal–Wallis score (the q_agg_kruskal_wallis outputs
+  * plus the state-bound witness). */
+case class KwScore(n_groups: Long, n: Long, h: Double,
+  h_tie: Option[Double], buckets: Long)
+
 /** A closed hourly rollup bucket arriving at the live Bollinger
   * monitor; `v4` is the exact 1e4-scaled bucket average (the avg4
   * grain the batch query reads). */
@@ -629,6 +641,16 @@ object Ingest {
         Seq(KsEvent(e.event_type, false, b))
       else Nil
     }
+    ksScoreStream(routed)
+  }
+
+  /** The shared two-histogram KS fold behind [[ksMonitor]] and
+    * [[ksBySourceMonitor]]: per routed key, accumulate the test/ref
+    * bucket histograms (bounded by the calibrated alphabet) and emit
+    * the exact BigInt sup |i·m − j·n| after each micro-batch. */
+  private def ksScoreStream(routed: Dataset[KsEvent])
+      : Dataset[KsScore] = {
+    import routed.sparkSession.implicits._
     routed.groupByKey(_.t)
       .flatMapGroupsWithState[KsState, KsScore](
         org.apache.spark.sql.streaming.OutputMode.Update(),
@@ -664,6 +686,109 @@ object Ingest {
               s"ksMonitor d_num overflow for type $t: $best (n=$n m=$m)")
             Iterator.single(KsScore(t, n, m, best.toLong,
               best.toDouble / (n.toDouble * m.toDouble), keys.size.toLong))
+          }
+      }
+  }
+
+  /** LIVE PER-SOURCE KS MONITOR — q_agg_ks_by_source gone online: each
+    * source's document-length distribution scored LEAVE-ONE-OUT
+    * against all other sources after every micro-batch. A doc from
+    * source s routes as a TEST event to s's group and as a REFERENCE
+    * copy to every other listed source (the ksMonitor baseline-copy
+    * pattern; fan-out = |sources|, a constant), so every group owns
+    * both histograms and the fold is the identical exact-BigInt kernel
+    * ([[ksScoreStream]]). Values bucket map-side over the calibrated
+    * edge alphabet — state ≤ edges+1 bins per side per source.
+    * Calibrated at value grain (edges = the distinct n_chars values),
+    * the final scores equal the BATCH query's (n, m, d_num) exactly —
+    * spec'd under two batchings; coarser alphabets trade resolution
+    * for the bound, the documented binned-KS contract. */
+  def ksBySourceMonitor(docs: Dataset[SourceDoc], edges: Array[Double],
+      sources: Seq[String]): Dataset[KsScore] = {
+    import docs.sparkSession.implicits._
+    val srcs = sources.toArray
+    val sortedEdges = edges.sorted
+    ksScoreStream(docs.flatMap { d =>
+      val i = java.util.Arrays.binarySearch(sortedEdges,
+        d.n_chars.toDouble)
+      val b = (if (i >= 0) i + 1 else -i - 1).toLong
+      srcs.toSeq.map(s => KsEvent(s, s != d.source, b))
+    })
+  }
+
+  /** LIVE KRUSKAL–WALLIS MONITOR — q_agg_kruskal_wallis gone online:
+    * one state holds the per-(group, bucket) exact count matrix
+    * (≤ |groups| × (edges+1) longs — the calibrated-alphabet bound)
+    * and after every micro-batch replays the batch fold over it:
+    * exact BIGINT 2·midranks from the sorted bucket totals, each
+    * group's H contribution the SAME IEEE double text floor-quantized
+    * at 1e6 and summed as a Long (order-free — the cramers_v Σ rule),
+    * tie correction from exact t³−t, the n ≥ 2 / corr > 0 guards.
+    * Histogram adds are commutative, so arrival order and batching
+    * never matter. Calibrated at value grain the final score equals
+    * the batch query bit-for-bit (spec'd under two batchings); the
+    * bucketing runs map-side, the single-group fold touches only the
+    * bounded matrix. */
+  def kwMonitor(evs: Dataset[AttribEvent], edges: Array[Double],
+      groups: Seq[String] = Seq("click", "purchase", "signup", "error"))
+      : Dataset[KwScore] = {
+    import evs.sparkSession.implicits._
+    val grp = groups.toArray
+    val sortedEdges = edges.sorted
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val routed = evs.flatMap { e =>
+      if (!grp.contains(e.event_type)) Nil
+      else {
+        val i = java.util.Arrays.binarySearch(sortedEdges, e.value)
+        Seq((e.event_type, (if (i >= 0) i + 1 else -i - 1).toLong))
+      }
+    }
+    routed.groupByKey(_ => "kw")
+      .flatMapGroupsWithState[KwState, KwScore](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long)],
+            state: GroupState[KwState]) =>
+          var st = state.getOption.getOrElse(
+            KwState(Map.empty[String, Map[Long, Long]]))
+          rows.foreach { case (g, b) =>
+            val h = st.counts.getOrElse(g, Map.empty[Long, Long])
+            st = KwState(st.counts +
+              (g -> (h + (b -> (h.getOrElse(b, 0L) + 1L)))))
+          }
+          state.update(st)
+          val buckets = st.counts.values.flatMap(_.keys).toSet.toSeq.sorted
+          val t = buckets.map(b =>
+            b -> st.counts.values.map(_.getOrElse(b, 0L)).sum).toMap
+          val n = t.values.sum
+          if (n < 2L) Iterator.empty // the batch n >= 2 filter
+          else {
+            // exact 2*midranks over the sorted bucket grid
+            var cum = 0L
+            val r2 = scala.collection.mutable.Map[Long, Long]()
+            buckets.foreach { b =>
+              r2(b) = 2L * cum + t(b) + 1L
+              cum += t(b)
+            }
+            val tsum = buckets.map(b => t(b) * t(b) * t(b) - t(b)).sum
+            // per-group H contribution: the batch query's IEEE text,
+            // floor-quantized at 1e6 and summed as a Long (order-free)
+            var hqs = 0L
+            st.counts.values.foreach { hist =>
+              val nI = hist.values.sum
+              val s2 = hist.map { case (b, c) => c * r2(b) }.sum
+              val di = s2.toDouble / (2.0 * nI.toDouble) -
+                (n.toDouble + 1.0) / 2.0
+              val hi = 12.0 * nI.toDouble * di * di /
+                (n.toDouble * (n.toDouble + 1.0))
+              hqs += math.floor(hi * 1000000.0).toLong
+            }
+            val h = hqs.toDouble / 1000000.0
+            val corr = 1.0 - tsum.toDouble /
+              (n.toDouble * n.toDouble * n.toDouble - n.toDouble)
+            Iterator.single(KwScore(st.counts.size.toLong, n, r4(h),
+              if (corr > 0.0) Some(r4(h / corr)) else None,
+              buckets.size.toLong))
           }
       }
   }

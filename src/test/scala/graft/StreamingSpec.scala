@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{AdmittedDoc, AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, RollupBucket, Scd2Event, StreamDoc}
+import graft.streaming.{AdmittedDoc, AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, RollupBucket, Scd2Event, SourceDoc, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -592,6 +592,97 @@ class StreamingSpec extends AnyFunSuite {
     val (x, y) = evs.reverse.splitAt(evs.length / 5)
     val got2 = lastScores(Seq(x, y), "ks_live2")
     assert(got2 == got, s"batching changed the final scores")
+  }
+
+  test("s_ks_by_source: value-grain live scores equal the batch " +
+      "query; order-free") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    val batch = graft.rel.RelationalOps.ksBySource(sp, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = graft.io.Tables.documents(sp, sf)
+      .select(col("source"), col("n_chars").cast("long").as("n_chars"))
+      .as[SourceDoc].collect().toSeq
+    val sources = docs.map(_.source).distinct.sorted
+    // value-grain calibration: edges at every distinct n_chars, so the
+    // binned live KS is the batch's exact-value KS
+    val edges = docs.map(_.n_chars.toDouble).distinct.sorted.toArray
+    def lastScores(feed: Seq[Seq[SourceDoc]], name: String)
+        : Map[String, (Long, Long, Long)] = {
+      val in = MemoryStream[SourceDoc]
+      val q = runToMemory(
+        Ingest.ksBySourceMonitor(in.toDS(), edges, sources).toDF(), name)
+      feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      sp.sql(s"SELECT t, n, m, d_num, buckets FROM $name").collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          val r = rows.last
+          assert(r.getLong(4) <= edges.length + 1L,
+            s"state alphabet exceeded the bin bound for $t")
+          t -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+    }
+    val (a, b) = docs.splitAt(docs.length / 3)
+    val got = lastScores(Seq(a, b), "ks_src_live")
+    assert(got == batch,
+      s"live (n, m, d_num) diverge from batch: " +
+        s"${(got.toSet -- batch.toSet).take(3)}")
+    // a different batching must land on identical final scores
+    val (x, y) = docs.reverse.splitAt(docs.length / 5)
+    assert(lastScores(Seq(x, y), "ks_src_live2") == batch,
+      "batching changed the final per-source scores")
+  }
+
+  test("s_kruskal_wallis: value-grain live score equals the batch " +
+      "query; coarse alphabet stays bounded") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    val br = graft.rel.RelationalOps.kruskalWallis(sp, sf).collect().head
+    val truth = (br.getLong(0), br.getLong(1), br.getDouble(2),
+      if (br.isNullAt(3)) None else Some(br.getDouble(3)))
+    val grps = Set("click", "purchase", "signup", "error")
+    val evs = graft.io.Tables.events(sp, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[AttribEvent].collect().toSeq.filter(e => grps(e.event_type))
+    val edges = evs.map(_.value).distinct.sorted.toArray
+    def lastScore(feed: Seq[Seq[AttribEvent]], name: String,
+        es: Array[Double]): (Long, Long, Double, Option[Double], Long) = {
+      val in = MemoryStream[AttribEvent]
+      val q = runToMemory(Ingest.kwMonitor(in.toDS(), es).toDF(), name)
+      feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      val r = sp.sql(
+        s"SELECT n_groups, n, h, h_tie, buckets FROM $name").collect().last
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4))
+    }
+    val (a, b) = evs.splitAt(evs.length / 3)
+    val got = lastScore(Seq(a, b), "kw_live", edges)
+    assert((got._1, got._2, got._3, got._4) == truth,
+      s"live KW diverges from batch: $got != $truth")
+    assert(got._5 <= edges.length + 1L)
+    val (x, y) = evs.reverse.splitAt(evs.length / 5)
+    val got2 = lastScore(Seq(x, y), "kw_live2", edges)
+    assert((got2._1, got2._2, got2._3, got2._4) == truth,
+      "batching changed the final KW score")
+    // coarse 16-bin alphabet: state bound holds and the score is
+    // batching-invariant (binned KW is the documented defined metric)
+    val refVals = evs.map(_.value).sorted
+    val bins = 16
+    val coarse = (1 until bins)
+      .map(k => refVals((k * refVals.length / bins) - 1))
+      .distinct.toArray
+    val c1 = lastScore(Seq(a, b), "kw_coarse", coarse)
+    val c2 = lastScore(Seq(x, y), "kw_coarse2", coarse)
+    assert(c1 == c2, "coarse-alphabet KW not batching-invariant")
+    assert(c1._5 <= bins.toLong,
+      s"coarse state alphabet ${c1._5} exceeded $bins")
   }
 
   test("s_ks_monitor: state stays bounded on values that defeat any grid") {
