@@ -2445,6 +2445,81 @@ object TimeSeriesOps {
       .orderBy("channel")
   }
 
+  /** STRATIFIED SHAPLEY ATTRIBUTION — [[shapleyAttribution]]'s exact
+    * integer lattice PER CONVERSION WEEK (the ISO week of each
+    * converter's FIRST purchase — both engines truncate weeks to
+    * Monday): does a channel's credit drift across conversion
+    * vintages — the windowed attribution read a growth team runs when
+    * one week's mix shifts. Exactness of the stratification: v(S)
+    * sums CONVERSIONS only (non-converters carry conv_t = 0 in the
+    * global query too), so restricting each week's grid to that
+    * week's converters loses nothing. Identical machinery with every
+    * aggregate keyed by cohort: the corpus-sized work is still ONE
+    * user-key window pass + one mask aggregate; the lattice is 16
+    * cells × |weeks| (model-sized at any corpus scale, the
+    * ANN-codebook rule), so every lattice join stays a broadcast. A
+    * cohort whose total marginal mass is zero (all its converters had
+    * empty pre-purchase touch sets) reports NULL shares in both
+    * engines — the kruskal-wallis degenerate-input rule. */
+  def shapleyByCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = Tables.events(spark, sfDir)
+      .withColumn("p_seen",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .localCheckpoint(eager = false) // masks + converters + cohorts
+    val cohorts = marked.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val touches = marked.where(col("p_seen") === 0L &&
+        col("event_type").isin("click", "error", "signup", "view"))
+      .select(col("user_id"),
+        expr("CASE event_type WHEN 'click' THEN 1L WHEN 'error' THEN 2L " +
+          "WHEN 'signup' THEN 4L ELSE 8L END").as("b"))
+      .distinct()
+      .groupBy(col("user_id")).agg(sum(col("b")).as("mask"))
+    val conv = marked.where(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("cvf", lit(1L))
+    val grid = touches.join(conv, Seq("user_id"), "full")
+      .na.fill(0L, Seq("mask", "cvf"))
+      .join(cohorts, "user_id") // inner: keeps converters (conv_t > 0)
+      .groupBy(col("cohort"), col("mask")).agg(sum(col("cvf")).as("conv_t"))
+      .localCheckpoint(eager = false) // cohort list + the v aggregate
+    val s16 = spark.range(16).select(col("id").as("smask"))
+    val v = grid.select(col("cohort")).distinct()
+      .crossJoin(broadcast(s16))
+      .join(grid.select(col("cohort").as("g_cohort"), col("mask"),
+        col("conv_t")),
+        expr("g_cohort = cohort AND (mask & smask) = mask"), "left")
+      .groupBy(col("cohort"), col("smask"))
+      .agg(coalesce(sum(col("conv_t")), lit(0L)).as("v"))
+      .localCheckpoint(eager = false) // both lattice sides below
+    import spark.implicits._
+    val chans = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+      ("view", 8L)).toDF("channel", "cbit")
+    val phi = v.join(broadcast(chans), expr("(smask & cbit) = 0"))
+      .join(v.select(col("cohort").as("c2"), col("smask").as("smask2"),
+        col("v").as("v2")),
+        expr("c2 = cohort AND smask2 = smask + cbit"))
+      .select(col("cohort"), col("channel"),
+        (expr("CASE bit_count(smask) WHEN 0 THEN 6L WHEN 1 THEN 2L " +
+          "WHEN 2 THEN 2L ELSE 6L END") *
+          (col("v2") - col("v"))).as("contrib"))
+      .groupBy(col("cohort"), col("channel"))
+      .agg(sum(col("contrib")).as("shap24"))
+      .localCheckpoint(eager = false) // total + share read it twice
+    val tot = phi.groupBy(col("cohort")).agg(sum(col("shap24")).as("tot"))
+    phi.join(broadcast(tot), "cohort")
+      .select(col("cohort"), col("channel"), col("shap24"),
+        when(col("tot") =!= 0L,
+          Det.r4(col("shap24").cast("double") / col("tot").cast("double")))
+          .otherwise(lit(null)).as("share"))
+      .orderBy("cohort", "channel")
+  }
+
   /** MARKOV-CHAIN ATTRIBUTION (removal effect — Anderl 2016's
     * data-driven model): build the first-order journey chain
     * start → touches → conv|null_end from each user's PRE-first-
@@ -3328,6 +3403,7 @@ object TimeSeriesOps {
     "q_attribution" -> attribution _,
     "q_attr_markov" -> markovAttribution _,
     "q_attr_shapley" -> shapleyAttribution _,
+    "q_attr_shapley_cohort" -> shapleyByCohort _,
     "q_ts_seasonal_strength" -> seasonalStrength _,
     "q_ts_hodges_lehmann" -> hodgesLehmann _,
     "q_ts_burn_rate" -> burnRate _,
@@ -5455,6 +5531,65 @@ object TimeSeriesOps {
         |SELECT channel, shap24, $share AS share
         |FROM phi CROSS JOIN tot
         |ORDER BY channel NULLS FIRST""".stripMargin
+    },
+    "q_attr_shapley_cohort" -> {
+      val share =
+        Det.r4Sql("CAST(shap24 AS DOUBLE) / CAST(tot AS DOUBLE)")
+      s"""WITH w0 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id
+        |             ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS p_seen
+        |  FROM events),
+        |coh AS MATERIALIZED (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tch AS (
+        |  SELECT DISTINCT user_id,
+        |         CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |           WHEN 'signup' THEN 4 ELSE 8 END AS b
+        |  FROM w0 WHERE p_seen = 0
+        |    AND event_type IN ('click', 'error', 'signup', 'view')),
+        |um AS (SELECT user_id, CAST(sum(b) AS BIGINT) AS mask
+        |       FROM tch GROUP BY 1),
+        |cv AS (SELECT DISTINCT user_id FROM events
+        |       WHERE event_type = 'purchase'),
+        |grid AS MATERIALIZED (
+        |  SELECT c.cohort, COALESCE(um.mask, CAST(0 AS BIGINT)) AS mask,
+        |         CAST(sum(CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END)
+        |           AS BIGINT) AS conv_t
+        |  FROM um FULL JOIN cv ON um.user_id = cv.user_id
+        |  JOIN coh c ON c.user_id = COALESCE(um.user_id, cv.user_id)
+        |  GROUP BY 1, 2),
+        |s16 AS (SELECT CAST(range AS BIGINT) AS smask FROM range(0, 16)),
+        |v AS MATERIALIZED (
+        |  SELECT cl.cohort, s16.smask,
+        |         CAST(COALESCE(sum(g.conv_t), 0) AS BIGINT) AS v
+        |  FROM (SELECT DISTINCT cohort FROM grid) cl
+        |  CROSS JOIN s16
+        |  LEFT JOIN grid g ON g.cohort = cl.cohort
+        |    AND (g.mask & s16.smask) = g.mask
+        |  GROUP BY 1, 2),
+        |ch AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+        |         ('error', CAST(2 AS BIGINT)), ('signup', CAST(4 AS BIGINT)),
+        |         ('view', CAST(8 AS BIGINT))) AS t(channel, cbit)),
+        |phi AS MATERIALIZED (
+        |  SELECT vs.cohort, ch.channel,
+        |         CAST(sum((CASE bit_count(vs.smask) WHEN 0 THEN 6
+        |             WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+        |           * (v2.v - vs.v)) AS BIGINT) AS shap24
+        |  FROM ch JOIN v vs ON (vs.smask & ch.cbit) = 0
+        |  JOIN v v2 ON v2.cohort = vs.cohort
+        |    AND v2.smask = vs.smask + ch.cbit
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(shap24) AS BIGINT) AS tot
+        |        FROM phi GROUP BY 1)
+        |SELECT phi.cohort, channel, shap24,
+        |       CASE WHEN tot <> 0 THEN $share ELSE NULL END AS share
+        |FROM phi JOIN tot ON tot.cohort = phi.cohort
+        |ORDER BY phi.cohort NULLS FIRST, channel NULLS FIRST""".stripMargin
     },
     "q_attr_markov" -> {
       // 24 unrolled power-iteration rounds over the (variant × state)

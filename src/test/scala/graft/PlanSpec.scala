@@ -522,6 +522,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("shapley cohort: per-week lattice still rides broadcasts") {
+    val p = plan("q_attr_shapley_cohort")
+    assert(p.contains("BroadcastNestedLoop") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 16 x weeks lattice must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("tpch completion five: dims broadcast, date filter pushed") {
     Seq("q_tpch_mincost", "q_tpch_profit", "q_tpch_suppcnt").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin"),
