@@ -77,6 +77,17 @@ package object functions {
       org.apache.spark.sql.graft.CmQueryExpr(sketch, item)
   }
 
+  /** Native mergeable quantile-edge aggregate: DOUBLE column →
+    * struct<edges array<double>, err_bound long, n long> under a
+    * deterministic KLL/MRL compactor sketch ([[QuantileSketch]]); the
+    * ksReferenceEdges recalibration path without an exact percentile
+    * sort. err_bound is the sketch's self-certified worst-case rank
+    * error. */
+  object QuantileEdges {
+    def apply(c: Column, k: Int, bins: Int): Column =
+      org.apache.spark.sql.graft.QuantileEdgesAggExpr(c, k, bins)
+  }
+
   /** Bloom-filter membership aggregate over a LONG key column — Spark's
     * own codegen'd runtime-filter expression surfaced as a library
     * function (the membership leg of the sketch triad beside

@@ -612,6 +612,26 @@ object Ingest {
       .head.getSeq[Double](0).toArray
   }
 
+  /** SKETCH-PATH recalibration for [[ksReferenceEdges]]: the same B−1
+    * equiprobable edges from ONE mergeable
+    * [[graft.functions.QuantileSketch]] pass instead of an exact
+    * percentile sort — so the monitor's edges can re-derive
+    * continuously (per partition summaries merge; no corpus-wide
+    * sort ever materializes). Returns (edges, err_bound, n): the
+    * sketch SELF-CERTIFIES its worst-case rank error, and the spec
+    * asserts both the certificate and that monitor decisions match
+    * the exact-edge calibration on the 21-decade fixture. */
+  def ksReferenceEdgesSketch(spark: SparkSession, sfDir: String,
+      bins: Int = 32, k: Int = 256): (Array[Double], Long, Long) = {
+    val r = graft.io.Tables.events(spark, sfDir)
+      .where(col("event_type") === "view")
+      .agg(graft.functions.QuantileEdges(
+        col("value").cast("double"), k, bins).as("s"))
+      .select(col("s.edges"), col("s.err_bound"), col("s.n"))
+      .head
+    (r.getSeq[Double](0).toArray, r.getLong(1), r.getLong(2))
+  }
+
   /** LIVE KOLMOGOROV–SMIRNOV DRIFT MONITOR — q_agg_ks_drift gone
     * online: each monitored channel's value distribution scored
     * against the 'view' baseline after every micro-batch. Values

@@ -92,6 +92,50 @@ class SketchPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: quantile sketch edges within the SELF-CERTIFIED " +
+      "rank bound at any split; exact when no compaction fires") {
+    val k = 16; val bins = 8
+    val valGen = Gen.listOf(Gen.chooseNum(-1000000, 1000000)
+      .map(_ / 128.0))
+    val prop = forAll(valGen, Gen.chooseNum(0, 100)) { (xs, cutPct) =>
+      xs.isEmpty || {
+        val (l, r) = xs.splitAt(xs.length * cutPct / 100)
+        def sk(vals: Seq[Double]) = {
+          val b = new graft.functions.QuantileSketch.Buf(k)
+          vals.foreach(graft.functions.QuantileSketch.observe(b, _))
+          b
+        }
+        val merged = graft.functions.QuantileSketch.combine(sk(l), sk(r))
+        val es = graft.functions.QuantileSketch.edges(merged, bins)
+        val n = xs.length.toLong
+        val eb = merged.errBound
+        val okBound = (1 until bins).forall { i =>
+          val t = (i.toLong * n + bins - 1) / bins
+          val e = es(i - 1)
+          val lo = xs.count(_ < e).toLong
+          val hi = xs.count(_ <= e).toLong
+          // the chosen edge's true rank interval covers the target
+          // within the certificate: t <= hi + eb and t > lo - eb
+          t <= hi + eb && t > lo - eb
+        }
+        // weight conservation + the no-compaction exactness claim
+        val wTot = merged.levels.indices.map(lv =>
+          merged.levels(lv).length.toLong << lv).sum
+        val okExact = xs.length >= k || {
+          val sorted = xs.sorted
+          eb == 0L && (1 until bins).forall { i =>
+            val t = ((i.toLong * n + bins - 1) / bins).toInt
+            es(i - 1) == sorted(t - 1)
+          }
+        }
+        okBound && wTot == n && okExact
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: MG never overcounts, undercount bounded, heavy survive") {
     val cap = 8
     val prop = forAll(streamGen, Gen.chooseNum(0, 100)) { (items, cutPct) =>

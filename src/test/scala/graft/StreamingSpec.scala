@@ -741,6 +741,88 @@ class StreamingSpec extends AnyFunSuite {
       s"final live score diverged from the driver KS")
   }
 
+  test("s_ks_monitor: sketch-recalibrated edges — certificate holds, " +
+      "monitor decisions unchanged on the 21-decade fixture") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // the same 21-decade stream as the bounded test
+    val vals = (0 until 400).map { k =>
+      math.pow(10.0, (k % 21) - 9) * (1.0 + 0.37 * (k % 7))
+    }
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      AttribEvent(i.toLong, i.toLong,
+        if (i % 2 == 0) "view" else "click",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), v)
+    }
+    val bins = 16
+    val refVals = evs.filter(_.event_type == "view").map(_.value).sorted
+    // exact calibration (the r12 path): equiprobable edges of the ref
+    val exact = (1 until bins)
+      .map(k => refVals((k * refVals.length / bins) - 1)).toArray.sorted
+    // sketch calibration through the FULL aggregate path (partial
+    // buffers + merges across 7 partitions), k small enough that
+    // compactions actually fire
+    val srow = refVals.toDF("v").repartition(7)
+      .agg(graft.functions.QuantileEdges(col("v"), 32, bins).as("s"))
+      .select(col("s.edges"), col("s.err_bound"), col("s.n")).head
+    val sketch = srow.getSeq[Double](0).toArray.sorted
+    val (eb, n) = (srow.getLong(1), srow.getLong(2))
+    assert(n == refVals.length.toLong)
+    assert(eb > 0L, "fixture should force compactions (else trivial)")
+    // the self-certified rank bound: every sketch edge's true rank is
+    // within err_bound of its equiprobable target
+    for (i <- 1 until bins) {
+      val t = (i.toLong * n + bins - 1) / bins
+      val e = sketch(i - 1)
+      val lo = refVals.count(_ < e).toLong
+      val hi = refVals.count(_ <= e).toLong
+      assert(t <= hi + eb && t > lo - eb,
+        s"edge $i rank certificate violated: t=$t lo=$lo hi=$hi eb=$eb")
+    }
+    // monitor decisions: run the SAME stream under both calibrations;
+    // state bound holds and every thresholded drift decision matches
+    def monitor(es: Array[Double], name: String): (Long, Long, Double) = {
+      val in = MemoryStream[AttribEvent]
+      val q = runToMemory(
+        Ingest.ksMonitor(in.toDS(), es, channels = Seq("click")).toDF(),
+        name)
+      evs.grouped(100).foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      val rows = sp.sql(s"SELECT t, n, m, d_num, d, buckets FROM $name")
+        .collect()
+      rows.foreach(r => assert(r.getLong(5) <= bins.toLong,
+        s"$name state alphabet exceeded $bins"))
+      val last = rows.last
+      (last.getLong(1), last.getLong(2), last.getDouble(4))
+    }
+    val (nE, mE, dE) = monitor(exact, "ks_cal_exact")
+    val (nS, mS, dS) = monitor(sketch, "ks_cal_sketch")
+    assert((nS, mS) == ((nE, mE)))
+    for (theta <- Seq(0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5))
+      assert((dS > theta) == (dE > theta),
+        s"drift decision flipped at theta=$theta: sketch d=$dS exact d=$dE")
+  }
+
+  test("ksReferenceEdgesSketch: fixture edges carry a valid certificate") {
+    val sp = spark
+    val (es, eb, n) = Ingest.ksReferenceEdgesSketch(sp, TestSpark.sf)
+    val bins = 32
+    assert(es.length == bins - 1 && es.sorted.sameElements(es))
+    val views = graft.io.Tables.events(sp, TestSpark.sf)
+      .where(col("event_type") === "view")
+      .select(col("value").cast("double")).collect().map(_.getDouble(0))
+    assert(n == views.length.toLong)
+    for (i <- 1 until bins) {
+      val t = (i.toLong * n + bins - 1) / bins
+      val e = es(i - 1)
+      val lo = views.count(_ < e).toLong
+      val hi = views.count(_ <= e).toLong
+      assert(t <= hi + eb && t > lo - eb,
+        s"edge $i certificate violated: t=$t lo=$lo hi=$hi eb=$eb")
+    }
+  }
+
   test("s_bollinger_monitor: live bands and breaches equal the batch query") {
     val sp = spark
     import sp.implicits._
