@@ -1197,6 +1197,73 @@ object RelationalOps {
       .limit(15)
   }
 
+  /** PREFERENTIAL-ATTACHMENT link-prediction index (Barabási–Albert /
+    * Liben-Nowell–Kleinberg 2003) over the co-purchase graph — the
+    * third index beside [[partJaccard]] and [[partResourceAlloc]]:
+    * score(u,v) = d(u)·d(v), the "rich get richer" baseline every
+    * link-prediction benchmark reports. Candidates come from the same
+    * apex wedge equi-join (pairs with ≥ 1 common neighbor — PA over
+    * ALL pairs is an outer product nobody materializes; scoring the
+    * candidate set is the standard evaluation form), so the value is
+    * an exact BIGINT product of two degrees — bit-identical
+    * cross-engine, no quantization needed at all. Top-15 under the
+    * (pa_q DESC, v1, v2) total order. */
+  def partPrefAttach(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false) // wedge sides + degree
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
+    val w1 = sym.select(col("src").as("apex"), col("dst").as("v1"))
+    val w2 = sym.select(col("src").as("apex"), col("dst").as("v2"))
+    w1.join(w2, "apex").where(col("v1") < col("v2"))
+      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("common_n"))
+      .join(deg.select(col("src").as("v1"), col("d").as("d1")), "v1")
+      .join(deg.select(col("src").as("v2"), col("d").as("d2")), "v2")
+      .select(col("v1"), col("v2"), col("common_n"),
+        (col("d1") * col("d2")).as("pa_q"))
+      .orderBy(col("pa_q").desc, col("v1"), col("v2"))
+      .limit(15)
+  }
+
+  /** DEGREE ASSORTATIVITY (Newman 2002) of the co-purchase graph —
+    * the one-number answer to "do popular parts co-purchase with
+    * popular parts": Pearson correlation of (d(u), d(v)) over the
+    * DIRECTED stub list (each undirected edge contributes both
+    * orientations — the standard formulation, and it makes the two
+    * marginals equal by symmetry while keeping the generic Pearson
+    * text). Every moment accumulates exactly (DECIMAL(38,0)/HUGEINT
+    * sums of BIGINT products — per-stub d(u)·d(v) < 2⁶³ for degrees
+    * to ~3×10⁹); r is the shared IEEE text over exact-sum doubles,
+    * NULL on a degree-regular graph (zero variance) in both engines. */
+  def partAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false) // stub list + degree
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false) // joined on both endpoints
+    val ed = sym
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst2"), col("d").as("dy")),
+        col("dst") === col("dst2"))
+    def sd(x: Column) = sum(x.cast("decimal(38,0)")).cast("double")
+    def dd(c: Column) = c.cast("double")
+    val s = ed.agg(count(lit(1)).as("m"),
+      sd(col("dx")).as("sx"), sd(col("dy")).as("sy"),
+      sd(col("dx") * col("dy")).as("sxy"),
+      sd(col("dx") * col("dx")).as("sxx"),
+      sd(col("dy") * col("dy")).as("syy"))
+    val vx = dd(col("m")) * col("sxx") - col("sx") * col("sx")
+    val vy = dd(col("m")) * col("syy") - col("sy") * col("sy")
+    s.select(col("m"),
+      when(vx > lit(0.0) && vy > lit(0.0),
+        Det.r4((dd(col("m")) * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(vx) * sqrt(vy))))
+        .otherwise(lit(null)).as("r"))
+  }
+
   /** DEGREE-CAPPED production twin of [[partJaccard]] (the r11 weak
     * flag): the exact form's apex wedge join generates Σd² rows, so a
     * single hub apex of degree d contributes d² pairs — the wrong
@@ -1564,6 +1631,77 @@ object RelationalOps {
       .orderBy("l_linestatus")
   }
 
+  /** PER-DAY GINI IMPURITY of the event-type mix — 1 − Σ pᵢ²: the
+    * split-quality read (CART's impurity) applied as a daily
+    * mix-health monitor — a day whose impurity collapses is a day one
+    * event type swamped the feed. EXACT: Σ cᵢ² and n² are BIGINT
+    * (cᵢ ≤ n ≤ 9·10⁸ per day stays inside; the cramers_v integer-Σ
+    * rule), impurity = (n² − Σc²)/n² is ONE IEEE division of exact
+    * casts — no per-class float sum anywhere. */
+  def aggGiniImpurity(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("d"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n"),
+        sum(col("c") * col("c")).as("ssq"))
+      .select(col("d"), col("n_types"), col("n"),
+        Det.r4((d(col("n")) * d(col("n")) - d(col("ssq"))) /
+          (d(col("n")) * d(col("n")))).as("impurity"))
+      .orderBy("d")
+  }
+
+  /** CORPUS-GRAIN SPEARMAN rank correlation (quantity ↔ price per
+    * linestatus) — [[aggCorr]]'s robust sibling at ROW grain, where
+    * [[graft.ts.TimeSeriesOps.spearmanCorr]] ranks 720 calendar
+    * buckets: here the ranks cover millions of rows, so they are
+    * DERIVED, never materialized per row — the mannwhitney value-grain
+    * histogram discipline. Per measure, one (group, value) count +
+    * cumulative window yields the exact integer 2·midrank per DISTINCT
+    * value; the joint (x, y) cell histogram then joins both rank
+    * tables and every moment (Σc·rx·ry, Σc·rx, Σc·rx², …) accumulates
+    * as exact DECIMAL(38,0)/HUGEINT — per-row products stay in BIGINT
+    * while c·(2n)² < 2⁶³ (≈ 6×10⁶ rows per group with unique values —
+    * both engines fail LOUDLY past it, never wrap). ρ is then the
+    * Pearson text over exact-sum doubles; the 2× rank scale cancels
+    * exactly (powers of two). */
+  def aggSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_linestatus").as("g"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      .localCheckpoint(eager = false) // two rank histograms + cells
+    def ranks(vc: String) = {
+      val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      li.groupBy(col("g"), col(vc).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", coalesce(sum(col("c")).over(wCum), lit(0L)))
+        .select(col("g"), col("v"),
+          (lit(2L) * col("cum") + col("c") + lit(1L)).as("r2"))
+    }
+    val rx = ranks("x")
+      .select(col("g"), col("v").as("x"), col("r2").as("rx2"))
+    val ry = ranks("y")
+      .select(col("g"), col("v").as("y"), col("r2").as("ry2"))
+    val cells = li.groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    def sd(e: Column) = sum(e.cast("decimal(38,0)")).cast("double")
+    val nd = sum(col("c")).cast("double")
+    val sx = sd(col("c") * col("rx2")); val sy = sd(col("c") * col("ry2"))
+    val sxy = sd(col("c") * col("rx2") * col("ry2"))
+    val sxx = sd(col("c") * col("rx2") * col("rx2"))
+    val syy = sd(col("c") * col("ry2") * col("ry2"))
+    cells.join(rx, Seq("g", "x")).join(ry, Seq("g", "y"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n"),
+        Det.r4((nd * sxy - sx * sy) /
+          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
+          .as("rho"))
+      .select(col("g").as("l_linestatus"), col("n"), col("rho"))
+      .orderBy("l_linestatus")
+  }
+
   /** JOIN-KEY SKEW AUDIT — the diagnostic read run BEFORE choosing a
     * join strategy at 100 TB: per candidate key, row and distinct-key
     * counts, the heaviest key's frequency, its share of all rows, and
@@ -1911,6 +2049,25 @@ object RelationalOps {
       .withColumn("drnk", dense_rank().over(w).cast("long"))
       .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
         col("o_orderkey"))
+  }
+
+  /** REVENUE QUARTILES — NTILE(4) over customers by lifetime revenue
+    * (the segmentation cut marketing reads before everything else):
+    * per-customer revenue is an exact DECIMAL sum, the quartile
+    * assignment rides a TOTAL order (rev_dec DESC, custkey — ntile is
+    * deterministic only under a total order; both engines share the
+    * standard ⌈n/k⌉-then-⌊n/k⌋ SQL NTILE definition), and each
+    * quartile reports its exact size and revenue mass. */
+  def windowNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev_dec"))
+    val w = Window.orderBy(col("rev_dec").desc, col("o_custkey"))
+    rev.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev_dec")).cast("double").as("revenue"))
+      .orderBy("quartile")
   }
 
   /** Running total + lag over DAILY revenue (pre-aggregated, so the
@@ -3118,6 +3275,8 @@ object RelationalOps {
     "q_part_jaccard_capped" ->
       ((s: SparkSession, d: String) => partJaccardCapped(s, d)),
     "q_part_resource_alloc" -> partResourceAlloc _,
+    "q_part_pref_attach" -> partPrefAttach _,
+    "q_part_assortativity" -> partAssortativity _,
     "q_part_resource_alloc_capped" ->
       ((s: SparkSession, d: String) => partResourceAllocCapped(s, d)),
     "q_part_components" -> partComponents _,
@@ -3155,6 +3314,9 @@ object RelationalOps {
     "q_agg_hll" -> aggHll _,
     "q_agg_approx_pctl" -> aggApproxPercentile _,
     "q_window_rank" -> windowRank _,
+    "q_window_ntile" -> windowNtile _,
+    "q_agg_gini_impurity" -> aggGiniImpurity _,
+    "q_agg_spearman" -> aggSpearman _,
     "q_window_running" -> windowRunning _,
     "q_window_moving" -> windowMoving _,
     "q_topk_group" -> topkGroup _,
@@ -4088,6 +4250,121 @@ object RelationalOps {
         |FROM com
         |ORDER BY ra_q DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
         |LIMIT 15""".stripMargin,
+    "q_part_assortativity" -> {
+      val vx = "(CAST(m AS DOUBLE) * sxx - sx * sx)"
+      val vy = "(CAST(m AS DOUBLE) * syy - sy * sy)"
+      val r = Det.r4Sql(
+        s"(CAST(m AS DOUBLE) * sxy - sx * sy) / (sqrt($vx) * sqrt($vy))")
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d
+        |        FROM sym GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(d1.d) AS DOUBLE) AS sx,
+        |         CAST(sum(d2.d) AS DOUBLE) AS sy,
+        |         CAST(sum(d1.d * d2.d) AS DOUBLE) AS sxy,
+        |         CAST(sum(d1.d * d1.d) AS DOUBLE) AS sxx,
+        |         CAST(sum(d2.d * d2.d) AS DOUBLE) AS syy
+        |  FROM sym JOIN deg d1 ON d1.src = sym.src
+        |  JOIN deg d2 ON d2.src = sym.dst)
+        |SELECT m,
+        |       CASE WHEN $vx > 0.0 AND $vy > 0.0 THEN $r
+        |       ELSE NULL END AS r
+        |FROM s""".stripMargin
+    },
+    "q_part_pref_attach" ->
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        |        FROM sym GROUP BY 1),
+        |com AS (SELECT a.dst AS v1, b.dst AS v2,
+        |               CAST(count(*) AS BIGINT) AS common_n
+        |        FROM sym a JOIN sym b
+        |          ON a.src = b.src AND a.dst < b.dst
+        |        GROUP BY 1, 2)
+        |SELECT v1, v2, common_n, d1.d * d2.d AS pa_q
+        |FROM com JOIN deg d1 ON com.v1 = d1.src
+        |JOIN deg d2 ON com.v2 = d2.src
+        |ORDER BY pa_q DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
+        |LIMIT 15""".stripMargin,
+    "q_agg_spearman" -> {
+      val rho = Det.r4Sql(
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+          "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+          "sqrt(CAST(n AS DOUBLE) * syy - sy * sy))")
+      s"""WITH li AS MATERIALIZED (
+        |  SELECT l_linestatus AS g, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem),
+        |xr AS MATERIALIZED (
+        |  SELECT g, v, 2 * COALESCE(CAST(sum(c) OVER (PARTITION BY g
+        |      ORDER BY v NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + c + 1 AS rx2
+        |  FROM (SELECT g, x AS v, CAST(count(*) AS BIGINT) AS c
+        |        FROM li GROUP BY 1, 2) t),
+        |yr AS MATERIALIZED (
+        |  SELECT g, v, 2 * COALESCE(CAST(sum(c) OVER (PARTITION BY g
+        |      ORDER BY v NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + c + 1 AS ry2
+        |  FROM (SELECT g, y AS v, CAST(count(*) AS BIGINT) AS c
+        |        FROM li GROUP BY 1, 2) t),
+        |cells AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+        |          FROM li GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT cells.g, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(c * rx2 * ry2) AS DOUBLE) AS sxy,
+        |         CAST(sum(c * rx2) AS DOUBLE) AS sx,
+        |         CAST(sum(c * ry2) AS DOUBLE) AS sy,
+        |         CAST(sum(c * rx2 * rx2) AS DOUBLE) AS sxx,
+        |         CAST(sum(c * ry2 * ry2) AS DOUBLE) AS syy
+        |  FROM cells
+        |  JOIN xr ON xr.g = cells.g AND xr.v = cells.x
+        |  JOIN yr ON yr.g = cells.g AND yr.v = cells.y
+        |  GROUP BY 1)
+        |SELECT g AS l_linestatus, n, $rho AS rho
+        |FROM s ORDER BY l_linestatus NULLS FIRST""".stripMargin
+    },
+    "q_agg_gini_impurity" -> {
+      val imp = Det.r4Sql(
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(ssq AS DOUBLE)) " +
+          "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")
+      s"""WITH c AS (
+        |  SELECT date_trunc('day', ts) AS d, event_type,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(c * c) AS BIGINT) AS ssq
+        |  FROM c GROUP BY 1)
+        |SELECT d, n_types, n, $imp AS impurity
+        |FROM g ORDER BY d NULLS FIRST""".stripMargin
+    },
+    "q_window_ntile" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |           AS DECIMAL(38,4)) AS rev_dec
+        |  FROM orders GROUP BY 1),
+        |q AS (
+        |  SELECT rev_dec,
+        |         CAST(ntile(4) OVER (ORDER BY rev_dec DESC NULLS LAST,
+        |           o_custkey NULLS FIRST) AS BIGINT) AS quartile
+        |  FROM rev)
+        |SELECT quartile, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(rev_dec) AS DOUBLE) AS revenue
+        |FROM q GROUP BY 1
+        |ORDER BY quartile NULLS FIRST""".stripMargin,
     // same two-phase twin as q_part_jaccard_capped: capped lowest-id
     // lists generate candidates, FULL adjacency re-derives the exact
     // quantized RA sum for the candidates only
