@@ -918,6 +918,53 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("occurrences"))
       .orderBy("magnitude")
 
+  /** VOCABULARY GROWTH (Heaps'-law) CURVE — distinct types vs corpus
+    * size at ten doc-order checkpoints: the saturation read a corpus
+    * team uses to judge "is more of this source still adding
+    * vocabulary". Deciles come from the document RANK (integer
+    * (rn−1)·10 div n — both engines' integer division), a token's
+    * first-seen decile is min(decile) (equal to the decile of its
+    * first doc, since the decile is monotone in doc_id), and every
+    * reported number is an exact integer running sum over the 10-row
+    * grid — no float anywhere. The explode is the standard
+    * corpus-sized token pass; first-seen is one vocabulary-keyed
+    * aggregate (the explode_tokens shuffle). The doc-rank window is
+    * document-count-grain; past one executor's worth of doc IDS the
+    * production form is the two-pass distributed rank
+    * ([[graft.rel.RelationalOps.mannWhitneyDistributed]] — range
+    * partition, per-partition counts, broadcast prefix offsets), the
+    * documented scale path for this rank family. */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = false) // rank grid + token explode
+    val wR = Window.orderBy(col("doc_id"))
+    val deciles = d.select(col("doc_id"))
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+      .select(col("doc_id"), expr("((rn - 1) * 10) div nd").as("dk"))
+      .localCheckpoint(eager = false) // doc counts + token join
+    val toks = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(deciles, "doc_id")
+      .localCheckpoint(eager = false) // first-seen + per-decile counts
+    val newTypes = toks.groupBy(col("token"))
+      .agg(min(col("dk")).as("dk"))
+      .groupBy(col("dk")).agg(count(lit(1)).as("new_types"))
+    val perDec = toks.groupBy(col("dk")).agg(count(lit(1)).as("n_tok"))
+    val docsDec = deciles.groupBy(col("dk")).agg(count(lit(1)).as("n_docs"))
+    val wC = Window.orderBy(col("dk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsDec.join(perDec, Seq("dk"), "left")
+      .join(newTypes, Seq("dk"), "left")
+      .na.fill(0L, Seq("n_tok", "new_types"))
+      .select(col("dk"),
+        sum(col("n_docs")).over(wC).as("cum_docs"),
+        sum(col("n_tok")).over(wC).as("cum_tokens"),
+        sum(col("new_types")).over(wC).as("cum_types"))
+      .orderBy("dk")
+  }
+
   /** Bigram-LM NOVELTY scoring — the language-model quality filter
     * (CCNet / GPT-3 data prep [U] use LM perplexity; this is its
     * cross-engine-exact core): a bigram model is learned from the
@@ -1588,6 +1635,7 @@ object TextOps {
     "q_llm_decontaminate_fuzzy" -> decontaminateFuzzy _,
     "q_llm_lm_novelty" -> lmNovelty _,
     "q_llm_vocab_zipf" -> vocabZipf _,
+    "q_llm_vocab_growth" -> vocabGrowth _,
     "q_llm_edit_neardup" -> editNearDup _,
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
@@ -1945,6 +1993,38 @@ object TextOps {
         |       count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS occurrences
         |FROM tf GROUP BY 1
         |ORDER BY magnitude NULLS FIRST""".stripMargin,
+    "q_llm_vocab_growth" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents),
+        |dd AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         ((row_number() OVER (ORDER BY doc_id NULLS FIRST) - 1)
+        |           * 10) // count(*) OVER () AS dk
+        |  FROM d),
+        |tk AS MATERIALIZED (
+        |  SELECT dd.dk, t.token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM d) t
+        |  JOIN dd ON dd.doc_id = t.doc_id),
+        |nt AS (SELECT dk, CAST(count(*) AS BIGINT) AS new_types
+        |       FROM (SELECT token, min(dk) AS dk FROM tk GROUP BY 1) f
+        |       GROUP BY 1),
+        |pt AS (SELECT dk, CAST(count(*) AS BIGINT) AS n_tok
+        |       FROM tk GROUP BY 1),
+        |dc AS (SELECT dk, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM dd GROUP BY 1),
+        |g AS (SELECT dc.dk AS dk, n_docs,
+        |             COALESCE(n_tok, 0) AS n_tok,
+        |             COALESCE(new_types, 0) AS new_types
+        |      FROM dc LEFT JOIN pt ON pt.dk = dc.dk
+        |      LEFT JOIN nt ON nt.dk = dc.dk)
+        |SELECT dk,
+        |       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+        |       CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tokens,
+        |       CAST(sum(new_types) OVER w AS BIGINT) AS cum_types
+        |FROM g
+        |WINDOW w AS (ORDER BY dk NULLS FIRST
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY dk NULLS FIRST""".stripMargin,
     "q_llm_lm_novelty" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |           FROM documents
