@@ -907,7 +907,14 @@ object RelationalOps {
     * 3-way union — union children don't CSE). The DuckDB twin counts
     * the same triangles via the plain ordered 3-way join — enumeration
     * differs, the multiset of triangles is provably identical. */
-  def partTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  def partTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    triPerNode(spark, sfDir)
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+
+  /** Per-node triangle counts via the degree-oriented wedge join —
+    * shared by [[partTriangles]] and [[partClusteringCoef]]. */
+  private def triPerNode(spark: SparkSession, sfDir: String): DataFrame = {
     val e = coPurchasePairs(spark, sfDir, Some(4))
     val deg = e.select(explode(array(col("pa"), col("pb"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -939,7 +946,30 @@ object RelationalOps {
       .unionByName(tri.select(col("v1").as("node")))
       .unionByName(tri.select(col("v2").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("node"))
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT (Watts–Strogatz) per node —
+    * 2·tri(v) / (d(v)·(d(v)−1)), the "how clique-like is this part's
+    * neighborhood" read beside the raw triangle counts: triangle
+    * counts come from the SAME degree-oriented wedge join as
+    * [[partTriangles]] (shared [[triPerNode]]), degrees from the
+    * symmetric adjacency, and the ranking key is the exact integer
+    * quotient (2·tri·10¹²) div (d(d−1)) — BIGINT-safe to ~9·10⁶
+    * triangles per node (widen to DECIMAL(38,0) products past that,
+    * the jq rule). Nodes with d ≥ 2 and zero triangles report 0 —
+    * the left join keeps them honest. Top-20 under (cq DESC, node). */
+  def partClusteringCoef(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.where(col("d") >= 2)
+      .join(triPerNode(spark, sfDir), Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("node"), col("d"), col("n_tri"),
+        expr("(2 * n_tri * 1000000000000L) div (d * (d - 1))").as("cq"))
+      .select(col("node"), col("d"), col("n_tri"), col("cq"),
+        Det.r4(col("cq").cast("double") / lit(1.0e12)).as("coef"))
+      .orderBy(col("cq").desc, col("node"))
       .limit(20)
   }
 
@@ -2013,6 +2043,38 @@ object RelationalOps {
         Det.r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
         Det.r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"))
       .orderBy("l_returnflag")
+
+  /** BOWLEY (quartile) SKEWNESS per order priority — the robust
+    * skewness read beside [[aggSkewKurt]]'s moment form: (Q1 + Q3 −
+    * 2·Q2)/(Q3 − Q1) from EXACT integer-rank quartiles (the
+    * q_agg_quantile_dist selection: first grain value whose running
+    * count reaches ⌈q·n⌉ — no interpolation, so the quartiles are
+    * actual data values and bit-identical cross-engine); the ratio is
+    * one shared IEEE expression, NULL when Q3 = Q1 (degenerate IQR)
+    * in both engines. Histogram grain per group. */
+  def aggBowleySkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("p"), col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("p")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = g.withColumn("cum", sum(col("c")).over(wCum))
+      .localCheckpoint(eager = false) // three quartile selections
+    val n = g.groupBy(col("p")).agg(sum(col("c")).as("n"))
+      .localCheckpoint(eager = false)
+    val rq = r.join(n, "p")
+    def quart(num: Int): DataFrame = rq
+      .where(col("cum") >= expr(s"($num * n + 3) div 4"))
+      .groupBy(col("p")).agg(min(col("v")).as(s"q$num"))
+    quart(1).join(quart(2), "p").join(quart(3), "p").join(n, "p")
+      .select(col("p").as("o_orderpriority"), col("n"),
+        col("q1"), col("q2"), col("q3"),
+        when(col("q3") > col("q1"),
+          Det.r4((col("q1") + col("q3") - lit(2.0) * col("q2")) /
+            (col("q3") - col("q1"))))
+          .otherwise(lit(null)).as("bowley"))
+      .orderBy("o_orderpriority")
+  }
 
   /** HLL++ sketch distinct (no oracle — approximate; bounds in spec). */
   def aggHll(spark: SparkSession, sfDir: String): DataFrame =
@@ -3089,6 +3151,47 @@ object RelationalOps {
       .orderBy("t")
   }
 
+  /** TOTAL-VARIATION drift — [[ksDrift]]'s companion metric over the
+    * same per-type value histograms vs the 'view' baseline: TV = ½
+    * Σ|pᵢ − qᵢ|, the L1 distance a drift dashboard quotes when the KS
+    * sup understates diffuse shift. EXACT: the numerator accumulates
+    * Σ|c1·m − c2·n| in DECIMAL(38,0)/HUGEINT (per-cell products stay
+    * in BIGINT to ~3×10⁹ rows per side), and TV is ONE IEEE division
+    * of exact casts — no per-cell float ratio sum anywhere. Same
+    * baseline-copy fan-out and histogram grain as ksDrift. */
+  def tvDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .localCheckpoint(eager = false) // test + baseline histograms
+    val tests = ev.where(col("event_type") =!= "view")
+      .groupBy(col("event_type").as("t"), col("value"))
+      .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false) // feeds types AND the union
+    val base = ev.where(col("event_type") === "view")
+      .groupBy(col("value")).agg(count(lit(1)).as("c2"))
+    val types = tests.select(col("t")).distinct()
+    val merged = tests.select(col("t"), col("value"), col("c1"),
+        lit(0L).as("c2"))
+      .unionByName(broadcast(types).crossJoin(base)
+        .select(col("t"), col("value"), lit(0L).as("c1"), col("c2")))
+      .groupBy(col("t"), col("value"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+      .localCheckpoint(eager = false) // totals + the |…| accumulation
+    val tot = merged.groupBy(col("t"))
+      .agg(sum(col("c1")).as("n"), sum(col("c2")).as("m"))
+    def d(c: Column) = c.cast("double")
+    merged.join(tot, "t")
+      .groupBy(col("t"))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        sum(abs(col("c1") * col("m") - col("c2") * col("n"))
+          .cast("decimal(38,0)")).as("tv_dec"))
+      .select(col("t"), col("n"), col("m"),
+        col("tv_dec").cast("long").as("tv_num"),
+        Det.r4(col("tv_dec").cast("double") /
+          (lit(2.0) * d(col("n")) * d(col("m")))).as("tv"))
+      .orderBy("t")
+  }
+
   /** PER-SOURCE KS DRIFT — the [[ksDrift]] kernel keyed by corpus
     * source with a LEAVE-ONE-OUT reference: each source's document-
     * length (n_chars) distribution against all OTHER sources — the
@@ -3277,6 +3380,9 @@ object RelationalOps {
     "q_part_resource_alloc" -> partResourceAlloc _,
     "q_part_pref_attach" -> partPrefAttach _,
     "q_part_assortativity" -> partAssortativity _,
+    "q_part_clustering_coef" -> partClusteringCoef _,
+    "q_agg_tv_drift" -> tvDrift _,
+    "q_agg_bowley_skew" -> aggBowleySkew _,
     "q_part_resource_alloc_capped" ->
       ((s: SparkSession, d: String) => partResourceAllocCapped(s, d)),
     "q_part_components" -> partComponents _,
@@ -4250,6 +4356,82 @@ object RelationalOps {
         |FROM com
         |ORDER BY ra_q DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
         |LIMIT 15""".stripMargin,
+    "q_agg_tv_drift" -> {
+      val tv = Det.r4Sql("CAST(tvd AS DOUBLE) / " +
+        "(2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE))")
+      s"""WITH tests AS MATERIALIZED (
+        |  SELECT event_type AS t, value, CAST(count(*) AS BIGINT) AS c1
+        |  FROM events WHERE event_type <> 'view' GROUP BY 1, 2),
+        |base AS (SELECT value, CAST(count(*) AS BIGINT) AS c2
+        |         FROM events WHERE event_type = 'view' GROUP BY 1),
+        |ty AS (SELECT DISTINCT t FROM tests),
+        |merged AS MATERIALIZED (
+        |  SELECT t, value, CAST(sum(c1) AS BIGINT) AS c1,
+        |         CAST(sum(c2) AS BIGINT) AS c2
+        |  FROM (SELECT t, value, c1, CAST(0 AS BIGINT) AS c2 FROM tests
+        |        UNION ALL
+        |        SELECT ty.t, value, CAST(0 AS BIGINT), c2
+        |        FROM ty CROSS JOIN base) u
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT t, CAST(sum(c1) AS BIGINT) AS n,
+        |               CAST(sum(c2) AS BIGINT) AS m
+        |        FROM merged GROUP BY 1),
+        |s AS (SELECT merged.t, max(n) AS n, max(m) AS m,
+        |             CAST(sum(abs(c1 * m - c2 * n)) AS BIGINT) AS tvd
+        |      FROM merged JOIN tot ON tot.t = merged.t
+        |      GROUP BY 1)
+        |SELECT t, n, m, tvd AS tv_num, $tv AS tv
+        |FROM s ORDER BY t NULLS FIRST""".stripMargin
+    },
+    "q_agg_bowley_skew" -> {
+      val bw = Det.r4Sql("(q1 + q3 - 2.0 * q2) / (q3 - q1)")
+      s"""WITH g AS (
+        |  SELECT o_orderpriority AS p, o_totalprice AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |r AS MATERIALIZED (
+        |  SELECT p, v, CAST(sum(c) OVER (PARTITION BY p
+        |    ORDER BY v NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM g),
+        |n AS (SELECT p, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY 1),
+        |qa AS (SELECT r.p, min(v) AS q1 FROM r JOIN n ON n.p = r.p
+        |       WHERE cum >= (1 * n.n + 3) // 4 GROUP BY 1),
+        |qb AS (SELECT r.p, min(v) AS q2 FROM r JOIN n ON n.p = r.p
+        |       WHERE cum >= (2 * n.n + 3) // 4 GROUP BY 1),
+        |qc AS (SELECT r.p, min(v) AS q3 FROM r JOIN n ON n.p = r.p
+        |       WHERE cum >= (3 * n.n + 3) // 4 GROUP BY 1)
+        |SELECT qa.p AS o_orderpriority, n.n, q1, q2, q3,
+        |       CASE WHEN q3 > q1 THEN $bw ELSE NULL END AS bowley
+        |FROM qa JOIN qb ON qb.p = qa.p JOIN qc ON qc.p = qa.p
+        |JOIN n ON n.p = qa.p
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+    },
+    "q_part_clustering_coef" ->
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT pa AS node FROM pairs
+        |    UNION ALL SELECT pb FROM pairs) s GROUP BY 1),
+        |tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |        FROM pairs e1
+        |        JOIN pairs e2 ON e1.pb = e2.pa
+        |        JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |        SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri) x GROUP BY 1)
+        |SELECT deg.node, d, COALESCE(n_tri, 0) AS n_tri,
+        |       (2 * COALESCE(n_tri, 0) * 1000000000000) // (d * (d - 1))
+        |         AS cq,
+        |       ${Det.r4Sql("CAST((2 * COALESCE(n_tri, 0) * 1000000000000) // (d * (d - 1)) AS DOUBLE) / 1000000000000.0")} AS coef
+        |FROM deg LEFT JOIN tn ON tn.node = deg.node
+        |WHERE d >= 2
+        |ORDER BY cq DESC NULLS LAST, deg.node NULLS FIRST
+        |LIMIT 20""".stripMargin,
     "q_part_assortativity" -> {
       val vx = "(CAST(m AS DOUBLE) * sxx - sx * sx)"
       val vy = "(CAST(m AS DOUBLE) * syy - sy * sy)"
