@@ -710,6 +710,61 @@ object Ingest {
       }
   }
 
+  /** LIVE TOTAL-VARIATION DRIFT MONITOR — q_agg_tv_drift gone online:
+    * the SAME two-histogram state as [[ksMonitor]] (same routing, same
+    * calibrated-alphabet bound) scored with the L1 kernel instead of
+    * the sup: tv_num = Σ|c1ₖ·m − c2ₖ·n| in BigInt, tv = tv_num/(2nm).
+    * Histogram adds commute, so batching never matters; calibrated at
+    * value grain the final scores equal the batch query exactly
+    * (spec'd under two batchings). */
+  def tvMonitor(evs: Dataset[AttribEvent], edges: Array[Double],
+      channels: Seq[String] = Seq("click", "error", "purchase", "signup"))
+      : Dataset[KsScore] = {
+    import evs.sparkSession.implicits._
+    val chan = channels.toArray
+    val sortedEdges = edges.sorted
+    val routed = evs.flatMap { e =>
+      val i = java.util.Arrays.binarySearch(sortedEdges, e.value)
+      val b = (if (i >= 0) i + 1 else -i - 1).toLong
+      if (e.event_type == "view") chan.toSeq.map(c => KsEvent(c, true, b))
+      else if (chan.contains(e.event_type))
+        Seq(KsEvent(e.event_type, false, b))
+      else Nil
+    }
+    routed.groupByKey(_.t)
+      .flatMapGroupsWithState[KsState, KsScore](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (t: String, rows: Iterator[KsEvent], state: GroupState[KsState]) =>
+          var st = state.getOption.getOrElse(
+            KsState(Map.empty[Long, Long], Map.empty[Long, Long]))
+          rows.foreach { e =>
+            st =
+              if (e.isRef) st.copy(ref = st.ref +
+                (e.bucket -> (st.ref.getOrElse(e.bucket, 0L) + 1L)))
+              else st.copy(test = st.test +
+                (e.bucket -> (st.test.getOrElse(e.bucket, 0L) + 1L)))
+          }
+          state.update(st)
+          val n = st.test.values.sum
+          val m = st.ref.values.sum
+          if (n == 0L || m == 0L) Iterator.empty
+          else {
+            val keys = (st.test.keySet ++ st.ref.keySet).toSeq.sorted
+            var acc = BigInt(0)
+            keys.foreach { k =>
+              acc += (BigInt(st.test.getOrElse(k, 0L)) * m -
+                BigInt(st.ref.getOrElse(k, 0L)) * n).abs
+            }
+            require(acc.isValidLong,
+              s"tvMonitor tv_num overflow for type $t: $acc (n=$n m=$m)")
+            Iterator.single(KsScore(t, n, m, acc.toLong,
+              acc.toDouble / (2.0 * n.toDouble * m.toDouble),
+              keys.size.toLong))
+          }
+      }
+  }
+
   /** LIVE PER-SOURCE KS MONITOR — q_agg_ks_by_source gone online: each
     * source's document-length distribution scored LEAVE-ONE-OUT
     * against all other sources after every micro-batch. A doc from

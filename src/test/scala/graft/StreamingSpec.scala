@@ -636,6 +636,43 @@ class StreamingSpec extends AnyFunSuite {
       "batching changed the final per-source scores")
   }
 
+  test("s_tv_monitor: value-grain live scores equal the batch query; " +
+      "order-free") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    val batch = graft.rel.RelationalOps.tvDrift(sp, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val evs = graft.io.Tables.events(sp, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[AttribEvent].collect().toSeq
+    // value-grain calibration over ALL types' values: the binned TV is
+    // the batch's exact-value TV
+    val edges = evs.map(_.value).distinct.sorted.toArray
+    def lastScores(feed: Seq[Seq[AttribEvent]], name: String)
+        : Map[String, (Long, Long, Long)] = {
+      val in = MemoryStream[AttribEvent]
+      val q = runToMemory(Ingest.tvMonitor(in.toDS(), edges).toDF(), name)
+      feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      sp.sql(s"SELECT t, n, m, d_num FROM $name").collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          val r = rows.last
+          t -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+    }
+    val (a, b) = evs.splitAt(evs.length / 3)
+    val got = lastScores(Seq(a, b), "tv_live")
+    assert(got == batch,
+      s"live (n, m, tv_num) diverge: ${(got.toSet -- batch.toSet).take(3)}")
+    val (x, y) = evs.reverse.splitAt(evs.length / 5)
+    assert(lastScores(Seq(x, y), "tv_live2") == batch,
+      "batching changed the final TV scores")
+  }
+
   test("s_kruskal_wallis: value-grain live score equals the batch " +
       "query; coarse alphabet stays bounded") {
     val sp = spark
