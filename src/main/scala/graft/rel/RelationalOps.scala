@@ -2076,6 +2076,44 @@ object RelationalOps {
       .orderBy("o_orderpriority")
   }
 
+  /** TUKEY-FENCE OUTLIER AUDIT per order priority — the boxplot read:
+    * exact integer-rank quartiles (the [[aggBowleySkew]] selection),
+    * fences at Q1 − 1.5·IQR and Q3 + 1.5·IQR computed in ONE shared
+    * IEEE expression (1.5·x is exact in binary; the comparisons see
+    * identical doubles in both engines), and exact counts of rows
+    * beyond each fence. The quartile pass is histogram-grain; the
+    * counting pass is one more aggregate over the same histogram —
+    * never a second raw scan shape. */
+  def aggTukeyOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("p"), col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // quartiles + the outlier count
+    val wCum = Window.partitionBy(col("p")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = g.withColumn("cum", sum(col("c")).over(wCum))
+      .localCheckpoint(eager = false) // two quartile selections
+    val n = g.groupBy(col("p")).agg(sum(col("c")).as("n"))
+    val rq = r.join(n, "p")
+    def quart(num: Int): DataFrame = rq
+      .where(col("cum") >= expr(s"($num * n + 3) div 4"))
+      .groupBy(col("p")).agg(min(col("v")).as(s"q$num"))
+    val fences = quart(1).join(quart(3), "p")
+      .select(col("p"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    g.join(fences, "p").join(n, "p")
+      .groupBy(col("p"), col("n"), col("lo"), col("hi"))
+      .agg(sum(when(col("v") < col("lo"), col("c")).otherwise(0L))
+        .as("n_low"),
+        sum(when(col("v") > col("hi"), col("c")).otherwise(0L))
+          .as("n_high"))
+      .select(col("p").as("o_orderpriority"), col("n"),
+        Det.r4(col("lo")).as("lo"), Det.r4(col("hi")).as("hi"),
+        col("n_low"), col("n_high"))
+      .orderBy("o_orderpriority")
+  }
+
   /** HLL++ sketch distinct (no oracle — approximate; bounds in spec). */
   def aggHll(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -3383,6 +3421,7 @@ object RelationalOps {
     "q_part_clustering_coef" -> partClusteringCoef _,
     "q_agg_tv_drift" -> tvDrift _,
     "q_agg_bowley_skew" -> aggBowleySkew _,
+    "q_agg_tukey_outliers" -> aggTukeyOutliers _,
     "q_part_resource_alloc_capped" ->
       ((s: SparkSession, d: String) => partResourceAllocCapped(s, d)),
     "q_part_components" -> partComponents _,
@@ -4406,6 +4445,35 @@ object RelationalOps {
         |       CASE WHEN q3 > q1 THEN $bw ELSE NULL END AS bowley
         |FROM qa JOIN qb ON qb.p = qa.p JOIN qc ON qc.p = qa.p
         |JOIN n ON n.p = qa.p
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+    },
+    "q_agg_tukey_outliers" -> {
+      s"""WITH g AS MATERIALIZED (
+        |  SELECT o_orderpriority AS p, o_totalprice AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |r AS MATERIALIZED (
+        |  SELECT p, v, CAST(sum(c) OVER (PARTITION BY p
+        |    ORDER BY v NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM g),
+        |n AS (SELECT p, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY 1),
+        |qa AS (SELECT r.p, min(v) AS q1 FROM r JOIN n ON n.p = r.p
+        |       WHERE cum >= (1 * n.n + 3) // 4 GROUP BY 1),
+        |qc AS (SELECT r.p, min(v) AS q3 FROM r JOIN n ON n.p = r.p
+        |       WHERE cum >= (3 * n.n + 3) // 4 GROUP BY 1),
+        |f AS (SELECT qa.p, q1 - 1.5 * (q3 - q1) AS lo,
+        |             q3 + 1.5 * (q3 - q1) AS hi
+        |      FROM qa JOIN qc ON qc.p = qa.p)
+        |SELECT g.p AS o_orderpriority, n.n,
+        |       ${Det.r4Sql("lo")} AS lo, ${Det.r4Sql("hi")} AS hi,
+        |       CAST(sum(CASE WHEN v < lo THEN c ELSE 0 END) AS BIGINT)
+        |         AS n_low,
+        |       CAST(sum(CASE WHEN v > hi THEN c ELSE 0 END) AS BIGINT)
+        |         AS n_high
+        |FROM g JOIN f ON f.p = g.p JOIN n ON n.p = g.p
+        |GROUP BY 1, 2, lo, hi
         |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
     },
     "q_part_clustering_coef" ->
