@@ -1419,12 +1419,16 @@ object RelationalOps {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dw"))
       .withColumn("raw", expr("1000000000000L div dw"))
       .localCheckpoint(eager = false)
-    val hubs = deg.where(col("dw") > cap).select(col("src").as("hub"))
-    val symH = sym.join(hubs, sym("src") === hubs("hub"), "left_semi")
-      .join(deg.select(col("src"), col("raw")), "src")
+    // ONE edge-sized degree join feeds both halves of the hub/small
+    // split as filters (instead of semi+anti+two raw joins). The
+    // no-hub fixture cost is dominated by the small-side full wedge
+    // join — the same O(Σd²) the exact form pays — plus empty-side
+    // plumbing; the split exists for the hubby 100× graph.
+    val symJ = sym.join(deg, "src")
+      .localCheckpoint(eager = false) // hub + small filters below
+    val symH = symJ.where(col("dw") > cap).drop("dw")
       .localCheckpoint(eager = false) // capped lists + verify side
-    val symS = sym.join(hubs, sym("src") === hubs("hub"), "left_anti")
-      .join(deg.select(col("src"), col("raw")), "src")
+    val symS = symJ.where(col("dw") <= cap).drop("dw")
       .localCheckpoint(eager = false) // both wedge sides
     val cS = symS.select(col("src").as("apex"), col("dst").as("v1"),
         col("raw"))
