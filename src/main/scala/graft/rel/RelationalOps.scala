@@ -306,6 +306,69 @@ object RelationalOps {
       .orderBy("dur_days")
   }
 
+  /** LOG-RANK TEST (Mantel–Cox) — does retention differ between the
+    * two user segments: the standard two-sample survival comparison
+    * over the SAME lifetime/censoring table as [[kaplanMeier]], split
+    * by user_id parity. Per distinct event time: group-1 deaths d1
+    * and at-risk r1 against totals d, r — the at-risk counts come
+    * from a suffix window over the FULL dur × group grid (grid
+    * fan-out, so a dur absent from one group still sees that group's
+    * correct risk set). O1 = Σd1 is exact BIGINT; the expectation and
+    * hypergeometric variance terms are each ONE shared IEEE
+    * expression over exact-count doubles, floor-quantized at 1e6 and
+    * summed as BIGINT (the kruskal-H order-free-Σ rule; a raw double
+    * Σ over event times is addend-order-dependent), with the r ≤ 1
+    * variance guard in both texts. z = (O1 − E1)/√V from the
+    * quantized sums; NULL when V = 0. */
+  def survLogRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val hor = ev.agg(max(col("ts")).as("end_ts"))
+    val obs = per.crossJoin(broadcast(hor))
+      .select((col("user_id") % 2).as("grp"),
+        expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+          " div 86400000000").as("dur"),
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 7 DAYS"))
+          .as("censored"))
+      .localCheckpoint(eager = false) // durs + the two group counts
+    val durs = obs.groupBy(col("dur"), col("grp"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out + counts
+    val grid = durs.select(col("dur")).distinct()
+      .crossJoin(broadcast(durs.select(col("grp")).distinct()))
+      .join(durs, Seq("dur", "grp"), "left")
+      .na.fill(0L, Seq("d", "c"))
+    val wR = Window.partitionBy(col("grp")).orderBy(col("dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = grid.withColumn("r_g", sum(col("d") + col("c")).over(wR))
+    val byT = risk.groupBy(col("dur"))
+      .agg(sum(col("d")).as("d"), sum(col("r_g")).as("r"),
+        sum(when(col("grp") === 0L, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("grp") === 0L, col("r_g")).otherwise(0L)).as("r1"))
+    def dd(c: Column) = c.cast("double")
+    val p1 = dd(col("d")) * dd(col("r1")) / dd(col("r"))
+    val vt = dd(col("d")) * (dd(col("r1")) / dd(col("r"))) *
+      (lit(1.0) - dd(col("r1")) / dd(col("r"))) *
+      (dd(col("r")) - dd(col("d"))) / (dd(col("r")) - lit(1.0))
+    val s = byT.agg(sum(col("d1")).as("o1"), sum(col("d")).as("d_tot"),
+      sum(floor(p1 * lit(1000000.0)).cast("long")).as("e1q"),
+      sum(when(col("r") > 1L,
+        floor(vt * lit(1000000.0)).cast("long")).otherwise(0L)).as("vq"))
+    val n1 = obs.where(col("grp") === 0L).groupBy()
+      .agg(count(lit(1)).as("n1"))
+    val n2 = obs.where(col("grp") =!= 0L).groupBy()
+      .agg(count(lit(1)).as("n2"))
+    s.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("n1"), col("n2"), col("o1"),
+        Det.r4(dd(col("e1q")) / lit(1000000.0)).as("e1"),
+        when(col("vq") > 0L,
+          Det.r4((dd(col("o1")) - dd(col("e1q")) / lit(1000000.0)) /
+            sqrt(dd(col("vq")) / lit(1000000.0))))
+          .otherwise(lit(null)).as("z"))
+  }
+
   /** NELSON–AALEN CUMULATIVE HAZARD — the additive twin of
     * [[kaplanMeier]] over the same lifetime/censoring table:
     * H(t) = Σ_{durᵢ ≤ t} dᵢ/rᵢ. A windowed running double-sum is NOT
@@ -3234,6 +3297,39 @@ object RelationalOps {
       .orderBy("t")
   }
 
+  /** PER-SOURCE TOTAL-VARIATION drift — [[tvDrift]]'s L1 kernel keyed
+    * by corpus source with the [[ksBySource]] LEAVE-ONE-OUT reference
+    * (each source's n_chars distribution vs all other sources), and
+    * the reference counts DERIVED off one histogram (c2 = total −
+    * own), never a second scan. Exact Σ|c1·m − c2·n| per source in
+    * DECIMAL(38,0)/HUGEINT; one IEEE division. */
+  def tvBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false) // totals + sources + grid join
+    val tot = g.groupBy(col("n_chars")).agg(sum(col("c1")).as("ct"))
+    val sources = g.select(col("source")).distinct()
+    val grid = broadcast(sources).crossJoin(tot)
+      .join(g, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c1"))
+      .withColumn("c2", col("ct") - col("c1"))
+      .localCheckpoint(eager = false) // totals + the |…| accumulation
+    val nm = grid.groupBy(col("source"))
+      .agg(sum(col("c1")).as("n"), sum(col("c2")).as("m"))
+    def d(c: Column) = c.cast("double")
+    grid.join(nm, "source")
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        sum(abs(col("c1") * col("m") - col("c2") * col("n"))
+          .cast("decimal(38,0)")).as("tv_dec"))
+      .select(col("source"), col("n"), col("m"),
+        col("tv_dec").cast("long").as("tv_num"),
+        Det.r4(col("tv_dec").cast("double") /
+          (lit(2.0) * d(col("n")) * d(col("m")))).as("tv"))
+      .orderBy("source")
+  }
+
   /** PER-SOURCE KS DRIFT — the [[ksDrift]] kernel keyed by corpus
     * source with a LEAVE-ONE-OUT reference: each source's document-
     * length (n_chars) distribution against all OTHER sources — the
@@ -3456,6 +3552,8 @@ object RelationalOps {
     "q_agg_skewkurt" -> aggSkewKurt _,
     "q_surv_km" -> kaplanMeier _,
     "q_surv_na" -> nelsonAalen _,
+    "q_surv_logrank" -> survLogRank _,
+    "q_agg_tv_by_source" -> tvBySource _,
     "q_agg_corr" -> aggCorr _,
     "q_agg_mannwhitney" -> aggMannWhitney _,
     "q_rel_skew_report" -> skewReport _,
@@ -4399,6 +4497,94 @@ object RelationalOps {
         |FROM com
         |ORDER BY ra_q DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
         |LIMIT 15""".stripMargin,
+    "q_surv_logrank" -> {
+      val rr = "CAST(r1 AS DOUBLE) / CAST(r AS DOUBLE)"
+      val p1 = s"CAST(d AS DOUBLE) * $rr"
+      val vt = s"CAST(d AS DOUBLE) * ($rr) * (1.0 - $rr) * " +
+        "(CAST(r AS DOUBLE) - CAST(d AS DOUBLE)) / " +
+        "(CAST(r AS DOUBLE) - 1.0)"
+      val z = Det.r4Sql(
+        "(CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000.0) / " +
+          "sqrt(CAST(vq AS DOUBLE) / 1000000.0)")
+      s"""WITH per AS MATERIALIZED (
+        |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |hor AS (SELECT max(ts) AS end_ts FROM events),
+        |obs AS MATERIALIZED (
+        |  SELECT user_id % 2 AS grp,
+        |         (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
+        |           AS dur,
+        |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
+        |  FROM per CROSS JOIN hor),
+        |durs AS MATERIALIZED (
+        |  SELECT dur, grp,
+        |         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS d,
+        |         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS c
+        |  FROM obs GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT dg.dur, gg.grp, COALESCE(d, 0) AS d, COALESCE(c, 0) AS c
+        |  FROM (SELECT DISTINCT dur FROM durs) dg
+        |  CROSS JOIN (SELECT DISTINCT grp FROM durs) gg
+        |  LEFT JOIN durs ON durs.dur = dg.dur AND durs.grp = gg.grp),
+        |risk AS (
+        |  SELECT dur, grp, d,
+        |         CAST(sum(d + c) OVER (PARTITION BY grp
+        |           ORDER BY dur NULLS FIRST
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS BIGINT) AS r_g
+        |  FROM grid),
+        |bt AS (
+        |  SELECT dur, CAST(sum(d) AS BIGINT) AS d,
+        |         CAST(sum(r_g) AS BIGINT) AS r,
+        |         CAST(sum(CASE WHEN grp = 0 THEN d ELSE 0 END) AS BIGINT)
+        |           AS d1,
+        |         CAST(sum(CASE WHEN grp = 0 THEN r_g ELSE 0 END) AS BIGINT)
+        |           AS r1
+        |  FROM risk GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |         CAST(sum(CAST(floor(($p1) * 1000000.0) AS BIGINT))
+        |           AS BIGINT) AS e1q,
+        |         CAST(sum(CASE WHEN r > 1 THEN
+        |             CAST(floor(($vt) * 1000000.0) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS vq
+        |  FROM bt),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM obs
+        |       WHERE grp = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM obs
+        |       WHERE grp <> 0)
+        |SELECT n1, n2, o1,
+        |       ${Det.r4Sql("CAST(e1q AS DOUBLE) / 1000000.0")} AS e1,
+        |       CASE WHEN vq > 0 THEN $z ELSE NULL END AS z
+        |FROM s CROSS JOIN na CROSS JOIN nb""".stripMargin
+    },
+    "q_agg_tv_by_source" -> {
+      val tv = Det.r4Sql("CAST(tvd AS DOUBLE) / " +
+        "(2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE))")
+      s"""WITH g AS MATERIALIZED (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c1
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT n_chars, CAST(sum(c1) AS BIGINT) AS ct
+        |        FROM g GROUP BY 1),
+        |src AS (SELECT DISTINCT source FROM g),
+        |grid AS MATERIALIZED (
+        |  SELECT src.source, tot.n_chars, COALESCE(g.c1, 0) AS c1,
+        |         tot.ct - COALESCE(g.c1, 0) AS c2
+        |  FROM src CROSS JOIN tot
+        |  LEFT JOIN g ON g.source = src.source
+        |    AND g.n_chars = tot.n_chars),
+        |nm AS (SELECT source, CAST(sum(c1) AS BIGINT) AS n,
+        |              CAST(sum(c2) AS BIGINT) AS m
+        |       FROM grid GROUP BY 1),
+        |s AS (SELECT grid.source, max(n) AS n, max(m) AS m,
+        |             CAST(sum(abs(c1 * m - c2 * n)) AS BIGINT) AS tvd
+        |      FROM grid JOIN nm ON nm.source = grid.source
+        |      GROUP BY 1)
+        |SELECT source, n, m, tvd AS tv_num, $tv AS tv
+        |FROM s ORDER BY source NULLS FIRST""".stripMargin
+    },
     "q_agg_tv_drift" -> {
       val tv = Det.r4Sql("CAST(tvd AS DOUBLE) / " +
         "(2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE))")

@@ -56,6 +56,10 @@ object Soak {
         (() => graft.rel.RelationalOps.kcoreConverged(spark, sfDir)),
       "jaccard_capped" ->
         (() => graft.rel.RelationalOps.partJaccardCapped(spark, sfDir)),
+      "resource_alloc_capped" ->
+        (() => graft.rel.RelationalOps.partResourceAllocCapped(spark, sfDir)),
+      "components_pd" ->
+        (() => graft.rel.RelationalOps.partComponentsPd(spark, sfDir)),
       "semdedup_clustered" ->
         (() => graft.llm.VectorOps.semDedupClustered(spark, sfDir)))
     val times = ops.map { case (name, f) =>
