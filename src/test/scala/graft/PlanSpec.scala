@@ -530,6 +530,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("spearman: rank windows run on value-grain histograms, not raw") {
+    val p = plan("q_agg_spearman")
+    assert(p.contains("partial_"),
+      s"histogram aggregates must be partial:\n$p")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"rank windows must consume the histogram aggregate:\n$p")
+  }
+
+  test("tv family: histogram-grain sums are partial; no cartesian") {
+    // the broadcast baseline fan-out lives UPSTREAM of the merged
+    // grid's localCheckpoint (plan-visibility rule — same as the
+    // jaccard split), so the visible plan is judged on the exact-sum
+    // aggregation shape; the fan-out broadcast is asserted on the
+    // pre-checkpoint construction below
+    for (q <- Seq("q_agg_tv_drift", "q_agg_tv_by_source")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: no partial aggregation:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+    }
+    import org.apache.spark.sql.functions._
+    val base = graft.io.Tables.events(spark, sf)
+      .where(col("event_type") === "view")
+      .groupBy(col("value")).agg(count(lit(1)).as("c2"))
+    val types = graft.io.Tables.events(spark, sf)
+      .select(col("event_type").as("t")).distinct()
+    val fan = broadcast(types).crossJoin(base)
+      .queryExecution.executedPlan.toString
+    assert(fan.contains("BroadcastNestedLoop") ||
+      fan.contains("BroadcastHashJoin"),
+      s"baseline fan-out must broadcast the type list:\n$fan")
+  }
+
+  test("logrank: dur x group grid fan-out broadcasts; no cartesian") {
+    val p = plan("q_surv_logrank")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoop"),
+      s"grid fan-out must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("tpch completion five: dims broadcast, date filter pushed") {
     Seq("q_tpch_mincost", "q_tpch_profit", "q_tpch_suppcnt").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin"),
