@@ -39,6 +39,35 @@ object TextOps {
           .as("nd_tokset"))
       .orderBy("lang")
 
+  /** EXACT-DUP RATE BY SOURCE — the per-feed duplication scorecard a
+    * corpus operator reads before weighting sources: per source, doc
+    * count, distinct text hashes, docs sharing a hash WITHIN the
+    * source, and docs whose hash also appears in ANOTHER source
+    * (cross-feed mirror content — the syndication signal). One
+    * (source, md5) histogram feeds everything; the global side is a
+    * hash-keyed aggregate of the same relation (vocabulary-shaped
+    * shuffle, the exactDedup scale posture). Rates are one IEEE
+    * division of exact BIGINTs each. */
+  def dupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables.documents(spark, sfDir)
+      .select(col("source"), md5(lower(col("text"))).as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // global hash counts + per-source
+    val glob = h.groupBy(col("h")).agg(count(lit(1)).as("nsrc"))
+    def d(c: Column) = c.cast("double")
+    h.join(glob, "h")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("n_dup_in"),
+        sum(when(col("nsrc") > 1L, col("c")).otherwise(0L)).as("n_cross"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("n_dup_in"), col("n_cross"),
+        Det.r4(d(col("n_dup_in")) / d(col("n_docs"))).as("dup_in_rate"),
+        Det.r4(d(col("n_cross")) / d(col("n_docs"))).as("cross_rate"))
+      .orderBy("source")
+  }
+
   private val SegTokens = 20
 
   /** Segment-level exact dedup accounting (the "Deduplicating Training
@@ -1636,6 +1665,7 @@ object TextOps {
     "q_llm_lm_novelty" -> lmNovelty _,
     "q_llm_vocab_zipf" -> vocabZipf _,
     "q_llm_vocab_growth" -> vocabGrowth _,
+    "q_llm_dup_rate_by_source" -> dupRateBySource _,
     "q_llm_edit_neardup" -> editNearDup _,
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
@@ -1993,6 +2023,29 @@ object TextOps {
         |       count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS occurrences
         |FROM tf GROUP BY 1
         |ORDER BY magnitude NULLS FIRST""".stripMargin,
+    "q_llm_dup_rate_by_source" -> {
+      val din = Det.r4Sql(
+        "CAST(n_dup_in AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+      val dx = Det.r4Sql(
+        "CAST(n_cross AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+      s"""WITH h AS MATERIALIZED (
+        |  SELECT source, md5(lower(text)) AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS nsrc
+        |      FROM h GROUP BY 1),
+        |s AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_unique,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |           AS n_dup_in,
+        |         CAST(sum(CASE WHEN nsrc > 1 THEN c ELSE 0 END) AS BIGINT)
+        |           AS n_cross
+        |  FROM h JOIN g USING (h) GROUP BY 1)
+        |SELECT source, n_docs, n_unique, n_dup_in, n_cross,
+        |       $din AS dup_in_rate, $dx AS cross_rate
+        |FROM s ORDER BY source NULLS FIRST""".stripMargin
+    },
     "q_llm_vocab_growth" ->
       """WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents),
         |dd AS MATERIALIZED (

@@ -2143,6 +2143,42 @@ object RelationalOps {
       .orderBy("o_orderpriority")
   }
 
+  /** ODDS RATIO + RELATIVE RISK for the 2×2 exposure/outcome table —
+    * the A/B-test effect sizes beside [[aggCramersV]]'s symmetric
+    * association: exposure = user parity (the experiment-arm stand-in
+    * this fixture affords), outcome = converted (any purchase). The
+    * four cells are exact BIGINTs off one per-user pass; OR =
+    * (a·d)/(b·c) and RR = (a/(a+b))/(c/(c+d)) multiply AFTER the
+    * double casts (the skew-ratio overflow rule — a BIGINT a·d
+    * product dies at ~3×10⁹ users per cell) and report NULL on an
+    * empty denominator cell in both engines. */
+  def aggOddsRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select((col("user_id") % 2 === 0).as("exposed"), col("conv"))
+    val s = per.agg(
+      sum(when(col("exposed") && col("conv") === 1L, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("exposed") && col("conv") === 0L, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(!col("exposed") && col("conv") === 1L, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(!col("exposed") && col("conv") === 0L, 1L).otherwise(0L))
+        .as("d"))
+    val orv = d(col("a")) * d(col("d")) / (d(col("b")) * d(col("c")))
+    val rr = (d(col("a")) / (d(col("a")) + d(col("b")))) /
+      (d(col("c")) / (d(col("c")) + d(col("d"))))
+    s.select(col("a"), col("b"), col("c"), col("d"),
+      when(col("b") > 0L && col("c") > 0L, Det.r4(orv))
+        .otherwise(lit(null)).as("odds_ratio"),
+      when(col("c") > 0L && col("a") + col("b") > 0L &&
+          col("c") + col("d") >= 0L, Det.r4(rr))
+        .otherwise(lit(null)).as("rel_risk"))
+  }
+
   /** TUKEY-FENCE OUTLIER AUDIT per order priority — the boxplot read:
     * exact integer-rank quartiles (the [[aggBowleySkew]] selection),
     * fences at Q1 − 1.5·IQR and Q3 + 1.5·IQR computed in ONE shared
@@ -3522,6 +3558,7 @@ object RelationalOps {
     "q_agg_tv_drift" -> tvDrift _,
     "q_agg_bowley_skew" -> aggBowleySkew _,
     "q_agg_tukey_outliers" -> aggTukeyOutliers _,
+    "q_agg_odds_ratio" -> aggOddsRatio _,
     "q_part_resource_alloc_capped" ->
       ((s: SparkSession, d: String) => partResourceAllocCapped(s, d)),
     "q_part_components" -> partComponents _,
@@ -4636,6 +4673,34 @@ object RelationalOps {
         |FROM qa JOIN qb ON qb.p = qa.p JOIN qc ON qc.p = qa.p
         |JOIN n ON n.p = qa.p
         |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+    },
+    "q_agg_odds_ratio" -> {
+      val orv = "CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / " +
+        "(CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+      val rr = "(CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + " +
+        "CAST(b AS DOUBLE))) / (CAST(c AS DOUBLE) / " +
+        "(CAST(c AS DOUBLE) + CAST(d AS DOUBLE)))"
+      s"""WITH per AS (
+        |  SELECT user_id % 2 = 0 AS exposed,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS conv
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN exposed AND conv = 1 THEN 1 ELSE 0
+        |           END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN exposed AND conv = 0 THEN 1 ELSE 0
+        |           END) AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN NOT exposed AND conv = 1 THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN NOT exposed AND conv = 0 THEN 1
+        |           ELSE 0 END) AS BIGINT) AS d
+        |  FROM per)
+        |SELECT a, b, c, d,
+        |       CASE WHEN b > 0 AND c > 0 THEN ${Det.r4Sql(orv)}
+        |       ELSE NULL END AS odds_ratio,
+        |       CASE WHEN c > 0 AND a + b > 0 AND c + d >= 0
+        |       THEN ${Det.r4Sql(rr)} ELSE NULL END AS rel_risk
+        |FROM s""".stripMargin
     },
     "q_agg_tukey_outliers" -> {
       s"""WITH g AS MATERIALIZED (
