@@ -68,6 +68,34 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** LENGTH-GINI BY SOURCE — corpus-mass concentration per feed: a
+    * source whose Gini spikes is one where a few giant documents carry
+    * most of the characters (one bad concat artifact dominates
+    * training mass). The revenueGini discipline on integer lengths:
+    * rank docs within source under the total (n_chars, doc_id) order,
+    * then G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with Σi·x in exact
+    * DECIMAL(38,0)/HUGEINT (i·x per row stays in BIGINT to ~10⁹ docs
+    * × 10⁹ chars) and one IEEE expression at the end. Per-source rank
+    * windows; the offset-seeded rankWalk is this family's documented
+    * scale path. */
+  def lengthGiniBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("x"), col("doc_id"))
+    def d(c: Column) = c.cast("double")
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("s0"),
+        sum((col("i") * col("x")).cast("decimal(38,0)")).as("s1d"))
+      .select(col("source"), col("n_docs"), col("s0").as("total_chars"),
+        Det.r4((lit(2.0) * col("s1d").cast("double") -
+          d(col("n_docs") + lit(1L)) * d(col("s0"))) /
+          (d(col("n_docs")) * d(col("s0")))).as("gini"))
+      .orderBy("source")
+  }
+
   private val SegTokens = 20
 
   /** Segment-level exact dedup accounting (the "Deduplicating Training
@@ -1666,6 +1694,7 @@ object TextOps {
     "q_llm_vocab_zipf" -> vocabZipf _,
     "q_llm_vocab_growth" -> vocabGrowth _,
     "q_llm_dup_rate_by_source" -> dupRateBySource _,
+    "q_llm_length_gini" -> lengthGiniBySource _,
     "q_llm_edit_neardup" -> editNearDup _,
     "q_llm_repetition" -> repetition _,
     "q_llm_split" -> trainValSplit _,
@@ -2023,6 +2052,25 @@ object TextOps {
         |       count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS occurrences
         |FROM tf GROUP BY 1
         |ORDER BY magnitude NULLS FIRST""".stripMargin,
+    "q_llm_length_gini" -> {
+      val g = Det.r4Sql(
+        "(2.0 * CAST(s1d AS DOUBLE) - " +
+          "CAST(n_docs + 1 AS DOUBLE) * CAST(s0 AS DOUBLE)) / " +
+          "(CAST(n_docs AS DOUBLE) * CAST(s0 AS DOUBLE))")
+      s"""WITH r AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars NULLS FIRST, doc_id NULLS FIRST)
+        |           AS BIGINT) AS i
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(x) AS BIGINT) AS s0,
+        |         CAST(sum(i * x) AS HUGEINT) AS s1d
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_docs, s0 AS total_chars, $g AS gini
+        |FROM s ORDER BY source NULLS FIRST""".stripMargin
+    },
     "q_llm_dup_rate_by_source" -> {
       val din = Det.r4Sql(
         "CAST(n_dup_in AS DOUBLE) / CAST(n_docs AS DOUBLE)")

@@ -891,6 +891,55 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** SEASONAL MANN–KENDALL (Hirsch–Slack 1984) per series — the
+    * seasonality-robust trend monitor: the plain [[mannKendall]]
+    * confounds a diurnal cycle with trend, so pairs are compared only
+    * WITHIN the same hour-of-day season and the exact per-season S
+    * and 18·Var sums ADD across seasons (independence assumption of
+    * the published test). Mechanically it is [[mannKendall]] with
+    * `hod` added to every key: the pair join is O(Σ seasons
+    * (buckets/24)²) — 24× cheaper than the unstratified join — and S,
+    * var18 stay exact BIGINTs; z is the identical continuity-
+    * corrected IEEE text over the summed integers. */
+  def seasonalMannKendall(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .withColumn("hod", hour(col("bucket")))
+      .localCheckpoint(eager = false) // pair join + n + tie grouping
+    val b = h1.select(col("event_type"), col("hod"),
+      col("bucket").as("bucket2"), col("v").as("v2"))
+    val pairs = h1.join(b, Seq("event_type", "hod"))
+      .where(col("bucket") < col("bucket2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("v2") > col("v"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("v2") < col("v"), 1L).otherwise(0L)).as("nm"))
+    val nG = h1.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_g"))
+    val tG = h1.groupBy(col("event_type"), col("hod"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("tcorr_g"))
+    val varS = nG.join(tG, Seq("event_type", "hod"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seasons"), sum(col("n_g")).as("n"),
+        sum(col("n_g") * (col("n_g") - 1) * (col("n_g") * 2 + 5) -
+          col("tcorr_g")).as("var18"))
+    pairs.join(varS, "event_type")
+      .select(col("event_type"), col("n_seasons"), col("n"),
+        (col("np") - col("nm")).as("s_stat"), col("var18"))
+      .select(col("event_type"), col("n_seasons"), col("n"),
+        col("s_stat"), col("var18"),
+        Det.r4(when(col("s_stat") > 0,
+          (col("s_stat").cast("double") - lit(1.0)) /
+            sqrt(col("var18").cast("double") / lit(18.0)))
+          .when(col("s_stat") < 0,
+            (col("s_stat").cast("double") + lit(1.0)) /
+              sqrt(col("var18").cast("double") / lit(18.0)))
+          .otherwise(lit(0.0))).as("z"))
+      .orderBy("event_type")
+  }
+
   /** Strict inversions in `a` (pairs i<j with a(i) > a(j)) by counting
     * mergesort — O(n log n), mutates its input. */
   private[graft] def countInversions(a: Array[Double]): Long = {
@@ -3432,6 +3481,7 @@ object TimeSeriesOps {
     "q_ts_kendall" -> kendallTau _,
     "q_ts_kendall_fast" -> kendallTauFast _,
     "q_ts_mannkendall" -> mannKendall _,
+    "q_ts_seasonal_mk" -> seasonalMannKendall _,
     "q_ts_lttb" -> lttb _,
     "q_ts_lttb_count" -> lttbCount _,
     "q_ts_somers_d" -> somersD _,
@@ -4430,6 +4480,50 @@ object TimeSeriesOps {
         |  FROM p JOIN n1 ON p.event_type = n1.event_type
         |  JOIN t1 ON p.event_type = t1.event_type)
         |SELECT event_type, n, s_stat, var18,
+        |       ${Det.r4Sql(z)} AS z
+        |FROM f
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_seasonal_mk" -> {
+      val z = "CASE WHEN s_stat > 0 THEN " +
+        "(CAST(s_stat AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+        "WHEN s_stat < 0 THEN " +
+        "(CAST(s_stat AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+        "ELSE 0.0 END"
+      s"""WITH h1 AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         hour(date_trunc('hour', ts)) AS hod,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS np,
+        |         CAST(sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS nm
+        |  FROM h1 a JOIN h1 b ON a.event_type = b.event_type
+        |    AND a.hod = b.hod AND a.bucket < b.bucket
+        |  GROUP BY 1),
+        |ng AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_g
+        |       FROM h1 GROUP BY 1, 2),
+        |tg AS (SELECT event_type, hod,
+        |         CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT)
+        |           AS tcorr_g
+        |       FROM (SELECT event_type, hod, v,
+        |               CAST(count(*) AS BIGINT) AS t
+        |             FROM h1 GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |vs AS (
+        |  SELECT ng.event_type, CAST(count(*) AS BIGINT) AS n_seasons,
+        |         CAST(sum(n_g) AS BIGINT) AS n,
+        |         CAST(sum(n_g * (n_g - 1) * (n_g * 2 + 5) - tcorr_g)
+        |           AS BIGINT) AS var18
+        |  FROM ng JOIN tg ON tg.event_type = ng.event_type
+        |    AND tg.hod = ng.hod
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT p.event_type, n_seasons, n, np - nm AS s_stat, var18
+        |  FROM p JOIN vs ON p.event_type = vs.event_type)
+        |SELECT event_type, n_seasons, n, s_stat, var18,
         |       ${Det.r4Sql(z)} AS z
         |FROM f
         |ORDER BY event_type NULLS FIRST""".stripMargin
