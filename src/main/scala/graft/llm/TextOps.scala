@@ -960,6 +960,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010) over the corpus — the
+    * classic unsupervised keyword op every doc-understanding pipeline
+    * carries: candidate phrases are maximal stopword-free runs, each
+    * word scores deg/freq (deg = Σ phrase length over its phrases,
+    * freq = occurrences — both exact integers), and a phrase scores
+    * the sum of its words' scores. Determinism discipline: the word
+    * score quantizes as (deg·10¹²) div freq BIGINT, per-occurrence
+    * phrase scores are BIGINT sums of those quanta, and identical
+    * phrase text ⇒ identical words ⇒ identical score, so the corpus
+    * grouping is exact. Shape: one posexplode pass, a per-doc
+    * cumulative window for phrase ids (doc-grain, embarrassingly
+    * parallel), two vocabulary-keyed aggregates, one equi-join —
+    * never a self-join. Top-20 under the (score_q DESC, phrase)
+    * total order. */
+  def rakeKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("a", "the", "of", "and", "to", "in", "is")
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = words
+      .withColumn("pid",
+        sum(when(col("w").isin(stop: _*), 1L).otherwise(0L)).over(wSeg))
+      .where(!col("w").isin(stop: _*))
+    val phrases = seg.groupBy(col("doc_id"), col("pid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w"))))
+        .as("ws"))
+      .select(col("doc_id"), col("pid"),
+        expr("array_join(transform(ws, x -> x.w), ' ')").as("phrase"),
+        size(col("ws")).cast("long").as("n_words"))
+    val pw = phrases
+      .select(col("doc_id"), col("pid"), col("phrase"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .localCheckpoint(eager = false) // word stats + scoring join
+    val ws = pw.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .select(col("w"),
+        expr("(deg * 1000000000000L) div freq").as("wscore_q"))
+    val occ = pw.join(ws, "w")
+      .groupBy(col("doc_id"), col("pid"), col("phrase"), col("n_words"))
+      .agg(sum(col("wscore_q")).as("score_q"))
+    occ.groupBy(col("phrase"), col("n_words"), col("score_q"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score_q"),
+        Det.r4(col("score_q").cast("double") / lit(1.0e12)).as("score"))
+      .orderBy(col("score_q").desc, col("phrase"))
+      .limit(20)
+  }
+
   /** Vocabulary ZIPF profile — the corpus-health shape check (a missing
     * tail means over-aggressive dedup; a bloated head means boilerplate
     * flooding): token frequencies histogram by decimal MAGNITUDE — the
@@ -1001,6 +1052,63 @@ object TextOps {
       .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
       .select(col("doc_id"), expr("((rn - 1) * 10) div nd").as("dk"))
       .localCheckpoint(eager = false) // doc counts + token join
+    vocabGrowthFrom(d, deciles)
+  }
+
+  /** DISTRIBUTED-RANK production twin of [[vocabGrowth]] (the r13
+    * doc-rank residue): the exact form's decile grid rides a GLOBAL
+    * `Window.orderBy(doc_id)` — a single-partition sort of every doc id,
+    * the wrong shape past one executor's worth of documents. This twin
+    * derives the SAME integer ranks with the two-pass distributed rank
+    * ([[graft.rel.RelationalOps.exactQuantilesDistributed]]'s
+    * scaffolding): range-partition the (unique) doc ids, count per
+    * partition, collect only the P partition totals into broadcast
+    * prefix offsets, then emit rank = offset + local position during one
+    * sorted partition walk. Ranks — and therefore deciles, and therefore
+    * every downstream integer — are IDENTICAL to the window form's by
+    * uniqueness of doc_id, so it registers against the SAME oracle SQL
+    * (the rfm_segments_dist precedent) and is spec'd row-equal at
+    * several partition counts. Driver traffic is P longs. */
+  def vocabGrowthDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = false) // rank pass + token explode
+    val ids = d.select(col("doc_id")).as[Long]
+      .repartitionByRange(partitions, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint(eager = false) // totals pass + rank pass
+    val partTotals = ids.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = 0L
+      it.foreach(_ => t += 1L)
+      Iterator((pid, t))
+    }.collect().toMap
+    val n = partTotals.values.sum
+    val offsets = (0 until partitions).map { p =>
+      p -> (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum
+    }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcN = spark.sparkContext.broadcast(n)
+    val deciles = ids.mapPartitions { it =>
+        var rn = bcOff.value(
+          org.apache.spark.TaskContext.getPartitionId())
+        it.map { id =>
+          rn += 1L
+          (id, (rn - 1L) * 10L / bcN.value)
+        }
+      }
+      .toDF("doc_id", "dk")
+      .localCheckpoint(eager = false) // doc counts + token join
+    vocabGrowthFrom(d, deciles)
+  }
+
+  /** Shared tail of [[vocabGrowth]] / [[vocabGrowthDistributed]]: the
+    * corpus token pass, first-seen vocabulary aggregate and 10-row
+    * cumulative grid over a caller-supplied (doc_id, dk) decile map. */
+  private def vocabGrowthFrom(d: DataFrame, deciles: DataFrame)
+      : DataFrame = {
     val toks = d
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .join(deciles, "doc_id")
@@ -1693,6 +1801,9 @@ object TextOps {
     "q_llm_lm_novelty" -> lmNovelty _,
     "q_llm_vocab_zipf" -> vocabZipf _,
     "q_llm_vocab_growth" -> vocabGrowth _,
+    "q_llm_vocab_growth_dist" ->
+      ((s: SparkSession, d: String) => vocabGrowthDistributed(s, d)),
+    "q_llm_rake_keywords" -> rakeKeywords _,
     "q_llm_dup_rate_by_source" -> dupRateBySource _,
     "q_llm_length_gini" -> lengthGiniBySource _,
     "q_llm_edit_neardup" -> editNearDup _,
@@ -1723,7 +1834,7 @@ object TextOps {
 
   import Det.r4Sql
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q_llm_gopher_rules" ->
       s"""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
         |           FROM documents),
@@ -2093,6 +2204,46 @@ object TextOps {
         |SELECT source, n_docs, n_unique, n_dup_in, n_cross,
         |       $din AS dup_in_rate, $dx AS cross_rate
         |FROM s ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "q_llm_rake_keywords" -> {
+      val stop = "('a', 'the', 'of', 'and', 'to', 'in', 'is')"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |w AS MATERIALIZED (
+        |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,
+        |         unnest(ws) AS w
+        |  FROM t),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id, pos, w,
+        |         CAST(sum(CASE WHEN w IN $stop THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS pid
+        |  FROM w),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, pid,
+        |         string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |         CAST(count(*) AS BIGINT) AS n_words
+        |  FROM s WHERE w NOT IN $stop GROUP BY 1, 2),
+        |pw AS MATERIALIZED (
+        |  SELECT doc_id, pid, phrase, n_words,
+        |         unnest(string_split(phrase, ' ')) AS w
+        |  FROM ph),
+        |ws AS MATERIALIZED (
+        |  SELECT w, (CAST(sum(n_words) AS BIGINT) * 1000000000000)
+        |           // CAST(count(*) AS BIGINT) AS wscore_q
+        |  FROM pw GROUP BY 1),
+        |os AS (
+        |  SELECT doc_id, pid, phrase, n_words,
+        |         CAST(sum(wscore_q) AS BIGINT) AS score_q
+        |  FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3, 4)
+        |SELECT phrase, n_words,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences, score_q,
+        |       ${r4Sql("CAST(score_q AS DOUBLE) / 1000000000000.0")}
+        |         AS score
+        |FROM os GROUP BY 1, 2, 4
+        |ORDER BY score_q DESC NULLS LAST, phrase NULLS FIRST
+        |LIMIT 20""".stripMargin
     },
     "q_llm_vocab_growth" ->
       """WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents),
@@ -2479,5 +2630,12 @@ object TextOps {
         |ORDER BY overlap DESC NULLS LAST, a_id NULLS FIRST,
         |         b_id NULLS FIRST
         |LIMIT 50""".stripMargin
+  )
+
+  // the distributed-rank twin produces IDENTICAL rows by construction
+  // (unique doc_id ⇒ identical integer ranks), so it is judged against
+  // the exact form's SQL verbatim — the rfm_segments_dist precedent
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q_llm_vocab_growth_dist" -> oracleSqlBase("q_llm_vocab_growth")
   )
 }

@@ -953,6 +953,114 @@ object RelationalOps {
       .select(col("node"), col("outdeg"), col("r").as("rank_scaled"))
   }
 
+  /** One HITS round on the bipartite edge list: authority = in-sum of
+    * hub scores, hub = in-sum of authority scores, each L∞-normalized
+    * in EXACT integers ((x·10⁶) div max — the pagerank quantization,
+    * applied with a broadcast one-row max instead of a damping
+    * constant). BIGINT bound: Σ of 10⁶-scaled scores ≤ 10⁶·indeg and
+    * the ·10⁶ renormalization product holds BIGINT for in-degrees to
+    * ~9·10⁶ — widen the scaled state to DECIMAL(38,0) past that (the
+    * kruskalWallis widening note). */
+  private def hitsRound(edges: DataFrame, h: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val ar = edges.join(h, "c").groupBy(col("s")).agg(sum(col("h")).as("ar"))
+    val am = ar.agg(max(col("ar")).as("am"))
+    val a = ar.crossJoin(broadcast(am))
+      .select(col("s"), expr("(ar * 1000000L) div am").as("a"))
+      .localCheckpoint(eager = false) // hub step + next round + summary
+    val hr = edges.join(a, "s").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+    val hm = hr.agg(max(col("hr")).as("hm"))
+    val h2 = hr.crossJoin(broadcast(hm))
+      .select(col("c"), expr("(hr * 1000000L) div hm").as("h"))
+      .localCheckpoint(eager = false) // next round + summary
+    (a, h2)
+  }
+
+  private def hitsGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    o.join(l, "ok").select(col("c"), col("s")).distinct()
+      .localCheckpoint(eager = false) // both directions, every round
+  }
+
+  private def hitsSummary(a: DataFrame, h: DataFrame): DataFrame = {
+    val top = a.select(lit("authority").as("side"), col("s").as("node"),
+        col("a").as("score_scaled"))
+      .unionByName(h.select(lit("hub").as("side"), col("c").as("node"),
+        col("h").as("score_scaled")))
+    val w = Window.partitionBy(col("side"))
+      .orderBy(col("score_scaled").desc, col("node"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+      .orderBy("side", "rk")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    * customer→supplier purchase graph — the eigenvector centrality
+    * read beside [[partPagerank]]'s: which customers are the broad
+    * "hub" buyers and which suppliers the consensus "authority"
+    * sources. Bipartite edges keep the two scores genuinely distinct
+    * (on a symmetric graph hubs = authorities). Determinism: the
+    * whole iteration is INTEGER-EXACT — 10⁶-scaled scores, in-sums as
+    * BIGINT, L∞ normalization by exact integer division — so 3
+    * unrolled rounds match a DuckDB chained-CTE twin bit-for-bit (the
+    * partPagerank discipline; every CTE MATERIALIZED per the standing
+    * multi-reference rule). Each round is two edge-keyed aggregates +
+    * two broadcast scalar joins — linear in |E|, no wedge blow-up;
+    * [[partHitsConverged]] is the convergence-stopped production
+    * twin. Top-10 per side under the (side, score DESC, node) total
+    * order. */
+  def partHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = hitsGraph(spark, sfDir)
+    var h = edges.select(col("c")).distinct()
+      .withColumn("h", lit(1000000L))
+      .localCheckpoint(eager = false)
+    var a: DataFrame = null
+    for (_ <- 1 to 3) {
+      val (a2, h2) = hitsRound(edges, h)
+      a = a2; h = h2
+    }
+    hitsSummary(a, h)
+  }
+
+  /** The PRODUCTION HITS — [[partHits]]'s kernel, CONVERGENCE-STOPPED
+    * (the partPagerankConverged pattern): iterate the same
+    * integer-exact round until the largest per-node move on EITHER
+    * side is ≤ `tolScaled` (10⁶-scale units) or `maxRounds` caps a
+    * pathological graph; the probe is two scalar max-|Δ| aggregates
+    * per round — driver-synchronized scalars, never data. Returns the
+    * same top-10-per-side summary. SPEC-GATED, not an oracle query
+    * (data-dependent round count): the spec forces the round budget
+    * to the oracle's 3 (tol 0) and proves bit-equality to
+    * [[partHits]], then full convergence under the default cap. */
+  def partHitsConverged(spark: SparkSession, sfDir: String,
+      maxRounds: Int = 30, tolScaled: Long = 100L): DataFrame = {
+    val edges = hitsGraph(spark, sfDir)
+    var h = edges.select(col("c")).distinct()
+      .withColumn("h", lit(1000000L))
+      .localCheckpoint(eager = false)
+    var a: DataFrame = edges.select(col("s")).distinct()
+      .withColumn("a", lit(1000000L))
+      .localCheckpoint(eager = false)
+    var rounds = 0
+    var moved = Long.MaxValue
+    while (moved > tolScaled && rounds < maxRounds) {
+      val (a2, h2) = hitsRound(edges, h)
+      val probeA = a2.join(a.select(col("s"), col("a").as("ap")), "s")
+        .agg(max(abs(col("a") - col("ap")))).head
+      val probeH = h2.join(h.select(col("c"), col("h").as("hp")), "c")
+        .agg(max(abs(col("h") - col("hp")))).head
+      moved = math.max(
+        if (probeA.isNullAt(0)) 0L else probeA.getLong(0),
+        if (probeH.isNullAt(0)) 0L else probeH.getLong(0))
+      a = a2; h = h2
+      rounds += 1
+    }
+    hitsSummary(a, h)
+  }
+
   /** TRIANGLE COUNTING over the part co-purchase graph — the local
     * clustering primitive behind community detection and recommender
     * quality reads, on the same oracle slice as [[partPagerank]].
@@ -1531,6 +1639,74 @@ object RelationalOps {
       .limit(15)
   }
 
+  /** DEGREE-CAPPED production twin of [[partPrefAttach]] — closing the
+    * LAST uncapped Σd² wedge join in the graph family (jaccard was the
+    * r11 flag, RA the r12 flag; PA shares the shape byte-for-byte).
+    * PA's value d(u)·d(v) needs only the model-sized degree table, so
+    * the capped twin is the jaccard remedy with an even lighter
+    * verification phase: the hub-side join re-derives ONLY the exact
+    * common-neighbor count (no quantized value sum to carry):
+    *
+    *  1. SMALL apexes (d ≤ cap) fan out full wedges — exact commons,
+    *     volume ≤ cap·E. HUB apexes generate candidates only among
+    *     their `cap` lowest-id neighbors (deterministic by key).
+    *  2. Exact hub-side verification: candidates join FULL hub
+    *     adjacency on (v1) then (v2, apex); common_n = c_small +
+    *     c_hub, and pa_q = d1·d2 comes from the full degree table —
+    *     every emitted value IDENTICAL to the exact query's.
+    *
+    * Same recall contract as the other twins: a true pair is missed
+    * only if every common apex is a hub ranking one endpoint past its
+    * cap-th lowest-id neighbor; cap ≥ max degree is row-identical to
+    * [[partPrefAttach]] (spec'd, with brute-force value equality at
+    * caps 2/4/8). The exact form stays the oracle baseline. */
+  def partPrefAttachCapped(spark: SparkSession, sfDir: String,
+      cap: Int = 64): DataFrame = {
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false) // degree + hub/small split
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
+    val hubs = deg.where(col("d") > cap).select(col("src").as("hub"))
+    val symH = sym.join(hubs, sym("src") === hubs("hub"), "left_semi")
+      .localCheckpoint(eager = false) // capped lists + verify side
+    val symS = sym.join(hubs, sym("src") === hubs("hub"), "left_anti")
+      .localCheckpoint(eager = false) // both wedge sides
+    val cS = symS.select(col("src").as("apex"), col("dst").as("v1"))
+      .join(symS.select(col("src").as("apex"), col("dst").as("v2")),
+        "apex")
+      .where(col("v1") < col("v2"))
+      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("c_small"))
+      .localCheckpoint(eager = false) // candidate union + common join
+    val wR = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val hCap = symH.withColumn("rk", row_number().over(wR))
+      .where(col("rk") <= cap).drop("rk")
+    val hOnly = hCap.select(col("src").as("apex"), col("dst").as("v1"))
+      .join(hCap.select(col("src").as("apex"), col("dst").as("v2")),
+        "apex")
+      .where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+      .join(cS, Seq("v1", "v2"), "left_anti")
+    val cands = cS.select(col("v1"), col("v2")).unionByName(hOnly)
+    val cH = cands
+      .join(symH.select(col("src").as("w"), col("dst").as("v1")), "v1")
+      .join(symH.select(col("src").as("w"), col("dst").as("v2")),
+        Seq("v2", "w"))
+      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("c_hub"))
+    val common = cS.join(cH, Seq("v1", "v2"), "full")
+      .select(col("v1"), col("v2"),
+        (coalesce(col("c_small"), lit(0L)) +
+          coalesce(col("c_hub"), lit(0L))).as("common_n"))
+    common
+      .join(deg.select(col("src").as("v1"), col("d").as("d1")), "v1")
+      .join(deg.select(col("src").as("v2"), col("d").as("d2")), "v2")
+      .select(col("v1"), col("v2"), col("common_n"),
+        (col("d1") * col("d2")).as("pa_q"))
+      .orderBy(col("pa_q").desc, col("v1"), col("v2"))
+      .limit(15)
+  }
+
   /** Interval join: events bucketed into a 7-day window grid. The grid is
     * a handful of rows → broadcast; empty windows survive via left join. */
   def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1985,6 +2161,216 @@ object RelationalOps {
         when(corr > lit(0.0), Det.r4(h / corr))
           .otherwise(lit(null)).as("h_tie"))
       .orderBy("source")
+  }
+
+  /** ONE-WAY ANOVA F — the parametric complement of [[kruskalWallis]]
+    * on the same question shape (does a measure's MEAN differ across
+    * groups): F = (SSB/(k−1))/(SSW/(n−k)) over l_quantity by return
+    * flag. Determinism discipline: per-group moments accumulate
+    * exactly (scaled-BIGINT sums, DECIMAL(38,0) sums of squares — the
+    * assortativity widening, safe at any corpus size), all means are
+    * single IEEE divisions of exact-rounded doubles, and the
+    * between-group sum Σ nᵢ(mᵢ−m)² — the one group-ORDER-dependent
+    * double Σ — is floor-quantized at 1e6 per group and summed as
+    * BIGINT (the kruskalWallis hq rule; per-group term ≤ nᵢ·range², so
+    * the quantized addend holds BIGINT to ~10¹² rows — document
+    * widening past that). SSW comes from the exact total sum of
+    * squares minus the quantized SSB, so every reported double is
+    * bit-stable cross-engine. NULL F when SSW ≤ 0 or n ≤ k (degenerate
+    * within-variance) in both engines. One aggregation pass + a
+    * broadcast of the k-row moment table. */
+  def aggAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = (col("l_quantity").cast("decimal(18,4)") * lit(10000L))
+      .cast("long")
+    val perG = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("g"), q.as("qi"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_i"), sum(col("qi")).as("s_i"),
+        sum(col("qi").cast("decimal(38,0)") * col("qi")).as("ssq_i"))
+      .localCheckpoint(eager = false) // totals + per-group terms
+    val tot = perG.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("t"),
+      sum(col("ssq_i")).cast("double").as("ssq"))
+    def d(c: Column) = c.cast("double")
+    val mG = d(col("s_i")) / lit(10000.0) / d(col("n_i"))
+    val m = d(col("t")) / lit(10000.0) / d(col("n"))
+    val termG = d(col("n_i")) * (mG - m) * (mG - m)
+    val agg = perG.crossJoin(broadcast(tot))
+      .select(col("n"), col("t"), col("ssq"),
+        floor(termG * lit(1000000.0)).cast("long").as("bq"))
+      .groupBy(col("n"), col("t"), col("ssq"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("bq")).as("bqs"))
+    val ssb = d(col("bqs")) / lit(1000000.0)
+    val tU = d(col("t")) / lit(10000.0)
+    val sstot = col("ssq") / lit(100000000.0) - tU * tU / d(col("n"))
+    val ssw = sstot - ssb
+    val f = (ssb / (d(col("n_groups")) - lit(1.0))) /
+      (ssw / (d(col("n")) - d(col("n_groups"))))
+    agg.select(col("n_groups"), col("n"),
+      Det.r4(ssb).as("ssb"), Det.r4(ssw).as("ssw"),
+      when(col("n") > col("n_groups") && ssw > lit(0.0) &&
+        col("n_groups") > lit(1L), Det.r4(f))
+        .otherwise(lit(null)).as("f"))
+  }
+
+  /** PAIRWISE EFFECT SIZES — Cohen's d and Welch's t for every order
+    * priority pair on o_totalprice: the "is the difference LARGE, not
+    * just significant" read that belongs next to every test in this
+    * family (reviewer-standard practice since Cohen 1988). Per-group
+    * moments accumulate exactly (scaled-BIGINT sums, DECIMAL(38,0)
+    * sums of squares — per-row qi² ≈ 4·10¹⁸ stays in the decimal/
+    * HUGEINT accumulator, the assortativity widening); the k-row
+    * moment table self-joins (broadcast — k groups, k² pairs) and
+    * every output is the same IEEE op sequence over exact-rounded
+    * doubles: sample variances via (ssq − n·m²)/(n−1), pooled sd for
+    * d, per-group sd quotients for Welch. NULL d when the pooled
+    * variance is 0; NULL t when either group is a singleton — both
+    * engines. Total order (g1, g2). */
+  def aggEffectSize(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = (col("o_totalprice").cast("decimal(18,4)") * lit(10000L))
+      .cast("long")
+    val perG = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("g"), q.as("qi"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"),
+        sum(col("qi").cast("decimal(38,0)") * col("qi"))
+          .cast("double").as("ssq"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    def d(c: Column) = c.cast("double")
+    def m(s: Column, n: Column) = d(s) / lit(10000.0) / d(n)
+    def varS(ssq: Column, s: Column, n: Column) =
+      (ssq / lit(100000000.0) -
+        d(n) * m(s, n) * m(s, n)) / (d(n) - lit(1.0))
+    val a = perG.select(col("g").as("g1"), col("n").as("n1"),
+      col("s").as("s1"), col("ssq").as("q1"))
+    val b = perG.select(col("g").as("g2"), col("n").as("n2"),
+      col("s").as("s2"), col("ssq").as("q2"))
+    val m1 = m(col("s1"), col("n1"))
+    val m2 = m(col("s2"), col("n2"))
+    val v1 = varS(col("q1"), col("s1"), col("n1"))
+    val v2 = varS(col("q2"), col("s2"), col("n2"))
+    val vp = ((d(col("n1")) - lit(1.0)) * v1 +
+      (d(col("n2")) - lit(1.0)) * v2) /
+      (d(col("n1")) + d(col("n2")) - lit(2.0))
+    val t = (m1 - m2) /
+      sqrt(v1 / d(col("n1")) + v2 / d(col("n2")))
+    a.join(broadcast(b), col("g1") < col("g2"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        when(col("n1") + col("n2") > lit(2L) && vp > lit(0.0),
+          Det.r4((m1 - m2) / sqrt(vp)))
+          .otherwise(lit(null)).as("cohens_d"),
+        when(col("n1") > lit(1L) && col("n2") > lit(1L) &&
+          v1 + v2 > lit(0.0), Det.r4(t))
+          .otherwise(lit(null)).as("welch_t"))
+      .orderBy("g1", "g2")
+  }
+
+  /** BROWN–FORSYTHE (median-Levene) VARIANCE-EQUALITY TEST — do
+    * document lengths have the same SPREAD across languages? The
+    * robust homoscedasticity companion to [[aggAnova]] (which compares
+    * means): z = |n_chars − median_g| with the per-group median from
+    * EXACT integer-rank selection (first grain value whose running
+    * count reaches ⌈n/2⌉ — the bowley/tukey discipline, no
+    * interpolation), so every deviation is an exact BIGINT and the
+    * whole W statistic runs on the [[aggAnova]] machinery: exact
+    * moment sums (DECIMAL(38,0) squares), per-group between-term
+    * floor-quantized at 1e6 and summed as BIGINT, within-SS from the
+    * exact total minus the quantized between. NULL W when the
+    * within-spread is 0 or n ≤ k — both engines. Two histogram-grain
+    * aggregates + one value-grain join; never a raw-row sort. */
+  def aggBrownForsythe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGV = Tables.documents(spark, sfDir)
+      .groupBy(col("lang").as("g"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // median scan + deviation join
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("g"))
+    val med = byGV
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .where(col("cum") * lit(2L) >= col("n_g"))
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+    val z = byGV.join(med, "g")
+      .select(col("g"), abs(col("v") - col("med")).as("z"), col("c"))
+    val perG = z.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_i"), sum(col("c") * col("z")).as("s_i"),
+        sum(col("c").cast("decimal(38,0)") * col("z") * col("z"))
+          .as("ssq_i"))
+      .localCheckpoint(eager = false) // totals + per-group terms
+    val tot = perG.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("t"),
+      sum(col("ssq_i")).cast("double").as("ssq"))
+    def d(c: Column) = c.cast("double")
+    val mG = d(col("s_i")) / d(col("n_i"))
+    val m = d(col("t")) / d(col("n"))
+    val termG = d(col("n_i")) * (mG - m) * (mG - m)
+    val agg = perG.crossJoin(broadcast(tot))
+      .select(col("n"), col("t"), col("ssq"),
+        floor(termG * lit(1000000.0)).cast("long").as("bq"))
+      .groupBy(col("n"), col("t"), col("ssq"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("bq")).as("bqs"))
+    val ssb = d(col("bqs")) / lit(1000000.0)
+    val sstot = col("ssq") - d(col("t")) * (d(col("t")) / d(col("n")))
+    val ssw = sstot - ssb
+    val w = (ssb / (d(col("n_groups")) - lit(1.0))) /
+      (ssw / (d(col("n")) - d(col("n_groups"))))
+    agg.select(col("n_groups"), col("n"),
+      Det.r4(ssb).as("ssb"), Det.r4(ssw).as("ssw"),
+      when(col("n") > col("n_groups") && ssw > lit(0.0) &&
+        col("n_groups") > lit(1L), Det.r4(w))
+        .otherwise(lit(null)).as("w"))
+  }
+
+  /** CLIFF'S DELTA — the ordinal effect size that belongs beside
+    * [[aggMannWhitney]] exactly as [[aggEffectSize]] belongs beside
+    * the t test: δ = (#(x₁>x₂) − #(x₁<x₂))/(n₁n₂) for every pair of
+    * event types, computed ENTIRELY from value-grain histograms — one
+    * cumulative window over the merged value grid per group, then
+    * dominance counts as exact Σ c₁(v)·C₂(<v) products (BIGINT
+    * products under DECIMAL(38,0)/HUGEINT sums — safe at any corpus
+    * size), never a row-level pair join. δ itself is the only float:
+    * double-before-product denominator (the r10 ratio rule), one IEEE
+    * division. Total order (g1, g2). */
+  def aggCliffsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Seq("click", "purchase", "signup", "error")
+    val byGV = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(types: _*))
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out + pair join
+    val grid = byGV.select(col("v")).distinct()
+    val full = grid.crossJoin(byGV.select(col("g")).distinct())
+      .join(byGV, Seq("g", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("g"))
+    val cums = full
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .select(col("g"), col("v"), col("c"), col("cum"), col("n_g"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = cums.select(col("g").as("g1"), col("v"), col("c").as("c1"),
+      col("n_g").as("n1"))
+    val b = cums.select(col("g").as("g2"), col("v"),
+      (col("cum") - col("c")).as("below2"), col("cum").as("upto2"),
+      col("n_g").as("n2"))
+    val pair = a.join(b, "v").where(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"), col("n1"), col("n2"))
+      .agg(
+        sum(col("c1").cast("decimal(38,0)") * col("below2")).as("more"),
+        sum(col("c1").cast("decimal(38,0)") *
+          (col("n2") - col("upto2"))).as("less"))
+    def d(c: Column) = c.cast("double")
+    pair.select(col("g1"), col("g2"), col("n1"), col("n2"),
+        col("more").cast("long").as("n_greater"),
+        col("less").cast("long").as("n_less"),
+        when(col("n1") > lit(0L) && col("n2") > lit(0L),
+          Det.r4((d(col("more")) - d(col("less"))) /
+            (d(col("n1")) * d(col("n2")))))
+          .otherwise(lit(null)).as("delta"))
+      .orderBy("g1", "g2")
   }
 
   /** The PRODUCTION form of [[aggMannWhitney]]'s ranking — the
@@ -3502,6 +3888,10 @@ object RelationalOps {
     "q_agg_ks_by_source" -> ksBySource _,
     "q_agg_kruskal_wallis" -> kruskalWallis _,
     "q_agg_kw_by_source" -> kruskalWallisBySource _,
+    "q_agg_anova" -> aggAnova _,
+    "q_agg_effect_size" -> aggEffectSize _,
+    "q_agg_brown_forsythe" -> aggBrownForsythe _,
+    "q_agg_cliffs_delta" -> aggCliffsDelta _,
     "q_rel_top_paths" -> topPaths _,
     "q_agg_cramers_v" -> cramersV _,
     "q_upsert_snapshot" -> upsertSnapshot _,
@@ -3546,6 +3936,7 @@ object RelationalOps {
     "q_time_to_convert" -> timeToConvert _,
     "q_dq_report" -> dqReport _,
     "q_part_pagerank" -> partPagerank _,
+    "q_part_hits" -> partHits _,
     "q_part_triangles" -> partTriangles _,
     "q_part_kcore" -> partKcore _,
     "q_part_jaccard" -> partJaccard _,
@@ -3553,6 +3944,8 @@ object RelationalOps {
       ((s: SparkSession, d: String) => partJaccardCapped(s, d)),
     "q_part_resource_alloc" -> partResourceAlloc _,
     "q_part_pref_attach" -> partPrefAttach _,
+    "q_part_pref_attach_capped" ->
+      ((s: SparkSession, d: String) => partPrefAttachCapped(s, d)),
     "q_part_assortativity" -> partAssortativity _,
     "q_part_clustering_coef" -> partClusteringCoef _,
     "q_agg_tv_drift" -> tvDrift _,
@@ -3857,6 +4250,152 @@ object RelationalOps {
         |       ELSE NULL END AS h_tie
         |FROM qq
         |ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "q_agg_anova" -> {
+      val qi = "CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+      val mG = "CAST(s_i AS DOUBLE) / 10000.0 / CAST(n_i AS DOUBLE)"
+      val m = "CAST(t AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE)"
+      val term = s"CAST(n_i AS DOUBLE) * ($mG - $m) * ($mG - $m)"
+      val ssb = "CAST(bqs AS DOUBLE) / 1000000.0"
+      val sstot = "(ssq / 100000000.0 - " +
+        "CAST(t AS DOUBLE) / 10000.0 * (CAST(t AS DOUBLE) / 10000.0) / " +
+        "CAST(n AS DOUBLE))"
+      val ssw = s"($sstot - $ssb)"
+      val f = s"(($ssb) / (CAST(n_groups AS DOUBLE) - 1.0)) / " +
+        s"(($ssw) / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))"
+      s"""WITH pg AS MATERIALIZED (
+        |  SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n_i,
+        |         CAST(sum($qi) AS BIGINT) AS s_i,
+        |         sum($qi * $qi) AS ssq_i
+        |  FROM lineitem GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+        |              CAST(sum(s_i) AS BIGINT) AS t,
+        |              CAST(sum(ssq_i) AS DOUBLE) AS ssq
+        |       FROM pg),
+        |qq AS (
+        |  SELECT n, t, ssq, CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(CAST(floor(($term) * 1000000.0) AS BIGINT))
+        |           AS BIGINT) AS bqs
+        |  FROM pg CROSS JOIN tt GROUP BY 1, 2, 3)
+        |SELECT n_groups, n,
+        |       ${Det.r4Sql(ssb)} AS ssb,
+        |       ${Det.r4Sql(ssw)} AS ssw,
+        |       CASE WHEN n > n_groups AND $ssw > 0.0 AND n_groups > 1
+        |       THEN ${Det.r4Sql(f)} ELSE NULL END AS f
+        |FROM qq""".stripMargin
+    },
+    "q_agg_effect_size" -> {
+      val qi = "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+      def mOf(s: String, n: String) =
+        s"CAST($s AS DOUBLE) / 10000.0 / CAST($n AS DOUBLE)"
+      def vOf(q: String, s: String, n: String) =
+        s"(($q / 100000000.0 - CAST($n AS DOUBLE) * ${mOf(s, n)} * " +
+          s"(${mOf(s, n)})) / (CAST($n AS DOUBLE) - 1.0))"
+      val m1 = mOf("s1", "n1"); val m2 = mOf("s2", "n2")
+      val v1 = vOf("q1", "s1", "n1"); val v2 = vOf("q2", "s2", "n2")
+      val vp = s"(((CAST(n1 AS DOUBLE) - 1.0) * $v1 + " +
+        s"(CAST(n2 AS DOUBLE) - 1.0) * $v2) / " +
+        "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))"
+      val dEff = s"(($m1 - $m2) / sqrt($vp))"
+      val t = s"(($m1 - $m2) / " +
+        s"sqrt($v1 / CAST(n1 AS DOUBLE) + $v2 / CAST(n2 AS DOUBLE)))"
+      s"""WITH pg AS MATERIALIZED (
+        |  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum($qi) AS BIGINT) AS s,
+        |         CAST(sum(CAST($qi AS HUGEINT) * $qi) AS DOUBLE) AS ssq
+        |  FROM orders GROUP BY 1),
+        |pp AS (
+        |  SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+        |         a.s AS s1, b.s AS s2, a.ssq AS q1, b.ssq AS q2
+        |  FROM pg a JOIN pg b ON a.g < b.g)
+        |SELECT g1, g2, n1, n2,
+        |       CASE WHEN n1 + n2 > 2 AND $vp > 0.0
+        |       THEN ${Det.r4Sql(dEff)} ELSE NULL END AS cohens_d,
+        |       CASE WHEN n1 > 1 AND n2 > 1 AND $v1 + $v2 > 0.0
+        |       THEN ${Det.r4Sql(t)} ELSE NULL END AS welch_t
+        |FROM pp
+        |ORDER BY g1 NULLS FIRST, g2 NULLS FIRST""".stripMargin
+    },
+    "q_agg_brown_forsythe" -> {
+      val mG = "CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+      val m = "CAST(t AS DOUBLE) / CAST(n AS DOUBLE)"
+      val term = s"CAST(n_i AS DOUBLE) * ($mG - $m) * ($mG - $m)"
+      val ssb = "CAST(bqs AS DOUBLE) / 1000000.0"
+      val sstot = "(ssq - CAST(t AS DOUBLE) * " +
+        "(CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))"
+      val ssw = s"($sstot - $ssb)"
+      val w = s"(($ssb) / (CAST(n_groups AS DOUBLE) - 1.0)) / " +
+        s"(($ssw) / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))"
+      s"""WITH gv AS MATERIALIZED (
+        |  SELECT lang AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |md AS (
+        |  SELECT g, min(v) AS med FROM (
+        |    SELECT g, v,
+        |           CAST(sum(c) OVER (PARTITION BY g ORDER BY v NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS cum,
+        |           CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n_g
+        |    FROM gv) x
+        |  WHERE cum * 2 >= n_g GROUP BY 1),
+        |z AS (SELECT gv.g, abs(v - med) AS z, c
+        |      FROM gv JOIN md ON md.g = gv.g),
+        |pg AS MATERIALIZED (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n_i,
+        |         CAST(sum(c * z) AS BIGINT) AS s_i,
+        |         sum(CAST(c AS HUGEINT) * z * z) AS ssq_i
+        |  FROM z GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+        |              CAST(sum(s_i) AS BIGINT) AS t,
+        |              CAST(sum(ssq_i) AS DOUBLE) AS ssq
+        |       FROM pg),
+        |qq AS (
+        |  SELECT n, t, ssq, CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(CAST(floor(($term) * 1000000.0) AS BIGINT))
+        |           AS BIGINT) AS bqs
+        |  FROM pg CROSS JOIN tt GROUP BY 1, 2, 3)
+        |SELECT n_groups, n,
+        |       ${Det.r4Sql(ssb)} AS ssb,
+        |       ${Det.r4Sql(ssw)} AS ssw,
+        |       CASE WHEN n > n_groups AND $ssw > 0.0 AND n_groups > 1
+        |       THEN ${Det.r4Sql(w)} ELSE NULL END AS w
+        |FROM qq""".stripMargin
+    },
+    "q_agg_cliffs_delta" -> {
+      val delta = "(CAST(more AS DOUBLE) - CAST(less AS DOUBLE)) / " +
+        "(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+      s"""WITH gv AS MATERIALIZED (
+        |  SELECT event_type AS g, value AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'signup', 'error')
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT v FROM gv),
+        |gs AS (SELECT DISTINCT g FROM gv),
+        |full0 AS (
+        |  SELECT gs.g, grid.v, COALESCE(c, 0) AS c
+        |  FROM grid CROSS JOIN gs
+        |  LEFT JOIN gv ON gv.g = gs.g AND gv.v = grid.v),
+        |cums AS MATERIALIZED (
+        |  SELECT g, v, c,
+        |         CAST(sum(c) OVER (PARTITION BY g ORDER BY v NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n_g
+        |  FROM full0),
+        |pr AS (
+        |  SELECT a.g AS g1, b.g AS g2, a.n_g AS n1, b.n_g AS n2,
+        |         sum(CAST(a.c AS HUGEINT) * (b.cum - b.c)) AS more,
+        |         sum(CAST(a.c AS HUGEINT) * (b.n_g - b.cum)) AS less
+        |  FROM cums a JOIN cums b ON a.v = b.v AND a.g < b.g
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT g1, g2, n1, n2,
+        |       CAST(more AS BIGINT) AS n_greater,
+        |       CAST(less AS BIGINT) AS n_less,
+        |       CASE WHEN n1 > 0 AND n2 > 0
+        |       THEN ${Det.r4Sql(delta)} ELSE NULL END AS delta
+        |FROM pr
+        |ORDER BY g1 NULLS FIRST, g2 NULLS FIRST""".stripMargin
     },
     "q_agg_ks_by_source" -> {
       val dTxt = "CAST(dnum AS DOUBLE) / " +
@@ -4463,6 +5002,40 @@ object RelationalOps {
         |ORDER BY rank_scaled DESC, node NULLS FIRST
         |LIMIT 20""".stripMargin
     },
+    "q_part_hits" -> {
+      // integer-exact chained rounds: every CTE MATERIALIZED (the
+      // standing chained-CTE rule); scalar max subqueries are the L∞
+      // normalizers — same exact (x*1e6) // max division as Spark
+      val rounds = (1 to 3).map { i =>
+        s"""a${i}r AS MATERIALIZED (
+          |  SELECT s, CAST(sum(h) AS BIGINT) AS ar
+          |  FROM edges JOIN h${i - 1} USING (c) GROUP BY 1),
+          |a$i AS MATERIALIZED (
+          |  SELECT s, (ar * 1000000) // (SELECT max(ar) FROM a${i}r)
+          |    AS a FROM a${i}r),
+          |h${i}r AS MATERIALIZED (
+          |  SELECT c, CAST(sum(a) AS BIGINT) AS hr
+          |  FROM edges JOIN a$i USING (s) GROUP BY 1),
+          |h$i AS MATERIALIZED (
+          |  SELECT c, (hr * 1000000) // (SELECT max(hr) FROM h${i}r)
+          |    AS h FROM h${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |h0 AS MATERIALIZED (
+        |  SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM edges),
+        |$rounds,
+        |u AS (SELECT 'authority' AS side, s AS node, a AS score_scaled
+        |      FROM a3
+        |      UNION ALL SELECT 'hub', c, h FROM h3),
+        |r AS (SELECT side, node, score_scaled,
+        |      CAST(row_number() OVER (PARTITION BY side
+        |        ORDER BY score_scaled DESC NULLS LAST, node NULLS FIRST)
+        |        AS BIGINT) AS rk FROM u)
+        |SELECT side, node, score_scaled, rk FROM r WHERE rk <= 10
+        |ORDER BY side NULLS FIRST, rk NULLS FIRST""".stripMargin
+    },
     "q_part_kcore" -> {
       // every round CTE is referenced twice; MATERIALIZED stops DuckDB
       // from inlining the chain (2^rounds re-evaluation + temp spill)
@@ -4929,6 +5502,33 @@ object RelationalOps {
         |FROM com JOIN deg d1 ON com.v1 = d1.src
         |JOIN deg d2 ON com.v2 = d2.src
         |ORDER BY jq DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
+        |LIMIT 15""".stripMargin,
+    // the PA twin's oracle mirrors the same two phases as jaccard/RA:
+    // capped lowest-id lists generate candidates, FULL adjacency
+    // re-derives exact commons, the degree table supplies d1*d2
+    "q_part_pref_attach_capped" ->
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |nc AS MATERIALIZED (SELECT src, dst FROM (
+        |        SELECT src, dst, row_number() OVER (PARTITION BY src
+        |          ORDER BY dst NULLS FIRST) AS rk FROM sym) t
+        |        WHERE rk <= 64),
+        |cands AS (SELECT DISTINCT a.dst AS v1, b.dst AS v2
+        |          FROM nc a JOIN nc b ON a.src = b.src AND a.dst < b.dst),
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d
+        |        FROM sym GROUP BY 1),
+        |com AS (SELECT c.v1, c.v2, CAST(count(*) AS BIGINT) AS common_n
+        |        FROM cands c JOIN sym s1 ON s1.src = c.v1
+        |        JOIN sym s2 ON s2.src = c.v2 AND s2.dst = s1.dst
+        |        GROUP BY 1, 2)
+        |SELECT v1, v2, common_n, d1.d * d2.d AS pa_q
+        |FROM com JOIN deg d1 ON com.v1 = d1.src
+        |JOIN deg d2 ON com.v2 = d2.src
+        |ORDER BY pa_q DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
         |LIMIT 15""".stripMargin,
     // the twin enumerates via the plain ordered 3-way join; the Spark
     // side's degree-oriented wedge join finds the SAME triangle multiset

@@ -118,6 +118,17 @@ case class KwState(counts: Map[String, Map[Long, Long]])
 case class KwScore(n_groups: Long, n: Long, h: Double,
   h_tie: Option[Double], buckets: Long)
 
+/** Live one-way-ANOVA state: per-group exact moment triple
+  * (count, Σq, Σq²) over 1e4-scaled BIGINT values — THREE longs per
+  * group, the smallest state in the monitor family (no bucket
+  * alphabet: exact decimal scaling needs no calibration grid). */
+case class AnovaState(n: Map[String, Long], s: Map[String, Long],
+  ssq: Map[String, Long])
+
+/** One live ANOVA score (the q_agg_anova outputs). */
+case class AnovaScore(n_groups: Long, n: Long, ssb: Double, ssw: Double,
+  f: Option[Double])
+
 /** A closed hourly rollup bucket arriving at the live Bollinger
   * monitor; `v4` is the exact 1e4-scaled bucket average (the avg4
   * grain the batch query reads). */
@@ -864,6 +875,81 @@ object Ingest {
             Iterator.single(KwScore(st.counts.size.toLong, n, r4(h),
               if (corr > 0.0) Some(r4(h / corr)) else None,
               buckets.size.toLong))
+          }
+      }
+  }
+
+  /** LIVE ONE-WAY-ANOVA MONITOR — q_agg_anova gone online: one state
+    * holds per-group EXACT moment triples (count, Σq, Σq²) over the
+    * batch query's own 1e4-scaled BIGINT grain, so unlike the KS/KW
+    * monitors no calibration alphabet exists at all — the state is
+    * 3·|groups| longs and the live score equals the batch query
+    * BIT-FOR-BIT at any batching (moment adds are commutative exact
+    * integer ops; the replayed fold is the batch query's IEEE text:
+    * per-group between-term floor-quantized at 1e6 summed as a Long,
+    * SSW from the exact total SS minus the quantized SSB, the
+    * n > k / SSW > 0 guards). The per-row decimal scaling uses
+    * BigDecimal.valueOf — the same shortest-repr double→DECIMAL(18,4)
+    * HALF_UP cast Spark applies in the batch plan. addExact /
+    * multiplyExact enforce the documented BIGINT bound instead of
+    * silently wrapping (the ksMonitor overflow-guard precedent). */
+  def anovaMonitor(evs: Dataset[AttribEvent],
+      groups: Seq[String] = Seq("A", "N", "R")): Dataset[AnovaScore] = {
+    import evs.sparkSession.implicits._
+    val grp = groups.toArray
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val routed = evs.flatMap { e =>
+      if (!grp.contains(e.event_type)) Nil
+      else {
+        val qi = java.math.BigDecimal.valueOf(e.value)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+          .movePointRight(4).longValueExact()
+        Seq((e.event_type, qi))
+      }
+    }
+    routed.groupByKey(_ => "anova")
+      .flatMapGroupsWithState[AnovaState, AnovaScore](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long)],
+            state: GroupState[AnovaState]) =>
+          var st = state.getOption.getOrElse(
+            AnovaState(Map.empty, Map.empty, Map.empty))
+          rows.foreach { case (g, q) =>
+            st = AnovaState(
+              st.n + (g -> (st.n.getOrElse(g, 0L) + 1L)),
+              st.s + (g -> Math.addExact(st.s.getOrElse(g, 0L), q)),
+              st.ssq + (g -> Math.addExact(st.ssq.getOrElse(g, 0L),
+                Math.multiplyExact(q, q))))
+          }
+          state.update(st)
+          val n = st.n.values.sum
+          if (n == 0L) Iterator.empty
+          else {
+            val k = st.n.size.toLong
+            val t = st.s.values.foldLeft(0L)(Math.addExact)
+            val ssqD = st.ssq.values.foldLeft(0L)(Math.addExact).toDouble
+            val m = t.toDouble / 10000.0 / n.toDouble
+            // the batch query's per-group term, 1e6-floor-quantized and
+            // summed as a Long — order-free
+            var bqs = 0L
+            st.n.keys.foreach { g =>
+              val nI = st.n(g)
+              val mG = st.s(g).toDouble / 10000.0 / nI.toDouble
+              val term = nI.toDouble * (mG - m) * (mG - m)
+              bqs = Math.addExact(bqs,
+                math.floor(term * 1000000.0).toLong)
+            }
+            val ssb = bqs.toDouble / 1000000.0
+            val tU = t.toDouble / 10000.0
+            val sstot = ssqD / 100000000.0 - tU * tU / n.toDouble
+            val ssw = sstot - ssb
+            val f =
+              if (n > k && ssw > 0.0 && k > 1L)
+                Some(r4((ssb / (k.toDouble - 1.0)) /
+                  (ssw / (n.toDouble - k.toDouble))))
+              else None
+            Iterator.single(AnovaScore(k, n, r4(ssb), r4(ssw), f))
           }
       }
   }

@@ -1537,6 +1537,50 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** LJUNG–BOX PORTMANTEAU TEST at lags 1–3 per series (with the
+    * Box–Pierce companion) — the "is there ANY autocorrelation left"
+    * residual-whiteness read that closes the Box–Jenkins family
+    * ([[acf]] measures, [[pacf]] orders, this one tests):
+    * Q_bp = n·Σr_k², Q_lb = n(n+2)·Σ r_k²/(n−k). Exact-sum
+    * scaffolding shared with [[acf]] (n-multiplied centering, exact
+    * DECIMAL(38,0) products); each r_k is one correctly-rounded cast
+    * + one IEEE division, and both statistics are FIXED left-assoc
+    * three-term expressions written identically in both engines — no
+    * order-dependent float Σ because the lag set is a literal. NULL
+    * on degenerate series (n ≤ 3 or zero variance) in both engines. */
+  def tsLjungBox(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("event_type")
+    val wo = wp.orderBy("bucket")
+    val c = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long").as("q"))
+      .withColumn("d", (count(lit(1)).over(wp) * col("q") -
+        sum(col("q")).over(wp)).cast("decimal(19,0)"))
+      .withColumn("d1", lag(col("d"), 1).over(wo))
+      .withColumn("d2", lag(col("d"), 2).over(wo))
+      .withColumn("d3", lag(col("d"), 3).over(wo))
+    val g = c.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("den"),
+        sum(col("d") * col("d1")).as("s1"),
+        sum(col("d") * col("d2")).as("s2"),
+        sum(col("d") * col("d3")).as("s3"))
+    def dd(cc: org.apache.spark.sql.Column) = cc.cast("double")
+    def r(s: org.apache.spark.sql.Column) = dd(s) / dd(col("den"))
+    val r1 = r(col("s1")); val r2 = r(col("s2")); val r3 = r(col("s3"))
+    val n = dd(col("n"))
+    val bp = n * (r1 * r1 + r2 * r2 + r3 * r3)
+    val lb = n * (n + lit(2.0)) *
+      (r1 * r1 / (n - lit(1.0)) + r2 * r2 / (n - lit(2.0)) +
+        r3 * r3 / (n - lit(3.0)))
+    val ok = col("n") > lit(3L) && col("den") > lit(0)
+    g.select(col("event_type"), col("n"),
+        when(ok, Det.r4(bp)).otherwise(lit(null)).as("q_bp"),
+        when(ok, Det.r4(lb)).otherwise(lit(null)).as("q_lb"))
+      .orderBy("event_type")
+  }
+
   /** 10%-trimmed mean per series — the robust-center member beside the
     * median/MAD/Theil–Sen family: drop the bottom and top ⌊n/10⌋
     * values by INTEGER rank over the (v, bucket) total order (an
@@ -3431,6 +3475,7 @@ object TimeSeriesOps {
     "q_ts_apply_bynode" -> applyByNode _,
     "q_ts_constant_line" -> constantLineRead _,
     "q_ts_acf" -> acf _,
+    "q_ts_ljung_box" -> tsLjungBox _,
     "q_ts_pacf" -> pacf _,
     "q_ts_trimmed_mean" -> trimmedMean _,
     "q_ts_holt_damped" -> holtDamped _,
@@ -3953,6 +3998,42 @@ object TimeSeriesOps {
         |       ${ratio("d1")} AS acf1,
         |       ${ratio("d2")} AS acf2,
         |       ${ratio("d3")} AS acf3
+        |FROM cl GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_ljung_box" -> {
+      def lagk(k: Int) =
+        s"lag(d, $k) OVER (PARTITION BY event_type ORDER BY bucket)"
+      def rk(s: String) =
+        s"(CAST(sum(d * $s) AS DOUBLE) / CAST(sum(d * d) AS DOUBLE))"
+      val (r1, r2, r3) = (rk("d1"), rk("d2"), rk("d3"))
+      val nD = "CAST(count(*) AS DOUBLE)"
+      val bp = s"$nD * ($r1 * $r1 + $r2 * $r2 + $r3 * $r3)"
+      val lb = s"$nD * ($nD + 2.0) * " +
+        s"($r1 * $r1 / ($nD - 1.0) + $r2 * $r2 / ($nD - 2.0) + " +
+        s"$r3 * $r3 / ($nD - 3.0))"
+      val ok = "count(*) > 3 AND sum(d * d) > 0"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q
+        |  FROM h1),
+        |cw AS (
+        |  SELECT event_type, bucket,
+        |         CAST(count(*) OVER (PARTITION BY event_type) * q -
+        |              sum(q) OVER (PARTITION BY event_type)
+        |           AS DECIMAL(19,0)) AS d
+        |  FROM c),
+        |cl AS (
+        |  SELECT event_type, d, ${lagk(1)} AS d1, ${lagk(2)} AS d2,
+        |         ${lagk(3)} AS d3
+        |  FROM cw)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CASE WHEN $ok THEN ${Det.r4Sql(bp)} ELSE NULL END AS q_bp,
+        |       CASE WHEN $ok THEN ${Det.r4Sql(lb)} ELSE NULL END AS q_lb
         |FROM cl GROUP BY 1
         |ORDER BY event_type NULLS FIRST""".stripMargin
     },

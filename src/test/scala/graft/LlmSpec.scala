@@ -369,6 +369,18 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet == wantMags)
   }
 
+  test("distributed-rank vocab growth == the global-window oracle") {
+    val oracle = graft.llm.TextOps.vocabGrowth(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty)
+    // several partition counts, incl. more partitions than docs need
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = graft.llm.TextOps.vocabGrowthDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions: $twin vs $oracle")
+    }
+  }
+
   test("lm_novelty equals a driver-side bigram MLE model") {
     val texts = graft.io.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()

@@ -502,6 +502,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("pref-attach capped: hub-only anti join; no cartesian") {
+    // third member of the hub/small split family (jaccard, RA, PA):
+    // the visible plan must show the hub-only-pairs anti join and no
+    // cartesian anywhere in the candidate or verification phases
+    val p = plan("q_part_pref_attach_capped")
+    assert(p.contains("LeftAnti"), s"no hub-only-pairs anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("ks_by_source: the rank window runs on the histogram, not raw docs") {
     // one (source, n_chars) aggregate feeds everything; the cumulative
     // window's input is the fanned-out histogram grid — a raw-row sort

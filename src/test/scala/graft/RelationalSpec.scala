@@ -300,6 +300,55 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("pref-attach capped twin: full recall at high cap, exact " +
+      "values always") {
+    val exact = RelationalOps.partPrefAttach(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    // cap >= max degree: candidate generation is uncapped -> identical
+    val wide = RelationalOps.partPrefAttachCapped(spark, sf,
+      cap = 1000000).collect().map(_.toSeq).toSeq
+    assert(wide == exact, "capped twin at cap >= max degree must be " +
+      s"row-identical to the exact form: $wide vs $exact")
+    // tighter caps: every emitted row's (common_n, pa_q) are exact —
+    // commons verified on full adjacency, pa_q from the full degree
+    val baskets = graft.io.Tables.lineitem(spark, sf)
+      .where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).values
+      .map(_.map(_.getLong(1)).toSet).toSeq
+    def nbrs(v: Long): Set[Long] =
+      baskets.filter(_.contains(v)).flatMap(_ - v).toSet
+    for (cap <- Seq(2, 4, 8)) {
+      val rows = RelationalOps.partPrefAttachCapped(spark, sf, cap)
+        .collect()
+      for (r <- rows) {
+        val (n1, n2) = (nbrs(r.getLong(0)), nbrs(r.getLong(1)))
+        assert(r.getLong(2) == (n1 & n2).size.toLong,
+          s"cap=$cap common mismatch (${r.getLong(0)}, ${r.getLong(1)})")
+        assert(r.getLong(3) == n1.size.toLong * n2.size.toLong,
+          s"cap=$cap pa_q mismatch (${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+  }
+
+  test("hits converged twin: bit-equal at the oracle's budget; " +
+      "converges under the default cap") {
+    val oracle = RelationalOps.partHits(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.length == 20, s"10 per side expected: ${oracle.length}")
+    // forced to the oracle's 3 rounds (tol 0 stops only at an exact
+    // fixpoint, after which further rounds are identity) -> bit-equal
+    val forced = RelationalOps.partHitsConverged(spark, sf,
+      maxRounds = 3, tolScaled = 0L).collect().map(_.toSeq).toSeq
+    assert(forced == oracle,
+      s"forced-budget twin diverged: $forced vs $oracle")
+    // default cap: converges to a full 10-per-side summary
+    val conv = RelationalOps.partHitsConverged(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(conv.length == 20)
+  }
+
   test("distributed two-pass mann-whitney == the ordered-window oracle") {
     val oracle = RelationalOps.aggMannWhitney(spark, sf)
       .collect().map(_.toSeq).toSeq

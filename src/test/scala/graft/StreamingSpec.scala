@@ -722,6 +722,42 @@ class StreamingSpec extends AnyFunSuite {
       s"coarse state alphabet ${c1._5} exceeded $bins")
   }
 
+  test("s_anova_monitor: live moment-state score equals the batch " +
+      "query bit-for-bit under two batchings") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    val br = graft.rel.RelationalOps.aggAnova(sp, sf).collect().head
+    val truth = (br.getLong(0), br.getLong(1), br.getDouble(2),
+      br.getDouble(3),
+      if (br.isNullAt(4)) None else Some(br.getDouble(4)))
+    // lineitem rows as a stream: group = return flag, value = quantity
+    val evs = graft.io.Tables.lineitem(sp, sf)
+      .select(col("l_orderkey").as("user_id"),
+        col("l_linenumber").cast("long").as("event_id"),
+        col("l_returnflag").as("event_type"),
+        col("l_shipdate").as("ts"), col("l_quantity").as("value"))
+      .as[AttribEvent].collect().toSeq
+    def lastScore(feed: Seq[Seq[AttribEvent]], name: String)
+        : (Long, Long, Double, Double, Option[Double]) = {
+      val in = MemoryStream[AttribEvent]
+      val q = runToMemory(Ingest.anovaMonitor(in.toDS()).toDF(), name)
+      feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      val r = sp.sql(
+        s"SELECT n_groups, n, ssb, ssw, f FROM $name").collect().last
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    val (a, b) = evs.splitAt(evs.length / 3)
+    val got = lastScore(Seq(a, b), "anova_live")
+    assert(got == truth, s"live ANOVA diverges from batch: $got != $truth")
+    val (x, y) = evs.reverse.splitAt(evs.length / 5)
+    assert(lastScore(Seq(x, y), "anova_live2") == truth,
+      "batching changed the final ANOVA score")
+  }
+
   test("s_ks_monitor: state stays bounded on values that defeat any grid") {
     val sp = spark
     import sp.implicits._
