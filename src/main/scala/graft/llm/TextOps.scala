@@ -1011,6 +1011,58 @@ object TextOps {
       .limit(20)
   }
 
+  /** TEXTRANK KEYWORD SCORES (Mihalcea & Tarau 2004) — the
+    * graph-centrality complement of [[rakeKeywords]]: words are nodes,
+    * adjacent-word co-occurrences are weighted undirected edges, and
+    * the score is damped weighted PageRank. The whole iteration reuses
+    * the q_part_pagerank INTEGER discipline, extended to weights:
+    * r′(v) = 150000 + (85·Σ_{u~v} ((r(u)·w_uv) div wtot(u))) div 100 —
+    * every round exact BIGINT (r stays ≈10⁶ by the damped weighted-
+    * average bound; r·w ≤ 10⁶·Σw holds BIGINT to ~9·10¹² corpus
+    * bigrams — widen past that), so 3 unrolled rounds match a chained
+    * MATERIALIZED-CTE DuckDB twin bit-for-bit. The corpus-scale work
+    * is the ONE bigram extraction pass; the graph itself is
+    * vocabulary-sized, so rounds are model-sized joins. Top-20 under
+    * the (rank_scaled DESC, word) total order. */
+  def textRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("a", "the", "of", "and", "to", "in", "is")
+    val bg = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(expr(ngramExpr("tk", 2))).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .where(!col("w1").isin(stop: _*) && !col("w2").isin(stop: _*) &&
+        col("w1") =!= col("w2"))
+    val e = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("w"))
+      .localCheckpoint(eager = false) // both orientations
+    val sym = e.select(col("w1").as("src"), col("w2").as("dst"), col("w"))
+      .unionByName(e.select(col("w2").as("src"), col("w1").as("dst"),
+        col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(eager = false) // deg + every round
+    val deg = sym.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+      .localCheckpoint(eager = false) // rounds + summary
+    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val sumin = sym
+        .join(r, col("node") === col("src"))
+        .join(deg, "src")
+        .select(col("dst"), expr("(r * w) div wtot").as("cv"))
+        .groupBy(col("dst")).agg(sum(col("cv")).as("s"))
+      r = deg.select(col("src").as("node"))
+        .join(sumin, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr("150000L + (85 * coalesce(s, 0L)) div 100").as("r"))
+        .localCheckpoint(eager = false) // next round + summary
+    }
+    r.join(deg, col("node") === col("src"))
+      .select(col("node").as("word"), col("wtot"),
+        col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("word"))
+      .limit(20)
+  }
+
   /** Vocabulary ZIPF profile — the corpus-health shape check (a missing
     * tail means over-aggressive dedup; a bloated head means boilerplate
     * flooding): token frequencies histogram by decimal MAGNITUDE — the
@@ -1804,6 +1856,7 @@ object TextOps {
     "q_llm_vocab_growth_dist" ->
       ((s: SparkSession, d: String) => vocabGrowthDistributed(s, d)),
     "q_llm_rake_keywords" -> rakeKeywords _,
+    "q_llm_textrank" -> textRank _,
     "q_llm_dup_rate_by_source" -> dupRateBySource _,
     "q_llm_length_gini" -> lengthGiniBySource _,
     "q_llm_edit_neardup" -> editNearDup _,
@@ -2204,6 +2257,49 @@ object TextOps {
         |SELECT source, n_docs, n_unique, n_dup_in, n_cross,
         |       $din AS dup_in_rate, $dx AS cross_rate
         |FROM s ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "q_llm_textrank" -> {
+      val stop = "('a', 'the', 'of', 'and', 'to', 'in', 'is')"
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"g${i - 1}"
+        s"""g$i AS MATERIALIZED (
+          |  SELECT d.src AS node,
+          |         CAST(150000 + (85 * COALESCE(si.s, 0)) // 100
+          |           AS BIGINT) AS r
+          |  FROM deg d LEFT JOIN (
+          |    SELECT sym.dst,
+          |           CAST(sum((p.r * sym.w) // dg.wtot) AS BIGINT) AS s
+          |    FROM sym JOIN $prev p ON sym.src = p.node
+          |    JOIN deg dg ON sym.src = dg.src
+          |    GROUP BY 1) si ON d.src = si.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tkt AS (SELECT string_split(text, ' ') AS tk
+        |             FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |           i -> tk[i])) AS w1,
+        |         unnest(list_transform(generate_series(1, len(tk) - 1),
+        |           i -> tk[i + 1])) AS w2
+        |  FROM tkt),
+        |e AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS w FROM b
+        |  WHERE w1 NOT IN $stop AND w2 NOT IN $stop AND w1 <> w2
+        |  GROUP BY 1, 2),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        |    SELECT w1 AS src, w2 AS dst, w FROM e
+        |    UNION ALL SELECT w2, w1, w FROM e) u GROUP BY 1, 2),
+        |deg AS MATERIALIZED (
+        |  SELECT src, CAST(sum(w) AS BIGINT) AS wtot FROM sym
+        |  GROUP BY 1),
+        |r0 AS MATERIALIZED (
+        |  SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |$rounds
+        |SELECT node AS word, wtot, r AS rank_scaled
+        |FROM g3 JOIN deg ON deg.src = g3.node
+        |ORDER BY rank_scaled DESC NULLS LAST, word NULLS FIRST
+        |LIMIT 20""".stripMargin
     },
     "q_llm_rake_keywords" -> {
       val stop = "('a', 'the', 'of', 'and', 'to', 'in', 'is')"

@@ -963,12 +963,17 @@ object RelationalOps {
     * kruskalWallis widening note). */
   private def hitsRound(edges: DataFrame, h: DataFrame)
       : (DataFrame, DataFrame) = {
+    // checkpoint each raw-sum relation BEFORE deriving its max: the
+    // scalar normalizer and the normalization join both consume it,
+    // and un-checkpointed consumers re-run the edge join (no-CSE)
     val ar = edges.join(h, "c").groupBy(col("s")).agg(sum(col("h")).as("ar"))
+      .localCheckpoint(eager = false) // max probe + normalization
     val am = ar.agg(max(col("ar")).as("am"))
     val a = ar.crossJoin(broadcast(am))
       .select(col("s"), expr("(ar * 1000000L) div am").as("a"))
       .localCheckpoint(eager = false) // hub step + next round + summary
     val hr = edges.join(a, "s").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+      .localCheckpoint(eager = false) // max probe + normalization
     val hm = hr.agg(max(col("hr")).as("hm"))
     val h2 = hr.crossJoin(broadcast(hm))
       .select(col("c"), expr("(hr * 1000000L) div hm").as("h"))
@@ -2340,7 +2345,7 @@ object RelationalOps {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false) // grid fan-out + pair join
     val grid = byGV.select(col("v")).distinct()
-    val full = grid.crossJoin(byGV.select(col("g")).distinct())
+    val full = grid.crossJoin(broadcast(byGV.select(col("g")).distinct()))
       .join(byGV, Seq("g", "v"), "left")
       .na.fill(0L, Seq("c"))
     val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
@@ -2371,6 +2376,102 @@ object RelationalOps {
             (d(col("n1")) * d(col("n2")))))
           .otherwise(lit(null)).as("delta"))
       .orderBy("g1", "g2")
+  }
+
+  /** JONCKHEERE–TERPSTRA TEST — the ordered-alternative rank test
+    * ([[aggKruskalWallis]] asks "any group difference", this asks "do
+    * o_totalprice distributions SHIFT monotonically along the urgency
+    * order"): J = Σ_{i<j} U_ij with U_ij = #(xᵢ<xⱼ) + ½#(=), groups
+    * ordered by priority label (lexicographic = the numeric order).
+    * Machinery is [[aggCliffsDelta]]'s histogram dominance counts —
+    * one cumulative window per group over the merged value grid,
+    * pairwise exact HUGEINT/DECIMAL(38,0) Σ c₁·C₂ products — so the
+    * whole statistic is integer-exact: 2J = Σ (n₁n₂ − more + less)
+    * stays BIGINT, and the z-score's mean/variance need only N and
+    * Σnᵢ², Σnᵢ²(2nᵢ+3) (the untied null moments — documented defined
+    * metric; tie-corrected variance is a client-side refinement).
+    * One fixed IEEE text; NULL z on a degenerate (σ = 0) design. */
+  def aggJonckheere(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGV = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out + pair join
+    val grid = byGV.select(col("v")).distinct()
+    val full = grid.crossJoin(broadcast(byGV.select(col("g")).distinct()))
+      .join(byGV, Seq("g", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("g"))
+    val cums = full
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .select(col("g"), col("v"), col("c"), col("cum"), col("n_g"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = cums.select(col("g").as("g1"), col("v"), col("c").as("c1"),
+      col("n_g").as("n1"))
+    val b = cums.select(col("g").as("g2"), col("v"),
+      (col("cum") - col("c")).as("below2"), col("cum").as("upto2"),
+      col("n_g").as("n2"))
+    val pair = a.join(b, "v").where(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"), col("n1"), col("n2"))
+      .agg(
+        sum(col("c1").cast("decimal(38,0)") * col("below2")).as("more"),
+        sum(col("c1").cast("decimal(38,0)") *
+          (col("n2") - col("upto2"))).as("less"))
+      // 2·U_ij = 2·less + ties = n1·n2 − more + less — exact BIGINT
+      .select((col("n1").cast("decimal(38,0)") * col("n2") - col("more")
+        + col("less")).cast("long").as("u2"))
+      .agg(sum(col("u2")).as("j2"))
+    val perG = byGV.groupBy(col("g")).agg(sum(col("c")).as("n_i"))
+      .agg(sum(col("n_i")).as("n"),
+        sum(col("n_i") * col("n_i")).as("sn2"),
+        sum(col("n_i") * col("n_i") *
+          (lit(2L) * col("n_i") + lit(3L))).as("sn23"))
+    def d(c: Column) = c.cast("double")
+    // 2·μ = (N² − Σn²)/2 ; (2σ)² = (N²(2N+3) − Σn²(2n+3))/18
+    val mu2 = (d(col("n")) * d(col("n")) - d(col("sn2"))) / lit(2.0)
+    val var4 = (d(col("n")) * d(col("n")) *
+      (lit(2.0) * d(col("n")) + lit(3.0)) - d(col("sn23"))) / lit(18.0)
+    pair.crossJoin(broadcast(perG))
+      .select(col("n"), col("j2"),
+        when(var4 > lit(0.0),
+          Det.r4((d(col("j2")) - mu2) / sqrt(var4)))
+          .otherwise(lit(null)).as("z"))
+  }
+
+  /** COCHRAN–ARMITAGE TREND TEST — does purchase propensity TREND
+    * monotonically across the hour of day? The ordered-groups
+    * proportions test that completes the categorical family
+    * (chi-squared asks "any difference", this asks "a directional
+    * one"; scores s_i = hour). Five exact integer aggregates (N, R,
+    * Σs·r, Σs·n, Σs²·n — BIGINT here, DECIMAL(38,0) at 10¹²-row
+    * scale per the standing widening note), then one fixed IEEE text:
+    * T = (N·Σsr − R·Σsn)/N, Var = p(1−p)(Σs²n − (Σsn)²/N),
+    * Z = T/√Var — double-before-product on every BIGINT pair (the
+    * r10 ratio rule). NULL Z on zero variance (all events in one
+    * hour, or p ∈ {0,1}) in both engines. One aggregation pass over
+    * a 24-row intermediate. */
+  def aggCochranArmitage(spark: SparkSession, sfDir: String): DataFrame = {
+    val byH = Tables.events(spark, sfDir)
+      .select(hour(col("ts")).cast("long").as("s"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_i"), sum(col("x")).as("r_i"))
+    val agg = byH.agg(sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+      sum(col("s") * col("r_i")).as("sr"),
+      sum(col("s") * col("n_i")).as("sn"),
+      sum(col("s") * col("s") * col("n_i")).as("snn"))
+    def d(c: Column) = c.cast("double")
+    val t = (d(col("n")) * d(col("sr")) - d(col("r")) * d(col("sn"))) /
+      d(col("n"))
+    val p = d(col("r")) / d(col("n"))
+    val v = p * (lit(1.0) - p) *
+      (d(col("snn")) - d(col("sn")) * d(col("sn")) / d(col("n")))
+    agg.select(col("n"), col("r"), Det.r4(t).as("t"),
+      when(v > lit(0.0), Det.r4(t / sqrt(v)))
+        .otherwise(lit(null)).as("z"))
   }
 
   /** The PRODUCTION form of [[aggMannWhitney]]'s ranking — the
@@ -3892,6 +3993,8 @@ object RelationalOps {
     "q_agg_effect_size" -> aggEffectSize _,
     "q_agg_brown_forsythe" -> aggBrownForsythe _,
     "q_agg_cliffs_delta" -> aggCliffsDelta _,
+    "q_agg_cochran_armitage" -> aggCochranArmitage _,
+    "q_agg_jonckheere" -> aggJonckheere _,
     "q_rel_top_paths" -> topPaths _,
     "q_agg_cramers_v" -> cramersV _,
     "q_upsert_snapshot" -> upsertSnapshot _,
@@ -4396,6 +4499,75 @@ object RelationalOps {
         |       THEN ${Det.r4Sql(delta)} ELSE NULL END AS delta
         |FROM pr
         |ORDER BY g1 NULLS FIRST, g2 NULLS FIRST""".stripMargin
+    },
+    "q_agg_jonckheere" -> {
+      val mu2 = "((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - " +
+        "CAST(sn2 AS DOUBLE)) / 2.0)"
+      val var4 = "((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
+        "(2.0 * CAST(n AS DOUBLE) + 3.0) - CAST(sn23 AS DOUBLE)) / 18.0)"
+      s"""WITH gv AS MATERIALIZED (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT v FROM gv),
+        |gs AS (SELECT DISTINCT g FROM gv),
+        |full0 AS (
+        |  SELECT gs.g, grid.v, COALESCE(c, 0) AS c
+        |  FROM grid CROSS JOIN gs
+        |  LEFT JOIN gv ON gv.g = gs.g AND gv.v = grid.v),
+        |cums AS MATERIALIZED (
+        |  SELECT g, v, c,
+        |         CAST(sum(c) OVER (PARTITION BY g ORDER BY v NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n_g
+        |  FROM full0),
+        |pr AS (
+        |  SELECT a.g AS g1, b.g AS g2, a.n_g AS n1, b.n_g AS n2,
+        |         sum(CAST(a.c AS HUGEINT) * (b.cum - b.c)) AS more,
+        |         sum(CAST(a.c AS HUGEINT) * (b.n_g - b.cum)) AS less
+        |  FROM cums a JOIN cums b ON a.v = b.v AND a.g < b.g
+        |  GROUP BY 1, 2, 3, 4),
+        |jj AS (
+        |  SELECT CAST(sum(CAST(CAST(n1 AS HUGEINT) * n2 - more + less
+        |           AS BIGINT)) AS BIGINT) AS j2
+        |  FROM pr),
+        |pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_i
+        |       FROM gv GROUP BY 1),
+        |mm AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+        |              CAST(sum(n_i * n_i) AS BIGINT) AS sn2,
+        |              CAST(sum(n_i * n_i * (2 * n_i + 3)) AS BIGINT)
+        |                AS sn23
+        |       FROM pg)
+        |SELECT n, j2,
+        |       CASE WHEN $var4 > 0.0
+        |       THEN ${Det.r4Sql(s"(CAST(j2 AS DOUBLE) - $mu2) / sqrt($var4)")}
+        |       ELSE NULL END AS z
+        |FROM jj CROSS JOIN mm""".stripMargin
+    },
+    "q_agg_cochran_armitage" -> {
+      val t = "((CAST(n AS DOUBLE) * CAST(sr AS DOUBLE) - " +
+        "CAST(r AS DOUBLE) * CAST(sn AS DOUBLE)) / CAST(n AS DOUBLE))"
+      val p = "(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))"
+      val v = s"$p * (1.0 - $p) * (CAST(snn AS DOUBLE) - " +
+        "CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""WITH bh AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS n_i,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS r_i
+        |  FROM events GROUP BY 1),
+        |ag AS (
+        |  SELECT CAST(sum(n_i) AS BIGINT) AS n,
+        |         CAST(sum(r_i) AS BIGINT) AS r,
+        |         CAST(sum(s * r_i) AS BIGINT) AS sr,
+        |         CAST(sum(s * n_i) AS BIGINT) AS sn,
+        |         CAST(sum(s * s * n_i) AS BIGINT) AS snn
+        |  FROM bh)
+        |SELECT n, r, ${Det.r4Sql(t)} AS t,
+        |       CASE WHEN $v > 0.0
+        |       THEN ${Det.r4Sql(s"$t / sqrt($v)")} ELSE NULL END AS z
+        |FROM ag""".stripMargin
     },
     "q_agg_ks_by_source" -> {
       val dTxt = "CAST(dnum AS DOUBLE) / " +

@@ -129,6 +129,14 @@ case class AnovaState(n: Map[String, Long], s: Map[String, Long],
 case class AnovaScore(n_groups: Long, n: Long, ssb: Double, ssw: Double,
   f: Option[Double])
 
+/** Live Cochran–Armitage state: per-hour (total, successes) exact
+  * counts — at most 24 × 2 longs, the alphabet is the clock. */
+case class CaState(n: Map[Long, Long], r: Map[Long, Long])
+
+/** One live Cochran–Armitage score (the q_agg_cochran_armitage
+  * outputs). */
+case class CaScore(n: Long, r: Long, t: Double, z: Option[Double])
+
 /** A closed hourly rollup bucket arriving at the live Bollinger
   * monitor; `v4` is the exact 1e4-scaled bucket average (the avg4
   * grain the batch query reads). */
@@ -950,6 +958,64 @@ object Ingest {
                   (ssw / (n.toDouble - k.toDouble))))
               else None
             Iterator.single(AnovaScore(k, n, r4(ssb), r4(ssw), f))
+          }
+      }
+  }
+
+  /** LIVE COCHRAN–ARMITAGE TREND MONITOR — q_agg_cochran_armitage
+    * gone online: the state is the per-hour (total, success) count
+    * pair — at most 24 × 2 longs, the alphabet is the CLOCK, so like
+    * [[anovaMonitor]] there is nothing to calibrate — and every
+    * micro-batch replays the batch query's fixed IEEE text over the
+    * five exact sums (N, R, Σsr, Σsn, Σs²n). Hour extraction pins
+    * UTC explicitly (the batch plan's session timezone), so routing
+    * is machine-independent. Bit-equal to the batch row at any
+    * batching (count adds are commutative); overflow guarded by
+    * addExact (the ksMonitor precedent). */
+  def cochranArmitageMonitor(evs: Dataset[AttribEvent],
+      successType: String = "purchase"): Dataset[CaScore] = {
+    import evs.sparkSession.implicits._
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val routed = evs.map { e =>
+      val h = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .getHour.toLong
+      (h, if (e.event_type == successType) 1L else 0L)
+    }
+    routed.groupByKey(_ => "ca")
+      .flatMapGroupsWithState[CaState, CaScore](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, Long)],
+            state: GroupState[CaState]) =>
+          var st = state.getOption.getOrElse(
+            CaState(Map.empty, Map.empty))
+          rows.foreach { case (h, x) =>
+            st = CaState(
+              st.n + (h -> (st.n.getOrElse(h, 0L) + 1L)),
+              if (x == 0L) st.r
+              else st.r + (h -> (st.r.getOrElse(h, 0L) + 1L)))
+          }
+          state.update(st)
+          val n = st.n.values.foldLeft(0L)(Math.addExact)
+          if (n == 0L) Iterator.empty
+          else {
+            val r = st.r.values.foldLeft(0L)(Math.addExact)
+            var sr = 0L; var sn = 0L; var snn = 0L
+            st.n.keys.foreach { h =>
+              val nI = st.n(h)
+              val rI = st.r.getOrElse(h, 0L)
+              sr = Math.addExact(sr, h * rI)
+              sn = Math.addExact(sn, h * nI)
+              snn = Math.addExact(snn, h * h * nI)
+            }
+            // the batch query's IEEE text, verbatim
+            val t = (n.toDouble * sr.toDouble -
+              r.toDouble * sn.toDouble) / n.toDouble
+            val p = r.toDouble / n.toDouble
+            val v = p * (1.0 - p) *
+              (snn.toDouble - sn.toDouble * sn.toDouble / n.toDouble)
+            Iterator.single(CaScore(n, r, r4(t),
+              if (v > 0.0) Some(r4(t / math.sqrt(v))) else None))
           }
       }
   }

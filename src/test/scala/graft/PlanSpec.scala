@@ -511,6 +511,86 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("anova/brown-forsythe: moment aggs are partial; the k-row " +
+      "total rides a broadcast") {
+    Seq("q_agg_anova", "q_agg_brown_forsythe").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q moment agg not partial:\n$p")
+      assert(p.contains("BroadcastNestedLoop") ||
+        p.contains("BroadcastHashJoin"),
+        s"$q total row must broadcast:\n$p")
+    }
+  }
+
+  test("cliffs delta: dominance agg is partial in the visible plan; " +
+      "the pre-checkpoint fan-out broadcasts its group side and " +
+      "windows over the histogram") {
+    import org.apache.spark.sql.functions._
+    val p = plan("q_agg_cliffs_delta")
+    assert(p.contains("partial_"), s"dominance agg not partial:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the checkpoint truncates the cums lineage (standing PlanSpec
+    // lesson) — probe the same pre-checkpoint shape inline
+    val byGV = graft.io.Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val probe = byGV.select(col("v")).distinct()
+      .crossJoin(broadcast(byGV.select(col("g")).distinct()))
+      .join(byGV, Seq("g", "v"), "left")
+      .withColumn("cum",
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v"))))
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("Window"), s"no cumulative window:\n$probe")
+    assert(probe.contains("BroadcastNestedLoop") ||
+      probe.contains("BroadcastHashJoin"),
+      s"group fan-out must broadcast:\n$probe")
+    assert(!probe.contains("CartesianProduct"), s"cartesian in:\n$probe")
+  }
+
+  test("hits: a round's scalar normalizer broadcasts and its in-sum " +
+      "is partial (pre-checkpoint probe)") {
+    import org.apache.spark.sql.functions._
+    // the per-round checkpoints truncate lineage in q_part_hits's
+    // final plan — probe one round's exact shape inline
+    val o = graft.io.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+    val l = graft.io.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    val edges = o.join(l, "ok").select(col("c"), col("s")).distinct()
+    val h = edges.select(col("c")).distinct()
+      .withColumn("h", lit(1000000L))
+    val ar = edges.join(h, "c").groupBy(col("s"))
+      .agg(sum(col("h")).as("ar"))
+    val p = ar.crossJoin(broadcast(ar.agg(max(col("ar")).as("am"))))
+      .select(col("s"), expr("(ar * 1000000L) div am").as("a"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"in-sum agg not partial:\n$p")
+    assert(p.contains("BroadcastNestedLoop") ||
+      p.contains("BroadcastHashJoin"),
+      s"scalar max must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("rake: word stats are partial in the visible plan; the " +
+      "pre-checkpoint phrase ids ride a per-doc window") {
+    import org.apache.spark.sql.functions._
+    val p = plan("q_llm_rake_keywords")
+    assert(p.contains("partial_"), s"word stats not partial:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // pre-checkpoint probe of the phrase-id window shape
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val probe = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("pid",
+        sum(when(col("w").isin("a", "the"), 1L).otherwise(0L)).over(w))
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("Window"), s"no per-doc window:\n$probe")
+  }
+
   test("ks_by_source: the rank window runs on the histogram, not raw docs") {
     // one (source, n_chars) aggregate feeds everything; the cumulative
     // window's input is the fanned-out histogram grid — a raw-row sort

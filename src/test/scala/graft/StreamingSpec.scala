@@ -758,6 +758,39 @@ class StreamingSpec extends AnyFunSuite {
       "batching changed the final ANOVA score")
   }
 
+  test("s_cochran_armitage: live clock-state trend score equals the " +
+      "batch query bit-for-bit under two batchings") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    val br = graft.rel.RelationalOps.aggCochranArmitage(sp, sf)
+      .collect().head
+    val truth = (br.getLong(0), br.getLong(1), br.getDouble(2),
+      if (br.isNullAt(3)) None else Some(br.getDouble(3)))
+    val evs = graft.io.Tables.events(sp, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[AttribEvent].collect().toSeq
+    def lastScore(feed: Seq[Seq[AttribEvent]], name: String)
+        : (Long, Long, Double, Option[Double]) = {
+      val in = MemoryStream[AttribEvent]
+      val q = runToMemory(
+        Ingest.cochranArmitageMonitor(in.toDS()).toDF(), name)
+      feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      val r = sp.sql(s"SELECT n, r, t, z FROM $name").collect().last
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }
+    val (a, b) = evs.splitAt(evs.length / 3)
+    val got = lastScore(Seq(a, b), "ca_live")
+    assert(got == truth, s"live CA diverges from batch: $got != $truth")
+    val (x, y) = evs.reverse.splitAt(evs.length / 5)
+    assert(lastScore(Seq(x, y), "ca_live2") == truth,
+      "batching changed the final CA score")
+  }
+
   test("s_ks_monitor: state stays bounded on values that defeat any grid") {
     val sp = spark
     import sp.implicits._
