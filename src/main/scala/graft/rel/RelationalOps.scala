@@ -2378,6 +2378,54 @@ object RelationalOps {
       .orderBy("g1", "g2")
   }
 
+  /** FRIEDMAN TEST + KENDALL'S W — the within-block rank test that
+    * completes the k-sample family ([[kruskalWallis]] compares
+    * independent samples; this blocks by DAY and asks "do the event
+    * types keep the same daily ordering of mean value"), plus the
+    * effect size W = Q/(n(k−1)) every reviewer wants beside it. Per
+    * (day, type) means are exact ([[Det.avg4]]); within-day MIDRANKS
+    * are exact integers (2·midrank = 2·min-rank + ties − 1 — the
+    * kruskal discipline at block grain), blocks are kept only when
+    * COMPLETE (all k types present — the classical design); rank sums
+    * and their squares stay BIGINT, so Q = 3·Σ(2Rⱼ)²/(nk(k+1)) −
+    * 3n(k+1) is one fixed IEEE expression over exact integers
+    * (midrank-tie variant documented as the defined metric). NULL on
+    * a degenerate design (no complete blocks or k < 2). Day-grain
+    * windows — embarrassingly parallel. */
+  def aggFriedman(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Seq("click", "purchase", "signup", "error")
+    val m = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(types: _*))
+      .groupBy(date_trunc("day", col("ts")).as("d"),
+        col("event_type").as("g"))
+      .agg(Det.avg4(col("value")).as("v"))
+    val complete = m
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("d"))))
+      .where(col("nb") === types.size)
+    val ranked = complete
+      .withColumn("rk",
+        rank().over(Window.partitionBy(col("d")).orderBy(col("v")))
+          .cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("d"), col("v"))))
+      .withColumn("r2", lit(2L) * col("rk") + col("cnt") - lit(1L))
+    val perT = ranked.groupBy(col("g"))
+      .agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("nb"))
+    val agg = perT.agg(count(lit(1)).as("k"), max(col("nb")).as("n"),
+      sum(col("r2sum") * col("r2sum")).as("sr2"))
+    def d(c: Column) = c.cast("double")
+    val q = lit(3.0) * d(col("sr2")) /
+      (d(col("n")) * d(col("k")) * (d(col("k")) + lit(1.0))) -
+      lit(3.0) * d(col("n")) * (d(col("k")) + lit(1.0))
+    agg.select(col("k"), col("n").as("n_blocks"),
+      when(col("n") > lit(0L) && col("k") > lit(1L), Det.r4(q))
+        .otherwise(lit(null)).as("q"),
+      when(col("n") > lit(0L) && col("k") > lit(1L),
+        Det.r4(q / (d(col("n")) * (d(col("k")) - lit(1.0)))))
+        .otherwise(lit(null)).as("w"))
+  }
+
   /** JONCKHEERE–TERPSTRA TEST — the ordered-alternative rank test
     * ([[aggKruskalWallis]] asks "any group difference", this asks "do
     * o_totalprice distributions SHIFT monotonically along the urgency
@@ -3995,6 +4043,7 @@ object RelationalOps {
     "q_agg_cliffs_delta" -> aggCliffsDelta _,
     "q_agg_cochran_armitage" -> aggCochranArmitage _,
     "q_agg_jonckheere" -> aggJonckheere _,
+    "q_agg_friedman" -> aggFriedman _,
     "q_rel_top_paths" -> topPaths _,
     "q_agg_cramers_v" -> cramersV _,
     "q_upsert_snapshot" -> upsertSnapshot _,
@@ -4499,6 +4548,45 @@ object RelationalOps {
         |       THEN ${Det.r4Sql(delta)} ELSE NULL END AS delta
         |FROM pr
         |ORDER BY g1 NULLS FIRST, g2 NULLS FIRST""".stripMargin
+    },
+    "q_agg_friedman" -> {
+      val q = "3.0 * CAST(sr2 AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+        "CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)) - " +
+        "3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)"
+      val w = s"($q) / (CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))"
+      s"""WITH m AS MATERIALIZED (
+        |  SELECT date_trunc('day', ts) AS d, event_type AS g,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'signup', 'error')
+        |  GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT d, g, v FROM (
+        |    SELECT d, g, v, count(*) OVER (PARTITION BY d) AS nb
+        |    FROM m) t
+        |  WHERE nb = 4),
+        |rk AS (
+        |  SELECT g,
+        |         2 * CAST(rank() OVER (PARTITION BY d
+        |             ORDER BY v NULLS FIRST) AS BIGINT)
+        |           + CAST(count(*) OVER (PARTITION BY d, v) AS BIGINT)
+        |           - 1 AS r2
+        |  FROM cm),
+        |pt AS (
+        |  SELECT g, CAST(sum(r2) AS BIGINT) AS r2sum,
+        |         CAST(count(*) AS BIGINT) AS nb
+        |  FROM rk GROUP BY 1),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(max(nb) AS BIGINT) AS n,
+        |         CAST(sum(r2sum * r2sum) AS BIGINT) AS sr2
+        |  FROM pt)
+        |SELECT k, n AS n_blocks,
+        |       CASE WHEN n > 0 AND k > 1
+        |       THEN ${Det.r4Sql(q)} ELSE NULL END AS q,
+        |       CASE WHEN n > 0 AND k > 1
+        |       THEN ${Det.r4Sql(w)} ELSE NULL END AS w
+        |FROM ag""".stripMargin
     },
     "q_agg_jonckheere" -> {
       val mu2 = "((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - " +

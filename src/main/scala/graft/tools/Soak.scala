@@ -61,7 +61,9 @@ object Soak {
       "components_pd" ->
         (() => graft.rel.RelationalOps.partComponentsPd(spark, sfDir)),
       "semdedup_clustered" ->
-        (() => graft.llm.VectorOps.semDedupClustered(spark, sfDir)))
+        (() => graft.llm.VectorOps.semDedupClustered(spark, sfDir)),
+      "hits_converged" ->
+        (() => graft.rel.RelationalOps.partHitsConverged(spark, sfDir)))
     val times = ops.map { case (name, f) =>
       val t0 = System.nanoTime()
       val rows = f().count()

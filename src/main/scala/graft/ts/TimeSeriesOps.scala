@@ -1581,6 +1581,97 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** Shared engine-neutral formula texts for [[tsGranger]] — pure
+    * CAST/arithmetic with NO float literals (a bare `2.0` parses as
+    * DECIMAL in Spark SQL text — the standing dialect hazard — so the
+    * doubling is written as an explicit repeated subtraction and the
+    * dof as CAST(n − 3 AS DOUBLE)), making one string valid and
+    * bit-identical in BOTH engines. Centered moments are the
+    * n-multiplied form S_ab = n·Σab − Σa·Σb over exact integer sums;
+    * the common n and 10⁸ scales cancel in every F ratio. */
+  private def grangerTexts: (String, String, String, String) = {
+    def cen(sab: String, sa: String, sb: String) =
+      s"(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE) - " +
+        s"CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE))"
+    val s11 = cen("sylyl", "syl", "syl") // S_{yl,yl}
+    val s22 = cen("sxlxl", "sxl", "sxl") // S_{xl,xl}
+    val s12 = cen("sylxl", "syl", "sxl") // S_{yl,xl}
+    // x -> y: response y_t on (yl, xl)
+    val syyC = cen("syy", "sy", "sy")
+    val b1 = cen("syyl", "syl", "sy")
+    val b2 = cen("syxl", "sxl", "sy")
+    val detXY = s"($s11 * $s22 - $s12 * $s12)"
+    val explXY = s"($b1 * $b1 * $s22 - $b1 * $b2 * $s12 - " +
+      s"$b1 * $b2 * $s12 + $b2 * $b2 * $s11)"
+    val rssUXY = s"($syyC - $explXY / $detXY)"
+    val rssRXY = s"($syyC - $b1 * $b1 / $s11)"
+    val fXY = s"(($rssRXY - $rssUXY) / ($rssUXY / CAST(n - 3 AS DOUBLE)))"
+    val gXY = s"(n > 3 AND $s11 > 0 AND $detXY > 0 AND $rssUXY > 0)"
+    // y -> x: response x_t on (xl, yl)
+    val sxxC = cen("sxx", "sx", "sx")
+    val c1 = cen("sxxl", "sxl", "sx")
+    val c2 = cen("sxyl", "syl", "sx")
+    val detYX = s"($s22 * $s11 - $s12 * $s12)"
+    val explYX = s"($c1 * $c1 * $s11 - $c1 * $c2 * $s12 - " +
+      s"$c1 * $c2 * $s12 + $c2 * $c2 * $s22)"
+    val rssUYX = s"($sxxC - $explYX / $detYX)"
+    val rssRYX = s"($sxxC - $c1 * $c1 / $s22)"
+    val fYX = s"(($rssRYX - $rssUYX) / ($rssUYX / CAST(n - 3 AS DOUBLE)))"
+    val gYX = s"(n > 3 AND $s22 > 0 AND $detYX > 0 AND $rssUYX > 0)"
+    (fXY, gXY, fYX, gYX)
+  }
+
+  /** GRANGER CAUSALITY (bivariate, lag 1) between the click and
+    * purchase hourly series — "does click activity help predict NEXT
+    * hour's purchases beyond purchases' own history" (and the
+    * reverse): F = (RSS_restricted − RSS_full)/(RSS_full/(n−3)) with
+    * both residual sums in CLOSED FORM from the 2×2 normal equations
+    * — no iterative fit, so the whole statistic is one fixed IEEE
+    * expression over exact moments. Determinism: the joined lagged
+    * grid carries exact 1e4-scaled BIGINTs, all 13 raw moments
+    * accumulate as DECIMAL(38,0)/HUGEINT sums of BIGINT products, and
+    * the ONE shared formula text (see [[grangerTexts]] — no float
+    * literals, valid in both dialects verbatim) runs on exact-rounded
+    * doubles; n/10⁸ scale factors cancel in each F. NULL on
+    * degenerate designs (n ≤ 3, zero lag variance, singular normal
+    * matrix, perfect fit) in both engines. The single ordered lag
+    * window is series-grain (the acf precedent; the two-pass
+    * distributed rank is the family's documented scale path). */
+  def tsGranger(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long").as("q"))
+      .localCheckpoint(eager = false) // both series selections
+    val y = h.where(col("event_type") === "purchase")
+      .select(col("bucket"), col("q").as("y"))
+    val x = h.where(col("event_type") === "click")
+      .select(col("bucket"), col("q").as("x"))
+    val wo = Window.orderBy(col("bucket"))
+    val lagged = y.join(x, "bucket")
+      .withColumn("yl", lag(col("y"), 1).over(wo))
+      .withColumn("xl", lag(col("x"), 1).over(wo))
+      .where(col("yl").isNotNull)
+    def sd(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val agg = lagged.agg(count(lit(1)).as("n"),
+      sd(col("y")).as("sy"), sd(col("x")).as("sx"),
+      sd(col("yl")).as("syl"), sd(col("xl")).as("sxl"),
+      sd(col("y") * col("y")).as("syy"),
+      sd(col("x") * col("x")).as("sxx"),
+      sd(col("yl") * col("yl")).as("sylyl"),
+      sd(col("xl") * col("xl")).as("sxlxl"),
+      sd(col("y") * col("yl")).as("syyl"),
+      sd(col("y") * col("xl")).as("syxl"),
+      sd(col("x") * col("xl")).as("sxxl"),
+      sd(col("x") * col("yl")).as("sxyl"),
+      sd(col("yl") * col("xl")).as("sylxl"))
+    val (fXY, gXY, fYX, gYX) = grangerTexts
+    agg.select(col("n"),
+      when(expr(gXY), Det.r4(expr(fXY))).otherwise(lit(null)).as("f_xy"),
+      when(expr(gYX), Det.r4(expr(fYX))).otherwise(lit(null)).as("f_yx"))
+  }
+
   /** 10%-trimmed mean per series — the robust-center member beside the
     * median/MAD/Theil–Sen family: drop the bottom and top ⌊n/10⌋
     * values by INTEGER rank over the (v, bucket) total order (an
@@ -3476,6 +3567,7 @@ object TimeSeriesOps {
     "q_ts_constant_line" -> constantLineRead _,
     "q_ts_acf" -> acf _,
     "q_ts_ljung_box" -> tsLjungBox _,
+    "q_ts_granger" -> tsGranger _,
     "q_ts_pacf" -> pacf _,
     "q_ts_trimmed_mean" -> trimmedMean _,
     "q_ts_holt_damped" -> holtDamped _,
@@ -4000,6 +4092,50 @@ object TimeSeriesOps {
         |       ${ratio("d3")} AS acf3
         |FROM cl GROUP BY 1
         |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_granger" -> {
+      val (fXY, gXY, fYX, gYX) = grangerTexts
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q
+        |  FROM h1),
+        |j AS (
+        |  SELECT y.bucket AS bucket, y.q AS y, x.q AS x
+        |  FROM (SELECT bucket, q FROM c WHERE event_type = 'purchase') y
+        |  JOIN (SELECT bucket, q FROM c WHERE event_type = 'click') x
+        |    ON y.bucket = x.bucket),
+        |lg AS (
+        |  SELECT y, x,
+        |         lag(y, 1) OVER (ORDER BY bucket NULLS FIRST) AS yl,
+        |         lag(x, 1) OVER (ORDER BY bucket NULLS FIRST) AS xl
+        |  FROM j),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT)) AS sx,
+        |         sum(CAST(yl AS HUGEINT)) AS syl,
+        |         sum(CAST(xl AS HUGEINT)) AS sxl,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(yl AS HUGEINT) * yl) AS sylyl,
+        |         sum(CAST(xl AS HUGEINT) * xl) AS sxlxl,
+        |         sum(CAST(y AS HUGEINT) * yl) AS syyl,
+        |         sum(CAST(y AS HUGEINT) * xl) AS syxl,
+        |         sum(CAST(x AS HUGEINT) * xl) AS sxxl,
+        |         sum(CAST(x AS HUGEINT) * yl) AS sxyl,
+        |         sum(CAST(yl AS HUGEINT) * xl) AS sylxl
+        |  FROM lg WHERE yl IS NOT NULL)
+        |SELECT n,
+        |       CASE WHEN $gXY THEN ${Det.r4Sql(fXY)} ELSE NULL END
+        |         AS f_xy,
+        |       CASE WHEN $gYX THEN ${Det.r4Sql(fYX)} ELSE NULL END
+        |         AS f_yx
+        |FROM ag""".stripMargin
     },
     "q_ts_ljung_box" -> {
       def lagk(k: Int) =
