@@ -1371,6 +1371,47 @@ object RelationalOps {
     componentSummary(labels)
   }
 
+  /** LABEL-PROPAGATION COMMUNITIES (Raghavan 2007, synchronous
+    * variant) over the co-purchase graph — the modularity-free
+    * community baseline beside [[partComponents]] (components answers
+    * reachability; LPA finds densely-linked clusters INSIDE one
+    * component): each round every node adopts the MODE of its
+    * neighbors' labels, ties broken by the smallest label — a total
+    * deterministic update rule, so 4 unrolled synchronous rounds match
+    * a chained MATERIALIZED-CTE DuckDB twin bit-for-bit (the
+    * partComponents discipline with an argmax instead of a min). Per
+    * round: one shuffle for the (dst, label) counts, one window over
+    * that count relation (label-grain, not edge-grain), one node-key
+    * join back; label state is one BIGINT per node. Top-20 communities
+    * under the (n_members DESC, community) total order. */
+  def partLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false) // every round's count join
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = false) // every round's carry join
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to 4) {
+      val cnt = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("lbl"))
+      val pick = cnt.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("dst").as("node"), col("lbl"))
+      labels = nodes
+        .join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+        .localCheckpoint(eager = false) // next round + summary
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
   /** RESOURCE-ALLOCATION link-prediction index (Zhou–Lü–Zhang 2009)
     * over the co-purchase graph — the hub-discounting complement of
     * [[partJaccard]]: each common neighbor w contributes 1/d(w), so a
@@ -4108,6 +4149,7 @@ object RelationalOps {
       ((s: SparkSession, d: String) => partResourceAllocCapped(s, d)),
     "q_part_components" -> partComponents _,
     "q_part_components_pd" -> partComponentsPd _,
+    "q_part_label_prop" -> partLabelProp _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -5295,6 +5337,38 @@ object RelationalOps {
         |        AS BIGINT) AS rk FROM u)
         |SELECT side, node, score_scaled, rk FROM r WHERE rk <= 10
         |ORDER BY side NULLS FIRST, rk NULLS FIRST""".stripMargin
+    },
+    "q_part_label_prop" -> {
+      // synchronous mode-label rounds: argmax by (count DESC, label)
+      // via row_number — chained, so every CTE is MATERIALIZED
+      val rounds = (1 to 4).map { i =>
+        s"""l$i AS MATERIALIZED (
+          |  SELECT n.node, COALESCE(p.lbl, n.node) AS lbl
+          |  FROM nodes n LEFT JOIN (
+          |    SELECT dst AS node, lbl FROM (
+          |      SELECT dst, lbl,
+          |             row_number() OVER (PARTITION BY dst
+          |               ORDER BY c DESC NULLS LAST, lbl NULLS FIRST)
+          |               AS rn
+          |      FROM (SELECT s.dst, l.lbl,
+          |                   CAST(count(*) AS BIGINT) AS c
+          |            FROM sym s JOIN l${i - 1} l ON l.node = s.src
+          |            GROUP BY 1, 2) t) u
+          |    WHERE rn = 1) p ON p.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+        |$rounds
+        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+        |FROM l4 GROUP BY 1
+        |ORDER BY n_members DESC NULLS LAST, community NULLS FIRST
+        |LIMIT 20""".stripMargin
     },
     "q_part_kcore" -> {
       // every round CTE is referenced twice; MATERIALIZED stops DuckDB
