@@ -1412,6 +1412,62 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** NEWMAN MODULARITY of the [[partLabelProp]] partition — the
+    * community-quality number that belongs beside any community
+    * detector: Q = Σ_c [ e_c^dir/(2m) − (d_c/(2m))² ] over the same
+    * 4-round synchronous LPA labels (deterministic, so the whole
+    * pipeline stays oracle-checkable). Exact accumulation: within-
+    * community directed stub counts and community degree sums are
+    * BIGINTs; each community's term is ONE shared IEEE expression
+    * floor-quantized at 1e12 and summed as BIGINT (the kruskal hq
+    * rule — a raw double Σ over communities is addend-order-
+    * dependent; floor is well-defined for the negative terms too).
+    * Shape: the LPA rounds + one edge-key label join + two
+    * community-grain aggregates. */
+  def partModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = coPurchasePairs(spark, sfDir, Some(4))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(eager = false) // rounds + stub join + degree
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = false) // rounds
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to 4) {
+      val cnt = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("lbl"))
+      val pick = cnt.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("dst").as("node"), col("lbl"))
+      labels = nodes
+        .join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+        .localCheckpoint(eager = false)
+    }
+    val lbl = labels.localCheckpoint(eager = false) // both stub ends + deg
+    val stubs = sym
+      .join(lbl.select(col("node").as("src"), col("lbl").as("ls")), "src")
+      .join(lbl.select(col("node").as("dst"), col("lbl").as("ld")), "dst")
+    // within-community directed stubs + per-community degree sums
+    val perC = stubs.groupBy(col("ls").as("lbl"))
+      .agg(count(lit(1)).as("d_c"),
+        sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("e2_c"))
+      .localCheckpoint(eager = false) // total + per-community terms
+    val tot = perC.agg(sum(col("d_c")).as("m2"))
+    def d(c: Column) = c.cast("double")
+    val term = d(col("e2_c")) / d(col("m2")) -
+      (d(col("d_c")) / d(col("m2"))) * (d(col("d_c")) / d(col("m2")))
+    val agg = perC.crossJoin(broadcast(tot))
+      .select(col("m2"),
+        floor(term * lit(1.0e12)).cast("long").as("tq"))
+      .groupBy(col("m2"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("tq")).as("tqs"))
+    agg.select(col("n_communities"), expr("m2 div 2").as("m"),
+      Det.r4(d(col("tqs")) / lit(1.0e12)).as("q"))
+  }
+
   /** RESOURCE-ALLOCATION link-prediction index (Zhou–Lü–Zhang 2009)
     * over the co-purchase graph — the hub-discounting complement of
     * [[partJaccard]]: each common neighbor w contributes 1/d(w), so a
@@ -4150,6 +4206,7 @@ object RelationalOps {
     "q_part_components" -> partComponents _,
     "q_part_components_pd" -> partComponentsPd _,
     "q_part_label_prop" -> partLabelProp _,
+    "q_part_modularity" -> partModularity _,
     "q_repeat_purchase" -> repeatPurchase _,
     "q_rfm_segments" -> rfmSegments _,
     "q_pareto_abc" -> paretoAbc _,
@@ -5369,6 +5426,52 @@ object RelationalOps {
         |FROM l4 GROUP BY 1
         |ORDER BY n_members DESC NULLS LAST, community NULLS FIRST
         |LIMIT 20""".stripMargin
+    },
+    "q_part_modularity" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""l$i AS MATERIALIZED (
+          |  SELECT n.node, COALESCE(p.lbl, n.node) AS lbl
+          |  FROM nodes n LEFT JOIN (
+          |    SELECT dst AS node, lbl FROM (
+          |      SELECT dst, lbl,
+          |             row_number() OVER (PARTITION BY dst
+          |               ORDER BY c DESC NULLS LAST, lbl NULLS FIRST)
+          |               AS rn
+          |      FROM (SELECT s.dst, l.lbl,
+          |                   CAST(count(*) AS BIGINT) AS c
+          |            FROM sym s JOIN l${i - 1} l ON l.node = s.src
+          |            GROUP BY 1, 2) t) u
+          |    WHERE rn = 1) p ON p.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      val term = "(CAST(e2_c AS DOUBLE) / CAST(m2 AS DOUBLE) - " +
+        "(CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE)) * " +
+        "(CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE)))"
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+        |$rounds,
+        |st AS MATERIALIZED (
+        |  SELECT ls.lbl AS lbl,
+        |         CAST(count(*) AS BIGINT) AS d_c,
+        |         CAST(sum(CASE WHEN ls.lbl = ld.lbl THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS e2_c
+        |  FROM sym s JOIN l4 ls ON ls.node = s.src
+        |  JOIN l4 ld ON ld.node = s.dst
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(d_c) AS BIGINT) AS m2 FROM st),
+        |qq AS (
+        |  SELECT m2, CAST(count(*) AS BIGINT) AS n_communities,
+        |         CAST(sum(CAST(floor(($term) * 1000000000000.0)
+        |           AS BIGINT)) AS BIGINT) AS tqs
+        |  FROM st CROSS JOIN tt GROUP BY 1)
+        |SELECT n_communities, m2 // 2 AS m,
+        |       ${Det.r4Sql("CAST(tqs AS DOUBLE) / 1000000000000.0")} AS q
+        |FROM qq""".stripMargin
     },
     "q_part_kcore" -> {
       // every round CTE is referenced twice; MATERIALIZED stops DuckDB
