@@ -2523,6 +2523,160 @@ object RelationalOps {
         .otherwise(lit(null)).as("w"))
   }
 
+  /** DISTRIBUTED two-pass twin of [[aggCliffsDelta]] — the scale path
+    * for the WHOLE dominance family (cliffs, jonckheere): the exact
+    * form's per-group cumulative window over the merged value grid
+    * puts one group's full grid in one partition at 100×; this twin
+    * range-partitions the (group, value) histogram BY VALUE (all
+    * groups co-located per value), reduces each partition to G
+    * per-group subtotals (pass A — P×G longs to the driver, broadcast
+    * back as strictly-before offsets), then walks each partition once
+    * accumulating the SAME exact dominance products c₁(v)·C₂(<v) /
+    * c₁(v)·C₂(>v) into a G²-entry map (pass B) — identical integers
+    * to the window plan by construction, so it registers against the
+    * SAME oracle SQL (the rfm_segments_dist precedent) and is spec'd
+    * row-equal at several partition counts. addExact guards the
+    * BIGINT dominance sums (the monitor discipline); the lazy
+    * checkpoint pins ONE range layout for both passes. */
+  def cliffsDeltaDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "purchase", "signup", "error")
+    val byGV = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(types: _*))
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Double, Long)]
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v", "g")
+      .localCheckpoint(eager = false) // totals pass + walk pass
+    val partTotals: Map[Int, Map[String, Long]] = byGV.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val m = scala.collection.mutable.Map[String, Long]()
+      it.foreach { case (g, _, c) =>
+        m(g) = m.getOrElse(g, 0L) + c
+      }
+      Iterator((pid, m.toMap))
+    }.collect().toMap
+    val grps = partTotals.values.flatMap(_.keys).toSeq.distinct.sorted
+    val nG: Map[String, Long] = grps.map { g =>
+      g -> partTotals.values.map(_.getOrElse(g, 0L)).sum
+    }.toMap
+    val offsets: Map[Int, Map[String, Long]] = (0 until partitions).map {
+      p =>
+        p -> grps.map { g =>
+          g -> (0 until p).map(q =>
+            partTotals.getOrElse(q, Map.empty).getOrElse(g, 0L)).sum
+        }.toMap
+    }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcN = spark.sparkContext.broadcast(nG)
+    val bcG = spark.sparkContext.broadcast(grps)
+    val pairSums = byGV.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val cum = scala.collection.mutable.Map[String, Long]() ++=
+          bcOff.value(pid)
+        val n = bcN.value
+        val gs = bcG.value
+        val more = scala.collection.mutable.Map[(String, String), Long]()
+        val less = scala.collection.mutable.Map[(String, String), Long]()
+        val block = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        def flush(): Unit = {
+          if (block.nonEmpty) {
+            val at = block.toMap
+            block.foreach { case (g1, c1) =>
+              gs.foreach { g2 =>
+                if (g2 != g1) {
+                  val below2 = cum.getOrElse(g2, 0L)
+                  val above2 = n(g2) - below2 - at.getOrElse(g2, 0L)
+                  val k = (g1, g2)
+                  more(k) = Math.addExact(more.getOrElse(k, 0L),
+                    Math.multiplyExact(c1, below2))
+                  less(k) = Math.addExact(less.getOrElse(k, 0L),
+                    Math.multiplyExact(c1, above2))
+                }
+              }
+            }
+            block.foreach { case (g, c) =>
+              cum(g) = cum.getOrElse(g, 0L) + c
+            }
+            block.clear()
+          }
+        }
+        var curV = Double.NaN
+        it.foreach { case (g, v, c) =>
+          if (block.nonEmpty && v != curV) flush()
+          curV = v
+          block += ((g, c))
+        }
+        flush()
+        gs.flatMap(g1 => gs.collect { case g2 if g1 < g2 =>
+          (g1, g2, more.getOrElse((g1, g2), 0L),
+            less.getOrElse((g1, g2), 0L))
+        }).iterator
+      }
+      .toDF("g1", "g2", "more", "less")
+      .groupBy(col("g1"), col("g2"))
+      .agg(sum(col("more")).as("more"), sum(col("less")).as("less"))
+    val totDf = grps.map(g => (g, nG(g))).toDF("g", "n")
+    def d(c: Column) = c.cast("double")
+    pairSums
+      .join(broadcast(totDf.select(col("g").as("g1"), col("n").as("n1"))),
+        "g1")
+      .join(broadcast(totDf.select(col("g").as("g2"), col("n").as("n2"))),
+        "g2")
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        col("more").as("n_greater"), col("less").as("n_less"),
+        when(col("n1") > lit(0L) && col("n2") > lit(0L),
+          Det.r4((d(col("more")) - d(col("less"))) /
+            (d(col("n1")) * d(col("n2")))))
+          .otherwise(lit(null)).as("delta"))
+      .orderBy("g1", "g2")
+  }
+
+  /** PAGE'S L TREND TEST — [[aggFriedman]]'s ordered-alternative
+    * sibling exactly as [[aggJonckheere]] is [[kruskalWallis]]'s: with
+    * blocks = ISO weeks and ordered treatments = days of week, does
+    * daily activity TREND monotonically across the week? L = Σ s_j R_j
+    * over the same exact within-block midranks (2L stays BIGINT), and
+    * the untied null moments E[2L] = nk(k+1)²/2, Var(2L) =
+    * nk²(k+1)(k²−1)/36 complete one fixed IEEE z text (midrank-tie
+    * variant documented as the defined metric). Weekday scores use
+    * Spark's dayofweek (1 = Sunday); the DuckDB twin writes
+    * dayofweek+1 to align the engines' conventions. Complete weeks
+    * only (all 7 days present). NULL z on a degenerate design. */
+  def aggPageTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("week", col("ts")).as("wk"),
+        dayofweek(col("ts")).cast("long").as("s"))
+      .agg(Det.dsum4(col("value")).as("v"))
+    val complete = m
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("wk"))))
+      .where(col("nb") === 7)
+    val ranked = complete
+      .withColumn("rk",
+        rank().over(Window.partitionBy(col("wk")).orderBy(col("v")))
+          .cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("wk"), col("v"))))
+      .withColumn("r2", lit(2L) * col("rk") + col("cnt") - lit(1L))
+    val perS = ranked.groupBy(col("s"))
+      .agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("nb"))
+    val agg = perS.agg(count(lit(1)).as("k"), max(col("nb")).as("n"),
+      sum(col("s") * col("r2sum")).as("l2"))
+    def d(c: Column) = c.cast("double")
+    val e2 = d(col("n")) * d(col("k")) *
+      ((d(col("k")) + lit(1.0)) * (d(col("k")) + lit(1.0))) / lit(2.0)
+    val var2 = d(col("n")) * d(col("k")) * d(col("k")) *
+      (d(col("k")) + lit(1.0)) *
+      (d(col("k")) * d(col("k")) - lit(1.0)) / lit(36.0)
+    agg.select(col("k"), col("n").as("n_blocks"), col("l2"),
+      when(col("n") > lit(0L) && var2 > lit(0.0),
+        Det.r4((d(col("l2")) - e2) / sqrt(var2)))
+        .otherwise(lit(null)).as("z"))
+  }
+
   /** JONCKHEERE–TERPSTRA TEST — the ordered-alternative rank test
     * ([[aggKruskalWallis]] asks "any group difference", this asks "do
     * o_totalprice distributions SHIFT monotonically along the urgency
@@ -2535,7 +2689,11 @@ object RelationalOps {
     * stays BIGINT, and the z-score's mean/variance need only N and
     * Σnᵢ², Σnᵢ²(2nᵢ+3) (the untied null moments — documented defined
     * metric; tie-corrected variance is a client-side refinement).
-    * One fixed IEEE text; NULL z on a degenerate (σ = 0) design. */
+    * One fixed IEEE text; NULL z on a degenerate (σ = 0) design.
+    * Scale path: the per-group merged-grid window is replaced at
+    * production size by [[cliffsDeltaDistributed]]'s two-pass
+    * range-partitioned walk — the same dominance integers without a
+    * single-partition-per-group sort. */
   def aggJonckheere(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byGV = Tables.orders(spark, sfDir)
@@ -4138,9 +4296,12 @@ object RelationalOps {
     "q_agg_effect_size" -> aggEffectSize _,
     "q_agg_brown_forsythe" -> aggBrownForsythe _,
     "q_agg_cliffs_delta" -> aggCliffsDelta _,
+    "q_agg_cliffs_delta_dist" ->
+      ((s: SparkSession, d: String) => cliffsDeltaDistributed(s, d)),
     "q_agg_cochran_armitage" -> aggCochranArmitage _,
     "q_agg_jonckheere" -> aggJonckheere _,
     "q_agg_friedman" -> aggFriedman _,
+    "q_agg_page_trend" -> aggPageTrend _,
     "q_rel_top_paths" -> topPaths _,
     "q_agg_cramers_v" -> cramersV _,
     "q_upsert_snapshot" -> upsertSnapshot _,
@@ -4647,6 +4808,44 @@ object RelationalOps {
         |       THEN ${Det.r4Sql(delta)} ELSE NULL END AS delta
         |FROM pr
         |ORDER BY g1 NULLS FIRST, g2 NULLS FIRST""".stripMargin
+    },
+    "q_agg_page_trend" -> {
+      val e2 = "CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * " +
+        "((CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)) / 2.0"
+      val var2 = "CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * " +
+        "CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) * " +
+        "(CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) / 36.0"
+      s"""WITH m AS MATERIALIZED (
+        |  SELECT date_trunc('week', ts) AS wk,
+        |         CAST(dayofweek(ts) + 1 AS BIGINT) AS s,
+        |         ${Det.dsum4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT wk, s, v FROM (
+        |    SELECT wk, s, v, count(*) OVER (PARTITION BY wk) AS nb
+        |    FROM m) t
+        |  WHERE nb = 7),
+        |rk AS (
+        |  SELECT s,
+        |         2 * CAST(rank() OVER (PARTITION BY wk
+        |             ORDER BY v NULLS FIRST) AS BIGINT)
+        |           + CAST(count(*) OVER (PARTITION BY wk, v) AS BIGINT)
+        |           - 1 AS r2
+        |  FROM cm),
+        |ps AS (
+        |  SELECT s, CAST(sum(r2) AS BIGINT) AS r2sum,
+        |         CAST(count(*) AS BIGINT) AS nb
+        |  FROM rk GROUP BY 1),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(max(nb) AS BIGINT) AS n,
+        |         CAST(sum(s * r2sum) AS BIGINT) AS l2
+        |  FROM ps)
+        |SELECT k, n AS n_blocks, l2,
+        |       CASE WHEN n > 0 AND $var2 > 0.0
+        |       THEN ${Det.r4Sql(s"(CAST(l2 AS DOUBLE) - $e2) / sqrt($var2)")}
+        |       ELSE NULL END AS z
+        |FROM ag""".stripMargin
     },
     "q_agg_friedman" -> {
       val q = "3.0 * CAST(sr2 AS DOUBLE) / (CAST(n AS DOUBLE) * " +
@@ -6543,6 +6742,7 @@ object RelationalOps {
     * count reaches the rank). */
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q_rfm_segments_dist" -> oracleSqlBase("q_rfm_segments"),
+    "q_agg_cliffs_delta_dist" -> oracleSqlBase("q_agg_cliffs_delta"),
     "q_pareto_abc_dist" -> oracleSqlBase("q_pareto_abc"),
     "q_revenue_gini_dist" -> oracleSqlBase("q_revenue_gini"),
     "q_agg_mannwhitney_dist" -> oracleSqlBase("q_agg_mannwhitney"),

@@ -591,6 +591,37 @@ class PlanSpec extends AnyFunSuite {
     assert(probe.contains("Window"), s"no per-doc window:\n$probe")
   }
 
+  test("label-prop/modularity: the argmax window runs at label grain " +
+      "(over the count aggregate), not edge grain") {
+    import org.apache.spark.sql.functions._
+    // pre-checkpoint probe of one LPA round: the row_number argmax
+    // must consume the (dst, label) COUNT relation — a raw-edge-grain
+    // window would show Window with no upstream aggregate
+    val e = graft.io.Tables.lineitem(spark, sf)
+      .where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val labels = e.select(col("dst").as("node"),
+      col("dst").as("lbl")).distinct()
+    val cnt = e.join(labels, e("src") === labels("node"))
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("c").desc, col("lbl"))
+    val p = cnt.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      s"count aggregate must be partial:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate") ||
+      "(?s)Window.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"window should consume the aggregate:\n$p")
+  }
+
+  test("granger: the 13-moment aggregate is one partial pass") {
+    val p = plan("q_ts_granger")
+    assert(p.contains("partial_"), s"moment agg not partial:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("ks_by_source: the rank window runs on the histogram, not raw docs") {
     // one (source, n_chars) aggregate feeds everything; the cumulative
     // window's input is the fanned-out histogram grid — a raw-row sort

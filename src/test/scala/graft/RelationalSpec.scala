@@ -349,6 +349,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(conv.length == 20)
   }
 
+  test("distributed two-pass cliffs delta == the merged-grid-window " +
+      "oracle") {
+    val oracle = RelationalOps.aggCliffsDelta(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty)
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = RelationalOps.cliffsDeltaDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions: $twin vs $oracle")
+    }
+  }
+
   test("distributed two-pass mann-whitney == the ordered-window oracle") {
     val oracle = RelationalOps.aggMannWhitney(spark, sf)
       .collect().map(_.toSeq).toSeq
