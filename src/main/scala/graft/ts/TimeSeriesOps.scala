@@ -3244,6 +3244,49 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk; Lei et al. 2018) on
+    * the Holt one-step forecasts — the distribution-free calibration
+    * read that answers "what band actually has 90 % coverage" where
+    * [[holtAberration]]'s ±3·dev band is only heuristic: the first
+    * ⌊0.7n⌋ buckets calibrate (q90 = the EXACT integer-rank
+    * ⌈0.9·n_cal⌉-th |residual| under the (r, bucket) total order —
+    * the nPercentile discipline, no interpolation), the rest test
+    * (coverage = #{|resid| ≤ q90}/n_test). Every residual is a
+    * bit-identical double (the holt recursive-CTE lemma), ranking
+    * exact doubles is deterministic, and the counts are integers, so
+    * the whole query stays oracle-checkable. Time-ordered split =
+    * the honest forecasting protocol (no leakage). */
+  def tsConformal(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ab = holtAberration(spark, sfDir)
+      .select(col("event_type"), col("bucket"),
+        abs(col("v") - col("fc")).as("r"))
+    val wS = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wP = Window.partitionBy(col("event_type"))
+    val tagged = ab
+      .withColumn("rn", row_number().over(wS).cast("long"))
+      .withColumn("n", count(lit(1)).over(wP))
+      .withColumn("ncal", expr("(n * 7) div 10"))
+      .localCheckpoint(eager = false) // calibration + test consumers
+    val wR = Window.partitionBy(col("event_type"))
+      .orderBy(col("r"), col("bucket"))
+    val q = tagged.where(col("rn") <= col("ncal"))
+      .withColumn("rrk", row_number().over(wR).cast("long"))
+      .where(col("rrk") === expr("(9 * ncal + 9) div 10"))
+      .select(col("event_type"), col("r").as("q90"))
+    tagged.where(col("rn") > col("ncal"))
+      .join(q, "event_type")
+      .groupBy(col("event_type"), col("ncal"), col("q90"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q90"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("event_type"), col("ncal").as("n_cal"),
+        col("n_test"), col("q90"), col("n_covered"),
+        Det.r4(col("n_covered").cast("double") /
+          col("n_test").cast("double")).as("coverage"))
+      .orderBy("event_type")
+  }
+
   /** Graphite `movingSum` / `movingMin` / `movingMax` over the hourly
     * rollup, full 6-bucket frames only (the [[movingAverage]]
     * discipline): the frame sum accumulates as exact DECIMAL; min/max
@@ -3551,6 +3594,7 @@ object TimeSeriesOps {
     "q_ts_series_math" -> seriesMath _,
     "q_ts_holt_aberration" -> holtAberration _,
     "q_ts_holt_backtest" -> holtBacktest _,
+    "q_ts_conformal" -> tsConformal _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
     "q_ts_bollinger" -> bollinger _,
@@ -3878,6 +3922,39 @@ object TimeSeriesOps {
         |       CAST(sum(CASE WHEN aberration = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band
         |FROM ab GROUP BY 1
         |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_conformal" -> {
+      s"""WITH ab0 AS (
+        |$holtAberrationOracle
+        |),
+        |rr AS (SELECT event_type, bucket, abs(v - fc) AS r FROM ab0),
+        |tg AS (
+        |  SELECT event_type, bucket, r,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type)
+        |           AS BIGINT) AS n
+        |  FROM rr),
+        |tg2 AS MATERIALIZED (
+        |  SELECT event_type, bucket, r, rn, (n * 7) // 10 AS ncal
+        |  FROM tg),
+        |q AS (
+        |  SELECT event_type, r AS q90, ncal FROM (
+        |    SELECT event_type, r, ncal,
+        |           CAST(row_number() OVER (PARTITION BY event_type
+        |             ORDER BY r NULLS FIRST, bucket NULLS FIRST)
+        |             AS BIGINT) AS rrk
+        |    FROM tg2 WHERE rn <= ncal) x
+        |  WHERE rrk = (9 * ncal + 9) // 10)
+        |SELECT t.event_type, q.ncal AS n_cal,
+        |       CAST(count(*) AS BIGINT) AS n_test, q.q90,
+        |       CAST(sum(CASE WHEN t.r <= q.q90 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_covered,
+        |       ${Det.r4Sql("CAST(sum(CASE WHEN t.r <= q.q90 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS coverage
+        |FROM tg2 t JOIN q ON q.event_type = t.event_type
+        |WHERE t.rn > t.ncal
+        |GROUP BY 1, 2, 4
+        |ORDER BY t.event_type NULLS FIRST""".stripMargin
     },
     "q_ts_moving_window" ->
       s"""WITH h1 AS (
