@@ -2423,6 +2423,63 @@ object RelationalOps {
         .otherwise(lit(null)).as("w"))
   }
 
+  /** PER-SOURCE BROWN–FORSYTHE — [[aggBrownForsythe]] partitioned by
+    * corpus source (the ks_by_source / kw_by_source family member):
+    * within each source, do document lengths have the same SPREAD
+    * across languages? Catches the crawl whose one-language extractor
+    * produces erratic lengths even when the MEDIANS still agree
+    * (which kw_by_source would miss). Identical determinism
+    * discipline with every window/aggregate keyed by source; sources
+    * with a degenerate design (n ≤ k, zero within-spread, or a single
+    * language) report NULL w in both engines. */
+  def bfBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGV = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang").as("g"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // median scan + deviation join
+    val wCum = Window.partitionBy(col("source"), col("g"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("source"), col("g"))
+    val med = byGV
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .where(col("cum") * lit(2L) >= col("n_g"))
+      .groupBy(col("source"), col("g")).agg(min(col("v")).as("med"))
+    val z = byGV.join(med, Seq("source", "g"))
+      .select(col("source"), col("g"),
+        abs(col("v") - col("med")).as("z"), col("c"))
+    val perG = z.groupBy(col("source"), col("g"))
+      .agg(sum(col("c")).as("n_i"), sum(col("c") * col("z")).as("s_i"),
+        sum(col("c").cast("decimal(38,0)") * col("z") * col("z"))
+          .as("ssq_i"))
+      .localCheckpoint(eager = false) // totals + per-group terms
+    val tot = perG.groupBy(col("source"))
+      .agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("t"),
+        sum(col("ssq_i")).cast("double").as("ssq"))
+    def d(c: Column) = c.cast("double")
+    val mG = d(col("s_i")) / d(col("n_i"))
+    val m = d(col("t")) / d(col("n"))
+    val termG = d(col("n_i")) * (mG - m) * (mG - m)
+    val agg = perG.join(tot, "source")
+      .select(col("source"), col("n"), col("t"), col("ssq"),
+        floor(termG * lit(1000000.0)).cast("long").as("bq"))
+      .groupBy(col("source"), col("n"), col("t"), col("ssq"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("bq")).as("bqs"))
+    val ssb = d(col("bqs")) / lit(1000000.0)
+    val sstot = col("ssq") - d(col("t")) * (d(col("t")) / d(col("n")))
+    val ssw = sstot - ssb
+    val w = (ssb / (d(col("n_groups")) - lit(1.0))) /
+      (ssw / (d(col("n")) - d(col("n_groups"))))
+    agg.select(col("source"), col("n_groups"), col("n"),
+        Det.r4(ssb).as("ssb"), Det.r4(ssw).as("ssw"),
+        when(col("n") > col("n_groups") && ssw > lit(0.0) &&
+          col("n_groups") > lit(1L), Det.r4(w))
+          .otherwise(lit(null)).as("w"))
+      .orderBy("source")
+  }
+
   /** CLIFF'S DELTA — the ordinal effect size that belongs beside
     * [[aggMannWhitney]] exactly as [[aggEffectSize]] belongs beside
     * the t test: δ = (#(x₁>x₂) − #(x₁<x₂))/(n₁n₂) for every pair of
@@ -4295,6 +4352,7 @@ object RelationalOps {
     "q_agg_anova" -> aggAnova _,
     "q_agg_effect_size" -> aggEffectSize _,
     "q_agg_brown_forsythe" -> aggBrownForsythe _,
+    "q_agg_bf_by_source" -> bfBySource _,
     "q_agg_cliffs_delta" -> aggCliffsDelta _,
     "q_agg_cliffs_delta_dist" ->
       ((s: SparkSession, d: String) => cliffsDeltaDistributed(s, d)),
@@ -4772,6 +4830,57 @@ object RelationalOps {
         |       CASE WHEN n > n_groups AND $ssw > 0.0 AND n_groups > 1
         |       THEN ${Det.r4Sql(w)} ELSE NULL END AS w
         |FROM qq""".stripMargin
+    },
+    "q_agg_bf_by_source" -> {
+      val mG = "CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+      val m = "CAST(t AS DOUBLE) / CAST(n AS DOUBLE)"
+      val term = s"CAST(n_i AS DOUBLE) * ($mG - $m) * ($mG - $m)"
+      val ssb = "CAST(bqs AS DOUBLE) / 1000000.0"
+      val sstot = "(ssq - CAST(t AS DOUBLE) * " +
+        "(CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))"
+      val ssw = s"($sstot - $ssb)"
+      val w = s"(($ssb) / (CAST(n_groups AS DOUBLE) - 1.0)) / " +
+        s"(($ssw) / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))"
+      s"""WITH gv AS MATERIALIZED (
+        |  SELECT source, lang AS g, n_chars AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |md AS (
+        |  SELECT source, g, min(v) AS med FROM (
+        |    SELECT source, g, v,
+        |           CAST(sum(c) OVER (PARTITION BY source, g
+        |             ORDER BY v NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS cum,
+        |           CAST(sum(c) OVER (PARTITION BY source, g)
+        |             AS BIGINT) AS n_g
+        |    FROM gv) x
+        |  WHERE cum * 2 >= n_g GROUP BY 1, 2),
+        |z AS (SELECT gv.source, gv.g, abs(v - med) AS z, c
+        |      FROM gv JOIN md ON md.source = gv.source AND md.g = gv.g),
+        |pg AS MATERIALIZED (
+        |  SELECT source, g, CAST(sum(c) AS BIGINT) AS n_i,
+        |         CAST(sum(c * z) AS BIGINT) AS s_i,
+        |         sum(CAST(c AS HUGEINT) * z * z) AS ssq_i
+        |  FROM z GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(sum(n_i) AS BIGINT) AS n,
+        |              CAST(sum(s_i) AS BIGINT) AS t,
+        |              CAST(sum(ssq_i) AS DOUBLE) AS ssq
+        |       FROM pg GROUP BY 1),
+        |qq AS (
+        |  SELECT pg.source, n, t, ssq,
+        |         CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(CAST(floor(($term) * 1000000.0) AS BIGINT))
+        |           AS BIGINT) AS bqs
+        |  FROM pg JOIN tt ON tt.source = pg.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT source, n_groups, n,
+        |       ${Det.r4Sql(ssb)} AS ssb,
+        |       ${Det.r4Sql(ssw)} AS ssw,
+        |       CASE WHEN n > n_groups AND $ssw > 0.0 AND n_groups > 1
+        |       THEN ${Det.r4Sql(w)} ELSE NULL END AS w
+        |FROM qq
+        |ORDER BY source NULLS FIRST""".stripMargin
     },
     "q_agg_cliffs_delta" -> {
       val delta = "(CAST(more AS DOUBLE) - CAST(less AS DOUBLE)) / " +

@@ -3244,6 +3244,44 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** MASE + sMAPE FORECAST-ACCURACY SCORES (Hyndman & Koehler 2006) —
+    * the scale-free companions to [[holtBacktest]]'s MAE/bias: MASE
+    * divides the forecast MAE by the one-step NAIVE forecast's MAE
+    * (the M-competition standard; < 1 beats naive), sMAPE is the
+    * symmetric percentage error. Determinism: |v−fc| and |v−v₋₁|
+    * accumulate as exact DECIMAL(18,8) (the backtest discipline —
+    * every per-point double is bit-identical by the holt CTE lemma,
+    * so the decimal casts agree), and each per-point sMAPE RATIO is
+    * floor-quantized at 1e8 and BIGINT-summed (the order-free-Σ rule
+    * — a raw double Σ of ratios is addend-order-dependent). NULL on
+    * degenerate series (constant ⇒ naive MAE 0). */
+  def tsMase(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val ab = holtAberration(spark, sfDir)
+      .select(col("event_type"), col("bucket"), col("v"), col("fc"))
+      .withColumn("vp", lag(col("v"), 1).over(wo))
+      .where(col("vp").isNotNull)
+    def s8(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(18,8)")).cast("double")
+    val smapeT = abs(col("v") - col("fc")) /
+      ((abs(col("v")) + abs(col("fc"))) / lit(2.0))
+    val g = ab.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        s8(abs(col("v") - col("fc"))).as("sae"),
+        s8(abs(col("v") - col("vp"))).as("snaive"),
+        sum(when(abs(col("v")) + abs(col("fc")) > lit(0.0),
+          floor(smapeT * lit(100000000.0)).cast("long"))
+          .otherwise(lit(0L))).as("smq"))
+    g.select(col("event_type"), col("n"),
+        when(col("snaive") > lit(0.0),
+          Det.r4(col("sae") / col("snaive"))).otherwise(lit(null))
+          .as("mase"),
+        Det.r4(col("smq").cast("double") / lit(100000000.0) /
+          col("n").cast("double")).as("smape"))
+      .orderBy("event_type")
+  }
+
   /** SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk; Lei et al. 2018) on
     * the Holt one-step forecasts — the distribution-free calibration
     * read that answers "what band actually has 90 % coverage" where
@@ -3595,6 +3633,7 @@ object TimeSeriesOps {
     "q_ts_holt_aberration" -> holtAberration _,
     "q_ts_holt_backtest" -> holtBacktest _,
     "q_ts_conformal" -> tsConformal _,
+    "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
     "q_ts_bollinger" -> bollinger _,
@@ -3922,6 +3961,32 @@ object TimeSeriesOps {
         |       CAST(sum(CASE WHEN aberration = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band
         |FROM ab GROUP BY 1
         |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_mase" -> {
+      val smapeT = "(abs(v - fc) / ((abs(v) + abs(fc)) / 2.0))"
+      s"""WITH ab0 AS (
+        |$holtAberrationOracle
+        |),
+        |lg AS (
+        |  SELECT event_type, v, fc,
+        |         lag(v, 1) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS vp
+        |  FROM ab0),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(abs(v - fc) AS DECIMAL(18,8)))
+        |           AS DOUBLE) AS sae,
+        |         CAST(sum(CAST(abs(v - vp) AS DECIMAL(18,8)))
+        |           AS DOUBLE) AS snaive,
+        |         CAST(sum(CASE WHEN abs(v) + abs(fc) > 0.0
+        |           THEN CAST(floor($smapeT * 100000000.0) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS smq
+        |  FROM lg WHERE vp IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |       CASE WHEN snaive > 0.0
+        |       THEN ${Det.r4Sql("sae / snaive")} ELSE NULL END AS mase,
+        |       ${Det.r4Sql("CAST(smq AS DOUBLE) / 100000000.0 / CAST(n AS DOUBLE)")} AS smape
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin
     },
     "q_ts_conformal" -> {
       s"""WITH ab0 AS (
