@@ -2423,6 +2423,63 @@ object RelationalOps {
         .otherwise(lit(null)).as("w"))
   }
 
+  /** MOOD'S MEDIAN TEST — the median-based k-sample test that
+    * completes the center-comparison family ([[aggAnova]] compares
+    * means parametrically, [[kruskalWallis]] compares rank
+    * distributions; this asks only "do the groups straddle the GRAND
+    * median equally" — maximally robust, minimally powered, the
+    * standard screen when outliers are extreme): grand median by
+    * exact integer-rank selection over the pooled value-grain
+    * histogram, per-group above/not-above counts as exact BIGINTs,
+    * then the k×2 chi-squared with each group's two-cell term ONE
+    * shared IEEE expression floor-quantized at 1e6 and BIGINT-summed
+    * (the kruskal hq rule). NULL chi² when a margin is empty (all
+    * values on one side — the constant column) in both engines. */
+  def aggMoodMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Seq("click", "purchase", "signup", "error")
+    val byGV = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(types: _*))
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // pooled median + group counts
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val med = byGV.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("n", sum(col("t")).over(wAll))
+      .where(col("cum") * lit(2L) >= col("n"))
+      .agg(min(col("v")).as("med"))
+    val perG = byGV.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(sum(when(col("v") > col("med"), col("c")).otherwise(lit(0L)))
+        .as("a_i"),
+        sum(col("c")).as("n_i"))
+      .localCheckpoint(eager = false) // margins + per-group terms
+    val tot = perG.agg(sum(col("a_i")).as("a"), sum(col("n_i")).as("n"))
+    def d(c: Column) = c.cast("double")
+    val eA = d(col("n_i")) * d(col("a")) / d(col("n"))
+    val eB = d(col("n_i")) * (d(col("n")) - d(col("a"))) / d(col("n"))
+    val bI = col("n_i") - col("a_i")
+    val term = (d(col("a_i")) - eA) * (d(col("a_i")) - eA) / eA +
+      (d(bI) - eB) * (d(bI) - eB) / eB
+    // degenerate margins (a = 0 or a = n) make E = 0 ⇒ Inf terms, and
+    // ANSI floor(Inf)→LONG throws — guard INSIDE the quantization (the
+    // kruskal corr>0 hazard, applied one step earlier)
+    val agg = perG.crossJoin(broadcast(tot))
+      .select(col("a"), col("n"),
+        when(col("a") > lit(0L) && col("a") < col("n"),
+          floor(term * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L)).as("tq"))
+      .groupBy(col("a"), col("n"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("tq")).as("tqs"))
+    agg.select(col("n_groups"), col("n"), col("a").as("n_above"),
+      when(col("a") > lit(0L) && col("a") < col("n"),
+        Det.r4(d(col("tqs")) / lit(1000000.0)))
+        .otherwise(lit(null)).as("chisq"))
+  }
+
   /** PER-SOURCE BROWN–FORSYTHE — [[aggBrownForsythe]] partitioned by
     * corpus source (the ks_by_source / kw_by_source family member):
     * within each source, do document lengths have the same SPREAD
@@ -4353,6 +4410,7 @@ object RelationalOps {
     "q_agg_effect_size" -> aggEffectSize _,
     "q_agg_brown_forsythe" -> aggBrownForsythe _,
     "q_agg_bf_by_source" -> bfBySource _,
+    "q_agg_mood_median" -> aggMoodMedian _,
     "q_agg_cliffs_delta" -> aggCliffsDelta _,
     "q_agg_cliffs_delta_dist" ->
       ((s: SparkSession, d: String) => cliffsDeltaDistributed(s, d)),
@@ -4829,6 +4887,52 @@ object RelationalOps {
         |       ${Det.r4Sql(ssw)} AS ssw,
         |       CASE WHEN n > n_groups AND $ssw > 0.0 AND n_groups > 1
         |       THEN ${Det.r4Sql(w)} ELSE NULL END AS w
+        |FROM qq""".stripMargin
+    },
+    "q_agg_mood_median" -> {
+      val eA = "(CAST(n_i AS DOUBLE) * CAST(a AS DOUBLE) / " +
+        "CAST(n AS DOUBLE))"
+      val eB = "(CAST(n_i AS DOUBLE) * (CAST(n AS DOUBLE) - " +
+        "CAST(a AS DOUBLE)) / CAST(n AS DOUBLE))"
+      val term = s"(CAST(a_i AS DOUBLE) - $eA) * " +
+        s"(CAST(a_i AS DOUBLE) - $eA) / $eA + " +
+        s"(CAST(n_i - a_i AS DOUBLE) - $eB) * " +
+        s"(CAST(n_i - a_i AS DOUBLE) - $eB) / $eB"
+      s"""WITH gv AS MATERIALIZED (
+        |  SELECT event_type AS g, value AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'signup', 'error')
+        |  GROUP BY 1, 2),
+        |md AS (
+        |  SELECT min(v) AS med FROM (
+        |    SELECT v,
+        |           CAST(sum(t) OVER (ORDER BY v NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS cum,
+        |           CAST(sum(t) OVER () AS BIGINT) AS n
+        |    FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t
+        |          FROM gv GROUP BY 1) p) x
+        |  WHERE cum * 2 >= n),
+        |pg AS MATERIALIZED (
+        |  SELECT g,
+        |         CAST(sum(CASE WHEN v > med THEN c ELSE 0 END)
+        |           AS BIGINT) AS a_i,
+        |         CAST(sum(c) AS BIGINT) AS n_i
+        |  FROM gv CROSS JOIN md GROUP BY 1),
+        |tt AS (SELECT CAST(sum(a_i) AS BIGINT) AS a,
+        |              CAST(sum(n_i) AS BIGINT) AS n
+        |       FROM pg),
+        |qq AS (
+        |  SELECT a, n, CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(CASE WHEN a > 0 AND a < n
+        |           THEN CAST(floor(($term) * 1000000.0) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS tqs
+        |  FROM pg CROSS JOIN tt GROUP BY 1, 2)
+        |SELECT n_groups, n, a AS n_above,
+        |       CASE WHEN a > 0 AND a < n
+        |       THEN ${Det.r4Sql("CAST(tqs AS DOUBLE) / 1000000.0")}
+        |       ELSE NULL END AS chisq
         |FROM qq""".stripMargin
     },
     "q_agg_bf_by_source" -> {
