@@ -2423,6 +2423,59 @@ object RelationalOps {
         .otherwise(lit(null)).as("w"))
   }
 
+  /** ANSARI–BRADLEY TEST — the two-sample DISPERSION rank test
+    * (click vs purchase on value): where [[aggMannWhitney]] asks "is
+    * one sample shifted", this asks "is one sample more SPREAD OUT",
+    * from the same value-grain histogram machinery. Scores are
+    * a = min(r̄, N+1−r̄) over pooled midranks — in the exact 2× units
+    * a2 = min(r2, 2(N+1)−r2), so the statistic A2 = Σ c₁·a2 is an
+    * exact BIGINT; the untied null moments split by N's parity (the
+    * classical tables) and enter ONE fixed IEEE z text per branch,
+    * selected by the same CASE in both engines. Midrank-tie variant
+    * documented as the defined metric; NULL z on a degenerate design.
+    * One cumulative window at value grain (the mannwhitney precedent,
+    * with the two-pass rank as the family scale path). */
+  def aggAnsariBradley(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c2"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val ranked = byVal
+      .withColumn("cum", coalesce(sum(col("c1") + col("c2")).over(wCum),
+        lit(0L)))
+      .withColumn("nn", sum(col("c1") + col("c2")).over(wAll))
+      .withColumn("r2",
+        lit(2L) * col("cum") + col("c1") + col("c2") + lit(1L))
+      .withColumn("a2",
+        least(col("r2"), lit(2L) * (col("nn") + lit(1L)) - col("r2")))
+    val g = ranked.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("c1") * col("a2")).as("a2sum"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n1")) + d(col("n2"))
+    // 2E[A] and 4Var[A] by N parity — classical untied moments
+    val e2even = d(col("n1")) * (n + lit(2.0)) / lit(2.0)
+    val v4even = d(col("n1")) * d(col("n2")) * (n + lit(2.0)) *
+      (n - lit(2.0)) / (lit(12.0) * (n - lit(1.0)))
+    val e2odd = d(col("n1")) * ((n + lit(1.0)) * (n + lit(1.0))) /
+      (lit(2.0) * n)
+    val v4odd = d(col("n1")) * d(col("n2")) * (n + lit(1.0)) *
+      (lit(3.0) + n * n) / (lit(12.0) * (n * n))
+    val even = (col("n1") + col("n2")) % lit(2L) === lit(0L)
+    val e2 = when(even, e2even).otherwise(e2odd)
+    val v4 = when(even, v4even).otherwise(v4odd)
+    g.select(col("n1"), col("n2"), col("a2sum"),
+      when(v4 > lit(0.0),
+        Det.r4((d(col("a2sum")) - e2) / sqrt(v4)))
+        .otherwise(lit(null)).as("z"))
+  }
+
   /** MOOD'S MEDIAN TEST — the median-based k-sample test that
     * completes the center-comparison family ([[aggAnova]] compares
     * means parametrically, [[kruskalWallis]] compares rank
@@ -4411,6 +4464,7 @@ object RelationalOps {
     "q_agg_brown_forsythe" -> aggBrownForsythe _,
     "q_agg_bf_by_source" -> bfBySource _,
     "q_agg_mood_median" -> aggMoodMedian _,
+    "q_agg_ansari_bradley" -> aggAnsariBradley _,
     "q_agg_cliffs_delta" -> aggCliffsDelta _,
     "q_agg_cliffs_delta_dist" ->
       ((s: SparkSession, d: String) => cliffsDeltaDistributed(s, d)),
@@ -4888,6 +4942,47 @@ object RelationalOps {
         |       CASE WHEN n > n_groups AND $ssw > 0.0 AND n_groups > 1
         |       THEN ${Det.r4Sql(w)} ELSE NULL END AS w
         |FROM qq""".stripMargin
+    },
+    "q_agg_ansari_bradley" -> {
+      val n = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+      val e2even = s"(CAST(n1 AS DOUBLE) * ($n + 2.0) / 2.0)"
+      val v4even = s"(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+        s"($n + 2.0) * ($n - 2.0) / (12.0 * ($n - 1.0)))"
+      val e2odd = s"(CAST(n1 AS DOUBLE) * (($n + 1.0) * ($n + 1.0)) / " +
+        s"(2.0 * $n))"
+      val v4odd = s"(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+        s"($n + 1.0) * (3.0 + $n * $n) / (12.0 * ($n * $n)))"
+      val e2 = s"(CASE WHEN (n1 + n2) % 2 = 0 THEN $e2even " +
+        s"ELSE $e2odd END)"
+      val v4 = s"(CASE WHEN (n1 + n2) % 2 = 0 THEN $v4even " +
+        s"ELSE $v4odd END)"
+      s"""WITH bv AS MATERIALIZED (
+        |  SELECT value AS v,
+        |         CAST(sum(CASE WHEN event_type = 'click'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |rk AS (
+        |  SELECT c1, c2,
+        |         2 * COALESCE(CAST(sum(c1 + c2) OVER (
+        |           ORDER BY v NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) + c1 + c2 + 1 AS r2,
+        |         CAST(sum(c1 + c2) OVER () AS BIGINT) AS nn
+        |  FROM bv),
+        |g AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(c1 * least(r2, 2 * (nn + 1) - r2))
+        |           AS BIGINT) AS a2sum
+        |  FROM rk)
+        |SELECT n1, n2, a2sum,
+        |       CASE WHEN $v4 > 0.0
+        |       THEN ${Det.r4Sql(s"(CAST(a2sum AS DOUBLE) - $e2) / sqrt($v4)")}
+        |       ELSE NULL END AS z
+        |FROM g""".stripMargin
     },
     "q_agg_mood_median" -> {
       val eA = "(CAST(n_i AS DOUBLE) * CAST(a AS DOUBLE) / " +
