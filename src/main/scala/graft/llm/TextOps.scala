@@ -1222,6 +1222,203 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PER-DOCUMENT BIGRAM-LM PERPLEXITY — the staple LM-based quality
+    * score (CCNet / Wenzek et al. [U] filter by LM perplexity; this is
+    * the engine-native form: an add-one-smoothed bigram model trained
+    * on the corpus itself, scored back over every document). NO ORACLE
+    * by the no-libm rule (ln/exp are libm); instead spec-gated against
+    * a driver reference sharing the JVM's Math.log/exp bit-for-bit,
+    * and made ORDER-INDEPENDENT by the quantized-log discipline: each
+    * bigram's log-prob is floor-quantized at 1e9 ONCE (a fixed
+    * function of the model counts), per-doc sums are then exact
+    * BIGINTs — no double-sum shuffle-order drift. H = −Σqlp/(1e9·n),
+    * ppl = e^H. Shapes like [[lmNovelty]]: one exploded bigram
+    * relation (lazily checkpointed) feeds both the model aggregation
+    * and the scoring join; the model is bigram-vocab-sized and
+    * broadcasts. The min-prob corner of this score is the
+    * oracle-checked [[lmNovelty]]. */
+  def perplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+    val big = docs.select(col("doc_id"),
+      explode(expr(ngramExpr("tk", 2))).as("bg"))
+      .localCheckpoint(eager = false) // model agg + scoring join
+    val bgCnt = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val uniCnt = bgCnt
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val vDf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    def d(c: Column) = c.cast("double")
+    val model = bgCnt
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(uniCnt, "w1")
+      .crossJoin(broadcast(vDf))
+      .select(col("bg"),
+        floor(log(d(col("c2") + lit(1L)) / d(col("c1") + col("v"))) *
+          lit(1.0e9)).cast("long").as("qlp"))
+    val h = (lit(0.0) - d(col("qsum")) / lit(1.0e9)) / d(col("n_bg"))
+    big.join(broadcast(model), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("qlp")).as("qsum"))
+      .select(col("doc_id"), col("n_bg"),
+        Det.r4(h).as("h"), Det.r4(exp(h)).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared (source, token) count histogram — the feed for the whole
+    * source-distribution family ([[klDrift]], [[entropyMix]],
+    * [[driftTokens]], [[renyi2Rank]]): one explode + one aggregate at
+    * (source, token) grain, everything downstream is histogram-sized. */
+  private def sourceTokenCounts(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+
+  /** PER-SOURCE KL / JS DRIFT — the distribution-level curation read
+    * beside [[chisqDrift]]'s test statistic: how far is each source's
+    * unigram distribution from the corpus mixture, in nats (KL) and in
+    * the bounded symmetric form (JS ∈ [0, ln 2])? NO ORACLE (ln is
+    * libm); spec-gated vs a driver fold, and order-independent by the
+    * quantized-term discipline: each token's contribution is floor-
+    * quantized at 1e12 (a fixed function of exact counts), sums are
+    * BIGINTs. The (source × corpus-vocab) grid the JS mixture needs is
+    * the cliffs-delta fan-out shape — vocab-grain × a handful of
+    * sources, never row grain. Token-ranked drift DIRECTION is the
+    * oracle-checked [[driftTokens]]. */
+  def klDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = sourceTokenCounts(spark, sfDir)
+      .localCheckpoint(eager = false) // corpus roll-up + grid join
+    val corp = tok.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+    val nSrc = tok.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val nCorp = nSrc.agg(sum(col("ns")).as("nc"))
+    def d(c: Column) = c.cast("double")
+    val grid = corp.crossJoin(broadcast(nSrc))
+      .join(tok, Seq("source", "w"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(nCorp))
+    val p = d(col("c")) / d(col("ns"))
+    val q = d(col("cc")) / d(col("nc"))
+    val m = (p + q) / lit(2.0)
+    val klT = when(col("c") > 0L, p * log(p / q)).otherwise(lit(0.0))
+    val jsT = (when(col("c") > 0L, p * log(p / m)).otherwise(lit(0.0)) +
+      q * log(q / m)) / lit(2.0)
+    grid.groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        sum(floor(klT * lit(1.0e12)).cast("long")).as("klq"),
+        sum(floor(jsT * lit(1.0e12)).cast("long")).as("jsq"))
+      .select(col("source"), col("n_tokens"),
+        Det.r4(d(col("klq")) / lit(1.0e12)).as("kl"),
+        Det.r4(d(col("jsq")) / lit(1.0e12)).as("js"))
+      .orderBy("source")
+  }
+
+  /** SHANNON-ENTROPY MIX METRICS — the corpus-balance read every data
+    * card wants: per-source token entropy H = −Σp·ln p with evenness
+    * H/ln V (Pielou), plus one `__mix__` row giving the entropy of the
+    * source-size mix itself (is the corpus one giant crawl plus
+    * crumbs, or balanced?). NO ORACLE (ln is libm); spec-gated vs a
+    * driver fold; order-independent by the same 1e12 floor-quantized
+    * term discipline. The oracle-checked rank twin is [[renyi2Rank]]
+    * (rank by the log's ARGUMENT — the collocations PMI precedent).
+    * Union sides share one checkpointed per-source relation (union
+    * children don't CSE — the standing rule). */
+  def entropyMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = sourceTokenCounts(spark, sfDir)
+      .localCheckpoint(eager = false) // per-source terms + totals
+    val nSrc = tok.groupBy(col("source"))
+      .agg(sum(col("c")).as("ns"), countDistinct(col("w")).as("v"))
+      .localCheckpoint(eager = false) // per-source rows + the mix row
+    def d(c: Column) = c.cast("double")
+    val pp = d(col("c")) / d(col("ns"))
+    val perSrc = tok.join(broadcast(nSrc), "source")
+      .select(col("source"), col("ns"), col("v"),
+        floor(pp * log(pp) * lit(-1.0e12)).cast("long").as("hq"))
+      .groupBy(col("source"), col("ns"), col("v"))
+      .agg(sum(col("hq")).as("hqs"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        col("v").as("vocab"),
+        Det.r4(d(col("hqs")) / lit(1.0e12)).as("h"),
+        when(col("v") > 1L,
+          Det.r4(d(col("hqs")) / lit(1.0e12) / log(d(col("v")))))
+          .otherwise(lit(null)).as("evenness"))
+    val nTot = nSrc.agg(sum(col("ns")).as("nt"))
+    val ps = d(col("ns")) / d(col("nt"))
+    val mix = nSrc.crossJoin(broadcast(nTot))
+      .select(col("nt"),
+        floor(ps * log(ps) * lit(-1.0e12)).cast("long").as("hq"))
+      .groupBy(col("nt"))
+      .agg(sum(col("hq")).as("hqs"), count(lit(1)).as("k"))
+      .select(lit("__mix__").as("source"), col("nt").as("n_tokens"),
+        col("k").as("vocab"),
+        Det.r4(d(col("hqs")) / lit(1.0e12)).as("h"),
+        when(col("k") > 1L,
+          Det.r4(d(col("hqs")) / lit(1.0e12) / log(d(col("k")))))
+          .otherwise(lit(null)).as("evenness"))
+    perSrc.unionByName(mix).orderBy("source")
+  }
+
+  /** DRIFT-DIRECTION TOKENS — the ORACLE-CHECKED member of the
+    * [[klDrift]] family: each source's top tokens by probability ratio
+    * p_src/p_corpus (the pointwise KL contribution's direction). The
+    * log is monotone in the ratio, so ranking by the ratio ranks by
+    * pointwise KL sign/magnitude WITHOUT libm (the q_llm_collocations
+    * PMI precedent): ratio = (c·N_corpus)/(N_src·cc) with every factor
+    * cast to double BEFORE multiplying (the r10 overflow rule), one
+    * IEEE expression shared verbatim with DuckDB, ordered UNROUNDED
+    * (identical doubles ⇒ identical order) with a token tiebreak.
+    * c ≥ 5 floors noise; top-3 per source via row_number. */
+  def driftTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = sourceTokenCounts(spark, sfDir)
+      .localCheckpoint(eager = false) // corpus roll-up + ratio join
+    val corp = tok.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+    val nSrc = tok.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val nCorp = nSrc.agg(sum(col("ns")).as("nc"))
+    def d(c: Column) = c.cast("double")
+    val ratio = (d(col("c")) * d(col("nc"))) /
+      (d(col("ns")) * d(col("cc")))
+    val wS = Window.partitionBy(col("source"))
+      .orderBy(col("ratio").desc, col("w"))
+    tok.where(col("c") >= 5L)
+      .join(corp, "w")
+      .join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(nCorp))
+      .select(col("source"), col("w"), col("c"), col("cc"),
+        ratio.as("ratio"))
+      .withColumn("rnk", row_number().over(wS).cast("long"))
+      .where(col("rnk") <= 3L)
+      .select(col("source"), col("rnk"), col("w").as("token"),
+        col("c"), col("cc"), Det.r4(col("ratio")).as("ratio"))
+      .orderBy("source", "rnk")
+  }
+
+  /** RÉNYI-2 DIVERSITY RANK — the ORACLE-CHECKED entropy read: inverse
+    * Simpson D₂ = 1/Σp² = N²/Σc² per source. Rényi-2 entropy is
+    * ln D₂, and ln is monotone — ranking by D₂ IS ranking by the
+    * entropy (the rank-by-the-log's-argument trick), with every input
+    * exact: Σc² accumulates as DECIMAL(38,0) (BIGINT would survive
+    * today's SFs; the widening is the 100 TB posture), the final ratio
+    * is double-before-product over BIGINTs < 2⁵³. Sources sort by
+    * UNROUNDED D₂ (identical IEEE in both engines), source tiebreak. */
+  def renyi2Rank(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val g = sourceTokenCounts(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).cast("long")
+          .as("sum_c2"))
+    val d2 = d(col("n_tok")) * d(col("n_tok")) / d(col("sum_c2"))
+    g.select(col("source"), col("n_tok"), col("sum_c2"),
+        Det.r4(d2).as("d2"), d2.as("d2_raw"))
+      .orderBy(col("d2_raw").desc, col("source"))
+      .drop("d2_raw")
+  }
+
   /** Duplicate-trigram fraction per document — the repetition quality
     * signal (Rae et al., "Scaling Language Models" / Gopher rules [U]:
     * heavily repetitive docs are low-quality training data). Trigrams
@@ -1851,6 +2048,11 @@ object TextOps {
     "q_llm_decontaminate_bloom" -> decontaminateBloom _,
     "q_llm_decontaminate_fuzzy" -> decontaminateFuzzy _,
     "q_llm_lm_novelty" -> lmNovelty _,
+    "q_llm_perplexity" -> perplexity _,
+    "q_llm_kl_drift" -> klDrift _,
+    "q_llm_entropy_mix" -> entropyMix _,
+    "q_llm_drift_tokens" -> driftTokens _,
+    "q_llm_renyi2" -> renyi2Rank _,
     "q_llm_vocab_zipf" -> vocabZipf _,
     "q_llm_vocab_growth" -> vocabGrowth _,
     "q_llm_vocab_growth_dist" ->
@@ -2126,6 +2328,44 @@ object TextOps {
         |SELECT doc_id, comp FROM l6
         |ORDER BY doc_id NULLS FIRST""".stripMargin
     },
+    "q_llm_drift_tokens" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |       FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY 1, 2),
+        |corp AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM c GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+        |       FROM c GROUP BY 1),
+        |nc AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corp),
+        |s AS (SELECT c.source, c.w, c.c, corp.cc,
+        |        (CAST(c.c AS DOUBLE) * CAST(nc.nc AS DOUBLE)) /
+        |        (CAST(ns.ns AS DOUBLE) * CAST(corp.cc AS DOUBLE)) AS ratio
+        |      FROM c JOIN corp USING (w) JOIN ns USING (source)
+        |      CROSS JOIN nc
+        |      WHERE c.c >= 5),
+        |r AS (SELECT source, w, c, cc, ratio,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY ratio DESC NULLS LAST, w NULLS FIRST)
+        |          AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT source, rnk, w AS token, c, cc,
+        |       ${r4Sql("ratio")} AS ratio
+        |FROM r WHERE rnk <= 3
+        |ORDER BY source NULLS FIRST, rnk NULLS FIRST""".stripMargin,
+    "q_llm_renyi2" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |       FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+        |        CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |      FROM c GROUP BY 1)
+        |SELECT source, n_tok, sum_c2,
+        |  ${r4Sql("CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE) / CAST(sum_c2 AS DOUBLE)")} AS d2
+        |FROM g
+        |ORDER BY CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE) /
+        |  CAST(sum_c2 AS DOUBLE) DESC NULLS LAST,
+        |  source NULLS FIRST""".stripMargin,
     "q_llm_collocations" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |u AS (SELECT unnest(tk) AS w FROM t),

@@ -955,28 +955,35 @@ object RelationalOps {
 
   /** One HITS round on the bipartite edge list: authority = in-sum of
     * hub scores, hub = in-sum of authority scores, each L∞-normalized
-    * in EXACT integers ((x·10⁶) div max — the pagerank quantization,
-    * applied with a broadcast one-row max instead of a damping
-    * constant). BIGINT bound: Σ of 10⁶-scaled scores ≤ 10⁶·indeg and
-    * the ·10⁶ renormalization product holds BIGINT for in-degrees to
-    * ~9·10⁶ — widen the scaled state to DECIMAL(38,0) past that (the
+    * in EXACT integers ((x·10⁶) div max — the pagerank quantization).
+    * FUSED (the r13 verdict ask): each side is ONE job — the scalar
+    * max executes against the lazily-checkpointed raw-sum relation
+    * (materializing it as a side effect) and comes back as a DRIVER
+    * LITERAL, so normalization is a plain projection RIDING the
+    * checkpoint — no broadcast exchange, no second materialization.
+    * 3 rounds = 6 driver-synchronized jobs (was 13); identical
+    * integers, so the unrolled DuckDB oracle is unchanged. BIGINT
+    * bound: Σ of 10⁶-scaled scores ≤ 10⁶·indeg and the ·10⁶
+    * renormalization product holds BIGINT for in-degrees to ~9·10⁶ —
+    * widen the scaled state to DECIMAL(38,0) past that (the
     * kruskalWallis widening note). */
   private def hitsRound(edges: DataFrame, h: DataFrame)
       : (DataFrame, DataFrame) = {
-    // checkpoint each raw-sum relation BEFORE deriving its max: the
-    // scalar normalizer and the normalization join both consume it,
-    // and un-checkpointed consumers re-run the edge join (no-CSE)
+    // checkpoint each raw-sum relation BEFORE probing its max: the
+    // max action materializes the checkpoint, and every later consumer
+    // (normalization projection, next round, summary) rides the cache
+    // instead of re-running the edge join (no-CSE)
     val ar = edges.join(h, "c").groupBy(col("s")).agg(sum(col("h")).as("ar"))
       .localCheckpoint(eager = false) // max probe + normalization
-    val am = ar.agg(max(col("ar")).as("am"))
-    val a = ar.crossJoin(broadcast(am))
-      .select(col("s"), expr("(ar * 1000000L) div am").as("a"))
+    val amRow = ar.agg(max(col("ar"))).head
+    val am = if (amRow.isNullAt(0)) 1L else amRow.getLong(0)
+    val a = ar.select(col("s"), expr(s"(ar * 1000000L) div ${am}L").as("a"))
       .localCheckpoint(eager = false) // hub step + next round + summary
     val hr = edges.join(a, "s").groupBy(col("c")).agg(sum(col("a")).as("hr"))
       .localCheckpoint(eager = false) // max probe + normalization
-    val hm = hr.agg(max(col("hr")).as("hm"))
-    val h2 = hr.crossJoin(broadcast(hm))
-      .select(col("c"), expr("(hr * 1000000L) div hm").as("h"))
+    val hmRow = hr.agg(max(col("hr"))).head
+    val hm = if (hmRow.isNullAt(0)) 1L else hmRow.getLong(0)
+    val h2 = hr.select(col("c"), expr(s"(hr * 1000000L) div ${hm}L").as("h"))
       .localCheckpoint(eager = false) // next round + summary
     (a, h2)
   }
@@ -1053,13 +1060,16 @@ object RelationalOps {
     var moved = Long.MaxValue
     while (moved > tolScaled && rounds < maxRounds) {
       val (a2, h2) = hitsRound(edges, h)
-      val probeA = a2.join(a.select(col("s"), col("a").as("ap")), "s")
-        .agg(max(abs(col("a") - col("ap")))).head
-      val probeH = h2.join(h.select(col("c"), col("h").as("hp")), "c")
-        .agg(max(abs(col("h") - col("hp")))).head
-      moved = math.max(
-        if (probeA.isNullAt(0)) 0L else probeA.getLong(0),
-        if (probeH.isNullAt(0)) 0L else probeH.getLong(0))
+      // ONE fused probe job (r13 verdict ask): both sides' |Δ| union
+      // into a single max — the relations are checkpoint-backed, so
+      // the union's no-CSE hazard costs nothing
+      val probe = a2.join(a.select(col("s"), col("a").as("ap")), "s")
+        .select(abs(col("a") - col("ap")).as("d"))
+        .unionByName(
+          h2.join(h.select(col("c"), col("h").as("hp")), "c")
+            .select(abs(col("h") - col("hp")).as("d")))
+        .agg(max(col("d"))).head
+      moved = if (probe.isNullAt(0)) 0L else probe.getLong(0)
       a = a2; h = h2
       rounds += 1
     }
@@ -2709,10 +2719,42 @@ object RelationalOps {
       partitions: Int = 8): DataFrame = {
     import spark.implicits._
     val types = Seq("click", "purchase", "signup", "error")
-    val byGV = Tables.events(spark, sfDir)
+    val hist = Tables.events(spark, sfDir)
       .where(col("event_type").isin(types: _*))
       .groupBy(col("event_type").as("g"), col("value").as("v"))
       .agg(count(lit(1)).as("c"))
+    val (pairSums, nG, grps) = dominancePairSums(spark, hist, partitions)
+    val totDf = grps.map(g => (g, nG(g))).toDF("g", "n")
+    def d(c: Column) = c.cast("double")
+    pairSums
+      .join(broadcast(totDf.select(col("g").as("g1"), col("n").as("n1"))),
+        "g1")
+      .join(broadcast(totDf.select(col("g").as("g2"), col("n").as("n2"))),
+        "g2")
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        col("more").as("n_greater"), col("less").as("n_less"),
+        when(col("n1") > lit(0L) && col("n2") > lit(0L),
+          Det.r4((d(col("more")) - d(col("less"))) /
+            (d(col("n1")) * d(col("n2")))))
+          .otherwise(lit(null)).as("delta"))
+      .orderBy("g1", "g2")
+  }
+
+  /** The dominance-walk core shared by the whole family's twins
+    * ([[cliffsDeltaDistributed]], [[jonckheereDistributed]]): given a
+    * (g, v, c) histogram, range-partition by value (every group
+    * co-located per value), reduce each partition to G per-group
+    * subtotals (pass A — P×G longs to the driver, broadcast back as
+    * strictly-before offsets), then walk each partition once
+    * accumulating exact c₁(v)·C₂(<v) / c₁(v)·C₂(>v) products into a
+    * G²-entry map (pass B). Returns the (g1 < g2) pair sums plus the
+    * per-group totals — the same integers as the merged-grid window
+    * plan by construction. */
+  private def dominancePairSums(spark: SparkSession, hist: DataFrame,
+      partitions: Int)
+      : (DataFrame, Map[String, Long], Seq[String]) = {
+    import spark.implicits._
+    val byGV = hist
       .as[(String, Double, Long)]
       .repartitionByRange(partitions, col("v"))
       .sortWithinPartitions("v", "g")
@@ -2785,20 +2827,237 @@ object RelationalOps {
       .toDF("g1", "g2", "more", "less")
       .groupBy(col("g1"), col("g2"))
       .agg(sum(col("more")).as("more"), sum(col("less")).as("less"))
-    val totDf = grps.map(g => (g, nG(g))).toDF("g", "n")
-    def d(c: Column) = c.cast("double")
-    pairSums
-      .join(broadcast(totDf.select(col("g").as("g1"), col("n").as("n1"))),
+    (pairSums, nG, grps)
+  }
+
+  /** DISTRIBUTED two-pass twin of [[aggJonckheere]] — the dominance
+    * family's scale path instantiated for the ordered-alternative
+    * test: the exact form's per-group cumulative window over the
+    * merged o_totalprice grid becomes [[dominancePairSums]]'s
+    * range-partitioned walk (identical more/less integers by
+    * construction), and 2J = Σ_{i<j} (n₁n₂ − more + less) plus the
+    * untied null moments are then the SAME DECIMAL(38,0)/IEEE tail as
+    * the exact form — so it registers against the SAME oracle SQL
+    * (the rfm_segments_dist precedent) and is spec'd row-equal at
+    * several partition counts. No window anywhere in the plan. */
+  def jonckheereDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val (pairSums, nG, grps) = dominancePairSums(spark, hist, partitions)
+    val totDf = grps.map(g => (g, nG(g))).toDF("g", "n_i")
+    val pair = pairSums
+      .join(broadcast(totDf.select(col("g").as("g1"), col("n_i").as("n1"))),
         "g1")
-      .join(broadcast(totDf.select(col("g").as("g2"), col("n").as("n2"))),
+      .join(broadcast(totDf.select(col("g").as("g2"), col("n_i").as("n2"))),
         "g2")
-      .select(col("g1"), col("g2"), col("n1"), col("n2"),
-        col("more").as("n_greater"), col("less").as("n_less"),
-        when(col("n1") > lit(0L) && col("n2") > lit(0L),
-          Det.r4((d(col("more")) - d(col("less"))) /
-            (d(col("n1")) * d(col("n2")))))
-          .otherwise(lit(null)).as("delta"))
-      .orderBy("g1", "g2")
+      // 2·U_ij = 2·less + ties = n1·n2 − more + less — exact BIGINT
+      .select((col("n1").cast("decimal(38,0)") * col("n2") - col("more")
+        + col("less")).cast("long").as("u2"))
+      .agg(sum(col("u2")).as("j2"))
+    val perG = totDf
+      .agg(sum(col("n_i")).as("n"),
+        sum(col("n_i") * col("n_i")).as("sn2"),
+        sum(col("n_i") * col("n_i") *
+          (lit(2L) * col("n_i") + lit(3L))).as("sn23"))
+    def d(c: Column) = c.cast("double")
+    // 2·μ = (N² − Σn²)/2 ; (2σ)² = (N²(2N+3) − Σn²(2n+3))/18
+    val mu2 = (d(col("n")) * d(col("n")) - d(col("sn2"))) / lit(2.0)
+    val var4 = (d(col("n")) * d(col("n")) *
+      (lit(2.0) * d(col("n")) + lit(3.0)) - d(col("sn23"))) / lit(18.0)
+    pair.crossJoin(broadcast(perG))
+      .select(col("n"), col("j2"),
+        when(var4 > lit(0.0),
+          Det.r4((d(col("j2")) - mu2) / sqrt(var4)))
+          .otherwise(lit(null)).as("z"))
+  }
+
+  /** DISTRIBUTED two-pass twin of [[aggAnsariBradley]] — the
+    * [[mannWhitneyDistributed]] scaffolding pointed at the dispersion
+    * scores: pass A reduces each range partition of the value-grain
+    * histogram to its pooled total (P longs → prefix offsets + the
+    * global N the scores need), pass B walks each partition once
+    * computing the SAME exact 2× scores a2 = min(r2, 2(N+1)−r2) and
+    * accumulating Σ c₁·a2 under addExact — identical integers to the
+    * global cumulative window, then the identical parity-split IEEE
+    * moment text. Shares the exact form's oracle SQL verbatim. */
+  def ansariBradleyDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val byVal = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c2"))
+      .as[(Double, Long, Long)]
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+      .localCheckpoint(eager = false) // totals pass + walk pass
+    val partTotals = byVal.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = 0L
+      it.foreach { case (_, c1, c2) => t += c1 + c2 }
+      Iterator((pid, t))
+    }.collect().toMap
+    val nTot = partTotals.values.sum
+    val offsets = (0 until partitions).map { p =>
+      p -> (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum
+    }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcN = spark.sparkContext.broadcast(nTot)
+    val g = byVal.mapPartitions { it =>
+        var cum = bcOff.value(
+          org.apache.spark.TaskContext.getPartitionId())
+        val nn = bcN.value
+        var n1 = 0L; var n2 = 0L; var a2sum = 0L
+        it.foreach { case (_, c1, c2) =>
+          val r2 = 2L * cum + c1 + c2 + 1L
+          val a2 = Math.min(r2, 2L * (nn + 1L) - r2)
+          a2sum = Math.addExact(a2sum, Math.multiplyExact(c1, a2))
+          n1 += c1; n2 += c2; cum += c1 + c2
+        }
+        Iterator((n1, n2, a2sum))
+      }
+      .toDF("pn1", "pn2", "pa2")
+      .agg(sum(col("pn1")).as("n1"), sum(col("pn2")).as("n2"),
+        sum(col("pa2")).as("a2sum"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n1")) + d(col("n2"))
+    // 2E[A] and 4Var[A] by N parity — classical untied moments
+    val e2even = d(col("n1")) * (n + lit(2.0)) / lit(2.0)
+    val v4even = d(col("n1")) * d(col("n2")) * (n + lit(2.0)) *
+      (n - lit(2.0)) / (lit(12.0) * (n - lit(1.0)))
+    val e2odd = d(col("n1")) * ((n + lit(1.0)) * (n + lit(1.0))) /
+      (lit(2.0) * n)
+    val v4odd = d(col("n1")) * d(col("n2")) * (n + lit(1.0)) *
+      (lit(3.0) + n * n) / (lit(12.0) * (n * n))
+    val even = (col("n1") + col("n2")) % lit(2L) === lit(0L)
+    val e2 = when(even, e2even).otherwise(e2odd)
+    val v4 = when(even, v4even).otherwise(v4odd)
+    g.select(col("n1"), col("n2"), col("a2sum"),
+      when(v4 > lit(0.0),
+        Det.r4((d(col("a2sum")) - e2) / sqrt(v4)))
+        .otherwise(lit(null)).as("z"))
+  }
+
+  /** DISTRIBUTED two-pass twin of [[aggMoodMedian]] — the only global
+    * state the exact form's pooled cumulative window computes is ONE
+    * scalar (the grand median), so the twin replaces it with the
+    * [[exactQuantilesDistributed]] selection: range-partition the
+    * pooled value histogram, collect P partition totals into prefix
+    * offsets, walk once emitting each partition's first value with
+    * 2·cum ≥ N (≤ P candidates; the global first = their min — the
+    * condition is monotone along the value order). The k×2 chi-squared
+    * tail over per-group above/not-above BIGINTs is then the exact
+    * form's text verbatim — no window anywhere in the plan. */
+  def moodMedianDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "purchase", "signup", "error")
+    val byGV = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(types: _*))
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // median walk + group counts
+    val byVal = byGV.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .as[(Double, Long)]
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+      .localCheckpoint(eager = false) // totals pass + walk pass
+    val partTotals = byVal.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = 0L
+      it.foreach { case (_, c) => t += c }
+      Iterator((pid, t))
+    }.collect().toMap
+    val nTot = partTotals.values.sum
+    val offsets = (0 until partitions).map { p =>
+      p -> (0 until p).map(q => partTotals.getOrElse(q, 0L)).sum
+    }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcN = spark.sparkContext.broadcast(nTot)
+    val cands = byVal.mapPartitions { it =>
+      var cum = bcOff.value(
+        org.apache.spark.TaskContext.getPartitionId())
+      var found: Option[Double] = None
+      it.foreach { case (v, t) =>
+        cum += t
+        if (found.isEmpty && 2L * cum >= bcN.value) found = Some(v)
+      }
+      found.iterator
+    }.collect()
+    val med = if (cands.isEmpty) Double.NaN else cands.min
+    val perG = byGV
+      .groupBy(col("g"))
+      .agg(sum(when(col("v") > lit(med), col("c")).otherwise(lit(0L)))
+        .as("a_i"),
+        sum(col("c")).as("n_i"))
+      .localCheckpoint(eager = false) // margins + per-group terms
+    val tot = perG.agg(sum(col("a_i")).as("a"), sum(col("n_i")).as("n"))
+    def d(c: Column) = c.cast("double")
+    val eA = d(col("n_i")) * d(col("a")) / d(col("n"))
+    val eB = d(col("n_i")) * (d(col("n")) - d(col("a"))) / d(col("n"))
+    val bI = col("n_i") - col("a_i")
+    val term = (d(col("a_i")) - eA) * (d(col("a_i")) - eA) / eA +
+      (d(bI) - eB) * (d(bI) - eB) / eB
+    val agg = perG.crossJoin(broadcast(tot))
+      .select(col("a"), col("n"),
+        when(col("a") > lit(0L) && col("a") < col("n"),
+          floor(term * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L)).as("tq"))
+      .groupBy(col("a"), col("n"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("tq")).as("tqs"))
+    agg.select(col("n_groups"), col("n"), col("a").as("n_above"),
+      when(col("a") > lit(0L) && col("a") < col("n"),
+        Det.r4(d(col("tqs")) / lit(1000000.0)))
+        .otherwise(lit(null)).as("chisq"))
+  }
+
+  /** WINDOW-FREE twin of [[aggPageTrend]] — the exact form's per-week
+    * rank windows are already bounded (exactly 7 rows per block), so
+    * the scale rewrite here is shape, not survival: within-block
+    * midranks come from a block-keyed self-join (49 bounded pairs per
+    * week; 2·rank + ties − 1 = 2·#less + #eq + 1 with #eq including
+    * self), completeness from a groupBy + semi-join instead of a
+    * window count. Identical integers, identical IEEE moment text,
+    * shared oracle SQL; the `partitions` knob re-lays the block table
+    * to prove layout independence. */
+  def pageTrendDistributed(spark: SparkSession, sfDir: String,
+      partitions: Int = 8): DataFrame = {
+    val m = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("week", col("ts")).as("wk"),
+        dayofweek(col("ts")).cast("long").as("s"))
+      .agg(Det.dsum4(col("value")).as("v"))
+      .repartition(partitions, col("wk"))
+      .localCheckpoint(eager = false) // completeness probe + rank join
+    val complete = m.groupBy(col("wk")).agg(count(lit(1)).as("nb"))
+      .where(col("nb") === 7).select(col("wk"))
+    val mc = m.join(complete, Seq("wk"), "left_semi")
+      .localCheckpoint(eager = false) // both sides of the rank join
+    val other = mc.select(col("wk"), col("v").as("v2"))
+    val ranked = mc.join(other, Seq("wk"))
+      .groupBy(col("wk"), col("s"), col("v"))
+      .agg((lit(2L) * sum(when(col("v2") < col("v"), 1L).otherwise(0L)) +
+        sum(when(col("v2") === col("v"), 1L).otherwise(0L)) + lit(1L))
+        .as("r2"))
+    val perS = ranked.groupBy(col("s"))
+      .agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("nb"))
+    val agg = perS.agg(count(lit(1)).as("k"), max(col("nb")).as("n"),
+      sum(col("s") * col("r2sum")).as("l2"))
+    def d(c: Column) = c.cast("double")
+    val e2 = d(col("n")) * d(col("k")) *
+      ((d(col("k")) + lit(1.0)) * (d(col("k")) + lit(1.0))) / lit(2.0)
+    val var2 = d(col("n")) * d(col("k")) * d(col("k")) *
+      (d(col("k")) + lit(1.0)) *
+      (d(col("k")) * d(col("k")) - lit(1.0)) / lit(36.0)
+    agg.select(col("k"), col("n").as("n_blocks"), col("l2"),
+      when(col("n") > lit(0L) && var2 > lit(0.0),
+        Det.r4((d(col("l2")) - e2) / sqrt(var2)))
+        .otherwise(lit(null)).as("z"))
   }
 
   /** PAGE'S L TREND TEST — [[aggFriedman]]'s ordered-alternative
@@ -4468,6 +4727,14 @@ object RelationalOps {
     "q_agg_cliffs_delta" -> aggCliffsDelta _,
     "q_agg_cliffs_delta_dist" ->
       ((s: SparkSession, d: String) => cliffsDeltaDistributed(s, d)),
+    "q_agg_jonckheere_dist" ->
+      ((s: SparkSession, d: String) => jonckheereDistributed(s, d)),
+    "q_agg_ansari_bradley_dist" ->
+      ((s: SparkSession, d: String) => ansariBradleyDistributed(s, d)),
+    "q_agg_mood_median_dist" ->
+      ((s: SparkSession, d: String) => moodMedianDistributed(s, d)),
+    "q_agg_page_trend_dist" ->
+      ((s: SparkSession, d: String) => pageTrendDistributed(s, d)),
     "q_agg_cochran_armitage" -> aggCochranArmitage _,
     "q_agg_jonckheere" -> aggJonckheere _,
     "q_agg_friedman" -> aggFriedman _,
@@ -7054,6 +7321,10 @@ object RelationalOps {
     "q_pareto_abc_dist" -> oracleSqlBase("q_pareto_abc"),
     "q_revenue_gini_dist" -> oracleSqlBase("q_revenue_gini"),
     "q_agg_mannwhitney_dist" -> oracleSqlBase("q_agg_mannwhitney"),
+    "q_agg_jonckheere_dist" -> oracleSqlBase("q_agg_jonckheere"),
+    "q_agg_ansari_bradley_dist" -> oracleSqlBase("q_agg_ansari_bradley"),
+    "q_agg_mood_median_dist" -> oracleSqlBase("q_agg_mood_median"),
+    "q_agg_page_trend_dist" -> oracleSqlBase("q_agg_page_trend"),
     "q_agg_quantile_dist" ->
       """WITH g AS (
         |  SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS c

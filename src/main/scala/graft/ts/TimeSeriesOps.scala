@@ -3325,6 +3325,78 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** ISOTONIC REGRESSION via POOL-ADJACENT-VIOLATORS — the calibration
+    * curve beside [[tsConformal]]: the monotone-nondecreasing step
+    * function of mean value vs hour-of-day per event type (the
+    * classical reliability-calibration read; Robertson et al.'s PAV is
+    * the exact L2 solution). NO ORACLE: the pooling DEPTH is
+    * data-dependent (a recursion no fixed-round CTE unroll covers), so
+    * it ships spec-gated against a driver PAV reference plus
+    * monotonicity/pooled-mean properties — the ANN/sketch precedent.
+    * Fully deterministic anyway: inputs are exact scaled-BIGINT sums
+    * at the (type, hour) grain, block-mean comparisons cross-multiply
+    * as BigInt (never a float), and fitted means use [[Det.avg4]]'s
+    * half-up integer formula. Scale shape: the grid is bounded by the
+    * clock (24 rows per type) — one aggregate shuffle, then a
+    * per-group walk inside one task per type; never a row-grain sort.
+    * Ties pool (prev mean ≥ next ⇒ merge) — fit values are identical
+    * either way; the driver reference shares the rule. */
+  def tsIsotonic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byX = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("x"))
+      .agg(count(lit(1)).as("w"),
+        sum((col("value").cast("decimal(18,4)") * lit(10000L))
+          .cast("long")).as("s"))
+      .as[(String, Long, Long, Long)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions("event_type", "x")
+    byX.mapPartitions { it =>
+        val out = scala.collection.mutable
+          .ArrayBuffer[(String, Long, Long, Double, Double)]()
+        val buf = scala.collection.mutable
+          .ArrayBuffer[(Long, Long, Long)]() // (x, w, s) of current group
+        var cur: String = null
+        def mean4(s: Long, w: Long): Double =
+          Math.floorDiv(2L * s + w, 2L * w).toDouble / 10000.0
+        def flush(): Unit = {
+          if (cur != null && buf.nonEmpty) {
+            val blocks = scala.collection.mutable
+              .ArrayBuffer[(Long, Long, Int)]() // (w, s, span)
+            buf.foreach { case (_, w, s) =>
+              var bw = w; var bs = s; var bc = 1
+              while (blocks.nonEmpty && {
+                  val (pw, ps, _) = blocks.last
+                  BigInt(ps) * bw >= BigInt(bs) * pw // violator → pool
+                }) {
+                val (pw, ps, pc) = blocks.remove(blocks.length - 1)
+                bw += pw; bs += ps; bc += pc
+              }
+              blocks += ((bw, bs, bc))
+            }
+            var i = 0
+            blocks.foreach { case (bw, bs, bc) =>
+              val fit = mean4(bs, bw)
+              (0 until bc).foreach { _ =>
+                val (x, w, s) = buf(i)
+                out += ((cur, x, w, mean4(s, w), fit))
+                i += 1
+              }
+            }
+            buf.clear()
+          }
+        }
+        it.foreach { case (g, x, w, s) =>
+          if (g != cur) { flush(); cur = g }
+          buf += ((x, w, s))
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("event_type", "x", "w", "y_mean", "y_fit")
+      .orderBy("event_type", "x")
+  }
+
   /** Graphite `movingSum` / `movingMin` / `movingMax` over the hourly
     * rollup, full 6-bucket frames only (the [[movingAverage]]
     * discipline): the frame sum accumulates as exact DECIMAL; min/max
@@ -3633,6 +3705,7 @@ object TimeSeriesOps {
     "q_ts_holt_aberration" -> holtAberration _,
     "q_ts_holt_backtest" -> holtBacktest _,
     "q_ts_conformal" -> tsConformal _,
+    "q_ts_isotonic" -> tsIsotonic _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,

@@ -1598,4 +1598,117 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
       s"disjoint docs must not pair: $pairs")
   }
+
+  test("perplexity == driver bigram-LM reference (quantized-log exact)") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val vocab = docs.flatMap(_._2).toSet.size.toLong
+    val bigs = docs.filter(_._2.length >= 2).map { case (id, tk) =>
+      (id, tk.sliding(2).map(_.mkString(" ")).toSeq)
+    }
+    val c2 = scala.collection.mutable.Map[String, Long]()
+    bigs.foreach(_._2.foreach(b => c2(b) = c2.getOrElse(b, 0L) + 1L))
+    val c1 = scala.collection.mutable.Map[String, Long]()
+    c2.foreach { case (b, c) =>
+      val w1 = b.split(" ")(0); c1(w1) = c1.getOrElse(w1, 0L) + c
+    }
+    val qlp = c2.map { case (b, c) =>
+      b -> math.floor(math.log((c + 1L).toDouble /
+        (c1(b.split(" ")(0)) + vocab).toDouble) * 1.0e9).toLong
+    }
+    val want = bigs.map { case (id, bb) =>
+      val n = bb.length.toLong
+      val h = -(bb.map(qlp).sum.toDouble / 1.0e9) / n.toDouble
+      (id, n, r4(h), r4(math.exp(h)))
+    }.sortBy(_._1).toSeq
+    val got = graft.llm.TextOps.perplexity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == want,
+      s"perplexity diverged from driver reference (first few: " +
+        s"${got.take(3)} vs ${want.take(3)})")
+    got.foreach { case (id, _, h, ppl) =>
+      assert(h >= 0.0 && ppl >= 1.0, s"doc $id: h=$h ppl=$ppl")
+    }
+  }
+
+  test("kl/js drift == driver fold; kl >= 0, js in [0, ln 2]") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val toks = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map((r.getString(0), _)))
+    val cnt = scala.collection.mutable.Map[(String, String), Long]()
+    toks.foreach(k => cnt(k) = cnt.getOrElse(k, 0L) + 1L)
+    val corp = cnt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ns = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nc = corp.values.sum
+    val want = ns.keys.toSeq.sorted.map { s =>
+      var klq = 0L; var jsq = 0L
+      corp.foreach { case (w, cc) =>
+        val c = cnt.getOrElse((s, w), 0L)
+        val p = c.toDouble / ns(s).toDouble
+        val q = cc.toDouble / nc.toDouble
+        val m = (p + q) / 2.0
+        val klT = if (c > 0L) p * math.log(p / q) else 0.0
+        val jsT = ((if (c > 0L) p * math.log(p / m) else 0.0) +
+          q * math.log(q / m)) / 2.0
+        klq += math.floor(klT * 1.0e12).toLong
+        jsq += math.floor(jsT * 1.0e12).toLong
+      }
+      (s, ns(s), r4(klq.toDouble / 1.0e12), r4(jsq.toDouble / 1.0e12))
+    }
+    val got = graft.llm.TextOps.klDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"kl drift diverged: ${got.take(3)} vs " +
+      s"${want.take(3)}")
+    got.foreach { case (s, _, kl, js) =>
+      assert(kl >= 0.0, s"$s: negative KL $kl")
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9,
+        s"$s: JS out of [0, ln2]: $js")
+    }
+  }
+
+  test("entropy mix == driver fold; evenness in [0,1]; __mix__ row " +
+      "present") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val toks = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map((r.getString(0), _)))
+    val cnt = scala.collection.mutable.Map[(String, String), Long]()
+    toks.foreach(k => cnt(k) = cnt.getOrElse(k, 0L) + 1L)
+    val bySrc = cnt.groupBy(_._1._1)
+    def entRow(counts: Seq[Long]): (Long, Long, Double, Option[Double]) = {
+      val n = counts.sum
+      var hq = 0L
+      counts.foreach { c =>
+        val p = c.toDouble / n.toDouble
+        hq += math.floor(p * math.log(p) * -1.0e12).toLong
+      }
+      val v = counts.length.toLong
+      val h = hq.toDouble / 1.0e12
+      (n, v, r4(h),
+        if (v > 1L) Some(r4(h / math.log(v.toDouble))) else None)
+    }
+    val srcRows = bySrc.keys.toSeq.sorted.map { s =>
+      val (n, v, h, e) = entRow(bySrc(s).values.toSeq)
+      (s, n, v, h, e)
+    }
+    val (nM, kM, hM, eM) =
+      entRow(bySrc.keys.toSeq.sorted.map(s => bySrc(s).values.sum))
+    val want = (srcRows :+ (("__mix__", nM, kM, hM, eM)))
+      .sortBy(_._1)
+    val got = graft.llm.TextOps.entropyMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == want, s"entropy mix diverged: ${got.take(3)} vs " +
+      s"${want.take(3)}")
+    got.foreach { case (s, _, _, h, e) =>
+      assert(h >= 0.0, s"$s: negative entropy")
+      e.foreach(x => assert(x >= 0.0 && x <= 1.0, s"$s: evenness $x"))
+    }
+  }
 }

@@ -549,11 +549,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!probe.contains("CartesianProduct"), s"cartesian in:\n$probe")
   }
 
-  test("hits: a round's scalar normalizer broadcasts and its in-sum " +
-      "is partial (pre-checkpoint probe)") {
+  test("rank-stat distributed twins plan NO window anywhere (the " +
+      "dominance/dispersion/median/trend scale path)") {
+    // a Window node in any of these would reintroduce exactly the
+    // single-partition-per-group sort the twins exist to remove; the
+    // walks are mapPartitions over a range layout, the tails plain
+    // aggregates + broadcast joins. The checkpoints can only HIDE
+    // upstream operators, and every pre-checkpoint relation here is a
+    // scan→filter→agg shape with no window either (asserted via the
+    // un-checkpointed histogram probes below).
+    Seq("q_agg_jonckheere_dist", "q_agg_ansari_bradley_dist",
+      "q_agg_mood_median_dist", "q_agg_page_trend_dist").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    import org.apache.spark.sql.functions._
+    // pre-checkpoint histogram shapes: partial agg, no window
+    val hist = graft.io.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(hist.contains("partial_") && !hist.contains("Window"),
+      s"histogram feed must be a partial agg, window-free:\n$hist")
+  }
+
+  test("hits: a round's in-sum is partial and the fused literal " +
+      "normalizer plans NO join (pre-checkpoint probe)") {
     import org.apache.spark.sql.functions._
     // the per-round checkpoints truncate lineage in q_part_hits's
-    // final plan — probe one round's exact shape inline
+    // final plan — probe one round's exact shape inline. Since the
+    // r14 fusion the scalar max comes back as a driver literal, so
+    // normalization is a bare projection: the round's only joins are
+    // the edge joins, and each side is ONE job.
     val o = graft.io.Tables.orders(spark, sf)
       .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
     val l = graft.io.Tables.lineitem(spark, sf)
@@ -563,14 +591,12 @@ class PlanSpec extends AnyFunSuite {
       .withColumn("h", lit(1000000L))
     val ar = edges.join(h, "c").groupBy(col("s"))
       .agg(sum(col("h")).as("ar"))
-    val p = ar.crossJoin(broadcast(ar.agg(max(col("ar")).as("am"))))
-      .select(col("s"), expr("(ar * 1000000L) div am").as("a"))
+    val p = ar.select(col("s"), expr("(ar * 1000000L) div 2000000L").as("a"))
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_"), s"in-sum agg not partial:\n$p")
-    assert(p.contains("BroadcastNestedLoop") ||
-      p.contains("BroadcastHashJoin"),
-      s"scalar max must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct"),
+      s"literal normalization must not plan a scalar join:\n$p")
   }
 
   test("rake: word stats are partial in the visible plan; the " +

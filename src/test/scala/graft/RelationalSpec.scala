@@ -361,6 +361,50 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed two-pass jonckheere == the merged-grid-window oracle") {
+    val oracle = RelationalOps.aggJonckheere(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty)
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = RelationalOps.jonckheereDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions: $twin vs $oracle")
+    }
+  }
+
+  test("distributed two-pass ansari-bradley == the global-window oracle") {
+    val oracle = RelationalOps.aggAnsariBradley(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty)
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = RelationalOps.ansariBradleyDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions: $twin vs $oracle")
+    }
+  }
+
+  test("distributed mood median == the pooled-window oracle") {
+    val oracle = RelationalOps.aggMoodMedian(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty)
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = RelationalOps.moodMedianDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions: $twin vs $oracle")
+    }
+  }
+
+  test("window-free page trend == the per-block-window oracle") {
+    val oracle = RelationalOps.aggPageTrend(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(oracle.nonEmpty)
+    Seq(1, 3, 8, 17).foreach { p =>
+      val twin = RelationalOps.pageTrendDistributed(spark, sf, p)
+        .collect().map(_.toSeq).toSeq
+      assert(twin == oracle, s"diverged at $p partitions: $twin vs $oracle")
+    }
+  }
+
   test("distributed two-pass mann-whitney == the ordered-window oracle") {
     val oracle = RelationalOps.aggMannWhitney(spark, sf)
       .collect().map(_.toSeq).toSeq

@@ -35,7 +35,13 @@ class TimeSeriesSpec extends AnyFunSuite {
       "q_mm_resize", "q_llm_knn_join", "q_llm_nprobe_tradeoff",
       "q_mm_audio_spectral", "q_llm_heavy_hitters", "q_llm_mrl_tradeoff",
       "q_llm_cms_probe", "q_mm_image_dedup", "q_mm_audio_dedup",
-      "q_llm_simhash_wide", "q_mm_image_dedup_wide", "q_mm_audio_dedup_wide")
+      "q_llm_simhash_wide", "q_mm_image_dedup_wide", "q_mm_audio_dedup_wide",
+      // r14: the libm-blocked quality-score family (spec-gated vs driver
+      // references; their oracle-checked rank twins are
+      // q_llm_drift_tokens / q_llm_renyi2) and PAV isotonic regression
+      // (data-dependent pooling depth — no fixed-round CTE unroll)
+      "q_llm_perplexity", "q_llm_kl_drift", "q_llm_entropy_mix",
+      "q_ts_isotonic")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -625,5 +631,65 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.getLong(3) == tStar.toLong, s"cp_bucket: $got vs $tStar")
     assert(got.getLong(4) == uStar.sign, s"shift_dir: $got")
     assert(got.getDouble(5) == lam, s"lambda: $got vs $lam")
+  }
+
+  test("isotonic: == driver PAV, monotone fit, block means preserved") {
+    import org.apache.spark.sql.functions._
+    // driver reference over the same exact (type, hour, w, s) grain
+    val grain = graft.io.Tables.events(spark, sf)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("x"))
+      .agg(count(lit(1)).as("w"),
+        sum((col("value").cast("decimal(18,4)") * lit(10000L))
+          .cast("long")).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    def mean4(s: Long, w: Long): Double =
+      Math.floorDiv(2L * s + w, 2L * w).toDouble / 10000.0
+    val want = grain.toSeq.sortBy(_._1).flatMap { case (g, rows) =>
+      val pts = rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toIndexedSeq
+      val blocks = scala.collection.mutable
+        .ArrayBuffer[(Long, Long, Int)]()
+      pts.foreach { case (_, w, s) =>
+        var bw = w; var bs = s; var bc = 1
+        while (blocks.nonEmpty && {
+            val (pw, ps, _) = blocks.last
+            BigInt(ps) * bw >= BigInt(bs) * pw
+          }) {
+          val (pw, ps, pc) = blocks.remove(blocks.length - 1)
+          bw += pw; bs += ps; bc += pc
+        }
+        blocks += ((bw, bs, bc))
+      }
+      var i = 0
+      blocks.flatMap { case (bw, bs, bc) =>
+        val fit = mean4(bs, bw)
+        (0 until bc).map { _ =>
+          val (x, w, s) = pts(i); i += 1
+          (g, x, w, mean4(s, w), fit)
+        }
+      }
+    }
+    val got = TimeSeriesOps.tsIsotonic(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want, s"isotonic diverged from driver PAV " +
+      s"(first: ${got.take(3)} vs ${want.take(3)})")
+    // monotone nondecreasing fit within each type
+    got.groupBy(_._1).foreach { case (g, rows) =>
+      val fits = rows.sortBy(_._2).map(_._5)
+      fits.sliding(2).foreach { p =>
+        if (p.length == 2) assert(p(0) <= p(1), s"$g fit not monotone")
+      }
+    }
+    // PAV solution property: within every fitted LEVEL the weighted
+    // mean of the raw inputs equals the fitted value (exact integers)
+    got.groupBy(r => (r._1, r._5)).foreach { case ((g, fit), rows) =>
+      val keys = rows.map(r => (r._1, r._2)).toSet
+      val raw = grain(g).filter(r => keys((r._1, r._2)))
+      val bw = raw.map(_._3).sum; val bs = raw.map(_._4).sum
+      assert(mean4(bs, bw) == fit,
+        s"$g level $fit does not preserve its pooled mean")
+    }
   }
 }
