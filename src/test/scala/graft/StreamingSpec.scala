@@ -1837,6 +1837,112 @@ class StreamingSpec extends AnyFunSuite {
       s"eager baseline should fail to complete the journey: $eager")
   }
 
+  test("s_state_rocksdb_recovery: the KS and KW histogram monitors " +
+      "resume bit-equal under the RocksDB provider after a restart") {
+    // the r13 verdict's posture gap: the bounded-histogram monitors had
+    // no spec under the production state-store provider + checkpoint
+    // recovery. Contract: with RocksDB backing the state, a query
+    // stopped after half the stream and restarted on its checkpoint
+    // must land on EXACTLY the scores of one uninterrupted pass — a
+    // re-seeded histogram would drop run 1's counts; a provider that
+    // round-trips state differently would shift the BigInt sup/H.
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val evs = graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[AttribEvent].collect().toSeq
+    val edges = Ingest.ksReferenceEdges(sp, TestSpark.sf).sorted
+    // no-restart reference: the same monitors over one MemoryStream
+    // feed on the default (HDFS) provider — already spec'd against the
+    // batch queries; here it is the uninterrupted-pass truth
+    val inK = MemoryStream[AttribEvent]
+    val qK = runToMemory(Ingest.ksMonitor(inK.toDS(), edges).toDF(),
+      "rocks_ks_ref")
+    inK.addData(evs); qK.processAllAvailable(); qK.stop()
+    val ksRef = sp.sql("SELECT t, n, m, d_num, d FROM rocks_ks_ref")
+      .collect().groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.last.toSeq.drop(1)
+      }
+    val inW = MemoryStream[AttribEvent]
+    val qW = runToMemory(Ingest.kwMonitor(inW.toDS(), edges).toDF(),
+      "rocks_kw_ref")
+    inW.addData(evs); qW.processAllAvailable(); qW.stop()
+    val kwRef = sp.sql(
+      "SELECT n_groups, n, h, h_tie, buckets FROM rocks_kw_ref")
+      .collect().last.toSeq
+    // restarted RocksDB run: CSV source in two halves, foreachBatch
+    // parquet sink (checkpoint-recoverable + Update-mode capable)
+    val root = java.nio.file.Files.createTempDirectory("graft_rocksdb")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectory(srcDir)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def writeBatch(name: String, rows: Seq[AttribEvent]): Unit =
+      java.nio.file.Files.write(srcDir.resolve(name),
+        String.join("\n", rows.map(e =>
+          s"${e.user_id},${e.event_id},${e.event_type}," +
+            s"${fmt.format(e.ts)},${e.value}"): _*).getBytes("UTF-8"))
+    def start(mk: org.apache.spark.sql.Dataset[AttribEvent] => org.apache.spark.sql.DataFrame, ckpt: String,
+        outDir: String) = {
+      val pts = sp.readStream.schema(
+        "user_id LONG, event_id LONG, event_type STRING, " +
+          "ts TIMESTAMP, value DOUBLE")
+        .csv(srcDir.toString).as[AttribEvent]
+      mk(pts).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt).start()
+    }
+    val prev = sp.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      writeBatch("b1.csv", b1)
+      val ksCk = root.resolve("ks_ck").toString
+      val ksOut = root.resolve("ks_out").toString
+      val kwCk = root.resolve("kw_ck").toString
+      val kwOut = root.resolve("kw_out").toString
+      def mkKs(d: org.apache.spark.sql.Dataset[AttribEvent]) = Ingest.ksMonitor(d, edges).toDF()
+      def mkKw(d: org.apache.spark.sql.Dataset[AttribEvent]) = Ingest.kwMonitor(d, edges).toDF()
+      val k1 = start(mkKs, ksCk, ksOut)
+      k1.processAllAvailable(); k1.stop()
+      val w1 = start(mkKw, kwCk, kwOut)
+      w1.processAllAvailable(); w1.stop()
+      writeBatch("b2.csv", b2)
+      // fresh queries resume from the checkpoints — recovery, not rerun
+      val k2 = start(mkKs, ksCk, ksOut)
+      k2.processAllAvailable(); k2.stop()
+      val w2 = start(mkKw, kwCk, kwOut)
+      w2.processAllAvailable(); w2.stop()
+      val ksGot = sp.read.parquet(ksOut)
+        .orderBy(col("batch_id")).collect()
+        .groupBy(_.getString(0)).map { case (t, rs) =>
+          t -> rs.last.toSeq.slice(1, 5)
+        }
+      assert(ksGot == ksRef,
+        s"recovered KS scores diverged:\n$ksGot\nvs\n$ksRef")
+      val kwGot = sp.read.parquet(kwOut)
+        .orderBy(col("batch_id")).collect().last.toSeq.take(5)
+      assert(kwGot == kwRef,
+        s"recovered KW score diverged:\n$kwGot\nvs\n$kwRef")
+    } finally {
+      prev match {
+        case Some(p) => sp.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => sp.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("s_cm_sketch_recovery: the count-min grid survives a restart") {
     // the sketch state's restart contract: the recovered grid must
     // BYTE-EQUAL one sequential pass over everything consumed across
