@@ -1397,6 +1397,61 @@ object TextOps {
       .orderBy("source", "rnk")
   }
 
+  /** THEIL INDEX of document-length inequality per source — the
+    * entropy-family inequality measure that completes [[lengthGiniBySource]]
+    * (Gini weighs the middle; Theil T = (1/n)Σ(x/μ)ln(x/μ) is
+    * top-sensitive and decomposes across subgroups — the econometric
+    * standard): does one crawl's length mass concentrate in a few
+    * giant docs? NO ORACLE (ln is libm); spec-gated vs a driver fold,
+    * order-independent by the 1e12 floor-quantized term discipline at
+    * (source, length) histogram grain. The oracle-checked companion
+    * is [[atkinson2]] (its harmonic-mean kernel needs no log at all). */
+  def theilIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val byV = Tables.documents(spark, sfDir)
+      .where(col("n_chars") > 0L)
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // totals + term pass
+    val tot = byV.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("x")).as("sx"))
+    def d(c: Column) = c.cast("double")
+    val ratio = d(col("x")) * d(col("n")) / d(col("sx"))
+    val term = ratio * log(ratio)
+    byV.join(broadcast(tot), "source")
+      .select(col("source"), col("n"),
+        (col("c") * floor(term * lit(1.0e12)).cast("long")).as("tq"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("tq")).as("tqs"))
+      .select(col("source"), col("n").as("n_docs"),
+        Det.r4(d(col("tqs")) / lit(1.0e12) / d(col("n"))).as("theil_t"))
+      .orderBy("source")
+  }
+
+  /** ATKINSON INEQUALITY (ε = 2) of document lengths per source — the
+    * ORACLE-CHECKED member of the inequality family: A₂ = 1 −
+    * harmonic/arithmetic mean, whose kernel Σ(1/xᵢ) needs NO log.
+    * Exactness: each reciprocal is the INTEGER division 10¹² div x
+    * (bit-identical in any engine — the defined quantization), summed
+    * as BIGINT with the doc-count weights, so A₂ = 1 − n²·10¹²/
+    * (Σq·Σx) is one fixed IEEE text over exact integers
+    * (double-before-product per the r10 rule). NULL on an empty
+    * source in both engines. */
+  def atkinson2(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    Tables.documents(spark, sfDir)
+      .where(col("n_chars") > 0L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(expr("1000000000000L div n_chars")).as("hq"))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("hq"),
+        when(col("hq") > 0L && col("sum_chars") > 0L,
+          Det.r4(lit(1.0) - d(col("n_docs")) * d(col("n_docs")) *
+            lit(1.0e12) / (d(col("hq")) * d(col("sum_chars")))))
+          .otherwise(lit(null)).as("a2"))
+      .orderBy("source")
+  }
+
   /** RÉNYI-2 DIVERSITY RANK — the ORACLE-CHECKED entropy read: inverse
     * Simpson D₂ = 1/Σp² = N²/Σc² per source. Rényi-2 entropy is
     * ln D₂, and ln is monotone — ranking by D₂ IS ranking by the
@@ -2053,6 +2108,8 @@ object TextOps {
     "q_llm_entropy_mix" -> entropyMix _,
     "q_llm_drift_tokens" -> driftTokens _,
     "q_llm_renyi2" -> renyi2Rank _,
+    "q_llm_theil_index" -> theilIndex _,
+    "q_llm_atkinson2" -> atkinson2 _,
     "q_llm_vocab_zipf" -> vocabZipf _,
     "q_llm_vocab_growth" -> vocabGrowth _,
     "q_llm_vocab_growth_dist" ->
@@ -2366,6 +2423,21 @@ object TextOps {
         |ORDER BY CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE) /
         |  CAST(sum_c2 AS DOUBLE) DESC NULLS LAST,
         |  source NULLS FIRST""".stripMargin,
+    "q_llm_atkinson2" ->
+      s"""WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |         CAST(sum(1000000000000 // n_chars) AS BIGINT) AS hq
+        |  FROM documents WHERE n_chars > 0 GROUP BY 1)
+        |SELECT source, n_docs, sum_chars, hq,
+        |  CASE WHEN hq > 0 AND sum_chars > 0 THEN
+        |    ${Det.r4Sql(
+             "1.0 - CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) * " +
+             "1000000000000.0 / (CAST(hq AS DOUBLE) * " +
+             "CAST(sum_chars AS DOUBLE))")}
+        |  END AS a2
+        |FROM g
+        |ORDER BY source NULLS FIRST""".stripMargin,
     "q_llm_collocations" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |u AS (SELECT unnest(tk) AS w FROM t),

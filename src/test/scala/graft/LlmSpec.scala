@@ -1671,6 +1671,32 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("theil index == driver fold; zero on equal lengths; >= 0") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0L).toSeq
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (s, rows) =>
+        val n = rows.size.toLong
+        val sx = rows.map(_._2).sum
+        var tq = 0L
+        rows.groupBy(_._2).foreach { case (x, xs) =>
+          val ratio = x.toDouble * n.toDouble / sx.toDouble
+          tq += xs.size.toLong *
+            math.floor(ratio * math.log(ratio) * 1.0e12).toLong
+        }
+        (s, n, r4(tq.toDouble / 1.0e12 / n.toDouble))
+    }
+    val got = graft.llm.TextOps.theilIndex(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"theil diverged: ${got.take(3)} vs " +
+      s"${want.take(3)}")
+    // Theil T >= 0 up to the 1e-12 quantization floor
+    got.foreach { case (s, _, t) => assert(t >= -1e-6, s"$s: T=$t") }
+  }
+
   test("entropy mix == driver fold; evenness in [0,1]; __mix__ row " +
       "present") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0

@@ -41,7 +41,7 @@ class TimeSeriesSpec extends AnyFunSuite {
       // q_llm_drift_tokens / q_llm_renyi2) and PAV isotonic regression
       // (data-dependent pooling depth — no fixed-round CTE unroll)
       "q_llm_perplexity", "q_llm_kl_drift", "q_llm_entropy_mix",
-      "q_ts_isotonic")
+      "q_ts_isotonic", "q_llm_theil_index")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -631,6 +631,53 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.getLong(3) == tStar.toLong, s"cp_bucket: $got vs $tStar")
     assert(got.getLong(4) == uStar.sign, s"shift_dir: $got")
     assert(got.getDouble(5) == lam, s"lambda: $got vs $lam")
+  }
+
+  test("theil-sen + mann-kendall == driver pair folds on the daily grain") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // the same exact-rounded daily means the operators aggregate
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('DAY', ts)) div 86400")
+          .cast("long").as("t"))
+      .agg(graft.util.Det.avg4(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val wantTs = daily.toSeq.sortBy(_._1).map { case (g, rows) =>
+      val pts = rows.sortBy(_._2)
+      val slopes = (for {
+        i <- pts.indices; j <- pts.indices if pts(j)._2 > pts(i)._2
+      } yield (pts(j)._3 - pts(i)._3) / (pts(j)._2 - pts(i)._2).toDouble)
+        .sorted
+      (g, slopes.length.toLong, r4(slopes(((slopes.length + 1) / 2) - 1)))
+    }
+    val gotTs = TimeSeriesOps.tsTheilSen(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotTs == wantTs, s"theil-sen diverged: $gotTs vs $wantTs")
+    val wantMk = daily.toSeq.sortBy(_._1).map { case (g, rows) =>
+      val pts = rows.sortBy(_._2)
+      var s = 0L
+      for (i <- pts.indices; j <- pts.indices if pts(j)._2 > pts(i)._2) {
+        if (pts(j)._3 > pts(i)._3) s += 1L
+        else if (pts(j)._3 < pts(i)._3) s -= 1L
+      }
+      val n = pts.length.toLong
+      val tsum = pts.groupBy(_._3).values
+        .map(_.size.toLong).map(t => t * (t - 1L) * (2L * t + 5L)).sum
+      val varS = (n.toDouble * (n.toDouble - 1.0) *
+        (2.0 * n.toDouble + 5.0) - tsum.toDouble) / 18.0
+      val z =
+        if (varS <= 0.0) None
+        else if (s > 0L) Some(r4((s.toDouble - 1.0) / math.sqrt(varS)))
+        else if (s < 0L) Some(r4((s.toDouble + 1.0) / math.sqrt(varS)))
+        else Some(0.0)
+      (g, n, s, z)
+    }
+    val gotMk = TimeSeriesOps.tsMannKendall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(gotMk == wantMk, s"mann-kendall diverged: $gotMk vs $wantMk")
   }
 
   test("isotonic: == driver PAV, monotone fit, block means preserved") {
