@@ -766,6 +766,51 @@ object TextOps {
       .orderBy("lang")
   }
 
+  private val TempTotal = 2000L
+
+  /** TEMPERATURE-SCALED SOURCE SAMPLING (α = 1/2) — the multilingual
+    * data-mixing standard (mBERT / XLM-R exponent trick [U]: sample
+    * source h with probability ∝ p_h^α, α < 1, so low-resource
+    * sources are boosted and the head crawl stops drowning the mix).
+    * α = 1/2 makes the weight kernel sqrt — IEEE-correctly-rounded,
+    * NOT libm — so unlike a general-α power this one is fully
+    * ORACLE-CHECKABLE: wq = floor(√nd·10⁶) exact per stratum, the
+    * budget splits by integer floor-division + largest-remainder with
+    * a source tiebreak (sums to the budget exactly — the
+    * [[neymanSample]] allocation machinery verbatim), and the
+    * reported boost (alloc share ÷ natural share) is one
+    * double-before-product IEEE expression. Strata relation is
+    * |sources| rows — all global work is tiny. */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val st2 = st.select(col("source"), col("nd"),
+      floor(sqrt(col("nd").cast("double")) * lit(1000000.0))
+        .cast("long").as("wq"))
+    val tot = st2.agg(sum(col("wq")).as("wsum"), sum(col("nd")).as("ndt"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRem = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("source"))
+    def d(c: Column) = c.cast("double")
+    st2.crossJoin(broadcast(tot))
+      .select(col("source"), col("nd"), col("ndt"), col("wq"),
+        expr(s"($TempTotal * wq) DIV wsum").as("base"),
+        expr(s"($TempTotal * wq) % wsum").as("rem"))
+      .select(col("source"), col("nd"), col("ndt"), col("wq"),
+        col("base"),
+        row_number().over(wRem).cast("long").as("rk"),
+        (lit(TempTotal) - sum(col("base")).over(wAll)).as("leftover"))
+      .select(col("source"), col("nd"), col("ndt"), col("wq"),
+        least(col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L), col("nd")).as("alloc"))
+      .select(col("source"), col("nd").as("n_docs"),
+        col("wq").as("w_scaled"), col("alloc"),
+        Det.r4((d(col("alloc")) * d(col("ndt"))) /
+          (lit(TempTotal.toDouble) * d(col("nd")))).as("boost"))
+      .orderBy("source")
+  }
+
   private val MixSubBudget = 500L
   private val MixLangBudget = 4000L
 
@@ -2110,6 +2155,7 @@ object TextOps {
     "q_llm_renyi2" -> renyi2Rank _,
     "q_llm_theil_index" -> theilIndex _,
     "q_llm_atkinson2" -> atkinson2 _,
+    "q_llm_temperature_mix" -> temperatureMix _,
     "q_llm_vocab_zipf" -> vocabZipf _,
     "q_llm_vocab_growth" -> vocabGrowth _,
     "q_llm_vocab_growth_dist" ->
@@ -2423,6 +2469,36 @@ object TextOps {
         |ORDER BY CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE) /
         |  CAST(sum_c2 AS DOUBLE) DESC NULLS LAST,
         |  source NULLS FIRST""".stripMargin,
+    "q_llm_temperature_mix" -> {
+      val alloc = "least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 " +
+        "END, nd)"
+      s"""WITH st AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, nd,
+        |         CAST(floor(sqrt(CAST(nd AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT) AS wq
+        |  FROM st),
+        |t AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum,
+        |             CAST(sum(nd) AS BIGINT) AS ndt FROM w),
+        |a0 AS (
+        |  SELECT source, nd, ndt, wq, (2000 * wq) // wsum AS base,
+        |         (2000 * wq) % wsum AS rem
+        |  FROM w CROSS JOIN t),
+        |a1 AS (
+        |  SELECT source, nd, ndt, wq, base,
+        |         CAST(row_number() OVER (ORDER BY rem DESC NULLS LAST,
+        |           source NULLS FIRST) AS BIGINT) AS rk,
+        |         2000 - CAST(sum(base) OVER () AS BIGINT) AS leftover
+        |  FROM a0)
+        |SELECT source, nd AS n_docs, wq AS w_scaled,
+        |       $alloc AS alloc,
+        |       ${r4Sql(s"(CAST($alloc AS DOUBLE) * CAST(ndt AS DOUBLE))" +
+               " / (2000.0 * CAST(nd AS DOUBLE))")} AS boost
+        |FROM a1
+        |ORDER BY source NULLS FIRST""".stripMargin
+    },
     "q_llm_atkinson2" ->
       s"""WITH g AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

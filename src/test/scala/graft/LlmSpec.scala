@@ -1697,6 +1697,45 @@ class LlmSpec extends AnyFunSuite {
     got.foreach { case (s, _, t) => assert(t >= -1e-6, s"$s: T=$t") }
   }
 
+  test("temperature mix == driver largest-remainder fold; boosts " +
+      "antitone in stratum size") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val counts = graft.io.Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ndt = counts.map(_._2).sum
+    val w = counts.map { case (s, nd) =>
+      (s, nd, math.floor(math.sqrt(nd.toDouble) * 1000000.0).toLong)
+    }
+    val wsum = w.map(_._3).sum
+    val base = w.map { case (s, nd, wq) =>
+      (s, nd, wq, 2000L * wq / wsum, 2000L * wq % wsum)
+    }
+    val leftover = 2000L - base.map(_._4).sum
+    val ranked = base.sortBy(t => (-t._5, t._1)).zipWithIndex.map {
+      case ((s, nd, wq, b, _), i) =>
+        val alloc = math.min(b + (if (i < leftover) 1L else 0L), nd)
+        (s, nd, wq, alloc,
+          r4(alloc.toDouble * ndt.toDouble / (2000.0 * nd.toDouble)))
+    }
+    val want = ranked.sortBy(_._1)
+    val got = graft.llm.TextOps.temperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want, s"temperature mix diverged:\n$got\nvs\n$want")
+    // α < 1: boost antitone in stratum size (trivially so when this
+    // fixture's strata are equal-sized)
+    val bySize = got.sortBy(_._2)
+    bySize.sliding(2).foreach { p =>
+      if (p.length == 2 && p(0)._2 < p(1)._2)
+        assert(p(0)._5 >= p(1)._5 - 1e-9,
+          s"boost not antitone: ${p.toSeq}")
+    }
+    // the budget is conserved up to binding stratum caps
+    assert(got.map(_._4).sum == math.min(2000L, ndt),
+      s"alloc total wrong: ${got.map(_._4).sum}")
+  }
+
   test("entropy mix == driver fold; evenness in [0,1]; __mix__ row " +
       "present") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
