@@ -4629,6 +4629,44 @@ object RelationalOps {
       .orderBy("source")
   }
 
+  /** BENJAMINI–HOCHBERG FDR STEP-UP over the per-source KS drift
+    * panel — the multiple-testing control a 20-source drift scorecard
+    * actually needs (screen every source at α and a twentieth of your
+    * alarms are false; BH bounds the FALSE-DISCOVERY RATE at q
+    * instead). p-values come from the Kolmogorov asymptotic survival
+    * 2Σ(−1)^{k−1}e^{−2k²λ²} over [[ksBySource]]'s exact λ — exp is
+    * libm, so NO ORACLE (spec-gated vs a driver fold sharing JVM
+    * Math.exp bit-for-bit); the k ≤ 50 truncation with p ≡ 1 below
+    * λ = 0.2 keeps the alternating tail under 2e⁻²⁰⁰ (documented
+    * defined metric). The step-up itself is pure rank logic: reject
+    * ranks 1..k* where k* = max{i : p_i ≤ i·q/m} — a prefix of the
+    * p-ascending order by construction. The panel is |sources| rows;
+    * every window here is over that tiny relation. */
+  def bhFdr(spark: SparkSession, sfDir: String,
+      q: Double = 0.05): DataFrame = {
+    val lam = ksBySource(spark, sfDir).select(col("source"), col("lam"))
+    val series = (1 to 50).map(k =>
+      lit(if (k % 2 == 1) 2.0 else -2.0) *
+        exp(lit(-2.0 * k * k) * col("lam") * col("lam")))
+      .reduce(_ + _)
+    val p = when(col("lam") < lit(0.2), lit(1.0))
+      .otherwise(least(greatest(series, lit(0.0)), lit(1.0)))
+    val wP = Window.partitionBy(lit(1))
+      .orderBy(col("p"), col("source"))
+    val wAll = Window.partitionBy(lit(1))
+    def d(c: Column) = c.cast("double")
+    lam.withColumn("p", p)
+      .withColumn("rnk", row_number().over(wP).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("crit", d(col("rnk")) * lit(q) / d(col("m")))
+      .withColumn("kstar",
+        max(when(col("p") <= col("crit"), col("rnk"))).over(wAll))
+      .select(col("source"), col("lam"), col("p"), col("rnk"),
+        Det.r4(col("crit")).as("crit"),
+        (col("rnk") <= coalesce(col("kstar"), lit(0L))).as("rejected"))
+      .orderBy("rnk")
+  }
+
   /** SCD2 POINT-IN-TIME ENRICHMENT — the canonical consumer of
     * [[scd2Build]]: join each purchase fact to the dimension version
     * EFFECTIVE at its timestamp. Expressed as the as-of union-window
@@ -4716,6 +4754,7 @@ object RelationalOps {
     "q_dq_purity" -> dqPurity _,
     "q_agg_ks_drift" -> ksDrift _,
     "q_agg_ks_by_source" -> ksBySource _,
+    "q_agg_bh_fdr" -> ((s: SparkSession, d: String) => bhFdr(s, d)),
     "q_agg_kruskal_wallis" -> kruskalWallis _,
     "q_agg_kw_by_source" -> kruskalWallisBySource _,
     "q_agg_anova" -> aggAnova _,

@@ -361,6 +361,45 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("bh-fdr == driver Kolmogorov + step-up fold; rejects a prefix") {
+    val lams = RelationalOps.ksBySource(spark, sf)
+      .select(col("source"), col("lam")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def pOf(lam: Double): Double =
+      if (lam < 0.2) 1.0
+      else {
+        var s = 0.0
+        (1 to 50).foreach { k =>
+          // Spark's Exp codegen calls StrictMath.exp — match it (the
+          // jdk Math.exp intrinsic differs in the last ulp)
+          s += (if (k % 2 == 1) 2.0 else -2.0) *
+            StrictMath.exp(-2.0 * k * k * lam * lam)
+        }
+        math.min(1.0, math.max(0.0, s))
+      }
+    val m = lams.size
+    val ranked = lams.map { case (s, l) => (s, l, pOf(l)) }
+      .sortBy(t => (t._3, t._1)).zipWithIndex
+      .map { case ((s, l, p), i) =>
+        (s, l, p, (i + 1).toLong, r4((i + 1).toDouble * 0.05 / m))
+      }
+    val kstar = ranked.filter(t => t._3 <= (t._4.toDouble * 0.05 / m))
+      .map(_._4).maxOption.getOrElse(0L)
+    val want = ranked.map { case (s, l, p, rk, crit) =>
+      (s, l, p, rk, crit, rk <= kstar)
+    }
+    val got = RelationalOps.bhFdr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == want, s"bh-fdr diverged:\n$got\nvs\n$want")
+    // the rejected set is a prefix of the p-ascending order
+    val rej = got.filter(_._6).map(_._4)
+    assert(rej == (1L to rej.length.toLong).toSeq,
+      s"rejections must form a rank prefix: $rej")
+    got.foreach(t => assert(t._3 >= 0.0 && t._3 <= 1.0))
+  }
+
   test("distributed two-pass jonckheere == the merged-grid-window oracle") {
     val oracle = RelationalOps.aggJonckheere(spark, sf)
       .collect().map(_.toSeq).toSeq

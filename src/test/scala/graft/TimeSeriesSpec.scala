@@ -41,7 +41,10 @@ class TimeSeriesSpec extends AnyFunSuite {
       // q_llm_drift_tokens / q_llm_renyi2) and PAV isotonic regression
       // (data-dependent pooling depth — no fixed-round CTE unroll)
       "q_llm_perplexity", "q_llm_kl_drift", "q_llm_entropy_mix",
-      "q_ts_isotonic", "q_llm_theil_index")
+      "q_ts_isotonic", "q_llm_theil_index",
+      // r14: Kolmogorov p-values ride exp (libm) — BH itself is rank
+      // logic, spec'd vs a driver fold
+      "q_agg_bh_fdr")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
