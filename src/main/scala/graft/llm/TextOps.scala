@@ -766,6 +766,37 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** COHEN'S KAPPA between two quality filters — the filter-agreement
+    * audit every curation pipeline wants before swapping a cheap rule
+    * for an expensive one: raw agreement p_o overstates consensus when
+    * both filters pass almost everything; κ = (p_o − p_e)/(1 − p_e)
+    * discounts chance agreement from the margins. Raters here are the
+    * char-length gate (n_chars ≥ 300) and the token-count gate
+    * (≥ 55 tokens) — the two cheapest length screens, deliberately
+    * correlated but not identical. Four exact BIGINT cells off one
+    * pass, then one double-before-product IEEE text; NULL κ on a
+    * degenerate p_e = 1 margin in both engines. */
+  def filterKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.documents(spark, sfDir)
+      .select((col("n_chars") >= 300L).as("r1"),
+        (size(split(col("text"), " ")) >= 55).as("r2"))
+    val cells = r.agg(
+      sum(when(col("r1") && col("r2"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("r1") && !col("r2"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("r1") && col("r2"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("r1") && !col("r2"), 1L).otherwise(0L)).as("d"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("a")) + d(col("b")) + d(col("c")) + d(col("d"))
+    val po = (d(col("a")) + d(col("d"))) / n
+    val pe = ((d(col("a")) + d(col("b"))) * (d(col("a")) + d(col("c"))) +
+      (d(col("c")) + d(col("d"))) * (d(col("b")) + d(col("d")))) /
+      (n * n)
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      Det.r4(po).as("po"), Det.r4(pe).as("pe"),
+      when(pe < lit(1.0), Det.r4((po - pe) / (lit(1.0) - pe)))
+        .otherwise(lit(null)).as("kappa"))
+  }
+
   private val TempTotal = 2000L
 
   /** TEMPERATURE-SCALED SOURCE SAMPLING (α = 1/2) — the multilingual
@@ -2156,6 +2187,7 @@ object TextOps {
     "q_llm_theil_index" -> theilIndex _,
     "q_llm_atkinson2" -> atkinson2 _,
     "q_llm_temperature_mix" -> temperatureMix _,
+    "q_llm_filter_kappa" -> filterKappa _,
     "q_llm_vocab_zipf" -> vocabZipf _,
     "q_llm_vocab_growth" -> vocabGrowth _,
     "q_llm_vocab_growth_dist" ->
@@ -2469,6 +2501,35 @@ object TextOps {
         |ORDER BY CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE) /
         |  CAST(sum_c2 AS DOUBLE) DESC NULLS LAST,
         |  source NULLS FIRST""".stripMargin,
+    "q_llm_filter_kappa" -> {
+      def dd(x: String) = s"CAST($x AS DOUBLE)"
+      val n = s"(${dd("a")} + ${dd("b")} + ${dd("c")} + ${dd("d")})"
+      val po = s"((${dd("a")} + ${dd("d")}) / $n)"
+      val pe = s"(((${dd("a")} + ${dd("b")}) * (${dd("a")} + ${dd("c")})" +
+        s" + (${dd("c")} + ${dd("d")}) * (${dd("b")} + ${dd("d")}))" +
+        s" / ($n * $n))"
+      s"""WITH r AS (
+        |  SELECT n_chars >= 300 AS r1,
+        |         len(string_split(text, ' ')) >= 55 AS r2
+        |  FROM documents),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM r)
+        |SELECT a, b, c, d,
+        |       ${r4Sql(po)} AS po, ${r4Sql(pe)} AS pe,
+        |       CASE WHEN $pe < 1.0 THEN
+        |         ${r4Sql(s"($po - $pe) / (1.0 - $pe)")}
+        |       END AS kappa
+        |FROM cells""".stripMargin
+    },
     "q_llm_temperature_mix" -> {
       val alloc = "least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 " +
         "END, nd)"

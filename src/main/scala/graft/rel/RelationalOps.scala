@@ -4629,6 +4629,103 @@ object RelationalOps {
       .orderBy("source")
   }
 
+  /** CRAMÉR–VON MISES two-sample drift per event type vs the 'view'
+    * baseline — [[ksDrift]]'s integral-squared sibling (KS sees only
+    * the single worst ECDF gap; ω² = ∫(F₁−F₂)²dH_N weights EVERY gap,
+    * catching spread-out drift a one-point sup misses). Identical
+    * merged-grid scaffolding; per grid value the gap i·m − j·n is the
+    * SAME exact BIGINT as KS's sup argument, squared and weighted by
+    * the combined count under a DECIMAL(38,0) sum (~10³¹ at sf0.1;
+    * widen past 10³⁸ per the standing note), then ω² =
+    * U/(n²m²(n+m)) is one fixed IEEE text. The DECIMAL→DOUBLE and
+    * HUGEINT→DOUBLE casts are both correctly rounded — the ksBySource
+    * precedent. */
+  def cvmDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    def dc(c: Column) = c.cast("decimal(19,0)")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .localCheckpoint(eager = false) // test + baseline histograms
+    val tests = ev.where(col("event_type") =!= "view")
+      .groupBy(col("event_type").as("t"), col("value"))
+      .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false) // feeds types AND the union branch
+    val base = ev.where(col("event_type") === "view")
+      .groupBy(col("value")).agg(count(lit(1)).as("c2"))
+    val types = tests.select(col("t")).distinct()
+    val merged = tests.select(col("t"), col("value"), col("c1"),
+        lit(0L).as("c2"))
+      .unionByName(broadcast(types).crossJoin(base)
+        .select(col("t"), col("value"), lit(0L).as("c1"), col("c2")))
+      .groupBy(col("t"), col("value"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+    val wCum = Window.partitionBy(col("t")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("t"))
+    val gap = (dc(col("i")) * dc(col("m")) -
+      dc(col("j")) * dc(col("n"))).cast("long")
+    def d(c: Column) = c.cast("double")
+    merged
+      .withColumn("i", sum(col("c1")).over(wCum))
+      .withColumn("j", sum(col("c2")).over(wCum))
+      .withColumn("n", sum(col("c1")).over(wAll))
+      .withColumn("m", sum(col("c2")).over(wAll))
+      .withColumn("gap", gap)
+      .groupBy(col("t"))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap") *
+          (col("c1") + col("c2"))).as("u_dec"))
+      .select(col("t"), col("n"), col("m"),
+        when(col("n") > 0L && col("m") > 0L,
+          Det.r4(d(col("u_dec")) * lit(1000.0) /
+            (d(col("n")) * d(col("n")) * d(col("m")) * d(col("m")) *
+              (d(col("n")) + d(col("m"))))))
+          .otherwise(lit(null)).as("omega2_x1000"))
+      .orderBy("t")
+  }
+
+  /** McNEMAR'S TEST on paired conversion — did the SAME users' tendency
+    * to purchase CHANGE between the observation window's two halves?
+    * ([[aggOddsRatio]] compares two GROUPS; this pairs each user with
+    * themself — the before/after read behind every rollout
+    * retrospective.) The split day is the exact integer midpoint of
+    * the observed epoch-day range ((d0+d1+1) div 2 — engine-exact);
+    * per-user period flags are max-aggregates; only the DISCORDANT
+    * cells enter the statistic: χ²_cc = (|b−c|−1)²/(b+c) with the
+    * classical continuity correction, one fixed IEEE text over exact
+    * BIGINTs, NULL when b+c = 0 in both engines. One per-user
+    * aggregate + a 4-cell reduction. */
+  def aggMcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('DAY', ts)) div 86400")
+          .cast("long").as("day"),
+        col("event_type"))
+      .localCheckpoint(eager = false) // bounds probe + per-user flags
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val per = ev.crossJoin(broadcast(bounds))
+      .withColumn("split", expr("(d0 + d1 + 1) div 2"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("day") < col("split"), 1L).otherwise(0L)).as("x1"),
+        max(when(col("event_type") === "purchase" &&
+          col("day") >= col("split"), 1L).otherwise(0L)).as("x2"))
+    val cells = per.agg(
+      sum(when(col("x1") === 1L && col("x2") === 1L, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("x1") === 1L && col("x2") === 0L, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("x1") === 0L && col("x2") === 1L, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("x1") === 0L && col("x2") === 0L, 1L).otherwise(0L))
+        .as("d"))
+    def d(c: Column) = c.cast("double")
+    val num = abs(d(col("b")) - d(col("c"))) - lit(1.0)
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      when(col("b") + col("c") > 0L,
+        Det.r4(num * num / (d(col("b")) + d(col("c")))))
+        .otherwise(lit(null)).as("chisq"))
+  }
+
   /** BENJAMINI–HOCHBERG FDR STEP-UP over the per-source KS drift
     * panel — the multiple-testing control a 20-source drift scorecard
     * actually needs (screen every source at α and a twentieth of your
@@ -4755,6 +4852,8 @@ object RelationalOps {
     "q_agg_ks_drift" -> ksDrift _,
     "q_agg_ks_by_source" -> ksBySource _,
     "q_agg_bh_fdr" -> ((s: SparkSession, d: String) => bhFdr(s, d)),
+    "q_agg_cvm_drift" -> cvmDrift _,
+    "q_agg_mcnemar" -> aggMcnemar _,
     "q_agg_kruskal_wallis" -> kruskalWallis _,
     "q_agg_kw_by_source" -> kruskalWallisBySource _,
     "q_agg_anova" -> aggAnova _,
@@ -5011,6 +5110,81 @@ object RelationalOps {
         |FROM p GROUP BY 1
         |ORDER BY n DESC NULLS LAST, path NULLS FIRST
         |LIMIT 10""".stripMargin,
+    "q_agg_cvm_drift" -> {
+      val om = "CAST(u AS DOUBLE) * 1000.0 / (CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * " +
+        "(CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))"
+      s"""WITH tests AS (
+        |  SELECT event_type AS t, value, CAST(count(*) AS BIGINT) AS c1
+        |  FROM events WHERE event_type <> 'view' GROUP BY 1, 2),
+        |base AS (
+        |  SELECT value, CAST(count(*) AS BIGINT) AS c2
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |types AS (SELECT DISTINCT t FROM tests),
+        |merged AS (
+        |  SELECT t, value, CAST(sum(c1) AS BIGINT) AS c1,
+        |         CAST(sum(c2) AS BIGINT) AS c2
+        |  FROM (SELECT t, value, c1, CAST(0 AS BIGINT) AS c2 FROM tests
+        |        UNION ALL
+        |        SELECT types.t, base.value, CAST(0 AS BIGINT), c2
+        |        FROM types CROSS JOIN base)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT t, value, c1, c2,
+        |         CAST(sum(c1) OVER w AS BIGINT) AS i,
+        |         CAST(sum(c2) OVER w AS BIGINT) AS j,
+        |         CAST(sum(c1) OVER (PARTITION BY t) AS BIGINT) AS n,
+        |         CAST(sum(c2) OVER (PARTITION BY t) AS BIGINT) AS m
+        |  FROM merged
+        |  WINDOW w AS (PARTITION BY t ORDER BY value NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT t, max(n) AS n, max(m) AS m,
+        |         sum(CAST(i * m - j * n AS HUGEINT)
+        |           * (i * m - j * n) * (c1 + c2)) AS u
+        |  FROM cum GROUP BY 1)
+        |SELECT t, n, m,
+        |       CASE WHEN n > 0 AND m > 0 THEN ${r4Sql(om)} END
+        |         AS omega2_x1000
+        |FROM agg
+        |ORDER BY t NULLS FIRST""".stripMargin
+    },
+    "q_agg_mcnemar" -> {
+      val num = "abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0"
+      s"""WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+        |           AS day,
+        |         event_type
+        |  FROM events),
+        |bounds AS (SELECT CAST(min(day) AS BIGINT) AS d0,
+        |                  CAST(max(day) AS BIGINT) AS d1 FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |         CAST(max(CASE WHEN event_type = 'purchase' AND
+        |           day < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS x1,
+        |         CAST(max(CASE WHEN event_type = 'purchase' AND
+        |           day >= (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS x2
+        |  FROM ev CROSS JOIN bounds GROUP BY 1),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN x1 = 1 AND x2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN x1 = 0 AND x2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM per)
+        |SELECT a, b, c, d,
+        |       CASE WHEN b + c > 0 THEN
+        |         ${r4Sql(s"($num) * ($num) / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))")}
+        |       END AS chisq
+        |FROM cells""".stripMargin
+    },
     "q_agg_ks_drift" -> {
       val dTxt = "CAST(dnum AS DOUBLE) / " +
         "(CAST(n AS DOUBLE) * CAST(m AS DOUBLE))"

@@ -1697,6 +1697,19 @@ class LlmSpec extends AnyFunSuite {
     got.foreach { case (s, _, t) => assert(t >= -1e-6, s"$s: T=$t") }
   }
 
+  test("filter kappa: cells partition the corpus; kappa <= po; " +
+      "correlated raters agree above chance") {
+    val r = graft.llm.TextOps.filterKappa(spark, sf).collect().head
+    val n = graft.io.Tables.documents(spark, sf).count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) +
+      r.getLong(3) == n, s"cells must partition the corpus: $r")
+    val (po, pe, k) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(po >= 0.0 && po <= 1.0 && pe >= 0.0 && pe <= 1.0)
+    // the two length gates are strongly correlated: above-chance
+    assert(k > 0.0 && k <= 1.0 + 1e-9, s"kappa out of band: $k")
+    assert(k <= po + 1e-9, s"kappa cannot exceed raw agreement: $k vs $po")
+  }
+
   test("temperature mix == driver largest-remainder fold; boosts " +
       "antitone in stratum size") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0

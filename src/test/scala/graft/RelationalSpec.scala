@@ -361,6 +361,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("cvm drift: omega2 in [0, 1000]; mcnemar cells conserve users") {
+    val cvm = RelationalOps.cvmDrift(spark, sf).collect()
+    assert(cvm.length == 4)
+    cvm.foreach { r =>
+      val o = r.getDouble(3)
+      assert(o >= 0.0 && o <= 1000.0,
+        s"${r.getString(0)}: omega2_x1000 out of range: $o")
+    }
+    val mc = RelationalOps.aggMcnemar(spark, sf).collect().head
+    val users = graft.io.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(mc.getLong(0) + mc.getLong(1) + mc.getLong(2) +
+      mc.getLong(3) == users,
+      s"mcnemar cells must partition the user base: $mc vs $users")
+  }
+
   test("bh-fdr == driver Kolmogorov + step-up fold; rejects a prefix") {
     val lams = RelationalOps.ksBySource(spark, sf)
       .select(col("source"), col("lam")).collect()
