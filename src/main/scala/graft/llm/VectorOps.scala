@@ -956,7 +956,80 @@ object VectorOps {
         col("width_mismatch"))
   }
 
+  private val PcaRounds = 8
+
+  /** LEADING PRINCIPAL COMPONENT of the embedding cloud via POWER
+    * ITERATION — the dimension-reduction read beside [[mrlTradeoff]]
+    * (MRL asks "how much recall do the first k COORDINATES keep";
+    * PC1 is the best single DIRECTION, the first thing an index
+    * designer checks before picking a cut dimension). INTEGER-EXACT
+    * end to end (the q_llm_kmeans discipline on a matrix recursion):
+    * embeddings floor-quantize at 10⁴, the scatter matrix S = N·G −
+    * ssᵀ accumulates as DECIMAL(38,0)/HUGEINT from ONE d²-grain
+    * aggregate (the only corpus-sized work — Spark's side), and the
+    * 8 power rounds run over the collected d×d model (4096 entries —
+    * the kmeans-seeding collect class) in exact BigInt, renormalizing
+    * to max|v| = 10⁶ by MAGNITUDE division with the sign reapplied
+    * (trunc-vs-floor never fires on a negative). Orientation fixes
+    * the global sign flip (first nonzero loading positive); the
+    * eigenvalue reports as the EXACT integer num div (den·N) — no
+    * HUGEINT→DOUBLE cast anywhere near the hash. The DuckDB twin
+    * unrolls the same 8 rounds as MATERIALIZED CTEs. */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val flat = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
+      .select(col("vec_id"), (col("p") + lit(1)).cast("long").as("i"),
+        floor(col("e").cast("double") * lit(10000.0)).cast("long")
+          .as("q"))
+      .localCheckpoint(eager = false) // gram join reads it twice
+    val b = flat.select(col("vec_id"), col("i").as("j"), col("q").as("qj"))
+    val gram = flat.join(b, "vec_id")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("q").cast("decimal(38,0)") * col("qj")).as("g"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger)))
+    val sums = flat.groupBy(col("i"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d = sums.length
+    val nVec = BigInt(sums.head._3)
+    val sArr = {
+      val m = sums.map(t => t._1 -> BigInt(t._2)).toMap
+      Array.tabulate(d)(i => m(i + 1L))
+    }
+    val smat = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- 0 until d) smat(i)(j) = BigInt(0)
+    gram.foreach { case (i, j, g) =>
+      smat(i.toInt - 1)(j.toInt - 1) =
+        nVec * g - sArr(i.toInt - 1) * sArr(j.toInt - 1)
+    }
+    var v = Array.fill(d)(BigInt(1000000L))
+    for (_ <- 1 to PcaRounds) {
+      val w = Array.tabulate(d) { i =>
+        (0 until d).map(j => smat(i)(j) * v(j)).sum
+      }
+      val mx = w.map(_.abs).max
+      if (mx > 0)
+        v = w.map(x => (x.abs * 1000000L / mx) * BigInt(x.signum))
+    }
+    val firstNz = v.find(_ != 0)
+    if (firstNz.exists(_ < 0)) v = v.map(-_)
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield v(i) * smat(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val lamQ = if (den > 0) (num / (den * nVec)).toLong else 0L
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rows = (0 until d).map { i =>
+      val vq = v(i).toLong
+      (i + 1L, vq, r4(vq.toDouble / 1000000.0), lamQ)
+    }
+    rows.toDF("i", "v_q", "loading", "lam_q").orderBy("i")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pca_power" -> pcaPower _,
     "q_llm_semdedup" -> semDedup _,
     "q_llm_embed_drift" -> embedDrift _,
     "q_llm_mrl_tradeoff" -> mrlTradeoff _,
@@ -1023,6 +1096,68 @@ object VectorOps {
       |ORDER BY cl NULLS FIRST""".stripMargin
   }
 
+  /** Unrolled power-iteration rounds for the q_llm_pca_power oracle —
+    * generated so every round's text is literally identical (the
+    * kmeansOracleSql discipline; every CTE MATERIALIZED per the
+    * standing chained-CTE rule). Magnitude-division + sign keeps the
+    * `//`-vs-truncation dialect split from ever firing on a negative. */
+  private def pcaOracleSql: String = {
+    val rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (
+        |  SELECT s.i, sum(s.s * v.v) AS w
+        |  FROM smat s JOIN $prev v ON s.j = v.i GROUP BY 1),
+        |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+        |v$k AS MATERIALIZED (
+        |  SELECT w$k.i,
+        |         CASE WHEN m$k.m = 0 THEN $prev.v
+        |              ELSE ((abs(w$k.w) * 1000000) // m$k.m) *
+        |                   (CASE WHEN w$k.w < 0 THEN -1 ELSE 1 END)
+        |         END AS v
+        |  FROM w$k CROSS JOIN m$k JOIN $prev ON $prev.i = w$k.i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH flat AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+      |           AS BIGINT) AS q
+      |  FROM embeddings),
+      |gram AS MATERIALIZED (
+      |  SELECT a.i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS g
+      |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |ssum AS MATERIALIZED (
+      |  SELECT i, CAST(sum(q) AS HUGEINT) AS s,
+      |         CAST(count(*) AS HUGEINT) AS n
+      |  FROM flat GROUP BY 1),
+      |nn AS (SELECT max(n) AS n FROM ssum),
+      |smat AS MATERIALIZED (
+      |  SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS s
+      |  FROM gram g CROSS JOIN nn
+      |  JOIN ssum sa ON sa.i = g.i JOIN ssum sb ON sb.i = g.j),
+      |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ssum),
+      |$rounds,
+      |sgn AS (SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+      |        FROM v$PcaRounds WHERE v <> 0 ORDER BY i LIMIT 1), 1)
+      |        AS sg),
+      |vf AS MATERIALIZED (
+      |  SELECT i, v * (SELECT sg FROM sgn) AS v FROM v$PcaRounds),
+      |ray AS (
+      |  SELECT sum(va.v * s.s * vb.v) AS num
+      |  FROM smat s JOIN vf va ON va.i = s.i JOIN vf vb ON vb.i = s.j),
+      |dn AS (SELECT sum(v * v) AS den FROM vf),
+      |lam AS (
+      |  SELECT CASE WHEN dn.den > 0 THEN
+      |           CAST(ray.num // (dn.den * (SELECT n FROM nn)) AS BIGINT)
+      |         ELSE 0 END AS lam_q
+      |  FROM ray CROSS JOIN dn)
+      |SELECT vf.i, CAST(vf.v AS BIGINT) AS v_q,
+      |       ${r4Sql("CAST(vf.v AS DOUBLE) / 1000000.0")} AS loading,
+      |       lam.lam_q
+      |FROM vf CROSS JOIN lam
+      |ORDER BY i NULLS FIRST""".stripMargin
+  }
+
   /** Shared by q_llm_cosine_topk and its SQL-surface twin
     * q_sql_cosine_topk (same result contract through both entries). */
   private val cosineTopkOracle: String =
@@ -1039,6 +1174,7 @@ object VectorOps {
       |ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST LIMIT 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_pca_power" -> pcaOracleSql,
     "q_llm_semdedup" ->
       s"""WITH flat AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,

@@ -1697,6 +1697,42 @@ class LlmSpec extends AnyFunSuite {
     got.foreach { case (s, _, t) => assert(t >= -1e-6, s"$s: T=$t") }
   }
 
+  test("pca power: unit-max loadings, oriented, PC1 variance dominates " +
+      "every coordinate axis") {
+    val rows = graft.llm.VectorOps.pcaPower(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(rows.length == 64)
+    assert(rows.map(_._2.abs).max == 1000000L, "max|v| must be 1e6")
+    val fnz = rows.sortBy(_._1).map(_._2).find(_ != 0L)
+    assert(fnz.exists(_ > 0L), "orientation: first nonzero positive")
+    val lam = rows.head._4
+    assert(lam >= 0L, s"scatter matrix is PSD: lam=$lam")
+    // driver scatter matrix over the same quantization
+    val embs = graft.io.Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        BigInt(math.floor(x.toDouble * 10000.0).toLong)))
+    val n = BigInt(embs.length)
+    val d = embs.head.length
+    val s = Array.tabulate(d)(i => embs.map(_(i)).sum)
+    def sij(i: Int, j: Int): BigInt =
+      n * embs.map(e => e(i) * e(j)).sum - s(i) * s(j)
+    // Rayleigh along PC1 (exact ints, the query's own units)
+    val v = rows.sortBy(_._1).map(t => BigInt(t._2))
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield v(i) * sij(i, j) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val rayPc1 = num / (den * n)
+    assert(rayPc1 == BigInt(lam), s"emitted lam must equal the exact " +
+      s"Rayleigh of the emitted vector: $rayPc1 vs $lam")
+    // after 8 rounds PC1 must capture at least as much variance as the
+    // single best coordinate axis (the indexer's naive alternative)
+    val bestAxis = (0 until d).map(i => sij(i, i) / n).max
+    assert(rayPc1 >= bestAxis,
+      s"PC1 variance $rayPc1 below best axis $bestAxis")
+  }
+
   test("filter kappa: cells partition the corpus; kappa <= po; " +
       "correlated raters agree above chance") {
     val r = graft.llm.TextOps.filterKappa(spark, sf).collect().head
