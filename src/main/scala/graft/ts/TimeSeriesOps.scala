@@ -1619,6 +1619,87 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** WALD–WOLFOWITZ RUNS TEST per series — the distribution-free
+    * "is the sequence RANDOM around its level" read that completes
+    * the residual-diagnostic family ([[tsLjungBox]] tests linear
+    * autocorrelation; runs catches ANY sign-pattern structure,
+    * including nonlinear alternation): signs vs the series median
+    * (exact integer-rank selection; exact-median days drop — the
+    * classical treatment), R = 1 + #sign-changes along time order,
+    * and the null moments μ = 2n₁n₂/n + 1, σ² = 2n₁n₂(2n₁n₂−n)/
+    * (n²(n−1)) complete one fixed IEEE z text over exact BIGINTs.
+    * NULL z on a degenerate split (n₁ = 0, n₂ = 0, or σ² ≤ 0). All
+    * windows at day grain — bounded by the calendar. */
+  def tsRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailySeries(spark, sfDir)
+      .localCheckpoint(eager = false) // median + signs + runs
+    val wV = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wN = Window.partitionBy(col("event_type"))
+    val med = daily
+      .withColumn("rn", row_number().over(wV).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("v").as("med"))
+    val signed = daily.join(med, "event_type")
+      .where(col("v") =!= col("med"))
+      .select(col("event_type"), col("t"),
+        when(col("v") > col("med"), 1L).otherwise(-1L).as("sg"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val runs = signed
+      .withColumn("prev", lag(col("sg"), 1).over(wT))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("n2"),
+        (lit(1L) + sum(when(col("prev").isNotNull &&
+          col("prev") =!= col("sg"), 1L).otherwise(0L))).as("r"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val n = d(col("n1")) + d(col("n2"))
+    val p2 = lit(2.0) * d(col("n1")) * d(col("n2"))
+    val mu = p2 / n + lit(1.0)
+    val v2 = p2 * (p2 - n) / (n * n * (n - lit(1.0)))
+    runs.select(col("event_type"), col("n1"), col("n2"), col("r"),
+        when(col("n1") > 0L && col("n2") > 0L && v2 > lit(0.0),
+          Det.r4((d(col("r")) - mu) / sqrt(v2)))
+          .otherwise(lit(null)).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** DURBIN–WATSON STATISTIC per series — the lag-1 residual
+    * autocorrelation diagnostic in its classical ratio form
+    * (DW ≈ 2(1−ρ̂₁); [[tsLjungBox]] is the k-lag portmanteau, DW the
+    * single-number regression-output staple): residuals are
+    * deviations from the series mean, and the MEAN CANCELS in the
+    * numerator — Σ(eₜ−eₜ₋₁)² = Σ(qₜ−qₜ₋₁)²/10⁸ over the exact
+    * 10⁴-scaled daily means — so DW = n²·Σd²/Σ(n·qₜ−S)² is one IEEE
+    * division of two exact DECIMAL(38,0) sums. NULL on n < 2 or a
+    * constant series. */
+  def tsDurbinWatson(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val wN = Window.partitionBy(col("event_type"))
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val q = dailySeries(spark, sfDir)
+      .select(col("event_type"), col("t"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("q"))
+      .withColumn("qp", lag(col("q"), 1).over(wT))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("s", sum(col("q")).over(wN))
+    val agg = q.groupBy(col("event_type"), col("n"))
+      .agg(sum(when(col("qp").isNotNull,
+        dc(col("q") - col("qp")) * (col("q") - col("qp")))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("sd2"),
+        sum(dc(col("n") * col("q") - col("s")) *
+          (col("n") * col("q") - col("s"))).as("se2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg.select(col("event_type"), col("n").as("n_days"),
+        when(col("n") > 1L && col("se2") > lit(0L),
+          Det.r4(d(col("n")) * d(col("n")) * d(col("sd2")) /
+            d(col("se2")))).otherwise(lit(null)).as("dw"))
+      .orderBy("event_type")
+  }
+
   /** LJUNG–BOX PORTMANTEAU TEST at lags 1–3 per series (with the
     * Box–Pierce companion) — the "is there ANY autocorrelation left"
     * residual-whiteness read that closes the Box–Jenkins family
@@ -3808,6 +3889,8 @@ object TimeSeriesOps {
     "q_ts_granger" -> tsGranger _,
     "q_ts_theil_sen" -> tsTheilSen _,
     "q_ts_mann_kendall" -> tsMannKendall _,
+    "q_ts_runs_test" -> tsRunsTest _,
+    "q_ts_durbin_watson" -> tsDurbinWatson _,
     "q_ts_pacf" -> pacf _,
     "q_ts_trimmed_mean" -> trimmedMean _,
     "q_ts_holt_damped" -> holtDamped _,
@@ -4446,6 +4529,80 @@ object TimeSeriesOps {
                s" / sqrt($varS) ELSE 0.0 END")}
         |       END AS z
         |FROM s JOIN n USING (g) JOIN tt USING (g)
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_runs_test" -> {
+      val n = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+      val p2 = s"(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+      val mu = s"($p2 / $n + 1.0)"
+      val v2 = s"($p2 * ($p2 - $n) / ($n * $n * ($n - 1.0)))"
+      s"""WITH m AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+        |           AS t,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT g, v AS med FROM (
+        |    SELECT g, v,
+        |           CAST(row_number() OVER (PARTITION BY g
+        |             ORDER BY v NULLS FIRST) AS BIGINT) AS rn,
+        |           CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |    FROM m) t
+        |  WHERE rn = (n + 1) // 2),
+        |sg AS (
+        |  SELECT m.g, m.t,
+        |         CASE WHEN m.v > med.med THEN 1 ELSE -1 END AS sg
+        |  FROM m JOIN med ON m.g = med.g
+        |  WHERE m.v <> med.med),
+        |runs AS (
+        |  SELECT g,
+        |         CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n1,
+        |         CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n2,
+        |         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev <> sg
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM (SELECT g, sg, lag(sg) OVER (PARTITION BY g
+        |          ORDER BY t NULLS FIRST) AS prev FROM sg) x
+        |  GROUP BY 1)
+        |SELECT g AS event_type, n1, n2, r,
+        |       CASE WHEN n1 > 0 AND n2 > 0 AND $v2 > 0.0 THEN
+        |         ${Det.r4Sql(s"(CAST(r AS DOUBLE) - $mu) / sqrt($v2)")}
+        |       END AS z
+        |FROM runs
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_durbin_watson" -> {
+      val dw = "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
+        "CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE)"
+      s"""WITH m AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+        |           AS t,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |mq AS (
+        |  SELECT g, t,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q
+        |  FROM m),
+        |d AS (
+        |  SELECT g, t, q,
+        |         lag(q) OVER (PARTITION BY g ORDER BY t NULLS FIRST)
+        |           AS qp,
+        |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |         CAST(sum(q) OVER (PARTITION BY g) AS BIGINT) AS s
+        |  FROM mq),
+        |a AS (
+        |  SELECT g, n,
+        |         sum(CASE WHEN qp IS NOT NULL THEN
+        |           CAST(q - qp AS HUGEINT) * (q - qp) ELSE 0 END) AS sd2,
+        |         sum(CAST(n * q - s AS HUGEINT) * (n * q - s)) AS se2
+        |  FROM d GROUP BY 1, 2)
+        |SELECT g AS event_type, n AS n_days,
+        |       CASE WHEN n > 1 AND se2 > 0 THEN ${Det.r4Sql(dw)} END
+        |         AS dw
+        |FROM a
         |ORDER BY event_type NULLS FIRST""".stripMargin
     },
     "q_ts_granger" -> {

@@ -683,6 +683,57 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(gotMk == wantMk, s"mann-kendall diverged: $gotMk vs $wantMk")
   }
 
+  test("runs test + durbin-watson == driver folds on the daily grain") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('DAY', ts)) div 86400")
+          .cast("long").as("t"))
+      .agg(graft.util.Det.avg4(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val wantRuns = daily.toSeq.sortBy(_._1).map { case (g, rows) =>
+      val byT = rows.sortBy(_._2).map(_._3)
+      val med = byT.sorted.apply((byT.length + 1) / 2 - 1)
+      val sg = byT.filter(_ != med).map(v => if (v > med) 1 else -1)
+      val n1 = sg.count(_ == 1).toLong
+      val n2 = sg.count(_ == -1).toLong
+      val r = 1L + sg.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val n = (n1 + n2).toDouble
+      val p2 = 2.0 * n1.toDouble * n2.toDouble
+      val mu = p2 / n + 1.0
+      val v2 = p2 * (p2 - n) / (n * n * (n - 1.0))
+      val z = if (n1 > 0 && n2 > 0 && v2 > 0.0)
+        Some(r4((r.toDouble - mu) / math.sqrt(v2))) else None
+      (g, n1, n2, r, z)
+    }
+    val gotRuns = TimeSeriesOps.tsRunsTest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(gotRuns == wantRuns,
+      s"runs test diverged: $gotRuns vs $wantRuns")
+    val wantDw = daily.toSeq.sortBy(_._1).map { case (g, rows) =>
+      val q = rows.sortBy(_._2).map(r =>
+        BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(10000)).toLongExact)
+      val n = q.length.toLong
+      val s = q.sum
+      val sd2 = q.toSeq.sliding(2).collect { case Seq(a, b) =>
+        BigInt(b - a) * BigInt(b - a) }.foldLeft(BigInt(0))(_ + _)
+      val se2 = q.map(x => BigInt(n * x - s) * (n * x - s)).sum
+      val dw = if (n > 1 && se2 > 0)
+        Some(r4(n.toDouble * n.toDouble * sd2.toDouble / se2.toDouble))
+      else None
+      (g, n, dw)
+    }
+    val gotDw = TimeSeriesOps.tsDurbinWatson(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(gotDw == wantDw, s"durbin-watson diverged: $gotDw vs $wantDw")
+  }
+
   test("isotonic: == driver PAV, monotone fit, block means preserved") {
     import org.apache.spark.sql.functions._
     // driver reference over the same exact (type, hour, w, s) grain
