@@ -3359,6 +3359,98 @@ object RelationalOps {
       .orderBy("o_orderpriority")
   }
 
+  /** WINSORIZED MEAN per order priority — the robust center that
+    * CLIPS instead of dropping ([[aggBowleySkew]] family; the trimmed
+    * mean discards tails, winsorizing pins them to the exact
+    * integer-rank P10/P90 — the estimator of choice when tail MASS
+    * matters but tail VALUES are noise): cut points by the
+    * interpolation-free rank selection (⌈n/10⌉, ⌈9n/10⌉ — actual data
+    * values), the clipped sum assembled from exact 100-scaled BIGINTs
+    * (o_totalprice carries 2 decimals) in one histogram-grain pass,
+    * and the mean is a single IEEE expression over those integers. */
+  def aggWinsorMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("p"),
+        (col("o_totalprice").cast("decimal(18,2)") * lit(100L))
+          .cast("long").as("vq"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // two cut selections + clip pass
+    val wCum = Window.partitionBy(col("p")).orderBy(col("vq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = g.withColumn("cum", sum(col("c")).over(wCum))
+      .localCheckpoint(eager = false)
+    val n = g.groupBy(col("p")).agg(sum(col("c")).as("n"))
+    val rq = r.join(n, "p")
+    def cut(name: String, rankExpr: String): DataFrame = rq
+      .where(col("cum") >= expr(rankExpr))
+      .groupBy(col("p")).agg(min(col("vq")).as(name))
+    val cuts = cut("lo", "(n + 9) div 10")
+      .join(cut("hi", "(9 * n + 9) div 10"), "p")
+    def d(c: Column) = c.cast("double")
+    g.join(broadcast(cuts), "p").join(broadcast(n), "p")
+      .groupBy(col("p"), col("n"), col("lo"), col("hi"))
+      .agg(
+        sum(when(col("vq") < col("lo"), col("c")).otherwise(0L))
+          .as("nlo"),
+        sum(when(col("vq") > col("hi"), col("c")).otherwise(0L))
+          .as("nhi"),
+        sum(when(col("vq") >= col("lo") && col("vq") <= col("hi"),
+          col("c").cast("decimal(38,0)") * col("vq"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("smid"))
+      .select(col("p").as("o_orderpriority"), col("n"),
+        Det.r4(d(col("lo")) / lit(100.0)).as("p10"),
+        Det.r4(d(col("hi")) / lit(100.0)).as("p90"),
+        Det.r4((d(col("smid")) + d(col("nlo")) * d(col("lo")) +
+          d(col("nhi")) * d(col("hi"))) / (lit(100.0) * d(col("n"))))
+          .as("wmean"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** CRONBACH'S ALPHA over the daily event-type panel — the internal-
+    * consistency read ([[aggFriedman]]'s blocks recast as a
+    * reliability design: event types are the "items", complete days
+    * the observations; do the four daily series move together enough
+    * to be one composite activity index?). α = k/(k−1)·(1 −
+    * Σᵢσᵢ²/σ_tot²) with every variance an exact n²-scaled integer
+    * (nΣq² − S² over 10⁴-scaled daily means — the common n on
+    * complete days cancels the scale), so α is one IEEE text over
+    * exact DECIMAL(38,0)s. NULL on k < 2 or zero total variance. */
+  def aggCronbachAlpha(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "purchase", "signup", "error")
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val m = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(types: _*))
+      .groupBy(date_trunc("day", col("ts")).as("d"),
+        col("event_type").as("g"))
+      .agg(Det.avg4(col("value")).as("v"))
+      .select(col("d"), col("g"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("q"))
+      .localCheckpoint(eager = false) // completeness + items + total
+    val complete = m.groupBy(col("d")).agg(count(lit(1)).as("nb"))
+      .where(col("nb") === types.size).select(col("d"))
+    val mc = m.join(complete, Seq("d"), "left_semi")
+      .localCheckpoint(eager = false) // item variances + day totals
+    val items = mc.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(dc(col("q")) * col("q")).as("s2"))
+      .select(col("g"), col("n"),
+        (dc(col("n")) * col("s2") - dc(col("s")) * col("s")).as("vn2"))
+    val tot = mc.groupBy(col("d")).agg(sum(col("q")).as("qt"))
+      .agg(count(lit(1)).as("n"), sum(col("qt")).as("s"),
+        sum(dc(col("qt")) * col("qt")).as("s2"))
+      .select(col("n").as("nt"),
+        (dc(col("n")) * col("s2") - dc(col("s")) * col("s")).as("tn2"))
+    val agg = items.agg(count(lit(1)).as("k"), max(col("n")).as("n"),
+      sum(col("vn2")).as("svi")).crossJoin(broadcast(tot))
+    def d(c: Column) = c.cast("double")
+    agg.select(col("k"), col("n").as("n_days"),
+      when(col("k") > 1L && col("tn2") > lit(0L),
+        Det.r4((d(col("k")) / (d(col("k")) - lit(1.0))) *
+          (lit(1.0) - d(col("svi")) / d(col("tn2")))))
+        .otherwise(lit(null)).as("alpha"))
+  }
+
   /** ODDS RATIO + RELATIVE RISK for the 2×2 exposure/outcome table —
     * the A/B-test effect sizes beside [[aggCramersV]]'s symmetric
     * association: exposure = user parity (the experiment-arm stand-in
@@ -4854,6 +4946,8 @@ object RelationalOps {
     "q_agg_bh_fdr" -> ((s: SparkSession, d: String) => bhFdr(s, d)),
     "q_agg_cvm_drift" -> cvmDrift _,
     "q_agg_mcnemar" -> aggMcnemar _,
+    "q_agg_winsor_mean" -> aggWinsorMean _,
+    "q_agg_cronbach" -> aggCronbachAlpha _,
     "q_agg_kruskal_wallis" -> kruskalWallis _,
     "q_agg_kw_by_source" -> kruskalWallisBySource _,
     "q_agg_anova" -> aggAnova _,
@@ -5110,6 +5204,86 @@ object RelationalOps {
         |FROM p GROUP BY 1
         |ORDER BY n DESC NULLS LAST, path NULLS FIRST
         |LIMIT 10""".stripMargin,
+    "q_agg_winsor_mean" -> {
+      val wm = "(CAST(smid AS DOUBLE) + CAST(nlo AS DOUBLE) * " +
+        "CAST(lo AS DOUBLE) + CAST(nhi AS DOUBLE) * CAST(hi AS DOUBLE))" +
+        " / (100.0 * CAST(n AS DOUBLE))"
+      s"""WITH g AS MATERIALIZED (
+        |  SELECT o_orderpriority AS p,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS vq,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |r AS MATERIALIZED (
+        |  SELECT p, vq, c,
+        |         CAST(sum(c) OVER (PARTITION BY p ORDER BY vq NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM g),
+        |n AS (SELECT p, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY 1),
+        |lo AS (
+        |  SELECT r.p, min(vq) AS lo FROM r JOIN n ON r.p = n.p
+        |  WHERE cum >= (n + 9) // 10 GROUP BY 1),
+        |hi AS (
+        |  SELECT r.p, min(vq) AS hi FROM r JOIN n ON r.p = n.p
+        |  WHERE cum >= (9 * n + 9) // 10 GROUP BY 1),
+        |w AS (
+        |  SELECT g.p, n.n, lo.lo, hi.hi,
+        |    CAST(sum(CASE WHEN vq < lo THEN c ELSE 0 END) AS BIGINT)
+        |      AS nlo,
+        |    CAST(sum(CASE WHEN vq > hi THEN c ELSE 0 END) AS BIGINT)
+        |      AS nhi,
+        |    sum(CASE WHEN vq >= lo AND vq <= hi THEN
+        |      CAST(c AS HUGEINT) * vq ELSE 0 END) AS smid
+        |  FROM g JOIN lo ON g.p = lo.p JOIN hi ON g.p = hi.p
+        |  JOIN n ON g.p = n.p
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT p AS o_orderpriority, n,
+        |       ${r4Sql("CAST(lo AS DOUBLE) / 100.0")} AS p10,
+        |       ${r4Sql("CAST(hi AS DOUBLE) / 100.0")} AS p90,
+        |       ${r4Sql(wm)} AS wmean
+        |FROM w
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+    },
+    "q_agg_cronbach" -> {
+      val al = "(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) * " +
+        "(1.0 - CAST(svi AS DOUBLE) / CAST(tn2 AS DOUBLE))"
+      s"""WITH m AS MATERIALIZED (
+        |  SELECT date_trunc('day', ts) AS d, event_type AS g,
+        |         CAST(CAST(${Det.avg4Sql("value")} AS DECIMAL(18,4))
+        |           * 10000 AS BIGINT) AS q
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'signup', 'error')
+        |  GROUP BY 1, 2),
+        |cm AS MATERIALIZED (
+        |  SELECT d, g, q FROM (
+        |    SELECT d, g, q, count(*) OVER (PARTITION BY d) AS nb
+        |    FROM m) t
+        |  WHERE nb = 4),
+        |items AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) AS HUGEINT)
+        |           * sum(CAST(q AS HUGEINT) * q)
+        |           - CAST(sum(q) AS HUGEINT) * CAST(sum(q) AS HUGEINT)
+        |           AS vn2
+        |  FROM cm GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS HUGEINT)
+        |           * sum(CAST(qt AS HUGEINT) * qt)
+        |           - CAST(sum(qt) AS HUGEINT) * CAST(sum(qt) AS HUGEINT)
+        |           AS tn2
+        |  FROM (SELECT d, CAST(sum(q) AS BIGINT) AS qt
+        |        FROM cm GROUP BY 1) x),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(max(n) AS BIGINT) AS n,
+        |         sum(vn2) AS svi
+        |  FROM items)
+        |SELECT k, n AS n_days,
+        |       CASE WHEN k > 1 AND tn2 > 0 THEN ${r4Sql(al)} END
+        |         AS alpha
+        |FROM ag CROSS JOIN tot""".stripMargin
+    },
     "q_agg_cvm_drift" -> {
       val om = "CAST(u AS DOUBLE) * 1000.0 / (CAST(n AS DOUBLE) * " +
         "CAST(n AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * " +

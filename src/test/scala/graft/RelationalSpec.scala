@@ -377,6 +377,21 @@ class RelationalSpec extends AnyFunSuite {
       s"mcnemar cells must partition the user base: $mc vs $users")
   }
 
+  test("winsorized mean sits inside its cut band; cronbach alpha <= 1") {
+    RelationalOps.aggWinsorMean(spark, sf).collect().foreach { r =>
+      val (p10, p90, wm) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+      assert(p10 <= p90, s"${r.getString(0)}: cuts inverted")
+      assert(wm >= p10 - 1e-9 && wm <= p90 + 1e-9,
+        s"${r.getString(0)}: wmean $wm outside [$p10, $p90]")
+    }
+    val a = RelationalOps.aggCronbachAlpha(spark, sf).collect().head
+    assert(a.getLong(0) == 4L, "k = 4 items")
+    // alpha <= 1 always; can be negative on anti-correlated items
+    assert(a.isNullAt(2) || a.getDouble(2) <= 1.0 + 1e-9,
+      s"alpha out of band: $a")
+  }
+
   test("bh-fdr == driver Kolmogorov + step-up fold; rejects a prefix") {
     val lams = RelationalOps.ksBySource(spark, sf)
       .select(col("source"), col("lam")).collect()
