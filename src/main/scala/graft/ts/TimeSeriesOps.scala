@@ -1619,50 +1619,63 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
-  /** WALD–WOLFOWITZ RUNS TEST per series — the distribution-free
-    * "is the sequence RANDOM around its level" read that completes
-    * the residual-diagnostic family ([[tsLjungBox]] tests linear
-    * autocorrelation; runs catches ANY sign-pattern structure,
-    * including nonlinear alternation): signs vs the series median
-    * (exact integer-rank selection; exact-median days drop — the
-    * classical treatment), R = 1 + #sign-changes along time order,
-    * and the null moments μ = 2n₁n₂/n + 1, σ² = 2n₁n₂(2n₁n₂−n)/
-    * (n²(n−1)) complete one fixed IEEE z text over exact BIGINTs.
-    * NULL z on a degenerate split (n₁ = 0, n₂ = 0, or σ² ≤ 0). All
-    * windows at day grain — bounded by the calendar. */
-  def tsRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** PARTIAL CORRELATION r_xy·z — does click activity correlate with
+    * purchases AFTER controlling for overall traffic (the 'view'
+    * series)? The confounder-removal read that completes the
+    * correlation family (raw Pearson answers "do they move together";
+    * this answers "beyond what traffic explains"). All three daily
+    * series align on epoch day; the nine moments accumulate as exact
+    * DECIMAL(38,0) over 10⁴-scaled means (the assortativity Pearson
+    * discipline), each pairwise r is the shared Pearson text, and
+    * r_xy·z = (r_xy − r_xz·r_zy)/√((1−r_xz²)(1−r_zy²)) is one more
+    * fixed IEEE expression. NULL when any variance or the partial
+    * denominator degenerates. */
+  def tsPartialCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val daily = dailySeries(spark, sfDir)
-      .localCheckpoint(eager = false) // median + signs + runs
-    val wV = Window.partitionBy(col("event_type")).orderBy(col("v"))
-    val wN = Window.partitionBy(col("event_type"))
-    val med = daily
-      .withColumn("rn", row_number().over(wV).cast("long"))
-      .withColumn("n", count(lit(1)).over(wN))
-      .where(col("rn") === expr("(n + 1) div 2"))
-      .select(col("event_type"), col("v").as("med"))
-    val signed = daily.join(med, "event_type")
-      .where(col("v") =!= col("med"))
       .select(col("event_type"), col("t"),
-        when(col("v") > col("med"), 1L).otherwise(-1L).as("sg"))
-    val wT = Window.partitionBy(col("event_type")).orderBy(col("t"))
-    val runs = signed
-      .withColumn("prev", lag(col("sg"), 1).over(wT))
-      .groupBy(col("event_type"))
-      .agg(sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("n2"),
-        (lit(1L) + sum(when(col("prev").isNotNull &&
-          col("prev") =!= col("sg"), 1L).otherwise(0L))).as("r"))
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("q"))
+      .localCheckpoint(eager = false) // three aligned selections
+    def series(tname: String, alias: String) =
+      daily.where(col("event_type") === tname)
+        .select(col("t"), col("q").as(alias))
+    val j = series("click", "x")
+      .join(series("purchase", "y"), "t")
+      .join(series("view", "z"), "t")
+    val m = j.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("z")).as("sz"),
+      sum(dc(col("x")) * col("x")).as("sxx"),
+      sum(dc(col("y")) * col("y")).as("syy"),
+      sum(dc(col("z")) * col("z")).as("szz"),
+      sum(dc(col("x")) * col("y")).as("sxy"),
+      sum(dc(col("x")) * col("z")).as("sxz"),
+      sum(dc(col("y")) * col("z")).as("syz"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    val n = d(col("n1")) + d(col("n2"))
-    val p2 = lit(2.0) * d(col("n1")) * d(col("n2"))
-    val mu = p2 / n + lit(1.0)
-    val v2 = p2 * (p2 - n) / (n * n * (n - lit(1.0)))
-    runs.select(col("event_type"), col("n1"), col("n2"), col("r"),
-        when(col("n1") > 0L && col("n2") > 0L && v2 > lit(0.0),
-          Det.r4((d(col("r")) - mu) / sqrt(v2)))
-          .otherwise(lit(null)).as("z"))
-      .orderBy("event_type")
+    def num(sab: org.apache.spark.sql.Column,
+        sa: org.apache.spark.sql.Column,
+        sb: org.apache.spark.sql.Column) =
+      d(dc(col("n")) * sab - dc(sa) * sb)
+    def vv(saa: org.apache.spark.sql.Column,
+        sa: org.apache.spark.sql.Column) =
+      d(dc(col("n")) * saa - dc(sa) * sa)
+    val vx = vv(col("sxx"), col("sx"))
+    val vy = vv(col("syy"), col("sy"))
+    val vz = vv(col("szz"), col("sz"))
+    val rxy = num(col("sxy"), col("sx"), col("sy")) / sqrt(vx * vy)
+    val rxz = num(col("sxz"), col("sx"), col("sz")) / sqrt(vx * vz)
+    val ryz = num(col("syz"), col("sy"), col("sz")) / sqrt(vy * vz)
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    val ok = col("n") > 2L && vx > lit(0.0) && vy > lit(0.0) &&
+      vz > lit(0.0)
+    m.select(col("n").as("n_days"),
+      when(ok, Det.r4(rxy)).otherwise(lit(null)).as("r_xy"),
+      when(ok, Det.r4(rxz)).otherwise(lit(null)).as("r_xz"),
+      when(ok, Det.r4(ryz)).otherwise(lit(null)).as("r_yz"),
+      when(ok && den > lit(0.0),
+        Det.r4((rxy - rxz * ryz) / sqrt(den)))
+        .otherwise(lit(null)).as("r_xy_z"))
   }
 
   /** DURBIN–WATSON STATISTIC per series — the lag-1 residual
@@ -3889,8 +3902,8 @@ object TimeSeriesOps {
     "q_ts_granger" -> tsGranger _,
     "q_ts_theil_sen" -> tsTheilSen _,
     "q_ts_mann_kendall" -> tsMannKendall _,
-    "q_ts_runs_test" -> tsRunsTest _,
     "q_ts_durbin_watson" -> tsDurbinWatson _,
+    "q_ts_partial_corr" -> tsPartialCorr _,
     "q_ts_pacf" -> pacf _,
     "q_ts_trimmed_mean" -> trimmedMean _,
     "q_ts_holt_damped" -> holtDamped _,
@@ -4531,47 +4544,52 @@ object TimeSeriesOps {
         |FROM s JOIN n USING (g) JOIN tt USING (g)
         |ORDER BY event_type NULLS FIRST""".stripMargin
     },
-    "q_ts_runs_test" -> {
-      val n = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
-      val p2 = s"(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
-      val mu = s"($p2 / $n + 1.0)"
-      val v2 = s"($p2 * ($p2 - $n) / ($n * $n * ($n - 1.0)))"
+    "q_ts_partial_corr" -> {
+      def num(ab: String, a: String, b: String) =
+        s"CAST(CAST(n AS HUGEINT) * $ab - CAST($a AS HUGEINT) * $b" +
+          s" AS DOUBLE)"
+      def vv(aa: String, a: String) =
+        s"CAST(CAST(n AS HUGEINT) * $aa - CAST($a AS HUGEINT) * $a" +
+          s" AS DOUBLE)"
+      val vx = vv("sxx", "sx"); val vy = vv("syy", "sy")
+      val vz = vv("szz", "sz")
+      val rxy = s"(${num("sxy", "sx", "sy")} / sqrt($vx * $vy))"
+      val rxz = s"(${num("sxz", "sx", "sz")} / sqrt($vx * $vz))"
+      val ryz = s"(${num("syz", "sy", "sz")} / sqrt($vy * $vz))"
+      val den = s"((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz))"
+      val ok = s"n > 2 AND $vx > 0.0 AND $vy > 0.0 AND $vz > 0.0"
       s"""WITH m AS MATERIALIZED (
         |  SELECT event_type AS g,
         |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
         |           AS t,
-        |         ${Det.avg4Sql("value")} AS v
+        |         CAST(CAST(${Det.avg4Sql("value")} AS DECIMAL(18,4))
+        |           * 10000 AS BIGINT) AS q
         |  FROM events GROUP BY 1, 2),
-        |med AS (
-        |  SELECT g, v AS med FROM (
-        |    SELECT g, v,
-        |           CAST(row_number() OVER (PARTITION BY g
-        |             ORDER BY v NULLS FIRST) AS BIGINT) AS rn,
-        |           CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
-        |    FROM m) t
-        |  WHERE rn = (n + 1) // 2),
-        |sg AS (
-        |  SELECT m.g, m.t,
-        |         CASE WHEN m.v > med.med THEN 1 ELSE -1 END AS sg
-        |  FROM m JOIN med ON m.g = med.g
-        |  WHERE m.v <> med.med),
-        |runs AS (
-        |  SELECT g,
-        |         CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |           AS n1,
-        |         CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)
-        |           AS BIGINT) AS n2,
-        |         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev <> sg
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS r
-        |  FROM (SELECT g, sg, lag(sg) OVER (PARTITION BY g
-        |          ORDER BY t NULLS FIRST) AS prev FROM sg) x
-        |  GROUP BY 1)
-        |SELECT g AS event_type, n1, n2, r,
-        |       CASE WHEN n1 > 0 AND n2 > 0 AND $v2 > 0.0 THEN
-        |         ${Det.r4Sql(s"(CAST(r AS DOUBLE) - $mu) / sqrt($v2)")}
-        |       END AS z
-        |FROM runs
-        |ORDER BY event_type NULLS FIRST""".stripMargin
+        |j AS (
+        |  SELECT a.q AS x, b.q AS y, c.q AS z
+        |  FROM (SELECT t, q FROM m WHERE g = 'click') a
+        |  JOIN (SELECT t, q FROM m WHERE g = 'purchase') b ON a.t = b.t
+        |  JOIN (SELECT t, q FROM m WHERE g = 'view') c ON a.t = c.t),
+        |mm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(z) AS BIGINT) AS sz,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         sum(CAST(z AS HUGEINT) * z) AS szz,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |         sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM j)
+        |SELECT n AS n_days,
+        |       CASE WHEN $ok THEN ${Det.r4Sql(rxy)} END AS r_xy,
+        |       CASE WHEN $ok THEN ${Det.r4Sql(rxz)} END AS r_xz,
+        |       CASE WHEN $ok THEN ${Det.r4Sql(ryz)} END AS r_yz,
+        |       CASE WHEN ($ok) AND $den > 0.0 THEN
+        |         ${Det.r4Sql(s"($rxy - $rxz * $ryz) / sqrt($den)")}
+        |       END AS r_xy_z
+        |FROM mm""".stripMargin
     },
     "q_ts_durbin_watson" -> {
       val dw = "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +

@@ -683,7 +683,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(gotMk == wantMk, s"mann-kendall diverged: $gotMk vs $wantMk")
   }
 
-  test("runs test + durbin-watson == driver folds on the daily grain") {
+  test("durbin-watson == driver fold on the daily grain") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val daily = graft.io.Tables.events(spark, sf)
@@ -693,27 +693,6 @@ class TimeSeriesSpec extends AnyFunSuite {
       .agg(graft.util.Det.avg4(col("value")).as("v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1)
-    val wantRuns = daily.toSeq.sortBy(_._1).map { case (g, rows) =>
-      val byT = rows.sortBy(_._2).map(_._3)
-      val med = byT.sorted.apply((byT.length + 1) / 2 - 1)
-      val sg = byT.filter(_ != med).map(v => if (v > med) 1 else -1)
-      val n1 = sg.count(_ == 1).toLong
-      val n2 = sg.count(_ == -1).toLong
-      val r = 1L + sg.sliding(2).count(p => p.length == 2 && p(0) != p(1))
-      val n = (n1 + n2).toDouble
-      val p2 = 2.0 * n1.toDouble * n2.toDouble
-      val mu = p2 / n + 1.0
-      val v2 = p2 * (p2 - n) / (n * n * (n - 1.0))
-      val z = if (n1 > 0 && n2 > 0 && v2 > 0.0)
-        Some(r4((r.toDouble - mu) / math.sqrt(v2))) else None
-      (g, n1, n2, r, z)
-    }
-    val gotRuns = TimeSeriesOps.tsRunsTest(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3),
-        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
-    assert(gotRuns == wantRuns,
-      s"runs test diverged: $gotRuns vs $wantRuns")
     val wantDw = daily.toSeq.sortBy(_._1).map { case (g, rows) =>
       val q = rows.sortBy(_._2).map(r =>
         BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)
