@@ -977,6 +977,93 @@ object VectorOps {
     * unrolls the same 8 rounds as MATERIALIZED CTEs. */
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val (smat, nVec, d) = scatterModel(spark, sfDir)
+    var v = Array.fill(d)(BigInt(1000000L))
+    for (_ <- 1 to PcaRounds) {
+      val w = Array.tabulate(d) { i =>
+        (0 until d).map(j => smat(i)(j) * v(j)).sum
+      }
+      val mx = w.map(_.abs).max
+      if (mx > 0)
+        v = w.map(x => (x.abs * 1000000L / mx) * BigInt(x.signum))
+    }
+    val firstNz = v.find(_ != 0)
+    if (firstNz.exists(_ < 0)) v = v.map(-_)
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield v(i) * smat(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val lamQ = if (den > 0) (num / (den * nVec)).toLong else 0L
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rows = (0 until d).map { i =>
+      val vq = v(i).toLong
+      (i + 1L, vq, r4(vq.toDouble / 1000000.0), lamQ)
+    }
+    rows.toDF("i", "v_q", "loading", "lam_q").orderBy("i")
+  }
+
+  /** SECOND PRINCIPAL COMPONENT via PROJECTED power iteration — the
+    * 2-d map read that completes [[pcaPower]] (PC1 alone ranks one
+    * axis; PC1×PC2 is the standard scatter-plot / coarse-index
+    * plane). Each round multiplies by the SAME exact scatter matrix
+    * then deflates by PROJECTION against PC1's final (unoriented)
+    * iterate: w' = w·D₁ − v₁·(v₁ᵀw) — all BigInt/HUGEINT exact, and
+    * sign-invariant in v₁ so orientation never couples the
+    * components. Renormalization uses the TWO-BRANCH magnitude rule
+    * (|w| div (max|w| div 10⁶) once max ≥ 10⁶) because |w'|·10⁶
+    * would overflow HUGEINT at sf0.1 — a defined metric, identical
+    * text in both engines; max|v| lands in {10⁶, 10⁶+1}. Start vector
+    * alternates ±10⁶ (generically independent of PC1). Same exact
+    * integer eigenvalue read as PC1. */
+  def pca2Power(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (smat, nVec, d) = scatterModel(spark, sfDir)
+    // PC1's final iterate, unoriented — exactly pcaPower's loop
+    var v1 = Array.fill(d)(BigInt(1000000L))
+    for (_ <- 1 to PcaRounds) {
+      val w = Array.tabulate(d) { i =>
+        (0 until d).map(j => smat(i)(j) * v1(j)).sum
+      }
+      val mx = w.map(_.abs).max
+      if (mx > 0)
+        v1 = w.map(x => (x.abs * 1000000L / mx) * BigInt(x.signum))
+    }
+    val d1 = v1.map(x => x * x).sum
+    var u = Array.tabulate(d)(i =>
+      BigInt(if (i % 2 == 0) 1000000L else -1000000L))
+    for (_ <- 1 to PcaRounds) {
+      val w = Array.tabulate(d) { i =>
+        (0 until d).map(j => smat(i)(j) * u(j)).sum
+      }
+      val proj = (0 until d).map(i => v1(i) * w(i)).sum
+      val wp = Array.tabulate(d)(i => w(i) * d1 - v1(i) * proj)
+      val mx = wp.map(_.abs).max
+      if (mx > 0) {
+        val divisor = mx / 1000000L
+        u = wp.map { x =>
+          val m = if (mx >= 1000000L) x.abs / divisor
+                  else x.abs * 1000000L / mx
+          m * BigInt(x.signum)
+        }
+      }
+    }
+    val firstNz = u.find(_ != 0)
+    if (firstNz.exists(_ < 0)) u = u.map(-_)
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield u(i) * smat(i)(j) * u(j)).sum
+    val den = u.map(x => x * x).sum
+    val lamQ = if (den > 0) (num / (den * nVec)).toLong else 0L
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    (0 until d).map { i =>
+      val vq = u(i).toLong
+      (i + 1L, vq, r4(vq.toDouble / 1000000.0), lamQ)
+    }.toDF("i", "v_q", "loading", "lam_q").orderBy("i")
+  }
+
+  /** Exact scatter model shared by [[pcaPower]] and [[pca2Power]]:
+    * one d²-grain DECIMAL(38,0) aggregate → the collected d×d BigInt
+    * matrix S = N·G − ssᵀ. */
+  private def scatterModel(spark: SparkSession, sfDir: String)
+      : (Array[Array[BigInt]], BigInt, Int) = {
     val flat = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
       .select(col("vec_id"), (col("p") + lit(1)).cast("long").as("i"),
@@ -1005,31 +1092,12 @@ object VectorOps {
       smat(i.toInt - 1)(j.toInt - 1) =
         nVec * g - sArr(i.toInt - 1) * sArr(j.toInt - 1)
     }
-    var v = Array.fill(d)(BigInt(1000000L))
-    for (_ <- 1 to PcaRounds) {
-      val w = Array.tabulate(d) { i =>
-        (0 until d).map(j => smat(i)(j) * v(j)).sum
-      }
-      val mx = w.map(_.abs).max
-      if (mx > 0)
-        v = w.map(x => (x.abs * 1000000L / mx) * BigInt(x.signum))
-    }
-    val firstNz = v.find(_ != 0)
-    if (firstNz.exists(_ < 0)) v = v.map(-_)
-    val num = (for (i <- 0 until d; j <- 0 until d)
-      yield v(i) * smat(i)(j) * v(j)).sum
-    val den = v.map(x => x * x).sum
-    val lamQ = if (den > 0) (num / (den * nVec)).toLong else 0L
-    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
-    val rows = (0 until d).map { i =>
-      val vq = v(i).toLong
-      (i + 1L, vq, r4(vq.toDouble / 1000000.0), lamQ)
-    }
-    rows.toDF("i", "v_q", "loading", "lam_q").orderBy("i")
+    (smat, nVec, d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pca_power" -> pcaPower _,
+    "q_llm_pca2_power" -> pca2Power _,
     "q_llm_semdedup" -> semDedup _,
     "q_llm_embed_drift" -> embedDrift _,
     "q_llm_mrl_tradeoff" -> mrlTradeoff _,
@@ -1158,6 +1226,96 @@ object VectorOps {
       |ORDER BY i NULLS FIRST""".stripMargin
   }
 
+  /** q_llm_pca2_power oracle: the [[pcaOracleSql]] prelude + PC1
+    * rounds (unoriented v8), then 8 PROJECTED rounds with the
+    * two-branch magnitude normalizer — every CTE MATERIALIZED. */
+  private def pca2OracleSql: String = {
+    val pc1Rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (
+        |  SELECT s.i, sum(s.s * v.v) AS w
+        |  FROM smat s JOIN $prev v ON s.j = v.i GROUP BY 1),
+        |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+        |v$k AS MATERIALIZED (
+        |  SELECT w$k.i,
+        |         CASE WHEN m$k.m = 0 THEN $prev.v
+        |              ELSE ((abs(w$k.w) * 1000000) // m$k.m) *
+        |                   (CASE WHEN w$k.w < 0 THEN -1 ELSE 1 END)
+        |         END AS v
+        |  FROM w$k CROSS JOIN m$k JOIN $prev ON $prev.i = w$k.i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val pc2Rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "u0" else s"u${k - 1}"
+      s"""wu$k AS MATERIALIZED (
+        |  SELECT s.i, sum(s.s * u.v) AS w
+        |  FROM smat s JOIN $prev u ON s.j = u.i GROUP BY 1),
+        |pj$k AS MATERIALIZED (
+        |  SELECT sum(v$PcaRounds.v * w.w) AS p
+        |  FROM v$PcaRounds JOIN wu$k w ON w.i = v$PcaRounds.i),
+        |wp$k AS MATERIALIZED (
+        |  SELECT w.i,
+        |         w.w * (SELECT d1 FROM dd) -
+        |           v$PcaRounds.v * (SELECT p FROM pj$k) AS w
+        |  FROM wu$k w JOIN v$PcaRounds ON v$PcaRounds.i = w.i),
+        |mu$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM wp$k),
+        |u$k AS MATERIALIZED (
+        |  SELECT wp.i,
+        |         CASE WHEN mu$k.m = 0 THEN $prev.v
+        |              WHEN mu$k.m >= 1000000 THEN
+        |                (abs(wp.w) // (mu$k.m // 1000000)) *
+        |                (CASE WHEN wp.w < 0 THEN -1 ELSE 1 END)
+        |              ELSE ((abs(wp.w) * 1000000) // mu$k.m) *
+        |                (CASE WHEN wp.w < 0 THEN -1 ELSE 1 END)
+        |         END AS v
+        |  FROM wp$k wp CROSS JOIN mu$k
+        |  JOIN $prev ON $prev.i = wp.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH flat AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+      |           AS BIGINT) AS q
+      |  FROM embeddings),
+      |gram AS MATERIALIZED (
+      |  SELECT a.i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS g
+      |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |ssum AS MATERIALIZED (
+      |  SELECT i, CAST(sum(q) AS HUGEINT) AS s,
+      |         CAST(count(*) AS HUGEINT) AS n
+      |  FROM flat GROUP BY 1),
+      |nn AS (SELECT max(n) AS n FROM ssum),
+      |smat AS MATERIALIZED (
+      |  SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS s
+      |  FROM gram g CROSS JOIN nn
+      |  JOIN ssum sa ON sa.i = g.i JOIN ssum sb ON sb.i = g.j),
+      |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ssum),
+      |$pc1Rounds,
+      |dd AS MATERIALIZED (SELECT sum(v * v) AS d1 FROM v$PcaRounds),
+      |u0 AS (SELECT i, CAST(CASE WHEN i % 2 = 1 THEN 1000000
+      |         ELSE -1000000 END AS HUGEINT) AS v FROM ssum),
+      |$pc2Rounds,
+      |sgn AS (SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+      |        FROM u$PcaRounds WHERE v <> 0 ORDER BY i LIMIT 1), 1)
+      |        AS sg),
+      |uf AS MATERIALIZED (
+      |  SELECT i, v * (SELECT sg FROM sgn) AS v FROM u$PcaRounds),
+      |ray AS (
+      |  SELECT sum(va.v * s.s * vb.v) AS num
+      |  FROM smat s JOIN uf va ON va.i = s.i JOIN uf vb ON vb.i = s.j),
+      |dn AS (SELECT sum(v * v) AS den FROM uf),
+      |lam AS (
+      |  SELECT CASE WHEN dn.den > 0 THEN
+      |           CAST(ray.num // (dn.den * (SELECT n FROM nn)) AS BIGINT)
+      |         ELSE 0 END AS lam_q
+      |  FROM ray CROSS JOIN dn)
+      |SELECT uf.i, CAST(uf.v AS BIGINT) AS v_q,
+      |       ${r4Sql("CAST(uf.v AS DOUBLE) / 1000000.0")} AS loading,
+      |       lam.lam_q
+      |FROM uf CROSS JOIN lam
+      |ORDER BY i NULLS FIRST""".stripMargin
+  }
+
   /** Shared by q_llm_cosine_topk and its SQL-surface twin
     * q_sql_cosine_topk (same result contract through both entries). */
   private val cosineTopkOracle: String =
@@ -1175,6 +1333,7 @@ object VectorOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_llm_pca_power" -> pcaOracleSql,
+    "q_llm_pca2_power" -> pca2OracleSql,
     "q_llm_semdedup" ->
       s"""WITH flat AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,

@@ -1733,6 +1733,30 @@ class LlmSpec extends AnyFunSuite {
       s"PC1 variance $rayPc1 below best axis $bestAxis")
   }
 
+  test("pca2: near-orthogonal to PC1, eigenvalue below PC1's, PSD") {
+    val pc1 = graft.llm.VectorOps.pcaPower(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val pc2 = graft.llm.VectorOps.pca2Power(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(pc2.length == 64)
+    val v1 = pc1.map(r => BigInt(r.getLong(1)))
+    val v2 = pc2.map(r => BigInt(r.getLong(1)))
+    // two-branch normalizer bound: max|v| in {1e6, 1e6+1}
+    val mx = v2.map(_.abs).max
+    assert(mx >= BigInt(1000000L) && mx <= BigInt(1000001L),
+      s"pc2 normalizer bound violated: $mx")
+    // near-orthogonality: |cos(v1, v2)| small (quantization-limited)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum.abs
+    val n1 = math.sqrt(v1.map(x => x * x).sum.toDouble)
+    val n2 = math.sqrt(v2.map(x => x * x).sum.toDouble)
+    val cos = dot.toDouble / (n1 * n2)
+    assert(cos < 0.02, s"PC2 not orthogonal to PC1: |cos| = $cos")
+    // spectral ordering: lam2 <= lam1, both PSD-nonnegative
+    val (l1, l2) = (pc1.head.getLong(3), pc2.head.getLong(3))
+    assert(l2 >= 0L && l1 >= l2,
+      s"eigenvalue order violated: lam1=$l1 lam2=$l2")
+  }
+
   test("filter kappa: cells partition the corpus; kappa <= po; " +
       "correlated raters agree above chance") {
     val r = graft.llm.TextOps.filterKappa(spark, sf).collect().head
