@@ -1678,6 +1678,50 @@ object TimeSeriesOps {
         .otherwise(lit(null)).as("r_xy_z"))
   }
 
+  /** NEWEY–WEST LONG-RUN VARIANCE RATIO per series — the
+    * HAC-correction read beside [[tsDurbinWatson]] (DW detects lag-1
+    * autocorrelation; this quantifies how much it INFLATES the naive
+    * variance of the mean): Bartlett weights at lags 1–3, every
+    * autocovariance Σ EₜEₜ₋ₗ over the exact n-scaled residuals
+    * Eₜ = n·qₜ − S (the DW discipline — the mean never becomes a
+    * float), weights 3/4, 1/2, 1/4 exact in binary, so var₀ and the
+    * ratio LRV/γ₀ are fixed IEEE expressions over exact
+    * DECIMAL(38,0)s. ratio > 1 ⇒ positive serial correlation ⇒ naive
+    * CIs too tight. NULL on γ₀ = 0. */
+  def tsNeweyWest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val wN = Window.partitionBy(col("event_type"))
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val q = dailySeries(spark, sfDir)
+      .select(col("event_type"), col("t"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("q"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("s", sum(col("q")).over(wN))
+      .withColumn("e", col("n") * col("q") - col("s"))
+      .withColumn("e1", lag(col("e"), 1).over(wT))
+      .withColumn("e2", lag(col("e"), 2).over(wT))
+      .withColumn("e3", lag(col("e"), 3).over(wT))
+    def gl(c: org.apache.spark.sql.Column) =
+      sum(when(c.isNotNull, dc(col("e")) * c)
+        .otherwise(lit(0L).cast("decimal(38,0)")))
+    val g = q.groupBy(col("event_type"), col("n"))
+      .agg(sum(dc(col("e")) * col("e")).as("g0"),
+        gl(col("e1")).as("g1"), gl(col("e2")).as("g2"),
+        gl(col("e3")).as("g3"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val lrv = d(col("g0")) + lit(2.0) * (lit(0.75) * d(col("g1")) +
+      lit(0.5) * d(col("g2")) + lit(0.25) * d(col("g3")))
+    g.select(col("event_type"), col("n").as("n_days"),
+        Det.r4(d(col("g0")) /
+          (d(col("n")) * d(col("n")) * d(col("n")) * lit(1.0e8)))
+          .as("var0"),
+        when(col("g0") > lit(0L), Det.r4(lrv / d(col("g0"))))
+          .otherwise(lit(null)).as("lrv_ratio"))
+      .orderBy("event_type")
+  }
+
   /** DURBIN–WATSON STATISTIC per series — the lag-1 residual
     * autocorrelation diagnostic in its classical ratio form
     * (DW ≈ 2(1−ρ̂₁); [[tsLjungBox]] is the k-lag portmanteau, DW the
@@ -3904,6 +3948,7 @@ object TimeSeriesOps {
     "q_ts_mann_kendall" -> tsMannKendall _,
     "q_ts_durbin_watson" -> tsDurbinWatson _,
     "q_ts_partial_corr" -> tsPartialCorr _,
+    "q_ts_newey_west" -> tsNeweyWest _,
     "q_ts_pacf" -> pacf _,
     "q_ts_trimmed_mean" -> trimmedMean _,
     "q_ts_holt_damped" -> holtDamped _,
@@ -4590,6 +4635,47 @@ object TimeSeriesOps {
         |         ${Det.r4Sql(s"($rxy - $rxz * $ryz) / sqrt($den)")}
         |       END AS r_xy_z
         |FROM mm""".stripMargin
+    },
+    "q_ts_newey_west" -> {
+      val lrv = "CAST(g0 AS DOUBLE) + 2.0 * (0.75 * CAST(g1 AS DOUBLE)" +
+        " + 0.5 * CAST(g2 AS DOUBLE) + 0.25 * CAST(g3 AS DOUBLE))"
+      val v0 = "CAST(g0 AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100000000.0)"
+      s"""WITH m AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+        |           AS t,
+        |         CAST(CAST(${Det.avg4Sql("value")} AS DECIMAL(18,4))
+        |           * 10000 AS BIGINT) AS q
+        |  FROM events GROUP BY 1, 2),
+        |e AS (
+        |  SELECT g, t,
+        |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) * q -
+        |           CAST(sum(q) OVER (PARTITION BY g) AS BIGINT) AS e,
+        |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM m),
+        |l AS (
+        |  SELECT g, n, e,
+        |         lag(e, 1) OVER w AS e1,
+        |         lag(e, 2) OVER w AS e2,
+        |         lag(e, 3) OVER w AS e3
+        |  FROM e WINDOW w AS (PARTITION BY g ORDER BY t NULLS FIRST)),
+        |a AS (
+        |  SELECT g, n,
+        |         sum(CAST(e AS HUGEINT) * e) AS g0,
+        |         sum(CASE WHEN e1 IS NOT NULL THEN
+        |           CAST(e AS HUGEINT) * e1 ELSE 0 END) AS g1,
+        |         sum(CASE WHEN e2 IS NOT NULL THEN
+        |           CAST(e AS HUGEINT) * e2 ELSE 0 END) AS g2,
+        |         sum(CASE WHEN e3 IS NOT NULL THEN
+        |           CAST(e AS HUGEINT) * e3 ELSE 0 END) AS g3
+        |  FROM l GROUP BY 1, 2)
+        |SELECT g AS event_type, n AS n_days,
+        |       ${Det.r4Sql(v0)} AS var0,
+        |       CASE WHEN g0 > 0 THEN ${Det.r4Sql(s"($lrv) / CAST(g0 AS DOUBLE)")} END
+        |         AS lrv_ratio
+        |FROM a
+        |ORDER BY event_type NULLS FIRST""".stripMargin
     },
     "q_ts_durbin_watson" -> {
       val dw = "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +

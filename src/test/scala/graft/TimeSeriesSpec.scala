@@ -713,6 +713,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(gotDw == wantDw, s"durbin-watson diverged: $gotDw vs $wantDw")
   }
 
+  test("newey-west == driver fold; Bartlett LRV nonnegative") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('DAY', ts)) div 86400")
+          .cast("long").as("t"))
+      .agg(graft.util.Det.avg4(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val want = daily.toSeq.sortBy(_._1).map { case (g, rows) =>
+      val q = rows.sortBy(_._2).map(r =>
+        BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(10000)).toLongExact).toArray
+      val n = q.length.toLong
+      val s = q.sum
+      val e = q.map(x => n * x - s)
+      def gl(l: Int): BigInt =
+        (l until e.length).map(t => BigInt(e(t)) * BigInt(e(t - l)))
+          .foldLeft(BigInt(0))(_ + _)
+      val g0 = gl(0)
+      val lrv = g0.toDouble + 2.0 * (0.75 * gl(1).toDouble +
+        0.5 * gl(2).toDouble + 0.25 * gl(3).toDouble)
+      val var0 = r4(g0.toDouble /
+        (n.toDouble * n.toDouble * n.toDouble * 1.0e8))
+      val ratio = if (g0 > 0) Some(r4(lrv / g0.toDouble)) else None
+      (g, n, var0, ratio)
+    }
+    val got = TimeSeriesOps.tsNeweyWest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == want, s"newey-west diverged: $got vs $want")
+    // Bartlett kernel guarantees a nonnegative long-run variance
+    got.foreach { case (g, _, _, ratio) =>
+      ratio.foreach(x => assert(x >= 0.0, s"$g: negative LRV ratio $x"))
+    }
+  }
+
   test("isotonic: == driver PAV, monotone fit, block means preserved") {
     import org.apache.spark.sql.functions._
     // driver reference over the same exact (type, hour, w, s) grain
