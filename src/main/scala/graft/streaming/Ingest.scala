@@ -784,6 +784,72 @@ object Ingest {
       }
   }
 
+  /** LIVE CRAMÉR–VON MISES DRIFT MONITOR — q_agg_cvm_drift gone
+    * online: the SAME two-histogram state as [[ksMonitor]] (same
+    * routing, same calibrated-alphabet bound) scored with the
+    * integral-squared kernel — u = Σₖ tₖ·(i·m − j·n)² over the merged
+    * sorted buckets in exact BigInt, ω²·1000 = 1000·u/(n²m²(n+m)).
+    * KS sees one worst gap, TV the total mass moved; CvM weights
+    * every gap by occupancy — spread-out drift none of a sup or an L1
+    * sees as sharply. Histogram adds commute (order/batching never
+    * matter); calibrated at value grain the final scores equal the
+    * batch query's u exactly (spec'd under two batchings). The u
+    * witness reports scaled DOWN by 10⁶ (u grows ∝ n³m²-ish; the
+    * require guards the Long window like the ks/tv monitors). */
+  def cvmMonitor(evs: Dataset[AttribEvent], edges: Array[Double],
+      channels: Seq[String] = Seq("click", "error", "purchase", "signup"))
+      : Dataset[KsScore] = {
+    import evs.sparkSession.implicits._
+    val chan = channels.toArray
+    val sortedEdges = edges.sorted
+    val routed = evs.flatMap { e =>
+      val i = java.util.Arrays.binarySearch(sortedEdges, e.value)
+      val b = (if (i >= 0) i + 1 else -i - 1).toLong
+      if (e.event_type == "view") chan.toSeq.map(c => KsEvent(c, true, b))
+      else if (chan.contains(e.event_type))
+        Seq(KsEvent(e.event_type, false, b))
+      else Nil
+    }
+    routed.groupByKey(_.t)
+      .flatMapGroupsWithState[KsState, KsScore](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (t: String, rows: Iterator[KsEvent], state: GroupState[KsState]) =>
+          var st = state.getOption.getOrElse(
+            KsState(Map.empty[Long, Long], Map.empty[Long, Long]))
+          rows.foreach { e =>
+            st =
+              if (e.isRef) st.copy(ref = st.ref +
+                (e.bucket -> (st.ref.getOrElse(e.bucket, 0L) + 1L)))
+              else st.copy(test = st.test +
+                (e.bucket -> (st.test.getOrElse(e.bucket, 0L) + 1L)))
+          }
+          state.update(st)
+          val n = st.test.values.sum
+          val m = st.ref.values.sum
+          if (n == 0L || m == 0L) Iterator.empty
+          else {
+            val keys = (st.test.keySet ++ st.ref.keySet).toSeq.sorted
+            var i = 0L; var j = 0L; var u = BigInt(0)
+            keys.foreach { k =>
+              val c1 = st.test.getOrElse(k, 0L)
+              val c2 = st.ref.getOrElse(k, 0L)
+              i += c1; j += c2
+              val gap = BigInt(i) * m - BigInt(j) * n
+              u += gap * gap * (c1 + c2)
+            }
+            val uScaled = u / 1000000L
+            require(uScaled.isValidLong,
+              s"cvmMonitor u overflow for type $t: $u (n=$n m=$m)")
+            val omega = 1000.0 * u.toDouble /
+              (n.toDouble * n.toDouble * m.toDouble * m.toDouble *
+                (n.toDouble + m.toDouble))
+            Iterator.single(KsScore(t, n, m, uScaled.toLong, omega,
+              keys.size.toLong))
+          }
+      }
+  }
+
   /** LIVE PER-SOURCE KS MONITOR — q_agg_ks_by_source gone online: each
     * source's document-length distribution scored LEAVE-ONE-OUT
     * against all other sources after every micro-batch. A doc from

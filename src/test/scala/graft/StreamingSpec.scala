@@ -594,6 +594,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2 == got, s"batching changed the final scores")
   }
 
+  test("s_cvm_monitor: final live scores equal a driver CvM; " +
+      "order-free") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val evs = graft.io.Tables.events(sp, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[AttribEvent].collect().toSeq
+    val edges = Ingest.ksReferenceEdges(sp, TestSpark.sf).sorted
+    def bucket(v: Double) = {
+      val i = java.util.Arrays.binarySearch(edges, v)
+      (if (i >= 0) i + 1 else -i - 1).toLong
+    }
+    val ref = evs.filter(_.event_type == "view").map(e => bucket(e.value))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    def truth(c: String): (Long, Long, Long) = {
+      val test = evs.filter(_.event_type == c).map(e => bucket(e.value))
+        .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val n = test.values.sum; val m = ref.values.sum
+      var i = 0L; var j = 0L; var u = BigInt(0)
+      (test.keySet ++ ref.keySet).toSeq.sorted.foreach { k =>
+        val c1 = test.getOrElse(k, 0L); val c2 = ref.getOrElse(k, 0L)
+        i += c1; j += c2
+        val gap = BigInt(i) * m - BigInt(j) * n
+        u += gap * gap * (c1 + c2)
+      }
+      (n, m, (u / 1000000L).toLong)
+    }
+    def lastScores(feed: Seq[Seq[AttribEvent]], name: String)
+        : Map[String, (Long, Long, Long)] = {
+      val in = MemoryStream[AttribEvent]
+      val q = runToMemory(Ingest.cvmMonitor(in.toDS(), edges).toDF(), name)
+      feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      sp.sql(s"SELECT t, n, m, d_num FROM $name").collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          val r = rows.last
+          t -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+    }
+    val (a, b) = evs.splitAt(evs.length / 3)
+    val got = lastScores(Seq(a, b), "cvm_live")
+    for (c <- Seq("click", "error", "purchase", "signup"))
+      assert(got(c) == truth(c), s"$c: ${got(c)} != ${truth(c)}")
+    val (x, y) = evs.reverse.splitAt(evs.length / 5)
+    val got2 = lastScores(Seq(x, y), "cvm_live2")
+    assert(got2 == got, s"batching changed the final scores")
+  }
+
   test("s_ks_by_source: value-grain live scores equal the batch " +
       "query; order-free") {
     val sp = spark
