@@ -1059,6 +1059,49 @@ object VectorOps {
     }.toDF("i", "v_q", "loading", "lam_q").orderBy("i")
   }
 
+  /** PCA MAP — the 2-d occupancy grid of the corpus projected onto
+    * (PC1, PC2): the "embedding map" read behind every cluster
+    * inspection UI, and the coarse spatial index a 2-d blocking
+    * scheme would bucket by. The projections p = Σ vᵢ·qᵢ are exact
+    * BIGINTs (quantized loadings × quantized coordinates — no float
+    * touches a row), the 8×8 binning is pure integer arithmetic
+    * (bin = ((p − pmin)·8) div (pmax − pmin + 1)), so the whole grid
+    * hash-matches the DuckDB twin. The model (both components) comes
+    * from the driver-side exact iteration; ROWS do the projection in
+    * one broadcast-free map over the exploded relation — the shape
+    * that survives 10⁹ vectors. */
+  def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = pcaPower(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val v2 = pca2Power(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val d = v1.size
+    val loadings = (1 to d).map(i => (i.toLong, v1(i.toLong), v2(i.toLong)))
+      .toDF("i", "w1", "w2")
+    val flat = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
+      .select(col("vec_id"), (col("p") + lit(1)).cast("long").as("i"),
+        floor(col("e").cast("double") * lit(10000.0)).cast("long")
+          .as("q"))
+    val proj = flat.join(broadcast(loadings), "i")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q").cast("decimal(38,0)") * col("w1")).cast("long")
+        .as("p1"),
+        sum(col("q").cast("decimal(38,0)") * col("w2")).cast("long")
+          .as("p2"))
+      .localCheckpoint(eager = false) // range probe + binning pass
+    val rng = proj.agg(min(col("p1")).as("lo1"), max(col("p1")).as("hi1"),
+      min(col("p2")).as("lo2"), max(col("p2")).as("hi2"))
+    proj.crossJoin(broadcast(rng))
+      .select(
+        expr("((p1 - lo1) * 8) div (hi1 - lo1 + 1)").as("b1"),
+        expr("((p2 - lo2) * 8) div (hi2 - lo2 + 1)").as("b2"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("b1", "b2")
+  }
+
   /** Exact scatter model shared by [[pcaPower]] and [[pca2Power]]:
     * one d²-grain DECIMAL(38,0) aggregate → the collected d×d BigInt
     * matrix S = N·G − ssᵀ. */
@@ -1098,6 +1141,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pca_power" -> pcaPower _,
     "q_llm_pca2_power" -> pca2Power _,
+    "q_llm_pca_project" -> pcaProject _,
     "q_llm_semdedup" -> semDedup _,
     "q_llm_embed_drift" -> embedDrift _,
     "q_llm_mrl_tradeoff" -> mrlTradeoff _,
@@ -1316,6 +1360,104 @@ object VectorOps {
       |ORDER BY i NULLS FIRST""".stripMargin
   }
 
+  /** q_llm_pca_project oracle: both component chains (PC1 oriented +
+    * PC2 oriented over the unoriented-PC1 deflation, texts identical
+    * to the pca/pca2 oracles), then exact integer projections and the
+    * 8x8 integer-binned grid. */
+  private def pcaProjectOracleSql: String = {
+    val pc1Rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (
+        |  SELECT s.i, sum(s.s * v.v) AS w
+        |  FROM smat s JOIN $prev v ON s.j = v.i GROUP BY 1),
+        |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+        |v$k AS MATERIALIZED (
+        |  SELECT w$k.i,
+        |         CASE WHEN m$k.m = 0 THEN $prev.v
+        |              ELSE ((abs(w$k.w) * 1000000) // m$k.m) *
+        |                   (CASE WHEN w$k.w < 0 THEN -1 ELSE 1 END)
+        |         END AS v
+        |  FROM w$k CROSS JOIN m$k JOIN $prev ON $prev.i = w$k.i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val pc2Rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "u0" else s"u${k - 1}"
+      s"""wu$k AS MATERIALIZED (
+        |  SELECT s.i, sum(s.s * u.v) AS w
+        |  FROM smat s JOIN $prev u ON s.j = u.i GROUP BY 1),
+        |pj$k AS MATERIALIZED (
+        |  SELECT sum(v$PcaRounds.v * w.w) AS p
+        |  FROM v$PcaRounds JOIN wu$k w ON w.i = v$PcaRounds.i),
+        |wp$k AS MATERIALIZED (
+        |  SELECT w.i,
+        |         w.w * (SELECT d1 FROM dd) -
+        |           v$PcaRounds.v * (SELECT p FROM pj$k) AS w
+        |  FROM wu$k w JOIN v$PcaRounds ON v$PcaRounds.i = w.i),
+        |mu$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM wp$k),
+        |u$k AS MATERIALIZED (
+        |  SELECT wp.i,
+        |         CASE WHEN mu$k.m = 0 THEN $prev.v
+        |              WHEN mu$k.m >= 1000000 THEN
+        |                (abs(wp.w) // (mu$k.m // 1000000)) *
+        |                (CASE WHEN wp.w < 0 THEN -1 ELSE 1 END)
+        |              ELSE ((abs(wp.w) * 1000000) // mu$k.m) *
+        |                (CASE WHEN wp.w < 0 THEN -1 ELSE 1 END)
+        |         END AS v
+        |  FROM wp$k wp CROSS JOIN mu$k
+        |  JOIN $prev ON $prev.i = wp.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH flat AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+      |           AS BIGINT) AS q
+      |  FROM embeddings),
+      |gram AS MATERIALIZED (
+      |  SELECT a.i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS g
+      |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |ssum AS MATERIALIZED (
+      |  SELECT i, CAST(sum(q) AS HUGEINT) AS s,
+      |         CAST(count(*) AS HUGEINT) AS n
+      |  FROM flat GROUP BY 1),
+      |nn AS (SELECT max(n) AS n FROM ssum),
+      |smat AS MATERIALIZED (
+      |  SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS s
+      |  FROM gram g CROSS JOIN nn
+      |  JOIN ssum sa ON sa.i = g.i JOIN ssum sb ON sb.i = g.j),
+      |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ssum),
+      |$pc1Rounds,
+      |sg1 AS (SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+      |        FROM v$PcaRounds WHERE v <> 0 ORDER BY i LIMIT 1), 1)
+      |        AS sg),
+      |vf1 AS MATERIALIZED (
+      |  SELECT i, v * (SELECT sg FROM sg1) AS v FROM v$PcaRounds),
+      |dd AS MATERIALIZED (SELECT sum(v * v) AS d1 FROM v$PcaRounds),
+      |u0 AS (SELECT i, CAST(CASE WHEN i % 2 = 1 THEN 1000000
+      |         ELSE -1000000 END AS HUGEINT) AS v FROM ssum),
+      |$pc2Rounds,
+      |sg2 AS (SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+      |        FROM u$PcaRounds WHERE v <> 0 ORDER BY i LIMIT 1), 1)
+      |        AS sg),
+      |uf AS MATERIALIZED (
+      |  SELECT i, v * (SELECT sg FROM sg2) AS v FROM u$PcaRounds),
+      |proj AS MATERIALIZED (
+      |  SELECT f.vec_id,
+      |         CAST(sum(CAST(f.q AS HUGEINT) * vf1.v) AS BIGINT) AS p1,
+      |         CAST(sum(CAST(f.q AS HUGEINT) * uf.v) AS BIGINT) AS p2
+      |  FROM flat f JOIN vf1 ON vf1.i = f.i JOIN uf ON uf.i = f.i
+      |  GROUP BY 1),
+      |rng AS (
+      |  SELECT min(p1) AS lo1, max(p1) AS hi1,
+      |         min(p2) AS lo2, max(p2) AS hi2
+      |  FROM proj)
+      |SELECT ((p1 - lo1) * 8) // (hi1 - lo1 + 1) AS b1,
+      |       ((p2 - lo2) * 8) // (hi2 - lo2 + 1) AS b2,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM proj CROSS JOIN rng
+      |GROUP BY 1, 2
+      |ORDER BY b1 NULLS FIRST, b2 NULLS FIRST""".stripMargin
+  }
+
   /** Shared by q_llm_cosine_topk and its SQL-surface twin
     * q_sql_cosine_topk (same result contract through both entries). */
   private val cosineTopkOracle: String =
@@ -1334,6 +1476,7 @@ object VectorOps {
   val oracleSql: Map[String, String] = Map(
     "q_llm_pca_power" -> pcaOracleSql,
     "q_llm_pca2_power" -> pca2OracleSql,
+    "q_llm_pca_project" -> pcaProjectOracleSql,
     "q_llm_semdedup" ->
       s"""WITH flat AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,

@@ -1757,6 +1757,20 @@ class LlmSpec extends AnyFunSuite {
       s"eigenvalue order violated: lam1=$l1 lam2=$l2")
   }
 
+  test("pca map: bins in the 8x8 grid, counts conserve the corpus") {
+    val rows = graft.llm.VectorOps.pcaProject(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (b1, b2, _) =>
+      assert(b1 >= 0L && b1 <= 7L && b2 >= 0L && b2 <= 7L,
+        s"bin out of grid: ($b1, $b2)")
+    }
+    val n = graft.io.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._3).sum == n,
+      s"grid must conserve the corpus: ${rows.map(_._3).sum} vs $n")
+    // a PCA-aligned grid should spread the corpus across several cells
+    assert(rows.length >= 4, s"degenerate map: ${rows.length} cells")
+  }
+
   test("filter kappa: cells partition the corpus; kappa <= po; " +
       "correlated raters agree above chance") {
     val r = graft.llm.TextOps.filterKappa(spark, sf).collect().head
