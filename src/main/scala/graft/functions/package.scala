@@ -62,6 +62,15 @@ package object functions {
       org.apache.spark.sql.graft.HeavyHittersAggExpr(c, capacity, k)
   }
 
+  /** Native quantized gram/moment aggregate for the PCA family:
+    * ARRAY<FLOAT> column → [gram(d²) | per-dim sums(d) | count] as
+    * ARRAY<LONG>, one pass, map-side combined — the scatter-matrix
+    * feed without the N·d² self-join. */
+  object GramSums {
+    def apply(c: Column, d: Int): Column =
+      org.apache.spark.sql.graft.GramAggExpr(c, d)
+  }
+
   /** Native count–min sketch aggregate: STRING column → serialized
     * depth×width sketch (BINARY); never undercounts, exact pointwise
     * merge. Probe with [[CmQuery]] / SQL `cm_query`. */

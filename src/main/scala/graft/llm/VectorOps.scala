@@ -976,29 +976,19 @@ object VectorOps {
     * HUGEINT→DOUBLE cast anywhere near the hash. The DuckDB twin
     * unrolls the same 8 rounds as MATERIALIZED CTEs. */
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val (v1, lam1, _, _, d) = pcaModel(spark, sfDir)
+    loadingsDF(spark, v1, lam1, d)
+  }
+
+  /** Emit a component as the (i, v_q, loading, lam_q) contract rows. */
+  private def loadingsDF(spark: SparkSession, v: Array[BigInt],
+      lamQ: Long, d: Int): DataFrame = {
     import spark.implicits._
-    val (smat, nVec, d) = scatterModel(spark, sfDir)
-    var v = Array.fill(d)(BigInt(1000000L))
-    for (_ <- 1 to PcaRounds) {
-      val w = Array.tabulate(d) { i =>
-        (0 until d).map(j => smat(i)(j) * v(j)).sum
-      }
-      val mx = w.map(_.abs).max
-      if (mx > 0)
-        v = w.map(x => (x.abs * 1000000L / mx) * BigInt(x.signum))
-    }
-    val firstNz = v.find(_ != 0)
-    if (firstNz.exists(_ < 0)) v = v.map(-_)
-    val num = (for (i <- 0 until d; j <- 0 until d)
-      yield v(i) * smat(i)(j) * v(j)).sum
-    val den = v.map(x => x * x).sum
-    val lamQ = if (den > 0) (num / (den * nVec)).toLong else 0L
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
-    val rows = (0 until d).map { i =>
+    (0 until d).map { i =>
       val vq = v(i).toLong
       (i + 1L, vq, r4(vq.toDouble / 1000000.0), lamQ)
-    }
-    rows.toDF("i", "v_q", "loading", "lam_q").orderBy("i")
+    }.toDF("i", "v_q", "loading", "lam_q").orderBy("i")
   }
 
   /** SECOND PRINCIPAL COMPONENT via PROJECTED power iteration — the
@@ -1015,48 +1005,8 @@ object VectorOps {
     * alternates ±10⁶ (generically independent of PC1). Same exact
     * integer eigenvalue read as PC1. */
   def pca2Power(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (smat, nVec, d) = scatterModel(spark, sfDir)
-    // PC1's final iterate, unoriented — exactly pcaPower's loop
-    var v1 = Array.fill(d)(BigInt(1000000L))
-    for (_ <- 1 to PcaRounds) {
-      val w = Array.tabulate(d) { i =>
-        (0 until d).map(j => smat(i)(j) * v1(j)).sum
-      }
-      val mx = w.map(_.abs).max
-      if (mx > 0)
-        v1 = w.map(x => (x.abs * 1000000L / mx) * BigInt(x.signum))
-    }
-    val d1 = v1.map(x => x * x).sum
-    var u = Array.tabulate(d)(i =>
-      BigInt(if (i % 2 == 0) 1000000L else -1000000L))
-    for (_ <- 1 to PcaRounds) {
-      val w = Array.tabulate(d) { i =>
-        (0 until d).map(j => smat(i)(j) * u(j)).sum
-      }
-      val proj = (0 until d).map(i => v1(i) * w(i)).sum
-      val wp = Array.tabulate(d)(i => w(i) * d1 - v1(i) * proj)
-      val mx = wp.map(_.abs).max
-      if (mx > 0) {
-        val divisor = mx / 1000000L
-        u = wp.map { x =>
-          val m = if (mx >= 1000000L) x.abs / divisor
-                  else x.abs * 1000000L / mx
-          m * BigInt(x.signum)
-        }
-      }
-    }
-    val firstNz = u.find(_ != 0)
-    if (firstNz.exists(_ < 0)) u = u.map(-_)
-    val num = (for (i <- 0 until d; j <- 0 until d)
-      yield u(i) * smat(i)(j) * u(j)).sum
-    val den = u.map(x => x * x).sum
-    val lamQ = if (den > 0) (num / (den * nVec)).toLong else 0L
-    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
-    (0 until d).map { i =>
-      val vq = u(i).toLong
-      (i + 1L, vq, r4(vq.toDouble / 1000000.0), lamQ)
-    }.toDF("i", "v_q", "loading", "lam_q").orderBy("i")
+    val (_, _, v2, lam2, d) = pcaModel(spark, sfDir)
+    loadingsDF(spark, v2, lam2, d)
   }
 
   /** PCA MAP — the 2-d occupancy grid of the corpus projected onto
@@ -1072,12 +1022,9 @@ object VectorOps {
     * that survives 10⁹ vectors. */
   def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val v1 = pcaPower(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val v2 = pca2Power(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val d = v1.size
-    val loadings = (1 to d).map(i => (i.toLong, v1(i.toLong), v2(i.toLong)))
+    val (v1, _, v2, _, d) = pcaModel(spark, sfDir)
+    val loadings = (1 to d).map(i =>
+      (i.toLong, v1(i - 1).toLong, v2(i - 1).toLong))
       .toDF("i", "w1", "w2")
     val flat = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
@@ -1102,40 +1049,68 @@ object VectorOps {
       .orderBy("b1", "b2")
   }
 
-  /** Exact scatter model shared by [[pcaPower]] and [[pca2Power]]:
-    * one d²-grain DECIMAL(38,0) aggregate → the collected d×d BigInt
-    * matrix S = N·G − ssᵀ. */
+  /** Exact scatter model shared by the PCA family: ONE pass of the
+    * native [[graft.functions.GramSums]] kernel (map-side combined —
+    * the shuffle carries one (d²+d+1)-long buffer per partition, the
+    * r14 sf1-soak fix for the N·d² self-join) → the collected d×d
+    * BigInt matrix S = N·G − ssᵀ. Identical integers to the join
+    * form, so the PCA oracles are untouched (re-proven at 3 SFs). */
   private def scatterModel(spark: SparkSession, sfDir: String)
       : (Array[Array[BigInt]], BigInt, Int) = {
-    val flat = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
-      .select(col("vec_id"), (col("p") + lit(1)).cast("long").as("i"),
-        floor(col("e").cast("double") * lit(10000.0)).cast("long")
-          .as("q"))
-      .localCheckpoint(eager = false) // gram join reads it twice
-    val b = flat.select(col("vec_id"), col("i").as("j"), col("q").as("qj"))
-    val gram = flat.join(b, "vec_id")
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("q").cast("decimal(38,0)") * col("qj")).as("g"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        BigInt(r.getDecimal(2).toBigInteger)))
-    val sums = flat.groupBy(col("i"))
-      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val d = sums.length
-    val nVec = BigInt(sums.head._3)
-    val sArr = {
-      val m = sums.map(t => t._1 -> BigInt(t._2)).toMap
-      Array.tabulate(d)(i => m(i + 1L))
-    }
-    val smat = Array.ofDim[BigInt](d, d)
-    for (i <- 0 until d; j <- 0 until d) smat(i)(j) = BigInt(0)
-    gram.foreach { case (i, j, g) =>
-      smat(i.toInt - 1)(j.toInt - 1) =
-        nVec * g - sArr(i.toInt - 1) * sArr(j.toInt - 1)
-    }
+    val e = Tables.embeddings(spark, sfDir)
+    val d = e.select(size(col("embedding"))).head.getInt(0)
+    val buf = e.agg(graft.functions.GramSums(col("embedding"), d).as("g"))
+      .head.getSeq[Long](0).toArray
+    val nVec = BigInt(buf(d * d + d))
+    val sArr = Array.tabulate(d)(i => BigInt(buf(d * d + i)))
+    val smat = Array.tabulate(d, d)((i, j) =>
+      nVec * BigInt(buf(i * d + j)) - sArr(i) * sArr(j))
     (smat, nVec, d)
+  }
+
+  /** The full driver-side PCA model shared by [[pcaPower]],
+    * [[pca2Power]] and [[pcaProject]] — one scatter pass, both power
+    * loops: (v1 oriented, lam1, v2 oriented, lam2, d). */
+  private def pcaModel(spark: SparkSession, sfDir: String)
+      : (Array[BigInt], Long, Array[BigInt], Long, Int) = {
+    val (smat, nVec, d) = scatterModel(spark, sfDir)
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(d)(i => (0 until d).map(j => smat(i)(j) * v(j)).sum)
+    def orient(v: Array[BigInt]): Array[BigInt] =
+      if (v.find(_ != 0).exists(_ < 0)) v.map(-_) else v
+    def rayleigh(v: Array[BigInt]): Long = {
+      val num = (for (i <- 0 until d; j <- 0 until d)
+        yield v(i) * smat(i)(j) * v(j)).sum
+      val den = v.map(x => x * x).sum
+      if (den > 0) (num / (den * nVec)).toLong else 0L
+    }
+    var v1 = Array.fill(d)(BigInt(1000000L))
+    for (_ <- 1 to PcaRounds) {
+      val w = matvec(v1)
+      val mx = w.map(_.abs).max
+      if (mx > 0)
+        v1 = w.map(x => (x.abs * 1000000L / mx) * BigInt(x.signum))
+    }
+    val d1 = v1.map(x => x * x).sum
+    var u = Array.tabulate(d)(i =>
+      BigInt(if (i % 2 == 0) 1000000L else -1000000L))
+    for (_ <- 1 to PcaRounds) {
+      val w = matvec(u)
+      val proj = (0 until d).map(i => v1(i) * w(i)).sum
+      val wp = Array.tabulate(d)(i => w(i) * d1 - v1(i) * proj)
+      val mx = wp.map(_.abs).max
+      if (mx > 0) {
+        val divisor = mx / 1000000L
+        u = wp.map { x =>
+          val m = if (mx >= 1000000L) x.abs / divisor
+                  else x.abs * 1000000L / mx
+          m * BigInt(x.signum)
+        }
+      }
+    }
+    val v1o = orient(v1)
+    val v2o = orient(u)
+    (v1o, rayleigh(v1o), v2o, rayleigh(v2o), d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -43,6 +43,17 @@ class PlanSpec extends AnyFunSuite {
       s"simhash signature agg should be partial:\n$p")
   }
 
+  test("gram_sums partial-aggregates: the PCA scatter feed shuffles " +
+      "one fixed buffer per partition, never N*d^2 joined rows") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.io.Tables.embeddings(spark, sf)
+      .agg(graft.functions.GramSums(col("embedding"), 64).as("g"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_gram_sums"),
+      s"gram_sums must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"scatter feed must not join:\n$p")
+  }
+
   test("heavy_hitters partial-aggregates: the shuffle carries summaries") {
     val p = plan("q_llm_heavy_hitters")
     assert(p.contains("partial_heavy_hitters"),
