@@ -1537,8 +1537,8 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
-  /** Shared daily series for the robust-trend pair ([[tsTheilSen]],
-    * [[tsMannKendall]]): exact-rounded daily means keyed by epoch day
+  /** Shared daily series for the day-grain diagnostics ([[tsTheilSen]],
+    * [[tsDurbinWatson]], [[tsNeweyWest]], [[tsPartialCorr]]): exact-rounded daily means keyed by epoch day
     * (integer — the pair join's slope denominator stays exact). */
   private def dailySeries(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -1551,7 +1551,7 @@ object TimeSeriesOps {
     * trend estimator beside [[linearRegression]]'s least squares (up
     * to ~29% contamination moves it not at all — the robust
     * regression read every monitoring stack wants when spikes poison
-    * OLS). Grain discipline: slopes form over the DAY-grain rollup
+    * OLS; [[mannKendall]] is its classical significance companion). Grain discipline: slopes form over the DAY-grain rollup
     * (b(b−1)/2 pairs for b daily buckets — bounded by the calendar,
     * never row grain), each slope ONE IEEE expression over
     * exact-rounded daily means and integer day gaps, and the median
@@ -1577,45 +1577,6 @@ object TimeSeriesOps {
       .where(col("rn") === expr("(n_pairs + 1) div 2"))
       .select(col("event_type"), col("n_pairs"),
         Det.r4(col("slope")).as("slope"))
-      .orderBy("event_type")
-  }
-
-  /** MANN–KENDALL TREND TEST per series — [[tsTheilSen]]'s classical
-    * companion (the estimator says HOW STEEP, this says WHETHER — the
-    * standard pairing in hydrology/monitoring): S = Σ_{i<j}
-    * sgn(vⱼ−vᵢ) over the same day-grain pairs, an exact BIGINT; the
-    * tie-corrected null variance Var(S) = (n(n−1)(2n+5) −
-    * Σt(t−1)(2t+5))/18 needs only exact day and tie-group counts, and
-    * the continuity-corrected z = (S∓1)/√Var is one fixed IEEE text.
-    * NULL z on zero variance (constant series); z = 0 at S = 0 (the
-    * classical convention) in both engines. */
-  def tsMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = dailySeries(spark, sfDir)
-      .localCheckpoint(eager = false) // pair join + day/tie counts
-    val b = daily.select(col("event_type"), col("t").as("t2"),
-      col("v").as("v2"))
-    val s = daily.join(b, Seq("event_type"))
-      .where(col("t2") > col("t"))
-      .groupBy(col("event_type"))
-      .agg(sum(when(col("v2") > col("v"), 1L)
-        .when(col("v2") < col("v"), -1L).otherwise(0L)).as("s"))
-    val n = daily.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_days"))
-    val ties = daily.groupBy(col("event_type"), col("v"))
-      .agg(count(lit(1)).as("tg"))
-      .groupBy(col("event_type"))
-      .agg(sum(col("tg") * (col("tg") - lit(1L)) *
-        (lit(2L) * col("tg") + lit(5L))).as("tsum"))
-    def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    val varNum = d(col("n_days")) * (d(col("n_days")) - lit(1.0)) *
-      (lit(2.0) * d(col("n_days")) + lit(5.0)) - d(col("tsum"))
-    val varS = varNum / lit(18.0)
-    val z = when(col("s") > 0L, (d(col("s")) - lit(1.0)) / sqrt(varS))
-      .when(col("s") < 0L, (d(col("s")) + lit(1.0)) / sqrt(varS))
-      .otherwise(lit(0.0))
-    s.join(n, "event_type").join(ties, "event_type")
-      .select(col("event_type"), col("n_days"), col("s"),
-        when(varS > lit(0.0), Det.r4(z)).otherwise(lit(null)).as("z"))
       .orderBy("event_type")
   }
 
@@ -3945,7 +3906,6 @@ object TimeSeriesOps {
     "q_ts_ljung_box" -> tsLjungBox _,
     "q_ts_granger" -> tsGranger _,
     "q_ts_theil_sen" -> tsTheilSen _,
-    "q_ts_mann_kendall" -> tsMannKendall _,
     "q_ts_durbin_watson" -> tsDurbinWatson _,
     "q_ts_partial_corr" -> tsPartialCorr _,
     "q_ts_newey_west" -> tsNeweyWest _,
@@ -4552,41 +4512,6 @@ object TimeSeriesOps {
         |  FROM p)
         |SELECT g AS event_type, n_pairs, ${Det.r4Sql("slope")} AS slope
         |FROM r WHERE rn = (n_pairs + 1) // 2
-        |ORDER BY event_type NULLS FIRST""".stripMargin
-    },
-    "q_ts_mann_kendall" -> {
-      val varNum = "CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) " +
-        "- 1.0) * (2.0 * CAST(n_days AS DOUBLE) + 5.0) - " +
-        "CAST(tsum AS DOUBLE)"
-      val varS = s"(($varNum) / 18.0)"
-      s"""WITH m AS MATERIALIZED (
-        |  SELECT event_type AS g,
-        |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
-        |           AS t,
-        |         ${Det.avg4Sql("value")} AS v
-        |  FROM events GROUP BY 1, 2),
-        |s AS (
-        |  SELECT a.g, CAST(sum(CASE WHEN b.v > a.v THEN 1
-        |                            WHEN b.v < a.v THEN -1
-        |                            ELSE 0 END) AS BIGINT) AS s
-        |  FROM m a JOIN m b ON a.g = b.g AND b.t > a.t
-        |  GROUP BY 1),
-        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days
-        |      FROM m GROUP BY 1),
-        |tt AS (
-        |  SELECT g, CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
-        |           AS tsum
-        |  FROM (SELECT g, CAST(count(*) AS BIGINT) AS tg
-        |        FROM m GROUP BY g, v) q
-        |  GROUP BY 1)
-        |SELECT s.g AS event_type, n_days, s,
-        |       CASE WHEN $varS > 0.0 THEN
-        |         ${Det.r4Sql(
-               s"CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / " +
-               s"sqrt($varS) WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)" +
-               s" / sqrt($varS) ELSE 0.0 END")}
-        |       END AS z
-        |FROM s JOIN n USING (g) JOIN tt USING (g)
         |ORDER BY event_type NULLS FIRST""".stripMargin
     },
     "q_ts_partial_corr" -> {

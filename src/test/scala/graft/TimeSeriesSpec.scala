@@ -636,7 +636,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.getDouble(5) == lam, s"lambda: $got vs $lam")
   }
 
-  test("theil-sen + mann-kendall == driver pair folds on the daily grain") {
+  test("theil-sen == a driver median-of-pairwise-slopes fold") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     // the same exact-rounded daily means the operators aggregate
@@ -658,29 +658,6 @@ class TimeSeriesSpec extends AnyFunSuite {
     val gotTs = TimeSeriesOps.tsTheilSen(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(gotTs == wantTs, s"theil-sen diverged: $gotTs vs $wantTs")
-    val wantMk = daily.toSeq.sortBy(_._1).map { case (g, rows) =>
-      val pts = rows.sortBy(_._2)
-      var s = 0L
-      for (i <- pts.indices; j <- pts.indices if pts(j)._2 > pts(i)._2) {
-        if (pts(j)._3 > pts(i)._3) s += 1L
-        else if (pts(j)._3 < pts(i)._3) s -= 1L
-      }
-      val n = pts.length.toLong
-      val tsum = pts.groupBy(_._3).values
-        .map(_.size.toLong).map(t => t * (t - 1L) * (2L * t + 5L)).sum
-      val varS = (n.toDouble * (n.toDouble - 1.0) *
-        (2.0 * n.toDouble + 5.0) - tsum.toDouble) / 18.0
-      val z =
-        if (varS <= 0.0) None
-        else if (s > 0L) Some(r4((s.toDouble - 1.0) / math.sqrt(varS)))
-        else if (s < 0L) Some(r4((s.toDouble + 1.0) / math.sqrt(varS)))
-        else Some(0.0)
-      (g, n, s, z)
-    }
-    val gotMk = TimeSeriesOps.tsMannKendall(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
-    assert(gotMk == wantMk, s"mann-kendall diverged: $gotMk vs $wantMk")
   }
 
   test("durbin-watson == driver fold on the daily grain") {
