@@ -392,6 +392,24 @@ class RelationalSpec extends AnyFunSuite {
       s"alpha out of band: $a")
   }
 
+  test("gehan weighted logrank: population conserved, sign agrees " +
+      "with the unweighted test on this fixture") {
+    val g = RelationalOps.survGehan(spark, sf).collect().head
+    val users = graft.io.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(g.getLong(0) + g.getLong(1) == users,
+      s"groups must partition the users: $g vs $users")
+    val lr = RelationalOps.survLogRank(spark, sf).collect().head
+    // same direction of effect as the unweighted log-rank here (both
+    // weightings see the same dominant group on this fixture)
+    if (!g.isNullAt(3) && !lr.isNullAt(4)) {
+      val zg = g.getDouble(3)
+      val o1 = lr.getLong(2).toDouble; val e1 = lr.getDouble(3)
+      assert(zg == 0.0 || (zg > 0) == (o1 - e1 > 0),
+        s"gehan z $zg contradicts logrank direction ${o1 - e1}")
+    }
+  }
+
   test("bh-fdr == driver Kolmogorov + step-up fold; rejects a prefix") {
     val lams = RelationalOps.ksBySource(spark, sf)
       .select(col("source"), col("lam")).collect()
