@@ -433,6 +433,73 @@ object RelationalOps {
           .otherwise(lit(null)).as("z"))
   }
 
+  /** TARONE–WARE WEIGHTED LOG-RANK — the middle point of the
+    * log-rank/Gehan weighting ladder (w_t = √r_t): less early-skewed
+    * than Gehan's w_t = r_t, more early-sensitive than the unweighted
+    * test, the recommended compromise when the hazard-difference
+    * timing is unknown. Same per-time terms and grid machinery as
+    * [[survLogRank]] / [[survGehan]]; determinism: √r_t of an exact
+    * BIGINT is a single correctly-rounded IEEE op, its product with
+    * the exact integer U-term (d1·10⁶ − p1q, representable < 2⁵³) is
+    * one more IEEE op, and ONE floor per time quantizes the weighted
+    * term before the order-free BIGINT Σ. Variance weights are r_t
+    * (exact integers), applied AFTER the 1e6 quantization of v_t with
+    * the same DECIMAL(38,0)/HUGEINT widening as Gehan. NULL z on zero
+    * variance. */
+  def survTaroneWare(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val hor = ev.agg(max(col("ts")).as("end_ts"))
+    val obs = per.crossJoin(broadcast(hor))
+      .select((col("user_id") % 2).as("grp"),
+        expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+          " div 86400000000").as("dur"),
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 7 DAYS"))
+          .as("censored"))
+      .localCheckpoint(eager = false) // durs + the two group counts
+    val durs = obs.groupBy(col("dur"), col("grp"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out + counts
+    val grid = durs.select(col("dur")).distinct()
+      .crossJoin(broadcast(durs.select(col("grp")).distinct()))
+      .join(durs, Seq("dur", "grp"), "left")
+      .na.fill(0L, Seq("d", "c"))
+    val wR = Window.partitionBy(col("grp")).orderBy(col("dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = grid.withColumn("r_g", sum(col("d") + col("c")).over(wR))
+    val byT = risk.groupBy(col("dur"))
+      .agg(sum(col("d")).as("d"), sum(col("r_g")).as("r"),
+        sum(when(col("grp") === 0L, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("grp") === 0L, col("r_g")).otherwise(0L)).as("r1"))
+    def dd(c: Column) = c.cast("double")
+    val p1 = dd(col("d")) * dd(col("r1")) / dd(col("r"))
+    val vt = dd(col("d")) * (dd(col("r1")) / dd(col("r"))) *
+      (lit(1.0) - dd(col("r1")) / dd(col("r"))) *
+      (dd(col("r")) - dd(col("d"))) / (dd(col("r")) - lit(1.0))
+    val uTerm = floor(sqrt(dd(col("r"))) *
+      (col("d1") * lit(1000000L) -
+        floor(p1 * lit(1000000.0)).cast("long")).cast("double"))
+      .cast("long")
+    val s = byT.agg(
+      sum(uTerm).as("uq"),
+      sum(col("r").cast("decimal(38,0)") *
+        when(col("r") > 1L, floor(vt * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L))).as("vq"))
+    val n1 = obs.where(col("grp") === 0L).groupBy()
+      .agg(count(lit(1)).as("n1"))
+    val n2 = obs.where(col("grp") =!= 0L).groupBy()
+      .agg(count(lit(1)).as("n2"))
+    s.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("n1"), col("n2"),
+        Det.r4(dd(col("uq")) / lit(1000000.0)).as("u"),
+        when(col("vq") > lit(0L),
+          Det.r4((dd(col("uq")) / lit(1000000.0)) /
+            sqrt(dd(col("vq")) / lit(1000000.0))))
+          .otherwise(lit(null)).as("z"))
+  }
+
   /** NELSON–AALEN CUMULATIVE HAZARD — the additive twin of
     * [[kaplanMeier]] over the same lifetime/censoring table:
     * H(t) = Σ_{durᵢ ≤ t} dᵢ/rᵢ. A windowed running double-sum is NOT
@@ -5129,6 +5196,7 @@ object RelationalOps {
     "q_surv_na" -> nelsonAalen _,
     "q_surv_logrank" -> survLogRank _,
     "q_surv_gehan" -> survGehan _,
+    "q_surv_tarone_ware" -> survTaroneWare _,
     "q_agg_tv_by_source" -> tvBySource _,
     "q_agg_corr" -> aggCorr _,
     "q_agg_mannwhitney" -> aggMannWhitney _,
@@ -6821,6 +6889,71 @@ object RelationalOps {
         |             CAST(floor(($p1) * 1000000.0) AS BIGINT)))
         |           AS BIGINT) AS uq,
         |         sum(CAST(r AS HUGEINT) * r *
+        |           (CASE WHEN r > 1 THEN
+        |              CAST(floor(($vt) * 1000000.0) AS BIGINT)
+        |            ELSE 0 END)) AS vq
+        |  FROM bt),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM obs
+        |       WHERE grp = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM obs
+        |       WHERE grp <> 0)
+        |SELECT n1, n2,
+        |       ${Det.r4Sql("CAST(uq AS DOUBLE) / 1000000.0")} AS u,
+        |       CASE WHEN vq > 0 THEN $z END AS z
+        |FROM s CROSS JOIN na CROSS JOIN nb""".stripMargin
+    },
+    "q_surv_tarone_ware" -> {
+      val rr = "CAST(r1 AS DOUBLE) / CAST(r AS DOUBLE)"
+      val p1 = s"CAST(d AS DOUBLE) * $rr"
+      val vt = s"CAST(d AS DOUBLE) * ($rr) * (1.0 - $rr) * " +
+        "(CAST(r AS DOUBLE) - CAST(d AS DOUBLE)) / " +
+        "(CAST(r AS DOUBLE) - 1.0)"
+      val z = Det.r4Sql(
+        "(CAST(uq AS DOUBLE) / 1000000.0) / " +
+          "sqrt(CAST(vq AS DOUBLE) / 1000000.0)")
+      s"""WITH per AS MATERIALIZED (
+        |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |hor AS (SELECT max(ts) AS end_ts FROM events),
+        |obs AS MATERIALIZED (
+        |  SELECT user_id % 2 AS grp,
+        |         (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
+        |           AS dur,
+        |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
+        |  FROM per CROSS JOIN hor),
+        |durs AS MATERIALIZED (
+        |  SELECT dur, grp,
+        |         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS d,
+        |         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS c
+        |  FROM obs GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT dg.dur, gg.grp, COALESCE(d, 0) AS d, COALESCE(c, 0) AS c
+        |  FROM (SELECT DISTINCT dur FROM durs) dg
+        |  CROSS JOIN (SELECT DISTINCT grp FROM durs) gg
+        |  LEFT JOIN durs ON durs.dur = dg.dur AND durs.grp = gg.grp),
+        |risk AS (
+        |  SELECT dur, grp, d,
+        |         CAST(sum(d + c) OVER (PARTITION BY grp
+        |           ORDER BY dur NULLS FIRST
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS BIGINT) AS r_g
+        |  FROM grid),
+        |bt AS (
+        |  SELECT dur, CAST(sum(d) AS BIGINT) AS d,
+        |         CAST(sum(r_g) AS BIGINT) AS r,
+        |         CAST(sum(CASE WHEN grp = 0 THEN d ELSE 0 END) AS BIGINT)
+        |           AS d1,
+        |         CAST(sum(CASE WHEN grp = 0 THEN r_g ELSE 0 END) AS BIGINT)
+        |           AS r1
+        |  FROM risk GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(CAST(floor(sqrt(CAST(r AS DOUBLE)) *
+        |             CAST(d1 * 1000000 -
+        |               CAST(floor(($p1) * 1000000.0) AS BIGINT)
+        |               AS DOUBLE)) AS BIGINT)) AS BIGINT) AS uq,
+        |         sum(CAST(r AS HUGEINT) *
         |           (CASE WHEN r > 1 THEN
         |              CAST(floor(($vt) * 1000000.0) AS BIGINT)
         |            ELSE 0 END)) AS vq

@@ -410,6 +410,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("tarone-ware weighted logrank: population conserved, sign " +
+      "agrees with the unweighted test on this fixture") {
+    val tw = RelationalOps.survTaroneWare(spark, sf).collect().head
+    val users = graft.io.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(tw.getLong(0) + tw.getLong(1) == users,
+      s"groups must partition the users: $tw vs $users")
+    val lr = RelationalOps.survLogRank(spark, sf).collect().head
+    if (!tw.isNullAt(3) && !lr.isNullAt(4)) {
+      val zt = tw.getDouble(3)
+      val o1 = lr.getLong(2).toDouble; val e1 = lr.getDouble(3)
+      assert(zt == 0.0 || (zt > 0) == (o1 - e1 > 0),
+        s"tarone-ware z $zt contradicts logrank direction ${o1 - e1}")
+    }
+  }
+
   test("bh-fdr == driver Kolmogorov + step-up fold; rejects a prefix") {
     val lams = RelationalOps.ksBySource(spark, sf)
       .select(col("source"), col("lam")).collect()
