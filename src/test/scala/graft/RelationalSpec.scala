@@ -426,6 +426,69 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("cox ph == independent brute-force Newton; score0 is the " +
+      "logrank O1-E1 identity") {
+    val cox = RelationalOps.survCoxPh(spark, sf).collect().head
+    // independent reference: raw per-user lifetimes, brute-force risk
+    // sets (no window/grid machinery), same Breslow Newton
+    val ev = graft.io.Tables.events(spark, sf)
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
+      .select(col("user_id"), unix_micros(col("f")).as("f"),
+        unix_micros(col("l")).as("l"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val horizon = per.map(_._3).max
+    val obs = per.map { case (uid, f, l) =>
+      val dur = (l - f) / 86400000000L
+      val cens = l >= horizon - 43200000000L // 12h in us
+      (uid % 2, dur, cens)
+    }
+    val times = obs.filter(!_._3).map(_._2).distinct.sorted
+    val terms = times.map { t =>
+      val d = obs.count(o => !o._3 && o._2 == t).toLong
+      val d1 = obs.count(o => !o._3 && o._2 == t && o._1 == 1L).toLong
+      val r = obs.count(_._2 >= t).toLong
+      val r1 = obs.count(o => o._2 >= t && o._1 == 1L).toLong
+      (d, r, d1, r1)
+    }
+    def scoreInfo(beta: Double): (Double, Double) = {
+      var u = 0.0; var inf = 0.0
+      terms.foreach { case (d, r, d1, r1) =>
+        val r0 = (r - r1).toDouble
+        val w = r1.toDouble * StrictMath.exp(beta)
+        if (r0 + w > 0.0 && d > 0L) {
+          val p = w / (r0 + w)
+          u += d1.toDouble - d.toDouble * p
+          inf += d.toDouble * p * (1.0 - p)
+        } else if (d > 0L) u += d1.toDouble
+      }
+      (u, inf)
+    }
+    val score0 = scoreInfo(0.0)._1
+    var beta = 0.0; var iters = 0; var u = score0
+    var inf = scoreInfo(0.0)._2
+    while (iters < 16 && math.abs(u) > 1e-10 && inf > 0.0) {
+      beta += u / inf; iters += 1
+      val s = scoreInfo(beta); u = s._1; inf = s._2
+    }
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(cox.getDouble(2) == r4(beta),
+      s"beta ${cox.getDouble(2)} != reference ${r4(beta)}")
+    assert(cox.getDouble(5) == r4(score0),
+      s"score0 ${cox.getDouble(5)} != reference ${r4(score0)}")
+    // the logrank is Cox's score test at beta=0 (group-0 vs group-1
+    // orientation flips the sign); e1 is 1e6-quantized so compare loose
+    val lr = RelationalOps.survLogRank(spark, sf).collect().head
+    val lrDir = lr.getLong(2).toDouble - lr.getDouble(3)
+    assert(math.abs(cox.getDouble(5) + lrDir) < 1e-2,
+      s"score0 ${cox.getDouble(5)} != -(O1-E1) ${-lrDir}")
+    // concave partial likelihood: the estimate lies on score0's side
+    if (math.abs(cox.getDouble(5)) > 1e-6)
+      assert(cox.getDouble(2) == 0.0 ||
+        (cox.getDouble(2) > 0) == (cox.getDouble(5) > 0),
+        s"beta ${cox.getDouble(2)} contradicts score ${cox.getDouble(5)}")
+  }
+
   test("bh-fdr == driver Kolmogorov + step-up fold; rejects a prefix") {
     val lams = RelationalOps.ksBySource(spark, sf)
       .select(col("source"), col("lam")).collect()
@@ -646,7 +709,7 @@ class RelationalSpec extends AnyFunSuite {
     val obs = ev.groupBy(_._1).iterator.map { case (_, es) =>
       val ts = es.map(_._2)
       val dur = (ts.max - ts.min) / 86400000L
-      (dur, ts.max >= end - 7L * 86400000L)
+      (dur, ts.max >= end - 43200000L) // 12h in ms
     }.toSeq
     val byDur = obs.groupBy(_._1).toSeq.sortBy(_._1)
     var s = 1.0; var atRisk = obs.size.toLong
