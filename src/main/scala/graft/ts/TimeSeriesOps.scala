@@ -3523,15 +3523,31 @@ object TimeSeriesOps {
     * Ties pool (prev mean ≥ next ⇒ merge) — fit values are identical
     * either way; the driver reference shares the rule. */
   def tsIsotonic(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val byX = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("x"))
+      .groupBy(col("event_type").as("g"),
+        hour(col("ts")).cast("long").as("x"))
       .agg(count(lit(1)).as("w"),
         sum((col("value").cast("decimal(18,4)") * lit(10000L))
           .cast("long")).as("s"))
+    pavFit(byX)
+      .toDF("event_type", "x", "w", "y_mean", "y_fit")
+      .orderBy("event_type", "x")
+  }
+
+  /** Shared PAV kernel behind [[tsIsotonic]] / [[tsConformalIso]]:
+    * input (g, x, w, s) with s = Σ value·10⁴ as exact BIGINT at the
+    * (g, x) grain; output one row per input point with its raw mean
+    * and the monotone-nondecreasing L2 fit. Violator comparisons
+    * cross-multiply as BigInt (never a float); fitted means use the
+    * half-up integer formula. One aggregate shuffle upstream, then a
+    * per-group stack walk inside one task per group. */
+  private def pavFit(byX0: DataFrame): DataFrame = {
+    val spark = byX0.sparkSession
+    import spark.implicits._
+    val byX = byX0.select(col("g"), col("x"), col("w"), col("s"))
       .as[(String, Long, Long, Long)]
-      .repartition(col("event_type"))
-      .sortWithinPartitions("event_type", "x")
+      .repartition(col("g"))
+      .sortWithinPartitions("g", "x")
     byX.mapPartitions { it =>
         val out = scala.collection.mutable
           .ArrayBuffer[(String, Long, Long, Double, Double)]()
@@ -3574,8 +3590,77 @@ object TimeSeriesOps {
         flush()
         out.iterator
       }
-      .toDF("event_type", "x", "w", "y_mean", "y_fit")
-      .orderBy("event_type", "x")
+      .toDF("g", "x", "w", "y_mean", "y_fit")
+  }
+
+  /** LOCALLY-ADAPTIVE (Mondrian-style) SPLIT CONFORMAL — the
+    * [[tsConformal]] ∘ [[tsIsotonic]] compose: instead of one fixed
+    * q90 band per series, the band width varies with hour-of-day
+    * through σ(h) = the PAV-isotonic fit of mean |residual| vs hour
+    * on the CALIBRATION split (monotone difficulty — the classical
+    * normalized-nonconformity construction, Papadopoulos et al.
+    * 2002/Lei et al. 2018 §5.2). Calibration rows score
+    * sₙ = r/σ(h); q90ₙ is the EXACT integer-rank ⌈0.9·m⌉-th sₙ
+    * under the (sₙ, bucket) total order; a test row is covered iff
+    * r ≤ q90ₙ·σ(h), with unseen test hours falling back to the
+    * per-type max σ (conservative). Spec-gated NO-ORACLE — the PAV
+    * pooling depth is data-dependent (the q_ts_isotonic precedent) —
+    * against a full independent driver reference. Deterministic:
+    * residuals are bit-identical doubles (holt CTE lemma), σ comes
+    * from exact-integer PAV, and the rank selection is exact. Scale:
+    * everything is per-type windows + a 24-row-per-type broadcast
+    * join; no global sort, no driver collect. */
+  def tsConformalIso(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ab = holtAberration(spark, sfDir)
+      .select(col("event_type"), col("bucket"),
+        abs(col("v") - col("fc")).as("r"))
+    val wS = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wP = Window.partitionBy(col("event_type"))
+    val tagged = ab
+      .withColumn("rn", row_number().over(wS).cast("long"))
+      .withColumn("n", count(lit(1)).over(wP))
+      .withColumn("ncal", expr("(n * 7) div 10"))
+      .withColumn("hx", hour(col("bucket")).cast("long"))
+      .localCheckpoint(eager = false) // calibration + test consumers
+    val cal = tagged.where(col("rn") <= col("ncal"))
+    val byX = cal.groupBy(col("event_type").as("g"), col("hx").as("x"))
+      .agg(count(lit(1)).as("w"),
+        sum((col("r").cast("decimal(18,4)") * lit(10000L))
+          .cast("long")).as("s"))
+    val sigma = pavFit(byX)
+      .select(col("g").as("event_type"), col("x").as("hx"),
+        col("y_fit").as("sigma"))
+      .localCheckpoint(eager = false) // cal-join, test-join, smax
+    val smax = sigma.groupBy(col("event_type"))
+      .agg(max(col("sigma")).as("smax"))
+    val calN = cal.join(broadcast(sigma), Seq("event_type", "hx"))
+      .where(col("sigma") > 0.0)
+      .withColumn("sn", col("r") / col("sigma"))
+    val wR = Window.partitionBy(col("event_type"))
+      .orderBy(col("sn"), col("bucket"))
+    val q = calN
+      .withColumn("rrk", row_number().over(wR).cast("long"))
+      .withColumn("m", count(lit(1)).over(wP))
+      .where(col("rrk") === expr("(9 * m + 9) div 10"))
+      .select(col("event_type"), col("m").as("n_cal_used"),
+        col("sn").as("q90n"))
+    tagged.where(col("rn") > col("ncal"))
+      .join(broadcast(sigma), Seq("event_type", "hx"), "left")
+      .join(broadcast(smax), Seq("event_type"))
+      .withColumn("sg", coalesce(col("sigma"), col("smax")))
+      .join(broadcast(q), Seq("event_type"))
+      .groupBy(col("event_type"), col("ncal"), col("n_cal_used"),
+        col("q90n"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q90n") * col("sg"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), col("ncal").as("n_cal"),
+        col("n_cal_used"), col("n_test"),
+        Det.r4(col("q90n")).as("q90n"), col("n_covered"),
+        Det.r4(col("n_covered").cast("double") /
+          col("n_test").cast("double")).as("coverage"))
+      .orderBy("event_type")
   }
 
   /** Graphite `movingSum` / `movingMin` / `movingMax` over the hourly
@@ -3887,6 +3972,7 @@ object TimeSeriesOps {
     "q_ts_holt_backtest" -> holtBacktest _,
     "q_ts_conformal" -> tsConformal _,
     "q_ts_isotonic" -> tsIsotonic _,
+    "q_ts_conformal_iso" -> tsConformalIso _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,

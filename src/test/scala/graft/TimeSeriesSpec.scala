@@ -787,4 +787,80 @@ class TimeSeriesSpec extends AnyFunSuite {
         s"$g level $fit does not preserve its pooled mean")
     }
   }
+
+  test("conformal_iso == independent driver reference (split, PAV " +
+      "sigma, exact-rank q90n, coverage)") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def mean4(s: Long, w: Long): Double =
+      Math.floorDiv(2L * s + w, 2L * w).toDouble / 10000.0
+    val ab = TimeSeriesOps.holtAberration(spark, sf)
+      .select(col("event_type"), col("bucket"),
+        abs(col("v") - col("fc")).as("r")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val want = ab.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (g, rows0) =>
+        val rows = rows0.sortBy(_._2.getTime)
+        val n = rows.length.toLong
+        val ncal = (n * 7L) / 10L
+        val calR = rows.take(ncal.toInt)
+        val testR = rows.drop(ncal.toInt)
+        def hr(t: java.sql.Timestamp): Long =
+          t.toInstant.atZone(java.time.ZoneOffset.UTC).getHour.toLong
+        // PAV over (hour, w, s) with s = sum(round_half_up(r*1e4))
+        val pts = calR.groupBy(x => hr(x._2)).toSeq.sortBy(_._1)
+          .map { case (h, rs) =>
+            val w = rs.length.toLong
+            val s = rs.map(x => BigDecimal(x._3)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(10000)).toLongExact).sum
+            (h, w, s)
+          }.toIndexedSeq
+        val blocks = scala.collection.mutable
+          .ArrayBuffer[(Long, Long, Int)]()
+        pts.foreach { case (_, w, s) =>
+          var bw = w; var bs = s; var bc = 1
+          while (blocks.nonEmpty && {
+              val (pw, ps, _) = blocks.last
+              BigInt(ps) * bw >= BigInt(bs) * pw
+            }) {
+            val (pw, ps, pc) = blocks.remove(blocks.length - 1)
+            bw += pw; bs += ps; bc += pc
+          }
+          blocks += ((bw, bs, bc))
+        }
+        val sig = scala.collection.mutable.Map[Long, Double]()
+        var i = 0
+        blocks.foreach { case (bw, bs, bc) =>
+          val fit = mean4(bs, bw)
+          (0 until bc).foreach { _ => sig(pts(i)._1) = fit; i += 1 }
+        }
+        val usable = calR.filter(x => sig(hr(x._2)) > 0.0)
+          .map(x => (x._3 / sig(hr(x._2)), x._2.getTime))
+          .sortBy(identity)
+        if (usable.isEmpty) Seq.empty
+        else {
+          val m = usable.length.toLong
+          val q90n = usable(((9L * m + 9L) / 10L - 1L).toInt)._1
+          val smax = sig.values.max
+          val cov = testR.count { x =>
+            val sg = sig.getOrElse(hr(x._2), smax)
+            x._3 <= q90n * sg
+          }.toLong
+          Seq((g, ncal, m, testR.length.toLong, r4(q90n), cov,
+            r4(cov.toDouble / testR.length.toDouble)))
+        }
+    }
+    val got = TimeSeriesOps.tsConformalIso(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+      .toSeq
+    assert(got == want,
+      s"conformal_iso diverged (got ${got.take(2)} vs ${want.take(2)})")
+    // the adaptive band still covers a sane fraction on this fixture
+    got.foreach { case (g, _, _, nt, _, _, cov) =>
+      if (nt >= 10L) assert(cov >= 0.5 && cov <= 1.0,
+        s"$g: adaptive coverage $cov out of band")
+    }
+  }
 }
