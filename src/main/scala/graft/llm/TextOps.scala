@@ -1473,6 +1473,92 @@ object TextOps {
       .orderBy("source", "rnk")
   }
 
+  /** POPULATION STABILITY INDEX of the document-length distribution,
+    * per source vs the whole corpus — THE industry drift monitor
+    * (PSI = Σ(p−q)·ln(p/q); > 0.25 conventionally flags a shifted
+    * population): is one crawl's length profile unlike the corpus it
+    * feeds? Bins are 10 equal-width INTEGER buckets over the corpus
+    * [min, max] (pure integer arithmetic — deterministic), with
+    * add-one smoothing on BOTH sides so empty cells stay finite. NO
+    * ORACLE (ln is libm); spec-gated vs a driver fold; order-free by
+    * the 1e12 floor-quantized-term discipline over exact counts. The
+    * grid is sources × 10 — model-sized everywhere. */
+  def psiLength(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"))
+      .localCheckpoint(eager = false) // extent + binned counts
+    val ext = docs.agg(min(col("n_chars")).as("mn"),
+      max(col("n_chars")).as("mx"))
+    val binned = docs.crossJoin(broadcast(ext))
+      .select(col("source"),
+        expr("least(9L, ((n_chars - mn) * 10L)" +
+          " div (mx - mn + 1L))").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid + corpus roll-up
+    val grid = binned.select(col("source")).distinct()
+      .crossJoin(spark.range(10).select(col("id").as("bin")))
+      .join(binned, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val nSrc = binned.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val corpBin = binned.groupBy(col("bin")).agg(sum(col("c")).as("cb"))
+    val nCorp = nSrc.agg(sum(col("ns")).as("nc"))
+    def d(c: Column) = c.cast("double")
+    val p = (d(col("c")) + lit(1.0)) / (d(col("ns")) + lit(10.0))
+    val q = (d(col("cb")) + lit(1.0)) / (d(col("nc")) + lit(10.0))
+    val term = (p - q) * log(p / q)
+    grid.join(broadcast(nSrc), "source")
+      .join(broadcast(corpBin), Seq("bin"), "left") // corpus-empty bins
+      .na.fill(0L, Seq("cb"))                       // still smooth
+      .crossJoin(broadcast(nCorp))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"),
+        sum(floor(term * lit(1.0e12)).cast("long")).as("psq"))
+      .select(col("source"), col("n_docs"),
+        Det.r4(d(col("psq")) / lit(1.0e12)).as("psi"))
+      .orderBy("source")
+  }
+
+  /** MUTUAL INFORMATION I(source; word) + the uncertainty coefficient
+    * U = I/H(source) — the single-number answer to "how
+    * source-identifiable is this corpus's text" (U → 0: sources share
+    * one voice, dedup/mixing freely; U → 1: every source is its own
+    * dialect, stratify everything). I = Σ_{c>0}(c/N)·ln(c·N/(n_s·c_w))
+    * over the (source, word) count grid — absent cells contribute 0,
+    * so the sum runs on the OBSERVED grid only (no fan-out). NO
+    * ORACLE (ln); spec-gated vs a driver fold; 1e12 floor-quantized
+    * terms with every product factor cast to double BEFORE
+    * multiplying (the r10 2⁵³ rule). Pointwise direction is already
+    * oracle-checked by [[driftTokens]]. */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = sourceTokenCounts(spark, sfDir)
+      .localCheckpoint(eager = false) // roll-ups + term pass
+    val corp = tok.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+    val nSrc = tok.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      .localCheckpoint(eager = false) // totals + H(source) terms
+    val nCorp = nSrc.agg(sum(col("ns")).as("nc"))
+    def d(c: Column) = c.cast("double")
+    val miT = (d(col("c")) / d(col("nc"))) *
+      log((d(col("c")) * d(col("nc"))) / (d(col("ns")) * d(col("cc"))))
+    val mi = tok.join(corp, "w")
+      .join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(nCorp))
+      .agg(max(col("nc")).as("n_tokens"),
+        countDistinct(col("w")).as("vocab"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(floor(miT * lit(1.0e12)).cast("long")).as("miq"))
+    val hT = (d(col("ns")) / d(col("nc"))) *
+      log(d(col("ns")) / d(col("nc"))) * lit(-1.0)
+    val hs = nSrc.crossJoin(broadcast(nCorp))
+      .agg(sum(floor(hT * lit(1.0e12)).cast("long")).as("hq"))
+    mi.crossJoin(broadcast(hs))
+      .select(col("n_tokens"), col("vocab"), col("n_sources"),
+        Det.r4(d(col("miq")) / lit(1.0e12)).as("mi"),
+        Det.r4(d(col("hq")) / lit(1.0e12)).as("h_source"),
+        when(col("hq") > 0L, Det.r4(d(col("miq")) / d(col("hq"))))
+          .otherwise(lit(null)).as("u_coef"))
+  }
+
   /** THEIL INDEX of document-length inequality per source — the
     * entropy-family inequality measure that completes [[lengthGiniBySource]]
     * (Gini weighs the middle; Theil T = (1/n)Σ(x/μ)ln(x/μ) is
@@ -2181,6 +2267,8 @@ object TextOps {
     "q_llm_lm_novelty" -> lmNovelty _,
     "q_llm_perplexity" -> perplexity _,
     "q_llm_kl_drift" -> klDrift _,
+    "q_llm_psi_length" -> psiLength _,
+    "q_llm_mutual_info" -> mutualInfo _,
     "q_llm_entropy_mix" -> entropyMix _,
     "q_llm_drift_tokens" -> driftTokens _,
     "q_llm_renyi2" -> renyi2Rank _,

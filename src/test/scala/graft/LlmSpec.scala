@@ -1671,6 +1671,70 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("psi length == driver fold over integer bins; psi >= 0") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val mn = docs.map(_._2).min; val mx = docs.map(_._2).max
+    def bin(x: Long): Long = math.min(9L, ((x - mn) * 10L) / (mx - mn + 1L))
+    val cnt = docs.groupBy(d => (d._1, bin(d._2)))
+      .view.mapValues(_.size.toLong).toMap
+    val ns = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cb = (0L to 9L).map(b => // .toSeq: Set.map would dedup counts
+      b -> ns.keys.toSeq.map(s => cnt.getOrElse((s, b), 0L)).sum).toMap
+    val nc = docs.size.toLong
+    val want = ns.keys.toSeq.sorted.map { s =>
+      var psq = 0L
+      (0L to 9L).foreach { b =>
+        val p = (cnt.getOrElse((s, b), 0L).toDouble + 1.0) /
+          (ns(s).toDouble + 10.0)
+        val q = (cb(b).toDouble + 1.0) / (nc.toDouble + 10.0)
+        psq += math.floor((p - q) * StrictMath.log(p / q) * 1.0e12).toLong
+      }
+      (s, ns(s), r4(psq.toDouble / 1.0e12))
+    }
+    val got = graft.llm.TextOps.psiLength(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"psi diverged: $got vs $want")
+    got.foreach { case (s, _, psi) =>
+      assert(psi >= -1e-6, s"$s: negative PSI $psi") }
+  }
+
+  test("mutual information == driver fold; mi >= 0; u_coef in [0,1]") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val toks = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map((r.getString(0), _)))
+    val cnt = scala.collection.mutable.Map[(String, String), Long]()
+    toks.foreach(k => cnt(k) = cnt.getOrElse(k, 0L) + 1L)
+    val corp = cnt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ns = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nc = corp.values.sum
+    var miq = 0L
+    cnt.foreach { case ((s, w), c) =>
+      val t = (c.toDouble / nc.toDouble) * StrictMath.log(
+        (c.toDouble * nc.toDouble) / (ns(s).toDouble * corp(w).toDouble))
+      miq += math.floor(t * 1.0e12).toLong
+    }
+    var hq = 0L
+    ns.values.foreach { n =>
+      val t = (n.toDouble / nc.toDouble) *
+        StrictMath.log(n.toDouble / nc.toDouble) * -1.0
+      hq += math.floor(t * 1.0e12).toLong
+    }
+    val want = (nc, corp.size.toLong, ns.size.toLong,
+      r4(miq.toDouble / 1.0e12), r4(hq.toDouble / 1.0e12),
+      r4(miq.toDouble / hq.toDouble))
+    val got = graft.llm.TextOps.mutualInfo(spark, sf).collect().head
+    val gt = (got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getDouble(3), got.getDouble(4), got.getDouble(5))
+    assert(gt == want, s"mutual info diverged: $gt vs $want")
+    assert(gt._4 >= -1e-6, s"negative MI ${gt._4}")
+    assert(gt._6 >= -1e-6 && gt._6 <= 1.0 + 1e-6,
+      s"u_coef out of [0,1]: ${gt._6}")
+  }
+
   test("theil index == driver fold; zero on equal lengths; >= 0") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val docs = graft.io.Tables.documents(spark, sf)

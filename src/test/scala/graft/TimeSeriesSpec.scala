@@ -44,7 +44,12 @@ class TimeSeriesSpec extends AnyFunSuite {
       "q_ts_isotonic", "q_llm_theil_index",
       // r14: Kolmogorov p-values ride exp (libm) — BH itself is rank
       // logic, spec'd vs a driver fold
-      "q_agg_bh_fdr")
+      "q_agg_bh_fdr",
+      // r14 continuation: Cox PH rides exp; adaptive conformal rides
+      // PAV's data-dependent pooling; PSI/MI ride ln — each spec'd vs
+      // an independent driver reference
+      "q_surv_cox", "q_ts_conformal_iso",
+      "q_llm_psi_length", "q_llm_mutual_info")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
