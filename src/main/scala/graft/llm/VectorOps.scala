@@ -976,7 +976,7 @@ object VectorOps {
     * HUGEINT→DOUBLE cast anywhere near the hash. The DuckDB twin
     * unrolls the same 8 rounds as MATERIALIZED CTEs. */
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
-    val (v1, lam1, _, _, d) = pcaModel(spark, sfDir)
+    val (v1, lam1, _, _, _, _, d) = pcaModel(spark, sfDir)
     loadingsDF(spark, v1, lam1, d)
   }
 
@@ -1005,8 +1005,24 @@ object VectorOps {
     * alternates ±10⁶ (generically independent of PC1). Same exact
     * integer eigenvalue read as PC1. */
   def pca2Power(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, _, v2, lam2, d) = pcaModel(spark, sfDir)
+    val (_, _, v2, lam2, _, _, d) = pcaModel(spark, sfDir)
     loadingsDF(spark, v2, lam2, d)
+  }
+
+  /** THIRD PRINCIPAL COMPONENT — [[pca2Power]]'s projected-deflation
+    * recursion applied once more: each round multiplies by the exact
+    * scatter matrix, Gram–Schmidts against PC1's final unoriented
+    * iterate (w·d₁ − v₁·v₁ᵀw), RENORMALIZES (the intermediate step
+    * that keeps the DuckDB twin inside HUGEINT — a fused
+    * w·d₁·d₂ product would overflow), then deflates against PC2 and
+    * renormalizes again, all exact BigInt with the two-branch
+    * magnitude rule. Start vector is a period-4 square wave
+    * (generically independent of the all-ones PC1 seed and the
+    * alternating PC2 seed). Oracle: the same rounds unrolled as
+    * MATERIALIZED CTEs. */
+  def pca3Power(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, _, _, _, v3, lam3, d) = pcaModel(spark, sfDir)
+    loadingsDF(spark, v3, lam3, d)
   }
 
   /** PCA MAP — the 2-d occupancy grid of the corpus projected onto
@@ -1022,7 +1038,7 @@ object VectorOps {
     * that survives 10⁹ vectors. */
   def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (v1, _, v2, _, d) = pcaModel(spark, sfDir)
+    val (v1, _, v2, _, _, _, d) = pcaModel(spark, sfDir)
     val loadings = (1 to d).map(i =>
       (i.toLong, v1(i - 1).toLong, v2(i - 1).toLong))
       .toDF("i", "w1", "w2")
@@ -1069,10 +1085,16 @@ object VectorOps {
   }
 
   /** The full driver-side PCA model shared by [[pcaPower]],
-    * [[pca2Power]] and [[pcaProject]] — one scatter pass, both power
-    * loops: (v1 oriented, lam1, v2 oriented, lam2, d). */
+    * [[pca2Power]], [[pca3Power]] and [[pcaProject]] — one scatter
+    * pass, all power loops: (v1 oriented, lam1, v2, lam2, v3, lam3,
+    * d). PC3 deflates against BOTH final unoriented iterates with an
+    * INTERMEDIATE renormalization between the two projections — the
+    * naive w·d1·d2 double product would overflow the DuckDB twin's
+    * HUGEINT, while each single-projection step keeps the proven
+    * PC2 bound. */
   private def pcaModel(spark: SparkSession, sfDir: String)
-      : (Array[BigInt], Long, Array[BigInt], Long, Int) = {
+      : (Array[BigInt], Long, Array[BigInt], Long,
+         Array[BigInt], Long, Int) = {
     val (smat, nVec, d) = scatterModel(spark, sfDir)
     def matvec(v: Array[BigInt]): Array[BigInt] =
       Array.tabulate(d)(i => (0 until d).map(j => smat(i)(j) * v(j)).sum)
@@ -1083,6 +1105,20 @@ object VectorOps {
         yield v(i) * smat(i)(j) * v(j)).sum
       val den = v.map(x => x * x).sum
       if (den > 0) (num / (den * nVec)).toLong else 0L
+    }
+    // two-branch magnitude renorm (|v|max → 1e6, sign reapplied);
+    // mx = 0 keeps the previous iterate — mirrored in the CTE text
+    def renorm(w: Array[BigInt], prev: Array[BigInt]): Array[BigInt] = {
+      val mx = w.map(_.abs).max
+      if (mx == 0) prev
+      else {
+        val divisor = mx / 1000000L
+        w.map { x =>
+          val m = if (mx >= 1000000L) x.abs / divisor
+                  else x.abs * 1000000L / mx
+          m * BigInt(x.signum)
+        }
+      }
     }
     var v1 = Array.fill(d)(BigInt(1000000L))
     for (_ <- 1 to PcaRounds) {
@@ -1108,14 +1144,28 @@ object VectorOps {
         }
       }
     }
+    val d2 = u.map(x => x * x).sum
+    var t = Array.tabulate(d)(i =>
+      BigInt(if (i % 4 < 2) 1000000L else -1000000L))
+    for (_ <- 1 to PcaRounds) {
+      val w = matvec(t)
+      val p1 = (0 until d).map(i => v1(i) * w(i)).sum
+      val w1 = Array.tabulate(d)(i => w(i) * d1 - v1(i) * p1)
+      val w1n = renorm(w1, t)
+      val p2 = (0 until d).map(i => u(i) * w1n(i)).sum
+      val w2 = Array.tabulate(d)(i => w1n(i) * d2 - u(i) * p2)
+      t = renorm(w2, w1n)
+    }
     val v1o = orient(v1)
     val v2o = orient(u)
-    (v1o, rayleigh(v1o), v2o, rayleigh(v2o), d)
+    val v3o = orient(t)
+    (v1o, rayleigh(v1o), v2o, rayleigh(v2o), v3o, rayleigh(v3o), d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pca_power" -> pcaPower _,
     "q_llm_pca2_power" -> pca2Power _,
+    "q_llm_pca3_power" -> pca3Power _,
     "q_llm_pca_project" -> pcaProject _,
     "q_llm_semdedup" -> semDedup _,
     "q_llm_embed_drift" -> embedDrift _,
@@ -1335,6 +1385,147 @@ object VectorOps {
       |ORDER BY i NULLS FIRST""".stripMargin
   }
 
+  /** q_llm_pca3_power oracle: the pca2 prelude (PC1 + PC2 chains,
+    * both unoriented) + 8 DOUBLY-projected rounds — deflate against
+    * v8, renormalize (the HUGEINT-bound intermediate step), deflate
+    * against u8, renormalize — every CTE MATERIALIZED. */
+  private def pca3OracleSql: String = {
+    val pc1Rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (
+        |  SELECT s.i, sum(s.s * v.v) AS w
+        |  FROM smat s JOIN $prev v ON s.j = v.i GROUP BY 1),
+        |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+        |v$k AS MATERIALIZED (
+        |  SELECT w$k.i,
+        |         CASE WHEN m$k.m = 0 THEN $prev.v
+        |              ELSE ((abs(w$k.w) * 1000000) // m$k.m) *
+        |                   (CASE WHEN w$k.w < 0 THEN -1 ELSE 1 END)
+        |         END AS v
+        |  FROM w$k CROSS JOIN m$k JOIN $prev ON $prev.i = w$k.i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val pc2Rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "u0" else s"u${k - 1}"
+      s"""wu$k AS MATERIALIZED (
+        |  SELECT s.i, sum(s.s * u.v) AS w
+        |  FROM smat s JOIN $prev u ON s.j = u.i GROUP BY 1),
+        |pj$k AS MATERIALIZED (
+        |  SELECT sum(v$PcaRounds.v * w.w) AS p
+        |  FROM v$PcaRounds JOIN wu$k w ON w.i = v$PcaRounds.i),
+        |wp$k AS MATERIALIZED (
+        |  SELECT w.i,
+        |         w.w * (SELECT d1 FROM dd) -
+        |           v$PcaRounds.v * (SELECT p FROM pj$k) AS w
+        |  FROM wu$k w JOIN v$PcaRounds ON v$PcaRounds.i = w.i),
+        |mu$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM wp$k),
+        |u$k AS MATERIALIZED (
+        |  SELECT wp.i,
+        |         CASE WHEN mu$k.m = 0 THEN $prev.v
+        |              WHEN mu$k.m >= 1000000 THEN
+        |                (abs(wp.w) // (mu$k.m // 1000000)) *
+        |                (CASE WHEN wp.w < 0 THEN -1 ELSE 1 END)
+        |              ELSE ((abs(wp.w) * 1000000) // mu$k.m) *
+        |                (CASE WHEN wp.w < 0 THEN -1 ELSE 1 END)
+        |         END AS v
+        |  FROM wp$k wp CROSS JOIN mu$k
+        |  JOIN $prev ON $prev.i = wp.i)""".stripMargin
+    }.mkString(",\n")
+    val pc3Rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "t0" else s"t${k - 1}"
+      s"""wt$k AS MATERIALIZED (
+        |  SELECT s.i, sum(s.s * t.v) AS w
+        |  FROM smat s JOIN $prev t ON s.j = t.i GROUP BY 1),
+        |pa$k AS MATERIALIZED (
+        |  SELECT sum(v$PcaRounds.v * w.w) AS p
+        |  FROM v$PcaRounds JOIN wt$k w ON w.i = v$PcaRounds.i),
+        |wa$k AS MATERIALIZED (
+        |  SELECT w.i,
+        |         w.w * (SELECT d1 FROM dd) -
+        |           v$PcaRounds.v * (SELECT p FROM pa$k) AS w
+        |  FROM wt$k w JOIN v$PcaRounds ON v$PcaRounds.i = w.i),
+        |ma$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM wa$k),
+        |na$k AS MATERIALIZED (
+        |  SELECT wa.i,
+        |         CASE WHEN ma$k.m = 0 THEN $prev.v
+        |              WHEN ma$k.m >= 1000000 THEN
+        |                (abs(wa.w) // (ma$k.m // 1000000)) *
+        |                (CASE WHEN wa.w < 0 THEN -1 ELSE 1 END)
+        |              ELSE ((abs(wa.w) * 1000000) // ma$k.m) *
+        |                (CASE WHEN wa.w < 0 THEN -1 ELSE 1 END)
+        |         END AS v
+        |  FROM wa$k wa CROSS JOIN ma$k
+        |  JOIN $prev ON $prev.i = wa.i),
+        |pb$k AS MATERIALIZED (
+        |  SELECT sum(u$PcaRounds.v * n.v) AS p
+        |  FROM u$PcaRounds JOIN na$k n ON n.i = u$PcaRounds.i),
+        |wb$k AS MATERIALIZED (
+        |  SELECT n.i,
+        |         n.v * (SELECT d2 FROM dd2) -
+        |           u$PcaRounds.v * (SELECT p FROM pb$k) AS w
+        |  FROM na$k n JOIN u$PcaRounds ON u$PcaRounds.i = n.i),
+        |mb$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM wb$k),
+        |t$k AS MATERIALIZED (
+        |  SELECT wb.i,
+        |         CASE WHEN mb$k.m = 0 THEN na$k.v
+        |              WHEN mb$k.m >= 1000000 THEN
+        |                (abs(wb.w) // (mb$k.m // 1000000)) *
+        |                (CASE WHEN wb.w < 0 THEN -1 ELSE 1 END)
+        |              ELSE ((abs(wb.w) * 1000000) // mb$k.m) *
+        |                (CASE WHEN wb.w < 0 THEN -1 ELSE 1 END)
+        |         END AS v
+        |  FROM wb$k wb CROSS JOIN mb$k
+        |  JOIN na$k ON na$k.i = wb.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH flat AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+      |           AS BIGINT) AS q
+      |  FROM embeddings),
+      |gram AS MATERIALIZED (
+      |  SELECT a.i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS g
+      |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |ssum AS MATERIALIZED (
+      |  SELECT i, CAST(sum(q) AS HUGEINT) AS s,
+      |         CAST(count(*) AS HUGEINT) AS n
+      |  FROM flat GROUP BY 1),
+      |nn AS (SELECT max(n) AS n FROM ssum),
+      |smat AS MATERIALIZED (
+      |  SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS s
+      |  FROM gram g CROSS JOIN nn
+      |  JOIN ssum sa ON sa.i = g.i JOIN ssum sb ON sb.i = g.j),
+      |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ssum),
+      |$pc1Rounds,
+      |dd AS MATERIALIZED (SELECT sum(v * v) AS d1 FROM v$PcaRounds),
+      |u0 AS (SELECT i, CAST(CASE WHEN i % 2 = 1 THEN 1000000
+      |         ELSE -1000000 END AS HUGEINT) AS v FROM ssum),
+      |$pc2Rounds,
+      |dd2 AS MATERIALIZED (SELECT sum(v * v) AS d2 FROM u$PcaRounds),
+      |t0 AS (SELECT i, CAST(CASE WHEN (i % 4) IN (1, 2) THEN 1000000
+      |         ELSE -1000000 END AS HUGEINT) AS v FROM ssum),
+      |$pc3Rounds,
+      |sgn AS (SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+      |        FROM t$PcaRounds WHERE v <> 0 ORDER BY i LIMIT 1), 1)
+      |        AS sg),
+      |tf AS MATERIALIZED (
+      |  SELECT i, v * (SELECT sg FROM sgn) AS v FROM t$PcaRounds),
+      |ray AS (
+      |  SELECT sum(va.v * s.s * vb.v) AS num
+      |  FROM smat s JOIN tf va ON va.i = s.i JOIN tf vb ON vb.i = s.j),
+      |dn AS (SELECT sum(v * v) AS den FROM tf),
+      |lam AS (
+      |  SELECT CASE WHEN dn.den > 0 THEN
+      |           CAST(ray.num // (dn.den * (SELECT n FROM nn)) AS BIGINT)
+      |         ELSE 0 END AS lam_q
+      |  FROM ray CROSS JOIN dn)
+      |SELECT tf.i, CAST(tf.v AS BIGINT) AS v_q,
+      |       ${r4Sql("CAST(tf.v AS DOUBLE) / 1000000.0")} AS loading,
+      |       lam.lam_q
+      |FROM tf CROSS JOIN lam
+      |ORDER BY i NULLS FIRST""".stripMargin
+  }
+
   /** q_llm_pca_project oracle: both component chains (PC1 oriented +
     * PC2 oriented over the unoriented-PC1 deflation, texts identical
     * to the pca/pca2 oracles), then exact integer projections and the
@@ -1451,6 +1642,7 @@ object VectorOps {
   val oracleSql: Map[String, String] = Map(
     "q_llm_pca_power" -> pcaOracleSql,
     "q_llm_pca2_power" -> pca2OracleSql,
+    "q_llm_pca3_power" -> pca3OracleSql,
     "q_llm_pca_project" -> pcaProjectOracleSql,
     "q_llm_semdedup" ->
       s"""WITH flat AS (

@@ -1821,6 +1821,33 @@ class LlmSpec extends AnyFunSuite {
       s"eigenvalue order violated: lam1=$l1 lam2=$l2")
   }
 
+  test("pca3: near-orthogonal to PC1 and PC2, eigenvalue below PC2's, " +
+      "normalizer bound holds") {
+    val pc1 = graft.llm.VectorOps.pcaPower(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val pc2 = graft.llm.VectorOps.pca2Power(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val pc3 = graft.llm.VectorOps.pca3Power(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(pc3.length == 64)
+    val v1 = pc1.map(r => BigInt(r.getLong(1)))
+    val v2 = pc2.map(r => BigInt(r.getLong(1)))
+    val v3 = pc3.map(r => BigInt(r.getLong(1)))
+    val mx = v3.map(_.abs).max
+    assert(mx >= BigInt(1000000L) && mx <= BigInt(1000001L),
+      s"pc3 normalizer bound violated: $mx")
+    def cos(a: Array[BigInt], b: Array[BigInt]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.abs
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    assert(cos(v1, v3) < 0.02, s"PC3 vs PC1: |cos| = ${cos(v1, v3)}")
+    assert(cos(v2, v3) < 0.02, s"PC3 vs PC2: |cos| = ${cos(v2, v3)}")
+    val (l2, l3) = (pc2.head.getLong(3), pc3.head.getLong(3))
+    assert(l3 >= 0L && l2 >= l3,
+      s"eigenvalue order violated: lam2=$l2 lam3=$l3")
+  }
+
   test("pca map: bins in the 8x8 grid, counts conserve the corpus") {
     val rows = graft.llm.VectorOps.pcaProject(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
