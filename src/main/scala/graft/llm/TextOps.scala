@@ -797,6 +797,41 @@ object TextOps {
         .otherwise(lit(null)).as("kappa"))
   }
 
+  /** COCHRAN'S Q TEST over k = 3 binary quality filters — the
+    * k-treatment generalization of [[filterKappa]]'s McNemar pairing
+    * (Cochran 1950): do the length gate, the token-count gate and the
+    * mean-token-length gate pass systematically DIFFERENT fractions
+    * of the same documents? Fully ORACLE-CHECKABLE: with row sums
+    * Rᵢ and column sums Cⱼ (all exact BIGINTs),
+    * Q = (k−1)·(k·ΣCⱼ² − T²) / (k·T − ΣRᵢ²) — a ratio of two exact
+    * integers (DECIMAL(38,0)/HUGEINT against hypothetical trillion-doc
+    * counts), divided once as doubles. NULL on a degenerate design
+    * (all rows all-pass or all-fail ⇒ zero denominator). One
+    * aggregate pass; no shuffle beyond the map-side combine. */
+  def filterCochranQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.documents(spark, sfDir)
+      .select(
+        when(col("n_chars") >= 300L, 1L).otherwise(0L).as("x1"),
+        when(size(split(col("text"), " ")) >= 55, 1L).otherwise(0L)
+          .as("x2"),
+        when(col("n_chars") >=
+          size(split(col("text"), " ")).cast("long") * lit(5L), 1L)
+          .otherwise(0L).as("x3"))
+      .withColumn("ri", col("x1") + col("x2") + col("x3"))
+    val s = x.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("c1"), sum(col("x2")).as("c2"),
+      sum(col("x3")).as("c3"),
+      sum(col("ri")).as("t"), sum(col("ri") * col("ri")).as("sr2"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val num = (dec(col("c1")) * col("c1") + dec(col("c2")) * col("c2") +
+      dec(col("c3")) * col("c3")) * lit(3) - dec(col("t")) * col("t")
+    val den = dec(col("t")) * lit(3) - dec(col("sr2"))
+    s.select(col("n"), col("c1"), col("c2"), col("c3"),
+      when(den > lit(0),
+        Det.r4(lit(2.0) * num.cast("double") / den.cast("double")))
+        .otherwise(lit(null)).as("q"))
+  }
+
   private val TempTotal = 2000L
 
   /** TEMPERATURE-SCALED SOURCE SAMPLING (α = 1/2) — the multilingual
@@ -2276,6 +2311,7 @@ object TextOps {
     "q_llm_atkinson2" -> atkinson2 _,
     "q_llm_temperature_mix" -> temperatureMix _,
     "q_llm_filter_kappa" -> filterKappa _,
+    "q_llm_filter_cochran_q" -> filterCochranQ _,
     "q_llm_vocab_zipf" -> vocabZipf _,
     "q_llm_vocab_growth" -> vocabGrowth _,
     "q_llm_vocab_growth_dist" ->
@@ -2617,6 +2653,35 @@ object TextOps {
         |         ${r4Sql(s"($po - $pe) / (1.0 - $pe)")}
         |       END AS kappa
         |FROM cells""".stripMargin
+    },
+    "q_llm_filter_cochran_q" -> {
+      val num = "(3 * (CAST(c1 AS HUGEINT) * c1 + " +
+        "CAST(c2 AS HUGEINT) * c2 + CAST(c3 AS HUGEINT) * c3) - " +
+        "CAST(t AS HUGEINT) * t)"
+      val den = "(3 * CAST(t AS HUGEINT) - CAST(sr2 AS HUGEINT))"
+      s"""WITH x AS (
+        |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS x1,
+        |         CASE WHEN len(string_split(text, ' ')) >= 55
+        |           THEN 1 ELSE 0 END AS x2,
+        |         CASE WHEN n_chars >=
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) * 5
+        |           THEN 1 ELSE 0 END AS x3
+        |  FROM documents),
+        |xr AS (SELECT x1, x2, x3, x1 + x2 + x3 AS ri FROM x),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x1) AS BIGINT) AS c1,
+        |         CAST(sum(x2) AS BIGINT) AS c2,
+        |         CAST(sum(x3) AS BIGINT) AS c3,
+        |         CAST(sum(ri) AS BIGINT) AS t,
+        |         CAST(sum(ri * ri) AS BIGINT) AS sr2
+        |  FROM xr)
+        |SELECT n, c1, c2, c3,
+        |       CASE WHEN $den > 0 THEN
+        |         ${r4Sql(s"2.0 * CAST($num AS DOUBLE) / " +
+                    s"CAST($den AS DOUBLE)")}
+        |       END AS q
+        |FROM s""".stripMargin
     },
     "q_llm_temperature_mix" -> {
       val alloc = "least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 " +

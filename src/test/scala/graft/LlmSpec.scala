@@ -1862,6 +1862,36 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.length >= 4, s"degenerate map: ${rows.length} cells")
   }
 
+  test("cochran q == driver integers; q >= 0; columns bounded by n") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("n_chars"), col("text")).collect()
+      .map { r =>
+        val nch = r.getLong(0); val tk = r.getString(1).split(" ").length
+        (if (nch >= 300L) 1L else 0L,
+         if (tk >= 55) 1L else 0L,
+         if (nch >= tk.toLong * 5L) 1L else 0L)
+      }
+    val n = docs.length.toLong
+    val c1 = docs.map(_._1).sum; val c2 = docs.map(_._2).sum
+    val c3 = docs.map(_._3).sum
+    val t = c1 + c2 + c3
+    val sr2 = docs.map(d => { val r = d._1 + d._2 + d._3; r * r }).sum
+    val num = BigInt(3) * (BigInt(c1) * c1 + BigInt(c2) * c2 +
+      BigInt(c3) * c3) - BigInt(t) * t
+    val den = BigInt(3) * t - sr2
+    val wantQ = if (den > 0) Some(r4(2.0 * num.toDouble / den.toDouble))
+                else None
+    val got = graft.llm.TextOps.filterCochranQ(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == ((n, c1, c2, c3)),
+      s"counts diverged: $got vs ($n,$c1,$c2,$c3)")
+    val gotQ = if (got.isNullAt(4)) None else Some(got.getDouble(4))
+    assert(gotQ == wantQ, s"q diverged: $gotQ vs $wantQ")
+    gotQ.foreach(q => assert(q >= 0.0, s"negative Q $q"))
+    Seq(c1, c2, c3).foreach(c => assert(c >= 0L && c <= n))
+  }
+
   test("filter kappa: cells partition the corpus; kappa <= po; " +
       "correlated raters agree above chance") {
     val r = graft.llm.TextOps.filterKappa(spark, sf).collect().head
