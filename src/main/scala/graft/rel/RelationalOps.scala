@@ -1556,6 +1556,40 @@ object RelationalOps {
     componentSummary(componentsDoubling(sym, nodes)._1)
   }
 
+  /** SAMPLED HARMONIC CENTRALITY over the co-purchase graph — the
+    * closeness-family read the part family lacked ("which products
+    * sit nearest everything else"), in the form that scales: exact
+    * all-pairs BFS is O(V·E), so centrality is estimated from K = 8
+    * deterministic seed sources (smallest node ids — the standard
+    * pivot-sampling estimator, Eppstein–Wang 2004 [U]) with 6
+    * unrolled multi-source BFS rounds. ORACLE-CHECKABLE throughout:
+    * distances are integers, and the harmonic kernel Σ 1/d sums as
+    * the EXACT integer Σ (60 div d) (60 = lcm(1..6) — every
+    * in-horizon distance divides it), so no float ever appears.
+    * State is (seed × node) = 8·V rows; each round one edge join +
+    * one min-aggregate — the Pregel shape, never a collect. Top-20
+    * under the (h DESC, node) total order. */
+  def partHarmonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sym, nodes0) = componentGraph(spark, sfDir)
+    val seeds = nodes0.select(col("node")).orderBy("node").limit(8)
+    var dist = seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("d")).localCheckpoint(eager = false)
+    for (_ <- 1 to 6) {
+      val nbr = sym.join(dist, sym("src") === dist("node"))
+        .select(col("seed"), col("dst").as("node"),
+          (col("d") + lit(1L)).as("d"))
+      dist = dist.unionByName(nbr)
+        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(eager = false) // next round joins it twice
+    }
+    dist.where(col("d") > 0L)
+      .select(col("node"), expr("60L div d").as("hc"))
+      .groupBy(col("node"))
+      .agg(sum(col("hc")).as("h"), count(lit(1)).as("n_reached"))
+      .orderBy(col("h").desc, col("node"))
+      .limit(20)
+  }
+
   private def componentGraph(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     val e = coPurchasePairs(spark, sfDir, Some(4))
@@ -5243,6 +5277,7 @@ object RelationalOps {
     "q_part_resource_alloc_capped" ->
       ((s: SparkSession, d: String) => partResourceAllocCapped(s, d)),
     "q_part_components" -> partComponents _,
+    "q_part_harmonic" -> partHarmonic _,
     "q_part_components_pd" -> partComponentsPd _,
     "q_part_label_prop" -> partLabelProp _,
     "q_part_modularity" -> partModularity _,
@@ -5341,6 +5376,35 @@ object RelationalOps {
       |SELECT comp, CAST(count(*) AS BIGINT) AS n_members
       |FROM l8 GROUP BY 1
       |ORDER BY n_members DESC NULLS LAST, comp NULLS FIRST
+      |LIMIT 20""".stripMargin
+  }
+
+  private val harmonicOracleText: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS MATERIALIZED (
+        |  SELECT seed, node, min(d) AS d FROM (
+        |    SELECT seed, node, d FROM d${i - 1}
+        |    UNION ALL
+        |    SELECT p.seed, s.dst AS node, p.d + 1 AS d
+        |    FROM d${i - 1} p JOIN sym s ON s.src = p.node)
+        |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem WHERE l_partkey % 4 = 0),
+      |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+      |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+      |        UNION ALL SELECT pb, pa FROM pairs),
+      |seeds AS (SELECT node FROM
+      |            (SELECT DISTINCT src AS node FROM sym)
+      |          ORDER BY node NULLS FIRST LIMIT 8),
+      |d0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS d
+      |       FROM seeds),
+      |$rounds
+      |SELECT node, CAST(sum(60 // d) AS BIGINT) AS h,
+      |       CAST(count(*) AS BIGINT) AS n_reached
+      |FROM d6 WHERE d > 0 GROUP BY 1
+      |ORDER BY h DESC NULLS LAST, node NULLS FIRST
       |LIMIT 20""".stripMargin
   }
 
@@ -6892,6 +6956,7 @@ object RelationalOps {
         |ORDER BY jq DESC NULLS LAST, v1 NULLS FIRST, v2 NULLS FIRST
         |LIMIT 15""".stripMargin,
     "q_part_components" -> componentsOracleText,
+    "q_part_harmonic" -> harmonicOracleText,
     // the pointer-doubling twin reaches the SAME fixpoint labels (spec:
     // diameter-299 path + fixture bit-equality), so it shares the
     // unrolled oracle verbatim — the bpe_encode_prod precedent

@@ -426,6 +426,48 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("harmonic centrality == driver BFS from the 8 seed pivots") {
+    // independent reference: brute-force BFS over collected edges
+    val ed = graft.io.Tables.lineitem(spark, sf)
+      .where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = ed.groupBy(_._1).values
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    byOrder.foreach { rows =>
+      val ps = rows.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b)
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+    }
+    val seeds = adj.keys.toSeq.sorted.take(8)
+    val hc = scala.collection.mutable.Map[Long, (Long, Long)]()
+    seeds.foreach { s =>
+      val dist = scala.collection.mutable.Map[Long, Long](s -> 0L)
+      var frontier = Set(s)
+      for (d <- 1L to 6L) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = d)
+      }
+      dist.foreach { case (v, d) =>
+        if (d > 0L) {
+          val (h0, n0) = hc.getOrElse(v, (0L, 0L))
+          hc(v) = (h0 + 60L / d, n0 + 1L)
+        }
+      }
+    }
+    val want = hc.toSeq.map { case (v, (h, n)) => (v, h, n) }
+      .sortBy(t => (-t._2, t._1)).take(20)
+    val got = RelationalOps.partHarmonic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"harmonic diverged: ${got.take(5)} vs " +
+      s"${want.take(5)}")
+    got.foreach { case (v, h, n) =>
+      assert(n >= 1L && n <= 8L, s"$v reached by $n seeds")
+      assert(h >= 10L && h <= 480L, s"$v: h=$h out of [10, 480]")
+    }
+  }
+
   test("cox ph == independent brute-force Newton; score0 is the " +
       "logrank O1-E1 identity") {
     val cox = RelationalOps.survCoxPh(spark, sf).collect().head
