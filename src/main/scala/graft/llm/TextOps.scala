@@ -1508,6 +1508,43 @@ object TextOps {
       .orderBy("source", "rnk")
   }
 
+  /** CHAO1 VOCABULARY-RICHNESS ESTIMATE + GOOD–TURING UNSEEN MASS —
+    * the "how much vocabulary have we NOT crawled yet" read behind
+    * every corpus-coverage decision (Chao 1984; Good 1953): per
+    * source and for the whole corpus, the abundance-based richness
+    * floor chao1 = V + F1²/(2F2) (F1 = hapax count, F2 = doubleton
+    * count; the F2 = 0 fallback is the bias-corrected
+    * V + F1(F1−1)/2), and the Good–Turing estimate of the probability
+    * mass of UNSEEN words, F1/N. Fully ORACLE-CHECKABLE: V, N, F1,
+    * F2 are exact BIGINTs and both estimates are single IEEE
+    * expressions over them (factors cast to double BEFORE the
+    * product — F1² overflows BIGINT at web-crawl hapax counts). One
+    * token-count aggregate feeds both grains; the shared relation is
+    * checkpointed (union children don't CSE). */
+  def vocabChao1(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = sourceTokenCounts(spark, sfDir)
+      .localCheckpoint(eager = false) // per-source + corpus consumers
+    def d(c: Column) = c.cast("double")
+    def summarize(g: DataFrame): DataFrame = g.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("f1"),
+        col("f2"),
+        when(col("f2") > 0L,
+          Det.r4(d(col("vocab")) +
+            d(col("f1")) * d(col("f1")) / (lit(2.0) * d(col("f2")))))
+          .otherwise(Det.r4(d(col("vocab")) +
+            d(col("f1")) * (d(col("f1")) - lit(1.0)) / lit(2.0)))
+          .as("chao1"),
+        Det.r4(d(col("f1")) / d(col("n_tokens"))).as("gt_unseen"))
+    val perSrc = summarize(tok)
+    val corp = summarize(
+      tok.groupBy(col("w")).agg(sum(col("c")).as("c"))
+        .select(lit("__corpus__").as("source"), col("w"), col("c")))
+    perSrc.unionByName(corp).orderBy("source")
+  }
+
   /** POPULATION STABILITY INDEX of the document-length distribution,
     * per source vs the whole corpus — THE industry drift monitor
     * (PSI = Σ(p−q)·ln(p/q); > 0.25 conventionally flags a shifted
@@ -2303,6 +2340,7 @@ object TextOps {
     "q_llm_perplexity" -> perplexity _,
     "q_llm_kl_drift" -> klDrift _,
     "q_llm_psi_length" -> psiLength _,
+    "q_llm_vocab_chao1" -> vocabChao1 _,
     "q_llm_mutual_info" -> mutualInfo _,
     "q_llm_entropy_mix" -> entropyMix _,
     "q_llm_drift_tokens" -> driftTokens _,
@@ -2653,6 +2691,44 @@ object TextOps {
         |         ${r4Sql(s"($po - $pe) / (1.0 - $pe)")}
         |       END AS kappa
         |FROM cells""".stripMargin
+    },
+    "q_llm_vocab_chao1" -> {
+      val chao = "CASE WHEN f2 > 0 THEN " +
+        r4Sql("CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE) * " +
+          "CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE))") +
+        " ELSE " +
+        r4Sql("CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE) * " +
+          "(CAST(f1 AS DOUBLE) - 1.0) / 2.0") +
+        " END"
+      s"""WITH tok AS MATERIALIZED (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS w
+        |     FROM documents)
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS f1,
+        |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS f2
+        |  FROM tok GROUP BY 1),
+        |corpc AS (SELECT w, CAST(sum(c) AS BIGINT) AS c
+        |          FROM tok GROUP BY 1),
+        |corps AS (
+        |  SELECT '__corpus__' AS source, CAST(count(*) AS BIGINT)
+        |           AS vocab,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS f1,
+        |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS f2
+        |  FROM corpc),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM corps)
+        |SELECT source, vocab, n_tokens, f1, f2, $chao AS chao1,
+        |       ${r4Sql("CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+        |         AS gt_unseen
+        |FROM u ORDER BY source NULLS FIRST""".stripMargin
     },
     "q_llm_filter_cochran_q" -> {
       val num = "(3 * (CAST(c1 AS HUGEINT) * c1 + " +

@@ -1671,6 +1671,38 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("chao1 == driver fold; chao1 >= vocab; gt_unseen in [0,1]") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val toks = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map((r.getString(0), _)))
+    val cnt = scala.collection.mutable.Map[(String, String), Long]()
+    toks.foreach(k => cnt(k) = cnt.getOrElse(k, 0L) + 1L)
+    def row(source: String, cs: Seq[Long]) = {
+      val v = cs.size.toLong; val n = cs.sum
+      val f1 = cs.count(_ == 1L).toLong; val f2 = cs.count(_ == 2L).toLong
+      val chao = if (f2 > 0L)
+        r4(v.toDouble + f1.toDouble * f1.toDouble / (2.0 * f2.toDouble))
+      else r4(v.toDouble + f1.toDouble * (f1.toDouble - 1.0) / 2.0)
+      (source, v, n, f1, f2, chao, r4(f1.toDouble / n.toDouble))
+    }
+    val per = cnt.toSeq.groupBy(_._1._1).toSeq
+      .map { case (s, xs) => row(s, xs.map(_._2)) }
+    val corpC = cnt.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2).sum).values.toSeq
+    val want = (per :+ row("__corpus__", corpC)).sortBy(_._1)
+    val got = graft.llm.TextOps.vocabChao1(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toSeq
+    assert(got == want, s"chao1 diverged: ${got.take(3)} vs " +
+      s"${want.take(3)}")
+    got.foreach { case (s, v, _, _, _, chao, gt) =>
+      assert(chao >= v.toDouble - 1e-9, s"$s: chao1 $chao below V $v")
+      assert(gt >= 0.0 && gt <= 1.0, s"$s: gt_unseen $gt")
+    }
+  }
+
   test("psi length == driver fold over integer bins; psi >= 0") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val docs = graft.io.Tables.documents(spark, sf)
