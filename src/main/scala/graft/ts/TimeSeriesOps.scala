@@ -3593,6 +3593,53 @@ object TimeSeriesOps {
       .toDF("g", "x", "w", "y_mean", "y_fit")
   }
 
+  /** FANO DISPERSION INDEX + BURSTINESS of event arrivals — the
+    * point-process read the anomaly family lacked: is each type's
+    * hourly arrival process Poisson-like (VMR ≈ 1), regular (< 1) or
+    * bursty (> 1)? Counts come from the COMPLETE hourly spine
+    * (empty hours count as 0 — dispersion over a gappy grid lies),
+    * VMR = s²/x̄ reduces to the exact-integer ratio
+    * (n·Σc² − (Σc)²) / ((n−1)·Σc) (DECIMAL(38,0)/HUGEINT products,
+    * one double division), and burstiness B = (σ−μ)/(σ+μ)
+    * (Goh & Barabási 2008) rides one IEEE sqrt of the same exact
+    * integers — fully ORACLE-CHECKABLE. One count aggregate + a
+    * types × spine grid, all bounded by calendar span. */
+  def tsFano(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // types + grid join
+    val ext = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = ext.select(explode(
+      expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+    val grid = c.select(col("event_type")).distinct()
+      .crossJoin(spine)
+      .join(c, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+    val s = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    def dd(x: org.apache.spark.sql.Column) = x.cast("double")
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    val num = dec(col("n")) * col("sc2") - dec(col("sc")) * col("sc")
+    val den = dec(col("n") - lit(1L)) * col("sc")
+    val mean = dd(col("sc")) / dd(col("n"))
+    val sigma = sqrt(num.cast("double") /
+      (dd(col("n")) * (dd(col("n")) - lit(1.0))))
+    s.select(col("event_type"), col("n").as("n_buckets"),
+        col("sc").as("n_events"),
+        Det.r4(mean).as("mean_rate"),
+        when(den > lit(0),
+          Det.r4(num.cast("double") / den.cast("double")))
+          .otherwise(lit(null)).as("vmr"),
+        when(col("sc") > 0L && col("n") > 1L,
+          Det.r4((sigma - mean) / (sigma + mean)))
+          .otherwise(lit(null)).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** LOCALLY-ADAPTIVE (Mondrian-style) SPLIT CONFORMAL — the
     * [[tsConformal]] ∘ [[tsIsotonic]] compose: instead of one fixed
     * q90 band per series, the band width varies with hour-of-day
@@ -3973,6 +4020,7 @@ object TimeSeriesOps {
     "q_ts_conformal" -> tsConformal _,
     "q_ts_isotonic" -> tsIsotonic _,
     "q_ts_conformal_iso" -> tsConformalIso _,
+    "q_ts_fano" -> tsFano _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
@@ -4877,6 +4925,41 @@ object TimeSeriesOps {
         |  ON b.event_type = a.event_type
         | AND b.bucket + INTERVAL '7 days' = a.bucket
         |ORDER BY a.event_type NULLS FIRST, a.bucket NULLS FIRST""".stripMargin,
+    "q_ts_fano" -> {
+      val num = "(CAST(n AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc)"
+      val den = "(CAST(n - 1 AS HUGEINT) * sc)"
+      val mean = "(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))"
+      val sigma = s"sqrt(CAST($num AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
+      s"""WITH c0 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT unnest(generate_series(
+        |        (SELECT date_trunc('hour', min(ts)) FROM events),
+        |        (SELECT date_trunc('hour', max(ts)) FROM events),
+        |        INTERVAL '1 hour')) AS bucket),
+        |t AS (SELECT DISTINCT event_type FROM c0),
+        |grid AS (
+        |  SELECT t.event_type, g.bucket, COALESCE(c.c, 0) AS c
+        |  FROM t CROSS JOIN g
+        |  LEFT JOIN c0 c ON c.event_type = t.event_type
+        |    AND c.bucket = g.bucket),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(c) AS BIGINT) AS sc,
+        |         CAST(sum(c * c) AS BIGINT) AS sc2
+        |  FROM grid GROUP BY 1)
+        |SELECT event_type, n AS n_buckets, sc AS n_events,
+        |       ${Det.r4Sql(mean)} AS mean_rate,
+        |       CASE WHEN $den > 0 THEN
+        |         ${Det.r4Sql(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)")}
+        |       END AS vmr,
+        |       CASE WHEN sc > 0 AND n > 1 THEN
+        |         ${Det.r4Sql(s"($sigma - $mean) / ($sigma + $mean)")}
+        |       END AS burstiness
+        |FROM s ORDER BY event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_timeslice" ->
       s"""WITH r AS (
         |  SELECT event_type,

@@ -793,6 +793,49 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("fano: events conserved, vmr == driver ratio, burstiness " +
+      "in [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val got = TimeSeriesOps.tsFano(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(got.nonEmpty)
+    // event conservation per type (spine only adds zero hours)
+    val evCnt = graft.io.Tables.events(spark, sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    got.foreach { case (t, nb, ne, vmr, b) =>
+      assert(ne == evCnt(t), s"$t: events not conserved $ne")
+      assert(nb >= 1L)
+      vmr.foreach(v => assert(v >= 0.0, s"$t: negative VMR $v"))
+      b.foreach(x => assert(x >= -1.0 - 1e-9 && x <= 1.0 + 1e-9,
+        s"$t: burstiness $x"))
+    }
+    // driver recompute of the exact integer ratio for one type
+    val (t0, nb0, ne0, vmr0, _) = got.head
+    val hrs = graft.io.Tables.events(spark, sf)
+      .where(col("event_type") === t0)
+      .select(expr("unix_micros(date_trunc('hour', ts))")).collect()
+      .map(_.getLong(0))
+    val all = graft.io.Tables.events(spark, sf)
+      .select(expr("unix_micros(date_trunc('hour', ts))")).collect()
+      .map(_.getLong(0))
+    val (lo, hi) = (all.min, all.max)
+    val n = (hi - lo) / 3600000000L + 1L
+    assert(n == nb0, s"spine length $n != $nb0")
+    val byH = hrs.groupBy(identity).view.mapValues(_.size.toLong)
+    val cs = (0L until n).map(k => byH.getOrElse(lo + k * 3600000000L, 0L))
+    val sc = cs.sum; val sc2 = cs.map(c => c * c).sum
+    assert(sc == ne0)
+    val num = BigInt(n) * sc2 - BigInt(sc) * sc
+    val den = BigInt(n - 1L) * sc
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val wantV = if (den > 0) Some(r4(num.toDouble / den.toDouble))
+                else None
+    assert(vmr0 == wantV, s"$t0: vmr $vmr0 != $wantV")
+  }
+
   test("conformal_iso == independent driver reference (split, PAV " +
       "sigma, exact-rank q90n, coverage)") {
     import org.apache.spark.sql.functions._
