@@ -1508,6 +1508,61 @@ object TextOps {
       .orderBy("source", "rnk")
   }
 
+  /** ENERGY DISTANCE (Székely & Rizzo 2004) between each source's
+    * document-length distribution and the REST of the corpus — the
+    * metric two-sample distance that sees location AND shape shifts
+    * the KS/TV pair can miss, and (unlike PSI) needs no binning:
+    * E = 2·E|X−Y| − E|X−X′| − E|Y−Y′|, ≥ 0 with equality iff the
+    * distributions match. Fully ORACLE-CHECKABLE: every pairwise
+    * expectation reduces at the distinct-value grid to
+    * Σₓ h(x)·(x·B₍<₎ − S₍<₎ + S₍>₎ − x·B₍>₎) with exclusive
+    * prefix/suffix count-and-sum windows — pure BIGINT/DECIMAL(38,0)
+    * integer work (the cliffs-delta two-pass shape, never an O(n²)
+    * pair join), divided once as doubles with factors cast first.
+    * Grid = sources × distinct lengths — value-grain bounded. */
+  def energyDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid + corpus roll-up
+    val corpV = byV.groupBy(col("x")).agg(sum(col("c")).as("ct"))
+    val grid = byV.select(col("source")).distinct()
+      .crossJoin(corpV)
+      .join(byV, Seq("source", "x"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("hr", col("ct") - col("c"))
+    val wLt = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGt = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    def dec(e: Column) = e.cast("decimal(38,0)")
+    def walk(h: Column, b: Column): Column = {
+      val blt = coalesce(sum(b).over(wLt), lit(0L))
+      val slt = coalesce(sum(col("x") * b).over(wLt), lit(0L))
+      val bgt = coalesce(sum(b).over(wGt), lit(0L))
+      val sgt = coalesce(sum(col("x") * b).over(wGt), lit(0L))
+      dec(h) * (dec(col("x")) * blt - slt + sgt - dec(col("x")) * bgt)
+    }
+    val s = grid
+      .select(col("source"), col("x"), col("c"), col("hr"),
+        walk(col("c"), col("hr")).as("tab"),
+        walk(col("c"), col("c")).as("taa"),
+        walk(col("hr"), col("hr")).as("tbb"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("ns"), sum(col("hr")).as("nr"),
+        sum(col("tab")).as("ab"), sum(col("taa")).as("aa"),
+        sum(col("tbb")).as("bb"))
+    def d(e: Column) = e.cast("double")
+    s.select(col("source"), col("ns"), col("nr"),
+        when(col("ns") > 0L && col("nr") > 0L,
+          Det.r4(lit(2.0) * d(col("ab")) / (d(col("ns")) * d(col("nr")))
+            - d(col("aa")) / (d(col("ns")) * d(col("ns")))
+            - d(col("bb")) / (d(col("nr")) * d(col("nr")))))
+          .otherwise(lit(null)).as("e_dist"))
+      .orderBy("source")
+  }
+
   /** CHAO1 VOCABULARY-RICHNESS ESTIMATE + GOOD–TURING UNSEEN MASS —
     * the "how much vocabulary have we NOT crawled yet" read behind
     * every corpus-coverage decision (Chao 1984; Good 1953): per
@@ -2341,6 +2396,7 @@ object TextOps {
     "q_llm_kl_drift" -> klDrift _,
     "q_llm_psi_length" -> psiLength _,
     "q_llm_vocab_chao1" -> vocabChao1 _,
+    "q_llm_energy_dist" -> energyDistance _,
     "q_llm_mutual_info" -> mutualInfo _,
     "q_llm_entropy_mix" -> entropyMix _,
     "q_llm_drift_tokens" -> driftTokens _,
@@ -2691,6 +2747,49 @@ object TextOps {
         |         ${r4Sql(s"($po - $pe) / (1.0 - $pe)")}
         |       END AS kappa
         |FROM cells""".stripMargin
+    },
+    "q_llm_energy_dist" -> {
+      def w(agg: String, frame: String) =
+        s"COALESCE(sum($agg) OVER (PARTITION BY source " +
+          s"ORDER BY x NULLS FIRST ROWS BETWEEN $frame), 0)"
+      def walk(h: String, b: String) =
+        s"CAST($h AS HUGEINT) * (CAST(x AS HUGEINT) * " +
+          w(b, "UNBOUNDED PRECEDING AND 1 PRECEDING") +
+          s" - ${w(s"x * $b", "UNBOUNDED PRECEDING AND 1 PRECEDING")}" +
+          s" + ${w(s"x * $b", "1 FOLLOWING AND UNBOUNDED FOLLOWING")}" +
+          s" - CAST(x AS HUGEINT) * " +
+          w(b, "1 FOLLOWING AND UNBOUNDED FOLLOWING") + ")"
+      val e = "2.0 * CAST(ab AS DOUBLE) / " +
+        "(CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE)) - " +
+        "CAST(aa AS DOUBLE) / (CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE))" +
+        " - CAST(bb AS DOUBLE) / " +
+        "(CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE))"
+      s"""WITH byv AS MATERIALIZED (
+        |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |corpv AS (SELECT x, CAST(sum(c) AS BIGINT) AS ct
+        |          FROM byv GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, corpv.x, COALESCE(byv.c, 0) AS c,
+        |         corpv.ct - COALESCE(byv.c, 0) AS hr
+        |  FROM (SELECT DISTINCT source FROM byv) s
+        |  CROSS JOIN corpv
+        |  LEFT JOIN byv ON byv.source = s.source AND byv.x = corpv.x),
+        |t AS (
+        |  SELECT source, c, hr,
+        |         ${walk("c", "hr")} AS tab,
+        |         ${walk("c", "c")} AS taa,
+        |         ${walk("hr", "hr")} AS tbb
+        |  FROM grid),
+        |s AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+        |         CAST(sum(hr) AS BIGINT) AS nr,
+        |         sum(tab) AS ab, sum(taa) AS aa, sum(tbb) AS bb
+        |  FROM t GROUP BY 1)
+        |SELECT source, ns, nr,
+        |       CASE WHEN ns > 0 AND nr > 0 THEN ${r4Sql(e)} END
+        |         AS e_dist
+        |FROM s ORDER BY source NULLS FIRST""".stripMargin
     },
     "q_llm_vocab_chao1" -> {
       val chao = "CASE WHEN f2 > 0 THEN " +

@@ -1671,6 +1671,36 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("energy distance == O(n^2) driver reference; e >= 0") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    def meanAbs(a: Seq[Long], b: Seq[Long]): (BigInt, Long) = {
+      var s = BigInt(0)
+      a.foreach(x => b.foreach(y => s += (x - y).abs))
+      (s, a.size.toLong * b.size.toLong)
+    }
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, rows) =>
+        val xs = rows.map(_._2)
+        val ys = docs.filter(_._1 != src).map(_._2)
+        val (ab, nab) = meanAbs(xs, ys)
+        val (aa, naa) = meanAbs(xs, xs)
+        val (bb, nbb) = meanAbs(ys, ys)
+        val e = 2.0 * ab.toDouble / nab.toDouble -
+          aa.toDouble / naa.toDouble - bb.toDouble / nbb.toDouble
+        (src, xs.size.toLong, ys.size.toLong, r4(e))
+    }
+    val got = graft.llm.TextOps.energyDistance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"energy dist diverged: ${got.take(3)} vs " +
+      s"${want.take(3)}")
+    got.foreach { case (s, _, _, e) =>
+      assert(e >= -1e-6, s"$s: negative energy distance $e") }
+  }
+
   test("chao1 == driver fold; chao1 >= vocab; gt_unseen in [0,1]") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val toks = graft.io.Tables.documents(spark, sf)
