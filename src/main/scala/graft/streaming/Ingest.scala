@@ -109,6 +109,11 @@ case class KsScore(t: String, n: Long, m: Long, d_num: Long, d: Double,
 /** A (source, doc length) arrival for the per-source KS monitor. */
 case class SourceDoc(source: String, n_chars: Long)
 
+/** One live PSI score: the 1e12-quantized sum (the batch query's
+  * exact accumulator) and its IEEE ratio. */
+case class PsiScore(t: String, n: Long, m: Long, psq: Long, psi: Double,
+  buckets: Long)
+
 /** Live Kruskal–Wallis state: per-(group, bucket) exact counts —
   * bounded by |groups| × the calibrated bucket alphabet. */
 case class KwState(counts: Map[String, Map[Long, Long]])
@@ -874,6 +879,64 @@ object Ingest {
       val b = (if (i >= 0) i + 1 else -i - 1).toLong
       srcs.toSeq.map(s => KsEvent(s, s != d.source, b))
     })
+  }
+
+  /** LIVE PSI MONITOR — q_llm_psi_length gone online: per source, the
+    * population stability index of the BINNED length distribution vs
+    * the whole corpus after every micro-batch. Bins come from the
+    * calibrated [lo, hi] extent (the batch query's integer-bin
+    * formula, clamped for out-of-calibration arrivals); each doc
+    * routes as a TEST event to its own source and as a REFERENCE
+    * copy to every listed source (the corpus INCLUDES self — exactly
+    * the batch convention), so each group owns both histograms
+    * (state ≤ 2×10 longs). The emit replays the batch fold verbatim:
+    * add-one-smoothed (p−q)·ln(p/q) per bin, floor-quantized at 1e12
+    * and summed as a Long — calibrated at the batch extent the final
+    * score equals q_llm_psi_length bit-for-bit (spec'd under two
+    * batchings). Histogram adds are commutative: order-free. */
+  def psiBySourceMonitor(docs: Dataset[SourceDoc], lo: Long, hi: Long,
+      sources: Seq[String]): Dataset[PsiScore] = {
+    import docs.sparkSession.implicits._
+    val srcs = sources.toArray
+    val routed = docs.flatMap { d =>
+      val b = math.min(9L, math.max(0L,
+        ((d.n_chars - lo) * 10L) / (hi - lo + 1L)))
+      KsEvent(d.source, false, b) +:
+        srcs.toSeq.map(s => KsEvent(s, true, b))
+    }
+    routed.groupByKey(_.t)
+      .flatMapGroupsWithState[KsState, PsiScore](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (t: String, rows: Iterator[KsEvent], state: GroupState[KsState]) =>
+          var st = state.getOption.getOrElse(
+            KsState(Map.empty[Long, Long], Map.empty[Long, Long]))
+          rows.foreach { e =>
+            st =
+              if (e.isRef) st.copy(ref = st.ref +
+                (e.bucket -> (st.ref.getOrElse(e.bucket, 0L) + 1L)))
+              else st.copy(test = st.test +
+                (e.bucket -> (st.test.getOrElse(e.bucket, 0L) + 1L)))
+          }
+          state.update(st)
+          val n = st.test.values.sum
+          val m = st.ref.values.sum
+          if (n == 0L || m == 0L) Iterator.empty
+          else {
+            var psq = 0L
+            (0L to 9L).foreach { b =>
+              val p = (st.test.getOrElse(b, 0L).toDouble + 1.0) /
+                (n.toDouble + 10.0)
+              val q = (st.ref.getOrElse(b, 0L).toDouble + 1.0) /
+                (m.toDouble + 10.0)
+              psq += math.floor((p - q) * StrictMath.log(p / q) * 1.0e12)
+                .toLong
+            }
+            Iterator.single(PsiScore(t, n, m, psq,
+              psq.toDouble / 1.0e12,
+              (st.test.keySet ++ st.ref.keySet).size.toLong))
+          }
+      }
   }
 
   /** LIVE KRUSKAL–WALLIS MONITOR — q_agg_kruskal_wallis gone online:

@@ -686,6 +686,48 @@ class StreamingSpec extends AnyFunSuite {
       "batching changed the final per-source scores")
   }
 
+  test("s_psi_by_source: live scores equal the batch query at the " +
+      "calibrated extent; order-free") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val batch = graft.llm.TextOps.psiLength(sp, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val docs = graft.io.Tables.documents(sp, sf)
+      .select(col("source"), col("n_chars").cast("long").as("n_chars"))
+      .as[SourceDoc].collect().toSeq
+    val sources = docs.map(_.source).distinct.sorted
+    val lo = docs.map(_.n_chars).min
+    val hi = docs.map(_.n_chars).max
+    def lastScores(feed: Seq[Seq[SourceDoc]], name: String)
+        : Map[String, (Long, Double)] = {
+      val in = MemoryStream[SourceDoc]
+      val q = runToMemory(
+        Ingest.psiBySourceMonitor(in.toDS(), lo, hi, sources).toDF(),
+        name)
+      feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      sp.sql(s"SELECT t, n, m, psq, buckets FROM $name").collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          val r = rows.last
+          assert(r.getLong(4) <= 10L, s"$t: bin alphabet exceeded 10")
+          assert(r.getLong(2) == docs.length.toLong,
+            s"$t: corpus reference incomplete: ${r.getLong(2)}")
+          t -> ((r.getLong(1), r4(r.getLong(3).toDouble / 1.0e12)))
+        }
+    }
+    val (a, b) = docs.splitAt(docs.length / 3)
+    val got = lastScores(Seq(a, b), "psi_live")
+    assert(got == batch,
+      s"live PSI diverges from batch: ${(got.toSet -- batch.toSet).take(3)}")
+    val (x, y) = docs.reverse.splitAt(docs.length / 5)
+    assert(lastScores(Seq(x, y), "psi_live2") == batch,
+      "batching changed the final PSI scores")
+  }
+
   test("s_tv_monitor: value-grain live scores equal the batch query; " +
       "order-free") {
     val sp = spark
