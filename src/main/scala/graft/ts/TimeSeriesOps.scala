@@ -3593,6 +3593,70 @@ object TimeSeriesOps {
       .toDF("g", "x", "w", "y_mean", "y_fit")
   }
 
+  /** HOEFFDING'S D independence test between paired hourly series —
+    * the nonparametric test that catches NON-MONOTONE dependence
+    * (a U-shaped load/error relationship) where the whole
+    * corr/spearman/kendall ladder reads ≈ 0 (Hoeffding 1948). Ranks
+    * use the STRICT (value, bucket) total order (the engine's
+    * established tie-break; ranks are then a permutation and the
+    * classical no-ties formula is exact):
+    * D = 30·((n−2)(n−3)D₁ + D₂ − 2(n−2)D₃) / (n…(n−4)) with
+    * D₁ = ΣQᵢ(Qᵢ−1), D₂ = Σ(Rᵢ−1)(Rᵢ−2)(Sᵢ−1)(Sᵢ−2),
+    * D₃ = Σ(Rᵢ−2)(Sᵢ−2)Qᵢ, Qᵢ = #{j : Rⱼ < Rᵢ ∧ Sⱼ < Sᵢ} — ALL
+    * exact integers (DECIMAL(38,0)/HUGEINT accumulators), one double
+    * division with denominator factors cast first. Qᵢ comes from a
+    * per-pair self-join at BUCKET grain — bounded by the calendar
+    * span squared, independent of row count, so the shape survives
+    * 100× data. NULL below n = 5. */
+  def tsHoeffding(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = h1.select(col("event_type").as("ma"), col("bucket"),
+      col("v").as("va"))
+    val b = h1.select(col("event_type").as("mb"), col("bucket"),
+      col("v").as("vb"))
+    val wx = Window.partitionBy(col("ma"), col("mb"))
+      .orderBy(col("va"), col("bucket"))
+    val wy = Window.partitionBy(col("ma"), col("mb"))
+      .orderBy(col("vb"), col("bucket"))
+    val ranked = a.join(b, "bucket").where(col("ma") < col("mb"))
+      .withColumn("r", row_number().over(wx).cast("long"))
+      .withColumn("s", row_number().over(wy).cast("long"))
+      .select(col("ma"), col("mb"), col("r"), col("s"))
+      .localCheckpoint(eager = false) // both sides of the Q join
+    val j = ranked.select(col("ma"), col("mb"), col("r").as("rj"),
+      col("s").as("sj"))
+    val q = ranked.as("i")
+      .join(j.as("jj"),
+        col("i.ma") === col("jj.ma") && col("i.mb") === col("jj.mb") &&
+          col("jj.rj") < col("i.r") && col("jj.sj") < col("i.s"),
+        "left")
+      .groupBy(col("i.ma").as("ma"), col("i.mb").as("mb"),
+        col("i.r").as("r"), col("i.s").as("s"))
+      .agg(count(col("jj.rj")).as("qn"))
+    def dec(e: org.apache.spark.sql.Column) = e.cast("decimal(38,0)")
+    val st = q.groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("qn")) * (col("qn") - lit(1L))).as("d1"),
+        sum(dec((col("r") - lit(1L)) * (col("r") - lit(2L))) *
+          ((col("s") - lit(1L)) * (col("s") - lit(2L)))).as("d2"),
+        sum(dec(col("r") - lit(2L)) * (col("s") - lit(2L)) *
+          col("qn")).as("d3"))
+    def d(e: org.apache.spark.sql.Column) = e.cast("double")
+    val num = dec((col("n") - lit(2L)) * (col("n") - lit(3L))) *
+      col("d1") + col("d2") -
+      lit(2) * dec(col("n") - lit(2L)) * col("d3")
+    val den = d(col("n")) * (d(col("n")) - lit(1.0)) *
+      (d(col("n")) - lit(2.0)) * (d(col("n")) - lit(3.0)) *
+      (d(col("n")) - lit(4.0))
+    st.select(col("ma"), col("mb"), col("n"),
+        when(col("n") >= 5L,
+          Det.r4(lit(30.0) * num.cast("double") / den))
+          .otherwise(lit(null)).as("d"))
+      .orderBy("ma", "mb")
+  }
+
   /** FANO DISPERSION INDEX + BURSTINESS of event arrivals — the
     * point-process read the anomaly family lacked: is each type's
     * hourly arrival process Poisson-like (VMR ≈ 1), regular (< 1) or
@@ -4021,6 +4085,7 @@ object TimeSeriesOps {
     "q_ts_isotonic" -> tsIsotonic _,
     "q_ts_conformal_iso" -> tsConformalIso _,
     "q_ts_fano" -> tsFano _,
+    "q_ts_hoeffding" -> tsHoeffding _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
@@ -4925,6 +4990,48 @@ object TimeSeriesOps {
         |  ON b.event_type = a.event_type
         | AND b.bucket + INTERVAL '7 days' = a.bucket
         |ORDER BY a.event_type NULLS FIRST, a.bucket NULLS FIRST""".stripMargin,
+    "q_ts_hoeffding" -> {
+      val num = "(CAST((n - 2) * (n - 3) AS HUGEINT) * d1 + d2 - " +
+        "2 * CAST(n - 2 AS HUGEINT) * d3)"
+      val den = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * " +
+        "(CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0) * " +
+        "(CAST(n AS DOUBLE) - 4.0))"
+      s"""WITH h1 AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS MATERIALIZED (
+        |  SELECT a.event_type AS ma, b.event_type AS mb, a.bucket,
+        |         a.v AS va, b.v AS vb
+        |  FROM h1 a JOIN h1 b ON a.bucket = b.bucket
+        |  WHERE a.event_type < b.event_type),
+        |ranked AS MATERIALIZED (
+        |  SELECT ma, mb,
+        |         CAST(row_number() OVER (PARTITION BY ma, mb
+        |           ORDER BY va NULLS FIRST, bucket NULLS FIRST)
+        |           AS BIGINT) AS r,
+        |         CAST(row_number() OVER (PARTITION BY ma, mb
+        |           ORDER BY vb NULLS FIRST, bucket NULLS FIRST)
+        |           AS BIGINT) AS s
+        |  FROM p),
+        |q AS MATERIALIZED (
+        |  SELECT i.ma, i.mb, i.r, i.s, CAST(count(j.r) AS BIGINT) AS qn
+        |  FROM ranked i LEFT JOIN ranked j
+        |    ON j.ma = i.ma AND j.mb = i.mb AND j.r < i.r AND j.s < i.s
+        |  GROUP BY 1, 2, 3, 4),
+        |st AS (
+        |  SELECT ma, mb, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(qn AS HUGEINT) * (qn - 1)) AS d1,
+        |         sum(CAST((r - 1) * (r - 2) AS HUGEINT) *
+        |             ((s - 1) * (s - 2))) AS d2,
+        |         sum(CAST(r - 2 AS HUGEINT) * (s - 2) * qn) AS d3
+        |  FROM q GROUP BY 1, 2)
+        |SELECT ma, mb, n,
+        |       CASE WHEN n >= 5 THEN
+        |         ${Det.r4Sql(s"30.0 * CAST($num AS DOUBLE) / $den")}
+        |       END AS d
+        |FROM st ORDER BY ma NULLS FIRST, mb NULLS FIRST""".stripMargin
+    },
     "q_ts_fano" -> {
       val num = "(CAST(n AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc)"
       val den = "(CAST(n - 1 AS HUGEINT) * sc)"

@@ -793,6 +793,52 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("hoeffding d == O(n^2) driver reference; d in [-0.5, 1]") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val h1 = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getDouble(2)))
+    val types = h1.map(_._1).distinct.sorted
+    val byT = h1.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).toMap).toMap
+    val want = (for {
+      ma <- types; mb <- types if ma < mb
+    } yield {
+      val shared = byT(ma).keySet.intersect(byT(mb).keySet).toSeq
+      val pts = shared.map(b => (byT(ma)(b), byT(mb)(b), b))
+      val n = pts.length.toLong
+      // strict (value, bucket) total-order ranks
+      val rIdx = pts.sortBy(p => (p._1, p._3)).zipWithIndex
+        .map { case (p, i) => p._3 -> (i + 1L) }.toMap
+      val sIdx = pts.sortBy(p => (p._2, p._3)).zipWithIndex
+        .map { case (p, i) => p._3 -> (i + 1L) }.toMap
+      val rs = pts.map(p => (rIdx(p._3), sIdx(p._3)))
+      var d1 = BigInt(0); var d2 = BigInt(0); var d3 = BigInt(0)
+      rs.foreach { case (r, s) =>
+        val q = rs.count { case (rj, sj) => rj < r && sj < s }.toLong
+        d1 += BigInt(q) * (q - 1L)
+        d2 += BigInt((r - 1L) * (r - 2L)) * ((s - 1L) * (s - 2L))
+        d3 += BigInt(r - 2L) * (s - 2L) * q
+      }
+      val num = BigInt((n - 2L) * (n - 3L)) * d1 + d2 -
+        2 * BigInt(n - 2L) * d3
+      val den = n.toDouble * (n.toDouble - 1.0) * (n.toDouble - 2.0) *
+        (n.toDouble - 3.0) * (n.toDouble - 4.0)
+      val dv = if (n >= 5L) Some(r4(30.0 * num.toDouble / den)) else None
+      (ma, mb, n, dv)
+    }).toSeq
+    val got = TimeSeriesOps.tsHoeffding(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == want, s"hoeffding diverged: ${got.take(3)} vs " +
+      s"${want.take(3)}")
+    got.foreach { case (ma, mb, _, dv) =>
+      dv.foreach(x => assert(x >= -0.5 - 1e-9 && x <= 1.0 + 1e-9,
+        s"($ma,$mb): D=$x out of range"))
+    }
+  }
+
   test("fano: events conserved, vmr == driver ratio, burstiness " +
       "in [-1, 1]") {
     import org.apache.spark.sql.functions._
