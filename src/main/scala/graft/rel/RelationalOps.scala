@@ -4964,6 +4964,100 @@ object RelationalOps {
       .orderBy("source")
   }
 
+  /** KUIPER'S TEST per source vs the rest — [[ksBySource]]'s circular
+    * / tail-sensitive sibling (Kuiper 1960): V = D⁺ + D⁻ sums the
+    * largest ECDF excursions in BOTH directions, so a shift that
+    * pushes one tail up and the other down (invisible to a one-sided
+    * sup) scores fully, and the statistic is invariant to cyclic
+    * shifts of the domain. Identical exact-integer scaffolding: the
+    * per-value gap i·m − j·n is an exact DECIMAL(19,0) product; D⁺ =
+    * max(gap) and D⁻ = max(−gap) are each ≥ 0 automatically (the
+    * final grid row is always 0). One grid pass, all integer. */
+  def kuiperBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    def dcl(c: Column) = c.cast("decimal(19,0)")
+    val g = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false) // totals + sources + grid join
+    val tot = g.groupBy(col("n_chars")).agg(sum(col("c1")).as("ct"))
+    val sources = g.select(col("source")).distinct()
+    val grid = broadcast(sources).crossJoin(tot)
+      .join(g, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c1"))
+      .withColumn("c2", col("ct") - col("c1"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val gap = dcl(col("i")) * dcl(col("m")) - dcl(col("j")) * dcl(col("n"))
+    val vTxt = (col("dp") + col("dm")).cast("double") /
+      (col("n").cast("double") * col("m").cast("double"))
+    grid
+      .withColumn("i", sum(col("c1")).over(wCum))
+      .withColumn("j", sum(col("c2")).over(wCum))
+      .withColumn("n", sum(col("c1")).over(wAll))
+      .withColumn("m", sum(col("c2")).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        max(gap).as("dp"),
+        max(dcl(col("j")) * dcl(col("n")) -
+          dcl(col("i")) * dcl(col("m"))).as("dm"))
+      .select(col("source"), col("n"), col("m"),
+        (col("dp") + col("dm")).cast("long").as("v_num"),
+        Det.r4(vTxt).as("v"),
+        Det.r4(vTxt *
+          sqrt(col("n").cast("double") * col("m").cast("double") /
+            (col("n").cast("double") + col("m").cast("double"))))
+          .as("stat"))
+      .orderBy("source")
+  }
+
+  /** WASSERSTEIN-1 (earth mover's) DISTANCE per source vs the rest —
+    * the third member of the KS/Kuiper ECDF family: W₁ = ∫|F₁ − F₂|dx
+    * reports HOW FAR mass must move (in characters), not just the
+    * worst gap — the metric the mixing literature quotes for length
+    * re-balancing. On the sorted distinct-value grid it is EXACTLY
+    * Σ |i·m − j·n|·(x₊₁ − x) / (n·m): per-value gap products in
+    * DECIMAL(19,0), weighted by the integer step to the NEXT grid
+    * value (last row has no step and drops), summed in DECIMAL(38,0)
+    * — integer-exact to the single final division. */
+  def wassersteinBySource(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    def dcl(c: Column) = c.cast("decimal(19,0)")
+    val g = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false) // totals + sources + grid join
+    val tot = g.groupBy(col("n_chars")).agg(sum(col("c1")).as("ct"))
+    val sources = g.select(col("source")).distinct()
+    val grid = broadcast(sources).crossJoin(tot)
+      .join(g, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c1"))
+      .withColumn("c2", col("ct") - col("c1"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val wLead = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val gap = abs(dcl(col("i")) * dcl(col("m")) -
+      dcl(col("j")) * dcl(col("n")))
+    grid
+      .withColumn("i", sum(col("c1")).over(wCum))
+      .withColumn("j", sum(col("c2")).over(wCum))
+      .withColumn("n", sum(col("c1")).over(wAll))
+      .withColumn("m", sum(col("c2")).over(wAll))
+      .withColumn("nx", lead(col("n_chars"), 1).over(wLead))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        sum(when(col("nx").isNotNull,
+          gap.cast("decimal(38,0)") * (col("nx") - col("n_chars")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("wnum"))
+      .select(col("source"), col("n"), col("m"),
+        col("wnum").cast("long").as("w_num"),
+        Det.r4(col("wnum").cast("double") /
+          (col("n").cast("double") * col("m").cast("double")))
+          .as("w1"))
+      .orderBy("source")
+  }
+
   /** CRAMÉR–VON MISES two-sample drift per event type vs the 'view'
     * baseline — [[ksDrift]]'s integral-squared sibling (KS sees only
     * the single worst ECDF gap; ω² = ∫(F₁−F₂)²dH_N weights EVERY gap,
@@ -5186,6 +5280,8 @@ object RelationalOps {
     "q_dq_purity" -> dqPurity _,
     "q_agg_ks_drift" -> ksDrift _,
     "q_agg_ks_by_source" -> ksBySource _,
+    "q_agg_kuiper_by_source" -> kuiperBySource _,
+    "q_agg_wasserstein_by_source" -> wassersteinBySource _,
     "q_agg_bh_fdr" -> ((s: SparkSession, d: String) => bhFdr(s, d)),
     "q_agg_cvm_drift" -> cvmDrift _,
     "q_agg_mcnemar" -> aggMcnemar _,
@@ -6228,6 +6324,88 @@ object RelationalOps {
         |SELECT source, n, m, CAST(dnum AS BIGINT) AS d_num,
         |       ${Det.r4Sql(dTxt)} AS d,
         |       ${Det.r4Sql(lamTxt)} AS lam
+        |FROM agg
+        |ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "q_agg_kuiper_by_source" -> {
+      val vTxt = "CAST(dp + dm AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(m AS DOUBLE))"
+      val statTxt = s"$vTxt * sqrt(CAST(n AS DOUBLE) * CAST(m AS DOUBLE)" +
+        " / (CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))"
+      s"""WITH g AS MATERIALIZED (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c1
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT n_chars, CAST(sum(c1) AS BIGINT) AS ct
+        |        FROM g GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source FROM g),
+        |grid AS (
+        |  SELECT s.source, t.n_chars,
+        |         COALESCE(g.c1, CAST(0 AS BIGINT)) AS c1,
+        |         t.ct - COALESCE(g.c1, CAST(0 AS BIGINT)) AS c2
+        |  FROM srcs s CROSS JOIN tot t
+        |  LEFT JOIN g ON g.source = s.source AND g.n_chars = t.n_chars),
+        |cum AS (
+        |  SELECT source,
+        |         CAST(sum(c1) OVER w AS BIGINT) AS i,
+        |         CAST(sum(c2) OVER w AS BIGINT) AS j,
+        |         CAST(sum(c1) OVER (PARTITION BY source) AS BIGINT) AS n,
+        |         CAST(sum(c2) OVER (PARTITION BY source) AS BIGINT) AS m
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY source ORDER BY n_chars NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT source, max(n) AS n, max(m) AS m,
+        |         max(CAST(i AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))
+        |           - CAST(j AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |           AS dp,
+        |         max(CAST(j AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+        |           - CAST(i AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)))
+        |           AS dm
+        |  FROM cum GROUP BY 1)
+        |SELECT source, n, m, CAST(dp + dm AS BIGINT) AS v_num,
+        |       ${Det.r4Sql(vTxt)} AS v,
+        |       ${Det.r4Sql(statTxt)} AS stat
+        |FROM agg
+        |ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "q_agg_wasserstein_by_source" -> {
+      val wTxt = "CAST(wnum AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(m AS DOUBLE))"
+      s"""WITH g AS MATERIALIZED (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c1
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT n_chars, CAST(sum(c1) AS BIGINT) AS ct
+        |        FROM g GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source FROM g),
+        |grid AS (
+        |  SELECT s.source, t.n_chars,
+        |         COALESCE(g.c1, CAST(0 AS BIGINT)) AS c1,
+        |         t.ct - COALESCE(g.c1, CAST(0 AS BIGINT)) AS c2
+        |  FROM srcs s CROSS JOIN tot t
+        |  LEFT JOIN g ON g.source = s.source AND g.n_chars = t.n_chars),
+        |cum AS (
+        |  SELECT source, n_chars,
+        |         CAST(sum(c1) OVER w AS BIGINT) AS i,
+        |         CAST(sum(c2) OVER w AS BIGINT) AS j,
+        |         CAST(sum(c1) OVER (PARTITION BY source) AS BIGINT) AS n,
+        |         CAST(sum(c2) OVER (PARTITION BY source) AS BIGINT) AS m,
+        |         lead(n_chars, 1) OVER (PARTITION BY source
+        |           ORDER BY n_chars NULLS FIRST) AS nx
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY source ORDER BY n_chars NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT source, max(n) AS n, max(m) AS m,
+        |         sum(CASE WHEN nx IS NOT NULL THEN
+        |               CAST(abs(CAST(i AS DECIMAL(19,0)) *
+        |                   CAST(m AS DECIMAL(19,0))
+        |                 - CAST(j AS DECIMAL(19,0)) *
+        |                   CAST(n AS DECIMAL(19,0))) AS DECIMAL(38,0))
+        |               * (nx - n_chars)
+        |             ELSE CAST(0 AS DECIMAL(38,0)) END) AS wnum
+        |  FROM cum GROUP BY 1)
+        |SELECT source, n, m, CAST(wnum AS BIGINT) AS w_num,
+        |       ${Det.r4Sql(wTxt)} AS w1
         |FROM agg
         |ORDER BY source NULLS FIRST""".stripMargin
     },

@@ -426,6 +426,39 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("kuiper bounds KS (D <= V <= 2D); wasserstein == driver fold") {
+    val ks = RelationalOps.ksBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val ku = RelationalOps.kuiperBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    ku.foreach { case (s, _, _, vnum) =>
+      assert(vnum >= ks(s) && vnum <= 2L * ks(s),
+        s"$s: V=$vnum outside [D, 2D] with D=${ks(s)}")
+    }
+    // wasserstein against an exact driver fold over sorted lengths
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val xs = docs.map(_._2).distinct.sorted
+    val want = docs.map(_._1).distinct.sorted.map { s =>
+      val mine = docs.filter(_._1 == s).map(_._2)
+      val rest = docs.filter(_._1 != s).map(_._2)
+      val (n, m) = (mine.size.toLong, rest.size.toLong)
+      var i = 0L; var j = 0L; var w = BigInt(0)
+      xs.zip(xs.tail).foreach { case (x, nx) =>
+        i += mine.count(_ == x); j += rest.count(_ == x)
+        w += (BigInt(i) * m - BigInt(j) * n).abs * (nx - x)
+      }
+      (s, n, m, w.toLong)
+    }
+    val got = RelationalOps.wassersteinBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"wasserstein diverged: ${got.take(3)} vs " +
+      s"${want.take(3)}")
+  }
+
   test("harmonic centrality == driver BFS from the 8 seed pivots") {
     // independent reference: brute-force BFS over collected edges
     val ed = graft.io.Tables.lineitem(spark, sf)
