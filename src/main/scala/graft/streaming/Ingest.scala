@@ -114,6 +114,14 @@ case class SourceDoc(source: String, n_chars: Long)
 case class PsiScore(t: String, n: Long, m: Long, psq: Long, psi: Double,
   buckets: Long)
 
+/** A scored forecast residual arriving at the conformal gate. */
+case class ResidualObs(t: String, r: Double)
+
+/** Live conformal-coverage state/score: exact in/total counts. */
+case class CovState(n: Long, covered: Long)
+case class CoverScore(t: String, n: Long, covered: Long,
+  coverage: Double, degraded: Boolean)
+
 /** Live Kruskal–Wallis state: per-(group, bucket) exact counts —
   * bounded by |groups| × the calibrated bucket alphabet. */
 case class KwState(counts: Map[String, Map[Long, Long]])
@@ -879,6 +887,42 @@ object Ingest {
       val b = (if (i >= 0) i + 1 else -i - 1).toLong
       srcs.toSeq.map(s => KsEvent(s, s != d.source, b))
     })
+  }
+
+  /** LIVE CONFORMAL-COVERAGE MONITOR — the online check that
+    * [[graft.ts.TimeSeriesOps.tsConformal]]'s calibrated q90 band is
+    * still honest on NEW data (a conformal guarantee only holds under
+    * exchangeability; regime change silently voids it): per series,
+    * count |residual| ≤ q90 arrivals against the total, exact
+    * integers in state (two longs per type — no histogram needed),
+    * and flag `degraded` when covered·100 < 85·n (an exact-integer
+    * comparison: coverage below 0.85 against the 0.90 design target).
+    * Types without a calibration entry are ignored (never scored
+    * against a band that doesn't exist). Fed the batch query's own
+    * test split, the final counts equal q_ts_conformal's
+    * (n_test, n_covered) bit-for-bit — spec'd under two batchings. */
+  def conformalCoverageMonitor(obs: Dataset[ResidualObs],
+      q90: Map[String, Double]): Dataset[CoverScore] = {
+    import obs.sparkSession.implicits._
+    obs.filter(o => q90.contains(o.t))
+      .groupByKey(_.t)
+      .flatMapGroupsWithState[CovState, CoverScore](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (t: String, rows: Iterator[ResidualObs],
+            state: GroupState[CovState]) =>
+          var st = state.getOption.getOrElse(CovState(0L, 0L))
+          val band = q90(t)
+          rows.foreach { o =>
+            st = CovState(st.n + 1L,
+              st.covered + (if (o.r <= band) 1L else 0L))
+          }
+          state.update(st)
+          if (st.n == 0L) Iterator.empty
+          else Iterator.single(CoverScore(t, st.n, st.covered,
+            st.covered.toDouble / st.n.toDouble,
+            st.covered * 100L < 85L * st.n))
+      }
   }
 
   /** LIVE PSI MONITOR — q_llm_psi_length gone online: per source, the

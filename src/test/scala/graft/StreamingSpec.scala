@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{AdmittedDoc, AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, RollupBucket, Scd2Event, SourceDoc, StreamDoc}
+import graft.streaming.{AdmittedDoc, AttribEvent, FunnelEvent, Ingest, MixDoc, Point, RawDoc, ResidualObs, RollupBucket, Scd2Event, SourceDoc, StreamDoc}
 
 /** Streaming semantics on MemoryStream: the Kenshin write path (SURVEY
   * §2.3). Each test runs a real StreamingQuery against the in-memory
@@ -684,6 +684,52 @@ class StreamingSpec extends AnyFunSuite {
     val (x, y) = docs.reverse.splitAt(docs.length / 5)
     assert(lastScores(Seq(x, y), "ks_src_live2") == batch,
       "batching changed the final per-source scores")
+  }
+
+  test("s_conformal_coverage: live counts equal the batch test-split " +
+      "coverage; order-free") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = TestSpark.sf
+    val batch = graft.ts.TimeSeriesOps.tsConformal(sp, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val q90 = batch.map { case (t, (_, _, q, _)) => t -> q }
+    // rebuild the batch query's own test split (rn > ncal per type)
+    val ab = graft.ts.TimeSeriesOps.holtAberration(sp, sf)
+      .select(col("event_type"), col("bucket"),
+        abs(col("v") - col("fc")).as("r")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getDouble(2)))
+    val testObs = ab.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val ncal = (sorted.length.toLong * 7L) / 10L
+      sorted.drop(ncal.toInt).map(x => ResidualObs(t, x._3))
+    }
+    def lastScores(feed: Seq[Seq[ResidualObs]], name: String)
+        : Map[String, (Long, Long)] = {
+      val in = MemoryStream[ResidualObs]
+      val q = runToMemory(
+        Ingest.conformalCoverageMonitor(in.toDS(), q90).toDF(), name)
+      feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      sp.sql(s"SELECT t, n, covered FROM $name").collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          val r = rows.last
+          t -> ((r.getLong(1), r.getLong(2)))
+        }
+    }
+    val wantCounts = batch.map { case (t, (_, nt, _, cov)) =>
+      t -> ((nt, cov)) }
+    val (a, b) = testObs.splitAt(testObs.length / 3)
+    val got = lastScores(Seq(a, b), "cov_live")
+    assert(got == wantCounts,
+      s"live coverage diverges: ${(got.toSet -- wantCounts.toSet).take(3)}")
+    val (x, y) = testObs.reverse.splitAt(testObs.length / 5)
+    assert(lastScores(Seq(x, y), "cov_live2") == wantCounts,
+      "batching changed the final coverage counts")
   }
 
   test("s_psi_by_source: live scores equal the batch query at the " +
