@@ -5011,6 +5011,64 @@ object RelationalOps {
       .orderBy("source")
   }
 
+  /** ANDERSON–DARLING two-sample test per source vs the rest — the
+    * tail-weighted member that completes the KS/Kuiper/CvM/W₁ ECDF
+    * family (AD divides each squared gap by B(N−B), so discrepancies
+    * in the tails — exactly where length filters act — carry weight
+    * the center-heavy tests give up). Scholz–Stephens (1987) A²ₐₖₙ
+    * with the midrank ties correction, k = 2: per pooled distinct
+    * value, T_i = (N−1)·l·u_i² / (N²·n_i·den) with
+    * u_i = N·2Mᵢ − nᵢ·2B, den = 2B·(2N−2B) − N·l, where 2Mᵢ and 2B
+    * are the EXACT integer doubled midrank cumulatives
+    * (2·prior + current). Every input is an exact BIGINT from
+    * exclusive prefix windows; each term is ONE shared IEEE
+    * expression (factors cast to double first), floor-quantized at
+    * 1e9 and BIGINT-summed (order-free); den ≤ 0 rows (degenerate
+    * single-value pools) contribute 0 in both engines. */
+  def adBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false) // totals + sources + grid join
+    val tot = g.groupBy(col("n_chars")).agg(sum(col("c1")).as("ct"))
+    val sources = g.select(col("source")).distinct()
+    val grid = broadcast(sources).crossJoin(tot)
+      .join(g, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c1"))
+      .withColumn("c2", col("ct") - col("c1"))
+    val wPrior = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("source"))
+    def d(c: Column) = c.cast("double")
+    val withCum = grid
+      .withColumn("pa", coalesce(sum(col("c1")).over(wPrior), lit(0L)))
+      .withColumn("pb", coalesce(sum(col("c2")).over(wPrior), lit(0L)))
+      .withColumn("n", sum(col("c1")).over(wAll))
+      .withColumn("m", sum(col("c2")).over(wAll))
+      .withColumn("nn", col("n") + col("m"))
+      .withColumn("l", col("c1") + col("c2"))
+      .withColumn("b2", lit(2L) * (col("pa") + col("pb")) + col("l"))
+      .withColumn("den",
+        col("b2") * (lit(2L) * col("nn") - col("b2")) -
+          col("nn") * col("l"))
+    def term(mi2: Column, ni: Column): Column = {
+      val u = d(col("nn")) * d(mi2) - d(ni) * d(col("b2"))
+      (d(col("nn")) - lit(1.0)) * d(col("l")) * u * u /
+        (d(col("nn")) * d(col("nn")) * d(ni) * d(col("den")))
+    }
+    val ta = term(lit(2L) * col("pa") + col("c1"), col("n"))
+    val tb = term(lit(2L) * col("pb") + col("c2"), col("m"))
+    withCum
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        sum(when(col("den") > 0L,
+          floor((ta + tb) * lit(1.0e9)).cast("long"))
+          .otherwise(lit(0L))).as("a2q"))
+      .select(col("source"), col("n"), col("m"),
+        Det.r4(d(col("a2q")) / lit(1.0e9)).as("a2"))
+      .orderBy("source")
+  }
+
   /** WASSERSTEIN-1 (earth mover's) DISTANCE per source vs the rest —
     * the third member of the KS/Kuiper ECDF family: W₁ = ∫|F₁ − F₂|dx
     * reports HOW FAR mass must move (in characters), not just the
@@ -5281,6 +5339,7 @@ object RelationalOps {
     "q_agg_ks_drift" -> ksDrift _,
     "q_agg_ks_by_source" -> ksBySource _,
     "q_agg_kuiper_by_source" -> kuiperBySource _,
+    "q_agg_ad_by_source" -> adBySource _,
     "q_agg_wasserstein_by_source" -> wassersteinBySource _,
     "q_agg_bh_fdr" -> ((s: SparkSession, d: String) => bhFdr(s, d)),
     "q_agg_cvm_drift" -> cvmDrift _,
@@ -6365,6 +6424,55 @@ object RelationalOps {
         |SELECT source, n, m, CAST(dp + dm AS BIGINT) AS v_num,
         |       ${Det.r4Sql(vTxt)} AS v,
         |       ${Det.r4Sql(statTxt)} AS stat
+        |FROM agg
+        |ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "q_agg_ad_by_source" -> {
+      def term(m2: String, ni: String) = {
+        val u = s"(CAST(nn AS DOUBLE) * CAST($m2 AS DOUBLE) - " +
+          s"CAST($ni AS DOUBLE) * CAST(b2 AS DOUBLE))"
+        s"(CAST(nn AS DOUBLE) - 1.0) * CAST(l AS DOUBLE) * $u * $u / " +
+          s"(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * " +
+          s"CAST($ni AS DOUBLE) * CAST(den AS DOUBLE))"
+      }
+      s"""WITH g AS MATERIALIZED (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c1
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT n_chars, CAST(sum(c1) AS BIGINT) AS ct
+        |        FROM g GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source FROM g),
+        |grid AS (
+        |  SELECT s.source, t.n_chars,
+        |         COALESCE(g.c1, CAST(0 AS BIGINT)) AS c1,
+        |         t.ct - COALESCE(g.c1, CAST(0 AS BIGINT)) AS c2
+        |  FROM srcs s CROSS JOIN tot t
+        |  LEFT JOIN g ON g.source = s.source AND g.n_chars = t.n_chars),
+        |cum AS (
+        |  SELECT source, c1, c2,
+        |         CAST(COALESCE(sum(c1) OVER wp, 0) AS BIGINT) AS pa,
+        |         CAST(COALESCE(sum(c2) OVER wp, 0) AS BIGINT) AS pb,
+        |         CAST(sum(c1) OVER (PARTITION BY source) AS BIGINT) AS n,
+        |         CAST(sum(c2) OVER (PARTITION BY source) AS BIGINT) AS m
+        |  FROM grid
+        |  WINDOW wp AS (PARTITION BY source ORDER BY n_chars NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t2 AS (
+        |  SELECT source, c1, c2, pa, pb, n, m, n + m AS nn,
+        |         c1 + c2 AS l,
+        |         2 * (pa + pb) + c1 + c2 AS b2
+        |  FROM cum),
+        |t3 AS (
+        |  SELECT *, b2 * (2 * nn - b2) - nn * l AS den FROM t2),
+        |agg AS (
+        |  SELECT source, max(n) AS n, max(m) AS m,
+        |         CAST(sum(CASE WHEN den > 0 THEN
+        |             CAST(floor((${term("2 * pa + c1", "n")} +
+        |               ${term("2 * pb + c2", "m")}) * 1000000000.0)
+        |               AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS a2q
+        |  FROM t3 GROUP BY 1)
+        |SELECT source, n, m,
+        |       ${Det.r4Sql("CAST(a2q AS DOUBLE) / 1000000000.0")} AS a2
         |FROM agg
         |ORDER BY source NULLS FIRST""".stripMargin
     },

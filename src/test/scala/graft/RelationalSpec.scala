@@ -426,6 +426,49 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("anderson-darling == driver Scholz-Stephens midrank fold; " +
+      "a2 >= 0") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val xs = docs.map(_._2).distinct.sorted
+    val want = docs.map(_._1).distinct.sorted.map { s =>
+      val ca = docs.filter(_._1 == s).groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val cb = docs.filter(_._1 != s).groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val n = ca.values.sum; val m = cb.values.sum; val nn = n + m
+      var a2q = 0L
+      var pa = 0L; var pb = 0L
+      xs.foreach { z =>
+        val c1 = ca.getOrElse(z, 0L); val c2 = cb.getOrElse(z, 0L)
+        val l = c1 + c2
+        val b2 = 2L * (pa + pb) + l
+        val den = b2 * (2L * nn - b2) - nn * l
+        if (den > 0L) {
+          def term(m2: Long, ni: Long): Double = {
+            val u = nn.toDouble * m2.toDouble - ni.toDouble * b2.toDouble
+            (nn.toDouble - 1.0) * l.toDouble * u * u /
+              (nn.toDouble * nn.toDouble * ni.toDouble * den.toDouble)
+          }
+          a2q += math.floor(
+            (term(2L * pa + c1, n) + term(2L * pb + c2, m)) * 1.0e9)
+            .toLong
+        }
+        pa += c1; pb += c2
+      }
+      (s, n, m, r4(a2q.toDouble / 1.0e9))
+    }
+    val got = RelationalOps.adBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"anderson-darling diverged: ${got.take(3)} " +
+      s"vs ${want.take(3)}")
+    got.foreach { case (s, _, _, a2) =>
+      assert(a2 >= -1e-6, s"$s: negative A2 $a2") }
+  }
+
   test("kuiper bounds KS (D <= V <= 2D); wasserstein == driver fold") {
     val ks = RelationalOps.ksBySource(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
