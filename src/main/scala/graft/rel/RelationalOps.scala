@@ -1590,6 +1590,41 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** RICH-CLUB COEFFICIENT of the co-purchase graph — do the
+    * best-connected products preferentially connect to EACH OTHER
+    * (Zhou & Mondragón 2004)? φ(k) = 2·E₍>k₎ / (n₍>k₎·(n₍>k₎−1)) at
+    * degree thresholds k ∈ {16,24,32,40} (the fixture degree range spans ~8–62): the density of the subgraph
+    * induced by nodes of degree > k. Fully exact: degrees, club
+    * sizes and club edge counts are BIGINTs from one edge pass per
+    * threshold set (a conditional aggregate over the edges×thresholds
+    * cross — 4 constants, not a fan-out), φ is a single
+    * cast-first double expression; NULL below 2 members. */
+  def partRichClub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (sym, deg) = coPurchaseGraph(spark, sfDir, Some(4))
+    val pairs = coPurchasePairs(spark, sfDir, Some(4))
+    val ks = Seq(16L, 24L, 32L, 40L).toDF("k")
+    val nk = deg.crossJoin(broadcast(ks)).groupBy(col("k"))
+      .agg(sum(when(col("outdeg") > col("k"), 1L).otherwise(0L))
+        .as("n_k"))
+    val e = pairs
+      .join(deg.select(col("src").as("pa"), col("outdeg").as("da")),
+        "pa")
+      .join(deg.select(col("src").as("pb"), col("outdeg").as("db")),
+        "pb")
+    val ek = e.crossJoin(broadcast(ks)).groupBy(col("k"))
+      .agg(sum(when(col("da") > col("k") && col("db") > col("k"), 1L)
+        .otherwise(0L)).as("e_k"))
+    def d(c: Column) = c.cast("double")
+    nk.join(ek, "k")
+      .select(col("k"), col("n_k"), col("e_k"),
+        when(col("n_k") >= 2L,
+          Det.r4(lit(2.0) * d(col("e_k")) /
+            (d(col("n_k")) * (d(col("n_k")) - lit(1.0)))))
+          .otherwise(lit(null)).as("phi"))
+      .orderBy("k")
+  }
+
   private def componentGraph(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     val e = coPurchasePairs(spark, sfDir, Some(4))
@@ -5433,6 +5468,7 @@ object RelationalOps {
       ((s: SparkSession, d: String) => partResourceAllocCapped(s, d)),
     "q_part_components" -> partComponents _,
     "q_part_harmonic" -> partHarmonic _,
+    "q_part_rich_club" -> partRichClub _,
     "q_part_components_pd" -> partComponentsPd _,
     "q_part_label_prop" -> partLabelProp _,
     "q_part_modularity" -> partModularity _,
@@ -7243,6 +7279,36 @@ object RelationalOps {
         |LIMIT 15""".stripMargin,
     "q_part_components" -> componentsOracleText,
     "q_part_harmonic" -> harmonicOracleText,
+    "q_part_rich_club" -> {
+      val phi = "2.0 * CAST(e_k AS DOUBLE) / " +
+        "(CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0))"
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |          FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS MATERIALIZED (
+        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |  FROM sym GROUP BY 1),
+        |ks AS (SELECT unnest([16, 24, 32, 40]) AS k),
+        |nk AS (
+        |  SELECT k, CAST(sum(CASE WHEN d > k THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_k
+        |  FROM deg CROSS JOIN ks GROUP BY 1),
+        |e AS MATERIALIZED (
+        |  SELECT da.d AS da, db.d AS db
+        |  FROM pairs p JOIN deg da ON da.node = p.pa
+        |  JOIN deg db ON db.node = p.pb),
+        |ek AS (
+        |  SELECT k, CAST(sum(CASE WHEN da > k AND db > k THEN 1
+        |    ELSE 0 END) AS BIGINT) AS e_k
+        |  FROM e CROSS JOIN ks GROUP BY 1)
+        |SELECT CAST(nk.k AS BIGINT) AS k, n_k, e_k,
+        |       CASE WHEN n_k >= 2 THEN ${Det.r4Sql(phi)} END AS phi
+        |FROM nk JOIN ek ON ek.k = nk.k
+        |ORDER BY k NULLS FIRST""".stripMargin
+    },
     // the pointer-doubling twin reaches the SAME fixpoint labels (spec:
     // diameter-299 path + fixture bit-equality), so it shares the
     // unrolled oracle verbatim — the bpe_encode_prod precedent

@@ -426,6 +426,43 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("rich club == driver fold; clubs shrink as k rises") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val ed = graft.io.Tables.lineitem(spark, sf)
+      .where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = ed.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val deg = scala.collection.mutable.Map[Long, Long]()
+    pairs.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1L
+      deg(b) = deg.getOrElse(b, 0L) + 1L
+    }
+    val want = Seq(16L, 24L, 32L, 40L).map { k =>
+      val nk = deg.values.count(_ > k).toLong
+      val ek = pairs.count { case (a, b) => deg(a) > k && deg(b) > k }
+        .toLong
+      val phi = if (nk >= 2L)
+        Some(r4(2.0 * ek.toDouble / (nk.toDouble * (nk.toDouble - 1.0))))
+      else None
+      (k, nk, ek, phi)
+    }
+    val got = RelationalOps.partRichClub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == want, s"rich club diverged: $got vs $want")
+    got.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        assert(w(1)._2 <= w(0)._2 && w(1)._3 <= w(0)._3,
+          "clubs must shrink as the threshold rises")
+      }
+    }
+  }
+
   test("anderson-darling == driver Scholz-Stephens midrank fold; " +
       "a2 >= 0") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
