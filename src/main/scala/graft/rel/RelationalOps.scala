@@ -5046,6 +5046,44 @@ object RelationalOps {
       .orderBy("source")
   }
 
+  /** HELLINGER DISTANCE per source vs the rest — the bounded
+    * ([0, 1]) f-divergence on the length distribution that, unlike
+    * KL, is symmetric, never infinite on disjoint support, and
+    * metrizes the same topology as total variation while weighting
+    * rare values more: H² = ½·Σ(√pₓ − √qₓ)². Fully ORACLE-CHECKABLE
+    * without the libm exemption: √(c/n) of exact integers is ONE
+    * correctly-rounded IEEE op, each per-value term is the shared
+    * expression floor-quantized at 1e12 and BIGINT-summed, and
+    * H = √(H²) is one more exact sqrt. Same distinct-value grid as
+    * the ECDF family (Bhattacharyya comes free: BC = 1 − H²). */
+  def hellingerBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false) // totals + sources + grid join
+    val tot = g.groupBy(col("n_chars")).agg(sum(col("c1")).as("ct"))
+    val sources = g.select(col("source")).distinct()
+    val grid = broadcast(sources).crossJoin(tot)
+      .join(g, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c1"))
+      .withColumn("c2", col("ct") - col("c1"))
+    val wAll = Window.partitionBy(col("source"))
+    def d(c: Column) = c.cast("double")
+    val dv = sqrt(d(col("c1")) / d(col("n"))) -
+      sqrt(d(col("c2")) / d(col("m")))
+    grid
+      .withColumn("n", sum(col("c1")).over(wAll))
+      .withColumn("m", sum(col("c2")).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        sum(floor(dv * dv * lit(0.5) * lit(1.0e12)).cast("long"))
+          .as("h2q"))
+      .select(col("source"), col("n"), col("m"),
+        Det.r4(d(col("h2q")) / lit(1.0e12)).as("h2"),
+        Det.r4(sqrt(d(col("h2q")) / lit(1.0e12))).as("h"))
+      .orderBy("source")
+  }
+
   /** ANDERSON–DARLING two-sample test per source vs the rest — the
     * tail-weighted member that completes the KS/Kuiper/CvM/W₁ ECDF
     * family (AD divides each squared gap by B(N−B), so discrepancies
@@ -5375,6 +5413,7 @@ object RelationalOps {
     "q_agg_ks_by_source" -> ksBySource _,
     "q_agg_kuiper_by_source" -> kuiperBySource _,
     "q_agg_ad_by_source" -> adBySource _,
+    "q_agg_hellinger_by_source" -> hellingerBySource _,
     "q_agg_wasserstein_by_source" -> wassersteinBySource _,
     "q_agg_bh_fdr" -> ((s: SparkSession, d: String) => bhFdr(s, d)),
     "q_agg_cvm_drift" -> cvmDrift _,
@@ -6460,6 +6499,39 @@ object RelationalOps {
         |SELECT source, n, m, CAST(dp + dm AS BIGINT) AS v_num,
         |       ${Det.r4Sql(vTxt)} AS v,
         |       ${Det.r4Sql(statTxt)} AS stat
+        |FROM agg
+        |ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "q_agg_hellinger_by_source" -> {
+      val dv = "(sqrt(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+        "sqrt(CAST(c2 AS DOUBLE) / CAST(m AS DOUBLE)))"
+      s"""WITH g AS MATERIALIZED (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c1
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT n_chars, CAST(sum(c1) AS BIGINT) AS ct
+        |        FROM g GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source FROM g),
+        |grid AS (
+        |  SELECT s.source, t.n_chars,
+        |         COALESCE(g.c1, CAST(0 AS BIGINT)) AS c1,
+        |         t.ct - COALESCE(g.c1, CAST(0 AS BIGINT)) AS c2
+        |  FROM srcs s CROSS JOIN tot t
+        |  LEFT JOIN g ON g.source = s.source AND g.n_chars = t.n_chars),
+        |cum AS (
+        |  SELECT source, c1, c2,
+        |         CAST(sum(c1) OVER (PARTITION BY source) AS BIGINT) AS n,
+        |         CAST(sum(c2) OVER (PARTITION BY source) AS BIGINT) AS m
+        |  FROM grid),
+        |agg AS (
+        |  SELECT source, max(n) AS n, max(m) AS m,
+        |         CAST(sum(CAST(floor($dv * $dv * 0.5 * 1000000000000.0)
+        |           AS BIGINT)) AS BIGINT) AS h2q
+        |  FROM cum GROUP BY 1)
+        |SELECT source, n, m,
+        |       ${Det.r4Sql("CAST(h2q AS DOUBLE) / 1000000000000.0")}
+        |         AS h2,
+        |       ${Det.r4Sql("sqrt(CAST(h2q AS DOUBLE) / 1000000000000.0)")}
+        |         AS h
         |FROM agg
         |ORDER BY source NULLS FIRST""".stripMargin
     },

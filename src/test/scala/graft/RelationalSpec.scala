@@ -426,6 +426,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("hellinger == driver fold; h in [0,1]; h2 = 1 - bhattacharyya") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val xs = docs.map(_._2).distinct.sorted
+    val want = docs.map(_._1).distinct.sorted.map { s =>
+      val ca = docs.filter(_._1 == s).groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val cb = docs.filter(_._1 != s).groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val n = ca.values.sum; val m = cb.values.sum
+      var h2q = 0L
+      xs.foreach { x =>
+        val dv = math.sqrt(ca.getOrElse(x, 0L).toDouble / n.toDouble) -
+          math.sqrt(cb.getOrElse(x, 0L).toDouble / m.toDouble)
+        h2q += math.floor(dv * dv * 0.5 * 1.0e12).toLong
+      }
+      (s, n, m, r4(h2q.toDouble / 1.0e12),
+        r4(math.sqrt(h2q.toDouble / 1.0e12)))
+    }
+    val got = RelationalOps.hellingerBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want, s"hellinger diverged: ${got.take(3)} vs " +
+      s"${want.take(3)}")
+    got.foreach { case (s, _, _, h2, h) =>
+      assert(h2 >= -1e-9 && h2 <= 1.0 + 1e-9, s"$s: h2=$h2")
+      assert(h >= 0.0 && h <= 1.0 + 1e-9, s"$s: h=$h")
+    }
+  }
+
   test("rich club == driver fold; clubs shrink as k rises") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val ed = graft.io.Tables.lineitem(spark, sf)
