@@ -2442,6 +2442,75 @@ object RelationalOps {
             d(col("n1") + col("n2") + lit(1L)) / lit(3.0))).as("z"))
   }
 
+  /** BRUNNER–MUNZEL TEST (2000) — [[aggMannWhitney]]'s
+    * heteroscedasticity-robust replacement (MW's z assumes equal
+    * variances under H₀; BM estimates each sample's placement
+    * variance, the modern recommendation when spreads differ): with
+    * pooled midranks R and within-sample midranks R⁽ⁱ⁾,
+    * W = n₁n₂(R̄₂−R̄₁) / (N·√(n₁S₁²+n₂S₂²)), plus the stochastic-
+    * superiority estimate p̂ = P(X₁<X₂)+½P(=). Oracle-exact at the
+    * distinct-value grid: doubled midranks (2·cum+…) are BIGINTs, and
+    * each deviation multiplies through by 2nᵢ to the EXACT integer
+    * Dᵢ(v) = nᵢ·(r2p − r2wᵢ + nᵢ + 1) − Σc·r2p, so
+    * Sᵢ² = Σc·Dᵢ²/((2nᵢ)²(nᵢ−1)) accumulates in DECIMAL(38,0)/
+    * HUGEINT with the final W one shared cast-first IEEE expression.
+    * NULL when either sample has < 2 values or the variance is 0. */
+  def aggBrunnerMunzel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c2"))
+    val wCum = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("cumt",
+        coalesce(sum(col("c1") + col("c2")).over(wCum), lit(0L)))
+      .withColumn("cum1", coalesce(sum(col("c1")).over(wCum), lit(0L)))
+      .withColumn("cum2", coalesce(sum(col("c2")).over(wCum), lit(0L)))
+      .withColumn("r2p",
+        lit(2L) * (col("cumt") + lit(1L)) + col("c1") + col("c2") -
+          lit(1L))
+      .withColumn("r2w1",
+        lit(2L) * (col("cum1") + lit(1L)) + col("c1") - lit(1L))
+      .withColumn("r2w2",
+        lit(2L) * (col("cum2") + lit(1L)) + col("c2") - lit(1L))
+      .localCheckpoint(eager = false) // totals pass + deviation pass
+    val tot = ranked.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("c1") * col("r2p")).as("s1"),
+      sum(col("c2") * col("r2p")).as("s2"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val d1 = col("n1") * (col("r2p") - col("r2w1") + col("n1") +
+      lit(1L)) - col("s1")
+    val d2 = col("n2") * (col("r2p") - col("r2w2") + col("n2") +
+      lit(1L)) - col("s2")
+    val sq = ranked.crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+        sum(dec(col("c1")) * d1 * d1).as("sq1"),
+        sum(dec(col("c2")) * d2 * d2).as("sq2"))
+    def d(c: Column) = c.cast("double")
+    val rb1 = d(col("s1")) / (lit(2.0) * d(col("n1")))
+    val rb2 = d(col("s2")) / (lit(2.0) * d(col("n2")))
+    val v1 = d(col("sq1")) /
+      (lit(4.0) * d(col("n1")) * d(col("n1")) * (d(col("n1")) - lit(1.0)))
+    val v2 = d(col("sq2")) /
+      (lit(4.0) * d(col("n2")) * d(col("n2")) * (d(col("n2")) - lit(1.0)))
+    val w = d(col("n1")) * d(col("n2")) * (rb2 - rb1) /
+      ((d(col("n1")) + d(col("n2"))) *
+        sqrt(d(col("n1")) * v1 + d(col("n2")) * v2))
+    val ph = (rb2 - (d(col("n2")) + lit(1.0)) / lit(2.0)) / d(col("n1"))
+    sq.select(col("n1"), col("n2"),
+      Det.r4(rb1).as("rbar1"), Det.r4(rb2).as("rbar2"),
+      Det.r4(ph).as("p_hat"),
+      when(col("n1") > 1L && col("n2") > 1L &&
+          (col("sq1") > lit(0) || col("sq2") > lit(0)),
+        Det.r4(w)).otherwise(lit(null)).as("w"))
+  }
+
   /** KRUSKAL–WALLIS H TEST — the k-sample generalization of
     * [[aggMannWhitney]] (same midrank machinery, four event-type
     * groups): H = 12/(N(N+1)) Σ nᵢ(R̄ᵢ − (N+1)/2)², tie-corrected by
@@ -5544,6 +5613,7 @@ object RelationalOps {
     "q_agg_tv_by_source" -> tvBySource _,
     "q_agg_corr" -> aggCorr _,
     "q_agg_mannwhitney" -> aggMannWhitney _,
+    "q_agg_brunner_munzel" -> aggBrunnerMunzel _,
     "q_rel_skew_report" -> skewReport _,
     "q_agg_percentile" -> aggPercentile _,
     "q_agg_hll" -> aggHll _,
@@ -6501,6 +6571,60 @@ object RelationalOps {
         |       ${Det.r4Sql(statTxt)} AS stat
         |FROM agg
         |ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "q_agg_brunner_munzel" -> {
+      val rb1 = "(CAST(s1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)))"
+      val rb2 = "(CAST(s2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)))"
+      val v1 = "(CAST(sq1 AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE) * " +
+        "CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))"
+      val v2 = "(CAST(sq2 AS DOUBLE) / (4.0 * CAST(n2 AS DOUBLE) * " +
+        "CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))"
+      val w = s"CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+        s"($rb2 - $rb1) / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * " +
+        s"sqrt(CAST(n1 AS DOUBLE) * $v1 + CAST(n2 AS DOUBLE) * $v2))"
+      val ph = s"($rb2 - (CAST(n2 AS DOUBLE) + 1.0) / 2.0) / " +
+        "CAST(n1 AS DOUBLE)"
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT value,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |r AS MATERIALIZED (
+        |  SELECT c1, c2,
+        |         2 * (CAST(COALESCE(sum(c1 + c2) OVER wp, 0) AS BIGINT)
+        |           + 1) + c1 + c2 - 1 AS r2p,
+        |         2 * (CAST(COALESCE(sum(c1) OVER wp, 0) AS BIGINT)
+        |           + 1) + c1 - 1 AS r2w1,
+        |         2 * (CAST(COALESCE(sum(c2) OVER wp, 0) AS BIGINT)
+        |           + 1) + c2 - 1 AS r2w2
+        |  FROM e
+        |  WINDOW wp AS (ORDER BY value NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(c1 * r2p) AS BIGINT) AS s1,
+        |         CAST(sum(c2 * r2p) AS BIGINT) AS s2
+        |  FROM r),
+        |q AS (
+        |  SELECT max(n1) AS n1, max(n2) AS n2,
+        |         max(s1) AS s1, max(s2) AS s2,
+        |         sum(CAST(c1 AS HUGEINT) *
+        |           (n1 * (r2p - r2w1 + n1 + 1) - s1) *
+        |           (n1 * (r2p - r2w1 + n1 + 1) - s1)) AS sq1,
+        |         sum(CAST(c2 AS HUGEINT) *
+        |           (n2 * (r2p - r2w2 + n2 + 1) - s2) *
+        |           (n2 * (r2p - r2w2 + n2 + 1) - s2)) AS sq2
+        |  FROM r CROSS JOIN t)
+        |SELECT n1, n2,
+        |       ${Det.r4Sql(rb1)} AS rbar1, ${Det.r4Sql(rb2)} AS rbar2,
+        |       ${Det.r4Sql(ph)} AS p_hat,
+        |       CASE WHEN n1 > 1 AND n2 > 1 AND (sq1 > 0 OR sq2 > 0)
+        |         THEN ${Det.r4Sql(w)} END AS w
+        |FROM q""".stripMargin
     },
     "q_agg_hellinger_by_source" -> {
       val dv = "(sqrt(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) - " +

@@ -426,6 +426,58 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("brunner-munzel == driver midrank fold; p_hat in [0,1]") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val vals = graft.io.Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val xs = vals.map(_._2).distinct.sorted
+    val ca = vals.filter(_._1 == "click").groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val cb = vals.filter(_._1 == "purchase").groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val n1 = ca.values.sum; val n2 = cb.values.sum
+    var cumt = 0L; var cum1 = 0L; var cum2 = 0L
+    var s1 = 0L; var s2 = 0L
+    val rows = xs.map { v =>
+      val c1 = ca.getOrElse(v, 0L); val c2 = cb.getOrElse(v, 0L)
+      val r2p = 2L * (cumt + 1L) + c1 + c2 - 1L
+      val r2w1 = 2L * (cum1 + 1L) + c1 - 1L
+      val r2w2 = 2L * (cum2 + 1L) + c2 - 1L
+      cumt += c1 + c2; cum1 += c1; cum2 += c2
+      s1 += c1 * r2p; s2 += c2 * r2p
+      (c1, c2, r2p, r2w1, r2w2)
+    }
+    var sq1 = BigInt(0); var sq2 = BigInt(0)
+    rows.foreach { case (c1, c2, r2p, r2w1, r2w2) =>
+      val dd1 = n1 * (r2p - r2w1 + n1 + 1L) - s1
+      val dd2 = n2 * (r2p - r2w2 + n2 + 1L) - s2
+      sq1 += BigInt(c1) * BigInt(dd1) * BigInt(dd1)
+      sq2 += BigInt(c2) * BigInt(dd2) * BigInt(dd2)
+    }
+    val rb1 = s1.toDouble / (2.0 * n1.toDouble)
+    val rb2 = s2.toDouble / (2.0 * n2.toDouble)
+    val v1 = sq1.toDouble /
+      (4.0 * n1.toDouble * n1.toDouble * (n1.toDouble - 1.0))
+    val v2 = sq2.toDouble /
+      (4.0 * n2.toDouble * n2.toDouble * (n2.toDouble - 1.0))
+    val w = n1.toDouble * n2.toDouble * (rb2 - rb1) /
+      ((n1.toDouble + n2.toDouble) *
+        math.sqrt(n1.toDouble * v1 + n2.toDouble * v2))
+    val ph = (rb2 - (n2.toDouble + 1.0) / 2.0) / n1.toDouble
+    val got = RelationalOps.aggBrunnerMunzel(spark, sf).collect().head
+    val gt = (got.getLong(0), got.getLong(1), got.getDouble(2),
+      got.getDouble(3), got.getDouble(4),
+      if (got.isNullAt(5)) None else Some(got.getDouble(5)))
+    val want = (n1, n2, r4(rb1), r4(rb2), r4(ph),
+      if (n1 > 1L && n2 > 1L && (sq1 > 0 || sq2 > 0)) Some(r4(w))
+      else None)
+    assert(gt == want, s"brunner-munzel diverged: $gt vs $want")
+    assert(gt._5 >= -1e-9 && gt._5 <= 1.0 + 1e-9,
+      s"p_hat out of [0,1]: ${gt._5}")
+  }
+
   test("hellinger == driver fold; h in [0,1]; h2 = 1 - bhattacharyya") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val docs = graft.io.Tables.documents(spark, sf)
