@@ -3593,6 +3593,45 @@ object TimeSeriesOps {
       .toDF("g", "x", "w", "y_mean", "y_fit")
   }
 
+  /** GRUBBS' MAX-STUDENTIZED-DEVIATE per series — the parametric
+    * outlier read beside the MAD/Tukey robust pair: how many sample
+    * standard deviations does the most extreme hourly value sit from
+    * the mean (Grubbs 1950)? G > ~3 at these n flags a genuine
+    * outlier under normality; comparing G_max vs G_min says WHICH
+    * tail. Oracle-exact via the linreg quantization: ys = v·10⁴ is
+    * an exact BIGINT (v lives on the avg4 1e-4 grid), all moments
+    * are integer sums (n·Σys² in DECIMAL(38,0)/HUGEINT), and G is
+    * one shared IEEE expression — (n·ymax − sy) stays integer, the
+    * sample sd takes one exact sqrt. NULL on n < 3 or zero
+    * variance. */
+  def tsGrubbs(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("ys"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val s = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("ys")).as("sy"),
+        sum(dec(col("ys")) * col("ys")).as("syy"),
+        max(col("ys")).as("ymax"), min(col("ys")).as("ymin"))
+    val vnum = dec(col("n")) * col("syy") - dec(col("sy")) * col("sy")
+    val sd = sqrt(vnum.cast("double") /
+      (d(col("n")) * (d(col("n")) - lit(1.0)))) / lit(10000.0)
+    def g(num: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (d(num) / (d(col("n")) * lit(10000.0))) / sd
+    s.select(col("event_type"), col("n"),
+        Det.r4(d(col("ymax")) / lit(10000.0)).as("vmax"),
+        Det.r4(d(col("ymin")) / lit(10000.0)).as("vmin"),
+        when(col("n") >= 3L && vnum > lit(0),
+          Det.r4(g(col("n") * col("ymax") - col("sy"))))
+          .otherwise(lit(null)).as("g_max"),
+        when(col("n") >= 3L && vnum > lit(0),
+          Det.r4(g(col("sy") - col("n") * col("ymin"))))
+          .otherwise(lit(null)).as("g_min"))
+      .orderBy("event_type")
+  }
+
   /** HOEFFDING'S D independence test between paired hourly series —
     * the nonparametric test that catches NON-MONOTONE dependence
     * (a U-shaped load/error relationship) where the whole
@@ -4086,6 +4125,7 @@ object TimeSeriesOps {
     "q_ts_conformal_iso" -> tsConformalIso _,
     "q_ts_fano" -> tsFano _,
     "q_ts_hoeffding" -> tsHoeffding _,
+    "q_ts_grubbs" -> tsGrubbs _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
@@ -4990,6 +5030,36 @@ object TimeSeriesOps {
         |  ON b.event_type = a.event_type
         | AND b.bucket + INTERVAL '7 days' = a.bucket
         |ORDER BY a.event_type NULLS FIRST, a.bucket NULLS FIRST""".stripMargin,
+    "q_ts_grubbs" -> {
+      val vnum = "(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)"
+      val sd = s"sqrt(CAST($vnum AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 10000.0"
+      def g(num: String) =
+        s"(CAST($num AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)) / ($sd)"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(ys) AS BIGINT) AS sy,
+        |         sum(CAST(ys AS HUGEINT) * ys) AS syy,
+        |         CAST(max(ys) AS BIGINT) AS ymax,
+        |         CAST(min(ys) AS BIGINT) AS ymin
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n,
+        |       ${Det.r4Sql("CAST(ymax AS DOUBLE) / 10000.0")} AS vmax,
+        |       ${Det.r4Sql("CAST(ymin AS DOUBLE) / 10000.0")} AS vmin,
+        |       CASE WHEN n >= 3 AND $vnum > 0 THEN
+        |         ${Det.r4Sql(g("n * ymax - sy"))} END AS g_max,
+        |       CASE WHEN n >= 3 AND $vnum > 0 THEN
+        |         ${Det.r4Sql(g("sy - n * ymin"))} END AS g_min
+        |FROM s ORDER BY event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_hoeffding" -> {
       val num = "(CAST((n - 2) * (n - 3) AS HUGEINT) * d1 + d2 - " +
         "2 * CAST(n - 2 AS HUGEINT) * d3)"

@@ -793,6 +793,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("grubbs == driver moments; g bounded by (n-1)/sqrt(n)") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val h1 = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    val want = h1.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val ys = rows.map(x => math.round(x._2 * 10000.0))
+      val n = ys.length.toLong
+      val sy = ys.sum
+      val syy = ys.map(y => BigInt(y) * y).sum
+      val vnum = BigInt(n) * syy - BigInt(sy) * sy
+      val sd = math.sqrt(vnum.toDouble /
+        (n.toDouble * (n.toDouble - 1.0))) / 10000.0
+      def g(num: Long): Double =
+        (num.toDouble / (n.toDouble * 10000.0)) / sd
+      val (gx, gn) = if (n >= 3L && vnum > 0)
+        (Some(r4(g(n * ys.max - sy))), Some(r4(g(sy - n * ys.min))))
+      else (None, None)
+      (t, n, r4(ys.max.toDouble / 10000.0),
+        r4(ys.min.toDouble / 10000.0), gx, gn)
+    }
+    val got = TimeSeriesOps.tsGrubbs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    assert(got == want, s"grubbs diverged: ${got.take(2)} vs " +
+      s"${want.take(2)}")
+    // algebraic bound: G <= (n-1)/sqrt(n) always
+    got.foreach { case (t, n, _, _, gx, gn) =>
+      val bound = (n.toDouble - 1.0) / math.sqrt(n.toDouble) + 1e-6
+      (gx.toSeq ++ gn.toSeq).foreach(gv =>
+        assert(gv > 0.0 && gv <= bound, s"$t: G=$gv out of (0, $bound]"))
+    }
+  }
+
   test("hoeffding d == O(n^2) driver reference; d in [-0.5, 1]") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
