@@ -3593,6 +3593,86 @@ object TimeSeriesOps {
       .toDF("g", "x", "w", "y_mean", "y_fit")
   }
 
+  /** ENGLE–GRANGER COINTEGRATION test between paired hourly series —
+    * the econometrics read the corr/granger pair can't answer: two
+    * trending series can show high correlation with NO stable
+    * relationship; cointegration asks whether a LINEAR COMBINATION
+    * is stationary (Engle & Granger 1987). Step 1: OLS y ~ x from
+    * exact quantized moments (ys = v·10⁴ BIGINTs, products in
+    * DECIMAL(38,0)/HUGEINT). Step 2: residuals e_t through ONE shared
+    * IEEE text. Step 3: the no-intercept Dickey–Fuller regression
+    * Δe_t = ρ·e_{t−1}: every cross-product term (e₋₁·Δe, e₋₁², and
+    * the ρ-dependent squared residual) is floor-quantized at 1e9 and
+    * BIGINT-summed (order-free — raw double Σ over engine partitions
+    * is addend-order-dependent), the quantization units cancelling in
+    * ρ and the t-statistic. df_t ≲ −3 suggests cointegration. NULL
+    * on degenerate spreads. */
+  def tsCointegration(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("ys"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val p = h1.select(col("event_type").as("ma"), col("bucket"),
+        col("ys").as("xa"))
+      .join(h1.select(col("event_type").as("mb"), col("bucket"),
+        col("ys").as("yb")), "bucket")
+      .where(col("ma") < col("mb"))
+      .localCheckpoint(eager = false) // moments + residual passes
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val mo = p.groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("n"), sum(col("xa")).as("sx"),
+        sum(col("yb")).as("sy"),
+        sum(dec(col("xa")) * col("yb")).as("sxy"),
+        sum(dec(col("xa")) * col("xa")).as("sxx"))
+      .withColumn("bnum", dec(col("n")) * col("sxy") -
+        dec(col("sx")) * col("sy"))
+      .withColumn("bden", dec(col("n")) * col("sxx") -
+        dec(col("sx")) * col("sx"))
+    val beta = col("bnum").cast("double") / col("bden").cast("double")
+    val alpha = (d(col("sy")) - beta * d(col("sx"))) / d(col("n"))
+    val withE = p.join(broadcast(mo), Seq("ma", "mb"))
+      .select(col("ma"), col("mb"), col("bucket"), col("bden"),
+        ((d(col("yb")) - (alpha + beta * d(col("xa")))) / lit(10000.0))
+          .as("e"))
+    val wL = Window.partitionBy(col("ma"), col("mb"))
+      .orderBy(col("bucket"))
+    val lagged = withE
+      .withColumn("el", lag(col("e"), 1).over(wL))
+      .where(col("el").isNotNull)
+      .withColumn("de", col("e") - col("el"))
+      .localCheckpoint(eager = false) // q1/q2 agg + rho-dependent q3
+    val q12 = lagged.groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("t"),
+        sum(floor(col("el") * col("de") * lit(1.0e9)).cast("long"))
+          .as("q1s"),
+        sum(floor(col("el") * col("el") * lit(1.0e9)).cast("long"))
+          .as("q2s"))
+    val rho = d(col("q1s")) / d(col("q2s"))
+    val q3 = lagged.join(broadcast(q12), Seq("ma", "mb"))
+      .withColumn("u", col("de") -
+        (d(col("q1s")) / d(col("q2s"))) * col("el"))
+      .groupBy(col("ma"), col("mb"), col("t"), col("bden"),
+        col("q1s"), col("q2s"))
+      .agg(sum(floor(col("u") * col("u") * lit(1.0e9)).cast("long"))
+        .as("q3s"))
+    q3.join(mo.select(col("ma"), col("mb"), col("bnum"),
+        col("bden").as("bden2")), Seq("ma", "mb"))
+      .select(col("ma"), col("mb"), col("t").as("n_diff"),
+        when(col("bden2") > lit(0), Det.r4(
+          col("bnum").cast("double") / col("bden2").cast("double")))
+          .otherwise(lit(null)).as("beta"),
+        when(col("q2s") > 0L, Det.r4(rho)).otherwise(lit(null))
+          .as("rho"),
+        when(col("q2s") > 0L && col("t") > 2L && col("q3s") > 0L,
+          Det.r4(rho / sqrt((d(col("q3s")) / (d(col("t")) - lit(1.0))) /
+            d(col("q2s")))))
+          .otherwise(lit(null)).as("df_t"))
+      .orderBy("ma", "mb")
+  }
+
   /** GRUBBS' MAX-STUDENTIZED-DEVIATE per series — the parametric
     * outlier read beside the MAD/Tukey robust pair: how many sample
     * standard deviations does the most extreme hourly value sit from
@@ -4126,6 +4206,7 @@ object TimeSeriesOps {
     "q_ts_fano" -> tsFano _,
     "q_ts_hoeffding" -> tsHoeffding _,
     "q_ts_grubbs" -> tsGrubbs _,
+    "q_ts_coint" -> tsCointegration _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
@@ -5030,6 +5111,78 @@ object TimeSeriesOps {
         |  ON b.event_type = a.event_type
         | AND b.bucket + INTERVAL '7 days' = a.bucket
         |ORDER BY a.event_type NULLS FIRST, a.bucket NULLS FIRST""".stripMargin,
+    "q_ts_coint" -> {
+      val beta = "(CAST(bnum AS DOUBLE) / CAST(bden AS DOUBLE))"
+      val alpha = s"((CAST(sy AS DOUBLE) - $beta * CAST(sx AS DOUBLE))" +
+        " / CAST(n AS DOUBLE))"
+      val rho = "(CAST(q1s AS DOUBLE) / CAST(q2s AS DOUBLE))"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |x AS MATERIALIZED (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |p AS MATERIALIZED (
+        |  SELECT a.event_type AS ma, b.event_type AS mb, a.bucket,
+        |         a.ys AS xa, b.ys AS yb
+        |  FROM x a JOIN x b ON a.bucket = b.bucket
+        |  WHERE a.event_type < b.event_type),
+        |mo AS MATERIALIZED (
+        |  SELECT ma, mb, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(xa) AS BIGINT) AS sx,
+        |         CAST(sum(yb) AS BIGINT) AS sy,
+        |         sum(CAST(xa AS HUGEINT) * yb) AS sxy,
+        |         sum(CAST(xa AS HUGEINT) * xa) AS sxx
+        |  FROM p GROUP BY 1, 2),
+        |mo2 AS MATERIALIZED (
+        |  SELECT *, CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |           AS bnum,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |           AS bden
+        |  FROM mo),
+        |we AS MATERIALIZED (
+        |  SELECT p.ma, p.mb, p.bucket,
+        |         (CAST(yb AS DOUBLE) - ($alpha + $beta *
+        |           CAST(xa AS DOUBLE))) / 10000.0 AS e
+        |  FROM p JOIN mo2 ON mo2.ma = p.ma AND mo2.mb = p.mb),
+        |lg AS MATERIALIZED (
+        |  SELECT ma, mb, e,
+        |         lag(e, 1) OVER (PARTITION BY ma, mb
+        |           ORDER BY bucket NULLS FIRST) AS el
+        |  FROM we),
+        |ld AS MATERIALIZED (
+        |  SELECT ma, mb, el, e - el AS de FROM lg
+        |  WHERE el IS NOT NULL),
+        |q12 AS MATERIALIZED (
+        |  SELECT ma, mb, CAST(count(*) AS BIGINT) AS t,
+        |         CAST(sum(CAST(floor(el * de * 1000000000.0) AS BIGINT))
+        |           AS BIGINT) AS q1s,
+        |         CAST(sum(CAST(floor(el * el * 1000000000.0) AS BIGINT))
+        |           AS BIGINT) AS q2s
+        |  FROM ld GROUP BY 1, 2),
+        |uq AS (
+        |  SELECT ld.ma, ld.mb,
+        |         ld.de - $rho * ld.el AS u
+        |  FROM ld JOIN q12 ON q12.ma = ld.ma AND q12.mb = ld.mb),
+        |q3 AS (
+        |  SELECT ma, mb,
+        |         CAST(sum(CAST(floor(u * u * 1000000000.0) AS BIGINT))
+        |           AS BIGINT) AS q3s
+        |  FROM uq GROUP BY 1, 2)
+        |SELECT q12.ma, q12.mb, q12.t AS n_diff,
+        |       CASE WHEN bden > 0 THEN ${Det.r4Sql(beta)} END AS beta,
+        |       CASE WHEN q2s > 0 THEN ${Det.r4Sql(rho)} END AS rho,
+        |       CASE WHEN q2s > 0 AND t > 2 AND q3s > 0 THEN
+        |         ${Det.r4Sql(s"$rho / sqrt((CAST(q3s AS DOUBLE) / " +
+                   "(CAST(t AS DOUBLE) - 1.0)) / CAST(q2s AS DOUBLE))")}
+        |       END AS df_t
+        |FROM q12
+        |JOIN q3 ON q3.ma = q12.ma AND q3.mb = q12.mb
+        |JOIN mo2 ON mo2.ma = q12.ma AND mo2.mb = q12.mb
+        |ORDER BY q12.ma NULLS FIRST, q12.mb NULLS FIRST""".stripMargin
+    },
     "q_ts_grubbs" -> {
       val vnum = "(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)"
       val sd = s"sqrt(CAST($vnum AS DOUBLE) / " +

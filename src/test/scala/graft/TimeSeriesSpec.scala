@@ -793,6 +793,60 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cointegration == driver OLS + DF fold on every pair") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val h1 = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        math.round(r.getDouble(2) * 10000.0)))
+    val types = h1.map(_._1).distinct.sorted
+    val byT = h1.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).toMap).toMap
+    val want = (for { ma <- types; mb <- types if ma < mb } yield {
+      val bks = byT(ma).keySet.intersect(byT(mb).keySet).toSeq.sorted
+      val xs = bks.map(byT(ma)); val ys = bks.map(byT(mb))
+      val n = bks.length.toLong
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val sxx = xs.map(a => BigInt(a) * a).sum
+      val bnum = BigInt(n) * sxy - BigInt(sx) * sy
+      val bden = BigInt(n) * sxx - BigInt(sx) * sx
+      val beta = bnum.toDouble / bden.toDouble
+      val alpha = (sy.toDouble - beta * sx.toDouble) / n.toDouble
+      val e = xs.zip(ys).map { case (a, b) =>
+        (b.toDouble - (alpha + beta * a.toDouble)) / 10000.0 }
+      val (els, des) = e.zip(e.tail).map(p => (p._1, p._2 - p._1)).unzip
+      val t = els.length.toLong
+      val q1s = els.zip(des)
+        .map(p => math.floor(p._1 * p._2 * 1.0e9).toLong).sum
+      val q2s = els.map(x => math.floor(x * x * 1.0e9).toLong).sum
+      val rho = q1s.toDouble / q2s.toDouble
+      val q3s = els.zip(des).map { case (el, de) =>
+        val u = de - rho * el
+        math.floor(u * u * 1.0e9).toLong
+      }.sum
+      val dft = if (q2s > 0L && t > 2L && q3s > 0L)
+        Some(r4(rho / math.sqrt((q3s.toDouble / (t.toDouble - 1.0)) /
+          q2s.toDouble)))
+      else None
+      (ma, mb, t, if (bden > 0) Some(r4(beta)) else None,
+        if (q2s > 0L) Some(r4(rho)) else None, dft)
+    }).toSeq
+    val got = TimeSeriesOps.tsCointegration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    assert(got == want, s"coint diverged: ${got.take(2)} vs " +
+      s"${want.take(2)}")
+    // residual AR coefficient rho = (lag-1 autocorr) - 1 lives in
+    // [-2, 0] for any stationary residual path
+    got.foreach { case (ma, mb, _, _, rho, _) =>
+      rho.foreach(x => assert(x >= -2.0 - 1e-6 && x <= 0.5,
+        s"($ma,$mb): rho $x out of band"))
+    }
+  }
+
   test("grubbs == driver moments; g bounded by (n-1)/sqrt(n)") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
