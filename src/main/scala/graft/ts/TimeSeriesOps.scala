@@ -3673,6 +3673,58 @@ object TimeSeriesOps {
       .orderBy("ma", "mb")
   }
 
+  /** DICKEY–FULLER UNIT-ROOT TEST per series (with intercept) — is
+    * each series mean-reverting or a random walk? The stationarity
+    * read behind every forecasting-model choice, and
+    * [[tsCointegration]]'s single-series companion (EG step 2 runs
+    * this regression on RESIDUALS; here it runs on the series
+    * itself). Regression Δy_t = a + ρ·y_{t−1}: BOTH regressor and
+    * response are EXACT integers in ys = v·10⁴ units, so all four
+    * moments are exact BIGINT/HUGEINT sums and ρ = (TΣxy − ΣxΣy) /
+    * (TΣxx − Σx²) is a ratio of exact integers. Residuals ride the
+    * shared IEEE text; Σu² floor-quantizes at unit grain (u² is in
+    * ys² units — integer-part precision is 1e-12 relative) and
+    * BIGINT-sums order-free; t = ρ/√(s²T/(TΣxx − Σx²)), units
+    * cancelling. t ≲ −2.9 rejects the unit root at 5 %. */
+  def tsDickeyFuller(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wL = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val x = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("ys"))
+      .withColumn("yl", lag(col("ys"), 1).over(wL))
+      .where(col("yl").isNotNull)
+      .select(col("event_type"), col("bucket"), col("yl").as("xv"),
+        (col("ys") - col("yl")).as("yv"))
+      .localCheckpoint(eager = false) // moments + residual passes
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val mo = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("t"), sum(col("xv")).as("sx"),
+        sum(col("yv")).as("sy"),
+        sum(dec(col("xv")) * col("yv")).as("sxy"),
+        sum(dec(col("xv")) * col("xv")).as("sxx"))
+      .withColumn("rnum", dec(col("t")) * col("sxy") -
+        dec(col("sx")) * col("sy"))
+      .withColumn("rden", dec(col("t")) * col("sxx") -
+        dec(col("sx")) * col("sx"))
+    val rho = col("rnum").cast("double") / col("rden").cast("double")
+    val aTxt = (d(col("sy")) - rho * d(col("sx"))) / d(col("t"))
+    val su2 = x.join(broadcast(mo), Seq("event_type"))
+      .withColumn("u", d(col("yv")) - (aTxt + rho * d(col("xv"))))
+      .groupBy(col("event_type"), col("t"), col("rnum"), col("rden"))
+      .agg(sum(floor(col("u") * col("u")).cast("long")).as("su2"))
+    su2.select(col("event_type"), col("t").as("n_diff"),
+        when(col("rden") > lit(0), Det.r4(rho)).otherwise(lit(null))
+          .as("rho"),
+        when(col("rden") > lit(0) && col("t") > 2L && col("su2") > 0L,
+          Det.r4(rho / sqrt((d(col("su2")) / (d(col("t")) - lit(2.0))) *
+            d(col("t")) / col("rden").cast("double"))))
+          .otherwise(lit(null)).as("df_t"))
+      .orderBy("event_type")
+  }
+
   /** GRUBBS' MAX-STUDENTIZED-DEVIATE per series — the parametric
     * outlier read beside the MAD/Tukey robust pair: how many sample
     * standard deviations does the most extreme hourly value sit from
@@ -4207,6 +4259,7 @@ object TimeSeriesOps {
     "q_ts_hoeffding" -> tsHoeffding _,
     "q_ts_grubbs" -> tsGrubbs _,
     "q_ts_coint" -> tsCointegration _,
+    "q_ts_dickey_fuller" -> tsDickeyFuller _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
@@ -5111,6 +5164,60 @@ object TimeSeriesOps {
         |  ON b.event_type = a.event_type
         | AND b.bucket + INTERVAL '7 days' = a.bucket
         |ORDER BY a.event_type NULLS FIRST, a.bucket NULLS FIRST""".stripMargin,
+    "q_ts_dickey_fuller" -> {
+      val rho = "(CAST(rnum AS DOUBLE) / CAST(rden AS DOUBLE))"
+      val a = s"((CAST(sy AS DOUBLE) - $rho * CAST(sx AS DOUBLE))" +
+        " / CAST(t AS DOUBLE))"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |y AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |x AS MATERIALIZED (
+        |  SELECT event_type, bucket, xv, yv FROM (
+        |    SELECT event_type, bucket,
+        |           lag(ys, 1) OVER (PARTITION BY event_type
+        |             ORDER BY bucket NULLS FIRST) AS xv,
+        |           ys - lag(ys, 1) OVER (PARTITION BY event_type
+        |             ORDER BY bucket NULLS FIRST) AS yv
+        |    FROM y)
+        |  WHERE xv IS NOT NULL),
+        |mo AS MATERIALIZED (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS t,
+        |         CAST(sum(xv) AS BIGINT) AS sx,
+        |         CAST(sum(yv) AS BIGINT) AS sy,
+        |         sum(CAST(xv AS HUGEINT) * yv) AS sxy,
+        |         sum(CAST(xv AS HUGEINT) * xv) AS sxx
+        |  FROM x GROUP BY 1),
+        |mo2 AS MATERIALIZED (
+        |  SELECT *, CAST(t AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |           AS rnum,
+        |         CAST(t AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |           AS rden
+        |  FROM mo),
+        |uq AS (
+        |  SELECT x.event_type,
+        |         CAST(yv AS DOUBLE) - ($a + $rho * CAST(xv AS DOUBLE))
+        |           AS u
+        |  FROM x JOIN mo2 ON mo2.event_type = x.event_type),
+        |s2 AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(floor(u * u) AS BIGINT)) AS BIGINT)
+        |           AS su2
+        |  FROM uq GROUP BY 1)
+        |SELECT mo2.event_type, t AS n_diff,
+        |       CASE WHEN rden > 0 THEN ${Det.r4Sql(rho)} END AS rho,
+        |       CASE WHEN rden > 0 AND t > 2 AND su2 > 0 THEN
+        |         ${Det.r4Sql(s"$rho / sqrt((CAST(su2 AS DOUBLE) / " +
+                   "(CAST(t AS DOUBLE) - 2.0)) * CAST(t AS DOUBLE) / " +
+                   "CAST(rden AS DOUBLE))")}
+        |       END AS df_t
+        |FROM mo2 JOIN s2 ON s2.event_type = mo2.event_type
+        |ORDER BY mo2.event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_coint" -> {
       val beta = "(CAST(bnum AS DOUBLE) / CAST(bden AS DOUBLE))"
       val alpha = s"((CAST(sy AS DOUBLE) - $beta * CAST(sx AS DOUBLE))" +

@@ -793,6 +793,46 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dickey-fuller == driver fold; white-noise fixture rejects " +
+      "the unit root hard") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val h1 = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        math.round(r.getDouble(2) * 10000.0)))
+    val want = h1.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      val xv = ys.dropRight(1); val yv = ys.tail.zip(xv).map(p => p._1 - p._2)
+      val t = xv.length.toLong
+      val sx = xv.sum; val sy = yv.sum
+      val sxy = xv.zip(yv).map(p => BigInt(p._1) * p._2).sum
+      val sxx = xv.map(a => BigInt(a) * a).sum
+      val rnum = BigInt(t) * sxy - BigInt(sx) * sy
+      val rden = BigInt(t) * sxx - BigInt(sx) * sx
+      val rho = rnum.toDouble / rden.toDouble
+      val a = (sy.toDouble - rho * sx.toDouble) / t.toDouble
+      val su2 = xv.zip(yv).map { case (x0, y0) =>
+        val u = y0.toDouble - (a + rho * x0.toDouble)
+        math.floor(u * u).toLong
+      }.sum
+      val dft = if (rden > 0 && t > 2L && su2 > 0L)
+        Some(r4(rho / math.sqrt((su2.toDouble / (t.toDouble - 2.0)) *
+          t.toDouble / rden.toDouble)))
+      else None
+      (g, t, if (rden > 0) Some(r4(rho)) else None, dft)
+    }
+    val got = TimeSeriesOps.tsDickeyFuller(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == want, s"dickey-fuller diverged: ${got.take(2)} vs " +
+      s"${want.take(2)}")
+    // hourly averages of iid values are stationary: strong rejection
+    got.foreach { case (g, _, _, dft) =>
+      dft.foreach(x => assert(x < -2.9, s"$g: df_t $x not rejecting"))
+    }
+  }
+
   test("cointegration == driver OLS + DF fold on every pair") {
     import org.apache.spark.sql.functions._
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
