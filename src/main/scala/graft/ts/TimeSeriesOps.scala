@@ -3673,6 +3673,56 @@ object TimeSeriesOps {
       .orderBy("ma", "mb")
   }
 
+  /** LO–MACKINLAY VARIANCE-RATIO TEST per series (q = 6 hours) — the
+    * random-walk diagnostic that reads the SIGN of the departure
+    * where [[tsDickeyFuller]] only rejects: VR < 1 = mean-reverting
+    * (6-hour variance grows slower than 6× hourly), VR > 1 =
+    * trending/momentum. Fully integer: with Δ = y_T − y₀ the
+    * mean-adjusted deviations multiply through by T to exact ints,
+    * so VR = (Σ(T·dq − qΔ)²·T) / (nq·q·Σ(T·d₁ − Δ)²) is a pure
+    * ratio of exact HUGEINT/DECIMAL(38,0) sums (overlapping q-diffs,
+    * nq = T−q+1 windows), divided once with factors cast first;
+    * z = (VR−1)/√(2(2q−1)(q−1)/(3qT)) under homoscedastic RW. */
+  def tsVarianceRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = 6
+    val wL = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val x = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("ys"))
+      .withColumn("d1", col("ys") - lag(col("ys"), 1).over(wL))
+      .withColumn("dq", col("ys") - lag(col("ys"), q).over(wL))
+      .localCheckpoint(eager = false) // extent + deviation passes
+    val ext = x.groupBy(col("event_type"))
+      .agg(sum(when(col("d1").isNotNull, 1L).otherwise(0L)).as("t"),
+        sum(when(col("dq").isNotNull, 1L).otherwise(0L)).as("nq"),
+        sum(col("d1")).as("delta")) // Σd1 telescopes to y_T − y_0
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val s = x.join(broadcast(ext), Seq("event_type"))
+      .groupBy(col("event_type"), col("t"), col("nq"))
+      .agg(
+        sum(when(col("d1").isNotNull, {
+          val e = col("t") * col("d1") - col("delta")
+          dec(e) * e
+        }).otherwise(lit(0).cast("decimal(38,0)"))).as("s1"),
+        sum(when(col("dq").isNotNull, {
+          val e = col("t") * col("dq") - lit(q.toLong) * col("delta")
+          dec(e) * e
+        }).otherwise(lit(0).cast("decimal(38,0)"))).as("sq"))
+    val vr = (col("sq").cast("double") * d(col("t"))) /
+      (d(col("nq")) * lit(q.toDouble) * col("s1").cast("double"))
+    val z = (vr - lit(1.0)) /
+      sqrt(lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)) / d(col("t")))
+    s.select(col("event_type"), col("t"), col("nq"),
+        when(col("s1") > lit(0), Det.r4(vr)).otherwise(lit(null))
+          .as("vr"),
+        when(col("s1") > lit(0) && col("t") > 0L, Det.r4(z))
+          .otherwise(lit(null)).as("z"))
+      .orderBy("event_type")
+  }
+
   /** DICKEY–FULLER UNIT-ROOT TEST per series (with intercept) — is
     * each series mean-reverting or a random walk? The stationarity
     * read behind every forecasting-model choice, and
@@ -4260,6 +4310,7 @@ object TimeSeriesOps {
     "q_ts_grubbs" -> tsGrubbs _,
     "q_ts_coint" -> tsCointegration _,
     "q_ts_dickey_fuller" -> tsDickeyFuller _,
+    "q_ts_variance_ratio" -> tsVarianceRatio _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
     "q_ts_moving_stddev" -> movingStddev _,
@@ -5164,6 +5215,50 @@ object TimeSeriesOps {
         |  ON b.event_type = a.event_type
         | AND b.bucket + INTERVAL '7 days' = a.bucket
         |ORDER BY a.event_type NULLS FIRST, a.bucket NULLS FIRST""".stripMargin,
+    "q_ts_variance_ratio" -> {
+      val vr = "((CAST(sq AS DOUBLE) * CAST(t AS DOUBLE)) / " +
+        "(CAST(nq AS DOUBLE) * 6.0 * CAST(s1 AS DOUBLE)))"
+      val z = s"(($vr - 1.0) / sqrt((2.0 * (2 * 6 - 1) * (6 - 1) / " +
+        "(3.0 * 6)) / CAST(t AS DOUBLE)))"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |y AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |x AS MATERIALIZED (
+        |  SELECT event_type,
+        |         ys - lag(ys, 1) OVER w AS d1,
+        |         ys - lag(ys, 6) OVER w AS dq
+        |  FROM y
+        |  WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY bucket NULLS FIRST)),
+        |ext AS MATERIALIZED (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS t,
+        |         CAST(sum(CASE WHEN dq IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS nq,
+        |         CAST(sum(d1) AS BIGINT) AS delta
+        |  FROM x GROUP BY 1),
+        |s AS (
+        |  SELECT x.event_type, t, nq,
+        |         sum(CASE WHEN d1 IS NOT NULL THEN
+        |             CAST(t * d1 - delta AS HUGEINT) * (t * d1 - delta)
+        |           ELSE CAST(0 AS HUGEINT) END) AS s1,
+        |         sum(CASE WHEN dq IS NOT NULL THEN
+        |             CAST(t * dq - 6 * delta AS HUGEINT) *
+        |               (t * dq - 6 * delta)
+        |           ELSE CAST(0 AS HUGEINT) END) AS sq
+        |  FROM x JOIN ext ON ext.event_type = x.event_type
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, t, nq,
+        |       CASE WHEN s1 > 0 THEN ${Det.r4Sql(vr)} END AS vr,
+        |       CASE WHEN s1 > 0 AND t > 0 THEN ${Det.r4Sql(z)} END AS z
+        |FROM s ORDER BY event_type NULLS FIRST""".stripMargin
+    },
     "q_ts_dickey_fuller" -> {
       val rho = "(CAST(rnum AS DOUBLE) / CAST(rden AS DOUBLE))"
       val a = s"((CAST(sy AS DOUBLE) - $rho * CAST(sx AS DOUBLE))" +

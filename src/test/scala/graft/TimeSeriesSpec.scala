@@ -793,6 +793,43 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("variance ratio == driver fold; iid fixture reads ~1/q") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val q = 6
+    val h1 = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        math.round(r.getDouble(2) * 10000.0)))
+    val want = h1.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      val t = (ys.length - 1).toLong
+      val nq = (ys.length - q).toLong
+      val delta = ys.last - ys.head
+      val s1 = ys.zip(ys.tail).map { case (a, b) =>
+        val e = t * (b - a) - delta; BigInt(e) * e }.sum
+      val sq = ys.dropRight(q).zip(ys.drop(q)).map { case (a, b) =>
+        val e = t * (b - a) - q.toLong * delta; BigInt(e) * e }.sum
+      val vr = sq.toDouble * t.toDouble /
+        (nq.toDouble * q.toDouble * s1.toDouble)
+      val z = (vr - 1.0) / math.sqrt(
+        (2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)) / t.toDouble)
+      (g, t, nq,
+        if (s1 > 0) Some(r4(vr)) else None,
+        if (s1 > 0 && t > 0L) Some(r4(z)) else None)
+    }
+    val got = TimeSeriesOps.tsVarianceRatio(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == want, s"variance ratio diverged: ${got.take(2)} vs " +
+      s"${want.take(2)}")
+    // iid hourly values: VR should sit near 1/q, far below 1
+    got.foreach { case (g, _, _, vr, _) =>
+      vr.foreach(x => assert(x > 0.0 && x < 0.6,
+        s"$g: VR $x not mean-reverting on the iid fixture"))
+    }
+  }
+
   test("dickey-fuller == driver fold; white-noise fixture rejects " +
       "the unit root hard") {
     import org.apache.spark.sql.functions._
