@@ -1563,6 +1563,37 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** COMPRESSION-RATIO QUALITY SCORE per source — the cheapest strong
+    * junk detector in the curation playbook (boilerplate, keyword
+    * stuffing and template spam compress far below natural prose;
+    * the Gopher/RefinedWeb pipelines both gate on it [U]): per doc,
+    * DEFLATE(text).length / text.bytes via the codegen'd
+    * [[org.apache.spark.sql.graft.DeflateLenExpr]] (no UDF). NO
+    * ORACLE — DuckDB has no DEFLATE — spec-gated against a driver
+    * Deflater fold (same JVM ⇒ bit-equal). Aggregation is exact:
+    * pooled ratio = Σdeflated/Σraw (two BIGINT sums, one division),
+    * and the repetitive-doc flag 10·dlen < 4·raw is an exact integer
+    * comparison per doc. */
+  def compressRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.DeflateLenExpr
+    val d0 = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("raw"),
+        DeflateLenExpr(col("text")).as("dlen"))
+    def d(c: Column) = c.cast("double")
+    d0.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("raw")).as("raw_bytes"),
+        sum(col("dlen")).as("deflated_bytes"),
+        sum(when(col("dlen") * lit(10L) < col("raw") * lit(4L), 1L)
+          .otherwise(0L)).as("n_repetitive"))
+      .select(col("source"), col("n_docs"), col("raw_bytes"),
+        col("deflated_bytes"),
+        Det.r4(d(col("deflated_bytes")) / d(col("raw_bytes")))
+          .as("ratio"),
+        col("n_repetitive"))
+      .orderBy("source")
+  }
+
   /** CHAO1 VOCABULARY-RICHNESS ESTIMATE + GOOD–TURING UNSEEN MASS —
     * the "how much vocabulary have we NOT crawled yet" read behind
     * every corpus-coverage decision (Chao 1984; Good 1953): per
@@ -2396,6 +2427,7 @@ object TextOps {
     "q_llm_kl_drift" -> klDrift _,
     "q_llm_psi_length" -> psiLength _,
     "q_llm_vocab_chao1" -> vocabChao1 _,
+    "q_llm_compress_ratio" -> compressRatio _,
     "q_llm_energy_dist" -> energyDistance _,
     "q_llm_mutual_info" -> mutualInfo _,
     "q_llm_entropy_mix" -> entropyMix _,

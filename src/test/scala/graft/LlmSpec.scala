@@ -1701,6 +1701,37 @@ class LlmSpec extends AnyFunSuite {
       assert(e >= -1e-6, s"$s: negative energy distance $e") }
   }
 
+  test("compress ratio == driver Deflater fold; whole-stage codegen " +
+      "keeps the expression native") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (s, rows) =>
+        val pairs = rows.map { case (_, t) =>
+          val raw = t.getBytes("UTF-8")
+          (raw.length.toLong, graft.llm.TextZ.deflatedLen(raw))
+        }
+        val rawB = pairs.map(_._1).sum; val defB = pairs.map(_._2).sum
+        val rep = pairs.count(p => p._2 * 10L < p._1 * 4L).toLong
+        (s, pairs.size.toLong, rawB, defB,
+          r4(defB.toDouble / rawB.toDouble), rep)
+    }
+    val df = graft.llm.TextOps.compressRatio(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == want, s"compress ratio diverged: ${got.take(2)} vs " +
+      s"${want.take(2)}")
+    // AQE final-plan strings mark codegen stages as `*(n)`
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"deflate_len must stay inside whole-stage codegen:\n$plan")
+    got.foreach { case (s, _, _, _, ratio, _) =>
+      assert(ratio > 0.0 && ratio < 1.5, s"$s: ratio $ratio") }
+  }
+
   test("chao1 == driver fold; chao1 >= vocab; gt_unseen in [0,1]") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val toks = graft.io.Tables.documents(spark, sf)

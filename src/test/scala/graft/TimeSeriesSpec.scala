@@ -49,7 +49,9 @@ class TimeSeriesSpec extends AnyFunSuite {
       // PAV's data-dependent pooling; PSI/MI ride ln — each spec'd vs
       // an independent driver reference
       "q_surv_cox", "q_ts_conformal_iso",
-      "q_llm_psi_length", "q_llm_mutual_info")
+      "q_llm_psi_length", "q_llm_mutual_info",
+      // DuckDB has no DEFLATE; spec'd bit-equal vs a driver Deflater
+      "q_llm_compress_ratio")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
