@@ -3047,6 +3047,67 @@ object RelationalOps {
         .otherwise(lit(null)).as("w"))
   }
 
+  /** QUADE TEST over the same complete daily blocks as
+    * [[aggFriedman]] — Friedman's range-weighted sibling (Quade
+    * 1979): blocks where the treatments actually SPREAD carry more
+    * weight (Friedman gives a flat day and a wild day one vote
+    * each), which buys power at small k. With doubled within-block
+    * midranks 2r and doubled block-range midranks 2Q, the statistic
+    * multiplies through by 4 to EXACT integers
+    * S4ᵢⱼ = 2Qᵢ·(2rᵢⱼ − (k+1)):
+    * F = (n−1)·Σⱼ(Σᵢ S4ᵢⱼ)² / (n·Σᵢⱼ S4ᵢⱼ² − Σⱼ(Σᵢ S4ᵢⱼ)²) — a pure
+    * ratio of exact DECIMAL(38,0)/HUGEINT sums, one cast-first
+    * division. Block ranges are exact differences of avg4 grid
+    * values; range ranks tie via midranks like everything else.
+    * NULL on a degenerate design (A = B). Day-grain windows. */
+  def aggQuade(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Seq("click", "purchase", "signup", "error")
+    val m = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(types: _*))
+      .groupBy(date_trunc("day", col("ts")).as("d"),
+        col("event_type").as("g"))
+      .agg(Det.avg4(col("value")).as("v"))
+    val complete = m
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("d"))))
+      .where(col("nb") === types.size)
+      .localCheckpoint(eager = false) // ranks + ranges
+    val ranked = complete
+      .withColumn("rk",
+        rank().over(Window.partitionBy(col("d")).orderBy(col("v")))
+          .cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("d"), col("v"))))
+      .withColumn("r2", lit(2L) * col("rk") + col("cnt") - lit(1L))
+    val rng = complete.groupBy(col("d"))
+      .agg((max(col("v")) - min(col("v"))).as("rg"))
+    val qr = rng
+      .withColumn("qk", rank().over(Window.orderBy(col("rg")))
+        .cast("long"))
+      .withColumn("qc",
+        count(lit(1)).over(Window.partitionBy(col("rg"))))
+      .select(col("d"),
+        (lit(2L) * col("qk") + col("qc") - lit(1L)).as("q2"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val s4 = col("q2") * (col("r2") - lit((types.size + 1).toLong))
+    val rows = ranked.join(broadcast(qr), "d")
+      .select(col("g"), s4.as("s4"))
+      .localCheckpoint(eager = false) // per-treatment + total sums
+    val perT = rows.groupBy(col("g"))
+      .agg(sum(col("s4")).as("s4j"), count(lit(1)).as("nb"))
+    val tot = rows.agg(sum(dec(col("s4")) * col("s4")).as("sa"))
+    val agg = perT.agg(count(lit(1)).as("k"), max(col("nb")).as("n"),
+        sum(dec(col("s4j")) * col("s4j")).as("sb"))
+      .crossJoin(broadcast(tot))
+    def d(c: Column) = c.cast("double")
+    val den = dec(col("n")) * col("sa") - col("sb")
+    agg.select(col("k"), col("n").as("n_blocks"),
+      when(col("n") > 1L && col("k") > 1L && den > lit(0),
+        Det.r4((d(col("n")) - lit(1.0)) * col("sb").cast("double") /
+          den.cast("double")))
+        .otherwise(lit(null)).as("f"))
+  }
+
   /** DISTRIBUTED two-pass twin of [[aggCliffsDelta]] — the scale path
     * for the WHOLE dominance family (cliffs, jonckheere): the exact
     * form's per-group cumulative window over the merged value grid
@@ -5511,6 +5572,7 @@ object RelationalOps {
     "q_agg_cochran_armitage" -> aggCochranArmitage _,
     "q_agg_jonckheere" -> aggJonckheere _,
     "q_agg_friedman" -> aggFriedman _,
+    "q_agg_quade" -> aggQuade _,
     "q_agg_page_trend" -> aggPageTrend _,
     "q_rel_top_paths" -> topPaths _,
     "q_agg_cramers_v" -> cramersV _,
@@ -6423,6 +6485,54 @@ object RelationalOps {
         |       CASE WHEN n > 0 AND k > 1
         |       THEN ${Det.r4Sql(w)} ELSE NULL END AS w
         |FROM ag""".stripMargin
+    },
+    "q_agg_quade" -> {
+      val f = "(CAST(n AS DOUBLE) - 1.0) * CAST(sb AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * sa - sb AS DOUBLE)"
+      s"""WITH m AS MATERIALIZED (
+        |  SELECT date_trunc('day', ts) AS d, event_type AS g,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'signup', 'error')
+        |  GROUP BY 1, 2),
+        |cm AS MATERIALIZED (
+        |  SELECT d, g, v FROM (
+        |    SELECT d, g, v, count(*) OVER (PARTITION BY d) AS nb
+        |    FROM m) t
+        |  WHERE nb = 4),
+        |rk AS (
+        |  SELECT d, g,
+        |         2 * CAST(rank() OVER (PARTITION BY d
+        |             ORDER BY v NULLS FIRST) AS BIGINT)
+        |           + CAST(count(*) OVER (PARTITION BY d, v) AS BIGINT)
+        |           - 1 AS r2
+        |  FROM cm),
+        |rg AS (SELECT d, max(v) - min(v) AS rg FROM cm GROUP BY 1),
+        |qr AS (
+        |  SELECT d,
+        |         2 * CAST(rank() OVER (ORDER BY rg NULLS FIRST)
+        |             AS BIGINT)
+        |           + CAST(count(*) OVER (PARTITION BY rg) AS BIGINT)
+        |           - 1 AS q2
+        |  FROM rg),
+        |rows_ AS MATERIALIZED (
+        |  SELECT g, q2 * (r2 - 5) AS s4
+        |  FROM rk JOIN qr ON qr.d = rk.d),
+        |pt AS (
+        |  SELECT g, CAST(sum(s4) AS BIGINT) AS s4j,
+        |         CAST(count(*) AS BIGINT) AS nb
+        |  FROM rows_ GROUP BY 1),
+        |sa_ AS (SELECT sum(CAST(s4 AS HUGEINT) * s4) AS sa FROM rows_),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(max(nb) AS BIGINT) AS n,
+        |         sum(CAST(s4j AS HUGEINT) * s4j) AS sb
+        |  FROM pt)
+        |SELECT k, n AS n_blocks,
+        |       CASE WHEN n > 1 AND k > 1
+        |             AND CAST(n AS HUGEINT) * sa - sb > 0
+        |       THEN ${Det.r4Sql(f)} END AS f
+        |FROM ag CROSS JOIN sa_""".stripMargin
     },
     "q_agg_jonckheere" -> {
       val mu2 = "((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - " +

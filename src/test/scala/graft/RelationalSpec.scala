@@ -426,6 +426,53 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("quade == driver range-weighted fold; f >= 0; shares " +
+      "friedman's blocks") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val types = Seq("click", "purchase", "signup", "error")
+    val k = types.size
+    val m = graft.io.Tables.events(spark, sf)
+      .where(col("event_type").isin(types: _*))
+      .groupBy(expr("date_trunc('day', ts)").as("d"),
+        col("event_type").as("g"))
+      .agg(graft.util.Det.avg4(col("value")).as("v"))
+      .collect().map(r => (r.get(0).toString, r.getString(1),
+        r.getDouble(2)))
+    val blocks = m.groupBy(_._1).filter(_._2.length == k)
+    val n = blocks.size.toLong
+    // doubled block-range midranks
+    val rgs = blocks.view.mapValues(rs =>
+      rs.map(_._3).max - rs.map(_._3).min).toMap
+    def mid2(xs: Seq[Double], x: Double): Long =
+      2L * (xs.count(_ < x) + 1L) + xs.count(_ == x) - 1L
+    val allRg = rgs.values.toSeq
+    var sa = BigInt(0)
+    val s4j = scala.collection.mutable.Map[String, Long]()
+    blocks.foreach { case (d, rs) =>
+      val q2 = mid2(allRg, rgs(d))
+      val vs = rs.map(_._3).toSeq
+      rs.foreach { case (_, g, v) =>
+        val r2 = mid2(vs, v)
+        val s4 = q2 * (r2 - (k + 1L))
+        sa += BigInt(s4) * s4
+        s4j(g) = s4j.getOrElse(g, 0L) + s4
+      }
+    }
+    val sb = s4j.values.map(x => BigInt(x) * x).sum
+    val den = BigInt(n) * sa - sb
+    val wantF = if (n > 1L && den > 0) Some(r4(
+      (n.toDouble - 1.0) * sb.toDouble / den.toDouble)) else None
+    val got = RelationalOps.aggQuade(spark, sf).collect().head
+    val gt = (got.getLong(0), got.getLong(1),
+      if (got.isNullAt(2)) None else Some(got.getDouble(2)))
+    assert(gt == ((k.toLong, n, wantF)),
+      s"quade diverged: $gt vs (${k}, $n, $wantF)")
+    gt._3.foreach(x => assert(x >= 0.0, s"negative F $x"))
+    // same complete blocks as friedman
+    val fr = RelationalOps.aggFriedman(spark, sf).collect().head
+    assert(fr.getLong(1) == n, "quade/friedman block counts differ")
+  }
+
   test("brunner-munzel == driver midrank fold; p_hat in [0,1]") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val vals = graft.io.Tables.events(spark, sf)
