@@ -1563,6 +1563,75 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** KENDALL τ-b BETWEEN SOURCES on document length — for every source
+    * pair, the rank-correlation between the source INDICATOR and
+    * n_chars over the pooled two-sample data (Kendall 1945 tie-adjusted
+    * form; with a binary x this is the tie-complete sibling of Cliff's
+    * delta and the rank-biserial, read as "how stochastically longer is
+    * source b than source a, tie-penalized"). Everything before the
+    * final formula is EXACT pair counting at the distinct-length grid
+    * ([[aggCliffsDelta]]'s machinery, never a row-level pair join):
+    * concordant nc = Σᵥ c₁(v)·#{b-docs > v}, discordant nd with <, the
+    * x-tie term drops analytically (n0 − tx = n1·n2), and the y-tie
+    * term ty = Σᵥ C(c₁+c₂, 2) splits into two per-source constants plus
+    * one cross term Σᵥ c₁·c₂ — all BIGINT/DECIMAL(38,0). τ-b is then
+    * ONE IEEE expression with every factor cast to double first (the
+    * r10 ratio rule — the BIGINT products would overflow at 100 TB doc
+    * counts). Grid cost: sources × distinct lengths, value-grain
+    * bounded; the pair join fans 190 pairs × grid, calendar-free but
+    * domain-bounded. Total order (s1, s2). */
+  def kendallSources(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out + per-source ties
+    def dec(e: Column) = e.cast("decimal(38,0)")
+    def d(e: Column) = e.cast("double")
+    // ×2 trick (the midrank discipline): carry 2·C(c,2) = c(c−1) so
+    // every tie accumulator stays DECIMAL(38,0) — no decimal-scale
+    // creep from a /2
+    val perS = byV.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(dec(col("c")) * (col("c") - 1)).as("tself2"))
+    val grid = byV.select(col("x")).distinct()
+      .crossJoin(broadcast(byV.select(col("source")).distinct()))
+      .join(byV, Seq("source", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("source"))
+    val cums = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = cums.select(col("source").as("s1"), col("x"),
+      col("c").as("c1"), col("n_g").as("n1"))
+    val b = cums.select(col("source").as("s2"), col("x"),
+      col("c").as("c2"), (col("cum") - col("c")).as("below2"),
+      col("cum").as("upto2"), col("n_g").as("n2"))
+    val pair = a.join(b, "x").where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+      .agg(sum(dec(col("c1")) * (col("n2") - col("upto2"))).as("nc"),
+        sum(dec(col("c1")) * col("below2")).as("nd"),
+        sum(dec(col("c1")) * col("c2")).as("crossT"))
+    val t1 = perS.select(col("source").as("s1"), col("tself2").as("ty1"))
+    val t2 = perS.select(col("source").as("s2"), col("tself2").as("ty2"))
+    // doubled pooled terms: 2·n0 = (n1+n2)(n1+n2−1); 2·ty = ty1 + ty2
+    // + 2·crossT — exact DECIMAL(38,0) at any corpus size
+    val n02 = dec(col("n1") + col("n2")) * (col("n1") + col("n2") - 1)
+    val nyt2 = n02 - (col("ty1") + col("ty2") + col("crossT") * 2)
+    pair.join(broadcast(t1), "s1").join(broadcast(t2), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        col("nc").cast("long").as("n_conc"),
+        col("nd").cast("long").as("n_disc"),
+        when(col("n1") > 0L && col("n2") > 0L && nyt2 > lit(0),
+          Det.r4((d(col("nc")) - d(col("nd"))) /
+            sqrt(d(col("n1")) * d(col("n2")) * (d(nyt2) / lit(2.0)))))
+          .otherwise(lit(null)).as("tau_b"))
+      .orderBy("s1", "s2")
+  }
+
   /** COMPRESSION-RATIO QUALITY SCORE per source — the cheapest strong
     * junk detector in the curation playbook (boilerplate, keyword
     * stuffing and template spam compress far below natural prose;
@@ -2429,6 +2498,7 @@ object TextOps {
     "q_llm_vocab_chao1" -> vocabChao1 _,
     "q_llm_compress_ratio" -> compressRatio _,
     "q_llm_energy_dist" -> energyDistance _,
+    "q_llm_kendall_sources" -> kendallSources _,
     "q_llm_mutual_info" -> mutualInfo _,
     "q_llm_entropy_mix" -> entropyMix _,
     "q_llm_drift_tokens" -> driftTokens _,
@@ -2822,6 +2892,52 @@ object TextOps {
         |       CASE WHEN ns > 0 AND nr > 0 THEN ${r4Sql(e)} END
         |         AS e_dist
         |FROM s ORDER BY source NULLS FIRST""".stripMargin
+    },
+    "q_llm_kendall_sources" -> {
+      val tau = "(CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE)) / " +
+        "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+        "(CAST(nyt2 AS DOUBLE) / 2.0))"
+      s"""WITH byv AS MATERIALIZED (
+        |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |pers AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_g,
+        |         sum(CAST(c AS HUGEINT) * (c - 1)) AS tself2
+        |  FROM byv GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, g.x, COALESCE(byv.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM byv) s
+        |  CROSS JOIN (SELECT DISTINCT x FROM byv) g
+        |  LEFT JOIN byv ON byv.source = s.source AND byv.x = g.x),
+        |cums AS MATERIALIZED (
+        |  SELECT source, x, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY x NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n_g
+        |  FROM grid),
+        |pair AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |         CAST(a.n_g AS BIGINT) AS n1,
+        |         CAST(b.n_g AS BIGINT) AS n2,
+        |         sum(CAST(a.c AS HUGEINT) * (b.n_g - b.cum)) AS nc,
+        |         sum(CAST(a.c AS HUGEINT) * (b.cum - b.c)) AS nd,
+        |         sum(CAST(a.c AS HUGEINT) * b.c) AS crosst
+        |  FROM cums a JOIN cums b ON a.x = b.x AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT s1, s2, n1, n2, CAST(nc AS BIGINT) AS n_conc,
+        |       CAST(nd AS BIGINT) AS n_disc,
+        |       CASE WHEN n1 > 0 AND n2 > 0 AND nyt2 > 0 THEN
+        |         ${r4Sql(tau)}
+        |       END AS tau_b
+        |FROM (
+        |  SELECT pair.*, t1.tself2 AS ty1, t2.tself2 AS ty2,
+        |         CAST(n1 + n2 AS HUGEINT) * (n1 + n2 - 1) -
+        |           (t1.tself2 + t2.tself2 + crosst * 2) AS nyt2
+        |  FROM pair
+        |  JOIN pers t1 ON t1.source = pair.s1
+        |  JOIN pers t2 ON t2.source = pair.s2)
+        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
     },
     "q_llm_vocab_chao1" -> {
       val chao = "CASE WHEN f2 > 0 THEN " +

@@ -97,15 +97,19 @@ object MultimodalOps {
     * REAL container — text bytes rendered as grayscale pixels in a
     * 24-bpp BMP (even doc_id) or as 16-bit PCM samples in a mono WAV
     * (odd doc_id); metadata mirrors the container header. */
+  /** doc_id offset for the planted near-dup clones — far above any
+    * real doc_id at any SF, so clones never collide with corpus ids. */
+  private[graft] val CloneIdOffset = 1000000000L
+
   def media(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
+      .flatMap { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
         val content = if (bytes.isEmpty) Array[Byte](0) else bytes
-        if (id % 2 == 0) {
+        val base = if (id % 2 == 0) {
           val w = 16 + (id % 16).toInt
           val h = 16 + (id % 9).toInt
           val gray = Array.tabulate(w * h)(i => content(i % content.length))
@@ -119,7 +123,52 @@ object MultimodalOps {
           MediaRow(id, "audio", MediaCodec.encodeWav(rate, samples),
             width = 0, height = 0, sample_rate = rate)
         }
+        // Plant a deterministic near-dup clone for doc 0 (image) and
+        // doc 1 (audio): the natural corpus carries no guaranteed
+        // near-pair at every SF, so without these the dedup queries can
+        // go green-on-empty (the r14 vacuous-fixture hazard class). The
+        // nudge is verified LOCALLY against the wide-probe d <= 2
+        // guarantee, falling back to a byte-exact copy (hamming 0) —
+        // non-degeneracy is by construction, never by luck.
+        if (id == 0L || id == 1L) Seq(base, nearDupClone(base))
+        else Seq(base)
       }
+  }
+
+  /** A near-identical clone of one media row (doc_id offset by
+    * [[CloneIdOffset]]): first sub-threshold edit whose perceptual-hash
+    * hamming vs the original is <= 2, else a byte-exact copy. */
+  private def nearDupClone(m: MediaRow): MediaRow = {
+    val cid = m.doc_id + CloneIdOffset
+    if (m.kind == "image") {
+      val h0 = MediaHash.imageAhash(m.payload)
+      val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+      // 3-, 2-, 1-pixel low-bit nudges (the MediaCodecSpec planted-pair
+      // construction), most-perturbed first
+      val candidates = Seq(3, 2, 1).map { k =>
+        val t = gray.clone()
+        (0 until k).foreach { i =>
+          val p = (i * 37) % t.length
+          t(p) = (t(p) ^ 0x01).toByte
+        }
+        MediaCodec.encodeBmp(w, h, t)
+      }
+      val pay = candidates
+        .find(p => java.lang.Long.bitCount(h0 ^ MediaHash.imageAhash(p)) <= 2)
+        .getOrElse(m.payload.clone())
+      m.copy(doc_id = cid, payload = pay)
+    } else {
+      val h0 = MediaHash.audioAhash(m.payload)
+      val (rate, samples) = MediaCodec.decodeWav(m.payload)
+      // gain edits that keep the energy envelope's shape
+      val candidates = Seq(2, 4).map { div =>
+        MediaCodec.encodeWav(rate, samples.map(s => (s / div).toShort))
+      }
+      val pay = candidates
+        .find(p => java.lang.Long.bitCount(h0 ^ MediaHash.audioAhash(p)) <= 2)
+        .getOrElse(m.payload.clone())
+      m.copy(doc_id = cid, payload = pay)
+    }
   }
 
   /** Real decode: parse the container, cross-check its header against
@@ -427,7 +476,8 @@ object MultimodalOps {
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.hsh").bitwiseXOR(col("b.hsh"))).as("hamming"))
+        bit_count(col("a.hsh").bitwiseXOR(col("b.hsh"))).cast("long")
+          .as("hamming"))
       .where(col("hamming") <= AhashMaxHamming)
       .distinct()
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
@@ -463,7 +513,8 @@ object MultimodalOps {
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.hsh").bitwiseXOR(col("b.hsh"))).as("hamming"))
+        bit_count(col("a.hsh").bitwiseXOR(col("b.hsh"))).cast("long")
+          .as("hamming"))
       .where(col("hamming") <= WideAhashMaxHamming)
       .distinct()
       .orderBy(col("hamming"), col("a_id"), col("b_id"))

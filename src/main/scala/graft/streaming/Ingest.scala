@@ -915,7 +915,7 @@ object Ingest {
           val band = q90(t)
           rows.foreach { o =>
             st = CovState(st.n + 1L,
-              st.covered + (if (o.r <= band) 1L else 0L))
+              st.covered + (if (math.abs(o.r) <= band) 1L else 0L))
           }
           state.update(st)
           if (st.n == 0L) Iterator.empty

@@ -3633,10 +3633,15 @@ object TimeSeriesOps {
         dec(col("sx")) * col("sx"))
     val beta = col("bnum").cast("double") / col("bden").cast("double")
     val alpha = (d(col("sy")) - beta * d(col("sx"))) / d(col("n"))
+    // Degeneracy guard (ANSI): bden = 0 (constant x) would make beta
+    // NaN and every downstream floor(...).cast("long") throw; route
+    // such pairs through as exact zeros so the output guards below
+    // produce the documented NULL row instead of a runtime error.
     val withE = p.join(broadcast(mo), Seq("ma", "mb"))
       .select(col("ma"), col("mb"), col("bucket"), col("bden"),
-        ((d(col("yb")) - (alpha + beta * d(col("xa")))) / lit(10000.0))
-          .as("e"))
+        when(col("bden") =!= lit(0),
+          (d(col("yb")) - (alpha + beta * d(col("xa")))) / lit(10000.0))
+          .otherwise(lit(0.0)).as("e"))
     val wL = Window.partitionBy(col("ma"), col("mb"))
       .orderBy(col("bucket"))
     val lagged = withE
@@ -3652,8 +3657,9 @@ object TimeSeriesOps {
           .as("q2s"))
     val rho = d(col("q1s")) / d(col("q2s"))
     val q3 = lagged.join(broadcast(q12), Seq("ma", "mb"))
-      .withColumn("u", col("de") -
+      .withColumn("u", when(col("q2s") > 0L, col("de") -
         (d(col("q1s")) / d(col("q2s"))) * col("el"))
+        .otherwise(lit(0.0))) // q2s = 0 ⇒ rho NaN ⇒ guard (NULL row)
       .groupBy(col("ma"), col("mb"), col("t"), col("bden"),
         col("q1s"), col("q2s"))
       .agg(sum(floor(col("u") * col("u") * lit(1.0e9)).cast("long"))
@@ -3762,7 +3768,9 @@ object TimeSeriesOps {
     val rho = col("rnum").cast("double") / col("rden").cast("double")
     val aTxt = (d(col("sy")) - rho * d(col("sx"))) / d(col("t"))
     val su2 = x.join(broadcast(mo), Seq("event_type"))
-      .withColumn("u", d(col("yv")) - (aTxt + rho * d(col("xv"))))
+      .withColumn("u", when(col("rden") =!= lit(0),
+        d(col("yv")) - (aTxt + rho * d(col("xv"))))
+        .otherwise(lit(0.0))) // rden = 0 ⇒ rho NaN ⇒ guard (NULL row)
       .groupBy(col("event_type"), col("t"), col("rnum"), col("rden"))
       .agg(sum(floor(col("u") * col("u")).cast("long")).as("su2"))
     su2.select(col("event_type"), col("t").as("n_diff"),
@@ -3772,6 +3780,90 @@ object TimeSeriesOps {
           Det.r4(rho / sqrt((d(col("su2")) / (d(col("t")) - lit(2.0))) *
             d(col("t")) / col("rden").cast("double"))))
           .otherwise(lit(null)).as("df_t"))
+      .orderBy("event_type")
+  }
+
+  /** AUGMENTED DICKEY–FULLER (one lagged difference, intercept) per
+    * series — [[tsDickeyFuller]]'s published production form (Said &
+    * Dickey 1984): serial correlation in Δy biases the plain DF test,
+    * so the regression Δy_t = a + ρ·y_{t−1} + φ·Δy_{t−1} soaks up the
+    * AR(1) structure before reading ρ. Exact by the established
+    * discipline: regressors x = y_{t−1}, z = Δy_{t−1} and response
+    * y = Δy_t are EXACT integers in ys = v·10⁴ units; the two-variable
+    * OLS solves from n-scaled CENTERED moments S̃ab = n·Σab − Σa·Σb
+    * (each an exact DECIMAL(38,0)/HUGEINT product of BIGINT sums,
+    * bounded ≈ n²·ys² ≈ 8e16 at a 720-bucket calendar, their pairwise
+    * products ≈ 7e33 — inside 38 digits with a 10⁴× margin):
+    * ρ = (S̃zz·S̃xy − S̃xz·S̃zy)/D, φ = (S̃xx·S̃zy − S̃xz·S̃xy)/D with
+    * D = S̃xx·S̃zz − S̃xz² ≥ 0 (Cauchy–Schwarz). Residuals ride ONE
+    * shared IEEE text (each decimal→double cast is correctly rounded
+    * in both engines), Σu² floor-quantizes at unit grain, and the
+    * t-statistic is adf_t = ρ / √((Σu²/(n−3)) · n·S̃zz / D) — the
+    * standard errors' centered-inverse form, Var(ρ̂) = σ²·szz/(sxx·szz
+    * − sxz²) written in n-scaled sums. adf_t ≲ −2.9 rejects the unit
+    * root at 5%. Degenerate series (D = 0, collinear or constant
+    * regressors) route through exact zeros to NULL outputs — the
+    * [[tsDickeyFuller]] ANSI guard discipline. One narrow shuffle to
+    * series grain then window lags — the per-series recursion shape
+    * that survives any corpus size (cost is calendar-bounded). */
+  def tsAdf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wL = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val x = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("ys"))
+      .withColumn("l1", lag(col("ys"), 1).over(wL))
+      .withColumn("l2", lag(col("ys"), 2).over(wL))
+      .where(col("l2").isNotNull)
+      .select(col("event_type"),
+        col("l1").as("xv"),                      // y_{t-1}
+        (col("l1") - col("l2")).as("zv"),        // lag Δy
+        (col("ys") - col("l1")).as("yv"))        // Δy_t
+      .localCheckpoint(eager = false) // moments + residual passes
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val mo = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("xv")).as("sx"),
+        sum(col("zv")).as("sz"), sum(col("yv")).as("sy"),
+        sum(dec(col("xv")) * col("xv")).as("sxx"),
+        sum(dec(col("zv")) * col("zv")).as("szz"),
+        sum(dec(col("xv")) * col("zv")).as("sxz"),
+        sum(dec(col("xv")) * col("yv")).as("sxy"),
+        sum(dec(col("zv")) * col("yv")).as("szy"))
+      .withColumn("cxx", dec(col("n")) * col("sxx") -
+        dec(col("sx")) * col("sx"))
+      .withColumn("czz", dec(col("n")) * col("szz") -
+        dec(col("sz")) * col("sz"))
+      .withColumn("cxz", dec(col("n")) * col("sxz") -
+        dec(col("sx")) * col("sz"))
+      .withColumn("cxy", dec(col("n")) * col("sxy") -
+        dec(col("sx")) * col("sy"))
+      .withColumn("czy", dec(col("n")) * col("szy") -
+        dec(col("sz")) * col("sy"))
+      .withColumn("det", col("cxx") * col("czz") - col("cxz") * col("cxz"))
+      .withColumn("rnum", col("czz") * col("cxy") - col("cxz") * col("czy"))
+      .withColumn("pnum", col("cxx") * col("czy") - col("cxz") * col("cxy"))
+    val rho = d(col("rnum")) / d(col("det"))
+    val phi = d(col("pnum")) / d(col("det"))
+    val aTxt = (d(col("sy")) - rho * d(col("sx")) - phi * d(col("sz"))) /
+      d(col("n"))
+    val su2 = x.join(broadcast(mo), Seq("event_type"))
+      .withColumn("u", when(col("det") > lit(0),
+        d(col("yv")) - (aTxt + rho * d(col("xv")) + phi * d(col("zv"))))
+        .otherwise(lit(0.0))) // det = 0 ⇒ rho NaN ⇒ guard (NULL row)
+      .groupBy(col("event_type"), col("n"), col("czz"), col("rnum"),
+        col("pnum"), col("det"))
+      .agg(sum(floor(col("u") * col("u")).cast("long")).as("su2"))
+    su2.select(col("event_type"), col("n").as("n_eff"),
+        when(col("det") > lit(0), Det.r4(rho)).otherwise(lit(null))
+          .as("rho"),
+        when(col("det") > lit(0), Det.r4(phi)).otherwise(lit(null))
+          .as("phi"),
+        when(col("det") > lit(0) && col("n") > 3L && col("su2") > 0L,
+          Det.r4(rho / sqrt((d(col("su2")) / (d(col("n")) - lit(3.0))) *
+            d(col("n")) * d(col("czz")) / d(col("det")))))
+          .otherwise(lit(null)).as("adf_t"))
       .orderBy("event_type")
   }
 
@@ -3980,7 +4072,9 @@ object TimeSeriesOps {
     tagged.where(col("rn") > col("ncal"))
       .join(broadcast(sigma), Seq("event_type", "hx"), "left")
       .join(broadcast(smax), Seq("event_type"))
-      .withColumn("sg", coalesce(col("sigma"), col("smax")))
+      .withColumn("sg", when(col("sigma") > 0.0, col("sigma"))
+        .otherwise(col("smax"))) // sigma NULL (unseen hour) OR <= 0
+        // (zero-width band) both take the conservative smax fallback
       .join(broadcast(q), Seq("event_type"))
       .groupBy(col("event_type"), col("ncal"), col("n_cal_used"),
         col("q90n"))
@@ -4310,6 +4404,7 @@ object TimeSeriesOps {
     "q_ts_grubbs" -> tsGrubbs _,
     "q_ts_coint" -> tsCointegration _,
     "q_ts_dickey_fuller" -> tsDickeyFuller _,
+    "q_ts_adf" -> tsAdf _,
     "q_ts_variance_ratio" -> tsVarianceRatio _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
@@ -5310,6 +5405,80 @@ object TimeSeriesOps {
                    "(CAST(t AS DOUBLE) - 2.0)) * CAST(t AS DOUBLE) / " +
                    "CAST(rden AS DOUBLE))")}
         |       END AS df_t
+        |FROM mo2 JOIN s2 ON s2.event_type = mo2.event_type
+        |ORDER BY mo2.event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_adf" -> {
+      val rho = "(CAST(rnum AS DOUBLE) / CAST(det AS DOUBLE))"
+      val phi = "(CAST(pnum AS DOUBLE) / CAST(det AS DOUBLE))"
+      val a = s"((CAST(sy AS DOUBLE) - $rho * CAST(sx AS DOUBLE)" +
+        s" - $phi * CAST(sz AS DOUBLE)) / CAST(n AS DOUBLE))"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |y AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |x AS MATERIALIZED (
+        |  SELECT event_type, l1 AS xv, l1 - l2 AS zv, ys - l1 AS yv
+        |  FROM (
+        |    SELECT event_type, ys,
+        |           lag(ys, 1) OVER (PARTITION BY event_type
+        |             ORDER BY bucket NULLS FIRST) AS l1,
+        |           lag(ys, 2) OVER (PARTITION BY event_type
+        |             ORDER BY bucket NULLS FIRST) AS l2
+        |    FROM y)
+        |  WHERE l2 IS NOT NULL),
+        |mo AS MATERIALIZED (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(xv) AS BIGINT) AS sx,
+        |         CAST(sum(zv) AS BIGINT) AS sz,
+        |         CAST(sum(yv) AS BIGINT) AS sy,
+        |         sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+        |         sum(CAST(zv AS HUGEINT) * zv) AS szz,
+        |         sum(CAST(xv AS HUGEINT) * zv) AS sxz,
+        |         sum(CAST(xv AS HUGEINT) * yv) AS sxy,
+        |         sum(CAST(zv AS HUGEINT) * yv) AS szy
+        |  FROM x GROUP BY 1),
+        |mo2 AS MATERIALIZED (
+        |  SELECT *, czz * cxy - cxz * czy AS rnum,
+        |         cxx * czy - cxz * cxy AS pnum,
+        |         cxx * czz - cxz * cxz AS det
+        |  FROM (
+        |    SELECT *,
+        |           CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |             AS cxx,
+        |           CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz
+        |             AS czz,
+        |           CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz
+        |             AS cxz,
+        |           CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |             AS cxy,
+        |           CAST(n AS HUGEINT) * szy - CAST(sz AS HUGEINT) * sy
+        |             AS czy
+        |    FROM mo)),
+        |uq AS (
+        |  SELECT x.event_type,
+        |         CASE WHEN det > 0 THEN
+        |           CAST(yv AS DOUBLE) - ($a + $rho * CAST(xv AS DOUBLE)
+        |             + $phi * CAST(zv AS DOUBLE))
+        |         ELSE 0.0 END AS u
+        |  FROM x JOIN mo2 ON mo2.event_type = x.event_type),
+        |s2 AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(floor(u * u) AS BIGINT)) AS BIGINT)
+        |           AS su2
+        |  FROM uq GROUP BY 1)
+        |SELECT mo2.event_type, n AS n_eff,
+        |       CASE WHEN det > 0 THEN ${Det.r4Sql(rho)} END AS rho,
+        |       CASE WHEN det > 0 THEN ${Det.r4Sql(phi)} END AS phi,
+        |       CASE WHEN det > 0 AND n > 3 AND su2 > 0 THEN
+        |         ${Det.r4Sql(s"$rho / sqrt((CAST(su2 AS DOUBLE) / " +
+                   "(CAST(n AS DOUBLE) - 3.0)) * CAST(n AS DOUBLE) * " +
+                   "CAST(czz AS DOUBLE) / CAST(det AS DOUBLE))")}
+        |       END AS adf_t
         |FROM mo2 JOIN s2 ON s2.event_type = mo2.event_type
         |ORDER BY mo2.event_type NULLS FIRST""".stripMargin
     },

@@ -2077,4 +2077,41 @@ class LlmSpec extends AnyFunSuite {
       e.foreach(x => assert(x >= 0.0 && x <= 1.0, s"$s: evenness $x"))
     }
   }
+
+  test("kendall tau-b between sources == brute-force pair counting") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for { s1 <- srcs; s2 <- srcs if s1 < s2 } yield {
+      val (xs, ys) = (bySrc(s1), bySrc(s2))
+      val (n1, n2) = (xs.length.toLong, ys.length.toLong)
+      var nc = 0L; var nd = 0L; var crossT = 0L
+      for (a <- xs; b <- ys) {
+        if (b > a) nc += 1 else if (b < a) nd += 1 else crossT += 1
+      }
+      def tp(v: Seq[Long]): Long = v.groupBy(identity).valuesIterator
+        .map { g => val c = g.length.toLong; c * (c - 1) }.sum
+      val nyt2 = (n1 + n2) * (n1 + n2 - 1) -
+        (tp(xs.toSeq) + tp(ys.toSeq) + 2L * crossT)
+      val tau = if (n1 > 0 && n2 > 0 && nyt2 > 0)
+        Some(r4((nc.toDouble - nd.toDouble) /
+          math.sqrt(n1.toDouble * n2.toDouble * (nyt2.toDouble / 2.0))))
+      else None
+      (s1, s2, n1, n2, nc, nd, tau)
+    }).toSeq
+    val got = graft.llm.TextOps.kendallSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(got == want, s"kendall-sources diverged: ${got.take(2)} vs " +
+      s"${want.take(2)}")
+    // a tie-complete tau-b is bounded and same-distribution sources
+    // should not show strong ordinal separation on this fixture
+    got.foreach { case (s1, s2, _, _, _, _, tau) =>
+      tau.foreach(x => assert(math.abs(x) <= 1.0, s"($s1,$s2): $x"))
+    }
+  }
 }

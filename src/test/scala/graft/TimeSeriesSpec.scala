@@ -1107,7 +1107,10 @@ class TimeSeriesSpec extends AnyFunSuite {
           val q90n = usable(((9L * m + 9L) / 10L - 1L).toInt)._1
           val smax = sig.values.max
           val cov = testR.count { x =>
-            val sg = sig.getOrElse(hr(x._2), smax)
+            // conservative fallback for unseen hours AND degenerate
+            // (sigma <= 0) fits — mirrors tsConformalIso's guard
+            val s0 = sig.getOrElse(hr(x._2), 0.0)
+            val sg = if (s0 > 0.0) s0 else smax
             x._3 <= q90n * sg
           }.toLong
           Seq((g, ncal, m, testR.length.toLong, r4(q90n), cov,
@@ -1124,6 +1127,67 @@ class TimeSeriesSpec extends AnyFunSuite {
     got.foreach { case (g, _, _, nt, _, _, cov) =>
       if (nt >= 10L) assert(cov >= 0.5 && cov <= 1.0,
         s"$g: adaptive coverage $cov out of band")
+    }
+  }
+
+  test("augmented dickey-fuller == driver 2-var OLS fold; " +
+      "white noise still rejects and phi stays small") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val h1 = TimeSeriesOps.rollupAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        math.round(r.getDouble(2) * 10000.0)))
+    val want = h1.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      // x = y_{t-1}, z = lag diff, y = diff — rows with both lags
+      val trip = (2 until ys.length).map(i =>
+        (ys(i - 1), ys(i - 1) - ys(i - 2), ys(i) - ys(i - 1)))
+      val n = trip.length.toLong
+      val sx = trip.map(_._1).sum; val sz = trip.map(_._2).sum
+      val sy = trip.map(_._3).sum
+      def dot(f: ((Long, Long, Long)) => Long,
+          h: ((Long, Long, Long)) => Long): BigInt =
+        trip.map(t => BigInt(f(t)) * h(t)).sum
+      val (sxx, szz, sxz) = (dot(_._1, _._1), dot(_._2, _._2),
+        dot(_._1, _._2))
+      val (sxy, szy) = (dot(_._1, _._3), dot(_._2, _._3))
+      val cxx = BigInt(n) * sxx - BigInt(sx) * sx
+      val czz = BigInt(n) * szz - BigInt(sz) * sz
+      val cxz = BigInt(n) * sxz - BigInt(sx) * sz
+      val cxy = BigInt(n) * sxy - BigInt(sx) * sy
+      val czy = BigInt(n) * szy - BigInt(sz) * sy
+      val det = cxx * czz - cxz * cxz
+      val rnum = czz * cxy - cxz * czy
+      val pnum = cxx * czy - cxz * cxy
+      val rho = rnum.toDouble / det.toDouble
+      val phi = pnum.toDouble / det.toDouble
+      val a = (sy.toDouble - rho * sx.toDouble - phi * sz.toDouble) /
+        n.toDouble
+      val su2 = trip.map { case (x0, z0, y0) =>
+        val u = if (det > 0)
+          y0.toDouble - (a + rho * x0.toDouble + phi * z0.toDouble)
+        else 0.0
+        math.floor(u * u).toLong
+      }.sum
+      val t = if (det > 0 && n > 3L && su2 > 0L)
+        Some(r4(rho / math.sqrt((su2.toDouble / (n.toDouble - 3.0)) *
+          n.toDouble * czz.toDouble / det.toDouble)))
+      else None
+      (g, n, if (det > 0) Some(r4(rho)) else None,
+        if (det > 0) Some(r4(phi)) else None, t)
+    }
+    val got = TimeSeriesOps.tsAdf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == want, s"adf diverged: ${got.take(2)} vs " +
+      s"${want.take(2)}")
+    got.foreach { case (g, _, rho, phi, t) =>
+      // iid hourly means: strong rejection, near-full mean reversion,
+      // no genuine AR(1) structure in the differences
+      t.foreach(x => assert(x < -2.9, s"$g: adf_t $x not rejecting"))
+      rho.foreach(x => assert(x > -2.0 && x < 0.0, s"$g: rho $x"))
+      phi.foreach(x => assert(math.abs(x) < 0.5, s"$g: phi $x"))
     }
   }
 }
