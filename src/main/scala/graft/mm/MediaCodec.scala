@@ -147,4 +147,91 @@ object MediaCodec {
     }
     (width, height, gray)
   }
+
+  // ------------------------------------------------ JPEG / PNG (pure JDK)
+
+  /** Magic-byte container sniff for image payloads (public signatures:
+    * BMP "BM", PNG \x89PNG, JPEG FF D8 FF). */
+  def imageFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && bytes(0) == 'B'.toByte &&
+      bytes(1) == 'M'.toByte) "bmp"
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte &&
+      bytes(3) == 'G'.toByte) "png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+    else "unknown"
+
+  /** Format-dispatched image decode to (width, height, top-down
+    * grayscale): BMP through the hand-rolled container parser above;
+    * PNG/JPEG through the JDK's `javax.imageio` (offline, no native
+    * deps — the real-corpus formats the dedup path must accept). All
+    * three routes share ONE luminance formula (77R + 150G + 29B) >> 8,
+    * so a pixel-identical image hashes identically whatever container
+    * it arrived in (and a TYPE_BYTE_GRAY PNG round-trips gray values
+    * bit-exactly: r = g = b ⇒ the formula collapses to (256·g) >> 8 =
+    * g). Throws IllegalArgumentException on malformed/unknown input —
+    * the established MediaCodec contract. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    imageFormat(bytes) match {
+      case "bmp" => decodeBmp(bytes)
+      case "png" | "jpeg" =>
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        } catch {
+          case e: java.io.IOException =>
+            throw new IllegalArgumentException(
+              s"undecodable image payload: ${e.getMessage}")
+        }
+        require(img != null, "undecodable image payload")
+        val w = img.getWidth; val h = img.getHeight
+        val gray = new Array[Byte](w * h)
+        val raster = img.getRaster
+        val singleBand = raster.getNumBands == 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            gray(y * w + x) = if (singleBand) {
+              // grayscale container: the raw sample IS the gray value
+              // (getRGB would route it through a gamma-correcting
+              // gray→sRGB transform and break bit-exact roundtrips)
+              raster.getSample(x, y, 0).toByte
+            } else {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              ((77 * r + 150 * g + 29 * b) >> 8).toByte
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, gray)
+      case f => throw new IllegalArgumentException(
+        s"unsupported image format: $f")
+    }
+
+  /** Encode top-down grayscale pixels as PNG (lossless) or JPEG (lossy,
+    * writer-default quality) via the JDK writers — fixture/export
+    * helpers for the real-format dedup path. */
+  def encodePng(width: Int, height: Int, gray: Array[Byte]): Array[Byte] =
+    encodeViaImageIo(width, height, gray, "png")
+
+  def encodeJpeg(width: Int, height: Int, gray: Array[Byte]): Array[Byte] =
+    encodeViaImageIo(width, height, gray, "jpg")
+
+  private def encodeViaImageIo(width: Int, height: Int, gray: Array[Byte],
+      fmt: String): Array[Byte] = {
+    require(gray.length == width * height,
+      s"pixel buffer ${gray.length} != ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, fmt, out)
+    require(ok, s"no JDK image writer for $fmt")
+    out.toByteArray
+  }
 }

@@ -7,10 +7,13 @@ package graft.mm
   * wrappers in [[MultimodalOps]] delegate here. */
 object MediaHash {
 
-  /** 8×8 average-hash of a BMP payload: nearest-neighbor sample, bit i
-    * set iff pixel_i·64 > Σpixels (exact integer mean threshold). */
+  /** 8×8 average-hash of an image payload (BMP/PNG/JPEG, dispatched on
+    * magic bytes): nearest-neighbor sample, bit i set iff
+    * pixel_i·64 > Σpixels (exact integer mean threshold). One shared
+    * luminance formula across containers, so a pixel-identical image
+    * hashes the same whatever format it arrived in. */
   def imageAhash(payload: Array[Byte]): Long = {
-    val (w, h, gray) = MediaCodec.decodeBmp(payload)
+    val (w, h, gray) = MediaCodec.decodeImage(payload)
     val px = Array.tabulate(64) { i =>
       val x = (i % 8) * w / 8
       val y = (i / 8) * h / 8

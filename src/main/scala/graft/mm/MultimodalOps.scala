@@ -34,11 +34,11 @@ case class MediaQc(doc_id: Long, kind: String, n_units: Long,
   * columns with typed metadata, processed by per-partition batch
   * operators — the Spark-side shape of a decode/feature-extract stage.
   *
-  * The decode is REAL: payloads are valid BMP (images) and WAV (audio)
-  * containers, and [[decode]] parses the actual container structure via
-  * [[MediaCodec]] (magic, chunk walk, header geometry, pixel/PCM
-  * payload) before computing features — no native codec libraries
-  * needed. The surrounding plumbing is the load-bearing part at scale:
+  * The decode is REAL: payloads are valid BMP/PNG/JPEG (images) and WAV
+  * (audio) containers, and [[decode]] parses the actual container
+  * structure via [[MediaCodec]] (magic-byte dispatch; hand-rolled
+  * BMP/WAV parsers, `javax.imageio` for PNG/JPEG — pure JDK, offline)
+  * before computing features — no native codec libraries needed. The surrounding plumbing is the load-bearing part at scale:
   * the schema, the typed Dataset boundary, per-partition batching (one
   * codec init per partition, not per row), frame sampling, and the
   * downstream aggregation.
@@ -142,16 +142,18 @@ object MultimodalOps {
     val cid = m.doc_id + CloneIdOffset
     if (m.kind == "image") {
       val h0 = MediaHash.imageAhash(m.payload)
-      val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+      val (w, h, gray) = MediaCodec.decodeImage(m.payload)
       // 3-, 2-, 1-pixel low-bit nudges (the MediaCodecSpec planted-pair
-      // construction), most-perturbed first
+      // construction), most-perturbed first — re-encoded as PNG so the
+      // planted pair also exercises the format-dispatch decode path
+      // (gray round-trips bit-exactly through a TYPE_BYTE_GRAY PNG)
       val candidates = Seq(3, 2, 1).map { k =>
         val t = gray.clone()
         (0 until k).foreach { i =>
           val p = (i * 37) % t.length
           t(p) = (t(p) ^ 0x01).toByte
         }
-        MediaCodec.encodeBmp(w, h, t)
+        MediaCodec.encodePng(w, h, t)
       }
       val pay = candidates
         .find(p => java.lang.Long.bitCount(h0 ^ MediaHash.imageAhash(p)) <= 2)
@@ -179,7 +181,7 @@ object MultimodalOps {
     val raw = new Array[Float](FeatureDim)
     m.kind match {
       case "image" =>
-        val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+        val (w, h, gray) = MediaCodec.decodeImage(m.payload)
         require(w == m.width && h == m.height,
           s"container geometry ${w}x$h != metadata ${m.width}x${m.height}")
         gray.foreach(g => raw(((g & 0xff) * FeatureDim) >> 8) += 1f)
@@ -221,7 +223,7 @@ object MultimodalOps {
       rows.map { m =>
         m.kind match {
           case "image" =>
-            val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+            val (w, h, gray) = MediaCodec.decodeImage(m.payload)
             val out = Array.tabulate(outW * outH) { i =>
               val x = (i % outW) * w / outW
               val y = (i / outW) * h / outH
@@ -315,7 +317,7 @@ object MultimodalOps {
     * pass; only the fixed-width stats row flows on. */
   def mediaQc(m: MediaRow): MediaQc = m.kind match {
     case "image" =>
-      val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+      val (w, h, gray) = MediaCodec.decodeImage(m.payload)
       val n = w * h
       val lv = gray.map(g => (g & 0xff) / 255.0)
       val mean = lv.sum / n

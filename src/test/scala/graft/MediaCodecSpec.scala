@@ -57,7 +57,7 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(qc.clip_frac >= 0.0 && qc.clip_frac <= 1.0)
       m.kind match {
         case "image" =>
-          val (w, h, gray) = MediaCodec.decodeBmp(m.payload)
+          val (w, h, gray) = MediaCodec.decodeImage(m.payload)
           assert(qc.n_units == w.toLong * h)
           assert(qc.zcr == 0.0)
           val mean = gray.map(g => (g & 0xff) / 255.0).sum / (w * h)
@@ -235,5 +235,66 @@ class MediaCodecSpec extends AnyFunSuite {
       orig.copy(payload = MediaCodec.encodeWav(rate, gained)))
     assert(java.lang.Long.bitCount(h0 ^ h1) <= 3,
       "re-gained clip drifted past the dedup threshold")
+  }
+
+  test("PNG round-trips gray bit-exactly; cross-container hash equality") {
+    val w = 24; val h = 17
+    val gray = Array.tabulate(w * h)(i => ((i * 7) % 251).toByte)
+    val png = MediaCodec.encodePng(w, h, gray)
+    assert(MediaCodec.imageFormat(png) == "png")
+    val (dw, dh, out) = MediaCodec.decodeImage(png)
+    assert(dw == w && dh == h)
+    assert(out.sameElements(gray), "PNG gray roundtrip drifted")
+    // the same pixels hash identically whatever container carried them
+    val viaBmp = graft.mm.MediaHash.imageAhash(MediaCodec.encodeBmp(w, h, gray))
+    val viaPng = graft.mm.MediaHash.imageAhash(png)
+    assert(viaBmp == viaPng, "container changed the perceptual hash")
+  }
+
+  test("JPEG near-dup pair stays within the dedup threshold") {
+    // bimodal image (dark left / bright right): every sampled pixel sits
+    // far from the mean threshold, so JPEG's lossy reconstruction error
+    // (a few gray levels) cannot flip ahash bits
+    val w = 64; val h = 64
+    val gray = Array.tabulate(w * h) { i =>
+      if (i % w < w / 2) 40.toByte else 215.toByte
+    }
+    val jpg = MediaCodec.encodeJpeg(w, h, gray)
+    assert(MediaCodec.imageFormat(jpg) == "jpeg")
+    val (dw, dh, dec) = MediaCodec.decodeImage(jpg)
+    assert(dw == w && dh == h)
+    // re-encode the decoded pixels with a 3-pixel nudge: the classic
+    // save-again-with-small-edit near-dup
+    val tweaked = dec.clone()
+    (0 until 3).foreach { i =>
+      val p = (i * 37) % tweaked.length
+      tweaked(p) = (tweaked(p) ^ 0x01).toByte
+    }
+    val h0 = graft.mm.MediaHash.imageAhash(jpg)
+    val h1 = graft.mm.MediaHash.imageAhash(MediaCodec.encodeJpeg(w, h, tweaked))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 3,
+      "re-encoded JPEG drifted past the dedup threshold")
+    // and the JPEG hashes close to its losslessly-carried twin
+    val hRef = graft.mm.MediaHash.imageAhash(MediaCodec.encodeBmp(w, h, gray))
+    assert(java.lang.Long.bitCount(h0 ^ hRef) <= 3,
+      "JPEG loss moved the hash past the dedup threshold")
+  }
+
+  test("unknown image formats are rejected through decodeImage") {
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeImage(Array[Byte](0x47, 0x49, 0x46, 0x38))) // GIF87a
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeImage(Array[Byte]()))
+    // a PNG magic with garbage body fails cleanly, not with a decode crash
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
+    intercept[IllegalArgumentException](MediaCodec.decodeImage(junk))
+  }
+
+  test("planted image clone rides a PNG container through the probe") {
+    val sp = TestSpark.spark
+    val clone = MultimodalOps.mediaOrGet(sp, TestSpark.sf)
+      .filter(_.doc_id == MultimodalOps.CloneIdOffset).head()
+    assert(MediaCodec.imageFormat(clone.payload) == "png",
+      "expected the planted image near-dup to be PNG-encoded")
   }
 }
