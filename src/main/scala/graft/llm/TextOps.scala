@@ -1632,6 +1632,96 @@ object TextOps {
       .orderBy("s1", "s2")
   }
 
+  /** MATTR — Moving-Average Type-Token Ratio per document (Covington &
+    * McFall 2010), the window-length-corrected lexical-diversity score
+    * the curation stack quotes where the raw TTR is length-confounded:
+    * the mean of types/W over every W-token sliding window. NO window
+    * is ever materialized — the whole statistic collapses to one exact
+    * per-token count: token p (1-based) is a NEW type in window s iff
+    * max(p−W+1, prev(p)+1, 1) ≤ s ≤ min(p, N−W+1) where prev(p) is the
+    * previous position of the same type (0 if none), so
+    * Σ_s types(s) = Σ_p clamp-width — a lag + two clamps per token,
+    * O(tokens) with no self-join (the prev-occurrence trick; same
+    * family as winnowing's fingerprint walk). MATTR is then ONE IEEE
+    * division of exact BIGINTs; docs shorter than W fall back to the
+    * plain whole-doc TTR (the published convention). W = 20. Scale:
+    * embarrassingly parallel per doc, one narrow shuffle to
+    * (doc, type) grain for the lag. */
+  def mattr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 20L
+    def d(e: Column) = e.cast("double")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("p"),
+        col("w"))
+    val wPrev = Window.partitionBy(col("doc_id"), col("w"))
+      .orderBy(col("p"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val cnts = toks
+      .withColumn("prev", coalesce(lag(col("p"), 1).over(wPrev), lit(0L)))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("lo", greatest(col("p") - lit(W - 1L),
+        col("prev") + lit(1L), lit(1L)))
+      .withColumn("hi", least(col("p"), col("n") - lit(W - 1L)))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(greatest(col("hi") - col("lo") + lit(1L), lit(0L)))
+        .as("news"),
+        countDistinct(col("w")).as("n_types"))
+    cnts.select(col("doc_id"), col("n").as("n_tokens"), col("n_types"),
+        when(col("n") >= lit(W),
+          Det.r4(d(col("news")) / (lit(20.0) * d(col("n") - lit(19L)))))
+          .otherwise(Det.r4(d(col("n_types")) / d(col("n"))))
+          .as("mattr"))
+      .orderBy("doc_id")
+  }
+
+  /** MTLD — Measure of Textual Lexical Diversity per document
+    * (McCarthy & Jarvis 2010), forward pass: walk the token sequence
+    * counting "factors" — maximal prefixes whose running type-token
+    * ratio stays ≥ 0.72; when TTR dips below, close the factor and
+    * reset. MTLD = N / (full factors + the partial factor's
+    * (1 − TTR)/(1 − 0.72) remainder). The threshold comparison is
+    * EXACT (types·100 < 72·tokens — no float in the walk); only the
+    * final division is IEEE. NO ORACLE: the walk's state is the
+    * current factor's SET of seen types — a data-dependent-size
+    * carried collection, the declared no-oracle class (isotonic/PAV
+    * precedent) — spec-gated against an independent driver fold.
+    * One typed mapGroups per doc: each group is one document's token
+    * list, a real per-doc statistic an executor holds. */
+  def mtld(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .as[(Long, Int, String)]
+    val perDoc = toks.groupByKey(_._1)
+      .mapGroups { (id: Long, it: Iterator[(Long, Int, String)]) =>
+        val ws = it.toArray.sortBy(_._2).map(_._3)
+        val n = ws.length.toLong
+        var factors = 0L
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var tok = 0L
+        ws.foreach { w =>
+          seen += w; tok += 1
+          if (seen.size * 100L < 72L * tok) { // TTR < 0.72: close factor
+            factors += 1; seen.clear(); tok = 0L
+          }
+        }
+        val partial = if (tok > 0L)
+          (1.0 - seen.size.toDouble / tok.toDouble) / 0.28
+        else 0.0
+        val denom = factors.toDouble + partial
+        val m = if (denom > 0.0)
+          Some(math.floor(n.toDouble / denom * 10000.0 + 0.5) / 10000.0)
+        else None
+        (id, n, factors, m)
+      }
+    perDoc.toDF("doc_id", "n_tokens", "n_factors", "mtld")
+      .orderBy("doc_id")
+  }
+
   /** COMPRESSION-RATIO QUALITY SCORE per source — the cheapest strong
     * junk detector in the curation playbook (boilerplate, keyword
     * stuffing and template spam compress far below natural prose;
@@ -2499,6 +2589,8 @@ object TextOps {
     "q_llm_compress_ratio" -> compressRatio _,
     "q_llm_energy_dist" -> energyDistance _,
     "q_llm_kendall_sources" -> kendallSources _,
+    "q_llm_mattr" -> mattr _,
+    "q_llm_mtld" -> mtld _,
     "q_llm_mutual_info" -> mutualInfo _,
     "q_llm_entropy_mix" -> entropyMix _,
     "q_llm_drift_tokens" -> driftTokens _,
@@ -2939,6 +3031,34 @@ object TextOps {
         |  JOIN pers t2 ON t2.source = pair.s2)
         |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
     },
+    "q_llm_mattr" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         CAST(generate_subscripts(string_split(text, ' '), 1)
+        |           AS BIGINT) AS p
+        |  FROM documents),
+        |lagged AS (
+        |  SELECT doc_id, w, p,
+        |         COALESCE(lag(p, 1) OVER (PARTITION BY doc_id, w
+        |           ORDER BY p NULLS FIRST), 0) AS prev,
+        |         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |  FROM tok),
+        |cnts AS (
+        |  SELECT doc_id, n,
+        |         CAST(sum(greatest(
+        |           least(p, n - 19) -
+        |           greatest(p - 19, prev + 1, 1) + 1, 0)) AS BIGINT)
+        |           AS news,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS n_types
+        |  FROM lagged GROUP BY 1, 2)
+        |SELECT doc_id, n AS n_tokens, n_types,
+        |       CASE WHEN n >= 20 THEN
+        |         ${r4Sql("CAST(news AS DOUBLE) / " +
+                   "(20.0 * CAST(n - 19 AS DOUBLE))")}
+        |       ELSE
+        |         ${r4Sql("CAST(n_types AS DOUBLE) / CAST(n AS DOUBLE)")}
+        |       END AS mattr
+        |FROM cnts ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q_llm_vocab_chao1" -> {
       val chao = "CASE WHEN f2 > 0 THEN " +
         r4Sql("CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE) * " +

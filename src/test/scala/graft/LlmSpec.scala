@@ -2114,4 +2114,53 @@ class LlmSpec extends AnyFunSuite {
       tau.foreach(x => assert(math.abs(x) <= 1.0, s"($s1,$s2): $x"))
     }
   }
+
+  test("MTLD == independent driver factor walk; MATTR formula cross-check") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.sortBy(_._1).map { case (id, text) =>
+      val ws = text.split(" ")
+      var factors = 0L
+      var seen = Set.empty[String]; var tok = 0L
+      ws.foreach { w =>
+        seen += w; tok += 1
+        if (seen.size * 100L < 72L * tok) {
+          factors += 1; seen = Set.empty; tok = 0L
+        }
+      }
+      val partial = if (tok > 0L)
+        (1.0 - seen.size.toDouble / tok.toDouble) / 0.28
+      else 0.0
+      val denom = factors.toDouble + partial
+      val m = if (denom > 0.0)
+        Some(r4(ws.length.toDouble / denom))
+      else None
+      (id, ws.length.toLong, factors, m)
+    }.toSeq
+    val got = graft.llm.TextOps.mtld(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == want, s"mtld diverged: ${got.take(2)} vs ${want.take(2)}")
+    // MATTR: the clamp-formula result equals a literal sliding-window
+    // mean of per-window distinct counts (brute force, driver side)
+    val wantM = docs.sortBy(_._1).map { case (id, text) =>
+      val ws = text.split(" ")
+      val n = ws.length
+      val m = if (n >= 20) {
+        val tot = (0 to n - 20).map(s =>
+          ws.slice(s, s + 20).distinct.length.toLong).sum
+        r4(tot.toDouble / (20.0 * (n - 19).toDouble))
+      } else r4(ws.distinct.length.toDouble / n.toDouble)
+      (id, m)
+    }.toSeq
+    val gotM = graft.llm.TextOps.mattr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(gotM == wantM,
+      s"mattr diverged: ${gotM.take(2)} vs ${wantM.take(2)}")
+    // factor walks must actually close factors on this fixture (the
+    // vacuous-fixture rule: count the nontrivial branch)
+    assert(got.map(_._3).sum > 0L, "no MTLD factor ever closed")
+  }
 }

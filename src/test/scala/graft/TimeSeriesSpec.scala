@@ -51,7 +51,10 @@ class TimeSeriesSpec extends AnyFunSuite {
       "q_surv_cox", "q_ts_conformal_iso",
       "q_llm_psi_length", "q_llm_mutual_info",
       // DuckDB has no DEFLATE; spec'd bit-equal vs a driver Deflater
-      "q_llm_compress_ratio")
+      "q_llm_compress_ratio",
+      // r15: MTLD's factor walk carries a data-dependent-size type set
+      // (the isotonic/PAV no-oracle class); spec'd vs a driver fold
+      "q_llm_mtld")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
