@@ -265,7 +265,16 @@ object VectorOps {
     * factored so the recall spec can drive the identical plan with a
     * planted near-threshold fixture. */
   private[graft] def embedNeardupFrom(spark: SparkSession,
-      e0: DataFrame): DataFrame = {
+      e0: DataFrame): DataFrame =
+    lshVerifiedPairs(spark, e0, 0.45)
+      .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+
+  /** The shared LSH candidate-generate + exact-verify kernel behind
+    * [[embedNeardupFrom]] and [[densityDedup]]: sign-LSH banded
+    * buckets (hot-bucket capped), equi-join collisions, exact cosine
+    * at `minCos`. Returns unordered (a_id, b_id, cos). */
+  private[graft] def lshVerifiedPairs(spark: SparkSession,
+      e0: DataFrame, minCos: Double): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
     val e = e0
@@ -299,8 +308,84 @@ object VectorOps {
       .join(emb.toDF("b_id", "eb"), "b_id")
       .select(col("a_id"), col("b_id"),
         Det.r4(CosineSim(col("ea"), col("eb"))).as("cos"))
-      .where(col("cos") >= 0.45)
-      .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+      .where(col("cos") >= minCos)
+  }
+
+  /** HDBSCAN-ish DENSITY DEDUP over the embedding cloud (SURVEY §8.4;
+    * Campello/Moulavi/Sander 2013's core-point idea composed from the
+    * machinery already here, never all-pairs): a vector is a CORE
+    * point when at least `minPts` neighbors sit at cosine ≥ `eps`
+    * (the k-th-NN core-distance test read through the LSH-verified
+    * candidate graph); clusters are connected components over the
+    * core–core edges ([[DupCluster.resolve]] — driver union-find at
+    * bounded edge counts, distributed min-label propagation past it);
+    * BORDER points (non-core with a core neighbor) attach to their
+    * minimum-label core neighbor, density-reachable exactly as
+    * published. Everything reuses the banded sign-LSH kernel, so
+    * candidate volume keeps the hot-bucket-capped linear bound the
+    * r10 soak enforced. NO ORACLE (hash-seed physics, the declared
+    * ANN class) — spec'd on a planted dense clump + loose pair +
+    * noise, each classified exactly as HDBSCAN would.
+    *
+    * The query runs over the corpus plus a 12-vector deterministic
+    * planted clump (fixed-seed, ids offset at 2e9) — the media-clone
+    * fixture discipline: the natural corpus carries no guaranteed
+    * dense region at every SF, and a dedup query that can pass on
+    * emptiness is the r14 hazard class. Output: one row per cluster
+    * (label = canonical kept id, core/border/member/drop counts). */
+  def densityDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val clump = broadcast({
+      val rnd = new scala.util.Random(7)
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 12).map { i =>
+        val v = base.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+        (2000000000L + i, v, -1)
+      }
+    }.toDF("vec_id", "embedding", "label"))
+    val e0 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(clump)
+    densityDedupFrom(spark, e0)
+  }
+
+  /** [[densityDedup]] over an explicit relation (spec entry point). */
+  private[graft] def densityDedupFrom(spark: SparkSession, e0: DataFrame,
+      minPts: Int = 4, eps: Double = 0.80): DataFrame = {
+    val pairs = lshVerifiedPairs(spark, e0, eps)
+      .localCheckpoint(eager = false) // degree pass + edge/border passes
+    val ends = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+      .unionByName(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+      .localCheckpoint(eager = false) // degree + border attach
+    val core = ends.groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= minPts.toLong)
+      .select(col("id"))
+      .localCheckpoint(eager = false) // three joins below
+    val coreEdges = pairs
+      .join(core.toDF("a_id"), "a_id")
+      .join(core.toDF("b_id"), "b_id")
+      .select(col("a_id"), col("b_id"))
+    val labels = DupCluster.resolve(coreEdges) // (id, label), min-id label
+      .localCheckpoint(eager = false) // member + border passes
+    val borders = ends
+      .join(core.toDF("nb"), "nb") // neighbor is core
+      .join(labels.toDF("nb", "label"), "nb")
+      .join(core.withColumnRenamed("id", "idc"), col("id") === col("idc"),
+        "left_anti") // self is NOT core
+      .groupBy(col("id"))
+      .agg(min(col("label")).as("label")) // attach to min-label reach
+    val members = labels.select(col("id"), col("label"), lit(1L).as("is_core"))
+      .unionByName(borders.select(col("id"), col("label"),
+        lit(0L).as("is_core")))
+    members.groupBy(col("label"))
+      .agg(sum(col("is_core")).as("n_core"),
+        sum(lit(1L) - col("is_core")).as("n_border"),
+        count(lit(1)).as("n_members"))
+      .select(col("label").as("keep_id"), col("n_core"), col("n_border"),
+        col("n_members"), (col("n_members") - 1L).as("n_drop"))
+      .orderBy("keep_id")
   }
 
   /** Embedding-space diversity per label via the CENTROID TRICK: the
@@ -1182,6 +1267,7 @@ object VectorOps {
     "q_llm_ann_pq" -> annPq _,
     "q_llm_ann_sq" -> annSq _,
     "q_llm_embed_neardup" -> embedNeardup _,
+    "q_llm_density_dedup" -> densityDedup _,
     "q_llm_embed_diversity" -> embedDiversity _
   )
 

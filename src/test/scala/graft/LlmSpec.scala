@@ -2163,4 +2163,75 @@ class LlmSpec extends AnyFunSuite {
     // vacuous-fixture rule: count the nontrivial branch)
     assert(got.map(_._3).sum > 0L, "no MTLD factor ever closed")
   }
+
+  test("density dedup: cluster resolution equals a driver walk; " +
+      "planted clump, border, and noise classify as HDBSCAN would") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // fixture on a 2-D circle inside the 64-d space: cos(v(t1), v(t2))
+    // = cos(t1 - t2), so geometry is exact by construction
+    def v(thetaDeg: Double): Array[Float] = {
+      val t = math.toRadians(thetaDeg)
+      val a = new Array[Float](64)
+      a(0) = math.cos(t).toFloat; a(1) = math.sin(t).toFloat
+      a
+    }
+    // tight clump (8 cores: pairwise <= 14 deg, cos >= 0.970); an arc
+    // satellite at 48 deg — within the eps=0.8 threshold (36.87 deg)
+    // of only the clump's top two members (34/36 deg), so degree 2 <
+    // minPts -> border if its edges survive the LSH; far noise
+    val rows =
+      (0 until 8).map(i => (100L + i, v(i * 2.0), 0)) ++
+        Seq((200L, v(48.0), 0)) ++
+        Seq((300L, v(120.0), 0), (301L, v(210.0), 0), (302L, v(300.0), 0))
+    val e0 = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.llm.VectorOps.densityDedupFrom(sp, e0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // driver reference over the SAME verified candidate graph (the
+    // LSH recall half has its own s-curve spec; this one proves the
+    // core/border/components resolution exactly)
+    val pairs = graft.llm.VectorOps.lshVerifiedPairs(sp, e0, 0.80)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = scala.collection.mutable.LongMap.empty[Long]
+    pairs.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    val core = deg.filter(_._2 >= 4L).keySet.toSet
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      parent(x) = r; r
+    }
+    pairs.filter(p => core(p._1) && core(p._2)).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = core.map(id => id -> find(id)).toMap
+    val borderLabel = pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)).collect {
+        case (x, nb) if !core(x) && core(nb) => (x, label(nb))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = (label.toSeq.map { case (id, l) => (id, l, true) } ++
+      borderLabel.toSeq.map { case (id, l) => (id, l, false) })
+      .groupBy(_._2).toSeq.map { case (l, ms) =>
+        (l, ms.count(_._3).toLong, ms.count(!_._3).toLong,
+          ms.length.toLong, ms.length.toLong - 1L)
+      }.sortBy(_._1)
+    assert(got == want, s"density dedup diverged: $got vs $want")
+    // the planted structure classified as HDBSCAN would: one cluster
+    // holding all 8 clump members as cores, satellite not a core,
+    // noise nowhere
+    val clumpCluster = got.filter(_._1 == 100L)
+    assert(clumpCluster.nonEmpty && clumpCluster.head._2 == 8L,
+      s"clump did not resolve to an 8-core cluster: $got")
+    assert(!core(200L), "arc satellite must not be a core point")
+    Seq(300L, 301L, 302L).foreach { id =>
+      assert(!label.contains(id) && !borderLabel.contains(id),
+        s"noise vector $id landed in a cluster")
+    }
+  }
 }

@@ -54,7 +54,10 @@ class TimeSeriesSpec extends AnyFunSuite {
       "q_llm_compress_ratio",
       // r15: MTLD's factor walk carries a data-dependent-size type set
       // (the isotonic/PAV no-oracle class); spec'd vs a driver fold
-      "q_llm_mtld")
+      "q_llm_mtld",
+      // r15: density dedup rides the sign-LSH candidate graph (the
+      // declared ANN/hash-seed class); spec'd on planted fixtures
+      "q_llm_density_dedup")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
