@@ -3867,6 +3867,107 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** KPSS STATIONARITY TEST per series (Kwiatkowski–Phillips–Schmidt–
+    * Shin 1992, level form) — [[tsAdf]]'s complementary read: ADF's
+    * null is a unit root, KPSS's null is stationarity, and quoting
+    * both is the standard practice (agreeing tests settle the
+    * question; disagreeing ones flag near-integration). Fully
+    * integer-exact at every step: with E_t = n·y_t − Σy (the n-scaled
+    * demeaned series — exact BIGINTs in ys units) and partial sums
+    * NS_t = Σ_{i≤t} E_i, the statistic η = Σ S_t² / (n²·s²) becomes a
+    * PURE INTEGER ratio for both variance estimators — the lag-0
+    * (iid) variant η₀ = Σ NS_t² / (n·Σ E_t²) and the published
+    * Bartlett long-run variant with l = 4 lags, multiplied through by
+    * (l+1) = 5: η₄ = 5·Σ NS_t² / (n·(5·γ̃₀ + 2·Σ_{j=1..4}(5−j)·γ̃_j)),
+    * γ̃_j = Σ_t E_t·E_{t−j} — every accumulator DECIMAL(38,0) (bound
+    * ≈ 3e25 at a 720-bucket calendar), ONE IEEE division each. η
+    * above ~0.463 rejects level-stationarity at 5%. Lag windows over
+    * the per-series calendar — the bounded-window shape. NULL on a
+    * degenerate (constant) series. */
+  def tsKpss(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wL = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wCum = wL.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val y = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("ys"))
+    val tot = y.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("ys")).as("sy"))
+    val e = y.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("bucket"), col("n"),
+        (col("n") * col("ys") - col("sy")).as("et"))
+      .localCheckpoint(eager = false) // cumsum + autocovariance passes
+    val lagged = e
+      .withColumn("ns", sum(col("et")).over(wCum))
+      .withColumn("e1", lag(col("et"), 1).over(wL))
+      .withColumn("e2", lag(col("et"), 2).over(wL))
+      .withColumn("e3", lag(col("et"), 3).over(wL))
+      .withColumn("e4", lag(col("et"), 4).over(wL))
+    def g(c: org.apache.spark.sql.Column) =
+      sum(when(c.isNotNull, dec(col("et")) * c).otherwise(lit(0)))
+    val s = lagged.groupBy(col("event_type"), col("n"))
+      .agg(sum(dec(col("ns")) * col("ns")).as("sns2"),
+        sum(dec(col("et")) * col("et")).as("g0"),
+        g(col("e1")).as("g1"), g(col("e2")).as("g2"),
+        g(col("e3")).as("g3"), g(col("e4")).as("g4"))
+      .withColumn("lrv5", col("g0") * 5 + (col("g1") * 4 + col("g2") * 3 +
+        col("g3") * 2 + col("g4")) * 2)
+    s.select(col("event_type"), col("n"),
+        when(col("g0") > lit(0),
+          Det.r4(d(col("sns2")) / (d(col("n")) * d(col("g0")))))
+          .otherwise(lit(null)).as("eta_0"),
+        when(col("lrv5") > lit(0),
+          Det.r4(lit(5.0) * d(col("sns2")) /
+            (d(col("n")) * d(col("lrv5")))))
+          .otherwise(lit(null)).as("eta_4"))
+      .orderBy("event_type")
+  }
+
+  /** BARTELS' RANK VON NEUMANN RATIO test per series (Bartels 1982) —
+    * the rank-based randomness test that completes the runs-test/
+    * Ljung–Box pair: serial dependence in RANKS (robust to any
+    * monotone marginal). With doubled midranks M_t = 2·rank_min +
+    * ties − 1 (the kruskal discipline — exact integers under ties)
+    * the ×4-scaled statistic is a pure integer ratio:
+    * RVN = Σ_{t<n}(M_t − M_{t+1})² / Σ(M_t − (n+1))² — the doubled
+    * mean M̄ = n+1 EXACTLY since ΣM = n(n+1). Under randomness
+    * RVN ≈ 2; z = (RVN − 2)·√n / 2 (the published asymptotic). One
+    * IEEE division + one sqrt. Sequential lag over the per-series
+    * calendar; rank windows at series grain. */
+  def tsBartelsRvn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val y = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+    val ranked = y
+      .withColumn("rk", rank().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("v"))).cast("long"))
+      .withColumn("ties", count(lit(1)).over(Window
+        .partitionBy(col("event_type"), col("v"))))
+      .withColumn("m", lit(2L) * col("rk") + col("ties") - lit(1L))
+      .withColumn("n", count(lit(1)).over(Window
+        .partitionBy(col("event_type"))))
+      .withColumn("m1", lead(col("m"), 1).over(wSeq))
+    val s = ranked.groupBy(col("event_type"), col("n"))
+      .agg(sum(when(col("m1").isNotNull,
+          dec(col("m") - col("m1")) * (col("m") - col("m1")))
+          .otherwise(lit(0))).as("num"),
+        sum(dec(col("m") - col("n") - lit(1L)) *
+          (col("m") - col("n") - lit(1L))).as("den"))
+    val rvn = d(col("num")) / d(col("den"))
+    s.select(col("event_type"), col("n"),
+        when(col("den") > lit(0), Det.r4(rvn)).otherwise(lit(null))
+          .as("rvn"),
+        when(col("den") > lit(0),
+          Det.r4((rvn - lit(2.0)) * sqrt(d(col("n"))) / lit(2.0)))
+          .otherwise(lit(null)).as("z"))
+      .orderBy("event_type")
+  }
+
   /** GRUBBS' MAX-STUDENTIZED-DEVIATE per series — the parametric
     * outlier read beside the MAD/Tukey robust pair: how many sample
     * standard deviations does the most extreme hourly value sit from
@@ -4405,6 +4506,8 @@ object TimeSeriesOps {
     "q_ts_coint" -> tsCointegration _,
     "q_ts_dickey_fuller" -> tsDickeyFuller _,
     "q_ts_adf" -> tsAdf _,
+    "q_ts_kpss" -> tsKpss _,
+    "q_ts_bartels" -> tsBartelsRvn _,
     "q_ts_variance_ratio" -> tsVarianceRatio _,
     "q_ts_mase" -> tsMase _,
     "q_ts_moving_window" -> movingWindow _,
@@ -5407,6 +5510,98 @@ object TimeSeriesOps {
         |       END AS df_t
         |FROM mo2 JOIN s2 ON s2.event_type = mo2.event_type
         |ORDER BY mo2.event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_kpss" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |y AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(ys) AS BIGINT) AS sy
+        |  FROM y GROUP BY 1),
+        |e AS MATERIALIZED (
+        |  SELECT y.event_type, y.bucket, tot.n,
+        |         tot.n * y.ys - tot.sy AS et
+        |  FROM y JOIN tot ON tot.event_type = y.event_type),
+        |lagged AS (
+        |  SELECT event_type, n, et,
+        |         sum(et) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS ns,
+        |         lag(et, 1) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS e1,
+        |         lag(et, 2) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS e2,
+        |         lag(et, 3) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS e3,
+        |         lag(et, 4) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS e4
+        |  FROM e),
+        |s AS (
+        |  SELECT event_type, n,
+        |         sum(CAST(ns AS HUGEINT) * ns) AS sns2,
+        |         sum(CAST(et AS HUGEINT) * et) AS g0,
+        |         sum(CASE WHEN e1 IS NOT NULL
+        |           THEN CAST(et AS HUGEINT) * e1 ELSE 0 END) AS g1,
+        |         sum(CASE WHEN e2 IS NOT NULL
+        |           THEN CAST(et AS HUGEINT) * e2 ELSE 0 END) AS g2,
+        |         sum(CASE WHEN e3 IS NOT NULL
+        |           THEN CAST(et AS HUGEINT) * e3 ELSE 0 END) AS g3,
+        |         sum(CASE WHEN e4 IS NOT NULL
+        |           THEN CAST(et AS HUGEINT) * e4 ELSE 0 END) AS g4
+        |  FROM lagged GROUP BY 1, 2)
+        |SELECT event_type, n,
+        |       CASE WHEN g0 > 0 THEN
+        |         ${Det.r4Sql("CAST(sns2 AS DOUBLE) / " +
+                   "(CAST(n AS DOUBLE) * CAST(g0 AS DOUBLE))")}
+        |       END AS eta_0,
+        |       CASE WHEN g0 * 5 + (g1 * 4 + g2 * 3 + g3 * 2 + g4) * 2
+        |           > 0 THEN
+        |         ${Det.r4Sql("5.0 * CAST(sns2 AS DOUBLE) / " +
+                   "(CAST(n AS DOUBLE) * CAST(g0 * 5 + (g1 * 4 + g2 * 3" +
+                   " + g3 * 2 + g4) * 2 AS DOUBLE))")}
+        |       END AS eta_4
+        |FROM s ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_ts_bartels" -> {
+      val rvn = "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, bucket,
+        |         2 * CAST(rank() OVER (PARTITION BY event_type
+        |           ORDER BY v NULLS FIRST) AS BIGINT) +
+        |           CAST(count(*) OVER (PARTITION BY event_type, v)
+        |             AS BIGINT) - 1 AS m,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS n
+        |  FROM h1),
+        |seqd AS (
+        |  SELECT event_type, n, m,
+        |         lead(m, 1) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS m1
+        |  FROM ranked),
+        |s AS (
+        |  SELECT event_type, n,
+        |         sum(CASE WHEN m1 IS NOT NULL
+        |           THEN CAST(m - m1 AS HUGEINT) * (m - m1)
+        |           ELSE 0 END) AS num,
+        |         sum(CAST(m - n - 1 AS HUGEINT) * (m - n - 1)) AS den
+        |  FROM seqd GROUP BY 1, 2)
+        |SELECT event_type, n,
+        |       CASE WHEN den > 0 THEN ${Det.r4Sql(rvn)} END AS rvn,
+        |       CASE WHEN den > 0 THEN
+        |         ${Det.r4Sql(s"($rvn - 2.0) * sqrt(CAST(n AS DOUBLE))" +
+                   " / 2.0")}
+        |       END AS z
+        |FROM s ORDER BY event_type NULLS FIRST""".stripMargin
     },
     "q_ts_adf" -> {
       val rho = "(CAST(rnum AS DOUBLE) / CAST(det AS DOUBLE))"

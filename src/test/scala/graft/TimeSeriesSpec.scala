@@ -1196,4 +1196,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       phi.foreach(x => assert(math.abs(x) < 0.5, s"$g: phi $x"))
     }
   }
+
+  test("KPSS accepts stationarity where ADF rejects the unit root; " +
+      "Bartels RVN reads random on the iid fixture") {
+    // the two-sided stationarity protocol on a fixture with a known
+    // answer: hourly means of iid draws are stationary, so KPSS eta
+    // must sit under the 5% critical value 0.463 while ADF rejects
+    val kpss = TimeSeriesOps.tsKpss(spark, sf).collect()
+    assert(kpss.nonEmpty)
+    kpss.foreach { r =>
+      val g = r.getString(0)
+      assert(!r.isNullAt(2) && r.getDouble(2) < 0.463,
+        s"$g: eta_0 ${r.getDouble(2)} rejects a stationary fixture")
+      assert(!r.isNullAt(3) && r.getDouble(3) < 0.463,
+        s"$g: eta_4 ${r.getDouble(3)} rejects a stationary fixture")
+    }
+    val rvn = TimeSeriesOps.tsBartelsRvn(spark, sf).collect()
+    assert(rvn.nonEmpty)
+    rvn.foreach { r =>
+      val g = r.getString(0)
+      assert(math.abs(r.getDouble(2) - 2.0) < 0.5, s"$g: rvn off 2")
+      assert(math.abs(r.getDouble(3)) < 3.0, s"$g: |z| not random")
+    }
+  }
 }
