@@ -1476,6 +1476,43 @@ object Ingest {
       .where(graft.functions.MightContain(lit(bloom), xxhash64(col("g5"))))
   }
 
+  /** STREAMING MATTR QUALITY GATE — [[graft.llm.TextOps.mattr]] gone
+    * online as an ingest-time low-diversity filter (template spam and
+    * keyword stuffing read MATTR well under natural prose): each
+    * arriving document computes its own moving-average type-token
+    * ratio LOCALLY (the batch query's prev-occurrence clamp walk — a
+    * per-doc O(tokens) fold, no window, no state, no shuffle) and is
+    * flagged when mattr < `minMattr`. Fully STATELESS map-side Append
+    * mode; batch and stream emit bit-identical scores because the
+    * walk is a pure function of the document (spec'd equal to the
+    * batch query's rounded values under two batchings). */
+  def mattrGate(docs: Dataset[RawDoc], minMattr: Double = 0.6,
+      w: Int = 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.map { doc =>
+      val ws = doc.text.split(" ")
+      val n = ws.length.toLong
+      val prev = scala.collection.mutable.HashMap.empty[String, Long]
+      var news = 0L
+      var types = 0L
+      var p = 1L
+      ws.foreach { tok =>
+        val pr = prev.getOrElse(tok, 0L)
+        if (pr == 0L) types += 1
+        val lo = math.max(math.max(p - (w - 1), pr + 1), 1L)
+        val hi = math.min(p, n - (w - 1))
+        news += math.max(hi - lo + 1, 0L)
+        prev(tok) = p
+        p += 1
+      }
+      val m = if (n >= w)
+        math.floor(news.toDouble / (20.0 * (n - 19).toDouble) * 10000.0
+          + 0.5) / 10000.0
+      else math.floor(types.toDouble / n.toDouble * 10000.0 + 0.5) / 10000.0
+      (doc.doc_id, n, m, m < minMattr)
+    }.toDF("doc_id", "n_tokens", "mattr", "low_diversity")
+  }
+
   /** LIVE EMBEDDING-DRIFT MONITOR — the streaming twin of
     * [[graft.llm.VectorOps.embedDrift]] under the frozen-warmup
     * pattern shared with [[cusumAlertStream]]: a label's FIRST

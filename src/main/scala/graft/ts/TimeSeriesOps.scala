@@ -3867,6 +3867,82 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** PHILLIPS–PERRON UNIT-ROOT TEST per series (Phillips & Perron
+    * 1988, with intercept, Bartlett l = 4) — the third member of the
+    * unit-root protocol beside [[tsAdf]] (parametric lag augmentation)
+    * and [[tsKpss]] (the reversed null): the SAME simple Dickey–Fuller
+    * regression, but the t-statistic is corrected NONPARAMETRICALLY
+    * for serial correlation through the long-run variance. Oracle-
+    * exact throughout: the regression moments are [[tsDickeyFuller]]'s
+    * exact integers; residual autocovariances quantize as
+    * G_j = Σ floor(u_t·u_{t−j}) (floor has no rounding-mode dialect —
+    * exact BIGINTs once u rides the shared IEEE text), the ×5n-scaled
+    * long-run variance L5 = 5·G0 + 2·Σ_{j=1..4}(5−j)·G_j is a pure
+    * integer, and Z_t = √(γ̂0/λ̂²)·t_ρ − (λ̂²−γ̂0)·n·se(ρ̂)/(2·√λ̂²·s²)
+    * (Hamilton 17.6.12, case 2) is ONE shared IEEE expression over
+    * exact-count doubles (only *, /, √ — no libm). Degenerate series
+    * route through exact zeros to NULL (the ANSI guard discipline). */
+  def tsPhillipsPerron(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wL = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val x = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("ys"))
+      .withColumn("yl", lag(col("ys"), 1).over(wL))
+      .where(col("yl").isNotNull)
+      .select(col("event_type"), col("bucket"), col("yl").as("xv"),
+        (col("ys") - col("yl")).as("yv"))
+      .localCheckpoint(eager = false) // moments + residual passes
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val mo = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("xv")).as("sx"),
+        sum(col("yv")).as("sy"),
+        sum(dec(col("xv")) * col("yv")).as("sxy"),
+        sum(dec(col("xv")) * col("xv")).as("sxx"))
+      .withColumn("rnum", dec(col("n")) * col("sxy") -
+        dec(col("sx")) * col("sy"))
+      .withColumn("rden", dec(col("n")) * col("sxx") -
+        dec(col("sx")) * col("sx"))
+    val rho = d(col("rnum")) / d(col("rden"))
+    val aTxt = (d(col("sy")) - rho * d(col("sx"))) / d(col("n"))
+    val withU = x.join(broadcast(mo), Seq("event_type"))
+      .withColumn("u", when(col("rden") =!= lit(0),
+        d(col("yv")) - (aTxt + rho * d(col("xv"))))
+        .otherwise(lit(0.0)))
+      .withColumn("u1", lag(col("u"), 1).over(wL))
+      .withColumn("u2", lag(col("u"), 2).over(wL))
+      .withColumn("u3", lag(col("u"), 3).over(wL))
+      .withColumn("u4", lag(col("u"), 4).over(wL))
+    def gj(c: org.apache.spark.sql.Column) =
+      sum(when(c.isNotNull, floor(col("u") * c).cast("long"))
+        .otherwise(0L))
+    val g = withU.groupBy(col("event_type"), col("n"), col("rnum"),
+        col("rden"))
+      .agg(sum(floor(col("u") * col("u")).cast("long")).as("g0"),
+        gj(col("u1")).as("g1"), gj(col("u2")).as("g2"),
+        gj(col("u3")).as("g3"), gj(col("u4")).as("g4"))
+      .withColumn("l5", col("g0") * 5L +
+        (col("g1") * 4L + col("g2") * 3L + col("g3") * 2L + col("g4")) *
+          2L)
+    val lam2 = d(col("l5")) / (lit(5.0) * d(col("n")))
+    val gam0 = d(col("g0")) / d(col("n"))
+    val s2 = d(col("g0")) / (d(col("n")) - lit(2.0))
+    val se = sqrt(s2 * d(col("n")) / d(col("rden")))
+    val tr = rho / se
+    g.select(col("event_type"), col("n").as("n_diff"),
+        when(col("rden") > lit(0), Det.r4(rho)).otherwise(lit(null))
+          .as("rho"),
+        when(col("rden") > lit(0) && col("n") > 2L && col("g0") > 0L &&
+          col("l5") > 0L,
+          Det.r4(sqrt(gam0 / lam2) * tr -
+            (lam2 - gam0) * d(col("n")) * se /
+              (lit(2.0) * sqrt(lam2) * s2)))
+          .otherwise(lit(null)).as("z_t"))
+      .orderBy("event_type")
+  }
+
   /** KPSS STATIONARITY TEST per series (Kwiatkowski–Phillips–Schmidt–
     * Shin 1992, level form) — [[tsAdf]]'s complementary read: ADF's
     * null is a unit root, KPSS's null is stationarity, and quoting
@@ -4507,6 +4583,7 @@ object TimeSeriesOps {
     "q_ts_dickey_fuller" -> tsDickeyFuller _,
     "q_ts_adf" -> tsAdf _,
     "q_ts_kpss" -> tsKpss _,
+    "q_ts_pp" -> tsPhillipsPerron _,
     "q_ts_bartels" -> tsBartelsRvn _,
     "q_ts_variance_ratio" -> tsVarianceRatio _,
     "q_ts_mase" -> tsMase _,
@@ -5509,6 +5586,91 @@ object TimeSeriesOps {
                    "CAST(rden AS DOUBLE))")}
         |       END AS df_t
         |FROM mo2 JOIN s2 ON s2.event_type = mo2.event_type
+        |ORDER BY mo2.event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_pp" -> {
+      val rho = "(CAST(rnum AS DOUBLE) / CAST(rden AS DOUBLE))"
+      val a = s"((CAST(sy AS DOUBLE) - $rho * CAST(sx AS DOUBLE))" +
+        " / CAST(n AS DOUBLE))"
+      val lam2 = "(CAST(l5 AS DOUBLE) / (5.0 * CAST(n AS DOUBLE)))"
+      val gam0 = "(CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE))"
+      val s2 = "(CAST(g0 AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0))"
+      val se = s"sqrt($s2 * CAST(n AS DOUBLE) / CAST(rden AS DOUBLE))"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |y AS (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM h1),
+        |x AS MATERIALIZED (
+        |  SELECT event_type, bucket, xv, yv FROM (
+        |    SELECT event_type, bucket,
+        |           lag(ys, 1) OVER (PARTITION BY event_type
+        |             ORDER BY bucket NULLS FIRST) AS xv,
+        |           ys - lag(ys, 1) OVER (PARTITION BY event_type
+        |             ORDER BY bucket NULLS FIRST) AS yv
+        |    FROM y)
+        |  WHERE xv IS NOT NULL),
+        |mo AS MATERIALIZED (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(xv) AS BIGINT) AS sx,
+        |         CAST(sum(yv) AS BIGINT) AS sy,
+        |         sum(CAST(xv AS HUGEINT) * yv) AS sxy,
+        |         sum(CAST(xv AS HUGEINT) * xv) AS sxx
+        |  FROM x GROUP BY 1),
+        |mo2 AS MATERIALIZED (
+        |  SELECT *, CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |           AS rnum,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |           AS rden
+        |  FROM mo),
+        |uq AS (
+        |  SELECT x.event_type, x.bucket,
+        |         CASE WHEN rden <> 0 THEN
+        |           CAST(yv AS DOUBLE) - ($a + $rho * CAST(xv AS DOUBLE))
+        |         ELSE 0.0 END AS u
+        |  FROM x JOIN mo2 ON mo2.event_type = x.event_type),
+        |ul AS (
+        |  SELECT event_type, u,
+        |         lag(u, 1) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS u1,
+        |         lag(u, 2) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS u2,
+        |         lag(u, 3) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS u3,
+        |         lag(u, 4) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS u4
+        |  FROM uq),
+        |g AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(floor(u * u) AS BIGINT)) AS BIGINT)
+        |           AS g0,
+        |         CAST(sum(CASE WHEN u1 IS NOT NULL
+        |           THEN CAST(floor(u * u1) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS g1,
+        |         CAST(sum(CASE WHEN u2 IS NOT NULL
+        |           THEN CAST(floor(u * u2) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS g2,
+        |         CAST(sum(CASE WHEN u3 IS NOT NULL
+        |           THEN CAST(floor(u * u3) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS g3,
+        |         CAST(sum(CASE WHEN u4 IS NOT NULL
+        |           THEN CAST(floor(u * u4) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS g4
+        |  FROM ul GROUP BY 1),
+        |g2t AS (
+        |  SELECT *, g0 * 5 + (g1 * 4 + g2 * 3 + g3 * 2 + g4) * 2 AS l5
+        |  FROM g)
+        |SELECT mo2.event_type, n AS n_diff,
+        |       CASE WHEN rden > 0 THEN ${Det.r4Sql(rho)} END AS rho,
+        |       CASE WHEN rden > 0 AND n > 2 AND g0 > 0 AND l5 > 0 THEN
+        |         ${Det.r4Sql(s"sqrt($gam0 / $lam2) * ($rho / $se) - " +
+                   s"($lam2 - $gam0) * CAST(n AS DOUBLE) * $se / " +
+                   s"(2.0 * sqrt($lam2) * $s2)")}
+        |       END AS z_t
+        |FROM mo2 JOIN g2t ON g2t.event_type = mo2.event_type
         |ORDER BY mo2.event_type NULLS FIRST""".stripMargin
     },
     "q_ts_kpss" ->

@@ -1131,17 +1131,18 @@ class LlmSpec extends AnyFunSuite {
 
   test("mm: features are unit-norm, frames cover every doc") {
     import graft.mm.MultimodalOps
+    // every document plus the two planted near-dup clones (one image,
+    // one audio — the r15 fixture-degeneracy guard)
+    val expected = graft.io.Tables.documents(spark, sf).count() + 2
     val feats = MultimodalOps.features(spark, sf).collect()
-    assert(feats.map(_.getLong(1)).sum ==
-      graft.io.Tables.documents(spark, sf).count())
+    assert(feats.map(_.getLong(1)).sum == expected)
     // stub decoder L2-normalizes: sum of squares == 1 (float tolerance)
     feats.foreach { r =>
       assert(math.abs(r.getDouble(3) - 1.0) < 1e-4 &&
         math.abs(r.getDouble(4) - 1.0) < 1e-4)
     }
     val frames = MultimodalOps.frames(spark, sf).collect()
-    assert(frames.map(_.getLong(2)).sum ==
-      graft.io.Tables.documents(spark, sf).count())
+    assert(frames.map(_.getLong(2)).sum == expected)
   }
 
   test("mm resize: every image lands at 16x16, audio decimated to 8kHz") {

@@ -2333,6 +2333,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(live == batch,
       s"live funnel depths $live must equal the batch funnel $batch")
   }
+  test("s_mattr_gate: stream scores equal the batch MATTR bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.llm.TextOps.mattr(sp, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val docs = graft.io.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[graft.streaming.RawDoc].collect()
+    val in = MemoryStream[graft.streaming.RawDoc]
+    val q = runToMemory(Ingest.mattrGate(in.toDS()), "mgate",
+      OutputMode.Append())
+    val (d1, d2) = docs.splitAt(docs.length / 3)
+    in.addData(d1.toSeq); q.processAllAvailable()
+    in.addData(d2.toSeq); q.processAllAvailable(); q.stop()
+    val streamed = sp.table("mgate").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(streamed.length == docs.length)
+    streamed.foreach { case (id, m, low) =>
+      assert(batch(id) == m, s"doc $id: stream mattr $m != batch ${batch(id)}")
+      assert(low == (m < 0.6), s"doc $id: flag wrong")
+    }
+    // the gate must actually fire on this fixture (non-vacuity)
+    assert(streamed.exists(_._3) && streamed.exists(!_._3),
+      "mattr gate degenerate: all docs on one side of the threshold")
+  }
 }
 
 object StreamingSpec {
