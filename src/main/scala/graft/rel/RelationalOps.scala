@@ -1006,6 +1006,12 @@ object RelationalOps {
     val ob = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      // keep the cached basket list at cluster parallelism: AQE
+      // coalesces this small aggregate to 1-2 partitions and the lazy
+      // checkpoint would freeze that under the heavy per-order pair
+      // explosion below (the coPurchasePairs lesson)
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("l_orderkey"))
       .localCheckpoint(eager = false)
     val n = ob.agg(count(lit(1)).as("n_orders"))
     val supp = ob.select(explode(col("parts")).as("pk"))
@@ -1078,6 +1084,16 @@ object RelationalOps {
             "y -> struct(x AS pa, y AS pb))))")).as("p"))
         .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .distinct()
+        // Restore full parallelism BEFORE the checkpoint freezes the
+        // layout: AQE coalesces this small distinct output to 1-2
+        // partitions (it is only ~MBs), and a lazy localCheckpoint
+        // captures that — every downstream wedge join then runs its
+        // O(Σd²) fan-out on 1-2 cores (measured 43 s vs 14 s for
+        // q_part_jaccard at the 10× soak SF; the whole graph family
+        // pays it). An explicit hash repartition keeps the CACHED
+        // relation at cluster parallelism — the edge list is small,
+        // the work it FEEDS is not.
+        .repartition(spark.sparkContext.defaultParallelism, col("pa"))
         .localCheckpoint(eager = false)
     })
 
@@ -1428,6 +1444,76 @@ object RelationalOps {
     e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
       .orderBy(col("core_deg").desc, col("node"))
+      .limit(20)
+  }
+
+  /** One k-truss peel round over canonical (pa < pb) edges: enumerate
+    * the surviving triangles with the plain ordered 3-way join, credit
+    * all three edges (checkpoint before the union — union children
+    * don't CSE), keep edges with support ≥ minSup carrying that
+    * support. Edges in no triangle simply have no support row — the
+    * inner join IS the filter. */
+  private def trussRound(e: DataFrame, minSup: Long): DataFrame = {
+    val e1 = e.select(col("pa"), col("pb"))
+      .localCheckpoint(eager = false) // wedge sides + the final join
+    val t2 = e1.select(col("pa"), col("pb").as("pc"))
+    val t3 = e1.select(col("pa").as("pb"), col("pb").as("pc"))
+    val tri = e1.join(t2, "pa").where(col("pb") < col("pc"))
+      .join(t3, Seq("pb", "pc"))
+      .select(col("pa"), col("pb"), col("pc"))
+      .localCheckpoint(eager = false) // credited three ways below
+    val sup = tri.select(col("pa"), col("pb"))
+      .unionByName(tri.select(col("pa"), col("pc").as("pb")))
+      .unionByName(tri.select(col("pb").as("pa"), col("pc").as("pb")))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup"))
+      .where(col("sup") >= minSup)
+    e1.join(sup, Seq("pa", "pb"))
+  }
+
+  /** K-TRUSS DECOMPOSITION (k = 4) over the co-purchase graph — the
+    * EDGE-density sibling of [[partKcore]] (Cohen 2008): repeatedly
+    * delete edges supported by fewer than k−2 surviving triangles;
+    * what remains is the strongest cohesion read short of clique
+    * enumeration (every k-truss edge sits in a dense near-clique, and
+    * truss ⊆ core strictly). Oracle form unrolls THREE integer-exact
+    * peel rounds (the partKcore unrolled-rounds discipline: identical
+    * relational text in both engines, triangle multisets provably
+    * equal under the ordered 3-way enumeration, support counts exact
+    * BIGINTs); [[ktrussConverged]] peels to a fixpoint. Per-round
+    * cost is one triangle enumeration over the SURVIVING edges —
+    * monotone shrinking, bounded by the first round. Top-20 edges
+    * under the (sup DESC, pa, pb) total order. */
+  def partKtruss(spark: SparkSession, sfDir: String): DataFrame = {
+    var e = coPurchasePairs(spark, sfDir, Some(4))
+    for (_ <- 1 to 3) e = trussRound(e, 2L)
+    e.select(col("pa"), col("pb"), col("sup"))
+      .orderBy(col("sup").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  /** Convergence-stopped twin of [[partKtruss]] (the kcoreConverged
+    * pattern): peels until the surviving edge count is stable — one
+    * Long per round driver-side. `forcedRounds` > 0 pins the budget
+    * for the bit-equality spec vs the unrolled oracle form. */
+  def ktrussConverged(spark: SparkSession, sfDir: String, k: Int = 4,
+      forcedRounds: Int = 0, maxRounds: Int = 64): DataFrame = {
+    var e = coPurchasePairs(spark, sfDir, Some(4))
+    if (forcedRounds > 0) {
+      for (_ <- 1 to forcedRounds) e = trussRound(e, (k - 2).toLong)
+    } else {
+      var prev = e.count()
+      var stable = false
+      var round = 0
+      while (!stable && round < maxRounds) {
+        e = trussRound(e, (k - 2).toLong)
+        val n = e.count()
+        stable = n == prev
+        prev = n
+        round += 1
+      }
+    }
+    e.select(col("pa"), col("pb"), col("sup"))
+      .orderBy(col("sup").desc, col("pa"), col("pb"))
       .limit(20)
   }
 
@@ -5621,6 +5707,7 @@ object RelationalOps {
     "q_part_hits" -> partHits _,
     "q_part_triangles" -> partTriangles _,
     "q_part_kcore" -> partKcore _,
+    "q_part_ktruss" -> partKtruss _,
     "q_part_jaccard" -> partJaccard _,
     "q_part_jaccard_capped" ->
       ((s: SparkSession, d: String) => partJaccardCapped(s, d)),
@@ -7558,6 +7645,36 @@ object RelationalOps {
         |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
         |FROM e6 GROUP BY 1
         |ORDER BY core_deg DESC NULLS LAST, node NULLS FIRST
+        |LIMIT 20""".stripMargin
+    },
+    "q_part_ktruss" -> {
+      // tri_i is referenced three times and e_i feeds three wedge
+      // sides next round: MATERIALIZED is mandatory (the q_part_kcore
+      // 2^rounds-inlining lesson)
+      val rounds = (1 to 3).map { i =>
+        s"""tri$i AS MATERIALIZED (
+          |  SELECT a.pa, a.pb, b.pb AS pc
+          |  FROM e${i - 1} a
+          |  JOIN e${i - 1} b ON a.pa = b.pa AND a.pb < b.pb
+          |  JOIN e${i - 1} c ON c.pa = a.pb AND c.pb = b.pb),
+          |sup$i AS MATERIALIZED (
+          |  SELECT pa, pb, CAST(count(*) AS BIGINT) AS sup FROM (
+          |    SELECT pa, pb FROM tri$i
+          |    UNION ALL SELECT pa, pc FROM tri$i
+          |    UNION ALL SELECT pb, pc FROM tri$i)
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e$i AS MATERIALIZED (
+          |  SELECT e.pa, e.pb, s.sup FROM e${i - 1} e
+          |  JOIN sup$i s ON s.pa = e.pa AND s.pb = e.pb)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 4 = 0),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |  FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk),
+        |$rounds
+        |SELECT pa, pb, sup FROM e3
+        |ORDER BY sup DESC NULLS LAST, pa NULLS FIRST, pb NULLS FIRST
         |LIMIT 20""".stripMargin
     },
     "q_part_jaccard" ->
