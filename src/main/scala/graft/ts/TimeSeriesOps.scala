@@ -3867,6 +3867,119 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** COX–STUART TREND TEST per series (Cox & Stuart 1955) — the sign
+    * test's trend form, the quickest distribution-free "is it
+    * trending" read beside [[mannKendall]] (which weighs ALL pairs;
+    * this pairs each point with its half-series partner, trading power
+    * for O(n) work and an exact binomial null). Pair y_i with
+    * y_{i+⌈n/2⌉}, count S+ = #(later > earlier), S− = #(<), drop
+    * ties; under H0 S+ ~ Bin(m, ½), and the continuity-corrected
+    * normal z multiplies through to exact integers:
+    * z = sign(2S+−m)·(|2S+−m|−1)/√m. Everything before the final √ is
+    * integer; the pair join is a self-join at half-offset index —
+    * series-grain windows, embarrassingly parallel. NULL when m = 0
+    * or the correction crosses zero (|2S+−m| ≤ 1 → z = 0 region). */
+  def tsCoxStuart(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val x = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .withColumn("i", row_number().over(wSeq).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("h", expr("(n + 1) div 2")) // ceil(n/2), integer div
+      .localCheckpoint(eager = false) // both sides of the offset join
+    val a = x.select(col("event_type"), col("i"), col("v"), col("h"))
+    val b = x.select(col("event_type"), (col("i") - col("h")).as("i"),
+      col("v").as("v2"))
+    a.join(b, Seq("event_type", "i"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("v2") > col("v"), 1L).otherwise(0L)).as("s_plus"),
+        sum(when(col("v2") < col("v"), 1L).otherwise(0L)).as("s_minus"))
+      .withColumn("m", col("s_plus") + col("s_minus"))
+      .select(col("event_type"), col("m"), col("s_plus"), col("s_minus"),
+        when(col("m") > 0L, Det.r4(
+          when(col("s_plus") * 2L > col("m"),
+            (d(col("s_plus") * 2L - col("m")) - lit(1.0)) /
+              sqrt(d(col("m"))))
+            .when(col("s_plus") * 2L < col("m"),
+              (d(col("s_plus") * 2L - col("m")) + lit(1.0)) /
+                sqrt(d(col("m"))))
+            .otherwise(lit(0.0))))
+          .otherwise(lit(null)).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** KPSS TREND-STATIONARITY TEST per series — [[tsKpss]]'s τ form:
+    * the null is stationarity AROUND A LINEAR TREND, the right read
+    * for metrics with genuine drift (the level form rejects any
+    * trending series even when detrended noise is stationary).
+    * Residuals come from the exact-moment OLS y ~ a + b·t (the
+    * [[linearRegression]] machinery: B = nΣty − ΣtΣy, D = nΣt² −
+    * (Σt)², both exact DECIMAL(38,0)); u_t rides ONE shared IEEE text
+    * and then floor-quantizes at unit grain in ys units (the [[tsPhillipsPerron]]
+    * residual discipline — n·D·u_t would be exact but its partial-sum
+    * SQUARES overflow 38 digits at a 720-bucket calendar), so partial
+    * sums and both variance terms are exact BIGINT/DECIMAL in U²
+    * units, cancelling in η = Σ S_t² / (n·Σ U_t²) — and the Bartlett
+    * l = 4 variant exactly as the level form. η_τ above ~0.146
+    * rejects trend-stationarity at 5%. */
+  def tsKpssTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wCum = wSeq.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val y = hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
+      .select(col("event_type"), col("bucket"),
+        (col("v").cast("decimal(18,4)") * lit(10000L)).cast("long")
+          .as("ys"))
+      .withColumn("t", row_number().over(wSeq).cast("long"))
+      .localCheckpoint(eager = false) // moments + residual passes
+    val mo = y.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("ys")).as("sy"),
+        sum(dec(col("t")) * col("ys")).as("sty"),
+        sum(dec(col("t")) * col("t")).as("stt"))
+      .withColumn("bnum", dec(col("n")) * col("sty") -
+        dec(col("st")) * col("sy"))
+      .withColumn("bden", dec(col("n")) * col("stt") -
+        dec(col("st")) * col("st"))
+    val slope = d(col("bnum")) / d(col("bden"))
+    val aTxt = (d(col("sy")) - slope * d(col("st"))) / d(col("n"))
+    val uq = y.join(broadcast(mo), Seq("event_type"))
+      .withColumn("u", when(col("bden") > lit(0),
+        d(col("ys")) - (aTxt + slope * d(col("t"))))
+        .otherwise(lit(0.0)))
+      .withColumn("uq", floor(col("u")).cast("long"))
+      .localCheckpoint(eager = false) // cumsum + autocovariance passes
+    val lagged = uq
+      .withColumn("ns", sum(col("uq")).over(wCum))
+      .withColumn("e1", lag(col("uq"), 1).over(wSeq))
+      .withColumn("e2", lag(col("uq"), 2).over(wSeq))
+      .withColumn("e3", lag(col("uq"), 3).over(wSeq))
+      .withColumn("e4", lag(col("uq"), 4).over(wSeq))
+    def g(c: org.apache.spark.sql.Column) =
+      sum(when(c.isNotNull, dec(col("uq")) * c).otherwise(lit(0)))
+    val s = lagged.groupBy(col("event_type"), col("n"), col("bden"))
+      .agg(sum(dec(col("ns")) * col("ns")).as("sns2"),
+        sum(dec(col("uq")) * col("uq")).as("g0"),
+        g(col("e1")).as("g1"), g(col("e2")).as("g2"),
+        g(col("e3")).as("g3"), g(col("e4")).as("g4"))
+      .withColumn("lrv5", col("g0") * 5 + (col("g1") * 4 + col("g2") * 3 +
+        col("g3") * 2 + col("g4")) * 2)
+    s.select(col("event_type"), col("n"),
+        when(col("bden") > lit(0) && col("g0") > lit(0),
+          Det.r4(d(col("sns2")) / (d(col("n")) * d(col("g0")))))
+          .otherwise(lit(null)).as("eta_0"),
+        when(col("bden") > lit(0) && col("lrv5") > lit(0),
+          Det.r4(lit(5.0) * d(col("sns2")) /
+            (d(col("n")) * d(col("lrv5")))))
+          .otherwise(lit(null)).as("eta_4"))
+      .orderBy("event_type")
+  }
+
   /** PHILLIPS–PERRON UNIT-ROOT TEST per series (Phillips & Perron
     * 1988, with intercept, Bartlett l = 4) — the third member of the
     * unit-root protocol beside [[tsAdf]] (parametric lag augmentation)
@@ -4583,6 +4696,8 @@ object TimeSeriesOps {
     "q_ts_dickey_fuller" -> tsDickeyFuller _,
     "q_ts_adf" -> tsAdf _,
     "q_ts_kpss" -> tsKpss _,
+    "q_ts_kpss_trend" -> tsKpssTrend _,
+    "q_ts_cox_stuart" -> tsCoxStuart _,
     "q_ts_pp" -> tsPhillipsPerron _,
     "q_ts_bartels" -> tsBartelsRvn _,
     "q_ts_variance_ratio" -> tsVarianceRatio _,
@@ -5587,6 +5702,112 @@ object TimeSeriesOps {
         |       END AS df_t
         |FROM mo2 JOIN s2 ON s2.event_type = mo2.event_type
         |ORDER BY mo2.event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_cox_stuart" ->
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |x AS MATERIALIZED (
+        |  SELECT event_type, v,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS BIGINT) AS i,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS n
+        |  FROM h1),
+        |p AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS s_plus,
+        |         CAST(sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS s_minus
+        |  FROM x a JOIN x b ON b.event_type = a.event_type
+        |    AND b.i = a.i + (a.n + 1) // 2
+        |  GROUP BY 1)
+        |SELECT event_type, s_plus + s_minus AS m, s_plus, s_minus,
+        |       CASE WHEN s_plus + s_minus > 0 THEN
+        |         ${Det.r4Sql("CASE WHEN s_plus * 2 > s_plus + s_minus " +
+                   "THEN (CAST(s_plus * 2 - (s_plus + s_minus) AS DOUBLE)" +
+                   " - 1.0) / sqrt(CAST(s_plus + s_minus AS DOUBLE)) " +
+                   "WHEN s_plus * 2 < s_plus + s_minus " +
+                   "THEN (CAST(s_plus * 2 - (s_plus + s_minus) AS DOUBLE)" +
+                   " + 1.0) / sqrt(CAST(s_plus + s_minus AS DOUBLE)) " +
+                   "ELSE 0.0 END")}
+        |       END AS z
+        |FROM p ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_ts_kpss_trend" -> {
+      val slope = "(CAST(bnum AS DOUBLE) / CAST(bden AS DOUBLE))"
+      val a = s"((CAST(sy AS DOUBLE) - $slope * CAST(st AS DOUBLE))" +
+        " / CAST(n AS DOUBLE))"
+      s"""WITH h1 AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ${Det.avg4Sql("value")} AS v
+        |  FROM events GROUP BY 1, 2),
+        |y AS MATERIALIZED (
+        |  SELECT event_type, bucket,
+        |         CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS BIGINT) AS t
+        |  FROM h1),
+        |mo AS MATERIALIZED (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(t) AS BIGINT) AS st,
+        |         CAST(sum(ys) AS BIGINT) AS sy,
+        |         sum(CAST(t AS HUGEINT) * ys) AS sty,
+        |         sum(CAST(t AS HUGEINT) * t) AS stt
+        |  FROM y GROUP BY 1),
+        |mo2 AS MATERIALIZED (
+        |  SELECT *, CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy
+        |           AS bnum,
+        |         CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st
+        |           AS bden
+        |  FROM mo),
+        |uq AS (
+        |  SELECT y.event_type, y.bucket, mo2.n, mo2.bden,
+        |         CAST(floor(CASE WHEN bden > 0 THEN
+        |           CAST(ys AS DOUBLE) - ($a + $slope * CAST(t AS DOUBLE))
+        |         ELSE 0.0 END) AS BIGINT) AS uq
+        |  FROM y JOIN mo2 ON mo2.event_type = y.event_type),
+        |lagged AS (
+        |  SELECT event_type, n, bden, uq,
+        |         sum(uq) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS ns,
+        |         lag(uq, 1) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS e1,
+        |         lag(uq, 2) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS e2,
+        |         lag(uq, 3) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS e3,
+        |         lag(uq, 4) OVER (PARTITION BY event_type
+        |           ORDER BY bucket NULLS FIRST) AS e4
+        |  FROM uq),
+        |s AS (
+        |  SELECT event_type, n, bden,
+        |         sum(CAST(ns AS HUGEINT) * ns) AS sns2,
+        |         sum(CAST(uq AS HUGEINT) * uq) AS g0,
+        |         sum(CASE WHEN e1 IS NOT NULL
+        |           THEN CAST(uq AS HUGEINT) * e1 ELSE 0 END) AS g1,
+        |         sum(CASE WHEN e2 IS NOT NULL
+        |           THEN CAST(uq AS HUGEINT) * e2 ELSE 0 END) AS g2,
+        |         sum(CASE WHEN e3 IS NOT NULL
+        |           THEN CAST(uq AS HUGEINT) * e3 ELSE 0 END) AS g3,
+        |         sum(CASE WHEN e4 IS NOT NULL
+        |           THEN CAST(uq AS HUGEINT) * e4 ELSE 0 END) AS g4
+        |  FROM lagged GROUP BY 1, 2, 3)
+        |SELECT event_type, n,
+        |       CASE WHEN bden > 0 AND g0 > 0 THEN
+        |         ${Det.r4Sql("CAST(sns2 AS DOUBLE) / " +
+                   "(CAST(n AS DOUBLE) * CAST(g0 AS DOUBLE))")}
+        |       END AS eta_0,
+        |       CASE WHEN bden > 0 AND g0 * 5 + (g1 * 4 + g2 * 3 +
+        |           g3 * 2 + g4) * 2 > 0 THEN
+        |         ${Det.r4Sql("5.0 * CAST(sns2 AS DOUBLE) / " +
+                   "(CAST(n AS DOUBLE) * CAST(g0 * 5 + (g1 * 4 + g2 * 3" +
+                   " + g3 * 2 + g4) * 2 AS DOUBLE))")}
+        |       END AS eta_4
+        |FROM s ORDER BY event_type NULLS FIRST""".stripMargin
     },
     "q_ts_pp" -> {
       val rho = "(CAST(rnum AS DOUBLE) / CAST(rden AS DOUBLE))"

@@ -1219,4 +1219,25 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(3)) < 3.0, s"$g: |z| not random")
     }
   }
+
+  test("Cox-Stuart reads no trend and KPSS trend form stays under its " +
+      "critical value on the iid fixture") {
+    val cs = TimeSeriesOps.tsCoxStuart(spark, sf).collect()
+    assert(cs.nonEmpty)
+    cs.foreach { r =>
+      val g = r.getString(0)
+      // pairs split near-evenly and z stays inside the 5% band
+      assert(math.abs(r.getDouble(4)) < 1.96, s"$g: trending? z=${r.getDouble(4)}")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"$g: m mismatch")
+    }
+    val kt = TimeSeriesOps.tsKpssTrend(spark, sf).collect()
+    assert(kt.nonEmpty)
+    kt.foreach { r =>
+      val g = r.getString(0)
+      assert(!r.isNullAt(2) && r.getDouble(2) < 0.146,
+        s"$g: eta_0 ${r.getDouble(2)} rejects a trend-stationary fixture")
+      assert(!r.isNullAt(3) && r.getDouble(3) < 0.146,
+        s"$g: eta_4 ${r.getDouble(3)} rejects a trend-stationary fixture")
+    }
+  }
 }
