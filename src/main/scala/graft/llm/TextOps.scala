@@ -1632,6 +1632,66 @@ object TextOps {
       .orderBy("s1", "s2")
   }
 
+  /** SPEARMAN ρ BETWEEN SOURCES on document length — [[kendallSources]]'
+    * midrank sibling: for every source pair, the Spearman rank
+    * correlation between the source INDICATOR and n_chars over the
+    * pooled two-sample data. With a binary x the Pearson-on-midranks
+    * definition collapses to a closed form over three exact integers:
+    * with N = n1+n2, the DOUBLED pooled-midrank sum of source-2 docs
+    * D2 = Σᵥ c₂(v)·(2·pooledBelow(v) + c₁+c₂ + 1) (the ×2 midrank
+    * trick — no .5 fractions ever materialize), A = D2 − n2·(N+1) and
+    * the pooled tie term B = N³ − N − Σₜ(t³ − t), the identity is
+    * ρ = N·A / √(n1·n2·N·(B/3)) (derivation: rank deviations of the
+    * indicator are ±n₂/2, n₁/2; midranks sum to N(N+1)/2 exactly even
+    * under ties). Everything up to the final expression is exact
+    * DECIMAL(38,0) pair counting at the distinct-length grid — the
+    * [[kendallSources]] machinery, never a row-level pair join; ρ is
+    * then ONE IEEE expression with every factor cast to double first
+    * (the r10 ratio rule). All-tied pools (B = 0) yield NULL. Grid
+    * cost: sources × distinct lengths, value-grain bounded. Total
+    * order (s1, s2). */
+  def spearmanSources(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out below
+    def dec(e: Column) = e.cast("decimal(38,0)")
+    def d(e: Column) = e.cast("double")
+    val grid = byV.select(col("x")).distinct()
+      .crossJoin(broadcast(byV.select(col("source")).distinct()))
+      .join(byV, Seq("source", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("source"))
+    val cums = grid
+      .withColumn("below", sum(col("c")).over(wCum) - col("c"))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = cums.select(col("source").as("s1"), col("x"),
+      col("c").as("c1"), col("below").as("below1"), col("n_g").as("n1"))
+    val b = cums.select(col("source").as("s2"), col("x"),
+      col("c").as("c2"), col("below").as("below2"), col("n_g").as("n2"))
+    val t = col("c1") + col("c2")
+    val pair = a.join(b, "x").where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+      .agg(sum(dec(col("c2")) *
+          ((col("below1") + col("below2")) * 2 + t + 1)).as("d2"),
+        sum(dec(t) * t * t - t).as("tsum"))
+    val nn = col("n1") + col("n2")
+    val aTerm = col("d2") - dec(col("n2")) * (nn + 1)
+    val bTerm = dec(nn) * nn * nn - nn - col("tsum")
+    pair.select(col("s1"), col("s2"), col("n1"), col("n2"),
+        col("d2").cast("long").as("rank_sum2"),
+        when(col("n1") > 0L && col("n2") > 0L && bTerm > lit(0),
+          Det.r4(d(nn) * d(aTerm) /
+            sqrt(d(col("n1")) * d(col("n2")) * d(nn) *
+              (d(bTerm) / lit(3.0)))))
+          .otherwise(lit(null)).as("rho_s"))
+      .orderBy("s1", "s2")
+  }
+
   /** MATTR — Moving-Average Type-Token Ratio per document (Covington &
     * McFall 2010), the window-length-corrected lexical-diversity score
     * the curation stack quotes where the raw TTR is length-confounded:
@@ -1678,18 +1738,22 @@ object TextOps {
   }
 
   /** MTLD — Measure of Textual Lexical Diversity per document
-    * (McCarthy & Jarvis 2010), forward pass: walk the token sequence
-    * counting "factors" — maximal prefixes whose running type-token
-    * ratio stays ≥ 0.72; when TTR dips below, close the factor and
-    * reset. MTLD = N / (full factors + the partial factor's
-    * (1 − TTR)/(1 − 0.72) remainder). The threshold comparison is
+    * (McCarthy & Jarvis 2010), BIDIRECTIONAL as published: walk the
+    * token sequence counting "factors" — maximal prefixes whose
+    * running type-token ratio stays ≥ 0.72; when TTR dips below,
+    * close the factor and reset. A directional score is
+    * N / (full factors + the partial factor's (1 − TTR)/(1 − 0.72)
+    * remainder); MTLD is the MEAN of the forward and backward walks
+    * (the direction artifact: a front-loaded template reads diverse
+    * forward but repetitive backward). The threshold comparison is
     * EXACT (types·100 < 72·tokens — no float in the walk); only the
-    * final division is IEEE. NO ORACLE: the walk's state is the
+    * final divisions are IEEE. NO ORACLE: the walk's state is the
     * current factor's SET of seen types — a data-dependent-size
     * carried collection, the declared no-oracle class (isotonic/PAV
-    * precedent) — spec-gated against an independent driver fold.
-    * One typed mapGroups per doc: each group is one document's token
-    * list, a real per-doc statistic an executor holds. */
+    * precedent) — spec-gated against an independent driver fold in
+    * BOTH directions. One typed mapGroups per doc: each group is one
+    * document's token list, a real per-doc statistic an executor
+    * holds. */
   def mtld(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, sfDir)
@@ -1700,25 +1764,133 @@ object TextOps {
       .mapGroups { (id: Long, it: Iterator[(Long, Int, String)]) =>
         val ws = it.toArray.sortBy(_._2).map(_._3)
         val n = ws.length.toLong
-        var factors = 0L
-        val seen = scala.collection.mutable.HashSet.empty[String]
-        var tok = 0L
-        ws.foreach { w =>
-          seen += w; tok += 1
-          if (seen.size * 100L < 72L * tok) { // TTR < 0.72: close factor
-            factors += 1; seen.clear(); tok = 0L
+        // one factor walk; run FORWARD and BACKWARD (McCarthy & Jarvis
+        // publish MTLD as the mean of the two directional scores — a
+        // front-loaded template reads diverse forward but repetitive
+        // backward; the mean removes the direction artifact)
+        def walk(seq: Array[String]): (Long, Double) = {
+          var factors = 0L
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          var tok = 0L
+          seq.foreach { w =>
+            seen += w; tok += 1
+            if (seen.size * 100L < 72L * tok) { // TTR < 0.72: close
+              factors += 1; seen.clear(); tok = 0L
+            }
           }
+          val partial = if (tok > 0L)
+            (1.0 - seen.size.toDouble / tok.toDouble) / 0.28
+          else 0.0
+          val denom = factors.toDouble + partial
+          val m = if (denom > 0.0)
+            math.floor(n.toDouble / denom * 10000.0 + 0.5) / 10000.0
+          else Double.NaN
+          (factors, m)
         }
-        val partial = if (tok > 0L)
-          (1.0 - seen.size.toDouble / tok.toDouble) / 0.28
-        else 0.0
-        val denom = factors.toDouble + partial
-        val m = if (denom > 0.0)
-          Some(math.floor(n.toDouble / denom * 10000.0 + 0.5) / 10000.0)
+        val (ff, mf) = walk(ws)
+        val (fb, mb) = walk(ws.reverse)
+        val bi = if (!mf.isNaN && !mb.isNaN)
+          Some(math.floor((mf + mb) / 2.0 * 10000.0 + 0.5) / 10000.0)
         else None
-        (id, n, factors, m)
+        (id, n, ff, fb, if (mf.isNaN) None else Some(mf),
+          if (mb.isNaN) None else Some(mb), bi)
       }
-    perDoc.toDF("doc_id", "n_tokens", "n_factors", "mtld")
+    perDoc.toDF("doc_id", "n_tokens", "n_factors_fwd", "n_factors_bwd",
+        "mtld_fwd", "mtld_bwd", "mtld")
+      .orderBy("doc_id")
+  }
+
+  /** Longest repeated substring length via a SUFFIX AUTOMATON (Blumer
+    * et al. 1985's online O(n) construction): the LRS appearing ≥ 2
+    * times is the longest state whose endpos class has size ≥ 2 —
+    * occurrence counts propagate up suffix links in len order (each
+    * non-clone state seeds 1; a clone seeds 0 and collects from its
+    * children). O(n) states/transitions, per-character HashMap edges
+    * (document alphabets are small but unbounded — no 26-slot array
+    * assumption). */
+  private[graft] def lrsLen(s: String): Int = {
+    if (s.length < 2) return 0
+    val maxStates = 2 * s.length + 5
+    val len = new Array[Int](maxStates)
+    val link = new Array[Int](maxStates)
+    val cnt = new Array[Long](maxStates)
+    val next =
+      Array.fill(maxStates)(null: scala.collection.mutable.HashMap[Char, Int])
+    def edges(i: Int) = {
+      if (next(i) == null)
+        next(i) = scala.collection.mutable.HashMap.empty[Char, Int]
+      next(i)
+    }
+    var size = 1; var last = 0
+    link(0) = -1
+    s.foreach { c =>
+      val cur = size; size += 1
+      len(cur) = len(last) + 1; cnt(cur) = 1L
+      var p = last
+      while (p != -1 && !edges(p).contains(c)) {
+        edges(p)(c) = cur; p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = edges(p)(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          next(clone) = edges(q).clone()
+          link(clone) = link(q)
+          cnt(clone) = 0L
+          while (p != -1 && edges(p).get(c).contains(q)) {
+            edges(p)(c) = clone; p = link(p)
+          }
+          link(q) = clone; link(cur) = clone
+        }
+      }
+      last = cur
+    }
+    // counting sort by len (lens are <= n): propagate cnt up links in
+    // decreasing-len order, then take the longest state seen >= twice
+    val byLen = Array.fill(s.length + 1)(List.empty[Int])
+    (1 until size).foreach(i => byLen(len(i)) ::= i)
+    var best = 0
+    var l = s.length
+    while (l >= 1) {
+      byLen(l).foreach { i =>
+        if (link(i) >= 0) cnt(link(i)) += cnt(i)
+        if (cnt(i) >= 2L && len(i) > best) best = len(i)
+      }
+      l -= 1
+    }
+    best
+  }
+
+  /** SELF-REPETITION READ per document — the junk detector the
+    * gopher-rules family lacks (SURVEY §8.5): a template/spam doc
+    * repeats a long literal block, so the LONGEST REPEATED SUBSTRING
+    * is a large fraction of the text, where natural prose repeats
+    * only short spans. Per doc: [[lrsLen]] (suffix automaton, O(n))
+    * over the raw characters, the ratio lrs/n, and the exact integer
+    * flag 5·lrs ≥ n (a repeated block covering ≥ 20% of the doc).
+    * Embarrassingly parallel per doc (one typed map, no shuffle at
+    * all until the output sort). NO ORACLE — the statistic rides a
+    * per-doc automaton walk with data-dependent state (no
+    * SQL-expressible twin); spec'd against a driver binary-search +
+    * substring-set reference and planted repeats of known length. */
+  def selfRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.length.toLong
+        val lrs = lrsLen(text).toLong
+        val ratio =
+          if (n > 0L)
+            math.floor(lrs.toDouble / n.toDouble * 10000.0 + 0.5) / 10000.0
+          else 0.0
+        (id, n, lrs, ratio, lrs * 5L >= n && n > 0L)
+      }
+      .toDF("doc_id", "n_chars", "lrs_len", "lrs_ratio", "repetitive")
       .orderBy("doc_id")
   }
 
@@ -2589,6 +2761,8 @@ object TextOps {
     "q_llm_compress_ratio" -> compressRatio _,
     "q_llm_energy_dist" -> energyDistance _,
     "q_llm_kendall_sources" -> kendallSources _,
+    "q_llm_spearman_sources" -> spearmanSources _,
+    "q_llm_self_repetition" -> selfRepetition _,
     "q_llm_mattr" -> mattr _,
     "q_llm_mtld" -> mtld _,
     "q_llm_mutual_info" -> mutualInfo _,
@@ -3029,6 +3203,47 @@ object TextOps {
         |  FROM pair
         |  JOIN pers t1 ON t1.source = pair.s1
         |  JOIN pers t2 ON t2.source = pair.s2)
+        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
+    },
+    "q_llm_spearman_sources" -> {
+      val rho = "CAST(n1 + n2 AS DOUBLE) * CAST(aterm AS DOUBLE) / " +
+        "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+        "CAST(n1 + n2 AS DOUBLE) * (CAST(bterm AS DOUBLE) / 3.0))"
+      s"""WITH byv AS MATERIALIZED (
+        |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, g.x, COALESCE(byv.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM byv) s
+        |  CROSS JOIN (SELECT DISTINCT x FROM byv) g
+        |  LEFT JOIN byv ON byv.source = s.source AND byv.x = g.x),
+        |cums AS MATERIALIZED (
+        |  SELECT source, x, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY x NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |           AS below,
+        |         sum(c) OVER (PARTITION BY source) AS n_g
+        |  FROM grid),
+        |pair AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |         CAST(a.n_g AS BIGINT) AS n1,
+        |         CAST(b.n_g AS BIGINT) AS n2,
+        |         sum(CAST(b.c AS HUGEINT) *
+        |           ((a.below + b.below) * 2 + a.c + b.c + 1)) AS d2,
+        |         sum(CAST(a.c + b.c AS HUGEINT) * (a.c + b.c) *
+        |           (a.c + b.c) - (a.c + b.c)) AS tsum
+        |  FROM cums a JOIN cums b ON a.x = b.x AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT s1, s2, n1, n2, CAST(d2 AS BIGINT) AS rank_sum2,
+        |       CASE WHEN n1 > 0 AND n2 > 0 AND bterm > 0 THEN
+        |         ${r4Sql(rho)}
+        |       END AS rho_s
+        |FROM (
+        |  SELECT pair.*,
+        |         d2 - CAST(n2 AS HUGEINT) * (n1 + n2 + 1) AS aterm,
+        |         CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2) -
+        |           (n1 + n2) - tsum AS bterm
+        |  FROM pair)
         |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
     },
     "q_llm_mattr" ->

@@ -350,11 +350,17 @@ object VectorOps {
     densityDedupFrom(spark, e0)
   }
 
-  /** [[densityDedup]] over an explicit relation (spec entry point). */
-  private[graft] def densityDedupFrom(spark: SparkSession, e0: DataFrame,
-      minPts: Int = 4, eps: Double = 0.80): DataFrame = {
-    val pairs = lshVerifiedPairs(spark, e0, eps)
-      .localCheckpoint(eager = false) // degree pass + edge/border passes
+  /** Core set + core-component labels over a verified pair list — the
+    * kernel shared by [[densityDedupFrom]] and [[densityStability]]:
+    * degree ≥ minPts ⇒ CORE, components over core–core edges via
+    * [[DupCluster.resolve]], isolated cores (the hub-and-spoke shape —
+    * every qualifying neighbor non-core, so no core–core edge exists;
+    * r15 ADVICE) self-labeled. Returns (ends, labels): the symmetric
+    * neighbor list and one (id, label) row per CORE id. */
+  private def coreLabels(pairs0: DataFrame, minPts: Int)
+      : (DataFrame, DataFrame) = {
+    val pairs = pairs0
+      .localCheckpoint(eager = false) // degree pass + edge passes
     val ends = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
       .unionByName(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
       .localCheckpoint(eager = false) // degree + border attach
@@ -367,8 +373,22 @@ object VectorOps {
       .join(core.toDF("a_id"), "a_id")
       .join(core.toDF("b_id"), "b_id")
       .select(col("a_id"), col("b_id"))
-    val labels = DupCluster.resolve(coreEdges) // (id, label), min-id label
+    val resolved = DupCluster.resolve(coreEdges) // (id, label), min-id label
+      .localCheckpoint(eager = false) // referenced twice in the union below
+    val labels = resolved
+      .unionByName(core
+        .join(resolved.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
       .localCheckpoint(eager = false) // member + border passes
+    (ends, labels)
+  }
+
+  /** [[densityDedup]] over an explicit relation (spec entry point). */
+  private[graft] def densityDedupFrom(spark: SparkSession, e0: DataFrame,
+      minPts: Int = 4, eps: Double = 0.80): DataFrame = {
+    val (ends, labels) = coreLabels(lshVerifiedPairs(spark, e0, eps),
+      minPts)
+    val core = labels.select(col("id"))
     val borders = ends
       .join(core.toDF("nb"), "nb") // neighbor is core
       .join(labels.toDF("nb", "label"), "nb")
@@ -385,6 +405,87 @@ object VectorOps {
         count(lit(1)).as("n_members"))
       .select(col("label").as("keep_id"), col("n_core"), col("n_border"),
         col("n_members"), (col("n_members") - 1L).as("n_drop"))
+      .orderBy("keep_id")
+  }
+
+  /** HDBSCAN CLUSTER-STABILITY SCORES (condensed-tree lite) over the
+    * [[densityDedup]] components — the published selection criterion
+    * the fixed-eps cut lacks (Campello et al. 2013 rank clusters by
+    * PERSISTENCE across the density ladder; a cluster that evaporates
+    * one notch tighter is noise that happened to connect). One LSH
+    * candidate pass at the LOOSEST level serves the whole ladder (the
+    * banded buckets and the hot-bucket cap are threshold-independent;
+    * only the exact-cosine cut moves), so the 0.80 cut reproduces
+    * [[densityDedup]]'s graph bit-for-bit. Monotonicity does the tree
+    * bookkeeping: edges(0.85) ⊆ edges(0.80) ⊆ edges(0.75), so every
+    * tight core is a base core and tight components NEST inside base
+    * components — each tight fragment maps to exactly one base
+    * cluster by any member's base label, no anchor point needed.
+    * Per base cluster: surviving-core count one notch tighter, the
+    * tight fragment count (> 1 = the cluster splits), the number of
+    * base-cluster peers it merges with one notch looser, and
+    * stability = (n_core + surv_tight) / (2·n_core) ∈ [0.5, 1] — 1.0
+    * means every core survives the tightening (a true near-dup clump:
+    * the planted fixture must score it). NO ORACLE (LSH seed physics)
+    * — spec'd against a driver walk of the same collected pair list. */
+  def densityStability(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val clump = broadcast({
+      val rnd = new scala.util.Random(7)
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 12).map { i =>
+        val v = base.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+        (2000000000L + i, v, -1)
+      }
+    }.toDF("vec_id", "embedding", "label"))
+    val e0 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(clump)
+    densityStabilityFrom(spark, e0)
+  }
+
+  /** [[densityStability]] over an explicit relation (spec entry). */
+  private[graft] def densityStabilityFrom(spark: SparkSession,
+      e0: DataFrame, minPts: Int = 4): DataFrame = {
+    val ladder = (0.75, 0.80, 0.85) // loose, base (= densityDedup), tight
+    // keep the cached small pair list at cluster parallelism: it feeds
+    // three degree/edge passes (the r15 AQE-coalesce lesson)
+    val pairsLoose = lshVerifiedPairs(spark, e0, ladder._1)
+      .repartition(spark.sparkContext.defaultParallelism, col("a_id"))
+      .localCheckpoint(eager = false) // cut at all three ladder levels
+    val (_, labelsL) = coreLabels(pairsLoose, minPts)
+    val (_, labelsB) =
+      coreLabels(pairsLoose.where(col("cos") >= ladder._2), minPts)
+    val (_, labelsT) =
+      coreLabels(pairsLoose.where(col("cos") >= ladder._3), minPts)
+    val base = labelsB.toDF("id", "label")
+      .localCheckpoint(eager = false) // three mapping joins below
+    val sizes = base.groupBy(col("label")).agg(count(lit(1)).as("n_core"))
+    // tight fragments nest inside base clusters: map each surviving
+    // core through its base label
+    val tight = base.join(labelsT.toDF("id", "lt"), "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("surv_tight"),
+        countDistinct(col("lt")).as("n_sub_tight"))
+    // loose merge: each base cluster sits in exactly one loose
+    // component (its members are loose cores); peers = other base
+    // clusters sharing it
+    val looseOf = base.join(labelsL.toDF("id", "ll"), "id")
+      .select(col("label"), col("ll")).distinct()
+    val peers = looseOf
+      .join(looseOf.toDF("label2", "ll"), "ll")
+      .groupBy(col("label"))
+      .agg((count(lit(1)) - 1L).as("n_peers_loose"))
+    def d(e: org.apache.spark.sql.Column) = e.cast("double")
+    sizes
+      .join(tight, Seq("label"), "left")
+      .join(peers, Seq("label"), "left")
+      .na.fill(0L, Seq("surv_tight", "n_sub_tight", "n_peers_loose"))
+      .select(col("label").as("keep_id"), col("n_core"),
+        col("surv_tight"), col("n_sub_tight"), col("n_peers_loose"),
+        Det.r4((d(col("n_core")) + d(col("surv_tight"))) /
+          (lit(2.0) * d(col("n_core")))).as("stability"))
       .orderBy("keep_id")
   }
 
@@ -1268,6 +1369,7 @@ object VectorOps {
     "q_llm_ann_sq" -> annSq _,
     "q_llm_embed_neardup" -> embedNeardup _,
     "q_llm_density_dedup" -> densityDedup _,
+    "q_llm_density_stability" -> densityStability _,
     "q_llm_embed_diversity" -> embedDiversity _
   )
 

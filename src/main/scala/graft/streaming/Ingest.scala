@@ -1506,8 +1506,8 @@ object Ingest {
         p += 1
       }
       val m = if (n >= w)
-        math.floor(news.toDouble / (20.0 * (n - 19).toDouble) * 10000.0
-          + 0.5) / 10000.0
+        math.floor(news.toDouble / (w.toDouble * (n - (w - 1)).toDouble)
+          * 10000.0 + 0.5) / 10000.0
       else math.floor(types.toDouble / n.toDouble * 10000.0 + 0.5) / 10000.0
       (doc.doc_id, n, m, m < minMattr)
     }.toDF("doc_id", "n_tokens", "mattr", "low_diversity")

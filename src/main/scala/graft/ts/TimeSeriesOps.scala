@@ -940,6 +940,81 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** SEASONAL KENDALL τ BETWEEN SOURCES (Hirsch–Slack stratification
+    * of [[graft.llm.TextOps.kendallSources]]'s two-sample τ-b): for
+    * every event-type pair, "is type b's value stochastically larger
+    * than type a's, CONTROLLING for the diurnal cycle" — the plain
+    * between-sources comparison confounds a type that merely fires at
+    * high-value hours with one that is genuinely larger. Pairs are
+    * compared only WITHIN the same hour-of-day stratum: per (pair,
+    * hod) the exact grid counting yields nc/nd/tie terms (all
+    * DECIMAL(38,0), never a row-level pair join), the S statistics
+    * ADD exactly across strata (S = Σₕ (ncₕ − ndₕ)), and the pooled
+    * denominator Σₕ √(n1ₕ·n2ₕ·nyt2ₕ/2) is made order-free by
+    * quantizing each stratum's IEEE sqrt with ×4096 (a POWER OF TWO —
+    * exponent shift only, so no mantissa loss and no rounding-dialect
+    * hazard) and BIGINT-summing; τ_sk is then one IEEE division.
+    * Strata where either type is absent drop symmetrically in both
+    * engines (the pers inner joins). Grid cost: 24 × value-grain ×
+    * types. Total order (s1, s2). */
+  def seasonalKendallSources(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = graft.io.Tables.events(spark, sfDir)
+      .groupBy(hour(col("ts")).as("hod"), col("event_type").as("source"),
+        col("value").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out + per-source ties
+    def dec(e: org.apache.spark.sql.Column) = e.cast("decimal(38,0)")
+    def d(e: org.apache.spark.sql.Column) = e.cast("double")
+    val perS = byV.groupBy(col("hod"), col("source"))
+      .agg(sum(dec(col("c")) * (col("c") - 1)).as("tself2"))
+    val grid = byV.select(col("hod"), col("x")).distinct()
+      .crossJoin(broadcast(byV.select(col("source")).distinct()))
+      .join(byV, Seq("hod", "source", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("hod"), col("source"))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("hod"), col("source"))
+    val cums = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = cums.select(col("hod"), col("x"), col("source").as("s1"),
+      col("c").as("c1"), col("n_g").as("n1g"))
+    val b = cums.select(col("hod"), col("x"), col("source").as("s2"),
+      col("c").as("c2"), (col("cum") - col("c")).as("below2"),
+      col("cum").as("upto2"), col("n_g").as("n2g"))
+    val pairH = a.join(b, Seq("hod", "x")).where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"), col("hod"), col("n1g"), col("n2g"))
+      .agg(sum(dec(col("c1")) * (col("n2g") - col("upto2"))).as("nc"),
+        sum(dec(col("c1")) * col("below2")).as("nd"),
+        sum(dec(col("c1")) * col("c2")).as("crossT"))
+    val t1 = perS.select(col("hod"), col("source").as("s1"),
+      col("tself2").as("ty1"))
+    val t2 = perS.select(col("hod"), col("source").as("s2"),
+      col("tself2").as("ty2"))
+    val n02 = dec(col("n1g") + col("n2g")) * (col("n1g") + col("n2g") - 1)
+    val nyt2 = n02 - (col("ty1") + col("ty2") + col("crossT") * 2)
+    val strat = pairH.join(t1, Seq("hod", "s1")).join(t2, Seq("hod", "s2"))
+      .select(col("s1"), col("s2"), col("n1g"), col("n2g"),
+        (col("nc") - col("nd")).as("sh"),
+        floor(sqrt(d(col("n1g")) * d(col("n2g")) * (d(nyt2) / lit(2.0))) *
+          lit(4096.0)).cast("long").as("dq"))
+    strat.groupBy(col("s1"), col("s2"))
+      .agg(sum(col("n1g")).as("n1"), sum(col("n2g")).as("n2"),
+        count(lit(1)).as("n_strata"),
+        sum(col("sh")).cast("long").as("s_total"),
+        sum(col("dq")).as("dqs"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        col("n_strata"), col("s_total"),
+        when(col("dqs") > 0L,
+          Det.r4(d(col("s_total")) / (d(col("dqs")) / lit(4096.0))))
+          .otherwise(lit(null)).as("tau_sk"))
+      .orderBy("s1", "s2")
+  }
+
   /** Strict inversions in `a` (pairs i<j with a(i) > a(j)) by counting
     * mergesort — O(n log n), mutates its input. */
   private[graft] def countInversions(a: Array[Double]): Long = {
@@ -4774,6 +4849,7 @@ object TimeSeriesOps {
     "q_ts_kendall_fast" -> kendallTauFast _,
     "q_ts_mannkendall" -> mannKendall _,
     "q_ts_seasonal_mk" -> seasonalMannKendall _,
+    "q_ts_seasonal_kendall_src" -> seasonalKendallSources _,
     "q_ts_lttb" -> lttb _,
     "q_ts_lttb_count" -> lttbCount _,
     "q_ts_somers_d" -> somersD _,
@@ -6093,8 +6169,10 @@ object TimeSeriesOps {
         |  FROM mo),
         |we AS MATERIALIZED (
         |  SELECT p.ma, p.mb, p.bucket,
-        |         (CAST(yb AS DOUBLE) - ($alpha + $beta *
-        |           CAST(xa AS DOUBLE))) / 10000.0 AS e
+        |         CASE WHEN bden <> 0 THEN
+        |           (CAST(yb AS DOUBLE) - ($alpha + $beta *
+        |             CAST(xa AS DOUBLE))) / 10000.0
+        |         ELSE 0.0 END AS e
         |  FROM p JOIN mo2 ON mo2.ma = p.ma AND mo2.mb = p.mb),
         |lg AS MATERIALIZED (
         |  SELECT ma, mb, e,
@@ -6113,7 +6191,8 @@ object TimeSeriesOps {
         |  FROM ld GROUP BY 1, 2),
         |uq AS (
         |  SELECT ld.ma, ld.mb,
-        |         ld.de - $rho * ld.el AS u
+        |         CASE WHEN q2s > 0 THEN ld.de - $rho * ld.el
+        |         ELSE 0.0 END AS u
         |  FROM ld JOIN q12 ON q12.ma = ld.ma AND q12.mb = ld.mb),
         |q3 AS (
         |  SELECT ma, mb,
@@ -6733,6 +6812,62 @@ object TimeSeriesOps {
         |       ${Det.r4Sql(z)} AS z
         |FROM f
         |ORDER BY event_type NULLS FIRST""".stripMargin
+    },
+    "q_ts_seasonal_kendall_src" -> {
+      val tau = "CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) / " +
+        "(CAST(sum(dq) AS DOUBLE) / 4096.0)"
+      s"""WITH byv AS MATERIALIZED (
+        |  SELECT hour(ts) AS hod, event_type AS source, value AS x,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |pers AS (
+        |  SELECT hod, source, sum(CAST(c AS HUGEINT) * (c - 1)) AS tself2
+        |  FROM byv GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.hod, g.x, s.source, COALESCE(byv.c, 0) AS c
+        |  FROM (SELECT DISTINCT hod, x FROM byv) g
+        |  CROSS JOIN (SELECT DISTINCT source FROM byv) s
+        |  LEFT JOIN byv ON byv.hod = g.hod AND byv.source = s.source
+        |    AND byv.x = g.x),
+        |cums AS MATERIALIZED (
+        |  SELECT hod, source, x, c,
+        |         sum(c) OVER (PARTITION BY hod, source
+        |           ORDER BY x NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         sum(c) OVER (PARTITION BY hod, source) AS n_g
+        |  FROM grid),
+        |pairh AS MATERIALIZED (
+        |  SELECT a.source AS s1, b.source AS s2, a.hod,
+        |         CAST(a.n_g AS BIGINT) AS n1g,
+        |         CAST(b.n_g AS BIGINT) AS n2g,
+        |         sum(CAST(a.c AS HUGEINT) * (b.n_g - b.cum)) AS nc,
+        |         sum(CAST(a.c AS HUGEINT) * (b.cum - b.c)) AS nd,
+        |         sum(CAST(a.c AS HUGEINT) * b.c) AS crosst
+        |  FROM cums a JOIN cums b ON a.hod = b.hod AND a.x = b.x
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |strat AS (
+        |  SELECT s1, s2, n1g, n2g, nc - nd AS sh,
+        |         CAST(floor(sqrt(CAST(n1g AS DOUBLE) *
+        |           CAST(n2g AS DOUBLE) * (CAST(nyt2 AS DOUBLE) / 2.0)) *
+        |           4096.0) AS BIGINT) AS dq
+        |  FROM (
+        |    SELECT pairh.*,
+        |           CAST(n1g + n2g AS HUGEINT) * (n1g + n2g - 1) -
+        |             (t1.tself2 + t2.tself2 + crosst * 2) AS nyt2
+        |    FROM pairh
+        |    JOIN pers t1 ON t1.hod = pairh.hod AND t1.source = pairh.s1
+        |    JOIN pers t2 ON t2.hod = pairh.hod AND t2.source = pairh.s2))
+        |SELECT s1, s2, CAST(sum(n1g) AS BIGINT) AS n1,
+        |       CAST(sum(n2g) AS BIGINT) AS n2,
+        |       CAST(count(*) AS BIGINT) AS n_strata,
+        |       CAST(sum(sh) AS BIGINT) AS s_total,
+        |       CASE WHEN sum(dq) > 0 THEN
+        |         ${Det.r4Sql(tau)}
+        |       END AS tau_sk
+        |FROM strat GROUP BY 1, 2
+        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
     },
     "q_ts_mad_outliers" ->
       s"""WITH h1 AS (

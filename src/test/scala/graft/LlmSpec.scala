@@ -2116,13 +2116,194 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("MTLD == independent driver factor walk; MATTR formula cross-check") {
+  test("self-repetition: suffix-automaton LRS equals binary-search + " +
+      "substring-set reference; planted repeats score exactly") {
+    // planted shapes with hand-checkable LRS (overlap allowed)
+    assert(graft.llm.TextOps.lrsLen("") == 0)
+    assert(graft.llm.TextOps.lrsLen("a") == 0)
+    assert(graft.llm.TextOps.lrsLen("ab") == 0)
+    assert(graft.llm.TextOps.lrsLen("aa") == 1)
+    assert(graft.llm.TextOps.lrsLen("aaaa") == 3) // overlapping "aaa"
+    assert(graft.llm.TextOps.lrsLen("abracadabra") == 4) // "abra"
+    assert(graft.llm.TextOps.lrsLen("abcdefg") == 0)
+    assert(graft.llm.TextOps.lrsLen("xyzxyzxyz") == 6) // "xyzxyz"
+    // independent reference: monotone predicate + binary search over
+    // the candidate length, substring identity via real string sets
+    def lrsRef(s: String): Int = {
+      def has(len: Int): Boolean = {
+        if (len == 0) return true
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var i = 0
+        while (i + len <= s.length) {
+          if (!seen.add(s.substring(i, i + len))) return true
+          i += 1
+        }
+        false
+      }
+      var lo = 0; var hi = math.max(s.length - 1, 0)
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (has(mid)) lo = mid else hi = mid - 1
+      }
+      lo
+    }
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val docs = graft.io.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val want = docs.sortBy(_._1).map { case (id, text) =>
-      val ws = text.split(" ")
+      val n = text.length.toLong
+      val lrs = lrsRef(text).toLong
+      (id, n, lrs, if (n > 0) r4(lrs.toDouble / n.toDouble) else 0.0,
+        lrs * 5L >= n && n > 0L)
+    }.toSeq
+    val got = graft.llm.TextOps.selfRepetition(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == want,
+      s"self-repetition diverged: ${got.take(2)} vs ${want.take(2)}")
+    // non-vacuity: natural text repeats SOMETHING somewhere
+    assert(got.exists(_._3 > 0L), "no doc has any repeated substring")
+  }
+
+  test("density stability equals a driver ladder walk; planted clump " +
+      "and isolated-core hub both score max stability") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    def v(thetaDeg: Double, d0: Int): Array[Float] = {
+      val t = math.toRadians(thetaDeg)
+      val a = new Array[Float](64)
+      a(d0) = math.cos(t).toFloat; a(d0 + 1) = math.sin(t).toFloat
+      a
+    }
+    // the density-dedup fixture: clump + satellite + noise in the
+    // (0,1)-plane, hub-and-spoke in the orthogonal (2,3)-plane
+    val rows =
+      (0 until 8).map(i => (100L + i, v(i * 2.0, 0), 0)) ++
+        Seq((200L, v(48.0, 0), 0)) ++
+        Seq((300L, v(120.0, 0), 0), (301L, v(210.0, 0), 0),
+          (302L, v(300.0, 0), 0)) ++
+        Seq((400L, v(0.0, 2), 0), (401L, v(-30.0, 2), 0),
+          (402L, v(-15.0, 2), 0), (403L, v(15.0, 2), 0),
+          (404L, v(30.0, 2), 0))
+    val e0 = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.llm.VectorOps.densityStabilityFrom(sp, e0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // driver walk over the SAME collected loose pair list at the same
+    // three cosine cuts (minPts = 4, isolated cores self-labeled)
+    val loosePairs = graft.llm.VectorOps.lshVerifiedPairs(sp, e0, 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def labelsAt(minCos: Double): Map[Long, Long] = {
+      val es = loosePairs.filter(_._3 >= minCos).map(p => (p._1, p._2))
+      val deg = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1
+      }
+      val core = deg.filter(_._2 >= 4L).keySet.toSet
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        parent(x) = r; r
+      }
+      es.filter(p => core(p._1) && core(p._2)).foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      core.map(id => id -> find(id)).toMap
+    }
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val (ll, lb, lt) = (labelsAt(0.75), labelsAt(0.80), labelsAt(0.85))
+    val want = lb.groupBy(_._2).toSeq.map { case (lab, ms) =>
+      val ids = ms.keySet
+      val surv = ids.count(lt.contains)
+      val frag = ids.flatMap(lt.get).size.toLong
+      val myLoose = ids.flatMap(ll.get)
+      val peers = lb.values.toSet.count { other =>
+        lb.collect { case (id, l) if l == other => ll.get(id) }
+          .flatten.exists(myLoose.contains)
+      } - 1
+      (lab, ids.size.toLong, surv.toLong, frag, peers.toLong,
+        r4((ids.size.toDouble + surv.toDouble) / (2.0 * ids.size)))
+    }.sortBy(_._1)
+    assert(got == want, s"density stability diverged: $got vs $want")
+    // the planted structure: clump cluster (label 100) and the
+    // isolated-core hub (label 400) both fully survive the tightening
+    val clump = got.find(_._1 == 100L)
+    assert(clump.exists(c => c._2 == 8L && c._6 == 1.0 && c._4 == 1L),
+      s"clump stability wrong: $got")
+    assert(got.exists(c => c._1 == 400L && c._6 == 1.0),
+      s"hub cluster missing or unstable: $got")
+  }
+
+  test("spearman between sources equals Pearson on pooled midranks " +
+      "(independent derivation path); rho bounded") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sources = bySrc.keys.toSeq.sorted
+    val want = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield {
+      val (s1, s2) = (sources(i), sources(j))
+      val ys1 = bySrc(s1); val ys2 = bySrc(s2)
+      val n1 = ys1.length; val n2 = ys2.length; val n = n1 + n2
+      // pooled competition midranks of the lengths
+      val sorted = (ys1 ++ ys2).sorted
+      val rankOf = scala.collection.mutable.Map.empty[Long, Double]
+      var k = 0
+      while (k < n) {
+        var e = k
+        while (e + 1 < n && sorted(e + 1) == sorted(k)) e += 1
+        rankOf(sorted(k)) = (k + 1 + e + 1) / 2.0
+        k = e + 1
+      }
+      // Pearson between the x-midranks (binary x: two rank values)
+      // and the y-midranks — the DEFINITION of tie-corrected Spearman
+      val rx0 = (n1 + 1) / 2.0; val rx1 = n1 + (n2 + 1) / 2.0
+      val pts = ys1.map(y => (rx0, rankOf(y))) ++
+        ys2.map(y => (rx1, rankOf(y)))
+      val mx = pts.map(_._1).sum / n; val my = pts.map(_._2).sum / n
+      val cov = pts.map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = pts.map { case (a, _) => (a - mx) * (a - mx) }.sum
+      val vy = pts.map { case (_, b) => (b - my) * (b - my) }.sum
+      val rho = if (vx > 0 && vy > 0) Some(cov / math.sqrt(vx * vy))
+      else None
+      (s1, s2, n1.toLong, n2.toLong, rho)
+    }).toSeq
+    val got = graft.llm.TextOps.spearmanSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) ==
+      want.map(w => (w._1, w._2, w._3, w._4)),
+      s"spearman keys diverged: ${got.take(2)} vs ${want.take(2)}")
+    // the closed form must agree with the definition to rounding slack
+    // (the driver Pearson takes a different float path; 6e-5 covers
+    // the r4 rounding plus accumulation ulps)
+    got.zip(want).foreach { case (g, w) =>
+      (g._5, w._5) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 6e-5, s"(${g._1},${g._2}): $a vs $b")
+          assert(math.abs(a) <= 1.0, s"(${g._1},${g._2}): |rho| > 1")
+        case (a, b) => assert(a == b, s"(${g._1},${g._2}): $a vs $b")
+      }
+    }
+    // non-vacuity: ranks must actually separate somewhere
+    assert(got.exists(g => g._5.exists(v => math.abs(v) > 0.0)),
+      "every pair rho == 0: vacuous fixture")
+  }
+
+  test("MTLD == independent driver factor walk; MATTR formula cross-check") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def dirWalk(ws: Array[String]): (Long, Option[Double]) = {
       var factors = 0L
       var seen = Set.empty[String]; var tok = 0L
       ws.foreach { w =>
@@ -2135,15 +2316,29 @@ class LlmSpec extends AnyFunSuite {
         (1.0 - seen.size.toDouble / tok.toDouble) / 0.28
       else 0.0
       val denom = factors.toDouble + partial
-      val m = if (denom > 0.0)
-        Some(r4(ws.length.toDouble / denom))
-      else None
-      (id, ws.length.toLong, factors, m)
+      (factors,
+        if (denom > 0.0) Some(r4(ws.length.toDouble / denom)) else None)
+    }
+    val want = docs.sortBy(_._1).map { case (id, text) =>
+      val ws = text.split(" ")
+      val (ff, mf) = dirWalk(ws)
+      val (fb, mb) = dirWalk(ws.reverse)
+      val bi = (mf, mb) match {
+        case (Some(a), Some(b)) => Some(r4((a + b) / 2.0))
+        case _ => None
+      }
+      (id, ws.length.toLong, ff, fb, mf, mb, bi)
     }.toSeq
+    def optD(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
     val got = graft.llm.TextOps.mtld(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        optD(r, 4), optD(r, 5), optD(r, 6))).toSeq
     assert(got == want, s"mtld diverged: ${got.take(2)} vs ${want.take(2)}")
+    // bidirectional non-vacuity: the two directions must actually
+    // differ somewhere on this fixture (else the mean tests nothing)
+    assert(got.exists(g => g._5 != g._6),
+      "mtld fwd == bwd on every doc: bidirectional walk vacuous")
     // MATTR: the clamp-formula result equals a literal sliding-window
     // mean of per-window distinct counts (brute force, driver side)
     val wantM = docs.sortBy(_._1).map { case (id, text) =>
@@ -2182,10 +2377,23 @@ class LlmSpec extends AnyFunSuite {
     // satellite at 48 deg — within the eps=0.8 threshold (36.87 deg)
     // of only the clump's top two members (34/36 deg), so degree 2 <
     // minPts -> border if its edges survive the LSH; far noise
+    // hub-and-spoke in the ORTHOGONAL (2,3)-plane (zero cosine to every
+    // (0,1)-plane vector): hub at 0 deg with spokes at +-15/+-30 — hub
+    // degree 4 = minPts -> core, each spoke degree <= 3 -> non-core, so
+    // the hub is an ISOLATED core (no core-core edge) and its cluster
+    // only survives via the r15 ADVICE fix (isolated cores self-label)
+    def w(thetaDeg: Double): Array[Float] = {
+      val t = math.toRadians(thetaDeg)
+      val a = new Array[Float](64)
+      a(2) = math.cos(t).toFloat; a(3) = math.sin(t).toFloat
+      a
+    }
     val rows =
       (0 until 8).map(i => (100L + i, v(i * 2.0), 0)) ++
         Seq((200L, v(48.0), 0)) ++
-        Seq((300L, v(120.0), 0), (301L, v(210.0), 0), (302L, v(300.0), 0))
+        Seq((300L, v(120.0), 0), (301L, v(210.0), 0), (302L, v(300.0), 0)) ++
+        Seq((400L, w(0.0), 0), (401L, w(-30.0), 0), (402L, w(-15.0), 0),
+          (403L, w(15.0), 0), (404L, w(30.0), 0))
     val e0 = rows.toDF("vec_id", "embedding", "label")
     val got = graft.llm.VectorOps.densityDedupFrom(sp, e0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -2234,5 +2442,15 @@ class LlmSpec extends AnyFunSuite {
       assert(!label.contains(id) && !borderLabel.contains(id),
         s"noise vector $id landed in a cluster")
     }
+    // hub-and-spoke non-vacuity: the hub IS a core, has NO core-core
+    // edge (so it exercises the isolated-core path), and its cluster
+    // survives with 1 core + 4 border spokes
+    assert(core(400L), "hub must be a core point")
+    assert(pairs.filter(p => core(p._1) && core(p._2))
+      .forall(p => p._1 != 400L && p._2 != 400L),
+      "hub must have no core-core edge (isolated-core shape)")
+    val hub = got.filter(_._1 == 400L)
+    assert(hub.nonEmpty && hub.head._2 == 1L && hub.head._3 == 4L,
+      s"isolated-core hub cluster wrong: $got")
   }
 }

@@ -2360,6 +2360,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._3) && streamed.exists(!_._3),
       "mattr gate degenerate: all docs on one side of the threshold")
   }
+  test("s_mattr_gate honors a non-default window (w=10 equals brute " +
+      "force; r15 ADVICE: no hardcoded 20 in the score)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val sf = "/root/testdata/sf0.001"
+    val w = 10
+    val docs = graft.io.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[graft.streaming.RawDoc].collect()
+    val want = docs.map { d =>
+      val ws = d.text.split(" ")
+      val n = ws.length
+      val m = if (n >= w)
+        r4((0 to n - w).map(s =>
+          ws.slice(s, s + w).distinct.length.toLong).sum.toDouble /
+          (w.toDouble * (n - (w - 1)).toDouble))
+      else r4(ws.distinct.length.toDouble / n.toDouble)
+      d.doc_id -> m
+    }.toMap
+    val in = MemoryStream[graft.streaming.RawDoc]
+    val q = runToMemory(Ingest.mattrGate(in.toDS(), w = w), "mgate10",
+      OutputMode.Append())
+    in.addData(docs.toSeq); q.processAllAvailable(); q.stop()
+    val streamed = sp.table("mgate10").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(streamed.length == docs.length)
+    streamed.foreach { case (id, m) =>
+      assert(want(id) == m, s"doc $id: w=10 stream mattr $m != ${want(id)}")
+    }
+  }
 }
 
 object StreamingSpec {

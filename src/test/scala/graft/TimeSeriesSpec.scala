@@ -57,7 +57,14 @@ class TimeSeriesSpec extends AnyFunSuite {
       "q_llm_mtld",
       // r15: density dedup rides the sign-LSH candidate graph (the
       // declared ANN/hash-seed class); spec'd on planted fixtures
-      "q_llm_density_dedup")
+      "q_llm_density_dedup",
+      // r16: the stability ladder rides the same LSH graph; spec'd vs
+      // a driver walk of the identical collected pair list
+      "q_llm_density_stability",
+      // r16: the longest-repeated-substring length is data-dependent
+      // on a per-doc suffix automaton (no SQL-expressible twin);
+      // spec'd vs a driver binary-search + rolling-hash reference
+      "q_llm_self_repetition")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -1238,6 +1245,59 @@ class TimeSeriesSpec extends AnyFunSuite {
         s"$g: eta_0 ${r.getDouble(2)} rejects a trend-stationary fixture")
       assert(!r.isNullAt(3) && r.getDouble(3) < 0.146,
         s"$g: eta_4 ${r.getDouble(3)} rejects a trend-stationary fixture")
+    }
+  }
+
+  test("seasonal Kendall between sources equals an exact driver " +
+      "stratum walk; tau_sk bounded") {
+    import org.apache.spark.sql.functions.{col, hour}
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val evs = graft.io.Tables.events(spark, sf)
+      .select(hour(col("ts")).as("hod"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val types = evs.map(_._2).distinct.sorted
+    val byTH = evs.groupBy(e => (e._2, e._1)).view
+      .mapValues(_.map(_._3)).toMap
+    val want = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield {
+      val (s1, s2) = (types(i), types(j))
+      var n1 = 0L; var n2 = 0L; var nStrata = 0L; var sTot = 0L
+      var dq = 0L
+      (0 until 24).foreach { h =>
+        (byTH.get((s1, h)), byTH.get((s2, h))) match {
+          case (Some(a), Some(b)) =>
+            nStrata += 1; n1 += a.length; n2 += b.length
+            var nc = 0L; var nd = 0L
+            for (x <- a; y <- b) {
+              if (y > x) nc += 1 else if (y < x) nd += 1
+            }
+            sTot += nc - nd
+            val pooled = (a ++ b).groupBy(identity).values
+              .map(g => g.size.toLong * (g.size - 1)).sum
+            val nn = (a.length + b.length).toLong
+            val nyt2 = nn * (nn - 1) - pooled
+            dq += math.floor(math.sqrt(a.length.toDouble *
+              b.length.toDouble * (nyt2.toDouble / 2.0)) * 4096.0).toLong
+          case _ => ()
+        }
+      }
+      val tau = if (dq > 0L) Some(r4(sTot.toDouble / (dq.toDouble / 4096.0)))
+      else None
+      (s1, s2, n1, n2, nStrata, sTot, tau)
+    }).toSeq
+    val got = TimeSeriesOps.seasonalKendallSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(got == want,
+      s"seasonal kendall diverged: ${got.take(2)} vs ${want.take(2)}")
+    // theory band: tau_sk in [-1, 1]; fixture non-vacuous (all 24
+    // strata populated for every pair at any SF of this testdata)
+    got.foreach { case (s1, s2, _, _, ns, _, tau) =>
+      tau.foreach(t => assert(math.abs(t) <= 1.0, s"($s1,$s2): $t"))
+      assert(ns == 24L, s"($s1,$s2): only $ns strata")
     }
   }
 }
