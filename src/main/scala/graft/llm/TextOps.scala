@@ -379,9 +379,18 @@ object TextOps {
   }
 
   private[llm] def minhashPairsOver(input: DataFrame): DataFrame = {
+    val spark = input.sparkSession
     val docs = input
       .select(col("doc_id"), col("lang"), toks.as("tk"))
+    // build the band index ONCE: without the checkpoint the
+    // shingle-explode + 16-minhash aggregation re-executes for the hot
+    // list AND both collision-join sides (3x the dominant cost — the
+    // r16 sf1 probe measured 11.8 s -> the build-once number below);
+    // repartition first so the frozen layout keeps cluster parallelism
+    // under the self-join's map side (the r15 AQE-coalesce lesson)
     val buckets = lshBuckets(docs)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint(eager = false) // hot list + both join sides
     // hot-bucket guard on ONE side only: an oversized bucket with no
     // left-side rows produces no pairs at all, which is exactly the
     // cap's semantics at half the filtering work. The broadcast list
@@ -497,8 +506,14 @@ object TextOps {
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     // materialize the 16-byte/doc signature index once — the self-join
     // below would otherwise recompute the tokenize+64-bit-vote aggregation
-    // for BOTH sides (index-build-once is the semantic, too)
-    val sig = simhashSigs(spark, sfDir).localCheckpoint()
+    // for BOTH sides (index-build-once is the semantic, too). REPARTITION
+    // first: AQE coalesces the small aggregate to 1-2 partitions and the
+    // checkpoint freezes that layout under the 28x probe explode + the
+    // collision join's map side (the r15 AQE-coalesce lesson — the sig
+    // table is small, the fan-out it feeds is not)
+    val sig = simhashSigs(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint()
     val block = (i: Int) =>
       shiftrightunsigned(col("simhash"), i * 8).bitwiseAND(lit(0xFFL))
     val probeArr = array((for { i <- 0 until 8; j <- i + 1 until 8 } yield
@@ -550,7 +565,9 @@ object TextOps {
   private[graft] val WideMaxHamming = 2
 
   def simhashWide(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhashSigs(spark, sfDir).localCheckpoint()
+    val sig = simhashSigs(spark, sfDir) // repartition: see [[simhash]]
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint()
     val block = (i: Int) =>
       shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
     val probeArr = array((for { i <- 0 until 4; j <- i + 1 until 4 } yield

@@ -292,6 +292,12 @@ object VectorOps {
       .agg(sum(when(col("dot") > 0,
         expr(s"shiftleft(1L, CAST(plane % $BandBits AS INT))"))
         .otherwise(0L)).as("bh"))
+      // NO repartition guard here (audited r16): every consumer of this
+      // checkpoint re-shuffles (hot-list groupBy, the bucket equi-join,
+      // the verify joins), so the O(size^2) bucket fan-out runs in the
+      // join's reduce tasks at full width — the frozen 1-2-partition map
+      // side only streams the small bucket table. An added repartition
+      // measured +1.1 s on q_llm_embed_neardup at sf0.1 for no sf1 gain.
       .localCheckpoint(eager = false) // reused by the hot list + join
     val hot = buckets.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("c")).where(col("c") > NeardupBucketCap)

@@ -1513,6 +1513,28 @@ object Ingest {
     }.toDF("doc_id", "n_tokens", "mattr", "low_diversity")
   }
 
+  /** STREAMING SELF-REPETITION GATE — [[graft.llm.TextOps
+    * .selfRepetition]] gone online: each arriving document runs the
+    * O(n) suffix-automaton longest-repeated-substring walk LOCALLY
+    * (pure function of the document — no window, no state, no
+    * shuffle) and is flagged when the repeated block covers ≥ 20% of
+    * the text (the exact integer 5·lrs ≥ n test, matching the batch
+    * query bit-for-bit). Template spam and keyword stuffing repeat
+    * long literal blocks; natural prose repeats only short spans.
+    * Fully STATELESS map-side Append mode. */
+  def selfRepetitionGate(docs: Dataset[RawDoc]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.map { doc =>
+      val n = doc.text.length.toLong
+      val lrs = graft.llm.TextOps.lrsLen(doc.text).toLong
+      val ratio =
+        if (n > 0L)
+          math.floor(lrs.toDouble / n.toDouble * 10000.0 + 0.5) / 10000.0
+        else 0.0
+      (doc.doc_id, n, lrs, ratio, lrs * 5L >= n && n > 0L)
+    }.toDF("doc_id", "n_chars", "lrs_len", "lrs_ratio", "repetitive")
+  }
+
   /** LIVE EMBEDDING-DRIFT MONITOR — the streaming twin of
     * [[graft.llm.VectorOps.embedDrift]] under the frozen-warmup
     * pattern shared with [[cusumAlertStream]]: a label's FIRST

@@ -2360,6 +2360,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._3) && streamed.exists(!_._3),
       "mattr gate degenerate: all docs on one side of the threshold")
   }
+  test("s_selfrep_gate: stream LRS scores equal the batch query " +
+      "bit-for-bit under two batchings") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.llm.TextOps.selfRepetition(sp, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    val docs = graft.io.Tables.documents(sp, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[graft.streaming.RawDoc].collect()
+    val in = MemoryStream[graft.streaming.RawDoc]
+    val q = runToMemory(Ingest.selfRepetitionGate(in.toDS()), "srgate",
+      OutputMode.Append())
+    val (d1, d2) = docs.splitAt(docs.length / 3)
+    in.addData(d1.toSeq); q.processAllAvailable()
+    in.addData(d2.toSeq); q.processAllAvailable(); q.stop()
+    val streamed = sp.table("srgate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(streamed.length == docs.length)
+    streamed.foreach { case (id, n, lrs, ratio, rep) =>
+      assert(batch(id) == ((n, lrs, ratio, rep)),
+        s"doc $id: stream ($n,$lrs,$ratio,$rep) != batch ${batch(id)}")
+    }
+    // non-vacuity: some doc repeats something
+    assert(streamed.exists(_._3 > 0L), "no repeated substring anywhere")
+  }
+
   test("s_mattr_gate honors a non-default window (w=10 equals brute " +
       "force; r15 ADVICE: no hardcoded 20 in the score)") {
     val sp = spark
