@@ -1709,6 +1709,60 @@ object TextOps {
       .orderBy("s1", "s2")
   }
 
+  /** TWO-SAMPLE CRAMÉR–VON MISES between sources on document length —
+    * the ECDF-distance drift statistic that weights the WHOLE
+    * distribution (where KS reads only the max gap and the energy
+    * distance reads expectations): T = n1·n2/N² · Σ over all pooled
+    * points (F1 − F2)² (Anderson 1962's two-sample form). On the
+    * distinct-length grid everything before the final division is
+    * EXACT: with D(v) = cum1(v)·n2 − cum2(v)·n1 (an integer), the sum
+    * collapses to Σᵥ (c1+c2)·D(v)² / (N²·n1·n2) — DECIMAL(38,0)
+    * products (D ≤ n1·n2 bounds the per-pair headroom to ~10⁹ docs a
+    * side; past that, pre-bucket lengths as psi_length does), ONE
+    * IEEE division with every factor cast to double first. The
+    * asymptotic 5% critical value 0.461 is a CONSTANT of the limiting
+    * distribution (Anderson–Darling 1952 table), so the exceedance
+    * flag is an exact comparison. Grid cost: sources × distinct
+    * lengths, one pair join — the kendall/spearman machinery. */
+  def cvmSources(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out below
+    def dec(e: Column) = e.cast("decimal(38,0)")
+    def d(e: Column) = e.cast("double")
+    val grid = byV.select(col("x")).distinct()
+      .crossJoin(broadcast(byV.select(col("source")).distinct()))
+      .join(byV, Seq("source", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("source"))
+    val cums = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = cums.select(col("source").as("s1"), col("x"),
+      col("c").as("c1"), col("cum").as("cum1"), col("n_g").as("n1"))
+    val b = cums.select(col("source").as("s2"), col("x"),
+      col("c").as("c2"), col("cum").as("cum2"), col("n_g").as("n2"))
+    val dv = dec(col("cum1")) * col("n2") - dec(col("cum2")) * col("n1")
+    val pair = a.join(b, "x").where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+      .agg(sum(dec(col("c1") + col("c2")) * dv * dv).as("tnum"))
+    val nn = col("n1") + col("n2")
+    val t = d(col("tnum")) /
+      (d(nn) * d(nn) * d(col("n1")) * d(col("n2")))
+    pair.select(col("s1"), col("s2"), col("n1"), col("n2"),
+        when(col("n1") > 0L && col("n2") > 0L, Det.r4(t))
+          .otherwise(lit(null)).as("cvm_t"),
+        when(col("n1") > 0L && col("n2") > 0L,
+          (Det.r4(t) > lit(0.461)).cast("boolean"))
+          .otherwise(lit(null)).as("reject_5pct"))
+      .orderBy("s1", "s2")
+  }
+
   /** MATTR — Moving-Average Type-Token Ratio per document (Covington &
     * McFall 2010), the window-length-corrected lexical-diversity score
     * the curation stack quotes where the raw TTR is length-confounded:
@@ -1826,16 +1880,25 @@ object TextOps {
     * (document alphabets are small but unbounded — no 26-slot array
     * assumption). */
   private[graft] def lrsLen(s: String): Int = {
+    val a = new Array[Int](s.length)
+    var i = 0
+    while (i < s.length) { a(i) = s.charAt(i).toInt; i += 1 }
+    lrsLenSeq(a)
+  }
+
+  /** [[lrsLen]] over an arbitrary symbol sequence — the token-grain
+    * twin runs the same automaton over per-doc dense token ids. */
+  private[graft] def lrsLenSeq(s: Array[Int]): Int = {
     if (s.length < 2) return 0
     val maxStates = 2 * s.length + 5
     val len = new Array[Int](maxStates)
     val link = new Array[Int](maxStates)
     val cnt = new Array[Long](maxStates)
     val next =
-      Array.fill(maxStates)(null: scala.collection.mutable.HashMap[Char, Int])
+      Array.fill(maxStates)(null: scala.collection.mutable.HashMap[Int, Int])
     def edges(i: Int) = {
       if (next(i) == null)
-        next(i) = scala.collection.mutable.HashMap.empty[Char, Int]
+        next(i) = scala.collection.mutable.HashMap.empty[Int, Int]
       next(i)
     }
     var size = 1; var last = 0
@@ -1908,6 +1971,38 @@ object TextOps {
         (id, n, lrs, ratio, lrs * 5L >= n && n > 0L)
       }
       .toDF("doc_id", "n_chars", "lrs_len", "lrs_ratio", "repetitive")
+      .orderBy("doc_id")
+  }
+
+  /** LONGEST REPEATED TOKEN N-GRAM per document — the word-grain
+    * sibling of [[selfRepetition]] (char-level LRS catches long
+    * literal blocks; the token grain reads REPEATED PHRASING —
+    * boilerplate sentences, listicle scaffolding — that differs by
+    * whitespace or punctuation at the char level). Per doc: tokens
+    * map to dense per-doc ids, [[lrsLenSeq]] runs the same O(n)
+    * suffix automaton over them, output is the longest n-gram
+    * repeated ≥ 2 times (overlap allowed), its token-fraction, and
+    * the exact 5·lrs ≥ n coverage flag. Embarrassingly parallel per
+    * doc. NO ORACLE (per-doc automaton state) — spec'd against a
+    * token-slice binary-search reference. */
+  def repeatedNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ")
+        val idOf = scala.collection.mutable.HashMap.empty[String, Int]
+        val syms = toks.map(t => idOf.getOrElseUpdate(t, idOf.size))
+        val n = toks.length.toLong
+        val lrs = lrsLenSeq(syms).toLong
+        val ratio =
+          if (n > 0L)
+            math.floor(lrs.toDouble / n.toDouble * 10000.0 + 0.5) / 10000.0
+          else 0.0
+        (id, n, lrs, ratio, lrs * 5L >= n && n > 0L)
+      }
+      .toDF("doc_id", "n_tokens", "lrg_len", "lrg_ratio", "repetitive")
       .orderBy("doc_id")
   }
 
@@ -2779,7 +2874,9 @@ object TextOps {
     "q_llm_energy_dist" -> energyDistance _,
     "q_llm_kendall_sources" -> kendallSources _,
     "q_llm_spearman_sources" -> spearmanSources _,
+    "q_llm_cvm_sources" -> cvmSources _,
     "q_llm_self_repetition" -> selfRepetition _,
+    "q_llm_repeated_ngram" -> repeatedNgram _,
     "q_llm_mattr" -> mattr _,
     "q_llm_mtld" -> mtld _,
     "q_llm_mutual_info" -> mutualInfo _,
@@ -3261,6 +3358,45 @@ object TextOps {
         |         CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2) -
         |           (n1 + n2) - tsum AS bterm
         |  FROM pair)
+        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
+    },
+    "q_llm_cvm_sources" -> {
+      val t = "CAST(tnum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * " +
+        "CAST(n1 + n2 AS DOUBLE) * CAST(n1 AS DOUBLE) * " +
+        "CAST(n2 AS DOUBLE))"
+      s"""WITH byv AS MATERIALIZED (
+        |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, g.x, COALESCE(byv.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM byv) s
+        |  CROSS JOIN (SELECT DISTINCT x FROM byv) g
+        |  LEFT JOIN byv ON byv.source = s.source AND byv.x = g.x),
+        |cums AS MATERIALIZED (
+        |  SELECT source, x, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY x NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n_g
+        |  FROM grid),
+        |pair AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |         CAST(a.n_g AS BIGINT) AS n1,
+        |         CAST(b.n_g AS BIGINT) AS n2,
+        |         sum(CAST(a.c + b.c AS HUGEINT) *
+        |           (CAST(a.cum AS HUGEINT) * b.n_g -
+        |            CAST(b.cum AS HUGEINT) * a.n_g) *
+        |           (CAST(a.cum AS HUGEINT) * b.n_g -
+        |            CAST(b.cum AS HUGEINT) * a.n_g)) AS tnum
+        |  FROM cums a JOIN cums b ON a.x = b.x AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT s1, s2, n1, n2,
+        |       CASE WHEN n1 > 0 AND n2 > 0 THEN ${r4Sql(t)}
+        |       END AS cvm_t,
+        |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |         ${r4Sql(t)} > CAST(0.461 AS DOUBLE)
+        |       END AS reject_5pct
+        |FROM pair
         |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
     },
     "q_llm_mattr" ->

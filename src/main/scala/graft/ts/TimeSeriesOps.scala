@@ -1015,6 +1015,72 @@ object TimeSeriesOps {
       .orderBy("s1", "s2")
   }
 
+  /** SEASONAL SPEARMAN ρ BETWEEN SOURCES — the midrank sibling of
+    * [[seasonalKendallSources]], composing [[graft.llm.TextOps
+    * .spearmanSources]]'s closed form with the Hirsch–Slack stratum
+    * discipline: per (event-type pair, hour-of-day) the exact doubled-
+    * midrank components D2ₕ, Aₕ = D2ₕ − n₂ₕ(Nₕ+1) and the tie term
+    * Bₕ = Nₕ³ − Nₕ − Σ(t³−t) come off the within-stratum value grid;
+    * the numerators Nₕ·Aₕ ADD exactly (DECIMAL(38,0)) and the
+    * denominators √(n1ₕ·n2ₕ·Nₕ·(Bₕ/3)) quantize with ×4096 (power of
+    * two — exponent-shift exact) and BIGINT-sum, so
+    * ρ_sk = ΣNₕAₕ / (Σq/4096) is ONE IEEE division. Reads "is type b
+    * stochastically larger than type a, diurnal cycle controlled"
+    * through midranks instead of pair counts — more weight to the
+    * middle of the distribution where τ weights all pairs equally. */
+  def seasonalSpearmanSources(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = graft.io.Tables.events(spark, sfDir)
+      .groupBy(hour(col("ts")).as("hod"), col("event_type").as("source"),
+        col("value").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out below
+    def dec(e: org.apache.spark.sql.Column) = e.cast("decimal(38,0)")
+    def d(e: org.apache.spark.sql.Column) = e.cast("double")
+    val grid = byV.select(col("hod"), col("x")).distinct()
+      .crossJoin(broadcast(byV.select(col("source")).distinct()))
+      .join(byV, Seq("hod", "source", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("hod"), col("source"))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("hod"), col("source"))
+    val cums = grid
+      .withColumn("below", sum(col("c")).over(wCum) - col("c"))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = cums.select(col("hod"), col("x"), col("source").as("s1"),
+      col("c").as("c1"), col("below").as("below1"), col("n_g").as("n1g"))
+    val b = cums.select(col("hod"), col("x"), col("source").as("s2"),
+      col("c").as("c2"), col("below").as("below2"), col("n_g").as("n2g"))
+    val t = col("c1") + col("c2")
+    val pairH = a.join(b, Seq("hod", "x")).where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"), col("hod"), col("n1g"), col("n2g"))
+      .agg(sum(dec(col("c2")) *
+          ((col("below1") + col("below2")) * 2 + t + 1)).as("d2"),
+        sum(dec(t) * t * t - t).as("tsum"))
+    val nn = col("n1g") + col("n2g")
+    val aTerm = col("d2") - dec(col("n2g")) * (nn + 1)
+    val bTerm = dec(nn) * nn * nn - nn - col("tsum")
+    val strat = pairH.select(col("s1"), col("s2"), col("n1g"),
+      col("n2g"), (dec(nn) * aTerm).as("numh"),
+      when(bTerm > lit(0),
+        floor(sqrt(d(col("n1g")) * d(col("n2g")) * d(nn) *
+          (d(bTerm) / lit(3.0))) * lit(4096.0)).cast("long"))
+        .otherwise(lit(0L)).as("dq"))
+    strat.groupBy(col("s1"), col("s2"))
+      .agg(sum(col("n1g")).as("n1"), sum(col("n2g")).as("n2"),
+        count(lit(1)).as("n_strata"),
+        sum(col("numh")).as("snum"), sum(col("dq")).as("dqs"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        col("n_strata"),
+        when(col("dqs") > 0L,
+          Det.r4(d(col("snum")) / (d(col("dqs")) / lit(4096.0))))
+          .otherwise(lit(null)).as("rho_sk"))
+      .orderBy("s1", "s2")
+  }
+
   /** Strict inversions in `a` (pairs i<j with a(i) > a(j)) by counting
     * mergesort — O(n log n), mutates its input. */
   private[graft] def countInversions(a: Array[Double]): Long = {
@@ -4850,6 +4916,7 @@ object TimeSeriesOps {
     "q_ts_mannkendall" -> mannKendall _,
     "q_ts_seasonal_mk" -> seasonalMannKendall _,
     "q_ts_seasonal_kendall_src" -> seasonalKendallSources _,
+    "q_ts_seasonal_spearman_src" -> seasonalSpearmanSources _,
     "q_ts_lttb" -> lttb _,
     "q_ts_lttb_count" -> lttbCount _,
     "q_ts_somers_d" -> somersD _,
@@ -6866,6 +6933,61 @@ object TimeSeriesOps {
         |       CASE WHEN sum(dq) > 0 THEN
         |         ${Det.r4Sql(tau)}
         |       END AS tau_sk
+        |FROM strat GROUP BY 1, 2
+        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
+    },
+    "q_ts_seasonal_spearman_src" -> {
+      val rho = "CAST(sum(numh) AS DOUBLE) / " +
+        "(CAST(sum(dq) AS DOUBLE) / 4096.0)"
+      s"""WITH byv AS MATERIALIZED (
+        |  SELECT hour(ts) AS hod, event_type AS source, value AS x,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT g.hod, g.x, s.source, COALESCE(byv.c, 0) AS c
+        |  FROM (SELECT DISTINCT hod, x FROM byv) g
+        |  CROSS JOIN (SELECT DISTINCT source FROM byv) s
+        |  LEFT JOIN byv ON byv.hod = g.hod AND byv.source = s.source
+        |    AND byv.x = g.x),
+        |cums AS MATERIALIZED (
+        |  SELECT hod, source, x, c,
+        |         sum(c) OVER (PARTITION BY hod, source
+        |           ORDER BY x NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |           AS below,
+        |         sum(c) OVER (PARTITION BY hod, source) AS n_g
+        |  FROM grid),
+        |pairh AS MATERIALIZED (
+        |  SELECT a.source AS s1, b.source AS s2, a.hod,
+        |         CAST(a.n_g AS BIGINT) AS n1g,
+        |         CAST(b.n_g AS BIGINT) AS n2g,
+        |         sum(CAST(b.c AS HUGEINT) *
+        |           ((a.below + b.below) * 2 + a.c + b.c + 1)) AS d2,
+        |         sum(CAST(a.c + b.c AS HUGEINT) * (a.c + b.c) *
+        |           (a.c + b.c) - (a.c + b.c)) AS tsum
+        |  FROM cums a JOIN cums b ON a.hod = b.hod AND a.x = b.x
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |strat AS (
+        |  SELECT s1, s2, n1g, n2g,
+        |         CAST(n1g + n2g AS HUGEINT) * aterm AS numh,
+        |         CASE WHEN bterm > 0 THEN
+        |           CAST(floor(sqrt(CAST(n1g AS DOUBLE) *
+        |             CAST(n2g AS DOUBLE) * CAST(n1g + n2g AS DOUBLE) *
+        |             (CAST(bterm AS DOUBLE) / 3.0)) * 4096.0) AS BIGINT)
+        |         ELSE 0 END AS dq
+        |  FROM (
+        |    SELECT pairh.*,
+        |           d2 - CAST(n2g AS HUGEINT) * (n1g + n2g + 1) AS aterm,
+        |           CAST(n1g + n2g AS HUGEINT) * (n1g + n2g) *
+        |             (n1g + n2g) - (n1g + n2g) - tsum AS bterm
+        |    FROM pairh))
+        |SELECT s1, s2, CAST(sum(n1g) AS BIGINT) AS n1,
+        |       CAST(sum(n2g) AS BIGINT) AS n2,
+        |       CAST(count(*) AS BIGINT) AS n_strata,
+        |       CASE WHEN sum(dq) > 0 THEN
+        |         ${Det.r4Sql(rho)}
+        |       END AS rho_sk
         |FROM strat GROUP BY 1, 2
         |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
     },

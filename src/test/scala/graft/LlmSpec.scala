@@ -2166,6 +2166,51 @@ class LlmSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0L), "no doc has any repeated substring")
   }
 
+  test("repeated token n-gram equals a token-slice binary-search " +
+      "reference; word grain differs from char grain somewhere") {
+    def lrgRef(ts: Array[String]): Int = {
+      def has(len: Int): Boolean = {
+        if (len == 0) return true
+        val seen = scala.collection.mutable.HashSet.empty[Seq[String]]
+        var i = 0
+        while (i + len <= ts.length) {
+          if (!seen.add(ts.slice(i, i + len).toSeq)) return true
+          i += 1
+        }
+        false
+      }
+      var lo = 0; var hi = math.max(ts.length - 1, 0)
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (has(mid)) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.sortBy(_._1).map { case (id, text) =>
+      val ts = text.split(" ")
+      val n = ts.length.toLong
+      val lrg = lrgRef(ts).toLong
+      (id, n, lrg, if (n > 0) r4(lrg.toDouble / n.toDouble) else 0.0,
+        lrg * 5L >= n && n > 0L)
+    }.toSeq
+    val got = graft.llm.TextOps.repeatedNgram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == want,
+      s"repeated n-gram diverged: ${got.take(2)} vs ${want.take(2)}")
+    assert(got.exists(_._3 > 0L), "no doc repeats any token n-gram")
+    // the grains measure different things: token-level LRS (in
+    // tokens) must differ from char-level LRS (in chars) somewhere
+    val chars = graft.llm.TextOps.selfRepetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.exists(g => chars(g._1) != g._3),
+      "token and char LRS identical everywhere: grains vacuous")
+  }
+
   test("density stability equals a driver ladder walk; planted clump " +
       "and isolated-core hub both score max stability") {
     import org.apache.spark.sql.functions._
@@ -2296,6 +2341,46 @@ class LlmSpec extends AnyFunSuite {
     // non-vacuity: ranks must actually separate somewhere
     assert(got.exists(g => g._5.exists(v => math.abs(v) > 0.0)),
       "every pair rho == 0: vacuous fixture")
+  }
+
+  test("CvM between sources equals a literal pooled-ECDF driver sum; " +
+      "same-distribution fixture stays under the 5% critical value " +
+      "somewhere") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sources = bySrc.keys.toSeq.sorted
+    val want = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield {
+      val (s1, s2) = (sources(i), sources(j))
+      val y1 = bySrc(s1).sorted; val y2 = bySrc(s2).sorted
+      val n1 = y1.length; val n2 = y2.length; val nn = n1 + n2
+      // literal definition: sum (F1 - F2)^2 over every pooled point
+      val t = (y1 ++ y2).map { x =>
+        val f1 = y1.count(_ <= x).toDouble / n1
+        val f2 = y2.count(_ <= x).toDouble / n2
+        (f1 - f2) * (f1 - f2)
+      }.sum * n1.toDouble * n2.toDouble / (nn.toDouble * nn.toDouble)
+      (s1, s2, n1.toLong, n2.toLong, t)
+    }).toSeq
+    val got = graft.llm.TextOps.cvmSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) ==
+      want.map(w => (w._1, w._2, w._3, w._4)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._5 - w._5) <= 6e-5,
+        s"(${g._1},${g._2}): ${g._5} vs ${w._5}")
+      assert(g._6 == (r4(g._5) > 0.461) && g._5 >= 0.0,
+        s"(${g._1},${g._2}): flag/value inconsistent")
+    }
+    // same-generator sources: at least one pair must accept H0 (a
+    // fixture where EVERY pair rejects would be measuring the grid,
+    // not the statistic)
+    assert(got.exists(!_._6), "every pair rejects: fixture degenerate")
   }
 
   test("MTLD == independent driver factor walk; MATTR formula cross-check") {

@@ -64,7 +64,9 @@ class TimeSeriesSpec extends AnyFunSuite {
       // r16: the longest-repeated-substring length is data-dependent
       // on a per-doc suffix automaton (no SQL-expressible twin);
       // spec'd vs a driver binary-search + rolling-hash reference
-      "q_llm_self_repetition")
+      "q_llm_self_repetition",
+      // r16: the token-grain automaton twin, same no-oracle class
+      "q_llm_repeated_ngram")
     assert(noOracle.subsetOf(known), s"unexpected no-oracle: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -1245,6 +1247,63 @@ class TimeSeriesSpec extends AnyFunSuite {
         s"$g: eta_0 ${r.getDouble(2)} rejects a trend-stationary fixture")
       assert(!r.isNullAt(3) && r.getDouble(3) < 0.146,
         s"$g: eta_4 ${r.getDouble(3)} rejects a trend-stationary fixture")
+    }
+  }
+
+  test("seasonal Spearman between sources equals a per-stratum " +
+      "midrank-Pearson driver walk; rho_sk bounded") {
+    import org.apache.spark.sql.functions.{col, hour}
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val evs = graft.io.Tables.events(spark, sf)
+      .select(hour(col("ts")).as("hod"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val types = evs.map(_._2).distinct.sorted
+    val byTH = evs.groupBy(e => (e._2, e._1)).view
+      .mapValues(_.map(_._3)).toMap
+    val want = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield {
+      val (s1, s2) = (types(i), types(j))
+      var n1 = 0L; var n2 = 0L; var nStrata = 0L
+      var snum = BigInt(0); var dq = 0L
+      (0 until 24).foreach { h =>
+        (byTH.get((s1, h)), byTH.get((s2, h))) match {
+          case (Some(ya), Some(yb)) =>
+            nStrata += 1; n1 += ya.length; n2 += yb.length
+            val nn = ya.length + yb.length
+            // doubled midranks: 2*rank(v) = 2*below + count(v) + 1
+            val pooled = ya ++ yb
+            val cnt = pooled.groupBy(identity).view.mapValues(_.size)
+              .toMap
+            def below(v: Double) = pooled.count(_ < v)
+            val d2 = yb.map(v => BigInt(2L * below(v) + cnt(v) + 1)).sum
+            val aTerm = d2 - BigInt(yb.length) * (nn + 1)
+            val tsum = cnt.values
+              .map(t => BigInt(t) * t * t - t).sum
+            val bTerm = BigInt(nn) * nn * nn - nn - tsum
+            snum += BigInt(nn) * aTerm
+            if (bTerm > 0)
+              dq += math.floor(math.sqrt(ya.length.toDouble *
+                yb.length.toDouble * nn.toDouble *
+                (bTerm.toDouble / 3.0)) * 4096.0).toLong
+          case _ => ()
+        }
+      }
+      val rho = if (dq > 0L)
+        Some(r4(snum.toDouble / (dq.toDouble / 4096.0)))
+      else None
+      (s1, s2, n1, n2, nStrata, rho)
+    }).toSeq
+    val got = TimeSeriesOps.seasonalSpearmanSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    assert(got == want,
+      s"seasonal spearman diverged: ${got.take(2)} vs ${want.take(2)}")
+    got.foreach { case (s1, s2, _, _, ns, rho) =>
+      rho.foreach(x => assert(math.abs(x) <= 1.0, s"($s1,$s2): $x"))
+      assert(ns == 24L, s"($s1,$s2): only $ns strata")
     }
   }
 
