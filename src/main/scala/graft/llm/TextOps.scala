@@ -1763,6 +1763,64 @@ object TextOps {
       .orderBy("s1", "s2")
   }
 
+  /** TWO-SAMPLE ANDERSON–DARLING between sources on document length —
+    * [[cvmSources]]' tail-sensitive sibling (Scholz & Stephens 1987's
+    * tie-adjusted k-sample form at k = 2, block-end evaluation, no
+    * continuity correction): A² = (1/N) Σ over tie blocks except the
+    * last of t·(N·M − j·n1)² / (j·(N−j)), with M = cum1 and j =
+    * pooled cum at the block END — the 1/(F(1−F)) weight is what
+    * makes AD catch tail drift CvM's uniform weight smooths over.
+    * Determinism: the numerator t·(N·M − j·n1)² is EXACT
+    * (DECIMAL(38,0)); each block contributes ONE IEEE division whose
+    * result is made order-free by the ×2³⁰ power-of-two quantization
+    * (exponent shift — no mantissa loss), floored to an exact
+    * integer-valued double and cast to DECIMAL(38,0) (exact: floor
+    * leaves no fraction for engine rounding dialects to disagree on),
+    * then summed; A² is one shared IEEE expression over the exact
+    * sum. The j = N block drops in both engines (zero denominator —
+    * the published convention). 5% critical value for the
+    * standardized two-sample statistic is not emitted (it needs the
+    * variance expansion); A² itself plus n1/n2 is the drift read. */
+  def adSources(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out below
+    def dec(e: Column) = e.cast("decimal(38,0)")
+    def d(e: Column) = e.cast("double")
+    val grid = byV.select(col("x")).distinct()
+      .crossJoin(broadcast(byV.select(col("source")).distinct()))
+      .join(byV, Seq("source", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("source"))
+    val cums = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = cums.select(col("source").as("s1"), col("x"),
+      col("c").as("c1"), col("cum").as("cum1"), col("n_g").as("n1"))
+    val b = cums.select(col("source").as("s2"), col("x"),
+      col("c").as("c2"), col("cum").as("cum2"), col("n_g").as("n2"))
+    val nn = col("n1") + col("n2")
+    val j = col("cum1") + col("cum2")
+    val t = col("c1") + col("c2")
+    val dv = dec(nn) * col("cum1") - dec(j) * col("n1")
+    val term = d(dec(t) * dv * dv) / (d(j) * d(nn - j))
+    val q = floor(term * lit(1073741824.0)).cast("decimal(38,0)")
+    val pair = a.join(b, "x").where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+      .agg(sum(when(j < nn && t > 0L, q).otherwise(dec(lit(0L))))
+        .as("qsum"))
+    pair.select(col("s1"), col("s2"), col("n1"), col("n2"),
+        when(col("n1") > 0L && col("n2") > 0L,
+          Det.r4(d(col("qsum")) / lit(1073741824.0) / d(nn)))
+          .otherwise(lit(null)).as("ad_a2"))
+      .orderBy("s1", "s2")
+  }
+
   /** MATTR — Moving-Average Type-Token Ratio per document (Covington &
     * McFall 2010), the window-length-corrected lexical-diversity score
     * the curation stack quotes where the raw TTR is length-confounded:
@@ -2875,6 +2933,7 @@ object TextOps {
     "q_llm_kendall_sources" -> kendallSources _,
     "q_llm_spearman_sources" -> spearmanSources _,
     "q_llm_cvm_sources" -> cvmSources _,
+    "q_llm_ad_sources" -> adSources _,
     "q_llm_self_repetition" -> selfRepetition _,
     "q_llm_repeated_ngram" -> repeatedNgram _,
     "q_llm_mattr" -> mattr _,
@@ -3396,6 +3455,48 @@ object TextOps {
         |       CASE WHEN n1 > 0 AND n2 > 0 THEN
         |         ${r4Sql(t)} > CAST(0.461 AS DOUBLE)
         |       END AS reject_5pct
+        |FROM pair
+        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
+    },
+    "q_llm_ad_sources" -> {
+      val term = "CAST(CAST(a.c + b.c AS HUGEINT) * " +
+        "(CAST(a.n_g + b.n_g AS HUGEINT) * a.cum - " +
+        "CAST(a.cum + b.cum AS HUGEINT) * a.n_g) * " +
+        "(CAST(a.n_g + b.n_g AS HUGEINT) * a.cum - " +
+        "CAST(a.cum + b.cum AS HUGEINT) * a.n_g) AS DOUBLE) / " +
+        "(CAST(a.cum + b.cum AS DOUBLE) * " +
+        "CAST(a.n_g + b.n_g - a.cum - b.cum AS DOUBLE))"
+      val a2 = "CAST(qsum AS DOUBLE) / 1073741824.0 / " +
+        "CAST(n1 + n2 AS DOUBLE)"
+      s"""WITH byv AS MATERIALIZED (
+        |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, g.x, COALESCE(byv.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM byv) s
+        |  CROSS JOIN (SELECT DISTINCT x FROM byv) g
+        |  LEFT JOIN byv ON byv.source = s.source AND byv.x = g.x),
+        |cums AS MATERIALIZED (
+        |  SELECT source, x, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY x NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n_g
+        |  FROM grid),
+        |pair AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |         CAST(a.n_g AS BIGINT) AS n1,
+        |         CAST(b.n_g AS BIGINT) AS n2,
+        |         sum(CASE WHEN a.cum + b.cum < a.n_g + b.n_g
+        |                   AND a.c + b.c > 0 THEN
+        |               CAST(floor(($term) * 1073741824.0)
+        |                 AS DECIMAL(38,0))
+        |             ELSE 0 END) AS qsum
+        |  FROM cums a JOIN cums b ON a.x = b.x AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT s1, s2, n1, n2,
+        |       CASE WHEN n1 > 0 AND n2 > 0 THEN ${r4Sql(a2)}
+        |       END AS ad_a2
         |FROM pair
         |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
     },

@@ -2383,6 +2383,53 @@ class LlmSpec extends AnyFunSuite {
     assert(got.exists(!_._6), "every pair rejects: fixture degenerate")
   }
 
+  test("AD between sources equals a raw-value block-walk driver " +
+      "reference; tail weights positive and bounded") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sources = bySrc.keys.toSeq.sorted
+    val want = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield {
+      val (s1, s2) = (sources(i), sources(j))
+      val y1 = bySrc(s1); val y2 = bySrc(s2)
+      val n1 = y1.length; val n2 = y2.length; val nn = n1 + n2
+      // walk the distinct pooled values (tie blocks) in order,
+      // evaluating M and j at block ends — the published discrete form
+      val values = (y1 ++ y2).distinct.sorted
+      var qsum = BigInt(0)
+      values.foreach { v =>
+        val m = y1.count(_ <= v).toLong
+        val jj = m + y2.count(_ <= v).toLong
+        val t = y1.count(_ == v).toLong + y2.count(_ == v).toLong
+        if (jj < nn && t > 0) {
+          val dvb = BigInt(nn) * m - BigInt(jj) * n1
+          val term = (BigInt(t) * dvb * dvb).toDouble /
+            (jj.toDouble * (nn - jj).toDouble)
+          qsum += BigInt(math.floor(term * 1073741824.0).toLong)
+        }
+      }
+      (s1, s2, n1.toLong, n2.toLong,
+        Some(r4(qsum.toDouble / 1073741824.0 / nn.toDouble)))
+    }).toSeq
+    val got = graft.llm.TextOps.adSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == want,
+      s"ad diverged: ${got.take(2)} vs ${want.take(2)}")
+    // theory band: A2 >= 0 always; same-generator sources should not
+    // explode (the statistic is O(1) under H0, O(N) under separation)
+    got.foreach { case (s1, s2, _, _, a2) =>
+      a2.foreach { x =>
+        assert(x >= 0.0 && x < 50.0, s"($s1,$s2): a2 $x out of band")
+      }
+    }
+  }
+
   test("MTLD == independent driver factor walk; MATTR formula cross-check") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val docs = graft.io.Tables.documents(spark, sf)
