@@ -1,5 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints one per-query JSON line, optional diagnostic
+  * lines, then a SHORT `{"metric":"total",...}` summary as the FINAL
+  * stdout line (the driver tail-parses; the last line must stay short).
+  *
+  * r17 hardening (the r16 driver run timed out at rc=124 and its
+  * polluted dump overwrote the committed anchor for the third round
+  * in a row):
+  *  - WALL-CLOCK BUDGET with adaptive passes: after pass 1, if elapsed
+  *    exceeds min(soft budget, 2x the committed anchor total), later
+  *    passes re-run ONLY queries whose pass-1 time deviates from their
+  *    committed sidecar value (or that have no sidecar entry); a hard
+  *    budget stops measuring entirely and reports what it has.
+  *  - INTERFERENCE RE-MEASURE BUDGET: the end-of-run isolated
+  *    re-measure of >3x-sidecar outliers is capped (count + seconds);
+  *    it previously fired unbounded, i.e. most when the box was
+  *    slowest and time was scarcest.
+  *  - TWO-SOLO RULE: an outlier median is replaced only when TWO
+  *    consecutive solo re-measures both land under the 3x line, and
+  *    the replacement is the MAX of the two (a single lucky warm pass
+  *    can no longer mask a genuine regression).
+  *  - SIDECAR = RAW MEDIANS + PROMOTION GATE: the sidecar dump carries
+  *    raw (un-adjusted) medians so a lucky re-measure cannot ratchet
+  *    the reference down, and the canonical `BENCH_FULL_latest.json`
+  *    is only overwritten when the run looks sane vs the committed
+  *    anchor (overlap total <= 1.3x and few >3x outliers); a suspect
+  *    run is written to `BENCH_FULL_suspect.json` instead.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,23 +107,92 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq
       .filter(kv => only.forall(_.contains(kv._1))).sortBy(_._1)
+    // the sidecar write below only fires for the canonical config; the
+    // same flag gates the interference re-measure (a subset/other-SF
+    // run has no comparable reference)
+    val canonicalSf =
+      new java.io.File(sfDir.replaceAll("/+$", "")).getName == "sf0.1"
+    val canonical = only.isEmpty && canonicalSf
+    // committed per-query reference (keyed by name, so usable for the
+    // adaptive-pass noise band even on a BENCH_ONLY subset) — loaded
+    // from the COMMITTED sidecar before this run can touch it
+    val sidecar: Map[String, Double] =
+      if (!canonicalSf) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL_latest.json")), "UTF-8")
+        val qIdx = txt.indexOf("\"queries\":{")
+        if (qIdx < 0) Map.empty
+        else {
+          val sub = txt.substring(qIdx + 11, txt.indexOf("}", qIdx))
+          "\"([^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(sub)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val sidecarTotal = ordered.flatMap(kv => sidecar.get(kv._1)).sum
+    // wall-clock budgets (seconds). The r16 driver window was ~60 min
+    // and a clean 3-pass run is ~17-20 min; the soft budget flips to
+    // degraded passes, the hard budget stops measuring outright so the
+    // final line ALWAYS prints inside the window.
+    val softBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOFT_SEC", "")
+      .toDoubleOption.getOrElse(
+        if (sidecarTotal > 0) math.min(1500.0, 2.0 * sidecarTotal)
+        else 1500.0)
+    val hardBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARD_SEC", "2400")
+      .toDouble
+    val benchStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
     val times =
       collection.mutable.LinkedHashMap[String, List[Double]]()
     // a failing query must NAME itself (never a silent -1): record every
     // per-pass error (not just the last), surface names in the summary
     val failures =
       collection.mutable.LinkedHashMap[String, List[String]]()
-    for (pass <- 1 to passes; (name, fn) <- ordered) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = times.getOrElse(name, Nil) :+ dt
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          val msg = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ")
-          failures(name) = failures.getOrElse(name, Nil) :+
-            s"pass $pass: ${e.getClass.getSimpleName}: ${msg.take(160)}"
+    var degraded = false
+    var hardStopped = false
+    var skippedSamples = 0
+    for (pass <- 1 to passes; if !hardStopped) {
+      // degraded mode: later passes only re-run queries whose pass-1
+      // time deviates from their committed sidecar value by more than
+      // the noise band (or that have no reference / failed so far) —
+      // an in-band pass-1 sample is kept as the reported figure
+      val toRun =
+        if (pass == 1 || !degraded) ordered
+        else ordered.filter { case (name, _) =>
+          times.get(name) match {
+            case None => true // failed so far: keep retrying
+            case Some(ts) => sidecar.get(name) match {
+              case Some(ref) =>
+                val t1 = ts.head
+                t1 > 1.5 * ref + 0.3 || t1 < ref / 1.5 - 0.3
+              case None => true // new query: measure fully
+            }
+          }
+        }
+      if (degraded && pass > 1)
+        skippedSamples += ordered.size - toRun.size
+      for ((name, fn) <- toRun; if !hardStopped) {
+        if (elapsed > hardBudget) { hardStopped = true }
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            times(name) = times.getOrElse(name, Nil) :+ dt
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              val msg =
+                Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ")
+              failures(name) = failures.getOrElse(name, Nil) :+
+                s"pass $pass: ${e.getClass.getSimpleName}: ${msg.take(160)}"
+          }
+        }
+      }
+      if (!degraded && elapsed > softBudget) {
+        degraded = true
+        System.err.println(
+          f"[bench] soft budget exceeded after pass $pass (${elapsed}%.0f s" +
+            f" > ${softBudget}%.0f s): degrading to deviation-only passes")
       }
     }
     // failed = zero successful passes (the query is NOT in the total);
@@ -110,57 +207,59 @@ object Bench {
     val medians = ordered.flatMap { case (name, _) =>
       times.get(name).map(name -> lowerMedian(_))
     }
-    // the sidecar write below only fires for the canonical config; the
-    // same flag gates the interference re-measure (a subset/other-SF
-    // run has no comparable reference)
-    val canonical = only.isEmpty &&
-      new java.io.File(sfDir.replaceAll("/+$", "")).getName == "sf0.1"
     // ---- interference self-defense (r15 VERDICT): two consecutive
     // driver artifacts carried contiguous name-sorted windows of 3-8x
     // inflated timings from co-tenant box interference, which per-query
     // median comparisons then inherit. After the passes, any query
     // whose median exceeds 3x its COMMITTED sidecar value (and by
     // > 0.5 s absolute — sub-second jitter is not an interference
-    // signature) gets ONE extra isolated re-measure at the end of the
-    // run, outside the window that inflated it. If the re-measure
-    // lands back under the 3x line the median was an artifact and the
-    // re-measure replaces it; if not, the slowdown is confirmed real
-    // and the median stands. BOTH numbers are reported on the
-    // bench_remeasured line either way, so the artifact records the
-    // adjudication instead of needing a next-round solo probe.
-    val sidecar: Map[String, Double] =
-      if (!canonical) Map.empty
-      else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_FULL_latest.json")), "UTF-8")
-        val qIdx = txt.indexOf("\"queries\":{")
-        if (qIdx < 0) Map.empty
-        else {
-          val sub = txt.substring(qIdx + 11, txt.indexOf("}", qIdx))
-          "\"([^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(sub)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // signature) gets TWO isolated re-measures at the end of the run,
+    // outside the window that inflated it. Only if BOTH land back under
+    // the 3x line was the median an artifact, and the MAX of the two
+    // replaces it (one lucky warm pass cannot mask a regression —
+    // r16 ADVICE); otherwise the slowdown is confirmed real and the
+    // median stands. BOTH numbers are reported on the bench_remeasured
+    // line either way, so the artifact records the adjudication instead
+    // of needing a next-round solo probe. The whole phase is BUDGETED
+    // (count + seconds + the global hard budget): unbounded, it fired
+    // most when the box was slowest and time scarcest (r16 rc=124).
+    val remeasureMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REMEASURE_MAX", "10").toInt
+    val remeasureSecBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REMEASURE_SEC", "120").toDouble
     val remeasured =
       collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    var remeasureSpent = 0.0
     val adjusted = medians.map { case (name, med) =>
       sidecar.get(name) match {
-        case Some(ref) if med > 3.0 * ref && med - ref > 0.5 =>
+        case Some(ref) if canonical && med > 3.0 * ref && med - ref > 0.5 &&
+            remeasured.size < remeasureMax &&
+            remeasureSpent < remeasureSecBudget &&
+            elapsed < hardBudget =>
           try {
             val fn = ordered.find(_._1 == name).get._2
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            val solo = (System.nanoTime() - t0) / 1e9
-            remeasured(name) = (med, solo)
-            name -> (if (solo <= 3.0 * ref) solo else med)
+            def solo(): Double = {
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            val s1 = solo()
+            // second solo only if the first cleared the line (a failed
+            // first already confirms the median; don't spend the budget)
+            val s2 = if (s1 <= 3.0 * ref) solo() else s1
+            remeasureSpent += s1 + (if (s1 <= 3.0 * ref) s2 else 0.0)
+            val worst = math.max(s1, s2)
+            remeasured(name) = (med, worst)
+            name -> (if (worst <= 3.0 * ref) worst else med)
           } catch {
             case scala.util.control.NonFatal(_) => name -> med
           }
         case _ => name -> med
       }
     }
-    val qs = adjusted.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def qJson(ms: Seq[(String, Double)]): String =
+      ms.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = adjusted.map(_._2).sum
     // final line must stay tail-parseable: name at most 8 failures there
     // (full per-query detail is on the bench_failures line above it)
@@ -170,32 +269,50 @@ object Bench {
     // failure detail, then a SHORT summary as the final stdout line so the
     // driver can always tail-parse it
     val perQueryLine =
-      s"""{"metric":"per_query","passes":$passes,"cpus":"$cpus","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","passes":$passes,"cpus":"$cpus","queries":${qJson(adjusted)},"sf":"$sfDir"}"""
     println(perQueryLine)
     // the driver artifact keeps only a 2000-char stdout tail, which
     // truncates ~half the per-query medians; persist the full line as a
     // sidecar the round commit picks up (default ./BENCH_FULL_latest.json
     // — Bench runs with cwd = the repo — override with
-    // SPARK_GRAFT_BENCH_OUT), so every query's median history survives
-    // even though the stdout tail cannot hold it. The DEFAULT write fires
-    // only for the canonical config (full suite at sf0.1) — a debugging
-    // run at another SF or a BENCH_ONLY subset must not overwrite the
-    // committed comparable-history sidecar; set SPARK_GRAFT_BENCH_OUT
-    // explicitly to capture those
+    // SPARK_GRAFT_BENCH_OUT). The sidecar carries RAW medians (not the
+    // re-measure-adjusted figures) so a lucky solo pass cannot ratchet
+    // the reference down (r16 ADVICE). The DEFAULT write fires only for
+    // the canonical config (full suite at sf0.1) AND only when the run
+    // looks sane vs the committed anchor: overlap total <= 1.3x and at
+    // most 8 queries >3x over their committed value — a polluted run
+    // (three consecutive driver artifacts) is dumped to
+    // BENCH_FULL_suspect.json instead and never clobbers the anchor.
+    val overlap = medians.filter(kv => sidecar.contains(kv._1))
+    val overlapRef = overlap.map(kv => sidecar(kv._1)).sum
+    val overlapNow = overlap.map(_._2).sum
+    val outliers = overlap.count { case (k, v) =>
+      v > 3.0 * sidecar(k) && v - sidecar(k) > 0.5 }
+    val sane = sidecar.isEmpty || overlapRef == 0 ||
+      (overlapNow <= 1.3 * overlapRef && outliers <= 8 && !hardStopped)
+    val rawLine =
+      s"""{"metric":"per_query","passes":$passes,"cpus":"$cpus","queries":${qJson(medians)},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (canonical) "BENCH_FULL_latest.json" else "")
+      if (canonical && sane) "BENCH_FULL_latest.json"
+      else if (canonical) "BENCH_FULL_suspect.json"
+      else "")
     if (outPath.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (perQueryLine + "\n").getBytes("UTF-8"))
+        (rawLine + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] per-query dump skipped: ${e.getMessage}")
       }
+    if (canonical && !sane)
+      println(f"""{"metric":"bench_suspect","overlap_ratio":${
+        if (overlapRef > 0) overlapNow / overlapRef else -1.0}%.3f,"outliers":$outliers,"hard_stopped":$hardStopped,"note":"sidecar NOT promoted; raw dump in BENCH_FULL_suspect.json"}""")
     if (remeasured.nonEmpty) {
       val rs = remeasured.map { case (k, (med, solo)) =>
         f""""$k":{"median":$med%.3f,"solo":$solo%.3f,"sidecar":${sidecar(k)}%.3f}"""
       }.mkString("{", ",", "}")
       println(s"""{"metric":"bench_remeasured","detail":$rs}""")
     }
+    if (degraded || hardStopped)
+      println(f"""{"metric":"bench_budget","degraded":$degraded,"hard_stopped":$hardStopped,"elapsed_sec":$elapsed%.1f,"soft_sec":$softBudget%.0f,"hard_sec":$hardBudget%.0f,"skipped_samples":$skippedSamples}""")
     if (failures.nonEmpty) {
       val fs = failures.map { case (k, v) =>
         val joined = v.mkString("; ")

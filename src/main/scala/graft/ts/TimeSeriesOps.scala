@@ -1024,10 +1024,14 @@ object TimeSeriesOps {
     * the numerators Nₕ·Aₕ ADD exactly (DECIMAL(38,0)) and the
     * denominators √(n1ₕ·n2ₕ·Nₕ·(Bₕ/3)) quantize with ×4096 (power of
     * two — exponent-shift exact) and BIGINT-sum, so
-    * ρ_sk = ΣNₕAₕ / (Σq/4096) is ONE IEEE division. Reads "is type b
-    * stochastically larger than type a, diurnal cycle controlled"
-    * through midranks instead of pair counts — more weight to the
-    * middle of the distribution where τ weights all pairs equally. */
+    * ρ_sk = ΣNₕAₕ / (Σq/4096) is ONE IEEE division. Strata where
+    * either type is absent drop symmetrically in both engines (the
+    * n1g>0 AND n2g>0 filter — same rule as the Kendall sibling's pers
+    * inner joins), so n_strata/n1/n2 count only co-present strata.
+    * Reads "is type b stochastically larger than type a, diurnal cycle
+    * controlled" through midranks instead of pair counts — more weight
+    * to the middle of the distribution where τ weights all pairs
+    * equally. */
   def seasonalSpearmanSources(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1060,6 +1064,13 @@ object TimeSeriesOps {
       .agg(sum(dec(col("c2")) *
           ((col("below1") + col("below2")) * 2 + t + 1)).as("d2"),
         sum(dec(t) * t * t - t).as("tsum"))
+      // strata where either type is absent drop SYMMETRICALLY, matching
+      // the Kendall sibling's pers-inner-join semantics: without this,
+      // n_strata counts empty strata and n1/n2 include counts from
+      // strata where the other source is absent (rho_sk itself is
+      // unaffected — n1g*n2g zeroes both numh's A-term weight path and
+      // dq — but the reported counts diverge from the documented rule)
+      .where(col("n1g") > 0 && col("n2g") > 0)
     val nn = col("n1g") + col("n2g")
     val aTerm = col("d2") - dec(col("n2g")) * (nn + 1)
     val bTerm = dec(nn) * nn * nn - nn - col("tsum")
@@ -6967,7 +6978,8 @@ object TimeSeriesOps {
         |           (a.c + b.c) - (a.c + b.c)) AS tsum
         |  FROM cums a JOIN cums b ON a.hod = b.hod AND a.x = b.x
         |    AND a.source < b.source
-        |  GROUP BY 1, 2, 3, 4, 5),
+        |  GROUP BY 1, 2, 3, 4, 5
+        |  HAVING n1g > 0 AND n2g > 0),
         |strat AS (
         |  SELECT s1, s2, n1g, n2g,
         |         CAST(n1g + n2g AS HUGEINT) * aterm AS numh,
