@@ -1821,6 +1821,121 @@ object TextOps {
       .orderBy("s1", "s2")
   }
 
+  /** k-SAMPLE ANDERSON–DARLING over ALL sources at once on document
+    * length (Scholz & Stephens 1987, the tie-adjusted A²kN form without
+    * continuity correction — their eq. 3 generalizing [[adSources]]'
+    * k = 2 — plus their variance normalization): A²kN = (1/N) Σᵢ (1/nᵢ)
+    * Σⱼ lⱼ·(N·Mᵢⱼ − nᵢ·Bⱼ)²/(Bⱼ(N−Bⱼ)) over pooled tie blocks except
+    * the last, standardized to T = (A²kN − (k−1))/σ_N where σ²_N =
+    * (aN³ + bN² + cN + d)/((N−1)(N−2)(N−3)) with the paper's a,b,c,d in
+    * H = Σ 1/nᵢ, h = Σ_{i<N} 1/i and g = Σ_{i<j<N} 1/((N−i)j).
+    * Determinism, in three layers of the proven quantization
+    * discipline: (1) each block term folds 1/nᵢ into ONE IEEE division
+    * of exact DECIMAL(38,0)/HUGEINT integers, ×2³⁰-floor-quantized
+    * (power of two — exponent shift, no mantissa loss) and summed
+    * order-free; (2) H quantizes as Σ (2⁴⁰ div nᵢ) — integer floor
+    * division, bit-identical in both engines; (3) h and g come off a
+    * generated 1..N−1 integer range with quantized harmonic prefix
+    * sums Hq_r = Σ_{i≤r} (2⁴⁰ div i), g via the O(N) reduction
+    * g = Σ_{r≤N−2} (Hq_{N−1} − Hq_r) div (N−r) (substituting m = N−i
+    * in the paper's double sum) — every accumulator an exact BIGINT,
+    * so the final σ/T are ONE shared IEEE expression over identical
+    * integers. The statistic is DEFINED as its quantized form (error
+    * ≤ N/2⁴⁰ ≈ 1e-6 at sf1 vs the real-valued form — far below the
+    * 4-decimal grid). Scale: the term grid is sources × distinct
+    * lengths (the adSources shape, value-grain bounded); the harmonic
+    * range is O(N) rows generated in 64Ki chunks with a two-pass
+    * distributed prefix (per-chunk sums + a bounded window over
+    * ~N/65536 chunk rows), never a data-scale global window. */
+  def adKSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out below
+    def dec(e: Column) = e.cast("decimal(38,0)")
+    def d(e: Column) = e.cast("double")
+    val grid = byV.select(col("x")).distinct()
+      .crossJoin(broadcast(byV.select(col("source")).distinct()))
+      .join(byV, Seq("source", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("source"))
+    val wX = Window.partitionBy(col("x"))
+    val cums = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+    // pooled per tie block: lⱼ = Σᵢ cᵢ and Bⱼ = Σᵢ Mᵢⱼ — the grid is a
+    // complete sources × values cross, so the per-x window sums ARE the
+    // pooled block count and pooled cum (k rows per x, bounded)
+    val pooled = cums
+      .withColumn("l", sum(col("c")).over(wX))
+      .withColumn("bj", sum(col("cum")).over(wX))
+    val nk = byV.agg(sum(col("c")).cast("long").as("nn"),
+      countDistinct(col("source")).cast("long").as("k"))
+    val dv = dec(col("nn")) * col("cum") - dec(col("bj")) * col("n_g")
+    val term = d(dec(col("l")) * dv * dv) /
+      (d(col("n_g")) * d(col("bj")) * d(col("nn") - col("bj")))
+    val q = floor(term * lit(1073741824.0)).cast("decimal(38,0)")
+    val a2row = pooled.crossJoin(broadcast(nk))
+      .agg(sum(when(col("bj") < col("nn") && col("l") > 0L &&
+          col("n_g") > 0L, q).otherwise(dec(lit(0L)))).as("qsum"))
+    // H = Σᵢ 1/nᵢ as exact 2⁴⁰-scaled integer floor divisions
+    val hs = byV.groupBy(col("source")).agg(sum(col("c")).as("n_i"))
+      .agg(sum(expr("1099511627776L div n_i")).as("hq"))
+    // harmonic range 1..N−1 in 64Ki chunks (distributed explode — a
+    // single sequence() would build an O(N) array in one task)
+    val CH = 65536L
+    val rRows = nk.select(col("nn"),
+        explode(expr(s"sequence(0L, (nn - 2) div $CH)")).as("ch"))
+      .repartition(col("ch"))
+      .select(col("nn"), col("ch"),
+        explode(expr(
+          s"sequence(ch * $CH + 1L, least((ch + 1L) * $CH, nn - 1L))"))
+          .as("r"))
+      .withColumn("v", expr("1099511627776L div r"))
+      .localCheckpoint(eager = false) // chunk sums + prefix + total
+    val perChunk = rRows.groupBy(col("ch")).agg(sum(col("v")).as("s"))
+    // bounded global window: ~N/65536 chunk rows (≈ 92 at sf1)
+    val wOff = Window.orderBy(col("ch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perChunk
+      .withColumn("off", coalesce(sum(col("s")).over(wOff), lit(0L)))
+      .select(col("ch"), col("off"))
+    val wIn = Window.partitionBy(col("ch")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val htot = rRows.agg(sum(col("v")).as("hq_tot"))
+    val gRow = rRows.join(broadcast(offs), "ch")
+      .withColumn("hqr", col("off") + sum(col("v")).over(wIn))
+      .crossJoin(broadcast(htot))
+      .where(col("r") <= col("nn") - 2)
+      .agg(sum(expr("(hq_tot - hqr) div (nn - r)")).as("gq"))
+    val one = a2row.crossJoin(hs).crossJoin(htot).crossJoin(gRow)
+      .crossJoin(nk)
+    val q40 = lit(1099511627776.0)
+    val kd = d(col("k")); val nd = d(col("nn"))
+    val hD = d(col("hq")) / q40
+    val hhD = d(col("hq_tot")) / q40
+    val gD = d(col("gq")) / q40
+    val a2 = d(col("qsum")) / lit(1073741824.0) / nd
+    val aC = (lit(4.0) * gD - lit(6.0)) * (kd - lit(1.0)) +
+      (lit(10.0) - lit(6.0) * gD) * hD
+    val bC = (lit(2.0) * gD - lit(4.0)) * kd * kd + lit(8.0) * hhD * kd +
+      (lit(2.0) * gD - lit(14.0) * hhD - lit(4.0)) * hD -
+      lit(8.0) * hhD + lit(4.0) * gD - lit(6.0)
+    val cC = (lit(6.0) * hhD + lit(2.0) * gD - lit(2.0)) * kd * kd +
+      (lit(4.0) * hhD - lit(4.0) * gD + lit(6.0)) * kd +
+      (lit(2.0) * hhD - lit(6.0)) * hD + lit(4.0) * hhD
+    val dC = (lit(2.0) * hhD + lit(6.0)) * kd * kd - lit(4.0) * hhD * kd
+    val varA = (aC * nd * nd * nd + bC * nd * nd + cC * nd + dC) /
+      ((nd - lit(1.0)) * (nd - lit(2.0)) * (nd - lit(3.0)))
+    val sig = sqrt(varA)
+    one.select(col("k"), col("nn").as("n_total"),
+      Det.r4(a2).as("a2_kn"), Det.r4(sig).as("sigma_n"),
+      Det.r4((a2 - (kd - lit(1.0))) / sig).as("t_kn"))
+  }
+
   /** MATTR — Moving-Average Type-Token Ratio per document (Covington &
     * McFall 2010), the window-length-corrected lexical-diversity score
     * the curation stack quotes where the raw TTR is length-confounded:
@@ -2934,6 +3049,7 @@ object TextOps {
     "q_llm_spearman_sources" -> spearmanSources _,
     "q_llm_cvm_sources" -> cvmSources _,
     "q_llm_ad_sources" -> adSources _,
+    "q_llm_ad_ksample" -> adKSample _,
     "q_llm_self_repetition" -> selfRepetition _,
     "q_llm_repeated_ngram" -> repeatedNgram _,
     "q_llm_mattr" -> mattr _,
@@ -3499,6 +3615,91 @@ object TextOps {
         |       END AS ad_a2
         |FROM pair
         |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin
+    },
+    "q_llm_ad_ksample" -> {
+      val term = "CAST(CAST(l AS HUGEINT) * " +
+        "(CAST(nn AS HUGEINT) * cum - CAST(bj AS HUGEINT) * n_g) * " +
+        "(CAST(nn AS HUGEINT) * cum - CAST(bj AS HUGEINT) * n_g) " +
+        "AS DOUBLE) / " +
+        "(CAST(n_g AS DOUBLE) * CAST(bj AS DOUBLE) * " +
+        "CAST(nn - bj AS DOUBLE))"
+      s"""WITH byv AS MATERIALIZED (
+        |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |nk AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS nn,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS k
+        |  FROM byv),
+        |hs AS (
+        |  SELECT CAST(sum(1099511627776 // n_i) AS BIGINT) AS hq
+        |  FROM (SELECT source, CAST(sum(c) AS BIGINT) AS n_i
+        |        FROM byv GROUP BY 1)),
+        |grid AS (
+        |  SELECT s.source, g.x, COALESCE(byv.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM byv) s
+        |  CROSS JOIN (SELECT DISTINCT x FROM byv) g
+        |  LEFT JOIN byv ON byv.source = s.source AND byv.x = g.x),
+        |cums AS MATERIALIZED (
+        |  SELECT source, x, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY x NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n_g
+        |  FROM grid),
+        |pooled AS MATERIALIZED (
+        |  SELECT *, sum(c) OVER (PARTITION BY x) AS l,
+        |         sum(cum) OVER (PARTITION BY x) AS bj
+        |  FROM cums),
+        |a2r AS (
+        |  SELECT sum(CASE WHEN bj < nn AND l > 0 AND n_g > 0 THEN
+        |           CAST(floor(($term) * 1073741824.0)
+        |             AS DECIMAL(38,0))
+        |         ELSE 0 END) AS qsum
+        |  FROM pooled CROSS JOIN nk),
+        |rs AS MATERIALIZED (
+        |  SELECT CAST(r AS BIGINT) AS r,
+        |         1099511627776 // CAST(r AS BIGINT) AS v
+        |  FROM (SELECT unnest(range(1, nn)) AS r FROM nk)),
+        |pre AS MATERIALIZED (
+        |  SELECT r, v, sum(v) OVER (ORDER BY r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hqr
+        |  FROM rs),
+        |ht AS (SELECT CAST(sum(v) AS BIGINT) AS hq_tot FROM rs),
+        |gr AS (
+        |  SELECT CAST(sum((hq_tot - hqr) // (nn - r)) AS BIGINT) AS gq
+        |  FROM pre CROSS JOIN ht CROSS JOIN nk
+        |  WHERE r <= nn - 2),
+        |base AS (
+        |  SELECT k, nn, CAST(k AS DOUBLE) AS kd,
+        |         CAST(nn AS DOUBLE) AS ndd,
+        |         CAST(hq AS DOUBLE) / 1099511627776.0 AS hh,
+        |         CAST(hq_tot AS DOUBLE) / 1099511627776.0 AS hsm,
+        |         CAST(gq AS DOUBLE) / 1099511627776.0 AS gg,
+        |         CAST(qsum AS DOUBLE) / 1073741824.0 /
+        |           CAST(nn AS DOUBLE) AS a2
+        |  FROM a2r CROSS JOIN hs CROSS JOIN ht CROSS JOIN gr
+        |  CROSS JOIN nk),
+        |coef AS (
+        |  SELECT *,
+        |    (4.0 * gg - 6.0) * (kd - 1.0) + (10.0 - 6.0 * gg) * hh
+        |      AS ac,
+        |    (2.0 * gg - 4.0) * kd * kd + 8.0 * hsm * kd +
+        |      (2.0 * gg - 14.0 * hsm - 4.0) * hh - 8.0 * hsm +
+        |      4.0 * gg - 6.0 AS bc,
+        |    (6.0 * hsm + 2.0 * gg - 2.0) * kd * kd +
+        |      (4.0 * hsm - 4.0 * gg + 6.0) * kd +
+        |      (2.0 * hsm - 6.0) * hh + 4.0 * hsm AS cc,
+        |    (2.0 * hsm + 6.0) * kd * kd - 4.0 * hsm * kd AS dc
+        |  FROM base),
+        |fin AS (
+        |  SELECT *,
+        |    sqrt((ac * ndd * ndd * ndd + bc * ndd * ndd + cc * ndd + dc)
+        |      / ((ndd - 1.0) * (ndd - 2.0) * (ndd - 3.0))) AS sig
+        |  FROM coef)
+        |SELECT k, nn AS n_total, ${r4Sql("a2")} AS a2_kn,
+        |       ${r4Sql("sig")} AS sigma_n,
+        |       ${r4Sql("(a2 - (kd - 1.0)) / sig")} AS t_kn
+        |FROM fin""".stripMargin
     },
     "q_llm_mattr" ->
       s"""WITH tok AS (

@@ -1354,7 +1354,78 @@ object VectorOps {
     (v1o, rayleigh(v1o), v2o, rayleigh(v2o), v3o, rayleigh(v3o), d)
   }
 
+  /** KENDALL τ-b BETWEEN EMBEDDING NORMS BY LABEL — the vector-side
+    * member of the drift toolkit ([[graft.llm.TextOps.kendallSources]]'
+    * machinery verbatim, labels for sources and the exact quantized
+    * norm² for document length): for every label pair, the tie-adjusted
+    * rank correlation between the label INDICATOR and the embedding's
+    * squared norm over the pooled two-sample data — "does label b carry
+    * stochastically longer vectors than label a". Norms are EXACT
+    * BIGINTs with no ordering hazard: each float coordinate quantizes
+    * 1e6-floor to a BIGINT ([[quantFlat]]'s convention) and norm² is the
+    * integer Σ q², order-free in both engines (strictly stronger than an
+    * index-ordered IEEE fold — no fold order to match). Everything after
+    * that is the proven distinct-value-grid walk: concordant/discordant
+    * from per-label cumulative counts, tie terms exact, τ-b ONE IEEE
+    * expression with every factor cast to double first (the r10 ratio
+    * rule). Grid cost: labels × distinct norms — norms are near-unique,
+    * so the grid is ~labels × vectors; past ~10⁹ vectors pre-bucket the
+    * norm (the psi_length discipline). Total order (l1, l2). */
+  def kendallNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec(e: org.apache.spark.sql.Column) = e.cast("decimal(38,0)")
+    def d(e: org.apache.spark.sql.Column) = e.cast("double")
+    val norms = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("lab"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("lab"),
+        floor(col("xf").cast("double") * lit(1000000.0)).cast("long")
+          .as("q"))
+      .groupBy(col("vec_id"), col("lab"))
+      .agg(sum(col("q") * col("q")).as("x"))
+    val byV = norms.groupBy(col("lab"), col("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid fan-out + per-label ties
+    val perL = byV.groupBy(col("lab"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(dec(col("c")) * (col("c") - 1)).as("tself2"))
+    val grid = byV.select(col("x")).distinct()
+      .crossJoin(broadcast(byV.select(col("lab")).distinct()))
+      .join(byV, Seq("lab", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy(col("lab")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("lab"))
+    val cums = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wG))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val a = cums.select(col("lab").as("l1"), col("x"),
+      col("c").as("c1"), col("n_g").as("n1"))
+    val b = cums.select(col("lab").as("l2"), col("x"),
+      col("c").as("c2"), (col("cum") - col("c")).as("below2"),
+      col("cum").as("upto2"), col("n_g").as("n2"))
+    val pair = a.join(b, "x").where(col("l1") < col("l2"))
+      .groupBy(col("l1"), col("l2"), col("n1"), col("n2"))
+      .agg(sum(dec(col("c1")) * (col("n2") - col("upto2"))).as("nc"),
+        sum(dec(col("c1")) * col("below2")).as("nd"),
+        sum(dec(col("c1")) * col("c2")).as("crossT"))
+    val t1 = perL.select(col("lab").as("l1"), col("tself2").as("ty1"))
+    val t2 = perL.select(col("lab").as("l2"), col("tself2").as("ty2"))
+    val n02 = dec(col("n1") + col("n2")) * (col("n1") + col("n2") - 1)
+    val nyt2 = n02 - (col("ty1") + col("ty2") + col("crossT") * 2)
+    pair.join(broadcast(t1), "l1").join(broadcast(t2), "l2")
+      .select(col("l1"), col("l2"), col("n1"), col("n2"),
+        col("nc").cast("long").as("n_conc"),
+        col("nd").cast("long").as("n_disc"),
+        when(col("n1") > 0L && col("n2") > 0L && nyt2 > lit(0),
+          Det.r4((d(col("nc")) - d(col("nd"))) /
+            sqrt(d(col("n1")) * d(col("n2")) * (d(nyt2) / lit(2.0)))))
+          .otherwise(lit(null)).as("tau_b"))
+      .orderBy("l1", "l2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_kendall_norms" -> kendallNorms _,
     "q_llm_pca_power" -> pcaPower _,
     "q_llm_pca2_power" -> pca2Power _,
     "q_llm_pca3_power" -> pca3Power _,
@@ -1834,6 +1905,60 @@ object VectorOps {
       |ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST LIMIT 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_llm_kendall_norms" -> {
+      val tau = "(CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE)) / " +
+        "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+        "(CAST(nyt2 AS DOUBLE) / 2.0))"
+      s"""WITH norms AS MATERIALIZED (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS lab,
+        |         CAST(sum(q * q) AS BIGINT) AS x
+        |  FROM (SELECT vec_id, label,
+        |          CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) *
+        |            1000000.0) AS BIGINT) AS q
+        |        FROM embeddings)
+        |  GROUP BY 1, 2),
+        |byv AS MATERIALIZED (
+        |  SELECT lab, x, CAST(count(*) AS BIGINT) AS c
+        |  FROM norms GROUP BY 1, 2),
+        |perl AS (
+        |  SELECT lab, CAST(sum(c) AS BIGINT) AS n_g,
+        |         sum(CAST(c AS HUGEINT) * (c - 1)) AS tself2
+        |  FROM byv GROUP BY 1),
+        |grid AS (
+        |  SELECT s.lab, g.x, COALESCE(byv.c, 0) AS c
+        |  FROM (SELECT DISTINCT lab FROM byv) s
+        |  CROSS JOIN (SELECT DISTINCT x FROM byv) g
+        |  LEFT JOIN byv ON byv.lab = s.lab AND byv.x = g.x),
+        |cums AS MATERIALIZED (
+        |  SELECT lab, x, c,
+        |         sum(c) OVER (PARTITION BY lab ORDER BY x NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         sum(c) OVER (PARTITION BY lab) AS n_g
+        |  FROM grid),
+        |pair AS (
+        |  SELECT a.lab AS l1, b.lab AS l2,
+        |         CAST(a.n_g AS BIGINT) AS n1,
+        |         CAST(b.n_g AS BIGINT) AS n2,
+        |         sum(CAST(a.c AS HUGEINT) * (b.n_g - b.cum)) AS nc,
+        |         sum(CAST(a.c AS HUGEINT) * (b.cum - b.c)) AS nd,
+        |         sum(CAST(a.c AS HUGEINT) * b.c) AS crosst
+        |  FROM cums a JOIN cums b ON a.x = b.x AND a.lab < b.lab
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT l1, l2, n1, n2, CAST(nc AS BIGINT) AS n_conc,
+        |       CAST(nd AS BIGINT) AS n_disc,
+        |       CASE WHEN n1 > 0 AND n2 > 0 AND nyt2 > 0 THEN
+        |         ${Det.r4Sql(tau)}
+        |       END AS tau_b
+        |FROM (
+        |  SELECT pair.*, t1.tself2 AS ty1, t2.tself2 AS ty2,
+        |         CAST(n1 + n2 AS HUGEINT) * (n1 + n2 - 1) -
+        |           (t1.tself2 + t2.tself2 + crosst * 2) AS nyt2
+        |  FROM pair
+        |  JOIN perl t1 ON t1.lab = pair.l1
+        |  JOIN perl t2 ON t2.lab = pair.l2)
+        |ORDER BY l1 NULLS FIRST, l2 NULLS FIRST""".stripMargin
+    },
     "q_llm_pca_power" -> pcaOracleSql,
     "q_llm_pca2_power" -> pca2OracleSql,
     "q_llm_pca3_power" -> pca3OracleSql,

@@ -2430,6 +2430,128 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("k-sample AD equals an independent quantized driver walk; " +
+      "iid fixture sits in the null theory band") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = bySrc.size.toLong
+    val nn = docs.length.toLong
+    val pooled = docs.map(_._2)
+    val values = pooled.distinct.sorted
+    val lAt = pooled.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    // cumulative pooled counts at each block end
+    val bAt = {
+      var acc = 0L
+      values.map { v => acc += lAt(v); v -> acc }.toMap
+    }
+    var qsum = BigInt(0)
+    bySrc.values.foreach { xs =>
+      val ni = xs.length.toLong
+      val sorted = xs.sorted
+      values.foreach { v =>
+        val l = lAt(v); val bj = bAt(v)
+        val m = sorted.count(_ <= v).toLong
+        if (bj < nn && l > 0 && ni > 0) {
+          val dv = BigInt(nn) * m - BigInt(bj) * ni
+          val term = (BigInt(l) * dv * dv).toDouble /
+            (ni.toDouble * bj.toDouble * (nn - bj).toDouble)
+          qsum += BigInt(math.floor(term * 1073741824.0).toLong)
+        }
+      }
+    }
+    // the same 2^40 integer quantization the engine and oracle use
+    val Q40 = 1099511627776L
+    val hq = bySrc.values.map(xs => Q40 / xs.length).sum
+    var acc = 0L
+    val hqr = (1L until nn).map { r => acc += Q40 / r; acc }.toArray
+    val hqTot = acc
+    var gq = 0L
+    (1L to nn - 2).foreach { r =>
+      gq += (hqTot - hqr((r - 1).toInt)) / (nn - r)
+    }
+    val kd = k.toDouble; val ndd = nn.toDouble
+    val hh = hq.toDouble / Q40.toDouble
+    val hsm = hqTot.toDouble / Q40.toDouble
+    val gg = gq.toDouble / Q40.toDouble
+    val a2 = qsum.toDouble / 1073741824.0 / ndd
+    val ac = (4.0 * gg - 6.0) * (kd - 1.0) + (10.0 - 6.0 * gg) * hh
+    val bc = (2.0 * gg - 4.0) * kd * kd + 8.0 * hsm * kd +
+      (2.0 * gg - 14.0 * hsm - 4.0) * hh - 8.0 * hsm + 4.0 * gg - 6.0
+    val cc = (6.0 * hsm + 2.0 * gg - 2.0) * kd * kd +
+      (4.0 * hsm - 4.0 * gg + 6.0) * kd + (2.0 * hsm - 6.0) * hh +
+      4.0 * hsm
+    val dc = (2.0 * hsm + 6.0) * kd * kd - 4.0 * hsm * kd
+    val sig = math.sqrt(
+      (ac * ndd * ndd * ndd + bc * ndd * ndd + cc * ndd + dc) /
+        ((ndd - 1.0) * (ndd - 2.0) * (ndd - 3.0)))
+    val t = (a2 - (kd - 1.0)) / sig
+    val got = graft.llm.TextOps.adKSample(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == k && r.getLong(1) == nn)
+    assert(r.getDouble(2) == r4(a2),
+      s"a2 ${r.getDouble(2)} vs ${r4(a2)}")
+    assert(r.getDouble(3) == r4(sig),
+      s"sigma ${r.getDouble(3)} vs ${r4(sig)}")
+    assert(r.getDouble(4) == r4(t),
+      s"t ${r.getDouble(4)} vs ${r4(t)}")
+    // iid theory: E[A2kN] = k-1 under H0; same-generator sources must
+    // sit near it and the standardized T inside the null band (a
+    // fixture outside would be measuring drift, not the statistic)
+    assert(r.getDouble(2) > 0.5 * (k - 1) && r.getDouble(2) < 2.0 * (k - 1),
+      s"a2 ${r.getDouble(2)} far from E=k-1=${k - 1}")
+    assert(math.abs(r.getDouble(4)) < 4.0, s"t ${r.getDouble(4)}")
+    assert(r.getDouble(3) > 0.0)
+  }
+
+  test("kendall tau-b between embedding norms by label == brute-force " +
+      "pair counting over exact quantized norms") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val vs = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map { r =>
+        val arr = r.getSeq[Float](2)
+        val n2 = arr.map { x =>
+          val q = math.floor(x.toDouble * 1000000.0).toLong; q * q
+        }.sum
+        (r.getInt(1).toLong, n2)
+      }
+    val byLab = vs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val labs = byLab.keys.toSeq.sorted
+    val want = (for { l1 <- labs; l2 <- labs if l1 < l2 } yield {
+      val (xs, ys) = (byLab(l1), byLab(l2))
+      val (n1, n2) = (xs.length.toLong, ys.length.toLong)
+      var nc = 0L; var nd = 0L; var crossT = 0L
+      for (a <- xs; b <- ys) {
+        if (b > a) nc += 1 else if (b < a) nd += 1 else crossT += 1
+      }
+      def tp(v: Seq[Long]): Long = v.groupBy(identity).valuesIterator
+        .map { g => val c = g.length.toLong; c * (c - 1) }.sum
+      val nyt2 = (n1 + n2) * (n1 + n2 - 1) -
+        (tp(xs.toSeq) + tp(ys.toSeq) + 2L * crossT)
+      val tau = if (n1 > 0 && n2 > 0 && nyt2 > 0)
+        Some(r4((nc.toDouble - nd.toDouble) /
+          math.sqrt(n1.toDouble * n2.toDouble * (nyt2.toDouble / 2.0))))
+      else None
+      (l1, l2, n1, n2, nc, nd, tau)
+    }).toSeq
+    val got = graft.llm.VectorOps.kendallNorms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(got == want, s"kendall-norms diverged: ${got.take(2)} vs " +
+      s"${want.take(2)}")
+    got.foreach { case (l1, l2, _, _, nc, nd, tau) =>
+      tau.foreach(x => assert(math.abs(x) <= 1.0, s"($l1,$l2): $x"))
+      // norms are near-unique: the walk must actually count pairs
+      assert(nc + nd > 0L, s"($l1,$l2): degenerate (no ordered pairs)")
+    }
+  }
+
   test("MTLD == independent driver factor walk; MATTR formula cross-check") {
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     val docs = graft.io.Tables.documents(spark, sf)
