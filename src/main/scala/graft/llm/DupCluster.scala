@@ -43,6 +43,35 @@ object DupCluster {
     * 4M edges ≈ 64 MB) — past it, the distributed propagation runs. */
   private val CollectEdges = 1L << 22
 
+  /** Driver union-find with min id as root (merging two roots keeps the
+    * smaller, so by induction every root is its component's minimum).
+    * ITERATIVE find (walk to root, then compress): parent chains can
+    * reach O(#edges) depth before compression — at the 4M-edge collect
+    * bound a recursive find would overflow the driver stack. Returns one
+    * (id, min-label) row per id appearing in `edges`. */
+  private def unionFindLabels(edges: Array[(Long, Long)])
+      : Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x
+      while (cur != root) {
+        val next = parent.getOrElse(cur, cur)
+        parent(cur) = root
+        cur = next
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
+      .map(x => (x, find(x)))
+  }
+
   /** Resolve `pairs` (columns `a_id`, `b_id`, LONG doc ids — one row per
     * verified near-dup pair) into components: returns (id, label) where
     * `label` is the minimum member id of the component — the canonical
@@ -66,32 +95,10 @@ object DupCluster {
       if (nEdges == 0) return Seq.empty[(Long, Long)].toDF("id", "label")
 
       if (nEdges <= collectThreshold) {
-        // driver union-find, min id as root (merging two roots keeps the
-        // smaller, so by induction every root is its component's minimum);
-        // the result is a LocalRelation — downstream joins broadcast it
+        // driver union-find, min id as root — the result is a
+        // LocalRelation, so downstream joins broadcast it
         val edges = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        // ITERATIVE find (walk to root, then compress): parent chains
-        // can reach O(#edges) depth before compression — at the 4M-edge
-        // collect bound a recursive find would overflow the driver stack
-        def find(x: Long): Long = {
-          var root = x
-          while (parent.getOrElse(root, root) != root)
-            root = parent.getOrElse(root, root)
-          var cur = x
-          while (cur != root) {
-            val next = parent.getOrElse(cur, cur)
-            parent(cur) = root
-            cur = next
-          }
-          root
-        }
-        edges.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        edges.flatMap(e => Seq(e._1, e._2)).distinct
-          .map(x => (x, find(x))).toSeq.toDF("id", "label")
+        unionFindLabels(edges).toDF("id", "label")
       } else {
         val edges = undirected
           .select(col("a").as("src"), col("b").as("dst"))
@@ -117,6 +124,52 @@ object DupCluster {
           round += 1
         }
         labels
+      }
+    } finally undirected.unpersist(blocking = false)
+  }
+
+  /** LADDER resolve (r17 optimization): `edges` carries one row per
+    * LOOSE-cut core edge (`a_id` < `b_id`, caller-guaranteed distinct)
+    * plus boolean flags `eB`/`eT` marking membership in the BASE and
+    * TIGHT edge subsets (monotone nesting: tight ⊆ base ⊆ loose — the
+    * densityStability ladder). Returns (loose, base, tight) label
+    * tables, each bit-identical to [[resolve]] run on the corresponding
+    * subset. Bounded graphs pay ONE cache fill + ONE collect for all
+    * three union-finds (was three full resolve chains = 3 counts, 3
+    * collects, 3 persists over overlapping edge sets); past the collect
+    * bound each level falls back to the distributed propagation
+    * independently — the 100 TB posture is unchanged. */
+  def resolveLadder(edges: DataFrame,
+      collectThreshold: Long = CollectEdges)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val undirected = edges
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"),
+        col("eB"), col("eT"))
+      .where(col("a") =!= col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = undirected.count()
+      val empty = Seq.empty[(Long, Long)].toDF("id", "label")
+      if (nEdges == 0) (empty, empty, empty)
+      else if (nEdges <= collectThreshold) {
+        val rows = undirected.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+        def level(sel: ((Long, Long, Boolean, Boolean)) => Boolean)
+            : DataFrame = {
+          val es = rows.filter(sel).map(e => (e._1, e._2))
+          if (es.isEmpty) empty
+          else unionFindLabels(es).toDF("id", "label")
+        }
+        (level(_ => true), level(_._3), level(_._4))
+      } else {
+        def sub(flag: Option[String]): DataFrame = resolve(
+          flag.fold(undirected)(f => undirected.where(col(f)))
+            .select(col("a").as("a_id"), col("b").as("b_id")),
+          collectThreshold)
+        (sub(None), sub(Some("eB")), sub(Some("eT")))
       }
     } finally undirected.unpersist(blocking = false)
   }

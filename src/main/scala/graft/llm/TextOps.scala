@@ -755,9 +755,11 @@ object TextOps {
     val st2 = st.select(col("lang"), col("nd"),
       floor(sqrt(m2) * lit(1000000.0)).cast("long").as("wq"))
     val tot = st2.agg(sum(col("wq")).as("wsum"))
-    val wAll = Window.partitionBy(lit(1))
+    // same (partition, order) spec as wRem — one fused WindowExec (r17)
     val wRem = Window.partitionBy(lit(1))
       .orderBy(col("rem").desc, col("lang"))
+    val wAll = wRem
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val alloc = st2.crossJoin(broadcast(tot))
       .select(col("lang"), col("nd"), col("wq"),
         expr(s"($NeymanTotal * wq) DIV wsum").as("base"),
@@ -872,9 +874,11 @@ object TextOps {
       floor(sqrt(col("nd").cast("double")) * lit(1000000.0))
         .cast("long").as("wq"))
     val tot = st2.agg(sum(col("wq")).as("wsum"), sum(col("nd")).as("ndt"))
-    val wAll = Window.partitionBy(lit(1))
+    // same (partition, order) spec as wRem — one fused WindowExec (r17)
     val wRem = Window.partitionBy(lit(1))
       .orderBy(col("rem").desc, col("source"))
+    val wAll = wRem
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def d(c: Column) = c.cast("double")
     st2.crossJoin(broadcast(tot))
       .select(col("source"), col("nd"), col("ndt"), col("wq"),
@@ -1617,7 +1621,13 @@ object TextOps {
       .na.fill(0L, Seq("c"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("source"))
+    // same (partition, order) spec as wCum with a full-partition frame:
+    // both window expressions fuse into ONE WindowExec pass (an
+    // order-free partitionBy would plan a second Window operator over
+    // the same rows); the total is order-independent, so n_g is
+    // unchanged (guide §2.4 — share the established partitioning)
+    val wG = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cums = grid
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_g", sum(col("c")).over(wG))
@@ -1681,7 +1691,13 @@ object TextOps {
       .na.fill(0L, Seq("c"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("source"))
+    // same (partition, order) spec as wCum with a full-partition frame:
+    // both window expressions fuse into ONE WindowExec pass (an
+    // order-free partitionBy would plan a second Window operator over
+    // the same rows); the total is order-independent, so n_g is
+    // unchanged (guide §2.4 — share the established partitioning)
+    val wG = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cums = grid
       .withColumn("below", sum(col("c")).over(wCum) - col("c"))
       .withColumn("n_g", sum(col("c")).over(wG))
@@ -1738,7 +1754,13 @@ object TextOps {
       .na.fill(0L, Seq("c"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("source"))
+    // same (partition, order) spec as wCum with a full-partition frame:
+    // both window expressions fuse into ONE WindowExec pass (an
+    // order-free partitionBy would plan a second Window operator over
+    // the same rows); the total is order-independent, so n_g is
+    // unchanged (guide §2.4 — share the established partitioning)
+    val wG = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cums = grid
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_g", sum(col("c")).over(wG))
@@ -1795,7 +1817,13 @@ object TextOps {
       .na.fill(0L, Seq("c"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("source"))
+    // same (partition, order) spec as wCum with a full-partition frame:
+    // both window expressions fuse into ONE WindowExec pass (an
+    // order-free partitionBy would plan a second Window operator over
+    // the same rows); the total is order-independent, so n_g is
+    // unchanged (guide §2.4 — share the established partitioning)
+    val wG = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cums = grid
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_g", sum(col("c")).over(wG))
@@ -1861,7 +1889,13 @@ object TextOps {
       .na.fill(0L, Seq("c"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("source"))
+    // same (partition, order) spec as wCum with a full-partition frame:
+    // both window expressions fuse into ONE WindowExec pass (an
+    // order-free partitionBy would plan a second Window operator over
+    // the same rows); the total is order-independent, so n_g is
+    // unchanged (guide §2.4 — share the established partitioning)
+    val wG = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wX = Window.partitionBy(col("x"))
     val cums = grid
       .withColumn("cum", sum(col("c")).over(wCum))

@@ -456,15 +456,46 @@ object VectorOps {
       e0: DataFrame, minPts: Int = 4): DataFrame = {
     val ladder = (0.75, 0.80, 0.85) // loose, base (= densityDedup), tight
     // keep the cached small pair list at cluster parallelism: it feeds
-    // three degree/edge passes (the r15 AQE-coalesce lesson)
+    // the degree pass + the edge-flag join (the r15 AQE-coalesce lesson)
     val pairsLoose = lshVerifiedPairs(spark, e0, ladder._1)
       .repartition(spark.sparkContext.defaultParallelism, col("a_id"))
       .localCheckpoint(eager = false) // cut at all three ladder levels
-    val (_, labelsL) = coreLabels(pairsLoose, minPts)
-    val (_, labelsB) =
-      coreLabels(pairsLoose.where(col("cos") >= ladder._2), minPts)
-    val (_, labelsT) =
-      coreLabels(pairsLoose.where(col("cos") >= ladder._3), minPts)
+    // r17: ONE symmetric degree pass serves all three ladder cuts (was
+    // three independent coreLabels chains — 3 unions, 3 degree
+    // aggregates, 6 core joins, 3 resolve collects over nested edge
+    // sets). Degrees are monotone in the cut (deg_T ≤ deg_B ≤ deg_L),
+    // so core sets nest and filtering to loose cores loses nothing.
+    val degs = pairsLoose.select(col("a_id").as("id"), col("cos"))
+      .unionByName(pairsLoose.select(col("b_id").as("id"), col("cos")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degL"),
+        sum(when(col("cos") >= ladder._2, 1L).otherwise(0L)).as("degB"),
+        sum(when(col("cos") >= ladder._3, 1L).otherwise(0L)).as("degT"))
+      .where(col("degL") >= minPts.toLong)
+      .select(col("id"), (col("degB") >= minPts.toLong).as("coreB"),
+        (col("degT") >= minPts.toLong).as("coreT"))
+      .localCheckpoint(eager = false) // edge flags + isolated-core fills
+    // per-edge core-edge flags at each cut: the inner joins keep only
+    // loose-core endpoints (an edge with a non-loose-core end cannot be
+    // a core edge at ANY cut), eB/eT mark the nested subsets
+    val flagged = pairsLoose
+      .join(degs.select(col("id").as("a_id"), col("coreB").as("cbA"),
+        col("coreT").as("ctA")), "a_id")
+      .join(degs.select(col("id").as("b_id"), col("coreB").as("cbB"),
+        col("coreT").as("ctB")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("cos") >= ladder._2 && col("cbA") && col("cbB")).as("eB"),
+        (col("cos") >= ladder._3 && col("ctA") && col("ctB")).as("eT"))
+    val (rL, rB, rT) = DupCluster.resolveLadder(flagged)
+    // isolated cores self-label (hub-and-spoke — every qualifying
+    // neighbor non-core at that cut, so no core–core edge; r15 ADVICE)
+    def withIsolated(resolved: DataFrame, coreIds: DataFrame): DataFrame =
+      resolved.unionByName(coreIds
+        .join(resolved.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
+    val labelsL = withIsolated(rL, degs.select(col("id")))
+    val labelsB = withIsolated(rB, degs.where(col("coreB")).select(col("id")))
+    val labelsT = withIsolated(rT, degs.where(col("coreT")).select(col("id")))
     val base = labelsB.toDF("id", "label")
       .localCheckpoint(eager = false) // three mapping joins below
     val sizes = base.groupBy(col("label")).agg(count(lit(1)).as("n_core"))
@@ -1394,7 +1425,9 @@ object VectorOps {
       .na.fill(0L, Seq("c"))
     val wCum = Window.partitionBy(col("lab")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("lab"))
+    // same (partition, order) spec as wCum — one fused WindowExec (r17)
+    val wG = Window.partitionBy(col("lab")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cums = grid
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_g", sum(col("c")).over(wG))

@@ -2830,7 +2830,9 @@ object RelationalOps {
       .localCheckpoint(eager = false) // median scan + deviation join
     val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("g"))
+    // same (partition, order) spec as wCum — one fused WindowExec (r17)
+    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val med = byGV
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_g", sum(col("c")).over(wG))
@@ -2994,7 +2996,9 @@ object RelationalOps {
     val wCum = Window.partitionBy(col("source"), col("g"))
       .orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("source"), col("g"))
+    // same (partition, order) spec as wCum — one fused WindowExec (r17)
+    val wG = Window.partitionBy(col("source"), col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val med = byGV
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_g", sum(col("c")).over(wG))
@@ -3057,7 +3061,9 @@ object RelationalOps {
       .na.fill(0L, Seq("c"))
     val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("g"))
+    // same (partition, order) spec as wCum — one fused WindowExec (r17)
+    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cums = full
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_g", sum(col("c")).over(wG))
@@ -3626,7 +3632,9 @@ object RelationalOps {
       .na.fill(0L, Seq("c"))
     val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("g"))
+    // same (partition, order) spec as wCum — one fused WindowExec (r17)
+    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cums = full
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_g", sum(col("c")).over(wG))

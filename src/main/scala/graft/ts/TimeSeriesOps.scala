@@ -625,7 +625,12 @@ object TimeSeriesOps {
         (col("q") + col("q2")).as("w"))
     val wRank = Window.partitionBy(col("event_type"))
       .orderBy(col("w"), col("bucket"), col("bucket2"))
+    // same (partition, order) spec as wRank — one fused WindowExec over
+    // the O(n²) Walsh-pair relation instead of two passes (r17); the
+    // full-partition count is order-independent, so np is unchanged
     val wAll = Window.partitionBy(col("event_type"))
+      .orderBy(col("w"), col("bucket"), col("bucket2"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     pairs
       .withColumn("rn", row_number().over(wRank))
       .withColumn("np", count(lit(1)).over(wAll))
@@ -976,7 +981,9 @@ object TimeSeriesOps {
     val wCum = Window.partitionBy(col("hod"), col("source"))
       .orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("hod"), col("source"))
+    // same (partition, order) spec as wCum — one fused WindowExec (r17)
+    val wG = Window.partitionBy(col("hod"), col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cums = grid
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n_g", sum(col("c")).over(wG))
@@ -1049,7 +1056,9 @@ object TimeSeriesOps {
     val wCum = Window.partitionBy(col("hod"), col("source"))
       .orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("hod"), col("source"))
+    // same (partition, order) spec as wCum — one fused WindowExec (r17)
+    val wG = Window.partitionBy(col("hod"), col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cums = grid
       .withColumn("below", sum(col("c")).over(wCum) - col("c"))
       .withColumn("n_g", sum(col("c")).over(wG))
