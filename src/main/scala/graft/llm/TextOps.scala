@@ -1609,12 +1609,6 @@ object TextOps {
       .localCheckpoint(eager = false) // grid fan-out + per-source ties
     def dec(e: Column) = e.cast("decimal(38,0)")
     def d(e: Column) = e.cast("double")
-    // ×2 trick (the midrank discipline): carry 2·C(c,2) = c(c−1) so
-    // every tie accumulator stays DECIMAL(38,0) — no decimal-scale
-    // creep from a /2
-    val perS = byV.groupBy(col("source"))
-      .agg(sum(col("c")).as("n_g"),
-        sum(dec(col("c")) * (col("c") - 1)).as("tself2"))
     val grid = byV.select(col("x")).distinct()
       .crossJoin(broadcast(byV.select(col("source")).distinct()))
       .join(byV, Seq("source", "x"), "left")
@@ -1637,18 +1631,25 @@ object TextOps {
     val b = cums.select(col("source").as("s2"), col("x"),
       col("c").as("c2"), (col("cum") - col("c")).as("below2"),
       col("cum").as("upto2"), col("n_g").as("n2"))
+    // ×2 trick (the midrank discipline): carry 2·C(c,2) = c(c−1) so
+    // every tie accumulator stays DECIMAL(38,0) — no decimal-scale
+    // creep from a /2. The per-source self-tie terms ty1/ty2 compute
+    // INLINE in this same aggregate (r17): the grid is COMPLETE over x
+    // for every source, so Σ_v c·(c−1) within the pair group IS the
+    // per-source constant — no separate per-source aggregate and no
+    // broadcast joins to attach it
     val pair = a.join(b, "x").where(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
       .agg(sum(dec(col("c1")) * (col("n2") - col("upto2"))).as("nc"),
         sum(dec(col("c1")) * col("below2")).as("nd"),
-        sum(dec(col("c1")) * col("c2")).as("crossT"))
-    val t1 = perS.select(col("source").as("s1"), col("tself2").as("ty1"))
-    val t2 = perS.select(col("source").as("s2"), col("tself2").as("ty2"))
+        sum(dec(col("c1")) * col("c2")).as("crossT"),
+        sum(dec(col("c1")) * (col("c1") - 1)).as("ty1"),
+        sum(dec(col("c2")) * (col("c2") - 1)).as("ty2"))
     // doubled pooled terms: 2·n0 = (n1+n2)(n1+n2−1); 2·ty = ty1 + ty2
     // + 2·crossT — exact DECIMAL(38,0) at any corpus size
     val n02 = dec(col("n1") + col("n2")) * (col("n1") + col("n2") - 1)
     val nyt2 = n02 - (col("ty1") + col("ty2") + col("crossT") * 2)
-    pair.join(broadcast(t1), "s1").join(broadcast(t2), "s2")
+    pair
       .select(col("s1"), col("s2"), col("n1"), col("n2"),
         col("nc").cast("long").as("n_conc"),
         col("nd").cast("long").as("n_disc"),

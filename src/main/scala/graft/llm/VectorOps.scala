@@ -1416,9 +1416,6 @@ object VectorOps {
     val byV = norms.groupBy(col("lab"), col("x"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false) // grid fan-out + per-label ties
-    val perL = byV.groupBy(col("lab"))
-      .agg(sum(col("c")).as("n_g"),
-        sum(dec(col("c")) * (col("c") - 1)).as("tself2"))
     val grid = byV.select(col("x")).distinct()
       .crossJoin(broadcast(byV.select(col("lab")).distinct()))
       .join(byV, Seq("lab", "x"), "left")
@@ -1437,16 +1434,19 @@ object VectorOps {
     val b = cums.select(col("lab").as("l2"), col("x"),
       col("c").as("c2"), (col("cum") - col("c")).as("below2"),
       col("cum").as("upto2"), col("n_g").as("n2"))
+    // per-label self-tie terms INLINE (r17): the grid is complete over
+    // x for every label, so Σ_x c·(c−1) within the pair group IS the
+    // per-label constant — no separate aggregate, no broadcast joins
     val pair = a.join(b, "x").where(col("l1") < col("l2"))
       .groupBy(col("l1"), col("l2"), col("n1"), col("n2"))
       .agg(sum(dec(col("c1")) * (col("n2") - col("upto2"))).as("nc"),
         sum(dec(col("c1")) * col("below2")).as("nd"),
-        sum(dec(col("c1")) * col("c2")).as("crossT"))
-    val t1 = perL.select(col("lab").as("l1"), col("tself2").as("ty1"))
-    val t2 = perL.select(col("lab").as("l2"), col("tself2").as("ty2"))
+        sum(dec(col("c1")) * col("c2")).as("crossT"),
+        sum(dec(col("c1")) * (col("c1") - 1)).as("ty1"),
+        sum(dec(col("c2")) * (col("c2") - 1)).as("ty2"))
     val n02 = dec(col("n1") + col("n2")) * (col("n1") + col("n2") - 1)
     val nyt2 = n02 - (col("ty1") + col("ty2") + col("crossT") * 2)
-    pair.join(broadcast(t1), "l1").join(broadcast(t2), "l2")
+    pair
       .select(col("l1"), col("l2"), col("n1"), col("n2"),
         col("nc").cast("long").as("n_conc"),
         col("nd").cast("long").as("n_disc"),

@@ -1097,6 +1097,27 @@ object RelationalOps {
         .localCheckpoint(eager = false)
     })
 
+  /** Scale-adaptive layout for ITERATIVE graph rounds (r17, guide §2 —
+    * derive partitioning from input size, never a constant): the
+    * peel/propagation loops do trivial map-side work per row over the
+    * cached edge list, so at bench scale their cost is TASK COUNT, not
+    * data (measured: 6 kcore peels over a 150k-row sym list take 4.6 s
+    * on the wedge guard's 32 frozen partitions vs 2.2 s coalesced — all
+    * stage-scheduling overhead). The count() reads (or fills) the lazy
+    * checkpoint the loop materializes anyway; partitions then target
+    * ~250k rows/task, capped at cluster parallelism, and `coalesce`
+    * NEVER widens — at real scale (rows ≥ parallelism × target) this is
+    * an exact no-op and the rounds keep full width. The shared memoized
+    * wedge-guard layout is untouched: fan-out consumers (jaccard,
+    * triangles, resource-alloc) still read the wide relation. */
+  private def loopLayout(spark: SparkSession, df: DataFrame,
+      targetRows: Long = 250000L): DataFrame = {
+    val rows = df.count()
+    val parts = math.min(spark.sparkContext.defaultParallelism.toLong,
+      rows / targetRows + 1L).toInt
+    df.coalesce(parts)
+  }
+
   private def coPurchaseGraph(spark: SparkSession, sfDir: String,
       sliceMod: Option[Int]): (DataFrame, DataFrame) = {
     val pairs = coPurchasePairs(spark, sfDir, sliceMod)
@@ -1131,7 +1152,8 @@ object RelationalOps {
     // domain (pk % 4 = 0 — the dup_components bounding pattern: the
     // operator's shape is scale-free, the verified slice keeps the
     // 3-round × 2-join × agg pipeline cheap at every SF)
-    val (sym, deg) = coPurchaseGraph(spark, sfDir, Some(4))
+    val (sym0, deg) = coPurchaseGraph(spark, sfDir, Some(4))
+    val sym = loopLayout(spark, sym0) // size-derived round layout (r17)
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) r = pagerankRound(r, sym, deg)
     r.join(deg, col("node") === col("src"))
@@ -1161,7 +1183,8 @@ object RelationalOps {
   def partPagerankConverged(spark: SparkSession, sfDir: String,
       sliceMod: Option[Int] = None, maxRounds: Int = 30,
       tolScaled: Long = 100L): DataFrame = {
-    val (sym, deg) = coPurchaseGraph(spark, sfDir, sliceMod)
+    val (sym0, deg) = coPurchaseGraph(spark, sfDir, sliceMod)
+    val sym = loopLayout(spark, sym0) // size-derived round layout (r17)
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     var rounds = 0
     var moved = Long.MaxValue
@@ -1222,6 +1245,12 @@ object RelationalOps {
       .localCheckpoint(eager = false) // both directions, every round
   }
 
+  /** [[hitsGraph]] on the size-derived round layout (r17) — HITS runs
+    * 3 rounds × 2 edge-keyed aggregates over the cached bipartite edge
+    * list; see [[loopLayout]]. */
+  private def hitsGraphLooped(spark: SparkSession, sfDir: String)
+      : DataFrame = loopLayout(spark, hitsGraph(spark, sfDir))
+
   private def hitsSummary(a: DataFrame, h: DataFrame): DataFrame = {
     val top = a.select(lit("authority").as("side"), col("s").as("node"),
         col("a").as("score_scaled"))
@@ -1250,7 +1279,7 @@ object RelationalOps {
     * twin. Top-10 per side under the (side, score DESC, node) total
     * order. */
   def partHits(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = hitsGraph(spark, sfDir)
+    val edges = hitsGraphLooped(spark, sfDir)
     var h = edges.select(col("c")).distinct()
       .withColumn("h", lit(1000000L))
       .localCheckpoint(eager = false)
@@ -1274,7 +1303,7 @@ object RelationalOps {
     * [[partHits]], then full convergence under the default cap. */
   def partHitsConverged(spark: SparkSession, sfDir: String,
       maxRounds: Int = 30, tolScaled: Long = 100L): DataFrame = {
-    val edges = hitsGraph(spark, sfDir)
+    val edges = hitsGraphLooped(spark, sfDir)
     var h = edges.select(col("c")).distinct()
       .withColumn("h", lit(1000000L))
       .localCheckpoint(eager = false)
@@ -1409,7 +1438,7 @@ object RelationalOps {
     * the (core_deg DESC, node) total order. */
   def partKcore(spark: SparkSession, sfDir: String): DataFrame = {
     val (sym0, _) = coPurchaseGraph(spark, sfDir, Some(4))
-    var e = sym0
+    var e = loopLayout(spark, sym0) // size-derived round layout (r17)
     for (_ <- 1 to 6) e = kcorePeel(e, 3)
     e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
@@ -1426,7 +1455,7 @@ object RelationalOps {
   def kcoreConverged(spark: SparkSession, sfDir: String, k: Int = 3,
       forcedRounds: Int = 0, maxRounds: Int = 64): DataFrame = {
     val (sym0, _) = coPurchaseGraph(spark, sfDir, Some(4))
-    var e = sym0
+    var e = loopLayout(spark, sym0) // size-derived round layout (r17)
     if (forcedRounds > 0) {
       for (_ <- 1 to forcedRounds) e = kcorePeel(e, k)
     } else {
@@ -1714,9 +1743,13 @@ object RelationalOps {
   private def componentGraph(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     val e = coPurchasePairs(spark, sfDir, Some(4))
-    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint(eager = false) // per-round joins + node list
+    // every componentGraph consumer is an iterative round loop
+    // (components, pointer doubling, harmonic BFS) — size-derived
+    // round layout (r17, see loopLayout)
+    val sym = loopLayout(spark,
+      e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint(eager = false)) // per-round joins + node list
     val nodes = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
     (sym, nodes)
@@ -1761,9 +1794,10 @@ object RelationalOps {
   def partLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = coPurchasePairs(spark, sfDir, Some(4))
-    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint(eager = false) // every round's count join
+    val sym = loopLayout(spark, // size-derived round layout (r17)
+      e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint(eager = false)) // every round's count join
     val nodes = sym.select(col("src").as("node")).distinct()
       .localCheckpoint(eager = false) // every round's carry join
     var labels = nodes.select(col("node"), col("node").as("lbl"))
@@ -1801,9 +1835,10 @@ object RelationalOps {
   def partModularity(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = coPurchasePairs(spark, sfDir, Some(4))
-    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint(eager = false) // rounds + stub join + degree
+    val sym = loopLayout(spark, // size-derived round layout (r17)
+      e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint(eager = false)) // rounds + stub join + degree
     val nodes = sym.select(col("src").as("node")).distinct()
       .localCheckpoint(eager = false) // rounds
     var labels = nodes.select(col("node"), col("node").as("lbl"))

