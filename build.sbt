@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The perf driver tail-parses `sbt -batch "runMain graft.Bench"` stdout
+// for the bench's final `{"metric":"total",...}` JSON line. With sbt's
+// default LoggedOutput every program line gets an `[info] ` prefix and
+// sbt appends `[success] Total time: ...` after the run — 17 rounds of
+// driver artifacts show `parsed: null` because of exactly that
+// decoration. StdoutOutput passes forked-run output through raw, and
+// showSuccess/showTiming suppress the epilogue so the bench's own total
+// line is the absolute final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -151,6 +151,7 @@ object Bench {
     var degraded = false
     var hardStopped = false
     var skippedSamples = 0
+    var pass1Sec = 0.0
     for (pass <- 1 to passes; if !hardStopped) {
       // degraded mode: later passes only re-run queries whose pass-1
       // time deviates from their committed sidecar value by more than
@@ -188,11 +189,26 @@ object Bench {
           }
         }
       }
+      if (pass == 1) pass1Sec = elapsed
       if (!degraded && elapsed > softBudget) {
-        degraded = true
-        System.err.println(
-          f"[bench] soft budget exceeded after pass $pass (${elapsed}%.0f s" +
-            f" > ${softBudget}%.0f s): degrading to deviation-only passes")
+        // guarantee >= 2 FULL passes when the hard window affords it
+        // (r17 verdict: soft budget flipping right after pass 1 left
+        // ~45% of the suite effectively 1-pass — noisy "medians"):
+        // a full pass 2 is deferred-not-degraded if the measured pass-1
+        // time (+15% slack) still fits comfortably inside hard budget.
+        val deferForPass2 = pass == 1 &&
+          elapsed + 1.15 * pass1Sec < hardBudget - 120.0
+        if (deferForPass2)
+          System.err.println(
+            f"[bench] soft budget exceeded after pass 1 (${elapsed}%.0f s" +
+              f" > ${softBudget}%.0f s) but a full pass 2 fits the hard" +
+              " window; degrading from pass 3")
+        else {
+          degraded = true
+          System.err.println(
+            f"[bench] soft budget exceeded after pass $pass (${elapsed}%.0f s" +
+              f" > ${softBudget}%.0f s): degrading to deviation-only passes")
+        }
       }
     }
     // failed = zero successful passes (the query is NOT in the total);
@@ -292,8 +308,14 @@ object Bench {
       (overlapNow <= 1.3 * overlapRef && outliers <= 8 && !hardStopped)
     val rawLine =
       s"""{"metric":"per_query","passes":$passes,"cpus":"$cpus","queries":${qJson(medians)},"sf":"$sfDir"}"""
+    // the anchor is CPU-KEYED (r17 verdict: the driver's 8-cpu scaling
+    // run clobbered the 32-cpu anchor, so the next round's soft budget
+    // and deviation bands would have keyed off 8-cpu medians): only a
+    // 32-cpu run may promote BENCH_FULL_latest.json; other cpu counts
+    // get their own per-cpu sidecar.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (canonical && sane) "BENCH_FULL_latest.json"
+      if (canonical && sane && cpus == "32") "BENCH_FULL_latest.json"
+      else if (canonical && sane) s"BENCH_FULL_c$cpus.json"
       else if (canonical) "BENCH_FULL_suspect.json"
       else "")
     if (outPath.nonEmpty)
@@ -320,8 +342,27 @@ object Bench {
       }.mkString("{", ",", "}")
       println(s"""{"metric":"bench_failures","detail":$fs}""")
     }
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed_count":${failedQ.size},"failed":${nameList(failedQ)},"flaky_count":${flakyQ.size},"flaky":${nameList(flakyQ)},"sf":"$sfDir"}""")
-    spark.stop()
+    val totalLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"failed_count":${failedQ.size},"failed":${nameList(failedQ)},"flaky_count":${flakyQ.size},"flaky":${nameList(flakyQ)},"sf":"$sfDir"}"""
+    // tiny summary sidecar (r17 verdict ask #1): the total must survive
+    // ANY stdout tail window, so persist it as a file too — full-suite
+    // runs only (a subset total would mislead), any sf/cpu (both are
+    // recorded in the JSON so a reader can never mistake an 8-cpu or
+    // sf0.01 run for the canonical figure).
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SUMMARY_latest.json"),
+        (f"""{"total":$total%.3f,"unit":"sec","cpus":"$cpus","sf":"$sfDir","passes":$passes,"failed_count":${failedQ.size},"failed":${nameList(failedQ)},"degraded":$degraded,"hard_stopped":$hardStopped}""" +
+          "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] summary dump skipped: ${e.getMessage}")
+      }
+    // the final stdout line must be the total JSON, undecorated (the
+    // driver tail-parses): silence any WARN that stop()/shutdown hooks
+    // would interleave, stop the session, THEN print the line.
+    spark.sparkContext.setLogLevel("ERROR")
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(_) => }
+    println(totalLine)
   }
 }

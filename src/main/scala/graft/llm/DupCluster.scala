@@ -78,54 +78,63 @@ object DupCluster {
     * doc to KEEP; every id with `id != label` is a drop candidate. */
   def resolve(pairs: DataFrame,
       collectThreshold: Long = CollectEdges): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
     val undirected = pairs
       .select(least(col("a_id"), col("b_id")).as("a"),
         greatest(col("a_id"), col("b_id")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // The count is the sizing probe AND the cache fill: the upstream
-      // candidate pipeline runs exactly once, at full parallelism (a
-      // limit(n).collect() probe would run CollectLimitExec's sequential
-      // 1→4→16-partition ramp instead); everything after reads the cache.
-      val nEdges = undirected.count()
-      if (nEdges == 0) return Seq.empty[(Long, Long)].toDF("id", "label")
+    try resolveNormalized(undirected, collectThreshold)
+    finally undirected.unpersist(blocking = false)
+  }
 
-      if (nEdges <= collectThreshold) {
-        // driver union-find, min id as root — the result is a
-        // LocalRelation, so downstream joins broadcast it
-        val edges = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
-        unionFindLabels(edges).toDF("id", "label")
-      } else {
-        val edges = undirected
-          .select(col("a").as("src"), col("b").as("dst"))
-          .union(undirected.select(col("b").as("src"), col("a").as("dst")))
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id"))
+  /** [[resolve]]'s core for edges the CALLER already guarantees
+    * normalized (`a` < `b`, distinct) and cache-backed — skips the
+    * re-normalization pass and the extra persist (r17 advice: the
+    * ladder's distributed fallback stacked four overlapping persists
+    * of the same edge data). */
+  private def resolveNormalized(undirected: DataFrame,
+      collectThreshold: Long): DataFrame = {
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    // The count is the sizing probe AND the cache fill: the upstream
+    // candidate pipeline runs exactly once, at full parallelism (a
+    // limit(n).collect() probe would run CollectLimitExec's sequential
+    // 1→4→16-partition ramp instead); everything after reads the cache.
+    val nEdges = undirected.count()
+    if (nEdges == 0) return Seq.empty[(Long, Long)].toDF("id", "label")
+
+    if (nEdges <= collectThreshold) {
+      // driver union-find, min id as root — the result is a
+      // LocalRelation, so downstream joins broadcast it
+      val edges = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+      unionFindLabels(edges).toDF("id", "label")
+    } else {
+      val edges = undirected
+        .select(col("a").as("src"), col("b").as("dst"))
+        .union(undirected.select(col("b").as("src"), col("a").as("dst")))
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      var round = 0
+      var converged = false
+      while (!converged && round < MaxRounds) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"),
+            col("label").as("nlabel")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nlabel"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label")))
+              .as("label"),
+            (col("nlabel") < col("label")).as("improved"))
           .localCheckpoint()
-        var round = 0
-        var converged = false
-        while (!converged && round < MaxRounds) {
-          val neighborMin = edges
-            .join(labels.select(col("id").as("dst"),
-              col("label").as("nlabel")), Seq("dst"))
-            .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nlabel"))
-          val next = labels.join(neighborMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("nlabel"), col("label")))
-                .as("label"),
-              (col("nlabel") < col("label")).as("improved"))
-            .localCheckpoint()
-          converged = next.where(col("improved")).isEmpty
-          labels = next.select(col("id"), col("label"))
-          round += 1
-        }
-        labels
+        converged = next.where(col("improved")).isEmpty
+        labels = next.select(col("id"), col("label"))
+        round += 1
       }
-    } finally undirected.unpersist(blocking = false)
+      labels
+    }
   }
 
   /** LADDER resolve (r17 optimization): `edges` carries one row per
@@ -165,9 +174,13 @@ object DupCluster {
         }
         (level(_ => true), level(_._3), level(_._4))
       } else {
-        def sub(flag: Option[String]): DataFrame = resolve(
+        // the parent `undirected` is already normalized (a<b, caller-
+        // guaranteed distinct) and persisted — each level is a filtered
+        // view over that one cache, no re-normalization, no per-level
+        // persist (r17 advice)
+        def sub(flag: Option[String]): DataFrame = resolveNormalized(
           flag.fold(undirected)(f => undirected.where(col(f)))
-            .select(col("a").as("a_id"), col("b").as("b_id")),
+            .select(col("a"), col("b")),
           collectThreshold)
         (sub(None), sub(Some("eB")), sub(Some("eT")))
       }

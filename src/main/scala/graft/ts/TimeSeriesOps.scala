@@ -52,6 +52,26 @@ object TimeSeriesOps {
   private val hourlyAvgCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** appIds that already registered an end-of-application eviction hook
+    * (r17 advice: without cleanup a long-lived multi-context JVM pins
+    * every dead app's checkpointed archive RDDs forever). */
+  private val hourlyAvgCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerHourlyAvgCleanup(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    if (hourlyAvgCleanupRegistered.add(appId))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            hourlyAvgCache.keySet.removeIf(_.startsWith(appId + "|"))
+            hourlyAvgCleanupRegistered.remove(appId)
+          }
+        })
+  }
+
   /** The archive's PRE-CHECKPOINT relation — what actually executes to
     * build it. PlanSpec inspects this (the standing rule: localCheckpoint
     * hides upstream operators from consumer plans). */
@@ -59,11 +79,13 @@ object TimeSeriesOps {
       sfDir: String): DataFrame =
     hourly(spark, sfDir).agg(Det.avg4(col("value")).as("v"))
 
-  private def hourlyAvg(spark: SparkSession, sfDir: String): DataFrame =
+  private def hourlyAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    registerHourlyAvgCleanup(spark)
     hourlyAvgCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|" +
         s"${Integer.toHexString(System.identityHashCode(spark))}|$sfDir",
       _ => hourlyAvgRelation(spark, sfDir).localCheckpoint(eager = false))
+  }
 
   /** 1h tumbling average per series — the flagship rollup (R5/R6 `average`). */
   def rollupAvg(spark: SparkSession, sfDir: String): DataFrame =

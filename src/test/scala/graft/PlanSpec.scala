@@ -32,10 +32,17 @@ class PlanSpec extends AnyFunSuite {
       val p = plan(q)
       // rollup-archive readers (r17): the shared hourlyAvg memo hides
       // the aggregate behind its checkpoint — inspect the archive's own
-      // pre-checkpoint relation (the standing localCheckpoint rule)
+      // pre-checkpoint relation (the standing localCheckpoint rule).
+      // The fallback is GATED on the checkpoint marker (r17 advice): a
+      // non-archive query that lost its partial aggregation must fail
+      // here, not pass via the archive probe.
       val probe = if (p.contains("partial_")) p
-        else graft.ts.TimeSeriesOps.hourlyAvgRelation(spark, sf)
-          .queryExecution.executedPlan.toString
+        else {
+          assert(p.contains("ExistingRDD"),
+            s"$q has no partial aggregation and no checkpoint hiding one:\n$p")
+          graft.ts.TimeSeriesOps.hourlyAvgRelation(spark, sf)
+            .queryExecution.executedPlan.toString
+        }
       assert(probe.contains("partial_"),
         s"$q has no partial aggregation:\n$probe")
     }
