@@ -22,6 +22,9 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 showSuccess := false
 showTiming := false
+// the two keys work (verified: no [success] epilogue on runMain) but
+// sbt's unused-key lint cannot see their consumer — exclude them
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

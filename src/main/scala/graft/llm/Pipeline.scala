@@ -35,9 +35,14 @@ object Pipeline {
       nTok.as("n_tok"), Det.r4(score).as("q_score"),
       (nTok >= minTokens && score >= minScore).as("pass_quality"))
 
-    // stage 2: exact dedup — keep the smallest doc_id per normalized key
+    // stage 2: exact dedup — keep the smallest doc_id per normalized key.
+    // checkpoint: `keyed` feeds BOTH the keeper aggregate and the
+    // join-back below, and join children don't CSE — without it the
+    // map-side gate + the md5 normalization run twice inside
+    // afterExact's own materialization (r18, guide §1.2/§5)
     val keyed = gated.withColumn("exact_key",
       md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " "))))))
+      .localCheckpoint(eager = false)
     val keeper = keyed.where(col("pass_quality"))
       .groupBy(col("exact_key")).agg(min(col("doc_id")).as("keep_id"))
     // The CC resolution below is eager (bounded collect), so it runs the

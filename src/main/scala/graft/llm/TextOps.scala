@@ -409,7 +409,11 @@ object TextOps {
         col("band") === col("band_b") && col("bh") === col("bh_b") &&
           col("lang") === col("lang_b") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    // checkpoint: BOTH verify-join sides consume the shingle sets and
+    // join children don't CSE — without it the shingle transform (the
+    // per-doc O(len) array build) runs twice (r18, guide §1.2/§5)
     val shSets = docs.select(col("doc_id"), shingles.as("shs"))
+      .localCheckpoint(eager = false)
     cands
       .join(shSets.select(col("doc_id").as("a_id"), col("shs").as("sa")), "a_id")
       .join(shSets.select(col("doc_id").as("b_id"), col("shs").as("sb")), "b_id")

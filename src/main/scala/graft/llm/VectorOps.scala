@@ -217,13 +217,12 @@ object VectorOps {
   private val NPlanes = 64
   private val BandBits = 8 // 8 bands × 8 bits
 
-  /** Fixed-seed random hyperplanes for sign-LSH (deterministic across
-    * runs and executors — generated once on the driver, broadcast as
-    * literals in the plan). */
-  private lazy val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NPlanes, 64)(rnd.nextGaussian())
-  }
+  /** Fixed seed for the sign-LSH hyperplanes (deterministic across runs
+    * and executors). The matrix itself regenerates inside
+    * [[org.apache.spark.sql.graft.SignLshBandsExpr]] from (seed,
+    * nPlanes, dim) with the identical `Random(seed)` gaussian fill the
+    * old broadcast planes table used (r18). */
+  private val PlaneSeed = 42
 
   /** How many vectors a single (band, bucket) may hold before it is
     * dropped from candidate generation — the same one-sided cap that
@@ -275,23 +274,20 @@ object VectorOps {
     * at `minCos`. Returns unordered (a_id, b_id, cos). */
   private[graft] def lshVerifiedPairs(spark: SparkSession,
       e0: DataFrame, minCos: Double): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
     val e = e0
-    val planesDf = broadcast(planes.zipWithIndex.flatMap { case (p, j) =>
-      p.zipWithIndex.map { case (w, i) => (i, j, w) }
-    }.toSeq.toDF("pos", "plane", "w"))
-    val dots = e
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .join(planesDf, "pos")
-      .groupBy(col("vec_id"), col("plane"))
-      .agg(sum(col("x").cast("double") * col("w")).as("dot"))
-    val buckets = dots
-      .groupBy(col("vec_id"),
-        (col("plane") / lit(BandBits)).cast("int").as("band"))
-      .agg(sum(when(col("dot") > 0,
-        expr(s"shiftleft(1L, CAST(plane % $BandBits AS INT))"))
-        .otherwise(0L)).as("bh"))
+    // r18: the signature build collapsed into ONE codegen kernel
+    // (SignLshBandsExpr) — the prior posexplode ⋈ broadcast(planes) →
+    // (vec, plane) dot agg → (vec, band) byte agg pipeline paid an N·d
+    // row explode, an N·d·P joined-row stream and TWO aggregation
+    // exchanges per build; this is a map-only pass emitting the same
+    // (vec_id, band, bh) rows BIT-EXACTLY (per-plane dots accumulate in
+    // ascending element order — the explode form's map-side partial
+    // order; empty embeddings vanish; strict dot > 0 sign).
+    val buckets = e
+      .select(col("vec_id"),
+        posexplode(org.apache.spark.sql.graft.SignLshBandsExpr(
+          col("embedding"), PlaneSeed, NPlanes, 64, BandBits))
+          .as(Seq("band", "bh")))
       // NO repartition guard here (audited r16): every consumer of this
       // checkpoint re-shuffles (hot-list groupBy, the bucket equi-join,
       // the verify joins), so the O(size^2) bucket fan-out runs in the

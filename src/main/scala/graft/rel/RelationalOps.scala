@@ -1215,19 +1215,25 @@ object RelationalOps {
     * renormalization product holds BIGINT for in-degrees to ~9·10⁶ —
     * widen the scaled state to DECIMAL(38,0) past that (the
     * kruskalWallis widening note). */
-  private def hitsRound(edges: DataFrame, h: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private def hitsRound(edgesByC: DataFrame, edgesByS: DataFrame,
+      h: DataFrame): (DataFrame, DataFrame) = {
     // checkpoint each raw-sum relation BEFORE probing its max: the
     // max action materializes the checkpoint, and every later consumer
     // (normalization projection, next round, summary) rides the cache
-    // instead of re-running the edge join (no-CSE)
-    val ar = edges.join(h, "c").groupBy(col("s")).agg(sum(col("h")).as("ar"))
+    // instead of re-running the edge join (no-CSE).
+    // The edge side arrives pre-partitioned AND pre-sorted on the join
+    // key (r18, guide §2.4 bucketed layout): the sort-merge join reads
+    // it exchange-free and sort-free — only the score table (one row
+    // per node, aggregate-grain) shuffles each round.
+    val ar = edgesByC.join(h, "c").groupBy(col("s"))
+      .agg(sum(col("h")).as("ar"))
       .localCheckpoint(eager = false) // max probe + normalization
     val amRow = ar.agg(max(col("ar"))).head
     val am = if (amRow.isNullAt(0)) 1L else amRow.getLong(0)
     val a = ar.select(col("s"), expr(s"(ar * 1000000L) div ${am}L").as("a"))
       .localCheckpoint(eager = false) // hub step + next round + summary
-    val hr = edges.join(a, "s").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+    val hr = edgesByS.join(a, "s").groupBy(col("c"))
+      .agg(sum(col("a")).as("hr"))
       .localCheckpoint(eager = false) // max probe + normalization
     val hmRow = hr.agg(max(col("hr"))).head
     val hm = if (hmRow.isNullAt(0)) 1L else hmRow.getLong(0)
@@ -1236,20 +1242,36 @@ object RelationalOps {
     (a, h2)
   }
 
-  private def hitsGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The bipartite customer→supplier edge list in TWO persisted
+    * layouts, hash-partitioned and sorted within partitions on `c` and
+    * on `s` (r18, guide §2.4/§8 "bucket both sides"): HITS alternates
+    * equi-joins on c and on s every round, and the r17 shape re-planned
+    * a SortMergeJoin with BOTH sides exchanged per join — 6 data-scale
+    * shuffles + sorts of the edge list across 3 rounds (measured 0.95
+    * s/round at sf0.1). `persist` (not localCheckpoint) keeps the
+    * outputPartitioning/outputOrdering visible to the planner, so every
+    * round join streams the cached side exchange-free and sort-free;
+    * only the node-grain score table shuffles. The (c,s) distinct rides
+    * the c-repartition (HashPartitioning(c) satisfies the (c,s)
+    * clustering), so the by-c layout costs no extra exchange over the
+    * r17 distinct; the by-s copy is one more edge-list exchange paid
+    * ONCE instead of every round. At 100 TB both copies are disk-backed
+    * buckets — the standard trade of one materialized layout per join
+    * key against per-round shuffles of the same bytes. */
+  private def hitsGraphKeyed(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
     val l = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
-    o.join(l, "ok").select(col("c"), col("s")).distinct()
-      .localCheckpoint(eager = false) // both directions, every round
+    val byC = o.join(l, "ok").select(col("c"), col("s"))
+      .repartition(col("c")).distinct()
+      .sortWithinPartitions("c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byS = byC.repartition(col("s")).sortWithinPartitions("s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (byC, byS)
   }
-
-  /** [[hitsGraph]] on the size-derived round layout (r17) — HITS runs
-    * 3 rounds × 2 edge-keyed aggregates over the cached bipartite edge
-    * list; see [[loopLayout]]. */
-  private def hitsGraphLooped(spark: SparkSession, sfDir: String)
-      : DataFrame = loopLayout(spark, hitsGraph(spark, sfDir))
 
   private def hitsSummary(a: DataFrame, h: DataFrame): DataFrame = {
     val top = a.select(lit("authority").as("side"), col("s").as("node"),
@@ -1279,13 +1301,14 @@ object RelationalOps {
     * twin. Top-10 per side under the (side, score DESC, node) total
     * order. */
   def partHits(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = hitsGraphLooped(spark, sfDir)
-    var h = edges.select(col("c")).distinct()
+    val (edgesByC, edgesByS) = hitsGraphKeyed(spark, sfDir)
+    // distinct(c) rides the by-c layout — no exchange
+    var h = edgesByC.select(col("c")).distinct()
       .withColumn("h", lit(1000000L))
       .localCheckpoint(eager = false)
     var a: DataFrame = null
     for (_ <- 1 to 3) {
-      val (a2, h2) = hitsRound(edges, h)
+      val (a2, h2) = hitsRound(edgesByC, edgesByS, h)
       a = a2; h = h2
     }
     hitsSummary(a, h)
@@ -1303,17 +1326,17 @@ object RelationalOps {
     * [[partHits]], then full convergence under the default cap. */
   def partHitsConverged(spark: SparkSession, sfDir: String,
       maxRounds: Int = 30, tolScaled: Long = 100L): DataFrame = {
-    val edges = hitsGraphLooped(spark, sfDir)
-    var h = edges.select(col("c")).distinct()
+    val (edgesByC, edgesByS) = hitsGraphKeyed(spark, sfDir)
+    var h = edgesByC.select(col("c")).distinct()
       .withColumn("h", lit(1000000L))
       .localCheckpoint(eager = false)
-    var a: DataFrame = edges.select(col("s")).distinct()
+    var a: DataFrame = edgesByS.select(col("s")).distinct()
       .withColumn("a", lit(1000000L))
       .localCheckpoint(eager = false)
     var rounds = 0
     var moved = Long.MaxValue
     while (moved > tolScaled && rounds < maxRounds) {
-      val (a2, h2) = hitsRound(edges, h)
+      val (a2, h2) = hitsRound(edgesByC, edgesByS, h)
       // ONE fused probe job (r13 verdict ask): both sides' |Δ| union
       // into a single max — the relations are checkpoint-backed, so
       // the union's no-CSE hazard costs nothing
@@ -2008,13 +2031,28 @@ object RelationalOps {
       .localCheckpoint(eager = false) // degree + hub/small split
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(eager = false)
+    // skew gate (r18, guide §2.5 — apply hub handling only when hubs
+    // exist): one scalar max on the model-sized degree relation. When
+    // max(d) <= cap the hub set is EMPTY and the split is a provable
+    // no-op (the published cap contract: row-identical to the exact
+    // form), so the whole hub branch — semi/anti split, capped-list
+    // window, anti-join, verification join, full outer — never plans.
+    // At a skewed 100 TB graph the max exceeds the cap and the r12
+    // two-phase machinery runs unchanged.
+    val maxDegRow = deg.agg(max(col("d"))).head
+    val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
+    val common = if (maxDeg <= cap) {
+      sym.select(col("src").as("apex"), col("dst").as("v1"))
+        .join(sym.select(col("src").as("apex"), col("dst").as("v2")),
+          "apex")
+        .where(col("v1") < col("v2"))
+        .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("common_n"))
+    } else {
     val hubs = deg.where(col("d") > cap).select(col("src").as("hub"))
     // hub/small APEX decomposition (r12): a small apex (d <= cap) is
     // never capped, so its full wedge fan-out already yields EXACT
     // common counts — only hub-side commons need a verification join,
     // and hub adjacency is the small relation (<= E/cap hub nodes).
-    // At fixture SFs there are no hubs and the twin costs ~ the exact
-    // form; at 100 TB the hubs are exactly the d² terms this removes.
     val symH = sym.join(hubs, sym("src") === hubs("hub"), "left_semi")
       .localCheckpoint(eager = false) // capped lists + both verify sides
     val symS = sym.join(hubs, sym("src") === hubs("hub"), "left_anti")
@@ -2035,9 +2073,7 @@ object RelationalOps {
       .select(col("v1"), col("v2")).distinct()
       .join(cS, Seq("v1", "v2"), "left_anti")
     // candidates = cS pairs ∪ hub-only pairs — DISJOINT by the anti
-    // join, so no global distinct pass; when the graph has no hubs
-    // every hub-side relation is empty and the twin's plan degenerates
-    // to the exact form plus empty-side joins
+    // join, so no global distinct pass
     val cands = cS.select(col("v1"), col("v2")).unionByName(hOnly)
     val cH = cands
       .join(symH.select(col("src").as("w"), col("dst").as("v1")), "v1")
@@ -2046,10 +2082,11 @@ object RelationalOps {
       .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("c_hub"))
     // full outer: cS-only pairs have no hub commons, cH-only pairs
     // (hub-discovered, verified) may have no small commons
-    val common = cS.join(cH, Seq("v1", "v2"), "full")
+    cS.join(cH, Seq("v1", "v2"), "full")
       .select(col("v1"), col("v2"),
         (coalesce(col("c_small"), lit(0L)) +
           coalesce(col("c_hub"), lit(0L))).as("common_n"))
+    }
     common
       .join(deg.select(col("src").as("v1"), col("d").as("d1")), "v1")
       .join(deg.select(col("src").as("v2"), col("d").as("d2")), "v2")
@@ -2101,11 +2138,26 @@ object RelationalOps {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dw"))
       .withColumn("raw", expr("1000000000000L div dw"))
       .localCheckpoint(eager = false)
+    // skew gate (r18, guide §2.5): scalar max on the model-sized degree
+    // relation — no hubs means the split is a provable no-op (cap
+    // contract), so the wedge join runs directly over the raw-carrying
+    // adjacency and the hub branch never plans. See partJaccardCapped.
+    val maxDegRow = deg.agg(max(col("dw"))).head
+    val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
+    val common = if (maxDeg <= cap) {
+      // checkpoint: the raw-carrying adjacency feeds BOTH wedge sides
+      // (join children don't CSE — the standing union rule)
+      val symJ = sym.join(deg.drop("dw"), "src")
+        .localCheckpoint(eager = false)
+      symJ.select(col("src").as("apex"), col("dst").as("v1"), col("raw"))
+        .join(symJ.select(col("src").as("apex"), col("dst").as("v2")),
+          "apex")
+        .where(col("v1") < col("v2"))
+        .groupBy(col("v1"), col("v2"))
+        .agg(count(lit(1)).as("common_n"), sum(col("raw")).as("ra_q"))
+    } else {
     // ONE edge-sized degree join feeds both halves of the hub/small
-    // split as filters (instead of semi+anti+two raw joins). The
-    // no-hub fixture cost is dominated by the small-side full wedge
-    // join — the same O(Σd²) the exact form pays — plus empty-side
-    // plumbing; the split exists for the hubby 100× graph.
+    // split as filters (instead of semi+anti+two raw joins).
     val symJ = sym.join(deg, "src")
       .localCheckpoint(eager = false) // hub + small filters below
     val symH = symJ.where(col("dw") > cap).drop("dw")
@@ -2137,12 +2189,13 @@ object RelationalOps {
         Seq("v2", "w"))
       .groupBy(col("v1"), col("v2"))
       .agg(count(lit(1)).as("c_hub"), sum(col("raw")).as("ra_hub"))
-    val common = cS.join(cH, Seq("v1", "v2"), "full")
+    cS.join(cH, Seq("v1", "v2"), "full")
       .select(col("v1"), col("v2"),
         (coalesce(col("c_small"), lit(0L)) +
           coalesce(col("c_hub"), lit(0L))).as("common_n"),
         (coalesce(col("ra_small"), lit(0L)) +
           coalesce(col("ra_hub"), lit(0L))).as("ra_q"))
+    }
     common
       .select(col("v1"), col("v2"), col("common_n"), col("ra_q"),
         Det.r4(col("ra_q").cast("double") / lit(1.0e12)).as("ra"))
@@ -2179,6 +2232,19 @@ object RelationalOps {
       .localCheckpoint(eager = false) // degree + hub/small split
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(eager = false)
+    // skew gate (r18, guide §2.5): scalar max on the model-sized degree
+    // relation — no hubs means the split is a provable no-op (cap
+    // contract) and the wedge join runs directly over the adjacency.
+    // See partJaccardCapped.
+    val maxDegRow = deg.agg(max(col("d"))).head
+    val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
+    val common = if (maxDeg <= cap) {
+      sym.select(col("src").as("apex"), col("dst").as("v1"))
+        .join(sym.select(col("src").as("apex"), col("dst").as("v2")),
+          "apex")
+        .where(col("v1") < col("v2"))
+        .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("common_n"))
+    } else {
     val hubs = deg.where(col("d") > cap).select(col("src").as("hub"))
     val symH = sym.join(hubs, sym("src") === hubs("hub"), "left_semi")
       .localCheckpoint(eager = false) // capped lists + verify side
@@ -2205,10 +2271,11 @@ object RelationalOps {
       .join(symH.select(col("src").as("w"), col("dst").as("v2")),
         Seq("v2", "w"))
       .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("c_hub"))
-    val common = cS.join(cH, Seq("v1", "v2"), "full")
+    cS.join(cH, Seq("v1", "v2"), "full")
       .select(col("v1"), col("v2"),
         (coalesce(col("c_small"), lit(0L)) +
           coalesce(col("c_hub"), lit(0L))).as("common_n"))
+    }
     common
       .join(deg.select(col("src").as("v1"), col("d").as("d1")), "v1")
       .join(deg.select(col("src").as("v2"), col("d").as("d2")), "v2")

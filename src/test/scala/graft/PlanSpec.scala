@@ -501,14 +501,23 @@ class PlanSpec extends AnyFunSuite {
       s"hot list must broadcast:\n$p")
   }
 
-  test("jaccard capped: hub-only pairs anti-join; no cartesian anywhere") {
-    // the hub/small SPLIT joins live behind the checkpointed symH/symS
-    // relations (the localCheckpoint plan-visibility rule), so assert
-    // the split shape on the pre-checkpoint adjacency directly and the
-    // visible plan's hub-only anti join
+  test("jaccard capped: skew-gated — hubless fixture plans NO hub " +
+      "machinery; a forced tight cap plans the anti-join split") {
+    // r18 skew gate (guide §2.5): with max(degree) <= cap the hub
+    // branch never plans — the fixture graph has no degree-64 hubs, so
+    // the default-cap plan must be the plain wedge join (no LeftAnti,
+    // no capped-list window), while a cap BELOW the fixture max degree
+    // must still plan the full r12 two-phase split
     val p = plan("q_part_jaccard_capped")
-    assert(p.contains("LeftAnti"), s"no hub-only-pairs anti join:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"hubless graph should skip the hub branch:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    val tight = graft.rel.RelationalOps
+      .partJaccardCapped(spark, sf, cap = 1)
+      .queryExecution.executedPlan.toString
+    assert(tight.contains("LeftAnti"),
+      s"tight cap must plan the hub-only-pairs anti join:\n$tight")
+    assert(!tight.contains("CartesianProduct"), s"cartesian in:\n$tight")
     import org.apache.spark.sql.functions._
     val e = graft.io.Tables.lineitem(spark, sf)
       .where(col("l_partkey") % 4 === 0)
@@ -523,22 +532,33 @@ class PlanSpec extends AnyFunSuite {
       s"the hub split is a semi join pre-checkpoint:\n$split")
   }
 
-  test("resource-alloc capped: hub-only anti join; no cartesian") {
-    // same hub/small split shape as the jaccard twin (whose
-    // pre-checkpoint semi-join proof covers this family); the visible
-    // plan must show the hub-only-pairs anti join and no cartesian
+  test("resource-alloc capped: skew-gated hub branch; no cartesian") {
+    // same skew gate as the jaccard twin: hubless default-cap plan has
+    // no hub machinery, a forced tight cap plans the anti-join split
     val p = plan("q_part_resource_alloc_capped")
-    assert(p.contains("LeftAnti"), s"no hub-only-pairs anti join:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"hubless graph should skip the hub branch:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    val tight = graft.rel.RelationalOps
+      .partResourceAllocCapped(spark, sf, cap = 1)
+      .queryExecution.executedPlan.toString
+    assert(tight.contains("LeftAnti"),
+      s"tight cap must plan the hub-only-pairs anti join:\n$tight")
+    assert(!tight.contains("CartesianProduct"), s"cartesian in:\n$tight")
   }
 
-  test("pref-attach capped: hub-only anti join; no cartesian") {
-    // third member of the hub/small split family (jaccard, RA, PA):
-    // the visible plan must show the hub-only-pairs anti join and no
-    // cartesian anywhere in the candidate or verification phases
+  test("pref-attach capped: skew-gated hub branch; no cartesian") {
+    // third member of the skew-gated family (jaccard, RA, PA)
     val p = plan("q_part_pref_attach_capped")
-    assert(p.contains("LeftAnti"), s"no hub-only-pairs anti join:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"hubless graph should skip the hub branch:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    val tight = graft.rel.RelationalOps
+      .partPrefAttachCapped(spark, sf, cap = 1)
+      .queryExecution.executedPlan.toString
+    assert(tight.contains("LeftAnti"),
+      s"tight cap must plan the hub-only-pairs anti join:\n$tight")
+    assert(!tight.contains("CartesianProduct"), s"cartesian in:\n$tight")
   }
 
   test("anova/brown-forsythe: moment aggs are partial; the k-row " +
