@@ -611,34 +611,47 @@ object VectorOps {
   def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = lit(Quantum)
-    val flat = Tables.embeddings(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = false) // per-round assignment map pass
+    val flat = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
-      .localCheckpoint(eager = false)
-    val seeds = Tables.embeddings(spark, sfDir)
+      .localCheckpoint(eager = false) // seed centroids + mean updates
+    val seeds = emb
       .select(col("vec_id")).orderBy(col("vec_id")).limit(KmeansK)
       .withColumn("cl",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
     var cent = flat.join(broadcast(seeds), "vec_id")
       .select(col("cl"), col("dim"), col("x").as("c"))
-      .localCheckpoint(eager = false)
     var assign: DataFrame = null
     for (_ <- 1 to KmeansIters) {
-      val aW = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist"), col("cl"))
-      assign = flat.join(broadcast(cent), "dim")
-        .groupBy(col("vec_id"), col("cl"))
-        .agg(sum(floor(((col("x") - col("c")) * (col("x") - col("c"))) * q))
-          .as("dist"))
-        .withColumn("rn", row_number().over(aW))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cl"), col("dist"))
+      // r18: the centroid table is k·d = 256 doubles — MODEL-SIZED by
+      // construction — so each round collects it and bakes it into ONE
+      // codegen assignment kernel (KmeansAssignExpr) over the raw
+      // embeddings: a map-only pass replacing the posexplode ⋈
+      // broadcast(cent) fan-out (N·d·k joined rows), its (vec, cl)
+      // distance aggregate AND the per-vec argmin window. The kernel
+      // floors every (x−c)²·q term before its exact LONG sum and
+      // tie-breaks to the lowest cluster id — bit-identical to the
+      // aggregate+window it replaces (the DuckDB oracle re-proves it).
+      val cRows = cent.collect()
+      val cArr = new Array[Double](KmeansK * 64)
+      cRows.foreach { r =>
+        cArr(r.getLong(0).toInt * 64 + r.getInt(1)) = r.getDouble(2)
+      }
+      assign = emb
+        .select(col("vec_id"),
+          org.apache.spark.sql.graft.KmeansAssignExpr(
+            col("embedding"), cArr.toSeq, KmeansK, 64, Quantum).as("a"))
+        .where(col("a").isNotNull)
+        .select(col("vec_id"), col("a").getItem(0).as("cl"),
+          col("a").getItem(1).as("dist"))
         .localCheckpoint(eager = false)
       cent = assign.join(flat, "vec_id")
         .groupBy(col("cl"), col("dim"))
         .agg((sum(floor(col("x") * q)).cast("double") /
           (count(lit(1)) * q)).as("c"))
-        .localCheckpoint(eager = false)
     }
     assign.groupBy(col("cl"))
       .agg(count(lit(1)).as("n"),
